@@ -1,0 +1,243 @@
+"""Breakdown engine vs DuckDB oracle + reference-semantics unit checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_frames_match
+from vtk_reserves_spark.operators.breakdown import breakdown
+from vtk_reserves_spark.plans.commalist import commalist, parse_commalist
+from vtk_reserves_spark.plans.template import compile_template, vl_add_region, vl_add_weight
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_commalist_roundtrip():
+    cl = commalist().parse("a,b;c,d,e")
+    assert cl == [["a", "b"], ["c", "d", "e"]]
+    assert str(cl) == "a,b;c,d,e"
+    assert cl.split() == ["a,b", "c,d,e"]
+    assert not commalist().parse("")
+
+
+def test_template_classification():
+    plan = compile_template(
+        "region;lito,breakdown;grade,mean,mine,volume;vol=volume,sum,mine;note,text,hi",
+        ["region", "lito", "grade", "mine", "volume"],
+    )
+    assert [k.var for k in plan.keys] == ["region", "lito"]
+    assert plan.aggs[0].weights == ("mine", "volume")
+    assert plan.aggs[0].out == "grade mean"
+    # alias: 'vol=volume' renames output, weights keep only existing cols
+    assert plan.aggs[1].var == "vol" or plan.aggs[1].alias == "volume"
+    assert plan.aggs[2].mode == "text" and plan.aggs[2].text_value == "hi"
+
+
+def test_vl_helpers():
+    vl = parse_commalist("grade,mean;lito,breakdown;vol,sum")
+    vl_add_weight(vl, "mine")
+    assert vl[0] == ["grade", "mean", "mine"]
+    assert vl[1] == ["lito", "breakdown"]
+    assert vl[2] == ["vol", "sum", "mine"]
+    vl_add_region(vl)
+    assert vl[0] == ["region", "", ""]
+    vl_add_region(vl)  # idempotent: region row present -> no change
+    assert sum(1 for r in vl if r[0] == "region") == 1
+
+
+def test_breakdown_basic_modes(lineitem, duck):
+    out = breakdown(
+        lineitem,
+        "l_returnflag;l_linestatus;"
+        "l_quantity=sum_qty,sum;"
+        "l_extendedprice=sum_price,sum;"
+        "l_quantity=avg_qty,mean;"
+        "l_quantity=cnt,count;"
+        "l_quantity=min_q,min;l_quantity=max_q,max;"
+        "l_quantity=var_q,var;l_quantity=std_q,std;l_quantity=sem_q,sem",
+    )
+    oracle = duck.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               SUM(l_extendedprice) AS sum_price,
+               AVG(l_quantity) AS avg_qty,
+               COUNT(l_quantity) AS cnt,
+               MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
+               VAR_SAMP(l_quantity) AS var_q, STDDEV_SAMP(l_quantity) AS std_q,
+               STDDEV_SAMP(l_quantity)/SQRT(COUNT(l_quantity)) AS sem_q
+        FROM lineitem GROUP BY 1, 2
+        """
+    )
+    assert_frames_match(out, oracle)
+
+
+def test_breakdown_weighted_mean_sum(lineitem, duck):
+    out = breakdown(
+        lineitem,
+        "l_returnflag;"
+        "l_extendedprice=wavg_price,mean,l_quantity;"
+        "l_extendedprice=wsum_price,sum,l_quantity",
+    )
+    oracle = duck.sql(
+        """
+        SELECT l_returnflag,
+               SUM(l_extendedprice*l_quantity)/SUM(l_quantity) AS wavg_price,
+               SUM(l_extendedprice*l_quantity) AS wsum_price
+        FROM lineitem GROUP BY 1
+        """
+    )
+    assert_frames_match(out, oracle)
+
+
+def test_breakdown_quantiles(lineitem, duck):
+    out = breakdown(
+        lineitem,
+        "l_returnflag;"
+        "l_quantity=q1_q,q1;l_quantity=q2_q,q2;l_quantity=q3_q,q3;"
+        "l_quantity=p10_q,p10;l_quantity=p90_q,p90",
+    )
+    oracle = duck.sql(
+        """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q1_q,
+               quantile_cont(l_quantity, 0.50) AS q2_q,
+               quantile_cont(l_quantity, 0.75) AS q3_q,
+               quantile_cont(l_quantity, 0.10) AS p10_q,
+               quantile_cont(l_quantity, 0.90) AS p90_q
+        FROM lineitem GROUP BY 1
+        """
+    )
+    assert_frames_match(out, oracle)
+
+
+def _ref_weighted_quantile(a, w, q):
+    """Direct re-implementation of the reference algorithm
+    (bm_breakdown.py:124-177) — the spec, quirks included."""
+    a = np.asarray(a, dtype=float)
+    w = np.asarray(w, dtype=float)
+    vn = ~(np.isnan(a) | np.isnan(w))
+    if not vn.any():
+        return None
+    a, w = a[vn], w[vn]
+    idx = np.argsort(a)
+    a_sort, w_sort = a[idx], w[idx]
+    ecdf = np.cumsum(w_sort)
+    p = np.array([q]) * (np.nansum(w) - 1)
+    idx_low = np.searchsorted(ecdf, p, side="right")
+    idx_high = np.searchsorted(ecdf, p + 1, side="right")
+    idx_high[idx_high > ecdf.size - 1] = ecdf.size - 1
+    wh = p - np.floor(p)
+    wl = 1.0 - wh
+    return float(np.take(a_sort, idx_low) * wl + np.take(a_sort, idx_high) * wh)
+
+
+def test_breakdown_weighted_quantile_vs_reference(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in ["a", "b", "c"]:
+        n = int(rng.integers(5, 40))
+        vals = rng.uniform(0, 100, n)
+        wts = rng.uniform(0, 5, n)
+        vals[rng.random(n) < 0.15] = np.nan
+        wts[rng.random(n) < 0.15] = np.nan
+        rows += [(g, float(v), float(w)) for v, w in zip(vals, wts)]
+    rows.append(("d", 42.0, 1.0))  # single-row group
+    rows.append(("e", float("nan"), 1.0))  # fully-masked group
+    pdf = pd.DataFrame(rows, columns=["g", "v", "w"])
+    df = spark.createDataFrame(pdf)
+    out = breakdown(df, "g;v=wq1,q1,w;v=wq2,q2,w;v=wq3,q3,w").toPandas()
+    for _, r in out.iterrows():
+        grp = pdf[pdf.g == r["g"]]
+        for q, col in [(0.25, "wq1"), (0.5, "wq2"), (0.75, "wq3")]:
+            expect = _ref_weighted_quantile(grp.v.values, grp.w.values, q)
+            got = r[col]
+            if expect is None:
+                assert got is None or np.isnan(got), (r["g"], col, got)
+            else:
+                assert got == pytest.approx(expect, rel=1e-9), (r["g"], col)
+
+
+def test_breakdown_major_list_text(lineitem, duck):
+    out = breakdown(
+        lineitem,
+        "l_returnflag;"
+        "l_linestatus=major_ls,major;"
+        "l_linestatus=list_ls,list;"
+        "src=src,text,bench",
+    )
+    oracle = duck.sql(
+        """
+        WITH cnt AS (
+          SELECT l_returnflag, l_linestatus AS val, COUNT(*) AS c
+          FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 1, 2
+        ), top AS (
+          SELECT l_returnflag, val,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY c DESC, val ASC) AS rn
+          FROM cnt
+        )
+        SELECT l.l_returnflag,
+               MAX(t.val) AS major_ls,
+               string_agg(DISTINCT l.l_linestatus, ',' ORDER BY l.l_linestatus) AS list_ls,
+               'bench' AS src
+        FROM lineitem l
+        JOIN top t ON t.l_returnflag = l.l_returnflag AND t.rn = 1
+        GROUP BY 1
+        """
+    )
+    assert_frames_match(out, oracle)
+
+
+def test_breakdown_null_key_fill(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", None, "a", None],
+            "n": [1.0, 2.0, None, 4.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = breakdown(df, "g;n=s,sum;n=c,count").toPandas().set_index("g")
+    # NULL keys are re-filled with the -99 sentinel (bm_breakdown.py:105-108)
+    assert "-99" in out.index
+    assert out.loc["-99", "s"] == 6.0
+    assert out.loc["a", "c"] == 1
+
+
+def test_breakdown_missing_var_and_empty_weight(spark):
+    df = spark.createDataFrame(pd.DataFrame({"g": ["a", "b"], "v": [1.0, 2.0]}))
+    out = breakdown(df, "g;nope=x,mean;v=m,mean,absent_w").toPandas()
+    # unknown var -> NULL (bm_breakdown.py:212-214); nonexistent weight is
+    # dropped so the mean is unweighted (bm_breakdown.py:199-203)
+    assert out["x"].isna().all()
+    assert sorted(out["m"]) == [1.0, 2.0]
+
+
+def test_breakdown_no_keys_global(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.0, 2.0, 3.0]}))
+    out = breakdown(df, "v=s,sum;v=m,mean").toPandas()
+    assert len(out) == 1
+    assert out["s"][0] == 6.0
+    assert out["m"][0] == 2.0
+
+
+def test_breakdown_keys_only_distinct(lineitem, duck):
+    out = breakdown(lineitem, "l_returnflag;l_linestatus")
+    oracle = duck.sql(
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+    )
+    assert_frames_match(out, oracle)
+
+
+def test_breakdown_zero_weight_group_null(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "a"], "v": [1.0, 2.0], "w": [0.0, 0.0]})
+    )
+    out = breakdown(df, "g;v=wm,mean,w").toPandas()
+    # sum(weights)==0 -> NULL (bm_breakdown.py:225-227 guard)
+    assert out["wm"].isna().all()

@@ -1,0 +1,242 @@
+"""The breakdown engine — Spark-native rebuild of the reference's core
+aggregation operator (``bm_breakdown.py:62-245``).
+
+A breakdown compiles a ``commalist`` template into ONE
+``groupBy(keys).agg(...)`` over Catalyst expressions, plus (only when the
+template asks for them) small keyed sub-plans for the two modes that are
+not single-expression aggregates:
+
+- **weighted quantiles** (``q1/q2/q3`` + weights): the reference's
+  weighted-ECDF algorithm (``bm_breakdown.py:124-177``) is lowered to
+  window functions — cumulative weight ordered by value, searchsorted
+  re-expressed as conditional MIN — so it stays fully JVM-side and is
+  even expressible in ANSI SQL for the DuckDB oracle.
+- **major** (mode / most-frequent): two-phase count + row_number pick,
+  with a deterministic smallest-value tie-break (the reference's
+  ``value_counts().idxmax()`` tie order is undefined).
+
+Scale notes (100 TB): the main aggregation is a single hash-aggregate
+with map-side partial aggregation; sub-plans add one shuffle each,
+partitioned by the same group keys, and join back on those keys (the
+joined relations are group-level, i.e. tiny — Spark broadcasts them).
+No Python UDFs, no driver-side collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vtk_reserves_spark.functions.aggregates import nn, plain_agg, weight_product
+from vtk_reserves_spark.plans.template import (
+    QUARTILES,
+    AggSpec,
+    BreakdownPlan,
+    compile_template,
+)
+
+#: Vulcan null sentinel (reference ``bm_breakdown.py:7``, ``_gui.py:269``)
+NULL_SENTINEL = -99
+
+
+def _filled_key(df: DataFrame, var: str) -> Column:
+    """Group keys with NULL/NaN are re-filled with the -99 sentinel so no
+    group is dropped (reference ``bm_breakdown.py:105-108``).
+
+    pandas drops NaN group keys; Spark keeps NULL groups, so the fill is
+    only needed for *value parity* with the reference's output."""
+    dtype = dict(df.dtypes).get(var, "double")
+    c = F.col(var)
+    if dtype in ("string",):
+        return F.coalesce(c, F.lit(str(NULL_SENTINEL)))
+    if dtype in ("double", "float"):
+        return F.coalesce(F.nanvl(c, F.lit(None).cast(dtype)), F.lit(float(NULL_SENTINEL)))
+    if dtype.startswith(("int", "bigint", "smallint", "tinyint", "decimal", "long")):
+        return F.coalesce(c, F.lit(NULL_SENTINEL))
+    return c  # timestamps etc.: Spark keeps NULL groups natively
+
+
+def _truthy(col: Column, dtype: str) -> Column:
+    """Reference guards major with ``df[name].any()``
+    (``bm_breakdown.py:234-236``): a group with no truthy value yields
+    NULL. Strings are truthy when non-empty, numerics when non-zero."""
+    if dtype == "string":
+        return col.isNotNull() & (col != "")
+    return nn(col).isNotNull() & (nn(col) != 0)
+
+
+def _major_subplan(
+    base: DataFrame, key_cols: list[str], specs: list[tuple[AggSpec, str]]
+) -> DataFrame:
+    """Most-frequent value per group for each ``major`` spec.
+
+    Deterministic tie-break: highest count, then smallest value (the
+    reference's tie order is an accident of ``value_counts``)."""
+    dtypes = dict(base.dtypes)
+    out = None
+    for spec, outname in specs:
+        c = F.col(spec.var)
+        cnt = (
+            base.where(c.isNotNull())
+            .groupBy(*key_cols, c.alias("__val"))
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.max(F.when(_truthy(F.col(spec.var), dtypes[spec.var]), 1)).alias("__ok"),
+            )
+        )
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("__cnt").desc(), F.col("__val").asc()
+        )
+        top = (
+            cnt.withColumn("__anyok", F.max("__ok").over(Window.partitionBy(*key_cols)))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                *key_cols,
+                F.when(F.col("__anyok") == 1, F.col("__val")).alias(outname),
+            )
+        )
+        out = top if out is None else out.join(top, key_cols, "full")
+    return out
+
+
+def _wq_subplan(
+    base: DataFrame,
+    key_cols: list[str],
+    var: str,
+    weights: tuple[str, ...],
+    q_outs: list[tuple[float, str]],
+) -> DataFrame:
+    """Weighted quantiles per group — exact re-expression of the
+    reference's weighted-ECDF interpolation (``bm_breakdown.py:124-177``):
+
+    with values sorted ascending and ``ecdf = cumsum(w)``,
+    ``p = q * (sum(w) - 1)``; ``idx_low = searchsorted(ecdf, p, 'right')``;
+    ``idx_high = min(searchsorted(ecdf, p+1, 'right'), n-1)``; result =
+    ``a[idx_low]*(1-frac(p)) + a[idx_high]*frac(p)``.
+
+    Because values are sorted, ``a[searchsorted(ecdf, t, 'right')]`` is
+    simply ``MIN(value) FILTER (WHERE cumw > t)`` — one window pass plus
+    one grouped aggregate, all JVM-side, one shuffle on the group keys."""
+    v = nn(F.col(var))
+    w = weight_product(weights) if weights else F.lit(1.0)
+    f = base.select(*key_cols, v.alias("__v"), w.alias("__w")).where(
+        v.isNotNull() & w.isNotNull()
+    )
+    part = Window.partitionBy(*key_cols)
+    cum = part.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = f.select(
+        *key_cols,
+        "__v",
+        F.sum("__w").over(cum).alias("__cumw"),
+        F.sum("__w").over(part).alias("__wtot"),
+    )
+    aggs, posts = [], []
+    for i, (q, outname) in enumerate(q_outs):
+        p = F.lit(q) * (F.col("__wtot") - 1)
+        aggs += [
+            F.min(F.when(F.col("__cumw") > p, F.col("__v"))).alias(f"__lo{i}"),
+            F.min(F.when(F.col("__cumw") > p + 1, F.col("__v"))).alias(f"__hi{i}"),
+            F.max(p).alias(f"__p{i}"),
+        ]
+        posts.append((i, outname))
+    aggs.append(F.max("__v").alias("__mx"))
+    g = d.groupBy(*key_cols).agg(*aggs)
+    sel = list(key_cols)
+    for i, outname in posts:
+        p = F.col(f"__p{i}")
+        frac = p - F.floor(p)
+        lo = F.col(f"__lo{i}")
+        hi = F.coalesce(F.col(f"__hi{i}"), F.col("__mx"))
+        sel.append((lo * (1 - frac) + hi * frac).alias(outname))
+    return g.select(*sel)
+
+
+def breakdown(df: DataFrame, template, sort: bool = True) -> DataFrame:
+    """Run a breakdown report over ``df``.
+
+    ``template`` is a commalist DSL string (or pre-parsed 2-D list):
+    rows ``var[,op[,weight...]]``; op ``breakdown``/blank marks a group
+    key; ``var=alias`` renames the output column.  Supported ops:
+    count sum mean min max var std sem q1 q2 q3 p{N} major list text,
+    with weighted variants of sum/mean/q1/q2/q3
+    (reference ``bm_breakdown.py:11`` usage and ``:179-245`` dispatcher).
+
+    Output: one row per group (keys first, filled with -99 where null),
+    aggregate columns in template order named ``"<var> <op>"`` or the
+    alias.  ``sort=True`` orders rows by the group keys like pandas
+    ``groupby(sort=True)`` (the result is report-sized; the sort is
+    negligible)."""
+    plan: BreakdownPlan = compile_template(template, df.columns)
+    cols = set(df.columns)
+
+    key_cols = [f"__k{i}" for i in range(len(plan.keys))]
+    key_exprs = [
+        _filled_key(df, k.var).alias(kc) for k, kc in zip(plan.keys, key_cols)
+    ]
+    needed = [c for c in plan.referenced_columns if c in cols]
+    base = df.select(*key_exprs, *[F.col(c) for c in needed])
+
+    # --- classify aggregates -------------------------------------------
+    plain: list[tuple[AggSpec, str]] = []  # (spec, internal name)
+    majors: list[tuple[AggSpec, str]] = []
+    wqs: dict[tuple[str, tuple[str, ...]], list[tuple[float, str]]] = {}
+    order: list[str] = []  # internal output names in template order
+    for i, spec in enumerate(plan.aggs):
+        name = f"__a{i}"
+        order.append(name)
+        if spec.mode == "text":
+            plain.append((spec, name))
+        elif spec.var not in cols:
+            plain.append((spec, name))  # unknown var -> NULL (bm_breakdown.py:212-214)
+        elif spec.is_weighted_quantile:
+            wqs.setdefault((spec.var, spec.weights), []).append(
+                (QUARTILES[spec.mode], name)
+            )
+        elif spec.is_major:
+            majors.append((spec, name))
+        else:
+            plain.append((spec, name))
+
+    # --- main single-pass aggregation ----------------------------------
+    agg_exprs: list[Column] = []
+    for spec, name in plain:
+        if spec.mode == "text":
+            agg_exprs.append(F.max(F.lit(spec.text_value)).alias(name))
+        elif spec.var not in cols:
+            agg_exprs.append(F.max(F.lit(None).cast("double")).alias(name))
+        else:
+            e = plain_agg(spec, F.col(spec.var))
+            if e is None:
+                raise ValueError(f"unsupported breakdown mode: {spec.mode!r}")
+            agg_exprs.append(e.alias(name))
+
+    if agg_exprs:
+        result = base.groupBy(*key_cols).agg(*agg_exprs)
+    else:
+        # keys-only template: distinct group list (reference emits blank
+        # text columns, bm_breakdown.py:102-104 — we emit just the keys)
+        result = base.select(*key_cols).distinct()
+
+    # --- sub-plans joined back on the group keys ------------------------
+    if majors:
+        sub = _major_subplan(base, key_cols, majors)
+        result = _join_keyed(result, sub, key_cols)
+    for (var, weights), q_outs in wqs.items():
+        sub = _wq_subplan(base, key_cols, var, weights, q_outs)
+        result = _join_keyed(result, sub, key_cols)
+
+    # --- final projection: keys (aliased) then aggs in template order ---
+    sel = [F.col(kc).alias(k.out) for k, kc in zip(plan.keys, key_cols)] + [
+        F.col(name).alias(spec.out) for name, spec in zip(order, plan.aggs)
+    ]
+    out = result.select(*sel)
+    if sort and plan.keys:
+        out = out.orderBy(*[F.col(k.out) for k in plan.keys])
+    return out
+
+
+def _join_keyed(left: DataFrame, right: DataFrame, key_cols: list[str]) -> DataFrame:
+    if key_cols:
+        return left.join(right, key_cols, "left")
+    return left.crossJoin(right)

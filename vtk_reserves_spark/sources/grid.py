@@ -1,0 +1,343 @@
+"""Virtual voxel-grid DataFrames.
+
+The reference materializes block models as VTK grids
+(``pd_vtk.py:523-904``, classes ``vtk_Voxel*``) and converts them to
+tables with ``vtk_mesh_to_df`` (``pd_vtk.py:375-433``).  Here the grid is
+*never materialized*: :func:`grid_df` generates the cell table lazily from
+``spark.range`` — pure column arithmetic, partitioned for the target cell
+count, so a 10^11-cell model is just a bigger range, not a bigger driver.
+
+Geometry conventions preserved from the reference:
+
+- cell order is x-fastest (VTK cell id): ``cell = i + j*nx + k*nx*ny``;
+- cell centroid = origin + (idx + 0.5) * spacing  (``vtk_mesh_to_df`` uses
+  ``cell_centers()``, ``pd_vtk.py:398``);
+- volume = dx*dy*dz (``cells_volume``, ``pd_vtk.py:798-809``; for rotated
+  grids the reference takes the *axis-aligned bounds* product which
+  inflates volume — we keep the true cell volume, documented deviation);
+- bearing: degrees clockwise from north; bearing 90 == axis-aligned
+  (``rotate_z_origin`` only rotates when ``abs(bearing-90)>0.01``,
+  ``pd_vtk.py:583-590``), rotation angle = (90-bearing)° CCW about a
+  rotation origin (``mesh_rotate_0261``, ``pd_vtk.py:500-520``);
+- packed ijk flag = i + j*1e3 + k*1e6 (``vtk_grid_flag_ijk``,
+  ``pd_vtk.py:1151-1176``).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, replace
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: target cells per task when auto-partitioning a generated grid
+_CELLS_PER_PARTITION = 4_000_000
+
+
+@dataclass(frozen=True)
+class GridSchema:
+    """Value object replacing the reference's VTK ``field_data`` metadata
+    (``pd_vtk.py:574-579``): origin, spacing, cell dims, bearing."""
+
+    origin: tuple[float, float, float]
+    spacing: tuple[float, float, float]
+    dims: tuple[int, int, int]  # cell counts (nx, ny, nz)
+    bearing: float = 90.0  # 90 == axis-aligned (reference convention)
+    rot_origin: tuple[float, float, float] | None = None  # rotation point
+
+    @property
+    def n_cells(self) -> int:
+        nx, ny, nz = self.dims
+        return nx * ny * nz
+
+    @property
+    def rotated(self) -> bool:
+        return abs(self.bearing - 90.0) > 0.01  # pd_vtk.py:584
+
+    @property
+    def theta(self) -> float:
+        """CCW rotation angle in radians (``mesh_rotate_0261``:
+        ``r = -(bearing - 90)`` degrees)."""
+        return math.radians(90.0 - self.bearing)
+
+    @classmethod
+    def from_bb(cls, bb, cell_size=10.0, ndim: int = 3, bearing: float = 90.0):
+        """Grid covering bounding box ``bb = [(x0,y0,z0), (x1,y1,z1)]``.
+
+        Mirrors ``vtk_Voxel.from_bb`` (``pd_vtk.py:593-606``): point dims =
+        ceil(extent/size)+5 (i.e. +4 buffer cells), origin shifted down by
+        2 cells; ``ndim=2`` flattens z."""
+        if not hasattr(cell_size, "__len__"):
+            cell_size = (float(cell_size),) * 3
+        (x0, y0, z0), (x1, y1, z1) = bb
+        dims = [
+            int(math.ceil((hi - lo) / s)) + 4
+            for lo, hi, s in zip((x0, y0, z0), (x1, y1, z1), cell_size)
+        ]
+        origin = [lo - 2 * s for lo, s in zip((x0, y0, z0), cell_size)]
+        if ndim == 2:
+            dims[2] = 1
+            origin[2] = 0.0
+        return cls(
+            origin=tuple(origin),
+            spacing=tuple(float(s) for s in cell_size),
+            dims=tuple(dims),
+            bearing=bearing,
+        )
+
+    @classmethod
+    def from_bb_schema(cls, bb, schema: str, ndim: int = 3):
+        """Parse a ``"size;offset;bearing"`` schema string
+        (``from_bb_schema``, ``pd_vtk.py:609-642``): fields split on
+        ``;``/``~``, components on ``,``/``_``.  When the bearing is
+        omitted we default to 90 (axis-aligned) — the reference defaults
+        to 0 and then rotates the grid 90°, which misplaces it relative
+        to the bounding box (upstream quirk, not reproduced)."""
+        parts = re.split("[;~]", schema)
+        cell_size = [float(v) for v in re.split("[,_]", parts[0])]
+        while len(cell_size) < 3:
+            cell_size.append(cell_size[-1])
+        offset = [0.0, 0.0, 0.0]
+        if len(parts) > 1 and parts[1]:
+            offset = [float(v) for v in re.split("[,_]", parts[1])]
+            while len(offset) < 3:
+                offset.append(offset[-1])
+        bearing = float(parts[2]) if len(parts) > 2 and parts[2] else 90.0
+
+        (x0, y0, z0), (x1, y1, z1) = bb
+        lo = [x0 + cell_size[0] * offset[0], y0 + cell_size[1] * offset[1], z0 + cell_size[2] * offset[2]]
+        hi = [x1 + cell_size[0] * offset[0], y1 + cell_size[1] * offset[1], z1 + cell_size[2] * offset[2]]
+        gs = cls.from_bb([lo, hi], cell_size, ndim, bearing)
+        return replace(gs, rot_origin=(x0, y0, z0))
+
+    def world_xy(self, lx: Column, ly: Column) -> tuple[Column, Column]:
+        """Rotate local (axis-aligned) centroids into world coordinates:
+        translate-rotate-translate about ``rot_origin``
+        (``mesh_rotate_0261``, ``pd_vtk.py:500-520``)."""
+        if not self.rotated:
+            return lx, ly
+        rx, ry = (self.rot_origin or self.origin)[:2]
+        cos_t, sin_t = math.cos(self.theta), math.sin(self.theta)
+        wx = F.lit(rx) + F.lit(cos_t) * (lx - rx) - F.lit(sin_t) * (ly - ry)
+        wy = F.lit(ry) + F.lit(sin_t) * (lx - rx) + F.lit(cos_t) * (ly - ry)
+        return wx, wy
+
+    def inverse_xy(self, wx: Column, wy: Column) -> tuple[Column, Column]:
+        """World -> local (for nearest-cell assignment on rotated grids)."""
+        if not self.rotated:
+            return wx, wy
+        rx, ry = (self.rot_origin or self.origin)[:2]
+        cos_t, sin_t = math.cos(self.theta), math.sin(self.theta)
+        lx = F.lit(rx) + F.lit(cos_t) * (wx - rx) + F.lit(sin_t) * (wy - ry)
+        ly = F.lit(ry) - F.lit(sin_t) * (wx - rx) + F.lit(cos_t) * (wy - ry)
+        return lx, ly
+
+
+def grid_df(
+    spark: SparkSession,
+    gs: GridSchema,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Generate the cell table ``(cell, i, j, k, x, y, z, dx, dy, dz,
+    volume)`` for a grid schema — the Spark replacement for
+    ``vtk_mesh_to_df(vtk_Voxel(...))`` (``pd_vtk.py:375-433``).
+
+    Entirely lazy column arithmetic over ``spark.range``; partition count
+    scales with the cell count so the same code covers a 12k-cell sample
+    and a 10^11-cell model."""
+    nx, ny, nz = gs.dims
+    ox, oy, oz = gs.origin
+    dx, dy, dz = gs.spacing
+    n = gs.n_cells
+    if num_partitions is None:
+        num_partitions = max(1, min(100_000, n // _CELLS_PER_PARTITION))
+    df = spark.range(0, n, 1, num_partitions)
+    i = (F.col("id") % nx).cast("int")
+    j = ((F.col("id") / nx).cast("long") % ny).cast("int")
+    k = (F.col("id") / (nx * ny)).cast("int")
+    lx = F.lit(ox) + (i + F.lit(0.5)) * dx
+    ly = F.lit(oy) + (j + F.lit(0.5)) * dy
+    lz = F.lit(oz) + (k + F.lit(0.5)) * dz
+    wx, wy = gs.world_xy(lx, ly)
+    return df.select(
+        F.col("id").alias("cell"),
+        i.alias("i"),
+        j.alias("j"),
+        k.alias("k"),
+        wx.alias("x"),
+        wy.alias("y"),
+        lz.alias("z"),
+        F.lit(dx).alias("dx"),
+        F.lit(dy).alias("dy"),
+        F.lit(dz).alias("dz"),
+        F.lit(dx * dy * dz).alias("volume"),
+    )
+
+
+def flag_ijk(df: DataFrame, flag_var: str = "vtk_ijk") -> DataFrame:
+    """Packed integer cell index ``i + j*1e3 + k*1e6``
+    (``vtk_grid_flag_ijk``, ``pd_vtk.py:1151-1176``)."""
+    return df.withColumn(
+        flag_var,
+        (F.col("i") + F.col("j") * 1_000 + F.col("k") * 1_000_000).cast("long"),
+    )
+
+
+def nearest_cell(
+    points: DataFrame, gs: GridSchema, grid: DataFrame | None = None
+) -> DataFrame:
+    """Snap scattered points to their containing cell — the Spark
+    replacement for the per-point ``find_closest_cell`` loop
+    (``add_arrays_from_df``, ``pd_vtk.py:671-702``).
+
+    For an axis-aligned (or inverse-rotated) grid the containing cell is
+    the inverse affine ``i = floor((x-ox)/dx)`` — an exact O(1) expression
+    per point, no KD-tree, no shuffle.  Points outside the grid get NULL
+    indices (the reference marks unmatched cells -1).  If ``grid`` is
+    given, equi-joins the points onto it by (i,j,k)."""
+    ox, oy, oz = gs.origin
+    dx, dy, dz = gs.spacing
+    nx, ny, nz = gs.dims
+    lx, ly = gs.inverse_xy(F.col("x"), F.col("y"))
+    i = F.floor((lx - ox) / dx).cast("int")
+    j = F.floor((ly - oy) / dy).cast("int")
+    k = F.floor((F.col("z") - oz) / dz).cast("int")
+    in_grid = (
+        (i >= 0) & (i < nx) & (j >= 0) & (j < ny) & (k >= 0) & (k < nz)
+    )
+    pts = points.withColumns(
+        {
+            "i": F.when(in_grid, i),
+            "j": F.when(in_grid, j),
+            "k": F.when(in_grid, k),
+        }
+    )
+    if grid is None:
+        return pts
+    return pts.join(grid, ["i", "j", "k"], "left")
+
+
+def heatmap2d(
+    grid: DataFrame, value: str, axis: int = 2, op: str | None = None
+) -> DataFrame:
+    """Reduce the grid along one axis — ``heatmap2d``
+    (``pd_vtk.py:876-895``) as a groupBy over the remaining two indices.
+
+    ``op='mean'`` divides by the *full* axis length and yields NULL if any
+    cell is null (parity with ``np.add.reduce`` NaN propagation);
+    ``op='major'`` is the most-frequent value (deterministic smallest-value
+    tie-break)."""
+    names = ["i", "j", "k"]
+    keep = [names[a] for a in range(3) if a != axis]
+    axis_name = names[axis]
+    if op is None:
+        op = "major" if dict(grid.dtypes).get(value) == "string" else "mean"
+    if op == "mean":
+        from vtk_reserves_spark.functions.aggregates import nn
+
+        c = nn(F.col(value))
+        size = F.max(F.col(axis_name)) - F.min(F.col(axis_name)) + 1
+        out = grid.groupBy(*keep).agg(
+            F.when(F.count(c) == size, F.sum(c) / size).alias(value)
+        )
+        return out
+    if op == "major":
+        from pyspark.sql import Window
+
+        cnt = (
+            grid.where(F.col(value).isNotNull())
+            .groupBy(*keep, F.col(value).alias("__val"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        w = Window.partitionBy(*keep).orderBy(
+            F.col("__cnt").desc(), F.col("__val").asc()
+        )
+        return (
+            cnt.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .select(*keep, F.col("__val").alias(value))
+        )
+    # any numpy reduction by name (reference eval('np.'+op), pd_vtk.py:893)
+    fn = {"sum": F.sum, "min": F.min, "max": F.max}.get(op)
+    if fn is None:
+        raise ValueError(f"unsupported heatmap2d op: {op!r}")
+    return grid.groupBy(*keep).agg(fn(F.col(value)).alias(value))
+
+
+def detect_cell_size(df: DataFrame, xyz=("x", "y", "z")) -> tuple[float, ...]:
+    """Auto-detect cell size from a block-model table
+    (``pd_detect_cell_size``, ``pd_vtk.py:179-200``): prefer explicit
+    ``xlength/ylength/zlength`` columns (min positive), else the minimum
+    positive delta between consecutive sorted distinct coordinates."""
+    cols = set(df.columns)
+    if {"xlength", "ylength", "zlength"}.issubset(cols):
+        row = df.select(
+            F.min("xlength").alias("dx"),
+            F.min("ylength").alias("dy"),
+            F.min("zlength").alias("dz"),
+        ).first()
+        if row and all(v is not None and v > 0 for v in row):
+            return (row["dx"], row["dy"], row["dz"])
+    out = []
+    for c in xyz:
+        from pyspark.sql import Window
+
+        d = (
+            df.select(F.col(c).alias("v"))
+            .where(F.col(c).isNotNull())
+            .distinct()
+            .withColumn("pv", F.lag("v").over(Window.orderBy("v")))
+            .select(F.min(F.when(F.col("v") != F.col("pv"), F.col("v") - F.col("pv"))).alias("d"))
+            .first()
+        )
+        out.append(float(d["d"]) if d and d["d"] is not None else float("nan"))
+    return tuple(out)
+
+
+def detect_xyz(columns) -> list[str] | None:
+    """Coordinate-triplet detection (``pd_detect_xyz``,
+    ``_gui.py:310-328``): known triplets tried in lower/upper/capitalized
+    forms; falls back to xy-only pairs."""
+    cset = set(columns)
+    triplets = [
+        ["x", "y", "z"],
+        ["midx", "midy", "midz"],
+        ["mid_x", "mid_y", "mid_z"],
+        ["xworld", "yworld", "zworld"],
+        ["xcentre", "ycentre", "zcentre"],
+        ["centroid_x", "centroid_y", "centroid_z"],
+        ["xc", "yc", "zc"],
+        ["leste", "norte", "cota"],
+    ]
+    for with_z in (True, False):
+        for s in triplets:
+            cand = s if with_z else s[:2]
+            for conv in (str.lower, str.upper, str.capitalize):
+                cs = [conv(v) for v in cand]
+                if cset.issuperset(cs):
+                    return cs
+    return None
+
+
+def grid_from_df_schema(df: DataFrame, cell_size=None, xyz=None) -> GridSchema:
+    """Fit a grid over a scattered block table (``from_df``,
+    ``pd_vtk.py:650-669``): dims = ceil(extent/size)+2 buffer cells,
+    origin = min - size/2."""
+    if xyz is None:
+        xyz = detect_xyz(df.columns) or ["x", "y", "z"]
+    if cell_size is None:
+        cell_size = detect_cell_size(df, xyz)
+    row = df.select(
+        *[F.min(c).alias(f"lo{i}") for i, c in enumerate(xyz)],
+        *[F.max(c).alias(f"hi{i}") for i, c in enumerate(xyz)],
+    ).first()
+    lo = [row[f"lo{i}"] for i in range(len(xyz))]
+    hi = [row[f"hi{i}"] for i in range(len(xyz))]
+    dims = [
+        max(1, int(math.ceil((h - l) / s)) + 2)
+        for l, h, s in zip(lo, hi, cell_size)
+    ]
+    origin = [l - 0.5 * s for l, s in zip(lo, cell_size)]
+    return GridSchema(origin=tuple(origin), spacing=tuple(cell_size), dims=tuple(dims))

@@ -1,0 +1,143 @@
+"""Tabular loaders — Spark rebuild of the reference's dispatch loader
+``pd_load_dataframe`` (``_gui.py:203-276``).
+
+Dispatch on file extension; every path supports the reference's loader
+contract: optional row-filter ``condition``, optional column projection,
+and ``-99 -> NULL`` sentinel masking unless ``keep_null``
+(``_gui.py:269-270``).  Filters/projections are applied as DataFrame
+operations so Catalyst pushes them into the scan (predicate pushdown and
+column pruning are visible in ``.explain`` as PushedFilters/ReadSchema).
+
+Formats the reference reads through proprietary/Windows-only libraries
+(Vulcan bmf/isis/00t, Datamine COM — SURVEY.md §2.1) are out of scope;
+the extension registry below is the plug-in seam where such loaders
+would mount.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NULL_SENTINEL = -99
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long")
+
+
+def table_name_selector(df_path: str) -> tuple[str, str | None]:
+    """Split a ``path!sheet`` suffix (``table_name_selector``,
+    ``_gui.py:141-148``)."""
+    m = re.match(r"^(.+)!(\w+)$", df_path)
+    if m:
+        return m.group(1), m.group(2)
+    return df_path, None
+
+
+def mask_null_sentinel(df: DataFrame, columns=None) -> DataFrame:
+    """``df.mask(df == -99)`` (``_gui.py:269-270``): turn the Vulcan -99
+    null sentinel into real NULLs on numeric columns (string columns are
+    untouched — pandas compares ``-99`` the int, so ``'-99'`` strings
+    survive in the reference too)."""
+    updates = {}
+    for name, dtype in df.dtypes:
+        if columns is not None and name not in columns:
+            continue
+        if dtype.startswith(_NUMERIC_PREFIXES):
+            c = F.col(name)
+            updates[name] = F.when(c == NULL_SENTINEL, F.lit(None)).otherwise(c)
+    return df.withColumns(updates) if updates else df
+
+
+def translate_condition(condition: str) -> str:
+    """Translate a pandas-``query``-style condition string
+    (``df.query(condition)``, ``_gui.py:273-274``) to Spark SQL.
+
+    Spark already accepts ``and/or/not``, ``==`` and backtick-quoted
+    names; the only rewrites needed are pandas' ``in [a,b]`` list syntax
+    and ``@var`` references (unsupported — raise)."""
+    if "@" in condition:
+        raise ValueError("@variable references are not supported in conditions")
+    # `col in ['a','b']` / `col not in [...]` -> SQL IN (...)
+    cond = re.sub(r"\bin\s*\[([^\]]*)\]", r"in (\1)", condition)
+    return cond
+
+
+def _sniff_csv(path: str) -> tuple[str, str]:
+    """Driver-side separator + encoding sniff, mirroring
+    ``pd.read_csv(sep=None, encoding='latin_1')`` (``_gui.py:225-226``)."""
+    with open(path, "rb") as f:
+        head = f.read(64 * 1024)
+    try:
+        text = head.decode("utf-8")
+        encoding = "UTF-8"
+    except UnicodeDecodeError:
+        text = head.decode("latin-1")
+        encoding = "ISO-8859-1"
+    sample = "\n".join(text.splitlines()[:20])
+    try:
+        sep = csv.Sniffer().sniff(sample, delimiters=",;\t| ").delimiter
+    except csv.Error:
+        sep = ","
+    return sep, encoding
+
+
+def load_dataframe(
+    spark: SparkSession,
+    df_path: str,
+    condition: str = "",
+    table_name: str | None = None,
+    vl: list | None = None,
+    keep_null: bool = False,
+) -> DataFrame:
+    """Extension-dispatch loader with the reference's signature
+    (``pd_load_dataframe(df_path, condition, table_name, vl, keep_null)``,
+    ``_gui.py:203-276``)."""
+    df_path, suffix_table = table_name_selector(df_path)
+    table_name = table_name or suffix_table
+    ext = os.path.splitext(df_path.lower())[1]
+
+    if ext in ("", ".parquet"):
+        df = spark.read.parquet(df_path)
+    elif ext in (".csv", ".asc", ".prn", ".txt"):
+        sep, encoding = _sniff_csv(df_path)
+        df = (
+            spark.read.option("header", True)
+            .option("inferSchema", True)
+            .option("sep", sep)
+            .option("encoding", encoding)
+            .csv(df_path)
+        )
+    elif ext == ".json":
+        df = spark.read.json(df_path)
+    elif ext in (".xlsx", ".xls"):
+        df = _load_excel(spark, df_path, table_name)
+    elif ext == ".obj":
+        from vtk_reserves_spark.sources.mesh import read_obj_df
+
+        df = read_obj_df(spark, df_path)
+    else:
+        raise ValueError(f"unsupported input format: {ext!r} ({df_path})")
+
+    if not keep_null:
+        df = mask_null_sentinel(df)
+    if condition:
+        df = df.filter(F.expr(translate_condition(condition)))
+    if vl:
+        keep = [c for c in df.columns if c in set(vl)]
+        if keep:
+            df = df.select(*keep)
+    return df
+
+
+def _load_excel(spark: SparkSession, path: str, sheet: str | None) -> DataFrame:
+    """Driver-side Excel read (report-sized inputs) -> distributed frame
+    (``_gui.py:227-228, 937-952``)."""
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet or 0)
+    return spark.createDataFrame(pdf)

@@ -1,0 +1,61 @@
+"""Sinks — Spark rebuild of ``pd_save_dataframe`` (``_gui.py:335-395``).
+
+Two write paths, chosen by intent:
+
+- :func:`save_table` — distributed ``df.write`` for data-scale outputs
+  (parquet/csv/json directories); this is the 100 TB path.
+- :func:`save_report` — driver-side single-file outputs for report-sized
+  results (csv/xlsx/json), matching the reference's single-file behavior
+  including the empty-result guard that prints ``"empty"``
+  (``_gui.py:394-395``).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import DataFrame
+
+
+def save_table(df: DataFrame, path: str, fmt: str | None = None, mode: str = "overwrite") -> None:
+    ext = (fmt or os.path.splitext(path.lower())[1].lstrip(".") or "parquet")
+    writer = df.write.mode(mode)
+    if ext == "parquet":
+        writer.parquet(path)
+    elif ext == "csv":
+        writer.option("header", True).csv(path)
+    elif ext == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported table output format: {ext!r}")
+
+
+def save_report(df: DataFrame, path: str | None) -> None:
+    """Small-result single-file writer. ``path`` empty -> print to stdout
+    (reference ``vtk_reserves.py:125-128``)."""
+    pdf = df.toPandas()
+    if pdf.empty:
+        print("empty")  # reference _gui.py:394-395
+        return
+    if not path:
+        print(pdf.to_string(index=False))
+        return
+    ext = os.path.splitext(path.lower())[1]
+    if ext in (".xlsx", ".xls"):
+        try:
+            pdf.to_excel(path, index=False)
+        except ImportError:
+            # openpyxl not in the container: fall back to csv next to it
+            fallback = os.path.splitext(path)[0] + ".csv"
+            print(f"excel writer unavailable; writing {fallback}", file=sys.stderr)
+            pdf.to_csv(fallback, index=False)
+    elif ext == ".csv":
+        try:
+            pdf.to_csv(path, index=False, encoding="utf-8")
+        except UnicodeEncodeError:  # reference falls back encodings (_gui.py:383-391)
+            pdf.to_csv(path, index=False, encoding="latin-1")
+    elif ext == ".json":
+        pdf.to_json(path, orient="records")
+    else:
+        raise ValueError(f"unsupported report output format: {ext!r}")
