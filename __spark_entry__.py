@@ -14,7 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vtk_reserves_spark.operators.breakdown import breakdown
-from vtk_reserves_spark.sources.grid import GridSchema, grid_df, heatmap2d
+from vtk_reserves_spark.operators.reserves import reserves_report
+from vtk_reserves_spark.operators.spatial import (
+    PlaneSurface,
+    flag_regions,
+    flag_regions_2d,
+    mine_fraction,
+)
+from vtk_reserves_spark.sources.grid import GridSchema, grid_df, heatmap2d, nearest_cell
+from vtk_reserves_spark.sources.mesh import TriMesh
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -125,6 +133,126 @@ def q_grid_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# spatial operators (SURVEY §2.5) — reserves fixtures with analytic oracles
+# ---------------------------------------------------------------------------
+
+#: overlapping box region solids; later regions overwrite earlier
+#: (vtk_flag_regions.py:63-73); some cells fall in no region
+_BOXES = [
+    ("region1", ((50.0, 30.0, 0.0), (150.0, 120.0, 200.0))),
+    ("region2", ((100.0, 60.0, 20.0), (250.0, 180.0, 160.0))),
+    ("region3", ((0.0, 150.0, 0.0), (300.0, 200.0, 100.0))),
+]
+_INC = PlaneSurface(0.1, 0.05, 120.0)  # mine-up topography
+_EXC = PlaneSurface(0.0, 0.0, 30.0)  # mine-down floor
+
+
+def _fixture_grid(spark: SparkSession) -> DataFrame:
+    """std_voxel-like block model (FIXTURES.md §1): the reference sample's
+    30x20x20 grid with deterministic grade/density/lito cell arrays."""
+    return (
+        grid_df(spark, _GS)
+        .withColumn(
+            "grade",
+            ((F.col("i") * 7 + F.col("j") * 3 + F.col("k") * 11) % 100).cast("double"),
+        )
+        .withColumn(
+            "density",
+            (75 + (F.col("i") + 2 * F.col("j") + 3 * F.col("k")) % 16).cast("double"),
+        )
+        .withColumn(
+            "lito",
+            F.element_at(
+                F.array(F.lit("high"), F.lit("medium"), F.lit("low")),
+                ((F.col("i") + F.col("j") + F.col("k")) % 3 + 1).cast("int"),
+            ),
+        )
+        .withColumn("mass", F.col("volume") * F.col("density"))
+    )
+
+
+#: shared DuckDB CTE mirroring _fixture_grid + mine + region closed forms
+_FIXTURE_SQL = """
+    WITH g AS (
+      SELECT CAST(r.range % 30 AS INT) AS i,
+             CAST((r.range // 30) % 20 AS INT) AS j,
+             CAST(r.range // 600 AS INT) AS k,
+             r.range AS cell,
+             (CAST(r.range % 30 AS INT) + 0.5) * 10.0 AS x,
+             (CAST((r.range // 30) % 20 AS INT) + 0.5) * 10.0 AS y,
+             (CAST(r.range // 600 AS INT) + 0.5) * 10.0 AS z,
+             1000.0 AS volume
+      FROM range(12000) r
+    ), v AS (
+      SELECT *,
+             CAST((i*7 + j*3 + k*11) % 100 AS DOUBLE) AS grade,
+             CAST(75 + (i + 2*j + 3*k) % 16 AS DOUBLE) AS density,
+             ['high','medium','low'][(i+j+k) % 3 + 1] AS lito,
+             1000.0 * CAST(75 + (i + 2*j + 3*k) % 16 AS DOUBLE) AS mass
+      FROM g
+    ), f AS (
+      SELECT *,
+             LEAST(GREATEST(((0.1*x + 0.05*y + 120.0) - z + 5.0)/10.0, 0.0), 1.0)
+               * (1.0 - LEAST(GREATEST((30.0 - z + 5.0)/10.0, 0.0), 1.0)) AS mine,
+             CASE
+               WHEN x BETWEEN 0 AND 300 AND y BETWEEN 150 AND 200
+                    AND z BETWEEN 0 AND 100 THEN 'region3'
+               WHEN x BETWEEN 100 AND 250 AND y BETWEEN 60 AND 180
+                    AND z BETWEEN 20 AND 160 THEN 'region2'
+               WHEN x BETWEEN 50 AND 150 AND y BETWEEN 30 AND 120
+                    AND z BETWEEN 0 AND 200 THEN 'region1'
+               ELSE '' END AS region
+      FROM v
+    )
+"""
+
+
+def q_flag_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-solid flags via the real ray-cast pandas-UDF against
+    triangulated box meshes; the oracle is the equivalent BETWEEN chain."""
+    meshes = [TriMesh.box(b, name=n) for n, b in _BOXES]
+    return flag_regions(grid_df(spark, _GS), meshes).select("cell", "region")
+
+
+def q_flag_regions_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mesh = TriMesh.box(((50.0, 30.0, 0.0), (150.0, 120.0, 50.0)), name="r1")
+    return flag_regions_2d(grid_df(spark, _GS), [mesh]).select("cell", "region")
+
+
+def q_mine_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mine_fraction(
+        grid_df(spark, _GS), include=[_INC], exclude=[_EXC]
+    ).select("cell", "mine")
+
+
+def q_nearest_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-affine nearest-cell assignment (pd_vtk.py:671-702): snap
+    synthetic points derived from orders keys onto the fixture grid."""
+    pts = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("point_id"),
+        ((F.col("o_orderkey") * 7 % 300) + 0.5).cast("double").alias("x"),
+        ((F.col("o_orderkey") * 13 % 200) + 0.5).cast("double").alias("y"),
+        ((F.col("o_orderkey") * 3 % 200) + 0.5).cast("double").alias("z"),
+    )
+    return nearest_cell(pts, _GS).select("point_id", "i", "j", "k")
+
+
+def q_reserves_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: full reserves pipeline (vtk_reserves.py:110-134) —
+    depletion by plane surfaces, box-region flagging, auto mine-weighted
+    breakdown by region x lito."""
+    return reserves_report(
+        _fixture_grid(spark),
+        "lito;grade=grade_mean,mean,density,volume;"
+        "density=density_mean,mean,volume;"
+        "volume=volume_sum,sum;mass=mass_sum,sum",
+        regions=_BOXES,
+        mine_include=[_INC],
+        mine_exclude=[_EXC],
+    )
+
+
+# ---------------------------------------------------------------------------
 # relational ops Spark gives for free (SURVEY §2.7) — shown for coverage
 # ---------------------------------------------------------------------------
 
@@ -178,12 +306,17 @@ def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_pricing_summary(spark, SF0001)
+    return q_reserves_report(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
+        "flag_regions": q_flag_regions,
+        "flag_regions_2d": q_flag_regions_2d,
+        "mine_fraction": q_mine_fraction,
+        "nearest_cell": q_nearest_cell,
+        "reserves_report": q_reserves_report,
         "breakdown_stats": q_breakdown_stats,
         "breakdown_quantiles": q_breakdown_quantiles,
         "breakdown_weighted_quantile": q_breakdown_weighted_quantile,
@@ -199,6 +332,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "flag_regions": _FIXTURE_SQL
+        + """
+            SELECT cell, region FROM f
+        """,
+        "flag_regions_2d": _FIXTURE_SQL
+        + """
+            SELECT cell,
+                   CASE WHEN x BETWEEN 50 AND 150 AND y BETWEEN 30 AND 120
+                        THEN 'r1' END AS region
+            FROM f
+        """,
+        "mine_fraction": _FIXTURE_SQL
+        + """
+            SELECT cell, mine FROM f
+        """,
+        "nearest_cell": """
+            SELECT o_orderkey AS point_id,
+                   CAST(FLOOR(((o_orderkey * 7 % 300) + 0.5) / 10.0) AS INT) AS i,
+                   CAST(FLOOR(((o_orderkey * 13 % 200) + 0.5) / 10.0) AS INT) AS j,
+                   CAST(FLOOR(((o_orderkey * 3 % 200) + 0.5) / 10.0) AS INT) AS k
+            FROM orders
+        """,
+        "reserves_report": _FIXTURE_SQL
+        + """
+            SELECT region, lito,
+                   SUM(grade*density*volume*mine)
+                     / NULLIF(SUM(density*volume*mine), 0) AS grade_mean,
+                   SUM(density*volume*mine)
+                     / NULLIF(SUM(volume*mine), 0) AS density_mean,
+                   COALESCE(SUM(volume*mine), 0.0) AS volume_sum,
+                   COALESCE(SUM(mass*mine), 0.0) AS mass_sum
+            FROM f WHERE region != ''
+            GROUP BY region, lito
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,

@@ -1,0 +1,218 @@
+"""Spatial operators vs analytic oracles: ray-cast solids vs BETWEEN
+boxes, plane/mesh elevations, mine-fraction depletion, full reserves
+pipeline semantics (overwrite order, blank-include fill, region drop)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vtk_reserves_spark.operators.breakdown import breakdown
+from vtk_reserves_spark.operators.reserves import grid_depletion, reserves_report
+from vtk_reserves_spark.operators.spatial import (
+    PlaneSurface,
+    flag_regions,
+    flag_regions_2d,
+    flag_regions_bbox,
+    mine_fraction,
+    point_in_solid,
+    surface_elevation,
+    tridist,
+)
+from vtk_reserves_spark.sources.grid import GridSchema, grid_df
+from vtk_reserves_spark.sources.mesh import TriMesh, mesh_from_exploded_df, meshes_bb
+
+GS = GridSchema(origin=(0.0, 0.0, 0.0), spacing=(10.0, 10.0, 10.0), dims=(30, 20, 20))
+
+BOXES = [
+    ("region1", ((50.0, 30.0, 0.0), (150.0, 120.0, 200.0))),
+    ("region2", ((100.0, 60.0, 20.0), (250.0, 180.0, 160.0))),
+    ("region3", ((0.0, 150.0, 0.0), (300.0, 200.0, 100.0))),
+]
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    return grid_df(spark, GS)
+
+
+def _expected_region(x, y, z):
+    out = ""
+    for name, ((x0, y0, z0), (x1, y1, z1)) in BOXES:
+        if x0 <= x <= x1 and y0 <= y <= y1 and z0 <= z <= z1:
+            out = name  # later overwrites earlier (vtk_flag_regions.py:63-73)
+    return out
+
+
+def test_point_in_solid_kernel():
+    box = TriMesh.box(((0, 0, 0), (10, 10, 10)))
+    px = np.array([5.0, 15.0, 5.0, 5.0, -1.0])
+    py = np.array([5.0, 5.0, 5.0, 5.0, 5.0])
+    pz = np.array([5.0, 5.0, 15.0, 0.5, 5.0])
+    assert point_in_solid(px, py, pz, box).tolist() == [True, False, False, True, False]
+
+
+def test_flag_regions_raycast_equals_bbox(grid):
+    meshes = [TriMesh.box(b, name=n) for n, b in BOXES]
+    ray = flag_regions(grid, meshes).select("cell", "region").toPandas()
+    box = flag_regions_bbox(grid, BOXES).select("cell", "region").toPandas()
+    merged = ray.merge(box, on="cell", suffixes=("_ray", "_box"))
+    diff = merged[merged.region_ray != merged.region_box]
+    assert diff.empty, diff.head()
+    # spot-check against the analytic rule
+    sample = flag_regions(grid, meshes).select("x", "y", "z", "region").toPandas()
+    expect = sample.apply(lambda r: _expected_region(r.x, r.y, r.z), axis=1)
+    assert (sample.region == expect).all()
+
+
+def test_flag_regions_2d_footprint(grid):
+    mesh = TriMesh.box(((50.0, 30.0, 0.0), (150.0, 120.0, 50.0)), name="r1")
+    out = flag_regions_2d(grid, [mesh]).select("x", "y", "region").toPandas()
+    inside = (out.x.between(50, 150)) & (out.y.between(30, 120))
+    # z is irrelevant for the 2-D footprint flag (vtk_flag_regions.py:28-52)
+    assert (out.region[inside] == "r1").all()
+    assert out.region[~inside].isna().all()
+
+
+def test_surface_elevation_plane_vs_mesh(grid):
+    plane = PlaneSurface(0.1, 0.05, 120.0)
+    quad = TriMesh.plane_quad(0.1, 0.05, 120.0, ((-1.0, -1.0), (301.0, 201.0)))
+    pe = surface_elevation(grid, plane, "zs").select("cell", "zs").toPandas()
+    me = surface_elevation(grid, quad, "zs").select("cell", "zs").toPandas()
+    m = pe.merge(me, on="cell", suffixes=("_p", "_m"))
+    assert np.allclose(m.zs_p, m.zs_m, atol=1e-9)
+
+
+def test_elevation_null_outside_footprint(grid):
+    quad = TriMesh.plane_quad(0.0, 0.0, 100.0, ((0.0, 0.0), (100.0, 100.0)))
+    out = surface_elevation(grid, quad, "zs").select("x", "y", "zs").toPandas()
+    outside = (out.x > 100) | (out.y > 100)
+    assert out.zs[outside].isna().all()
+    assert np.allclose(out.zs[~outside], 100.0)
+
+
+def test_tridist(grid):
+    plane = PlaneSurface(0.0, 0.0, 100.0)
+    out = tridist(grid, plane, "d").select("z", "d").toPandas()
+    assert np.allclose(out.d, np.abs(out.z - 100.0))
+
+
+def test_mine_fraction_planes(grid):
+    inc = PlaneSurface(0.1, 0.05, 120.0)
+    exc = PlaneSurface(0.0, 0.0, 30.0)
+    out = (
+        mine_fraction(grid, include=[inc], exclude=[exc])
+        .select("x", "y", "z", "mine")
+        .toPandas()
+    )
+    zs = 0.1 * out.x + 0.05 * out.y + 120.0
+    m_inc = np.clip((zs - out.z + 5.0) / 10.0, 0.0, 1.0)
+    m_exc = np.clip((30.0 - out.z + 5.0) / 10.0, 0.0, 1.0)
+    assert np.allclose(out.mine, m_inc * (1.0 - m_exc), atol=1e-12)
+
+
+def test_mine_fraction_blank_include_fills_one(grid):
+    out = mine_fraction(grid).select("mine").distinct().toPandas()
+    assert out.mine.tolist() == [1.0]  # vtk_reserves.py:59-60
+
+
+def test_mine_fraction_solid_binary(grid):
+    box = TriMesh.box(((0.0, 0.0, 0.0), (100.0, 100.0, 100.0)))
+    out = (
+        mine_fraction(grid, include=[("solid", box)])
+        .select("x", "y", "z", "mine")
+        .toPandas()
+    )
+    inside = (out.x < 100) & (out.y < 100) & (out.z < 100)
+    assert (out.mine[inside] == 1.0).all()
+    assert (out.mine[~inside] == 0.0).all()
+
+
+def test_grid_depletion_drops_unflagged(grid):
+    flagged = grid_depletion(grid, regions=BOXES)
+    pdf = flagged.select("region").distinct().toPandas()
+    assert "" not in set(pdf.region)  # vtk_reserves.py:86-88
+    total = flagged.count()
+    expect = sum(
+        1
+        for r in grid.select("x", "y", "z").toPandas().itertuples()
+        if _expected_region(r.x, r.y, r.z) != ""
+    )
+    assert total == expect
+
+
+def test_reserves_report_end_to_end(spark, grid):
+    """Full pipeline vs a hand-computed pandas oracle, including auto
+    mine-weighting and region prepend (vtk_reserves.py:92-107)."""
+    g = (
+        grid.withColumn("grade", ((F.col("i") * 7 + F.col("j") * 3 + F.col("k") * 11) % 100).cast("double"))
+        .withColumn("density", (75 + (F.col("i") + 2 * F.col("j") + 3 * F.col("k")) % 16).cast("double"))
+        .withColumn(
+            "lito",
+            F.element_at(
+                F.array(F.lit("high"), F.lit("medium"), F.lit("low")),
+                ((F.col("i") + F.col("j") + F.col("k")) % 3 + 1).cast("int"),
+            ),
+        )
+        .withColumn("mass", F.col("volume") * F.col("density"))
+    )
+    inc = PlaneSurface(0.1, 0.05, 120.0)
+    exc = PlaneSurface(0.0, 0.0, 30.0)
+    out = reserves_report(
+        g,
+        "lito;grade=grade_mean,mean,density,volume;volume=volume_sum,sum;mass=mass_sum,sum",
+        regions=BOXES,
+        mine_include=[inc],
+        mine_exclude=[exc],
+    ).toPandas()
+
+    # pandas oracle
+    pdf = g.toPandas()
+    zs = 0.1 * pdf.x + 0.05 * pdf.y + 120.0
+    pdf["mine"] = np.clip((zs - pdf.z + 5) / 10, 0, 1) * (
+        1 - np.clip((30 - pdf.z + 5) / 10, 0, 1)
+    )
+    pdf["region"] = [
+        _expected_region(x, y, z) for x, y, z in zip(pdf.x, pdf.y, pdf.z)
+    ]
+    pdf = pdf[pdf.region != ""]
+    rows = []
+    for (region, lito), gdf in pdf.groupby(["region", "lito"]):
+        w = gdf.density * gdf.volume * gdf.mine
+        rows.append(
+            {
+                "region": region,
+                "lito": lito,
+                "grade_mean": np.average(gdf.grade, weights=w) if w.sum() else None,
+                "volume_sum": (gdf.volume * gdf.mine).sum(),
+                "mass_sum": (gdf.mass * gdf.mine).sum(),
+            }
+        )
+    expect = pd.DataFrame(rows)
+    merged = out.merge(expect, on=["region", "lito"], suffixes=("", "_e"))
+    assert len(merged) == len(out) == len(expect)
+    for c in ["grade_mean", "volume_sum", "mass_sum"]:
+        assert np.allclose(merged[c], merged[f"{c}_e"], rtol=1e-9), c
+
+
+def test_mesh_roundtrip_and_bb(spark):
+    box = TriMesh.box(((0, 0, 0), (10, 20, 30)), name="b")
+    df = box.to_exploded_df(spark)
+    back = mesh_from_exploded_df(df.toPandas())
+    assert back.vertices.shape == (8, 3)
+    assert back.faces.shape == (12, 3)
+    bb = meshes_bb([box, TriMesh.box(((5, 5, 5), (50, 50, 50)))])
+    assert bb.tolist() == [[0, 0, 0], [50, 50, 50]]
+
+
+def test_obj_roundtrip(tmp_path, spark):
+    obj = tmp_path / "tri.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n"
+    )
+    mesh = TriMesh.from_obj(str(obj))
+    assert mesh.vertices.shape == (4, 3)
+    assert mesh.faces.shape == (2, 3)  # quad fan-triangulated
+    assert mesh.name == "tri"

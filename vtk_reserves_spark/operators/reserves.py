@@ -1,0 +1,91 @@
+"""The flagship reserves pipeline — ``vtk_reserves``
+(``vtk_reserves.py:44-134``) as one lazy DataFrame chain:
+
+    grid -> ensure volume -> mine fraction -> region flags
+         -> drop unflagged rows -> breakdown report
+
+Catalyst is the planner the reference lacks: the whole pipeline is a
+single logical plan (scan/generate -> projections -> one aggregation),
+so column pruning and partial aggregation apply end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vtk_reserves_spark.operators.breakdown import breakdown
+from vtk_reserves_spark.operators.spatial import (
+    flag_regions,
+    flag_regions_bbox,
+    mine_fraction,
+)
+from vtk_reserves_spark.plans.commalist import parse_commalist
+from vtk_reserves_spark.plans.template import vl_add_region, vl_add_weight
+from vtk_reserves_spark.sources.grid import GridSchema, grid_df
+from vtk_reserves_spark.sources.mesh import TriMesh
+
+
+def grid_depletion(
+    grid: DataFrame,
+    regions: list | None = None,
+    mine_include: list | None = None,
+    mine_exclude: list | None = None,
+    region_col: str = "region",
+    mine_col: str = "mine",
+) -> DataFrame:
+    """Load + flag stage (``pd_grid_depletion``, ``vtk_reserves.py:44-90``):
+    ensure a ``volume`` array, compute the mined fraction, flag regions
+    (later meshes overwrite earlier), and drop rows outside every region
+    (``df.query("region != ''")``, ``vtk_reserves.py:86-88``).
+
+    ``regions`` entries may be :class:`TriMesh` solids (ray-cast path) or
+    ``(name, bounds)`` tuples (axis-aligned expression path)."""
+    if "volume" not in grid.columns:
+        grid = grid.withColumn(
+            "volume", F.col("dx") * F.col("dy") * F.col("dz")
+        )  # cells_volume, pd_vtk.py:798-809
+    grid = mine_fraction(
+        grid, include=mine_include, exclude=mine_exclude, mine_col=mine_col
+    )
+    if regions:
+        boxes = [r for r in regions if isinstance(r, tuple)]
+        meshes = [r for r in regions if isinstance(r, TriMesh)]
+        if boxes and meshes:
+            raise ValueError("mix of bbox and mesh regions is not supported")
+        if boxes:
+            grid = flag_regions_bbox(grid, boxes, flag_var=region_col)
+        else:
+            grid = flag_regions(grid, meshes, flag_var=region_col)
+        grid = grid.filter(F.col(region_col) != "")
+    return grid
+
+
+def reserves_report(
+    grid: "DataFrame | GridSchema",
+    variables: str,
+    regions: list | None = None,
+    mine_include: list | None = None,
+    mine_exclude: list | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """End-to-end reserves report (``vtk_reserves``,
+    ``vtk_reserves.py:110-134``): every mean/sum is auto-weighted by the
+    mined fraction (``vl_add_weight``, ``:92-98``) and the ``region`` key
+    is prepended when regions are given (``vl_add_region``,
+    ``:100-107``)."""
+    if isinstance(grid, GridSchema):
+        if spark is None:
+            raise ValueError("pass spark= when grid is a GridSchema")
+        grid = grid_df(spark, grid)
+    vl = parse_commalist(variables)
+    vl = vl_add_weight(vl, "mine")
+    if regions:
+        vl = vl_add_region(vl)
+    flagged = grid_depletion(
+        grid,
+        regions=regions,
+        mine_include=mine_include,
+        mine_exclude=mine_exclude,
+    )
+    return breakdown(flagged, vl)

@@ -1,0 +1,341 @@
+"""Spatial operators — the "joins" of this engine.
+
+The reference has no relational joins; its joins are geometric
+(point-vs-solid, point-vs-surface — SURVEY.md §2.5), implemented as
+O(cells × meshes) single-threaded VTK loops.  Here every spatial
+predicate is either:
+
+- a **pure column expression** (axis-aligned boxes, plane surfaces) —
+  the oracle-checkable fast path that also survives 100 TB, or
+- a **vectorized Arrow pandas-UDF against a task-broadcast mesh**
+  (arbitrary triangulated solids/surfaces): the mesh (KBs) rides in the
+  UDF closure; each executor scans its cell batches through a numpy
+  ray-cast kernel with a bounding-box pre-mask, so the work is
+  embarrassingly parallel across partitions and never shuffles the
+  block model.
+
+Kernel: vertical (+z) ray crossing counts per point.  ``inside solid`` =
+odd number of crossings above the point (parity test — the semantics of
+``select_enclosed_points``, ``vtk_flag_regions.py:68``); ``elevation`` =
+mean z of all crossings (``get_elevation``, ``pd_vtk.py:771-796``);
+``2-D footprint flag`` = any crossing (``vtk_flag_region_2d``,
+``vtk_flag_regions.py:28-52``).
+
+Degenerate-ray caveat: points whose xy projection falls exactly on a
+projected triangle edge may miscount crossings (measure-zero; the
+reference's VTK ray_trace has the same class of edge cases).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vtk_reserves_spark.sources.mesh import TriMesh
+
+_EPS = 1e-12
+
+
+@dataclass(frozen=True)
+class PlaneSurface:
+    """Analytic surface ``z = a*x + b*y + c`` (optionally bounded in xy).
+
+    The expression-path counterpart of a planar TriMesh — elevations and
+    mined fractions become closed-form column arithmetic (and ANSI-SQL
+    oracles).  Mirrors the reference sample's 4-point planar surfaces."""
+
+    a: float
+    b: float
+    c: float
+    xy_bounds: tuple | None = None  # ((x0,y0),(x1,y1)) or None = infinite
+    name: str = ""
+
+    def elevation(self, x: Column, y: Column) -> Column:
+        z = F.lit(self.a) * x + F.lit(self.b) * y + F.lit(self.c)
+        if self.xy_bounds is None:
+            return z
+        (x0, y0), (x1, y1) = self.xy_bounds
+        return F.when(
+            x.between(float(x0), float(x1)) & y.between(float(y0), float(y1)), z
+        )
+
+
+def _ray_scan(px, py, pz, mesh: TriMesh):
+    """Vertical-ray crossing scan of a point batch against a mesh.
+
+    Returns (n_above, n_hits, z_sum) int64/int64/float64 arrays: crossings
+    strictly above each point, total crossings, and the sum of crossing
+    elevations.  Vectorized over points, looped over triangles (meshes
+    are small; points are the big side)."""
+    n = px.size
+    n_above = np.zeros(n, np.int64)
+    n_hits = np.zeros(n, np.int64)
+    z_sum = np.zeros(n, np.float64)
+    lo, hi = mesh.bounds
+    m = (px >= lo[0] - _EPS) & (px <= hi[0] + _EPS) & (py >= lo[1] - _EPS) & (py <= hi[1] + _EPS)
+    if not m.any():
+        return n_above, n_hits, z_sum
+    # Simulation-of-simplicity: nudge the ray xy by a deterministic,
+    # scale-relative epsilon so rays almost surely miss projected triangle
+    # edges (otherwise a ray through an edge shared by two triangles
+    # counts twice and flips the parity test).  The elevation error this
+    # introduces is O(1e-9 * extent * slope) — far below float noise at
+    # mining-model scales.
+    scale = float(max(hi[0] - lo[0], hi[1] - lo[1], 1.0))
+    qx = px[m] + 1.2345678e-9 * scale
+    qy = py[m] + 2.7182818e-9 * scale
+    qz = pz[m]
+    idx = np.nonzero(m)[0]
+    V = mesh.vertices
+    for ia, ib, ic in mesh.faces:
+        ax, ay, az = V[ia]
+        bx, by, bz = V[ib]
+        cx, cy, cz = V[ic]
+        d1 = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+        d2 = (cx - bx) * (qy - by) - (cy - by) * (qx - bx)
+        d3 = (ax - cx) * (qy - cy) - (ay - cy) * (qx - cx)
+        hit = ((d1 > _EPS) & (d2 > _EPS) & (d3 > _EPS)) | (
+            (d1 < -_EPS) & (d2 < -_EPS) & (d3 < -_EPS)
+        )
+        if not hit.any():
+            continue
+        nx = (by - ay) * (cz - az) - (bz - az) * (cy - ay)
+        ny = (bz - az) * (cx - ax) - (bx - ax) * (cz - az)
+        nz = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        if abs(nz) < _EPS:
+            continue  # vertical triangle: ray parallel to its plane
+        zh = az - (nx * (qx - ax) + ny * (qy - ay)) / nz
+        tgt = idx[hit]
+        np.add.at(n_hits, tgt, 1)
+        np.add.at(z_sum, tgt, zh[hit])
+        above = np.zeros(n, bool)
+        above[idx] = hit & (zh > qz)
+        n_above += above
+    return n_above, n_hits, z_sum
+
+
+def point_in_solid(px, py, pz, mesh: TriMesh):
+    """Parity (ray-cast) enclosure test — numpy batch."""
+    n_above, _, _ = _ray_scan(px, py, pz, mesh)
+    return (n_above % 2) == 1
+
+
+def flag_regions(
+    df: DataFrame,
+    regions: list[TriMesh],
+    flag_var: str = "region",
+    xyz=("x", "y", "z"),
+    values: list[str] | None = None,
+) -> DataFrame:
+    """Flag each row with the enclosing region solid — ``vtk_flag_region``
+    (``vtk_flag_regions.py:54-79``): later regions OVERWRITE earlier ones;
+    rows in no region get ``''``; the flag value is the mesh name
+    (= file basename in the reference pipeline, ``vtk_reserves.py:74``)
+    or an ordinal when unnamed."""
+    vals = []
+    for i, mesh in enumerate(regions):
+        if values is not None and i < len(values):
+            vals.append(str(values[i]))
+        else:
+            vals.append(mesh.name or str(i + 1))
+    payload = [(v, m) for v, m in zip(vals, regions)]
+
+    @F.pandas_udf("string")
+    def region_udf(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+        px = x.to_numpy(np.float64)
+        py = y.to_numpy(np.float64)
+        pz = z.to_numpy(np.float64)
+        out = np.full(px.size, "", dtype=object)
+        for value, mesh in payload:
+            out[point_in_solid(px, py, pz, mesh)] = value
+        return pd.Series(out)
+
+    return df.withColumn(flag_var, region_udf(*[F.col(c) for c in xyz]))
+
+
+def flag_regions_bbox(
+    df: DataFrame,
+    regions: list[tuple[str, tuple]],
+    flag_var: str = "region",
+    xyz=("x", "y", "z"),
+) -> DataFrame:
+    """Axis-aligned fast path: region solids given as named bounding boxes
+    become a chain of BETWEEN predicates — zero Python, full codegen,
+    exactly expressible in the SQL oracle.  Overwrite order preserved by
+    testing later regions first."""
+    x, y, z = (F.col(c) for c in xyz)
+    expr = F.lit("")
+    for name, ((x0, y0, z0), (x1, y1, z1)) in regions:  # earliest first
+        inside = (
+            x.between(float(x0), float(x1))
+            & y.between(float(y0), float(y1))
+            & z.between(float(z0), float(z1))
+        )
+        expr = F.when(inside, F.lit(name)).otherwise(expr)
+    return df.withColumn(flag_var, expr)
+
+
+def flag_regions_2d(
+    df: DataFrame,
+    regions: list[TriMesh],
+    flag_var: str = "region",
+    xy=("x", "y"),
+    values: list[str] | None = None,
+) -> DataFrame:
+    """2-D footprint flag — ``vtk_flag_region_2d``
+    (``vtk_flag_regions.py:28-52``): any vertical-ray hit marks the point
+    as inside the mesh footprint; unmatched points get NULL (the
+    reference leaves ``None`` in an object array)."""
+    vals = []
+    for i, mesh in enumerate(regions):
+        if values is not None and i < len(values):
+            vals.append(str(values[i]))
+        else:
+            vals.append(mesh.name or str(i + 1))
+    payload = [(v, m) for v, m in zip(vals, regions)]
+
+    @F.pandas_udf("string")
+    def region2d_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+        px = x.to_numpy(np.float64)
+        py = y.to_numpy(np.float64)
+        pz = np.zeros(px.size)
+        out = np.full(px.size, None, dtype=object)
+        for value, mesh in payload:
+            _, n_hits, _ = _ray_scan(px, py, pz, mesh)
+            out[n_hits > 0] = value
+        return pd.Series(out)
+
+    return df.withColumn(flag_var, region2d_udf(*[F.col(c) for c in xy]))
+
+
+def surface_elevation(
+    df: DataFrame,
+    surface: "TriMesh | PlaneSurface",
+    out_col: str = "z_surf",
+    xy=("x", "y"),
+) -> DataFrame:
+    """Sample the surface elevation under/over each row —
+    ``get_elevation`` (``pd_vtk.py:771-796``): vertical ray against the
+    mesh, mean z of all hits; no hit -> NaN/NULL."""
+    x, y = (F.col(c) for c in xy)
+    if isinstance(surface, PlaneSurface):
+        return df.withColumn(out_col, surface.elevation(x, y))
+
+    mesh = surface
+
+    @F.pandas_udf("double")
+    def elev_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        px = xs.to_numpy(np.float64)
+        py = ys.to_numpy(np.float64)
+        pz = np.zeros(px.size)
+        _, n_hits, z_sum = _ray_scan(px, py, pz, mesh)
+        out = np.where(n_hits > 0, z_sum / np.maximum(n_hits, 1), np.nan)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, F.nanvl(elev_udf(x, y), F.lit(None).cast("double")))
+
+
+def tridist(
+    df: DataFrame,
+    surface: "TriMesh | PlaneSurface",
+    out_col: str = "tridist",
+    xyz=("x", "y", "z"),
+) -> DataFrame:
+    """Vertical distance to the surface — the ``Raytracer`` ``tridist``
+    mode (``pd_vtk.py:1178-1232``): ``abs(z - z_surf)``, NULL off-mesh."""
+    tmp = "__z_surf_tmp"
+    out = surface_elevation(df, surface, tmp, xy=xyz[:2])
+    return out.withColumn(out_col, F.abs(F.col(xyz[2]) - F.col(tmp))).drop(tmp)
+
+
+def _surface_fraction(
+    df_cols, surface, x: Column, y: Column, z: Column, dz: Column
+) -> Column:
+    """Per-cell fraction below a surface: ``clip((z_surf - z + dz/2)/dz,
+    0, 1)`` — the reconstructed ``vtk_block_mine`` kernel (call sites
+    ``vtk_mine.py:80-87``; SURVEY.md §2.5 'mine depletion').  NULL where
+    the surface has no elevation at (x,y)."""
+    if isinstance(surface, PlaneSurface):
+        zs = surface.elevation(x, y)
+    else:
+        raise TypeError("use mine_fraction(); TriMesh surfaces need an elevation join")
+    frac = (zs - z + dz / 2) / dz
+    return F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+
+
+def mine_fraction(
+    df: DataFrame,
+    include: list | None = None,
+    exclude: list | None = None,
+    mine_col: str = "mine",
+    xyz=("x", "y", "z"),
+    dz_col: str = "dz",
+) -> DataFrame:
+    """Mined-fraction depletion — ``GridMine`` (``vtk_mine.py:41-94``,
+    orchestrated ``vtk_reserves.py:44-90``):
+
+    - each *include* surface contributes the fraction of the cell below
+      it; multiple includes union (element-wise max);
+    - an empty include set means fully mined: fraction 1
+      (``vtk_reserves.py:59-60`` ``gm.fill(1)``);
+    - each *exclude* surface multiplies by ``1 - fraction`` with
+      NULL/NaN treated as 1 (``vtk_mine.py:86-87``
+      ``where(isnan(mine), 1, 1-mine)``);
+    - closed-solid members contribute a binary in/out fraction
+      (``vtk_mine`` docstring: blocks inside solids are mined).
+
+    Surfaces may be :class:`PlaneSurface` (pure expressions) or
+    :class:`TriMesh` (elevation join via pandas-UDF, or parity test for
+    closed solids — pass ``("solid", mesh)`` to force solid semantics)."""
+    include = include or []
+    exclude = exclude or []
+    x, y, z = (F.col(c) for c in xyz)
+    dz = F.col(dz_col)
+
+    def one_fraction(df: DataFrame, surf, tag: str) -> tuple[DataFrame, Column]:
+        if isinstance(surf, tuple) and surf[0] == "solid":
+            mesh = surf[1]
+
+            @F.pandas_udf("double")
+            def solid_udf(xs: pd.Series, ys: pd.Series, zs: pd.Series) -> pd.Series:
+                inside = point_in_solid(
+                    xs.to_numpy(np.float64),
+                    ys.to_numpy(np.float64),
+                    zs.to_numpy(np.float64),
+                    mesh,
+                )
+                return pd.Series(inside.astype(np.float64))
+
+            col = f"__m_{tag}"
+            return df.withColumn(col, solid_udf(x, y, z)), F.col(col)
+        if isinstance(surf, PlaneSurface):
+            return df, _surface_fraction(df.columns, surf, x, y, z, dz)
+        # TriMesh open surface: elevation join then clip expression
+        col = f"__zs_{tag}"
+        df = surface_elevation(df, surf, col, xy=xyz[:2])
+        frac = (F.col(col) - z + dz / 2) / dz
+        return df, F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+
+    inc_cols: list[Column] = []
+    for i, surf in enumerate(include):
+        df, c = one_fraction(df, surf, f"i{i}")
+        inc_cols.append(c)
+    exc_cols: list[Column] = []
+    for i, surf in enumerate(exclude):
+        df, c = one_fraction(df, surf, f"e{i}")
+        exc_cols.append(c)
+
+    if inc_cols:
+        m_inc = F.greatest(*inc_cols) if len(inc_cols) > 1 else inc_cols[0]
+    else:
+        m_inc = F.lit(1.0)  # blank include set -> fill(1)
+    mine = m_inc
+    if exc_cols:
+        m_exc = F.greatest(*exc_cols) if len(exc_cols) > 1 else exc_cols[0]
+        mine = m_inc * (1 - F.coalesce(m_exc, F.lit(0.0)))
+    df = df.withColumn(mine_col, mine)
+    return df.drop(*[c for c in df.columns if c.startswith("__zs_") or c.startswith("__m_")])

@@ -1,0 +1,168 @@
+"""Triangle-mesh tables — the Spark stand-in for ``pv.PolyData``.
+
+The reference loads meshes with ``pv_read`` (``pd_vtk.py:50-87``) and
+round-trips them to exploded DataFrames (``vtk_df_to_mesh``,
+``pd_vtk.py:237-284``; ``vtk_mesh_to_df``, ``pd_vtk.py:375-433``).  Here a
+mesh is a small driver-side value object (numpy vertices + faces) that is
+shipped to executors inside pandas-UDF closures (task-broadcast) — meshes
+are KB-to-MB scale while the block model is the 100 TB side, so the mesh
+is always the broadcast side of every spatial join.
+
+Supported ingest: Wavefront OBJ (``_gui.py:1281-1315``), exploded mesh
+tables (``n``/``node`` run-length encoding, ``_gui.py:774-793``), and
+synthetic boxes for region solids (the reference sample's
+``vox_region*.vtk`` are 8-vertex boxes).  Proprietary formats (Vulcan
+00t, Leapfrog msh binary) are out of scope (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class TriMesh:
+    """An indexed triangle mesh: ``vertices (n,3) float64``,
+    ``faces (m,3) int64`` (triangulated)."""
+
+    vertices: np.ndarray
+    faces: np.ndarray
+    name: str = ""
+
+    def __post_init__(self):
+        self.vertices = np.asarray(self.vertices, dtype=np.float64).reshape(-1, 3)
+        self.faces = np.asarray(self.faces, dtype=np.int64).reshape(-1, 3)
+
+    @property
+    def bounds(self) -> np.ndarray:
+        """``[[xmin,ymin,zmin],[xmax,ymax,zmax]]`` (pyvista ``mesh.bounds``
+        reshaped)."""
+        return np.stack([self.vertices.min(0), self.vertices.max(0)])
+
+    @classmethod
+    def box(cls, bounds, name: str = "") -> "TriMesh":
+        """Closed axis-aligned box solid as 12 triangles — mirrors the
+        reference sample's 8-vertex box region solids
+        (``vox_region1/2/3.vtk``)."""
+        (x0, y0, z0), (x1, y1, z1) = bounds
+        v = np.array(
+            [
+                [x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0],
+                [x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1],
+            ]
+        )
+        f = np.array(
+            [
+                [0, 2, 1], [0, 3, 2],  # bottom
+                [4, 5, 6], [4, 6, 7],  # top
+                [0, 1, 5], [0, 5, 4],  # front
+                [2, 3, 7], [2, 7, 6],  # back
+                [1, 2, 6], [1, 6, 5],  # right
+                [3, 0, 4], [3, 4, 7],  # left
+            ]
+        )
+        return cls(v, f, name=name)
+
+    @classmethod
+    def plane_quad(cls, a: float, b: float, c: float, xy_bounds, name: str = "") -> "TriMesh":
+        """Open planar surface ``z = a*x + b*y + c`` over an xy rectangle,
+        as two triangles — mirrors the reference sample's 4-point planar
+        mining surfaces (``vox_mine_up/down.vtk``)."""
+        (x0, y0), (x1, y1) = xy_bounds
+        zf = lambda x, y: a * x + b * y + c
+        v = np.array(
+            [
+                [x0, y0, zf(x0, y0)],
+                [x1, y0, zf(x1, y0)],
+                [x1, y1, zf(x1, y1)],
+                [x0, y1, zf(x0, y1)],
+            ]
+        )
+        f = np.array([[0, 1, 2], [0, 2, 3]])
+        return cls(v, f, name=name)
+
+    @classmethod
+    def from_obj(cls, path: str) -> "TriMesh":
+        """Wavefront OBJ parse (reference ``_gui.py:1281-1315``): ``v``
+        records are vertices, ``f`` records faces (1-based, ``v/vt/vn``
+        slashes stripped, quads+ fan-triangulated)."""
+        verts: list[list[float]] = []
+        faces: list[list[int]] = []
+        with open(path, "r", encoding="latin-1") as fh:
+            for line in fh:
+                parts = line.split()
+                if not parts:
+                    continue
+                if parts[0] == "v" and len(parts) >= 4:
+                    verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+                elif parts[0] == "f" and len(parts) >= 4:
+                    idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                    for t in range(1, len(idx) - 1):  # fan triangulation
+                        faces.append([idx[0], idx[t], idx[t + 1]])
+        name = os.path.splitext(os.path.basename(path))[0]
+        return cls(np.array(verts), np.array(faces), name=name)
+
+    def to_exploded_df(self, spark: SparkSession) -> DataFrame:
+        """Exploded mesh table: one row per face-vertex with the
+        reference's ``n``/``node`` encoding (``n`` = position within the
+        face, 0 starts a new primitive — ``pd_vtk.py:166-177``,
+        ``_gui.py:1211-1225``)."""
+        import pandas as pd
+
+        rows = []
+        for fi, tri in enumerate(self.faces):
+            for n, node in enumerate(tri):
+                x, y, z = self.vertices[node]
+                rows.append((float(x), float(y), float(z), n, int(node), fi))
+        pdf = pd.DataFrame(rows, columns=["x", "y", "z", "n", "node", "face"])
+        return spark.createDataFrame(pdf)
+
+
+def mesh_from_exploded_df(pdf) -> TriMesh:
+    """Rebuild a TriMesh from an exploded table (inverse of
+    ``to_exploded_df``; reference ``vtk_df_to_mesh`` ``pd_vtk.py:237-284``
+    / ``df_to_nodes_faces_simple`` ``_gui.py:774-793``): dedup nodes on
+    their id, reconstruct faces from the ``n`` run-length encoding."""
+    import pandas as pd
+
+    if "node" in pdf.columns:
+        nodes = pdf.drop_duplicates("node").sort_values("node")
+        verts = nodes[["x", "y", "z"]].to_numpy()
+        node_ids = pdf["node"].to_numpy()
+    else:
+        verts = pdf[["x", "y", "z"]].to_numpy()
+        node_ids = np.arange(len(pdf))
+    faces = []
+    cur: list[int] = []
+    n_col = pdf["n"].to_numpy() if "n" in pdf.columns else np.zeros(len(pdf), int)
+    for rid, n in zip(node_ids, n_col):
+        if n == 0 and cur:
+            for t in range(1, len(cur) - 1):
+                faces.append([cur[0], cur[t], cur[t + 1]])
+            cur = []
+        cur.append(int(rid))
+    if cur:
+        for t in range(1, len(cur) - 1):
+            faces.append([cur[0], cur[t], cur[t + 1]])
+    return TriMesh(verts, np.array(faces) if faces else np.empty((0, 3), int))
+
+
+def read_obj_df(spark: SparkSession, path: str) -> DataFrame:
+    """OBJ -> exploded mesh table (loader-dispatch target for ``.obj``)."""
+    return TriMesh.from_obj(path).to_exploded_df(spark)
+
+
+def meshes_bb(meshes, buffer: float | None = None) -> np.ndarray:
+    """Union bounding box of meshes (+optional buffer) — ``vtk_meshes_bb``
+    (``pd_vtk.py:1132-1149``), used to synthesize a grid over the meshes
+    (``vtk_mine.py:111-114``)."""
+    lo = np.min([m.bounds[0] for m in meshes], 0)
+    hi = np.max([m.bounds[1] for m in meshes], 0)
+    if buffer:
+        lo = lo - buffer
+        hi = hi + buffer
+    return np.stack([lo, hi])
