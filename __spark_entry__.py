@@ -302,6 +302,402 @@ def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (SURVEY §2.8): dedup / similarity / text /
+# multimodal.  All hashes are md5-derived so the DuckDB oracles run the
+# IDENTICAL algorithm (SQL fragments generated below).
+# ---------------------------------------------------------------------------
+
+from vtk_reserves_spark.functions import text as TX
+from vtk_reserves_spark.functions.vectors import deterministic_hyperplanes
+from vtk_reserves_spark.operators import multimodal as MM
+from vtk_reserves_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from vtk_reserves_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+#: SQL fragment: normalized whitespace tokens of a text column
+_TOKS_SQL = (
+    r"list_filter(string_split_regex(trim(regexp_replace("
+    r"regexp_replace(lower({c}), '[^a-z0-9\s]', ' ', 'g'), "
+    r"'\s+', ' ', 'g')), '\s+'), w -> w != '')"
+)
+_RAW_TOKS_SQL = r"list_filter(string_split_regex(trim({c}), '\s+'), w -> w != '')"
+
+
+def _sig_sql(col: str, s: int, seed: str = "mh") -> str:
+    toks = f"list_distinct({_TOKS_SQL.format(c=col)})"
+    return (
+        f"list_min(list_transform({toks}, "
+        f"w -> ('0x' || substr(md5('{seed}{s}_' || w), 1, 8))::BIGINT))"
+    )
+
+
+def _shingle_sql(tvar: str, n: int = 3) -> str:
+    """Distinct word n-gram set over a token-list column ``tvar`` —
+    mirrors vtk_reserves_spark.functions.text.shingles (incl. the
+    short-text fallback of a single whole-text gram)."""
+    gram = " || ' ' || ".join(f"{tvar}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({tvar}) - {n - 1} > 0 THEN "
+        f"list_distinct(list_transform(range(1, len({tvar}) - {n - 2}), "
+        f"i -> {gram})) "
+        f"ELSE [array_to_string({tvar}, ' ')] END"
+    )
+
+
+def _sig_over_sql(grams_var: str, s: int, seed: str = "mh") -> str:
+    """MinHash signature element over a precomputed gram-list column."""
+    return (
+        f"list_min(list_transform({grams_var}, "
+        f"w -> ('0x' || substr(md5('{seed}{s}_' || w), 1, 8))::BIGINT))"
+    )
+
+
+#: both = documents plus a truncated-copy twin (deterministic near-dups)
+_BOTH_SQL = """
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             substring(text, 1, greatest(length(text) - 5, 1)) AS text
+      FROM documents
+    )
+"""
+
+
+def _mutated(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 5, 1))").alias("text"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return exact_dedup(both, "text", "doc_id").select("keep_id", "n_dups")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    sig = minhash_signature(F.col("text"), k=4)
+    return docs.select(
+        "doc_id",
+        sig[0].alias("s0"),
+        sig[1].alias("s1"),
+        sig[2].alias("s2"),
+        sig[3].alias("s3"),
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ngrams=3: the synthetic corpus has a ~31-word vocabulary, so every
+    # doc contains nearly every word and UNIGRAM minhash degenerates (all
+    # docs collide into one bucket -> O(n^2) pairs).  Word-trigram
+    # shingles discriminate (measured cross-doc trigram Jaccard ~0.001).
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    both = docs.unionByName(_mutated(docs))
+    return minhash_lsh_pairs(both, "doc_id", "text", k=8, bands=4, ngrams=3)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("sh"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    both = docs.unionByName(_mutated(docs))
+    blocking = minhash_lsh_pairs(both, "doc_id", "text", k=8, bands=4, ngrams=3)
+    return ngram_jaccard_pairs(both, "doc_id", "text", n=2, threshold=0.5, blocking=blocking)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_ish_count(t).alias("n_bpe"),
+        TX.fingerprint(t).alias("fp"),
+        TX.lang_id(t).alias("lang_pred"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("q"))
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=3).select("query_id", "neighbor_id", "rank")
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, k=3, n_bits=4, n_tables=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twin = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    both = emb.unionByName(twin)
+    return embedding_near_dup_pairs(both, threshold=0.999).select("id_a", "id_b")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    payloads = MM.attach_payload(docs)
+    return MM.extract_features(payloads, fake=True).select("doc_id", "width", "height")
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return MM.frame_sample(MM.attach_payload(docs), every_n_bytes=40)
+
+
+def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    terms = []
+    for b, hp in enumerate(planes):
+        lit = "[" + ", ".join(f"{w!r}" for w in hp) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _llm_oracles() -> dict[str, str]:
+    toks = _TOKS_SQL.format(c="text")
+    raw_toks = _RAW_TOKS_SQL.format(c="text")
+    lower_toks = _RAW_TOKS_SQL.format(c="lower(text)")
+
+    # 8-hash signatures over the word-TRIGRAM shingle set (see
+    # q_dedup_minhash_lsh for why unigrams degenerate on this corpus);
+    # shingles computed once in a CTE, signatures over the gram list
+    sigs8 = ",\n             ".join(
+        f"{_sig_over_sql('grams', s)} AS s{s}" for s in range(8)
+    )
+    shin_cte = (
+        f", shin AS (\n"
+        f"              SELECT doc_id, {_shingle_sql('t', 3)} AS grams\n"
+        f"              FROM (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM uni)\n"
+        f"            )"
+    )
+    bands = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        f"concat_ws('_', s{2*b}, s{2*b+1}) AS key FROM sigs"
+        for b in range(4)
+    )
+    simhash_bits = " + ".join(
+        f"CASE WHEN 2*len(list_filter({toks}, "
+        f"w -> (('0x'||substr(md5('sh_'||w),1,8))::BIGINT >> {b}) & 1 = 1)) "
+        f"> len({toks}) THEN {1 << b} ELSE 0 END"
+        for b in range(16)
+    )
+    sw = {
+        lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        for lang, words in TX.STOPWORDS.items()
+    }
+    hits = {
+        lang: f"len(list_filter({lower_toks}, w -> list_contains({lst}, w)))"
+        for lang, lst in sw.items()
+    }
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {hits[lang]} > 0 AND "
+            + " AND ".join(
+                f"{hits[lang]} >= {hits[o]}" for o in ("en", "es", "de", "fr") if o != lang
+            )
+            + f" THEN '{lang}'"
+            for lang in ("en", "es", "de", "fr")
+        )
+        + " ELSE 'und' END"
+    )
+    grams = (
+        f"list_distinct(list_transform(range(1, len({toks})), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1]))"
+    )
+    planes_t = [deterministic_hyperplanes(4, 64, f"lsh{t}") for t in range(2)]
+    b0 = _bucket_sql("embedding", planes_t[0])
+    b1 = _bucket_sql("embedding", planes_t[1])
+    nd_planes = deterministic_hyperplanes(4, 64, "lsh")
+    nd_bucket = _bucket_sql("vec", nd_planes)
+
+    return {
+        "dedup_exact": """
+            WITH uni AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+            )
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+            FROM uni GROUP BY text
+        """,
+        "minhash_signatures": f"""
+            SELECT doc_id, {_sig_sql('text', 0)} AS s0, {_sig_sql('text', 1)} AS s1,
+                   {_sig_sql('text', 2)} AS s2, {_sig_sql('text', 3)} AS s3
+            FROM documents
+        """,
+        "dedup_minhash_lsh": _BOTH_SQL
+        + shin_cte
+        + f""", sigs AS (
+              SELECT doc_id, {sigs8}
+              FROM shin
+            ), bands AS (
+        {bands}
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": f"""
+            SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS sh FROM documents
+        """,
+        "ngram_jaccard": _BOTH_SQL
+        + shin_cte
+        + f""", sigs AS (
+              SELECT doc_id, {sigs8}
+              FROM shin
+            ), bands AS (
+        {bands}
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ), g AS (
+              SELECT doc_id, {grams} AS grams FROM uni
+            )
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                     / (len(ga.grams) + len(gb.grams)
+                        - len(list_intersect(ga.grams, gb.grams))) AS jaccard
+            FROM cand c
+            JOIN g ga ON ga.doc_id = c.id_a
+            JOIN g gb ON gb.doc_id = c.id_b
+            WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                    / (len(ga.grams) + len(gb.grams)
+                       - len(list_intersect(ga.grams, gb.grams))) >= 0.5
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   len({raw_toks}) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe,
+                   md5(trim(regexp_replace(
+                        regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                        '\\s+', ' ', 'g'))) AS fp,
+                   {lang_case} AS lang_pred
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     length(text) AS n,
+                     len({raw_toks}) AS n_tokens,
+                     len(list_filter({lower_toks},
+                         w -> list_contains({sw['en']}, w))) AS sw_hits,
+                     CASE WHEN len({raw_toks}) > 0 THEN
+                       CAST(list_aggregate(list_transform({raw_toks},
+                            w -> length(w)), 'sum') AS DOUBLE) / len({raw_toks})
+                     ELSE 0.0 END AS mwl,
+                     length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS np
+              FROM documents
+            )
+            SELECT doc_id,
+                   LEAST(GREATEST(
+                     0.4 * LEAST(n / 200.0, 1.0)
+                     + 0.3 * LEAST(sw_hits / GREATEST(n_tokens, 1) * 5.0, 1.0)
+                     + 0.3 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+                              THEN 1.0 ELSE 0.5 END)
+                     - 0.2 * LEAST((CASE WHEN n > 0 THEN np / n
+                                    ELSE 0.0 END) * 5.0, 1.0),
+                   0.0), 1.0) AS q
+            FROM s
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid
+            ), ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+        """,
+        "similarity_lsh": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {b0} AS t0, {b1} AS t1 FROM embeddings
+            ), q AS (SELECT * FROM b WHERE vec_id < 5),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM q JOIN b c
+                ON (q.t0 = c.t0 OR q.t1 = c.t1) AND q.vec_id != c.vec_id
+            ), scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     list_cosine_similarity(qe.embedding, ce.embedding) AS sim
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+            ), ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+        """,
+        "embedding_near_dup": f"""
+            WITH uni AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS id,
+                     list_transform(embedding, x -> x + 0.001) AS vec
+              FROM embeddings
+            ), k AS (
+              SELECT id, vec, {nd_bucket} AS bucket FROM uni
+            )
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM k a JOIN k b ON a.bucket = b.bucket AND a.id < b.id
+            WHERE list_cosine_similarity(a.vec, b.vec) >= 0.999
+        """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+                   CAST(octet_length(encode(text)) % 480 AS INT) AS height
+            FROM documents
+        """,
+        "frame_sample": """
+            SELECT doc_id,
+                   CAST(u.f AS INT) AS frame_idx,
+                   CAST(u.f * 40 AS BIGINT) AS byte_offset
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0,
+                     octet_length(encode(text)) // 40 + 1)) AS f) u
+        """,
+    }
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -327,11 +723,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "topk_orders": q_topk_orders,
         "window_cumsum": q_window_cumsum,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
+        "similarity_topk": q_similarity_topk,
+        "similarity_lsh": q_similarity_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = _llm_oracles()
+    out.update({
         "flag_regions": _FIXTURE_SQL
         + """
             SELECT cell, region FROM f
@@ -499,4 +908,5 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING) AS running_total
             FROM orders
         """,
-    }
+    })
+    return out

@@ -1,0 +1,250 @@
+"""LLM-pipeline operators (dedup / similarity / text / multimodal) vs
+DuckDB oracles running the identical md5-derived algorithms."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_frames_match
+from vtk_reserves_spark.functions import text as TX
+from vtk_reserves_spark.functions.vectors import cosine, deterministic_hyperplanes, lsh_bucket
+from vtk_reserves_spark.operators import multimodal as MM
+from vtk_reserves_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    with_minhash,
+)
+from vtk_reserves_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_token_counts_match_oracle(docs, duck):
+    out = docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_ish_count(F.col("text")).alias("n_bpe"),
+    )
+    oracle = duck.sql(
+        r"""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                               w -> w != '')) AS n_tokens,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe
+        FROM documents
+        """
+    )
+    assert_frames_match(out, oracle)
+
+
+def test_fingerprint_matches_oracle(docs, duck):
+    out = docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+    oracle = duck.sql(
+        r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                     '\s+', ' ', 'g'))) AS fp
+        FROM documents
+        """
+    )
+    assert_frames_match(out, oracle)
+
+
+def test_minhash_signature_matches_oracle(docs, duck):
+    out = docs.select(
+        "doc_id", minhash_signature(F.col("text"), k=4).alias("sig")
+    ).select(
+        "doc_id",
+        F.col("sig")[0].alias("s0"),
+        F.col("sig")[1].alias("s1"),
+        F.col("sig")[2].alias("s2"),
+        F.col("sig")[3].alias("s3"),
+    )
+    norm = (
+        r"list_distinct(list_filter(string_split_regex(trim(regexp_replace("
+        r"regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), "
+        r"'\s+', ' ', 'g')), '\s+'), w -> w != ''))"
+    )
+    sig = lambda s: (
+        f"list_min(list_transform({norm}, "
+        f"w -> ('0x' || substr(md5('mh{s}_' || w), 1, 8))::BIGINT))"
+    )
+    oracle = duck.sql(
+        f"SELECT doc_id, {sig(0)} AS s0, {sig(1)} AS s1, "
+        f"{sig(2)} AS s2, {sig(3)} AS s3 FROM documents"
+    )
+    assert_frames_match(out, oracle)
+
+
+def test_simhash_matches_oracle(docs, duck):
+    out = docs.select("doc_id", simhash(F.col("text"), bits=8).alias("sh"))
+    norm = (
+        r"list_filter(string_split_regex(trim(regexp_replace("
+        r"regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), "
+        r"'\s+', ' ', 'g')), '\s+'), w -> w != '')"
+    )
+    bits = " + ".join(
+        f"CASE WHEN 2*len(list_filter({norm}, "
+        f"w -> (('0x'||substr(md5('sh_'||w),1,8))::BIGINT >> {b}) & 1 = 1)) "
+        f"> len({norm}) THEN {1 << b} ELSE 0 END"
+        for b in range(8)
+    )
+    oracle = duck.sql(f"SELECT doc_id, CAST({bits} AS BIGINT) AS sh FROM documents")
+    assert_frames_match(out, oracle)
+
+
+def test_exact_dedup_finds_synthesized_dups(docs, spark):
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    out = exact_dedup(both, "text", "doc_id")
+    pdf = out.toPandas()
+    assert (pdf.n_dups == 2).all()
+    assert (pdf.keep_id < 100000).all()  # min id survives
+
+
+def test_minhash_lsh_finds_near_dups(docs, spark):
+    # mutate: drop the last word -> high shingle overlap, same minhash
+    # bands with high probability
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 5, 1))").alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = minhash_lsh_pairs(both, "doc_id", "text", k=8, bands=4).toPandas()
+    # every (orig, mutated) pair should collide in at least one band
+    expected = set(zip(range(500), range(100000, 100500)))
+    got = set(zip(pairs.id_a, pairs.id_b))
+    recall = len(expected & got) / len(expected)
+    assert recall > 0.9, recall
+
+
+def test_ngram_jaccard_pairs(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps",
+                "the quick brown fox leaps",
+                "completely different words here",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = ngram_jaccard_pairs(df, "id", "text", n=2, threshold=0.3).toPandas()
+    assert set(zip(out.id_a, out.id_b)) == {(1, 2)}
+    # shingles: 4 each, 3 shared -> jaccard 3/5
+    assert out.jaccard.iloc[0] == pytest.approx(0.6)
+
+
+def test_lang_id_deterministic(spark, duck):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat of the house and the dog",
+                "el gato de la casa y que los perros",
+                "der hund ist von den katzen und das haus",
+                "xyzzy plugh qwerty",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.select("doc_id", TX.lang_id(F.col("text")).alias("lang")).toPandas()
+    assert out.sort_values("doc_id").lang.tolist() == ["en", "es", "de", "und"]
+
+
+def test_quality_score_range(docs):
+    out = docs.select(TX.quality_score(F.col("text")).alias("q")).toPandas()
+    assert ((out.q >= 0) & (out.q <= 1)).all()
+    assert out.q.nunique() > 10  # non-degenerate
+
+
+def test_cosine_topk_vs_duckdb(emb, duck):
+    queries = emb.where(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=3)
+    oracle = duck.sql(
+        """
+        WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qv, e.embedding) AS sim
+          FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 3
+        """
+    )
+    # sims computed in different float precision: compare ranks + ids
+    # exactly, sims loosely
+    spdf = out.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    dpdf = oracle.df().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert spdf[["query_id", "neighbor_id", "rank"]].equals(
+        dpdf[["query_id", "neighbor_id", "rank"]].astype(spdf[["query_id", "neighbor_id", "rank"]].dtypes.to_dict())
+    )
+    assert np.allclose(spdf.sim, dpdf.sim, atol=1e-5)
+
+
+def test_lsh_topk_recall(emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=1).toPandas()
+    approx = lsh_topk(emb, queries, k=1, n_bits=2).toPandas()
+    merged = exact.merge(approx, on="query_id", suffixes=("_e", "_a"))
+    recall = (merged.neighbor_id_e == merged.neighbor_id_a).mean()
+    assert recall >= 0.5, recall  # 2-bit buckets: coarse but useful
+
+
+def test_lsh_bucket_deterministic(emb, spark):
+    planes = deterministic_hyperplanes(4, 64)
+    a = emb.select("vec_id", lsh_bucket(F.col("embedding"), planes).alias("b")).toPandas()
+    b = emb.select("vec_id", lsh_bucket(F.col("embedding"), planes).alias("b")).toPandas()
+    assert a.equals(b)
+    assert a.b.between(0, 15).all()
+
+
+def test_multimodal_features_fake(docs, spark):
+    payloads = MM.attach_payload(docs)
+    feats = MM.extract_features(payloads, fake=True).toPandas()
+    raw = docs.select("doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n")).toPandas()
+    m = feats.merge(raw, on="doc_id")
+    assert (m.width == m.n % 640).all()
+    assert (m.height == m.n % 480).all()
+    assert m.mean_byte.between(32, 127).all()  # ascii-ish corpus
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"bytes", "image/png", fake=False)
+
+
+def test_frame_sample(docs, spark, duck):
+    payloads = MM.attach_payload(docs)
+    out = MM.frame_sample(payloads, every_n_bytes=40)
+    oracle = duck.sql(
+        """
+        SELECT doc_id,
+               CAST(u.f AS INT) AS frame_idx,
+               CAST(u.f * 40 AS BIGINT) AS byte_offset
+        FROM documents,
+             LATERAL (SELECT unnest(range(0, octet_length(encode(text)) // 40 + 1)) AS f) u
+        """
+    )
+    assert_frames_match(out, oracle)

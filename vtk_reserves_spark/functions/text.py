@@ -1,0 +1,142 @@
+"""Text-analysis expression library for large-scale corpus pipelines.
+
+North-star additions (SURVEY.md §2.8): language-ID, quality scoring,
+token counting, fingerprinting — all pure Catalyst expressions (split /
+regexp / higher-order functions), so they run at scan speed over a
+100 TB ``documents`` table with zero Python.  Every function has an
+exact ANSI-SQL equivalent for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: whitespace tokenizer pattern (both engines split identically)
+WS = r"\s+"
+
+#: BPE-ish pre-tokenizer: letter runs, single digits, single punctuation
+#: (approximates a GPT-style pretokenizer's segment count)
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+#: language-ID.  Deterministic and SQL-expressible by construction.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "es"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    return F.filter(F.split(F.trim(text), WS), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Approximate BPE token count via the pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), F.lit(0)))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(F.lower(text)), lambda w: F.array_contains(sw, w)))
+
+
+def lang_id(text: Column, priority=("en", "es", "de", "fr")) -> Column:
+    """Stopword-ratio argmax language guess with a fixed priority-order
+    tie-break (first language in ``priority`` wins ties), 'und' when no
+    stopwords hit at all — deterministic, so the SQL oracle can use the
+    same CASE chain."""
+    scores = {lang: stopword_hits(text, lang) for lang in priority}
+    expr = None
+    for lang in priority:  # first clause whose score is the max wins
+        s = scores[lang]
+        cond = s > 0
+        for other in priority:
+            if other != lang:
+                cond = cond & (s >= scores[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    t = tokens(text)
+    return F.when(
+        F.size(t) > 0,
+        F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / F.size(t),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    + sane mean word length - punctuation excess.  The exact formula is
+    arbitrary; what matters is that it is deterministic, cheap, and
+    identical in the SQL oracle."""
+    n = F.length(text)
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    sw_ratio = stopword_hits(text, "en") / F.greatest(token_count(text), F.lit(1))
+    sw_score = F.least(sw_ratio * 5.0, F.lit(1.0))
+    mwl = F.coalesce(mean_word_len(text), F.lit(0.0))
+    mwl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_pen = F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    score = 0.4 * len_score + 0.3 * sw_score + 0.3 * mwl_score - 0.2 * punct_pen
+    return F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum to
+    spaces, collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.trim(F.regexp_replace(t, WS, " "))
+    return t
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text — robust to case,
+    punctuation and whitespace variance."""
+    return F.md5(normalize_text(text))
+
+
+def shingle_fingerprint(text: Column, n: int = 3) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct word
+    ``n``-gram set of the normalized text (bag-of-shingles identity)."""
+    return F.md5(F.array_join(F.array_sort(shingles(text, n)), " "))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (shingles) of the normalized text.
+
+    NOTE for hot paths: higher-order-function lambdas re-evaluate outer
+    subtrees per element (no codegen/CSE), so this single-expression form
+    re-tokenizes the text once per shingle.  At scale, materialize the
+    token array in its own projection and use :func:`shingles_of_tokens`
+    (see ``operators.dedup.minhash_lsh_pairs`` for the pattern)."""
+    return shingles_of_tokens(tokens(normalize_text(text)), n)
+
+
+def shingles_of_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-grams over a (preferably materialized) token
+    array column — per-element work is then just an O(n) slice."""
+    k = F.size(t) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+    return F.when(k > 0, F.array_distinct(grams)).otherwise(
+        F.array(F.array_join(t, " "))
+    )

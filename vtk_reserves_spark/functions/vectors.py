@@ -1,0 +1,76 @@
+"""Vector math over ``array<float/double>`` embedding columns.
+
+Everything is JVM-side via Spark higher-order functions (``zip_with`` /
+``aggregate`` / ``transform``) — no UDFs in the hot path, so similarity
+scans stay inside codegen and scale linearly with the corpus.  These are
+north-star additions (SURVEY.md §2.8); the reference has no vector ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns (element-wise, JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL when either vector has zero norm."""
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return F.when((na != 0) & (nb != 0), d / (na * nb))
+
+
+def unit(vec: Column, n: Column) -> Column:
+    """vec / n, element-wise.  Pass ``n`` as a MATERIALIZED column (own
+    projection): a lambda capturing a computed norm subtree would
+    re-evaluate it per element.  Zero norm → NULL elements (x/0)."""
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def hyperplane_dot(vec: Column, weights: list[float]) -> Column:
+    """Dot of a vector column with a literal hyperplane (for LSH): the
+    constants are baked into the plan, so both Spark and an ANSI-SQL
+    oracle evaluate the identical expression."""
+    arr = F.array(*[F.lit(float(w)) for w in weights])
+    return dot(vec, arr)
+
+
+def lsh_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    """Random-hyperplane (sign) LSH bucket id: bit b = 1 iff
+    ``dot(vec, h_b) > 0``.  With n_bits hyperplanes the corpus is split
+    into up to 2^n_bits buckets; cosine-similar vectors collide with
+    high probability, so an ANN query only scans its own bucket."""
+    bucket = F.lit(0)
+    for b, hp in enumerate(hyperplanes):
+        bucket = bucket + F.when(hyperplane_dot(vec, hp) > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+    return bucket.cast("int")
+
+
+def deterministic_hyperplanes(n_bits: int, dim: int, seed: str = "lsh") -> list[list[float]]:
+    """Pseudo-random hyperplanes derived from md5 so any engine can
+    reproduce them from (seed, n_bits, dim) alone — the constants are
+    emitted as literals into both the Spark plan and the SQL oracle."""
+    import hashlib
+
+    planes = []
+    for b in range(n_bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}_{b}_{d}".encode()).hexdigest()
+            row.append((int(h[:8], 16) % 2001) / 1000.0 - 1.0)  # [-1, 1]
+        planes.append(row)
+    return planes

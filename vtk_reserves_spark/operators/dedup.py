@@ -1,0 +1,244 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+North-star additions (SURVEY.md §2.8) with no reference counterpart
+(the reference's only dedup is ``drop_duplicates`` on mesh node ids,
+``_gui.py:780``).  Design rules for 100 TB:
+
+- **exact / fingerprint dedup** is a hash groupBy on the dedup key —
+  one shuffle, map-side partial aggregation, no Python;
+- **MinHash** signatures are computed per-row with higher-order
+  functions (``transform`` + ``array_min`` over the token array —
+  no explode, no shuffle); only the b band keys per document are
+  exploded for the LSH self-join, so the join input is O(b·n) tiny
+  rows instead of O(n²) pairs;
+- **SimHash** is per-row bit arithmetic over word hashes;
+- every hash is md5-derived so the same signatures are computable in
+  ANSI SQL (the DuckDB oracle runs the identical algorithm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vtk_reserves_spark.functions.text import normalize_text, tokens
+
+
+def exact_dedup(df: DataFrame, key_cols, id_col: str) -> DataFrame:
+    """Exact dedup: one surviving row (min id) per distinct key, with the
+    duplicate count — ``groupBy(key).agg(min(id))``, a single shuffle."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def drop_exact_dups(df: DataFrame, key_cols) -> DataFrame:
+    """``dropDuplicates`` passthrough (the reference's dedup primitive)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    return df.dropDuplicates(key_cols)
+
+
+def _word_hash(word: Column, seed) -> Column:
+    """32-bit hash of a word under a seed: first 8 hex digits of
+    md5('<seed>_<word>').  md5 so the SQL oracle reproduces it exactly;
+    use xxhash64 instead when oracle parity is not needed (faster)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}_"), word)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _token_set(text: Column, ngrams: int) -> Column:
+    """The MinHash item set: distinct tokens (``ngrams=1``) or word
+    shingles (``ngrams>1`` — the right choice when the vocabulary is
+    small relative to document length, where every doc contains nearly
+    every word and unigram signatures degenerate)."""
+    if ngrams > 1:
+        from vtk_reserves_spark.functions.text import shingles
+
+        return shingles(text, ngrams)
+    return F.array_distinct(tokens(normalize_text(text)))
+
+
+def _sig_of_items(items: Column, k: int, seed: str) -> Column:
+    """k-permutation MinHash signature over an item-array column.
+    ``items`` should be a materialized column (see minhash_lsh_pairs):
+    each of the k transforms re-reads the array but hashes each item
+    exactly once."""
+
+    def one_sig(s: int) -> Column:
+        # NB: the lambda must take exactly one arg — F.transform treats a
+        # second parameter as the element index
+        return F.array_min(F.transform(items, lambda w: _word_hash(w, f"{seed}{s}")))
+
+    return F.array(*[one_sig(s) for s in range(k)])
+
+
+def minhash_signature(
+    text: Column, k: int = 8, seed: str = "mh", ngrams: int = 1
+) -> Column:
+    """Single-expression MinHash signature: array of k longs.
+
+    Convenient for small inputs; in hot paths materialize the item set
+    first (lambda bodies re-evaluate outer subtrees per element, so this
+    form re-tokenizes the text k× per item — see minhash_lsh_pairs)."""
+    return _sig_of_items(_token_set(text, ngrams), k, seed)
+
+
+def with_minhash(
+    df: DataFrame, text_col: str, k: int = 8, seed: str = "mh", out_col: str = "minhash"
+) -> DataFrame:
+    return df.withColumn(out_col, minhash_signature(F.col(text_col), k, seed))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    seed: str = "mh",
+    ngrams: int = 1,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Signature of k hashes split into ``bands`` bands of k/bands rows;
+    documents sharing any full band collide.  Plan shape: per-row
+    signature -> explode to (id, band_id, band_key) -> self-join on the
+    band key -> distinct (id_a < id_b) pairs.  The join key space is
+    b · n rows; with a sane band width the bucket sizes stay small, so
+    the shuffle is linear in the corpus, never quadratic.
+
+    Each stage (tokens -> items -> signature -> band keys) is its own
+    projection with the upstream column referenced multiple times — that
+    blocks CollapseProject from re-inlining the expression into
+    downstream lambdas, where interpreted higher-order functions would
+    re-evaluate it per element (measured: the single-expression form is
+    ~1000× slower per row at k=8, bands=4, ngrams=3)."""
+    r = k // bands
+    if ngrams > 1:
+        from vtk_reserves_spark.functions.text import shingles_of_tokens
+
+        items_df = df.select(
+            F.col(id_col).alias("doc"),
+            tokens(normalize_text(F.col(text_col))).alias("_t"),
+        ).select("doc", shingles_of_tokens(F.col("_t"), ngrams).alias("_items"))
+    else:
+        items_df = df.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(tokens(normalize_text(F.col(text_col)))).alias("_items"),
+        )
+    sig_df = items_df.select(
+        "doc", _sig_of_items(F.col("_items"), k, seed).alias("_sig")
+    )
+    # band structs built by unrolled F.array (bands textual refs to _sig,
+    # not a transform lambda) — keeps _sig materialized, no per-band re-eval
+    bandarr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(F.slice(F.col("_sig"), b * r + 1, r), "_").alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = sig_df.select("doc", F.explode(bandarr).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    # bucket-then-pair instead of a self-join: signatures are computed
+    # once (a self-join recomputes the whole upstream on each side) and
+    # there is ONE shuffle (the groupBy) instead of two.  After the agg,
+    # `ds` is a bound attribute, so the nested pair-generation lambdas
+    # capture it for free.  Pair count is sum(|bucket|²) — linear in the
+    # corpus when band keys discriminate.
+    buckets = (
+        keyed.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(text: Column, bits: int = 16, seed: str = "sh") -> Column:
+    """SimHash of the token multiset: bit b of the result is 1 iff more
+    word-hashes have bit b set than unset.
+
+    Single pass over the tokens: one md5 per word (lambda-scoped subtrees
+    defeat Catalyst CSE, so per-bit ``filter`` expressions would re-hash
+    every word ``bits`` times); per-bit set counts accumulate in an array
+    via ``aggregate`` + indexed ``transform``, then fold to the integer."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    # hash INSIDE the aggregate's input argument (normal expression
+    # position — evaluated once); hashing inside the merge lambda would
+    # re-run the md5 per accumulator slot (outer-subtree capture)
+    hashes = F.transform(toks, lambda w: _word_hash(w, seed))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: _acc_bits(acc, h),
+    )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(
+            counts[b] * 2 > n, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def _acc_bits(acc: Column, h: Column) -> Column:
+    """acc[b] += bit b of h, for every b — indexed two-arg transform.
+    (F.shiftright only takes a literal shift, so call the SQL function
+    with the index column directly.)"""
+    return F.transform(
+        acc, lambda c, b: c + F.call_function("shiftright", h, b).bitwiseAND(F.lit(1))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    blocking: DataFrame | None = None,
+) -> DataFrame:
+    """Word n-gram Jaccard similarity over candidate pairs.
+
+    ``blocking`` is a (id_a, id_b) candidate-pair frame (e.g. from
+    :func:`minhash_lsh_pairs`); without it every pair is compared —
+    acceptable only for small corpora, so pass blocking at scale."""
+    from vtk_reserves_spark.functions.text import shingles_of_tokens
+
+    toked = df.select(
+        F.col(id_col).alias("_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_t"),
+    ).select("_id", shingles_of_tokens(F.col("_t"), n).alias("_grams"))
+    da = toked.select(F.col("_id").alias("id_a"), F.col("_grams").alias("grams_a"))
+    db = toked.select(F.col("_id").alias("id_b"), F.col("_grams").alias("grams_b"))
+    if blocking is None:
+        pairs = da.crossJoin(db).where(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = blocking.select("id_a", "id_b").join(da, "id_a").join(db, "id_b")
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
+    sim = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return pairs.select("id_a", "id_b", sim.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )

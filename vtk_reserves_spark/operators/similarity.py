@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star additions (SURVEY.md §2.8).  Two paths:
+
+- :func:`cosine_topk` — brute-force exact top-k: the (small) query set
+  is broadcast against the corpus, cosine evaluated JVM-side via
+  higher-order functions, ranked per query.  Exact baseline; cost is
+  O(|queries| · |corpus|) with no corpus shuffle except the final
+  per-query top-k (rank window partitioned by query id).
+- :func:`lsh_topk` — the scale path: sign-LSH bucketing with
+  md5-derived deterministic hyperplanes (constants baked into the
+  plan); each query only scans its own bucket, trading recall for a
+  ~2^bits reduction in compared pairs.  Same ranking semantics.
+
+Deterministic ordering: ties broken by ascending corpus id, so results
+are reproducible and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vtk_reserves_spark.functions.vectors import (
+    cosine,
+    deterministic_hyperplanes,
+    dot,
+    lsh_bucket,
+)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, sim, rank), self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: str = "lsh",
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH (OR-construction):
+    ``n_tables`` independent bucketings; a corpus vector is a candidate
+    if it shares a bucket with the query in ANY table.  Compared pairs
+    shrink by ~2^n_bits per table while recall grows with n_tables —
+    the classic LSH recall/cost dial.  Ranking semantics (ties by
+    ascending id) match :func:`cosine_topk`."""
+    tables = [
+        deterministic_hyperplanes(n_bits, dim, f"{seed}{t}") for t in range(n_tables)
+    ]
+
+    def bucket_keys(vec):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"), lsh_bucket(vec, planes).alias("b")
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+
+    qk = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(bucket_keys(F.col(vec_col))).alias("tb"),
+    ).select("query_id", "tb.t", "tb.b")
+    ck = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(bucket_keys(F.col(vec_col))).alias("tb"),
+    ).select("neighbor_id", "tb.t", "tb.b")
+    cand = (
+        F.broadcast(qk)
+        .join(ck, ["t", "b"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 4,
+    dim: int = 64,
+    seed: str = "lsh",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: only
+    same-bucket pairs are scored (near-identical vectors collide in
+    every bucket with overwhelming probability).
+
+    Vectors are L2-normalized per ROW before the join (staged
+    projections so the norm is computed once), so each candidate pair
+    costs a single dot product instead of dot + two norms."""
+    planes = deterministic_hyperplanes(n_bits, dim, seed)
+    from vtk_reserves_spark.functions.vectors import norm, unit
+
+    keyed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        .select("id", "vec", "bucket", norm(F.col("vec")).alias("_n"))
+        .select("id", "bucket", unit(F.col("vec"), F.col("_n")).alias("uvec"))
+    )
+    a = keyed.select(
+        F.col("id").alias("id_a"), F.col("uvec").alias("uvec_a"), "bucket"
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), F.col("uvec").alias("uvec_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            dot(F.col("uvec_a"), F.col("uvec_b")).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
