@@ -474,6 +474,75 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.frame_sample(MM.attach_payload(docs), every_n_bytes=40)
 
 
+# ---------------------------------------------------------------------------
+# streaming breakdown over events (SURVEY §1.4, §2.8) — Structured
+# Streaming drained with trigger(availableNow) into a memory sink, so the
+# result is a normal DataFrame the driver/oracle can compare.
+# ---------------------------------------------------------------------------
+
+from vtk_reserves_spark.streaming import (
+    read_stream,
+    run_available_now,
+    session_breakdown,
+    stateful_user_stats,
+    windowed_breakdown,
+)
+
+_EV_TEMPLATE = (
+    "event_type;value=n_events,count;value=sum_value,sum;value=avg_value,mean"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream over the events table.  The driver's parquet carries
+    TIMESTAMP(NANOS) which Spark's vectorized reader rejects; read the
+    nanos as long and truncate to micros with INTEGER division (a double
+    division at ~1e18 ns would lose precision) — DuckDB's ns->us cast
+    truncates identically."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = read_stream(spark, f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = windowed_breakdown(ev, _EV_TEMPLATE, window="1 hour", watermark="1 hour")
+    return run_available_now(agg)
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = windowed_breakdown(
+        ev,
+        "event_type;value=n_events,count",
+        window="2 hours",
+        slide="1 hour",
+        watermark="1 hour",
+    )
+    return run_available_now(agg)
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = session_breakdown(
+        ev,
+        "user_id;value=n_events,count;value=sum_value,sum",
+        gap="30 minutes",
+        watermark="1 hour",
+    )
+    return run_available_now(agg)
+
+
+def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    st = stateful_user_stats(ev)
+    # 8 state partitions: ~1.5k user keys at bench scale — more
+    # partitions just multiply state-commit + Python-worker overhead
+    return run_available_now(
+        st, output_mode="update", shuffle_partitions=8
+    ).select("user_id", "n_events", "total_value")
+
+
 def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
     terms = []
     for b, hp in enumerate(planes):
@@ -700,6 +769,60 @@ def _llm_oracles() -> dict[str, str]:
     }
 
 
+def _stream_oracles() -> dict[str, str]:
+    """Batch-SQL equivalents of the streaming queries: a finite
+    availableNow drain over a static file equals the batch aggregation,
+    so windows lower to epoch-aligned date_trunc buckets and session
+    windows to gaps-and-islands (new session when the gap >= 30 min,
+    matching Spark's ts < session_end merge rule)."""
+    return {
+        "stream_tumbling": """
+            SELECT date_trunc('hour', ts) AS win_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+                   event_type,
+                   COUNT(value) AS n_events,
+                   COALESCE(SUM(value), 0.0) AS sum_value,
+                   AVG(value) AS avg_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "stream_sliding": """
+            WITH w AS (
+              SELECT e.*,
+                     date_trunc('hour', ts) - t.h * INTERVAL 1 HOUR AS win_start
+              FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS h) t
+            )
+            SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
+                   event_type, COUNT(value) AS n_events
+            FROM w GROUP BY 1, 2, 3
+        """,
+        "stream_session": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id,
+                   COUNT(value) AS n_events,
+                   COALESCE(SUM(value), 0.0) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "stream_stateful_user": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   COALESCE(SUM(COALESCE(value, 0.0)), 0.0) AS total_value
+            FROM events GROUP BY user_id
+        """,
+    }
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_reserves_report(spark, SF0001)
@@ -735,11 +858,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "stream_tumbling": q_stream_tumbling,
+        "stream_sliding": q_stream_sliding,
+        "stream_session": q_stream_session,
+        "stream_stateful_user": q_stream_stateful_user,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     out = _llm_oracles()
+    out.update(_stream_oracles())
     out.update({
         "flag_regions": _FIXTURE_SQL
         + """

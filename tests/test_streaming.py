@@ -1,0 +1,123 @@
+"""Streaming breakdown tests: drain the events stream with
+trigger(availableNow) and compare against the equivalent BATCH Spark
+aggregation on the same file — a finite stream must agree with batch.
+(The reference has no streaming at all — SURVEY.md §1.4; these are
+Spark-native north-star operators.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import TESTDATA
+from vtk_reserves_spark.streaming import (
+    read_stream,
+    run_available_now,
+    session_breakdown,
+    stateful_user_stats,
+    windowed_breakdown,
+)
+
+EVENTS = f"{TESTDATA}/events.parquet"
+
+
+def _events_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(EVENTS).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+
+
+def _events_stream(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return read_stream(spark, EVENTS).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_matches_batch(spark):
+    agg = windowed_breakdown(
+        _events_stream(spark),
+        "event_type;value=n_events,count;value=sum_value,sum",
+        window="1 hour",
+    )
+    got = run_available_now(agg)
+    want = (
+        _events_batch(spark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("value").alias("n_events"),
+            F.coalesce(F.sum("value"), F.lit(0.0)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    cols = ["win_start", "win_end", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_each_event_in_two_windows(spark):
+    agg = windowed_breakdown(
+        _events_stream(spark),
+        "value=n_events,count",
+        window="2 hours",
+        slide="1 hour",
+    )
+    got = run_available_now(agg)
+    n_events = _events_batch(spark).count()
+    # every event lands in exactly window_len/slide = 2 windows
+    assert got.agg(F.sum("n_events")).collect()[0][0] == 2 * n_events
+
+
+def test_session_windows_disjoint_and_gap_bounded(spark):
+    agg = session_breakdown(
+        _events_stream(spark),
+        "user_id;value=n_events,count",
+        gap="30 minutes",
+    )
+    got = run_available_now(agg).collect()
+    n_events = _events_batch(spark).count()
+    assert sum(r["n_events"] for r in got) == n_events
+    by_user: dict[int, list] = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["session_start"])
+        for a, b in zip(rows, rows[1:]):
+            # sessions are disjoint and separated by >= gap (end includes it)
+            assert a["session_end"] <= b["session_start"]
+
+
+def test_stateful_user_stats_matches_batch(spark):
+    got = run_available_now(
+        stateful_user_stats(_events_stream(spark)), output_mode="update"
+    )
+    want = (
+        _events_batch(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
+        )
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
+    w = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
+    assert g == w
+
+
+def test_non_streamable_mode_raises(spark):
+    with pytest.raises(ValueError, match="not available in streaming"):
+        windowed_breakdown(
+            _events_stream(spark), "event_type;value=med,q2"
+        )
