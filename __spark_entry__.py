@@ -252,6 +252,95 @@ def q_reserves_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grade_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold bands over the fixture grid (vtk_grid_to_mesh semantics,
+    pd_vtk.py:1093-1111) + per-shell volume rollup."""
+    from vtk_reserves_spark.operators.spatial import grade_shells
+
+    g = grade_shells(_fixture_grid(spark), "grade", [0.0, 25.0, 50.0, 75.0, 100.0])
+    return g.groupBy("shell").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("volume").alias("volume_sum"),
+        F.avg("grade").alias("grade_mean"),
+    )
+
+
+#: proportional-volume bounding box, deliberately NOT cell-aligned (edges
+#: at x5 offsets) so boundary cells get fractional volumes; subcell
+#: centers at ±1.25/±3.75 never touch the boundary, so the supersampled
+#: fraction is exact and boundary-parity-free.
+_PV_BOX = ((55.0, 35.0, 5.0), (145.0, 115.0, 95.0))
+
+
+def q_proportional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_volume (-X -t solid) block clipping (_gui.py:420-444):
+    supersampled in-solid volume fraction against a triangulated box."""
+    from vtk_reserves_spark.operators.spatial import proportional_volume
+
+    solid = TriMesh.box(_PV_BOX, name="clip")
+    g = proportional_volume(grid_df(spark, _GS), solid, samples=4)
+    return g.select(
+        "cell",
+        F.col("vol_frac").alias("vol_frac"),
+        (F.col("volume") * F.col("vol_frac")).alias("vol_clipped"),
+    ).where(F.col("vol_frac") > 0)
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage over the events props JSON column:
+    get_json_object + cast + conditional aggregation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").drop("ts")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(k).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_high"),
+    )
+
+
+#: fixture mesh for the reshape queries (36 exploded rows, box solid)
+_MESH_BOX = ((0.0, 0.0, 0.0), (10.0, 10.0, 10.0))
+
+
+def _mesh_values_sql() -> str:
+    """The fixture mesh's exploded rows as a VALUES relation — the oracle
+    input mirroring TriMesh.to_exploded_df."""
+    mesh = TriMesh.box(_MESH_BOX, name="b")
+    rows = []
+    for fi, tri in enumerate(mesh.faces):
+        for n, node in enumerate(tri):
+            x, y, z = mesh.vertices[node]
+            rows.append(f"({x}, {y}, {z}, {n}, {node}, {fi})")
+    return (
+        "(SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(x, y, z, n, node, face))"
+    )
+
+
+def q_mesh_faces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded mesh table -> faces table (df_to_nodes_faces reshape,
+    _gui.py:774-793) as distributed DataFrame ops."""
+    from vtk_reserves_spark.sources.mesh import nodes_faces_tables
+
+    ex = TriMesh.box(_MESH_BOX, name="b").to_exploded_df(spark)
+    _, faces = nodes_faces_tables(ex)
+    return faces
+
+
+def q_mesh_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded -> (nodes, faces) -> exploded round-trip (vtk_df_to_mesh /
+    vtk_mesh_to_df inverse pair, pd_vtk.py:237-284, 375-433)."""
+    from vtk_reserves_spark.sources.mesh import (
+        exploded_from_nodes_faces,
+        nodes_faces_tables,
+    )
+
+    ex = TriMesh.box(_MESH_BOX, name="b").to_exploded_df(spark)
+    nodes, faces = nodes_faces_tables(ex)
+    return exploded_from_nodes_faces(nodes, faces)
+
+
 # ---------------------------------------------------------------------------
 # relational ops Spark gives for free (SURVEY §2.7) — shown for coverage
 # ---------------------------------------------------------------------------
@@ -858,6 +947,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "grade_shells": q_grade_shells,
+        "mesh_faces": q_mesh_faces,
+        "mesh_explode_roundtrip": q_mesh_explode_roundtrip,
+        "proportional_volume": q_proportional_volume,
+        "events_json": q_events_json,
         "stream_tumbling": q_stream_tumbling,
         "stream_sliding": q_stream_sliding,
         "stream_session": q_stream_session,
@@ -902,6 +996,52 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(SUM(mass*mine), 0.0) AS mass_sum
             FROM f WHERE region != ''
             GROUP BY region, lito
+        """,
+        "grade_shells": _FIXTURE_SQL
+        + """
+            SELECT CASE WHEN grade >= 0 AND grade < 25 THEN 0
+                        WHEN grade >= 25 AND grade < 50 THEN 1
+                        WHEN grade >= 50 AND grade < 75 THEN 2
+                        WHEN grade >= 75 AND grade <= 100 THEN 3 END AS shell,
+                   COUNT(*) AS n_cells,
+                   SUM(volume) AS volume_sum,
+                   AVG(grade) AS grade_mean
+            FROM f GROUP BY 1
+        """,
+        "proportional_volume": _FIXTURE_SQL
+        + """
+            , pv AS (
+              SELECT cell, volume,
+                     len(list_filter(range(4),
+                         t -> x - 5 + 1.25 + 2.5*t BETWEEN 55 AND 145)) AS cx,
+                     len(list_filter(range(4),
+                         t -> y - 5 + 1.25 + 2.5*t BETWEEN 35 AND 115)) AS cy,
+                     len(list_filter(range(4),
+                         t -> z - 5 + 1.25 + 2.5*t BETWEEN 5 AND 95)) AS cz
+              FROM f
+            )
+            SELECT cell,
+                   (cx*cy*cz)/64.0 AS vol_frac,
+                   volume*(cx*cy*cz)/64.0 AS vol_clipped
+            FROM pv WHERE cx*cy*cz > 0
+        """,
+        "mesh_faces": f"""
+            SELECT face,
+                   MIN(CASE WHEN n = 0 THEN node END) AS n0,
+                   MIN(CASE WHEN n = 1 THEN node END) AS n1,
+                   MIN(CASE WHEN n = 2 THEN node END) AS n2
+            FROM {_mesh_values_sql()} GROUP BY face
+        """,
+        "mesh_explode_roundtrip": f"""
+            SELECT x, y, z, n, node, face FROM {_mesh_values_sql()}
+        """,
+        "events_json": """
+            SELECT event_type, COUNT(*) AS n,
+                   AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+            FROM events GROUP BY event_type
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

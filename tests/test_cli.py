@@ -1,0 +1,101 @@
+"""CLI smoke tests — the scripted surface of the reference
+(bm_breakdown / vtk_reserves / bm_to_vtk argv shapes, SURVEY.md §3)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from vtk_reserves_spark import cli
+from vtk_reserves_spark.sources.mesh import TriMesh
+
+
+@pytest.fixture()
+def grid_csv(tmp_path, spark):
+    """A tiny grid table with the canonical geometry columns."""
+    rows = []
+    for i in range(10):
+        for k in range(4):
+            rows.append(
+                {
+                    "x": i * 10 + 5.0,
+                    "y": 5.0,
+                    "z": k * 10 + 5.0,
+                    "dx": 10.0,
+                    "dy": 10.0,
+                    "dz": 10.0,
+                    "grade": float(i * 10 + k),
+                    "density": 2.5,
+                }
+            )
+    p = str(tmp_path / "grid.csv")
+    pd.DataFrame(rows).to_csv(p, index=False)
+    return p
+
+
+def test_breakdown_csv_to_csv(tmp_path, grid_csv, spark):
+    out = str(tmp_path / "report.csv")
+    cli.main(
+        [
+            "breakdown",
+            grid_csv,
+            "z;grade=grade_mean,mean;grade=n,count",
+            out,
+            "--condition",
+            "grade > 0",
+        ]
+    )
+    got = pd.read_csv(_csv_part(out))
+    assert set(got.columns) == {"z", "grade_mean", "n"}
+    assert len(got) == 4
+
+
+def test_convert_csv_to_parquet_with_pushdown(tmp_path, grid_csv, spark):
+    out = str(tmp_path / "conv.parquet")
+    cli.main(
+        ["convert", grid_csv, out, "--variables", "x,z,grade", "--condition", "z < 20"]
+    )
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"x", "z", "grade"}
+    assert got.count() == 20
+
+
+def test_convert_mesh_obj_to_vtk(tmp_path):
+    m = TriMesh.box(((0, 0, 0), (10, 10, 10)), name="b")
+    src = str(tmp_path / "m.obj")
+    dst = str(tmp_path / "m.vtk")
+    m.to_obj(src)
+    cli.main(["convert", src, dst])
+    back = TriMesh.from_vtk(dst)
+    assert back.faces.shape == (12, 3)
+
+
+def test_reserves_pipeline_with_mesh_region(tmp_path, grid_csv, spark):
+    # region value = file basename (vtk_reserves.py:74)
+    region = str(tmp_path / "r1.obj")
+    TriMesh.box(((0.0, 0.0, 0.0), (50.0, 10.0, 40.0)), name="r1").to_obj(region)
+    out = str(tmp_path / "res.csv")
+    cli.main(
+        [
+            "reserves",
+            grid_csv,
+            "grade=grade_mean,mean,density;density=t,count",
+            out,
+            "--region",
+            region,
+        ]
+    )
+    got = pd.read_csv(_csv_part(out))
+    assert "region" in got.columns
+    assert set(got["region"]) == {"r1"}
+
+
+def _csv_part(path: str) -> str:
+    """save_table writes a Spark csv directory; find the part file."""
+    if os.path.isfile(path):
+        return path
+    parts = [f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".csv")]
+    assert parts, f"no csv part files in {path}"
+    return os.path.join(path, parts[0])

@@ -1,0 +1,78 @@
+"""Mesh I/O + reshape + new spatial-operator tests: OBJ / legacy-VTK
+round-trips, exploded<->nodes/faces reshapes, grade shells, proportional
+volume (supersampled match_volume, _gui.py:420-444)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vtk_reserves_spark.operators.spatial import grade_shells, proportional_volume
+from vtk_reserves_spark.sources.grid import GridSchema, grid_df
+from vtk_reserves_spark.sources.mesh import (
+    TriMesh,
+    exploded_from_nodes_faces,
+    nodes_faces_tables,
+)
+
+
+@pytest.fixture()
+def box():
+    return TriMesh.box(((0.0, 0.0, 0.0), (10.0, 20.0, 30.0)), name="b")
+
+
+def test_obj_roundtrip(tmp_path, box):
+    p = str(tmp_path / "m.obj")
+    box.to_obj(p)
+    back = TriMesh.from_obj(p)
+    assert np.allclose(back.vertices, box.vertices)
+    assert (back.faces == box.faces).all()
+
+
+def test_vtk_roundtrip(tmp_path, box):
+    p = str(tmp_path / "m.vtk")
+    box.to_vtk(p)
+    back = TriMesh.from_vtk(p)
+    assert np.allclose(back.vertices, box.vertices)
+    assert (back.faces == box.faces).all()
+
+
+def test_nodes_faces_reshape_roundtrip(spark, box):
+    ex = box.to_exploded_df(spark)
+    nodes, faces = nodes_faces_tables(ex)
+    assert nodes.count() == 8
+    assert faces.count() == 12
+    back = exploded_from_nodes_faces(nodes, faces)
+    want = sorted(tuple(r) for r in ex.collect())
+    got = sorted(tuple(r) for r in back.select(*ex.columns).collect())
+    assert got == want
+
+
+def test_grade_shells_bands(spark):
+    gs = GridSchema(origin=(0, 0, 0), spacing=(10, 10, 10), dims=(10, 1, 1))
+    g = grid_df(spark, gs).withColumn("v", F.col("i") * F.lit(10.0))
+    out = grade_shells(g, "v", [0.0, 30.0, 60.0, 90.0], shell_col="s")
+    got = {r["i"]: r["s"] for r in out.collect()}
+    # values 0..90: [0,30) -> 0, [30,60) -> 1, [60,90] -> 2 (last closed)
+    assert got[0] == 0 and got[2] == 0
+    assert got[3] == 1 and got[5] == 1
+    assert got[6] == 2 and got[9] == 2  # 90 inside the closed last band
+    out_l = grade_shells(g, "v", [0.0, 50.0, 90.0], labels=["lo", "hi"])
+    vals = {r["i"]: r["shell"] for r in out_l.collect()}
+    assert vals[0] == "lo" and vals[8] == "hi"
+
+
+def test_proportional_volume_against_analytic(spark):
+    gs = GridSchema(origin=(0, 0, 0), spacing=(10, 10, 10), dims=(4, 4, 4))
+    solid = TriMesh.box(((5.0, 5.0, 5.0), (35.0, 35.0, 35.0)))
+    out = proportional_volume(grid_df(spark, gs), solid, samples=4)
+    rows = {(r["i"], r["j"], r["k"]): r["vol_frac"] for r in out.collect()}
+    # interior cell fully inside
+    assert rows[(1, 1, 1)] == pytest.approx(1.0)
+    # corner cell (0,0,0): [5,10]^3 of [0,10]^3 -> 1/8 per axis product
+    assert rows[(0, 0, 0)] == pytest.approx(0.5**3)
+    # face-center cell (1,1,0): only z clipped
+    assert rows[(1, 1, 0)] == pytest.approx(0.5)
+    # cell outside the solid bbox
+    assert rows[(3, 3, 3)] == pytest.approx(0.5**3)  # [30,35]^3 corner

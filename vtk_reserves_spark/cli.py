@@ -1,0 +1,198 @@
+"""Command-line entry points mirroring the reference's script surface
+(SURVEY.md §3: ``bm_breakdown``, ``vtk_reserves``, ``vtk_mine``,
+``vtk_flag_regions``, ``bm_to_vtk``) — same argument shapes, Spark
+execution.  The reference's tkinter GUI / usage-DSL form builder
+(``_gui.py:1408-1422``) is out of scope; the CLI covers the scripted
+(argv) path, which is what the GUI spawns anyway
+(``ClientScript.run``, ``_gui.py:1459-1474``).
+
+    python -m vtk_reserves_spark.cli breakdown in.parquet \\
+        "region;grade=g,mean,mass" out.xlsx --condition "grade > 0"
+    python -m vtk_reserves_spark.cli reserves grid.parquet \\
+        "lito;grade,mean" out.csv --region r1.obj --mine-include top.obj
+    python -m vtk_reserves_spark.cli convert in.csv out.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("vtk_reserves_spark")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def _load_mesh(path: str):
+    from vtk_reserves_spark.sources.mesh import TriMesh
+
+    ext = os.path.splitext(path.lower())[1]
+    if ext == ".obj":
+        return TriMesh.from_obj(path)
+    if ext == ".vtk":
+        return TriMesh.from_vtk(path)
+    raise SystemExit(f"unsupported mesh format: {path}")
+
+
+def cmd_breakdown(args) -> None:
+    """``bm_breakdown`` equivalent (``bm_breakdown.py:41-60``): template
+    -> referenced-column pushdown -> load -> breakdown -> save."""
+    from vtk_reserves_spark.operators.breakdown import breakdown
+    from vtk_reserves_spark.plans.commalist import parse_commalist
+    from vtk_reserves_spark.plans.template import compile_template
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+    from vtk_reserves_spark.sources.writers import save_report
+
+    spark = _spark()
+    vl = parse_commalist(args.template)
+    probe = load_dataframe(spark, args.input, keep_null=True)
+    plan = compile_template(vl, probe.columns)
+    df = load_dataframe(
+        spark,
+        args.input,
+        condition=args.condition,
+        vl=plan.referenced_columns,
+        keep_null=args.keep_null,
+    )
+    save_report(breakdown(df, vl), args.output)
+
+
+def cmd_reserves(args) -> None:
+    """``vtk_reserves`` equivalent (``vtk_reserves.py:110-134``): deplete
+    by include/exclude surfaces, flag region solids, mine-weighted
+    breakdown with an auto region key."""
+    from vtk_reserves_spark.operators.reserves import reserves_report
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+    from vtk_reserves_spark.sources.writers import save_report
+
+    spark = _spark()
+    grid = load_dataframe(spark, args.grid, keep_null=args.keep_null)
+    regions = [_load_mesh(p) for p in args.region]
+    include = [_load_mesh(p) for p in args.mine_include]
+    exclude = [_load_mesh(p) for p in args.mine_exclude]
+    out = reserves_report(
+        grid,
+        args.template,
+        regions=regions or None,
+        mine_include=include,
+        mine_exclude=exclude,
+    )
+    save_report(out, args.output)
+
+
+def cmd_flag_regions(args) -> None:
+    """``vtk_flag_regions`` equivalent (``vtk_flag_regions.py:82-130``)."""
+    from vtk_reserves_spark.operators.spatial import flag_regions, flag_regions_2d
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+    from vtk_reserves_spark.sources.writers import save_table
+
+    spark = _spark()
+    grid = load_dataframe(spark, args.grid, keep_null=args.keep_null)
+    meshes = [_load_mesh(p) for p in args.mesh]
+    flagged = (
+        flag_regions_2d(grid, meshes, flag_var=args.flag_var)
+        if args.two_d
+        else flag_regions(grid, meshes, flag_var=args.flag_var)
+    )
+    save_table(flagged, args.output)
+
+
+def cmd_mine(args) -> None:
+    """``vtk_mine`` equivalent (``vtk_mine.py:97-126``): mined-fraction
+    depletion onto the grid table."""
+    from vtk_reserves_spark.operators.spatial import mine_fraction
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+    from vtk_reserves_spark.sources.writers import save_table
+
+    spark = _spark()
+    grid = load_dataframe(spark, args.grid, keep_null=args.keep_null)
+    include = [_load_mesh(p) for p in args.include]
+    exclude = [_load_mesh(p) for p in args.exclude]
+    save_table(mine_fraction(grid, include=include, exclude=exclude), args.output)
+
+
+def cmd_convert(args) -> None:
+    """``bm_to_vtk`` equivalent (``bm_to_vtk.py:27-62``): format
+    conversion with optional condition/column pushdown.  Mesh-to-mesh
+    conversions (obj<->vtk) stay driver-side; tabular conversions go
+    through Spark."""
+    in_ext = os.path.splitext(args.input.lower())[1]
+    out_ext = os.path.splitext(args.output.lower())[1]
+    if in_ext in (".obj", ".vtk") and out_ext in (".obj", ".vtk"):
+        mesh = _load_mesh(args.input)
+        (mesh.to_obj if out_ext == ".obj" else mesh.to_vtk)(args.output)
+        return
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+    from vtk_reserves_spark.sources.writers import save_table
+
+    spark = _spark()
+    vl = [v for v in args.variables.split(",") if v] if args.variables else None
+    df = load_dataframe(
+        spark, args.input, condition=args.condition, vl=vl, keep_null=args.keep_null
+    )
+    save_table(df, args.output)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vtk_reserves_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("breakdown", help="grouped/weighted aggregation report")
+    b.add_argument("input")
+    b.add_argument("template", help="commalist: 'key;var=alias,op,weight...'")
+    b.add_argument("output", nargs="?", default=None)
+    b.add_argument("--condition", default="")
+    b.add_argument("--keep-null", action="store_true")
+    b.set_defaults(fn=cmd_breakdown)
+
+    r = sub.add_parser("reserves", help="deplete + flag + breakdown pipeline")
+    r.add_argument("grid")
+    r.add_argument("template")
+    r.add_argument("output", nargs="?", default=None)
+    r.add_argument("--region", action="append", default=[])
+    r.add_argument("--mine-include", action="append", default=[])
+    r.add_argument("--mine-exclude", action="append", default=[])
+    r.add_argument("--keep-null", action="store_true")
+    r.set_defaults(fn=cmd_reserves)
+
+    f = sub.add_parser("flag-regions", help="flag rows by enclosing solid")
+    f.add_argument("grid")
+    f.add_argument("output")
+    f.add_argument("--mesh", action="append", required=True)
+    f.add_argument("--flag-var", default="region")
+    f.add_argument("--two-d", action="store_true")
+    f.add_argument("--keep-null", action="store_true")
+    f.set_defaults(fn=cmd_flag_regions)
+
+    m = sub.add_parser("mine", help="mined-fraction depletion")
+    m.add_argument("grid")
+    m.add_argument("output")
+    m.add_argument("--include", action="append", default=[])
+    m.add_argument("--exclude", action="append", default=[])
+    m.add_argument("--keep-null", action="store_true")
+    m.set_defaults(fn=cmd_mine)
+
+    c = sub.add_parser("convert", help="format conversion")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--condition", default="")
+    c.add_argument("--variables", default="")
+    c.add_argument("--keep-null", action="store_true")
+    c.set_defaults(fn=cmd_convert)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

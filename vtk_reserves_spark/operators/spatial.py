@@ -252,6 +252,83 @@ def tridist(
     return out.withColumn(out_col, F.abs(F.col(xyz[2]) - F.col(tmp))).drop(tmp)
 
 
+def grade_shells(
+    df: DataFrame,
+    var: str,
+    cuts: list[float],
+    shell_col: str = "shell",
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """Band ("grade shell") assignment — the tabular half of
+    ``vtk_grid_to_mesh`` (``pd_vtk.py:1093-1111``), which thresholds the
+    value range into bands (mesh extraction itself is viz, out of scope).
+
+    ``cuts = [c0, c1, ..., cn]`` defines bands ``[c0,c1), [c1,c2), ...``
+    with the LAST band closed ``[c(n-1), cn]``; values outside get NULL.
+    Pure CASE chain — codegen, pushdown-friendly, SQL-expressible."""
+    c = F.col(var)
+    expr = F.lit(None).cast("string" if labels else "int")
+    for b in range(len(cuts) - 1):
+        lo, hi = float(cuts[b]), float(cuts[b + 1])
+        inside = (
+            (c >= lo) & (c <= hi)
+            if b == len(cuts) - 2
+            else (c >= lo) & (c < hi)
+        )
+        val = F.lit(labels[b]) if labels else F.lit(b)
+        expr = F.when(inside, val).otherwise(expr)
+    return df.withColumn(shell_col, expr)
+
+
+def proportional_volume(
+    df: DataFrame,
+    solid: TriMesh,
+    samples: int = 4,
+    out_col: str = "vol_frac",
+    xyz=("x", "y", "z"),
+    dcols=("dx", "dy", "dz"),
+) -> DataFrame:
+    """Fraction of each cell's volume inside a bounding solid —
+    ``match_volume`` (``_gui.py:420-444``, the ``-X -t solid`` scan
+    option), where a block crossing the solid boundary contributes only
+    its enclosed share.
+
+    Supersampling estimate: each cell is split into ``samples³`` equal
+    subcells and the fraction is the share of subcell CENTERS enclosed
+    (parity ray-cast).  All subpoints are generated and tested inside
+    one vectorized pandas-UDF batch — no explode, no shuffle, the block
+    model streams through executors exactly once.  The mesh bbox
+    pre-mask in the kernel rejects far cells at numpy speed, so cost
+    concentrates on cells near the boundary."""
+    s = int(samples)
+    offs = (np.arange(s) + 0.5) / s - 0.5  # per-axis center offsets in cell units
+
+    @F.pandas_udf("double")
+    def frac_udf(
+        xs: pd.Series, ys: pd.Series, zs: pd.Series,
+        dxs: pd.Series, dys: pd.Series, dzs: pd.Series,
+    ) -> pd.Series:
+        n = len(xs)
+        if n == 0:
+            return pd.Series(np.empty(0, np.float64))
+        px = xs.to_numpy(np.float64)
+        py = ys.to_numpy(np.float64)
+        pz = zs.to_numpy(np.float64)
+        dx = dxs.to_numpy(np.float64)
+        dy = dys.to_numpy(np.float64)
+        dz = dzs.to_numpy(np.float64)
+        ox, oy, oz = np.meshgrid(offs, offs, offs, indexing="ij")
+        ox, oy, oz = ox.ravel(), oy.ravel(), oz.ravel()  # s^3 offsets
+        qx = (px[:, None] + ox[None, :] * dx[:, None]).ravel()
+        qy = (py[:, None] + oy[None, :] * dy[:, None]).ravel()
+        qz = (pz[:, None] + oz[None, :] * dz[:, None]).ravel()
+        inside = point_in_solid(qx, qy, qz, solid)
+        return pd.Series(inside.reshape(n, -1).mean(axis=1))
+
+    cols = [F.col(c) for c in (*xyz, *dcols)]
+    return df.withColumn(out_col, frac_udf(*cols))
+
+
 def _surface_fraction(
     df_cols, surface, x: Column, y: Column, z: Column, dz: Column
 ) -> Column:

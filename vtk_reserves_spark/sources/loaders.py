@@ -120,6 +120,10 @@ def load_dataframe(
         from vtk_reserves_spark.sources.mesh import read_obj_df
 
         df = read_obj_df(spark, df_path)
+    elif ext == ".vtk":
+        from vtk_reserves_spark.sources.mesh import TriMesh
+
+        df = TriMesh.from_vtk(df_path).to_exploded_df(spark)
     else:
         raise ValueError(f"unsupported input format: {ext!r} ({df_path})")
 

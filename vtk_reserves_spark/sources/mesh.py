@@ -85,6 +85,68 @@ class TriMesh:
         f = np.array([[0, 1, 2], [0, 2, 3]])
         return cls(v, f, name=name)
 
+    def to_obj(self, path: str) -> None:
+        """Wavefront OBJ writer (counterpart of the reference's obj sink,
+        ``_gui.py:1317-1326``): ``v`` records then 1-based ``f`` records."""
+        with open(path, "w", encoding="latin-1") as fh:
+            fh.write(f"# {self.name or 'mesh'}\n")
+            for x, y, z in self.vertices:
+                fh.write(f"v {x:.9g} {y:.9g} {z:.9g}\n")
+            for a, b, c in self.faces:
+                fh.write(f"f {a + 1} {b + 1} {c + 1}\n")
+
+    def to_vtk(self, path: str) -> None:
+        """Legacy VTK ASCII POLYDATA writer (public format spec; the
+        reference round-trips meshes through ``pv_save``,
+        ``pd_vtk.py:95-136``).  POINTS + POLYGONS sections only."""
+        with open(path, "w") as fh:
+            fh.write("# vtk DataFile Version 3.0\n")
+            fh.write(f"{self.name or 'mesh'}\n")
+            fh.write("ASCII\nDATASET POLYDATA\n")
+            fh.write(f"POINTS {len(self.vertices)} float\n")
+            for x, y, z in self.vertices:
+                fh.write(f"{x:.9g} {y:.9g} {z:.9g}\n")
+            m = len(self.faces)
+            fh.write(f"POLYGONS {m} {4 * m}\n")
+            for a, b, c in self.faces:
+                fh.write(f"3 {a} {b} {c}\n")
+
+    @classmethod
+    def from_vtk(cls, path: str) -> "TriMesh":
+        """Legacy VTK ASCII POLYDATA parser (POINTS + POLYGONS; polygons
+        with >3 vertices are fan-triangulated like the OBJ path)."""
+        with open(path, "r") as fh:
+            toks = fh.read().split("\n")
+        verts: list[float] = []
+        faces: list[list[int]] = []
+        i = 0
+        while i < len(toks):
+            parts = toks[i].split()
+            if parts[:1] == ["POINTS"]:
+                n = int(parts[1])
+                flat: list[float] = []
+                while len(flat) < 3 * n:
+                    i += 1
+                    flat.extend(float(v) for v in toks[i].split())
+                verts = flat
+            elif parts[:1] in (["POLYGONS"], ["TRIANGLE_STRIPS"]):
+                m = int(parts[1])
+                got = 0
+                while got < m:
+                    i += 1
+                    rec = [int(v) for v in toks[i].split()]
+                    k, idx = rec[0], rec[1:]
+                    for t in range(1, k - 1):
+                        faces.append([idx[0], idx[t], idx[t + 1]])
+                    got += 1
+            i += 1
+        name = os.path.splitext(os.path.basename(path))[0]
+        return cls(
+            np.array(verts, np.float64).reshape(-1, 3),
+            np.array(faces) if faces else np.empty((0, 3), int),
+            name=name,
+        )
+
     @classmethod
     def from_obj(cls, path: str) -> "TriMesh":
         """Wavefront OBJ parse (reference ``_gui.py:1281-1315``): ``v``
@@ -154,6 +216,47 @@ def mesh_from_exploded_df(pdf) -> TriMesh:
 def read_obj_df(spark: SparkSession, path: str) -> DataFrame:
     """OBJ -> exploded mesh table (loader-dispatch target for ``.obj``)."""
     return TriMesh.from_obj(path).to_exploded_df(spark)
+
+
+def nodes_faces_tables(df: DataFrame, order_col: str = "face") -> tuple[DataFrame, DataFrame]:
+    """Exploded mesh table -> (nodes, faces) tables, as DataFrame ops —
+    the distributed counterpart of ``df_to_nodes_faces_simple``
+    (``_gui.py:774-793``) / face-list reshape (``_gui.py:1211-1225``):
+
+    - ``nodes  (node, x, y, z)``: dedup on the node id;
+    - ``faces  (face, n0, n1, n2)``: pivot the in-face position ``n``.
+
+    One shuffle each (dropDuplicates / groupBy face).  Meshes are small
+    next to the block model, but the same plan holds for a billion-face
+    mesh table — nothing is collected to the driver."""
+    nodes = df.select("node", "x", "y", "z").dropDuplicates(["node"])
+    from pyspark.sql import functions as F
+
+    faces = (
+        df.groupBy(order_col)
+        .agg(
+            F.min(F.when(F.col("n") == 0, F.col("node"))).alias("n0"),
+            F.min(F.when(F.col("n") == 1, F.col("node"))).alias("n1"),
+            F.min(F.when(F.col("n") == 2, F.col("node"))).alias("n2"),
+        )
+        .withColumnRenamed(order_col, "face")
+    )
+    return nodes, faces
+
+
+def exploded_from_nodes_faces(nodes: DataFrame, faces: DataFrame) -> DataFrame:
+    """Inverse reshape: (nodes, faces) -> exploded one-row-per-face-vertex
+    table (posexplode over the face's node triple + broadcast-join the
+    node coordinates — node tables are the small side)."""
+    from pyspark.sql import functions as F
+
+    fv = faces.select(
+        "face",
+        F.posexplode(F.array("n0", "n1", "n2")).alias("n", "node"),
+    )
+    return fv.join(F.broadcast(nodes), "node").select(
+        "x", "y", "z", "n", "node", "face"
+    )
 
 
 def meshes_bb(meshes, buffer: float | None = None) -> np.ndarray:
