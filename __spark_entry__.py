@@ -8,6 +8,7 @@ each (same column names — the driver hash-compares values).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -249,6 +250,35 @@ def q_reserves_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         regions=_BOXES,
         mine_include=[_INC],
         mine_exclude=[_EXC],
+    )
+
+
+#: rotated block model (bearing 45° about the origin) — vtk_VoxelSG /
+#: mesh_rotate_0261 parity (pd_vtk.py:500-520, 583-590)
+_GS_ROT = GridSchema(
+    origin=(100.0, 200.0, 0.0), spacing=(10.0, 10.0, 10.0), dims=(12, 8, 2),
+    bearing=45.0,
+)
+
+
+def q_rotated_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated-grid centroids via the translate-rotate-translate affine,
+    plus the inverse transform recovering (i,j) from world coordinates —
+    a round-trip the oracle checks by asserting ri==i, rj==j."""
+    g = grid_df(spark, _GS_ROT)
+    lx, ly = _GS_ROT.inverse_xy(F.col("x"), F.col("y"))
+    ox, oy, _ = _GS_ROT.origin
+    dx, dy, _ = _GS_ROT.spacing
+    return g.select(
+        "cell",
+        "i",
+        "j",
+        "k",
+        "x",
+        "y",
+        "z",
+        F.floor((lx - ox) / dx).cast("int").alias("ri"),
+        F.floor((ly - oy) / dy).cast("int").alias("rj"),
     )
 
 
@@ -947,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "rotated_grid": q_rotated_grid,
         "grade_shells": q_grade_shells,
         "mesh_faces": q_mesh_faces,
         "mesh_explode_roundtrip": q_mesh_explode_roundtrip,
@@ -996,6 +1027,29 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(SUM(mass*mine), 0.0) AS mass_sum
             FROM f WHERE region != ''
             GROUP BY region, lito
+        """,
+        "rotated_grid": f"""
+            WITH g AS (
+              SELECT r.range AS cell,
+                     CAST(r.range % 12 AS INT) AS i,
+                     CAST((r.range // 12) % 8 AS INT) AS j,
+                     CAST(r.range // 96 AS INT) AS k
+              FROM range(192) r
+            ), l AS (
+              SELECT *,
+                     100.0 + (i + 0.5) * 10.0 AS lx,
+                     200.0 + (j + 0.5) * 10.0 AS ly,
+                     (k + 0.5) * 10.0 AS z
+              FROM g
+            )
+            SELECT cell, i, j, k,
+                   100.0 + CAST({math.cos(math.radians(45.0))!r} AS DOUBLE) * (lx - 100.0)
+                         - CAST({math.sin(math.radians(45.0))!r} AS DOUBLE) * (ly - 200.0) AS x,
+                   200.0 + CAST({math.sin(math.radians(45.0))!r} AS DOUBLE) * (lx - 100.0)
+                         + CAST({math.cos(math.radians(45.0))!r} AS DOUBLE) * (ly - 200.0) AS y,
+                   z,
+                   i AS ri, j AS rj
+            FROM l
         """,
         "grade_shells": _FIXTURE_SQL
         + """

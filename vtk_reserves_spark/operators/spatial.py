@@ -325,6 +325,11 @@ def proportional_volume(
         inside = point_in_solid(qx, qy, qz, solid)
         return pd.Series(inside.reshape(n, -1).mean(axis=1))
 
+    # semantically deterministic, but marked non-deterministic so the
+    # optimizer won't substitute the call into downstream filters
+    # (PushDownPredicate alias substitution would otherwise evaluate the
+    # s^3-sample kernel TWICE — once in the filter, once in the project)
+    frac_udf = frac_udf.asNondeterministic()
     cols = [F.col(c) for c in (*xyz, *dcols)]
     return df.withColumn(out_col, frac_udf(*cols))
 

@@ -321,6 +321,115 @@ def detect_xyz(columns) -> list[str] | None:
     return None
 
 
+def _convex_hull_2d(pts):
+    """Andrew monotone-chain convex hull (numpy, driver/partition-side).
+    Returns hull vertices in CCW order."""
+    import numpy as np
+
+    pts = np.unique(np.asarray(pts, dtype=np.float64).reshape(-1, 2), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort (np.unique already sorts rows)
+    def half(points):
+        out: list = []
+        for p in points:
+            while (
+                len(out) >= 2
+                and (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+                <= 0
+            ):
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    import numpy as np
+
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def minimum_rotated_rectangle(xy):
+    """Minimum-area rotated rectangle via rotating calipers over the
+    convex hull: for each hull edge direction, rotate the hull into that
+    frame and take the bbox; the smallest-area frame wins.
+
+    Returns ``(corner, (w, h), theta)``: one rectangle corner, side
+    lengths, and the CCW angle of the w-side — the pure-numpy stand-in
+    for shapely's ``minimum_rotated_rectangle``
+    (``_gui.py:1346-1362``)."""
+    import numpy as np
+
+    hull = _convex_hull_2d(xy)
+    if len(hull) == 1:
+        return hull[0], (0.0, 0.0), 0.0
+    best = None
+    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+    for ex, ey in edges:
+        theta = math.atan2(ey, ex)
+        c, s = math.cos(-theta), math.sin(-theta)
+        rx = hull[:, 0] * c - hull[:, 1] * s
+        ry = hull[:, 0] * s + hull[:, 1] * c
+        w = rx.max() - rx.min()
+        h = ry.max() - ry.min()
+        if best is None or w * h < best[0]:
+            lo = np.array([rx.min(), ry.min()])
+            corner = np.array(
+                [lo[0] * math.cos(theta) - lo[1] * math.sin(theta),
+                 lo[0] * math.sin(theta) + lo[1] * math.cos(theta)]
+            )
+            best = (w * h, corner, (float(w), float(h)), theta)
+    _, corner, wh, theta = best
+    return corner, wh, theta
+
+
+def grid_from_rr(df: DataFrame, cell_size, xy=("x", "y"), z_range=(0.0, 0.0)) -> GridSchema:
+    """Fit a ROTATED grid over scattered xy data (``from_rr``,
+    ``pd_vtk.py:705-724`` + ``getRectangleSchema``, ``_gui.py:1364-1401``)
+    without shapely: per-partition convex hulls (mapInPandas) collapse
+    the distributed point set to a few dozen hull candidates, the final
+    hull + rotating calipers run on the driver.  Only hull points ever
+    leave the executors, so this scales to any table size."""
+    import pandas as pd
+
+    def part_hull(it):
+        for pdf in it:
+            if len(pdf):
+                h = _convex_hull_2d(pdf.to_numpy())
+                yield pd.DataFrame(h, columns=list(xy))
+
+    pts = (
+        df.select(*xy)
+        .dropna()
+        .mapInPandas(part_hull, schema=f"{xy[0]} double, {xy[1]} double")
+        .collect()
+    )
+    import numpy as np
+
+    corner, (w, h), theta = minimum_rotated_rectangle(
+        np.array([[r[0], r[1]] for r in pts])
+    )
+    if not hasattr(cell_size, "__len__"):
+        cell_size = (float(cell_size),) * 3
+    z0, z1 = z_range
+    # epsilon-guarded ceil: hull arithmetic can inflate an exact multiple
+    # by float noise, which would add a whole spurious cell layer
+    dims = (
+        max(1, int(math.ceil(w / cell_size[0] - 1e-9))),
+        max(1, int(math.ceil(h / cell_size[1] - 1e-9))),
+        max(1, int(math.ceil((z1 - z0) / cell_size[2] - 1e-9))) if z1 > z0 else 1,
+    )
+    bearing = 90.0 - math.degrees(theta)  # GridSchema.theta inverse
+    return GridSchema(
+        origin=(float(corner[0]), float(corner[1]), float(z0)),
+        spacing=tuple(float(s) for s in cell_size),
+        dims=dims,
+        bearing=bearing,
+        rot_origin=(float(corner[0]), float(corner[1]), float(z0)),
+    )
+
+
 def grid_from_df_schema(df: DataFrame, cell_size=None, xyz=None) -> GridSchema:
     """Fit a grid over a scattered block table (``from_df``,
     ``pd_vtk.py:650-669``): dims = ceil(extent/size)+2 buffer cells,
