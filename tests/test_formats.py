@@ -1,0 +1,107 @@
+"""Format codecs: pure-struct Shapefile, pure-zlib PNG, Datamine grid
+schema — round-trip tests (the reference's own correctness strategy:
+same data through different formats, sample_data/README.md)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vtk_reserves_spark.sources.grid import grid_from_datamine
+from vtk_reserves_spark.sources.image import decode_png, encode_png, df_to_png, png_to_df
+from vtk_reserves_spark.sources.loaders import load_dataframe
+from vtk_reserves_spark.sources.shapefile import (
+    POINT,
+    POLYGON,
+    POLYLINE,
+    read_shp,
+    write_shp,
+)
+
+
+def test_shp_polyline_roundtrip(tmp_path, spark):
+    shapes = [
+        [[(0.0, 0.0), (10.0, 0.0), (10.0, 5.0)]],
+        [[(1.0, 1.0), (2.0, 2.0)], [(3.0, 3.0), (4.0, 4.0), (5.0, 3.0)]],
+    ]
+    p = str(tmp_path / "lines.shp")
+    write_shp(shapes, p, POLYLINE)
+    df = read_shp(spark, p)
+    rows = df.orderBy("oid", "part", "x").collect()
+    assert len(rows) == 8
+    assert {r["type"] for r in rows} == {POLYLINE}
+    assert {r["layer"] for r in rows} == {"lines"}
+    r1 = [r for r in rows if r["oid"] == 1]
+    assert {r["part"] for r in r1} == {0, 1}
+
+
+def test_shp_polygon_and_point_roundtrip(tmp_path, spark):
+    ring = [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]]
+    p = str(tmp_path / "poly.shp")
+    write_shp([ring], p, POLYGON)
+    assert read_shp(spark, p).count() == 5
+
+    pts = [(1.5, 2.5), (3.5, 4.5)]
+    p2 = str(tmp_path / "pts.shp")
+    write_shp(pts, p2, POINT)
+    got = sorted((r["x"], r["y"]) for r in read_shp(spark, p2).collect())
+    assert got == pts
+
+
+def test_shp_via_loader_dispatch(tmp_path, spark):
+    write_shp([(0.0, 0.0), (5.0, 5.0)], str(tmp_path / "a.shp"), POINT)
+    df = load_dataframe(spark, str(tmp_path / "a.shp"))
+    assert df.count() == 2
+    assert "layer" in df.columns
+
+
+def test_png_codec_roundtrip():
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+    grey = rng.randint(0, 256, size=(7, 5), dtype=np.uint8)
+    assert (decode_png(encode_png(grey))[:, :, 0] == grey).all()
+
+
+def test_png_pixel_table_roundtrip(tmp_path, spark):
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    p = str(tmp_path / "img.png")
+    with open(p, "wb") as fh:
+        fh.write(encode_png(img))
+    df = png_to_df(spark, p)
+    assert df.count() == 6 * 9
+    assert set(df.columns) == {"x", "y", "ch0", "ch1", "ch2"}
+    # mean of ch0 matches numpy
+    got = df.agg(F.avg("ch0")).collect()[0][0]
+    assert got == pytest.approx(img[:, :, 0].mean())
+    p2 = str(tmp_path / "img2.png")
+    df_to_png(df, p2)
+    with open(p2, "rb") as fh:
+        assert (decode_png(fh.read()) == img).all()
+
+
+def test_grid_from_datamine(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "XMORIG": [100.0] * 3,
+            "YMORIG": [200.0] * 3,
+            "ZMORIG": [0.0] * 3,
+            "XINC": [10.0] * 3,
+            "YINC": [10.0] * 3,
+            "ZINC": [5.0] * 3,
+            "NX": [30] * 3,
+            "NY": [20] * 3,
+            "NZ": [10] * 3,
+            "XC": [105.0, 115.0, 125.0],
+        }
+    )
+    gs = grid_from_datamine(spark.createDataFrame(pdf))
+    assert gs.origin == (100.0, 200.0, 0.0)
+    assert gs.spacing == (10.0, 10.0, 5.0)
+    assert gs.dims == (30, 20, 10)
+    with pytest.raises(ValueError, match="missing"):
+        grid_from_datamine(spark.createDataFrame(pdf[["XC"]]))

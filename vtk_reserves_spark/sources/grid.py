@@ -321,6 +321,25 @@ def detect_xyz(columns) -> list[str] | None:
     return None
 
 
+def grid_from_datamine(df: DataFrame) -> GridSchema:
+    """Grid schema from a Datamine-style block model table
+    (``vtk_dmbm_to_ug``, ``pd_vtk.py:287-315``): the first row's
+    ``XMORIG/YMORIG/ZMORIG`` (grid corner), ``XINC/YINC/ZINC`` (cell
+    size) and ``NX/NY/NZ`` (cell counts) describe the frame; cells are
+    then loaded with :func:`nearest_cell`."""
+    cols = {c.upper(): c for c in df.columns}
+    need = ["XMORIG", "YMORIG", "ZMORIG", "XINC", "YINC", "ZINC", "NX", "NY", "NZ"]
+    missing = [n for n in need if n not in cols]
+    if missing:
+        raise ValueError(f"not a Datamine block model: missing {missing}")
+    row = df.select(*[F.first(cols[n]).alias(n) for n in need]).first()
+    return GridSchema(
+        origin=(float(row["XMORIG"]), float(row["YMORIG"]), float(row["ZMORIG"])),
+        spacing=(float(row["XINC"]), float(row["YINC"]), float(row["ZINC"])),
+        dims=(int(row["NX"]), int(row["NY"]), int(row["NZ"])),
+    )
+
+
 def _convex_hull_2d(pts):
     """Andrew monotone-chain convex hull (numpy, driver/partition-side).
     Returns hull vertices in CCW order."""

@@ -124,6 +124,14 @@ def load_dataframe(
         from vtk_reserves_spark.sources.mesh import TriMesh
 
         df = TriMesh.from_vtk(df_path).to_exploded_df(spark)
+    elif ext == ".shp":
+        from vtk_reserves_spark.sources.shapefile import read_shp
+
+        df = read_shp(spark, df_path)
+    elif ext == ".png":
+        from vtk_reserves_spark.sources.image import png_to_df
+
+        df = png_to_df(spark, df_path)
     else:
         raise ValueError(f"unsupported input format: {ext!r} ({df_path})")
 
