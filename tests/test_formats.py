@@ -105,3 +105,63 @@ def test_grid_from_datamine(spark):
     assert gs.dims == (30, 20, 10)
     with pytest.raises(ValueError, match="missing"):
         grid_from_datamine(spark.createDataFrame(pdf[["XC"]]))
+
+
+def test_dxf_roundtrip(tmp_path, spark):
+    from vtk_reserves_spark.sources.dxf import read_dxf, write_dxf
+
+    polylines = [
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 5.0)],
+        [(1.0, 1.0), (2.0, 3.0)],
+    ]
+    p = str(tmp_path / "lines.dxf")
+    write_dxf(polylines, p, layer="L1")
+    df = read_dxf(spark, p)
+    rows = df.orderBy("oid", "n").collect()
+    assert len(rows) == 5
+    assert {r["type"] for r in rows} == {"LWPOLYLINE"}
+    assert {r["layer"] for r in rows} == {"L1"}
+    got0 = [(r["x"], r["y"]) for r in rows if r["oid"] == 0]
+    assert got0 == polylines[0]
+
+
+def test_geotiff_roundtrip_with_affine(tmp_path, spark):
+    from vtk_reserves_spark.sources.geotiff import (
+        decode_tiff,
+        df_to_geotiff,
+        encode_tiff,
+        geotiff_to_df,
+    )
+
+    rng = np.random.RandomState(3)
+    band = rng.rand(4, 6).astype(np.float32)
+    p = str(tmp_path / "r.tif")
+    with open(p, "wb") as fh:
+        fh.write(
+            encode_tiff(
+                band,
+                pixel_scale=(10.0, 10.0, 0.0),
+                tiepoint=(0.0, 0.0, 0.0, 500.0, 700.0, 0.0),
+            )
+        )
+    df = geotiff_to_df(spark, p)
+    assert df.count() == 24
+    r = df.where("xc = 0 AND yc = 0").collect()[0]
+    # top-left pixel center: x = 500 + 5, y = 700 - 5
+    assert r["x"] == pytest.approx(505.0)
+    assert r["y"] == pytest.approx(695.0)
+    assert r["ch0"] == pytest.approx(float(band[0, 0]))
+    p2 = str(tmp_path / "r2.tif")
+    df_to_geotiff(df, p2, pixel_scale=(10.0, 10.0, 0.0))
+    arr, scale, _ = decode_tiff(open(p2, "rb").read())
+    assert arr[:, :, 0] == pytest.approx(band)
+    assert scale[0] == 10.0
+
+
+def test_tiff_uint8_multiband_roundtrip():
+    from vtk_reserves_spark.sources.geotiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    arr, _, _ = decode_tiff(encode_tiff(img))
+    assert (arr == img).all()

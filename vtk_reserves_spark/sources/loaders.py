@@ -132,6 +132,14 @@ def load_dataframe(
         from vtk_reserves_spark.sources.image import png_to_df
 
         df = png_to_df(spark, df_path)
+    elif ext in (".tif", ".tiff"):
+        from vtk_reserves_spark.sources.geotiff import geotiff_to_df
+
+        df = geotiff_to_df(spark, df_path)
+    elif ext == ".dxf":
+        from vtk_reserves_spark.sources.dxf import read_dxf
+
+        df = read_dxf(spark, df_path)
     else:
         raise ValueError(f"unsupported input format: {ext!r} ({df_path})")
 
