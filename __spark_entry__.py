@@ -572,6 +572,16 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vtk_reserves_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=3, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     twin = emb.select(
@@ -857,6 +867,43 @@ def _llm_oracles() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
         """,
+        "similarity_ivf": """
+            WITH cent AS (
+              SELECT vec_id AS cid, embedding AS cvec
+              FROM embeddings WHERE vec_id < 16
+            ), corpus_assign AS (
+              SELECT vec_id AS neighbor_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding, c.cvec)
+                           DESC, c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cent c
+              ) WHERE rn = 1
+            ), qprobe AS (
+              SELECT vec_id AS query_id, cid FROM (
+                SELECT q.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(q.embedding, c.cvec)
+                           DESC, c.cid ASC) AS rn
+                FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5
+              ) WHERE rn <= 4
+            ), cand AS (
+              SELECT DISTINCT qp.query_id, ca.neighbor_id
+              FROM qprobe qp JOIN corpus_assign ca ON ca.cid = qp.cid
+              WHERE ca.neighbor_id != qp.query_id
+            ), scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     list_cosine_similarity(qe.embedding, ce.embedding) AS sim
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+            ), ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+        """,
         "embedding_near_dup": f"""
             WITH uni AS (
               SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
@@ -974,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,

@@ -248,3 +248,24 @@ def test_frame_sample(docs, spark, duck):
         """
     )
     assert_frames_match(out, oracle)
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF with full probing (n_probe = n_centroids) must equal the
+    exact brute-force ranking; partial probing keeps high top-1 recall."""
+    from vtk_reserves_spark.operators.similarity import cosine_topk, ivf_topk
+    from tests.conftest import TESTDATA
+
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    queries = emb.where("vec_id < 5")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(
+            emb, queries, k=3, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert full == exact

@@ -132,6 +132,85 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: the corpus is
+    partitioned into ``n_centroids`` Voronoi cells of a coarse quantizer;
+    each query scans only its ``n_probe`` nearest cells, cutting compared
+    pairs by ~n_centroids/n_probe while keeping high recall.
+
+    The quantizer here is deterministic — the first ``n_centroids``
+    corpus vectors — so the whole pipeline is reproducible and
+    SQL-expressible for the oracle.  A production index would plug
+    k-means centroids into the same plan (the assignment, probe and
+    rerank stages are identical; only the centroid relation changes).
+
+    Plan shape: centroids are a broadcast relation; corpus assignment is
+    one broadcast join + per-id argmax (window) -> ONE shuffle keyed by
+    corpus id, reusable across queries; probing joins the (tiny) query
+    probe list against the cell-keyed corpus; exact cosine reranks only
+    in-cell candidates."""
+    cent = (
+        corpus.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+
+    def assign(df: DataFrame, out_id: str, n_keep: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
+            .join(F.broadcast(cent))
+            .select(
+                out_id,
+                "cid",
+                cosine(F.col("_v"), F.col("cvec")).alias("_sim"),
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("_sim").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n_keep)
+            .select(out_id, "cid")
+        )
+
+    corpus_cells = assign(corpus, "neighbor_id", 1)
+    query_probes = assign(queries, "query_id", n_probe)
+    cand = (
+        F.broadcast(query_probes)
+        .join(corpus_cells, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec2"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec2")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
