@@ -165,3 +165,34 @@ def test_tiff_uint8_multiband_roundtrip():
     img = rng.randint(0, 256, size=(3, 4, 3), dtype=np.uint8)
     arr, _, _ = decode_tiff(encode_tiff(img))
     assert (arr == img).all()
+
+
+def test_xlsx_roundtrip(tmp_path):
+    import pandas as pd
+
+    from vtk_reserves_spark.sources.xlsx import read_xlsx_pdf, write_xlsx
+
+    t1 = pd.DataFrame({"region": ["a", "b"], "grade": [1.5, 2.5], "n": [3, 4]})
+    t2 = pd.DataFrame({"k": [True, False], "txt": ["x & <y>", ""]})
+    p = str(tmp_path / "r.xlsx")
+    write_xlsx({"report": t1, "extra": t2}, p)
+    back = read_xlsx_pdf(p, "report")
+    assert list(back.columns) == ["region", "grade", "n"]
+    assert back["grade"].tolist() == [1.5, 2.5]
+    back2 = read_xlsx_pdf(p, 1)
+    assert back2["k"].tolist() == [True, False]
+    assert back2["txt"].tolist()[0] == "x & <y>"
+
+
+def test_save_report_xlsx_and_loader(tmp_path, spark):
+    import pandas as pd
+
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+    from vtk_reserves_spark.sources.writers import save_report
+
+    df = spark.createDataFrame(pd.DataFrame({"a": [1.0, 2.0], "b": ["x", "y"]}))
+    p = str(tmp_path / "rep.xlsx")
+    save_report(df, p)
+    back = load_dataframe(spark, p)
+    assert back.count() == 2
+    assert set(back.columns) == {"a", "b"}

@@ -156,8 +156,14 @@ def load_dataframe(
 
 def _load_excel(spark: SparkSession, path: str, sheet: str | None) -> DataFrame:
     """Driver-side Excel read (report-sized inputs) -> distributed frame
-    (``_gui.py:227-228, 937-952``)."""
+    (``_gui.py:227-228, 937-952``).  Uses pandas+openpyxl when present,
+    else the built-in pure-zipfile reader."""
     import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet or 0)
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet or 0)
+    except ImportError:
+        from vtk_reserves_spark.sources.xlsx import read_xlsx_pdf
+
+        pdf = read_xlsx_pdf(path, sheet)
     return spark.createDataFrame(pdf)

@@ -46,10 +46,10 @@ def save_report(df: DataFrame, path: str | None) -> None:
         try:
             pdf.to_excel(path, index=False)
         except ImportError:
-            # openpyxl not in the container: fall back to csv next to it
-            fallback = os.path.splitext(path)[0] + ".csv"
-            print(f"excel writer unavailable; writing {fallback}", file=sys.stderr)
-            pdf.to_csv(fallback, index=False)
+            # openpyxl not in the container: use the built-in writer
+            from vtk_reserves_spark.sources.xlsx import write_xlsx
+
+            write_xlsx({"report": pdf}, path)
     elif ext == ".csv":
         try:
             pdf.to_csv(path, index=False, encoding="utf-8")
