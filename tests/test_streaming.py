@@ -121,3 +121,56 @@ def test_non_streamable_mode_raises(spark):
         windowed_breakdown(
             _events_stream(spark), "event_type;value=med,q2"
         )
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append mode + watermark across micro-batches: once the watermark
+    passes a window's end the window is emitted, its state evicted, and
+    later events for it are DROPPED (append's no-re-emission guarantee).
+    maxFilesPerTrigger=1 forces one micro-batch per file so the
+    watermark advances between them.  NB: a late-but-unreported window
+    (state still open) may still absorb late rows — the hard drop
+    guarantee starts at emission, hence the three-batch structure."""
+    import os
+    import time
+
+    import pandas as pd
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(name, minutes):
+        pdf = pd.DataFrame(
+            {
+                "ts": [t0 + pd.Timedelta(minutes=m) for m in minutes],
+                "v": [1.0] * len(minutes),
+            }
+        )
+        pdf.to_parquet(
+            f"{d}/{name}.parquet", coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    # batch 1: windows [0,10) and [50,60); watermark after = 55-5 = 50
+    write_batch("b1", [1, 2, 55])
+    time.sleep(1.05)  # distinct mtimes -> deterministic batch order
+    # batch 2: on-time event; batch runs with watermark 50 > 10, so
+    # window [0,10) is emitted (n=2) and its state evicted
+    write_batch("b2", [56])
+    time.sleep(1.05)
+    # batch 3: LATE event for the already-emitted window [0,10) -> drop
+    write_batch("b3", [3, 57])
+
+    sdf = read_stream(spark, d, max_files_per_trigger=1).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # NTZ parquet -> event-time LTZ
+    )
+    agg = windowed_breakdown(
+        sdf, "v=n,count", ts_col="ts", window="10 minutes", watermark="5 minutes"
+    )
+    got = run_available_now(agg, output_mode="append")
+    rows = {r["win_start"].minute: r["n"] for r in got.collect()}
+    # the late minute-3 event did not resurrect the closed window
+    assert rows[0] == 2
+    # window [50,60) never closes (final watermark 52 < 60): not emitted
+    assert 50 not in rows

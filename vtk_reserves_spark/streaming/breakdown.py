@@ -50,13 +50,20 @@ _STREAMABLE = {
 
 
 def read_stream(
-    spark, path: str, schema=None, fmt: str = "parquet"
+    spark,
+    path: str,
+    schema=None,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over ``path`` (a file, glob, or directory).
 
     Schema is mandatory for streaming file sources; when omitted it is
     probed with a one-off batch read of the same path (driver-side
-    metadata only — no data scan)."""
+    metadata only — no data scan).  ``max_files_per_trigger`` bounds
+    each micro-batch — with availableNow this splits a backlog into
+    several batches, letting the watermark advance BETWEEN batches
+    (late-data policy is only observable across batch boundaries)."""
     if schema is None:
         schema = spark.read.format(fmt).load(path).schema
     import os
@@ -67,7 +74,10 @@ def read_stream(
         # bracket the basename's first char to force glob resolution
         d, b = os.path.dirname(path), os.path.basename(path)
         path = os.path.join(d, f"[{b[0]}]{b[1:]}")
-    return spark.readStream.format(fmt).schema(schema).load(path)
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
 
 
 def _compile_streaming(sdf: DataFrame, template):
