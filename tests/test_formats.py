@@ -196,3 +196,32 @@ def test_save_report_xlsx_and_loader(tmp_path, spark):
     back = load_dataframe(spark, p)
     assert back.count() == 2
     assert set(back.columns) == {"a", "b"}
+
+
+def test_las_reader(tmp_path, spark):
+    from vtk_reserves_spark.sources.las import read_las
+
+    las = """~Version
+VERS.   2.0 : CWLS LAS 2.0
+WRAP.   NO  : one line per depth
+~Well
+NULL.   -999.25 : null value
+~Curve
+DEPT.M      : depth
+GR  .GAPI   : gamma ray
+RHOB.G/CM3  : density
+~ASCII
+100.0  55.5  2.30
+100.5  -999.25  2.35
+101.0  60.1  -999.25
+"""
+    p = str(tmp_path / "log.las")
+    with open(p, "w") as fh:
+        fh.write(las)
+    df = read_las(spark, p)
+    assert df.columns == ["DEPT", "GR", "RHOB"]
+    rows = df.orderBy("DEPT").collect()
+    assert len(rows) == 3
+    assert rows[1]["GR"] is None  # declared NULL masked
+    assert rows[2]["RHOB"] is None
+    assert rows[0]["GR"] == pytest.approx(55.5)

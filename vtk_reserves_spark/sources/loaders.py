@@ -140,6 +140,10 @@ def load_dataframe(
         from vtk_reserves_spark.sources.dxf import read_dxf
 
         df = read_dxf(spark, df_path)
+    elif ext == ".las":
+        from vtk_reserves_spark.sources.las import read_las
+
+        df = read_las(spark, df_path)
     else:
         raise ValueError(f"unsupported input format: {ext!r} ({df_path})")
 
