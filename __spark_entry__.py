@@ -636,7 +636,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
     agg = windowed_breakdown(ev, _EV_TEMPLATE, window="1 hour", watermark="1 hour")
-    return run_available_now(agg)
+    # 8 state partitions at bench scale (see q_stream_stateful_user)
+    return run_available_now(agg, shuffle_partitions=8)
 
 
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,7 +649,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         slide="1 hour",
         watermark="1 hour",
     )
-    return run_available_now(agg)
+    return run_available_now(agg, shuffle_partitions=8)
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,7 +660,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap="30 minutes",
         watermark="1 hour",
     )
-    return run_available_now(agg)
+    return run_available_now(agg, shuffle_partitions=8)
 
 
 def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
