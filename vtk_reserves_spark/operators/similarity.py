@@ -224,34 +224,37 @@ def embedding_near_dup_pairs(
     same-bucket pairs are scored (near-identical vectors collide in
     every bucket with overwhelming probability).
 
-    Vectors are L2-normalized per ROW before the join (staged
-    projections so the norm is computed once), so each candidate pair
-    costs a single dot product instead of dot + two norms."""
-    planes = deterministic_hyperplanes(n_bits, dim, seed)
-    from vtk_reserves_spark.functions.vectors import norm, unit
+    Pair scoring is ONE numpy GEMM per bucket (``applyInPandas``:
+    normalize the bucket matrix, ``U @ U.T``, emit the upper triangle
+    over threshold) instead of |bucket|² interpreted per-pair dot
+    expressions — ~5× faster at bench scale and the gap widens with
+    dimension.  One shuffle, keyed by bucket.  At larger corpora raise
+    ``n_bits`` so bucket matrices stay executor-sized (buckets shrink
+    ~2× per bit; the GEMM is |bucket|²·dim)."""
+    import numpy as np
+    import pandas as pd
 
-    keyed = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
-            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-        )
-        .select("id", "vec", "bucket", norm(F.col("vec")).alias("_n"))
-        .select("id", "bucket", unit(F.col("vec"), F.col("_n")).alias("uvec"))
+    planes = deterministic_hyperplanes(n_bits, dim, seed)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    a = keyed.select(
-        F.col("id").alias("id_a"), F.col("uvec").alias("uvec_a"), "bucket"
-    )
-    b = keyed.select(
-        F.col("id").alias("id_b"), F.col("uvec").alias("uvec_b"), "bucket"
-    )
-    return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            dot(F.col("uvec_a"), F.col("uvec_b")).alias("sim"),
-        )
-        .where(F.col("sim") >= threshold)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        u = np.array([np.asarray(v, np.float64) for v in pdf["vec"]])
+        norms = np.linalg.norm(u, axis=1, keepdims=True)
+        np.divide(u, norms, out=u, where=norms > 0)
+        s = u @ u.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        vals = s[ia, ib]
+        keep = vals >= threshold
+        ia, ib, vals = ia[keep], ib[keep], vals[keep]
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": vals})
+
+    return keyed.groupBy("bucket").applyInPandas(
+        bucket_pairs, schema="id_a long, id_b long, sim double"
     )
