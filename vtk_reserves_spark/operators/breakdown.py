@@ -181,6 +181,7 @@ def breakdown(df: DataFrame, template, sort: bool = True) -> DataFrame:
     plain: list[tuple[AggSpec, str]] = []  # (spec, internal name)
     majors: list[tuple[AggSpec, str]] = []
     wqs: dict[tuple[str, tuple[str, ...]], list[tuple[float, str]]] = {}
+    quants: dict[str, list[tuple[float, str]]] = {}  # var -> [(q, name)]
     order: list[str] = []  # internal output names in template order
     for i, spec in enumerate(plan.aggs):
         name = f"__a{i}"
@@ -195,6 +196,8 @@ def breakdown(df: DataFrame, template, sort: bool = True) -> DataFrame:
             )
         elif spec.is_major:
             majors.append((spec, name))
+        elif spec.percentile() is not None:
+            quants.setdefault(spec.var, []).append((spec.percentile(), name))
         else:
             plain.append((spec, name))
 
@@ -211,8 +214,25 @@ def breakdown(df: DataFrame, template, sort: bool = True) -> DataFrame:
                 raise ValueError(f"unsupported breakdown mode: {spec.mode!r}")
             agg_exprs.append(e.alias(name))
 
+    # all quantiles of one var share ONE percentile(col, array(...))
+    # aggregate — a single per-group value buffer + sort instead of one
+    # per requested quantile (pandas/np.percentile do the same)
+    quant_arrays: list[tuple[str, list[tuple[float, str]]]] = []
+    for var, q_outs in quants.items():
+        arr_name = f"__qa_{len(quant_arrays)}"
+        quant_arrays.append((arr_name, q_outs))
+        agg_exprs.append(
+            F.percentile(
+                nn(F.col(var)), F.array(*[F.lit(q) for q, _ in q_outs])
+            ).alias(arr_name)
+        )
+
     if agg_exprs:
         result = base.groupBy(*key_cols).agg(*agg_exprs)
+        for arr_name, q_outs in quant_arrays:
+            for idx, (_, name) in enumerate(q_outs):
+                result = result.withColumn(name, F.col(arr_name)[idx])
+            result = result.drop(arr_name)
     else:
         # keys-only template: distinct group list (reference emits blank
         # text columns, bm_breakdown.py:102-104 — we emit just the keys)
