@@ -241,3 +241,53 @@ def test_breakdown_zero_weight_group_null(spark):
     out = breakdown(df, "g;v=wm,mean,w").toPandas()
     # sum(weights)==0 -> NULL (bm_breakdown.py:225-227 guard)
     assert out["wm"].isna().all()
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @st.composite
+    def _wq_groups(draw):
+        """A handful of groups with tie-prone values and zero-prone
+        weights — the edges of the reference ECDF algorithm."""
+        n_groups = draw(st.integers(2, 4))
+        groups = []
+        for gi in range(n_groups):
+            n = draw(st.integers(1, 25))
+            vals = draw(
+                st.lists(st.integers(0, 9), min_size=n, max_size=n)
+            )
+            wts = draw(
+                st.lists(st.integers(0, 4), min_size=n, max_size=n)
+            )
+            groups.append((f"g{gi}", [float(v) for v in vals], [float(w) for w in wts]))
+        return groups
+
+    @settings(max_examples=8, deadline=None)
+    @given(_wq_groups())
+    def test_weighted_quantile_property_vs_reference(spark, groups):
+        """Property: for arbitrary tie-heavy values and zero-heavy
+        weights, the window-function lowering reproduces the reference
+        ECDF algorithm (quirks included) in every group."""
+        rows = [
+            (g, v, w) for g, vals, wts in groups for v, w in zip(vals, wts)
+        ]
+        pdf = pd.DataFrame(rows, columns=["g", "v", "w"])
+        out = breakdown(spark.createDataFrame(pdf), "g;v=wq2,q2,w").toPandas()
+        got = dict(zip(out["g"], out["wq2"]))
+        for g, vals, wts in groups:
+            expect = _ref_weighted_quantile(vals, wts, 0.5)
+            if expect is None or np.isnan(expect):
+                assert got[g] is None or np.isnan(got[g]), g
+            else:
+                assert got[g] == pytest.approx(expect, rel=1e-9, abs=1e-9), (
+                    g, vals, wts, got[g], expect,
+                )

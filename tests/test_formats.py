@@ -225,3 +225,16 @@ RHOB.G/CM3  : density
     assert rows[1]["GR"] is None  # declared NULL masked
     assert rows[2]["RHOB"] is None
     assert rows[0]["GR"] == pytest.approx(55.5)
+
+
+def test_concat_blocks(spark):
+    import pandas as pd
+
+    from vtk_reserves_spark.sources.grid import concat_blocks
+
+    a = spark.createDataFrame(pd.DataFrame({"x": [1.0], "g": [5.0]}))
+    b = spark.createDataFrame(pd.DataFrame({"x": [2.0], "h": ["s"]}))
+    out = concat_blocks([a, b])
+    rows = {r["block"]: r for r in out.collect()}
+    assert rows[0]["g"] == 5.0 and rows[0]["h"] is None
+    assert rows[1]["h"] == "s" and rows[1]["g"] is None

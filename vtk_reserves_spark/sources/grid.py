@@ -321,6 +321,22 @@ def detect_xyz(columns) -> list[str] | None:
     return None
 
 
+def concat_blocks(dfs: list[DataFrame], block_col: str = "block") -> DataFrame:
+    """Multiblock concat (``vtk_mesh_to_df`` multiblock path,
+    ``pd_vtk.py:405-418``): union the per-block tables with a block-id
+    column; missing columns null-fill (``unionByName`` with
+    allowMissingColumns, the Spark analogue of pandas concat)."""
+    out = None
+    for i, df in enumerate(dfs):
+        tagged = df.withColumn(block_col, F.lit(i))
+        out = tagged if out is None else out.unionByName(
+            tagged, allowMissingColumns=True
+        )
+    if out is None:
+        raise ValueError("concat_blocks: no inputs")
+    return out
+
+
 def grid_from_datamine(df: DataFrame) -> GridSchema:
     """Grid schema from a Datamine-style block model table
     (``vtk_dmbm_to_ug``, ``pd_vtk.py:287-315``): the first row's
