@@ -31,6 +31,35 @@ def save_table(df: DataFrame, path: str, fmt: str | None = None, mode: str = "ov
         raise ValueError(f"unsupported table output format: {ext!r}")
 
 
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols,
+    n_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted parquet table for co-located joins: two tables
+    bucketed the same way join WITHOUT a shuffle (the per-bucket files
+    are already hash-partitioned and sorted on the key), which at 100 TB
+    turns the dominant join cost into a streaming merge per bucket.
+
+    Registers ``table`` in the session catalog (bucket metadata lives
+    there, not in the parquet footers); ``path`` overrides the warehouse
+    location."""
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def save_report(df: DataFrame, path: str | None) -> None:
     """Small-result single-file writer. ``path`` empty -> print to stdout
     (reference ``vtk_reserves.py:125-128``)."""
