@@ -432,7 +432,8 @@ from vtk_reserves_spark.operators import multimodal as MM
 from vtk_reserves_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
-    minhash_signature,
+    minhash_signature,  # noqa: F401 — re-exported convenience form
+    with_minhash,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -451,11 +452,20 @@ _TOKS_SQL = (
 _RAW_TOKS_SQL = r"list_filter(string_split_regex(trim({c}), '\s+'), w -> w != '')"
 
 
+def _perm_ab(s: int, seed: str = "mh") -> tuple[int, int]:
+    """The (a, b) constants of MinHash permutation ``s`` — same literals
+    the Spark expression inlines (dedup.minhash_perm_consts)."""
+    from vtk_reserves_spark.operators.dedup import minhash_perm_consts
+
+    return minhash_perm_consts(s + 1, seed)[s]
+
+
 def _sig_sql(col: str, s: int, seed: str = "mh") -> str:
     toks = f"list_distinct({_TOKS_SQL.format(c=col)})"
+    a, b = _perm_ab(s, seed)
     return (
         f"list_min(list_transform({toks}, "
-        f"w -> ('0x' || substr(md5('{seed}{s}_' || w), 1, 8))::BIGINT))"
+        f"w -> ({a} * ('0x' || substr(md5(w), 1, 8))::BIGINT + {b}) % 4294967311))"
     )
 
 
@@ -474,9 +484,10 @@ def _shingle_sql(tvar: str, n: int = 3) -> str:
 
 def _sig_over_sql(grams_var: str, s: int, seed: str = "mh") -> str:
     """MinHash signature element over a precomputed gram-list column."""
+    a, b = _perm_ab(s, seed)
     return (
         f"list_min(list_transform({grams_var}, "
-        f"w -> ('0x' || substr(md5('{seed}{s}_' || w), 1, 8))::BIGINT))"
+        f"w -> ({a} * ('0x' || substr(md5(w), 1, 8))::BIGINT + {b}) % 4294967311))"
     )
 
 
@@ -509,8 +520,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
-    sig = minhash_signature(F.col("text"), k=4)
-    return docs.select(
+    sig = F.col("minhash")
+    return with_minhash(docs.select("doc_id", "text"), "text", k=4).select(
         "doc_id",
         sig[0].alias("s0"),
         sig[1].alias("s1"),

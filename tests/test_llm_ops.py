@@ -81,9 +81,13 @@ def test_minhash_signature_matches_oracle(docs, duck):
         r"regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), "
         r"'\s+', ' ', 'g')), '\s+'), w -> w != ''))"
     )
+    from vtk_reserves_spark.operators.dedup import minhash_perm_consts
+
+    consts = minhash_perm_consts(4, "mh")
     sig = lambda s: (
         f"list_min(list_transform({norm}, "
-        f"w -> ('0x' || substr(md5('mh{s}_' || w), 1, 8))::BIGINT))"
+        f"w -> ({consts[s][0]} * ('0x' || substr(md5(w), 1, 8))::BIGINT "
+        f"+ {consts[s][1]}) % 4294967311))"
     )
     oracle = duck.sql(
         f"SELECT doc_id, {sig(0)} AS s0, {sig(1)} AS s1, "

@@ -62,18 +62,63 @@ def _token_set(text: Column, ngrams: int) -> Column:
     return F.array_distinct(tokens(normalize_text(text)))
 
 
+#: MinHash permutation modulus: smallest prime > 2^32, so (a·h+b) mod P
+#: is a universal hash over the 32-bit base-hash domain and a·h < 2^62
+#: never overflows a signed 64-bit integer (a < 2^31, h < 2^32).
+MINHASH_P = 4294967311
+
+
+def minhash_perm_consts(k: int, seed: str) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the k MinHash permutations,
+    derived from md5 of the seed at plan-build time — the same literals
+    are inlined into the Spark expression and the SQL oracle, so both
+    engines compute identical signatures with zero runtime seed-hashing."""
+    import hashlib
+
+    out = []
+    for s in range(k):
+        a = int(hashlib.md5(f"{seed}a{s}".encode()).hexdigest()[:8], 16)
+        b = int(hashlib.md5(f"{seed}b{s}".encode()).hexdigest()[:8], 16)
+        out.append((a % (2**31 - 1) + 1, b % MINHASH_P))
+    return out
+
+
+def _base_hash(word: Column) -> Column:
+    """32-bit base hash of an item: first 8 hex digits of md5(item).
+    md5 so the SQL oracle reproduces it exactly."""
+    return F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("long")
+
+
+def _perm_lambda(a: int, b: int):
+    # NB: the lambda must take exactly one arg — F.transform treats a
+    # second parameter as the element index
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def _sig_of_hashes(hashes: Column, k: int, seed: str) -> Column:
+    """k-permutation MinHash signature over a MATERIALIZED base-hash
+    array column: k passes of cheap arithmetic min — no digests here.
+    ``hashes`` must be a bound attribute (its own projection), else each
+    of the k passes re-evaluates the upstream md5 transform."""
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, _perm_lambda(a, b)))
+            for a, b in minhash_perm_consts(k, seed)
+        ]
+    )
+
+
 def _sig_of_items(items: Column, k: int, seed: str) -> Column:
     """k-permutation MinHash signature over an item-array column.
-    ``items`` should be a materialized column (see minhash_lsh_pairs):
-    each of the k transforms re-reads the array but hashes each item
-    exactly once."""
 
-    def one_sig(s: int) -> Column:
-        # NB: the lambda must take exactly one arg — F.transform treats a
-        # second parameter as the element index
-        return F.array_min(F.transform(items, lambda w: _word_hash(w, f"{seed}{s}")))
-
-    return F.array(*[one_sig(s) for s in range(k)])
+    One md5 per item (the base hash), then k arithmetic permutations
+    (a·h + b) mod P — k× fewer digest computations than hashing every
+    item under every seed, with the same collision semantics (each
+    permutation is a universal hash of the base).  Single-expression
+    convenience form: the base-hash pass is evaluated k times (once per
+    outer transform); hot paths stage the base array in its own
+    projection and use ``_sig_of_hashes`` (see minhash_lsh_pairs)."""
+    return _sig_of_hashes(F.transform(items, _base_hash), k, seed)
 
 
 def minhash_signature(
@@ -88,9 +133,22 @@ def minhash_signature(
 
 
 def with_minhash(
-    df: DataFrame, text_col: str, k: int = 8, seed: str = "mh", out_col: str = "minhash"
+    df: DataFrame,
+    text_col: str,
+    k: int = 8,
+    seed: str = "mh",
+    out_col: str = "minhash",
+    ngrams: int = 1,
 ) -> DataFrame:
-    return df.withColumn(out_col, minhash_signature(F.col(text_col), k, seed))
+    """Staged signature computation (the hot-path form): item set and
+    base-hash array each get their own projection, so the md5 pass runs
+    once per row and the k permutation passes are pure arithmetic."""
+    staged = df.withColumn(
+        "_mh_h", F.transform(_token_set(F.col(text_col), ngrams), _base_hash)
+    )
+    return staged.withColumn(out_col, _sig_of_hashes(F.col("_mh_h"), k, seed)).drop(
+        "_mh_h"
+    )
 
 
 def minhash_lsh_pairs(
@@ -130,8 +188,11 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("doc"),
             F.array_distinct(tokens(normalize_text(F.col(text_col)))).alias("_items"),
         )
-    sig_df = items_df.select(
-        "doc", _sig_of_items(F.col("_items"), k, seed).alias("_sig")
+    hash_df = items_df.select(
+        "doc", F.transform(F.col("_items"), _base_hash).alias("_h")
+    )
+    sig_df = hash_df.select(
+        "doc", _sig_of_hashes(F.col("_h"), k, seed).alias("_sig")
     )
     # band structs built by unrolled F.array (bands textual refs to _sig,
     # not a transform lambda) — keeps _sig materialized, no per-band re-eval
