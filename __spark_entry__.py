@@ -436,6 +436,7 @@ from vtk_reserves_spark.operators.dedup import (
     with_minhash,
     ngram_jaccard_pairs,
     simhash,
+    winnow_fingerprints,
 )
 from vtk_reserves_spark.operators.similarity import (
     cosine_topk,
@@ -538,6 +539,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     both = docs.unionByName(_mutated(docs))
     return minhash_lsh_pairs(both, "doc_id", "text", k=8, bands=4, ngrams=3)
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing/MOSS) document fingerprints: distinct
+    window-minimum gram hashes per document — detects partial/local
+    overlap between documents."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # testdata is one small parquet file = one input split; spread the
+    # hash-heavy pipeline across cores (at scale the input arrives in
+    # many splits and this shuffle is unnecessary — keep it query-side)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return winnow_fingerprints(docs, "doc_id", "text", ngrams=3, window=4)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,6 +821,31 @@ def _llm_oracles() -> dict[str, str]:
                     / (len(ga.grams) + len(gb.grams)
                        - len(list_intersect(ga.grams, gb.grams))) >= 0.5
         """,
+        "winnow_fingerprint": f"""
+            WITH t AS (
+              SELECT doc_id, {toks} AS t FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE [array_to_string(t, ' ')] END AS g
+              FROM t
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(g, w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS h
+              FROM g
+            ), f AS (
+              SELECT doc_id,
+                     CASE WHEN len(h) - 3 > 0 THEN
+                       list_distinct(list_transform(range(1, len(h) - 2),
+                                                    i -> list_min(h[i:i+3])))
+                     ELSE [list_min(h)] END AS fps
+              FROM h
+            )
+            SELECT DISTINCT doc_id, fp
+            FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
+        """,
         "text_stats": f"""
             SELECT doc_id,
                    len({raw_toks}) AS n_tokens,
@@ -1029,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "similarity_topk": q_similarity_topk,

@@ -18,6 +18,7 @@ from vtk_reserves_spark.operators.dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
+    winnow_fingerprints,
     with_minhash,
 )
 from vtk_reserves_spark.operators.similarity import cosine_topk, lsh_topk
@@ -120,6 +121,38 @@ def test_exact_dedup_finds_synthesized_dups(docs, spark):
     pdf = out.toPandas()
     assert (pdf.n_dups == 2).all()
     assert (pdf.keep_id < 100000).all()  # min id survives
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # winnowing guarantee: two docs sharing a run of window+ngrams-1 = 6
+    # words must share at least one fingerprint; disjoint docs share none
+    common = "alpha bravo charlie delta echo foxtrot"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one two {common} tail xx yy zz"),
+            (2, f"other start {common} ending aa bb cc"),
+            (3, "totally different words nothing matches here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", ngrams=3, window=4).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in fps.groupby("doc_id")}
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text").toPandas()
+    # every doc still emits exactly one fingerprint (whole-text fallback)
+    assert fps.groupby("doc_id").size().to_dict() == {1: 1, 2: 1, 3: 1}
+    # the two effectively-empty docs agree
+    e2 = fps[fps.doc_id == 2].fp.iloc[0]
+    e3 = fps[fps.doc_id == 3].fp.iloc[0]
+    assert e2 == e3
 
 
 def test_minhash_lsh_finds_near_dups(docs, spark):

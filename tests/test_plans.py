@@ -80,3 +80,15 @@ def test_minhash_lsh_linear_shuffles(spark):
     assert len(exchanges) <= 3
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_winnow_single_hash_pass(spark):
+    # InferFiltersFromGenerate + predicate pushdown once re-inlined the
+    # whole token->gram->hash->window pipeline into a per-row filter
+    # predicate (unrunnable at sf0.1); explode_outer keeps the staging.
+    # One md5 transform and one tokenizing split in the whole plan.
+    import re
+
+    plan = _plan(entry.q_winnow_fingerprint(spark, TESTDATA))
+    assert len(re.findall(r"md5", plan)) == 1
+    assert len(re.findall(r"split\(", plan)) == 1

@@ -133,10 +133,18 @@ def shingles_of_tokens(t: Column, n: int = 3) -> Column:
     """Distinct word n-grams over a (preferably materialized) token
     array column — per-element work is then just an O(n) slice."""
     k = F.size(t) - (n - 1)
-    grams = F.transform(
+    return F.when(k > 0, F.array_distinct(ordered_shingles_of_tokens(t, n))).otherwise(
+        F.array(F.array_join(t, " "))
+    )
+
+
+def ordered_shingles_of_tokens(t: Column, n: int = 3) -> Column:
+    """Word n-grams over a token array IN DOCUMENT ORDER, duplicates
+    kept — the form positional algorithms (winnowing) need.  Empty when
+    the document has fewer than ``n`` tokens; callers handle short-text
+    fallback themselves."""
+    k = F.size(t) - (n - 1)
+    return F.transform(
         F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
         lambda i: F.array_join(F.slice(t, i + 1, n), " "),
-    )
-    return F.when(k > 0, F.array_distinct(grams)).otherwise(
-        F.array(F.array_join(t, " "))
     )

@@ -236,6 +236,73 @@ def minhash_lsh_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngrams: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm): hash the word
+    ``ngrams``-grams in document order, slide a ``window`` over the hash
+    sequence, keep the minimum of each window, return the distinct
+    selected hashes as (id, fp) rows.
+
+    Guarantees: any shared run of ``window + ngrams - 1`` words between
+    two documents contributes at least one identical fingerprint, so
+    fingerprint overlap detects partial/local duplication that whole-doc
+    hashes (``functions.text.fingerprint``) miss and set-level MinHash
+    only sees proportionally.
+
+    Plan shape (same staging discipline as minhash_lsh_pairs — each
+    expensive array is its own projection): tokens → ordered gram
+    hashes (one md5 per gram) → window minima (pure arithmetic) →
+    explode distinct.  Per-row work is O(tokens · window); no shuffle
+    until the final distinct, which is one hash aggregation on (id, fp)
+    — linear in the corpus at any scale.  Short documents (< window
+    grams) fall back to the global minimum hash; empty token lists hash
+    the empty string."""
+    from vtk_reserves_spark.functions.text import ordered_shingles_of_tokens
+
+    tok_df = df.select(
+        F.col(id_col).alias("doc"),
+        tokens(normalize_text(F.col(text_col))).alias("_t"),
+    )
+    gram_df = tok_df.select(
+        "doc",
+        F.when(
+            F.size("_t") >= ngrams,
+            ordered_shingles_of_tokens(F.col("_t"), ngrams),
+        )
+        .otherwise(F.array(F.array_join(F.col("_t"), " ")))
+        .alias("_g"),
+    )
+    hash_df = gram_df.select(
+        "doc", F.transform(F.col("_g"), _base_hash).alias("_h")
+    )
+    nwin = F.size("_h") - (window - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(nwin, F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("_h"), i, window)),
+    )
+    fp_df = hash_df.select(
+        "doc",
+        F.when(nwin > 0, F.array_distinct(wins))
+        .otherwise(F.array(F.array_min(F.col("_h"))))
+        .alias("_fps"),
+    )
+    # explode_outer, not explode: Catalyst infers a `size(_fps) > 0`
+    # filter under a non-outer Generate and pushes it below the staged
+    # projections, re-inlining the whole token→gram→hash→window pipeline
+    # into one interpreted predicate per row (measured: unrunnable at
+    # sf0.1).  `_fps` is never empty (short-text fallback), so the outer
+    # variant is semantically identical and keeps the staging intact.
+    return fp_df.select(
+        F.col("doc").alias(id_col), F.explode_outer("_fps").alias("fp")
+    ).distinct()
+
+
 def simhash(text: Column, bits: int = 16, seed: str = "sh") -> Column:
     """SimHash of the token multiset: bit b of the result is 1 iff more
     word-hashes have bit b set than unset.
