@@ -622,6 +622,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(payloads, fake=True).select("doc_id", "width", "height")
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize plumbing to a 16x16 sample grid (stubbed
+    codec, real mapInPandas batch shape)."""
+    docs = _read(spark, sf_dir, "documents")
+    payloads = MM.attach_payload(docs)
+    return MM.resize_media(payloads, out_w=16, out_h=16, fake=True)
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return MM.frame_sample(MM.attach_payload(docs), every_n_bytes=40)
@@ -974,6 +982,21 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(octet_length(encode(text)) % 480 AS INT) AS height
             FROM documents
         """,
+        "multimodal_resize": """
+            -- payloads are the utf-8 text bytes and the corpus is pure
+            -- ASCII (verified octet_length == length), so character
+            -- indexing equals byte indexing; sample i reads input byte
+            -- (i*n)//m, m = 16*16, matching the Spark-side numpy fake
+            SELECT doc_id,
+                   CAST(16 AS INT) AS out_w,
+                   CAST(16 AS INT) AS out_h,
+                   CAST(256 AS BIGINT) AS n_bytes,
+                   CASE WHEN length(text) = 0 THEN NULL ELSE
+                     list_avg(list_transform(range(0, 256),
+                       i -> ord(substring(text, CAST(1 + (i * length(text)) // 256 AS BIGINT), 1))))
+                   END AS mean_byte
+            FROM documents
+        """,
         "frame_sample": """
             SELECT doc_id,
                    CAST(u.f AS INT) AS frame_idx,
@@ -1075,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "frame_sample": q_frame_sample,
         "rotated_grid": q_rotated_grid,
         "grade_shells": q_grade_shells,

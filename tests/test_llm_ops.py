@@ -123,6 +123,31 @@ def test_exact_dedup_finds_synthesized_dups(docs, spark):
     assert (pdf.keep_id < 100000).all()  # min id survives
 
 
+def test_resize_media_nearest_neighbor_math(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    out = (
+        MM.resize_media(MM.attach_payload(df), out_w=2, out_h=2, fake=True)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # doc 1: n=8, m=4 -> indices (i*8)//4 = 0,2,4,6 -> bytes a,c,e,g
+    expect1 = np.mean([ord(c) for c in "aceg"])
+    assert out.loc[1, "mean_byte"] == pytest.approx(expect1)
+    assert (out.loc[1, ["out_w", "out_h", "n_bytes"]] == [2, 2, 4]).all()
+    # doc 2: single byte replicated to all 4 samples
+    assert out.loc[2, "mean_byte"] == pytest.approx(ord("x"))
+    # doc 3: empty payload -> NULL mean
+    assert pd.isna(out.loc[3, "mean_byte"])
+
+
+def test_resize_media_real_codec_gated(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        MM.resize_media(MM.attach_payload(df), 4, 4, fake=False)
+
+
 def test_winnow_shared_run_guarantee(spark):
     # winnowing guarantee: two docs sharing a run of window+ngrams-1 = 6
     # words must share at least one fingerprint; disjoint docs share none

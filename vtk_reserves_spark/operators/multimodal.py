@@ -99,6 +99,64 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, out_w: int, out_h: int, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing over (doc_id, payload, meta): Arrow-batched
+    mapInPandas, bytes stay executor-side, output is the resized
+    geometry plus a checkable reduction of the resampled bytes.
+
+    The codec step is STUBBED (no imaging libs in this container): the
+    deterministic fake is nearest-neighbor resampling of the raw byte
+    stream to out_w·out_h samples — sample i reads input byte
+    ``(i·n) // m`` (m = out_w·out_h), the same index math a real
+    nearest-neighbor image resize applies per axis.  A real
+    decode→resize→encode chain slots into the same batch loop and
+    schema.  ``fake=False`` raises like :func:`decode_media`."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not available in this "
+            "container; pass fake=True for the deterministic stand-in"
+        )
+    import numpy as np
+
+    m = out_w * out_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means: list[float | None] = []
+            for p in pdf["payload"]:
+                b = np.frombuffer(p, dtype=np.uint8)
+                n = b.size
+                if n == 0:
+                    means.append(None)
+                    continue
+                idx = (np.arange(m, dtype=np.int64) * n) // m
+                means.append(float(b[idx].mean()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "n_bytes": m,
+                    "mean_byte": means,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 40) -> DataFrame:
     """Frame sampling plumbing: derive a frame count from the payload
     size and explode one row per sampled frame with its byte offset —
