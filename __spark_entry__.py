@@ -316,6 +316,30 @@ def q_proportional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("vol_frac") > 0)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click/view event picks up
+    the same user's most recent purchase at or before its event time —
+    one shuffle on user_id, no range-join pair explosion."""
+    from vtk_reserves_spark.operators.asof import asof_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    left = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(left, right, on="ts", by="user_id").select(
+        "event_id", "user_id", "ts", "value", "purchase_event_id", "purchase_value"
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function coverage over the events props JSON column:
     get_json_object + cast + conditional aggregation."""
@@ -1105,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mesh_faces": q_mesh_faces,
         "mesh_explode_roundtrip": q_mesh_explode_roundtrip,
         "proportional_volume": q_proportional_volume,
+        "asof_join": q_asof_join,
         "events_json": q_events_json,
         "stream_tumbling": q_stream_tumbling,
         "stream_sliding": q_stream_sliding,
@@ -1211,6 +1236,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mesh_explode_roundtrip": f"""
             SELECT x, y, z, n, node, face FROM {_mesh_values_sql()}
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.event_id AS purchase_event_id,
+                   r.value AS purchase_value
+            FROM (SELECT * FROM events
+                  WHERE event_type IN ('click', 'view')) l
+            ASOF LEFT JOIN (SELECT * FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_json": """
             SELECT event_type, COUNT(*) AS n,
