@@ -340,6 +340,30 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/asof.py): every error event inside
+    the 10-minute window after a click by the same user — equi-join on
+    (user, time-bucket) + exact range filter, never a nested loop."""
+    from vtk_reserves_spark.operators.asof import range_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts"
+    )
+    return range_join(
+        errors, clicks, on="ts", lo="lo", hi="hi", by="user_id", bucket=600.0
+    ).select("click_id", "error_id", "user_id", "ts")
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function coverage over the events props JSON column:
     get_json_object + cast + conditional aggregation."""
@@ -1130,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mesh_explode_roundtrip": q_mesh_explode_roundtrip,
         "proportional_volume": q_proportional_volume,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "events_json": q_events_json,
         "stream_tumbling": q_stream_tumbling,
         "stream_sliding": q_stream_sliding,
@@ -1246,6 +1271,17 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM events
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            SELECT c.event_id AS click_id,
+                   e.event_id AS error_id,
+                   e.user_id,
+                   e.ts
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id
+             AND c.ts <= e.ts
+             AND e.ts < c.ts + INTERVAL '10 minutes'
         """,
         "events_json": """
             SELECT event_type, COUNT(*) AS n,

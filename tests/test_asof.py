@@ -107,3 +107,58 @@ def test_single_shuffle_plan(trades, quotes):
     # nested-loop/cartesian fallback
     assert plan.count("Exchange hashpartitioning") == 1
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ---------------------------------------------------------------------------
+# range_join
+# ---------------------------------------------------------------------------
+
+def test_range_join_overlapping_intervals(spark):
+    from vtk_reserves_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 5.0, "p1"), (1, 10.0, "p2"), (1, 25.0, "p3"), (2, 5.0, "p4")],
+        "k long, t double, tag string",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, 0.0, 10.0, "A"),    # p1 in; p2 out (hi exclusive)
+            (1, 4.0, 26.0, "B"),    # p1, p2, p3 (overlaps A)
+            (1, 30.0, 40.0, "C"),   # empty
+            (2, 0.0, 10.0, "D"),    # p4
+        ],
+        "k long, lo double, hi double, name string",
+    )
+    out = range_join(pts, iv, on="t", lo="lo", hi="hi", by="k", bucket=7.0)
+    got = {(r.tag, r.name) for r in out.collect()}
+    assert got == {("p1", "A"), ("p1", "B"), ("p2", "B"), ("p3", "B"), ("p4", "D")}
+
+
+def test_range_join_duckdb_parity(spark, duck):
+    from vtk_reserves_spark.operators.asof import range_join
+
+    pts = spark.range(0, 200).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 1.37 % 50).alias("t")
+    )
+    iv = spark.range(0, 40).select(
+        (F.col("id") % 3).alias("k"),
+        (F.col("id") * 2.11 % 45).alias("lo"),
+        ((F.col("id") * 2.11 % 45) + 4.0).alias("hi"),
+    )
+    duck.register("rj_pts", pts.toPandas())
+    duck.register("rj_iv", iv.toPandas())
+    oracle = duck.sql(
+        "SELECT p.k, p.t, i.lo, i.hi FROM rj_pts p JOIN rj_iv i "
+        "ON p.k = i.k AND i.lo <= p.t AND p.t < i.hi"
+    )
+    out = range_join(pts, iv, on="t", lo="lo", hi="hi", by="k", bucket=5.0)
+    assert_frames_match(out.select("k", "t", "lo", "hi"), oracle)
+
+
+def test_range_join_no_nested_loop(spark):
+    from vtk_reserves_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame([(1, 5.0)], "k long, t double")
+    iv = spark.createDataFrame([(1, 0.0, 10.0)], "k long, lo double, hi double")
+    plan = range_join(pts, iv, on="t", lo="lo", hi="hi", by="k")._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

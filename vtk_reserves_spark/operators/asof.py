@@ -102,3 +102,54 @@ def asof_join(
     else:
         out = out.select(*by, "_t", *lcols, *payload)
     return out.withColumnRenamed("_t", on)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    lo: str,
+    hi: str,
+    by: list[str] | str | None = None,
+    bucket: float = 3600.0,
+) -> DataFrame:
+    """Inner join of point rows to every interval row containing them:
+    ``lo <= point < hi`` (plus equality on ``by`` keys).
+
+    Spark plans a raw inequality join as a (broadcast) nested loop —
+    O(|P|·|I|) per key.  Instead both sides are mapped to time buckets
+    of ``bucket`` width (seconds for timestamp columns, plain units for
+    numerics): each interval explodes to the buckets it spans, each
+    point to exactly one, and a bucket equi-join + exact range filter
+    yields the pairs.  Cost: one shuffle per side, candidate pairs
+    bounded by per-bucket co-location, and no duplicates by
+    construction (a point lives in one bucket).  Pick ``bucket`` near
+    the typical interval length: explode factor is
+    ``(hi-lo)/bucket + 1`` per interval row.
+    """
+    from pyspark.sql import types as T
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    clash = set(points.columns) & {c for c in intervals.columns if c not in by}
+    if clash:
+        raise ValueError(f"interval columns collide with point side: {sorted(clash)}")
+
+    def to_num(df: DataFrame, col: str):
+        if isinstance(df.schema[col].dataType, T.TimestampType):
+            return F.unix_micros(F.col(col)) / 1_000_000.0
+        return F.col(col).cast("double")
+
+    p2 = points.withColumn("_b", F.floor(to_num(points, on) / bucket))
+    i2 = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(to_num(intervals, lo) / bucket),
+                F.floor(to_num(intervals, hi) / bucket),
+            )
+        ),
+    )
+    joined = p2.join(i2, [*by, "_b"]).where(
+        (F.col(lo) <= F.col(on)) & (F.col(on) < F.col(hi))
+    )
+    return joined.drop("_b")
