@@ -364,6 +364,28 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "error_id", "user_id", "ts")
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: event counts and value
+    sums at (day, hour), (day), and grand-total levels in ONE pass —
+    Spark's native ``rollup`` (grouping sets), a single shuffle with
+    partial aggregation; reference has no grouping-sets analog
+    (SURVEY §2.7)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.grouping_id().alias("lvl"),
+        )
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function coverage over the events props JSON column:
     get_json_object + cast + conditional aggregation."""
@@ -1155,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proportional_volume": q_proportional_volume,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
         "events_json": q_events_json,
         "stream_tumbling": q_stream_tumbling,
         "stream_sliding": q_stream_sliding,
@@ -1282,6 +1305,18 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = c.user_id
              AND c.ts <= e.ts
              AND e.ts < c.ts + INTERVAL '10 minutes'
+        """,
+        "time_rollup": """
+            -- DuckDB date_trunc('day') yields DATE; Spark yields
+            -- TIMESTAMP — align the types for the hash compare
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n_events,
+                   SUM(value) AS sum_value,
+                   GROUPING(date_trunc('day', ts)) * 2
+                     + GROUPING(date_trunc('hour', ts)) AS lvl
+            FROM events
+            GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
         """,
         "events_json": """
             SELECT event_type, COUNT(*) AS n,
