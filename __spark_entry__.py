@@ -635,6 +635,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(both, "doc_id", "text", n=2, threshold=0.5, blocking=blocking)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed) top-3 terms per document — explode once,
+    broadcast the tiny term->IDF map, one keyed window for top-k."""
+    from vtk_reserves_spark.operators.terms import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, "doc_id", "text", top_k=3)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     t = F.col("text")
@@ -924,6 +933,27 @@ def _llm_oracles() -> dict[str, str]:
             SELECT DISTINCT doc_id, fp
             FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
         """,
+        "tfidf_top_terms": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({toks}) AS term FROM documents
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+            ), dfq AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS dft FROM tok GROUP BY term
+            ), n AS (
+              SELECT COUNT(*) AS nn FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * (ln((n.nn + 1.0) / (dfq.dft + 1.0)) + 1.0) AS score
+              FROM tf JOIN dfq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, score, CAST(rank AS INT) AS rank FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC
+              ) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
         "text_stats": f"""
             SELECT doc_id,
                    len({raw_toks}) AS n_tokens,
@@ -1161,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "similarity_topk": q_similarity_topk,

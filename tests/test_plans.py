@@ -92,3 +92,11 @@ def test_winnow_single_hash_pass(spark):
     plan = _plan(entry.q_winnow_fingerprint(spark, TESTDATA))
     assert len(re.findall(r"md5", plan)) == 1
     assert len(re.findall(r"split\(", plan)) == 1
+
+
+def test_tfidf_broadcasts_idf_map(spark):
+    plan = _plan(entry.q_tfidf_top_terms(spark, TESTDATA))
+    # the term->idf map and the N-docs singleton ride broadcast joins;
+    # the token stream itself is never broadcast
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastExchange") >= 2

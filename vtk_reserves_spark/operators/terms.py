@@ -1,0 +1,52 @@
+"""Term-weighting operators over a document corpus.
+
+North-star addition (SURVEY.md §2.8 text analysis; no reference
+counterpart).  Classic TF-IDF with smoothed IDF, shaped for scale:
+tokenize → explode once, aggregate term frequencies and document
+frequencies from the SAME exploded frame, broadcast the (tiny) term→IDF
+map back onto the tf pairs, and take per-document top-k with one keyed
+window.  Two aggregations + one window = three shuffles total, each
+linear in the token stream; nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vtk_reserves_spark.functions.text import normalize_text, tokens
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-``top_k`` terms per document by TF-IDF.
+
+    ``score = tf · (ln((N + 1) / (df + 1)) + 1)`` (smoothed IDF —
+    sklearn's ``smooth_idf`` formula, exactly reproducible in SQL).
+    Ties break by term ascending so the result is deterministic.
+    Returns ``(id, term, tf, score, rank)``.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    )
+    tf = tok.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tok.groupBy("term").agg(F.count_distinct("_id").alias("_df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    idf = doc_freq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + 1).alias("_idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "_id", "term", "tf", (F.col("tf") * F.col("_idf")).alias("score")
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(F.col("_id").alias(id_col), "term", "tf", "score", "rank")
+    )
