@@ -364,6 +364,17 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "error_id", "user_id", "ts")
 
 
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch.py): estimated
+    distinct l_orderkey per return flag from the k=64 smallest md5
+    hashes — deterministic, so the oracle reproduces the estimate
+    exactly (unlike HLL-based approx_count_distinct)."""
+    from vtk_reserves_spark.operators.sketch import kmv_distinct
+
+    li = _read(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, "l_returnflag", "l_orderkey", k=64)
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: event counts and value
     sums at (day, hour), (day), and grand-total levels in ONE pass —
@@ -1209,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
+        "distinct_sketch": q_distinct_sketch,
         "events_json": q_events_json,
         "stream_tumbling": q_stream_tumbling,
         "stream_sliding": q_stream_sliding,
@@ -1336,6 +1348,24 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = c.user_id
              AND c.ts <= e.ts
              AND e.ts < c.ts + INTERVAL '10 minutes'
+        """,
+        "distinct_sketch": """
+            WITH hashed AS (
+              SELECT DISTINCT l_returnflag,
+                     (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                       + 1) / 4294967296.0 AS h
+              FROM lineitem
+            ), kept AS (
+              SELECT l_returnflag, h,
+                     ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h ASC) AS rn
+              FROM hashed
+            )
+            SELECT l_returnflag,
+                   COUNT(*) AS n_kept,
+                   CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE 63.0 / MAX(h) END AS est_distinct
+            FROM kept WHERE rn <= 64
+            GROUP BY l_returnflag
         """,
         "time_rollup": """
             -- DuckDB date_trunc('day') yields DATE; Spark yields

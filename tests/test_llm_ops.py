@@ -331,3 +331,27 @@ def test_ivf_topk_recall_vs_exact(spark):
         ).collect()
     }
     assert full == exact
+
+
+def test_kmv_exact_below_k(spark):
+    from vtk_reserves_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", i % 10) for i in range(100)] + [("b", i) for i in range(3)],
+        "g string, v long",
+    )
+    out = {r.g: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    # both groups have < k distinct values -> exact counts
+    assert out["a"].n_kept == 10 and out["a"].est_distinct == 10.0
+    assert out["b"].n_kept == 3 and out["b"].est_distinct == 3.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    from vtk_reserves_spark.operators.sketch import kmv_distinct
+
+    n = 5000
+    df = spark.range(n).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    row = kmv_distinct(df, "g", "v", k=256).collect()[0]
+    assert row.n_kept == 256
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(row.est_distinct - n) / n < 0.25
