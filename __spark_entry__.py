@@ -364,6 +364,19 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "error_id", "user_id", "ts")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/sessions.py): 30-minute-gap
+    sessions per user with start/end/count/value stats — lag + running
+    sum + aggregation all inside one hash partitioning by user."""
+    from vtk_reserves_spark.operators.sessions import session_stats
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    return session_stats(ev, "user_id", "ts", "value")
+
+
 def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketch.py): estimated
     distinct l_orderkey per return flag from the k=64 smallest md5
@@ -1221,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
         "distinct_sketch": q_distinct_sketch,
+        "sessionize": q_sessionize,
         "events_json": q_events_json,
         "stream_tumbling": q_stream_tumbling,
         "stream_sliding": q_stream_sliding,
@@ -1348,6 +1362,29 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = c.user_id
              AND c.ts <= e.ts
              AND e.ts < c.ts + INTERVAL '10 minutes'
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                            OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+            ), tagged AS (
+              SELECT user_id, ts, value,
+                     CAST(SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   SUM(value) AS sum_value
+            FROM tagged
+            GROUP BY user_id, session_seq
         """,
         "distinct_sketch": """
             WITH hashed AS (

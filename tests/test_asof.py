@@ -162,3 +162,38 @@ def test_range_join_no_nested_loop(spark):
     iv = spark.createDataFrame([(1, 0.0, 10.0)], "k long, lo double, hi double")
     plan = range_join(pts, iv, on="t", lo="lo", hi="hi", by="k")._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+# ---------------------------------------------------------------------------
+
+def test_sessionize_gap_semantics(spark):
+    from vtk_reserves_spark.operators.sessions import session_stats
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:10:00", 2.0),   # same session (10m gap)
+            (1, "2024-01-01 01:00:00", 3.0),   # 50m gap -> new session
+            (2, "2024-01-01 00:00:00", 4.0),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.user_id, r.session_seq): (r.n_events, r.sum_value)
+        for r in session_stats(ev, "user_id", "ts", "value").collect()
+    }
+    assert out == {(1, 1): (2, 3.0), (1, 2): (1, 3.0), (2, 1): (1, 4.0)}
+
+
+def test_sessionize_single_exchange(spark):
+    from vtk_reserves_spark.operators.sessions import session_stats
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = session_stats(ev, "user_id", "ts", "value")._jdf.queryExecution().executedPlan().toString()
+    # windows and the (user, session) aggregation share ONE hash
+    # partitioning by user_id — no second exchange for the group-by
+    assert plan.count("Exchange hashpartitioning") == 1
