@@ -215,6 +215,20 @@ def q_flag_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_regions(grid_df(spark, _GS), meshes).select("cell", "region")
 
 
+def q_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface elevation sampling + vertical distance (get_elevation,
+    pd_vtk.py:771-796; Raytracer tridist, pd_vtk.py:1178-1232) via the
+    real ray-cast pandas-UDF against a triangulated box: the vertical
+    ray crosses top and bottom faces, so mean hit z = mid-plane inside
+    the xy footprint and NULL outside — a closed-form oracle."""
+    from vtk_reserves_spark.operators.spatial import surface_elevation, tridist
+
+    mesh = TriMesh.box(((50.0, 30.0, 0.0), (150.0, 120.0, 50.0)), name="s")
+    cells = grid_df(spark, _GS).select("cell", "x", "y", "z")
+    out = surface_elevation(cells, mesh, "z_surf")
+    return tridist(out, mesh, "dist").select("cell", "z_surf", "dist")
+
+
 def q_flag_regions_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     mesh = TriMesh.box(((50.0, 30.0, 0.0), (150.0, 120.0, 50.0)), name="r1")
     return flag_regions_2d(grid_df(spark, _GS), [mesh]).select("cell", "region")
@@ -1195,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
+        "elevation": q_elevation,
         "flag_regions_2d": q_flag_regions_2d,
         "mine_fraction": q_mine_fraction,
         "nearest_cell": q_nearest_cell,
@@ -1256,6 +1271,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell,
                    CASE WHEN x BETWEEN 50 AND 150 AND y BETWEEN 30 AND 120
                         THEN 'r1' END AS region
+            FROM f
+        """,
+        "elevation": _FIXTURE_SQL
+        + """
+            SELECT cell,
+                   CASE WHEN x BETWEEN 50 AND 150 AND y BETWEEN 30 AND 120
+                        THEN 25.0 END AS z_surf,
+                   CASE WHEN x BETWEEN 50 AND 150 AND y BETWEEN 30 AND 120
+                        THEN abs(z - 25.0) END AS dist
             FROM f
         """,
         "mine_fraction": _FIXTURE_SQL
