@@ -682,6 +682,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", top_k=3)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 5-gram
+    with a deterministic ~1% benchmark sample (doc_id % 97 == 0) —
+    broadcast the benchmark gram set, count distinct hits per doc."""
+    from vtk_reserves_spark.operators.dedup import decontaminate_ngrams
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate_ngrams(docs, bench, "doc_id", "text", ngrams=5)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     t = F.col("text")
@@ -971,6 +982,21 @@ def _llm_oracles() -> dict[str, str]:
             SELECT DISTINCT doc_id, fp
             FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
         """,
+        "decontaminate": f"""
+            WITH tq AS (
+              SELECT doc_id, {toks} AS t FROM documents
+            ), cg AS (
+              SELECT doc_id,
+                     unnest(list_transform({_shingle_sql('t', 5)},
+                       w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)) AS gram
+              FROM tq
+            ), bg AS (
+              SELECT DISTINCT gram FROM cg WHERE doc_id % 97 = 0
+            )
+            SELECT doc_id, COUNT(DISTINCT gram) AS n_hits
+            FROM cg JOIN bg USING (gram)
+            GROUP BY doc_id
+        """,
         "tfidf_top_terms": f"""
             WITH tok AS (
               SELECT doc_id, unnest({toks}) AS term FROM documents
@@ -1231,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "winnow_fingerprint": q_winnow_fingerprint,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "decontaminate": q_decontaminate,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "similarity_topk": q_similarity_topk,

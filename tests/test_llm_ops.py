@@ -355,3 +355,33 @@ def test_kmv_estimate_accuracy(spark):
     assert row.n_kept == 256
     # KMV relative error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
     assert abs(row.est_distinct - n) / n < 0.25
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from vtk_reserves_spark.operators.dedup import decontaminate_ngrams
+
+    secret = "one two three four five"  # a full 5-gram
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix words {secret} suffix words here"),
+            (2, "completely clean document with no overlap at all"),
+            (3, f"{secret} starts this one"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question {secret} benchmark answer")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_hits for r in
+           decontaminate_ngrams(corpus, bench, "doc_id", "text", ngrams=5).collect()}
+    assert 1 in out and 3 in out and 2 not in out
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from vtk_reserves_spark.operators.dedup import decontaminate_ngrams
+
+    corpus = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "a b c d e")], "doc_id long, text string")
+    plan = decontaminate_ngrams(corpus, bench, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -303,6 +303,47 @@ def winnow_fingerprints(
     ).distinct()
 
 
+def decontaminate_ngrams(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngrams: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that contain any
+    word ``ngrams``-gram appearing in the benchmark set, with the count
+    of distinct contaminated grams per document.
+
+    The standard LLM-training hygiene step (e.g. GPT-3 appendix C /
+    Dolma): exact n-gram overlap against held-out evaluation data.
+    Plan: both sides tokenize -> distinct gram hashes; the benchmark
+    side (small by construction) deduplicates to one row per gram and
+    BROADCASTS; the corpus side explodes its grams and inner-joins the
+    broadcast set — no shuffle touches the corpus until the final
+    per-document count (one hash aggregation).  Returns only
+    contaminated documents: ``(id, n_hits)``.
+    """
+    from vtk_reserves_spark.functions.text import shingles_of_tokens
+
+    def gram_hashes(df: DataFrame, out: str) -> DataFrame:
+        t = df.select(
+            F.col(id_col).alias("_id"),
+            tokens(normalize_text(F.col(text_col))).alias("_t"),
+        )
+        g = t.select("_id", shingles_of_tokens(F.col("_t"), ngrams).alias("_g"))
+        h = g.select("_id", F.transform(F.col("_g"), _base_hash).alias("_h"))
+        return h.select("_id", F.explode_outer("_h").alias(out))
+
+    bench_grams = gram_hashes(benchmark, "gram").select("gram").distinct()
+    corpus_grams = gram_hashes(corpus, "gram")
+    hits = corpus_grams.join(F.broadcast(bench_grams), "gram")
+    return (
+        hits.groupBy("_id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+        .select(F.col("_id").alias(id_col), "n_hits")
+    )
+
+
 def simhash(text: Column, bits: int = 16, seed: str = "sh") -> Column:
     """SimHash of the token multiset: bit b of the result is 1 iff more
     word-hashes have bit b set than unset.
