@@ -682,6 +682,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", top_k=3)
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: share of each document's word
+    bigrams taken by its most frequent bigram."""
+    from vtk_reserves_spark.operators.terms import repetition_signals
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(docs, "doc_id", "text", n=2)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any word 5-gram
     with a deterministic ~1% benchmark sample (doc_id % 97 == 0) —
@@ -982,6 +991,23 @@ def _llm_oracles() -> dict[str, str]:
             SELECT DISTINCT doc_id, fp
             FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
         """,
+        "repetition_signals": f"""
+            WITH tq AS (
+              SELECT doc_id, {toks} AS t FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i+1])) AS gram
+              FROM tq WHERE len(t) >= 2
+            ), per_gram AS (
+              SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+            )
+            SELECT doc_id,
+                   SUM(c) AS n_grams,
+                   MAX(c) AS top_count,
+                   CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac
+            FROM per_gram GROUP BY doc_id
+        """,
         "decontaminate": f"""
             WITH tq AS (
               SELECT doc_id, {toks} AS t FROM documents
@@ -1258,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontaminate": q_decontaminate,
+        "repetition_signals": q_repetition_signals,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "similarity_topk": q_similarity_topk,

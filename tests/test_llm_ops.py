@@ -385,3 +385,21 @@ def test_decontaminate_broadcasts_benchmark(spark):
     bench = spark.createDataFrame([(2, "a b c d e")], "doc_id long, text string")
     plan = decontaminate_ngrams(corpus, bench, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_signals_math(spark):
+    from vtk_reserves_spark.operators.terms import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),       # bigrams: 3x "spam spam"
+            (2, "a b c d"),                   # 3 distinct bigrams
+            (3, "one"),                       # too short -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    assert out[1].n_grams == 3 and out[1].top_count == 3 and out[1].top_frac == 1.0
+    assert out[2].n_grams == 3 and out[2].top_count == 1
+    assert out[2].top_frac == pytest.approx(1 / 3)
+    assert 3 not in out

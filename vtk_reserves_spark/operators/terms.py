@@ -50,3 +50,33 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top_k)
         .select(F.col("_id").alias(id_col), "term", "tf", "score", "rank")
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Repetition-based quality signal (the Gopher/Dolma
+    ``rep_top_ngram`` rule): the fraction of a document's word
+    ``n``-grams taken by its single most frequent one — high values
+    mark boilerplate/spam for filtering.
+
+    Documents with fewer than ``n`` tokens are dropped (no n-grams).
+    Returns ``(id, n_grams, top_count, top_frac)``.  Shape: explode
+    ordered grams, count per (doc, gram), reduce per doc — two hash
+    aggregations clustered on the doc key, so the second one reuses the
+    first's partitioning (no extra exchange)."""
+    from vtk_reserves_spark.functions.text import ordered_shingles_of_tokens
+
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_t"),
+    ).where(F.size("_t") >= n)
+    grams = tok.select(
+        "_id", F.explode_outer(ordered_shingles_of_tokens(F.col("_t"), n)).alias("gram")
+    )
+    per_gram = grams.groupBy("_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_count"),
+        (F.max("c") / F.sum("c")).alias("top_frac"),
+    ).select(F.col("_id").alias(id_col), "n_grams", "top_count", "top_frac")
