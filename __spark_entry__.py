@@ -682,6 +682,46 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", top_k=3)
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: plant deterministic emails/urls/phones into a slice of
+    the corpus, then count and redact them — proves the patterns behave
+    identically under Java regex (Spark) and RE2 (DuckDB oracle)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" see https://example.com/page/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" call 555-0199")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    t = F.col("text")
+    counts = TX.pii_counts(t)
+    return planted.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["url"].alias("n_urls"),
+        counts["phone"].alias("n_phones"),
+        F.md5(TX.redact_pii(t)).alias("redacted_fp"),
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: share of each document's word
     bigrams taken by its most frequent bigram."""
@@ -991,6 +1031,33 @@ def _llm_oracles() -> dict[str, str]:
             SELECT DISTINCT doc_id, fp
             FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
         """,
+        "redact_pii": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                          THEN ' see https://example.com/page/'
+                               || CAST(doc_id AS VARCHAR) ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                          THEN ' call 555-0199' ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(text,
+                     'https?://[a-z0-9./_-]+')) AS n_urls,
+                   len(regexp_extract_all(text,
+                     '\b[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                     'https?://[a-z0-9./_-]+', '[URL]', 'g'),
+                     '\b[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g')) AS redacted_fp
+            FROM p
+        """,
         "repetition_signals": f"""
             WITH tq AS (
               SELECT doc_id, {toks} AS t FROM documents
@@ -1285,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontaminate": q_decontaminate,
         "repetition_signals": q_repetition_signals,
+        "redact_pii": q_redact_pii,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "similarity_topk": q_similarity_topk,

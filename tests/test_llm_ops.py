@@ -403,3 +403,18 @@ def test_repetition_signals_math(spark):
     assert out[2].n_grams == 3 and out[2].top_count == 1
     assert out[2].top_frac == pytest.approx(1 / 3)
     assert 3 not in out
+
+
+def test_pii_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@site.org or visit https://x.io/a call 555-1234 now")],
+        "doc_id long, text string",
+    )
+    t = F.col("text")
+    counts = TX.pii_counts(t)
+    row = df.select(
+        counts["email"].alias("e"), counts["url"].alias("u"),
+        counts["phone"].alias("p"), TX.redact_pii(t).alias("red"),
+    ).collect()[0]
+    assert (row.e, row.u, row.p) == (1, 1, 1)
+    assert row.red == "mail [EMAIL] or visit [URL] call [PHONE] now"

@@ -138,6 +138,33 @@ def shingles_of_tokens(t: Column, n: int = 3) -> Column:
     )
 
 
+#: PII patterns — simple character-class regexes that behave identically
+#: under Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+#: backreferences
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "url": r"https?://[a-z0-9./_-]+",
+    "phone": r"\b[0-9]{3}-[0-9]{4}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (email / url / phone)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with ``[<KIND>]`` — applied in the fixed
+    dict order so overlapping patterns resolve deterministically."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
 def ordered_shingles_of_tokens(t: Column, n: int = 3) -> Column:
     """Word n-grams over a token array IN DOCUMENT ORDER, duplicates
     kept — the form positional algorithms (winnowing) need.  Empty when
