@@ -456,6 +456,50 @@ def _mesh_values_sql() -> str:
     )
 
 
+def _plane_mesh_exploded(spark: SparkSession) -> DataFrame:
+    """Deterministic 16x16-cell triangulated plane (2 triangles/cell,
+    17x17 vertices, z = ((3r+5c) % 7)/10) in exploded form — generated
+    from spark.range so the oracle derives the identical mesh from SQL
+    range()."""
+    base = spark.range(16 * 16 * 6)
+    cell = (F.col("id") / 6).cast("long")
+    slot = F.col("id") % 6
+    r = (cell / 16).cast("long")
+    c = cell % 16
+    node = (
+        F.when(slot == 0, r * 17 + c)
+        .when(slot == 1, r * 17 + c + 1)
+        .when(slot == 2, (r + 1) * 17 + c)
+        .when(slot == 3, r * 17 + c + 1)
+        .when(slot == 4, (r + 1) * 17 + c + 1)
+        .otherwise((r + 1) * 17 + c)
+    )
+    d = base.select(
+        (cell * 2 + slot / 3).cast("long").alias("face"),
+        (slot % 3).cast("int").alias("n"),
+        node.alias("node"),
+    )
+    vr = (F.col("node") / 17).cast("long")
+    vc = F.col("node") % 17
+    return d.select(
+        (vc * 1.0).alias("x"),
+        (vr * 1.0).alias("y"),
+        (((vr * 3 + vc * 5) % 7) * 0.1).alias("z"),
+        "n",
+        "node",
+        "face",
+    )
+
+
+def q_mesh_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex-clustering decimation (tri_decimate.py:31-60 analog) of
+    the generated plane mesh at cluster size 2.0 — boundary-spanning
+    faces survive, interior ones collapse."""
+    from vtk_reserves_spark.sources.mesh import decimate_vertex_cluster
+
+    return decimate_vertex_cluster(_plane_mesh_exploded(spark), 2.0)
+
+
 def q_mesh_faces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded mesh table -> faces table (df_to_nodes_faces reshape,
     _gui.py:774-793) as distributed DataFrame ops."""
@@ -1031,6 +1075,54 @@ def _llm_oracles() -> dict[str, str]:
             SELECT DISTINCT doc_id, fp
             FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
         """,
+        "mesh_decimate": """
+            WITH b AS (
+              SELECT r.range AS id FROM range(1536) r
+            ), d AS (
+              SELECT CAST((id//6)*2 + (id%6)//3 AS BIGINT) AS face,
+                     CAST((id%6)%3 AS INT) AS n,
+                     CASE id%6
+                       WHEN 0 THEN (id//6//16)*17 + (id//6)%16
+                       WHEN 1 THEN (id//6//16)*17 + (id//6)%16 + 1
+                       WHEN 2 THEN (id//6//16+1)*17 + (id//6)%16
+                       WHEN 3 THEN (id//6//16)*17 + (id//6)%16 + 1
+                       WHEN 4 THEN (id//6//16+1)*17 + (id//6)%16 + 1
+                       ELSE (id//6//16+1)*17 + (id//6)%16
+                     END AS node
+              FROM b
+            ), v AS (
+              SELECT face, n, node,
+                     (node%17)*1.0 AS x,
+                     (node//17)*1.0 AS y,
+                     ((node//17)*3 + (node%17)*5)%7*0.1 AS z
+              FROM d
+            ), nodes AS (
+              SELECT DISTINCT node, x, y, z FROM v
+            ), cl AS (
+              SELECT node, CAST(floor(x/2.0) AS BIGINT) AS ci,
+                     CAST(floor(y/2.0) AS BIGINT) AS cj,
+                     CAST(floor(z/2.0) AS BIGINT) AS ck, x, y, z
+              FROM nodes
+            ), reps AS (
+              SELECT ci, cj, ck, AVG(x) AS rx, AVG(y) AS ry, AVG(z) AS rz
+              FROM cl GROUP BY ci, cj, ck
+            ), reps2 AS (
+              SELECT *, DENSE_RANK() OVER (ORDER BY ci, cj, ck) - 1 AS new_node
+              FROM reps
+            ), mapping AS (
+              SELECT cl.node, new_node, rx, ry, rz
+              FROM cl JOIN reps2 USING (ci, cj, ck)
+            ), rm AS (
+              SELECT v.face, v.n, m.new_node, m.rx, m.ry, m.rz
+              FROM v JOIN mapping m ON v.node = m.node
+            ), alive AS (
+              SELECT face FROM rm GROUP BY face
+              HAVING COUNT(DISTINCT new_node) = 3
+            )
+            SELECT rm.rx AS x, rm.ry AS y, rm.rz AS z, rm.n,
+                   rm.new_node AS node, rm.face
+            FROM rm JOIN alive USING (face)
+        """,
         "redact_pii": r"""
             WITH p AS (
               SELECT doc_id,
@@ -1364,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "rotated_grid": q_rotated_grid,
         "grade_shells": q_grade_shells,
+        "mesh_decimate": q_mesh_decimate,
         "mesh_faces": q_mesh_faces,
         "mesh_explode_roundtrip": q_mesh_explode_roundtrip,
         "proportional_volume": q_proportional_volume,

@@ -76,3 +76,27 @@ def test_proportional_volume_against_analytic(spark):
     assert rows[(1, 1, 0)] == pytest.approx(0.5)
     # cell outside the solid bbox
     assert rows[(3, 3, 3)] == pytest.approx(0.5**3)  # [30,35]^3 corner
+
+
+def test_decimate_vertex_cluster_reduces(spark):
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from vtk_reserves_spark.sources.mesh import decimate_vertex_cluster
+
+    ex = entry._plane_mesh_exploded(spark)
+    out = decimate_vertex_cluster(ex, 2.0)
+    n_faces_in = ex.select("face").distinct().count()
+    n_faces_out = out.select("face").distinct().count()
+    n_nodes_out = out.select("node").distinct().count()
+    assert n_faces_in == 512
+    # 17x17 vertices cluster into a 9x9 grid -> at most 81 nodes
+    assert n_nodes_out <= 81
+    assert 0 < n_faces_out < n_faces_in / 2
+    # surviving faces are still proper triangles (3 distinct nodes)
+    bad = (
+        out.groupBy("face")
+        .agg(F.count_distinct("node").alias("nc"))
+        .where(F.col("nc") != 3)
+        .count()
+    )
+    assert bad == 0

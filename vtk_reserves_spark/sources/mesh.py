@@ -269,3 +269,68 @@ def meshes_bb(meshes, buffer: float | None = None) -> np.ndarray:
         lo = lo - buffer
         hi = hi + buffer
     return np.stack([lo, hi])
+
+
+def decimate_vertex_cluster(ex: DataFrame, cell_size: float) -> DataFrame:
+    """Mesh simplification by vertex clustering (Rossignac & Borrel '93)
+    over an exploded mesh table — the distributed counterpart of the
+    reference's decimation utility (``tri_decimate.py:31-60``, which
+    wraps VTK ``decimate_pro``; edge-collapse is inherently sequential,
+    so the Spark-native algorithm is clustering: same purpose, bounded
+    error ``cell_size * sqrt(3)/2``).
+
+    Every vertex snaps to its ``cell_size`` grid cell; each cluster is
+    replaced by the mean position of its member vertices (re-numbered
+    densely by cluster coordinate order); faces whose three vertices no
+    longer span three distinct clusters are dropped.  All relational:
+    distinct-nodes -> cluster agg -> map join -> per-face distinct
+    count.  Meshes are broadcast-scale objects in this engine, but every
+    step is a keyed aggregation/join that would scale to a tiled terrain
+    mesh partitioned by cluster prefix."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    nodes = ex.select("node", "x", "y", "z").dropDuplicates(["node"])
+    clustered = nodes.select(
+        "node",
+        F.floor(F.col("x") / cell_size).alias("ci"),
+        F.floor(F.col("y") / cell_size).alias("cj"),
+        F.floor(F.col("z") / cell_size).alias("ck"),
+        "x",
+        "y",
+        "z",
+    )
+    reps = (
+        clustered.groupBy("ci", "cj", "ck")
+        .agg(
+            F.avg("x").alias("rx"), F.avg("y").alias("ry"), F.avg("z").alias("rz")
+        )
+        .withColumn(
+            "new_node",
+            F.dense_rank().over(
+                Window.orderBy(F.col("ci"), F.col("cj"), F.col("ck"))
+            )
+            - 1,
+        )
+    )
+    mapping = clustered.join(reps, ["ci", "cj", "ck"]).select(
+        "node", "new_node", "rx", "ry", "rz"
+    )
+    remapped = ex.select("face", "n", "node").join(mapping, "node")
+    alive = (
+        remapped.groupBy("face")
+        .agg(F.count_distinct("new_node").alias("_nc"))
+        .where(F.col("_nc") == 3)
+        .select("face")
+    )
+    return (
+        remapped.join(alive, "face")
+        .select(
+            F.col("rx").alias("x"),
+            F.col("ry").alias("y"),
+            F.col("rz").alias("z"),
+            "n",
+            F.col("new_node").alias("node"),
+            "face",
+        )
+    )
