@@ -582,6 +582,7 @@ from vtk_reserves_spark.functions import text as TX
 from vtk_reserves_spark.functions.vectors import deterministic_hyperplanes
 from vtk_reserves_spark.operators import multimodal as MM
 from vtk_reserves_spark.operators.dedup import (
+    duplicate_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signature,  # noqa: F401 — re-exported convenience form
@@ -691,6 +692,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     both = docs.unionByName(_mutated(docs))
     return minhash_lsh_pairs(both, "doc_id", "text", k=8, bands=4, ngrams=3)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: LSH candidate pairs -> connected
+    components (min reachable doc_id per node), singletons included —
+    the step that turns pairwise near-dup evidence into a keep/drop
+    decision.  Oracle: DuckDB recursive CTE over the identical pair
+    list (min reachable id is engine-independent)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    both = docs.unionByName(_mutated(docs))
+    pairs = minhash_lsh_pairs(both, "doc_id", "text", k=8, bands=4, ngrams=3)
+    return duplicate_clusters(pairs, nodes=both, id_col="doc_id")
 
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,6 +1034,28 @@ def _llm_oracles() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        "dedup_clusters": _BOTH_SQL.replace("WITH uni", "WITH RECURSIVE uni")
+        + shin_cte
+        + f""", sigs AS (
+              SELECT doc_id, {sigs8}
+              FROM shin
+            ), bands AS (
+        {bands}
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM cand
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM cand
+            ), reach(id, lbl) AS (
+              SELECT doc_id, doc_id FROM uni
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id
         """,
         "dedup_simhash": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS sh FROM documents
@@ -1438,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "winnow_fingerprint": q_winnow_fingerprint,

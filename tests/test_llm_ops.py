@@ -418,3 +418,30 @@ def test_pii_redaction(spark):
     ).collect()[0]
     assert (row.e, row.u, row.p) == (1, 1, 1)
     assert row.red == "mail [EMAIL] or visit [URL] call [PHONE] now"
+
+
+def test_duplicate_clusters_transitive(spark):
+    from vtk_reserves_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2, 2-3 (transitive: all -> 1), pair 10-11, singleton 99
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in duplicate_clusters(pairs, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    from vtk_reserves_spark.operators.dedup import duplicate_clusters
+
+    # a 12-node path graph needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+    )
+    got = duplicate_clusters(pairs).collect()
+    assert {r["cluster"] for r in got} == {0}
+    assert len(got) == 12

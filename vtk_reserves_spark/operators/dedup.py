@@ -236,6 +236,74 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph: assign every
+    node the minimum id reachable through the pairs — the canonical
+    final step of near-dedup (LSH emits *pairs*; keeping one document
+    per *cluster* requires the transitive closure, else A~B and B~C with
+    A kept and B dropped still leaves C).
+
+    ``pairs`` is an (id_a, id_b) frame (e.g. :func:`minhash_lsh_pairs`);
+    ``nodes`` optionally supplies the full corpus id set so singletons
+    appear with ``cluster = id`` (pass the corpus ids — a dedup that
+    silently drops untouched documents is wrong).
+
+    Algorithm: iterative min-label propagation (hash-to-min).  Each
+    round every node takes the min of its own label and its neighbors'
+    labels — one shuffle per round (join on src + groupBy dst), each a
+    hash partitioning on the same id domain, so AQE coalesces and
+    co-partitions them.  Converges in O(graph diameter) rounds; LSH
+    duplicate clusters are unions of bucket cliques with tiny diameter
+    (2–3), so 3–4 rounds in practice at any corpus size — this is the
+    regime where hash-to-min beats large-star/small-star (which wins
+    only on long-chain graphs that near-dup candidate graphs are not).
+    Each round is localCheckpoint()ed: the convergence test is a
+    driver-side count (unavoidable for any fixed-point algorithm) and
+    the checkpoint truncates the O(iters)-deep lineage so round N's
+    shuffle does not replay rounds 1..N-1.
+    """
+    e = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = e.distinct().localCheckpoint(eager=False)
+
+    if nodes is not None:
+        labels = nodes.select(F.col(id_col).alias("id")).distinct()
+    else:
+        labels = edges.select(F.col("src").alias("id")).distinct()
+    labels = labels.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=False)
+
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        merged = (
+            labels.join(prop, labels.id == prop.dst, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                (F.col("nlbl").isNotNull() & (F.col("nlbl") < F.col("lbl"))).alias(
+                    "_chg"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # full count (no limit) so the lazy checkpoint materializes every
+        # partition here, not piecemeal in later rounds
+        changed = merged.where("_chg").count()
+        labels = merged.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster"))
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
