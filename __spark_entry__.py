@@ -706,6 +706,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs, nodes=both, id_col="doc_id")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (training-corpus mixture,
+    downsample side): each language keeps a target fraction, membership
+    decided by md5(doc_id) so the sample is reproducible on any
+    partitioning and the oracle runs the identical arithmetic."""
+    from vtk_reserves_spark.operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "lang",
+        {"en": 1.0, "zh": 0.5, "de": 0.25, "fr": 0.1},
+        "doc_id",
+        default=0.05,
+    ).select("doc_id", "lang")
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture with epoch upsampling (the LLM
+    domain-weights step): stratum weight w emits floor(w) full epochs
+    plus a hash-selected fractional epoch — e.g. zh×2.5 duplicates every
+    zh doc twice and half of them a third time."""
+    from vtk_reserves_spark.operators.sampling import mix_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    return mix_corpus(
+        docs, "lang", {"en": 1.0, "zh": 2.5, "de": 2.0, "fr": 0.5}, "doc_id"
+    ).select("doc_id", "lang", "epoch")
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing/MOSS) document fingerprints: distinct
     window-minimum gram hashes per document — detects partial/local
@@ -1056,6 +1086,31 @@ def _llm_oracles() -> dict[str, str]:
               SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
             )
             SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('samp_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 1000000
+                  < CASE lang WHEN 'en' THEN 1000000 WHEN 'zh' THEN 500000
+                              WHEN 'de' THEN 250000 WHEN 'fr' THEN 100000
+                              ELSE 50000 END
+        """,
+        "corpus_mix": """
+            WITH e AS (
+              SELECT doc_id, lang,
+                     CAST(unnest(range(1,
+                       CASE lang WHEN 'zh' THEN 3 WHEN 'de' THEN 2
+                                 WHEN 'fr' THEN 1 ELSE 1 END + 1)) AS INT) AS epoch
+              FROM documents
+            )
+            SELECT doc_id, lang, epoch FROM e
+            WHERE epoch <= CASE lang WHEN 'zh' THEN 2 WHEN 'de' THEN 2
+                                     WHEN 'fr' THEN 0 ELSE 1 END
+               OR ('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR) || '#'
+                                      || CAST(epoch AS VARCHAR)), 1, 8))::BIGINT
+                    % 1000000
+                  < CASE lang WHEN 'zh' THEN 500000 WHEN 'fr' THEN 500000
+                              ELSE 0 END
         """,
         "dedup_simhash": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS sh FROM documents
@@ -1474,6 +1529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "corpus_mix": q_corpus_mix,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "winnow_fingerprint": q_winnow_fingerprint,

@@ -445,3 +445,43 @@ def test_duplicate_clusters_long_chain_converges(spark):
     got = duplicate_clusters(pairs).collect()
     assert {r["cluster"] for r in got} == {0}
     assert len(got) == 12
+
+
+def test_hash_sample_deterministic_and_unbiased(docs, spark):
+    from vtk_reserves_spark.operators.sampling import hash_sample
+
+    s1 = hash_sample(docs, "doc_id", 0.5)
+    s2 = hash_sample(docs.repartition(7), "doc_id", 0.5)
+    ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in s2.select("doc_id").collect())
+    assert ids1 == ids2  # stable under repartitioning
+    n = docs.count()
+    assert abs(len(ids1) / n - 0.5) < 0.2
+
+
+def test_stratified_sample_respects_fractions(docs):
+    from vtk_reserves_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        docs, "lang", {"en": 1.0, "zh": 0.0}, "doc_id", default=0.0
+    )
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert out.count() == docs.where("lang = 'en'").count()
+
+
+def test_mix_corpus_epochs(spark):
+    from vtk_reserves_spark.operators.sampling import mix_corpus
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(200)], ["doc_id", "dom"]
+    )
+    out = mix_corpus(df, "dom", {"a": 2.0, "b": 0.5}, "doc_id").toPandas()
+    a = out[out.dom == "a"]
+    b = out[out.dom == "b"]
+    # every 'a' doc appears exactly twice (epochs 1, 2)
+    assert sorted(a.epoch.unique()) == [1, 2]
+    assert len(a) == 200
+    # 'b' docs appear at most once, roughly half kept
+    assert b.epoch.max() == 1
+    assert 20 < len(b) < 80

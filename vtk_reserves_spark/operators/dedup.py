@@ -262,21 +262,54 @@ def duplicate_clusters(
     (2–3), so 3–4 rounds in practice at any corpus size — this is the
     regime where hash-to-min beats large-star/small-star (which wins
     only on long-chain graphs that near-dup candidate graphs are not).
-    Each round is localCheckpoint()ed: the convergence test is a
-    driver-side count (unavoidable for any fixed-point algorithm) and
-    the checkpoint truncates the O(iters)-deep lineage so round N's
-    shuffle does not replay rounds 1..N-1.
+
+    Plan + memory discipline (both matter for an iterative operator):
+    ``labels`` feeds each round TWICE (the neighbor join and the merge
+    join), so without lineage truncation the logical plan doubles per
+    round — exponential, and analysis alone OOMs by round ~10.  Each
+    round is therefore eagerly localCheckpoint()ed, which replaces the
+    plan with a flat scan of the materialized blocks.  But checkpoint
+    blocks are only freed by the ContextCleaner after the Python
+    DataFrame is garbage-collected, which py4j defers unboundedly — a
+    long-lived session (the bench runs 50+ queries in one JVM) degrades
+    measurably from the leak (observed ~2× on every subsequent query).
+    So each checkpoint's newly-persisted RDD ids are tracked via
+    ``getPersistentRDDs`` and the PREVIOUS round's blocks are
+    explicitly unpersisted once the next round has materialized:
+    bounded at two rounds + edges live at any time.  Retired rounds'
+    blocks sit on MEMORY_AND_DISK, so dropping them is safe — the
+    standard periodic-checkpoint-and-release pattern of iterative
+    graph algorithms (GraphX/GraphFrames do the same).  The FINAL
+    round's blocks ARE the result (truncated lineage) and stay live;
+    long-lived callers should unpersist the result when done.
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def persistent_ids() -> set[int]:
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def unpersist_ids(ids: set[int]) -> None:
+        m = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            r = m.get(i)
+            if r is not None:
+                r.unpersist(False)
+
+    def ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        before = persistent_ids()
+        out = df.localCheckpoint(eager=True)
+        return out, persistent_ids() - before
+
     e = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    edges = e.distinct().localCheckpoint(eager=False)
+    edges, edge_ids = ckpt(e.distinct())
 
     if nodes is not None:
         labels = nodes.select(F.col(id_col).alias("id")).distinct()
     else:
         labels = edges.select(F.col("src").alias("id")).distinct()
-    labels = labels.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=False)
+    labels, label_ids = ckpt(labels.select("id", F.col("id").alias("lbl")))
 
     for _ in range(max_iters):
         prop = (
@@ -284,23 +317,21 @@ def duplicate_clusters(
             .groupBy("dst")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        merged = (
-            labels.join(prop, labels.id == prop.dst, "left")
-            .select(
+        merged, merged_ids = ckpt(
+            labels.join(prop, labels.id == prop.dst, "left").select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
                 (F.col("nlbl").isNotNull() & (F.col("nlbl") < F.col("lbl"))).alias(
                     "_chg"
                 ),
             )
-            .localCheckpoint(eager=False)
         )
-        # full count (no limit) so the lazy checkpoint materializes every
-        # partition here, not piecemeal in later rounds
         changed = merged.where("_chg").count()
-        labels = merged.drop("_chg")
+        unpersist_ids(label_ids)
+        labels, label_ids = merged.drop("_chg"), merged_ids
         if changed == 0:
             break
+    unpersist_ids(edge_ids)
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster"))
 
 
