@@ -706,6 +706,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs, nodes=both, id_col="doc_id")
 
 
+def q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted breakdown (the reference's report shape — MultiIndex
+    columns flattened to one column per category, bm_breakdown.py
+    result frame): document counts by source × lang.  Pivot values are
+    passed explicitly so Spark skips the extra distinct-scan job and
+    lowers the pivot to ONE hash aggregate with map-side combine."""
+    docs = _read(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    out = docs.groupBy("source").pivot("lang", langs).count()
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(l), F.lit(0)).alias(f"n_{l}") for l in langs],
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (training-corpus mixture,
     downsample side): each language keeps a target fraction, membership
@@ -959,6 +974,42 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, shuffle_partitions=8)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: the events stream unioned with itself
+    (simulating at-least-once re-delivery) collapses back to one row
+    per event_id via dropDuplicatesWithinWatermark — state is one
+    marker per key, evicted at the watermark."""
+    from vtk_reserves_spark.streaming.ops import streaming_dedup
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    doubled = ev.unionByName(_events_stream(spark, sf_dir).select(ev.columns))
+    deduped = streaming_dedup(doubled, "event_id", watermark="1 hour")
+    return run_available_now(
+        deduped.select("event_id", "user_id", "value"),
+        output_mode="append",
+        shuffle_partitions=8,
+    )
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each signup paired with
+    the same user's purchases in the following hour — the time bound
+    keeps both sides' join state finite."""
+    from vtk_reserves_spark.streaming.ops import stream_interval_join
+
+    ev = _events_stream(spark, sf_dir)
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    joined = stream_interval_join(
+        signups, purchases, key="user_id", horizon="1 hour", watermark="1 hour"
+    )
+    return run_available_now(joined, output_mode="append", shuffle_partitions=8)
+
+
 def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
     st = stateful_user_stats(ev)
@@ -1086,6 +1137,15 @@ def _llm_oracles() -> dict[str, str]:
               SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
             )
             SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id
+        """,
+        "pivot_report": """
+            SELECT source,
+                   count(*) FILTER (lang = 'de') AS n_de,
+                   count(*) FILTER (lang = 'en') AS n_en,
+                   count(*) FILTER (lang = 'es') AS n_es,
+                   count(*) FILTER (lang = 'fr') AS n_fr,
+                   count(*) FILTER (lang = 'zh') AS n_zh
+            FROM documents GROUP BY source
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
@@ -1454,6 +1514,18 @@ def _stream_oracles() -> dict[str, str]:
     windows to gaps-and-islands (new session when the gap >= 30 min,
     matching Spark's ts < session_end merge rule)."""
     return {
+        "stream_dedup": """
+            SELECT event_id, user_id, value FROM events
+        """,
+        "stream_join": """
+            SELECT s.event_id, s.ts, s.user_id,
+                   p.event_id AS event_id_r, p.ts AS ts_r
+            FROM events s
+            JOIN events p
+              ON s.event_type = 'signup' AND p.event_type = 'purchase'
+             AND s.user_id = p.user_id
+             AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        """,
         "stream_tumbling": """
             SELECT date_trunc('hour', ts) AS win_start,
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
@@ -1530,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
+        "pivot_report": q_pivot_report,
         "corpus_mix": q_corpus_mix,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1560,6 +1633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "events_json": q_events_json,
         "stream_tumbling": q_stream_tumbling,
+        "stream_dedup": q_stream_dedup,
+        "stream_join": q_stream_join,
         "stream_sliding": q_stream_sliding,
         "stream_session": q_stream_session,
         "stream_stateful_user": q_stream_stateful_user,

@@ -174,3 +174,47 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert rows[0] == 2
     # window [50,60) never closes (final watermark 52 < 60): not emitted
     assert 50 not in rows
+
+
+def test_streaming_dedup_collapses_redelivery(spark):
+    from vtk_reserves_spark.streaming.ops import streaming_dedup
+
+    ev = _events_stream(spark).select("event_id", "ts", "value")
+    doubled = ev.unionByName(_events_stream(spark).select("event_id", "ts", "value"))
+    out = run_available_now(
+        streaming_dedup(doubled, "event_id"), output_mode="append",
+        shuffle_partitions=4,
+    )
+    n_batch = _events_batch(spark).count()
+    assert out.count() == n_batch
+    assert out.select("event_id").distinct().count() == n_batch
+
+
+def test_stream_interval_join_matches_batch(spark):
+    from vtk_reserves_spark.streaming.ops import stream_interval_join
+
+    ev = _events_stream(spark)
+    s = ev.where("event_type = 'signup'").select("event_id", "ts", "user_id")
+    p = ev.where("event_type = 'purchase'").select("event_id", "ts", "user_id")
+    out = run_available_now(
+        stream_interval_join(s, p, key="user_id", horizon="1 hour"),
+        output_mode="append",
+        shuffle_partitions=4,
+    )
+    b = _events_batch(spark)
+    bs = b.where("event_type = 'signup'").alias("s")
+    bp = b.where("event_type = 'purchase'").alias("p")
+    expect = bs.join(
+        bp,
+        (F.col("s.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("s.ts"))
+        & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 1 hour")),
+    )
+    assert out.count() == expect.count()
+    got = _rows(out, ["event_id", "event_id_r"])
+    want = sorted(
+        (r["event_id"], r[4]) for r in expect.select("s.event_id", "s.ts",
+                                                     "s.user_id", "p.ts",
+                                                     "p.event_id").collect()
+    )
+    assert got == want
