@@ -32,6 +32,16 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with ``ts`` normalized to a timestamp regardless of whether
+    the driver snapshot wrote TIMESTAMP(NANOS) or a native timestamp."""
+    from vtk_reserves_spark.sources.loaders import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return normalize_event_ts(_read(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # breakdown family (SURVEY §2.4) — the core aggregation engine
 # ---------------------------------------------------------------------------
@@ -179,10 +189,10 @@ _FIXTURE_SQL = """
              CAST((r.range // 30) % 20 AS INT) AS j,
              CAST(r.range // 600 AS INT) AS k,
              r.range AS cell,
-             (CAST(r.range % 30 AS INT) + 0.5) * 10.0 AS x,
-             (CAST((r.range // 30) % 20 AS INT) + 0.5) * 10.0 AS y,
-             (CAST(r.range // 600 AS INT) + 0.5) * 10.0 AS z,
-             1000.0 AS volume
+             CAST((CAST(r.range % 30 AS INT) + 0.5) * 10.0 AS DOUBLE) AS x,
+             CAST((CAST((r.range // 30) % 20 AS INT) + 0.5) * 10.0 AS DOUBLE) AS y,
+             CAST((CAST(r.range // 600 AS INT) + 0.5) * 10.0 AS DOUBLE) AS z,
+             CAST(1000.0 AS DOUBLE) AS volume
       FROM range(12000) r
     ), v AS (
       SELECT *,
@@ -336,10 +346,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on user_id, no range-join pair explosion."""
     from vtk_reserves_spark.operators.asof import asof_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ev = _read_events(spark, sf_dir)
     left = ev.where(F.col("event_type").isin("click", "view")).select(
         "event_id", "user_id", "ts", "value"
     )
@@ -360,10 +367,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, time-bucket) + exact range filter, never a nested loop."""
     from vtk_reserves_spark.operators.asof import range_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ev = _read_events(spark, sf_dir)
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("click_id"),
@@ -384,10 +388,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum + aggregation all inside one hash partitioning by user."""
     from vtk_reserves_spark.operators.sessions import session_stats
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ev = _read_events(spark, sf_dir)
     return session_stats(ev, "user_id", "ts", "value")
 
 
@@ -408,10 +409,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's native ``rollup`` (grouping sets), a single shuffle with
     partial aggregation; reference has no grouping-sets analog
     (SURVEY §2.7)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ev = _read_events(spark, sf_dir)
     return (
         ev.withColumn("day", F.date_trunc("day", "ts"))
         .withColumn("hour", F.date_trunc("hour", "ts"))
@@ -450,7 +448,10 @@ def _mesh_values_sql() -> str:
     for fi, tri in enumerate(mesh.faces):
         for n, node in enumerate(tri):
             x, y, z = mesh.vertices[node]
-            rows.append(f"({x}, {y}, {z}, {n}, {node}, {fi})")
+            rows.append(
+                f"(CAST({x!r} AS DOUBLE), CAST({y!r} AS DOUBLE),"
+                f" CAST({z!r} AS DOUBLE), {n}, {node}, {fi})"
+            )
     return (
         "(SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(x, y, z, n, node, face))"
     )
@@ -934,14 +935,14 @@ _EV_TEMPLATE = (
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream over the events table.  The driver's parquet carries
-    TIMESTAMP(NANOS) which Spark's vectorized reader rejects; read the
-    nanos as long and truncate to micros with INTEGER division (a double
-    division at ~1e18 ns would lose precision) — DuckDB's ns->us cast
-    truncates identically."""
+    """Stream over the events table with ``ts`` normalized to a real
+    timestamp (see ``loaders.normalize_event_ts`` for the TIMESTAMP(NANOS)
+    vs native-timestamp snapshot difference)."""
+    from vtk_reserves_spark.sources.loaders import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = read_stream(spark, f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return normalize_event_ts(read_stream(spark, f"{sf_dir}/events.parquet"))
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1660,9 +1661,9 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT cell,
                    CASE WHEN x BETWEEN 50 AND 150 AND y BETWEEN 30 AND 120
-                        THEN 25.0 END AS z_surf,
+                        THEN CAST(25.0 AS DOUBLE) END AS z_surf,
                    CASE WHEN x BETWEEN 50 AND 150 AND y BETWEEN 30 AND 120
-                        THEN abs(z - 25.0) END AS dist
+                        THEN abs(z - CAST(25.0 AS DOUBLE)) END AS dist
             FROM f
         """,
         "mine_fraction": _FIXTURE_SQL
@@ -1697,9 +1698,9 @@ def oracle_sql() -> dict[str, str]:
               FROM range(192) r
             ), l AS (
               SELECT *,
-                     100.0 + (i + 0.5) * 10.0 AS lx,
-                     200.0 + (j + 0.5) * 10.0 AS ly,
-                     (k + 0.5) * 10.0 AS z
+                     CAST(100.0 + (i + 0.5) * 10.0 AS DOUBLE) AS lx,
+                     CAST(200.0 + (j + 0.5) * 10.0 AS DOUBLE) AS ly,
+                     CAST((k + 0.5) * 10.0 AS DOUBLE) AS z
               FROM g
             )
             SELECT cell, i, j, k,
@@ -1923,11 +1924,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r.range % 30 AS INT) AS i,
                    CAST((r.range // 30) % 20 AS INT) AS j,
                    CAST(r.range // 600 AS INT) AS k,
-                   0.0 + (CAST(r.range % 30 AS INT) + 0.5) * 10.0 AS x,
-                   0.0 + (CAST((r.range // 30) % 20 AS INT) + 0.5) * 10.0 AS y,
-                   0.0 + (CAST(r.range // 600 AS INT) + 0.5) * 10.0 AS z,
-                   10.0 AS dx, 10.0 AS dy, 10.0 AS dz,
-                   1000.0 AS volume
+                   CAST((CAST(r.range % 30 AS INT) + 0.5) * 10.0 AS DOUBLE) AS x,
+                   CAST((CAST((r.range // 30) % 20 AS INT) + 0.5) * 10.0 AS DOUBLE) AS y,
+                   CAST((CAST(r.range // 600 AS INT) + 0.5) * 10.0 AS DOUBLE) AS z,
+                   CAST(10.0 AS DOUBLE) AS dx, CAST(10.0 AS DOUBLE) AS dy,
+                   CAST(10.0 AS DOUBLE) AS dz,
+                   CAST(1000.0 AS DOUBLE) AS volume
             FROM range(12000) r
         """,
         "grid_heatmap": """

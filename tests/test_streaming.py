@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import TESTDATA
+from vtk_reserves_spark.sources.loaders import normalize_event_ts
 from vtk_reserves_spark.streaming import (
     read_stream,
     run_available_now,
@@ -23,16 +24,12 @@ EVENTS = f"{TESTDATA}/events.parquet"
 
 def _events_batch(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(EVENTS).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    return normalize_event_ts(spark.read.parquet(EVENTS))
 
 
 def _events_stream(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return read_stream(spark, EVENTS).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    return normalize_event_ts(read_stream(spark, EVENTS))
 
 
 def _rows(df, cols):

@@ -135,8 +135,10 @@ def range_join(
         raise ValueError(f"interval columns collide with point side: {sorted(clash)}")
 
     def to_num(df: DataFrame, col: str):
-        if isinstance(df.schema[col].dataType, T.TimestampType):
-            return F.unix_micros(F.col(col)) / 1_000_000.0
+        if isinstance(df.schema[col].dataType, (T.TimestampType, T.TimestampNTZType)):
+            # cast NTZ through session-tz timestamp: the shift is identical
+            # on both sides so bucket co-location is unaffected
+            return F.unix_micros(F.col(col).cast("timestamp")) / 1_000_000.0
         return F.col(col).cast("double")
 
     p2 = points.withColumn("_b", F.floor(to_num(points, on) / bucket))

@@ -38,6 +38,25 @@ def table_name_selector(df_path: str) -> tuple[str, str | None]:
     return df_path, None
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to a real timestamp.
+
+    Driver snapshots have shipped ``events.ts`` two ways: TIMESTAMP(NANOS)
+    parquet (which Spark's vectorized reader only accepts as long via
+    ``spark.sql.legacy.parquet.nanosAsLong`` — truncate to micros with
+    INTEGER division; a double division at ~1e18 ns loses precision, and
+    DuckDB's ns->us cast truncates identically) and a native
+    TIMESTAMP_NTZ (cast to TIMESTAMP — identity under the engine's pinned
+    UTC session timezone; watermarks/windows require TIMESTAMP).  Works on
+    batch and streaming frames."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def mask_null_sentinel(df: DataFrame, columns=None) -> DataFrame:
     """``df.mask(df == -99)`` (``_gui.py:269-270``): turn the Vulcan -99
     null sentinel into real NULLs on numeric columns (string columns are
