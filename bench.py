@@ -43,6 +43,34 @@ def main() -> None:
         if os.path.exists(p):
             spark.read.parquet(p).limit(1).collect()
 
+    # warm the Structured Streaming machinery the same way (microbatch
+    # thread pools, state-store provider, streaming Python worker): a
+    # 1-key stateful drain over a 3-row stream, ~1-2 s once instead of
+    # inflating the first timed streaming query
+    try:
+        import tempfile
+
+        from pyspark.sql import functions as F  # noqa: F401
+        from vtk_reserves_spark.streaming import run_available_now
+        from vtk_reserves_spark.streaming.breakdown import stateful_user_stats
+
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                [(1, 1.0), (1, 2.0), (2, 3.0)], "user_id long, value double"
+            ).selectExpr(
+                "user_id", "timestamp'2024-01-01' as ts", "value"
+            ).write.parquet(f"{d}/warm")
+            warm = spark.readStream.schema(
+                "user_id long, ts timestamp, value double"
+            ).parquet(f"{d}/warm")
+            run_available_now(
+                stateful_user_stats(warm),
+                output_mode="update",
+                shuffle_partitions=2,
+            ).collect()
+    except Exception:
+        pass  # streaming warmup is best-effort; timed queries still run
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -38,6 +38,45 @@ def table_name_selector(df_path: str) -> tuple[str, str | None]:
     return df_path, None
 
 
+#: built-in synonym lookup (``pd_synonyms`` LUT, ``_gui.py:280-289``) —
+#: drillhole/survey column names in English and Portuguese.
+SYNONYM_LUT = {
+    "hid": ["hid", "hole", "hole_number", "furo", "bhid", "dhid"],
+    "x": ["x", "xpt", "mid_x", "east", "easting", "leste"],
+    "y": ["y", "ypt", "mid_y", "north", "northing", "norte"],
+    "z": ["z", "zpt", "mid_z", "level", "cota", "elev"],
+    "depth": ["depth", "prof"],
+    "brg": ["brg", "azimuth", "azim", "azi"],
+    "dip": ["dip", "inclin"],
+    "from": ["from", "de"],
+    "to": ["to", "ate"],
+    "length": ["length", "comp"],
+}
+
+
+def column_synonyms(columns, synonyms, default: int | None = 0) -> str | None:
+    """Best-candidate column for a synonym list (``pd_synonyms``,
+    ``_gui.py:278-308``): exact match first, then a case-insensitive
+    prefix (regex ``match``) pass in synonym priority order; fail-safe
+    to the column at index ``default`` (None disables the fallback).
+    ``synonyms`` may be a LUT key (``"x"``) or an explicit list.
+    Driver-side only — operates on ``df.columns``, never on data."""
+    columns = list(columns)
+    if isinstance(synonyms, str):
+        synonyms = SYNONYM_LUT.get(synonyms, [synonyms])
+    for v in synonyms:
+        if v in columns:
+            return v
+    for v in synonyms:
+        pat = re.compile(v, re.IGNORECASE)
+        for c in columns:
+            if pat.match(str(c)):
+                return c
+    if default is not None and columns:
+        return columns[default]
+    return None
+
+
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize an event-time column to a real timestamp.
 
