@@ -9,6 +9,7 @@ each (same column names — the driver hash-compares values).
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -274,6 +275,81 @@ def q_reserves_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         regions=_BOXES,
         mine_include=[_INC],
         mine_exclude=[_EXC],
+    )
+
+
+_SAMPLE_ZIP = "/root/reference/sample_data/std_voxel_vtk.zip"
+
+
+def _sample_dir() -> str:
+    """Extract the reference's shipped sample archive (binary legacy VTK)
+    to a writable cache once per machine."""
+    import zipfile
+
+    d = "/tmp/vtk_reserves_sample"
+    if not os.path.exists(os.path.join(d, "std_voxel_schema0.vtk")):
+        os.makedirs(d, exist_ok=True)
+        zipfile.ZipFile(_SAMPLE_ZIP).extractall(d)
+    return d
+
+
+def q_reserves_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reserves pipeline over the reference's REAL sample data
+    (``sample_data/std_voxel_vtk.zip``): binary legacy-VTK ingest
+    (sources.vtk_binary), ray-cast region flagging and mesh-surface
+    depletion with the actual triangulated geometry, then the mine-
+    weighted region x lito breakdown — the README scenario
+    (``README.md:60-72``) end-to-end.
+
+    The oracle re-derives every input analytically: the sample grid's
+    arrays are exact functions of (i, j, k) (verified cell-for-cell:
+    ``grade = 75 - 10*(i%3) - 20*(j%3)``, ``density = 50 + 50*(j%2) +
+    k//2``, ``lito`` banded on grade), the region solids are boxes
+    (bounds frozen as literals below), and both surfaces are planar
+    ramps ``z = 2x/3`` / ``z = 1000 - 2x/3`` — so a hash match proves
+    the whole chain: binary parser, mesh ray-cast, elevation join,
+    depletion math, weighted breakdown.
+
+    Depletion semantics are this engine's documented reconstruction
+    (mine = clip((z_inc - z + dz/2)/dz) * (1 - clip(...exclude...)));
+    the snapshot's own kernel is unrunnable (``vtk_mine.py:39`` imports
+    ``vtk_block_mine`` which exists nowhere in the repo, and
+    ``calc_mine``'s blank-branch fills inf, ``vtk_mine.py:80-87``), so
+    the README table's exact figures are historical output of a lost
+    upstream version and are NOT bit-reproducible from the published
+    code.  Report columns are rounded (means 4 dp, sums to units) so
+    the t2 value-hash compares well inside double precision at ~1e9
+    magnitudes."""
+    from vtk_reserves_spark.sources.vtk_binary import grid_cell_table, read_vtk
+
+    d = _sample_dir()
+    pdf = grid_cell_table(read_vtk(f"{d}/std_voxel_schema0.vtk"))
+    df = spark.createDataFrame(pdf).withColumn("dz", F.lit(50.0))
+
+    def trimesh(name: str) -> TriMesh:
+        ds = read_vtk(f"{d}/{name}.vtk")
+        return TriMesh(ds.points, ds.faces, name=name)
+
+    regions = [trimesh(f"vox_region{i}") for i in (1, 2, 3)]
+    df = mine_fraction(
+        df, include=[trimesh("vox_mine_up")], exclude=[trimesh("vox_mine_down")]
+    )
+    df = flag_regions(df, regions).filter(F.col("region") != "")
+    rep = breakdown(
+        df,
+        "region;lito;grade=grade_mean,mean,mine;density=density_mean,mean,mine;"
+        "volume=volume_sum,sum,mine;volume=mass_sum,sum,density,mine",
+    )
+    # mass in kt: at ~1e9 magnitudes the raw sum's last-bits depend on
+    # partial-aggregation order; the value grid is thirds (surface ramps
+    # /3), so rounding mass/1000 to units is stable on both engines
+    return rep.select(
+        "region",
+        "lito",
+        F.round("grade_mean", 4).alias("grade_mean"),
+        F.round("density_mean", 4).alias("density_mean"),
+        F.round("volume_sum", 0).alias("volume_sum"),
+        F.round(F.col("mass_sum") / 1000.0, 0).alias("mass_kt"),
     )
 
 
@@ -1588,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mine_fraction": q_mine_fraction,
         "nearest_cell": q_nearest_cell,
         "reserves_report": q_reserves_report,
+        "reserves_sample": q_reserves_sample,
         "breakdown_stats": q_breakdown_stats,
         "breakdown_quantiles": q_breakdown_quantiles,
         "breakdown_weighted_quantile": q_breakdown_weighted_quantile,
@@ -1687,6 +1764,61 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(SUM(volume*mine), 0.0) AS volume_sum,
                    COALESCE(SUM(mass*mine), 0.0) AS mass_sum
             FROM f WHERE region != ''
+            GROUP BY region, lito
+        """,
+        # std_voxel sample scenario, fully re-derived: the grid arrays are
+        # exact functions of (i,j,k) (verified cell-for-cell against the
+        # binary file), region boxes' bounds frozen from the sample
+        # meshes, both surfaces planar ramps.  Semantics mirror
+        # q_reserves_sample: center-column depletion fraction with the
+        # exclude surface multiplying by (1 - m), any-region rows only.
+        "reserves_sample": """
+            WITH g AS (
+              SELECT CAST(r.range % 30 AS INT) AS i,
+                     CAST((r.range // 30) % 20 AS INT) AS j,
+                     CAST(r.range // 600 AS INT) AS k
+              FROM range(12000) r
+            ), c AS (
+              SELECT *,
+                     CAST(25.0 + 50.0*i AS DOUBLE) AS x,
+                     CAST(25.0 + 50.0*k AS DOUBLE) AS z,
+                     CAST(25.0 + 50.0*j AS DOUBLE) AS y,
+                     CAST(125000.0 AS DOUBLE) AS volume,
+                     CAST(75 - 10*(i%3) - 20*(j%3) AS DOUBLE) AS grade,
+                     CAST(50 + 50*(j%2) + k//2 AS DOUBLE) AS density
+              FROM g
+            ), l AS (
+              SELECT *,
+                     CASE WHEN grade >= 65 THEN 'high'
+                          WHEN grade <= 25 THEN 'low'
+                          ELSE 'medium' END AS lito,
+                     CASE
+                       WHEN x BETWEEN 601.4205821190213 AND 988.2928226624266
+                        AND y BETWEEN 90.71135928608749 AND 881.2763725704372
+                            THEN 'vox_region3'
+                       WHEN x BETWEEN 1070.6796413516654 AND 1444.7772349345532
+                        AND y BETWEEN 158.2230838238043 AND 499.43297687193257
+                            THEN 'vox_region2'
+                       WHEN x BETWEEN 164.18783422459887 AND 538.2854278074867
+                        AND y BETWEEN 463.0013368983957 AND 804.211229946524
+                            THEN 'vox_region1'
+                       ELSE '' END AS region,
+                     LEAST(GREATEST((x*(1000.0/1500.0) - z + 25.0)/50.0,
+                                    0.0), 1.0)
+                       * (1.0 - LEAST(GREATEST(
+                             ((1000.0 - x*(1000.0/1500.0)) - z + 25.0)/50.0,
+                             0.0), 1.0)) AS mine
+              FROM c
+            )
+            SELECT region, lito,
+                   ROUND(SUM(grade*mine) / NULLIF(SUM(mine), 0), 4)
+                     AS grade_mean,
+                   ROUND(SUM(density*mine) / NULLIF(SUM(mine), 0), 4)
+                     AS density_mean,
+                   ROUND(COALESCE(SUM(volume*mine), 0.0), 0) AS volume_sum,
+                   ROUND(COALESCE(SUM(volume*density*mine), 0.0)/1000.0, 0)
+                     AS mass_kt
+            FROM l WHERE region != ''
             GROUP BY region, lito
         """,
         "rotated_grid": f"""
