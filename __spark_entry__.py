@@ -587,6 +587,23 @@ def q_mesh_faces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return faces
 
 
+def q_leapfrog_mesh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leapfrog msh codec round-trip (sources/leapfrog.py; reference
+    semantics _gui.py:1158-1209/1233-1245): fixture box -> .msh bytes ->
+    extension-dispatch load -> exploded mesh table."""
+    import tempfile
+
+    from vtk_reserves_spark.sources.leapfrog import write_msh
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "box.msh")
+        write_msh(TriMesh.box(_MESH_BOX, name="b"), p)
+        # driver-side parse finishes inside the context; the returned
+        # plan holds parsed in-memory rows, not the temp file
+        return load_dataframe(spark, p, keep_null=True)
+
+
 def q_mesh_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded -> (nodes, faces) -> exploded round-trip (vtk_df_to_mesh /
     vtk_mesh_to_df inverse pair, pd_vtk.py:237-284, 375-433)."""
@@ -1681,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "stream_session": q_stream_session,
         "stream_stateful_user": q_stream_stateful_user,
+        "leapfrog_mesh": q_leapfrog_mesh,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -1896,6 +1914,9 @@ def oracle_sql() -> dict[str, str]:
             FROM {_mesh_values_sql()} GROUP BY face
         """,
         "mesh_explode_roundtrip": f"""
+            SELECT x, y, z, n, node, face FROM {_mesh_values_sql()}
+        """,
+        "leapfrog_mesh": f"""
             SELECT x, y, z, n, node, face FROM {_mesh_values_sql()}
         """,
         "asof_join": """

@@ -100,3 +100,91 @@ def test_decimate_vertex_cluster_reduces(spark):
         .count()
     )
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Leapfrog msh codec (sources/leapfrog.py; reference _gui.py:1158-1245)
+# ---------------------------------------------------------------------------
+
+def test_msh_roundtrip(tmp_path, box):
+    from vtk_reserves_spark.sources.leapfrog import read_msh, write_msh
+
+    p = str(tmp_path / "m.msh")
+    write_msh(box, p)
+    back = read_msh(p)
+    assert np.allclose(back.vertices, box.vertices)
+    assert (back.faces == box.faces).all()
+    assert back.name == "m"
+
+
+def test_msh_byte_layout(tmp_path, box):
+    """Pin the on-disk layout to the reference writer's bytes
+    (_gui.py:1233-1245): magic, index lines, fixed 12-byte header,
+    Tri int32 before Location float64."""
+    import struct
+
+    from vtk_reserves_spark.sources.leapfrog import write_msh
+
+    p = str(tmp_path / "m.msh")
+    write_msh(box, p)
+    data = open(p, "rb").read()
+    assert data.startswith(b"%%ARANZ-1.0\n\n[index]\n")
+    assert b"Tri Integer 3 12;\n" in data
+    assert b"Location Double 3 8;\n" in data
+    bin_at = data.find(b"[binary]") + 8
+    hdr = struct.unpack_from("<3i", data, bin_at)
+    assert hdr == (15732735, 1115938331, 1072939210)
+    first_face = struct.unpack_from("<3i", data, bin_at + 12)
+    assert list(first_face) == list(box.faces[0])
+    verts_at = bin_at + 12 + 12 * 12  # header + 12 faces * 3 * int32
+    first_vert = struct.unpack_from("<3d", data, verts_at)
+    assert np.allclose(first_vert, box.vertices[0])
+
+
+def test_msh_extra_parts_and_omitted_wide(tmp_path):
+    """Files with extra attribute parts and the wide-omitted single-number
+    index form ("Name Type size;") parse per the reference regex."""
+    import struct
+
+    from vtk_reserves_spark.sources.leapfrog import read_msh
+
+    verts = [(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0)]
+    p = str(tmp_path / "x.msh")
+    with open(p, "wb") as fh:
+        fh.write(
+            b"%%ARANZ-1.0\n\n[index]\n"
+            b"Tri Integer 3 1;\n"
+            b"Quality Double 3;\n"      # wide omitted -> 1 x 3 doubles
+            b"Location Double 3 3;\n\n[binary]"
+        )
+        fh.write(struct.pack("<3i", 15732735, 1115938331, 1072939210))
+        fh.write(struct.pack("<3i", 0, 1, 2))
+        fh.write(struct.pack("<3d", 0.5, 0.6, 0.7))  # skipped attribute
+        fh.write(struct.pack("<9d", *[c for v in verts for c in v]))
+    m = read_msh(p)
+    assert np.allclose(m.vertices, verts)
+    assert m.faces.tolist() == [[0, 1, 2]]
+
+
+def test_msh_truncated_raises(tmp_path, box):
+    from vtk_reserves_spark.sources.leapfrog import read_msh, write_msh
+
+    p = str(tmp_path / "t.msh")
+    write_msh(box, p)
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[:-16])
+    with pytest.raises(ValueError, match="truncated"):
+        read_msh(p)
+
+
+def test_msh_loader_dispatch(spark, tmp_path, box):
+    from vtk_reserves_spark.sources.leapfrog import write_msh
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+
+    p = str(tmp_path / "m.msh")
+    write_msh(box, p)
+    df = load_dataframe(spark, p, keep_null=True)
+    assert df.columns == ["x", "y", "z", "n", "node", "face"]
+    assert df.count() == 36
+    want = sorted(tuple(r) for r in box.to_exploded_df(spark).collect())
+    assert sorted(tuple(r) for r in df.collect()) == want

@@ -38,6 +38,10 @@ def _load_mesh(path: str):
         return TriMesh.from_obj(path)
     if ext == ".vtk":
         return TriMesh.from_vtk(path)
+    if ext == ".msh":
+        from vtk_reserves_spark.sources.leapfrog import read_msh
+
+        return read_msh(path)
     raise SystemExit(f"unsupported mesh format: {path}")
 
 
@@ -125,9 +129,15 @@ def cmd_convert(args) -> None:
     through Spark."""
     in_ext = os.path.splitext(args.input.lower())[1]
     out_ext = os.path.splitext(args.output.lower())[1]
-    if in_ext in (".obj", ".vtk") and out_ext in (".obj", ".vtk"):
+    mesh_exts = (".obj", ".vtk", ".msh")
+    if in_ext in mesh_exts and out_ext in mesh_exts:
         mesh = _load_mesh(args.input)
-        (mesh.to_obj if out_ext == ".obj" else mesh.to_vtk)(args.output)
+        if out_ext == ".msh":
+            from vtk_reserves_spark.sources.leapfrog import write_msh
+
+            write_msh(mesh, args.output)
+        else:
+            (mesh.to_obj if out_ext == ".obj" else mesh.to_vtk)(args.output)
         return
     from vtk_reserves_spark.sources.loaders import load_dataframe
     from vtk_reserves_spark.sources.writers import save_table

@@ -182,6 +182,10 @@ def load_dataframe(
         from vtk_reserves_spark.sources.mesh import TriMesh
 
         df = TriMesh.from_vtk(df_path).to_exploded_df(spark)
+    elif ext == ".msh":
+        from vtk_reserves_spark.sources.leapfrog import read_msh_df
+
+        df = read_msh_df(spark, df_path)
     elif ext == ".shp":
         from vtk_reserves_spark.sources.shapefile import read_shp
 

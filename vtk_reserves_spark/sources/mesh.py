@@ -9,10 +9,10 @@ are KB-to-MB scale while the block model is the 100 TB side, so the mesh
 is always the broadcast side of every spatial join.
 
 Supported ingest: Wavefront OBJ (``_gui.py:1281-1315``), exploded mesh
-tables (``n``/``node`` run-length encoding, ``_gui.py:774-793``), and
-synthetic boxes for region solids (the reference sample's
-``vox_region*.vtk`` are 8-vertex boxes).  Proprietary formats (Vulcan
-00t, Leapfrog msh binary) are out of scope (SURVEY.md §2.1).
+tables (``n``/``node`` run-length encoding, ``_gui.py:774-793``),
+Leapfrog msh (`sources/leapfrog.py`), and synthetic boxes for region
+solids (the reference sample's ``vox_region*.vtk`` are 8-vertex boxes).
+Vulcan 00t stays out of scope (proprietary API, SURVEY.md §2.1).
 """
 
 from __future__ import annotations
