@@ -990,17 +990,21 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path: synthesize genuine PNG payloads from the text
+    bytes, then decode actual pixels (pure-zlib codec) executor-side —
+    geometry + pixel mean verified against the oracle's closed form of
+    the synthesis rule (w=8+n%9, h=8+n%7, pixels = bytes cycled)."""
     docs = _read(spark, sf_dir, "documents")
-    payloads = MM.attach_payload(docs)
-    return MM.extract_features(payloads, fake=True).select("doc_id", "width", "height")
+    payloads = MM.attach_png_payload(docs)
+    return MM.extract_features(payloads, fake=False)
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-neighbor resize plumbing to a 16x16 sample grid (stubbed
-    codec, real mapInPandas batch shape)."""
+    """REAL codec path: decode the synthesized PNGs and nearest-neighbor
+    resize the actual pixel grid to 16x16."""
     docs = _read(spark, sf_dir, "documents")
-    payloads = MM.attach_payload(docs)
-    return MM.resize_media(payloads, out_w=16, out_h=16, fake=True)
+    payloads = MM.attach_png_payload(docs)
+    return MM.resize_media(payloads, out_w=16, out_h=16, fake=False)
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1577,25 +1581,40 @@ def _llm_oracles() -> dict[str, str]:
             WHERE list_cosine_similarity(a.vec, b.vec) >= 0.999
         """,
         "multimodal_features": """
+            -- closed form of the PNG synthesis rule (attach_png_payload):
+            -- grayscale w=8+n%9, h=8+n%7, pixel p = byte p%n; the corpus
+            -- is pure ASCII (verified octet_length == length), so ord()
+            -- of a character equals the utf-8 byte
+            WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
             SELECT doc_id,
-                   CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-                   CAST(octet_length(encode(text)) % 480 AS INT) AS height
-            FROM documents
+                   CAST(8 + n % 9 AS INT) AS width,
+                   CAST(8 + n % 7 AS INT) AS height,
+                   CASE WHEN n = 0 THEN 0.0 ELSE
+                     list_avg(list_transform(range(0, (8 + n % 9) * (8 + n % 7)),
+                       i -> ord(substring(text, CAST(1 + i % n AS BIGINT), 1))))
+                   END AS mean_byte
+            FROM d
         """,
         "multimodal_resize": """
-            -- payloads are the utf-8 text bytes and the corpus is pure
-            -- ASCII (verified octet_length == length), so character
-            -- indexing equals byte indexing; sample i reads input byte
-            -- (i*n)//m, m = 16*16, matching the Spark-side numpy fake
+            -- nearest-neighbor resample of the synthesized w x h image to
+            -- 16x16: output (r,c) reads source ((r*h)//16, (c*w)//16),
+            -- source pixel (sr,sc) = byte (sr*w + sc) % n
+            WITH d AS (SELECT doc_id, text, length(text) AS n,
+                              8 + length(text) % 9 AS w,
+                              8 + length(text) % 7 AS h
+                       FROM documents)
             SELECT doc_id,
                    CAST(16 AS INT) AS out_w,
                    CAST(16 AS INT) AS out_h,
                    CAST(256 AS BIGINT) AS n_bytes,
-                   CASE WHEN length(text) = 0 THEN NULL ELSE
+                   CASE WHEN n = 0 THEN 0.0 ELSE
                      list_avg(list_transform(range(0, 256),
-                       i -> ord(substring(text, CAST(1 + (i * length(text)) // 256 AS BIGINT), 1))))
+                       i -> ord(substring(text,
+                         CAST(1 + (((i // 16) * h // 16) * w
+                                   + ((i % 16) * w // 16)) % n AS BIGINT),
+                         1))))
                    END AS mean_byte
-            FROM documents
+            FROM d
         """,
         "frame_sample": """
             SELECT doc_id,

@@ -142,10 +142,46 @@ def test_resize_media_nearest_neighbor_math(spark):
     assert pd.isna(out.loc[3, "mean_byte"])
 
 
-def test_resize_media_real_codec_gated(spark):
-    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
-    with pytest.raises(NotImplementedError):
-        MM.resize_media(MM.attach_payload(df), 4, 4, fake=False)
+def test_resize_media_real_codec(spark):
+    """fake=False decodes REAL PNGs: 4x2 gradient image resized to 2x2
+    picks source pixels ((r*2)//2, (c*4)//2) = rows 0,1 x cols 0,2."""
+    from vtk_reserves_spark.sources.image import encode_png
+
+    img = np.arange(8, dtype=np.uint8).reshape(2, 4) * 10
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img)))], "doc_id long, payload binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/png").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ),
+    )
+    out = MM.resize_media(df, out_w=2, out_h=2, fake=False).toPandas()
+    assert out.loc[0, "n_bytes"] == 4
+    # sampled pixels: (0,0)=0, (0,2)=20, (1,0)=40, (1,2)=60 -> mean 30
+    assert out.loc[0, "mean_byte"] == pytest.approx(30.0)
+
+
+def test_multimodal_real_png_pipeline(spark):
+    """attach_png_payload -> extract_features(fake=False) decodes actual
+    pixels; verify geometry + mean against the synthesis rule."""
+    texts = [(1, "hello world"), (2, ""), (3, "a")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = (
+        MM.extract_features(MM.attach_png_payload(df), fake=False)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for doc_id, t in texts:
+        b = t.encode()
+        n = len(b)
+        w, h = 8 + n % 9, 8 + n % 7
+        assert out.loc[doc_id, "width"] == w
+        assert out.loc[doc_id, "height"] == h
+        want = np.mean([b[i % n] for i in range(w * h)]) if n else 0.0
+        assert out.loc[doc_id, "mean_byte"] == pytest.approx(want)
 
 
 def test_winnow_shared_run_guarantee(spark):
@@ -292,9 +328,18 @@ def test_multimodal_features_fake(docs, spark):
     assert m.mean_byte.between(32, 127).all()  # ascii-ish corpus
 
 
-def test_multimodal_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_multimodal_decode_real_and_gated():
+    from vtk_reserves_spark.sources.image import encode_png
+
+    img = np.full((3, 5), 7, np.uint8)
+    got = MM.decode_media(encode_png(img), "image/png", fake=False)
+    assert got == {"width": 5, "height": 3, "mean_byte": 7.0}
+    # non-PNG bytes with a png mime fail the magic check
+    with pytest.raises(ValueError, match="not a PNG"):
         MM.decode_media(b"bytes", "image/png", fake=False)
+    # audio/video codecs remain unavailable -> explicit gate
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"RIFF....WAVE", "audio/wav", fake=False)
 
 
 def test_frame_sample(docs, spark, duck):

@@ -7,12 +7,15 @@ feature-extraction / frame-sampling run as Arrow-batched
 ``mapInPandas`` stages so payload bytes never pass through the driver
 and partition boundaries are preserved.
 
-The actual codec step is STUBBED: image/audio libraries are not in this
-container, so :func:`decode_media` raises ``NotImplementedError`` unless
+Codec status: **PNG decodes for real** via the repo's pure-zlib codec
+(`sources/image.py`) — :func:`attach_png_payload` synthesizes genuine
+PNG payloads and :func:`decode_media`/:func:`resize_media` decode the
+actual pixels with ``fake=False``.  Audio/video codecs are not in this
+container, so those mimes still raise ``NotImplementedError`` unless
 ``fake=True``, which substitutes a deterministic byte-arithmetic fake
 whose outputs are reproducible (and SQL-expressible for the oracle).
 The Spark-side plumbing — schema, batch iteration, UDF signatures,
-partitioning — is real and tested.
+partitioning — is identical for both paths.
 """
 
 from __future__ import annotations
@@ -60,20 +63,67 @@ def attach_payload(
     )
 
 
+def attach_png_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a REAL PNG payload per row (pure-zlib encoder,
+    `sources/image.py`): grayscale ``w = 8 + n%9``, ``h = 8 + n%7``
+    (n = utf-8 byte count), pixel ``p`` = byte ``p % n`` (all-zero when
+    the text is empty).  Deterministic, so the decoded geometry and
+    pixel mean stay oracle-expressible while the payload bytes are a
+    genuine compressed image format."""
+    from vtk_reserves_spark.sources.image import encode_png
+
+    @F.pandas_udf(T.BinaryType())
+    def to_png(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            b = np.frombuffer((t or "").encode("utf-8"), np.uint8)
+            n = b.size
+            w, h = 8 + n % 9, 8 + n % 7
+            img = b[np.arange(w * h) % n].reshape(h, w) if n else np.zeros((h, w), np.uint8)
+            out.append(encode_png(img))
+        return pd.Series(out)
+
+    with_payload = df.select(F.col(id_col), to_png(F.col(text_col)).alias("payload"))
+    return with_payload.select(
+        id_col,
+        "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/png").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def decode_media(payload: bytes, mime: str, fake: bool = False):
-    """Decode one payload.  Real codecs are unavailable in this
-    environment; callers must opt into the deterministic fake."""
-    if not fake:
-        raise NotImplementedError(
-            "media codecs (PIL/ffmpeg/librosa) are not available in this "
-            "container; pass fake=True for the deterministic stand-in"
-        )
-    n = len(payload)
-    return {
-        "width": n % 640,
-        "height": n % 480,
-        "mean_byte": (sum(payload[:64]) / min(n, 64)) if n else 0.0,
-    }
+    """Decode one payload.  PNG decodes for real (pure-zlib codec);
+    other mimes need codecs absent from this environment, so callers
+    must opt into the deterministic fake."""
+    if fake:
+        n = len(payload)
+        return {
+            "width": n % 640,
+            "height": n % 480,
+            "mean_byte": (sum(payload[:64]) / min(n, 64)) if n else 0.0,
+        }
+    if mime == "image/png":
+        from vtk_reserves_spark.sources.image import decode_png
+
+        img = decode_png(bytes(payload))
+        return {
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "mean_byte": float(img.mean()),
+        }
+    raise NotImplementedError(
+        f"no codec for mime {mime!r} in this container (PNG is built in; "
+        "audio/video need ffmpeg/librosa) — pass fake=True for the "
+        "deterministic stand-in"
+    )
 
 
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -117,39 +167,53 @@ def resize_media(
     mapInPandas, bytes stay executor-side, output is the resized
     geometry plus a checkable reduction of the resampled bytes.
 
-    The codec step is STUBBED (no imaging libs in this container): the
-    deterministic fake is nearest-neighbor resampling of the raw byte
-    stream to out_w·out_h samples — sample i reads input byte
-    ``(i·n) // m`` (m = out_w·out_h), the same index math a real
-    nearest-neighbor image resize applies per axis.  A real
-    decode→resize→encode chain slots into the same batch loop and
-    schema.  ``fake=False`` raises like :func:`decode_media`."""
-    if not fake:
-        raise NotImplementedError(
-            "media codecs (PIL/ffmpeg) are not available in this "
-            "container; pass fake=True for the deterministic stand-in"
-        )
+    With ``fake=False`` payloads must be PNG: each image is decoded
+    (pure-zlib codec) and resampled nearest-neighbor per axis —
+    output pixel ``(r, c)`` reads source pixel
+    ``((r·h) // out_h, (c·w) // out_w)`` — and ``mean_byte`` is the
+    mean of the resized pixels (``n_bytes`` = resized sample count).
+
+    The ``fake=True`` stand-in (for non-image payloads / oracle
+    simplicity) applies the same index math to the raw byte stream:
+    sample i reads input byte ``(i·n) // m`` (m = out_w·out_h)."""
     import numpy as np
 
     m = out_w * out_h
 
+    def one_fake(p) -> tuple[float | None, int]:
+        b = np.frombuffer(p, dtype=np.uint8)
+        n = b.size
+        if n == 0:
+            return None, m
+        idx = (np.arange(m, dtype=np.int64) * n) // m
+        return float(b[idx].mean()), m
+
+    def one_real(p) -> tuple[float | None, int]:
+        from vtk_reserves_spark.sources.image import decode_png
+
+        img = decode_png(bytes(p))
+        h, w = img.shape[:2]
+        rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+        cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+        res = img[rows][:, cols]
+        return float(res.mean()), int(res.size)
+
+    one = one_fake if fake else one_real
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             means: list[float | None] = []
+            sizes: list[int] = []
             for p in pdf["payload"]:
-                b = np.frombuffer(p, dtype=np.uint8)
-                n = b.size
-                if n == 0:
-                    means.append(None)
-                    continue
-                idx = (np.arange(m, dtype=np.int64) * n) // m
-                means.append(float(b[idx].mean()))
+                mean, nb = one(p)
+                means.append(mean)
+                sizes.append(nb)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "out_w": out_w,
                     "out_h": out_h,
-                    "n_bytes": m,
+                    "n_bytes": sizes,
                     "mean_byte": means,
                 }
             )
