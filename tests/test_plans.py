@@ -100,3 +100,10 @@ def test_tfidf_broadcasts_idf_map(spark):
     # the token stream itself is never broadcast
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastExchange") >= 2
+
+
+def test_annotate_spatial_single_udf(spark):
+    """The fused region+depletion operator crosses the Python boundary
+    exactly once (struct-returning UDF is not duplicated per field)."""
+    plan = _plan(entry.q_reserves_sample(spark, TESTDATA))
+    assert plan.count("ArrowEvalPython") == 2  # tree + detail = ONE node

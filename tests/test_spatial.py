@@ -216,3 +216,89 @@ def test_obj_roundtrip(tmp_path, spark):
     assert mesh.vertices.shape == (4, 3)
     assert mesh.faces.shape == (2, 3)  # quad fan-triangulated
     assert mesh.name == "tri"
+
+
+def test_annotate_spatial_matches_composition(spark, grid):
+    """The fused single-UDF operator must reproduce flag_regions +
+    mine_fraction composed, for TriMesh regions and mesh surfaces."""
+    from vtk_reserves_spark.operators.spatial import annotate_spatial
+
+    regions = [
+        TriMesh.box(((20.0, 10.0, 0.0), (70.0, 60.0, 80.0)), name="ra"),
+        TriMesh.box(((50.0, 40.0, 20.0), (90.0, 80.0, 90.0)), name="rb"),
+    ]
+    inc = TriMesh.plane_quad(0.1, 0.05, 30.0, ((0.0, 0.0), (100.0, 100.0)), name="up")
+    exc = TriMesh.plane_quad(0.0, 0.0, 15.0, ((0.0, 0.0), (60.0, 100.0)), name="dn")
+    g = grid.withColumn("dz", F.lit(10.0))
+
+    composed = flag_regions(
+        mine_fraction(g, include=[inc], exclude=[exc]), regions
+    ).select("cell", "region", "mine")
+    fused = annotate_spatial(g, regions=regions, include=[inc], exclude=[exc]).select(
+        "cell", "region", "mine"
+    )
+    want = {r["cell"]: (r["region"], r["mine"]) for r in composed.collect()}
+    got = {r["cell"]: (r["region"], r["mine"]) for r in fused.collect()}
+    assert got.keys() == want.keys()
+    for c in want:
+        assert got[c][0] == want[c][0], c
+        assert got[c][1] == pytest.approx(want[c][1], nan_ok=True), c
+
+
+def test_ray_scan_scales_to_10k_faces(spark):
+    """Triangle-vectorized kernel: a 10k-face terrain against 10k points
+    must run in numpy time (was a per-triangle Python loop).  Checks
+    correctness against the analytic plane elevation and bounds the
+    wall time generously (vectorized ~0.2 s; the old loop took ~30 s)."""
+    import time
+
+    from vtk_reserves_spark.operators.spatial import _ray_scan
+
+    # 71x71 vertex lattice -> 70*70*2 = 9800 faces on z = x/10 + y/20
+    nv = 71
+    xs, ys = np.meshgrid(np.linspace(0, 700, nv), np.linspace(0, 700, nv))
+    verts = np.stack([xs.ravel(), ys.ravel(), xs.ravel() / 10 + ys.ravel() / 20], 1)
+    faces = []
+    for r in range(nv - 1):
+        for c in range(nv - 1):
+            a = r * nv + c
+            faces.append([a, a + 1, a + nv])
+            faces.append([a + 1, a + nv + 1, a + nv])
+    mesh = TriMesh(verts, np.array(faces), name="terrain")
+
+    rng = np.random.RandomState(7)
+    px = rng.uniform(1, 699, 10_000)
+    py = rng.uniform(1, 699, 10_000)
+    pz = np.zeros(10_000)
+    t0 = time.time()
+    n_above, n_hits, z_sum = _ray_scan(px, py, pz, mesh)
+    wall = time.time() - t0
+    assert wall < 5.0, f"vectorized scan too slow: {wall:.1f}s"
+    assert (n_hits == 1).all()  # open surface: exactly one crossing
+    # tolerance covers the deliberate simulation-of-simplicity ray nudge
+    # (~1e-9 * extent * slope ~= 1e-7 here)
+    np.testing.assert_allclose(z_sum, px / 10 + py / 20, atol=1e-5)
+
+
+def test_reserves_sample_golden_table(spark):
+    """Pin the engine's output for the reference's std_voxel README
+    scenario (README.md:60-72 describes this table's shape).  Caveat
+    documented in q_reserves_sample: the reference's own depletion kernel
+    is unrunnable (vtk_mine.py:39 imports a module that exists nowhere),
+    so these figures are THIS engine's reconstruction — the golden
+    assertion guards regressions in the binary-VTK parser, fused
+    ray-cast, depletion math, and weighted breakdown as one chain."""
+    import __spark_entry__ as entry
+
+    rows = [tuple(r) for r in entry.q_reserves_sample(spark, "x").orderBy("region", "lito").collect()]
+    assert rows == [
+        ("vox_region1", "high", None, None, 0.0, 0.0),
+        ("vox_region1", "low", None, None, 0.0, 0.0),
+        ("vox_region1", "medium", None, None, 0.0, 0.0),
+        ("vox_region2", "high", 69.75, 87.8333, 30000000.0, 2635000.0),
+        ("vox_region2", "low", 21.1165, 79.5, 17166667.0, 1364750.0),
+        ("vox_region2", "medium", 45.722, 81.3051, 46166667.0, 3753583.0),
+        ("vox_region3", "high", 69.0, 84.5, 8333333.0, 704167.0),
+        ("vox_region3", "low", 22.0588, 79.5, 8500000.0, 675750.0),
+        ("vox_region3", "medium", 44.596, 76.9747, 16500000.0, 1270083.0),
+    ]

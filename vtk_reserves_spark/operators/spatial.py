@@ -64,17 +64,73 @@ class PlaneSurface:
         )
 
 
-def _ray_scan(px, py, pz, mesh: TriMesh):
+#: face count above which _ray_scan builds an xy tile index
+_TILE_THRESHOLD = 512
+
+
+def _tri_arrays(mesh: TriMesh):
+    """Per-mesh packed triangle arrays for the vectorized ray scan,
+    cached on the mesh object (meshes ride in UDF closures, so the cache
+    is built once per executor per mesh): vertex A/B/C and the
+    (unnormalized) face normal, all shape (F, 3), plus — for meshes over
+    ``_TILE_THRESHOLD`` faces — an xy tile index mapping each tile to
+    the faces whose xy bounding box overlaps it, so a point only tests
+    the triangles of its own tile (O(points · faces/tile) instead of
+    O(points · faces); a 100k-face topography averages a handful of
+    faces per tile)."""
+    cached = getattr(mesh, "_tri_cache", None)
+    if cached is None:
+        V = mesh.vertices
+        A = V[mesh.faces[:, 0]]
+        B = V[mesh.faces[:, 1]]
+        C = V[mesh.faces[:, 2]]
+        nrm = np.cross(B - A, C - A)  # (nx, ny, nz) per face
+        tile = None
+        nf = len(A)
+        if nf > _TILE_THRESHOLD:
+            lo, hi = mesh.bounds
+            nt = max(2, int(np.sqrt(nf / 8.0)))  # ~8 faces/tile target
+            tsx = max((hi[0] - lo[0]) / nt, _EPS)
+            tsy = max((hi[1] - lo[1]) / nt, _EPS)
+            fx = np.stack([A[:, 0], B[:, 0], C[:, 0]])
+            fy = np.stack([A[:, 1], B[:, 1], C[:, 1]])
+            x0 = np.clip(((fx.min(0) - lo[0]) / tsx).astype(np.int64), 0, nt - 1)
+            x1 = np.clip(((fx.max(0) - lo[0]) / tsx).astype(np.int64), 0, nt - 1)
+            y0 = np.clip(((fy.min(0) - lo[1]) / tsy).astype(np.int64), 0, nt - 1)
+            y1 = np.clip(((fy.max(0) - lo[1]) / tsy).astype(np.int64), 0, nt - 1)
+            buckets: dict[int, list[int]] = {}
+            for f in range(nf):
+                for tx in range(x0[f], x1[f] + 1):
+                    for ty in range(y0[f], y1[f] + 1):
+                        buckets.setdefault(tx * nt + ty, []).append(f)
+            tile = (
+                nt,
+                tsx,
+                tsy,
+                lo,
+                {t: np.asarray(fs, np.int64) for t, fs in buckets.items()},
+            )
+        cached = (A, B, C, nrm, tile)
+        mesh._tri_cache = cached
+    return cached
+
+
+def _ray_scan(px, py, pz, mesh: TriMesh, chunk_elems: int = 4_000_000):
     """Vertical-ray crossing scan of a point batch against a mesh.
 
     Returns (n_above, n_hits, z_sum) int64/int64/float64 arrays: crossings
     strictly above each point, total crossings, and the sum of crossing
-    elevations.  Vectorized over points, looped over triangles (meshes
-    are small; points are the big side)."""
+    elevations.  Fully vectorized: triangles are batched in numpy
+    (no per-triangle Python loop), with points processed in chunks of
+    ``chunk_elems // n_faces`` so the (points x faces) broadcast stays
+    within a bounded working set — a 100k-face topography costs numpy
+    throughput, not interpreter time."""
     n = px.size
     n_above = np.zeros(n, np.int64)
     n_hits = np.zeros(n, np.int64)
     z_sum = np.zeros(n, np.float64)
+    if len(mesh.faces) == 0:
+        return n_above, n_hits, z_sum
     lo, hi = mesh.bounds
     m = (px >= lo[0] - _EPS) & (px <= hi[0] + _EPS) & (py >= lo[1] - _EPS) & (py <= hi[1] + _EPS)
     if not m.any():
@@ -90,31 +146,54 @@ def _ray_scan(px, py, pz, mesh: TriMesh):
     qy = py[m] + 2.7182818e-9 * scale
     qz = pz[m]
     idx = np.nonzero(m)[0]
-    V = mesh.vertices
-    for ia, ib, ic in mesh.faces:
-        ax, ay, az = V[ia]
-        bx, by, bz = V[ib]
-        cx, cy, cz = V[ic]
-        d1 = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
-        d2 = (cx - bx) * (qy - by) - (cy - by) * (qx - bx)
-        d3 = (ax - cx) * (qy - cy) - (ay - cy) * (qx - cx)
-        hit = ((d1 > _EPS) & (d2 > _EPS) & (d3 > _EPS)) | (
-            (d1 < -_EPS) & (d2 < -_EPS) & (d3 < -_EPS)
-        )
-        if not hit.any():
-            continue
-        nx = (by - ay) * (cz - az) - (bz - az) * (cy - ay)
-        ny = (bz - az) * (cx - ax) - (bx - ax) * (cz - az)
-        nz = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-        if abs(nz) < _EPS:
-            continue  # vertical triangle: ray parallel to its plane
-        zh = az - (nx * (qx - ax) + ny * (qy - ay)) / nz
-        tgt = idx[hit]
-        np.add.at(n_hits, tgt, 1)
-        np.add.at(z_sum, tgt, zh[hit])
-        above = np.zeros(n, bool)
-        above[idx] = hit & (zh > qz)
-        n_above += above
+    A, B, C, nrm, tile = _tri_arrays(mesh)
+
+    def scan_block(psel: np.ndarray, fsel: np.ndarray | None) -> None:
+        """Dense (selected points x selected faces) scan, accumulating
+        into the global output arrays."""
+        ax, ay, az = (A[fsel, i] if fsel is not None else A[:, i] for i in range(3))
+        bx, by = (B[fsel, i] if fsel is not None else B[:, i] for i in range(2))
+        cx, cy = (C[fsel, i] if fsel is not None else C[:, i] for i in range(2))
+        nx, ny, nz = (nrm[fsel, i] if fsel is not None else nrm[:, i] for i in range(3))
+        flat = np.abs(nz) >= _EPS  # vertical tris never cross a +z ray
+        nz_safe = np.where(flat, nz, 1.0)
+        step = max(1, chunk_elems // max(len(ax), 1))
+        for s in range(0, psel.size, step):
+            p = psel[s : s + step]
+            X = qx[p, None]  # (points, 1) vs (faces,) -> (points, faces)
+            Y = qy[p, None]
+            d1 = (bx - ax) * (Y - ay) - (by - ay) * (X - ax)
+            d2 = (cx - bx) * (Y - by) - (cy - by) * (X - bx)
+            d3 = (ax - cx) * (Y - cy) - (ay - cy) * (X - cx)
+            hit = ((d1 > _EPS) & (d2 > _EPS) & (d3 > _EPS)) | (
+                (d1 < -_EPS) & (d2 < -_EPS) & (d3 < -_EPS)
+            )
+            hit &= flat
+            pr, fc = np.nonzero(hit)  # hits are sparse: gather, not dense
+            if pr.size == 0:
+                continue
+            zh = az[fc] - (
+                nx[fc] * (qx[p][pr] - ax[fc]) + ny[fc] * (qy[p][pr] - ay[fc])
+            ) / nz_safe[fc]
+            tgt = idx[p][pr]
+            np.add.at(n_hits, tgt, 1)
+            np.add.at(z_sum, tgt, zh)
+            np.add.at(n_above, tgt, (zh > qz[p][pr]).astype(np.int64))
+
+    if tile is None:
+        scan_block(np.arange(qx.size), None)
+    else:
+        nt, tsx, tsy, tlo, buckets = tile
+        tx = np.clip(((qx - tlo[0]) / tsx).astype(np.int64), 0, nt - 1)
+        ty = np.clip(((qy - tlo[1]) / tsy).astype(np.int64), 0, nt - 1)
+        tid = tx * nt + ty
+        order = np.argsort(tid, kind="stable")
+        bounds = np.searchsorted(tid[order], np.arange(nt * nt + 1))
+        for t in np.unique(tid):
+            fsel = buckets.get(int(t))
+            if fsel is None:
+                continue
+            scan_block(order[bounds[t] : bounds[t + 1]], fsel)
     return n_above, n_hits, z_sum
 
 
@@ -421,3 +500,99 @@ def mine_fraction(
         mine = m_inc * (1 - F.coalesce(m_exc, F.lit(0.0)))
     df = df.withColumn(mine_col, mine)
     return df.drop(*[c for c in df.columns if c.startswith("__zs_") or c.startswith("__m_")])
+
+
+def annotate_spatial(
+    df: DataFrame,
+    regions: list[TriMesh] | None = None,
+    include: list | None = None,
+    exclude: list | None = None,
+    region_col: str = "region",
+    mine_col: str = "mine",
+    xyz=("x", "y", "z"),
+    dz_col: str = "dz",
+    region_values: list[str] | None = None,
+) -> DataFrame:
+    """FUSED spatial annotation: region flagging + mine depletion in ONE
+    Arrow pandas-UDF pass.
+
+    Composing :func:`flag_regions` + :func:`mine_fraction` costs one
+    ArrowEvalPython stage per TriMesh surface plus one for the region
+    flags — each a full Arrow serialize/deserialize round-trip over the
+    block model.  At 100 TB those round-trips dominate; this operator
+    evaluates every mesh (regions, includes, excludes) against each
+    record batch in a single UDF invocation and returns a struct, so the
+    cells cross the Python boundary exactly once.  Semantics are
+    identical to the composition (same ray-scan kernel, same
+    greatest/coalesce combination rules, later regions overwrite).
+    ``tests/test_plans.py`` asserts the single-ArrowEvalPython plan."""
+    regions = regions or []
+    include = include or []
+    exclude = exclude or []
+    vals = []
+    for i, mesh in enumerate(regions):
+        if region_values is not None and i < len(region_values):
+            vals.append(str(region_values[i]))
+        else:
+            vals.append(mesh.name or str(i + 1))
+    payload = list(zip(vals, regions))
+
+    def surf_frac(surf, px, py, pz, dz) -> np.ndarray:
+        """Depletion fraction for one include/exclude entry.  Where the
+        surface has no elevation at (x, y) the fraction is 0.0 — exactly
+        what the composed path computes, because Spark's
+        ``least(greatest(NULL, 0.0), 1.0)`` skips NULLs and yields 0.0."""
+        if isinstance(surf, tuple) and surf[0] == "solid":
+            return point_in_solid(px, py, pz, surf[1]).astype(np.float64)
+        if isinstance(surf, PlaneSurface):
+            zs = np.full(px.size, np.nan)
+            m = np.ones(px.size, bool)
+            if surf.xy_bounds is not None:
+                (x0, y0), (x1, y1) = surf.xy_bounds
+                m = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+            zs[m] = surf.a * px[m] + surf.b * py[m] + surf.c
+        else:
+            _, n_hits, z_sum = _ray_scan(px, py, np.zeros(px.size), surf)
+            zs = np.where(n_hits > 0, z_sum / np.maximum(n_hits, 1), np.nan)
+        with np.errstate(invalid="ignore"):
+            frac = np.clip((zs - pz + dz / 2.0) / dz, 0.0, 1.0)
+        return np.where(np.isnan(frac), 0.0, frac)
+
+    out_schema = "region: string, mine: double"
+
+    @F.pandas_udf(out_schema)
+    def fused(xs: pd.Series, ys: pd.Series, zcol: pd.Series, dzs: pd.Series) -> pd.DataFrame:
+        px = xs.to_numpy(np.float64)
+        py = ys.to_numpy(np.float64)
+        pz = zcol.to_numpy(np.float64)
+        dz = dzs.to_numpy(np.float64)
+        reg = np.full(px.size, "", dtype=object)
+        for value, mesh in payload:
+            reg[point_in_solid(px, py, pz, mesh)] = value
+        incs = [surf_frac(s, px, py, pz, dz) for s in include]
+        excs = [surf_frac(s, px, py, pz, dz) for s in exclude]
+        # fractions are always finite (missing elevation -> 0.0 above)
+        m_inc = np.maximum.reduce(incs) if incs else np.ones(px.size)
+        mine = m_inc
+        if excs:
+            mine = m_inc * (1.0 - np.maximum.reduce(excs))
+        return pd.DataFrame({"region": reg, "mine": mine})
+
+    x, y, z = (F.col(c) for c in xyz)
+    dz = F.col(dz_col) if dz_col in df.columns else F.lit(1.0)
+    tmp = "__annot"
+    # asNondeterministic stops Catalyst from splitting the struct into
+    # one UDF evaluation per consumer (a downstream filter on `region`
+    # plus the `mine` projection would otherwise each re-run the whole
+    # ray scan — measured as two ArrowEvalPython nodes over the same
+    # rows).  The UDF is pure; the flag only restricts the optimizer.
+    df = df.withColumn(tmp, fused.asNondeterministic()(x, y, z, dz))
+    return (
+        df.withColumn(region_col, F.col(f"{tmp}.region"))
+        # NaN -> NULL so downstream agg/filters see SQL nulls, matching
+        # the unfused mine_fraction output
+        .withColumn(
+            mine_col, F.nanvl(F.col(f"{tmp}.mine"), F.lit(None).cast("double"))
+        )
+        .drop(tmp)
+    )

@@ -246,6 +246,21 @@ def grid_cell_table(ds: VtkDataset):
     if ds.kind != "STRUCTURED_GRID" or ds.dimensions is None:
         raise ValueError("grid_cell_table needs a STRUCTURED_GRID dataset")
     px, py, pz = (np.unique(ds.points[:, a]) for a in range(3))
+    # Cell arrays are attached positionally assuming the VTK-standard
+    # x-fastest point ordering with ascending axes; a grid stored with
+    # descending (or permuted) coordinates would silently land arrays on
+    # the wrong (i,j,k) — so verify the reconstructed lattice matches the
+    # file's actual point stream before trusting the mapping.
+    lattice = np.stack(
+        [m.ravel(order="F") for m in np.meshgrid(px, py, pz, indexing="ij")], 1
+    )
+    if lattice.shape != ds.points.shape or not np.allclose(
+        lattice, ds.points, atol=1e-9
+    ):
+        raise ValueError(
+            "structured grid points are not an ascending x-fastest lattice; "
+            "cell-array order would be misattributed"
+        )
     nx, ny, nz = len(px) - 1, len(py) - 1, len(pz) - 1
     cx, cy, cz = ((v[:-1] + v[1:]) / 2.0 for v in (px, py, pz))
     dx, dy, dz = (np.diff(v) for v in (px, py, pz))
@@ -269,5 +284,10 @@ def grid_cell_table(ds: VtkDataset):
     for src in (ds.cell_data, ds.field_data):
         for name, arr in src.items():
             if np.ndim(arr) == 1 and len(arr) == n:
-                out[name] = arr
+                # legacy-VTK binary payloads are big-endian; convert to
+                # native so Arrow createDataFrame stays zero-copy
+                a = np.asarray(arr)
+                if a.dtype.byteorder == ">":
+                    a = a.astype(a.dtype.newbyteorder("="))
+                out[name] = a
     return out
