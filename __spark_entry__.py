@@ -624,6 +624,20 @@ def q_leapfrog_mesh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return load_dataframe(spark, p, keep_null=True)
 
 
+def q_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical string -> sorted dictionary code (operators/encode.py;
+    pd.factorize(sort=True) parity per pd_string_to_index,
+    vtk_flag_regions.py:21-26): dictionary built per column, dense_rank
+    over the DICTIONARY only, broadcast-joined back — zero big-side
+    shuffles."""
+    from vtk_reserves_spark.operators.encode import string_to_index
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    return string_to_index(li, ["l_returnflag", "l_linestatus"], suffix="_idx")
+
+
 def q_mesh_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded -> (nodes, faces) -> exploded round-trip (vtk_df_to_mesh /
     vtk_mesh_to_df inverse pair, pd_vtk.py:237-284, 375-433)."""
@@ -1738,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session": q_stream_session,
         "stream_stateful_user": q_stream_stateful_user,
         "leapfrog_mesh": q_leapfrog_mesh,
+        "string_index": q_string_index,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -1957,6 +1972,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "leapfrog_mesh": f"""
             SELECT x, y, z, n, node, face FROM {_mesh_values_sql()}
+        """,
+        "string_index": """
+            WITH dr AS (SELECT v, DENSE_RANK() OVER (ORDER BY v) - 1 AS i
+                        FROM (SELECT DISTINCT l_returnflag AS v
+                              FROM lineitem WHERE l_returnflag IS NOT NULL)),
+                 ds AS (SELECT v, DENSE_RANK() OVER (ORDER BY v) - 1 AS i
+                        FROM (SELECT DISTINCT l_linestatus AS v
+                              FROM lineitem WHERE l_linestatus IS NOT NULL))
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_linestatus,
+                   CAST(COALESCE(dr.i, -1) AS INT) AS l_returnflag_idx,
+                   CAST(COALESCE(ds.i, -1) AS INT) AS l_linestatus_idx
+            FROM lineitem l
+            LEFT JOIN dr ON l.l_returnflag = dr.v
+            LEFT JOIN ds ON l.l_linestatus = ds.v
         """,
         "asof_join": """
             SELECT l.event_id, l.user_id, l.ts, l.value,

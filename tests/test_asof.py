@@ -197,3 +197,17 @@ def test_sessionize_single_exchange(spark):
     # windows and the (user, session) aggregation share ONE hash
     # partitioning by user_id — no second exchange for the group-by
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_mixed_timestamp_flavors_rejected(spark):
+    import pytest
+
+    from vtk_reserves_spark.operators.asof import range_join
+
+    pts = spark.sql("SELECT TIMESTAMP'2024-01-01 00:00:00' AS ts, 1 AS k")
+    iv = spark.sql(
+        "SELECT TIMESTAMP_NTZ'2024-01-01 00:00:00' AS lo, "
+        "TIMESTAMP_NTZ'2024-01-02 00:00:00' AS hi, 1 AS k"
+    )
+    with pytest.raises(ValueError, match="mixed Timestamp"):
+        range_join(pts, iv, on="ts", lo="lo", hi="hi", by="k", bucket=3600.0)

@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import assert_frames_match
+from tests.conftest import TESTDATA, assert_frames_match
 from vtk_reserves_spark.operators.breakdown import breakdown
 from vtk_reserves_spark.plans.commalist import commalist, parse_commalist
 from vtk_reserves_spark.plans.template import compile_template, vl_add_region, vl_add_weight
@@ -291,3 +291,36 @@ if _HYP:
                 assert got[g] == pytest.approx(expect, rel=1e-9, abs=1e-9), (
                     g, vals, wts, got[g], expect,
                 )
+
+
+def test_breakdown_approx_quantiles(spark):
+    """approx=True lowers q1/q2/q3 to approx_percentile (bounded per-group
+    memory; the 100 TB path) and stays within sketch accuracy of exact."""
+    li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+    tpl = "l_returnflag;l_quantity=q1,q1;l_quantity=med,q2;l_quantity=q3,q3"
+    exact = breakdown(li, tpl).toPandas().set_index("l_returnflag")
+    approx = breakdown(li, tpl, approx=True).toPandas().set_index("l_returnflag")
+    assert list(exact.columns) == list(approx.columns)
+    for flag in exact.index:
+        for c in exact.columns:
+            # integer-ish quantity domain: the 1/10000-rank sketch lands
+            # within one unit of the exact value on 60k rows
+            assert abs(exact.loc[flag, c] - approx.loc[flag, c]) <= 1.0, (flag, c)
+
+
+def test_string_to_index_factorize_parity(spark):
+    """Sorted-dictionary codes == pd.factorize(sort=True); NULL -> -1."""
+    from vtk_reserves_spark.operators.encode import string_to_index
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, None), (4, "c"), (5, "a")],
+        "id long, v string",
+    )
+    out = string_to_index(df, ["v"]).orderBy("id").toPandas()
+    codes, uniq = pd.factorize(pd.Series(["b", "a", None, "c", "a"]), sort=True)
+    assert out.v.tolist() == codes.tolist() == [1, 0, -1, 2, 0]
+
+    # default cols=None encodes every string column, in place
+    df2 = spark.createDataFrame([(1, "x", "q"), (2, "y", None)], "id long, a string, b string")
+    out2 = string_to_index(df2).orderBy("id").toPandas()
+    assert out2.a.tolist() == [0, 1] and out2.b.tolist() == [0, -1]

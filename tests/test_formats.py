@@ -238,3 +238,54 @@ def test_concat_blocks(spark):
     rows = {r["block"]: r for r in out.collect()}
     assert rows[0]["g"] == 5.0 and rows[0]["h"] is None
     assert rows[1]["h"] == "s" and rows[1]["g"] is None
+
+
+def test_vtk_binary_eof_without_newline(tmp_path):
+    """A trailing header line without a final newline parses (EOF = last
+    line) instead of raising ValueError."""
+    import numpy as np
+
+    from vtk_reserves_spark.sources.vtk_binary import read_vtk
+
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], ">f4")
+    body = (
+        b"# vtk DataFile Version 5.1\nt\nBINARY\nDATASET POLYDATA\n"
+        b"POINTS 3 float\n" + pts.tobytes() + b"\n"
+        b"POLYGONS 2 3\nOFFSETS vtktypeint64\n"
+        + np.array([0, 3], ">i8").tobytes() + b"\nCONNECTIVITY vtktypeint64\n"
+        + np.array([0, 1, 2], ">i8").tobytes() + b"\n"
+        b"trailing-no-newline"  # final line, no \n
+    )
+    p = tmp_path / "t.vtk"
+    p.write_bytes(body)
+    ds = read_vtk(str(p))
+    assert ds.points.shape == (3, 3) and len(ds.faces) == 1
+
+
+def test_vtk_binary_unsupported_section_raises(tmp_path):
+    """Binary-payload sections we don't decode abort loudly instead of
+    line-skipping into the payload."""
+    import numpy as np
+    import pytest
+
+    from vtk_reserves_spark.sources.vtk_binary import read_vtk
+
+    pts = np.zeros((3, 3), ">f4")
+    body = (
+        b"# vtk DataFile Version 5.1\nt\nBINARY\nDATASET POLYDATA\n"
+        b"POINTS 3 float\n" + pts.tobytes() + b"\n"
+        b"POINT_DATA 3\nVECTORS v float\n" + np.zeros(9, ">f4").tobytes()
+    )
+    p = tmp_path / "v.vtk"
+    p.write_bytes(body)
+    with pytest.raises(ValueError, match="VECTORS"):
+        read_vtk(str(p))
+
+
+def test_column_synonyms_regex_metachars():
+    """Synonym entries with regex metacharacters are literals, not
+    patterns (re.escape) — no re.error, prefix match still works."""
+    from vtk_reserves_spark.sources.loaders import column_synonyms
+
+    assert column_synonyms(["x(east)_m", "other"], ["x(east)"], None) == "x(east)_m"
+    assert column_synonyms(["abc"], ["a+b"], None) is None

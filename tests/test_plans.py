@@ -107,3 +107,24 @@ def test_annotate_spatial_single_udf(spark):
     exactly once (struct-returning UDF is not duplicated per field)."""
     plan = _plan(entry.q_reserves_sample(spark, TESTDATA))
     assert plan.count("ArrowEvalPython") == 2  # tree + detail = ONE node
+
+
+def test_breakdown_approx_uses_sketch(spark):
+    """approx=True must plan approx_percentile (fixed-size sketch), not
+    the exact percentile's per-group value buffer."""
+    from vtk_reserves_spark.operators.breakdown import breakdown
+
+    li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+    tpl = "l_returnflag;l_quantity=q2,q2"
+    exact_plan = _plan(breakdown(li, tpl))
+    approx_plan = _plan(breakdown(li, tpl, approx=True))
+    assert "approx_percentile" not in exact_plan and "percentile" in exact_plan
+    assert "approx_percentile" in approx_plan
+
+
+def test_string_index_broadcasts_dictionary(spark):
+    """The factorize join must broadcast the dictionary: no sort-merge
+    join, no big-side shuffle."""
+    plan = _plan(entry.q_string_index(spark, TESTDATA))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

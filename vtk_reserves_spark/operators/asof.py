@@ -134,10 +134,27 @@ def range_join(
     if clash:
         raise ValueError(f"interval columns collide with point side: {sorted(clash)}")
 
+    # Mixed timestamp flavors across the two sides would shift ONE side
+    # by the session timezone during the NTZ->TZ cast (the comparison
+    # stays consistent with Spark's implicit-cast semantics, but the
+    # bucket interpretation becomes timezone-dependent) — reject early.
+    flavors = {
+        type(df.schema[c].dataType).__name__
+        for df, c in ((points, on), (intervals, lo), (intervals, hi))
+        if isinstance(df.schema[c].dataType, (T.TimestampType, T.TimestampNTZType))
+    }
+    if len(flavors) > 1:
+        raise ValueError(
+            "mixed TimestampType/TimestampNTZType across range-join "
+            f"columns {sorted(flavors)}; normalize both sides first "
+            "(e.g. cast to timestamp or timestamp_ntz)"
+        )
+
     def to_num(df: DataFrame, col: str):
         if isinstance(df.schema[col].dataType, (T.TimestampType, T.TimestampNTZType)):
             # cast NTZ through session-tz timestamp: the shift is identical
-            # on both sides so bucket co-location is unaffected
+            # on both sides (same-flavor enforced above) so bucket
+            # co-location is unaffected
             return F.unix_micros(F.col(col).cast("timestamp")) / 1_000_000.0
         return F.col(col).cast("double")
 

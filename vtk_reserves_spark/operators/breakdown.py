@@ -152,7 +152,9 @@ def _wq_subplan(
     return g.select(*sel)
 
 
-def breakdown(df: DataFrame, template, sort: bool = True) -> DataFrame:
+def breakdown(
+    df: DataFrame, template, sort: bool = True, approx: bool = False
+) -> DataFrame:
     """Run a breakdown report over ``df``.
 
     ``template`` is a commalist DSL string (or pre-parsed 2-D list):
@@ -166,7 +168,15 @@ def breakdown(df: DataFrame, template, sort: bool = True) -> DataFrame:
     aggregate columns in template order named ``"<var> <op>"`` or the
     alias.  ``sort=True`` orders rows by the group keys like pandas
     ``groupby(sort=True)`` (the result is report-sized; the sort is
-    negligible)."""
+    negligible).
+
+    ``approx=True`` lowers plain quantiles (q1/q2/q3/p{N}) to
+    ``approx_percentile`` — a fixed-size sketch with bounded memory per
+    group instead of ``percentile``'s exact per-group value buffer.  The
+    exact default is pandas parity (and the oracle target); the approx
+    switch is THE scale path: at 100 TB a dominant group would make the
+    exact buffer an executor-OOM, while the sketch stays a few KB
+    regardless of group size (accuracy 1/10000 relative rank)."""
     plan: BreakdownPlan = compile_template(template, df.columns)
     cols = set(df.columns)
 
@@ -216,16 +226,22 @@ def breakdown(df: DataFrame, template, sort: bool = True) -> DataFrame:
 
     # all quantiles of one var share ONE percentile(col, array(...))
     # aggregate — a single per-group value buffer + sort instead of one
-    # per requested quantile (pandas/np.percentile do the same)
+    # per requested quantile (pandas/np.percentile do the same); with
+    # approx=True the buffer becomes an approx_percentile sketch whose
+    # size is independent of group cardinality
     quant_arrays: list[tuple[str, list[tuple[float, str]]]] = []
     for var, q_outs in quants.items():
         arr_name = f"__qa_{len(quant_arrays)}"
         quant_arrays.append((arr_name, q_outs))
-        agg_exprs.append(
-            F.percentile(
-                nn(F.col(var)), F.array(*[F.lit(q) for q, _ in q_outs])
-            ).alias(arr_name)
-        )
+        q_arr = F.array(*[F.lit(q) for q, _ in q_outs])
+        if approx:
+            agg_exprs.append(
+                F.approx_percentile(nn(F.col(var)), q_arr, F.lit(10000)).alias(
+                    arr_name
+                )
+            )
+        else:
+            agg_exprs.append(F.percentile(nn(F.col(var)), q_arr).alias(arr_name))
 
     if agg_exprs:
         result = base.groupBy(*key_cols).agg(*agg_exprs)

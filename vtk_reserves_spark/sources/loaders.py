@@ -68,7 +68,10 @@ def column_synonyms(columns, synonyms, default: int | None = 0) -> str | None:
         if v in columns:
             return v
     for v in synonyms:
-        pat = re.compile(v, re.IGNORECASE)
+        # re.escape: synonyms are literals, not patterns — an explicit
+        # list entry like "x(east)" must not raise re.error, and escaping
+        # preserves the prefix-match semantics the reference relies on
+        pat = re.compile(re.escape(v), re.IGNORECASE)
         for c in columns:
             if pat.match(str(c)):
                 return c

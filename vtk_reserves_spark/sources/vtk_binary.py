@@ -54,15 +54,27 @@ class VtkDataset:
         return 0 if self.faces is None else len(self.faces)
 
 
+#: attribute sections carrying binary payloads this parser doesn't
+#: decode — encountered mid-stream they must abort, not line-skip
+_BINARY_ATTR_SECTIONS = frozenset(
+    (b"VECTORS", b"NORMALS", b"TEXTURE_COORDINATES", b"TENSORS",
+     b"COLOR_SCALARS", b"LOOKUP_TABLE")
+)
+
+
 class _Cursor:
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
 
     def line(self) -> bytes:
-        nl = self.data.index(b"\n", self.pos)
-        out = self.data[self.pos:nl]
-        self.pos = nl + 1
+        nl = self.data.find(b"\n", self.pos)
+        if nl < 0:  # EOF without trailing newline: remainder is the line
+            out = self.data[self.pos:]
+            self.pos = len(self.data)
+        else:
+            out = self.data[self.pos:nl]
+            self.pos = nl + 1
         return out.strip()
 
     def peek_line(self) -> bytes:
@@ -124,7 +136,14 @@ def _read_attributes(cur: _Cursor, n: int) -> dict:
         head = cur.peek_line()
         if head.startswith(b"SCALARS"):
             cur.line()
-            _, name, typ = head.split()[:3]
+            toks = head.split()
+            _, name, typ = toks[:3]
+            if len(toks) >= 4 and int(toks[3]) != 1:
+                raise ValueError(
+                    f"unsupported SCALARS with numComp={int(toks[3])}: "
+                    f"{name.decode()!r} (line-skipping past a binary "
+                    "payload would corrupt the parse)"
+                )
             lut = cur.peek_line()
             if lut.startswith(b"LOOKUP_TABLE"):
                 cur.line()
@@ -132,6 +151,13 @@ def _read_attributes(cur: _Cursor, n: int) -> dict:
         elif head.startswith(b"FIELD"):
             cur.line()
             out.update(_read_field(cur, int(head.split()[2])))
+        elif head.split()[:1] and head.split()[0] in _BINARY_ATTR_SECTIONS:
+            # these carry a binary payload this parser doesn't decode;
+            # skipping them line-wise would misread payload bytes as
+            # section headers, so fail loudly instead
+            raise ValueError(
+                f"unsupported legacy-VTK attribute section {head.split()[0].decode()!r}"
+            )
         else:
             break
     return out
@@ -220,8 +246,12 @@ def read_vtk(path: str) -> VtkDataset:
             cur.line()
             while not cur.eof() and cur.peek_line():
                 cur.line()  # skip metadata block until blank line
+        elif key in _BINARY_ATTR_SECTIONS or key in (b"VERTICES", b"TRIANGLE_STRIPS"):
+            # binary payload we don't decode — line-skipping would
+            # misinterpret payload bytes as headers; fail loudly
+            raise ValueError(f"unsupported legacy-VTK section {key.decode()!r} in {path}")
         else:
-            cur.line()  # unknown section header — skip the line
+            cur.line()  # unknown TEXT header (no payload) — skip the line
     if points is None:
         raise ValueError(f"no POINTS section in {path}")
     return VtkDataset(
