@@ -638,6 +638,22 @@ def q_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return string_to_index(li, ["l_returnflag", "l_linestatus"], suffix="_idx")
 
 
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (operators/sketch.py): KMV sketch state
+    built at the fine (l_returnflag, l_linestatus) grain, then MERGED to
+    l_returnflag without rescanning the raw data — the two-level
+    aggregation pattern for 100 TB rollup tables.  KMV merges
+    losslessly, so the oracle (direct flag-level computation) must match
+    bit-for-bit."""
+    from vtk_reserves_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    li = _read(spark, sf_dir, "lineitem")
+    fine = kmv_sketch(li, ["l_returnflag", "l_linestatus"], "l_orderkey", k=64)
+    return kmv_merge(fine, "l_returnflag", k=64).select(
+        "l_returnflag", "n_kept", "est_distinct"
+    )
+
+
 def q_mesh_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded -> (nodes, faces) -> exploded round-trip (vtk_df_to_mesh /
     vtk_mesh_to_df inverse pair, pd_vtk.py:237-284, 375-433)."""
@@ -1753,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_user": q_stream_stateful_user,
         "leapfrog_mesh": q_leapfrog_mesh,
         "string_index": q_string_index,
+        "sketch_rollup": q_sketch_rollup,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -2044,6 +2061,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_returnflag,
                    COUNT(*) AS n_kept,
+                   CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE 63.0 / MAX(h) END AS est_distinct
+            FROM kept WHERE rn <= 64
+            GROUP BY l_returnflag
+        """,
+        "sketch_rollup": """
+            -- direct flag-level KMV; the Spark side merges fine-grain
+            -- sketches, which is lossless, so the results are identical
+            WITH hashed AS (
+              SELECT DISTINCT l_returnflag,
+                     (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                       + 1) / 4294967296.0 AS h
+              FROM lineitem
+            ), kept AS (
+              SELECT l_returnflag, h,
+                     ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h ASC) AS rn
+              FROM hashed
+            )
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS INT) AS n_kept,
                    CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
                         ELSE 63.0 / MAX(h) END AS est_distinct
             FROM kept WHERE rn <= 64

@@ -530,3 +530,32 @@ def test_mix_corpus_epochs(spark):
     # 'b' docs appear at most once, roughly half kept
     assert b.epoch.max() == 1
     assert 20 < len(b) < 80
+
+
+def test_kmv_merge_equals_direct(spark):
+    """KMV mergeability: merging fine-grain sketches gives bit-identical
+    estimates to sketching the raw data at the coarse grain."""
+    from tests.conftest import TESTDATA
+    from vtk_reserves_spark.operators.sketch import kmv_distinct, kmv_merge, kmv_sketch
+
+    li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+    direct = (
+        kmv_distinct(li, "l_returnflag", "l_orderkey", k=64)
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    fine = kmv_sketch(li, ["l_returnflag", "l_linestatus"], "l_orderkey", k=64)
+    merged = kmv_merge(fine, "l_returnflag", k=64).orderBy("l_returnflag").collect()
+    assert [(r.l_returnflag, r.n_kept, r.est_distinct) for r in direct] == [
+        (r.l_returnflag, r.n_kept, r.est_distinct) for r in merged
+    ]
+    # estimate sanity: KMV std error ~ 1/sqrt(k-2) ~ 12.7% at k=64;
+    # allow ~2.7 sigma
+    truth = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for r in merged:
+        assert abs(r.est_distinct - truth[r.l_returnflag]) / truth[r.l_returnflag] < 0.35

@@ -61,3 +61,68 @@ def kmv_distinct(
         .otherwise((F.lit(k - 1)) / F.max("_h"))
         .alias("est_distinct"),
     )
+
+
+def _estimate_from_sketch(sketch, k: int) -> F.Column:
+    """KMV estimate from a sorted k-smallest-hash array column."""
+    n = F.size(sketch)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(k - 1) / F.element_at(sketch, k)
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group MERGEABLE sketch state: ``(<keys...>, sketch)`` where
+    ``sketch`` is the sorted array of the ≤k smallest distinct hashes.
+
+    This is the two-level-aggregation building block for 100 TB rollups:
+    sketch once at the finest grain (e.g. per day × key), persist the
+    few-KB state, and answer every coarser grouping by merging sketches
+    — the raw data is never rescanned.  KMV merges losslessly: the k
+    smallest of a union equal the k smallest of the per-part k-smallest
+    sets, so :func:`kmv_merge` of partial sketches gives bit-identical
+    estimates to sketching the raw data directly
+    (``test_kmv_merge_equals_direct``)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    hashed = df.select(
+        *keys, _unit_hash(F.col(value_col)).alias("_h")
+    ).dropDuplicates([*keys, "_h"])
+    w = Window.partitionBy(*keys).orderBy(F.col("_h").asc())
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return kept.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("_h")).alias("sketch")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    key_cols: list[str] | str,
+    k: int = 64,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge partial sketches up to a coarser grouping.
+
+    Input: output of :func:`kmv_sketch` (or a previous merge) with any
+    superset of ``key_cols``.  Output: ``(<keys...>, sketch, n_kept,
+    est_distinct)`` at the coarser grain.  Only sketch rows move —
+    shuffle volume is O(groups × k), independent of raw data size."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ex = sketches.select(
+        *keys, F.explode(F.col(sketch_col)).alias("_h")
+    ).dropDuplicates([*keys, "_h"])
+    w = Window.partitionBy(*keys).orderBy(F.col("_h").asc())
+    kept = ex.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    merged = kept.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("_h")).alias(sketch_col)
+    )
+    return merged.select(
+        *keys,
+        sketch_col,
+        F.size(sketch_col).alias("n_kept"),
+        _estimate_from_sketch(F.col(sketch_col), k).alias("est_distinct"),
+    )
