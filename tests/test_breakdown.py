@@ -324,3 +324,75 @@ def test_string_to_index_factorize_parity(spark):
     df2 = spark.createDataFrame([(1, "x", "q"), (2, "y", None)], "id long, a string, b string")
     out2 = string_to_index(df2).orderBy("id").toPandas()
     assert out2.a.tolist() == [0, 1] and out2.b.tolist() == [0, -1]
+
+
+if _HYP:
+
+    @st.composite
+    def _bd_frames(draw):
+        """Random frames with NULL keys, NULL/NaN values, and zero-prone
+        weights — differential-testing the whole numeric mode table."""
+        n = draw(st.integers(4, 40))
+        keys = draw(
+            st.lists(st.sampled_from(["a", "b", "c", None]), min_size=n, max_size=n)
+        )
+        vals = draw(
+            st.lists(
+                st.one_of(st.none(), st.integers(-5, 20)), min_size=n, max_size=n
+            )
+        )
+        wts = draw(st.lists(st.integers(0, 3), min_size=n, max_size=n))
+        return keys, vals, wts
+
+    @settings(max_examples=10, deadline=None)
+    @given(_bd_frames())
+    def test_breakdown_numeric_modes_property(spark, data):
+        """Property: every plain numeric mode plus weighted sum/mean
+        matches a pandas reimplementation of the reference semantics
+        (bm_breakdown.py:179-245) on arbitrary null-riddled groups."""
+        keys, vals, wts = data
+        pdf = pd.DataFrame(
+            {
+                "g": keys,
+                "v": [float(v) if v is not None else np.nan for v in vals],
+                "w": [float(w) for w in wts],
+            }
+        )
+        tpl = (
+            "g;v=c,count;v=s,sum;v=m,mean;v=mn,min;v=mx,max;v=vr,var;"
+            "v=sd,std;v=se,sem;v=q1c,q1;v=q2c,q2;v=q3c,q3;"
+            "v=ws,sum,w;v=wm,mean,w"
+        )
+        out = (
+            breakdown(spark.createDataFrame(pdf), tpl)
+            .toPandas()
+            .set_index("g")
+        )
+        pdf["gk"] = pdf.g.fillna("-99")  # string key NULL -> "-99"
+        assert set(out.index) == set(pdf.gk.unique())
+        for gk, gdf in pdf.groupby("gk"):
+            v = gdf.v.dropna()
+            row = out.loc[gk]
+
+            def close(got, want):
+                if want is None or (isinstance(want, float) and np.isnan(want)):
+                    return got is None or (isinstance(got, float) and np.isnan(got))
+                return got == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+            assert row["c"] == len(v)
+            assert close(row["s"], v.sum() if len(v) else 0.0)
+            assert close(row["m"], v.mean() if len(v) else None)
+            assert close(row["mn"], v.min() if len(v) else None)
+            assert close(row["mx"], v.max() if len(v) else None)
+            assert close(row["vr"], v.var(ddof=1) if len(v) >= 2 else None)
+            assert close(row["sd"], v.std(ddof=1) if len(v) >= 2 else None)
+            assert close(row["se"], v.std(ddof=1) / np.sqrt(len(v)) if len(v) >= 2 else None)
+            for q, col in ((25, "q1c"), (50, "q2c"), (75, "q3c")):
+                assert close(row[col], float(np.percentile(v, q)) if len(v) else None)
+            # weighted sum: nansum(v*w); rows with null v drop out
+            m = gdf.v.notna()
+            assert close(row["ws"], float((gdf.v[m] * gdf.w[m]).sum()))
+            # weighted mean: average(v, weights=w) guarded by w total
+            wsum = gdf.w[m].sum()
+            want_wm = float(np.average(gdf.v[m], weights=gdf.w[m])) if wsum else None
+            assert close(row["wm"], want_wm)
