@@ -654,6 +654,168 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# codec round-trip queries: fixture literals -> codec write -> extension-
+# dispatch load; the oracle re-declares the SAME literals as VALUES, so a
+# hash match proves the byte-level round trip (write + parse + row model)
+# ---------------------------------------------------------------------------
+
+def q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESRI shapefile codec (sources/shapefile.py; reference row model
+    _gui.py:991-1080): two polylines (one multi-part) -> .shp/.shx ->
+    exploded (oid, part, type, layer, x, y, z) rows."""
+    import tempfile
+
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+    from vtk_reserves_spark.sources.shapefile import POLYLINE, write_shp
+
+    shapes = [
+        [[(0.0, 0.0), (10.0, 0.0), (10.0, 5.0)]],
+        [[(1.0, 1.0), (2.0, 2.0)], [(3.0, 3.0), (4.0, 4.0), (5.0, 3.0)]],
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "shpfix.shp")
+        write_shp(shapes, p, POLYLINE)
+        return load_dataframe(spark, p, keep_null=True)
+
+
+def q_dxf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DXF codec (sources/dxf.py; reference _gui.py:1083-1155): two
+    LWPOLYLINEs -> .dxf -> exploded (oid, type, layer, n, x, y, z)."""
+    import tempfile
+
+    from vtk_reserves_spark.sources.dxf import write_dxf
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+
+    polylines = [[(0.0, 0.0), (10.0, 0.0), (10.0, 5.0)], [(1.0, 1.0), (2.0, 3.0)]]
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "lines.dxf")
+        write_dxf(polylines, p, layer="L1")
+        return load_dataframe(spark, p, keep_null=True)
+
+
+_LAS_FIXTURE = """~Version
+VERS.   2.0 : CWLS LAS 2.0
+~Well
+NULL.   -999.25 : null value
+~Curve
+DEPT.M      : depth
+GR  .GAPI   : gamma ray
+RHOB.G/CM3  : density
+~ASCII
+100.0  55.5  2.25
+100.5  -999.25  2.75
+101.0  60.25  -999.25
+"""
+
+
+def q_las_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAS well-log reader (sources/las.py): curves from the ~Curve
+    section, declared NULL sentinel masked to real NULLs."""
+    import tempfile
+
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "log.las")
+        with open(p, "w") as fh:
+            fh.write(_LAS_FIXTURE)
+        return load_dataframe(spark, p, keep_null=True)
+
+
+def q_png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG pixel-table codec (sources/image.py; reference img_to_df
+    _gui.py:1251-1264): literal 2x3 grayscale -> encode -> dispatch load
+    -> (x, y, ch0) rows."""
+    import tempfile
+
+    import numpy as np
+
+    from vtk_reserves_spark.sources.image import encode_png
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+
+    img = np.array([[10, 20, 30], [40, 50, 60]], np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "img.png")
+        with open(p, "wb") as fh:
+            fh.write(encode_png(img))
+        return load_dataframe(spark, p, keep_null=True)
+
+
+def q_geotiff_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF codec (sources/geotiff.py; reference vulcan_save_tri.py:
+    189-249 row model): literal 2x3 float band + affine (scale 10,
+    tiepoint 500/700) -> encode -> dispatch load -> (xc, yc, ch0, x, y)
+    with world coordinates of pixel centers."""
+    import tempfile
+
+    import numpy as np
+
+    from vtk_reserves_spark.sources.geotiff import encode_tiff
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+
+    band = np.array([[1.5, 2.5, 3.5], [4.5, 5.5, 6.5]], np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "r.tif")
+        with open(p, "wb") as fh:
+            fh.write(
+                encode_tiff(
+                    band,
+                    pixel_scale=(10.0, 10.0, 0.0),
+                    tiepoint=(0.0, 0.0, 0.0, 500.0, 700.0, 0.0),
+                )
+            )
+        return load_dataframe(spark, p, keep_null=True)
+
+
+def q_xlsx_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel codec + path!sheet suffix (sources/xlsx.py, pure-zip;
+    reference table_name_selector _gui.py:32): literal table -> write ->
+    dispatch load with a sheet selector."""
+    import tempfile
+
+    import pandas as pd
+
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+    from vtk_reserves_spark.sources.xlsx import write_xlsx
+
+    t = pd.DataFrame({"region": ["a", "b"], "grade": [1.5, 2.5], "n": [3, 4]})
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "rep.xlsx")
+        write_xlsx({"report": t, "other": t.head(1)}, p)
+        return load_dataframe(spark, f"{p}!report", keep_null=True)
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (functions/skew.salted_agg): the
+    hot-key mitigation — pre-aggregate on (key, salt), then reduce the
+    salt dimension.  Sums round to 2dp (inputs carry 2 decimals) because
+    the two-stage float addition order differs from single-pass SQL."""
+    from vtk_reserves_spark.functions.skew import salted_agg
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        "l_returnflag",
+        {
+            "n": ("l_quantity", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "min_qty": ("l_quantity", "min"),
+            "max_qty": ("l_quantity", "max"),
+            "sum_price": ("l_extendedprice", "sum"),
+        },
+        salt=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "min_qty",
+        "max_qty",
+        F.round("sum_price", 2).alias("sum_price"),
+    )
+
+
 def q_mesh_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded -> (nodes, faces) -> exploded round-trip (vtk_df_to_mesh /
     vtk_mesh_to_df inverse pair, pd_vtk.py:237-284, 375-433)."""
@@ -1770,6 +1932,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leapfrog_mesh": q_leapfrog_mesh,
         "string_index": q_string_index,
         "sketch_rollup": q_sketch_rollup,
+        "shapefile_roundtrip": q_shapefile_roundtrip,
+        "dxf_roundtrip": q_dxf_roundtrip,
+        "las_read": q_las_read,
+        "png_table": q_png_table,
+        "geotiff_table": q_geotiff_table,
+        "xlsx_report": q_xlsx_report,
+        "skew_salted_agg": q_skew_salted_agg,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -1989,6 +2158,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "leapfrog_mesh": f"""
             SELECT x, y, z, n, node, face FROM {_mesh_values_sql()}
+        """,
+        "shapefile_roundtrip": """
+            SELECT * FROM (VALUES
+              (0, 0, 3, 'shpfix', CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+              (0, 0, 3, 'shpfix', 10.0, 0.0, 0.0),
+              (0, 0, 3, 'shpfix', 10.0, 5.0, 0.0),
+              (1, 0, 3, 'shpfix', 1.0, 1.0, 0.0),
+              (1, 0, 3, 'shpfix', 2.0, 2.0, 0.0),
+              (1, 1, 3, 'shpfix', 3.0, 3.0, 0.0),
+              (1, 1, 3, 'shpfix', 4.0, 4.0, 0.0),
+              (1, 1, 3, 'shpfix', 5.0, 3.0, 0.0)
+            ) AS t(oid, part, type, layer, x, y, z)
+        """,
+        "dxf_roundtrip": """
+            SELECT * FROM (VALUES
+              (0, 'LWPOLYLINE', 'L1', 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+              (0, 'LWPOLYLINE', 'L1', 1, 10.0, 0.0, 0.0),
+              (0, 'LWPOLYLINE', 'L1', 2, 10.0, 5.0, 0.0),
+              (1, 'LWPOLYLINE', 'L1', 0, 1.0, 1.0, 0.0),
+              (1, 'LWPOLYLINE', 'L1', 1, 2.0, 3.0, 0.0)
+            ) AS t(oid, type, layer, n, x, y, z)
+        """,
+        "las_read": """
+            SELECT * FROM (VALUES
+              (CAST(100.0 AS DOUBLE), CAST(55.5 AS DOUBLE), CAST(2.25 AS DOUBLE)),
+              (100.5, NULL, 2.75),
+              (101.0, 60.25, NULL)
+            ) AS t(DEPT, GR, RHOB)
+        """,
+        "png_table": """
+            SELECT (i % 3) AS x, (i // 3) AS y,
+                   CAST([10, 20, 30, 40, 50, 60][i + 1] AS BIGINT) AS ch0
+            FROM (SELECT unnest(range(6)) AS i)
+        """,
+        "geotiff_table": """
+            -- world coords of pixel centers: x = 500 + (xc+.5)*10,
+            -- y = 700 - (yc+.5)*10 (raster origin = top-left corner)
+            SELECT CAST(i % 3 AS BIGINT) AS xc, CAST(i // 3 AS BIGINT) AS yc,
+                   CAST([1.5, 2.5, 3.5, 4.5, 5.5, 6.5][i + 1] AS FLOAT) AS ch0,
+                   500.0 + (CAST(i % 3 AS DOUBLE) + 0.5) * 10.0 AS x,
+                   700.0 - (CAST(i // 3 AS DOUBLE) + 0.5) * 10.0 AS y
+            FROM (SELECT unnest(range(6)) AS i)
+        """,
+        "xlsx_report": """
+            -- Excel stores every number as a double; the reader keeps
+            -- that type, so the oracle declares n as DOUBLE too
+            SELECT * FROM (VALUES
+              ('a', CAST(1.5 AS DOUBLE), CAST(3 AS DOUBLE)),
+              ('b', 2.5, 4)
+            ) AS t(region, grade, n)
+        """,
+        "skew_salted_agg": """
+            SELECT l_returnflag,
+                   COUNT(l_quantity) AS n,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "string_index": """
             WITH dr AS (SELECT v, DENSE_RANK() OVER (ORDER BY v) - 1 AS i
