@@ -215,3 +215,53 @@ def test_stream_interval_join_matches_batch(spark):
                                                      "p.event_id").collect()
     )
     assert got == want
+
+
+def test_stream_to_parquet_sink(spark, tmp_path):
+    """Append-mode parquet sink: drained rows land in files and match the
+    batch read; the checkpoint makes a second run a no-op (exactly-once)."""
+    from vtk_reserves_spark.streaming.sinks import stream_to_parquet
+
+    ev = _events_stream(spark).select("event_id", "user_id", "value")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = stream_to_parquet(ev, out, ck)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    want = _events_batch(spark).select("event_id", "user_id", "value")
+    assert got.count() == want.count()
+    assert _rows(got, ["event_id", "value"]) == _rows(want, ["event_id", "value"])
+    # replay with the same checkpoint: no new data -> no duplicate rows
+    q2 = stream_to_parquet(
+        _events_stream(spark).select("event_id", "user_id", "value"), out, ck
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == want.count()
+
+
+def test_stream_upsert_parquet_converges_to_batch_agg(spark, tmp_path):
+    """foreachBatch upsert: UPDATE-mode aggregation materializes as a
+    parquet table equal to the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.streaming.sinks import stream_upsert_parquet
+
+    agg = (
+        _events_stream(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    out, ck = str(tmp_path / "tab"), str(tmp_path / "ck2")
+    q = stream_upsert_parquet(agg, out, ck, key_cols=["event_type"])
+    q.awaitTermination()
+    got = {
+        r["event_type"]: (r["n"], round(r["sv"], 2))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["sv"], 2))
+        for r in _events_batch(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert got == want

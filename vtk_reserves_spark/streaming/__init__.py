@@ -5,6 +5,10 @@ from vtk_reserves_spark.streaming.breakdown import (
     stateful_user_stats,
     windowed_breakdown,
 )
+from vtk_reserves_spark.streaming.sinks import (
+    stream_to_parquet,
+    stream_upsert_parquet,
+)
 
 __all__ = [
     "read_stream",
@@ -12,4 +16,6 @@ __all__ = [
     "session_breakdown",
     "stateful_user_stats",
     "windowed_breakdown",
+    "stream_to_parquet",
+    "stream_upsert_parquet",
 ]

@@ -1,0 +1,89 @@
+"""Streaming sinks — durable outputs for the streaming operators.
+
+The reference writes batch reports to files (SURVEY.md §2.2); the
+streaming counterpart is an incrementally-maintained table.  Two shapes:
+
+- :func:`stream_to_parquet` — append-mode parquet with a checkpoint:
+  exactly-once file output for append-able streams (enriched events,
+  dedup output, interval joins).
+- :func:`stream_upsert_parquet` — ``foreachBatch`` upsert for UPDATE-
+  mode aggregations: each micro-batch's changed groups overwrite their
+  key partitions, giving an incrementally-maintained rollup table that
+  readers see as plain parquet.
+
+At 100 TB/day the parquet sink is the handoff point between the
+streaming layer and the batch engine: partition by event-time date so
+batch consumers prune, and size ``trigger`` intervals so files land at
+~100 MB-1 GB (small-files control belongs to the trigger cadence plus a
+compaction pass, not to the sink)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def stream_to_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Append-mode parquet sink with checkpointed exactly-once semantics.
+
+    Returns the started ``StreamingQuery``; with ``available_now`` the
+    caller can ``awaitTermination()`` for a finite drain (tests, batch
+    backfills) — production streams pass ``available_now=False`` and a
+    processing-time trigger instead."""
+    w = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def stream_upsert_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    available_now: bool = True,
+):
+    """UPDATE-mode aggregation -> incrementally-maintained parquet table.
+
+    ``foreachBatch`` receives only the groups whose aggregates changed in
+    the micro-batch; each batch overwrites just those groups' partitions
+    (dynamic partition overwrite on the first key column), so the table
+    converges to the full aggregation without ever rewriting unchanged
+    groups.  The batch is tiny (changed groups only) — the write cost
+    tracks the update rate, not the table size."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.write.mode("overwrite")
+                .partitionBy(key_cols[0])
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+
+    w = (
+        sdf.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
