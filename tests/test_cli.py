@@ -99,3 +99,41 @@ def _csv_part(path: str) -> str:
     parts = [f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".csv")]
     assert parts, f"no csv part files in {path}"
     return os.path.join(path, parts[0])
+
+
+def test_dedup_exact_cli(tmp_path, spark):
+    import pandas as pd
+
+    from vtk_reserves_spark.cli import main
+
+    src = str(tmp_path / "corpus.parquet")
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["aa", "bb", "aa", "cc"]}
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = str(tmp_path / "kept.parquet")
+    main(["dedup", src, out, "--method", "exact"])
+    kept = spark.read.parquet(out).toPandas().sort_values("doc_id")
+    assert kept.doc_id.tolist() == [1, 2, 4]  # min-id per text survives
+
+
+def test_dedup_minhash_cli(tmp_path, spark):
+    import pandas as pd
+
+    from vtk_reserves_spark.cli import main
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today"
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, base + " extra", "completely different words only here"],
+        }
+    )
+    src = str(tmp_path / "c.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = str(tmp_path / "k.parquet")
+    main(["dedup", src, out, "--method", "minhash", "--ngrams", "1"])
+    kept = sorted(spark.read.parquet(out).toPandas().doc_id.tolist())
+    assert 3 in kept and 1 in kept and 2 not in kept

@@ -559,3 +559,19 @@ def test_kmv_merge_equals_direct(spark):
     }
     for r in merged:
         assert abs(r.est_distinct - truth[r.l_returnflag]) / truth[r.l_returnflag] < 0.35
+
+
+def test_lsh_max_bucket_cap(spark):
+    """The skew cap drops oversized buckets; pairs from small buckets
+    survive.  Identical docs all share every band key, so a cap below
+    the clique size removes their pairs entirely."""
+    same = [(i, "same words in every single document here") for i in range(10)]
+    df = spark.createDataFrame(same + [(100, "aa bb cc dd ee"), (101, "aa bb cc dd ee zz")], "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(df, "doc_id", "text", k=8, bands=4, ngrams=1)
+    assert uncapped.count() >= 45  # the 10-clique alone is 45 pairs
+    capped = minhash_lsh_pairs(
+        df, "doc_id", "text", k=8, bands=4, ngrams=1, max_bucket=5
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert all(a >= 100 for a, _ in got)  # clique gone, small bucket kept
+    assert (100, 101) in got

@@ -85,3 +85,20 @@ def test_salted_agg_rejects_non_decomposable(spark):
     li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
     with pytest.raises(ValueError, match="not decomposable"):
         salted_agg(li, "l_returnflag", {"m": ("l_quantity", "median")})
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import glob
+
+    from vtk_reserves_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "many")
+    li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+    li.repartition(24).write.parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 24
+    n_rows = li.count()
+    compact_parquet(spark, path, target_mb=512)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after < before
+    assert spark.read.parquet(path).count() == n_rows

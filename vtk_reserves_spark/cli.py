@@ -150,6 +150,47 @@ def cmd_convert(args) -> None:
     save_table(df, args.output)
 
 
+def cmd_dedup(args) -> None:
+    """Corpus deduplication pipeline (north-star LLM ops, SURVEY §2.8):
+    exact -> keep min-id per normalized text; minhash -> LSH candidate
+    pairs -> connected components -> keep the cluster representative."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+    from vtk_reserves_spark.sources.writers import save_table
+
+    spark = _spark()
+    df = load_dataframe(spark, args.input, keep_null=True)
+    if args.method == "exact":
+        from vtk_reserves_spark.operators.dedup import exact_dedup
+
+        kept_ids = exact_dedup(df, args.text_col, args.id_col).select(
+            F.col("keep_id").alias(args.id_col)
+        )
+    else:
+        from vtk_reserves_spark.operators.dedup import (
+            duplicate_clusters,
+            minhash_lsh_pairs,
+        )
+
+        pairs = minhash_lsh_pairs(
+            df,
+            args.id_col,
+            args.text_col,
+            k=args.hashes,
+            bands=args.bands,
+            ngrams=args.ngrams,
+            max_bucket=args.max_bucket,
+        )
+        clusters = duplicate_clusters(pairs, id_col=args.id_col)
+        drop = clusters.where(F.col(args.id_col) != F.col("cluster")).select(
+            args.id_col
+        )
+        kept_ids = df.select(args.id_col).exceptAll(drop)
+    out = df.join(kept_ids, args.id_col, "left_semi")
+    save_table(out, args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vtk_reserves_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -196,6 +237,23 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--variables", default="")
     c.add_argument("--keep-null", action="store_true")
     c.set_defaults(fn=cmd_convert)
+
+    d = sub.add_parser("dedup", help="corpus deduplication (exact | minhash)")
+    d.add_argument("input")
+    d.add_argument("output")
+    d.add_argument("--method", choices=("exact", "minhash"), default="exact")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--hashes", type=int, default=8, help="minhash signature size")
+    d.add_argument("--bands", type=int, default=4)
+    d.add_argument("--ngrams", type=int, default=3, help="shingle width")
+    d.add_argument(
+        "--max-bucket",
+        type=int,
+        default=None,
+        help="drop LSH buckets larger than this (skew cap)",
+    )
+    d.set_defaults(fn=cmd_dedup)
     return p
 
 

@@ -159,6 +159,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     seed: str = "mh",
     ngrams: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -219,6 +220,14 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
         .where(F.size("ds") > 1)
     )
+    if max_bucket is not None:
+        # skew escape hatch (SCALE.md): a degenerate band key (e.g. a
+        # boilerplate-dominated corpus) makes one bucket O(n) and its
+        # pair list O(n²).  Dropping buckets over the cap bounds the
+        # worst case; members of a dropped bucket still pair through
+        # their other (bands-1) band keys unless they collide everywhere
+        # — in which case the band parameters, not the cap, are wrong.
+        buckets = buckets.where(F.size("ds") <= max_bucket)
     ds = F.col("ds")
     pairs = F.flatten(
         F.transform(

@@ -88,3 +88,43 @@ def save_report(df: DataFrame, path: str | None) -> None:
         pdf.to_json(path, orient="records")
     else:
         raise ValueError(f"unsupported report output format: {ext!r}")
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_mb: int = 512,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb``-sized files.
+
+    The streaming sinks (and any high-frequency append producer)
+    accumulate small files; readers then pay one task + one footer read
+    per file.  Compaction = read, coalesce to ``ceil(bytes/target)``
+    partitions, write to a temp dir, atomic swap.  Run it as a periodic
+    batch job over closed (no-longer-appended) partitions.
+
+    Returns the output file-partition count."""
+    import math
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(path) + ".compact-",
+                           dir=os.path.dirname(path) or ".")
+    w = df.coalesce(n).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n
