@@ -72,8 +72,14 @@ def main() -> None:
         pass  # streaming warmup is best-effort; timed queries still run
 
     qs = entrymod.queries()
+    # run streaming queries LAST: each leaves state-store dirs, streaming
+    # thread pools, and Python state workers behind; running them first
+    # was measured to inflate later batch queries (GC pressure) by up to
+    # 2x.  queries() order itself is owned by the correctness harness.
+    ordered = {n: f for n, f in qs.items() if not n.startswith("stream_")}
+    ordered.update({n: f for n, f in qs.items() if n.startswith("stream_")})
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    for name, fn in ordered.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         # force full execution without driver-side collection
