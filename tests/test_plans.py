@@ -128,3 +128,18 @@ def test_string_index_broadcasts_dictionary(spark):
     plan = _plan(entry.q_string_index(spark, TESTDATA))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join lowers to union + ONE keyed window partitioning —
+    a single Exchange, never a range-pair explosion."""
+    plan = _plan(entry.q_asof_join(spark, TESTDATA))
+    # formatted output shows each node twice (tree + detail)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_sketch_rollup_merges_sketch_rows_only(spark):
+    """The rollup merge explodes sketch rows (groups x k hashes), never
+    rescanning the raw table: exactly one scan of lineitem."""
+    plan = _plan(entry.q_sketch_rollup(spark, TESTDATA))
+    assert plan.count("Scan parquet") == 2  # ONE scan node (tree + detail)
