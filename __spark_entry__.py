@@ -816,6 +816,19 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.py): token spans in
+    8 deterministic md5 shards at a 512-token window — ONE keyed shuffle,
+    running-sum window per shard, never a global window."""
+    from vtk_reserves_spark.operators.packing import pack_offsets
+
+    docs = _read(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_offsets(with_toks, "doc_id", "n_tokens", window=512, shards=8)
+
+
 def q_mesh_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded -> (nodes, faces) -> exploded round-trip (vtk_df_to_mesh /
     vtk_mesh_to_df inverse pair, pd_vtk.py:237-284, 375-433)."""
@@ -1939,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_table": q_geotiff_table,
         "xlsx_report": q_xlsx_report,
         "skew_salted_agg": q_skew_salted_agg,
+        "pack_offsets": q_pack_offsets,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -2217,6 +2231,25 @@ def oracle_sql() -> dict[str, str]:
                    MAX(l_quantity) AS max_qty,
                    ROUND(SUM(l_extendedprice), 2) AS sum_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "pack_offsets": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len({_RAW_TOKS_SQL.format(c="text")}) AS BIGINT) AS n,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 8 AS INT) AS shard
+              FROM documents
+            ), c AS (
+              SELECT doc_id, shard, n,
+                     CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+              FROM t
+            )
+            SELECT doc_id, shard,
+                   e - n AS start_tok,
+                   (e - n) // 512 AS bin_first,
+                   GREATEST((e - n) // 512, (e - 1) // 512) AS bin_last
+            FROM c
         """,
         "string_index": """
             WITH dr AS (SELECT v, DENSE_RANK() OVER (ORDER BY v) - 1 AS i

@@ -575,3 +575,32 @@ def test_lsh_max_bucket_cap(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert all(a >= 100 for a, _ in got)  # clique gone, small bucket kept
     assert (100, 101) in got
+
+
+def test_pack_offsets_spans(spark):
+    """Hand-checked packing: single shard, window 10 — spans and bins
+    follow the concat-and-chunk rule, empty docs occupy zero tokens."""
+    from vtk_reserves_spark.operators.packing import pack_offsets
+
+    df = spark.createDataFrame(
+        [(1, 4), (2, 8), (3, 0), (4, 10), (5, 3)], "doc_id long, n long"
+    )
+    out = (
+        pack_offsets(df, "doc_id", "n", window=10, shards=1)
+        .orderBy("doc_id")
+        .collect()
+    )
+    got = [(r.doc_id, r.start_tok, r.bin_first, r.bin_last) for r in out]
+    # cumsum starts: 0, 4, 12, 12, 22 ; ends: 4, 12, 12, 22, 25
+    assert got == [
+        (1, 0, 0, 0),     # tokens 0-3   -> bin 0
+        (2, 4, 0, 1),     # tokens 4-11  -> spans bins 0-1
+        (3, 12, 1, 1),    # empty at offset 12 -> bin 1
+        (4, 12, 1, 2),    # tokens 12-21 -> spans bins 1-2
+        (5, 22, 2, 2),    # tokens 22-24 -> bin 2
+    ]
+    # shard split is deterministic and total
+    many = spark.range(100).select(F.col("id").alias("doc_id"), F.lit(5).alias("n"))
+    packed = pack_offsets(many, "doc_id", "n", window=16, shards=4)
+    assert packed.count() == 100
+    assert packed.select("shard").distinct().count() == 4

@@ -135,7 +135,8 @@ def test_asof_join_single_shuffle(spark):
     a single Exchange, never a range-pair explosion."""
     plan = _plan(entry.q_asof_join(spark, TESTDATA))
     # formatted output shows each node twice (tree + detail)
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Exchange") == 2
+    assert "SinglePartition" not in plan
 
 
 def test_sketch_rollup_merges_sketch_rows_only(spark):
@@ -143,3 +144,11 @@ def test_sketch_rollup_merges_sketch_rows_only(spark):
     rescanning the raw table: exactly one scan of lineitem."""
     plan = _plan(entry.q_sketch_rollup(spark, TESTDATA))
     assert plan.count("Scan parquet") == 2  # ONE scan node (tree + detail)
+
+
+def test_pack_offsets_single_keyed_shuffle(spark):
+    """Packing is one hash partitioning by shard — no global window."""
+    plan = _plan(entry.q_pack_offsets(spark, TESTDATA))
+    assert plan.count("Exchange") == 2  # ONE Exchange node (tree + detail)
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
