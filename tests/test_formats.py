@@ -289,3 +289,68 @@ def test_column_synonyms_regex_metachars():
 
     assert column_synonyms(["x(east)_m", "other"], ["x(east)"], None) == "x(east)_m"
     assert column_synonyms(["abc"], ["a+b"], None) is None
+
+
+def _write_binary_sg(path, points, dims, grade):
+    """Minimal binary legacy-VTK STRUCTURED_GRID writer for tests."""
+    import numpy as np
+
+    n = len(points)
+    nc = len(grade)
+    with open(path, "wb") as fh:
+        fh.write(b"# vtk DataFile Version 5.1\nt\nBINARY\nDATASET STRUCTURED_GRID\n")
+        fh.write(b"DIMENSIONS %d %d %d\n" % dims)
+        fh.write(b"POINTS %d float\n" % n)
+        fh.write(np.asarray(points, ">f4").tobytes() + b"\n")
+        fh.write(b"CELL_DATA %d\n" % nc)
+        fh.write(b"SCALARS grade float\nLOOKUP_TABLE default\n")
+        fh.write(np.asarray(grade, ">f4").tobytes() + b"\n")
+
+
+def test_grid_cell_table_rotated_regular(tmp_path):
+    """A z-rotated (bearing) regular grid parses via the affine fallback:
+    centroids match the GridSchema bearing affine, volume = |det|."""
+    import numpy as np
+
+    from vtk_reserves_spark.sources.grid import GridSchema
+    from vtk_reserves_spark.sources.vtk_binary import grid_cell_table, read_vtk
+
+    gs = GridSchema(origin=(100.0, 200.0, 0.0), spacing=(10.0, 5.0, 2.0),
+                    dims=(3, 2, 2), bearing=30.0)
+    # lattice points in grid-local coords, transformed to world
+    th = np.deg2rad(90.0 - 30.0)  # bearing -> math angle
+    c, s = np.cos(th), np.sin(th)
+    pts = []
+    for kk in range(3):
+        for jj in range(3):
+            for ii in range(4):
+                lx, ly, lz = ii * 10.0, jj * 5.0, kk * 2.0
+                pts.append((100.0 + lx * c - ly * s, 200.0 + lx * s + ly * c, lz))
+    grade = np.arange(3 * 2 * 2, dtype=float)
+    p = str(tmp_path / "rot.vtk")
+    _write_binary_sg(p, pts, (4, 3, 3), grade)
+    pdf = grid_cell_table(read_vtk(p))
+    assert len(pdf) == 12
+    assert pdf.volume.iloc[0] == pytest.approx(10.0 * 5.0 * 2.0, rel=1e-5)
+    # centroid of cell (i,j,k) == affine of local center
+    r = pdf[(pdf.i == 1) & (pdf.j == 0) & (pdf.k == 1)].iloc[0]
+    lx, ly, lz = 15.0, 2.5, 3.0
+    assert r.x == pytest.approx(100.0 + lx * c - ly * s, abs=1e-4)
+    assert r.y == pytest.approx(200.0 + lx * s + ly * c, abs=1e-4)
+    assert r.z == pytest.approx(lz, abs=1e-6)
+    assert r.grade == pytest.approx(float(1 + 0 * 3 + 1 * 6))
+
+
+def test_grid_cell_table_irregular_raises(tmp_path):
+    """Points that fit neither lattice model abort instead of silently
+    misattributing cell arrays."""
+    import numpy as np
+
+    from vtk_reserves_spark.sources.vtk_binary import grid_cell_table, read_vtk
+
+    rng = np.random.RandomState(0)
+    pts = rng.rand(8, 3) * 10  # 2x2x2 dims but scrambled points
+    p = str(tmp_path / "bad.vtk")
+    _write_binary_sg(p, pts, (2, 2, 2), np.array([1.0]))
+    with pytest.raises(ValueError, match="neither"):
+        grid_cell_table(read_vtk(p))

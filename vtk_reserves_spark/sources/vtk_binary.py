@@ -269,45 +269,87 @@ def grid_cell_table(ds: VtkDataset):
     """STRUCTURED_GRID -> pandas cell table: one row per cell with
     ``cell, i, j, k``, centroid ``x, y, z``, ``volume`` and every
     cell-level array (CELL_DATA plus per-cell FIELD arrays) — the
-    ``vtk_mesh_to_df`` contract (``pd_vtk.py:375-433``) for an
-    axis-aligned grid."""
+    ``vtk_mesh_to_df`` contract (``pd_vtk.py:375-433``).
+
+    Two supported point layouts, both verified against the actual point
+    stream before cell arrays are attached positionally (a mismatched
+    layout would silently land arrays on the wrong ``(i,j,k)``):
+
+    - **rectilinear** (axis-aligned, possibly non-uniform spacing): the
+      tensor-product lattice of the per-axis unique coordinates;
+    - **rotated regular** (``vtk_VoxelSG`` parity, ``pd_vtk.py:897-904``):
+      ``P(i,j,k) = P0 + i·ex + j·ey + k·ez`` with the step vectors taken
+      from the first point differences — covers z-rotated (bearing)
+      models; volume is ``|det[ex ey ez]|``.
+    """
     import pandas as pd
 
     if ds.kind != "STRUCTURED_GRID" or ds.dimensions is None:
         raise ValueError("grid_cell_table needs a STRUCTURED_GRID dataset")
-    px, py, pz = (np.unique(ds.points[:, a]) for a in range(3))
-    # Cell arrays are attached positionally assuming the VTK-standard
-    # x-fastest point ordering with ascending axes; a grid stored with
-    # descending (or permuted) coordinates would silently land arrays on
-    # the wrong (i,j,k) — so verify the reconstructed lattice matches the
-    # file's actual point stream before trusting the mapping.
-    lattice = np.stack(
-        [m.ravel(order="F") for m in np.meshgrid(px, py, pz, indexing="ij")], 1
-    )
-    if lattice.shape != ds.points.shape or not np.allclose(
-        lattice, ds.points, atol=1e-9
-    ):
-        raise ValueError(
-            "structured grid points are not an ascending x-fastest lattice; "
-            "cell-array order would be misattributed"
-        )
-    nx, ny, nz = len(px) - 1, len(py) - 1, len(pz) - 1
-    cx, cy, cz = ((v[:-1] + v[1:]) / 2.0 for v in (px, py, pz))
-    dx, dy, dz = (np.diff(v) for v in (px, py, pz))
+    npx, npy, npz = ds.dimensions
+    P = ds.points
+    if len(P) != npx * npy * npz:
+        raise ValueError("POINTS count does not match DIMENSIONS")
+    nx, ny, nz = npx - 1, npy - 1, npz - 1
     cell = np.arange(nx * ny * nz)
     i = cell % nx
     j = (cell // nx) % ny
     k = cell // (nx * ny)
+
+    px, py, pz = (np.unique(P[:, a]) for a in range(3))
+    lattice_ok = False
+    if (len(px), len(py), len(pz)) == (npx, npy, npz):
+        lattice = np.stack(
+            [m.ravel(order="F") for m in np.meshgrid(px, py, pz, indexing="ij")], 1
+        )
+        lattice_ok = lattice.shape == P.shape and np.allclose(
+            lattice, P, atol=1e-9
+        )
+    if lattice_ok:
+        cx, cy, cz = ((v[:-1] + v[1:]) / 2.0 for v in (px, py, pz))
+        dx, dy, dz = (np.diff(v) for v in (px, py, pz))
+        x, y, z = cx[i], cy[j], cz[k]
+        volume = dx[i] * dy[j] * dz[k]
+    else:
+        # rotated-regular fallback: fit the affine from the step vectors
+        p0 = P[0]
+        ex = P[1] - p0 if npx > 1 else np.zeros(3)
+        ey = P[npx] - p0 if npy > 1 else np.zeros(3)
+        ez = P[npx * npy] - p0 if npz > 1 else np.zeros(3)
+        pi, pj, pk = np.meshgrid(
+            np.arange(npx), np.arange(npy), np.arange(npz), indexing="ij"
+        )
+        model = (
+            p0
+            + pi.ravel(order="F")[:, None] * ex
+            + pj.ravel(order="F")[:, None] * ey
+            + pk.ravel(order="F")[:, None] * ez
+        )
+        scale = max(float(np.abs(P).max()), 1.0)
+        if not np.allclose(model, P, atol=1e-7 * scale):
+            raise ValueError(
+                "structured grid points are neither a rectilinear lattice "
+                "nor a regular affine grid; cell-array order would be "
+                "misattributed"
+            )
+        centroids = (
+            p0
+            + (i[:, None] + 0.5) * ex
+            + (j[:, None] + 0.5) * ey
+            + (k[:, None] + 0.5) * ez
+        )
+        x, y, z = centroids[:, 0], centroids[:, 1], centroids[:, 2]
+        volume = np.full(len(cell), abs(float(np.linalg.det(np.stack([ex, ey, ez])))))
     out = pd.DataFrame(
         {
             "cell": cell,
             "i": i.astype(np.int32),
             "j": j.astype(np.int32),
             "k": k.astype(np.int32),
-            "x": cx[i],
-            "y": cy[j],
-            "z": cz[k],
-            "volume": dx[i] * dy[j] * dz[k],
+            "x": x,
+            "y": y,
+            "z": z,
+            "volume": volume,
         }
     )
     n = len(cell)
