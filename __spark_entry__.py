@@ -816,6 +816,24 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reblock the fixture model 2x2x2 coarser (sources/grid.reblock):
+    volume-weighted grade/density means, volume+mass sums, majority
+    lithology with deterministic tie-break — the standard resource
+    resample, one shuffle."""
+    from vtk_reserves_spark.sources.grid import reblock
+
+    g = _fixture_grid(spark)
+    return reblock(
+        g,
+        factors=(2, 2, 2),
+        value_cols=["grade", "density"],
+        weight_col="volume",
+        sum_cols=["volume", "mass"],
+        major_cols=["lito"],
+    )
+
+
 def q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.py): token spans in
     8 deterministic md5 shards at a 512-token window — ONE keyed shuffle,
@@ -1953,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_report": q_xlsx_report,
         "skew_salted_agg": q_skew_salted_agg,
         "pack_offsets": q_pack_offsets,
+        "reblock": q_reblock,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -2231,6 +2250,34 @@ def oracle_sql() -> dict[str, str]:
                    MAX(l_quantity) AS max_qty,
                    ROUND(SUM(l_extendedprice), 2) AS sum_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "reblock": _FIXTURE_SQL
+        + """
+        , rb AS (
+          SELECT CAST(i // 2 AS INT) AS ri, CAST(j // 2 AS INT) AS rj,
+                 CAST(k // 2 AS INT) AS rk, *
+          FROM v
+        ), agg AS (
+          SELECT ri, rj, rk,
+                 COUNT(*) AS n_fine,
+                 SUM(volume) AS volume,
+                 SUM(mass) AS mass,
+                 SUM(volume * grade) / SUM(volume) AS grade,
+                 SUM(volume * density) / SUM(volume) AS density
+          FROM rb GROUP BY ri, rj, rk
+        ), lw AS (
+          SELECT ri, rj, rk, lito, SUM(volume) AS w
+          FROM rb GROUP BY ri, rj, rk, lito
+        ), top AS (
+          SELECT ri, rj, rk, lito
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ri, rj, rk
+                                             ORDER BY w DESC, lito ASC) AS rn
+                FROM lw)
+          WHERE rn = 1
+        )
+        SELECT a.ri, a.rj, a.rk, a.n_fine, a.volume, a.mass,
+               a.grade, a.density, t.lito
+        FROM agg a JOIN top t USING (ri, rj, rk)
         """,
         "pack_offsets": f"""
             WITH t AS (

@@ -302,3 +302,34 @@ def test_reserves_sample_golden_table(spark):
         ("vox_region3", "low", 22.0588, 79.5, 8500000.0, 675750.0),
         ("vox_region3", "medium", 44.596, 76.9747, 16500000.0, 1270083.0),
     ]
+
+
+def test_reblock_hand_checked(spark):
+    """2x1x1 reblock of a 4-cell line: weighted means, sums, majority."""
+    from vtk_reserves_spark.sources.grid import reblock
+
+    df = spark.createDataFrame(
+        [
+            # i, j, k, volume, grade, lito
+            (0, 0, 0, 100.0, 10.0, "a"),
+            (1, 0, 0, 300.0, 20.0, "b"),
+            (2, 0, 0, 100.0, 30.0, "c"),
+            (3, 0, 0, 100.0, None, "c"),
+        ],
+        "i int, j int, k int, volume double, grade double, lito string",
+    )
+    out = (
+        reblock(df, (2, 1, 1), value_cols=["grade"], weight_col="volume",
+                sum_cols=["volume"], major_cols=["lito"])
+        .orderBy("ri")
+        .collect()
+    )
+    assert len(out) == 2
+    r0, r1 = out
+    # block 0: cells 0,1 -> weighted grade (100*10+300*20)/400 = 17.5
+    assert r0.n_fine == 2 and r0.volume == 400.0
+    assert r0.grade == pytest.approx(17.5)
+    assert r0.lito == "b"  # 300 vs 100 by weight
+    # block 1: null grade drops out of the mean; lito c wins (200 total)
+    assert r1.grade == pytest.approx(30.0)
+    assert r1.volume == 200.0 and r1.lito == "c"

@@ -485,3 +485,67 @@ def grid_from_df_schema(df: DataFrame, cell_size=None, xyz=None) -> GridSchema:
     ]
     origin = [l - 0.5 * s for l, s in zip(lo, cell_size)]
     return GridSchema(origin=tuple(origin), spacing=tuple(cell_size), dims=tuple(dims))
+
+
+def reblock(
+    df: DataFrame,
+    factors=(2, 2, 2),
+    value_cols: list[str] | None = None,
+    weight_col: str = "volume",
+    sum_cols: list[str] | None = None,
+    major_cols: list[str] | None = None,
+    ijk=("i", "j", "k"),
+) -> DataFrame:
+    """Reblock a block model to coarser cells — the standard mining
+    resample (the reference reblocks implicitly via ``from_df`` grid
+    re-fitting + breakdown, ``pd_vtk.py:650-669`` + ``bm_breakdown``;
+    this is the direct operator).
+
+    Each output block aggregates the ``fx·fy·fz`` fine blocks sharing
+    ``(i//fx, j//fy, k//fz)``:
+
+    - ``value_cols`` (grades): weighted mean by ``weight_col`` (mass or
+      volume weighting per standard resource practice);
+    - ``sum_cols`` (volume, mass, tonnes): plain sums;
+    - ``major_cols`` (lithology): majority vote by total weight, ties
+      broken by the smaller value for determinism.
+
+    ONE shuffle (the groupBy); the majority vote joins back keyed.  Scale
+    note: output cardinality shrinks by the factor product, so the
+    aggregation is map-side-combine friendly — reblocking 100 TB to 8x
+    coarser writes ~12 TB."""
+    fx, fy, fz = factors
+    value_cols = value_cols or []
+    sum_cols = sum_cols or []
+    major_cols = major_cols or []
+    ci, cj, ck = (F.col(c) for c in ijk)
+    keyed = df.withColumns(
+        {
+            "ri": F.floor(ci / fx).cast("int"),
+            "rj": F.floor(cj / fy).cast("int"),
+            "rk": F.floor(ck / fz).cast("int"),
+        }
+    )
+    w = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+    aggs = [F.count(F.lit(1)).alias("n_fine")]
+    for c in sum_cols:
+        aggs.append(F.sum(F.col(c)).alias(c))
+    for c in value_cols:
+        num = F.sum(F.when(F.col(c).isNotNull(), w * F.col(c)))
+        den = F.sum(F.when(F.col(c).isNotNull(), w))
+        aggs.append(F.when(den != 0, num / den).alias(c))
+    out = keyed.groupBy("ri", "rj", "rk").agg(*aggs)
+    for c in major_cols:
+        per_val = keyed.groupBy("ri", "rj", "rk", c).agg(F.sum(w).alias("_w"))
+        from pyspark.sql import Window
+
+        win = Window.partitionBy("ri", "rj", "rk").orderBy(
+            F.col("_w").desc(), F.col(c).asc()
+        )
+        top = (
+            per_val.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select("ri", "rj", "rk", c)
+        )
+        out = out.join(top, ["ri", "rj", "rk"], "left")
+    return out
