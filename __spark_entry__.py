@@ -834,6 +834,66 @@ def q_reblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downhole interval compositing (operators/drillhole.py): 600
+    synthetic assay intervals over 20 holes regularized to 10 m
+    composites with length-weighted grades (NULL assays drop out of the
+    mean but not the coverage length)."""
+    from vtk_reserves_spark.operators.drillhole import composite_intervals
+
+    r = spark.range(600)
+    dh = r.select(
+        (F.col("id") % 20).cast("int").alias("hid"),
+        ((F.col("id") / 20).cast("long") * 9.0).alias("from"),
+        (
+            (F.col("id") / 20).cast("long") * 9.0
+            + 4.0
+            + (F.col("id") % 7).cast("double")
+        ).alias("to"),
+        F.when(F.col("id") % 11 != 0, ((F.col("id") * 17) % 100).cast("double")).alias(
+            "grade"
+        ),
+    )
+    out = composite_intervals(dh, "hid", "from", "to", ["grade"], comp_len=10.0)
+    return out.select(
+        "hid",
+        "comp",
+        F.round("length", 6).alias("length"),
+        F.round("grade", 6).alias("grade"),
+        "from",
+        "to",
+    )
+
+
+def q_desurvey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tangent-method desurvey (operators/drillhole.py): 10 holes x 20
+    survey stations -> xyz offsets via a keyed window cumsum; trig on
+    both engines, outputs rounded to 6 dp."""
+    from vtk_reserves_spark.operators.drillhole import desurvey_tangent
+
+    r = spark.range(200)
+    st = r.select(
+        (F.col("id") % 10).cast("int").alias("hid"),
+        ((F.col("id") / 10).cast("long") * 15.0 + 5.0).alias("depth"),
+        (((F.col("id") % 10) * 37 + (F.col("id") / 10).cast("long") * 11) % 360)
+        .cast("double")
+        .alias("azimuth"),
+        (30 + ((F.col("id") % 10) + (F.col("id") / 10).cast("long") * 7) % 50)
+        .cast("double")
+        .alias("dip"),
+    )
+    out = desurvey_tangent(st, "hid", "depth", "azimuth", "dip")
+    return out.select(
+        "hid",
+        "depth",
+        "azimuth",
+        "dip",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"),
+    )
+
+
 def q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.py): token spans in
     8 deterministic md5 shards at a 512-token window — ONE keyed shuffle,
@@ -1972,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "pack_offsets": q_pack_offsets,
         "reblock": q_reblock,
+        "composite": q_composite,
+        "desurvey": q_desurvey,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -2278,6 +2340,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.ri, a.rj, a.rk, a.n_fine, a.volume, a.mass,
                a.grade, a.density, t.lito
         FROM agg a JOIN top t USING (ri, rj, rk)
+        """,
+        "composite": """
+            WITH dh AS (
+              SELECT CAST(r.range % 20 AS INT) AS hid,
+                     CAST((r.range // 20) * 9.0 AS DOUBLE) AS f,
+                     CAST((r.range // 20) * 9.0 + 4.0 + (r.range % 7) AS DOUBLE) AS t,
+                     CASE WHEN r.range % 11 != 0
+                          THEN CAST((r.range * 17) % 100 AS DOUBLE) END AS grade
+              FROM range(600) r
+            ), seg AS (
+              SELECT hid, f, t, grade,
+                     unnest(range(CAST(floor(f / 10.0) AS BIGINT),
+                                  CAST(ceil(t / 10.0) AS BIGINT))) AS comp
+              FROM dh WHERE t > f
+            ), ov AS (
+              SELECT hid, comp, grade,
+                     LEAST(t, (comp + 1) * 10.0)
+                       - GREATEST(f, comp * 10.0) AS o
+              FROM seg
+            )
+            SELECT hid, comp,
+                   ROUND(SUM(o), 6) AS length,
+                   ROUND(CASE WHEN SUM(CASE WHEN grade IS NOT NULL THEN o END) != 0
+                         THEN SUM(CASE WHEN grade IS NOT NULL THEN o * grade END)
+                              / SUM(CASE WHEN grade IS NOT NULL THEN o END) END,
+                         6) AS grade,
+                   CAST(comp * 10.0 AS DOUBLE) AS "from",
+                   CAST((comp + 1) * 10.0 AS DOUBLE) AS "to"
+            FROM ov WHERE o > 0
+            GROUP BY hid, comp
+        """,
+        "desurvey": """
+            WITH st AS (
+              SELECT CAST(r.range % 10 AS INT) AS hid,
+                     CAST((r.range // 10) * 15.0 + 5.0 AS DOUBLE) AS depth,
+                     CAST(((r.range % 10) * 37 + (r.range // 10) * 11) % 360
+                          AS DOUBLE) AS azimuth,
+                     CAST(30 + ((r.range % 10) + (r.range // 10) * 7) % 50
+                          AS DOUBLE) AS dip
+              FROM range(200) r
+            ), seg AS (
+              SELECT *,
+                     depth - COALESCE(LAG(depth) OVER w, 0.0) AS len,
+                     radians(COALESCE(LAG(azimuth) OVER w, azimuth)) AS a,
+                     radians(COALESCE(LAG(dip) OVER w, dip)) AS d
+              FROM st WINDOW w AS (PARTITION BY hid ORDER BY depth ASC)
+            )
+            SELECT hid, depth, azimuth, dip,
+                   ROUND(SUM(len * cos(d) * sin(a)) OVER c, 6) AS x,
+                   ROUND(SUM(len * cos(d) * cos(a)) OVER c, 6) AS y,
+                   ROUND(SUM(-len * sin(d)) OVER c, 6) AS z
+            FROM seg
+            WINDOW c AS (PARTITION BY hid ORDER BY depth ASC
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "pack_offsets": f"""
             WITH t AS (

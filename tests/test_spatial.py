@@ -333,3 +333,61 @@ def test_reblock_hand_checked(spark):
     # block 1: null grade drops out of the mean; lito c wins (200 total)
     assert r1.grade == pytest.approx(30.0)
     assert r1.volume == 200.0 and r1.lito == "c"
+
+
+def test_composite_intervals_hand_checked(spark):
+    """One hole, 10 m composites: overlap weights, gap-shortened length,
+    null assays excluded from the mean but not the coverage."""
+    from vtk_reserves_spark.operators.drillhole import composite_intervals
+
+    df = spark.createDataFrame(
+        [
+            ("h1", 0.0, 6.0, 10.0),    # fully in comp 0
+            ("h1", 6.0, 14.0, 20.0),   # 4 m in comp 0, 4 m in comp 1
+            ("h1", 16.0, 18.0, None),  # null assay in comp 1
+            ("h1", 25.0, 28.0, 40.0),  # comp 2, after a gap
+        ],
+        "hid string, `from` double, `to` double, grade double",
+    )
+    out = {
+        r.comp: r
+        for r in composite_intervals(df, "hid", "from", "to", ["grade"], 10.0).collect()
+    }
+    assert out[0].length == pytest.approx(10.0)
+    assert out[0].grade == pytest.approx((6 * 10 + 4 * 20) / 10)
+    assert out[1].length == pytest.approx(6.0)  # 4 m assayed + 2 m null
+    assert out[1].grade == pytest.approx(20.0)  # null drops from the mean
+    assert out[2].length == pytest.approx(3.0)
+    assert out[2].grade == pytest.approx(40.0)
+    assert out[0]["from"] == 0.0 and out[2]["to"] == 30.0
+
+
+def test_desurvey_tangent_known_directions(spark):
+    """Vertical hole goes straight down; a due-east horizontal hole goes
+    straight +x; segment direction comes from the TOP station."""
+    import math
+
+    from vtk_reserves_spark.operators.drillhole import desurvey_tangent
+
+    df = spark.createDataFrame(
+        [
+            ("v", 10.0, 0.0, 90.0), ("v", 30.0, 123.0, 90.0),
+            ("e", 10.0, 90.0, 0.0), ("e", 25.0, 90.0, 0.0),
+            ("n45", 10.0, 0.0, 45.0),
+        ],
+        "hid string, depth double, azimuth double, dip double",
+    )
+    rows = {
+        (r.hid, r.depth): r
+        for r in desurvey_tangent(df, "hid", "depth", "azimuth", "dip").collect()
+    }
+    # vertical: z = -depth; x = y = 0 (second segment uses TOP station 90 dip)
+    assert rows[("v", 30.0)].z == pytest.approx(-30.0)
+    assert rows[("v", 30.0)].x == pytest.approx(0.0, abs=1e-9)
+    # horizontal due east: x = depth
+    assert rows[("e", 25.0)].x == pytest.approx(25.0)
+    assert rows[("e", 25.0)].z == pytest.approx(0.0, abs=1e-9)
+    # 45 deg down to the north
+    r45 = rows[("n45", 10.0)]
+    assert r45.y == pytest.approx(10 * math.cos(math.radians(45)))
+    assert r45.z == pytest.approx(-10 * math.sin(math.radians(45)))

@@ -1,0 +1,110 @@
+"""Drillhole operators: interval compositing and desurvey.
+
+The reference's tabular layer is built for drillhole data — its synonym
+LUT maps ``hid/hole/furo``, ``from/de``, ``to/ate``, ``depth/prof``,
+``azimuth``, ``dip`` (``_gui.py:278-308``; mirrored in
+`sources/loaders.SYNONYM_LUT`) and its LAS reader ingests well logs —
+but the processing ops live in sibling tools.  These are the two every
+resource workflow needs, Spark-native:
+
+- :func:`composite_intervals` — regularize variable-length assay
+  intervals to fixed composites with length-weighted grades (the
+  "compositing" step before any block interpolation);
+- :func:`desurvey_tangent` — hole trajectories from downhole survey
+  stations (azimuth/dip per depth) by the tangent method: each segment
+  extends in the direction measured at its top station.
+
+Scale shape: both are ONE hash partitioning by hole id.  Compositing
+explodes each interval only into the composite bins it overlaps
+(bounded fan-out = interval_len/comp_len + 1, the `operators/asof.py`
+range-join device); desurvey is a keyed window cumsum.  No global
+windows, no crossJoins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def composite_intervals(
+    df: DataFrame,
+    hole_col: str = "hid",
+    from_col: str = "from",
+    to_col: str = "to",
+    value_cols: list[str] | None = None,
+    comp_len: float = 10.0,
+) -> DataFrame:
+    """Fixed-length downhole composites with length-weighted grades.
+
+    Composite ``b`` of a hole covers ``[b·L, (b+1)·L)``.  Every source
+    interval contributes its overlap length as weight; composites report
+    ``length`` (total covered meters — < L at gaps and hole ends) and
+    the weighted mean of each value column over its non-null intervals.
+    """
+    value_cols = value_cols or []
+    lo = F.col(from_col).cast("double")
+    hi = F.col(to_col).cast("double")
+    b = F.explode(
+        F.sequence(
+            F.floor(lo / comp_len).cast("long"),
+            F.ceil(hi / comp_len).cast("long") - 1,
+        )
+    ).alias("comp")
+    seg = df.where(hi > lo).select(hole_col, lo.alias("_lo"), hi.alias("_hi"), b, *value_cols)
+    ov = F.least(F.col("_hi"), (F.col("comp") + 1) * comp_len) - F.greatest(
+        F.col("_lo"), F.col("comp") * comp_len
+    )
+    seg = seg.withColumn("_ov", ov).where(F.col("_ov") > 0)
+    aggs = [F.sum("_ov").alias("length")]
+    for c in value_cols:
+        w = F.when(F.col(c).isNotNull(), F.col("_ov"))
+        num = F.sum(w * F.col(c))
+        den = F.sum(w)
+        aggs.append(F.when(den != 0, num / den).alias(c))
+    return (
+        seg.groupBy(hole_col, "comp")
+        .agg(*aggs)
+        .withColumn("from", F.col("comp") * comp_len)
+        .withColumn("to", (F.col("comp") + 1) * comp_len)
+    )
+
+
+def desurvey_tangent(
+    df: DataFrame,
+    hole_col: str = "hid",
+    depth_col: str = "depth",
+    azm_col: str = "azimuth",
+    dip_col: str = "dip",
+) -> DataFrame:
+    """Station coordinates by the tangent method.
+
+    Input: survey stations ``(hole, depth, azimuth, dip)`` — azimuth in
+    degrees clockwise from north, dip in degrees POSITIVE DOWN (mining
+    convention).  Each segment between consecutive stations extends in
+    the direction measured at its TOP station; station 0 sits at the
+    local origin (join collars afterwards to place holes in world
+    coordinates).  Output adds ``x, y, z`` offsets (y = north,
+    z negative down).
+
+    One keyed window (lag + running sum over depth order per hole)."""
+    w = Window.partitionBy(hole_col).orderBy(F.col(depth_col).asc())
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = F.col(depth_col).cast("double")
+    seg_len = d - F.coalesce(F.lag(d).over(w), F.lit(0.0))
+    # direction at the TOP station of the segment = previous row's angles
+    # (the first segment from the collar uses the first station's angles)
+    azm = F.radians(F.coalesce(F.lag(azm_col).over(w), F.col(azm_col)).cast("double"))
+    dip = F.radians(F.coalesce(F.lag(dip_col).over(w), F.col(dip_col)).cast("double"))
+    dx = seg_len * F.cos(dip) * F.sin(azm)
+    dy = seg_len * F.cos(dip) * F.cos(azm)
+    dz = -seg_len * F.sin(dip)
+    return (
+        df.withColumn("_dx", dx)
+        .withColumn("_dy", dy)
+        .withColumn("_dz", dz)
+        .withColumn("x", F.sum("_dx").over(cum))
+        .withColumn("y", F.sum("_dy").over(cum))
+        .withColumn("z", F.sum("_dz").over(cum))
+        .drop("_dx", "_dy", "_dz")
+    )
