@@ -834,6 +834,34 @@ def q_reblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW grade estimation (operators/geostats.py): 300 synthetic
+    samples interpolated onto the fixture grid within a 25 m radius —
+    tile-bucketed neighbor join on the Spark side, brute-force
+    distance join in the oracle (equivalent because tile >= radius)."""
+    from vtk_reserves_spark.operators.geostats import idw_interpolate
+
+    blocks = grid_df(spark, _GS).select("cell", "x", "y", "z")
+    s = spark.range(300)
+    samples = s.select(
+        ((F.col("id") * 37) % 300 + 0.25).cast("double").alias("sx"),
+        ((F.col("id") * 53) % 200 + 0.5).cast("double").alias("sy"),
+        ((F.col("id") * 29) % 200 + 0.75).cast("double").alias("sz"),
+        ((F.col("id") * 13) % 90 + 5.0).cast("double").alias("grade"),
+    )
+    out = idw_interpolate(
+        blocks,
+        samples,
+        "grade",
+        radius=25.0,
+        power=2.0,
+        block_id="cell",
+        xyz=("x", "y", "z"),
+        sample_xyz=("sx", "sy", "sz"),
+    )
+    return out.select("cell", F.round("grade", 6).alias("grade"), "n_samples")
+
+
 def q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downhole interval compositing (operators/drillhole.py): 600
     synthetic assay intervals over 20 holes regularized to 10 m
@@ -2034,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reblock": q_reblock,
         "composite": q_composite,
         "desurvey": q_desurvey,
+        "idw": q_idw,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -2340,6 +2369,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.ri, a.rj, a.rk, a.n_fine, a.volume, a.mass,
                a.grade, a.density, t.lito
         FROM agg a JOIN top t USING (ri, rj, rk)
+        """,
+        "idw": """
+            WITH b AS (
+              SELECT r.range AS cell,
+                     CAST((CAST(r.range % 30 AS INT) + 0.5) * 10.0 AS DOUBLE) AS x,
+                     CAST((CAST((r.range // 30) % 20 AS INT) + 0.5) * 10.0 AS DOUBLE) AS y,
+                     CAST((CAST(r.range // 600 AS INT) + 0.5) * 10.0 AS DOUBLE) AS z
+              FROM range(12000) r
+            ), s AS (
+              SELECT CAST((r.range * 37) % 300 + 0.25 AS DOUBLE) AS sx,
+                     CAST((r.range * 53) % 200 + 0.5 AS DOUBLE) AS sy,
+                     CAST((r.range * 29) % 200 + 0.75 AS DOUBLE) AS sz,
+                     CAST((r.range * 13) % 90 + 5.0 AS DOUBLE) AS grade
+              FROM range(300) r
+            ), pairs AS (
+              SELECT b.cell,
+                     sqrt((b.x-s.sx)^2 + (b.y-s.sy)^2 + (b.z-s.sz)^2) AS d,
+                     s.grade
+              FROM b JOIN s ON (b.x-s.sx)^2 + (b.y-s.sy)^2 + (b.z-s.sz)^2
+                               <= 25.0 * 25.0
+            ), est AS (
+              SELECT cell,
+                     SUM(grade / (GREATEST(d, 1e-9) * GREATEST(d, 1e-9)))
+                       / SUM(1.0 / (GREATEST(d, 1e-9) * GREATEST(d, 1e-9))) AS g,
+                     COUNT(*) AS n
+              FROM pairs WHERE d <= 25.0 GROUP BY cell
+            )
+            SELECT b.cell,
+                   ROUND(e.g, 6) AS grade,
+                   CAST(COALESCE(e.n, 0) AS BIGINT) AS n_samples
+            FROM b LEFT JOIN est e USING (cell)
         """,
         "composite": """
             WITH dh AS (

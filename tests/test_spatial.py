@@ -391,3 +391,47 @@ def test_desurvey_tangent_known_directions(spark):
     r45 = rows[("n45", 10.0)]
     assert r45.y == pytest.approx(10 * math.cos(math.radians(45)))
     assert r45.z == pytest.approx(-10 * math.sin(math.radians(45)))
+
+
+def test_idw_hand_checked(spark):
+    """Two samples straddling a block: closer sample dominates by 1/d^2;
+    out-of-radius blocks get NULL with n_samples 0."""
+    from vtk_reserves_spark.operators.geostats import idw_interpolate
+
+    blocks = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0.0), (2, 1000.0, 0.0, 0.0)],
+        "cell long, x double, y double, z double",
+    )
+    samples = spark.createDataFrame(
+        [(10.0, 0.0, 0.0, 30.0), (-20.0, 0.0, 0.0, 60.0)],
+        "sx double, sy double, sz double, grade double",
+    )
+    out = {
+        r.cell: r
+        for r in idw_interpolate(
+            blocks, samples, "grade", radius=25.0,
+            sample_xyz=("sx", "sy", "sz"),
+        ).collect()
+    }
+    w1, w2 = 1 / 100.0, 1 / 400.0
+    assert out[1].grade == pytest.approx((w1 * 30 + w2 * 60) / (w1 + w2))
+    assert out[1].n_samples == 2
+    assert out[2].grade is None and out[2].n_samples == 0
+
+
+def test_idw_exact_hit_clamped(spark):
+    """A sample sitting exactly on the centroid dominates via the eps
+    clamp instead of dividing by zero."""
+    from vtk_reserves_spark.operators.geostats import idw_interpolate
+
+    blocks = spark.createDataFrame(
+        [(1, 5.0, 5.0, 5.0)], "cell long, x double, y double, z double"
+    )
+    samples = spark.createDataFrame(
+        [(5.0, 5.0, 5.0, 42.0), (10.0, 5.0, 5.0, 99.0)],
+        "sx double, sy double, sz double, grade double",
+    )
+    out = idw_interpolate(
+        blocks, samples, "grade", radius=25.0, sample_xyz=("sx", "sy", "sz")
+    ).collect()[0]
+    assert out.grade == pytest.approx(42.0, abs=1e-6)

@@ -1,0 +1,99 @@
+"""Grade estimation: inverse-distance-weighted (IDW) interpolation.
+
+The reference reports grades a block model already carries; the step
+that PRODUCES those grades — interpolating composited drillhole samples
+onto blocks — is the natural upstream capability (IDW is the classic
+baseline; Shepard 1968).  Spark-native shape:
+
+- samples are exploded to their spatial tile plus the 26 neighbors
+  (tile size ≥ search radius, so every block's candidates live in its
+  own tile) — a bounded 27× fan-out of the SMALL side;
+- blocks join on their single tile id (equi-join, hash-partitioned,
+  never an all-pairs cross join);
+- the exact radius filter and ``1/d^p`` weighting run as expressions,
+  and one groupBy per block reduces to the estimate.
+
+Cost: O(blocks × samples-per-neighborhood); sample skew (dense drilling
+in one zone) surfaces as tile skew, handled by AQE skew-join splitting.
+A kriging upgrade slots into the same tile-join skeleton (weights from
+a per-neighborhood solve via applyInPandas instead of expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def idw_interpolate(
+    blocks: DataFrame,
+    samples: DataFrame,
+    value_col: str,
+    radius: float,
+    power: float = 2.0,
+    block_id: str = "cell",
+    xyz=("x", "y", "z"),
+    sample_xyz=None,
+    min_samples: int = 1,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Estimate ``value_col`` on each block from samples within
+    ``radius``.
+
+    Returns ``(block_id, <value_col>, n_samples)`` — blocks with fewer
+    than ``min_samples`` in range get NULL.  A sample within ``eps`` of
+    the block centroid would make ``1/d^p`` blow up; its distance is
+    clamped to ``eps`` (the conventional guard, equivalent to nearest-
+    sample assignment there)."""
+    sample_xyz = sample_xyz or xyz
+    bx, by, bz = (F.col(c) for c in xyz)
+    tile = float(radius)
+
+    b = blocks.select(
+        F.col(block_id),
+        bx.alias("_bx"),
+        by.alias("_by"),
+        bz.alias("_bz"),
+        F.floor(bx / tile).cast("long").alias("tx"),
+        F.floor(by / tile).cast("long").alias("ty"),
+        F.floor(bz / tile).cast("long").alias("tz"),
+    )
+    sx, sy, sz = (F.col(c) for c in sample_xyz)
+    off = F.sequence(F.lit(-1), F.lit(1))
+    s = (
+        samples.select(
+            sx.alias("_sx"),
+            sy.alias("_sy"),
+            sz.alias("_sz"),
+            F.col(value_col).alias("_v"),
+        )
+        .where(F.col("_v").isNotNull())
+        .withColumn("_ox", F.explode(off))
+        .withColumn("_oy", F.explode(off))
+        .withColumn("_oz", F.explode(off))
+        .withColumn("tx", F.col("_ox") + F.floor(F.col("_sx") / tile).cast("long"))
+        .withColumn("ty", F.col("_oy") + F.floor(F.col("_sy") / tile).cast("long"))
+        .withColumn("tz", F.col("_oz") + F.floor(F.col("_sz") / tile).cast("long"))
+        .drop("_ox", "_oy", "_oz")
+    )
+    joined = b.join(s, ["tx", "ty", "tz"])
+    d = F.sqrt(
+        (F.col("_bx") - F.col("_sx")) ** 2
+        + (F.col("_by") - F.col("_sy")) ** 2
+        + (F.col("_bz") - F.col("_sz")) ** 2
+    )
+    g = F.greatest(d, F.lit(eps))
+    # power==2 as g*g, not pow(g, 2.0): faster, and bit-identical across
+    # engines (libm pow is not guaranteed identical between JVM and C)
+    w = F.lit(1.0) / (g * g) if power == 2.0 else F.lit(1.0) / g**power
+    joined = joined.where(d <= radius).withColumn("_w", w)
+    est = joined.groupBy(block_id).agg(
+        (F.sum(F.col("_w") * F.col("_v")) / F.sum("_w")).alias("_est"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    out = blocks.select(block_id).join(est, block_id, "left")
+    return out.select(
+        block_id,
+        F.when(F.col("n_samples") >= min_samples, F.col("_est")).alias(value_col),
+        F.coalesce("n_samples", F.lit(0)).alias("n_samples"),
+    )
