@@ -834,6 +834,25 @@ def q_reblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grade_tonnage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grade-tonnage curve over the depleted fixture model
+    (operators/reserves.grade_tonnage): tonnes + mass-weighted mean
+    grade above each cutoff, mined-fraction scaled — bounded explode,
+    one shuffle.  Sums round to 2dp for cross-engine float order."""
+    from vtk_reserves_spark.operators.reserves import grade_tonnage
+
+    g = mine_fraction(_fixture_grid(spark), include=[_INC], exclude=[_EXC])
+    out = grade_tonnage(
+        g, "grade", "mass", cutoffs=[0.0, 20.0, 40.0, 60.0, 80.0], mine_col="mine"
+    )
+    return out.select(
+        "cutoff",
+        F.round("tonnes", 2).alias("tonnes"),
+        F.round("mean_grade", 6).alias("mean_grade"),
+        "n_blocks",
+    )
+
+
 def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDW grade estimation (operators/geostats.py): 300 synthetic
     samples interpolated onto the fixture grid within a 25 m radius —
@@ -2063,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite": q_composite,
         "desurvey": q_desurvey,
         "idw": q_idw,
+        "grade_tonnage": q_grade_tonnage,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -2369,6 +2389,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.ri, a.rj, a.rk, a.n_fine, a.volume, a.mass,
                a.grade, a.density, t.lito
         FROM agg a JOIN top t USING (ri, rj, rk)
+        """,
+        "grade_tonnage": _FIXTURE_SQL
+        + """
+            , ex AS (
+              SELECT grade, mass * mine AS m, c.cutoff
+              FROM f, (SELECT unnest([0.0, 20.0, 40.0, 60.0, 80.0]) AS cutoff) c
+              WHERE grade >= c.cutoff AND grade IS NOT NULL
+            )
+            SELECT CAST(cutoff AS DOUBLE) AS cutoff,
+                   ROUND(SUM(m), 2) AS tonnes,
+                   ROUND(SUM(grade * m) / SUM(m), 6) AS mean_grade,
+                   COUNT(*) AS n_blocks
+            FROM ex GROUP BY cutoff
         """,
         "idw": """
             WITH b AS (

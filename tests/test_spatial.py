@@ -435,3 +435,25 @@ def test_idw_exact_hit_clamped(spark):
         blocks, samples, "grade", radius=25.0, sample_xyz=("sx", "sy", "sz")
     ).collect()[0]
     assert out.grade == pytest.approx(42.0, abs=1e-6)
+
+
+def test_grade_tonnage_monotonic_and_exact(spark):
+    """Tonnage decreases and mean grade increases with cutoff; values
+    check against a direct pandas computation."""
+    from vtk_reserves_spark.operators.reserves import grade_tonnage
+
+    df = spark.createDataFrame(
+        [(10.0, 100.0), (30.0, 200.0), (50.0, 300.0), (70.0, 400.0)],
+        "grade double, mass double",
+    )
+    out = {
+        r.cutoff: r
+        for r in grade_tonnage(df, "grade", "mass", [0.0, 25.0, 60.0]).collect()
+    }
+    assert out[0.0].tonnes == 1000.0 and out[0.0].n_blocks == 4
+    assert out[25.0].tonnes == 900.0
+    assert out[25.0].mean_grade == pytest.approx(
+        (30 * 200 + 50 * 300 + 70 * 400) / 900
+    )
+    assert out[60.0].tonnes == 400.0 and out[60.0].mean_grade == 70.0
+    assert out[0.0].mean_grade < out[25.0].mean_grade < out[60.0].mean_grade

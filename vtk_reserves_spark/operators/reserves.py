@@ -89,3 +89,38 @@ def reserves_report(
         mine_exclude=mine_exclude,
     )
     return breakdown(flagged, vl)
+
+
+def grade_tonnage(
+    df,
+    grade_col: str,
+    mass_col: str,
+    cutoffs: list[float],
+    mine_col: str | None = None,
+):
+    """Grade-tonnage curve: for each cutoff, the tonnage and mean grade
+    of material at or above it — the standard resource-reporting curve
+    the reference's breakdown tables feed into (README.md:60-72 reports
+    one cutoff; this sweeps a list in one pass).
+
+    Plan: each row fans out to the cutoffs it clears (bounded explode,
+    ≤ len(cutoffs)) and ONE groupBy(cutoff) aggregates mass-weighted
+    grade and total tonnes; optional ``mine_col`` scales mass by the
+    mined fraction.  Narrow + one shuffle at any scale."""
+    from pyspark.sql import functions as F
+
+    g = F.col(grade_col).cast("double")
+    m = F.col(mass_col).cast("double")
+    if mine_col is not None:
+        m = m * F.coalesce(F.col(mine_col).cast("double"), F.lit(0.0))
+    arr = F.array(*[F.lit(float(c)) for c in sorted(cutoffs)])
+    rows = (
+        df.where(g.isNotNull() & m.isNotNull())
+        .select(g.alias("_g"), m.alias("_m"), F.explode(arr).alias("cutoff"))
+        .where(F.col("_g") >= F.col("cutoff"))
+    )
+    return rows.groupBy("cutoff").agg(
+        F.sum("_m").alias("tonnes"),
+        (F.sum(F.col("_g") * F.col("_m")) / F.sum("_m")).alias("mean_grade"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
