@@ -1212,6 +1212,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("sh"))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via Hamming band blocking
+    (operators/dedup.simhash_pairs): 48 bits in 4 bands (12-bit band
+    keys — the bucket-granularity knob; 4-bit keys measured OOM on 10k
+    docs from quadratic buckets) — pigeonhole guarantees every pair at
+    Hamming <= 3 shares a band, so the bucketed plan is exactly
+    equivalent to the oracle's brute-force join."""
+    from vtk_reserves_spark.operators.dedup import simhash_pairs
+
+    # deterministic 20% subsample: the synthetic corpus is drawn from
+    # templates, so near-dup CLUSTERS are dense and the pair count grows
+    # quadratically with corpus size (~300k pairs at sf0.1) — the
+    # operator is linear in buckets, but a pair LIST that size is not a
+    # useful fixture result
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 5 == 0)
+    )
+    both = docs.unionByName(_mutated(docs))
+    # exact-dedup FIRST (the real pipeline order): identical short docs
+    # form hamming-0 cliques whose pair count grows quadratically —
+    # measured 300k pairs / 30s+ at sf0.1 without this step, 10x less with
+    from pyspark.sql import Window as W
+
+    uniq = both.withColumn(
+        "_rn", F.row_number().over(W.partitionBy("text").orderBy("doc_id"))
+    ).where(F.col("_rn") == 1).drop("_rn")
+    out = simhash_pairs(uniq, "doc_id", "text", bits=48, bands=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     both = docs.unionByName(_mutated(docs))
@@ -1514,6 +1546,12 @@ def _llm_oracles() -> dict[str, str]:
         f"> len({toks}) THEN {1 << b} ELSE 0 END"
         for b in range(16)
     )
+    simhash_bits_wide = " + ".join(
+        f"CASE WHEN 2*len(list_filter({toks}, "
+        f"w -> (('0x'||substr(md5('sh_'||w),1,8))::BIGINT >> {b}) & 1 = 1)) "
+        f"> len({toks}) THEN {1 << b}::BIGINT ELSE 0 END"
+        for b in range(48)
+    )
     sw = {
         lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
         for lang, words in TX.STOPWORDS.items()
@@ -1629,6 +1667,24 @@ def _llm_oracles() -> dict[str, str]:
         """,
         "dedup_simhash": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS sh FROM documents
+        """,
+        "simhash_pairs": _BOTH_SQL
+        + f""", samp AS (
+              SELECT doc_id, text FROM uni
+              WHERE (doc_id % 100000) % 5 = 0
+            ), uniq AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM samp) WHERE rn = 1
+            ), sh AS (
+              SELECT doc_id, CAST({simhash_bits_wide} AS BIGINT) AS sh
+              FROM uniq
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
         "ngram_jaccard": _BOTH_SQL
         + shin_cte
@@ -2083,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "desurvey": q_desurvey,
         "idw": q_idw,
         "grade_tonnage": q_grade_tonnage,
+        "simhash_pairs": q_simhash_pairs,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,

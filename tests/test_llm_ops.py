@@ -604,3 +604,34 @@ def test_pack_offsets_spans(spark):
     packed = pack_offsets(many, "doc_id", "n", window=16, shards=4)
     assert packed.count() == 100
     assert packed.select("shard").distinct().count() == 4
+
+
+def test_simhash_pairs_blocking_complete(spark):
+    """Band blocking finds EVERY pair within the pigeonhole guarantee:
+    compare against a brute-force hamming join on a small corpus."""
+    from vtk_reserves_spark.operators.dedup import simhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i % 3}") for i in range(30)] + [
+        (100 + i, f"completely different words number {i} here") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(df, "doc_id", "text", bits=32, bands=4).collect()
+    }
+    sh = {r.doc_id: r.sh for r in df.select(
+        "doc_id",
+        __import__("vtk_reserves_spark.operators.dedup", fromlist=["simhash"]).simhash(
+            F.col("text"), bits=32
+        ).alias("sh"),
+    ).collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert got == brute
+    assert len(brute) > 0  # the template docs really do pair

@@ -479,6 +479,74 @@ def simhash(text: Column, bits: int = 16, seed: str = "sh") -> Column:
     return out
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int | None = None,
+    seed: str = "sh",
+) -> DataFrame:
+    """Near-duplicate candidate pairs by SimHash band blocking.
+
+    The signature's ``bits`` are split into ``bands`` equal slices; two
+    documents whose Hamming distance is < ``bands`` must agree on at
+    least one full slice (pigeonhole), so bucketing by (band, slice
+    value) finds every such pair without an all-pairs join — the same
+    bucket-then-pair shape as :func:`minhash_lsh_pairs`, shuffle
+    O(bands·n).  Returns ``(id_a, id_b, hamming)``; ``max_hamming``
+    optionally tightens the guarantee-driven default (``bands - 1``)."""
+    width = bits // bands
+    limit = (bands - 1) if max_hamming is None else max_hamming
+    sig = df.select(
+        F.col(id_col).alias("doc"), simhash(F.col(text_col), bits, seed).alias("_sh")
+    )
+    bandarr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("_sh"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = sig.select("doc", "_sh", F.explode(bandarr).alias("bk")).select(
+        "doc", "_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    buckets = (
+        keyed.groupBy("band", "key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc"), F.col("_sh")))
+            ).alias("ds")
+        )
+        .where(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(
+                    x["doc"].alias("id_a"),
+                    y["doc"].alias("id_b"),
+                    F.bit_count(x["_sh"].bitwiseXOR(y["_sh"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .where(F.col("hamming") <= limit)
+        .distinct()
+    )
+
+
 def _acc_bits(acc: Column, h: Column) -> Column:
     """acc[b] += bit b of h, for every b — indexed two-arg transform.
     (F.shiftright only takes a literal shift, so call the SQL function
