@@ -1507,6 +1507,18 @@ def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct sketch (streaming/ops.stream_kmv_distinct):
+    per-event-type distinct-user estimate maintained as bounded k-min
+    state; the deterministic md5 hash makes the drained result
+    bit-identical to the batch KMV oracle."""
+    from vtk_reserves_spark.streaming.ops import stream_kmv_distinct
+
+    ev = _events_stream(spark, sf_dir)
+    st = stream_kmv_distinct(ev, "event_type", "user_id", k=64)
+    return run_available_now(st, output_mode="update", shuffle_partitions=8)
+
+
 def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
     terms = []
     for b, hp in enumerate(planes):
@@ -2097,6 +2109,24 @@ def _stream_oracles() -> dict[str, str]:
                        AS total_value
             FROM events GROUP BY user_id
         """,
+        "stream_kmv": """
+            WITH hashed AS (
+              SELECT DISTINCT event_type,
+                     (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       + 1) / 4294967296.0 AS h
+              FROM events
+            ), kept AS (
+              SELECT event_type, h,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+              FROM hashed
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS INT) AS n_kept,
+                   CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE 63.0 / MAX(h) END AS est_distinct
+            FROM kept WHERE rn <= 64
+            GROUP BY event_type
+        """,
     }
 
 
@@ -2140,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw": q_idw,
         "grade_tonnage": q_grade_tonnage,
         "simhash_pairs": q_simhash_pairs,
+        "stream_kmv": q_stream_kmv,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,

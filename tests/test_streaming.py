@@ -265,3 +265,26 @@ def test_stream_upsert_parquet_converges_to_batch_agg(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_kmv_matches_batch_sketch(spark):
+    """The streaming KMV state drains to bit-identical estimates vs the
+    batch kmv_distinct operator (same deterministic md5 hashes)."""
+    from vtk_reserves_spark.operators.sketch import kmv_distinct
+    from vtk_reserves_spark.streaming.ops import stream_kmv_distinct
+
+    got = {
+        r.event_type: (r.n_kept, r.est_distinct)
+        for r in run_available_now(
+            stream_kmv_distinct(_events_stream(spark), "event_type", "user_id", k=32),
+            output_mode="update",
+            shuffle_partitions=4,
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n_kept, r.est_distinct)
+        for r in kmv_distinct(
+            _events_batch(spark), "event_type", "user_id", k=32
+        ).collect()
+    }
+    assert got == want

@@ -74,3 +74,60 @@ def stream_interval_join(
         F.col(f"r.{c}").alias(f"{c}{suffix}") for c in right.columns if c != key
     ]
     return joined.select(*out_cols)
+
+
+def stream_kmv_distinct(
+    sdf: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Streaming distinct-count sketch: a per-key KMV (k smallest md5
+    hashes — the mergeable device of `operators/sketch.py`) maintained
+    in ``applyInPandasWithState``.
+
+    State per key is a bounded sorted list (≤ k doubles) regardless of
+    stream age — the streaming twin of ``kmv_distinct``: because the
+    hash is the same deterministic md5 construction, draining a finite
+    stream yields BIT-IDENTICAL estimates to the batch operator (the
+    oracle check), which is exactly the property that lets a pipeline
+    promote cardinality monitoring from batch to continuous without a
+    parallel code path.  Emits ``(key, n_kept, est_distinct)`` for every
+    key touched by the batch (update mode)."""
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, n_kept int, est_distinct double"
+    state_schema = "hashes array<double>"
+    dom = 4294967296.0
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (hashes,) = state.get if state.exists else ([],)
+        s = set(hashes)
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                h = (
+                    int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) + 1
+                ) / dom
+                s.add(h)
+        kept = sorted(s)[:k]
+        state.update((kept,))
+        est = float(len(kept)) if len(kept) < k else (k - 1) / kept[-1]
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_kept": [len(kept)], "est_distinct": [est]}
+        )
+
+    return (
+        sdf.select(F.col(key_col).cast("string").alias(key_col), value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
