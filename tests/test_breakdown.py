@@ -396,3 +396,27 @@ if _HYP:
             wsum = gdf.w[m].sum()
             want_wm = float(np.average(gdf.v[m], weights=gdf.w[m])) if wsum else None
             assert close(row["wm"], want_wm)
+
+
+def test_weighted_quantile_binned_accuracy(spark):
+    """The binned sketch stays within one bin width of the exact
+    weighted quantile, and per-group state is bounded at n_bins rows."""
+    from vtk_reserves_spark.operators.breakdown import weighted_quantile_binned
+
+    li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+    approx = {
+        r.l_returnflag: (r.q25, r.q50, r.q75)
+        for r in weighted_quantile_binned(
+            li, "l_returnflag", "l_quantity", "l_extendedprice",
+            [0.25, 0.5, 0.75], n_bins=512,
+        ).collect()
+    }
+    exact = breakdown(
+        li,
+        "l_returnflag;l_quantity=e25,q1,l_extendedprice;"
+        "l_quantity=e50,q2,l_extendedprice;l_quantity=e75,q3,l_extendedprice",
+    ).toPandas().set_index("l_returnflag")
+    # l_quantity spans ~[1, 50] -> bin width ~0.1 at 512 bins
+    for flag, (a25, a50, a75) in approx.items():
+        for a, c in ((a25, "e25"), (a50, "e50"), (a75, "e75")):
+            assert abs(a - exact.loc[flag, c]) < 0.5, (flag, c, a, exact.loc[flag, c])

@@ -276,3 +276,79 @@ def _join_keyed(left: DataFrame, right: DataFrame, key_cols: list[str]) -> DataF
     if key_cols:
         return left.join(right, key_cols, "left")
     return left.crossJoin(right)
+
+
+def weighted_quantile_binned(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    var: str,
+    weight: str,
+    qs: list[float],
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Approximate weighted quantiles with BOUNDED per-group state — the
+    scale path for the exact window-ECDF weighted quantile (whose
+    per-group sort a pathologically dominant group could not afford).
+
+    Two fully-distributed passes: (1) per-group min/max fixes the value
+    range; (2) each row lands in one of ``n_bins`` equal-width bins,
+    bin weights aggregate (ONE shuffle with map-side combine, ≤ n_bins
+    rows per group), and the q-th quantile reads the first bin whose
+    cumulative weight reaches ``q x total`` (lower bin edge, linearly
+    interpolated within the bin by cumulative position).  Error is
+    bounded by the bin width (range / n_bins); weights NULL/NaN count
+    as 0 and rows with NULL values drop out, matching the exact
+    operator's conventions.
+
+    Output: keys + one ``q{N}`` column per requested quantile."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    from vtk_reserves_spark.functions.aggregates import nn
+
+    v = nn(F.col(var))
+    w = F.coalesce(nn(F.col(weight)), F.lit(0.0))
+    base = df.select(*keys, v.alias("_v"), w.alias("_w")).where(
+        F.col("_v").isNotNull() & (F.col("_w") > 0)
+    )
+    rng = base.groupBy(*keys).agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    b = base.join(rng, keys)
+    span = F.col("_hi") - F.col("_lo")
+    bin_ = F.when(span > 0,
+                  F.least(
+                      F.floor((F.col("_v") - F.col("_lo")) / span * n_bins),
+                      F.lit(n_bins - 1),
+                  )).otherwise(F.lit(0)).cast("int")
+    binned = (
+        b.withColumn("_b", bin_)
+        .groupBy(*keys, "_b")
+        .agg(F.sum("_w").alias("_bw"), F.max("_lo").alias("_lo"), F.max("_hi").alias("_hi"))
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_b").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*keys)
+    cum = binned.select(
+        *keys,
+        "_b",
+        "_bw",
+        "_lo",
+        "_hi",
+        F.sum("_bw").over(win).alias("_cum"),
+        F.sum("_bw").over(tot).alias("_tot"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    aggs = []
+    for i, q in enumerate(qs):
+        target = F.lit(float(q)) * F.col("_tot")
+        # first bin reaching the target: its lower edge + in-bin fraction
+        frac = (target - (F.col("_cum") - F.col("_bw"))) / F.col("_bw")
+        est = F.col("_lo") + (F.col("_b") + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))) * width
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= target, est)).alias(f"q{int(q * 100)}")
+        )
+    return cum.groupBy(*keys).agg(*aggs)
