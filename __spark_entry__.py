@@ -881,6 +881,37 @@ def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cell", F.round("grade", 6).alias("grade"), "n_samples")
 
 
+def q_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary kriging (operators/geostats.ordinary_krige): per-block
+    variogram solve over tile-gathered neighborhoods.  No SQL oracle
+    exists for a linear solve, so this is a rows-only query; the
+    invariants (exactness at samples, symmetry, declustering vs IDW)
+    are pinned in tests/test_spatial.py."""
+    from vtk_reserves_spark.operators.geostats import ordinary_krige
+
+    blocks = grid_df(spark, _GS).select("cell", "x", "y", "z")
+    s = spark.range(300)
+    samples = s.select(
+        ((F.col("id") * 37) % 300 + 0.25).cast("double").alias("sx"),
+        ((F.col("id") * 53) % 200 + 0.5).cast("double").alias("sy"),
+        ((F.col("id") * 29) % 200 + 0.75).cast("double").alias("sz"),
+        ((F.col("id") * 13) % 90 + 5.0).cast("double").alias("grade"),
+    )
+    out = ordinary_krige(
+        blocks,
+        samples,
+        "grade",
+        radius=25.0,
+        variogram=("spherical", 25.0, 1.0, 0.1),
+        max_samples=12,
+        sample_xyz=("sx", "sy", "sz"),
+    )
+    return out.select(
+        "cell", F.round("grade", 6).alias("grade"),
+        F.round("kvar", 6).alias("kvar"), "n_samples",
+    )
+
+
 def q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downhole interval compositing (operators/drillhole.py): 600
     synthetic assay intervals over 20 holes regularized to 10 m
@@ -2171,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grade_tonnage": q_grade_tonnage,
         "simhash_pairs": q_simhash_pairs,
         "stream_kmv": q_stream_kmv,
+        "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,

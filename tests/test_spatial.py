@@ -457,3 +457,61 @@ def test_grade_tonnage_monotonic_and_exact(spark):
     )
     assert out[60.0].tonnes == 400.0 and out[60.0].mean_grade == 70.0
     assert out[0.0].mean_grade < out[25.0].mean_grade < out[60.0].mean_grade
+
+
+def test_ordinary_krige_properties(spark):
+    """Kriging invariants (no SQL oracle exists for a linear solve):
+    single sample -> that value with kvar >= 0; block AT a sample
+    location with nugget 0 -> exact interpolation; two symmetric
+    equal-value samples -> that value."""
+    from vtk_reserves_spark.operators.geostats import ordinary_krige
+
+    blocks = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0.0), (2, 10.0, 0.0, 0.0), (3, 500.0, 0.0, 0.0)],
+        "cell long, x double, y double, z double",
+    )
+    samples = spark.createDataFrame(
+        [(10.0, 0.0, 0.0, 30.0), (-10.0, 0.0, 0.0, 30.0)],
+        "sx double, sy double, sz double, grade double",
+    )
+    out = {
+        r.cell: r
+        for r in ordinary_krige(
+            blocks, samples, "grade", radius=50.0,
+            variogram=("spherical", 40.0, 1.0, 0.0),
+            sample_xyz=("sx", "sy", "sz"),
+        ).collect()
+    }
+    # symmetric equal-value neighborhood -> the common value
+    assert out[1].grade == pytest.approx(30.0)
+    assert out[1].kvar >= 0.0 and out[1].n_samples == 2
+    # block exactly on a sample, nugget 0 -> exact interpolation
+    assert out[2].grade == pytest.approx(30.0, abs=1e-9)
+    assert out[2].kvar == pytest.approx(0.0, abs=1e-9)
+    # out of radius -> NULL
+    assert out[3].grade is None and out[3].n_samples == 0
+
+
+def test_ordinary_krige_weights_declustering(spark):
+    """Kriging's defining behavior vs IDW: a clustered pair is
+    down-weighted, so the estimate moves toward the isolated sample
+    relative to the IDW estimate."""
+    from vtk_reserves_spark.operators.geostats import idw_interpolate, ordinary_krige
+
+    blocks = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0.0)], "cell long, x double, y double, z double"
+    )
+    # two clustered samples (value 10) at +x, one isolated (value 50) at -x
+    samples = spark.createDataFrame(
+        [(20.0, 1.0, 0.0, 10.0), (20.0, -1.0, 0.0, 10.0), (-20.0, 0.0, 0.0, 50.0)],
+        "sx double, sy double, sz double, grade double",
+    )
+    kr = ordinary_krige(
+        blocks, samples, "grade", radius=60.0,
+        variogram=("spherical", 50.0, 1.0, 0.0),
+        sample_xyz=("sx", "sy", "sz"),
+    ).collect()[0].grade
+    idw = idw_interpolate(
+        blocks, samples, "grade", radius=60.0, sample_xyz=("sx", "sy", "sz")
+    ).collect()[0].grade
+    assert kr > idw  # declustering pulls toward the isolated 50

@@ -97,3 +97,156 @@ def idw_interpolate(
         F.when(F.col("n_samples") >= min_samples, F.col("_est")).alias(value_col),
         F.coalesce("n_samples", F.lit(0)).alias("n_samples"),
     )
+
+
+def _variogram_fn(model: str, vrange: float, sill: float, nugget: float):
+    """gamma(h) for the standard bounded models (numpy-vectorized)."""
+    import numpy as np
+
+    c = sill - nugget
+
+    def spherical(h):
+        r = np.clip(h / vrange, 0.0, 1.0)
+        return np.where(h > 0, nugget + c * (1.5 * r - 0.5 * r**3), 0.0)
+
+    def exponential(h):
+        return np.where(h > 0, nugget + c * (1.0 - np.exp(-3.0 * h / vrange)), 0.0)
+
+    def gaussian(h):
+        return np.where(
+            h > 0, nugget + c * (1.0 - np.exp(-3.0 * (h / vrange) ** 2)), 0.0
+        )
+
+    try:
+        return {"spherical": spherical, "exponential": exponential, "gaussian": gaussian}[model]
+    except KeyError:
+        raise ValueError(f"unknown variogram model {model!r}") from None
+
+
+def ordinary_krige(
+    blocks: DataFrame,
+    samples: DataFrame,
+    value_col: str,
+    radius: float,
+    variogram: tuple = ("spherical", 100.0, 1.0, 0.0),
+    max_samples: int = 16,
+    block_id: str = "cell",
+    xyz=("x", "y", "z"),
+    sample_xyz=None,
+    min_samples: int = 1,
+) -> DataFrame:
+    """Ordinary kriging: per-block neighborhood solve on the IDW tile
+    skeleton.
+
+    Same candidate gathering as :func:`idw_interpolate` (samples explode
+    to 27 neighbor tiles, blocks equi-join one tile, exact radius
+    filter); then each block's nearest ``max_samples`` candidates feed
+    the ordinary-kriging system (variogram matrix + Lagrange row) solved
+    per block in ``applyInPandas`` — Python at BATCH level over
+    neighborhood-sized matrices, never over raw rows.  Returns
+    ``(block_id, <value_col>, kvar, n_samples)`` with the kriging
+    variance; blocks with fewer than ``min_samples`` in radius get NULL.
+
+    ``variogram = (model, range, sill, nugget)`` with model one of
+    spherical / exponential / gaussian.  No SQL oracle exists for a
+    linear solve, so correctness is pinned by properties instead:
+    exactness at sample locations (nugget 0), the single-sample and
+    symmetry cases, and weights summing to 1 (tests/test_spatial.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    model, vrange, sill, nugget = variogram
+    gamma = _variogram_fn(model, float(vrange), float(sill), float(nugget))
+    sample_xyz = sample_xyz or xyz
+    bx, by, bz = (F.col(c) for c in xyz)
+    tile = float(radius)
+
+    b = blocks.select(
+        F.col(block_id),
+        bx.alias("_bx"),
+        by.alias("_by"),
+        bz.alias("_bz"),
+        F.floor(bx / tile).cast("long").alias("tx"),
+        F.floor(by / tile).cast("long").alias("ty"),
+        F.floor(bz / tile).cast("long").alias("tz"),
+    )
+    sx, sy, sz = (F.col(c) for c in sample_xyz)
+    off = F.sequence(F.lit(-1), F.lit(1))
+    s = (
+        samples.select(
+            sx.alias("_sx"), sy.alias("_sy"), sz.alias("_sz"),
+            F.col(value_col).alias("_v"),
+        )
+        .where(F.col("_v").isNotNull())
+        .withColumn("_ox", F.explode(off))
+        .withColumn("_oy", F.explode(off))
+        .withColumn("_oz", F.explode(off))
+        .withColumn("tx", F.col("_ox") + F.floor(F.col("_sx") / tile).cast("long"))
+        .withColumn("ty", F.col("_oy") + F.floor(F.col("_sy") / tile).cast("long"))
+        .withColumn("tz", F.col("_oz") + F.floor(F.col("_sz") / tile).cast("long"))
+        .drop("_ox", "_oy", "_oz")
+    )
+    joined = b.join(s, ["tx", "ty", "tz"])
+    d = F.sqrt(
+        (F.col("_bx") - F.col("_sx")) ** 2
+        + (F.col("_by") - F.col("_sy")) ** 2
+        + (F.col("_bz") - F.col("_sz")) ** 2
+    )
+    # keep the block's tile as the applyInPandas group key: one pandas
+    # call covers every block in the tile (per-GROUP overhead measured
+    # ~10x the per-block numpy solve when grouped by block id)
+    cand = joined.where(d <= radius).select(
+        "tx", "ty", "tz", block_id, "_sx", "_sy", "_sz", "_v", d.alias("_d")
+    )
+
+    out_schema = T.StructType(
+        [
+            next(f for f in blocks.schema.fields if f.name == block_id),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("kvar", T.DoubleType()),
+            T.StructField("n_samples", T.IntegerType()),
+        ]
+    )
+
+    def solve_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one sort + head per tile instead of an nsmallest per block
+        pdf = pdf.sort_values("_d", kind="stable")
+        pdf = pdf.groupby(block_id, sort=False).head(max_samples)
+        ids, ests, kvars, ns = [], [], [], []
+        for bid, g in pdf.groupby(block_id, sort=False):
+            n = len(g)
+            ids.append(bid)
+            ns.append(n)
+            if n < min_samples:
+                ests.append(None)
+                kvars.append(None)
+                continue
+            P = g[["_sx", "_sy", "_sz"]].to_numpy(float)
+            v = g["_v"].to_numpy(float)
+            hb = g["_d"].to_numpy(float)
+            hij = np.linalg.norm(P[:, None, :] - P[None, :, :], axis=2)
+            A = np.empty((n + 1, n + 1))
+            A[:n, :n] = gamma(hij)
+            A[n, :n] = A[:n, n] = 1.0
+            A[n, n] = 0.0
+            rhs = np.append(gamma(hb), 1.0)
+            try:
+                w = np.linalg.solve(A, rhs)
+            except np.linalg.LinAlgError:
+                # duplicate sample locations make A singular: least-squares
+                w = np.linalg.lstsq(A, rhs, rcond=None)[0]
+            ests.append(float(w[:n] @ v))
+            kvars.append(float(max(w[:n] @ gamma(hb) + w[n], 0.0)))
+        return pd.DataFrame(
+            {block_id: ids, value_col: ests, "kvar": kvars, "n_samples": ns}
+        )
+
+    est = cand.groupBy("tx", "ty", "tz").applyInPandas(solve_tile, out_schema)
+    out = blocks.select(block_id).join(est, block_id, "left")
+    return out.select(
+        block_id,
+        value_col,
+        "kvar",
+        F.coalesce("n_samples", F.lit(0)).alias("n_samples"),
+    )
