@@ -912,6 +912,26 @@ def q_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimental variogram (operators/geostats.experimental_variogram)
+    over the synthetic sample set: lag-binned pair statistics via the
+    27-neighbor-tile self-join — O(n x neighbors) pairs, never O(n^2);
+    the oracle brute-forces the same pairs."""
+    from vtk_reserves_spark.operators.geostats import experimental_variogram
+
+    s = spark.range(300)
+    samples = s.select(
+        ((F.col("id") * 37) % 300 + 0.25).cast("double").alias("x"),
+        ((F.col("id") * 53) % 200 + 0.5).cast("double").alias("y"),
+        ((F.col("id") * 29) % 200 + 0.75).cast("double").alias("z"),
+        ((F.col("id") * 13) % 90 + 5.0).cast("double").alias("grade"),
+    )
+    out = experimental_variogram(samples, "grade", max_lag=50.0, n_lags=10)
+    return out.select(
+        "lag_bin", "h_mid", "n_pairs", F.round("gamma", 6).alias("gamma")
+    )
+
+
 def q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downhole interval compositing (operators/drillhole.py): 600
     synthetic assay intervals over 20 holes regularized to 10 m
@@ -2203,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "stream_kmv": q_stream_kmv,
         "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
+        "variogram": q_variogram,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -2553,6 +2574,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(e.g, 6) AS grade,
                    CAST(COALESCE(e.n, 0) AS BIGINT) AS n_samples
             FROM b LEFT JOIN est e USING (cell)
+        """,
+        "variogram": """
+            WITH s AS (
+              SELECT r.range AS id,
+                     CAST((r.range * 37) % 300 + 0.25 AS DOUBLE) AS x,
+                     CAST((r.range * 53) % 200 + 0.5 AS DOUBLE) AS y,
+                     CAST((r.range * 29) % 200 + 0.75 AS DOUBLE) AS z,
+                     CAST((r.range * 13) % 90 + 5.0 AS DOUBLE) AS grade
+              FROM range(300) r
+            ), pairs AS (
+              SELECT sqrt((a.x-b.x)^2 + (a.y-b.y)^2 + (a.z-b.z)^2) AS d,
+                     (a.grade - b.grade)^2 AS dv2
+              FROM s a JOIN s b ON a.id < b.id
+            ), binned AS (
+              SELECT CAST(LEAST(FLOOR(d / 5.0), 9) AS INT) AS lag_bin, dv2
+              FROM pairs WHERE d > 0 AND d <= 50.0
+            )
+            SELECT lag_bin,
+                   CAST((lag_bin + 0.5) * 5.0 AS DOUBLE) AS h_mid,
+                   COUNT(*) AS n_pairs,
+                   ROUND(AVG(dv2) / 2.0, 6) AS gamma
+            FROM binned GROUP BY lag_bin
         """,
         "composite": """
             WITH dh AS (

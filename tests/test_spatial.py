@@ -515,3 +515,20 @@ def test_ordinary_krige_weights_declustering(spark):
         blocks, samples, "grade", radius=60.0, sample_xyz=("sx", "sy", "sz")
     ).collect()[0].grade
     assert kr > idw  # declustering pulls toward the isolated 50
+
+
+def test_experimental_variogram_tiny_case(spark):
+    """Hand-checked: three collinear samples, lag width 5 — pair (0,5)
+    and (5,10) land in bin 1, pair (0,10) in bin 2."""
+    from vtk_reserves_spark.operators.geostats import experimental_variogram
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 1.0), (5.0, 0.0, 0.0, 3.0), (10.0, 0.0, 0.0, 7.0)],
+        "x double, y double, z double, v double",
+    )
+    out = {r.lag_bin: r for r in experimental_variogram(df, "v", 15.0, 3).collect()}
+    assert out[1].n_pairs == 2
+    assert out[1].gamma == pytest.approx(((3 - 1) ** 2 + (7 - 3) ** 2) / 2 / 2)
+    assert out[2].n_pairs == 1
+    assert out[2].gamma == pytest.approx((7 - 1) ** 2 / 2)
+    assert out[1].h_mid == pytest.approx(7.5)
