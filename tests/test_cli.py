@@ -137,3 +137,53 @@ def test_dedup_minhash_cli(tmp_path, spark):
     main(["dedup", src, out, "--method", "minhash", "--ngrams", "1"])
     kept = sorted(spark.read.parquet(out).toPandas().doc_id.tolist())
     assert 3 in kept and 1 in kept and 2 not in kept
+
+
+def test_estimate_cli_end_to_end(tmp_path, spark):
+    """Full workflow: assays + surveys + collars -> composited,
+    desurveyed, IDW-estimated block grid written as parquet."""
+    import pandas as pd
+
+    from vtk_reserves_spark.cli import main
+
+    assays = pd.DataFrame(
+        {
+            "hole": ["h1"] * 3 + ["h2"] * 3,
+            "de": [0.0, 10.0, 20.0] * 2,
+            "ate": [10.0, 20.0, 30.0] * 2,
+            "grade": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+        }
+    )
+    surveys = pd.DataFrame(
+        {
+            "hole": ["h1", "h1", "h2", "h2"],
+            "prof": [0.0, 30.0, 0.0, 30.0],
+            "azimuth": [0.0] * 4,
+            "dip": [90.0] * 4,  # both holes vertical
+        }
+    )
+    collars = pd.DataFrame(
+        {"hole": ["h1", "h2"], "x": [0.0, 40.0], "y": [0.0, 0.0], "z": [100.0, 100.0]}
+    )
+    pa, ps, pc = (str(tmp_path / f"{n}.parquet") for n in ("a", "s", "c"))
+    spark.createDataFrame(assays).write.parquet(pa)
+    spark.createDataFrame(surveys).write.parquet(ps)
+    spark.createDataFrame(collars).write.parquet(pc)
+    out = str(tmp_path / "est.parquet")
+    main(
+        [
+            "estimate", pa, ps, out,
+            "--collars", pc, "--comp-len", "10", "--radius", "30",
+            "--cell-size", "10",
+        ]
+    )
+    est = spark.read.parquet(out)
+    got = est.where(est.grade.isNotNull())
+    assert got.count() > 0
+    # a block at h1's collar column sees mostly h1's shallow grades
+    import pyspark.sql.functions as F
+
+    near_h1 = got.orderBy(
+        (F.col("x") - 0.0) ** 2 + (F.col("y")) ** 2 + (F.col("z") - 95.0) ** 2
+    ).first()
+    assert 10.0 <= near_h1["grade"] <= 60.0

@@ -532,3 +532,47 @@ def test_experimental_variogram_tiny_case(spark):
     assert out[2].n_pairs == 1
     assert out[2].gamma == pytest.approx((7 - 1) ** 2 / 2)
     assert out[1].h_mid == pytest.approx(7.5)
+
+
+def test_locate_composites_vertical_and_deviated(spark):
+    """Vertical hole: composites at collar xy, z = collar_z - mid.
+    Deviated hole: a composite below the last station extends along
+    that station's direction."""
+    import math
+
+    from vtk_reserves_spark.operators.drillhole import (
+        composite_intervals,
+        locate_composites,
+    )
+
+    assays = spark.createDataFrame(
+        [("v", 0.0, 20.0, 10.0), ("d", 0.0, 20.0, 30.0)],
+        "hid string, `from` double, `to` double, grade double",
+    )
+    comps = composite_intervals(assays, "hid", "from", "to", ["grade"], 10.0)
+    surveys = spark.createDataFrame(
+        [
+            ("v", 0.0, 0.0, 90.0), ("v", 30.0, 0.0, 90.0),
+            # hole d: vertical to 10, then due east at 45 down
+            ("d", 0.0, 0.0, 90.0), ("d", 10.0, 90.0, 45.0),
+        ],
+        "hid string, depth double, azimuth double, dip double",
+    )
+    collars = spark.createDataFrame(
+        [("v", 100.0, 200.0, 500.0), ("d", 0.0, 0.0, 1000.0)],
+        "hid string, x double, y double, z double",
+    )
+    rows = {
+        (r.hid, r.comp): r
+        for r in locate_composites(comps, surveys, collars).collect()
+    }
+    # vertical composite 0: mid 5 -> (100, 200, 495)
+    assert rows[("v", 0)].x == pytest.approx(100.0)
+    assert rows[("v", 0)].z == pytest.approx(495.0)
+    assert rows[("v", 1)].z == pytest.approx(485.0)  # mid 15
+    # deviated composite 1: mid 15 = station(10) + 5 along az90/dip45
+    r = rows[("d", 1)]
+    assert r.x == pytest.approx(5 * math.cos(math.radians(45)))
+    assert r.y == pytest.approx(0.0, abs=1e-9)
+    assert r.z == pytest.approx(1000.0 - 10.0 - 5 * math.sin(math.radians(45)))
+    assert r.grade == pytest.approx(30.0)

@@ -191,6 +191,73 @@ def cmd_dedup(args) -> None:
     save_table(out, args.output)
 
 
+def cmd_estimate(args) -> None:
+    """End-to-end resource estimation: assay intervals -> fixed-length
+    composites -> 3-D locations via desurveyed trajectories -> IDW or
+    ordinary-kriging interpolation onto a fitted block grid -> parquet.
+    Column names resolve through the reference synonym LUT (hid/hole/
+    furo, from/de, to/ate, depth/prof, azimuth, dip)."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.operators.drillhole import (
+        composite_intervals,
+        locate_composites,
+    )
+    from vtk_reserves_spark.sources.grid import grid_df, grid_from_df_schema
+    from vtk_reserves_spark.sources.loaders import column_synonyms, load_dataframe
+    from vtk_reserves_spark.sources.writers import save_table
+
+    spark = _spark()
+    assays = load_dataframe(spark, args.assays, keep_null=args.keep_null)
+    surveys = load_dataframe(spark, args.surveys, keep_null=args.keep_null)
+
+    def need(df, key, what):
+        c = column_synonyms(df.columns, key, default=None)
+        if c is None:
+            raise SystemExit(f"{what}: no column matching {key!r} in {df.columns}")
+        return c
+
+    hid_a = need(assays, "hid", "assays")
+    comps = composite_intervals(
+        assays,
+        hid_a,
+        need(assays, "from", "assays"),
+        need(assays, "to", "assays"),
+        [args.value],
+        comp_len=args.comp_len,
+    )
+    hid_s = need(surveys, "hid", "surveys")
+    surveys = surveys.withColumnRenamed(hid_s, hid_a)
+    collars = None
+    if args.collars:
+        collars = load_dataframe(spark, args.collars, keep_null=args.keep_null)
+        collars = collars.withColumnRenamed(need(collars, "hid", "collars"), hid_a)
+    pts = locate_composites(
+        comps,
+        surveys,
+        collars,
+        hole_col=hid_a,
+        depth_col=need(surveys, "depth", "surveys"),
+        azm_col=need(surveys, "brg", "surveys"),
+        dip_col=need(surveys, "dip", "surveys"),
+    ).where(F.col(args.value).isNotNull())
+    cs = (args.cell_size,) * 3
+    gs = grid_from_df_schema(pts, cell_size=cs)
+    blocks = grid_df(spark, gs).select("cell", "i", "j", "k", "x", "y", "z")
+    if args.method == "krige":
+        from vtk_reserves_spark.operators.geostats import ordinary_krige
+
+        est = ordinary_krige(
+            blocks, pts, args.value, radius=args.radius,
+            variogram=("spherical", args.radius, 1.0, 0.0),
+        )
+    else:
+        from vtk_reserves_spark.operators.geostats import idw_interpolate
+
+        est = idw_interpolate(blocks, pts, args.value, radius=args.radius)
+    save_table(blocks.join(est, "cell"), args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vtk_reserves_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -254,6 +321,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="drop LSH buckets larger than this (skew cap)",
     )
     d.set_defaults(fn=cmd_dedup)
+
+    e = sub.add_parser(
+        "estimate",
+        help="assays -> composites -> desurveyed locations -> IDW/kriging grid",
+    )
+    e.add_argument("assays", help="interval table (hid, from, to, <value>)")
+    e.add_argument("surveys", help="survey stations (hid, depth, azimuth, dip)")
+    e.add_argument("output")
+    e.add_argument("--collars", default=None, help="collar table (hid, x, y, z)")
+    e.add_argument("--value", default="grade")
+    e.add_argument("--method", choices=("idw", "krige"), default="idw")
+    e.add_argument("--comp-len", type=float, default=10.0)
+    e.add_argument("--radius", type=float, default=50.0)
+    e.add_argument("--cell-size", type=float, default=10.0)
+    e.add_argument("--keep-null", action="store_true")
+    e.set_defaults(fn=cmd_estimate)
     return p
 
 

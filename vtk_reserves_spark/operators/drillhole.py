@@ -108,3 +108,94 @@ def desurvey_tangent(
         .withColumn("z", F.sum("_dz").over(cum))
         .drop("_dx", "_dy", "_dz")
     )
+
+
+def locate_composites(
+    composites: DataFrame,
+    surveys: DataFrame,
+    collars: DataFrame | None = None,
+    hole_col: str = "hid",
+    depth_col: str = "depth",
+    azm_col: str = "azimuth",
+    dip_col: str = "dip",
+) -> DataFrame:
+    """Place downhole composites in 3-D: desurvey the survey stations,
+    as-of join each composite's midpoint depth to the last station at or
+    above it, and extend from that station along its measured direction
+    (tangent method).  ``collars`` optionally supplies world coordinates
+    ``(hole, x, y, z)``; without it holes hang from local origin.
+
+    Composition of existing operators: :func:`desurvey_tangent` (keyed
+    window cumsum) + the as-of device from `operators/asof.py` (union +
+    keyed window, ONE shuffle) — nothing new to scale."""
+    st = desurvey_tangent(surveys, hole_col, depth_col, azm_col, dip_col)
+    mid = (F.col("from") + F.col("to")) / 2.0
+    comp = composites.withColumn("_mid", mid)
+    # as-of: last station with depth <= mid, via union + last() window.
+    # (hole, comp) is the composites' natural key — no synthetic row ids
+    # (monotonically_increasing_id across two plan branches would not be
+    # stable).
+    st_side = st.select(
+        F.col(hole_col).alias("_h"),
+        F.col(depth_col).alias("_at"),
+        F.lit(None).cast("long").alias("_comp"),
+        F.struct(
+            F.col(depth_col).alias("d"), "x", "y", "z",
+            F.col(azm_col).alias("az"), F.col(dip_col).alias("dp"),
+        ).alias("_st"),
+    )
+    c_side = comp.select(
+        F.col(hole_col).alias("_h"),
+        F.col("_mid").alias("_at"),
+        F.col("comp").cast("long").alias("_comp"),
+        F.lit(None).cast(st_side.schema["_st"].dataType).alias("_st"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_h")
+        # stations sort before composites at equal depth (_comp NULL first)
+        .orderBy(F.col("_at").asc(), F.col("_comp").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = (
+        st_side.unionByName(c_side)
+        .withColumn("_last", F.last("_st", ignorenulls=True).over(w))
+        .where(F.col("_comp").isNotNull())
+    )
+    joined = comp.join(
+        tagged.select("_h", "_comp", "_last"),
+        (F.col(hole_col) == F.col("_h")) & (F.col("comp") == F.col("_comp")),
+    )
+    # extend along the last station's direction; composites above the
+    # first station (no _last) extend from the collar along the FIRST
+    # station's direction -- approximate by clamping to depth 0 direction
+    s = F.col("_last")
+    seg = F.col("_mid") - F.coalesce(s["d"], F.lit(0.0))
+    az = F.radians(s["az"])
+    dp = F.radians(s["dp"])
+    lx = F.coalesce(s["x"], F.lit(0.0)) + seg * F.cos(dp) * F.sin(az)
+    ly = F.coalesce(s["y"], F.lit(0.0)) + seg * F.cos(dp) * F.cos(az)
+    lz = F.coalesce(s["z"], F.lit(0.0)) - seg * F.sin(dp)
+    out = joined.select(
+        hole_col, "comp", "from", "to", "_mid",
+        lx.alias("_lx"), ly.alias("_ly"), lz.alias("_lz"),
+        *[c for c in composites.columns if c not in (hole_col, "comp", "from", "to")],
+    )
+    if collars is not None:
+        col = collars.select(
+            F.col(hole_col),
+            F.col("x").alias("_cx"), F.col("y").alias("_cy"), F.col("z").alias("_cz"),
+        )
+        out = out.join(F.broadcast(col), hole_col, "left").select(
+            *[c for c in out.columns if c not in ("_lx", "_ly", "_lz", "_cx", "_cy", "_cz")],
+            (F.coalesce("_cx", F.lit(0.0)) + F.col("_lx")).alias("x"),
+            (F.coalesce("_cy", F.lit(0.0)) + F.col("_ly")).alias("y"),
+            (F.coalesce("_cz", F.lit(0.0)) + F.col("_lz")).alias("z"),
+        )
+    else:
+        out = out.select(
+            *[c for c in out.columns if c not in ("_lx", "_ly", "_lz")],
+            F.col("_lx").alias("x"), F.col("_ly").alias("y"), F.col("_lz").alias("z"),
+        )
+    return out.drop("_mid")
