@@ -932,6 +932,27 @@ def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_swath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimation-QA swath plot (operators/geostats.swath_plot): fixture
+    model grades vs the synthetic sample set, 30 m slabs along x — two
+    keyed aggs + one full outer join; means round to 6dp."""
+    from vtk_reserves_spark.operators.geostats import swath_plot
+
+    g = _fixture_grid(spark)
+    s = spark.range(300)
+    samples = s.select(
+        ((F.col("id") * 37) % 300 + 0.25).cast("double").alias("x"),
+        ((F.col("id") * 13) % 90 + 5.0).cast("double").alias("grade"),
+    )
+    out = swath_plot(g, samples, "grade", axis="x", slab=30.0)
+    return out.select(
+        "slab_id", "slab_mid", "n_blocks",
+        F.round("model_mean", 6).alias("model_mean"),
+        "n_samples",
+        F.round("sample_mean", 6).alias("sample_mean"),
+    )
+
+
 def q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downhole interval compositing (operators/drillhole.py): 600
     synthetic assay intervals over 20 holes regularized to 10 m
@@ -2224,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kmv": q_stream_kmv,
         "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
         "variogram": q_variogram,
+        "swath": q_swath,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -2574,6 +2596,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(e.g, 6) AS grade,
                    CAST(COALESCE(e.n, 0) AS BIGINT) AS n_samples
             FROM b LEFT JOIN est e USING (cell)
+        """,
+        "swath": _FIXTURE_SQL
+        + """
+            , m AS (
+              SELECT CAST(FLOOR(x / 30.0) AS BIGINT) AS slab_id,
+                     AVG(grade) AS model_mean, COUNT(*) AS n_blocks
+              FROM v WHERE grade IS NOT NULL GROUP BY 1
+            ), smp AS (
+              SELECT CAST(FLOOR((CAST((r.range * 37) % 300 + 0.25 AS DOUBLE)) / 30.0) AS BIGINT) AS slab_id,
+                     AVG(CAST((r.range * 13) % 90 + 5.0 AS DOUBLE)) AS sample_mean,
+                     COUNT(*) AS n_samples
+              FROM range(300) r GROUP BY 1
+            )
+            SELECT COALESCE(m.slab_id, smp.slab_id) AS slab_id,
+                   CAST((COALESCE(m.slab_id, smp.slab_id) + 0.5) * 30.0 AS DOUBLE) AS slab_mid,
+                   COALESCE(n_blocks, 0) AS n_blocks,
+                   ROUND(model_mean, 6) AS model_mean,
+                   COALESCE(n_samples, 0) AS n_samples,
+                   ROUND(sample_mean, 6) AS sample_mean
+            FROM m FULL OUTER JOIN smp ON m.slab_id = smp.slab_id
         """,
         "variogram": """
             WITH s AS (

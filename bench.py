@@ -79,6 +79,7 @@ def main() -> None:
     ordered = {n: f for n, f in qs.items() if not n.startswith("stream_")}
     ordered.update({n: f for n, f in qs.items() if n.startswith("stream_")})
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in ordered.items():
         # steady-state measurement: the first execution pays one-time
         # whole-stage-codegen (janino) compilation of the query's
@@ -95,6 +96,8 @@ def main() -> None:
             # force full execution without driver-side collection
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
+            if r == 0:
+                cold[name] = timings[name]
 
     total = round(sum(timings.values()), 4)
     print(
@@ -105,6 +108,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # transparency: first-execution total including one-time
+                # codegen compilation (the recorded value is steady-state;
+                # see BASELINE.md "Bench methodology")
+                "value_cold_first_run": round(sum(cold.values()), 4),
             }
         )
     )

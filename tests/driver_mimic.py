@@ -1,8 +1,13 @@
-"""Mimic the driver's correctness compare for a subset of queries.
+"""Quick per-query oracle compare for iterating on new queries.
 
-Usage: python tests/driver_mimic.py [query ...]   (default: the 9 missing)
+Usage: python tests/driver_mimic.py <query> [query ...]
 Runs each Spark query and its DuckDB oracle at sf0.01, compares
 row count / schema / sorted-value hash, prints one line per query.
+
+CAVEAT: this compare coerces through pandas (Decimal becomes float64),
+so it can false-pass type mismatches the real harness normalizer
+catches — /tmp/drive_driver.py (see .claude/skills/verify/SKILL.md) is
+the authoritative check.
 """
 import hashlib
 import json
@@ -18,11 +23,6 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-MISSING = [
-    "distinct_sketch", "sessionize", "events_json",
-    "stream_tumbling", "stream_dedup", "stream_join",
-    "stream_sliding", "stream_session", "stream_stateful_user",
-]
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -44,7 +44,9 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> None:
-    names = sys.argv[1:] or MISSING
+    names = sys.argv[1:]
+    if not names:
+        raise SystemExit("usage: driver_mimic.py <query> [query ...]")
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession

@@ -318,3 +318,50 @@ def experimental_variogram(
         .select("lag_bin", "h_mid", "n_pairs", "gamma")
         .orderBy("lag_bin")
     )
+
+
+def swath_plot(
+    blocks: DataFrame,
+    samples: DataFrame,
+    block_value: str,
+    sample_value: str | None = None,
+    axis: str = "x",
+    slab: float = 10.0,
+    sample_axis: str | None = None,
+) -> DataFrame:
+    """Validation swaths: mean model grade vs mean informing-sample grade
+    per slab along one axis — the standard estimation QA plot (a model
+    that drifts from its samples along a direction is conditionally
+    biased).  Two keyed aggregations + one full outer join on the slab
+    id; output rows = extent/slab, independent of input size."""
+    sample_value = sample_value or block_value
+    sample_axis = sample_axis or axis
+    sb = F.floor(F.col(axis) / slab).cast("long").alias("slab_id")
+    m = (
+        blocks.where(F.col(block_value).isNotNull())
+        .groupBy(sb)
+        .agg(
+            F.avg(block_value).alias("model_mean"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        )
+    )
+    ss = F.floor(F.col(sample_axis) / slab).cast("long").alias("slab_id")
+    s = (
+        samples.where(F.col(sample_value).isNotNull())
+        .groupBy(ss)
+        .agg(
+            F.avg(sample_value).alias("sample_mean"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    return (
+        m.join(s, "slab_id", "full")
+        .withColumn("slab_mid", (F.col("slab_id") + 0.5) * slab)
+        .select(
+            "slab_id", "slab_mid",
+            F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+            "model_mean",
+            F.coalesce("n_samples", F.lit(0)).alias("n_samples"),
+            "sample_mean",
+        )
+    )
