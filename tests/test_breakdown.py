@@ -420,3 +420,14 @@ def test_weighted_quantile_binned_accuracy(spark):
     for flag, (a25, a50, a75) in approx.items():
         for a, c in ((a25, "e25"), (a50, "e50"), (a75, "e75")):
             assert abs(a - exact.loc[flag, c]) < 0.5, (flag, c, a, exact.loc[flag, c])
+
+
+def test_breakdown_approx_weighted_quantiles(spark):
+    """approx=True routes weighted quantiles through the bounded-state
+    binned sketch; result stays within a bin width of exact."""
+    li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+    tpl = "l_returnflag;l_quantity=wq2,q2,l_extendedprice"
+    exact = breakdown(li, tpl).toPandas().set_index("l_returnflag")["wq2"]
+    approx = breakdown(li, tpl, approx=True).toPandas().set_index("l_returnflag")["wq2"]
+    for flag in exact.index:
+        assert abs(exact[flag] - approx[flag]) < 0.5, flag

@@ -259,7 +259,18 @@ def breakdown(
         sub = _major_subplan(base, key_cols, majors)
         result = _join_keyed(result, sub, key_cols)
     for (var, weights), q_outs in wqs.items():
-        sub = _wq_subplan(base, key_cols, var, weights, q_outs)
+        if approx:
+            # bounded-state histogram sketch instead of the exact
+            # per-group ECDF sort (see weighted_quantile_binned)
+            wprod = weight_product(weights) if weights else F.lit(1.0)
+            wdf = base.withColumn("__wprod", wprod)
+            sub = weighted_quantile_binned(
+                wdf, key_cols, var, "__wprod", [q for q, _ in q_outs]
+            )
+            for q, name in q_outs:
+                sub = sub.withColumnRenamed(f"q{int(q * 100)}", name)
+        else:
+            sub = _wq_subplan(base, key_cols, var, weights, q_outs)
         result = _join_keyed(result, sub, key_cols)
 
     # --- final projection: keys (aliased) then aggs in template order ---
