@@ -64,6 +64,60 @@ def test_png_codec_roundtrip():
     assert (decode_png(encode_png(grey))[:, :, 0] == grey).all()
 
 
+def test_wav_codec_roundtrip():
+    from vtk_reserves_spark.sources.wav import decode_wav, encode_wav
+
+    rng = np.random.RandomState(7)
+    mono = rng.randint(-(2**15), 2**15, size=251, dtype=np.int16)
+    s, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and (s == mono).all() and s.ndim == 1
+    stereo = rng.randint(-(2**15), 2**15, size=(100, 2), dtype=np.int16)
+    s2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and (s2 == stereo).all() and s2.shape == (100, 2)
+
+
+def test_wav_decoder_walks_extra_chunks_and_rejects_non_pcm():
+    import struct
+
+    from vtk_reserves_spark.sources.wav import decode_wav, encode_wav
+
+    mono = np.arange(-5, 6, dtype=np.int16)
+    buf = bytearray(encode_wav(mono, 8000))
+    # splice an odd-sized LIST chunk between WAVE and fmt (real encoders
+    # do this): decoder must skip it, honoring the pad byte
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = bytes(buf[:12]) + extra + bytes(buf[12:])
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    s, rate = decode_wav(spliced)
+    assert (s == mono).all() and rate == 8000
+    # non-PCM format tag -> clear error, not misread bytes
+    bad = bytearray(encode_wav(mono, 8000))
+    fmt_at = bytes(bad).find(b"fmt ") + 8
+    bad[fmt_at : fmt_at + 2] = struct.pack("<H", 3)  # IEEE float tag
+    with pytest.raises(ValueError, match="format tag 3"):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not a wav")
+
+
+def test_audio_features_hand_checked(spark):
+    """A square wave has rms == peak and one crossing per half period."""
+    from vtk_reserves_spark.operators.multimodal import audio_features
+    from vtk_reserves_spark.sources.wav import encode_wav
+
+    sq = np.tile(np.array([1000] * 4 + [-1000] * 4, np.int16), 10)  # 80 samples
+    payload = encode_wav(sq, 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    r = audio_features(df).collect()[0]
+    assert r.sample_rate == 8000 and r.n_samples == 80
+    assert r.duration_s == pytest.approx(0.01)
+    assert r.rms == pytest.approx(1000.0)
+    assert r.peak == 1000
+    assert r.zero_crossings == 19  # 20 half-periods -> 19 transitions
+
+
 def test_png_pixel_table_roundtrip(tmp_path, spark):
     rng = np.random.RandomState(7)
     img = rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)

@@ -635,3 +635,31 @@ def test_simhash_pairs_blocking_complete(spark):
     }
     assert got == brute
     assert len(brute) > 0  # the template docs really do pair
+
+
+def test_remove_duplicate_segments_hand_checked(spark):
+    """Planted boilerplate (one shared 8-token window) is dropped from
+    every doc; unique segments survive in order; an all-boilerplate doc
+    collapses to empty text with n_kept 0."""
+    from vtk_reserves_spark.operators.dedup import remove_duplicate_segments
+
+    boiler = "subscribe to our newsletter for all the updates"  # 8 tokens
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, boiler + " one two three four five six seven eight"),
+        (3, "iota kappa lambda mu nu xi omicron pi " + boiler),
+        (4, boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_segments(
+            df, "doc_id", "text", chunk_tokens=8, min_docs=2
+        ).collect()
+    }
+    assert out[1].text_clean == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[1].n_kept == 1 and out[1].n_dropped == 1
+    assert out[2].text_clean == "one two three four five six seven eight"
+    # doc 3 has the boilerplate LAST: surviving segment order is preserved
+    assert out[3].text_clean == "iota kappa lambda mu nu xi omicron pi"
+    assert out[4].text_clean == "" and out[4].n_kept == 0 and out[4].n_dropped == 1

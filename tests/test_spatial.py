@@ -393,6 +393,43 @@ def test_desurvey_tangent_known_directions(spark):
     assert r45.z == pytest.approx(-10 * math.sin(math.radians(45)))
 
 
+def test_desurvey_minimum_curvature_arc(spark):
+    """A vertical-to-horizontal build over arc length L is a quarter
+    circle of radius r = 2L/pi: chord displacement (r, 0, -r).  Straight
+    segments (DL=0) collapse to the tangent answer exactly."""
+    import math
+
+    from vtk_reserves_spark.operators.drillhole import (
+        desurvey_minimum_curvature,
+        desurvey_tangent,
+    )
+
+    L = 20.0
+    df = spark.createDataFrame(
+        [("b", 10.0, 90.0, 90.0), ("b", 10.0 + L, 90.0, 0.0),
+         ("v", 15.0, 0.0, 90.0), ("v", 40.0, 0.0, 90.0)],
+        "hid string, depth double, azimuth double, dip double",
+    )
+    rows = {
+        (r.hid, r.depth): r
+        for r in desurvey_minimum_curvature(df, "hid", "depth", "azimuth", "dip").collect()
+    }
+    r_arc = 2.0 * L / math.pi
+    b = rows[("b", 10.0 + L)]
+    assert b.dogleg == pytest.approx(90.0)
+    assert b.x == pytest.approx(r_arc)
+    assert b.y == pytest.approx(0.0, abs=1e-9)
+    assert b.z == pytest.approx(-10.0 - r_arc)
+    # straight hole: bitwise-equal to the tangent method
+    tan = {
+        (r.hid, r.depth): r
+        for r in desurvey_tangent(df, "hid", "depth", "azimuth", "dip").collect()
+    }
+    v = rows[("v", 40.0)]
+    assert (v.x, v.y, v.z) == (tan[("v", 40.0)].x, tan[("v", 40.0)].y, tan[("v", 40.0)].z)
+    assert v.z == pytest.approx(-40.0)
+
+
 def test_idw_hand_checked(spark):
     """Two samples straddling a block: closer sample dominates by 1/d^2;
     out-of-radius blocks get NULL with n_samples 0."""
@@ -490,6 +527,54 @@ def test_ordinary_krige_properties(spark):
     assert out[2].kvar == pytest.approx(0.0, abs=1e-9)
     # out of radius -> NULL
     assert out[3].grade is None and out[3].n_samples == 0
+
+
+def test_block_krige_properties(spark):
+    """Block-discretized OK invariants: (1,1,1) discretization IS point
+    kriging; a real discretization still averages a symmetric
+    equal-value neighborhood to the common value but reports a SMALLER
+    kriging variance (block averaging smooths); kvar stays >= 0."""
+    from vtk_reserves_spark.operators.geostats import ordinary_krige
+
+    blocks = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0.0), (2, 14.0, 3.0, 0.0)],
+        "cell long, x double, y double, z double",
+    )
+    samples = spark.createDataFrame(
+        [(10.0, 0.0, 0.0, 30.0), (-10.0, 0.0, 0.0, 30.0), (0.0, 9.0, 0.0, 42.0)],
+        "sx double, sy double, sz double, grade double",
+    )
+    kw = dict(
+        radius=50.0, variogram=("spherical", 40.0, 1.0, 0.0),
+        sample_xyz=("sx", "sy", "sz"),
+    )
+    point = {r.cell: r for r in ordinary_krige(blocks, samples, "grade", **kw).collect()}
+    degen = {
+        r.cell: r
+        for r in ordinary_krige(
+            blocks, samples, "grade",
+            discretize=(1, 1, 1), block_size=(10.0, 10.0, 10.0), **kw
+        ).collect()
+    }
+    block = {
+        r.cell: r
+        for r in ordinary_krige(
+            blocks, samples, "grade",
+            discretize=(3, 3, 2), block_size=(10.0, 10.0, 10.0), **kw
+        ).collect()
+    }
+    for c in (1, 2):
+        # (1,1,1) discretization collapses to point kriging bitwise
+        assert degen[c].grade == point[c].grade
+        assert degen[c].kvar == point[c].kvar
+        assert block[c].kvar >= 0.0
+        # block-support variance is below point-support variance
+        assert block[c].kvar < point[c].kvar
+    # estimates stay within the data hull and near the point estimate
+    assert block[2].grade == pytest.approx(point[2].grade, abs=1.0)
+    # block kriging needs block dims
+    with pytest.raises(ValueError, match="block_size"):
+        ordinary_krige(blocks, samples, "grade", discretize=(2, 2, 2), **kw)
 
 
 def test_ordinary_krige_weights_declustering(spark):

@@ -267,6 +267,60 @@ def test_stream_upsert_parquet_converges_to_batch_agg(spark, tmp_path):
     assert got == want
 
 
+def test_stream_topk_merges_across_batches(spark, tmp_path):
+    """Top-k state merges correctly across micro-batches: items seen in
+    batch 1 survive into batch 2's emission when they still rank, and
+    the final per-key emission equals the batch row_number() answer.
+    maxFilesPerTrigger=1 forces one micro-batch per file."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from vtk_reserves_spark.streaming.ops import stream_topk
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    t0 = pd.Timestamp("2024-01-01")
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            {
+                "k": [r[0] for r in rows],
+                "event_id": [r[1] for r in rows],
+                "value": [float(r[2]) for r in rows],
+                "ts": [t0] * len(rows),
+            }
+        ).to_parquet(
+            f"{d}/{name}.parquet", coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    write_batch("b1", [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0)])
+    time.sleep(1.05)
+    # batch 2: one value beats the incumbent top-2, one doesn't
+    write_batch("b2", [("a", 4, 25.0), ("a", 5, 1.0), ("b", 6, 7.0)])
+
+    sdf = read_stream(spark, d, max_files_per_trigger=1)
+    out = run_available_now(
+        stream_topk(sdf, "k", "value", "event_id", k=2),
+        output_mode="update",
+        shuffle_partitions=2,
+    ).toPandas()
+    rows = {(r["k"], int(r["rank"]), int(r["event_id"]), r["value"])
+            for _, r in out.iterrows()}
+    # rank 1 for "a" is id 2 in BOTH generations (batch-1 item survives
+    # the merge into batch 2's emission)
+    assert {t for t in rows if t[0] == "a" and t[1] == 1} == {("a", 1, 2, 30.0)}
+    # batch-1 generation emitted id 3 at rank 2; batch 2's merge
+    # displaced it with id 4 — both emissions are in the update-mode sink
+    assert ("a", 2, 3, 20.0) in rows
+    assert ("a", 2, 4, 25.0) in rows
+    # id 5 (value 1.0) never ranked
+    assert not any(t[2] == 5 for t in rows)
+    assert ("b", 1, 6, 7.0) in rows
+
+
 def test_stream_kmv_matches_batch_sketch(spark):
     """The streaming KMV state drains to bit-identical estimates vs the
     batch kmv_distinct operator (same deterministic md5 hashes)."""

@@ -587,3 +587,80 @@ def ngram_jaccard_pairs(
     return pairs.select("id_a", "id_b", sim.alias("jaccard")).where(
         F.col("jaccard") >= threshold
     )
+
+
+def remove_duplicate_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style boilerplate removal at fixed segment granularity:
+    drop every text segment that appears (verbatim) in at least
+    ``min_docs`` DISTINCT documents, and reassemble each document from
+    its surviving segments in original order.
+
+    Segments are non-overlapping ``chunk_tokens``-token windows of the
+    whitespace token stream (CCNet dedups paragraphs; this corpus has no
+    line structure, so fixed windows are the deterministic analog — a
+    caller with real newlines can pre-split and set ``chunk_tokens`` to
+    cover a line).  Returns ``(id, text_clean, n_kept, n_dropped)``.
+
+    Scale shape (the reason this is NOT a self-join): segment counts
+    reduce with map-side combine (ONE shuffle on the segment string);
+    only segments with ``count >= min_docs`` — the boilerplate itself,
+    a tiny fraction of all segments — survive into the anti-join side,
+    so AQE turns the anti-join into a broadcast at typical
+    boilerplate rates.  Reassembly is one groupBy(id) with an
+    order-restoring sort over in-group positions, never a global sort."""
+    toked = df.select(
+        F.col(id_col).alias("_id"),
+        tokens(F.col(text_col)).alias("_t"),
+    )
+    n_seg = F.ceil(F.size("_t") / chunk_tokens).cast("int")
+    segs = toked.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("_t"), i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("_pos", "_seg"),
+    )
+    hot = (
+        segs.groupBy("_seg")
+        .agg(F.count_distinct("_id").alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("_seg")
+    )
+    kept = segs.join(hot, "_seg", "left_anti")
+    out = (
+        segs.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_n_total"))
+        .join(
+            kept.groupBy("_id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
+                        lambda s: s["_seg"],
+                    ),
+                    " ",
+                ).alias("text_clean"),
+                F.count(F.lit(1)).alias("n_kept"),
+            ),
+            "_id",
+            "left",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            (F.col("_n_total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_dropped"),
+        )
+    )
+    return out

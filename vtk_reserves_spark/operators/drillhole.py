@@ -110,6 +110,68 @@ def desurvey_tangent(
     )
 
 
+def desurvey_minimum_curvature(
+    df: DataFrame,
+    hole_col: str = "hid",
+    depth_col: str = "depth",
+    azm_col: str = "azimuth",
+    dip_col: str = "dip",
+    straight_tol: float = 1e-9,
+) -> DataFrame:
+    """Station coordinates by the minimum-curvature method (the industry
+    standard the tangent method approximates; see ISCWSA/API wellbore
+    survey references).
+
+    Each segment between consecutive stations is modeled as a circular
+    arc fitted to the direction vectors at BOTH ends: with dogleg angle
+    ``DL = acos(t1 . t2)`` the chord displacement is the average of the
+    two unit tangents scaled by the ratio factor
+    ``RF = (2 / DL) * tan(DL / 2)`` (``RF -> 1`` as ``DL -> 0``; segments
+    straighter than ``straight_tol`` radians use 1 exactly, which also
+    makes the result collapse to the balanced-tangential answer on
+    straight holes).  Conventions match :func:`desurvey_tangent`:
+    azimuth degrees clockwise from north, dip degrees positive down,
+    station 0 at the local origin, ``z`` negative down.
+
+    Same scale shape as the tangent method: ONE keyed window (lag +
+    running sum per hole) — entirely Catalyst expressions, no Python."""
+    w = Window.partitionBy(hole_col).orderBy(F.col(depth_col).asc())
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = F.col(depth_col).cast("double")
+    seg_len = d - F.coalesce(F.lag(d).over(w), F.lit(0.0))
+    a2 = F.radians(F.col(azm_col).cast("double"))
+    p2 = F.radians(F.col(dip_col).cast("double"))
+    # the first segment (from the collar) has no upper station: reuse the
+    # first station's angles at both ends => DL = 0, a straight segment,
+    # identical to the tangent method's first-segment convention
+    a1 = F.coalesce(F.radians(F.lag(azm_col).over(w).cast("double")), a2)
+    p1 = F.coalesce(F.radians(F.lag(dip_col).over(w).cast("double")), p2)
+    # dot product of the two unit tangents, clamped for acos stability
+    dot = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(-1.0),
+            F.cos(p1) * F.cos(p2) * F.cos(a2 - a1) + F.sin(p1) * F.sin(p2),
+        ),
+    )
+    dl = F.acos(dot)
+    rf = F.when(dl > straight_tol, (2.0 / dl) * F.tan(dl / 2.0)).otherwise(F.lit(1.0))
+    half = seg_len / 2.0 * rf
+    dx = half * (F.cos(p1) * F.sin(a1) + F.cos(p2) * F.sin(a2))
+    dy = half * (F.cos(p1) * F.cos(a1) + F.cos(p2) * F.cos(a2))
+    dz = -half * (F.sin(p1) + F.sin(p2))
+    return (
+        df.withColumn("_dx", dx)
+        .withColumn("_dy", dy)
+        .withColumn("_dz", dz)
+        .withColumn("dogleg", F.degrees(dl))
+        .withColumn("x", F.sum("_dx").over(cum))
+        .withColumn("y", F.sum("_dy").over(cum))
+        .withColumn("z", F.sum("_dz").over(cum))
+        .drop("_dx", "_dy", "_dz")
+    )
+
+
 def locate_composites(
     composites: DataFrame,
     surveys: DataFrame,

@@ -134,6 +134,8 @@ def ordinary_krige(
     xyz=("x", "y", "z"),
     sample_xyz=None,
     min_samples: int = 1,
+    discretize: tuple | None = None,
+    block_size: tuple | None = None,
 ) -> DataFrame:
     """Ordinary kriging: per-block neighborhood solve on the IDW tile
     skeleton.
@@ -151,13 +153,42 @@ def ordinary_krige(
     spherical / exponential / gaussian.  No SQL oracle exists for a
     linear solve, so correctness is pinned by properties instead:
     exactness at sample locations (nugget 0), the single-sample and
-    symmetry cases, and weights summing to 1 (tests/test_spatial.py)."""
+    symmetry cases, and weights summing to 1 (tests/test_spatial.py).
+
+    **Block kriging**: pass ``discretize=(nx, ny, nz)`` and
+    ``block_size=(dx, dy, dz)`` to estimate the BLOCK AVERAGE instead of
+    the centroid point (standard block OK; Journel & Huijbregts ch. V).
+    Each block is discretized into an nx*ny*nz point grid; the system
+    matrix is unchanged but the RHS becomes the sample-to-block average
+    variogram, and the kriging variance subtracts the within-block
+    average ``gamma_bar(B,B)`` (precomputed once — identical for every
+    block of the same size).  ``discretize=(1,1,1)`` reduces exactly to
+    point kriging.  Scale shape is identical: the discretization only
+    multiplies the per-block numpy work by nx*ny*nz."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     model, vrange, sill, nugget = variogram
     gamma = _variogram_fn(model, float(vrange), float(sill), float(nugget))
+
+    offsets = None
+    gbar_bb = 0.0
+    if discretize is not None:
+        if block_size is None:
+            raise ValueError("block kriging needs block_size=(dx, dy, dz)")
+        nx, ny, nz = (int(v) for v in discretize)
+        dx, dy, dz = (float(v) for v in block_size)
+        axes = [
+            (np.arange(k) + 0.5) / k * s - s / 2.0
+            for k, s in ((nx, dx), (ny, dy), (nz, dz))
+        ]
+        gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+        offsets = np.column_stack([gx.ravel(), gy.ravel(), gz.ravel()])
+        # within-block average variogram (gamma_bar(B,B)): same for every
+        # block, so compute once on the driver and close over it
+        pp = np.linalg.norm(offsets[:, None, :] - offsets[None, :, :], axis=2)
+        gbar_bb = float(gamma(pp).mean())
     sample_xyz = sample_xyz or xyz
     bx, by, bz = (F.col(c) for c in xyz)
     tile = float(radius)
@@ -196,8 +227,10 @@ def ordinary_krige(
     # keep the block's tile as the applyInPandas group key: one pandas
     # call covers every block in the tile (per-GROUP overhead measured
     # ~10x the per-block numpy solve when grouped by block id)
+    centroid_cols = ["_bx", "_by", "_bz"] if offsets is not None else []
     cand = joined.where(d <= radius).select(
-        "tx", "ty", "tz", block_id, "_sx", "_sy", "_sz", "_v", d.alias("_d")
+        "tx", "ty", "tz", block_id, "_sx", "_sy", "_sz", "_v", d.alias("_d"),
+        *centroid_cols,
     )
 
     out_schema = T.StructType(
@@ -224,20 +257,28 @@ def ordinary_krige(
                 continue
             P = g[["_sx", "_sy", "_sz"]].to_numpy(float)
             v = g["_v"].to_numpy(float)
-            hb = g["_d"].to_numpy(float)
+            if offsets is None:
+                gb = gamma(g["_d"].to_numpy(float))
+                extra = 0.0
+            else:
+                b0 = g[["_bx", "_by", "_bz"]].to_numpy(float)[0]
+                pts = b0[None, :] + offsets  # (m, 3) discretization points
+                db = np.linalg.norm(P[:, None, :] - pts[None, :, :], axis=2)
+                gb = gamma(db).mean(axis=1)  # sample-to-block average
+                extra = -gbar_bb
             hij = np.linalg.norm(P[:, None, :] - P[None, :, :], axis=2)
             A = np.empty((n + 1, n + 1))
             A[:n, :n] = gamma(hij)
             A[n, :n] = A[:n, n] = 1.0
             A[n, n] = 0.0
-            rhs = np.append(gamma(hb), 1.0)
+            rhs = np.append(gb, 1.0)
             try:
                 w = np.linalg.solve(A, rhs)
             except np.linalg.LinAlgError:
                 # duplicate sample locations make A singular: least-squares
                 w = np.linalg.lstsq(A, rhs, rcond=None)[0]
             ests.append(float(w[:n] @ v))
-            kvars.append(float(max(w[:n] @ gamma(hb) + w[n], 0.0)))
+            kvars.append(float(max(w[:n] @ gb + w[n] + extra, 0.0)))
         return pd.DataFrame(
             {block_id: ids, value_col: ests, "kvar": kvars, "n_samples": ns}
         )

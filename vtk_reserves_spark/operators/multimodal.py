@@ -7,15 +7,17 @@ feature-extraction / frame-sampling run as Arrow-batched
 ``mapInPandas`` stages so payload bytes never pass through the driver
 and partition boundaries are preserved.
 
-Codec status: **PNG decodes for real** via the repo's pure-zlib codec
-(`sources/image.py`) — :func:`attach_png_payload` synthesizes genuine
-PNG payloads and :func:`decode_media`/:func:`resize_media` decode the
-actual pixels with ``fake=False``.  Audio/video codecs are not in this
-container, so those mimes still raise ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic byte-arithmetic fake
-whose outputs are reproducible (and SQL-expressible for the oracle).
-The Spark-side plumbing — schema, batch iteration, UDF signatures,
-partitioning — is identical for both paths.
+Codec status: **PNG and WAV decode for real** via the repo's pure
+codecs — :func:`attach_png_payload` synthesizes genuine PNG payloads
+decoded by the pure-zlib codec (`sources/image.py`), and
+:func:`attach_wav_payload` synthesizes genuine RIFF/WAVE PCM payloads
+decoded by the pure-struct codec (`sources/wav.py`,
+:func:`audio_features`).  Video codecs are not in this container, so
+video mimes still raise ``NotImplementedError`` unless ``fake=True``,
+which substitutes a deterministic byte-arithmetic fake whose outputs
+are reproducible (and SQL-expressible for the oracle).  The Spark-side
+plumbing — schema, batch iteration, UDF signatures, partitioning — is
+identical for both paths.
 """
 
 from __future__ import annotations
@@ -99,6 +101,102 @@ def attach_png_payload(
     )
 
 
+def attach_wav_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Synthesize a REAL WAV payload per row (pure-struct RIFF codec,
+    `sources/wav.py`): mono 16-bit PCM with ``m = 64 + n % 64`` samples
+    (n = utf-8 byte count), sample ``i = (byte[i % n] - 96) * 256``
+    (all-zero when the text is empty).  ASCII text straddles byte 96,
+    so the waveform genuinely crosses zero — deterministic and
+    oracle-expressible while the payload is a genuine audio container."""
+    from vtk_reserves_spark.sources.wav import encode_wav
+
+    @F.pandas_udf(T.BinaryType())
+    def to_wav(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            b = np.frombuffer((t or "").encode("utf-8"), np.uint8).astype(np.int64)
+            n = b.size
+            m = 64 + n % 64
+            s = (
+                (b[np.arange(m) % n] - 96) * 256
+                if n
+                else np.zeros(m, np.int64)
+            )
+            out.append(encode_wav(s.astype(np.int16), sample_rate))
+        return pd.Series(out)
+
+    with_payload = df.select(F.col(id_col), to_wav(F.col(text_col)).alias("payload"))
+    return with_payload.select(
+        id_col,
+        "payload",
+        F.struct(
+            F.lit("audio").alias("modality"),
+            F.lit("audio/wav").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode: parse each WAV payload (pure-struct RIFF
+    codec) executor-side and reduce to the standard quick-look signal
+    features — duration, RMS level, zero-crossing count (the classic
+    cheap voicing/noisiness proxy), and absolute peak.  Arrow-batched
+    ``mapInPandas``; bytes never leave the executor."""
+    import numpy as np
+
+    from vtk_reserves_spark.sources.wav import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+                s, rate = decode_wav(bytes(p))
+                if s.ndim > 1:  # downmix by first channel for features
+                    s = s[:, 0]
+                v = s.astype(np.float64)
+                m = len(s)
+                nonneg = v >= 0
+                rows.append(
+                    (
+                        did,
+                        rate,
+                        m,
+                        m / rate,
+                        float(np.sqrt(np.mean(v * v))) if m else 0.0,
+                        int(np.count_nonzero(nonneg[1:] != nonneg[:-1])),
+                        int(np.max(np.abs(s))) if m else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "zero_crossings", "peak",
+                ],
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 def decode_media(payload: bytes, mime: str, fake: bool = False):
     """Decode one payload.  PNG decodes for real (pure-zlib codec);
     other mimes need codecs absent from this environment, so callers
@@ -120,9 +218,9 @@ def decode_media(payload: bytes, mime: str, fake: bool = False):
             "mean_byte": float(img.mean()),
         }
     raise NotImplementedError(
-        f"no codec for mime {mime!r} in this container (PNG is built in; "
-        "audio/video need ffmpeg/librosa) — pass fake=True for the "
-        "deterministic stand-in"
+        f"no codec for mime {mime!r} in this container (PNG is built in "
+        "here; WAV decodes for real via audio_features; video needs "
+        "ffmpeg) — pass fake=True for the deterministic stand-in"
     )
 
 

@@ -76,6 +76,70 @@ def stream_interval_join(
     return joined.select(*out_cols)
 
 
+def stream_topk(
+    sdf: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Streaming per-key top-k: the ``k`` largest rows by ``value_col``
+    per ``key_col`` maintained in ``applyInPandasWithState``, with a
+    deterministic ``(value DESC, id ASC)`` tie-break.
+
+    Top-k is a mergeable bounded sketch (merge two top-k lists, keep the
+    k best), so state per key is EXACTLY k ``(value, id)`` pairs
+    regardless of stream age — the streaming twin of the batch
+    ``row_number() <= k`` window (the oracle).  Each batch that touches
+    a key re-emits the key's full current top-k with ranks (update
+    mode); the final emission after an availableNow drain equals the
+    batch answer.  State shards by ``key_col`` with the shuffle
+    partitioning — O(k) per key at any scale."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, rank int, {id_col} long, {value_col} double"
+    state_schema = "ids array<long>, vals array<double>"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        ids, vals = state.get if state.exists else ([], [])
+        pairs = list(zip(vals, ids))
+        for pdf in pdfs:
+            pairs.extend(
+                zip(pdf[value_col].astype(float), pdf[id_col].astype("int64"))
+            )
+        # value DESC, id ASC — stable and engine-independent
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        pairs = pairs[:k]
+        state.update(([int(i) for _, i in pairs], [float(v) for v, _ in pairs]))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(pairs),
+                "rank": list(range(1, len(pairs) + 1)),
+                id_col: [i for _, i in pairs],
+                value_col: [v for v, _ in pairs],
+            }
+        )
+
+    return (
+        sdf.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        .where(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_kmv_distinct(
     sdf: DataFrame,
     key_col: str,
