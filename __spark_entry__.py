@@ -912,6 +912,42 @@ def q_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_krige_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-discretized ordinary kriging (operators/geostats): same
+    tile-join neighborhoods as q_krige, but the RHS is the
+    sample-to-block average variogram over a 2x2x2 in-block
+    discretization and kvar subtracts gamma_bar(B,B) — block-support
+    estimates, the form mine planning actually consumes.  Rows-only
+    (linear solve has no SQL oracle); invariants incl. the exact
+    (1,1,1)-reduces-to-point-kriging identity are pinned in
+    tests/test_spatial.py."""
+    from vtk_reserves_spark.operators.geostats import ordinary_krige
+
+    blocks = grid_df(spark, _GS).select("cell", "x", "y", "z")
+    s = spark.range(300)
+    samples = s.select(
+        ((F.col("id") * 37) % 300 + 0.25).cast("double").alias("sx"),
+        ((F.col("id") * 53) % 200 + 0.5).cast("double").alias("sy"),
+        ((F.col("id") * 29) % 200 + 0.75).cast("double").alias("sz"),
+        ((F.col("id") * 13) % 90 + 5.0).cast("double").alias("grade"),
+    )
+    out = ordinary_krige(
+        blocks,
+        samples,
+        "grade",
+        radius=25.0,
+        variogram=("spherical", 25.0, 1.0, 0.1),
+        max_samples=12,
+        sample_xyz=("sx", "sy", "sz"),
+        discretize=(2, 2, 2),
+        block_size=(10.0, 10.0, 10.0),
+    )
+    return out.select(
+        "cell", F.round("grade", 6).alias("grade"),
+        F.round("kvar", 6).alias("kvar"), "n_samples",
+    )
+
+
 def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experimental variogram (operators/geostats.experimental_variogram)
     over the synthetic sample set: lag-binned pair statistics via the
@@ -1007,6 +1043,38 @@ def q_desurvey(spark: SparkSession, sf_dir: str) -> DataFrame:
         "depth",
         "azimuth",
         "dip",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+def q_desurvey_mincurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-curvature desurvey (operators/drillhole.py): same 10x20
+    synthetic survey stations as q_desurvey, but each segment is a
+    circular arc fitted to both end tangents (dogleg + ratio factor) —
+    the industry-standard method the tangent desurvey approximates.
+    Still one keyed window; trig on both engines, rounded to 6 dp."""
+    from vtk_reserves_spark.operators.drillhole import desurvey_minimum_curvature
+
+    r = spark.range(200)
+    st = r.select(
+        (F.col("id") % 10).cast("int").alias("hid"),
+        ((F.col("id") / 10).cast("long") * 15.0 + 5.0).alias("depth"),
+        (((F.col("id") % 10) * 37 + (F.col("id") / 10).cast("long") * 11) % 360)
+        .cast("double")
+        .alias("azimuth"),
+        (30 + ((F.col("id") % 10) + (F.col("id") / 10).cast("long") * 7) % 50)
+        .cast("double")
+        .alias("dip"),
+    )
+    out = desurvey_minimum_curvature(st, "hid", "depth", "azimuth", "dip")
+    return out.select(
+        "hid",
+        "depth",
+        "azimuth",
+        "dip",
+        F.round("dogleg", 6).alias("dogleg"),
         F.round("x", 6).alias("x"),
         F.round("y", 6).alias("y"),
         F.round("z", 6).alias("z"),
@@ -1461,6 +1529,40 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.resize_media(payloads, out_w=16, out_h=16, fake=False)
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal
+    (operators/dedup.remove_duplicate_segments): 8-token segments
+    appearing verbatim in >= 2 distinct docs are dropped from every doc,
+    docs reassembled in order.  One count shuffle + an anti-join whose
+    build side is only the hot segments (AQE broadcasts it)."""
+    from vtk_reserves_spark.operators.dedup import remove_duplicate_segments
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_duplicate_segments(
+        docs, "doc_id", "text", chunk_tokens=8, min_docs=2
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path: synthesize genuine RIFF/WAVE PCM payloads
+    from the text bytes (sources/wav.py pure-struct codec), decode the
+    actual samples executor-side, and reduce to duration / RMS /
+    zero-crossings / peak — verified against the oracle's closed form
+    of the synthesis rule (m=64+n%64 samples, s_i=(byte[i%n]-96)*256)."""
+    docs = _read(spark, sf_dir, "documents")
+    payloads = MM.attach_wav_payload(docs)
+    out = MM.audio_features(payloads)
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+        "peak",
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return MM.frame_sample(MM.attach_payload(docs), every_n_bytes=40)
@@ -1577,6 +1679,19 @@ def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")
     )
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key top-k (streaming/ops.stream_topk): the 5
+    largest events by value per event_type as bounded mergeable state
+    (exactly k pairs per key); deterministic (value DESC, id ASC)
+    tie-break makes the drained result equal the batch row_number()
+    oracle."""
+    from vtk_reserves_spark.streaming.ops import stream_topk
+
+    ev = _events_stream(spark, sf_dir)
+    st = stream_topk(ev, "event_type", "value", "event_id", k=5)
+    return run_available_now(st, output_mode="update", shuffle_partitions=8)
 
 
 def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2114,6 +2229,72 @@ def _llm_oracles() -> dict[str, str]:
                  LATERAL (SELECT unnest(range(0,
                      octet_length(encode(text)) // 40 + 1)) AS f) u
         """,
+        "segment_dedup": f"""
+            -- mirror of remove_duplicate_segments: raw whitespace
+            -- tokens, non-overlapping 8-token windows (empty docs get
+            -- ONE empty segment), drop windows in >= 2 distinct docs,
+            -- reassemble in position order
+            WITH toks AS (
+              SELECT doc_id, {_RAW_TOKS_SQL.format(c="text")} AS t
+              FROM documents
+            ), segs AS (
+              SELECT doc_id, u.i AS pos,
+                     array_to_string(
+                       list_slice(t, CAST(u.i * 8 + 1 AS BIGINT),
+                                  CAST(u.i * 8 + 8 AS BIGINT)), ' ') AS seg
+              FROM toks,
+                   LATERAL (SELECT unnest(range(0,
+                       GREATEST(CAST(ceil(len(t) / 8.0) AS BIGINT), 1))) AS i) u
+            ), hot AS (
+              SELECT seg FROM segs
+              GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2
+            ), kept AS (
+              SELECT s.* FROM segs s ANTI JOIN hot h USING (seg)
+            ), tot AS (
+              SELECT doc_id, COUNT(*) AS n_total FROM segs GROUP BY doc_id
+            ), agg AS (
+              SELECT doc_id,
+                     array_to_string(list(seg ORDER BY pos), ' ') AS text_clean,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(a.text_clean, '') AS text_clean,
+                   CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
+                   CAST(t.n_total - COALESCE(a.n_kept, 0) AS INT) AS n_dropped
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "audio_features": """
+            -- closed form of the WAV synthesis rule (attach_wav_payload):
+            -- m = 64 + n%64 mono 16-bit samples at 8 kHz, sample i =
+            -- (byte[i%n] - 96) * 256; ASCII corpus so ord() == byte.
+            -- DuckDB lists are 1-indexed: v[i] is sample i-1.
+            WITH d AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents),
+            s AS (
+              SELECT doc_id, 64 + n % 64 AS m,
+                     CASE WHEN n = 0
+                          THEN list_transform(range(0, 64), i -> 0)
+                          ELSE list_transform(range(0, 64 + n % 64),
+                            i -> (ord(substring(text,
+                                   CAST(1 + i % n AS BIGINT), 1)) - 96)
+                                 * 256)
+                     END AS v
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(m AS INT) AS n_samples,
+                   ROUND(m / 8000.0, 6) AS duration_s,
+                   ROUND(sqrt(list_avg(list_transform(v,
+                         x -> CAST(x * x AS DOUBLE)))), 6) AS rms,
+                   CAST(length(list_filter(range(2, m + 1),
+                         i -> (v[i] >= 0) != (v[i - 1] >= 0)))
+                        AS INT) AS zero_crossings,
+                   CAST(list_max(list_transform(v, x -> abs(x)))
+                        AS INT) AS peak
+            FROM s
+        """,
     }
 
 
@@ -2199,6 +2380,17 @@ def _stream_oracles() -> dict[str, str]:
             FROM kept WHERE rn <= 64
             GROUP BY event_type
         """,
+        "stream_topk": """
+            SELECT event_type, CAST(rn AS INT) AS rank, event_id, value
+            FROM (
+              SELECT event_type, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id ASC) AS rn
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL
+            )
+            WHERE rn <= 5
+        """,
     }
 
 
@@ -2239,11 +2431,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reblock": q_reblock,
         "composite": q_composite,
         "desurvey": q_desurvey,
+        "desurvey_mincurve": q_desurvey_mincurve,
         "idw": q_idw,
         "grade_tonnage": q_grade_tonnage,
         "simhash_pairs": q_simhash_pairs,
         "stream_kmv": q_stream_kmv,
+        "stream_topk": q_stream_topk,
         "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
+        "krige_block": q_krige_block,  # rows-only: same reason
+        "audio_features": q_audio_features,
+        "segment_dedup": q_segment_dedup,
         "variogram": q_variogram,
         "swath": q_swath,
         # --- verified green in round 1 ---
@@ -2690,6 +2887,51 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(len * cos(d) * cos(a)) OVER c, 6) AS y,
                    ROUND(SUM(-len * sin(d)) OVER c, 6) AS z
             FROM seg
+            WINDOW c AS (PARTITION BY hid ORDER BY depth ASC
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "desurvey_mincurve": """
+            WITH st AS (
+              SELECT CAST(r.range % 10 AS INT) AS hid,
+                     CAST((r.range // 10) * 15.0 + 5.0 AS DOUBLE) AS depth,
+                     CAST(((r.range % 10) * 37 + (r.range // 10) * 11) % 360
+                          AS DOUBLE) AS azimuth,
+                     CAST(30 + ((r.range % 10) + (r.range // 10) * 7) % 50
+                          AS DOUBLE) AS dip
+              FROM range(200) r
+            ), seg AS (
+              SELECT *,
+                     depth - COALESCE(LAG(depth) OVER w, 0.0) AS len,
+                     radians(azimuth) AS a2,
+                     radians(dip) AS p2,
+                     COALESCE(radians(LAG(azimuth) OVER w),
+                              radians(azimuth)) AS a1,
+                     COALESCE(radians(LAG(dip) OVER w), radians(dip)) AS p1
+              FROM st WINDOW w AS (PARTITION BY hid ORDER BY depth ASC)
+            ), dl AS (
+              SELECT *,
+                     acos(LEAST(1.0, GREATEST(-1.0,
+                          cos(p1) * cos(p2) * cos(a2 - a1)
+                          + sin(p1) * sin(p2)))) AS ang
+              FROM seg
+            ), rf AS (
+              SELECT *,
+                     CASE WHEN ang > 1e-9
+                          THEN (2.0 / ang) * tan(ang / 2.0)
+                          ELSE 1.0 END AS f
+              FROM dl
+            )
+            SELECT hid, depth, azimuth, dip,
+                   ROUND(degrees(ang), 6) AS dogleg,
+                   ROUND(SUM(len / 2.0 * f
+                             * (cos(p1) * sin(a1) + cos(p2) * sin(a2)))
+                         OVER c, 6) AS x,
+                   ROUND(SUM(len / 2.0 * f
+                             * (cos(p1) * cos(a1) + cos(p2) * cos(a2)))
+                         OVER c, 6) AS y,
+                   ROUND(SUM(-len / 2.0 * f * (sin(p1) + sin(p2)))
+                         OVER c, 6) AS z
+            FROM rf
             WINDOW c AS (PARTITION BY hid ORDER BY depth ASC
                          ROWS UNBOUNDED PRECEDING)
         """,
