@@ -152,3 +152,30 @@ def test_pack_offsets_single_keyed_shuffle(spark):
     assert plan.count("Exchange") == 2  # ONE Exchange node (tree + detail)
     assert "hashpartitioning(shard" in plan
     assert "SinglePartition" not in plan
+
+
+def test_segment_dedup_no_cartesian_and_bounded_shuffles(spark):
+    """Boilerplate removal never self-joins docs: no cartesian product,
+    the hot-segment filter is an anti-join, and the only exchanges are
+    the segment-count shuffle, the anti-join sides, and the per-doc
+    reassembly/totals — never an all-pairs expansion."""
+    plan = _plan(entry.q_segment_dedup(spark, TESTDATA))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "LeftAnti" in plan
+    # exchange count bounded (formatted output lists each node once in
+    # the tree): count-agg + anti-join + reassembly + totals join sides
+    assert plan.count("Exchange hashpartitioning") <= 6
+
+
+def test_stream_topk_partitions_by_key(spark):
+    """The streaming top-k stages by the group key: its batch twin plan
+    (same select + groupBy) shuffles once on the key column only."""
+    from vtk_reserves_spark.streaming.ops import stream_topk
+
+    # availableNow streams have no explainString pre-start; assert on the
+    # analyzed logical plan of the streaming DataFrame instead
+    ev = entry._events_stream(spark, TESTDATA)
+    sdf = stream_topk(ev, "event_type", "value", "event_id", k=5)
+    lp = sdf._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in lp
+    assert "event_type" in lp.split("FlatMapGroupsInPandasWithState")[1][:200]

@@ -246,41 +246,66 @@ def ordinary_krige(
         # one sort + head per tile instead of an nsmallest per block
         pdf = pdf.sort_values("_d", kind="stable")
         pdf = pdf.groupby(block_id, sort=False).head(max_samples)
-        ids, ests, kvars, ns = [], [], [], []
-        for bid, g in pdf.groupby(block_id, sort=False):
-            n = len(g)
-            ids.append(bid)
-            ns.append(n)
+        # order rows (block, distance); the stable sort keeps each
+        # block's rows in distance order while making them contiguous,
+        # so same-neighborhood-size blocks reshape into (b, n, ...)
+        # tensors and the n+1 systems solve in ONE batched LAPACK call
+        # per size class instead of a Python loop per block (measured
+        # ~2x end-to-end on the 12k-block bench queries; the solve
+        # stage itself shrinks much more)
+        pdf = pdf.sort_values(block_id, kind="stable")
+        sizes = pdf.groupby(block_id, sort=False).size()
+        counts = sizes.to_numpy()
+        pdf["_n"] = np.repeat(counts, counts)
+        ids_all, ests_all, kvars_all, ns_all = [], [], [], []
+        for n, sub in pdf.groupby("_n", sort=False):
+            n = int(n)
+            bids = sub[block_id].to_numpy()[::n]
             if n < min_samples:
-                ests.append(None)
-                kvars.append(None)
+                ids_all.extend(bids.tolist())
+                ns_all.extend([n] * len(bids))
+                ests_all.extend([None] * len(bids))
+                kvars_all.extend([None] * len(bids))
                 continue
-            P = g[["_sx", "_sy", "_sz"]].to_numpy(float)
-            v = g["_v"].to_numpy(float)
+            b = len(bids)
+            P = sub[["_sx", "_sy", "_sz"]].to_numpy(float).reshape(b, n, 3)
+            v = sub["_v"].to_numpy(float).reshape(b, n)
             if offsets is None:
-                gb = gamma(g["_d"].to_numpy(float))
+                gb = gamma(sub["_d"].to_numpy(float).reshape(b, n))
                 extra = 0.0
             else:
-                b0 = g[["_bx", "_by", "_bz"]].to_numpy(float)[0]
-                pts = b0[None, :] + offsets  # (m, 3) discretization points
-                db = np.linalg.norm(P[:, None, :] - pts[None, :, :], axis=2)
-                gb = gamma(db).mean(axis=1)  # sample-to-block average
+                b0 = sub[["_bx", "_by", "_bz"]].to_numpy(float).reshape(b, n, 3)[:, 0, :]
+                pts = b0[:, None, :] + offsets[None, :, :]  # (b, m, 3)
+                db = np.linalg.norm(P[:, :, None, :] - pts[:, None, :, :], axis=3)
+                gb = gamma(db).mean(axis=2)  # (b, n) sample-to-block average
                 extra = -gbar_bb
-            hij = np.linalg.norm(P[:, None, :] - P[None, :, :], axis=2)
-            A = np.empty((n + 1, n + 1))
-            A[:n, :n] = gamma(hij)
-            A[n, :n] = A[:n, n] = 1.0
-            A[n, n] = 0.0
-            rhs = np.append(gb, 1.0)
+            hij = np.linalg.norm(P[:, :, None, :] - P[:, None, :, :], axis=3)
+            A = np.empty((b, n + 1, n + 1))
+            A[:, :n, :n] = gamma(hij)
+            A[:, n, :] = A[:, :, n] = 1.0
+            A[:, n, n] = 0.0
+            rhs = np.concatenate([gb, np.ones((b, 1))], axis=1)
             try:
-                w = np.linalg.solve(A, rhs)
+                w = np.linalg.solve(A, rhs[:, :, None])[:, :, 0]
             except np.linalg.LinAlgError:
-                # duplicate sample locations make A singular: least-squares
-                w = np.linalg.lstsq(A, rhs, rcond=None)[0]
-            ests.append(float(w[:n] @ v))
-            kvars.append(float(max(w[:n] @ gb + w[n] + extra, 0.0)))
+                # batched solve aborts if ANY system is singular
+                # (duplicate sample locations); redo one-by-one with a
+                # least-squares fallback for the rare offenders
+                w = np.empty((b, n + 1))
+                for i in range(b):
+                    try:
+                        w[i] = np.linalg.solve(A[i], rhs[i])
+                    except np.linalg.LinAlgError:
+                        w[i] = np.linalg.lstsq(A[i], rhs[i], rcond=None)[0]
+            ids_all.extend(bids.tolist())
+            ns_all.extend([n] * b)
+            ests_all.extend((w[:, :n] * v).sum(axis=1).tolist())
+            kvars_all.extend(
+                np.maximum((w[:, :n] * gb).sum(axis=1) + w[:, n] + extra, 0.0).tolist()
+            )
         return pd.DataFrame(
-            {block_id: ids, value_col: ests, "kvar": kvars, "n_samples": ns}
+            {block_id: ids_all, value_col: ests_all, "kvar": kvars_all,
+             "n_samples": ns_all}
         )
 
     est = cand.groupBy("tx", "ty", "tz").applyInPandas(solve_tile, out_schema)
