@@ -408,3 +408,46 @@ def test_grid_cell_table_irregular_raises(tmp_path):
     _write_binary_sg(p, pts, (2, 2, 2), np.array([1.0]))
     with pytest.raises(ValueError, match="neither"):
         grid_cell_table(read_vtk(p))
+
+
+def test_avi_codec_roundtrip():
+    from vtk_reserves_spark.sources.avi import decode_avi, encode_avi
+
+    rng = np.random.RandomState(11)
+    fr = rng.randint(0, 256, size=(4, 9, 13), dtype=np.uint8)  # w%4 != 0: row pad path
+    frames, fps, spans = decode_avi(encode_avi(fr, fps=12))
+    assert (frames == fr).all() and fps == 12 and len(spans) == 4
+    # frame spans point INTO the container at the actual payload bytes
+    buf = encode_avi(fr, fps=12)
+    off, nb = spans[0]
+    row = (13 + 3) // 4 * 4
+    got = np.frombuffer(buf[off : off + nb], np.uint8)[: row * 9].reshape(9, row)[::-1]
+    assert (got[:, :13] == fr[0]).all()
+
+
+def test_avi_decoder_rejects_compressed_streams():
+    import struct
+
+    from vtk_reserves_spark.sources.avi import decode_avi, encode_avi
+
+    buf = bytearray(encode_avi(np.zeros((1, 4, 4), np.uint8)))
+    at = bytes(buf).find(b"vids") + 4
+    buf[at : at + 4] = b"MJPG"
+    with pytest.raises(ValueError, match="MJPG"):
+        decode_avi(bytes(buf))
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_video_frames_hand_checked(spark):
+    from vtk_reserves_spark.operators.multimodal import video_frames
+    from vtk_reserves_spark.sources.avi import encode_avi
+
+    fr = np.stack([np.full((4, 6), 10, np.uint8), np.full((4, 6), 200, np.uint8)])
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_avi(fr)))], "doc_id long, payload binary"
+    )
+    rows = {r.frame_idx: r for r in video_frames(df).collect()}
+    assert rows[0].mean_px == pytest.approx(10.0)
+    assert rows[1].mean_px == pytest.approx(200.0)
+    assert rows[0].width == 6 and rows[0].height == 4 and len(rows) == 2
