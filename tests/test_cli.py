@@ -187,3 +187,71 @@ def test_estimate_cli_end_to_end(tmp_path, spark):
         (F.col("x") - 0.0) ** 2 + (F.col("y")) ** 2 + (F.col("z") - 95.0) ** 2
     ).first()
     assert 10.0 <= near_h1["grade"] <= 60.0
+
+
+def test_dedup_segments_cli(tmp_path, spark):
+    import pandas as pd
+
+    from vtk_reserves_spark.cli import main
+
+    boiler = "one two three four"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [boiler + " alpha beta gamma delta", boiler + " x y z w"],
+        }
+    )
+    src = str(tmp_path / "c.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = str(tmp_path / "clean.parquet")
+    main([
+        "dedup", src, out, "--method", "segments",
+        "--chunk-tokens", "4", "--min-docs", "2",
+    ])
+    got = spark.read.parquet(out).toPandas().set_index("doc_id")
+    assert got.loc[1, "text_clean"] == "alpha beta gamma delta"
+    assert got.loc[2, "text_clean"] == "x y z w"
+    assert int(got.loc[1, "n_dropped"]) == 1
+
+
+def test_estimate_cli_mincurve_block_krige(tmp_path, spark):
+    """estimate with --desurvey mincurve and --method krige --discretize:
+    vertical holes make minimum curvature equal the tangent answer, so
+    the block-kriged grid still brackets the data."""
+    import pandas as pd
+
+    from vtk_reserves_spark.cli import main
+
+    assays = pd.DataFrame(
+        {
+            "hole": ["h1"] * 3 + ["h2"] * 3,
+            "de": [0.0, 10.0, 20.0] * 2,
+            "ate": [10.0, 20.0, 30.0] * 2,
+            "grade": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+        }
+    )
+    surveys = pd.DataFrame(
+        {
+            "hole": ["h1", "h1", "h2", "h2"],
+            "prof": [0.0, 30.0, 0.0, 30.0],
+            "azimuth": [0.0] * 4,
+            "dip": [90.0] * 4,
+        }
+    )
+    pa, ps = (str(tmp_path / f"{n}.parquet") for n in ("a", "s"))
+    spark.createDataFrame(assays).write.parquet(pa)
+    spark.createDataFrame(surveys).write.parquet(ps)
+    out = str(tmp_path / "est.parquet")
+    main(
+        [
+            "estimate", pa, ps, out,
+            "--method", "krige", "--desurvey", "mincurve",
+            "--discretize", "2", "--comp-len", "10", "--radius", "60",
+            "--cell-size", "10",
+        ]
+    )
+    est = spark.read.parquet(out).toPandas()
+    got = est.grade.dropna()
+    assert len(got) > 0
+    assert got.between(10.0, 60.0).all()
+    assert (est.kvar.dropna() >= 0).all()

@@ -153,7 +153,8 @@ def cmd_convert(args) -> None:
 def cmd_dedup(args) -> None:
     """Corpus deduplication pipeline (north-star LLM ops, SURVEY §2.8):
     exact -> keep min-id per normalized text; minhash -> LSH candidate
-    pairs -> connected components -> keep the cluster representative."""
+    pairs -> connected components -> keep the cluster representative;
+    segments -> CCNet-style boilerplate removal (rewrites text)."""
     from pyspark.sql import functions as F
 
     from vtk_reserves_spark.sources.loaders import load_dataframe
@@ -161,6 +162,20 @@ def cmd_dedup(args) -> None:
 
     spark = _spark()
     df = load_dataframe(spark, args.input, keep_null=True)
+    if args.method == "segments":
+        # not a row filter: rewrite each doc with its boilerplate
+        # segments removed, keep the cleaned text alongside the id
+        from vtk_reserves_spark.operators.dedup import remove_duplicate_segments
+
+        out = remove_duplicate_segments(
+            df,
+            args.id_col,
+            args.text_col,
+            chunk_tokens=args.chunk_tokens,
+            min_docs=args.min_docs,
+        )
+        save_table(df.drop(args.text_col).join(out, args.id_col), args.output)
+        return
     if args.method == "exact":
         from vtk_reserves_spark.operators.dedup import exact_dedup
 
@@ -240,6 +255,7 @@ def cmd_estimate(args) -> None:
         depth_col=need(surveys, "depth", "surveys"),
         azm_col=need(surveys, "brg", "surveys"),
         dip_col=need(surveys, "dip", "surveys"),
+        method=args.desurvey,
     ).where(F.col(args.value).isNotNull())
     cs = (args.cell_size,) * 3
     gs = grid_from_df_schema(pts, cell_size=cs)
@@ -250,6 +266,8 @@ def cmd_estimate(args) -> None:
         est = ordinary_krige(
             blocks, pts, args.value, radius=args.radius,
             variogram=("spherical", args.radius, 1.0, 0.0),
+            discretize=(args.discretize,) * 3 if args.discretize else None,
+            block_size=cs if args.discretize else None,
         )
     else:
         from vtk_reserves_spark.operators.geostats import idw_interpolate
@@ -305,10 +323,20 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--keep-null", action="store_true")
     c.set_defaults(fn=cmd_convert)
 
-    d = sub.add_parser("dedup", help="corpus deduplication (exact | minhash)")
+    d = sub.add_parser("dedup", help="corpus deduplication (exact | minhash | segments)")
     d.add_argument("input")
     d.add_argument("output")
-    d.add_argument("--method", choices=("exact", "minhash"), default="exact")
+    d.add_argument(
+        "--method", choices=("exact", "minhash", "segments"), default="exact"
+    )
+    d.add_argument(
+        "--chunk-tokens", type=int, default=8,
+        help="segments only: token-window width for boilerplate removal",
+    )
+    d.add_argument(
+        "--min-docs", type=int, default=2,
+        help="segments only: drop windows seen in at least this many docs",
+    )
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
     d.add_argument("--hashes", type=int, default=8, help="minhash signature size")
@@ -332,6 +360,15 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--collars", default=None, help="collar table (hid, x, y, z)")
     e.add_argument("--value", default="grade")
     e.add_argument("--method", choices=("idw", "krige"), default="idw")
+    e.add_argument(
+        "--desurvey", choices=("tangent", "mincurve"), default="tangent",
+        help="hole-trajectory method (mincurve = minimum curvature)",
+    )
+    e.add_argument(
+        "--discretize", type=int, default=0,
+        help="krige only: n^3 in-block discretization for block-support "
+        "estimates (0 = point kriging)",
+    )
     e.add_argument("--comp-len", type=float, default=10.0)
     e.add_argument("--radius", type=float, default=50.0)
     e.add_argument("--cell-size", type=float, default=10.0)

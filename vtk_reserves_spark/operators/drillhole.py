@@ -180,17 +180,26 @@ def locate_composites(
     depth_col: str = "depth",
     azm_col: str = "azimuth",
     dip_col: str = "dip",
+    method: str = "tangent",
 ) -> DataFrame:
-    """Place downhole composites in 3-D: desurvey the survey stations,
+    """Place downhole composites in 3-D: desurvey the survey stations
+    (``method``: ``"tangent"`` or ``"mincurve"`` for minimum curvature),
     as-of join each composite's midpoint depth to the last station at or
     above it, and extend from that station along its measured direction
-    (tangent method).  ``collars`` optionally supplies world coordinates
+    (the within-segment extension is tangential in both methods — the
+    standard convention, since the next station's direction is unknown
+    at the midpoint).  ``collars`` optionally supplies world coordinates
     ``(hole, x, y, z)``; without it holes hang from local origin.
 
-    Composition of existing operators: :func:`desurvey_tangent` (keyed
+    Composition of existing operators: the chosen desurvey (keyed
     window cumsum) + the as-of device from `operators/asof.py` (union +
     keyed window, ONE shuffle) — nothing new to scale."""
-    st = desurvey_tangent(surveys, hole_col, depth_col, azm_col, dip_col)
+    if method not in ("tangent", "mincurve"):
+        raise ValueError(f"unknown desurvey method {method!r}")
+    desurvey = desurvey_tangent if method == "tangent" else desurvey_minimum_curvature
+    st = desurvey(surveys, hole_col, depth_col, azm_col, dip_col)
+    if method == "mincurve":
+        st = st.drop("dogleg")
     mid = (F.col("from") + F.col("to")) / 2.0
     comp = composites.withColumn("_mid", mid)
     # as-of: last station with depth <= mid, via union + last() window.
