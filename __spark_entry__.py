@@ -912,6 +912,49 @@ def q_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cokrige(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary co-kriging (operators/geostats.ordinary_cokrige):
+    estimate a sparse primary grade from both its own samples and a
+    dense cross-correlated secondary variable on the same tile-join
+    skeleton.  Rows-only (linear solve has no SQL oracle); the
+    zero-cross-decoupling and lone-secondary invariants are pinned in
+    tests/test_spatial.py."""
+    from vtk_reserves_spark.operators.geostats import ordinary_cokrige
+
+    blocks = grid_df(spark, _GS).select("cell", "x", "y", "z")
+    s = spark.range(400)
+    # every 4th sample carries the (sparse) primary; all carry secondary
+    samples = s.select(
+        ((F.col("id") * 37) % 300 + 0.25).cast("double").alias("sx"),
+        ((F.col("id") * 53) % 200 + 0.5).cast("double").alias("sy"),
+        ((F.col("id") * 29) % 200 + 0.75).cast("double").alias("sz"),
+        F.when(
+            F.col("id") % 4 == 0, ((F.col("id") * 13) % 90 + 5.0).cast("double")
+        ).alias("grade"),
+        (((F.col("id") * 13) % 90) * 0.8 + ((F.col("id") * 7) % 11) + 2.0)
+        .cast("double")
+        .alias("aux"),
+    )
+    out = ordinary_cokrige(
+        blocks,
+        samples,
+        "grade",
+        "aux",
+        radius=30.0,
+        variograms={
+            "primary": ("spherical", 30.0, 1.0, 0.1),
+            "secondary": ("spherical", 30.0, 1.0, 0.1),
+            "cross": ("spherical", 30.0, 0.7, 0.0),
+        },
+        max_samples=8,
+        sample_xyz=("sx", "sy", "sz"),
+    )
+    return out.select(
+        "cell", F.round("grade", 6).alias("grade"),
+        F.round("ckvar", 6).alias("ckvar"), "n_primary", "n_secondary",
+    )
+
+
 def q_krige_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-discretized ordinary kriging (operators/geostats): same
     tile-join neighborhoods as q_krige, but the RHS is the
@@ -2475,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk": q_stream_topk,
         "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
         "krige_block": q_krige_block,  # rows-only: same reason
+        "cokrige": q_cokrige,  # rows-only: same reason
         "audio_features": q_audio_features,
         "segment_dedup": q_segment_dedup,
         "video_frames": q_video_frames,

@@ -661,3 +661,77 @@ def test_locate_composites_vertical_and_deviated(spark):
     assert r.y == pytest.approx(0.0, abs=1e-9)
     assert r.z == pytest.approx(1000.0 - 10.0 - 5 * math.sin(math.radians(45)))
     assert r.grade == pytest.approx(30.0)
+
+
+def test_cokrige_properties(spark):
+    """Ordinary co-kriging invariants: with a ZERO cross-variogram the
+    system decouples and reproduces ordinary kriging on the primary
+    alone; a positively cross-correlated secondary sample pulls the
+    estimate toward its direction; blocks with no primary in radius get
+    NULL even when secondary data is present."""
+    from vtk_reserves_spark.operators.geostats import (
+        ordinary_cokrige,
+        ordinary_krige,
+    )
+
+    blocks = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0.0), (2, 500.0, 0.0, 0.0)],
+        "cell long, x double, y double, z double",
+    )
+    # heterotopic: two primary samples + two secondary-only samples at
+    # different distances (ordinary co-kriging's zero-sum constraint
+    # makes a LONE secondary sample weightless — two are the minimum
+    # for it to matter)
+    samples = spark.createDataFrame(
+        [
+            (10.0, 0.0, 0.0, 30.0, None),
+            (-10.0, 0.0, 0.0, 20.0, None),
+            (0.0, 4.0, 0.0, None, 99.0),
+            (0.0, 30.0, 0.0, None, 10.0),
+            (480.0, 0.0, 0.0, None, 50.0),  # secondary near block 2 only
+        ],
+        "sx double, sy double, sz double, grade double, aux double",
+    )
+    kw = dict(
+        radius=50.0, sample_xyz=("sx", "sy", "sz"), max_samples=8,
+    )
+    vario = ("spherical", 40.0, 1.0, 0.0)
+    ok = {
+        r.cell: r
+        for r in ordinary_krige(
+            blocks, samples, "grade", variogram=vario, **kw
+        ).collect()
+    }
+    dec = {
+        r.cell: r
+        for r in ordinary_cokrige(
+            blocks, samples, "grade", "aux",
+            variograms={
+                "primary": vario,
+                "secondary": vario,
+                "cross": ("spherical", 40.0, 0.0, 0.0),  # zero cross
+            },
+            **kw,
+        ).collect()
+    }
+    co = {
+        r.cell: r
+        for r in ordinary_cokrige(
+            blocks, samples, "grade", "aux",
+            variograms={
+                "primary": vario,
+                "secondary": vario,
+                "cross": ("spherical", 40.0, 0.6, 0.0),
+            },
+            **kw,
+        ).collect()
+    }
+    # zero cross-covariance -> co-kriging == ordinary kriging
+    assert dec[1].grade == pytest.approx(ok[1].grade, abs=1e-9)
+    assert dec[1].ckvar == pytest.approx(ok[1].kvar, abs=1e-9)
+    assert dec[1].n_primary == 2 and dec[1].n_secondary == 2
+    # a real cross-correlation makes the secondary matter
+    assert co[1].grade != pytest.approx(ok[1].grade, abs=1e-6)
+    assert co[1].ckvar >= 0.0
+    # block 2: secondary in radius but NO primary -> NULL estimate
+    assert co[2].grade is None and co[2].n_primary == 0 and co[2].n_secondary == 1

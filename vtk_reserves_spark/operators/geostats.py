@@ -431,3 +431,202 @@ def swath_plot(
             "sample_mean",
         )
     )
+
+
+def ordinary_cokrige(
+    blocks: DataFrame,
+    samples: DataFrame,
+    primary_col: str,
+    secondary_col: str,
+    radius: float,
+    variograms: dict | None = None,
+    max_samples: int = 16,
+    block_id: str = "cell",
+    xyz=("x", "y", "z"),
+    sample_xyz=None,
+    min_samples: int = 1,
+) -> DataFrame:
+    """Ordinary co-kriging: estimate the PRIMARY variable using both
+    primary and cross-correlated SECONDARY samples (classic use: sparse
+    assays + dense cheaper measurements).  Point support.
+
+    ``variograms`` maps ``"primary"``, ``"secondary"``, ``"cross"`` to
+    ``(model, range, sill, nugget)`` tuples (the linear model of
+    coregionalization — callers must pick cross sills with
+    ``|sill_x| <= sqrt(sill_1 * sill_2)`` per structure for a valid
+    model; this function does not re-fit).  The co-kriging system
+    stacks both sample sets with the two ordinary-kriging unbiasedness
+    constraints (primary weights sum to 1, secondary to 0); with a zero
+    cross-variogram it decouples and reproduces ordinary kriging on the
+    primary alone (pinned by test).
+
+    Scale shape is exactly :func:`ordinary_krige`'s tile join: ONE
+    equi-join on tile ids after a bounded 27x explode of the sample
+    side, per-tile ``applyInPandas`` for the solves (numpy at batch
+    level), AQE skew-split for dense-drilling tiles.  Heterotopic data
+    is supported — a row may carry either value or both; each block
+    takes its ``max_samples`` nearest of each kind.
+
+    Returns ``(block_id, <primary_col>, ckvar, n_primary, n_secondary)``
+    — blocks with fewer than ``min_samples`` primary samples in radius
+    get NULL (secondary data alone cannot anchor an ordinary co-kriging
+    estimate; use simple co-kriging with a known mean for that)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    variograms = variograms or {
+        "primary": ("spherical", 100.0, 1.0, 0.0),
+        "secondary": ("spherical", 100.0, 1.0, 0.0),
+        "cross": ("spherical", 100.0, 0.5, 0.0),
+    }
+    g11 = _variogram_fn(*variograms["primary"])
+    g22 = _variogram_fn(*variograms["secondary"])
+    g12 = _variogram_fn(*variograms["cross"])
+    sample_xyz = sample_xyz or xyz
+    bx, by, bz = (F.col(c) for c in xyz)
+    tile = float(radius)
+
+    b = blocks.select(
+        F.col(block_id),
+        bx.alias("_bx"), by.alias("_by"), bz.alias("_bz"),
+        F.floor(bx / tile).cast("long").alias("tx"),
+        F.floor(by / tile).cast("long").alias("ty"),
+        F.floor(bz / tile).cast("long").alias("tz"),
+    )
+    sx, sy, sz = (F.col(c) for c in sample_xyz)
+    off = F.sequence(F.lit(-1), F.lit(1))
+    s = (
+        samples.select(
+            sx.alias("_sx"), sy.alias("_sy"), sz.alias("_sz"),
+            F.col(primary_col).cast("double").alias("_v1"),
+            F.col(secondary_col).cast("double").alias("_v2"),
+        )
+        .where(F.col("_v1").isNotNull() | F.col("_v2").isNotNull())
+        .withColumn("_ox", F.explode(off))
+        .withColumn("_oy", F.explode(off))
+        .withColumn("_oz", F.explode(off))
+        .withColumn("tx", F.col("_ox") + F.floor(F.col("_sx") / tile).cast("long"))
+        .withColumn("ty", F.col("_oy") + F.floor(F.col("_sy") / tile).cast("long"))
+        .withColumn("tz", F.col("_oz") + F.floor(F.col("_sz") / tile).cast("long"))
+        .drop("_ox", "_oy", "_oz")
+    )
+    joined = b.join(s, ["tx", "ty", "tz"])
+    d = F.sqrt(
+        (F.col("_bx") - F.col("_sx")) ** 2
+        + (F.col("_by") - F.col("_sy")) ** 2
+        + (F.col("_bz") - F.col("_sz")) ** 2
+    )
+    cand = joined.where(d <= radius).select(
+        "tx", "ty", "tz", block_id, "_sx", "_sy", "_sz", "_v1", "_v2",
+        d.alias("_d"),
+    )
+
+    out_schema = T.StructType(
+        [
+            next(f for f in blocks.schema.fields if f.name == block_id),
+            T.StructField(primary_col, T.DoubleType()),
+            T.StructField("ckvar", T.DoubleType()),
+            T.StructField("n_primary", T.IntegerType()),
+            T.StructField("n_secondary", T.IntegerType()),
+        ]
+    )
+
+    def solve_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        # same batching device as ordinary_krige: blocks with identical
+        # (n_primary, n_secondary) reshape into (b, n, ...) tensors and
+        # their systems solve in one batched LAPACK call per class
+        # (measured ~2.3x end-to-end vs the per-block pandas loop at
+        # bench scale)
+        pdf = pdf.sort_values("_d", kind="stable")
+        p = pdf[pdf["_v1"].notna()].groupby(block_id, sort=False).head(max_samples)
+        q = pdf[pdf["_v2"].notna()].groupby(block_id, sort=False).head(max_samples)
+        p = p.sort_values(block_id, kind="stable")
+        q = q.sort_values(block_id, kind="stable")
+        n1 = p.groupby(block_id, sort=True).size()
+        n2 = q.groupby(block_id, sort=True).size()
+        info = pd.DataFrame({"_n1": n1, "_n2": n2}).fillna(0).astype(int)
+        # blocks with candidates but no usable value in either set still
+        # exist in pdf: give them zero counts
+        missing = pd.Index(pdf[block_id].unique()).difference(info.index)
+        if len(missing):
+            info = pd.concat(
+                [info, pd.DataFrame({"_n1": 0, "_n2": 0}, index=missing)]
+            )
+        info = info.sort_index()
+        key = info["_n1"] * (max_samples + 1) + info["_n2"]
+        p_key = p[block_id].map(key).to_numpy()
+        q_key = q[block_id].map(key).to_numpy()
+        ids_all, ests_all, kvars_all, n1s_all, n2s_all = [], [], [], [], []
+        for kval, blk in info.groupby(key.rename("_k"), sort=False):
+            c1 = int(blk["_n1"].iloc[0])
+            c2 = int(blk["_n2"].iloc[0])
+            bids = blk.index.to_numpy()  # sorted — matches the sorted sets
+            b = len(bids)
+            ids_all.extend(bids.tolist())
+            n1s_all.extend([c1] * b)
+            n2s_all.extend([c2] * b)
+            if c1 < min_samples:
+                ests_all.extend([None] * b)
+                kvars_all.extend([None] * b)
+                continue
+            psub = p[p_key == kval]
+            P = psub[["_sx", "_sy", "_sz"]].to_numpy(float).reshape(b, c1, 3)
+            v1 = psub["_v1"].to_numpy(float).reshape(b, c1)
+            d1 = psub["_d"].to_numpy(float).reshape(b, c1)
+            m = c1 + c2 + 2
+            A = np.zeros((b, m, m))
+            h11 = np.linalg.norm(P[:, :, None, :] - P[:, None, :, :], axis=3)
+            A[:, :c1, :c1] = g11(h11)
+            rhs = np.zeros((b, m))
+            rhs[:, :c1] = g11(d1)
+            rhs[:, c1 + c2] = 1.0
+            if c2:
+                qsub = q[q_key == kval]
+                Q = qsub[["_sx", "_sy", "_sz"]].to_numpy(float).reshape(b, c2, 3)
+                v2 = qsub["_v2"].to_numpy(float).reshape(b, c2)
+                d2 = qsub["_d"].to_numpy(float).reshape(b, c2)
+                h22 = np.linalg.norm(Q[:, :, None, :] - Q[:, None, :, :], axis=3)
+                h12 = np.linalg.norm(P[:, :, None, :] - Q[:, None, :, :], axis=3)
+                A[:, c1 : c1 + c2, c1 : c1 + c2] = g22(h22)
+                A[:, :c1, c1 : c1 + c2] = g12(h12)
+                A[:, c1 : c1 + c2, :c1] = np.transpose(g12(h12), (0, 2, 1))
+                A[:, c1 : c1 + c2, m - 1] = A[:, m - 1, c1 : c1 + c2] = 1.0
+                rhs[:, c1 : c1 + c2] = g12(d2)
+            else:
+                # no secondary data: keep the system nonsingular by
+                # pinning the unused Lagrange multiplier to zero
+                A[:, m - 1, m - 1] = 1.0
+            A[:, :c1, c1 + c2] = A[:, c1 + c2, :c1] = 1.0
+            try:
+                w = np.linalg.solve(A, rhs[:, :, None])[:, :, 0]
+            except np.linalg.LinAlgError:
+                w = np.empty((b, m))
+                for i in range(b):
+                    try:
+                        w[i] = np.linalg.solve(A[i], rhs[i])
+                    except np.linalg.LinAlgError:
+                        w[i] = np.linalg.lstsq(A[i], rhs[i], rcond=None)[0]
+            est = (w[:, :c1] * v1).sum(axis=1)
+            kv = (w[:, :c1] * rhs[:, :c1]).sum(axis=1) + w[:, c1 + c2]
+            if c2:
+                est = est + (w[:, c1 : c1 + c2] * v2).sum(axis=1)
+                kv = kv + (w[:, c1 : c1 + c2] * rhs[:, c1 : c1 + c2]).sum(axis=1)
+            ests_all.extend(est.tolist())
+            kvars_all.extend(np.maximum(kv, 0.0).tolist())
+        return pd.DataFrame(
+            {
+                block_id: ids_all, primary_col: ests_all, "ckvar": kvars_all,
+                "n_primary": n1s_all, "n_secondary": n2s_all,
+            }
+        )
+
+    est = cand.groupBy("tx", "ty", "tz").applyInPandas(solve_tile, out_schema)
+    out = blocks.select(block_id).join(est, block_id, "left")
+    return out.select(
+        block_id,
+        primary_col,
+        "ckvar",
+        F.coalesce("n_primary", F.lit(0)).alias("n_primary"),
+        F.coalesce("n_secondary", F.lit(0)).alias("n_secondary"),
+    )
