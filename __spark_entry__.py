@@ -955,6 +955,51 @@ def q_cokrige(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-declustering weights (operators/geostats.decluster_weights):
+    300 synthetic samples, two thirds clustered into one corner —
+    clustered samples earn proportionally smaller weights; weights are
+    n / (occupied_cells * cell_count), summing to n."""
+    from vtk_reserves_spark.operators.geostats import decluster_weights
+
+    s = spark.range(300)
+    # ids < 200 cluster in a 40x40x40 corner; the rest spread widely
+    samples = s.select(
+        F.col("id").alias("sid"),
+        F.when(F.col("id") < 200, ((F.col("id") * 7) % 40).cast("double"))
+        .otherwise(((F.col("id") * 37) % 400).cast("double"))
+        .alias("sx"),
+        F.when(F.col("id") < 200, ((F.col("id") * 11) % 40).cast("double"))
+        .otherwise(((F.col("id") * 53) % 400).cast("double"))
+        .alias("sy"),
+        F.when(F.col("id") < 200, ((F.col("id") * 13) % 40).cast("double"))
+        .otherwise(((F.col("id") * 29) % 400).cast("double"))
+        .alias("sz"),
+    )
+    out = decluster_weights(samples, cell_size=50.0, xyz=("sx", "sy", "sz"))
+    return out.select("sid", F.round("declus_wt", 6).alias("declus_wt"))
+
+
+def q_topcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-cut / grade-capping analysis (operators/geostats.topcut_report)
+    over lineitem extended prices weighted by quantity: one bounded
+    explode into the cap list + ONE aggregation, never a pass per cap."""
+    from vtk_reserves_spark.operators.geostats import topcut_report
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = topcut_report(
+        li, "l_extendedprice", caps=[1000.0, 5000.0, 20000.0, 50000.0],
+        weight_col="l_quantity",
+    )
+    return out.select(
+        "cap", "n", "n_capped",
+        F.round("pct_capped", 6).alias("pct_capped"),
+        F.round("mean_raw", 6).alias("mean_raw"),
+        F.round("mean_capped", 6).alias("mean_capped"),
+        F.round("metal_loss_pct", 6).alias("metal_loss_pct"),
+    )
+
+
 def q_krige_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-discretized ordinary kriging (operators/geostats): same
     tile-join neighborhoods as q_krige, but the RHS is the
@@ -2519,6 +2564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
         "krige_block": q_krige_block,  # rows-only: same reason
         "cokrige": q_cokrige,  # rows-only: same reason
+        "decluster": q_decluster,
+        "topcut": q_topcut,
         "audio_features": q_audio_features,
         "segment_dedup": q_segment_dedup,
         "video_frames": q_video_frames,
@@ -3015,6 +3062,56 @@ def oracle_sql() -> dict[str, str]:
             FROM rf
             WINDOW c AS (PARTITION BY hid ORDER BY depth ASC
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "decluster": """
+            WITH s AS (
+              SELECT r.range AS sid,
+                     CASE WHEN r.range < 200
+                          THEN CAST((r.range * 7) % 40 AS DOUBLE)
+                          ELSE CAST((r.range * 37) % 400 AS DOUBLE) END AS sx,
+                     CASE WHEN r.range < 200
+                          THEN CAST((r.range * 11) % 40 AS DOUBLE)
+                          ELSE CAST((r.range * 53) % 400 AS DOUBLE) END AS sy,
+                     CASE WHEN r.range < 200
+                          THEN CAST((r.range * 13) % 40 AS DOUBLE)
+                          ELSE CAST((r.range * 29) % 400 AS DOUBLE) END AS sz
+              FROM range(300) r
+            ), k AS (
+              SELECT sid,
+                     CAST(floor(sx / 50.0) AS BIGINT) AS cx,
+                     CAST(floor(sy / 50.0) AS BIGINT) AS cy,
+                     CAST(floor(sz / 50.0) AS BIGINT) AS cz
+              FROM s
+            ), m AS (
+              SELECT cx, cy, cz, COUNT(*) AS mm FROM k GROUP BY cx, cy, cz
+            ), t AS (
+              SELECT SUM(mm) AS n, COUNT(*) AS occ FROM m
+            )
+            SELECT k.sid,
+                   ROUND(CAST(t.n AS DOUBLE)
+                         / (CAST(t.occ AS DOUBLE) * CAST(m.mm AS DOUBLE)),
+                         6) AS declus_wt
+            FROM k JOIN m USING (cx, cy, cz) CROSS JOIN t
+        """,
+        "topcut": """
+            WITH e AS (
+              SELECT l_extendedprice AS v, l_quantity AS w, u.cap
+              FROM lineitem,
+                   LATERAL (SELECT unnest([1000.0, 5000.0, 20000.0,
+                                           50000.0]) AS cap) u
+              WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT cap,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN v > cap THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_capped,
+                   ROUND(SUM(CASE WHEN v > cap THEN 1 ELSE 0 END) * 100.0
+                         / COUNT(*), 6) AS pct_capped,
+                   ROUND(SUM(w * v) / SUM(w), 6) AS mean_raw,
+                   ROUND(SUM(w * LEAST(v, cap)) / SUM(w), 6) AS mean_capped,
+                   ROUND((SUM(w * v) - SUM(w * LEAST(v, cap))) * 100.0
+                         / SUM(w * v), 6) AS metal_loss_pct
+            FROM e GROUP BY cap
         """,
         "pack_offsets": f"""
             WITH t AS (

@@ -735,3 +735,35 @@ def test_cokrige_properties(spark):
     assert co[1].ckvar >= 0.0
     # block 2: secondary in radius but NO primary -> NULL estimate
     assert co[2].grade is None and co[2].n_primary == 0 and co[2].n_secondary == 1
+
+
+def test_decluster_weights_hand_checked(spark):
+    """Two samples share a cell, one is alone: w = n/(occ*m) gives the
+    pair 0.75 each and the loner 1.5; weights sum to n."""
+    from vtk_reserves_spark.operators.geostats import decluster_weights
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 5.0, 5.0), (2, 6.0, 6.0, 6.0), (3, 100.0, 100.0, 100.0)],
+        "sid long, sx double, sy double, sz double",
+    )
+    out = {
+        r.sid: r.declus_wt
+        for r in decluster_weights(df, 10.0, xyz=("sx", "sy", "sz")).collect()
+    }
+    assert out[1] == pytest.approx(0.75) and out[2] == pytest.approx(0.75)
+    assert out[3] == pytest.approx(1.5)
+    assert sum(out.values()) == pytest.approx(3.0)
+
+
+def test_topcut_report_hand_checked(spark):
+    """Unweighted values 1, 2, 10 capped at 5: one sample capped,
+    mean 13/3 -> 8/3, metal loss 5/13."""
+    from vtk_reserves_spark.operators.geostats import topcut_report
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (10.0,)], "v double")
+    r = topcut_report(df, "v", caps=[5.0]).collect()[0]
+    assert r.n == 3 and r.n_capped == 1
+    assert r.pct_capped == pytest.approx(100.0 / 3)
+    assert r.mean_raw == pytest.approx(13.0 / 3)
+    assert r.mean_capped == pytest.approx(8.0 / 3)
+    assert r.metal_loss_pct == pytest.approx(5.0 / 13.0 * 100.0)

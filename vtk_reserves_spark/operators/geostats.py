@@ -630,3 +630,95 @@ def ordinary_cokrige(
         F.coalesce("n_primary", F.lit(0)).alias("n_primary"),
         F.coalesce("n_secondary", F.lit(0)).alias("n_secondary"),
     )
+
+
+def decluster_weights(
+    samples: DataFrame,
+    cell_size: float,
+    value_col: str | None = None,
+    xyz=("x", "y", "z"),
+) -> DataFrame:
+    """Cell-declustering weights (Deutsch & Journel, GSLIB `declus`):
+    overlay a regular grid of ``cell_size`` and weight each sample
+    inversely to how many samples share its cell, normalized so the
+    weights sum to the sample count — ``w_i = n / (n_occupied * m_j)``
+    for a sample in a cell holding ``m_j`` samples.  Clustered drilling
+    stops dominating global statistics (the declustered mean is the
+    standard bias-corrected resource statistic).
+
+    Pure Catalyst: one count per cell (map-side combine) + one scalar
+    subquery for the occupied-cell count + a broadcast-sized join back.
+    Returns the input columns plus ``declus_wt`` (and, if ``value_col``
+    is given, nothing else changes — callers aggregate
+    ``value * declus_wt`` downstream)."""
+    sx, sy, sz = (F.col(c) for c in xyz)
+    keyed = samples.withColumn(
+        "_cx", F.floor(sx / cell_size).cast("long")
+    ).withColumn("_cy", F.floor(sy / cell_size).cast("long")).withColumn(
+        "_cz", F.floor(sz / cell_size).cast("long")
+    )
+    per_cell = keyed.groupBy("_cx", "_cy", "_cz").agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    totals = per_cell.agg(
+        F.sum("_m").alias("_n"), F.count(F.lit(1)).alias("_occ")
+    )
+    out = (
+        keyed.join(F.broadcast(per_cell), ["_cx", "_cy", "_cz"])
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "declus_wt",
+            F.col("_n").cast("double")
+            / (F.col("_occ").cast("double") * F.col("_m").cast("double")),
+        )
+        .drop("_cx", "_cy", "_cz", "_m", "_n", "_occ")
+    )
+    return out
+
+
+def topcut_report(
+    samples: DataFrame,
+    value_col: str,
+    caps: list,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Top-cut (grade capping) analysis: for each candidate cap, report
+    the capped mean, metal loss, and affected-sample share — the table a
+    resource geologist reads to pick a capping level before estimation.
+
+    Returns one row per cap: ``(cap, n, n_capped, pct_capped,
+    mean_raw, mean_capped, metal_loss_pct)`` where metal is the
+    (optionally ``weight_col``-weighted) sum of values.  One explode of
+    each row into the cap list (bounded fan-out = len(caps)) + ONE
+    aggregation — no per-cap passes over the data."""
+    caps_arr = F.array(*[F.lit(float(c)) for c in caps])
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = (
+        samples.where(v.isNotNull())
+        .select(v.alias("_v"), w.alias("_w"), F.explode(caps_arr).alias("cap"))
+    )
+    capped = F.least(F.col("_v"), F.col("cap"))
+    return (
+        e.groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_v") > F.col("cap"), 1).otherwise(0)).alias(
+                "n_capped"
+            ),
+            (F.sum(F.col("_w") * F.col("_v")) / F.sum("_w")).alias("mean_raw"),
+            (F.sum(F.col("_w") * capped) / F.sum("_w")).alias("mean_capped"),
+            (
+                (F.sum(F.col("_w") * F.col("_v")) - F.sum(F.col("_w") * capped))
+                * 100.0
+                / F.sum(F.col("_w") * F.col("_v"))
+            ).alias("metal_loss_pct"),
+        )
+        .withColumn(
+            "pct_capped", F.col("n_capped") * 100.0 / F.col("n")
+        )
+        .select(
+            "cap", "n", "n_capped", "pct_capped",
+            "mean_raw", "mean_capped", "metal_loss_pct",
+        )
+    )
