@@ -102,3 +102,51 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     after = len(glob.glob(f"{path}/*.parquet"))
     assert after < before
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_zorder_write_tightens_rowgroup_stats(spark, tmp_path):
+    """Z-order clustering: after save_zordered on two independent keys,
+    every parquet row group covers a small slice of BOTH key ranges
+    (footer min/max stats tighten), so selective filters on either
+    column can skip most row groups.  A plain write leaves each row
+    group spanning nearly the full range of at least one key."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from vtk_reserves_spark.sources.writers import save_zordered
+
+    li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    def mean_span(path, col):
+        spans, lo, hi = [], None, None
+        for root, _, files in os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                names = [md.schema.column(i).name for i in range(md.num_columns)]
+                j = names.index(col)
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(j).statistics
+                    spans.append(st.max - st.min)
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        return sum(spans) / len(spans), (hi - lo)
+
+    plain = str(tmp_path / "plain")
+    li.repartition(4).write.parquet(plain)
+    zed = str(tmp_path / "zed")
+    save_zordered(li, zed, ["l_partkey", "l_suppkey"], n_files=16)
+
+    for col in ("l_partkey", "l_suppkey"):
+        span_p, full_p = mean_span(plain, col)
+        span_z, full_z = mean_span(zed, col)
+        # hash-repartitioned row groups span ~the whole range
+        assert span_p > 0.8 * full_p
+        # z-ordered row groups cover a fraction of BOTH ranges
+        assert span_z < 0.6 * full_z, (col, span_z, full_z)
+    # same data round-trips
+    assert spark.read.parquet(zed).count() == li.count()

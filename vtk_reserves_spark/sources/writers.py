@@ -128,3 +128,73 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n
+
+
+def zorder_key(df: DataFrame, cols, bits: int = 10):
+    """Z-order (Morton) interleave of ``cols`` as a pure Catalyst
+    expression: each column is rank-normalized into ``bits`` bits using
+    its observed min/max (ONE tiny agg, collected driver-side), then the
+    bit planes interleave so rows close in the key are close in EVERY
+    dimension.
+
+    Sorting a table by this key before writing makes parquet row-group
+    min/max statistics tight on ALL the interleaved columns at once —
+    the multi-dimensional data-skipping device (Delta/Iceberg OPTIMIZE
+    ZORDER does the same thing) that a single-column sort can't give.
+    Returns ``(key_column, stats)`` where stats maps col -> (min, max).
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(cols, str):
+        cols = [cols]
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    n = len(cols)
+    top = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    stats = {}
+    for i, c in enumerate(cols):
+        mn, mx = float(row[f"_mn_{c}"]), float(row[f"_mx_{c}"])
+        stats[c] = (mn, mx)
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(c).cast("double") - mn) / span * top).cast("long"),
+            ),
+        )
+        for b in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return key, stats
+
+
+def save_zordered(
+    df: DataFrame,
+    path: str,
+    cols,
+    bits: int = 10,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the Z-order key of ``cols``:
+    ``repartitionByRange`` on the key (range partitioning keeps each
+    output file a contiguous z-range) + in-partition sort, so every
+    row group's min/max footer stats are tight on all clustered columns
+    and selective filters on ANY of them skip most of the table.
+
+    One extra shuffle at write time buys every future scan's pruning —
+    the standard trade for append-mostly analytical tables."""
+    key, _ = zorder_key(df, cols, bits)
+    out = df.withColumn("_zkey", key)
+    n = n_files or out.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    out = (
+        out.repartitionByRange(int(n), "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+    out.write.mode(mode).parquet(path)
