@@ -1000,6 +1000,24 @@ def q_topcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normal-score transform (operators/geostats.nscore) of lineitem
+    extended prices: global Hazen rank -> Acklam probit.  The probit
+    rational approximation is rendered into BOTH engines from the same
+    coefficients (functions/stats.py), so the hash check covers the
+    full transform; the approx (sketch-ECDF, no-shuffle) mode is
+    pinned by tests instead."""
+    from vtk_reserves_spark.operators.geostats import nscore
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = nscore(li, "l_extendedprice")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("nscore", 6).alias("nscore")
+    )
+
+
 def q_krige_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-discretized ordinary kriging (operators/geostats): same
     tile-join neighborhoods as q_krige, but the RHS is the
@@ -2566,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cokrige": q_cokrige,  # rows-only: same reason
         "decluster": q_decluster,
         "topcut": q_topcut,
+        "nscore": q_nscore,
         "audio_features": q_audio_features,
         "segment_dedup": q_segment_dedup,
         "video_frames": q_video_frames,
@@ -2623,6 +2642,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
     }
+
+
+def _nscore_oracle() -> str:
+    """DuckDB mirror of q_nscore: same Hazen rank, same Acklam probit
+    rendered from the same coefficients (functions/stats.probit_sql)."""
+    from vtk_reserves_spark.functions.stats import probit_sql
+
+    return f"""
+        WITH t AS (
+          SELECT l_orderkey, l_linenumber, l_extendedprice AS v
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), r AS (
+          SELECT l_orderkey, l_linenumber,
+                 (CAST(RANK() OVER (ORDER BY v) AS DOUBLE) - 0.5)
+                   / (SELECT COUNT(*) FROM t) AS p
+          FROM t
+        )
+        SELECT l_orderkey, l_linenumber,
+               ROUND({probit_sql('p')}, 6) AS nscore
+        FROM r
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3063,6 +3103,7 @@ def oracle_sql() -> dict[str, str]:
             WINDOW c AS (PARTITION BY hid ORDER BY depth ASC
                          ROWS UNBOUNDED PRECEDING)
         """,
+        "nscore": _nscore_oracle(),
         "decluster": """
             WITH s AS (
               SELECT r.range AS sid,

@@ -767,3 +767,56 @@ def test_topcut_report_hand_checked(spark):
     assert r.mean_raw == pytest.approx(13.0 / 3)
     assert r.mean_capped == pytest.approx(8.0 / 3)
     assert r.metal_loss_pct == pytest.approx(5.0 / 13.0 * 100.0)
+
+
+def test_probit_known_values(spark):
+    """Acklam probit vs textbook quantiles (abs err < 1e-8 at these p)."""
+    from vtk_reserves_spark.functions.stats import probit
+
+    df = spark.createDataFrame(
+        [(0.5,), (0.975,), (0.025,), (0.999,), (0.001,), (0.0001,)],
+        "p double",
+    )
+    got = {r.p: r.y for r in df.select("p", probit(F.col("p")).alias("y")).collect()}
+    assert got[0.5] == pytest.approx(0.0, abs=1e-12)
+    assert got[0.975] == pytest.approx(1.959963985, abs=1e-7)
+    assert got[0.025] == pytest.approx(-1.959963985, abs=1e-7)
+    assert got[0.999] == pytest.approx(3.090232306, abs=1e-7)
+    assert got[0.001] == pytest.approx(-3.090232306, abs=1e-7)
+    assert got[0.0001] == pytest.approx(-3.719016485, abs=1e-6)
+
+
+def test_nscore_exact_and_approx(spark):
+    """Exact: symmetric ranks map to symmetric deviates, median to ~0.
+    Approx: sketch-ECDF mode stays within tolerance of exact and its
+    plan is narrow (no global window, no shuffle)."""
+    from vtk_reserves_spark.operators.geostats import nscore
+
+    vals = [(float(i),) for i in range(1, 10)]
+    df = spark.createDataFrame(vals, "v double")
+    exact = {r.v: r.nscore for r in nscore(df, "v").collect()}
+    assert exact[5.0] == pytest.approx(0.0, abs=1e-9)
+    for k in (1, 2, 3, 4):
+        assert exact[float(k)] == pytest.approx(-exact[float(10 - k)], abs=1e-9)
+    # approx mode on a 5k-row skewed sample with a unique join key
+    big = spark.range(5000).select(
+        F.col("id"),
+        (((F.col("id") * 2654435761) % 97003).cast("double")
+         + F.col("id") / 10000.0).alias("val"),
+    )
+    ex = nscore(big, "val").withColumnRenamed("nscore", "e").drop("val")
+    ap = nscore(big, "val", approx=True, bins=501).withColumnRenamed("nscore", "a")
+    m = ex.join(ap, "id").select(
+        F.max(F.abs(F.col("e") - F.col("a"))).alias("err")
+    ).collect()[0]["err"]
+    # tail rows are resolution-limited by the sketch (probit is steep
+    # there); interior agreement is what the mode promises
+    assert m < 1.0, m  # |probit| caps at ~3.1 for a 501-bin sketch vs ~3.7 exact
+    mid = ex.join(ap, "id").where(F.abs(F.col("e")) < 2.0).select(
+        F.max(F.abs(F.col("e") - F.col("a"))).alias("err")
+    ).collect()[0]["err"]
+    assert mid < 0.05, mid
+    plan = ap._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" not in plan and "Exchange" not in plan

@@ -722,3 +722,51 @@ def topcut_report(
             "mean_raw", "mean_capped", "metal_loss_pct",
         )
     )
+
+
+def nscore(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "nscore",
+    approx: bool = False,
+    bins: int = 1001,
+) -> DataFrame:
+    """Normal-score transform (GSLIB ``nscore``): map ``value_col`` to
+    standard-normal deviates via its empirical CDF — the preprocessing
+    step in front of any Gaussian geostatistical workflow (sequential
+    Gaussian simulation, multiGaussian kriging).
+
+    Exact mode ranks globally (Hazen plotting position
+    ``p = (rank - 0.5) / n``, ties sharing their min rank) and applies
+    the Acklam probit (`functions/stats.py`) — a GLOBAL window, i.e. a
+    single-reducer sort: correct and oracle-checkable, but the scale
+    bottleneck at 100 TB.  ``approx=True`` replaces the global rank with
+    a broadcast ``approx_percentile`` sketch of ``bins`` quantiles and
+    reads each row's p as the fraction of sketch quantiles at or below
+    its value — no shuffle at all (narrow plan), error bounded by the
+    sketch resolution.  Rows with NULL values pass through with NULL
+    scores."""
+    from vtk_reserves_spark.functions.stats import probit
+
+    v = F.col(value_col).cast("double")
+    if approx:
+        probs = [i / (bins - 1) for i in range(bins)]
+        qs = df.where(v.isNotNull()).agg(
+            F.percentile_approx(value_col, probs, 10000).alias("q")
+        ).collect()[0]["q"]
+        arr = F.array(*[F.lit(float(x)) for x in qs])
+        frac = F.size(F.filter(arr, lambda q: q <= v)).cast("double") / float(
+            len(qs)
+        )
+        # clamp into the open interval like the exact plotting position
+        p = F.least(F.lit(1.0 - 0.5 / len(qs)), F.greatest(F.lit(0.5 / len(qs)), frac))
+        return df.withColumn(out_col, F.when(v.isNotNull(), probit(p)))
+    from pyspark.sql import Window
+
+    n = df.where(v.isNotNull()).count()
+    w = Window.orderBy(v)
+    ranked = df.where(v.isNotNull()).withColumn(
+        out_col, probit((F.rank().over(w).cast("double") - 0.5) / float(n))
+    )
+    nulls = df.where(v.isNull()).withColumn(out_col, F.lit(None).cast("double"))
+    return ranked.unionByName(nulls)
