@@ -1018,6 +1018,34 @@ def q_nscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nscore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward + inverse normal-score transform
+    (operators/geostats.nscore / nscore_backtransform): 2000 synthetic
+    values through the full cycle.  At the transform-table knots the
+    linear interpolation is exact, so the oracle is the identity —
+    which makes this a hash check of BOTH directions composed."""
+    from vtk_reserves_spark.operators.geostats import (
+        nscore,
+        nscore_backtransform,
+    )
+
+    s = spark.range(2000).select(
+        "id",
+        (
+            ((F.col("id") * 2654435761) % 97003).cast("double")
+            + F.col("id") / 1000.0
+        ).alias("val"),
+    )
+    fwd = nscore(s, "val")
+    table = [(r.val, r.nscore) for r in fwd.collect()]
+    back = nscore_backtransform(fwd, "nscore", table, out_col="val_back")
+    return back.select(
+        "id",
+        F.round("val", 6).alias("val"),
+        F.round("val_back", 6).alias("val_back"),
+    )
+
+
 def q_krige_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-discretized ordinary kriging (operators/geostats): same
     tile-join neighborhoods as q_krige, but the RHS is the
@@ -2585,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decluster": q_decluster,
         "topcut": q_topcut,
         "nscore": q_nscore,
+        "nscore_roundtrip": q_nscore_roundtrip,
         "audio_features": q_audio_features,
         "segment_dedup": q_segment_dedup,
         "video_frames": q_video_frames,
@@ -3104,6 +3133,14 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING)
         """,
         "nscore": _nscore_oracle(),
+        "nscore_roundtrip": """
+            SELECT r.range AS id,
+                   ROUND(CAST((r.range * 2654435761) % 97003 AS DOUBLE)
+                         + r.range / 1000.0, 6) AS val,
+                   ROUND(CAST((r.range * 2654435761) % 97003 AS DOUBLE)
+                         + r.range / 1000.0, 6) AS val_back
+            FROM range(2000) r
+        """,
         "decluster": """
             WITH s AS (
               SELECT r.range AS sid,

@@ -820,3 +820,23 @@ def test_nscore_exact_and_approx(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Window" not in plan and "Exchange" not in plan
+
+
+def test_nscore_backtransform_roundtrip(spark):
+    """back(forward(v)) recovers v exactly at the knots; interior
+    deviates map monotonically between neighboring values; out-of-range
+    scores clamp to the table ends."""
+    from vtk_reserves_spark.operators.geostats import nscore, nscore_backtransform
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 51)], "v double")
+    fwd = nscore(df, "v")
+    table = [(r.v, r.nscore) for r in fwd.collect()]
+    back = nscore_backtransform(fwd, "nscore", table, out_col="v2")
+    assert all(
+        r.v2 == pytest.approx(r.v, abs=1e-9) for r in back.collect()
+    )
+    probe = spark.createDataFrame([(-99.0,), (99.0,), (0.0,)], "nscore double")
+    got = {r.nscore: r.v2 for r in
+           nscore_backtransform(probe, "nscore", table, out_col="v2").collect()}
+    assert got[-99.0] == 1.0 and got[99.0] == 50.0  # clamped to table ends
+    assert 25.0 <= got[0.0] <= 26.0  # median deviate lands mid-table

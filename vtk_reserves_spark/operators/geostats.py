@@ -770,3 +770,48 @@ def nscore(
     )
     nulls = df.where(v.isNull()).withColumn(out_col, F.lit(None).cast("double"))
     return ranked.unionByName(nulls)
+
+
+def nscore_backtransform(
+    df: DataFrame,
+    score_col: str,
+    table: list,
+    out_col: str = "value",
+) -> DataFrame:
+    """Inverse of :func:`nscore`: map normal deviates back to original
+    units by linear interpolation through the transform table —
+    ``table`` is the sorted list of ``(value, nscore)`` knots produced
+    by the forward transform (GSLIB ``backtr``).  Scores beyond the
+    table's ends clamp to the end values (the conventional no-tail-
+    extrapolation default).
+
+    The knots broadcast as literal arrays (a transform table is sample-
+    sized — at 100 TB it comes from a bounded sample or the nscore
+    sketch, never the full data), so the interpolation is a pure
+    narrow Catalyst expression: no join, no shuffle."""
+    pairs = sorted(table, key=lambda t: t[1])
+    vs = [float(v) for v, _ in pairs]
+    ys = [float(y) for _, y in pairs]
+    if len(vs) < 2:
+        raise ValueError("backtransform table needs at least 2 knots")
+    arr_y = F.array(*[F.lit(y) for y in ys])
+    y = F.col(score_col).cast("double")
+    # index of the first knot >= y == count of knots < y (0..n)
+    idx = F.size(F.filter(arr_y, lambda q: q < y))
+    n = len(ys)
+    lo_v = F.array(*[F.lit(v) for v in vs])
+    # gather knot pairs around idx with element_at (1-based), clamped
+    i_hi = F.least(F.lit(n), F.greatest(F.lit(1), idx + 1))
+    i_lo = F.least(F.lit(n), F.greatest(F.lit(1), idx))
+    y_lo = F.element_at(arr_y, i_lo)
+    y_hi = F.element_at(arr_y, i_hi)
+    v_lo = F.element_at(lo_v, i_lo)
+    v_hi = F.element_at(lo_v, i_hi)
+    frac = F.when(y_hi != y_lo, (y - y_lo) / (y_hi - y_lo)).otherwise(F.lit(0.0))
+    interp = v_lo + frac * (v_hi - v_lo)
+    out = (
+        F.when(y <= ys[0], F.lit(vs[0]))
+        .when(y >= ys[-1], F.lit(vs[-1]))
+        .otherwise(interp)
+    )
+    return df.withColumn(out_col, F.when(y.isNotNull(), out))
