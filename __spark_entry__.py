@@ -1018,6 +1018,24 @@ def q_nscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary learning (operators/bpe.learn_bpe): 10 merges from
+    the documents word-frequency table (ONE corpus pass, then all
+    rounds iterate on the vocabulary — Heaps' law is what makes
+    tokenizer training distributable).  Rows-only: an iterative greedy
+    fixed point has no SQL oracle; the merge sequence is pinned
+    merge-for-merge against a pure-Python reference implementation in
+    tests/test_llm_ops.py."""
+    from vtk_reserves_spark.operators.bpe import learn_bpe, word_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = learn_bpe(word_counts(docs), num_merges=10)
+    return spark.createDataFrame(
+        [(i, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "step int, left string, right string, freq long",
+    )
+
+
 def q_nscore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward + inverse normal-score transform
     (operators/geostats.nscore / nscore_backtransform): 2000 synthetic
@@ -2614,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topcut": q_topcut,
         "nscore": q_nscore,
         "nscore_roundtrip": q_nscore_roundtrip,
+        "bpe_merges": q_bpe_merges,  # rows-only: iterative greedy fixed point
         "audio_features": q_audio_features,
         "segment_dedup": q_segment_dedup,
         "video_frames": q_video_frames,

@@ -663,3 +663,56 @@ def test_remove_duplicate_segments_hand_checked(spark):
     # doc 3 has the boilerplate LAST: surviving segment order is preserved
     assert out[3].text_clean == "iota kappa lambda mu nu xi omicron pi"
     assert out[4].text_clean == "" and out[4].n_kept == 0 and out[4].n_dropped == 1
+
+
+def test_learn_bpe_matches_reference(spark):
+    """The distributed learner reproduces a pure-Python reference BPE
+    (same greedy rule, same (count DESC, pair ASC) tie-break) merge for
+    merge; encoding round-trips each word's characters."""
+    from vtk_reserves_spark.operators.bpe import (
+        _merge_word,
+        encode_bpe,
+        learn_bpe,
+        word_counts,
+    )
+
+    words = ["spark", "spare", "spear", "pears", "parse", "sparse",
+             "apers", "reaps"]
+    rows = [(i, " ".join(words[(i + j) % len(words)] for j in range(1 + i % 5)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    wc = {r.word: r["count"] for r in word_counts(docs).collect()}
+
+    def ref_bpe(counts, k, min_freq=2):
+        vocab = {tuple(w): c for w, c in counts.items()}
+        merges = []
+        for _ in range(k):
+            pairs = {}
+            for syms, c in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + c
+            if not pairs:
+                break
+            (a, b), f = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if f < min_freq:
+                break
+            merges.append((a, b, f))
+            vocab = {
+                tuple(_merge_word(list(s), a, b)): c for s, c in vocab.items()
+            }
+        return merges
+
+    want = ref_bpe(wc, 10)
+    got = learn_bpe(word_counts(docs), 10)  # small vocab -> driver path
+    assert got == want, (got, want)
+    # force the DISTRIBUTED rounds and pin them to the same sequence
+    dist = learn_bpe(word_counts(docs), 10, driver_threshold=0)
+    assert dist == want, (dist, want)
+
+    enc = encode_bpe(docs, got)
+    for r in enc.select("text", "bpe_tokens").collect():
+        joined = "".join(r.bpe_tokens)
+        assert joined == r.text.replace(" ", "")
