@@ -1695,6 +1695,17 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span detection (operators/dedup.duplicate_spans):
+    stride-1 8-token windows shared by >= 2 docs, merged per doc into
+    maximal spans — finds repeated material at ANY alignment, the
+    span-level upgrade of q:segment_dedup."""
+    from vtk_reserves_spark.operators.dedup import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", window=8, min_docs=2)
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec path: synthesize genuine RIFF/WAVE PCM payloads
     from the text bytes (sources/wav.py pure-struct codec), decode the
@@ -2452,6 +2463,43 @@ def _llm_oracles() -> dict[str, str]:
             FROM d,
                  LATERAL (SELECT unnest(range(0, 2 + n % 4)) AS f) u
         """,
+        "duplicate_spans": f"""
+            -- mirror of duplicate_spans: stride-1 8-token windows,
+            -- hot = in >= 2 distinct docs, per-doc gaps-and-islands
+            -- merge of overlapping-or-abutting coverage
+            WITH toks AS (
+              SELECT doc_id, {_RAW_TOKS_SQL.format(c="text")} AS t
+              FROM documents
+            ), big AS (
+              SELECT * FROM toks WHERE len(t) >= 8
+            ), wins AS (
+              SELECT doc_id, u.i AS pos,
+                     array_to_string(
+                       list_slice(t, CAST(u.i + 1 AS BIGINT),
+                                  CAST(u.i + 8 AS BIGINT)), ' ') AS win
+              FROM big,
+                   LATERAL (SELECT unnest(range(0, len(t) - 8 + 1)) AS i) u
+            ), hot AS (
+              SELECT win FROM wins
+              GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+            ), hits AS (
+              SELECT w.doc_id, w.pos FROM wins w SEMI JOIN hot h USING (win)
+            ), isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > LAG(pos) OVER w + 8 THEN 1 ELSE 0 END AS nw
+              FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), g AS (
+              SELECT doc_id, pos,
+                     SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl
+            )
+            SELECT doc_id,
+                   CAST(MIN(pos) AS INT) AS span_start,
+                   CAST(MAX(pos) + 7 AS INT) AS span_end,
+                   CAST(COUNT(*) AS INT) AS n_windows
+            FROM g GROUP BY doc_id, island
+        """,
         "audio_features": """
             -- closed form of the WAV synthesis rule (attach_wav_payload):
             -- m = 64 + n%64 mono 16-bit samples at 8 kHz, sample i =
@@ -2635,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,  # rows-only: iterative greedy fixed point
         "audio_features": q_audio_features,
         "segment_dedup": q_segment_dedup,
+        "duplicate_spans": q_duplicate_spans,
         "video_frames": q_video_frames,
         "variogram": q_variogram,
         "swath": q_swath,

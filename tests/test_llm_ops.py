@@ -716,3 +716,32 @@ def test_learn_bpe_matches_reference(spark):
     for r in enc.select("text", "bpe_tokens").collect():
         joined = "".join(r.bpe_tokens)
         assert joined == r.text.replace(" ", "")
+
+
+def test_duplicate_spans_any_alignment(spark):
+    """A shared 10-token run is found at DIFFERENT offsets in each doc
+    (fixed-chunk dedup would miss the shifted copy), overlapping window
+    hits merge to one maximal span, and two separated runs in one doc
+    stay separate islands."""
+    from vtk_reserves_spark.operators.dedup import duplicate_spans
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+    other = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    rows = [
+        (1, run + " filler1 filler2 filler3 " + other),
+        (2, "pad1 pad2 pad3 " + run + " tail1 tail2"),
+        (3, other + " mid " + "x1 x2 x3 x4 x5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, window=4, min_docs=2).collect()
+    }
+    # doc 1: run at tokens 0-9 AND other at 13-22 -> two islands
+    assert (1, 0, 9) in spans
+    assert (1, 13, 22) in spans
+    # doc 2: the SAME run but shifted to tokens 3-12
+    assert (2, 3, 12) in spans
+    # doc 3: other at 0-9
+    assert (3, 0, 9) in spans
+    assert len(spans) == 4

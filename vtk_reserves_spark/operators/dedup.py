@@ -664,3 +664,73 @@ def remove_duplicate_segments(
         )
     )
     return out
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection (the span-level refinement of
+    :func:`remove_duplicate_segments`, after Lee et al. 2022's
+    repeated-substring observation): slide a ``window``-token window at
+    stride 1, find windows appearing verbatim in at least ``min_docs``
+    distinct docs, and merge each doc's overlapping hits into maximal
+    spans ``(doc_id, span_start, span_end, n_windows)`` (token
+    offsets, inclusive).
+
+    Callers cut or mask the spans; unlike the fixed-chunk operator this
+    finds duplicates at ANY alignment.  Scale shape: the stride-1
+    explode is a bounded ``window``-factor expansion of the token
+    stream; ONE count shuffle (map-side combine) reduces it; only the
+    hot windows — the duplicated material itself — survive into the
+    semi-join; span merging is a keyed window (lag + running sum) per
+    doc, never global.  At 100 TB swap the joined-string window key for
+    a rolling hash (same plan shape, 8x less shuffle width)."""
+    toked = df.select(
+        F.col(id_col).alias("_id"),
+        tokens(F.col(text_col)).alias("_t"),
+    ).where(F.size("_t") >= window)
+    wins = toked.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - window),
+                lambda i: F.array_join(F.slice(F.col("_t"), i + 1, window), " "),
+            )
+        ).alias("_pos", "_win"),
+    )
+    hot = (
+        wins.groupBy("_win")
+        .agg(F.count_distinct("_id").alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("_win")
+    )
+    hits = wins.join(hot, "_win", "left_semi")
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy("_id").orderBy("_pos")
+    # merge hits whose coverage [pos, pos+window-1] overlaps or abuts
+    new_island = F.when(
+        F.col("_pos") > F.lag("_pos").over(w_doc) + window, 1
+    ).otherwise(0)
+    islands = hits.withColumn("_new", new_island).withColumn(
+        "_island",
+        F.sum("_new").over(w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        islands.groupBy("_id", "_island")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + window - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            F.col("n_windows").cast("int").alias("n_windows"),
+        )
+    )
