@@ -1860,6 +1860,24 @@ def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-saving heavy hitters (operators/sketch.heavy_hitters) over
+    a 50-key composite of events: per-partition bounded summaries merge
+    in one tiny aggregation — the shuffle is partitions x capacity
+    rows, never the raw keys.  Capacity exceeds the cardinality here,
+    so the sketch degenerates to exact counts and the oracle is a plain
+    GROUP BY (the adversarial eviction bounds are pinned in pytest)."""
+    from vtk_reserves_spark.operators.sketch import heavy_hitters
+
+    ev = _read(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.concat_ws(
+            "#", "event_type", (F.col("user_id") % 10).cast("string")
+        ).alias("key")
+    )
+    return heavy_hitters(keyed, "key", k=10, capacity=256)
+
+
 def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-key top-k (streaming/ops.stream_topk): the 5
     largest events by value per event_type as bounded mergeable state
@@ -2673,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "stream_kmv": q_stream_kmv,
         "stream_topk": q_stream_topk,
+        "heavy_hitters": q_heavy_hitters,
         "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
         "krige_block": q_krige_block,  # rows-only: same reason
         "cokrige": q_cokrige,  # rows-only: same reason
@@ -3199,6 +3218,21 @@ def oracle_sql() -> dict[str, str]:
             FROM rf
             WINDOW c AS (PARTITION BY hid ORDER BY depth ASC
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "heavy_hitters": """
+            WITH keyed AS (
+              SELECT event_type || '#' || CAST(user_id % 10 AS VARCHAR) AS item
+              FROM events
+            ), c AS (
+              SELECT item, COUNT(*) AS n FROM keyed GROUP BY item
+            ), r AS (
+              SELECT item, n,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, item ASC) AS rn
+              FROM c
+            )
+            SELECT CAST(rn AS INT) AS rank, item,
+                   n AS count_min, n AS count_max
+            FROM r WHERE rn <= 10
         """,
         "nscore": _nscore_oracle(),
         "nscore_roundtrip": """

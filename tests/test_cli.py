@@ -255,3 +255,34 @@ def test_estimate_cli_mincurve_block_krige(tmp_path, spark):
     assert len(got) > 0
     assert got.between(10.0, 60.0).all()
     assert (est.kvar.dropna() >= 0).all()
+
+
+def test_dedup_spans_and_vocab_cli(tmp_path, spark):
+    import pandas as pd
+
+    from vtk_reserves_spark.cli import main
+
+    run = "a b c d e f g h"
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "text": [run + " x y z", "p q " + run]}
+    )
+    src = str(tmp_path / "c.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = str(tmp_path / "spans.parquet")
+    main([
+        "dedup", src, out, "--method", "spans",
+        "--chunk-tokens", "4", "--min-docs", "2",
+    ])
+    spans = spark.read.parquet(out).toPandas().set_index("doc_id")
+    assert (spans.loc[1, "span_start"], spans.loc[1, "span_end"]) == (0, 7)
+    assert (spans.loc[2, "span_start"], spans.loc[2, "span_end"]) == (2, 9)
+
+    src2 = str(tmp_path / "c2.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["lower lowest newer", "newest lower newest"]})
+    ).write.parquet(src2)
+    vocab_out = str(tmp_path / "merges.csv")
+    main(["vocab", src2, vocab_out, "--merges", "5"])
+    merges = pd.read_csv(vocab_out)
+    assert list(merges.columns) == ["step", "left", "right", "freq"]
+    assert len(merges) == 5

@@ -745,3 +745,26 @@ def test_duplicate_spans_any_alignment(spark):
     # doc 3: other at 0-9
     assert (3, 0, 9) in spans
     assert len(spans) == 4
+
+
+def test_heavy_hitters_guarantees_under_eviction(spark):
+    """capacity << cardinality: every item with true frequency >
+    n/capacity must appear, and count_min <= true <= count_max."""
+    from vtk_reserves_spark.operators.sketch import heavy_hitters
+
+    # 3 heavy items (1200/900/600) drowned in 2000 singleton keys
+    rows = (
+        [("hot1",)] * 1200 + [("hot2",)] * 900 + [("hot3",)] * 600
+        + [(f"noise{i}",) for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+    out = {r.item: r for r in heavy_hitters(df, "key", k=5, capacity=64).collect()}
+    n = len(rows)
+    true = {"hot1": 1200, "hot2": 900, "hot3": 600}
+    for item, t in true.items():
+        assert t > n / 64
+        assert item in out, item  # the space-saving presence guarantee
+        assert out[item].count_min <= t <= out[item].count_max, (item, out[item])
+    # top-3 ranks by upper bound are exactly the hot items
+    by_rank = sorted(out.values(), key=lambda r: r.rank)
+    assert {r.item for r in by_rank[:3]} == set(true)

@@ -154,7 +154,8 @@ def cmd_dedup(args) -> None:
     """Corpus deduplication pipeline (north-star LLM ops, SURVEY §2.8):
     exact -> keep min-id per normalized text; minhash -> LSH candidate
     pairs -> connected components -> keep the cluster representative;
-    segments -> CCNet-style boilerplate removal (rewrites text)."""
+    segments -> CCNet-style boilerplate removal (rewrites text);
+    spans -> any-alignment duplicate-span table for cutting/masking."""
     from pyspark.sql import functions as F
 
     from vtk_reserves_spark.sources.loaders import load_dataframe
@@ -162,6 +163,22 @@ def cmd_dedup(args) -> None:
 
     spark = _spark()
     df = load_dataframe(spark, args.input, keep_null=True)
+    if args.method == "spans":
+        # emit the duplicate-span table (doc_id, span_start, span_end,
+        # n_windows) for downstream cutting/masking
+        from vtk_reserves_spark.operators.dedup import duplicate_spans
+
+        save_table(
+            duplicate_spans(
+                df,
+                args.id_col,
+                args.text_col,
+                window=args.chunk_tokens,
+                min_docs=args.min_docs,
+            ),
+            args.output,
+        )
+        return
     if args.method == "segments":
         # not a row filter: rewrite each doc with its boilerplate
         # segments removed, keep the cleaned text alongside the id
@@ -276,6 +293,30 @@ def cmd_estimate(args) -> None:
     save_table(blocks.join(est, "cell"), args.output)
 
 
+def cmd_vocab(args) -> None:
+    """Learn a BPE merge table from a corpus (operators/bpe.py) and
+    save it as a small CSV report (step, left, right, freq)."""
+    import pandas as pd
+
+    from vtk_reserves_spark.operators.bpe import learn_bpe, word_counts
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+
+    spark = _spark()
+    df = load_dataframe(spark, args.input, keep_null=True)
+    merges = learn_bpe(
+        word_counts(df, args.text_col), num_merges=args.merges,
+        min_freq=args.min_freq,
+    )
+    pdf = pd.DataFrame(
+        [(i, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        columns=["step", "left", "right", "freq"],
+    )
+    if args.output:
+        pdf.to_csv(args.output, index=False)
+    else:
+        print(pdf.to_string(index=False))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vtk_reserves_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -327,15 +368,15 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("input")
     d.add_argument("output")
     d.add_argument(
-        "--method", choices=("exact", "minhash", "segments"), default="exact"
+        "--method", choices=("exact", "minhash", "segments", "spans"), default="exact"
     )
     d.add_argument(
         "--chunk-tokens", type=int, default=8,
-        help="segments only: token-window width for boilerplate removal",
+        help="segments/spans: token-window width",
     )
     d.add_argument(
         "--min-docs", type=int, default=2,
-        help="segments only: drop windows seen in at least this many docs",
+        help="segments/spans: windows seen in at least this many docs",
     )
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
@@ -374,6 +415,14 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--cell-size", type=float, default=10.0)
     e.add_argument("--keep-null", action="store_true")
     e.set_defaults(fn=cmd_estimate)
+
+    v = sub.add_parser("vocab", help="learn a BPE merge table from a corpus")
+    v.add_argument("input")
+    v.add_argument("output", nargs="?", default=None, help="CSV path (default: stdout)")
+    v.add_argument("--text-col", default="text")
+    v.add_argument("--merges", type=int, default=100)
+    v.add_argument("--min-freq", type=int, default=2)
+    v.set_defaults(fn=cmd_vocab)
     return p
 
 

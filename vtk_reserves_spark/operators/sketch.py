@@ -126,3 +126,90 @@ def kmv_merge(
         F.size(sketch_col).alias("n_kept"),
         _estimate_from_sketch(F.col(sketch_col), k).alias("est_distinct"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 10,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Approximate top-k frequent items via the space-saving sketch
+    (Metwally et al. 2005), two-stage:
+
+    1. each partition maintains a bounded ``capacity``-counter summary
+       in ``mapInPandas`` (the classic stream algorithm: new items
+       evict the minimum counter, inheriting its count as the
+       overestimate bound);
+    2. the per-partition summaries — ``capacity`` rows each, NOT the
+       raw data — union and merge in one tiny aggregation.
+
+    Returns the top ``k`` of ``(item, count_min, count_max)`` ordered
+    by ``count_max`` DESC with a deterministic item tie-break:
+    ``count_max`` sums each partition's (over)estimates, ``count_min``
+    subtracts their error bounds.  Guarantees: any item with true
+    frequency > n/capacity is present, and
+    ``count_min <= true <= count_max``.  When ``capacity`` is at least
+    the column's distinct count the sketch degenerates to EXACT counts
+    (``count_min == count_max`` — the oracle-checkable configuration).
+
+    Scale shape: the full-cardinality groupBy this replaces shuffles
+    every distinct key; here the shuffle is ``partitions × capacity``
+    rows regardless of cardinality."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    capacity = capacity or 8 * k
+
+    summary_schema = T.StructType(
+        [
+            T.StructField("item", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("err", T.LongType()),
+        ]
+    )
+
+    def summarize(batches):
+        counters: dict = {}  # item -> [count, err]
+        for pdf in batches:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                s = str(v)
+                if s in counters:
+                    counters[s][0] += 1
+                elif len(counters) < capacity:
+                    counters[s] = [1, 0]
+                else:
+                    # evict the min counter; deterministic tie-break so
+                    # reruns of the same partition agree
+                    evict = min(counters, key=lambda x: (counters[x][0], x))
+                    mn = counters[evict][0]
+                    del counters[evict]
+                    counters[s] = [mn + 1, mn]
+        yield pd.DataFrame(
+            [(i, c, e) for i, (c, e) in counters.items()],
+            columns=["item", "cnt", "err"],
+        )
+
+    summaries = df.select(F.col(value_col).cast("string").alias(value_col)).mapInPandas(
+        summarize, summary_schema
+    )
+    merged = summaries.groupBy("item").agg(
+        F.sum("cnt").alias("count_max"),
+        (F.sum("cnt") - F.sum("err")).alias("count_min"),
+    )
+    from pyspark.sql import Window as W
+
+    ranked = merged.withColumn(
+        "_rn",
+        F.row_number().over(
+            W.orderBy(F.desc("count_max"), F.asc("item"))
+        ),
+    )
+    return (
+        ranked.where(F.col("_rn") <= k)
+        .select(
+            F.col("_rn").alias("rank"), "item", "count_min", "count_max"
+        )
+    )
