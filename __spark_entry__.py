@@ -1891,6 +1891,23 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(st, output_mode="update", shuffle_partitions=8)
 
 
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming space-saving heavy hitters
+    (streaming/ops.stream_heavy_hitters): per-event-type top users as a
+    bounded counter summary in applyInPandasWithState; capacity exceeds
+    the per-type user cardinality here, so the drained result is exact
+    and matches the batch GROUP BY oracle (eviction-bound behavior is
+    pinned in pytest on the batch twin, same algorithm)."""
+    from vtk_reserves_spark.streaming.ops import stream_heavy_hitters
+
+    ev = _events_stream(spark, sf_dir)
+    keyed = ev.select(
+        "ts", "event_type", (F.col("user_id") % 10).cast("string").alias("ub")
+    )
+    st = stream_heavy_hitters(keyed, "event_type", "ub", k=5, capacity=64)
+    return run_available_now(st, output_mode="update", shuffle_partitions=8)
+
+
 def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV distinct sketch (streaming/ops.stream_kmv_distinct):
     per-event-type distinct-user estimate maintained as bounded k-min
@@ -2634,6 +2651,23 @@ def _stream_oracles() -> dict[str, str]:
             FROM kept WHERE rn <= 64
             GROUP BY event_type
         """,
+        "stream_heavy_hitters": """
+            WITH keyed AS (
+              SELECT event_type, CAST(user_id % 10 AS VARCHAR) AS ub
+              FROM events
+            ), c AS (
+              SELECT event_type, ub, COUNT(*) AS n
+              FROM keyed GROUP BY event_type, ub
+            ), r AS (
+              SELECT event_type, ub, n,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY n DESC, ub ASC) AS rn
+              FROM c
+            )
+            SELECT event_type, CAST(rn AS INT) AS rank, ub AS item,
+                   n AS count_min, n AS count_max
+            FROM r WHERE rn <= 5
+        """,
         "stream_topk": """
             SELECT event_type, CAST(rn AS INT) AS rank, event_id, value
             FROM (
@@ -2691,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "stream_kmv": q_stream_kmv,
         "stream_topk": q_stream_topk,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
         "heavy_hitters": q_heavy_hitters,
         "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
         "krige_block": q_krige_block,  # rows-only: same reason

@@ -195,3 +195,84 @@ def stream_kmv_distinct(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_heavy_hitters(
+    sdf: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 10,
+    capacity: int = 256,
+) -> DataFrame:
+    """Streaming space-saving heavy hitters: per ``key_col`` group, a
+    bounded ``capacity``-counter summary of ``value_col`` maintained in
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``operators.sketch.heavy_hitters`` (same algorithm, same
+    deterministic min-count/lexicographic eviction).
+
+    State per key is at most ``capacity`` (item, count, err) triples
+    forever.  Each batch re-emits the key's current top ``k`` with
+    ranks (update mode).  With ``capacity`` at least the value
+    cardinality no eviction ever happens, so the drained result is
+    EXACT and order-independent — the oracle-checkable configuration;
+    under eviction the space-saving presence/bound guarantees hold per
+    arrival order."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, rank int, item string, "
+        "count_min long, count_max long"
+    )
+    state_schema = "items array<string>, cnts array<long>, errs array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        items, cnts, errs = state.get if state.exists else ([], [], [])
+        counters = {i: [c, e] for i, c, e in zip(items, cnts, errs)}
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                s = str(v)
+                if s in counters:
+                    counters[s][0] += 1
+                elif len(counters) < capacity:
+                    counters[s] = [1, 0]
+                else:
+                    evict = min(counters, key=lambda x: (counters[x][0], x))
+                    mn = counters[evict][0]
+                    del counters[evict]
+                    counters[s] = [mn + 1, mn]
+        state.update(
+            (
+                list(counters.keys()),
+                [c for c, _ in counters.values()],
+                [e for _, e in counters.values()],
+            )
+        )
+        top = sorted(counters.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "item": [i for i, _ in top],
+                "count_min": [c - e for _, (c, e) in top],
+                "count_max": [c for _, (c, e) in top],
+            }
+        )
+
+    return (
+        sdf.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(value_col).cast("string").alias(value_col),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
