@@ -840,3 +840,17 @@ def test_nscore_backtransform_roundtrip(spark):
            nscore_backtransform(probe, "nscore", table, out_col="v2").collect()}
     assert got[-99.0] == 1.0 and got[99.0] == 50.0  # clamped to table ends
     assert 25.0 <= got[0.0] <= 26.0  # median deviate lands mid-table
+
+
+def test_probit_inverts_normal_cdf(spark):
+    """Phi(probit(p)) == p within the approximation's error bound for a
+    dense sweep of p, using the stdlib erf as the reference CDF."""
+    import math
+
+    ps = [i / 200.0 for i in range(1, 200)] + [1e-5, 1e-4, 0.9999, 0.99999]
+    df = spark.createDataFrame([(p,) for p in ps], "p double")
+    from vtk_reserves_spark.functions.stats import probit
+
+    for r in df.select("p", probit(F.col("p")).alias("y")).collect():
+        phi = 0.5 * (1.0 + math.erf(r.y / math.sqrt(2.0)))
+        assert phi == pytest.approx(r.p, abs=1e-8), (r.p, r.y, phi)
