@@ -1860,6 +1860,29 @@ def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint verification (operators/validate.check)
+    over lineitem: all row-level rules compile into ONE scan-bound
+    aggregation; the uniqueness rule adds one keyed groupBy.  Includes
+    deliberately failing rules so the report exercises both verdicts."""
+    from vtk_reserves_spark.operators.validate import check
+
+    li = _read(spark, sf_dir, "lineitem")
+    return check(
+        li,
+        [
+            ("not_null", "l_orderkey"),
+            ("not_null", "l_shipdate"),
+            ("in_range", "l_quantity", 1.0, 50.0),
+            ("in_range", "l_discount", 0.0, 0.05),  # fails: up to 0.10
+            ("matches", "l_returnflag", "[ARN]"),
+            ("accepted_values", "l_linestatus", ["O", "F"]),
+            ("unique", ["l_orderkey", "l_linenumber"]),  # dup pairs exist
+            ("row_count_min", 1000),
+        ],
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-saving heavy hitters (operators/sketch.heavy_hitters) over
     a 50-key composite of events: per-partition bounded summaries merge
@@ -2727,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk": q_stream_topk,
         "stream_heavy_hitters": q_stream_heavy_hitters,
         "heavy_hitters": q_heavy_hitters,
+        "quality_checks": q_quality_checks,
         "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
         "krige_block": q_krige_block,  # rows-only: same reason
         "cokrige": q_cokrige,  # rows-only: same reason
@@ -3253,6 +3277,56 @@ def oracle_sql() -> dict[str, str]:
             FROM rf
             WINDOW c AS (PARTITION BY hid ORDER BY depth ASC
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "quality_checks": """
+            WITH m AS (
+              SELECT 'not_null(l_orderkey)' AS rule,
+                     CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS metric
+              FROM lineitem
+              UNION ALL
+              SELECT 'not_null(l_shipdate)',
+                     CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'in_range(l_quantity,1.0,50.0)',
+                     CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                              AND (l_quantity < 1.0 OR l_quantity > 50.0)
+                              THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'in_range(l_discount,0.0,0.05)',
+                     CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                              AND (l_discount < 0.0 OR l_discount > 0.05)
+                              THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'matches(l_returnflag)',
+                     CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                              AND NOT regexp_full_match(l_returnflag, '[ARN]')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'accepted_values(l_linestatus)',
+                     CAST(SUM(CASE WHEN l_linestatus IS NOT NULL
+                              AND l_linestatus NOT IN ('O', 'F')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'unique(l_orderkey,l_linenumber)',
+                     CAST(COALESCE((SELECT SUM(n) FROM (
+                       SELECT COUNT(*) AS n FROM lineitem
+                       GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+                     )), 0) AS BIGINT)
+              UNION ALL
+              SELECT 'row_count_min(1000)',
+                     CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+            )
+            SELECT rule, metric,
+                   CASE WHEN rule = 'row_count_min(1000)'
+                        THEN metric >= 1000 ELSE metric = 0 END AS passed
+            FROM m ORDER BY rule
         """,
         "heavy_hitters": """
             WITH keyed AS (

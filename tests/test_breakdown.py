@@ -431,3 +431,40 @@ def test_breakdown_approx_weighted_quantiles(spark):
     approx = breakdown(li, tpl, approx=True).toPandas().set_index("l_returnflag")["wq2"]
     for flag in exact.index:
         assert abs(exact[flag] - approx[flag]) < 0.5, flag
+
+
+def test_quality_checks_hand_counted(spark):
+    """Every rule kind against a 5-row frame with known violations."""
+    from vtk_reserves_spark.operators.validate import check
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", "x1"),
+            (2, 60.0, "A", "x2"),     # out of range
+            (3, None, "B", "x3"),     # null v (range rule ignores)
+            (None, 20.0, "zz", "x4"), # null id; bad code
+            (5, 30.0, "A", "x4"),     # dup key with row above
+        ],
+        "id long, v double, code string, key string",
+    )
+    out = {r.rule: (r.metric, r.passed) for r in check(df, [
+        ("not_null", "id"),
+        ("in_range", "v", 0.0, 50.0),
+        ("matches", "code", "[A-C]"),
+        ("accepted_values", "code", ["A", "B"]),
+        ("unique", ["key"]),
+        ("row_count_min", 10),
+    ]).collect()}
+    assert out["not_null(id)"] == (1, False)
+    assert out["in_range(v,0.0,50.0)"] == (1, False)
+    assert out["matches(code)"] == (1, False)
+    assert out["accepted_values(code)"] == (1, False)
+    assert out["unique(key)"] == (2, False)  # both rows of the dup pair
+    assert out["row_count_min(10)"] == (5, False)
+    clean = {r.rule: r.passed for r in check(df.where("id IS NOT NULL AND v <= 50"), [
+        ("not_null", "id"), ("row_count_min", 2),
+    ]).collect()}
+    assert all(clean.values())
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown rule kind"):
+        check(df, [("nope", "id")])

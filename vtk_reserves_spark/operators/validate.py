@@ -1,0 +1,120 @@
+"""Declarative data-quality checks (Deequ-style constraint
+verification, Schelter et al. 2018 — the pipeline guard a 100 TB ingest
+runs before promoting a batch).
+
+Rules are plain tuples; row-level rules compile into ONE aggregation
+pass (each rule is a ``sum(when(violated, 1))`` — map-side combined,
+scan-bound), and uniqueness rules each add one keyed groupBy.  The
+report is one tiny DataFrame ``(rule, metric, passed)`` — safe to
+collect, alert on, or append to a history table.
+
+Rule kinds:
+
+- ``("not_null", col)`` — metric = NULL count;
+- ``("in_range", col, lo, hi)`` — metric = count outside [lo, hi]
+  (NULLs don't count; pair with not_null to forbid them);
+- ``("matches", col, regex)`` — metric = non-NULL values NOT fully
+  matching ``regex`` (Java regex semantics, anchored);
+- ``("accepted_values", col, [v, ...])`` — metric = non-NULL values
+  outside the list;
+- ``("unique", [col, ...])`` — metric = rows carrying a duplicated key
+  (total rows in groups of size > 1);
+- ``("row_count_min", n)`` — metric = total rows, passes when >= n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _rule_name(rule: tuple) -> str:
+    kind = rule[0]
+    if kind == "unique":
+        return f"unique({','.join(rule[1])})"
+    if kind == "row_count_min":
+        return f"row_count_min({rule[1]})"
+    if kind == "in_range":
+        return f"in_range({rule[1]},{rule[2]!r},{rule[3]!r})"
+    if kind == "matches":
+        return f"matches({rule[1]})"
+    if kind == "accepted_values":
+        return f"accepted_values({rule[1]})"
+    return f"{kind}({rule[1]})"
+
+
+def check(df: DataFrame, rules: list) -> DataFrame:
+    """Verify ``rules`` against ``df``; returns
+    ``(rule, metric, passed)`` ordered by rule name."""
+    agg_exprs = []
+    agg_meta = []  # (name, passes_when_zero=True) or special row_count
+    unique_rules = []
+    for rule in rules:
+        kind = rule[0]
+        name = _rule_name(rule)
+        if kind == "not_null":
+            viol = F.col(rule[1]).isNull()
+        elif kind == "in_range":
+            c = F.col(rule[1])
+            viol = c.isNotNull() & ((c < rule[2]) | (c > rule[3]))
+        elif kind == "matches":
+            c = F.col(rule[1])
+            viol = c.isNotNull() & ~c.rlike(f"^(?:{rule[2]})$")
+        elif kind == "accepted_values":
+            c = F.col(rule[1])
+            viol = c.isNotNull() & ~c.isin(list(rule[2]))
+        elif kind == "row_count_min":
+            agg_exprs.append(F.count(F.lit(1)).alias(name))
+            agg_meta.append((name, ("min", int(rule[1]))))
+            continue
+        elif kind == "unique":
+            unique_rules.append((name, list(rule[1])))
+            continue
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        agg_exprs.append(
+            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(name)
+        )
+        agg_meta.append((name, ("zero", None)))
+
+    spark = df.sparkSession
+    parts = []
+    if agg_exprs:
+        row = df.agg(*agg_exprs)
+        selects = []
+        for name, (mode, arg) in agg_meta:
+            metric = F.coalesce(F.col(f"`{name}`"), F.lit(0)).cast("long")
+            passed = metric >= arg if mode == "min" else metric == 0
+            selects.append(
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    metric.alias("metric"),
+                    passed.alias("passed"),
+                ).alias(name)
+            )
+        wide = row.select(F.array(*selects).alias("a"))
+        parts.append(
+            wide.select(F.explode("a").alias("s")).select(
+                "s.rule", "s.metric", "s.passed"
+            )
+        )
+    for name, cols in unique_rules:
+        dup_rows = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("metric"))
+        )
+        parts.append(
+            dup_rows.select(
+                F.lit(name).alias("rule"),
+                "metric",
+                (F.col("metric") == 0).alias("passed"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], "rule string, metric long, passed boolean")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rule")
