@@ -1883,6 +1883,15 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (operators/validate.profile) over orders: counts,
+    nulls, exact distincts, stringified min/max for every column in ONE
+    aggregation pass (multiple distincts lower via Catalyst expand)."""
+    from vtk_reserves_spark.operators.validate import profile
+
+    return profile(_read(spark, sf_dir, "orders"))
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-saving heavy hitters (operators/sketch.heavy_hitters) over
     a 50-key composite of events: per-partition bounded summaries merge
@@ -2751,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_heavy_hitters": q_stream_heavy_hitters,
         "heavy_hitters": q_heavy_hitters,
         "quality_checks": q_quality_checks,
+        "profile": q_profile,
         "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
         "krige_block": q_krige_block,  # rows-only: same reason
         "cokrige": q_cokrige,  # rows-only: same reason
@@ -3277,6 +3287,62 @@ def oracle_sql() -> dict[str, str]:
             FROM rf
             WINDOW c AS (PARTITION BY hid ORDER BY depth ASC
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "profile": """
+              SELECT 'o_orderkey' AS "column", 'bigint' AS dtype,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_null,
+                     CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                     CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+                     CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey' AS "column", 'bigint' AS dtype,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_null,
+                     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                     CAST(MIN(o_custkey) AS VARCHAR) AS min_str,
+                     CAST(MAX(o_custkey) AS VARCHAR) AS max_str
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus' AS "column", 'string' AS dtype,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_null,
+                     CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+                     CAST(MIN(o_orderstatus) AS VARCHAR) AS min_str,
+                     CAST(MAX(o_orderstatus) AS VARCHAR) AS max_str
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice' AS "column", 'double' AS dtype,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_null,
+                     CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+                     CAST(MIN(o_totalprice) AS VARCHAR) AS min_str,
+                     CAST(MAX(o_totalprice) AS VARCHAR) AS max_str
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderdate' AS "column", 'timestamp_ntz' AS dtype,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_null,
+                     CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_distinct,
+                     CAST(MIN(o_orderdate) AS VARCHAR) AS min_str,
+                     CAST(MAX(o_orderdate) AS VARCHAR) AS max_str
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority' AS "column", 'string' AS dtype,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_null,
+                     CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct,
+                     CAST(MIN(o_orderpriority) AS VARCHAR) AS min_str,
+                     CAST(MAX(o_orderpriority) AS VARCHAR) AS max_str
+              FROM orders
+              ORDER BY "column"
         """,
         "quality_checks": """
             WITH m AS (

@@ -468,3 +468,19 @@ def test_quality_checks_hand_counted(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="unknown rule kind"):
         check(df, [("nope", "id")])
+
+
+def test_profile_hand_counted(spark):
+    from vtk_reserves_spark.operators.validate import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "id long, s string"
+    )
+    out = {r.column: r for r in profile(df).collect()}
+    assert out["id"].n == 3 and out["id"].n_null == 0 and out["id"].n_distinct == 2
+    assert out["id"].min_str == "1" and out["id"].max_str == "2"
+    assert out["s"].n_null == 1 and out["s"].n_distinct == 2
+    assert out["s"].dtype == "string"
+    # approx mode keeps the same schema and plausible counts
+    ap = {r.column: r for r in profile(df, exact_distinct=False).collect()}
+    assert ap["id"].n_distinct >= 1 and ap["s"].n == 3

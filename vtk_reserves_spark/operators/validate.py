@@ -118,3 +118,48 @@ def check(df: DataFrame, rules: list) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("rule")
+
+
+def profile(df: DataFrame, columns: list | None = None, exact_distinct: bool = True) -> DataFrame:
+    """Column profiler: one row per column with ``(column, dtype, n,
+    n_null, n_distinct, min_str, max_str)`` — the quick-look summary a
+    pipeline logs next to its :func:`check` report.
+
+    Everything computes in ONE aggregation pass.  ``exact_distinct``
+    uses ``count(distinct col)`` per column (Catalyst lowers multiple
+    distinct aggregates via expand — fine for tens of columns, and the
+    oracle-checkable mode); pass ``False`` for
+    ``approx_count_distinct`` (HLL, no expand) on very wide or very
+    large tables.  min/max stringify so heterogeneous column types fit
+    one report schema."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(f"`{c}`")
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"_null_{c}"))
+        aggs.append(
+            (F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col))
+            .cast("long").alias(f"_dist_{c}")
+        )
+        aggs.append(F.min(col).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"_max_{c}"))
+    row = df.agg(*aggs)
+    dtypes = dict(df.dtypes)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(dtypes[c]).alias("dtype"),
+            F.col("_n").cast("long").alias("n"),
+            F.col(f"`_null_{c}`").alias("n_null"),
+            F.col(f"`_dist_{c}`").alias("n_distinct"),
+            F.col(f"`_min_{c}`").alias("min_str"),
+            F.col(f"`_max_{c}`").alias("max_str"),
+        ).alias(c)
+        for c in cols
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.column", "s.dtype", "s.n", "s.n_null", "s.n_distinct",
+                "s.min_str", "s.max_str")
+        .orderBy("column")
+    )
