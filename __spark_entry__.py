@@ -1038,7 +1038,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_nscore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward + inverse normal-score transform
-    (operators/geostats.nscore / nscore_backtransform): 2000 synthetic
+    (operators/geostats.nscore / nscore_backtransform): 800 synthetic
     values through the full cycle.  At the transform-table knots the
     linear interpolation is exact, so the oracle is the identity —
     which makes this a hash check of BOTH directions composed."""
@@ -1047,7 +1047,7 @@ def q_nscore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         nscore_backtransform,
     )
 
-    s = spark.range(2000).select(
+    s = spark.range(800).select(
         "id",
         (
             ((F.col("id") * 2654435761) % 97003).cast("double")
@@ -3416,7 +3416,7 @@ def oracle_sql() -> dict[str, str]:
                          + r.range / 1000.0, 6) AS val,
                    ROUND(CAST((r.range * 2654435761) % 97003 AS DOUBLE)
                          + r.range / 1000.0, 6) AS val_back
-            FROM range(2000) r
+            FROM range(800) r
         """,
         "decluster": """
             WITH s AS (
