@@ -1860,6 +1860,31 @@ def q_stream_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear as-of interpolation (operators/asof.asof_interpolate):
+    500 query times against 80 irregular observations in 4 groups —
+    value estimated between the surrounding observations via the same
+    ONE-shuffle union+window device as the as-of join."""
+    from vtk_reserves_spark.operators.asof import asof_interpolate
+
+    left = spark.range(500).select(
+        F.col("id").alias("qid"),
+        (F.col("id") % 4).cast("int").alias("grp"),
+        (((F.col("id") * 7) % 400) / 2.0).alias("t"),
+    )
+    right = spark.range(80).select(
+        (F.col("id") % 4).cast("int").alias("grp"),
+        ((F.col("id") * 13) % 200).cast("double").alias("t"),
+        (((F.col("id") * 17) % 50) + ((F.col("id") * 13) % 200) / 10.0).alias(
+            "obs"
+        ),
+    )
+    out = asof_interpolate(left, right, "t", "obs", by="grp")
+    return out.select(
+        "qid", "grp", "t", F.round("obs_interp", 6).alias("obs_interp")
+    )
+
+
 def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint verification (operators/validate.check)
     over lineitem: all row-level rules compile into ONE scan-bound
@@ -2759,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk": q_stream_topk,
         "stream_heavy_hitters": q_stream_heavy_hitters,
         "heavy_hitters": q_heavy_hitters,
+        "asof_interpolate": q_asof_interpolate,
         "quality_checks": q_quality_checks,
         "profile": q_profile,
         "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
@@ -3343,6 +3369,47 @@ def oracle_sql() -> dict[str, str]:
                      CAST(MAX(o_orderpriority) AS VARCHAR) AS max_str
               FROM orders
               ORDER BY "column"
+        """,
+        "asof_interpolate": """
+            WITH l AS (
+              SELECT r.range AS qid,
+                     CAST(r.range % 4 AS INT) AS grp,
+                     CAST((r.range * 7) % 400 AS DOUBLE) / 2.0 AS t
+              FROM range(500) r
+            ), ob AS (
+              SELECT CAST(r.range % 4 AS INT) AS grp,
+                     CAST((r.range * 13) % 200 AS DOUBLE) AS t,
+                     CAST((r.range * 17) % 50 AS DOUBLE)
+                       + CAST((r.range * 13) % 200 AS DOUBLE) / 10.0 AS obs
+              FROM range(80) r
+            ), u AS (
+              SELECT grp, t, 1 AS side, qid, CAST(NULL AS DOUBLE) AS obs
+              FROM l
+              UNION ALL
+              SELECT grp, t, 0, NULL, obs FROM ob
+            ), f AS (
+              SELECT *,
+                     last_value(obs IGNORE NULLS) OVER
+                       (PARTITION BY grp ORDER BY t ASC, side ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                     last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER
+                       (PARTITION BY grp ORDER BY t ASC, side ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                     first_value(obs IGNORE NULLS) OVER
+                       (PARTITION BY grp ORDER BY t ASC, side ASC
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                     first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER
+                       (PARTITION BY grp ORDER BY t ASC, side ASC
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+              FROM u
+            )
+            SELECT qid, grp, t,
+                   ROUND(CASE WHEN pt IS NULL THEN nv
+                              WHEN nt IS NULL THEN pv
+                              WHEN nt = pt THEN pv
+                              ELSE pv + (t - pt) / (nt - pt) * (nv - pv)
+                         END, 6) AS obs_interp
+            FROM f WHERE side = 1
         """,
         "quality_checks": """
             WITH m AS (

@@ -211,3 +211,32 @@ def test_range_join_mixed_timestamp_flavors_rejected(spark):
     )
     with pytest.raises(ValueError, match="mixed Timestamp"):
         range_join(pts, iv, on="ts", lo="lo", hi="hi", by="k", bucket=3600.0)
+
+
+def test_asof_interpolate_hand_checked(spark):
+    """Linear interpolation between surrounding observations; exact-time
+    hit reproduces the observation; ends hold the nearest value; empty
+    groups yield NULL."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vtk_reserves_spark.operators.asof import asof_interpolate
+
+    right = spark.createDataFrame(
+        [("a", 10.0, 100.0), ("a", 20.0, 200.0), ("a", 40.0, 100.0)],
+        "grp string, t double, v double",
+    )
+    left = spark.createDataFrame(
+        [("a", 15.0), ("a", 20.0), ("a", 35.0), ("a", 5.0), ("a", 99.0),
+         ("b", 10.0)],
+        "grp string, t double",
+    )
+    out = {
+        (r.grp, r.t): r.v_interp
+        for r in asof_interpolate(left, right, "t", "v", by="grp").collect()
+    }
+    assert out[("a", 15.0)] == pytest.approx(150.0)   # midway 100->200
+    assert out[("a", 20.0)] == pytest.approx(200.0)   # exact hit
+    assert out[("a", 35.0)] == pytest.approx(125.0)   # 3/4 along 200->100
+    assert out[("a", 5.0)] == pytest.approx(100.0)    # before first: hold
+    assert out[("a", 99.0)] == pytest.approx(100.0)   # after last: hold
+    assert out[("b", 10.0)] is None                   # no observations

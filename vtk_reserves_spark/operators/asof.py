@@ -172,3 +172,80 @@ def range_join(
         (F.col(lo) <= F.col(on)) & (F.col(on) < F.col(hi))
     )
     return joined.drop("_b")
+
+
+def asof_interpolate(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    value_col: str,
+    by: list[str] | str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear time interpolation: for each left row, estimate
+    ``value_col`` at its ``on`` time from the NEAREST right observation
+    on each side — ``v = v_prev + (t - t_prev)/(t_next - t_prev) *
+    (v_next - v_prev)`` (sensor fusion / irregular-series alignment,
+    the two-sided refinement of :func:`asof_join`'s last-value hold).
+
+    Edge semantics: a left time before the first / after the last
+    observation (within its ``by`` group) holds the single available
+    end value; groups with no observations yield NULL.  An observation
+    exactly at the left time reproduces it exactly.
+
+    Same ONE-shuffle device as :func:`asof_join`: union both sides,
+    one keyed window ordered by time computes the previous observation
+    via ``last(ignorenulls)`` and the next via the mirrored
+    ``first(ignorenulls)`` over the following frame — no range
+    self-join, no per-row search."""
+    from pyspark.sql import Window as W
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    out_col = out_col or f"{value_col}_interp"
+    num = F.col(on).cast("double")
+
+    lcols = [c for c in left.columns if c not in by and c != on]
+    l2 = left.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_side"),
+        *lcols,
+        F.lit(None).cast("double").alias("_obs"),
+    )
+    r2 = right.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.col(value_col).cast("double").alias("_obs"),
+    )
+    u = l2.unionByName(r2)
+    # observations sort BEFORE queries at the same time so an exact-time
+    # observation is its own "previous" (reproduced exactly)
+    w = W.partitionBy(*by).orderBy(F.col("_t").asc(), F.col("_side").asc())
+    prev_frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    next_frame = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    obs_t = F.when(F.col("_side") == 0, F.col("_t").cast("double"))
+    u = (
+        u.withColumn("_pv", F.last("_obs", ignorenulls=True).over(prev_frame))
+        .withColumn("_pt", F.last(obs_t, ignorenulls=True).over(prev_frame))
+        .withColumn("_nv", F.first("_obs", ignorenulls=True).over(next_frame))
+        .withColumn("_nt", F.first(obs_t, ignorenulls=True).over(next_frame))
+    )
+    t = F.col("_t").cast("double")
+    interp = F.when(
+        F.col("_pt").isNull(), F.col("_nv")  # before first obs: hold next
+    ).when(
+        F.col("_nt").isNull(), F.col("_pv")  # after last obs: hold prev
+    ).when(
+        F.col("_nt") == F.col("_pt"), F.col("_pv")  # exact hit / dup time
+    ).otherwise(
+        F.col("_pv")
+        + (t - F.col("_pt")) / (F.col("_nt") - F.col("_pt"))
+        * (F.col("_nv") - F.col("_pv"))
+    )
+    return (
+        u.where(F.col("_side") == 1)
+        .withColumn(out_col, interp)
+        .select(*by, F.col("_t").alias(on), *lcols, out_col)
+    )
