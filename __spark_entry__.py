@@ -2595,7 +2595,9 @@ def _llm_oracles() -> dict[str, str]:
         "audio_features": """
             -- closed form of the WAV synthesis rule (attach_wav_payload):
             -- m = 64 + n%64 mono 16-bit samples at 8 kHz, sample i =
-            -- (byte[i%n] - 96) * 256; ASCII corpus so ord() == byte.
+            -- (byte[i%n] % 192 - 96) * 256; the corpus is pure ASCII
+            -- (ord() == byte < 192) so the % 192 guard is the identity
+            -- here and the SQL omits it.
             -- DuckDB lists are 1-indexed: v[i] is sample i-1.
             WITH d AS (SELECT doc_id, text, length(text) AS n
                        FROM documents),

@@ -222,7 +222,11 @@ def test_asof_interpolate_hand_checked(spark):
     from vtk_reserves_spark.operators.asof import asof_interpolate
 
     right = spark.createDataFrame(
-        [("a", 10.0, 100.0), ("a", 20.0, 200.0), ("a", 40.0, 100.0)],
+        # the NULL-valued observation at t=15 must be IGNORED entirely —
+        # letting it through would contribute its time to the previous-
+        # observation tracking and skew the t=15..20 interpolation
+        [("a", 10.0, 100.0), ("a", 15.0, None), ("a", 20.0, 200.0),
+         ("a", 40.0, 100.0)],
         "grp string, t double, v double",
     )
     left = spark.createDataFrame(

@@ -768,3 +768,23 @@ def test_heavy_hitters_guarantees_under_eviction(spark):
     # top-3 ranks by upper bound are exactly the hot items
     by_rank = sorted(out.values(), key=lambda r: r.rank)
     assert {r.item for r in by_rank[:3]} == set(true)
+
+
+def test_heavy_hitters_cross_partition_upper_bound(spark):
+    """An item heavy in one partition but EVICTED in another must keep
+    count_max >= its true count: absent partitions contribute their
+    summary floor to the upper bound (the proper space-saving merge)."""
+    from vtk_reserves_spark.operators.sketch import heavy_hitters
+
+    # partition A (part=0): X dominates, no eviction pressure on X
+    # partition B (part=1): X appears early, then a flood of distinct
+    # keys with capacity 8 evicts it
+    rows = [("X", 0)] * 100 + [("X", 1)] * 50 + [
+        (f"flood{i}", 1) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "key string, part int").repartition(
+        2, "part"
+    )
+    out = {r.item: r for r in heavy_hitters(df, "key", k=3, capacity=8).collect()}
+    assert "X" in out
+    assert out["X"].count_min <= 150 <= out["X"].count_max, out["X"]

@@ -202,7 +202,6 @@ def asof_interpolate(
 
     by = [by] if isinstance(by, str) else list(by or [])
     out_col = out_col or f"{value_col}_interp"
-    num = F.col(on).cast("double")
 
     lcols = [c for c in left.columns if c not in by and c != on]
     l2 = left.select(
@@ -212,12 +211,19 @@ def asof_interpolate(
         *lcols,
         F.lit(None).cast("double").alias("_obs"),
     )
-    r2 = right.select(
-        *by,
-        F.col(on).alias("_t"),
-        F.lit(0).alias("_side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        F.col(value_col).cast("double").alias("_obs"),
+    # a NULL-valued observation is NO observation: letting it through
+    # would contribute its TIME to _pt/_nt without a value, corrupting
+    # the interpolation weight (or nulling a query that has valued
+    # neighbors)
+    r2 = (
+        right.where(F.col(value_col).isNotNull())
+        .select(
+            *by,
+            F.col(on).alias("_t"),
+            F.lit(0).alias("_side"),
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+            F.col(value_col).cast("double").alias("_obs"),
+        )
     )
     u = l2.unionByName(r2)
     # observations sort BEFORE queries at the same time so an exact-time

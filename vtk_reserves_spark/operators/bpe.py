@@ -19,9 +19,10 @@ table, not the corpus (Heaps' law: distinct words ≪ corpus tokens):
   pandas UDF (merging is a sequential left-to-right scan inside each
   word — not expressible with Catalyst array functions — but each word
   is tiny and independent, so batch-level Python is the right tool);
-- the word table re-caches each round with the retired round's blocks
-  released (the `dedup.duplicate_clusters` discipline), so K merges
-  cost K small shuffles over the vocabulary, never K corpus passes.
+- each round eagerly checkpoints the new word table (lineage
+  truncation + materialization; retired rounds' blocks release via the
+  ContextCleaner when their references drop), so K merges cost K small
+  shuffles over the vocabulary, never K corpus passes.
 
 Correctness is pinned against a pure-Python reference implementation
 (same tie-break) in tests/test_llm_ops.py; the learned-merge query is
@@ -107,16 +108,24 @@ def learn_bpe(
     vocabularies (real web corpora: 10-100M+ distinct words) keep the
     distributed rounds.  Both paths implement the identical rule, so
     the cutover does not change the learned merges."""
-    if driver_threshold and words.count() <= driver_threshold:
-        counts = {r["word"]: r["count"] for r in words.collect()}
-        return _learn_bpe_local(counts, num_merges, min_freq)
-    spark = words.sparkSession
-    sym = words.select(
-        F.split(F.col("word"), "").alias("syms"),
-        F.col("count").cast("long").alias("count"),
-    ).where(F.size("syms") > 0)
-    sym = sym.persist()
-    sym.count()
+    # words is the ONE corpus-wide pass: persist it so the threshold
+    # count and the chosen path's first read share a single scan
+    words = words.persist()
+    try:
+        if driver_threshold and words.count() <= driver_threshold:
+            counts = {r["word"]: r["count"] for r in words.collect()}
+            return _learn_bpe_local(counts, num_merges, min_freq)
+        sym = words.select(
+            F.split(F.col("word"), "").alias("syms"),
+            F.col("count").cast("long").alias("count"),
+        ).where(F.size("syms") > 0)
+        # eager checkpoint (not persist): each round reads only the
+        # PREVIOUS round's table, so a cache registration per round
+        # would just accumulate; checkpoint blocks are released by the
+        # ContextCleaner once the superseded round's reference drops
+        sym = sym.localCheckpoint(eager=True)
+    finally:
+        words.unpersist()
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def apply_merge(syms_series, left_series, right_series):
@@ -129,42 +138,36 @@ def learn_bpe(
         )
 
     merges: list = []
-    try:
-        for _ in range(num_merges):
-            pairs = sym.select(
-                F.explode(
-                    F.transform(
-                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                        lambda s, i: F.struct(
-                            s.alias("l"),
-                            F.element_at(F.col("syms"), i + 2).alias("r"),
-                        ),
-                    )
-                ).alias("p"),
-                "count",
-            )
-            top = (
-                pairs.groupBy("p")
-                .agg(F.sum("count").alias("freq"))
-                .orderBy(F.desc("freq"), F.asc("p.l"), F.asc("p.r"))
-                .limit(1)
-                .collect()
-            )
-            if not top or top[0]["freq"] < min_freq:
-                break
-            left, right = top[0]["p"]["l"], top[0]["p"]["r"]
-            merges.append((left, right, int(top[0]["freq"])))
-            nxt = sym.select(
-                apply_merge(
-                    F.col("syms"), F.lit(left), F.lit(right)
-                ).alias("syms"),
-                "count",
-            ).persist()
-            nxt = nxt.localCheckpoint(eager=True)  # truncate the lineage
-            sym.unpersist()
-            sym = nxt
-    finally:
-        sym.unpersist()
+    for _ in range(num_merges):
+        pairs = sym.select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    lambda s, i: F.struct(
+                        s.alias("l"),
+                        F.element_at(F.col("syms"), i + 2).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+            "count",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("count").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["freq"] < min_freq:
+            break
+        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
+        merges.append((left, right, int(top[0]["freq"])))
+        sym = sym.select(
+            apply_merge(
+                F.col("syms"), F.lit(left), F.lit(right)
+            ).alias("syms"),
+            "count",
+        ).localCheckpoint(eager=True)
     return merges
 
 

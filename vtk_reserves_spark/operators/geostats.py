@@ -545,14 +545,9 @@ def ordinary_cokrige(
         q = q.sort_values(block_id, kind="stable")
         n1 = p.groupby(block_id, sort=True).size()
         n2 = q.groupby(block_id, sort=True).size()
+        # every candidate row carries _v1 or _v2 (the gather filters on
+        # that), so every block id in pdf appears in p or q — no backfill
         info = pd.DataFrame({"_n1": n1, "_n2": n2}).fillna(0).astype(int)
-        # blocks with candidates but no usable value in either set still
-        # exist in pdf: give them zero counts
-        missing = pd.Index(pdf[block_id].unique()).difference(info.index)
-        if len(missing):
-            info = pd.concat(
-                [info, pd.DataFrame({"_n1": 0, "_n2": 0}, index=missing)]
-            )
         info = info.sort_index()
         key = info["_n1"] * (max_samples + 1) + info["_n2"]
         p_key = p[block_id].map(key).to_numpy()
@@ -635,7 +630,6 @@ def ordinary_cokrige(
 def decluster_weights(
     samples: DataFrame,
     cell_size: float,
-    value_col: str | None = None,
     xyz=("x", "y", "z"),
 ) -> DataFrame:
     """Cell-declustering weights (Deutsch & Journel, GSLIB `declus`):
@@ -648,9 +642,8 @@ def decluster_weights(
 
     Pure Catalyst: one count per cell (map-side combine) + one scalar
     subquery for the occupied-cell count + a broadcast-sized join back.
-    Returns the input columns plus ``declus_wt`` (and, if ``value_col``
-    is given, nothing else changes — callers aggregate
-    ``value * declus_wt`` downstream)."""
+    Returns the input columns plus ``declus_wt``; callers aggregate
+    ``value * declus_wt`` downstream."""
     sx, sy, sz = (F.col(c) for c in xyz)
     keyed = samples.withColumn(
         "_cx", F.floor(sx / cell_size).cast("long")

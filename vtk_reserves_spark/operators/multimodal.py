@@ -107,10 +107,13 @@ def attach_wav_payload(
 ) -> DataFrame:
     """Synthesize a REAL WAV payload per row (pure-struct RIFF codec,
     `sources/wav.py`): mono 16-bit PCM with ``m = 64 + n % 64`` samples
-    (n = utf-8 byte count), sample ``i = (byte[i % n] - 96) * 256``
-    (all-zero when the text is empty).  ASCII text straddles byte 96,
-    so the waveform genuinely crosses zero — deterministic and
-    oracle-expressible while the payload is a genuine audio container."""
+    (n = utf-8 byte count), sample ``i = (byte[i % n] % 192 - 96) * 256``
+    (all-zero when the text is empty).  ASCII straddles byte 96, so the
+    waveform genuinely crosses zero, and the ``% 192`` keeps non-ASCII
+    utf-8 bytes (>= 0xC0) inside int16 instead of silently wrapping —
+    for pure-ASCII text (the oracle corpus) it is the identity.
+    Deterministic and oracle-expressible while the payload is a genuine
+    audio container."""
     from vtk_reserves_spark.sources.wav import encode_wav
 
     @F.pandas_udf(T.BinaryType())
@@ -123,7 +126,7 @@ def attach_wav_payload(
             n = b.size
             m = 64 + n % 64
             s = (
-                (b[np.arange(m) % n] - 96) * 256
+                (b[np.arange(m) % n] % 192 - 96) * 256
                 if n
                 else np.zeros(m, np.int64)
             )

@@ -128,6 +128,28 @@ def kmv_merge(
     )
 
 
+def space_saving_update(counters: dict, values, capacity: int) -> None:
+    """The space-saving (Metwally et al. 2005) counter update, shared
+    by the batch sketch below and its streaming twin
+    (`streaming/ops.stream_heavy_hitters`) so the two can never
+    desynchronize: ``counters`` maps item -> [count, err]; new items
+    evict the minimum counter (deterministic (count, lexicographic)
+    tie-break), inheriting its count as the overestimate bound."""
+    for v in values:
+        if v is None:
+            continue
+        s = str(v)
+        if s in counters:
+            counters[s][0] += 1
+        elif len(counters) < capacity:
+            counters[s] = [1, 0]
+        else:
+            evict = min(counters, key=lambda x: (counters[x][0], x))
+            mn = counters[evict][0]
+            del counters[evict]
+            counters[s] = [mn + 1, mn]
+
+
 def heavy_hitters(
     df: DataFrame,
     value_col: str,
@@ -138,24 +160,27 @@ def heavy_hitters(
     (Metwally et al. 2005), two-stage:
 
     1. each partition maintains a bounded ``capacity``-counter summary
-       in ``mapInPandas`` (the classic stream algorithm: new items
-       evict the minimum counter, inheriting its count as the
-       overestimate bound);
+       in ``mapInPandas`` (:func:`space_saving_update`), recording
+       alongside it the partition's FLOOR — its minimum counter value
+       when full, 0 otherwise;
     2. the per-partition summaries — ``capacity`` rows each, NOT the
        raw data — union and merge in one tiny aggregation.
 
-    Returns the top ``k`` of ``(item, count_min, count_max)`` ordered
-    by ``count_max`` DESC with a deterministic item tie-break:
-    ``count_max`` sums each partition's (over)estimates, ``count_min``
-    subtracts their error bounds.  Guarantees: any item with true
-    frequency > n/capacity is present, and
+    The merge is the proper distributed space-saving combine: an item
+    absent from a partition's summary may still have occurred up to
+    that partition's floor times there, so
+    ``count_max = sum(present cnt) + sum(floors of ABSENT partitions)``
+    and ``count_min = sum(present cnt - err)``.  Guarantees: any item
+    with true frequency > n/capacity is present, and
     ``count_min <= true <= count_max``.  When ``capacity`` is at least
-    the column's distinct count the sketch degenerates to EXACT counts
-    (``count_min == count_max`` — the oracle-checkable configuration).
+    the column's distinct count no eviction happens, every floor is 0,
+    and the sketch degenerates to EXACT counts (``count_min ==
+    count_max`` — the oracle-checkable configuration).
 
-    Scale shape: the full-cardinality groupBy this replaces shuffles
-    every distinct key; here the shuffle is ``partitions × capacity``
-    rows regardless of cardinality."""
+    Returns the top ``k`` by ``count_max`` DESC with a deterministic
+    item tie-break.  Scale shape: the full-cardinality groupBy this
+    replaces shuffles every distinct key; here the shuffle is
+    ``partitions × capacity`` rows regardless of cardinality."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -163,41 +188,55 @@ def heavy_hitters(
 
     summary_schema = T.StructType(
         [
+            T.StructField("pid", T.IntegerType()),
             T.StructField("item", T.StringType()),
             T.StructField("cnt", T.LongType()),
             T.StructField("err", T.LongType()),
+            T.StructField("floor", T.LongType()),
         ]
     )
 
     def summarize(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
         counters: dict = {}  # item -> [count, err]
         for pdf in batches:
-            for v in pdf[value_col]:
-                if v is None:
-                    continue
-                s = str(v)
-                if s in counters:
-                    counters[s][0] += 1
-                elif len(counters) < capacity:
-                    counters[s] = [1, 0]
-                else:
-                    # evict the min counter; deterministic tie-break so
-                    # reruns of the same partition agree
-                    evict = min(counters, key=lambda x: (counters[x][0], x))
-                    mn = counters[evict][0]
-                    del counters[evict]
-                    counters[s] = [mn + 1, mn]
+            space_saving_update(counters, pdf[value_col], capacity)
+        floor = (
+            min(c for c, _ in counters.values())
+            if len(counters) >= capacity
+            else 0
+        )
         yield pd.DataFrame(
-            [(i, c, e) for i, (c, e) in counters.items()],
-            columns=["item", "cnt", "err"],
+            [(pid, i, c, e, floor) for i, (c, e) in counters.items()],
+            columns=["pid", "item", "cnt", "err", "floor"],
         )
 
-    summaries = df.select(F.col(value_col).cast("string").alias(value_col)).mapInPandas(
-        summarize, summary_schema
+    # persisted because the plan below reads it twice (item merge +
+    # total floor) and each read would otherwise rescan the CORPUS; the
+    # cache is one partitions-x-capacity table per call, LRU-evictable —
+    # not a per-iteration accumulation
+    summaries = (
+        df.select(F.col(value_col).cast("string").alias(value_col))
+        .mapInPandas(summarize, summary_schema)
+        .persist()
     )
-    merged = summaries.groupBy("item").agg(
-        F.sum("cnt").alias("count_max"),
-        (F.sum("cnt") - F.sum("err")).alias("count_min"),
+    # total floor over ALL partitions (empty partitions emit no rows =
+    # floor 0); an item's upper bound adds the floors of partitions it
+    # is ABSENT from = total_floor - sum of floors where present
+    total_floor = summaries.select("pid", "floor").dropDuplicates(["pid"]).agg(
+        F.coalesce(F.sum("floor"), F.lit(0)).alias("_tf")
+    )
+    merged = (
+        summaries.groupBy("item")
+        .agg(
+            F.sum("cnt").alias("_cnt"),
+            (F.sum("cnt") - F.sum("err")).alias("count_min"),
+            F.sum("floor").alias("_pf"),
+        )
+        .crossJoin(F.broadcast(total_floor))
+        .withColumn("count_max", F.col("_cnt") + F.col("_tf") - F.col("_pf"))
     )
     from pyspark.sql import Window as W
 
@@ -207,9 +246,10 @@ def heavy_hitters(
             W.orderBy(F.desc("count_max"), F.asc("item"))
         ),
     )
-    return (
+    out = (
         ranked.where(F.col("_rn") <= k)
         .select(
             F.col("_rn").alias("rank"), "item", "count_min", "count_max"
         )
     )
+    return out

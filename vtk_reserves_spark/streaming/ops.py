@@ -228,22 +228,12 @@ def stream_heavy_hitters(
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        from vtk_reserves_spark.operators.sketch import space_saving_update
+
         items, cnts, errs = state.get if state.exists else ([], [], [])
         counters = {i: [c, e] for i, c, e in zip(items, cnts, errs)}
         for pdf in pdfs:
-            for v in pdf[value_col]:
-                if v is None:
-                    continue
-                s = str(v)
-                if s in counters:
-                    counters[s][0] += 1
-                elif len(counters) < capacity:
-                    counters[s] = [1, 0]
-                else:
-                    evict = min(counters, key=lambda x: (counters[x][0], x))
-                    mn = counters[evict][0]
-                    del counters[evict]
-                    counters[s] = [mn + 1, mn]
+            space_saving_update(counters, pdf[value_col], capacity)
         state.update(
             (
                 list(counters.keys()),
