@@ -336,9 +336,16 @@ def q_reserves_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _sample_dir()
     pdf = grid_cell_table(read_vtk(f"{d}/std_voxel_schema0.vtk"))
     # Arrow batch transfer for the pandas->Spark handoff (~2x faster
-    # than the pickle fallback, which this build leaves disabled)
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    df = spark.createDataFrame(pdf).withColumn("dz", F.lit(50.0))
+    # than the pickle fallback) — scoped to THIS conversion and restored
+    # after, so running this query doesn't flip session-global
+    # conversion behavior for every later query in the same process
+    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    before = spark.conf.get(arrow_key)
+    spark.conf.set(arrow_key, "true")
+    try:
+        df = spark.createDataFrame(pdf).withColumn("dz", F.lit(50.0))
+    finally:
+        spark.conf.set(arrow_key, before)
 
     def trimesh(name: str) -> TriMesh:
         ds = read_vtk(f"{d}/{name}.vtk")
@@ -2016,9 +2023,12 @@ def _llm_oracles() -> dict[str, str]:
         f"> len({toks}) THEN {1 << b} ELSE 0 END"
         for b in range(16)
     )
+    # wide (48-bit) signatures use the 60-bit word hash (15 hex digits)
+    # mirroring operators/dedup.simhash — the 8-digit hash would zero
+    # every bit past 31 and collapse the high bands into one bucket
     simhash_bits_wide = " + ".join(
         f"CASE WHEN 2*len(list_filter({toks}, "
-        f"w -> (('0x'||substr(md5('sh_'||w),1,8))::BIGINT >> {b}) & 1 = 1)) "
+        f"w -> (('0x'||substr(md5('sh_'||w),1,15))::BIGINT >> {b}) & 1 = 1)) "
         f"> len({toks}) THEN {1 << b}::BIGINT ELSE 0 END"
         for b in range(48)
     )

@@ -484,3 +484,31 @@ def test_profile_hand_counted(spark):
     # approx mode keeps the same schema and plausible counts
     ap = {r.column: r for r in profile(df, exact_distinct=False).collect()}
     assert ap["id"].n_distinct >= 1 and ap["s"].n == 3
+
+
+def test_weighted_quantile_binned_labels_and_zero_weight_groups(spark):
+    """q labels round (q29 not q28); colliding labels raise; a group
+    whose weights are all zero matches the exact path's min-value answer
+    instead of diverging to NULL."""
+    from vtk_reserves_spark.operators.breakdown import (
+        _wq_subplan,
+        weighted_quantile_binned,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 0.0), ("a", 5.0, 0.0), ("b", 2.0, 1.0), ("b", 4.0, 1.0)],
+        "g string, v double, w double",
+    )
+    out = weighted_quantile_binned(df, "g", "v", "w", [0.29])
+    assert "q29" in out.columns
+    rows = {r.g: r.q29 for r in out.collect()}
+    exact = {
+        r.g: r.out
+        for r in _wq_subplan(df, ["g"], "v", ("w",), [(0.29, "out")]).collect()
+    }
+    # zero-weight group "a": both paths emit the degenerate
+    # min*q + max*(1-q) blend (1*0.29 + 5*0.71 = 3.84), not NULL
+    assert rows["a"] == pytest.approx(exact["a"]) == pytest.approx(3.84)
+    assert rows["b"] is not None
+    with pytest.raises(ValueError, match="collide"):
+        weighted_quantile_binned(df, "g", "v", "w", [0.281, 0.282])

@@ -788,3 +788,25 @@ def test_heavy_hitters_cross_partition_upper_bound(spark):
     out = {r.item: r for r in heavy_hitters(df, "key", k=3, capacity=8).collect()}
     assert "X" in out
     assert out["X"].count_min <= 150 <= out["X"].count_max, out["X"]
+
+
+def test_simhash_wide_signature_high_bits_vary(spark):
+    """bits=48 signatures must use a >32-bit word hash: across a varied
+    corpus the high 16 bits cannot be constant (regression: a 32-bit
+    word hash zeroed every signature bit past 31, collapsing the high
+    simhash_pairs bands into one all-corpus bucket)."""
+    from vtk_reserves_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma delta text number {i * 17}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    highs = {
+        r.hi for r in df.select(
+            F.shiftright(simhash(F.col("text"), bits=48), 32).alias("hi")
+        ).collect()
+    }
+    assert len(highs) > 1, "high signature bits are constant"
+    with pytest.raises(ValueError, match="at most 60 bits"):
+        simhash(F.col("text"), bits=64)

@@ -342,3 +342,53 @@ def test_stream_kmv_matches_batch_sketch(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_upsert_composite_key_preserves_siblings(spark, tmp_path):
+    """Composite-key upsert across micro-batches: a later batch that
+    updates only ONE (type, user) group must not clobber sibling groups
+    sharing the same first key component (regression: partitioning by a
+    key PREFIX made dynamic overwrite delete unchanged siblings)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from vtk_reserves_spark.streaming.sinks import stream_upsert_parquet
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    t0 = pd.Timestamp("2024-01-01")
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            {
+                "et": [r[0] for r in rows],
+                "uid": [r[1] for r in rows],
+                "value": [float(r[2]) for r in rows],
+                "ts": [t0] * len(rows),
+            }
+        ).to_parquet(
+            f"{d}/{name}.parquet", coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    # batch 1 creates two groups under the same et; batch 2 touches one
+    write_batch("b1", [("click", 1, 1.0), ("click", 2, 5.0)])
+    time.sleep(1.05)
+    write_batch("b2", [("click", 1, 2.0)])
+
+    sdf = read_stream(spark, d, max_files_per_trigger=1)
+    agg = sdf.groupBy("et", "uid").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+    )
+    out, ck = str(tmp_path / "tab"), str(tmp_path / "ck")
+    q = stream_upsert_parquet(agg, out, ck, key_cols=["et", "uid"])
+    q.awaitTermination()
+    got = {
+        (r["et"], r["uid"]): (r["n"], r["sv"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("click", 1)] == (2, 3.0)
+    # the untouched sibling survived batch 2's overwrite
+    assert got[("click", 2)] == (1, 5.0)

@@ -268,7 +268,7 @@ def breakdown(
                 wdf, key_cols, var, "__wprod", [q for q, _ in q_outs]
             )
             for q, name in q_outs:
-                sub = sub.withColumnRenamed(f"q{int(q * 100)}", name)
+                sub = sub.withColumnRenamed(f"q{round(q * 100)}", name)
         else:
             sub = _wq_subplan(base, key_cols, var, weights, q_outs)
         result = _join_keyed(result, sub, key_cols)
@@ -311,12 +311,29 @@ def weighted_quantile_binned(
     as 0 and rows with NULL values drop out, matching the exact
     operator's conventions.
 
-    Output: keys + one ``q{N}`` column per requested quantile."""
+    Output: keys + one ``q{N}`` column per requested quantile (N =
+    percent, rounded — duplicate labels, e.g. qs closer than 1%, raise
+    rather than silently emitting colliding column names).
+
+    Degenerate groups whose weights are all zero/negative follow the
+    exact operator's convention instead of disappearing into NULLs: the
+    reference ECDF formula collapses there to
+    ``min*q + max*(1-q)`` (every row sits at cumulative weight 0, so
+    idx_low is the first and idx_high the last value, blended by
+    ``frac(q*(0-1)) = 1-q``), and this path emits the same value."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     from vtk_reserves_spark.functions.aggregates import nn
 
+    labels = [f"q{round(q * 100)}" for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantile labels collide: {labels}")
     v = nn(F.col(var))
     w = F.coalesce(nn(F.col(weight)), F.lit(0.0))
+    # group membership mirrors the exact subplan: v AND weight non-null
+    # (weight <= 0 rows stay members — they just carry no mass)
+    allv = df.select(*keys, v.alias("_v"), nn(F.col(weight)).alias("_wm")).where(
+        F.col("_v").isNotNull() & F.col("_wm").isNotNull()
+    )
     base = df.select(*keys, v.alias("_v"), w.alias("_w")).where(
         F.col("_v").isNotNull() & (F.col("_w") > 0)
     )
@@ -354,12 +371,25 @@ def weighted_quantile_binned(
     )
     width = (F.col("_hi") - F.col("_lo")) / n_bins
     aggs = []
-    for i, q in enumerate(qs):
+    for label, q in zip(labels, qs):
         target = F.lit(float(q)) * F.col("_tot")
         # first bin reaching the target: its lower edge + in-bin fraction
         frac = (target - (F.col("_cum") - F.col("_bw"))) / F.col("_bw")
         est = F.col("_lo") + (F.col("_b") + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))) * width
-        aggs.append(
-            F.min(F.when(F.col("_cum") >= target, est)).alias(f"q{int(q * 100)}")
-        )
-    return cum.groupBy(*keys).agg(*aggs)
+        aggs.append(F.min(F.when(F.col("_cum") >= target, est)).alias(label))
+    out = cum.groupBy(*keys).agg(*aggs)
+    # weightless groups: align with the exact path's degenerate formula
+    ends = allv.groupBy(*keys).agg(
+        F.min("_v").alias("_minv"), F.max("_v").alias("_maxv")
+    )
+    out = ends.join(out, keys, "left").select(
+        *keys,
+        *[
+            F.coalesce(
+                F.col(f"`{label}`"),
+                F.col("_minv") * q + F.col("_maxv") * (1.0 - q),
+            ).alias(label)
+            for label, q in zip(labels, qs)
+        ],
+    )
+    return out

@@ -41,12 +41,16 @@ def drop_exact_dups(df: DataFrame, key_cols) -> DataFrame:
     return df.dropDuplicates(key_cols)
 
 
-def _word_hash(word: Column, seed) -> Column:
-    """32-bit hash of a word under a seed: first 8 hex digits of
-    md5('<seed>_<word>').  md5 so the SQL oracle reproduces it exactly;
-    use xxhash64 instead when oracle parity is not needed (faster)."""
+def _word_hash(word: Column, seed, hex_digits: int = 8) -> Column:
+    """Hash of a word under a seed: first ``hex_digits`` hex digits of
+    md5('<seed>_<word>') (8 -> 32 bits; up to 15 -> 60 bits, the widest
+    that stays inside a signed BIGINT on both engines).  md5 so the SQL
+    oracle reproduces it exactly; use xxhash64 instead when oracle
+    parity is not needed (faster)."""
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}_"), word)), 1, 8), 16, 10
+        F.substring(F.md5(F.concat(F.lit(f"{seed}_"), word)), 1, hex_digits),
+        16,
+        10,
     ).cast("long")
 
 
@@ -459,13 +463,22 @@ def simhash(text: Column, bits: int = 16, seed: str = "sh") -> Column:
     Single pass over the tokens: one md5 per word (lambda-scoped subtrees
     defeat Catalyst CSE, so per-bit ``filter`` expressions would re-hash
     every word ``bits`` times); per-bit set counts accumulate in an array
-    via ``aggregate`` + indexed ``transform``, then fold to the integer."""
+    via ``aggregate`` + indexed ``transform``, then fold to the integer.
+
+    Signatures wider than 32 bits switch to a 60-bit word hash — with
+    the 32-bit hash every signature bit past 31 would be constant 0,
+    silently collapsing the high bands of :func:`simhash_pairs` into a
+    single bucket (``bits`` beyond 60 would exceed a signed BIGINT in
+    the SQL oracle and raise)."""
+    if bits > 60:
+        raise ValueError(f"simhash supports at most 60 bits, got {bits}")
+    hex_digits = 8 if bits <= 32 else 15
     toks = tokens(normalize_text(text))
     n = F.size(toks)
     # hash INSIDE the aggregate's input argument (normal expression
     # position — evaluated once); hashing inside the merge lambda would
     # re-run the md5 per accumulator slot (outer-subtree capture)
-    hashes = F.transform(toks, lambda w: _word_hash(w, seed))
+    hashes = F.transform(toks, lambda w: _word_hash(w, seed, hex_digits))
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),

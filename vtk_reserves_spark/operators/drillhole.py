@@ -229,9 +229,31 @@ def locate_composites(
         .orderBy(F.col("_at").asc(), F.col("_comp").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_full = (
+        Window.partitionBy("_h")
+        .orderBy(F.col("_at").asc(), F.col("_comp").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    first_st = F.first("_st", ignorenulls=True).over(w_full)
+    # composites shallower than the first station have no as-of match:
+    # extend from the collar (local origin, depth 0) along the FIRST
+    # station's direction — without this fallback struct the NULL
+    # angles would null the whole coordinate and near-collar assays
+    # silently vanish from downstream estimation joins
+    collar_st = F.struct(
+        F.lit(0.0).alias("d"),
+        F.lit(0.0).alias("x"),
+        F.lit(0.0).alias("y"),
+        F.lit(0.0).alias("z"),
+        first_st["az"].alias("az"),
+        first_st["dp"].alias("dp"),
+    )
     tagged = (
         st_side.unionByName(c_side)
-        .withColumn("_last", F.last("_st", ignorenulls=True).over(w))
+        .withColumn(
+            "_last",
+            F.coalesce(F.last("_st", ignorenulls=True).over(w), collar_st),
+        )
         .where(F.col("_comp").isNotNull())
     )
     joined = comp.join(

@@ -25,6 +25,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _tile_candidates(
+    blocks: DataFrame,
+    samples: DataFrame,
+    radius: float,
+    block_id: str,
+    xyz,
+    sample_xyz,
+    payload: dict,
+    keep_filter=None,
+) -> DataFrame:
+    """The shared tile-join skeleton of every estimator here (IDW and
+    the kriging family): samples explode to their spatial tile plus the
+    26 neighbors (tile size = search radius, so every block's candidates
+    live in its own tile — a bounded 27x fan-out of the SMALL side),
+    blocks equi-join their single tile id, and the exact radius filter
+    runs as an expression.
+
+    ``payload`` maps output alias -> sample column name; ``keep_filter``
+    (a Column over the aliased payload) prunes sample rows before the
+    explode (e.g. value non-null).  Returns the candidate rows with
+    ``tx/ty/tz``, ``block_id``, block centroid ``_bx/_by/_bz``, sample
+    coords ``_sx/_sy/_sz``, the payload columns, and the distance
+    ``_d`` (already filtered to ``<= radius``)."""
+    bx, by, bz = (F.col(c) for c in xyz)
+    tile = float(radius)
+    b = blocks.select(
+        F.col(block_id),
+        bx.alias("_bx"),
+        by.alias("_by"),
+        bz.alias("_bz"),
+        F.floor(bx / tile).cast("long").alias("tx"),
+        F.floor(by / tile).cast("long").alias("ty"),
+        F.floor(bz / tile).cast("long").alias("tz"),
+    )
+    sx, sy, sz = (F.col(c) for c in sample_xyz)
+    s = samples.select(
+        sx.alias("_sx"),
+        sy.alias("_sy"),
+        sz.alias("_sz"),
+        *[
+            (F.col(src) if isinstance(src, str) else src).alias(alias)
+            for alias, src in payload.items()
+        ],
+    )
+    if keep_filter is not None:
+        s = s.where(keep_filter)
+    off = F.sequence(F.lit(-1), F.lit(1))
+    s = (
+        s.withColumn("_ox", F.explode(off))
+        .withColumn("_oy", F.explode(off))
+        .withColumn("_oz", F.explode(off))
+        .withColumn("tx", F.col("_ox") + F.floor(F.col("_sx") / tile).cast("long"))
+        .withColumn("ty", F.col("_oy") + F.floor(F.col("_sy") / tile).cast("long"))
+        .withColumn("tz", F.col("_oz") + F.floor(F.col("_sz") / tile).cast("long"))
+        .drop("_ox", "_oy", "_oz")
+    )
+    joined = b.join(s, ["tx", "ty", "tz"])
+    d = F.sqrt(
+        (F.col("_bx") - F.col("_sx")) ** 2
+        + (F.col("_by") - F.col("_sy")) ** 2
+        + (F.col("_bz") - F.col("_sz")) ** 2
+    )
+    return joined.withColumn("_d", d).where(F.col("_d") <= radius)
+
+
 def idw_interpolate(
     blocks: DataFrame,
     samples: DataFrame,
@@ -46,47 +111,16 @@ def idw_interpolate(
     clamped to ``eps`` (the conventional guard, equivalent to nearest-
     sample assignment there)."""
     sample_xyz = sample_xyz or xyz
-    bx, by, bz = (F.col(c) for c in xyz)
-    tile = float(radius)
-
-    b = blocks.select(
-        F.col(block_id),
-        bx.alias("_bx"),
-        by.alias("_by"),
-        bz.alias("_bz"),
-        F.floor(bx / tile).cast("long").alias("tx"),
-        F.floor(by / tile).cast("long").alias("ty"),
-        F.floor(bz / tile).cast("long").alias("tz"),
+    cand = _tile_candidates(
+        blocks, samples, radius, block_id, xyz, sample_xyz,
+        payload={"_v": value_col},
+        keep_filter=F.col("_v").isNotNull(),
     )
-    sx, sy, sz = (F.col(c) for c in sample_xyz)
-    off = F.sequence(F.lit(-1), F.lit(1))
-    s = (
-        samples.select(
-            sx.alias("_sx"),
-            sy.alias("_sy"),
-            sz.alias("_sz"),
-            F.col(value_col).alias("_v"),
-        )
-        .where(F.col("_v").isNotNull())
-        .withColumn("_ox", F.explode(off))
-        .withColumn("_oy", F.explode(off))
-        .withColumn("_oz", F.explode(off))
-        .withColumn("tx", F.col("_ox") + F.floor(F.col("_sx") / tile).cast("long"))
-        .withColumn("ty", F.col("_oy") + F.floor(F.col("_sy") / tile).cast("long"))
-        .withColumn("tz", F.col("_oz") + F.floor(F.col("_sz") / tile).cast("long"))
-        .drop("_ox", "_oy", "_oz")
-    )
-    joined = b.join(s, ["tx", "ty", "tz"])
-    d = F.sqrt(
-        (F.col("_bx") - F.col("_sx")) ** 2
-        + (F.col("_by") - F.col("_sy")) ** 2
-        + (F.col("_bz") - F.col("_sz")) ** 2
-    )
-    g = F.greatest(d, F.lit(eps))
+    g = F.greatest(F.col("_d"), F.lit(eps))
     # power==2 as g*g, not pow(g, 2.0): faster, and bit-identical across
     # engines (libm pow is not guaranteed identical between JVM and C)
     w = F.lit(1.0) / (g * g) if power == 2.0 else F.lit(1.0) / g**power
-    joined = joined.where(d <= radius).withColumn("_w", w)
+    joined = cand.withColumn("_w", w)
     est = joined.groupBy(block_id).agg(
         (F.sum(F.col("_w") * F.col("_v")) / F.sum("_w")).alias("_est"),
         F.count(F.lit(1)).alias("n_samples"),
@@ -190,46 +224,16 @@ def ordinary_krige(
         pp = np.linalg.norm(offsets[:, None, :] - offsets[None, :, :], axis=2)
         gbar_bb = float(gamma(pp).mean())
     sample_xyz = sample_xyz or xyz
-    bx, by, bz = (F.col(c) for c in xyz)
-    tile = float(radius)
-
-    b = blocks.select(
-        F.col(block_id),
-        bx.alias("_bx"),
-        by.alias("_by"),
-        bz.alias("_bz"),
-        F.floor(bx / tile).cast("long").alias("tx"),
-        F.floor(by / tile).cast("long").alias("ty"),
-        F.floor(bz / tile).cast("long").alias("tz"),
-    )
-    sx, sy, sz = (F.col(c) for c in sample_xyz)
-    off = F.sequence(F.lit(-1), F.lit(1))
-    s = (
-        samples.select(
-            sx.alias("_sx"), sy.alias("_sy"), sz.alias("_sz"),
-            F.col(value_col).alias("_v"),
-        )
-        .where(F.col("_v").isNotNull())
-        .withColumn("_ox", F.explode(off))
-        .withColumn("_oy", F.explode(off))
-        .withColumn("_oz", F.explode(off))
-        .withColumn("tx", F.col("_ox") + F.floor(F.col("_sx") / tile).cast("long"))
-        .withColumn("ty", F.col("_oy") + F.floor(F.col("_sy") / tile).cast("long"))
-        .withColumn("tz", F.col("_oz") + F.floor(F.col("_sz") / tile).cast("long"))
-        .drop("_ox", "_oy", "_oz")
-    )
-    joined = b.join(s, ["tx", "ty", "tz"])
-    d = F.sqrt(
-        (F.col("_bx") - F.col("_sx")) ** 2
-        + (F.col("_by") - F.col("_sy")) ** 2
-        + (F.col("_bz") - F.col("_sz")) ** 2
-    )
     # keep the block's tile as the applyInPandas group key: one pandas
     # call covers every block in the tile (per-GROUP overhead measured
     # ~10x the per-block numpy solve when grouped by block id)
     centroid_cols = ["_bx", "_by", "_bz"] if offsets is not None else []
-    cand = joined.where(d <= radius).select(
-        "tx", "ty", "tz", block_id, "_sx", "_sy", "_sz", "_v", d.alias("_d"),
+    cand = _tile_candidates(
+        blocks, samples, radius, block_id, xyz, sample_xyz,
+        payload={"_v": value_col},
+        keep_filter=F.col("_v").isNotNull(),
+    ).select(
+        "tx", "ty", "tz", block_id, "_sx", "_sy", "_sz", "_v", "_d",
         *centroid_cols,
     )
 
@@ -345,6 +349,11 @@ def experimental_variogram(
         sz.alias("_z"),
         F.col(value_col).cast("double").alias("_v"),
     ).where(F.col("_v").isNotNull())
+    # the pair tiebreak (_id < _id_b) reads _id from BOTH join branches:
+    # materialize the id assignment once so the branches cannot observe
+    # different monotonically_increasing_id evaluations (task retries /
+    # AQE re-partitioning would otherwise double-count or drop pairs)
+    base = base.localCheckpoint(eager=True)
     a = base.select(
         "_id", "_x", "_y", "_z", "_v",
         F.floor(F.col("_x") / tile).cast("long").alias("tx"),
@@ -484,42 +493,15 @@ def ordinary_cokrige(
     g22 = _variogram_fn(*variograms["secondary"])
     g12 = _variogram_fn(*variograms["cross"])
     sample_xyz = sample_xyz or xyz
-    bx, by, bz = (F.col(c) for c in xyz)
-    tile = float(radius)
-
-    b = blocks.select(
-        F.col(block_id),
-        bx.alias("_bx"), by.alias("_by"), bz.alias("_bz"),
-        F.floor(bx / tile).cast("long").alias("tx"),
-        F.floor(by / tile).cast("long").alias("ty"),
-        F.floor(bz / tile).cast("long").alias("tz"),
-    )
-    sx, sy, sz = (F.col(c) for c in sample_xyz)
-    off = F.sequence(F.lit(-1), F.lit(1))
-    s = (
-        samples.select(
-            sx.alias("_sx"), sy.alias("_sy"), sz.alias("_sz"),
-            F.col(primary_col).cast("double").alias("_v1"),
-            F.col(secondary_col).cast("double").alias("_v2"),
-        )
-        .where(F.col("_v1").isNotNull() | F.col("_v2").isNotNull())
-        .withColumn("_ox", F.explode(off))
-        .withColumn("_oy", F.explode(off))
-        .withColumn("_oz", F.explode(off))
-        .withColumn("tx", F.col("_ox") + F.floor(F.col("_sx") / tile).cast("long"))
-        .withColumn("ty", F.col("_oy") + F.floor(F.col("_sy") / tile).cast("long"))
-        .withColumn("tz", F.col("_oz") + F.floor(F.col("_sz") / tile).cast("long"))
-        .drop("_ox", "_oy", "_oz")
-    )
-    joined = b.join(s, ["tx", "ty", "tz"])
-    d = F.sqrt(
-        (F.col("_bx") - F.col("_sx")) ** 2
-        + (F.col("_by") - F.col("_sy")) ** 2
-        + (F.col("_bz") - F.col("_sz")) ** 2
-    )
-    cand = joined.where(d <= radius).select(
-        "tx", "ty", "tz", block_id, "_sx", "_sy", "_sz", "_v1", "_v2",
-        d.alias("_d"),
+    cand = _tile_candidates(
+        blocks, samples, radius, block_id, xyz, sample_xyz,
+        payload={
+            "_v1": F.col(primary_col).cast("double"),
+            "_v2": F.col(secondary_col).cast("double"),
+        },
+        keep_filter=F.col("_v1").isNotNull() | F.col("_v2").isNotNull(),
+    ).select(
+        "tx", "ty", "tz", block_id, "_sx", "_sy", "_sz", "_v1", "_v2", "_d"
     )
 
     out_schema = T.StructType(

@@ -101,14 +101,27 @@ def compact_parquet(
     The streaming sinks (and any high-frequency append producer)
     accumulate small files; readers then pay one task + one footer read
     per file.  Compaction = read, coalesce to ``ceil(bytes/target)``
-    partitions, write to a temp dir, atomic swap.  Run it as a periodic
-    batch job over closed (no-longer-appended) partitions.
+    partitions, write to a temp dir, swap.  Run it as a periodic batch
+    job over closed (no-longer-appended) partitions.
+
+    Swap semantics (plain filesystems have no atomic directory
+    exchange): a stale ``.old`` from a previously crashed run is cleared
+    BEFORE the rewrite starts (so the swap can't fail after paying the
+    full read/write), and a crash between the two renames strands the
+    data recoverably in ``.old`` rather than losing it.  Readers racing
+    the two renames can observe a missing directory for an instant —
+    single-writer maintenance-window semantics; concurrent-reader
+    deployments should use a manifest/table format (Delta/Iceberg)
+    instead, which is exactly the niche those formats exist for.
 
     Returns the output file-partition count."""
     import math
     import shutil
     import tempfile
 
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a crashed prior run
     df = spark.read.parquet(path)
     total = sum(
         os.path.getsize(os.path.join(r, f))
@@ -119,13 +132,20 @@ def compact_parquet(
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     tmp = tempfile.mkdtemp(prefix=os.path.basename(path) + ".compact-",
                            dir=os.path.dirname(path) or ".")
-    w = df.coalesce(n).write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(tmp)
-    old = path.rstrip("/") + ".old"
-    os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        w = df.coalesce(n).write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        os.rename(path, old)
+        os.rename(tmp, path)
+    except BaseException:
+        # the rewrite (or first rename) failed: recover the original
+        # directory if it was already moved aside, drop the partial tmp
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(old)
     return n
 

@@ -59,21 +59,22 @@ def stream_upsert_parquet(
 
     ``foreachBatch`` receives only the groups whose aggregates changed in
     the micro-batch; each batch overwrites just those groups' partitions
-    (dynamic partition overwrite on the first key column), so the table
-    converges to the full aggregation without ever rewriting unchanged
-    groups.  The batch is tiny (changed groups only) — the write cost
-    tracks the update rate, not the table size."""
+    (dynamic partition overwrite on ALL the key columns — overwriting by
+    a key prefix would clobber sibling groups that share the prefix but
+    did not change this batch), so the table converges to the full
+    aggregation without ever rewriting unchanged groups.  The batch is
+    tiny (changed groups only) — the write cost tracks the update rate,
+    not the table size.  An empty batch writes nothing: with dynamic
+    overwrite, zero input rows touch zero partitions."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
         spark = batch_df.sparkSession
         before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
                 batch_df.write.mode("overwrite")
-                .partitionBy(key_cols[0])
+                .partitionBy(*key_cols)
                 .parquet(path)
             )
         finally:
