@@ -854,3 +854,29 @@ def test_probit_inverts_normal_cdf(spark):
     for r in df.select("p", probit(F.col("p")).alias("y")).collect():
         phi = 0.5 * (1.0 + math.erf(r.y / math.sqrt(2.0)))
         assert phi == pytest.approx(r.p, abs=1e-8), (r.p, r.y, phi)
+
+
+def test_locate_composites_above_first_station(spark):
+    """A composite shallower than the first survey station extends from
+    the collar along the FIRST station's direction (regression: it
+    previously got NULL coordinates and silently dropped out of
+    downstream estimation joins)."""
+    import math
+
+    from vtk_reserves_spark.operators.drillhole import locate_composites
+
+    surveys = spark.createDataFrame(
+        [("h1", 10.0, 90.0, 0.0), ("h1", 30.0, 90.0, 0.0)],  # due-east
+        "hid string, depth double, azimuth double, dip double",
+    )
+    comps = spark.createDataFrame(
+        [("h1", 0, 0.0, 6.0, 1.0), ("h1", 2, 20.0, 26.0, 2.0)],
+        "hid string, comp long, from double, to double, grade double",
+    )
+    rows = {r.comp: r for r in locate_composites(comps, surveys, hole_col="hid").collect()}
+    # midpoint 3.0, above station at depth 10: horizontal due east
+    assert rows[0].x == pytest.approx(3.0)
+    assert rows[0].y == pytest.approx(0.0, abs=1e-9)
+    assert rows[0].z == pytest.approx(0.0, abs=1e-9)
+    # midpoint 23.0, between stations: normal as-of placement
+    assert rows[2].x == pytest.approx(23.0)
