@@ -312,6 +312,10 @@ def ordinary_krige(
              "n_samples": ns_all}
         )
 
+    # grouping stays by TILE, not (tile, salt): salting was measured 6x
+    # SLOWER here — it fragments the per-neighborhood-size batched LAPACK
+    # solves into tiny classes and multiplies Arrow/pandas per-group
+    # overhead, which dominates at this group size
     est = cand.groupBy("tx", "ty", "tz").applyInPandas(solve_tile, out_schema)
     out = blocks.select(block_id).join(est, block_id, "left")
     return out.select(
@@ -598,6 +602,10 @@ def ordinary_cokrige(
             }
         )
 
+    # grouping stays by TILE, not (tile, salt): salting was measured 6x
+    # SLOWER here — it fragments the per-neighborhood-size batched LAPACK
+    # solves into tiny classes and multiplies Arrow/pandas per-group
+    # overhead, which dominates at this group size
     est = cand.groupBy("tx", "ty", "tz").applyInPandas(solve_tile, out_schema)
     out = blocks.select(block_id).join(est, block_id, "left")
     return out.select(
