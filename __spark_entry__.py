@@ -2280,14 +2280,14 @@ def _llm_oracles() -> dict[str, str]:
             )
             SELECT doc_id,
                    len(regexp_extract_all(text,
-                     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+                     '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
                    len(regexp_extract_all(text,
-                     'https?://[a-z0-9./_-]+')) AS n_urls,
+                     '(?i)https?://[a-z0-9./_-]+')) AS n_urls,
                    len(regexp_extract_all(text,
                      '\b[0-9]{3}-[0-9]{4}\b')) AS n_phones,
                    md5(regexp_replace(regexp_replace(regexp_replace(text,
-                     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
-                     'https?://[a-z0-9./_-]+', '[URL]', 'g'),
+                     '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                     '(?i)https?://[a-z0-9./_-]+', '[URL]', 'g'),
                      '\b[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g')) AS redacted_fp
             FROM p
         """,

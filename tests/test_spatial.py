@@ -880,3 +880,19 @@ def test_locate_composites_above_first_station(spark):
     assert rows[0].z == pytest.approx(0.0, abs=1e-9)
     # midpoint 23.0, between stations: normal as-of placement
     assert rows[2].x == pytest.approx(23.0)
+
+
+def test_mine_fraction_multiple_excludes_multiply(spark, grid):
+    """Two partially-covering excludes compound as a product of
+    (1 - fraction) per surface (reference vtk_mine.py:86-87 applies
+    them sequentially), not 1 - max."""
+    e1 = PlaneSurface(0.0, 0.0, 100.0)
+    e2 = PlaneSurface(0.0, 0.0, 60.0)
+    out = (
+        mine_fraction(grid, include=[], exclude=[e1, e2])
+        .select("z", "mine")
+        .toPandas()
+    )
+    f1 = np.clip((100.0 - out.z + 5.0) / 10.0, 0.0, 1.0)
+    f2 = np.clip((60.0 - out.z + 5.0) / 10.0, 0.0, 1.0)
+    assert np.allclose(out.mine, (1.0 - f1) * (1.0 - f2), atol=1e-12)

@@ -69,7 +69,9 @@ def lang_id(text: Column, priority=("en", "es", "de", "fr")) -> Column:
 def punct_ratio(text: Column) -> Column:
     n = F.length(text)
     p = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
-    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+    # NULL text -> NULL (not 0.0): a missing document must stay
+    # distinguishable from genuinely punctuation-free text
+    return F.when(n > 0, p / n).when(n == 0, F.lit(0.0))
 
 
 def mean_word_len(text: Column) -> Column:
@@ -94,7 +96,12 @@ def quality_score(text: Column) -> Column:
     mwl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     punct_pen = F.least(punct_ratio(text) * 5.0, F.lit(1.0))
     score = 0.4 * len_score + 0.3 * sw_score + 0.3 * mwl_score - 0.2 * punct_pen
-    return F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+    # the when() gate keeps NULL text NULL: greatest() skips NULLs, so
+    # without it a missing document would score 0.0 and pollute
+    # avg/threshold filters that should have excluded it
+    return F.when(
+        text.isNotNull(), F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+    )
 
 
 def normalize_text(text: Column) -> Column:
@@ -140,10 +147,11 @@ def shingles_of_tokens(t: Column, n: int = 3) -> Column:
 
 #: PII patterns — simple character-class regexes that behave identically
 #: under Java regex (Spark) and RE2 (DuckDB): no lookaround, no
-#: backreferences
+#: backreferences.  (?i) so Mixed-Case emails/URLs don't slip through
+#: redaction (the flag means the same thing in both engines).
 PII_PATTERNS = {
-    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
-    "url": r"https?://[a-z0-9./_-]+",
+    "email": r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "url": r"(?i)https?://[a-z0-9./_-]+",
     "phone": r"\b[0-9]{3}-[0-9]{4}\b",
 }
 
@@ -171,7 +179,11 @@ def ordered_shingles_of_tokens(t: Column, n: int = 3) -> Column:
     the document has fewer than ``n`` tokens; callers handle short-text
     fallback themselves."""
     k = F.size(t) - (n - 1)
-    return F.transform(
+    shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
         lambda i: F.array_join(F.slice(t, i + 1, n), " "),
     )
+    # honor the documented contract: fewer than n tokens -> EMPTY array
+    # (the sequence device above would otherwise emit one phantom
+    # whole-document shingle, or [""] for an empty token list)
+    return F.when(k > 0, shingles).otherwise(F.array().cast("array<string>"))

@@ -55,7 +55,13 @@ def hash_sample(
     df: DataFrame, id_col: str, fraction: float, seed: str = "samp"
 ) -> DataFrame:
     """Deterministic Bernoulli sample: keep rows whose hash bucket falls
-    below ``fraction`` — a pure filter, stable under repartitioning."""
+    below ``fraction`` — a pure filter, stable under repartitioning.
+
+    Rows with a NULL ``id_col`` are EXCLUDED at every fraction (a
+    deterministic hash needs an identity; their membership would
+    otherwise be an arbitrary engine-specific NULL-comparison
+    accident).  Assign surrogate ids upstream if NULL-id rows must be
+    sampleable."""
     return df.where(hash_bucket(F.col(id_col), seed) < F.lit(_thr(fraction)))
 
 

@@ -495,9 +495,11 @@ def mine_fraction(
     else:
         m_inc = F.lit(1.0)  # blank include set -> fill(1)
     mine = m_inc
-    if exc_cols:
-        m_exc = F.greatest(*exc_cols) if len(exc_cols) > 1 else exc_cols[0]
-        mine = m_inc * (1 - F.coalesce(m_exc, F.lit(0.0)))
+    # each exclude multiplies by its own (1 - fraction) — the reference
+    # applies surfaces sequentially (vtk_mine.py:86-87 per call), so two
+    # half-covering excludes keep 0.25, not 1 - max = 0.5
+    for c in exc_cols:
+        mine = mine * F.coalesce(F.lit(1.0) - c, F.lit(1.0))
     df = df.withColumn(mine_col, mine)
     return df.drop(*[c for c in df.columns if c.startswith("__zs_") or c.startswith("__m_")])
 
@@ -574,8 +576,8 @@ def annotate_spatial(
         # fractions are always finite (missing elevation -> 0.0 above)
         m_inc = np.maximum.reduce(incs) if incs else np.ones(px.size)
         mine = m_inc
-        if excs:
-            mine = m_inc * (1.0 - np.maximum.reduce(excs))
+        for e in excs:  # per-surface product, matching mine_fraction
+            mine = mine * (1.0 - e)
         return pd.DataFrame({"region": reg, "mine": mine})
 
     x, y, z = (F.col(c) for c in xyz)

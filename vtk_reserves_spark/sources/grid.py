@@ -225,10 +225,14 @@ def heatmap2d(
     """Reduce the grid along one axis — ``heatmap2d``
     (``pd_vtk.py:876-895``) as a groupBy over the remaining two indices.
 
-    ``op='mean'`` divides by the *full* axis length and yields NULL if any
-    cell is null (parity with ``np.add.reduce`` NaN propagation);
-    ``op='major'`` is the most-frequent value (deterministic smallest-value
-    tie-break)."""
+    ``op='mean'`` divides by the axis span PRESENT in the input
+    (max-min+1 of the group's plane indices — on a dense grid that IS
+    the full axis length) and yields NULL if any present cell is null
+    (parity with ``np.add.reduce`` NaN propagation).  On a filtered /
+    sparse grid the mean therefore averages over the covered span, not
+    the original axis — pre-fill dropped planes with NULL rows if
+    whole-axis semantics are needed.  ``op='major'`` is the
+    most-frequent value (deterministic smallest-value tie-break)."""
     names = ["i", "j", "k"]
     keep = [names[a] for a in range(3) if a != axis]
     axis_name = names[axis]
@@ -397,6 +401,8 @@ def minimum_rotated_rectangle(xy):
     import numpy as np
 
     hull = _convex_hull_2d(xy)
+    if len(hull) == 0:
+        raise ValueError("minimum_rotated_rectangle: no points to fit")
     if len(hull) == 1:
         return hull[0], (0.0, 0.0), 0.0
     best = None
@@ -419,13 +425,21 @@ def minimum_rotated_rectangle(xy):
     return corner, wh, theta
 
 
-def grid_from_rr(df: DataFrame, cell_size, xy=("x", "y"), z_range=(0.0, 0.0)) -> GridSchema:
+def grid_from_rr(
+    df: DataFrame, cell_size, xy=("x", "y"), z_range=(0.0, 0.0), pad: int = 0
+) -> GridSchema:
     """Fit a ROTATED grid over scattered xy data (``from_rr``,
     ``pd_vtk.py:705-724`` + ``getRectangleSchema``, ``_gui.py:1364-1401``)
     without shapely: per-partition convex hulls (mapInPandas) collapse
     the distributed point set to a few dozen hull candidates, the final
     hull + rotating calipers run on the driver.  Only hull points ever
-    leave the executors, so this scales to any table size."""
+    leave the executors, so this scales to any table size.
+
+    Reference parity means ZERO margin: when an extent is an exact
+    cell-size multiple, points lying ON the rectangle's far edges fall
+    just outside the last cell (``nearest_cell`` maps them to NULL).
+    Pass ``pad=1`` to add a one-cell margin on each rotated axis when
+    the grid must cover every input point inclusively."""
     import pandas as pd
 
     def part_hull(it):
@@ -451,11 +465,21 @@ def grid_from_rr(df: DataFrame, cell_size, xy=("x", "y"), z_range=(0.0, 0.0)) ->
     # epsilon-guarded ceil: hull arithmetic can inflate an exact multiple
     # by float noise, which would add a whole spurious cell layer
     dims = (
-        max(1, int(math.ceil(w / cell_size[0] - 1e-9))),
-        max(1, int(math.ceil(h / cell_size[1] - 1e-9))),
+        max(1, int(math.ceil(w / cell_size[0] - 1e-9)) + 2 * pad),
+        max(1, int(math.ceil(h / cell_size[1] - 1e-9)) + 2 * pad),
         max(1, int(math.ceil((z1 - z0) / cell_size[2] - 1e-9))) if z1 > z0 else 1,
     )
     bearing = 90.0 - math.degrees(theta)  # GridSchema.theta inverse
+    if pad:
+        # shift the origin back along BOTH rotated axes so the padded
+        # cells wrap the rectangle symmetrically
+        import numpy as _np
+
+        shift = -pad * _np.array(
+            [cell_size[0] * math.cos(theta) - cell_size[1] * math.sin(theta),
+             cell_size[0] * math.sin(theta) + cell_size[1] * math.cos(theta)]
+        )
+        corner = corner + shift
     return GridSchema(
         origin=(float(corner[0]), float(corner[1]), float(z0)),
         spacing=tuple(float(s) for s in cell_size),
@@ -473,6 +497,12 @@ def grid_from_df_schema(df: DataFrame, cell_size=None, xyz=None) -> GridSchema:
         xyz = detect_xyz(df.columns) or ["x", "y", "z"]
     if cell_size is None:
         cell_size = detect_cell_size(df, xyz)
+        for axis, sz in zip(xyz, cell_size):
+            if math.isnan(sz):
+                raise ValueError(
+                    f"cell size undetectable for axis {axis!r} (fewer than "
+                    "two distinct coordinates) — pass cell_size explicitly"
+                )
     row = df.select(
         *[F.min(c).alias(f"lo{i}") for i, c in enumerate(xyz)],
         *[F.max(c).alias(f"hi{i}") for i, c in enumerate(xyz)],

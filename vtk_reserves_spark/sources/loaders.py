@@ -133,8 +133,20 @@ def _sniff_csv(path: str) -> tuple[str, str]:
     ``pd.read_csv(sep=None, encoding='latin_1')`` (``_gui.py:225-226``)."""
     with open(path, "rb") as f:
         head = f.read(64 * 1024)
+    # the 64KB cut can land mid-way through a multibyte character: trim
+    # up to 3 trailing continuation/lead bytes so a valid UTF-8 file is
+    # not misdetected as latin-1 (which would mojibake the WHOLE read)
+    probe = head
+    for _ in range(3):
+        if probe and probe[-1] >= 0x80:
+            if probe[-1] >= 0xC0:  # lead byte of a cut sequence: drop it
+                probe = probe[:-1]
+                break
+            probe = probe[:-1]  # continuation byte: keep trimming
+        else:
+            break
     try:
-        text = head.decode("utf-8")
+        text = probe.decode("utf-8")
         encoding = "UTF-8"
     except UnicodeDecodeError:
         text = head.decode("latin-1")
