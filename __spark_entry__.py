@@ -962,6 +962,59 @@ def q_cokrige(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simple_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple kriging (operators/geostats.simple_krige): known-mean
+    estimation on the tile skeleton — covariance system, no Lagrange
+    row; empty neighborhoods fall back to the mean with prior variance
+    instead of NULL.  Rows-only (linear solve); exactness / shrinkage /
+    fallback invariants pinned in tests/test_spatial.py."""
+    from vtk_reserves_spark.operators.geostats import simple_krige
+
+    blocks = grid_df(spark, _GS).select("cell", "x", "y", "z")
+    s = spark.range(300)
+    samples = s.select(
+        ((F.col("id") * 37) % 300 + 0.25).cast("double").alias("sx"),
+        ((F.col("id") * 53) % 200 + 0.5).cast("double").alias("sy"),
+        ((F.col("id") * 29) % 200 + 0.75).cast("double").alias("sz"),
+        ((F.col("id") * 13) % 90 + 5.0).cast("double").alias("grade"),
+    )
+    out = simple_krige(
+        blocks, samples, "grade", radius=25.0, mean=49.5,
+        variogram=("spherical", 25.0, 1.0, 0.1), max_samples=12,
+        sample_xyz=("sx", "sy", "sz"),
+    )
+    return out.select(
+        "cell", F.round("grade", 6).alias("grade"),
+        F.round("kvar", 6).alias("kvar"), "n_samples",
+    )
+
+
+def q_indicator_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indicator kriging (operators/geostats.indicator_krige): the
+    probability of exceeding a grade cutoff by ordinary-kriging the 0/1
+    indicator — composition of the indicator transform and q_krige's
+    machinery, clamped into [0,1].  Rows-only (linear solve)."""
+    from vtk_reserves_spark.operators.geostats import indicator_krige
+
+    blocks = grid_df(spark, _GS).select("cell", "x", "y", "z")
+    s = spark.range(300)
+    samples = s.select(
+        ((F.col("id") * 37) % 300 + 0.25).cast("double").alias("sx"),
+        ((F.col("id") * 53) % 200 + 0.5).cast("double").alias("sy"),
+        ((F.col("id") * 29) % 200 + 0.75).cast("double").alias("sz"),
+        ((F.col("id") * 13) % 90 + 5.0).cast("double").alias("grade"),
+    )
+    out = indicator_krige(
+        blocks, samples, "grade", cutoff=50.0, radius=25.0,
+        variogram=("spherical", 25.0, 0.25, 0.02), max_samples=12,
+        sample_xyz=("sx", "sy", "sz"),
+    )
+    return out.select(
+        "cell", F.round("prob_above", 6).alias("prob_above"),
+        F.round("kvar", 6).alias("kvar"), "n_samples",
+    )
+
+
 def q_decluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-declustering weights (operators/geostats.decluster_weights):
     300 synthetic samples, two thirds clustered into one corner —
@@ -2802,6 +2855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
         "krige_block": q_krige_block,  # rows-only: same reason
         "cokrige": q_cokrige,  # rows-only: same reason
+        "simple_krige": q_simple_krige,  # rows-only: same reason
+        "indicator_krige": q_indicator_krige,  # rows-only: same reason
         "decluster": q_decluster,
         "topcut": q_topcut,
         "nscore": q_nscore,

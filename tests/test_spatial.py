@@ -896,3 +896,64 @@ def test_mine_fraction_multiple_excludes_multiply(spark, grid):
     f1 = np.clip((100.0 - out.z + 5.0) / 10.0, 0.0, 1.0)
     f2 = np.clip((60.0 - out.z + 5.0) / 10.0, 0.0, 1.0)
     assert np.allclose(out.mine, (1.0 - f1) * (1.0 - f2), atol=1e-12)
+
+
+def test_simple_krige_properties(spark):
+    """SK invariants: exact at a sample (nugget 0); an empty
+    neighborhood returns the KNOWN mean with full prior variance (never
+    NULL); a far-but-in-radius block shrinks toward the mean."""
+    from vtk_reserves_spark.operators.geostats import simple_krige
+
+    blocks = spark.createDataFrame(
+        [(1, 10.0, 0.0, 0.0), (2, 45.0, 0.0, 0.0), (3, 500.0, 0.0, 0.0)],
+        "cell long, x double, y double, z double",
+    )
+    samples = spark.createDataFrame(
+        [(10.0, 0.0, 0.0, 30.0)],
+        "sx double, sy double, sz double, grade double",
+    )
+    out = {
+        r.cell: r
+        for r in simple_krige(
+            blocks, samples, "grade", radius=50.0, mean=12.0,
+            variogram=("spherical", 40.0, 1.0, 0.0),
+            sample_xyz=("sx", "sy", "sz"),
+        ).collect()
+    }
+    assert out[1].grade == pytest.approx(30.0, abs=1e-9)  # exact at sample
+    assert out[1].kvar == pytest.approx(0.0, abs=1e-9)
+    # 35m away with range 40: weight < 1, estimate between mean and value
+    assert 12.0 < out[2].grade < 30.0
+    assert 0.0 < out[2].kvar <= 1.0
+    # no samples in radius: the known mean, prior variance, NOT NULL
+    assert out[3].grade == pytest.approx(12.0)
+    assert out[3].kvar == pytest.approx(1.0)
+    assert out[3].n_samples == 0
+
+
+def test_indicator_krige_probability(spark):
+    """IK of the >cutoff indicator yields probabilities in [0,1]: a
+    block surrounded by above-cutoff samples approaches 1, one amid
+    below-cutoff samples approaches 0."""
+    from vtk_reserves_spark.operators.geostats import indicator_krige
+
+    blocks = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0.0), (2, 100.0, 0.0, 0.0)],
+        "cell long, x double, y double, z double",
+    )
+    samples = spark.createDataFrame(
+        [(5.0, 0.0, 0.0, 9.0), (-5.0, 0.0, 0.0, 8.5),
+         (105.0, 0.0, 0.0, 1.0), (95.0, 0.0, 0.0, 2.0)],
+        "sx double, sy double, sz double, grade double",
+    )
+    out = {
+        r.cell: r
+        for r in indicator_krige(
+            blocks, samples, "grade", cutoff=5.0, radius=30.0,
+            variogram=("spherical", 25.0, 0.25, 0.0),
+            sample_xyz=("sx", "sy", "sz"),
+        ).collect()
+    }
+    assert out[1].prob_above == pytest.approx(1.0)
+    assert out[2].prob_above == pytest.approx(0.0)
+    assert 0.0 <= out[1].prob_above <= 1.0 <= out[1].n_samples

@@ -798,3 +798,143 @@ def nscore_backtransform(
         .otherwise(interp)
     )
     return df.withColumn(out_col, F.when(y.isNotNull(), out))
+
+
+def simple_krige(
+    blocks: DataFrame,
+    samples: DataFrame,
+    value_col: str,
+    radius: float,
+    mean: float,
+    variogram: tuple = ("spherical", 100.0, 1.0, 0.0),
+    max_samples: int = 16,
+    block_id: str = "cell",
+    xyz=("x", "y", "z"),
+    sample_xyz=None,
+) -> DataFrame:
+    """Simple kriging: estimation with a KNOWN stationary mean —
+    ``est = mean + sum(w_i * (v_i - mean))`` with weights from the
+    covariance system ``C w = c0`` (no unbiasedness constraint, so no
+    Lagrange row; ``C(h) = sill - gamma(h)``).  The right tool when the
+    domain mean is trusted (e.g. from declustered statistics): blocks
+    with NO samples in radius fall back to exactly ``mean`` with
+    variance ``sill`` instead of going NULL, and far blocks shrink
+    toward the mean rather than extrapolating.
+
+    Same tile skeleton and per-size-class batched solves as
+    :func:`ordinary_krige`; returns
+    ``(block_id, <value_col>, kvar, n_samples)``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    model, vrange, sill, nugget = variogram
+    gamma = _variogram_fn(model, float(vrange), float(sill), float(nugget))
+    sill = float(sill)
+    mean = float(mean)
+    sample_xyz = sample_xyz or xyz
+    cand = _tile_candidates(
+        blocks, samples, radius, block_id, xyz, sample_xyz,
+        payload={"_v": value_col},
+        keep_filter=F.col("_v").isNotNull(),
+    ).select("tx", "ty", "tz", block_id, "_sx", "_sy", "_sz", "_v", "_d")
+
+    out_schema = T.StructType(
+        [
+            next(f for f in blocks.schema.fields if f.name == block_id),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("kvar", T.DoubleType()),
+            T.StructField("n_samples", T.IntegerType()),
+        ]
+    )
+
+    def solve_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_d", kind="stable")
+        pdf = pdf.groupby(block_id, sort=False).head(max_samples)
+        pdf = pdf.sort_values(block_id, kind="stable")
+        counts = pdf.groupby(block_id, sort=False).size().to_numpy()
+        pdf["_n"] = np.repeat(counts, counts)
+        ids_all, ests_all, kvars_all, ns_all = [], [], [], []
+        for n, sub in pdf.groupby("_n", sort=False):
+            n = int(n)
+            bids = sub[block_id].to_numpy()[::n]
+            b = len(bids)
+            P = sub[["_sx", "_sy", "_sz"]].to_numpy(float).reshape(b, n, 3)
+            v = sub["_v"].to_numpy(float).reshape(b, n)
+            cb = sill - gamma(sub["_d"].to_numpy(float).reshape(b, n))
+            hij = np.linalg.norm(P[:, :, None, :] - P[:, None, :, :], axis=3)
+            A = sill - gamma(hij)  # covariance matrix, (b, n, n)
+            try:
+                w = np.linalg.solve(A, cb[:, :, None])[:, :, 0]
+            except np.linalg.LinAlgError:
+                w = np.empty((b, n))
+                for i in range(b):
+                    try:
+                        w[i] = np.linalg.solve(A[i], cb[i])
+                    except np.linalg.LinAlgError:
+                        w[i] = np.linalg.lstsq(A[i], cb[i], rcond=None)[0]
+            ids_all.extend(bids.tolist())
+            ns_all.extend([n] * b)
+            ests_all.extend((mean + (w * (v - mean)).sum(axis=1)).tolist())
+            kvars_all.extend(
+                np.maximum(sill - (w * cb).sum(axis=1), 0.0).tolist()
+            )
+        return pd.DataFrame(
+            {block_id: ids_all, value_col: ests_all, "kvar": kvars_all,
+             "n_samples": ns_all}
+        )
+
+    est = cand.groupBy("tx", "ty", "tz").applyInPandas(solve_tile, out_schema)
+    out = blocks.select(block_id).join(est, block_id, "left")
+    return out.select(
+        block_id,
+        # empty neighborhood: simple kriging's defining fallback — the
+        # known mean with full prior variance, never NULL
+        F.coalesce(value_col, F.lit(mean)).alias(value_col),
+        F.coalesce("kvar", F.lit(sill)).alias("kvar"),
+        F.coalesce("n_samples", F.lit(0)).alias("n_samples"),
+    )
+
+
+def indicator_krige(
+    blocks: DataFrame,
+    samples: DataFrame,
+    value_col: str,
+    cutoff: float,
+    radius: float,
+    variogram: tuple = ("spherical", 100.0, 0.25, 0.0),
+    max_samples: int = 16,
+    block_id: str = "cell",
+    xyz=("x", "y", "z"),
+    sample_xyz=None,
+    min_samples: int = 1,
+) -> DataFrame:
+    """Indicator kriging: the probability that the value EXCEEDS
+    ``cutoff``, by ordinary-kriging the 0/1 indicator transform
+    (``i = 1 when v > cutoff``) — the standard nonparametric
+    local-uncertainty estimate (Journel 1983).  A pure composition:
+    indicator column + :func:`ordinary_krige`, with the estimate
+    clamped into [0, 1] (kriging weights can slightly overshoot).
+
+    Returns ``(block_id, prob_above, kvar, n_samples)``.  Note the
+    indicator variogram's sill is at most p(1-p) <= 0.25."""
+    ind = samples.withColumn(
+        "__ind",
+        F.when(
+            F.col(value_col).isNotNull(),
+            (F.col(value_col) > cutoff).cast("double"),
+        ),
+    )
+    out = ordinary_krige(
+        blocks, ind, "__ind", radius,
+        variogram=variogram, max_samples=max_samples, block_id=block_id,
+        xyz=xyz, sample_xyz=sample_xyz, min_samples=min_samples,
+    )
+    return out.select(
+        block_id,
+        F.least(F.greatest(F.col("__ind"), F.lit(0.0)), F.lit(1.0)).alias(
+            "prob_above"
+        ),
+        "kvar",
+        "n_samples",
+    )
