@@ -512,3 +512,27 @@ def test_weighted_quantile_binned_labels_and_zero_weight_groups(spark):
     assert rows["b"] is not None
     with pytest.raises(ValueError, match="collide"):
         weighted_quantile_binned(df, "g", "v", "w", [0.281, 0.282])
+
+
+def test_vl_add_region_respects_bare_key_row():
+    """A single-field ["region"] row is already a group key: no
+    duplicate key may be prepended (regression: duplicate 'region'
+    output columns broke the final sort)."""
+    from vtk_reserves_spark.plans.template import compile_template, vl_add_region
+
+    vl = vl_add_region([["region"], ["volume", "sum"]])
+    assert vl == [["region"], ["volume", "sum"]]
+    plan = compile_template(vl, ["region", "volume"])
+    assert [k.var for k in plan.keys] == ["region"]
+    # still prepends when absent
+    vl2 = vl_add_region([["volume", "sum"]])
+    assert vl2[0][0] == "region"
+
+
+def test_text_mode_blank_third_field_falls_back_to_var():
+    from vtk_reserves_spark.plans.template import compile_template
+
+    plan = compile_template([["note", "text", ""]], ["note"])
+    assert plan.aggs[0].text_value == "note"
+    plan2 = compile_template([["note", "text", "hello"]], ["note"])
+    assert plan2.aggs[0].text_value == "hello"

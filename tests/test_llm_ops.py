@@ -810,3 +810,30 @@ def test_simhash_wide_signature_high_bits_vary(spark):
     assert len(highs) > 1, "high signature bits are constant"
     with pytest.raises(ValueError, match="at most 60 bits"):
         simhash(F.col("text"), bits=64)
+
+
+def test_similarity_guards(spark):
+    """ivf_topk raises on non-dense ids instead of silently returning
+    zero rows; lsh_topk raises on a dim mismatch instead of collapsing
+    every vector into bucket 0; near-dup pairs skip NULL embeddings."""
+    from vtk_reserves_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    vec = [float(i) for i in range(8)]
+    corpus = spark.createDataFrame(
+        [(1000001 + i, vec) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dense integer ids"):
+        ivf_topk(corpus, corpus, n_centroids=16).collect()
+    with pytest.raises(ValueError, match="!= dim"):
+        lsh_topk(corpus, corpus, dim=64)
+    with_null = spark.createDataFrame(
+        [(1, vec), (2, vec), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_near_dup_pairs(with_null, dim=8).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}

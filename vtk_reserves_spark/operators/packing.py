@@ -43,13 +43,13 @@ def pack_offsets(
     when the document fits inside one window).  Empty documents occupy
     zero tokens: their span is empty and both bins are the window their
     offset falls in."""
+    from vtk_reserves_spark.operators.sampling import md5_bucket
+
     p = out_prefix
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        ),
-        F.lit(shards),
-    )
+    # seedless pmod bucket — the one md5-prefix device shared with
+    # sampling/dedup (operators/sampling.md5_bucket), mirrored verbatim
+    # in the SQL oracle
+    shard = md5_bucket(F.col(id_col), F.lit(shards), signed_mod=False)
     w = (
         Window.partitionBy("shard")
         .orderBy(F.col(id_col).asc())

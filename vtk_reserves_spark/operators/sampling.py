@@ -31,20 +31,27 @@ from pyspark.sql import functions as F
 MOD = 1_000_000
 
 
-def hash_bucket(id_col: Column, seed: str = "samp") -> Column:
-    """Uniform bucket in [0, MOD) from md5 of the row id — the first 8
-    hex digits as an integer, mod MOD (same md5-prefix construction as
-    the dedup hashes, so the SQL oracle is one expression)."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}_"), id_col.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % MOD
+def md5_bucket(
+    id_col: Column, modulus, seed: str | None = None, signed_mod: bool = True
+) -> Column:
+    """Uniform bucket in [0, modulus) from md5 of the row id — the first
+    8 hex digits as an integer, reduced mod ``modulus`` (same md5-prefix
+    construction as the dedup hashes, so every SQL oracle is one
+    expression).  ``seed`` optionally prefixes the hashed string;
+    ``signed_mod=False`` uses ``pmod`` (callers that declared pmod in
+    their oracle, e.g. sequence packing)."""
+    keyed = (
+        F.concat(F.lit(f"{seed}_"), id_col.cast("string"))
+        if seed is not None
+        else id_col.cast("string")
     )
+    h = F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
+    return h % modulus if signed_mod else F.pmod(h, modulus)
+
+
+def hash_bucket(id_col: Column, seed: str = "samp") -> Column:
+    """Sampling bucket in [0, MOD): see :func:`md5_bucket`."""
+    return md5_bucket(id_col, MOD, seed=seed)
 
 
 def _thr(fraction: float) -> int:

@@ -65,6 +65,19 @@ def cosine_topk(
     )
 
 
+def _check_dim(df: DataFrame, vec_col: str, dim: int, what: str) -> None:
+    """Fail loudly when the declared hyperplane dimension doesn't match
+    the data: Spark's zip_with pads the shorter array with NULLs, so a
+    mismatch silently sends EVERY vector to bucket 0 — LSH collapses to
+    a full scan (or one giant GEMM group) with no error pointing here."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).take(1)
+    if row and row[0]["n"] != dim:
+        raise ValueError(
+            f"{what}: embedding length {row[0]['n']} != dim={dim} — pass "
+            "the actual vector dimension"
+        )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -82,6 +95,8 @@ def lsh_topk(
     shrink by ~2^n_bits per table while recall grows with n_tables —
     the classic LSH recall/cost dial.  Ranking semantics (ties by
     ascending id) match :func:`cosine_topk`."""
+    _check_dim(corpus, vec_col, dim, "lsh_topk corpus")
+    _check_dim(queries, vec_col, dim, "lsh_topk queries")
     tables = [
         deterministic_hyperplanes(n_bits, dim, f"{seed}{t}") for t in range(n_tables)
     ]
@@ -161,6 +176,16 @@ def ivf_topk(
         corpus.where(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )
+    # the deterministic quantizer assumes dense integer ids from 0 —
+    # string ids (cast to NULL) or an offset id range would leave the
+    # centroid relation EMPTY and every stage would silently return
+    # zero rows; fail loudly instead
+    if not cent.take(1):
+        raise ValueError(
+            f"ivf_topk found no corpus rows with {id_col} < {n_centroids}: "
+            "the deterministic quantizer needs dense integer ids starting "
+            "at 0 — remap ids or substitute k-means centroids"
+        )
 
     def assign(df: DataFrame, out_id: str, n_keep: int) -> DataFrame:
         scored = (
@@ -235,7 +260,13 @@ def embedding_near_dup_pairs(
     import pandas as pd
 
     planes = deterministic_hyperplanes(n_bits, dim, seed)
-    keyed = df.select(
+    # NULL or wrong-length embeddings would all hash to bucket 0 (the
+    # zip_with null-padding poisons every plane's dot product) and then
+    # crash the numpy GEMM with an opaque object-array error — drop them
+    # here; ``dim`` must match the real embedding length
+    keyed = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),

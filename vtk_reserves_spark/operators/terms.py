@@ -63,8 +63,10 @@ def repetition_signals(
     Documents with fewer than ``n`` tokens are dropped (no n-grams).
     Returns ``(id, n_grams, top_count, top_frac)``.  Shape: explode
     ordered grams, count per (doc, gram), reduce per doc — two hash
-    aggregations clustered on the doc key, so the second one reuses the
-    first's partitioning (no extra exchange)."""
+    aggregations.  (Hash partitioning on (_id, gram) does NOT satisfy a
+    distribution on (_id) alone, so the second groupBy pays its own
+    exchange — but over the already-reduced per-gram counts, not the
+    raw gram stream.)"""
     from vtk_reserves_spark.functions.text import ordered_shingles_of_tokens
 
     tok = df.select(
@@ -72,7 +74,7 @@ def repetition_signals(
         tokens(normalize_text(F.col(text_col))).alias("_t"),
     ).where(F.size("_t") >= n)
     grams = tok.select(
-        "_id", F.explode_outer(ordered_shingles_of_tokens(F.col("_t"), n)).alias("gram")
+        "_id", F.explode(ordered_shingles_of_tokens(F.col("_t"), n)).alias("gram")
     )
     per_gram = grams.groupBy("_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy("_id").agg(

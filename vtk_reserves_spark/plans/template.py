@@ -147,7 +147,9 @@ def compile_template(template, columns) -> BreakdownPlan:
         if mode == "text":
             # raw text taken from the 3rd field if present, else the var
             # name itself (reference bm_breakdown.py:206-211)
-            text_value = row[2] if len(row) > 2 else var
+            # a BLANK 3rd field (padded commalist grids emit them) falls
+            # back to the var name like a missing field would
+            text_value = row[2] if len(row) > 2 and row[2] else var
             plan.aggs.append(
                 AggSpec(var=var, mode=mode, alias=alias, text_value=text_value)
             )
@@ -176,7 +178,11 @@ def vl_add_region(vl: list[list[str]], region: str = "region") -> list[list[str]
     """Prepend a ``region`` group key unless one is already present
     (reference ``vtk_reserves.py:100-107``)."""
     for row in vl:
-        if len(row) > 1 and row[0].startswith(region):
+        # a bare single-field row (["region"]) IS a group key — the old
+        # len(row) > 1 guard missed it and prepended a duplicate key,
+        # which made the final projection emit two columns named
+        # "region" and the sort fail with an ambiguous reference
+        if row and row[0].startswith(region):
             return vl
     vl.insert(0, [region, "", ""])
     return vl

@@ -89,7 +89,14 @@ def read_shp(spark: SparkSession, path: str) -> DataFrame:
     rows = list(parse_shp(data))
     pdf = pd.DataFrame(rows, columns=["oid", "part", "type", "x", "y", "z"])
     pdf["layer"] = layer
-    return spark.createDataFrame(pdf[["oid", "part", "type", "layer", "x", "y", "z"]])
+    # explicit schema: a header-only shapefile (zero records is legal —
+    # GIS tools write them for empty layers) yields an all-object empty
+    # frame that createDataFrame cannot infer a schema from
+    return spark.createDataFrame(
+        pdf[["oid", "part", "type", "layer", "x", "y", "z"]],
+        schema="oid long, part long, type int, layer string, "
+               "x double, y double, z double",
+    )
 
 
 def _bbox(pts):
