@@ -3202,12 +3202,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT grade, mass * mine AS m, c.cutoff
               FROM f, (SELECT unnest([0.0, 20.0, 40.0, 60.0, 80.0]) AS cutoff) c
               WHERE grade >= c.cutoff AND grade IS NOT NULL
+            ), agg AS (
+              SELECT cutoff,
+                     ROUND(SUM(m), 2) AS tonnes,
+                     ROUND(SUM(grade * m) / SUM(m), 6) AS mean_grade,
+                     COUNT(*) AS n_blocks
+              FROM ex GROUP BY cutoff
             )
-            SELECT CAST(cutoff AS DOUBLE) AS cutoff,
-                   ROUND(SUM(m), 2) AS tonnes,
-                   ROUND(SUM(grade * m) / SUM(m), 6) AS mean_grade,
-                   COUNT(*) AS n_blocks
-            FROM ex GROUP BY cutoff
+            SELECT CAST(c.cutoff AS DOUBLE) AS cutoff,
+                   COALESCE(a.tonnes, 0.0) AS tonnes,
+                   a.mean_grade,
+                   CAST(COALESCE(a.n_blocks, 0) AS BIGINT) AS n_blocks
+            FROM (SELECT unnest([0.0, 20.0, 40.0, 60.0, 80.0]) AS cutoff) c
+            LEFT JOIN agg a ON a.cutoff = c.cutoff
         """,
         "idw": """
             WITH b AS (

@@ -451,3 +451,18 @@ def test_video_frames_hand_checked(spark):
     assert rows[0].mean_px == pytest.approx(10.0)
     assert rows[1].mean_px == pytest.approx(200.0)
     assert rows[0].width == 6 and rows[0].height == 4 and len(rows) == 2
+
+
+def test_dxf_lwpolyline_elevation(tmp_path, spark):
+    """Group-38 elevation places LWPOLYLINE contours at their height
+    (regression: they all collapsed to z=0)."""
+    p = str(tmp_path / "contour.dxf")
+    with open(p, "w") as fh:
+        fh.write("0\nSECTION\n2\nENTITIES\n0\nLWPOLYLINE\n8\nC250\n"
+                 "38\n250.0\n10\n0.0\n20\n0.0\n10\n10.0\n20\n5.0\n"
+                 "0\nENDSEC\n0\nEOF\n")
+    from vtk_reserves_spark.sources.dxf import read_dxf
+
+    rows = read_dxf(spark, p).orderBy("n").collect()
+    assert [r.z for r in rows] == [250.0, 250.0]
+    assert [(r.x, r.y) for r in rows] == [(0.0, 0.0), (10.0, 5.0)]

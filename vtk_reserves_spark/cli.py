@@ -51,16 +51,22 @@ def cmd_breakdown(args) -> None:
     from vtk_reserves_spark.operators.breakdown import breakdown
     from vtk_reserves_spark.plans.commalist import parse_commalist
     from vtk_reserves_spark.plans.template import compile_template
-    from vtk_reserves_spark.sources.loaders import load_dataframe
+    from vtk_reserves_spark.sources.loaders import (
+        apply_load_options,
+        load_dataframe,
+    )
     from vtk_reserves_spark.sources.writers import save_report
 
     spark = _spark()
     vl = parse_commalist(args.template)
-    probe = load_dataframe(spark, args.input, keep_null=True)
-    plan = compile_template(vl, probe.columns)
-    df = load_dataframe(
-        spark,
-        args.input,
+    # ONE dispatch: the raw load doubles as the schema probe — a second
+    # load_dataframe call would rescan CSV (inferSchema) / reparse the
+    # Excel workbook; parquet stays lazy and Catalyst pushes the column
+    # pruning into the scan either way
+    raw = load_dataframe(spark, args.input, keep_null=True)
+    plan = compile_template(vl, raw.columns)
+    df = apply_load_options(
+        raw,
         condition=args.condition,
         vl=plan.referenced_columns,
         keep_null=args.keep_null,

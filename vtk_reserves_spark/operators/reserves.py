@@ -106,7 +106,12 @@ def grade_tonnage(
     Plan: each row fans out to the cutoffs it clears (bounded explode,
     ≤ len(cutoffs)) and ONE groupBy(cutoff) aggregates mass-weighted
     grade and total tonnes; optional ``mine_col`` scales mass by the
-    mined fraction.  Narrow + one shuffle at any scale."""
+    mined fraction.  Narrow + one shuffle at any scale.
+
+    EVERY requested cutoff appears in the output: one nothing clears
+    reports ``tonnes 0, n_blocks 0`` with a NULL mean (silently
+    dropping it would truncate the curve and misalign consumers that
+    zip against the requested list)."""
     from pyspark.sql import functions as F
 
     g = F.col(grade_col).cast("double")
@@ -119,8 +124,17 @@ def grade_tonnage(
         .select(g.alias("_g"), m.alias("_m"), F.explode(arr).alias("cutoff"))
         .where(F.col("_g") >= F.col("cutoff"))
     )
-    return rows.groupBy("cutoff").agg(
+    agg = rows.groupBy("cutoff").agg(
         F.sum("_m").alias("tonnes"),
         (F.sum(F.col("_g") * F.col("_m")) / F.sum("_m")).alias("mean_grade"),
         F.count(F.lit(1)).alias("n_blocks"),
+    )
+    cuts = df.sparkSession.createDataFrame(
+        [(float(c),) for c in sorted(cutoffs)], "cutoff double"
+    )
+    return cuts.join(agg, "cutoff", "left").select(
+        "cutoff",
+        F.coalesce("tonnes", F.lit(0.0)).alias("tonnes"),
+        "mean_grade",
+        F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
     )

@@ -31,17 +31,23 @@ def parse_dxf(text: str):
     in_entities = False
     entity = None
     layer = ""
+    elev = 0.0
     pts: list[list[float]] = []
     cur: list[float] | None = None
 
     def flush():
-        nonlocal pts, cur
+        nonlocal pts, cur, elev
         rows = []
         if entity and pts:
             for n, p in enumerate(pts):
-                rows.append((oid, entity, layer, n, p[0], p[1], p[2]))
+                # LWPOLYLINE is planar: its vertices carry no 30 code,
+                # the entity's group-38 elevation IS their z — without
+                # it every contour collapses to z=0
+                z = elev if entity == "LWPOLYLINE" else p[2]
+                rows.append((oid, entity, layer, n, p[0], p[1], z))
         pts = []
         cur = None
+        elev = 0.0
         return rows
 
     expect_section_name = False
@@ -106,6 +112,8 @@ def parse_dxf(text: str):
                     pts[-1][1] = float(val)
                 elif cur is not None:
                     cur[1] = float(val)
+            elif code == "38" and entity == "LWPOLYLINE":
+                elev = float(val)
             elif code in ("30", "31", "32", "33"):
                 idx = int(code) - 30
                 if entity in ("LINE", "3DFACE"):

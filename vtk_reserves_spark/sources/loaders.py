@@ -224,6 +224,21 @@ def load_dataframe(
     else:
         raise ValueError(f"unsupported input format: {ext!r} ({df_path})")
 
+    return apply_load_options(df, condition=condition, vl=vl, keep_null=keep_null)
+
+
+def apply_load_options(
+    df: DataFrame,
+    condition: str = "",
+    vl: list | None = None,
+    keep_null: bool = False,
+) -> DataFrame:
+    """The loader's post-processing (null-sentinel mask -> condition
+    filter -> column pruning) over an ALREADY-loaded frame.  Lets a
+    caller that must probe the schema first (e.g. template compilation)
+    dispatch the load ONCE and apply options afterwards — for CSV
+    (inferSchema scans the data) and Excel (driver-side workbook parse)
+    a second ``load_dataframe`` call would redo the whole ingest."""
     if not keep_null:
         df = mask_null_sentinel(df)
     if condition:

@@ -113,8 +113,27 @@ class TriMesh:
 
     @classmethod
     def from_vtk(cls, path: str) -> "TriMesh":
-        """Legacy VTK ASCII POLYDATA parser (POINTS + POLYGONS; polygons
-        with >3 vertices are fan-triangulated like the OBJ path)."""
+        """Legacy VTK POLYDATA parser (POINTS + POLYGONS /
+        TRIANGLE_STRIPS; polygons with >3 vertices fan-triangulate like
+        the OBJ path, strips triangulate with the sliding window +
+        alternating winding the format defines).  BINARY legacy files
+        (the reference's shipped sample format) are detected from the
+        format line and routed through `sources/vtk_binary.read_vtk` —
+        previously they crashed here with a UnicodeDecodeError."""
+        with open(path, "rb") as fh:
+            head = fh.read(256)
+        fmt_line = head.split(b"\n")[2:3]
+        if fmt_line and fmt_line[0].strip().upper().startswith(b"BINARY"):
+            from vtk_reserves_spark.sources.vtk_binary import read_vtk
+
+            ds = read_vtk(path)
+            return cls(
+                np.asarray(ds.points, np.float64),
+                np.asarray(ds.faces, int)
+                if getattr(ds, "faces", None) is not None and len(ds.faces)
+                else np.empty((0, 3), int),
+                name=os.path.splitext(os.path.basename(path))[0],
+            )
         with open(path, "r") as fh:
             toks = fh.read().split("\n")
         verts: list[float] = []
@@ -130,14 +149,23 @@ class TriMesh:
                     flat.extend(float(v) for v in toks[i].split())
                 verts = flat
             elif parts[:1] in (["POLYGONS"], ["TRIANGLE_STRIPS"]):
+                strips = parts[0] == "TRIANGLE_STRIPS"
                 m = int(parts[1])
                 got = 0
                 while got < m:
                     i += 1
                     rec = [int(v) for v in toks[i].split()]
                     k, idx = rec[0], rec[1:]
-                    for t in range(1, k - 1):
-                        faces.append([idx[0], idx[t], idx[t + 1]])
+                    if strips:
+                        # sliding window with alternating winding — a
+                        # fan would span the wrong diagonal from the
+                        # second triangle on
+                        for t in range(k - 2):
+                            a, b, c = idx[t], idx[t + 1], idx[t + 2]
+                            faces.append([a, c, b] if t % 2 else [a, b, c])
+                    else:
+                        for t in range(1, k - 1):
+                            faces.append([idx[0], idx[t], idx[t + 1]])
                     got += 1
             i += 1
         name = os.path.splitext(os.path.basename(path))[0]
@@ -194,7 +222,12 @@ def mesh_from_exploded_df(pdf) -> TriMesh:
     if "node" in pdf.columns:
         nodes = pdf.drop_duplicates("node").sort_values("node")
         verts = nodes[["x", "y", "z"]].to_numpy()
-        node_ids = pdf["node"].to_numpy()
+        # node ids need not be dense 0..n-1 (face-filtered subsets drop
+        # unreferenced vertices): remap each id to its POSITION in the
+        # compacted vertex array, or faces would index out of range /
+        # point at the wrong vertex
+        remap = {int(v): i for i, v in enumerate(nodes["node"].to_numpy())}
+        node_ids = np.array([remap[int(v)] for v in pdf["node"].to_numpy()])
     else:
         verts = pdf[["x", "y", "z"]].to_numpy()
         node_ids = np.arange(len(pdf))

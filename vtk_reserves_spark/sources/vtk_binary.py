@@ -58,7 +58,12 @@ class VtkDataset:
 #: decode — encountered mid-stream they must abort, not line-skip
 _BINARY_ATTR_SECTIONS = frozenset(
     (b"VECTORS", b"NORMALS", b"TEXTURE_COORDINATES", b"TENSORS",
-     b"COLOR_SCALARS", b"LOOKUP_TABLE")
+     b"COLOR_SCALARS", b"LOOKUP_TABLE",
+     # SCALARS is normally consumed inside _read_attributes; one that
+     # surfaces in the MAIN loop (e.g. after a METADATA block made
+     # _read_attributes return early) still fronts a binary payload —
+     # line-skipping it would misread payload bytes as section headers
+     b"SCALARS")
 )
 
 
@@ -151,6 +156,14 @@ def _read_attributes(cur: _Cursor, n: int) -> dict:
         elif head.startswith(b"FIELD"):
             cur.line()
             out.update(_read_field(cur, int(head.split()[2])))
+        elif head.startswith(b"METADATA"):
+            # VTK >= 8 interleaves text METADATA blocks between arrays
+            # (terminated by a blank line): skip it INLINE and keep
+            # reading attributes — returning early here would strand the
+            # following SCALARS header in the main loop
+            cur.line()
+            while not cur.eof() and cur.peek_line():
+                cur.line()
         elif head.split()[:1] and head.split()[0] in _BINARY_ATTR_SECTIONS:
             # these carry a binary payload this parser doesn't decode;
             # skipping them line-wise would misread payload bytes as

@@ -44,10 +44,25 @@ def read_xlsx(path: str, sheet: "str | int | None" = None):
     None (first sheet)."""
     with zipfile.ZipFile(path) as z:
         wb = ET.fromstring(z.read("xl/workbook.xml"))
-        sheets = [
-            (s.get("name"), i + 1)
-            for i, s in enumerate(wb.iter(f"{_NS}sheet"))
-        ]
+        # resolve each sheet's worksheet part through the RELATIONSHIP id
+        # (r:id -> xl/_rels/workbook.xml.rels Target): sheetN.xml
+        # numbering does NOT track workbook order once sheets have been
+        # deleted or reordered, so positional mapping reads the wrong
+        # part or a missing one
+        rid_attr = (
+            "{http://schemas.openxmlformats.org/officeDocument/2006/"
+            "relationships}id"
+        )
+        rels = {}
+        rels_part = "xl/_rels/workbook.xml.rels"
+        if rels_part in z.namelist():
+            for rel in ET.fromstring(z.read(rels_part)):
+                t = rel.get("Target", "")
+                rels[rel.get("Id")] = t if t.startswith("xl/") else f"xl/{t}"
+        sheets = []
+        for i, s in enumerate(wb.iter(f"{_NS}sheet")):
+            part = rels.get(s.get(rid_attr), f"xl/worksheets/sheet{i + 1}.xml")
+            sheets.append((s.get("name"), part))
         if sheet is None:
             target = sheets[0]
         elif isinstance(sheet, int):
@@ -59,7 +74,7 @@ def read_xlsx(path: str, sheet: "str | int | None" = None):
             ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in ss.iter(f"{_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
-        data = ET.fromstring(z.read(f"xl/worksheets/sheet{target[1]}.xml"))
+        data = ET.fromstring(z.read(target[1]))
     rows: list[list] = []
     for row in data.iter(f"{_NS}row"):
         out: list = []
@@ -76,6 +91,10 @@ def read_xlsx(path: str, sheet: "str | int | None" = None):
                 out.append("".join(x.text or "" for x in is_el.iter(f"{_NS}t")))
             elif t == "b" and v is not None:
                 out.append(v.text == "1")
+            elif t == "str" and v is not None:
+                out.append(v.text or "")  # formula's cached STRING result
+            elif t == "e":
+                out.append(None)  # error value (#DIV/0! etc.)
             elif v is not None:
                 out.append(float(v.text))
             else:
@@ -136,7 +155,8 @@ def write_xlsx(tables, path: str) -> None:
 
     names = list(tables)
     sheets_decl = "".join(
-        f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name="{escape(n, {chr(34): "&quot;"})}" '
+        f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, n in enumerate(names)
     )
     workbook = (
