@@ -1180,6 +1180,37 @@ def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variogram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variogram model auto-fit (operators/geostats.fit_variogram):
+    deterministic Cressie-WLS grid argmin over (model, range, sill,
+    nugget) candidates derived from the experimental curve — the
+    missing step between q_variogram and the kriging queries.  The
+    oracle runs the identical grid in SQL; scores round to 6 dp before
+    ranking with an ascending tie-break, so the argmin is well-defined
+    on both engines."""
+    from vtk_reserves_spark.operators.geostats import (
+        experimental_variogram,
+        fit_variogram,
+    )
+
+    s = spark.range(300)
+    samples = s.select(
+        ((F.col("id") * 37) % 300 + 0.25).cast("double").alias("x"),
+        ((F.col("id") * 53) % 200 + 0.5).cast("double").alias("y"),
+        ((F.col("id") * 29) % 200 + 0.75).cast("double").alias("z"),
+        ((F.col("id") * 13) % 90 + 5.0).cast("double").alias("grade"),
+    )
+    vg = experimental_variogram(samples, "grade", max_lag=50.0, n_lags=10)
+    out = fit_variogram(vg)
+    return out.select(
+        "model",
+        F.round("vrange", 6).alias("vrange"),
+        F.round("sill", 6).alias("sill"),
+        F.round("nugget", 6).alias("nugget"),
+        F.round("wmse", 6).alias("wmse"),
+    )
+
+
 def q_swath(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimation-QA swath plot (operators/geostats.swath_plot): fixture
     model grades vs the synthetic sample set, 30 m slabs along x — two
@@ -1610,6 +1641,24 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_top_terms(docs, "doc_id", "text", top_k=3)
+
+
+def q_charlm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram LM perplexity (operators/terms.charlm_perplexity):
+    the CCNet-style fluency filter, model trained on the corpus itself
+    in the same job — one bigram explode feeds both the (tiny,
+    broadcast) smoothed model and the per-document counts, pure
+    Catalyst end to end."""
+    from vtk_reserves_spark.operators.terms import charlm_perplexity
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = charlm_perplexity(docs, "doc_id", "text", alpha=0.5)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 6).alias("ppl"),
+    )
 
 
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2376,6 +2425,36 @@ def _llm_oracles() -> dict[str, str]:
             FROM cg JOIN bg USING (gram)
             GROUP BY doc_id
         """,
+        "charlm_perplexity": """
+            WITH bi AS (
+              SELECT doc_id, substr(text, i, 2) AS bg
+              FROM documents,
+                   LATERAL (SELECT unnest(generate_series(1, length(text) - 1)) AS i)
+              WHERE length(text) >= 2
+            ), model AS (
+              SELECT bg, COUNT(*) AS n12 FROM bi GROUP BY bg
+            ), tot AS (
+              SELECT substr(bg, 1, 1) AS c1, SUM(n12) AS n1
+              FROM model GROUP BY 1
+            ), v AS (
+              SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS vsize FROM model
+            ), logp AS (
+              SELECT bg, ln((n12 + 0.5) / (n1 + 0.5 * vsize)) AS lp
+              FROM model JOIN tot ON substr(model.bg, 1, 1) = tot.c1
+              CROSS JOIN v
+            ), doc_bg AS (
+              SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg
+            ), scored AS (
+              SELECT doc_id, SUM(c) AS n_bigrams,
+                     SUM(c * lp) / SUM(c) AS avg_logp
+              FROM doc_bg JOIN logp USING (bg) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   ROUND(s.avg_logp, 6) AS avg_logp,
+                   ROUND(exp(-s.avg_logp), 6) AS ppl
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
         "tfidf_top_terms": f"""
             WITH tok AS (
               SELECT doc_id, unnest({toks}) AS term FROM documents
@@ -2854,8 +2933,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
         "krige_block": q_krige_block,  # rows-only: same reason
-        "cokrige": q_cokrige,  # rows-only: same reason
-        "simple_krige": q_simple_krige,  # rows-only: same reason
         "indicator_krige": q_indicator_krige,  # rows-only: same reason
         "decluster": q_decluster,
         "topcut": q_topcut,
@@ -2867,7 +2944,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "video_frames": q_video_frames,
         "variogram": q_variogram,
+        "variogram_fit": q_variogram_fit,
+        "charlm_perplexity": q_charlm_perplexity,
         "swath": q_swath,
+        # rows-only linear solves, demoted past the harness's 50-entry
+        # cap to make room for oracle-CHECKABLE queries above; the
+        # full-contract self-run artifact still covers them
+        "simple_krige": q_simple_krige,
+        "cokrige": q_cokrige,
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -3266,6 +3350,79 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n_samples, 0) AS n_samples,
                    ROUND(sample_mean, 6) AS sample_mean
             FROM m FULL OUTER JOIN smp ON m.slab_id = smp.slab_id
+        """,
+        "variogram_fit": """
+            WITH s AS (
+              SELECT r.range AS id,
+                     CAST((r.range * 37) % 300 + 0.25 AS DOUBLE) AS x,
+                     CAST((r.range * 53) % 200 + 0.5 AS DOUBLE) AS y,
+                     CAST((r.range * 29) % 200 + 0.75 AS DOUBLE) AS z,
+                     CAST((r.range * 13) % 90 + 5.0 AS DOUBLE) AS grade
+              FROM range(300) r
+            ), pairs AS (
+              SELECT sqrt((a.x-b.x)^2 + (a.y-b.y)^2 + (a.z-b.z)^2) AS d,
+                     (a.grade - b.grade)^2 AS dv2
+              FROM s a JOIN s b ON a.id < b.id
+            ), binned AS (
+              SELECT CAST(LEAST(FLOOR(d / 5.0), 9) AS INT) AS lag_bin, dv2
+              FROM pairs WHERE d > 0 AND d <= 50.0
+            ), vg AS (
+              SELECT CAST((lag_bin + 0.5) * 5.0 AS DOUBLE) AS h_mid,
+                     COUNT(*) AS n_pairs,
+                     AVG(dv2) / 2.0 AS gamma
+              FROM binned GROUP BY lag_bin
+            ), st AS (
+              SELECT MAX(h_mid) AS hmax, MAX(gamma) AS gmax FROM vg
+            ), cand AS (
+              SELECT m.model,
+                     st.hmax * r.i / 16.0 AS vrange,
+                     st.gmax * s2.i / 16.0 AS sill,
+                     st.gmax * s2.i / 16.0 * n.i / 16.0 AS nugget
+              FROM (VALUES ('exponential'), ('gaussian'), ('spherical'))
+                   m(model),
+                   (SELECT unnest(generate_series(1, 16)) AS i) r,
+                   (SELECT unnest(generate_series(1, 16)) AS i) s2,
+                   (SELECT unnest(generate_series(0, 8)) AS i) n,
+                   st
+            ), modeled AS (
+              SELECT c.model, c.vrange, c.sill, c.nugget,
+                     vg.n_pairs, vg.gamma,
+                     c.nugget + (c.sill - c.nugget) * (
+                       CASE c.model
+                         WHEN 'spherical' THEN
+                           CASE WHEN vg.h_mid / c.vrange < 1.0
+                                THEN 1.5 * (vg.h_mid / c.vrange)
+                                     - 0.5 * (vg.h_mid / c.vrange)
+                                           * (vg.h_mid / c.vrange)
+                                           * (vg.h_mid / c.vrange)
+                                ELSE 1.0 END
+                         WHEN 'exponential' THEN
+                           1.0 - EXP(-3.0 * (vg.h_mid / c.vrange))
+                         ELSE
+                           1.0 - EXP(-3.0 * (vg.h_mid / c.vrange)
+                                          * (vg.h_mid / c.vrange))
+                       END
+                     ) AS gm
+              FROM cand c CROSS JOIN vg
+            ), scored AS (
+              SELECT model, vrange, sill, nugget,
+                     SUM(n_pairs * (gamma - gm) * (gamma - gm) / (gm * gm))
+                       / SUM(n_pairs) AS wmse
+              FROM modeled
+              GROUP BY model, vrange, sill, nugget
+            )
+            SELECT model,
+                   ROUND(vrange, 6) AS vrange,
+                   ROUND(sill, 6) AS sill,
+                   ROUND(nugget, 6) AS nugget,
+                   ROUND(wmse, 6) AS wmse
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY model
+                ORDER BY ROUND(wmse, 6) ASC, vrange ASC, sill ASC, nugget ASC
+              ) AS rn
+              FROM scored
+            ) WHERE rn = 1
         """,
         "variogram": """
             WITH s AS (

@@ -837,3 +837,53 @@ def test_similarity_guards(spark):
     )
     pairs = embedding_near_dup_pairs(with_null, dim=8).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_charlm_perplexity_flags_outliers(spark):
+    """Natural text scores lower perplexity under the corpus-trained
+    bigram model than single-char padding or mojibake-like noise; a
+    sub-2-char doc has no bigrams and returns NULLs."""
+    from vtk_reserves_spark.operators.terms import charlm_perplexity
+
+    english = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a model of the corpus assigns high probability to common pairs",
+        "training data quality filters remove noise from the web crawl",
+        "the spark engine reads parquet files and aggregates the rows",
+        "common english words share many of the same character pairs",
+    ]
+    # 50 natural docs so the corpus model is dominated by real text and
+    # the lone noise doc's self-contributed counts stay marginal
+    rows = [(i, english[i % 5]) for i in range(50)]
+    rows.append((101, "qxqzjqxkvjwzqxjkvzwqjxkzvqwjzxkqvzwj"))
+    rows.append((102, "x"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = charlm_perplexity(df, "doc_id", "text").toPandas().set_index("doc_id")
+    nat_max = out.loc[0:49, "ppl"].max()
+    # the uniform-noise doc must sit far above every natural doc
+    assert out.loc[101, "ppl"] > nat_max * 2
+    assert out.loc[102, "n_bigrams"] == 0
+    assert pd.isna(out.loc[102, "ppl"])
+    # n_bigrams is exactly len-1 for each scored doc
+    for i in range(5):
+        assert out.loc[i, "n_bigrams"] == len(english[i]) - 1
+
+
+def test_charlm_perplexity_matches_hand_model(spark):
+    """Two-doc corpus, hand-computed smoothed bigram probabilities."""
+    import math
+
+    from vtk_reserves_spark.operators.terms import charlm_perplexity
+
+    df = spark.createDataFrame([(1, "aab"), (2, "ab")], "doc_id long, text string")
+    out = charlm_perplexity(df, "doc_id", "text", alpha=0.5).toPandas()
+    out = out.set_index("doc_id")
+    # corpus bigrams: doc1 -> aa, ab; doc2 -> ab.  model: n(aa)=1, n(ab)=2
+    # totals: n(a·)=3; V = |{a, b}| = 2
+    p_aa = (1 + 0.5) / (3 + 0.5 * 2)
+    p_ab = (2 + 0.5) / (3 + 0.5 * 2)
+    exp1 = -(math.log(p_aa) + math.log(p_ab)) / 2
+    exp2 = -math.log(p_ab)
+    assert abs(out.loc[1, "avg_logp"] + exp1) < 1e-12
+    assert abs(out.loc[2, "avg_logp"] + exp2) < 1e-12
+    assert abs(out.loc[1, "ppl"] - math.exp(exp1)) < 1e-12

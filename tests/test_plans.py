@@ -179,3 +179,14 @@ def test_stream_topk_partitions_by_key(spark):
     lp = sdf._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandasWithState" in lp
     assert "event_type" in lp.split("FlatMapGroupsInPandasWithState")[1][:200]
+
+
+def test_charlm_model_broadcasts(spark):
+    """The trained bigram log-prob table (~|charset|² rows) must reach
+    the per-document pairs via broadcast, never a shuffled join, and
+    the documents scan must prune to (doc_id, text)."""
+    plan = _plan(entry.q_charlm_perplexity(spark, TESTDATA))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    # model->doc_bg join and the vocab-size scalar are both broadcast
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row vsize crossJoin

@@ -957,3 +957,48 @@ def test_indicator_krige_probability(spark):
     assert out[1].prob_above == pytest.approx(1.0)
     assert out[2].prob_above == pytest.approx(0.0)
     assert 0.0 <= out[1].prob_above <= 1.0 <= out[1].n_samples
+
+
+def test_fit_variogram_recovers_known_model(spark):
+    """An experimental curve generated EXACTLY from a spherical model
+    whose (range, sill, nugget) sit on the candidate grid must fit with
+    zero weighted error, beating both other model families."""
+    from vtk_reserves_spark.operators.geostats import fit_variogram
+
+    hmax, sill = 47.5, 80.0
+    vrange, nugget = hmax * 8 / 16.0, sill * 4 / 16.0  # on-grid truth
+    rows = []
+    for b in range(10):
+        h = (b + 0.5) * 5.0
+        r = min(h / vrange, 1.0)
+        gamma = nugget + (sill - nugget) * (1.5 * r - 0.5 * r**3)
+        rows.append((b, h, 100, gamma))
+    vg = spark.createDataFrame(
+        rows, "lag_bin int, h_mid double, n_pairs long, gamma double"
+    )
+    out = fit_variogram(vg).toPandas().set_index("model")
+    sph = out.loc["spherical"]
+    assert sph["vrange"] == pytest.approx(vrange)
+    assert sph["sill"] == pytest.approx(sill)
+    assert sph["nugget"] == pytest.approx(nugget)
+    assert sph["wmse"] == pytest.approx(0.0, abs=1e-12)
+    assert (out.drop(index="spherical")["wmse"] > 1e-4).all()
+
+
+def test_fit_variogram_all_broadcast_no_shuffle_join(spark):
+    """The grid x curve cross joins must be broadcast (driver-sized
+    candidate set), never a shuffled join."""
+    from tests.test_plans import _plan
+    from vtk_reserves_spark.operators.geostats import (
+        experimental_variogram,
+        fit_variogram,
+    )
+
+    s = spark.range(100).select(
+        (F.col("id") % 10 + 0.1).cast("double").alias("x"),
+        (F.col("id") % 7 + 0.2).cast("double").alias("y"),
+        F.lit(0.0).alias("z"),
+        (F.col("id") % 5 + 1.0).cast("double").alias("v"),
+    )
+    plan = _plan(fit_variogram(experimental_variogram(s, "v", 20.0, 5)))
+    assert "SortMergeJoin" not in plan

@@ -938,3 +938,104 @@ def indicator_krige(
         "kvar",
         "n_samples",
     )
+
+
+def fit_variogram(
+    vg: DataFrame,
+    n_range: int = 16,
+    n_sill: int = 16,
+    n_nugget: int = 8,
+    models: tuple = ("exponential", "gaussian", "spherical"),
+) -> DataFrame:
+    """Auto-fit a variogram model to an experimental variogram — the
+    step between :func:`experimental_variogram` and the kriging
+    estimators, closing the loop so a pipeline needs no hand-picked
+    ``(model, range, sill, nugget)``.
+
+    Deterministic Cressie-style weighted least squares (Cressie 1985:
+    weights ``n_pairs / gamma_model²``) over an explicit candidate
+    grid derived from the curve itself: range in ``h_max · i/n_range``
+    (i = 1..n_range), total sill in ``gamma_max · j/n_sill``, nugget in
+    ``sill · k/(2·n_nugget)`` (0..half the sill), for each model shape
+    in ``models``.  A grid argmin — not an iterative optimizer — so the
+    result is reproducible in ANSI SQL (the DuckDB oracle runs the
+    same grid); scores round to 6 dp before ranking and ties break by
+    (range, sill, nugget) ascending, making the argmin well-defined on
+    both engines.
+
+    Scale shape: the experimental variogram is ``n_lags`` rows no
+    matter the input size, so grid × curve is a few-thousand-row
+    broadcast cross join and ONE aggregation — driver-sized work that
+    composes with the O(n·neighbors) pair gather upstream.  Returns
+    one row per model: ``(model, vrange, sill, nugget, wmse)``, best
+    fit first by ``wmse``.
+    """
+    from pyspark.sql import Window
+
+    spark = vg.sparkSession
+    stats = vg.agg(
+        F.max("h_mid").alias("_hmax"), F.max("gamma").alias("_gmax")
+    )
+    r = spark.range(1, n_range + 1).select(F.col("id").alias("_ri"))
+    s = spark.range(1, n_sill + 1).select(F.col("id").alias("_si"))
+    k = spark.range(0, n_nugget + 1).select(F.col("id").alias("_ni"))
+    mdl = spark.createDataFrame([(m,) for m in models], "model string")
+    cand = (
+        r.crossJoin(s)
+        .crossJoin(k)
+        .crossJoin(mdl)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "model",
+            (F.col("_hmax") * F.col("_ri") / F.lit(float(n_range))).alias(
+                "vrange"
+            ),
+            (F.col("_gmax") * F.col("_si") / F.lit(float(n_sill))).alias(
+                "sill"
+            ),
+            (
+                F.col("_gmax")
+                * F.col("_si")
+                / F.lit(float(n_sill))
+                * F.col("_ni")
+                / F.lit(float(2 * n_nugget))
+            ).alias("nugget"),
+        )
+    )
+    grid = vg.select("h_mid", "n_pairs", "gamma").crossJoin(F.broadcast(cand))
+    rr = F.col("h_mid") / F.col("vrange")
+    shape = (
+        F.when(
+            F.col("model") == "spherical",
+            F.when(rr < 1.0, 1.5 * rr - 0.5 * rr * rr * rr).otherwise(
+                F.lit(1.0)
+            ),
+        )
+        .when(F.col("model") == "exponential", 1.0 - F.exp(-3.0 * rr))
+        .otherwise(1.0 - F.exp(-3.0 * rr * rr))
+    )
+    gm = F.col("nugget") + (F.col("sill") - F.col("nugget")) * shape
+    scored = (
+        grid.withColumn("_gm", gm)
+        .groupBy("model", "vrange", "sill", "nugget")
+        .agg(
+            (
+                F.sum(
+                    F.col("n_pairs")
+                    * (F.col("gamma") - F.col("_gm"))
+                    * (F.col("gamma") - F.col("_gm"))
+                    / (F.col("_gm") * F.col("_gm"))
+                )
+                / F.sum("n_pairs")
+            ).alias("wmse")
+        )
+    )
+    w = Window.partitionBy("model").orderBy(
+        F.round("wmse", 6).asc(), F.col("vrange").asc(),
+        F.col("sill").asc(), F.col("nugget").asc(),
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("model", "vrange", "sill", "nugget", "wmse")
+    )

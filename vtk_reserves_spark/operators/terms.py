@@ -82,3 +82,82 @@ def repetition_signals(
         F.max("c").alias("top_count"),
         (F.max("c") / F.sum("c")).alias("top_frac"),
     ).select(F.col("_id").alias(id_col), "n_grams", "top_count", "top_frac")
+
+
+def charlm_perplexity(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Character-bigram language-model perplexity — the CCNet-style
+    fluency signal (Wenzek et al. 2020 score corpora with a small LM
+    and filter on perplexity; a char bigram model is the
+    dependency-free analog).  The model is trained ON THE CORPUS
+    ITSELF in the same job: bigram counts with add-``alpha`` smoothing
+    over the observed second-character vocabulary give
+    ``P(c2 | c1) = (n(c1 c2) + alpha) / (n(c1 ·) + alpha · V)``, and
+    each document scores ``ppl = exp(-mean log P)`` over its bigrams.
+    Outlier documents (mojibake, binary spew, repeated-char padding)
+    sit far from the corpus model and surface with high perplexity.
+
+    Shape for scale: ONE bigram explode feeds both the model counts
+    and the per-document counts (two hash aggregations with map-side
+    combine — the model side collapses to ~|charset|² rows no matter
+    the corpus size); the trained log-prob table broadcasts back onto
+    the per-document pairs, and one keyed aggregation reduces to the
+    score.  No driver collection, no Python UDF; every expression is
+    Catalyst.  Documents shorter than 2 characters have no bigrams and
+    return NULL ``avg_logp``/``ppl`` (kept via left join).
+
+    Returns ``(id, n_bigrams, avg_logp, ppl)``.
+    """
+    bi = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .where(F.length("_t") >= 2)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - F.lit(1))
+            ).alias("_i"),
+            "_t",
+        )
+        .select("_id", F.substring(F.col("_t"), F.col("_i"), F.lit(2)).alias("_bg"))
+    )
+    doc_bg = bi.groupBy("_id", "_bg").agg(F.count(F.lit(1)).alias("_c"))
+    model = bi.groupBy("_bg").agg(F.count(F.lit(1)).alias("_n12"))
+    tot = (
+        model.withColumn("_c1", F.substring("_bg", 1, 1))
+        .groupBy("_c1")
+        .agg(F.sum("_n12").alias("_n1"))
+    )
+    vsize = model.select(
+        F.count_distinct(F.substring("_bg", 2, 1)).alias("_v")
+    )
+    logp = (
+        model.withColumn("_c1", F.substring("_bg", 1, 1))
+        .join(tot, "_c1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "_bg",
+            F.log(
+                (F.col("_n12") + F.lit(alpha))
+                / (F.col("_n1") + F.lit(alpha) * F.col("_v"))
+            ).alias("_lp"),
+        )
+    )
+    scored = (
+        doc_bg.join(F.broadcast(logp), "_bg")
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_bigrams"),
+            (F.sum(F.col("_c") * F.col("_lp")) / F.sum("_c")).alias("avg_logp"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logp",
+            F.exp(-F.col("avg_logp")).alias("ppl"),
+        )
+    )
