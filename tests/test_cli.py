@@ -286,3 +286,133 @@ def test_dedup_spans_and_vocab_cli(tmp_path, spark):
     merges = pd.read_csv(vocab_out)
     assert list(merges.columns) == ["step", "left", "right", "freq"]
     assert len(merges) == 5
+
+
+def test_estimate_cli_krige_fit_variogram(tmp_path, spark, capsys):
+    """--fit-variogram replaces the default spherical guess with the
+    grid-argmin fit and the kriged output still covers the grid."""
+    import pandas as pd
+
+    from vtk_reserves_spark.cli import main
+
+    rng = range(12)
+    assays = pd.DataFrame(
+        {
+            "hole": [f"h{i}" for i in rng for _ in range(3)],
+            "de": [0.0, 10.0, 20.0] * len(rng),
+            "ate": [10.0, 20.0, 30.0] * len(rng),
+            "grade": [10.0 + 3.0 * i + j * 5 for i in rng for j in range(3)],
+        }
+    )
+    surveys = pd.DataFrame(
+        {
+            "hole": [f"h{i}" for i in rng for _ in range(2)],
+            "prof": [0.0, 30.0] * len(rng),
+            "azimuth": [0.0] * (2 * len(rng)),
+            "dip": [90.0] * (2 * len(rng)),
+        }
+    )
+    collars = pd.DataFrame(
+        {
+            "hole": [f"h{i}" for i in rng],
+            "x": [10.0 * (i % 4) for i in rng],
+            "y": [10.0 * (i // 4) for i in rng],
+            "z": [100.0] * len(rng),
+        }
+    )
+    pa, ps, pc = (str(tmp_path / f"{n}.parquet") for n in ("a", "s", "c"))
+    spark.createDataFrame(assays).write.parquet(pa)
+    spark.createDataFrame(surveys).write.parquet(ps)
+    spark.createDataFrame(collars).write.parquet(pc)
+    out = str(tmp_path / "est.parquet")
+    main(
+        [
+            "estimate", pa, ps, out,
+            "--collars", pc, "--method", "krige", "--fit-variogram",
+            "--comp-len", "10", "--radius", "30", "--cell-size", "10",
+        ]
+    )
+    printed = capsys.readouterr().out
+    assert "fitted variogram:" in printed
+    est = spark.read.parquet(out)
+    assert est.where(est.grade.isNotNull()).count() > 0
+
+
+def test_quality_cli_ppl_filter(tmp_path, spark):
+    """quality writes per-doc signals and --max-ppl drops the noise doc."""
+    import pandas as pd
+
+    from vtk_reserves_spark.cli import main
+
+    english = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a model of the corpus assigns high probability to common pairs",
+        "training data quality filters remove noise from the web crawl",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(30)) + [98, 99],
+            "text": [english[i % 3] for i in range(30)]
+            + ["x", "qxqzjqxkvjwzqxjkvzwqjxkzvqwjzxkqvzwj"],
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(docs).write.parquet(src)
+    full, kept = str(tmp_path / "full.parquet"), str(tmp_path / "kept.parquet")
+    main(["quality", src, full])
+    all_rows = spark.read.parquet(full).toPandas().set_index("doc_id")
+    assert {"n_tokens", "n_chars", "quality", "ppl"} <= set(all_rows.columns)
+    cut = float(all_rows.loc[99, "ppl"])
+    main(["quality", src, kept, "--max-ppl", str(cut - 0.1)])
+    kept_ids = set(
+        spark.read.parquet(kept).toPandas()["doc_id"].tolist()
+    )
+    # the noise doc is cut; the unscoreable 1-char doc (NULL ppl) is
+    # NOT above the ceiling and must survive the filter
+    assert 99 not in kept_ids and 98 in kept_ids and len(kept_ids) == 31
+
+
+def test_estimate_cli_fit_variogram_degenerate_falls_back(tmp_path, spark, capsys):
+    """Constant grades make every Cressie weight divide by a zero model
+    value; the CLI must keep the default variogram instead of crashing."""
+    import pandas as pd
+
+    from vtk_reserves_spark.cli import main
+
+    assays = pd.DataFrame(
+        {
+            "hole": ["h1"] * 3 + ["h2"] * 3,
+            "de": [0.0, 10.0, 20.0] * 2,
+            "ate": [10.0, 20.0, 30.0] * 2,
+            "grade": [7.0] * 6,  # constant => zero-sill variogram
+        }
+    )
+    surveys = pd.DataFrame(
+        {
+            "hole": ["h1", "h1", "h2", "h2"],
+            "prof": [0.0, 30.0] * 2,
+            "azimuth": [0.0] * 4,
+            "dip": [90.0] * 4,
+        }
+    )
+    collars = pd.DataFrame(
+        {"hole": ["h1", "h2"], "x": [0.0, 20.0], "y": [0.0, 0.0], "z": [100.0] * 2}
+    )
+    pa, ps, pc = (str(tmp_path / f"{n}.parquet") for n in ("a", "s", "c"))
+    spark.createDataFrame(assays).write.parquet(pa)
+    spark.createDataFrame(surveys).write.parquet(ps)
+    spark.createDataFrame(collars).write.parquet(pc)
+    out = str(tmp_path / "est.parquet")
+    main(
+        [
+            "estimate", pa, ps, out,
+            "--collars", pc, "--method", "krige", "--fit-variogram",
+            "--comp-len", "10", "--radius", "30", "--cell-size", "10",
+        ]
+    )
+    assert "keeping default" in capsys.readouterr().out
+    est = spark.read.parquet(out)
+    got = est.where(est.grade.isNotNull()).toPandas()
+    import numpy as np
+
+    assert len(got) > 0 and np.allclose(got["grade"], 7.0)

@@ -887,3 +887,66 @@ def test_charlm_perplexity_matches_hand_model(spark):
     assert abs(out.loc[1, "avg_logp"] + exp1) < 1e-12
     assert abs(out.loc[2, "avg_logp"] + exp2) < 1e-12
     assert abs(out.loc[1, "ppl"] - math.exp(exp1)) < 1e-12
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abc ", min_size=0, max_size=12),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_charlm_perplexity_property_vs_reference(spark, texts):
+        """Property: for arbitrary tiny corpora (including empty and
+        sub-2-char docs), avg_logp matches a pure-Python bigram model
+        with the same add-alpha smoothing."""
+        import math
+        from collections import Counter
+
+        from vtk_reserves_spark.operators.terms import charlm_perplexity
+
+        alpha = 0.5
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = (
+            charlm_perplexity(df, "doc_id", "text", alpha=alpha)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        # reference model
+        bigrams = Counter()
+        for _, t in rows:
+            for i in range(len(t) - 1):
+                bigrams[t[i : i + 2]] += 1
+        first = Counter()
+        for bg, n in bigrams.items():
+            first[bg[0]] += n
+        vocab = {bg[1] for bg in bigrams}
+        for i, t in rows:
+            if len(t) < 2:
+                assert out.loc[i, "n_bigrams"] == 0
+                assert pd.isna(out.loc[i, "avg_logp"])
+                continue
+            lps = [
+                math.log(
+                    (bigrams[t[j : j + 2]] + alpha)
+                    / (first[t[j]] + alpha * len(vocab))
+                )
+                for j in range(len(t) - 1)
+            ]
+            assert out.loc[i, "n_bigrams"] == len(lps)
+            assert out.loc[i, "avg_logp"] == pytest.approx(
+                sum(lps) / len(lps), rel=1e-9
+            )

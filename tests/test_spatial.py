@@ -1002,3 +1002,161 @@ def test_fit_variogram_all_broadcast_no_shuffle_join(spark):
     )
     plan = _plan(fit_variogram(experimental_variogram(s, "v", 20.0, 5)))
     assert "SortMergeJoin" not in plan
+
+
+def test_fit_variogram_rejects_unknown_model_and_orders_output(spark):
+    from vtk_reserves_spark.operators.geostats import fit_variogram
+
+    vg = spark.createDataFrame(
+        [(0, 2.5, 10, 1.0), (1, 7.5, 10, 2.0)],
+        "lag_bin int, h_mid double, n_pairs long, gamma double",
+    )
+    with pytest.raises(ValueError, match="unknown variogram model"):
+        fit_variogram(vg, models=("spherical", "matern"))
+    out = fit_variogram(vg).toPandas()
+    assert list(out["wmse"]) == sorted(out["wmse"])
+
+
+def test_directional_variogram_sectors_and_gammas(spark):
+    """Hand-checked: an x-aligned pair lands in sector 0, a y-aligned
+    pair in sector 2 (phi = pi/2), a vertical (z-only) pair in sector
+    0 via atan2(0,0)=0, and gamma = (dv)^2/2 per singleton bin."""
+    from vtk_reserves_spark.operators.geostats import directional_variogram
+
+    pts = [
+        (0.0, 0.0, 0.0, 1.0),   # A
+        (8.0, 0.0, 0.0, 5.0),   # B: A->B along +x
+        (0.0, 6.0, 0.0, 4.0),   # C: A->C along +y
+        (0.0, 0.0, 4.0, 2.0),   # D: A->D along +z
+    ]
+    df = spark.createDataFrame(pts, "x double, y double, z double, v double")
+    out = directional_variogram(
+        df, "v", max_lag=9.0, n_lags=3, n_sectors=4
+    ).toPandas()
+    rows = {(r.sector, r.lag_bin): r for r in out.itertuples()}
+    # sector 0, bin 2: A-B (+x, d=8, dv2/2=8) and B-D (folded pi->0,
+    # d=sqrt(80), dv2/2=4.5) -> mean 6.25
+    assert rows[(0, 2)].n_pairs == 2
+    assert rows[(0, 2)].gamma == pytest.approx(6.25)
+    # sector 2, bin 2: A-C (+y, d=6, 4.5) and C-D (-y folded, d=sqrt(52),
+    # 2.0) -> mean 3.25
+    assert rows[(2, 2)].n_pairs == 2
+    assert rows[(2, 2)].gamma == pytest.approx(3.25)
+    # A-D: d=4, bin 1, sector 0 (vertical pair, atan2(0,0)=0), gamma=1/2
+    assert rows[(0, 1)].gamma == pytest.approx(0.5)
+    # every sector is within [0, 3]
+    assert out["sector"].between(0, 3).all()
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP_GEO = True
+except ImportError:  # pragma: no cover
+    _HYP_GEO = False
+
+
+if _HYP_GEO:
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 30),
+                st.integers(0, 30),
+                st.integers(0, 10),
+                st.integers(0, 9),
+            ),
+            min_size=2,
+            max_size=25,
+            unique=True,
+        )
+    )
+    def test_directional_variogram_property_vs_bruteforce(spark, pts):
+        """Property: the tile-join pair gather + sector fold reproduce a
+        brute-force O(n^2) reference for arbitrary integer point sets
+        (integer coords exercise the axis-aligned atan2 special cases
+        and the exactly-pi fold)."""
+        import math as _m
+        from collections import defaultdict
+
+        from vtk_reserves_spark.operators.geostats import (
+            directional_variogram,
+        )
+
+        max_lag, n_lags, n_sectors = 12.0, 3, 4
+        rows = [
+            (float(x) + 0.25, float(y) * 0.73, float(z), float(v))
+            for x, y, z, v in pts
+        ]
+        df = spark.createDataFrame(rows, "x double, y double, z double, v double")
+        out = directional_variogram(
+            df, "v", max_lag=max_lag, n_lags=n_lags, n_sectors=n_sectors
+        ).toPandas()
+        got = {
+            (r.sector, r.lag_bin): (r.n_pairs, r.gamma)
+            for r in out.itertuples()
+        }
+        acc = defaultdict(list)
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                (x1, y1, z1, v1), (x2, y2, z2, v2) = rows[i], rows[j]
+                d = _m.dist((x1, y1, z1), (x2, y2, z2))
+                if d <= 0 or d > max_lag:
+                    continue
+                phi = _m.atan2(y2 - y1, x2 - x1)
+                if phi < 0:
+                    phi += _m.pi
+                if phi >= _m.pi:
+                    phi -= _m.pi
+                sector = min(int(phi // (_m.pi / n_sectors)), n_sectors - 1)
+                lag = min(int(d // (max_lag / n_lags)), n_lags - 1)
+                acc[(sector, lag)].append((v1 - v2) ** 2 / 2.0)
+        assert set(got) == set(acc)
+        for k, vals in acc.items():
+            n, gamma = got[k]
+            assert n == len(vals)
+            assert gamma == pytest.approx(sum(vals) / len(vals), rel=1e-9)
+
+
+def test_anisotropy_transform_weights_along_strike(spark):
+    """Geometric anisotropy end-to-end: with a N-S major axis and a 0.5
+    minor ratio, a sample along strike outweighs an equally-distant
+    sample across strike; with ratios 1 the transform is a pure
+    rotation and kriging is unchanged (distances preserved)."""
+    from vtk_reserves_spark.operators.geostats import (
+        anisotropy_transform,
+        ordinary_krige,
+    )
+
+    blocks = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0.0)], "cell long, x double, y double, z double"
+    )
+    samples = spark.createDataFrame(
+        [(0.0, 10.0, 0.0, 10.0), (10.0, 0.0, 0.0, 20.0)],
+        "x double, y double, z double, v double",
+    )
+    kw = dict(
+        radius=50.0, variogram=("spherical", 40.0, 1.0, 0.0), max_samples=4
+    )
+    iso = ordinary_krige(blocks, samples, "v", **kw).collect()[0]
+    # isotropic: both samples at d=10 -> symmetric weights -> mean 15
+    assert iso.v == pytest.approx(15.0)
+
+    tb = anisotropy_transform(blocks, 0.0, minor_ratio=0.5)
+    ts = anisotropy_transform(samples, 0.0, minor_ratio=0.5)
+    aniso = ordinary_krige(tb, ts, "v", **kw).collect()[0]
+    # north sample stays at d=10, east sample moves to d=20 -> the
+    # along-strike value dominates
+    assert aniso.v < 14.0
+
+    # ratios of 1 = pure rotation: estimate invariant for any azimuth
+    rb = anisotropy_transform(blocks, 37.0, minor_ratio=1.0)
+    rs = anisotropy_transform(samples, 37.0, minor_ratio=1.0)
+    rot = ordinary_krige(rb, rs, "v", **kw).collect()[0]
+    assert rot.v == pytest.approx(iso.v, rel=1e-9)
+    assert rot.kvar == pytest.approx(iso.kvar, rel=1e-9)
+
+    with pytest.raises(ValueError, match="ratios"):
+        anisotropy_transform(blocks, 0.0, minor_ratio=1.5)

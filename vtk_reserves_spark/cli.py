@@ -286,9 +286,37 @@ def cmd_estimate(args) -> None:
     if args.method == "krige":
         from vtk_reserves_spark.operators.geostats import ordinary_krige
 
+        vario = ("spherical", args.radius, 1.0, 0.0)
+        if args.fit_variogram:
+            from vtk_reserves_spark.operators.geostats import (
+                experimental_variogram,
+                fit_variogram,
+            )
+
+            vg = experimental_variogram(
+                pts, args.value, max_lag=args.radius, n_lags=10
+            )
+            fits = [
+                r for r in fit_variogram(vg).collect() if r.wmse is not None
+            ]
+            if fits:
+                best = min(fits, key=lambda r: (r.wmse, r.model))
+                vario = (best.model, best.vrange, best.sill, best.nugget)
+                print(
+                    f"fitted variogram: {best.model} range={best.vrange:.3f} "
+                    f"sill={best.sill:.4f} nugget={best.nugget:.4f} "
+                    f"(wmse={best.wmse:.6f})"
+                )
+            else:
+                # no sample pairs within the radius, or constant grades
+                # (zero sill => every candidate scores NULL): fall back
+                print(
+                    "fit-variogram: experimental variogram is empty or "
+                    f"degenerate; keeping default {vario}"
+                )
         est = ordinary_krige(
             blocks, pts, args.value, radius=args.radius,
-            variogram=("spherical", args.radius, 1.0, 0.0),
+            variogram=vario,
             discretize=(args.discretize,) * 3 if args.discretize else None,
             block_size=cs if args.discretize else None,
         )
@@ -297,6 +325,39 @@ def cmd_estimate(args) -> None:
 
         est = idw_interpolate(blocks, pts, args.value, radius=args.radius)
     save_table(blocks.join(est, "cell"), args.output)
+
+
+def cmd_quality(args) -> None:
+    """Per-document quality signals: token/char counts, heuristic
+    quality score, and corpus-trained char-bigram LM perplexity
+    (operators/terms.charlm_perplexity) — optionally filter to rows
+    under a perplexity ceiling before writing."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.functions.text import quality_score, token_count
+    from vtk_reserves_spark.operators.terms import charlm_perplexity
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+    from vtk_reserves_spark.sources.writers import save_table
+
+    spark = _spark()
+    df = load_dataframe(spark, args.input, keep_null=True)
+    ppl = charlm_perplexity(df, args.id_col, args.text_col)
+    out = (
+        df.select(
+            args.id_col,
+            token_count(F.col(args.text_col)).alias("n_tokens"),
+            F.length(args.text_col).alias("n_chars"),
+            quality_score(F.col(args.text_col)).alias("quality"),
+        )
+        .join(ppl, args.id_col)
+    )
+    if args.max_ppl is not None:
+        # unscoreable docs (NULL ppl: text under 2 chars) are not ABOVE
+        # the ceiling — keep them rather than silently dropping
+        out = out.where(
+            (F.col("ppl") <= args.max_ppl) | F.col("ppl").isNull()
+        )
+    save_table(out, args.output)
 
 
 def cmd_vocab(args) -> None:
@@ -416,11 +477,30 @@ def build_parser() -> argparse.ArgumentParser:
         help="krige only: n^3 in-block discretization for block-support "
         "estimates (0 = point kriging)",
     )
+    e.add_argument(
+        "--fit-variogram", action="store_true",
+        help="krige only: auto-fit (model, range, sill, nugget) to the "
+        "composites' experimental variogram instead of the spherical "
+        "default",
+    )
     e.add_argument("--comp-len", type=float, default=10.0)
     e.add_argument("--radius", type=float, default=50.0)
     e.add_argument("--cell-size", type=float, default=10.0)
     e.add_argument("--keep-null", action="store_true")
     e.set_defaults(fn=cmd_estimate)
+
+    q = sub.add_parser(
+        "quality", help="per-document quality signals + LM perplexity filter"
+    )
+    q.add_argument("input")
+    q.add_argument("output")
+    q.add_argument("--id-col", default="doc_id")
+    q.add_argument("--text-col", default="text")
+    q.add_argument(
+        "--max-ppl", type=float, default=None,
+        help="keep only documents at or under this char-LM perplexity",
+    )
+    q.set_defaults(fn=cmd_quality)
 
     v = sub.add_parser("vocab", help="learn a BPE merge table from a corpus")
     v.add_argument("input")

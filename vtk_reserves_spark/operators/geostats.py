@@ -21,6 +21,8 @@ a per-neighborhood solve via applyInPandas instead of expressions).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -972,6 +974,9 @@ def fit_variogram(
     """
     from pyspark.sql import Window
 
+    unknown = set(models) - {"spherical", "exponential", "gaussian"}
+    if unknown:
+        raise ValueError(f"unknown variogram model(s) {sorted(unknown)!r}")
     spark = vg.sparkSession
     stats = vg.agg(
         F.max("h_mid").alias("_hmax"), F.max("gamma").alias("_gmax")
@@ -1001,6 +1006,12 @@ def fit_variogram(
                 / F.lit(float(2 * n_nugget))
             ).alias("nugget"),
         )
+        # a zero sill (possible only when the curve is identically 0 —
+        # constant data) would zero every gamma_model and divide the
+        # Cressie weight by 0 (ANSI error); such candidates carry no
+        # information, so drop them — a degenerate curve fits NOTHING
+        # and returns an empty frame for callers to fall back on
+        .where(F.col("sill") > 0.0)
     )
     grid = vg.select("h_mid", "n_pairs", "gamma").crossJoin(F.broadcast(cand))
     rr = F.col("h_mid") / F.col("vrange")
@@ -1038,4 +1049,136 @@ def fit_variogram(
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("model", "vrange", "sill", "nugget", "wmse")
+        .orderBy(F.col("wmse").asc_nulls_last(), F.col("model").asc())
+    )
+
+
+def directional_variogram(
+    samples: DataFrame,
+    value_col: str,
+    max_lag: float,
+    n_lags: int = 10,
+    n_sectors: int = 4,
+    xyz=("x", "y", "z"),
+) -> DataFrame:
+    """Azimuth-sectored experimental variogram — the anisotropy probe:
+    one gamma(h) curve per horizontal direction class, so a longer
+    range along strike than across it shows up as sector curves with
+    different slopes (the prerequisite for fitting an anisotropic
+    model).
+
+    Pair orientation is the undirected azimuth of the separation
+    vector folded into [0, 180): ``phi = atan2(dy, dx)``, plus pi when
+    negative, and exactly-pi folds to 0 (the same undirected
+    direction); ``sector = floor(phi / (pi / n_sectors))`` (capped at
+    ``n_sectors - 1`` against rounding).  Purely-vertical pairs
+    (dx = dy = 0) land in sector 0 (atan2(0, 0) = 0 on both Spark and
+    DuckDB, so the oracle agrees).  The only nondeterminism hazard for
+    cross-engine parity is a pair whose azimuth sits within ~1 ulp of
+    an interior sector boundary (libm atan2 may differ in the last
+    bit between JVM and C); axis-aligned pairs are safe because IEEE
+    defines atan2 exactly at 0, ±pi/2, and pi.
+
+    Scale shape is :func:`experimental_variogram` unchanged — the
+    sector id is one more Catalyst expression on the pair stream and
+    one more grouping key; pair count stays O(n × neighbors).
+    Returns ``(sector, lag_bin, h_mid, n_pairs, gamma)``.
+    """
+    tile = float(max_lag)
+    width = max_lag / n_lags
+    sx, sy, sz = (F.col(c) for c in xyz)
+    base = samples.select(
+        F.monotonically_increasing_id().alias("_id"),
+        sx.alias("_x"),
+        sy.alias("_y"),
+        sz.alias("_z"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    # same id-stability device as experimental_variogram: pin the ids
+    # before BOTH join branches read them
+    base = base.localCheckpoint(eager=True)
+    a = base.select(
+        "_id", "_x", "_y", "_z", "_v",
+        F.floor(F.col("_x") / tile).cast("long").alias("tx"),
+        F.floor(F.col("_y") / tile).cast("long").alias("ty"),
+        F.floor(F.col("_z") / tile).cast("long").alias("tz"),
+    )
+    off = F.sequence(F.lit(-1), F.lit(1))
+    bcols = [F.col(c).alias(f"{c}_b") for c in ("_id", "_x", "_y", "_z", "_v")]
+    b = (
+        base.select(*bcols)
+        .withColumn("_ox", F.explode(off))
+        .withColumn("_oy", F.explode(off))
+        .withColumn("_oz", F.explode(off))
+        .withColumn("tx", F.col("_ox") + F.floor(F.col("_x_b") / tile).cast("long"))
+        .withColumn("ty", F.col("_oy") + F.floor(F.col("_y_b") / tile).cast("long"))
+        .withColumn("tz", F.col("_oz") + F.floor(F.col("_z_b") / tile).cast("long"))
+        .drop("_ox", "_oy", "_oz")
+    )
+    j = a.join(b, ["tx", "ty", "tz"]).where(F.col("_id") < F.col("_id_b"))
+    d = F.sqrt(
+        (F.col("_x") - F.col("_x_b")) ** 2
+        + (F.col("_y") - F.col("_y_b")) ** 2
+        + (F.col("_z") - F.col("_z_b")) ** 2
+    )
+    pairs = j.withColumn("_d", d).where((F.col("_d") > 0) & (F.col("_d") <= max_lag))
+    phi = F.atan2(F.col("_y_b") - F.col("_y"), F.col("_x_b") - F.col("_x"))
+    phi = F.when(phi < 0, phi + math.pi).otherwise(phi)
+    phi = F.when(phi >= math.pi, phi - math.pi).otherwise(phi)
+    sector = F.least(
+        F.floor(phi / F.lit(math.pi / n_sectors)), F.lit(n_sectors - 1)
+    ).cast("int")
+    binned = pairs.withColumn("sector", sector).withColumn(
+        "lag_bin",
+        F.least(F.floor(F.col("_d") / width), F.lit(n_lags - 1)).cast("int"),
+    )
+    return (
+        binned.groupBy("sector", "lag_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.avg((F.col("_v") - F.col("_v_b")) ** 2) / 2.0).alias("gamma"),
+        )
+        .withColumn("h_mid", (F.col("lag_bin") + 0.5) * width)
+        .select("sector", "lag_bin", "h_mid", "n_pairs", "gamma")
+        .orderBy("sector", "lag_bin")
+    )
+
+
+def anisotropy_transform(
+    df: DataFrame,
+    azimuth_deg: float,
+    minor_ratio: float,
+    vert_ratio: float = 1.0,
+    xyz=("x", "y", "z"),
+) -> DataFrame:
+    """Geometric-anisotropy coordinate transform: rotate the horizontal
+    plane so the MAJOR continuity axis (bearing ``azimuth_deg``,
+    degrees clockwise from +y/north — mining convention) lands on x',
+    then divide the minor and vertical components by their range
+    ratios (``minor_range / major_range``, ``vert_range /
+    major_range``).  In the transformed space the search ellipsoid is
+    a sphere and the isotropic estimators apply unchanged — pass the
+    transformed frame (same column names, coordinates replaced) into
+    :func:`ordinary_krige` / :func:`idw_interpolate` with ``radius``
+    equal to the MAJOR range.  This is the standard device (Isaaks &
+    Srivastava ch. 16); the directional variogram is how the azimuth
+    and ratios are picked.
+
+    Pure Catalyst expressions — narrow, no shuffle; ratios must be in
+    (0, 1] (the major axis is the longest by definition)."""
+    if not (0.0 < minor_ratio <= 1.0) or not (0.0 < vert_ratio <= 1.0):
+        raise ValueError("anisotropy ratios must be in (0, 1]")
+    az = math.radians(azimuth_deg)
+    xc, yc, zc = xyz
+    x, y, z = F.col(xc), F.col(yc), F.col(zc)
+    major = x * math.sin(az) + y * math.cos(az)
+    minor = (x * math.cos(az) - y * math.sin(az)) / minor_ratio
+    return (
+        df.withColumn("_aniso_major", major)
+        .withColumn("_aniso_minor", minor)
+        .withColumn("_aniso_vert", z / vert_ratio)
+        .drop(xc, yc, zc)
+        .withColumnRenamed("_aniso_major", xc)
+        .withColumnRenamed("_aniso_minor", yc)
+        .withColumnRenamed("_aniso_vert", zc)
     )

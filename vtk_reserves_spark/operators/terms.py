@@ -122,6 +122,11 @@ def charlm_perplexity(
         .select("_id", F.substring(F.col("_t"), F.col("_i"), F.lit(2)).alias("_bg"))
     )
     doc_bg = bi.groupBy("_id", "_bg").agg(F.count(F.lit(1)).alias("_c"))
+    # the model deliberately re-aggregates the RAW bigram stream rather
+    # than doc_bg: its groupBy key is just the bigram (~|charset|²
+    # groups), so map-side combine collapses it almost entirely, while
+    # routing it through doc_bg was measured 2x SLOWER at sf0.1 (the
+    # high-cardinality (doc, bigram) aggregation ran for both branches)
     model = bi.groupBy("_bg").agg(F.count(F.lit(1)).alias("_n12"))
     tot = (
         model.withColumn("_c1", F.substring("_bg", 1, 1))
