@@ -1669,6 +1669,71 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", top_k=3)
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/similarity.kmeans_fit):
+    k=8, EXACTLY two iterations from the deterministic first-k init —
+    a fixed iteration count is what makes the oracle possible (DuckDB
+    replays both assign/update rounds in CTEs; run-to-convergence
+    would not be SQL-expressible).  Centroids emit in long form
+    (centroid_id, dim, value) so every output column is a scalar."""
+    from vtk_reserves_spark.operators.similarity import kmeans_fit
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=2)
+    return cent.select(
+        "centroid_id",
+        "n_assigned",
+        F.posexplode("centroid").alias("dim", "value"),
+    ).select(
+        "centroid_id", "n_assigned", "dim", F.round("value", 6).alias("value")
+    )
+
+
+def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-percentile filter (the C4/Gopher cleaning rule):
+    keep documents whose n_chars lies within the corpus's exact
+    [p05, p95]; the two quantiles reduce to ONE scalar row broadcast
+    back over the scan — no second shuffle, no driver round-trip."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bounds = docs.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .where(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "n_chars", "lo", "hi")
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (operators/packing.chunk_documents): 32-
+    token chunks with 8-token overlap over the normalized corpus — the
+    retrieval/embedding preprocessing step; pure Catalyst (tokenize +
+    bounded sequence explode + slice), narrow, no shuffle."""
+    from vtk_reserves_spark.operators.packing import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+def q_melt_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (SURVEY §2.6 reshape family): lineitem's three
+    money/quantity measures melt into (key, measure, value) rows via
+    Spark's native ``unpivot`` (Expand under the hood — narrow, one
+    pass, no shuffle; the reference's pandas analog is ``melt``)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount",
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
 def q_charlm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-bigram LM perplexity (operators/terms.charlm_perplexity):
     the CCNet-style fluency filter, model trained on the corpus itself
@@ -2451,6 +2516,94 @@ def _llm_oracles() -> dict[str, str]:
             FROM cg JOIN bg USING (gram)
             GROUP BY doc_id
         """,
+        "kmeans": """
+            WITH e AS (
+              SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                     CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                            AS i)
+            ), c0 AS (
+              SELECT CAST(vec_id AS INT) AS centroid_id, dim, x AS v
+              FROM e WHERE vec_id < 8
+            ), d1 AS (
+              SELECT e.vec_id, c.centroid_id, SUM((e.x - c.v) * (e.x - c.v))
+                     AS d2
+              FROM e JOIN c0 c ON e.dim = c.dim
+              GROUP BY e.vec_id, c.centroid_id
+            ), a1 AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT vec_id, centroid_id, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC
+                ) AS rn FROM d1
+              ) WHERE rn = 1
+            ), c1 AS (
+              SELECT a1.centroid_id, e.dim, AVG(e.x) AS v
+              FROM a1 JOIN e USING (vec_id)
+              GROUP BY a1.centroid_id, e.dim
+            ), d2t AS (
+              SELECT e.vec_id, c.centroid_id, SUM((e.x - c.v) * (e.x - c.v))
+                     AS d2
+              FROM e JOIN c1 c ON e.dim = c.dim
+              GROUP BY e.vec_id, c.centroid_id
+            ), a2 AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT vec_id, centroid_id, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC
+                ) AS rn FROM d2t
+              ) WHERE rn = 1
+            ), c2 AS (
+              SELECT a2.centroid_id, e.dim, AVG(e.x) AS v
+              FROM a2 JOIN e USING (vec_id)
+              GROUP BY a2.centroid_id, e.dim
+            ), n2 AS (
+              SELECT centroid_id, COUNT(*) AS n_assigned
+              FROM a2 GROUP BY centroid_id
+            )
+            SELECT c2.centroid_id, n2.n_assigned, c2.dim,
+                   ROUND(c2.v, 6) AS value
+            FROM c2 JOIN n2 USING (centroid_id)
+        """,
+        "length_filter": """
+            WITH bounds AS (
+              SELECT quantile_cont(n_chars, 0.05) AS lo,
+                     quantile_cont(n_chars, 0.95) AS hi
+              FROM documents
+            )
+            SELECT doc_id, n_chars, lo, hi
+            FROM documents CROSS JOIN bounds
+            WHERE n_chars BETWEEN lo AND hi
+        """,
+        "chunk_documents": f"""
+            WITH tok AS (
+              SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM documents
+            ), base AS (
+              SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0
+            ), starts AS (
+              SELECT doc_id, t, n, unnest(generate_series(0, n - 1, 24)) AS s
+              FROM base
+            ), kept AS (
+              SELECT * FROM starts WHERE s = 0 OR s < n - 8
+            )
+            SELECT doc_id,
+                   CAST(s / 24 AS INT) AS chunk_id,
+                   CAST(s AS INT) AS start_tok,
+                   CAST(LEAST(32, n - s) AS INT) AS n_tokens,
+                   array_to_string(list_slice(t, s + 1, s + 32), ' ')
+                     AS chunk_text
+            FROM kept
+        """,
+        "melt_measures": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure, l_quantity AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_discount', l_discount FROM lineitem
+        """,
         "charlm_perplexity": """
             WITH bi AS (
               SELECT doc_id, substr(text, i, 2) AS bg
@@ -2957,13 +3110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_interpolate": q_asof_interpolate,
         "quality_checks": q_quality_checks,
         "profile": q_profile,
-        "krige": q_krige,  # rows-only: no SQL oracle for a linear solve
-        "indicator_krige": q_indicator_krige,  # rows-only: same reason
+        "chunk_documents": q_chunk_documents,
+        "melt_measures": q_melt_measures,
+        "length_filter": q_length_filter,
         "decluster": q_decluster,
         "topcut": q_topcut,
         "nscore": q_nscore,
         "nscore_roundtrip": q_nscore_roundtrip,
-        "bpe_merges": q_bpe_merges,  # rows-only: iterative greedy fixed point
         "audio_features": q_audio_features,
         "segment_dedup": q_segment_dedup,
         "duplicate_spans": q_duplicate_spans,
@@ -2973,12 +3126,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram_directional": q_variogram_directional,
         "charlm_perplexity": q_charlm_perplexity,
         "swath": q_swath,
+        # oracle-backed but past the 50-entry cap (every slot above is
+        # already a MATCH candidate); the self-run artifact covers it
+        "kmeans": q_kmeans,
         # rows-only linear solves, demoted past the harness's 50-entry
         # cap to make room for oracle-CHECKABLE queries above; the
         # full-contract self-run artifact still covers them
+        "krige": q_krige,
+        "indicator_krige": q_indicator_krige,
         "simple_krige": q_simple_krige,
         "cokrige": q_cokrige,
         "krige_block": q_krige_block,
+        "bpe_merges": q_bpe_merges,  # rows-only: iterative greedy fixed point
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,

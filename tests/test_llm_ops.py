@@ -950,3 +950,169 @@ if _HYP:
             assert out.loc[i, "avg_logp"] == pytest.approx(
                 sum(lps) / len(lps), rel=1e-9
             )
+
+
+def test_chunk_documents_hand_checked(spark):
+    from vtk_reserves_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "only two"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(
+        df, "doc_id", "text", chunk_tokens=4, overlap=1
+    ).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    # stride 3: candidate starts 0,3,6,9 — but 9 >= n-overlap (10-1),
+    # so its 1-token window is a strict subset of chunk [6,10) and is
+    # dropped; every token is still covered
+    assert d1.start_tok.tolist() == [0, 3, 6]
+    assert d1.n_tokens.tolist() == [4, 4, 4]
+    assert d1.chunk_text.tolist()[0] == "w0 w1 w2 w3"
+    assert d1.chunk_text.tolist()[-1] == "w6 w7 w8 w9"
+    # consecutive chunks share exactly `overlap` tokens
+    assert d1.chunk_text.tolist()[0].split()[-1:] == d1.chunk_text.tolist()[1].split()[:1]
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].chunk_text == "only two"
+    # empty/whitespace docs yield no chunks
+    assert set(out.doc_id) == {1, 2}
+
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_covers_every_token_no_subset_chunks(spark):
+    """Every token index is covered, chunk token counts sum to
+    n + overlap*(n_chunks-1), and no chunk is a subset of another —
+    across lengths that do and do not trigger the trailing-window
+    drop."""
+    from vtk_reserves_spark.operators.packing import chunk_documents
+
+    for n in (57, 25, 16, 13, 12, 5, 1):
+        text = " ".join(f"t{i}" for i in range(n))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = chunk_documents(
+            df, "doc_id", "text", chunk_tokens=16, overlap=4
+        ).toPandas()
+        spans = [
+            (r.start_tok, r.start_tok + r.n_tokens) for r in out.itertuples()
+        ]
+        covered = set()
+        for a, b in spans:
+            covered |= set(range(a, b))
+        assert covered == set(range(n)), n
+        assert out.n_tokens.sum() == n + 4 * (len(out) - 1), n
+        for i, (a1, b1) in enumerate(spans):
+            for j, (a2, b2) in enumerate(spans):
+                if i != j:
+                    assert not (a2 >= a1 and b2 <= b1), (n, spans)
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated blobs: after two Lloyd iterations from the
+    first-k init, every centroid sits exactly on its blob mean and
+    n_assigned matches the blob sizes; guards reject bad params."""
+    from vtk_reserves_spark.operators.similarity import kmeans_fit
+
+    blobs = {0: (0.0, 0.0), 1: (100.0, 0.0), 2: (0.0, 100.0)}
+    rows = []
+    vid = 0
+    for b, (cx, cy) in blobs.items():
+        for i in range(4 + b):  # sizes 4, 5, 6
+            rows.append((vid, [cx + (i % 2), cy + (i % 3)]))
+            vid += 1
+    # ids 0..2 land one in... first-3 init picks ids 0,1,2 (all blob 0)
+    # — shuffle ids so the three init vectors span the blobs, the
+    # benign regime Lloyd converges in (empty-cluster drop is separate)
+    remap = {r[0]: r for r in rows}
+    order = [0, 4, 9] + [i for i in range(vid) if i not in (0, 4, 9)]
+    rows = [(new_id, remap[old][1]) for new_id, old in enumerate(order)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = (
+        kmeans_fit(df, "vec_id", "embedding", k=3, n_iter=2)
+        .toPandas()
+        .sort_values("centroid_id")
+    )
+    assert out.n_assigned.tolist() == [4, 5, 6]
+    import numpy as np
+
+    expected = {}
+    for new_id, old in enumerate(order):
+        b = 0 if old < 4 else (1 if old < 9 else 2)
+        expected.setdefault(b, []).append(remap[old][1])
+    for cid, members in expected.items():
+        mean = np.mean(np.array(members, dtype=float), axis=0)
+        got = np.array(out.iloc[cid].centroid, dtype=float)
+        assert np.allclose(got, mean, atol=1e-6), cid
+
+    with pytest.raises(ValueError, match="positive"):
+        kmeans_fit(df, k=0)
+
+
+def test_ivf_with_trained_centroids_matches_exact(spark, emb):
+    """ivf_topk with kmeans centroids and full probing returns the same
+    neighbors as the exact scan (probing every cell = no pruning)."""
+    from vtk_reserves_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    corpus = emb.limit(80).cache()
+    queries = corpus.limit(3)
+    cents = kmeans_fit(corpus, "vec_id", "embedding", k=4, n_iter=2)
+    approx = ivf_topk(
+        corpus, queries, k=5, n_probe=4, centroids=cents
+    ).toPandas()
+    exact = cosine_topk(corpus, queries, k=5).toPandas()
+    key = ["query_id", "rank"]
+    a = approx.sort_values(key).reset_index(drop=True)
+    e = exact.sort_values(key).reset_index(drop=True)
+    assert a["neighbor_id"].tolist() == e["neighbor_id"].tolist()
+
+
+def test_kmeans_guards_and_null_handling(spark):
+    """Offset/non-dense ids fail loudly (not silently empty); NULL and
+    dimension-mismatched vectors are excluded from assignment, counts,
+    and means; an empty centroids relation is rejected by ivf_topk."""
+    from vtk_reserves_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    offset = spark.createDataFrame(
+        [(100 + i, [float(i), 0.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="no vectors"):
+        kmeans_fit(offset, k=2)
+
+    dirty = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [0.2, 0.2]),
+            (3, None),
+            (4, [1.0, 2.0, 3.0]),  # wrong dimension
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_fit(dirty, k=2, n_iter=2).toPandas().sort_values("centroid_id")
+    # only the three clean 2-dim vectors participate: cluster 0 holds
+    # ids 0 and 2, cluster 1 holds id 1; NULL/ragged rows are gone
+    assert out.n_assigned.tolist() == [2, 1]
+    assert [len(c) for c in out.centroid] == [2, 2]
+    import numpy as np
+
+    assert np.allclose(out.iloc[0].centroid, [0.1, 0.1])
+    assert np.allclose(out.iloc[1].centroid, [10.0, 10.0])
+
+    empty_cents = kmeans_fit(dirty, k=2).where(F.lit(False))
+    with pytest.raises(ValueError, match="empty centroids"):
+        ivf_topk(dirty, dirty, k=1, centroids=empty_cents)

@@ -190,3 +190,28 @@ def test_charlm_model_broadcasts(spark):
     # model->doc_bg join and the vocab-size scalar are both broadcast
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # 1-row vsize crossJoin
+
+
+def test_chunk_documents_is_narrow(spark):
+    """Chunking is tokenize + bounded explode + slice — a narrow plan
+    with NO exchange, and the scan prunes to (doc_id, text)."""
+    plan = _plan(entry.q_chunk_documents(spark, TESTDATA))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_melt_is_expand_no_shuffle(spark):
+    """Native unpivot lowers to Expand — one pass, no exchange."""
+    plan = _plan(entry.q_melt_measures(spark, TESTDATA))
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+def test_length_filter_broadcasts_bounds(spark):
+    """The two corpus quantiles reduce to one scalar row that must reach
+    the filter via broadcast (never a shuffled join), and the scan
+    prunes to (doc_id, n_chars)."""
+    plan = _plan(entry.q_length_filter(spark, TESTDATA))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan

@@ -74,3 +74,71 @@ def pack_offsets(
         )
     )
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+    normalize: bool = True,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with optional
+    overlap — the chunking step ahead of embedding / retrieval indexing
+    or context-window-bounded training, where :func:`pack_offsets`
+    handles the opposite (concatenating) regime.
+
+    Chunk ``c`` covers tokens ``[c·(chunk_tokens−overlap),
+    c·(chunk_tokens−overlap) + chunk_tokens)``; the last chunk is
+    short rather than padded, and a document shorter than one stride
+    yields exactly one (possibly short) chunk.  A trailing window
+    whose tokens would ALL fall inside the previous chunk's overlap
+    region (start ≥ n − overlap) is dropped — it would be a strict
+    subset of its predecessor, duplicating embedding/retrieval work.
+    Empty documents yield no rows.  With ``normalize`` the text is lowercased/stripped
+    first (the corpus-pipeline convention shared with fingerprinting);
+    pass ``False`` to chunk raw whitespace tokens.
+
+    Pure Catalyst end to end: one tokenize + bounded ``sequence``
+    explode (fan-out = ceil(n_tokens / stride), linear in the token
+    stream) + ``slice``/``array_join`` — narrow, no shuffle, no Python.
+    Returns ``(id, chunk_id, start_tok, n_tokens, chunk_text)``.
+    """
+    from vtk_reserves_spark.functions.text import normalize_text, tokens
+
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    src = F.col(text_col)
+    toks = tokens(normalize_text(src) if normalize else src)
+    base = df.select(
+        F.col(id_col).alias("_id"), toks.alias("_t")
+    ).withColumn("_n", F.size("_t")).where(F.col("_n") > 0)
+    # chunk starts 0, stride, 2*stride, ... < n  (sequence is inclusive,
+    # so the upper bound is n-1; guard keeps ANSI mode happy).  A start
+    # at or past n-overlap would produce a chunk fully contained in its
+    # predecessor; only the LAST start can hit that (if s >= n-overlap
+    # then s+stride >= n, so no later start exists), hence the filter
+    # never gaps chunk_id
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    out = (
+        base.select("_id", "_t", "_n", F.posexplode(starts).alias("chunk_id", "_s"))
+        .where(
+            (F.col("_s") == 0) | (F.col("_s") < F.col("_n") - overlap)
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "chunk_id",
+            F.col("_s").alias("start_tok"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_s")).alias(
+                "n_tokens"
+            ),
+            F.array_join(
+                F.slice(F.col("_t"), F.col("_s") + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+        )
+    )
+    return out

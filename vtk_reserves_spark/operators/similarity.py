@@ -155,37 +155,51 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: the corpus is
     partitioned into ``n_centroids`` Voronoi cells of a coarse quantizer;
     each query scans only its ``n_probe`` nearest cells, cutting compared
     pairs by ~n_centroids/n_probe while keeping high recall.
 
-    The quantizer here is deterministic — the first ``n_centroids``
+    The default quantizer is deterministic — the first ``n_centroids``
     corpus vectors — so the whole pipeline is reproducible and
-    SQL-expressible for the oracle.  A production index would plug
-    k-means centroids into the same plan (the assignment, probe and
-    rerank stages are identical; only the centroid relation changes).
+    SQL-expressible for the oracle.  Pass ``centroids`` (the
+    ``(centroid_id, centroid)`` relation :func:`kmeans_fit` returns)
+    to use trained k-means cells instead — the assignment, probe and
+    rerank stages are identical; only the centroid relation changes
+    (``n_centroids`` is then ignored).
 
     Plan shape: centroids are a broadcast relation; corpus assignment is
     one broadcast join + per-id argmax (window) -> ONE shuffle keyed by
     corpus id, reusable across queries; probing joins the (tiny) query
     probe list against the cell-keyed corpus; exact cosine reranks only
     in-cell candidates."""
-    cent = (
-        corpus.where(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    )
-    # the deterministic quantizer assumes dense integer ids from 0 —
-    # string ids (cast to NULL) or an offset id range would leave the
-    # centroid relation EMPTY and every stage would silently return
-    # zero rows; fail loudly instead
-    if not cent.take(1):
-        raise ValueError(
-            f"ivf_topk found no corpus rows with {id_col} < {n_centroids}: "
-            "the deterministic quantizer needs dense integer ids starting "
-            "at 0 — remap ids or substitute k-means centroids"
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("centroid_id").alias("cid"),
+            F.col("centroid").alias("cvec"),
         )
+        # same fail-loud contract as the default quantizer below: an
+        # empty centroid relation would silently zero out every stage
+        if not cent.take(1):
+            raise ValueError("ivf_topk got an empty centroids relation")
+    else:
+        cent = (
+            corpus.where(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        )
+        # the deterministic quantizer assumes dense integer ids from 0 —
+        # string ids (cast to NULL) or an offset id range would leave the
+        # centroid relation EMPTY and every stage would silently return
+        # zero rows; fail loudly instead
+        if not cent.take(1):
+            raise ValueError(
+                f"ivf_topk found no corpus rows with {id_col} < "
+                f"{n_centroids}: the deterministic quantizer needs dense "
+                "integer ids starting at 0 — remap ids or substitute "
+                "k-means centroids"
+            )
 
     def assign(df: DataFrame, out_id: str, n_keep: int) -> DataFrame:
         scored = (
@@ -288,4 +302,125 @@ def embedding_near_dup_pairs(
 
     return keyed.groupBy("bucket").applyInPandas(
         bucket_pairs, schema="id_a long, id_b long, sim double"
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared Euclidean,
+    ties broken by centroid id ascending — deterministic).
+
+    ``centroids`` is the small relation ``(centroid_id, centroid)``
+    (extra columns are ignored); it broadcasts, the distance folds
+    inside Catalyst (``zip_with`` + ``aggregate``, index order — no
+    Python), and one keyed window picks the argmin.  Shuffle is O(n·k)
+    rows hashed by ``id_col``; at cluster scale swap the window for
+    ``min_by`` if k is large.  Rows whose distance is NULL against
+    every centroid (NULL or dimension-mismatched vectors — zip_with
+    null-pads the shorter side) are DROPPED, never mis-assigned.
+    Returns the input columns plus ``(centroid_id, d2)``."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cent = centroids.select("centroid_id", "centroid")
+    j = (
+        df.crossJoin(F.broadcast(cent))
+        .withColumn("_d2", d2)
+        .where(F.col("_d2").isNotNull())
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_d2").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "centroid")
+        .withColumnRenamed("_d2", "d2")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the real
+    coarse quantizer for :func:`ivf_topk` (which documents this exact
+    seam: swap its deterministic first-k quantizer for trained
+    centroids).
+
+    Fully deterministic: initial centroids are the ``k`` lowest-id
+    vectors, assignment ties break by centroid id, and every step is a
+    fixed expression — so a FIXED iteration count is reproducible in
+    SQL (the q:kmeans oracle replays both iterations in CTEs; an
+    iterate-to-convergence mode would not be).  A cluster that loses
+    all members simply disappears (no re-seeding), the standard Lloyd
+    degeneracy, documented rather than hidden.
+
+    Per iteration: one broadcast assignment (no shuffle on the corpus
+    beyond the argmin window) and one centroid update — ``posexplode``
+    to (cluster, dim) pairs, mean-reduce, regroup to arrays; 2 hash
+    aggregations linear in n·d.  Returns ``(centroid_id, n_assigned,
+    centroid)`` where ``n_assigned`` counts the final assignment that
+    produced each centroid."""
+    if k <= 0 or n_iter <= 0:
+        raise ValueError("k and n_iter must be positive")
+    cent = df.where(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("centroid_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    # fail loudly on the silent-empty degeneracies (same contract as
+    # ivf_topk's default quantizer): no init vectors (non-dense / offset
+    # / string ids), or ragged init dimensions; then drop corpus rows
+    # that are NULL or off-dimension so they can never fold into a mean
+    sizes = [
+        r[0]
+        for r in cent.select(F.size("centroid")).distinct().take(2)
+    ]
+    if not sizes:
+        raise ValueError(
+            f"kmeans_fit found no vectors with {id_col} < {k} for the "
+            "deterministic init — ids must be dense integers from 0, or "
+            "remap them first"
+        )
+    if len(sizes) > 1:
+        raise ValueError(
+            f"kmeans_fit init vectors have mixed dimensions {sizes!r}"
+        )
+    dim = sizes[0]
+    df = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+    counts = None
+    for _ in range(n_iter):
+        a = kmeans_assign(df, cent, id_col, vec_col)
+        counts = a.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("n_assigned")
+        )
+        ex = a.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("_pos", "_x")
+        )
+        per_dim = ex.groupBy("centroid_id", "_pos").agg(
+            F.avg(F.col("_x").cast("double")).alias("_v")
+        )
+        cent = per_dim.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_v"))),
+                lambda s: s["_v"],
+            ).alias("centroid")
+        )
+    return cent.join(counts, "centroid_id").select(
+        "centroid_id", "n_assigned", "centroid"
     )
