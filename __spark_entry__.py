@@ -2234,7 +2234,7 @@ def _llm_oracles() -> dict[str, str]:
         for lang, lst in sw.items()
     }
     lang_case = (
-        "CASE "
+        "CASE WHEN text IS NULL THEN NULL "
         + " ".join(
             f"WHEN {hits[lang]} > 0 AND "
             + " AND ".join(

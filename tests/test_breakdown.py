@@ -536,3 +536,47 @@ def test_text_mode_blank_third_field_falls_back_to_var():
     assert plan.aggs[0].text_value == "note"
     plan2 = compile_template([["note", "text", "hello"]], ["note"])
     assert plan2.aggs[0].text_value == "hello"
+
+
+def test_vl_add_region_prefix_named_key_still_gets_region():
+    """A bare single-field key that merely STARTS WITH 'region'
+    (e.g. region_code) is a different key — the auto region column must
+    still be inserted; multi-field rows keep reference prefix parity."""
+    from vtk_reserves_spark.plans.template import vl_add_region
+
+    vl = vl_add_region([["region_code"], ["volume", "sum"]])
+    assert vl[0] == ["region", "", ""] and vl[1] == ["region_code"]
+    # aliased bare region row still suppresses
+    vl2 = vl_add_region([["region=reg"], ["volume", "sum"]])
+    assert vl2[0] == ["region=reg"]
+    # multi-field prefix rows keep suppressing (reference parity)
+    vl3 = vl_add_region([["region_code", "count"], ["volume", "sum"]])
+    assert vl3[0] == ["region_code", "count"]
+
+
+def test_breakdown_approx_duplicate_quantile_aliases(spark):
+    """The same weighted quartile requested twice under different
+    aliases must work on BOTH paths — approx used to raise a label
+    collision."""
+    df = spark.createDataFrame(
+        [("a", float(v), 1.0) for v in range(20)], "g string, v double, w double"
+    )
+    t = "g;v=wq_one,q2,w;v=wq_two,q2,w"
+    exact = breakdown(df, t).toPandas()
+    approx = breakdown(df, t, approx=True).toPandas()
+    assert list(exact.columns) == ["g", "wq_one", "wq_two"]
+    assert list(approx.columns) == ["g", "wq_one", "wq_two"]
+    assert (approx.wq_one == approx.wq_two).all()
+
+
+def test_breakdown_count_on_non_numeric_string_survives(spark):
+    """One stray non-numeric cell in a string column must degrade to
+    NULL (skipped by the aggregate), not abort the job under ANSI."""
+    df = spark.createDataFrame(
+        [("a", "1.5"), ("a", "rocktype"), ("b", "2.0")],
+        "g string, s string",
+    )
+    out = breakdown(df, "g;s=n,count;s=m,mean").toPandas().set_index("g")
+    assert out.loc["a", "n"] == 1  # 'rocktype' -> NULL, not counted
+    assert out.loc["a", "m"] == 1.5
+    assert out.loc["b", "n"] == 1

@@ -466,3 +466,22 @@ def test_dxf_lwpolyline_elevation(tmp_path, spark):
     rows = read_dxf(spark, p).orderBy("n").collect()
     assert [r.z for r in rows] == [250.0, 250.0]
     assert [(r.x, r.y) for r in rows] == [(0.0, 0.0), (10.0, 5.0)]
+
+
+def test_lang_id_null_text_stays_null(spark):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the dog"), (2, None), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    out = (
+        df.select("doc_id", lang_id(F.col("text")).alias("lang"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "lang"] == "en"
+    assert out.loc[2, "lang"] is None
+    assert out.loc[3, "lang"] == "und"

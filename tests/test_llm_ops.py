@@ -1116,3 +1116,60 @@ def test_kmeans_guards_and_null_handling(spark):
     empty_cents = kmeans_fit(dirty, k=2).where(F.lit(False))
     with pytest.raises(ValueError, match="empty centroids"):
         ivf_topk(dirty, dirty, k=1, centroids=empty_cents)
+
+
+def test_kmv_ignores_nulls(spark):
+    """A NULL value must neither occupy a k-slot (shrinking the sketch
+    below k and faking an exact count) nor count as a distinct value;
+    all-NULL groups vanish."""
+    from vtk_reserves_spark.operators.sketch import kmv_distinct, kmv_sketch
+
+    rows = [("g1", i) for i in range(200)] + [("g1", None), ("g2", None)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    clean = spark.createDataFrame(
+        [("g1", i) for i in range(200)], "k string, v int"
+    )
+    got = kmv_distinct(df, "k", "v", k=64).toPandas().set_index("k")
+    want = kmv_distinct(clean, "k", "v", k=64).toPandas().set_index("k")
+    assert "g2" not in got.index
+    assert got.loc["g1", "n_kept"] == want.loc["g1", "n_kept"] == 64
+    assert got.loc["g1", "est_distinct"] == want.loc["g1", "est_distinct"]
+    sk = kmv_sketch(df, "k", "v", k=64).toPandas().set_index("k")
+    assert len(sk.loc["g1", "sketch"]) == 64
+
+
+def test_unit_and_lsh_bucket_null_handling(spark):
+    """unit() yields NULL elements on a zero norm instead of an ANSI
+    divide-by-zero abort; lsh_bucket sends NULL/ragged vectors to a
+    NULL bucket instead of bucket 0."""
+    from vtk_reserves_spark.functions.vectors import (
+        deterministic_hyperplanes,
+        lsh_bucket,
+        norm,
+        unit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, None), (4, [1.0, 2.0, 3.0])],
+        "id long, v array<float>",
+    )
+    planes = deterministic_hyperplanes(4, 2)
+    out = (
+        df.select(
+            "id",
+            F.col("v"),
+            norm(F.col("v")).alias("n"),
+        )
+        .select(
+            "id",
+            unit(F.col("v"), F.col("n")).alias("u"),
+            lsh_bucket(F.col("v"), planes).alias("b"),
+        )
+        .toPandas()
+        .set_index("id")
+    )
+    assert np.allclose(list(out.loc[1, "u"]), [0.6, 0.8])
+    assert all(pd.isna(x) for x in out.loc[2, "u"])  # zero norm, no abort
+    assert pd.isna(out.loc[3, "b"])  # NULL vector -> NULL bucket
+    assert pd.isna(out.loc[4, "b"])  # ragged vector -> NULL bucket
+    assert not pd.isna(out.loc[2, "b"])  # zero vector is a VALID bucket

@@ -17,8 +17,12 @@ from pyspark.sql import functions as F
 
 def nn(c: Column) -> Column:
     """Cast to double and turn float NaN into NULL (so Spark aggregates
-    skip it exactly like numpy's nan-aware reductions)."""
-    c = c.cast("double")
+    skip it exactly like numpy's nan-aware reductions).  ``try_cast``,
+    not ``cast``: under Spark 4's default ANSI mode a plain cast of one
+    stray non-numeric string ABORTS the whole job (CAST_INVALID_INPUT),
+    where the engine's convention everywhere else is to degrade the
+    offending value to NULL and keep the report going."""
+    c = c.try_cast("double")
     return F.nanvl(c, F.lit(None).cast("double"))
 
 

@@ -61,6 +61,17 @@ def salted_agg(
                 f"mode {mode!r} is not decomposable; salted_agg supports "
                 f"{sorted(_MODES) + ['mean']}"
             )
-    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
+    # the salt must vary WITHIN an input partition: a hot key freshly
+    # repartitioned/sorted by the group key sits entirely in one
+    # partition, so the previous pmod(spark_partition_id(), salt) gave
+    # all its rows ONE salt value — a single stage-1 partial and zero
+    # skew mitigation (plus an extra shuffle).  xxhash64 of the
+    # monotonic row id spreads each partition's rows across all `salt`
+    # values deterministically within an execution; results are
+    # unchanged either way because stage 2 re-aggregates the partials.
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)),
+    )
     partials = salted.groupBy(*keys, "__salt").agg(*stage1_exprs)
     return partials.groupBy(*keys).agg(*stage2_exprs)

@@ -63,7 +63,10 @@ def lang_id(text: Column, priority=("en", "es", "de", "fr")) -> Column:
             if other != lang:
                 cond = cond & (s >= scores[other])
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    return expr.otherwise(F.lit("und"))
+    # NULL text stays NULL (the module convention — quality_score and
+    # punct_ratio preserve NULL so missing docs are distinguishable
+    # from real unidentified-language docs, which get 'und')
+    return F.when(text.isNotNull(), expr.otherwise(F.lit("und")))
 
 
 def punct_ratio(text: Column) -> Column:

@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array columns (element-wise, JVM-side)."""
+    """Dot product of two array columns (element-wise, JVM-side).
+
+    Length-mismatched or NULL inputs yield NULL (``zip_with`` pads the
+    shorter side with NULL, which poisons the sum) — callers that must
+    not silently drop such rows should validate ``size()`` up front,
+    as ``similarity.embedding_near_dup_pairs`` and ``kmeans_fit`` do."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -35,8 +40,10 @@ def cosine(a: Column, b: Column) -> Column:
 def unit(vec: Column, n: Column) -> Column:
     """vec / n, element-wise.  Pass ``n`` as a MATERIALIZED column (own
     projection): a lambda capturing a computed norm subtree would
-    re-evaluate it per element.  Zero norm → NULL elements (x/0)."""
-    return F.transform(vec, lambda x: x.cast("double") / n)
+    re-evaluate it per element.  Zero norm → NULL elements via
+    ``try_divide`` (a plain ``/`` would ABORT the job under Spark 4's
+    default ANSI mode instead of honoring this contract)."""
+    return F.transform(vec, lambda x: F.try_divide(x.cast("double"), n))
 
 
 def hyperplane_dot(vec: Column, weights: list[float]) -> Column:
@@ -51,11 +58,17 @@ def lsh_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
     """Random-hyperplane (sign) LSH bucket id: bit b = 1 iff
     ``dot(vec, h_b) > 0``.  With n_bits hyperplanes the corpus is split
     into up to 2^n_bits buckets; cosine-similar vectors collide with
-    high probability, so an ANN query only scans its own bucket."""
+    high probability, so an ANN query only scans its own bucket.
+
+    A NULL or dimension-mismatched vector (NULL hyperplane dot) gets a
+    NULL bucket — it drops out of bucket joins instead of piling every
+    malformed row into bucket 0 alongside legitimate vectors."""
     bucket = F.lit(0)
     for b, hp in enumerate(hyperplanes):
-        bucket = bucket + F.when(hyperplane_dot(vec, hp) > 0, F.lit(1 << b)).otherwise(
-            F.lit(0)
+        d = hyperplane_dot(vec, hp)
+        # NULL d propagates: when/when without otherwise leaves NULL
+        bucket = bucket + F.when(d > 0, F.lit(1 << b)).when(
+            d <= 0, F.lit(0)
         )
     return bucket.cast("int")
 

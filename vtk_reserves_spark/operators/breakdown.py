@@ -264,11 +264,19 @@ def breakdown(
             # per-group ECDF sort (see weighted_quantile_binned)
             wprod = weight_product(weights) if weights else F.lit(1.0)
             wdf = base.withColumn("__wprod", wprod)
-            sub = weighted_quantile_binned(
-                wdf, key_cols, var, "__wprod", [q for q, _ in q_outs]
+            # deduplicate the requested quantiles (the same quartile can
+            # appear twice under different aliases) and fan the sketch's
+            # one column out to every requested output name — the exact
+            # path handles duplicates the same way
+            uq = sorted({q for q, _ in q_outs})
+            sub = weighted_quantile_binned(wdf, key_cols, var, "__wprod", uq)
+            sub = sub.select(
+                *key_cols,
+                *[
+                    F.col(f"q{round(q * 100)}").alias(name)
+                    for q, name in q_outs
+                ],
             )
-            for q, name in q_outs:
-                sub = sub.withColumnRenamed(f"q{round(q * 100)}", name)
         else:
             sub = _wq_subplan(base, key_cols, var, weights, q_outs)
         result = _join_keyed(result, sub, key_cols)

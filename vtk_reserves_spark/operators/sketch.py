@@ -46,20 +46,18 @@ def kmv_distinct(
     Returns ``(<keys...>, n_kept, est_distinct)`` where ``n_kept`` is
     the number of retained hashes (≤ k) and ``est_distinct`` the KMV
     estimate — exact when the group holds fewer than k distinct hashes.
-    """
+    NULL values are ignored (a NULL is not a distinct value; its NULL
+    hash would otherwise sort NULLS-FIRST into a k-slot and skew the
+    estimate).
+
+    One code path with :func:`kmv_sketch` — this is just the sketch
+    plus the estimator, so fixes apply in one place."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    hashed = df.select(
-        *keys, _unit_hash(F.col(value_col)).alias("_h")
-    ).dropDuplicates([*keys, "_h"])
-    w = Window.partitionBy(*keys).orderBy(F.col("_h").asc())
-    kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-    return kept.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.when(
-            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
-        )
-        .otherwise((F.lit(k - 1)) / F.max("_h"))
-        .alias("est_distinct"),
+    sk = kmv_sketch(df, keys, value_col, k)
+    return sk.select(
+        *keys,
+        F.size("sketch").alias("n_kept"),
+        _estimate_from_sketch(F.col("sketch"), k).alias("est_distinct"),
     )
 
 
@@ -87,11 +85,16 @@ def kmv_sketch(
     smallest of a union equal the k smallest of the per-part k-smallest
     sets, so :func:`kmv_merge` of partial sketches gives bit-identical
     estimates to sketching the raw data directly
-    (``test_kmv_merge_equals_direct``)."""
+    (``test_kmv_merge_equals_direct``).  NULL values are ignored: a
+    NULL hash would sort NULLS-FIRST into a k-slot, then vanish in
+    ``collect_list`` — leaving a (k-1)-element sketch the estimator
+    misreads as an exact count."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    hashed = df.select(
-        *keys, _unit_hash(F.col(value_col)).alias("_h")
-    ).dropDuplicates([*keys, "_h"])
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, _unit_hash(F.col(value_col)).alias("_h"))
+        .dropDuplicates([*keys, "_h"])
+    )
     w = Window.partitionBy(*keys).orderBy(F.col("_h").asc())
     kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
     return kept.groupBy(*keys).agg(
@@ -213,14 +216,17 @@ def heavy_hitters(
             columns=["pid", "item", "cnt", "err", "floor"],
         )
 
-    # persisted because the plan below reads it twice (item merge +
-    # total floor) and each read would otherwise rescan the CORPUS; the
-    # cache is one partitions-x-capacity table per call, LRU-evictable —
-    # not a per-iteration accumulation
+    # materialized because the plan below reads it twice (item merge +
+    # total floor) and each read would otherwise rescan the CORPUS.
+    # Eager localCheckpoint, not persist(): a persist() here was never
+    # unpersisted, pinning one partitions-x-capacity table in executor
+    # storage per call for the session's lifetime — checkpoint blocks
+    # are released by the ContextCleaner when the frame is GC'd (same
+    # device as dedup_clusters' iteration state)
     summaries = (
         df.select(F.col(value_col).cast("string").alias(value_col))
         .mapInPandas(summarize, summary_schema)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # total floor over ALL partitions (empty partitions emit no rows =
     # floor 0); an item's upper bound adds the floors of partitions it

@@ -178,11 +178,22 @@ def vl_add_region(vl: list[list[str]], region: str = "region") -> list[list[str]
     """Prepend a ``region`` group key unless one is already present
     (reference ``vtk_reserves.py:100-107``)."""
     for row in vl:
-        # a bare single-field row (["region"]) IS a group key — the old
-        # len(row) > 1 guard missed it and prepended a duplicate key,
-        # which made the final projection emit two columns named
-        # "region" and the sort fail with an ambiguous reference
-        if row and row[0].startswith(region):
-            return vl
+        if not row:
+            continue
+        if len(row) > 1:
+            # multi-field rows keep the reference's prefix match
+            # (vtk_reserves.py:100-107 checks startswith on these)
+            if row[0].startswith(region):
+                return vl
+        else:
+            # a bare single-field row (["region"]) IS a group key — the
+            # original len(row) > 1 guard missed it and prepended a
+            # duplicate key (two "region" output columns, ambiguous
+            # sort).  But only an EXACT key match counts: a bare
+            # ["region_code"] is a different key and still needs the
+            # auto-inserted region column, so prefix matching here
+            # would wrongly suppress it.
+            if split_alias(row[0])[0] == region:
+                return vl
     vl.insert(0, [region, "", ""])
     return vl
