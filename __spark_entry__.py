@@ -1669,6 +1669,28 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", top_k=3)
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join (operators/dedup.fuzzy_join_pairs):
+    plant one-character typos into 100 part names, then recover every
+    (original, typo) pair within 2 edits via q-gram blocking + exact
+    Levenshtein — the oracle brute-forces all pairs, which matches
+    because the q-gram lemma guarantees completeness at these string
+    lengths (>= 9 chars for q=3, t=2)."""
+    from vtk_reserves_spark.operators.dedup import fuzzy_join_pairs
+
+    part = (
+        _read(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .where(F.col("p_partkey") <= 100)
+    )
+    typos = part.select(
+        (F.col("p_partkey") + 1000000).alias("p_partkey"),
+        F.concat(F.lit("x"), F.expr("substring(p_name, 2)")).alias("p_name"),
+    )
+    both = part.unionByName(typos)
+    return fuzzy_join_pairs(both, "p_partkey", "p_name", max_distance=2)
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (operators/similarity.kmeans_fit):
     k=8, EXACTLY two iterations from the deterministic first-k init —
@@ -2516,6 +2538,21 @@ def _llm_oracles() -> dict[str, str]:
             FROM cg JOIN bg USING (gram)
             GROUP BY doc_id
         """,
+        "fuzzy_join": """
+            WITH base AS (
+              SELECT p_partkey AS id, lower(p_name) AS s
+              FROM part WHERE p_partkey <= 100
+              UNION ALL
+              SELECT p_partkey + 1000000,
+                     lower('x' || substr(p_name, 2))
+              FROM part WHERE p_partkey <= 100
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS INT) AS dist
+            FROM base a JOIN base b ON a.id < b.id
+            WHERE abs(length(a.s) - length(b.s)) <= 2
+              AND levenshtein(a.s, b.s) <= 2
+        """,
         "kmeans": """
             WITH e AS (
               SELECT vec_id, CAST(i - 1 AS INT) AS dim,
@@ -3127,8 +3164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm_perplexity": q_charlm_perplexity,
         "swath": q_swath,
         # oracle-backed but past the 50-entry cap (every slot above is
-        # already a MATCH candidate); the self-run artifact covers it
+        # already a MATCH candidate); the self-run artifact covers them
         "kmeans": q_kmeans,
+        "fuzzy_join": q_fuzzy_join,
         # rows-only linear solves, demoted past the harness's 50-entry
         # cap to make room for oracle-CHECKABLE queries above; the
         # full-contract self-run artifact still covers them

@@ -244,3 +244,66 @@ def test_asof_interpolate_hand_checked(spark):
     assert out[("a", 5.0)] == pytest.approx(100.0)    # before first: hold
     assert out[("a", 99.0)] == pytest.approx(100.0)   # after last: hold
     assert out[("b", 10.0)] is None                   # no observations
+
+
+def test_asof_join_matched_row_is_atomic(spark):
+    """The match must be ONE right row: a NULL field in the matched row
+    stays NULL instead of being stitched from an older row (the
+    per-column last(ignorenulls) chimera)."""
+    from vtk_reserves_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(10.0,)], "t double")
+    right = spark.createDataFrame(
+        [(1.0, 1.0, 2.0), (5.0, 3.0, None)], "t double, a double, b double"
+    )
+    out = asof_join(left, right, on="t").collect()[0]
+    assert out.a == 3.0
+    assert out.b is None  # from the t=5 row, NOT b=2 from t=1
+
+
+def test_asof_join_null_times_never_match(spark):
+    """NULL-time right rows are not candidates; NULL-time left rows
+    have no as-of position and get a NULL match."""
+    from vtk_reserves_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(5.0,), (None,)], "t double")
+    right = spark.createDataFrame(
+        [(None, "x"), (10.0, "y")], "t double, v string"
+    )
+    got = {r.t: r.v for r in asof_join(left, right, on="t").collect()}
+    assert got[5.0] is None  # no right row <= 5; 'x' must not leak
+    assert got[None] is None
+
+
+def test_asof_join_guards(spark):
+    from pyspark.sql import functions as SF
+
+    from vtk_reserves_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1.0, 2.0)], "t double, _pay double")
+    right = spark.createDataFrame([(1.0, 3.0)], "t double, v double")
+    with pytest.raises(ValueError, match="internal names"):
+        asof_join(left, right, on="t")
+    lt = spark.createDataFrame([(1,)], "i long").select(
+        SF.timestamp_seconds("i").alias("t")
+    )
+    rt = spark.createDataFrame([(1, 2.0)], "i long, v double").select(
+        SF.timestamp_seconds("i").cast("timestamp_ntz").alias("t"), "v"
+    )
+    with pytest.raises(ValueError, match="mixed Timestamp"):
+        asof_join(lt, rt, on="t")
+
+
+def test_asof_interpolate_null_times_ignored(spark):
+    from vtk_reserves_spark.operators.asof import asof_interpolate
+
+    left = spark.createDataFrame([(5.0,), (None,)], "t double")
+    right = spark.createDataFrame(
+        [(None, 99.0), (0.0, 0.0), (10.0, 10.0)], "t double, v double"
+    )
+    out = {
+        r.t: r.v_interp
+        for r in asof_interpolate(left, right, "t", "v").collect()
+    }
+    assert out[5.0] == pytest.approx(5.0)  # 99 @ NULL time ignored
+    assert out[None] is None

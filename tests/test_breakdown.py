@@ -580,3 +580,37 @@ def test_breakdown_count_on_non_numeric_string_survives(spark):
     assert out.loc["a", "n"] == 1  # 'rocktype' -> NULL, not counted
     assert out.loc["a", "m"] == 1.5
     assert out.loc["b", "n"] == 1
+
+
+def test_check_duplicate_rules_do_not_collide(spark):
+    """Two matches-rules on one column produce TWO report rows (the
+    second suffixed #2) instead of an ambiguous-reference crash."""
+    from vtk_reserves_spark.operators.validate import check
+
+    df = spark.createDataFrame(
+        [("a@b.com",), ("nope",)], "email string"
+    )
+    out = check(
+        df,
+        [("matches", "email", r".*@.*"), ("matches", "email", r"\S+")],
+    ).toPandas()
+    assert sorted(out.rule) == ["matches(email)", "matches(email)#2"]
+    m = out.set_index("rule")
+    assert m.loc["matches(email)", "metric"] == 1  # 'nope' has no @
+    assert m.loc["matches(email)#2", "metric"] == 0
+
+
+def test_profile_skips_non_orderable_columns(spark):
+    from pyspark.sql import functions as SF
+
+    from vtk_reserves_spark.operators.validate import profile
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], "id long, s string")
+    df = df.withColumn(
+        "attrs", SF.create_map(SF.lit("k"), SF.coalesce("s", SF.lit("v")))
+    )
+    out = profile(df).toPandas().set_index("column")
+    assert out.loc["id", "n_distinct"] == 2
+    assert out.loc["attrs", "n"] == 2  # null count path still runs
+    assert pd.isna(out.loc["attrs", "n_distinct"])
+    assert out.loc["attrs", "min_str"] is None

@@ -1173,3 +1173,40 @@ def test_unit_and_lsh_bucket_null_handling(spark):
     assert pd.isna(out.loc[3, "b"])  # NULL vector -> NULL bucket
     assert pd.isna(out.loc[4, "b"])  # ragged vector -> NULL bucket
     assert not pd.isna(out.loc[2, "b"])  # zero vector is a VALID bucket
+
+
+def test_fuzzy_join_pairs_hand_checked(spark):
+    from vtk_reserves_spark.operators.dedup import fuzzy_join_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "goldenrod lace"),
+            (2, "goldenrod lacy"),   # 1 sub from 1
+            (3, "goldenrod laces"),  # 1 ins from 1, 2 edits from 2
+            (4, "chocolate spring"), # unrelated
+            (5, "ab"),               # shorter than ngram: never matches
+        ],
+        "id long, name string",
+    )
+    out = fuzzy_join_pairs(df, "id", "name", max_distance=2).toPandas()
+    got = {(r.id_a, r.id_b): r.dist for r in out.itertuples()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+    with pytest.raises(ValueError, match="max_distance"):
+        fuzzy_join_pairs(df, "id", "name", max_distance=-1)
+
+
+def test_fuzzy_join_is_case_insensitive_and_caps_buckets(spark):
+    from vtk_reserves_spark.operators.dedup import fuzzy_join_pairs
+
+    df = spark.createDataFrame(
+        [(1, "Goldenrod Lace"), (2, "goldenrod lacE")],
+        "id long, name string",
+    )
+    out = fuzzy_join_pairs(df, "id", "name", max_distance=0).toPandas()
+    assert len(out) == 1 and out.iloc[0].dist == 0
+    # max_bucket=0 drops every gram -> no candidates, bounded fan-out
+    capped = fuzzy_join_pairs(
+        df, "id", "name", max_distance=0, max_bucket=0
+    ).toPandas()
+    assert len(capped) == 0

@@ -28,6 +28,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_time_flavor(cols) -> None:
+    """Reject mixed TimestampType/TimestampNTZType across the time
+    columns of a temporal operator: union/comparison coercion would
+    silently shift ONE side by the session timezone.  ``cols`` is an
+    iterable of (DataFrame, column_name)."""
+    from pyspark.sql import types as T
+
+    flavors = {
+        type(df.schema[c].dataType).__name__
+        for df, c in cols
+        if isinstance(df.schema[c].dataType, (T.TimestampType, T.TimestampNTZType))
+    }
+    if len(flavors) > 1:
+        raise ValueError(
+            f"mixed TimestampType/TimestampNTZType across time columns "
+            f"{sorted(flavors)}; normalize both sides first "
+            "(e.g. cast to timestamp or timestamp_ntz)"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -41,6 +61,8 @@ def asof_join(
     or literal (e.g. ``F.expr("INTERVAL 1 HOUR")``) — matches farther
     than that from the left time are nulled out, like pandas
     ``merge_asof(tolerance=...)``."""
+    from pyspark.sql import types as T
+
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction!r}")
     by = [by] if isinstance(by, str) else list(by or [])
@@ -48,23 +70,45 @@ def asof_join(
     clash = set(payload) & set(left.columns)
     if clash:
         raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
+    reserved = {"_t", "_side", "_rt", "_pay"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with asof_join's "
+            "internal names; rename them first"
+        )
+    _check_time_flavor([(left, on), (right, on)])
 
+    # a right row with a NULL event time can never be the "most recent"
+    # match — without this filter it would sort NULLS-FIRST and its
+    # payload would leak into left rows that have no real match
+    right = right.where(F.col(on).isNotNull())
+
+    # the payload travels as ONE struct so the match is atomic: carrying
+    # each column independently with last(ignorenulls) would stitch
+    # NULL fields of the matched row from OLDER rows (a chimera row
+    # that merge_asof semantics forbid)
+    pay_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+        + [T.StructField("_rt", right.schema[on].dataType)]
+    )
     lcols = [c for c in left.columns if c not in by and c != on]
     l2 = left.select(
         *by,
         F.col(on).alias("_t"),
         F.lit(1).alias("_side"),
         *lcols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
-        F.lit(None).cast(right.schema[on].dataType).alias("_rt"),
+        F.lit(None).cast(pay_type).alias("_pay"),
     )
     r2 = right.select(
         *by,
         F.col(on).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *payload,
-        F.col(on).alias("_rt"),
+        F.struct(
+            *[F.col(c) for c in payload], F.col(on).alias("_rt")
+        ).alias("_pay"),
     )
     unioned = l2.unionByName(r2)
 
@@ -82,25 +126,25 @@ def asof_join(
         "_t",
         "_side",
         *lcols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
-        F.last("_rt", ignorenulls=True).over(w).alias("_rt"),
+        F.last("_pay", ignorenulls=True).over(w).alias("_pay"),
     )
     out = filled.filter(F.col("_side") == 1)
+    # a left row with a NULL event time has no as-of position at all —
+    # null its match rather than letting it absorb whatever carry its
+    # NULLS-FIRST/LAST sort position happened to see
+    pay = F.when(F.col("_t").isNotNull(), F.col("_pay"))
     if tolerance is not None:
+        rt = pay["_rt"]
         gap = (
-            F.col("_t") - F.col("_rt")
-            if direction == "backward"
-            else F.col("_rt") - F.col("_t")
+            F.col("_t") - rt if direction == "backward" else rt - F.col("_t")
         )
-        within = F.col("_rt").isNotNull() & (gap <= tolerance)
-        out = out.select(
-            *by,
-            "_t",
-            *lcols,
-            *[F.when(within, F.col(c)).alias(c) for c in payload],
-        )
-    else:
-        out = out.select(*by, "_t", *lcols, *payload)
+        pay = F.when(rt.isNotNull() & (gap <= tolerance), pay)
+    out = out.select(
+        *by,
+        "_t",
+        *lcols,
+        *[pay[c].alias(c) for c in payload],
+    )
     return out.withColumnRenamed("_t", on)
 
 
@@ -138,17 +182,8 @@ def range_join(
     # by the session timezone during the NTZ->TZ cast (the comparison
     # stays consistent with Spark's implicit-cast semantics, but the
     # bucket interpretation becomes timezone-dependent) — reject early.
-    flavors = {
-        type(df.schema[c].dataType).__name__
-        for df, c in ((points, on), (intervals, lo), (intervals, hi))
-        if isinstance(df.schema[c].dataType, (T.TimestampType, T.TimestampNTZType))
-    }
-    if len(flavors) > 1:
-        raise ValueError(
-            "mixed TimestampType/TimestampNTZType across range-join "
-            f"columns {sorted(flavors)}; normalize both sides first "
-            "(e.g. cast to timestamp or timestamp_ntz)"
-        )
+    # Shared guard with asof_join / asof_interpolate.
+    _check_time_flavor([(points, on), (intervals, lo), (intervals, hi)])
 
     def to_num(df: DataFrame, col: str):
         if isinstance(df.schema[col].dataType, (T.TimestampType, T.TimestampNTZType)):
@@ -202,6 +237,15 @@ def asof_interpolate(
 
     by = [by] if isinstance(by, str) else list(by or [])
     out_col = out_col or f"{value_col}_interp"
+    reserved = {"_t", "_side", "_obs", "_pv", "_pt", "_nv", "_nt"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with asof_interpolate's "
+            "internal names; rename them first"
+        )
+    _check_time_flavor([(left, on), (right, on)])
 
     lcols = [c for c in left.columns if c not in by and c != on]
     l2 = left.select(
@@ -214,9 +258,13 @@ def asof_interpolate(
     # a NULL-valued observation is NO observation: letting it through
     # would contribute its TIME to _pt/_nt without a value, corrupting
     # the interpolation weight (or nulling a query that has valued
-    # neighbors)
+    # neighbors).  A NULL-TIME observation is equally meaningless — it
+    # would sort NULLS-FIRST and donate its VALUE to _pv with no
+    # matching _pt (a value/time mismatch)
     r2 = (
-        right.where(F.col(value_col).isNotNull())
+        right.where(
+            F.col(value_col).isNotNull() & F.col(on).isNotNull()
+        )
         .select(
             *by,
             F.col(on).alias("_t"),
@@ -250,8 +298,10 @@ def asof_interpolate(
         + (t - F.col("_pt")) / (F.col("_nt") - F.col("_pt"))
         * (F.col("_nv") - F.col("_pv"))
     )
+    # a left row with NULL time has no position on the axis: NULL out
+    # (it would otherwise sort NULLS-FIRST and "hold next" spuriously)
     return (
         u.where(F.col("_side") == 1)
-        .withColumn(out_col, interp)
+        .withColumn(out_col, F.when(F.col("_t").isNotNull(), interp))
         .select(*by, F.col("_t").alias(on), *lcols, out_col)
     )

@@ -747,3 +747,82 @@ def duplicate_spans(
             F.col("n_windows").cast("int").alias("n_windows"),
         )
     )
+
+
+def fuzzy_join_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 2,
+    ngram: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Entity-resolution fuzzy self-join: all pairs whose strings are
+    within ``max_distance`` Levenshtein edits, WITHOUT the all-pairs
+    comparison — candidates come from shared character ``ngram``-grams
+    (q-gram blocking), then the exact distance filters them.
+
+    Completeness: by the q-gram lemma, strings x and y with
+    ``ed(x, y) <= t`` share at least ``max(|x|,|y|) − q + 1 − t·q``
+    q-grams — strictly positive whenever ``max(|x|,|y|) >= q·(t+1)``
+    (9 chars for q=3, t=2).  Shorter strings may share no gram and can
+    be missed; strings shorter than ``ngram`` produce no grams at all
+    and never match.  ``max_bucket`` optionally drops stop-grams whose
+    bucket exceeds the cap (the LSH skew device — recall trades for a
+    hard bound on pair fan-out; dropped grams only matter if a pair
+    shares NOTHING rarer).
+
+    Shape for scale: one gram explode (bounded fan-out: ≤ |s| grams per
+    row), ONE equi-join on the gram key, a cheap length pre-filter
+    (``|len(a)−len(b)| <= t`` is a Levenshtein lower bound) before the
+    per-pair ``distinct``, and the O(|s|²) DP only on surviving
+    candidates.  Matching is case-insensitive (lowercased up front).
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+    """
+    if max_distance < 0 or ngram < 1:
+        raise ValueError("max_distance must be >= 0 and ngram >= 1")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_s")
+    ).where(F.length("_s") >= ngram)
+    grams = base.select(
+        "_id",
+        "_s",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.length("_s") - F.lit(ngram - 1)
+                    ),
+                    lambda i: F.substring(F.col("_s"), i, F.lit(ngram)),
+                )
+            )
+        ).alias("_g"),
+    )
+    if max_bucket is not None:
+        sizes = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+        grams = (
+            grams.join(F.broadcast(sizes.where(F.col("_n") > max_bucket)), "_g", "left_anti")
+        )
+    b = grams.select(
+        F.col("_g"),
+        F.col("_id").alias("_id_b"),
+        F.col("_s").alias("_s_b"),
+    )
+    cand = (
+        grams.join(b, "_g")
+        .where(F.col("_id") < F.col("_id_b"))
+        .where(
+            F.abs(F.length("_s") - F.length("_s_b")) <= max_distance
+        )
+        .select("_id", "_id_b", "_s", "_s_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("_s", "_s_b"))
+        .where(F.col("dist") <= max_distance)
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_id_b").alias("id_b"),
+            "dist",
+        )
+    )

@@ -205,7 +205,11 @@ def locate_composites(
     # as-of: last station with depth <= mid, via union + last() window.
     # (hole, comp) is the composites' natural key — no synthetic row ids
     # (monotonically_increasing_id across two plan branches would not be
-    # stable).
+    # stable).  Deliberately inline rather than delegating to
+    # operators/asof.asof_join: this path also needs the collar
+    # first-station fallback woven into the same window pass, and its
+    # payload already travels as one struct (the atomic-carry device
+    # asof_join now shares) — keep the two in sync if either changes.
     st_side = st.select(
         F.col(hole_col).alias("_h"),
         F.col(depth_col).alias("_at"),

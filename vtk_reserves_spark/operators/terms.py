@@ -22,6 +22,7 @@ def tfidf_top_terms(
     id_col: str,
     text_col: str,
     top_k: int = 3,
+    broadcast_idf: bool = True,
 ) -> DataFrame:
     """Top-``top_k`` terms per document by TF-IDF.
 
@@ -29,6 +30,14 @@ def tfidf_top_terms(
     sklearn's ``smooth_idf`` formula, exactly reproducible in SQL).
     Ties break by term ascending so the result is deterministic.
     Returns ``(id, term, tf, score, rank)``.
+
+    The term→IDF map is VOCABULARY-sized (one row per distinct token),
+    not constant-sized: broadcasting it is right for corpora whose
+    vocabulary fits comfortably on the driver (millions of terms), but
+    a web-scale crawl can exceed 10⁸ distinct tokens — pass
+    ``broadcast_idf=False`` there to use a shuffled hash join on
+    ``term`` instead, which degrades gracefully where a forced
+    broadcast would OOM.
     """
     tok = df.select(
         F.col(id_col).alias("_id"),
@@ -41,7 +50,9 @@ def tfidf_top_terms(
         "term",
         (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + 1).alias("_idf"),
     )
-    scored = tf.join(F.broadcast(idf), "term").select(
+    scored = tf.join(
+        F.broadcast(idf) if broadcast_idf else idf, "term"
+    ).select(
         "_id", "term", "tf", (F.col("tf") * F.col("_idf")).alias("score")
     )
     w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("term").asc())

@@ -45,13 +45,26 @@ def _rule_name(rule: tuple) -> str:
 
 def check(df: DataFrame, rules: list) -> DataFrame:
     """Verify ``rules`` against ``df``; returns
-    ``(rule, metric, passed)`` ordered by rule name."""
+    ``(rule, metric, passed)`` ordered by rule name.
+
+    Two rules that render to the same display name (e.g. two
+    ``matches`` patterns on one column) are disambiguated with a
+    ``#2``/``#3`` suffix on the later ones; internally every rule gets
+    a positional alias, so no rule combination can collide in the
+    aggregation."""
+    names = [_rule_name(r) for r in rules]
+    seen: dict[str, int] = {}
+    for i, n in enumerate(names):
+        seen[n] = seen.get(n, 0) + 1
+        if seen[n] > 1:
+            names[i] = f"{n}#{seen[n]}"
     agg_exprs = []
-    agg_meta = []  # (name, passes_when_zero=True) or special row_count
+    agg_meta = []  # (internal alias, display name, mode tuple)
     unique_rules = []
-    for rule in rules:
+    for idx, rule in enumerate(rules):
         kind = rule[0]
-        name = _rule_name(rule)
+        name = names[idx]
+        alias = f"__r{idx}"
         if kind == "not_null":
             viol = F.col(rule[1]).isNull()
         elif kind == "in_range":
@@ -64,8 +77,8 @@ def check(df: DataFrame, rules: list) -> DataFrame:
             c = F.col(rule[1])
             viol = c.isNotNull() & ~c.isin(list(rule[2]))
         elif kind == "row_count_min":
-            agg_exprs.append(F.count(F.lit(1)).alias(name))
-            agg_meta.append((name, ("min", int(rule[1]))))
+            agg_exprs.append(F.count(F.lit(1)).alias(alias))
+            agg_meta.append((alias, name, ("min", int(rule[1]))))
             continue
         elif kind == "unique":
             unique_rules.append((name, list(rule[1])))
@@ -73,24 +86,24 @@ def check(df: DataFrame, rules: list) -> DataFrame:
         else:
             raise ValueError(f"unknown rule kind {kind!r}")
         agg_exprs.append(
-            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(name)
+            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(alias)
         )
-        agg_meta.append((name, ("zero", None)))
+        agg_meta.append((alias, name, ("zero", None)))
 
     spark = df.sparkSession
     parts = []
     if agg_exprs:
         row = df.agg(*agg_exprs)
         selects = []
-        for name, (mode, arg) in agg_meta:
-            metric = F.coalesce(F.col(f"`{name}`"), F.lit(0)).cast("long")
+        for alias, name, (mode, arg) in agg_meta:
+            metric = F.coalesce(F.col(alias), F.lit(0)).cast("long")
             passed = metric >= arg if mode == "min" else metric == 0
             selects.append(
                 F.struct(
                     F.lit(name).alias("rule"),
                     metric.alias("metric"),
                     passed.alias("passed"),
-                ).alias(name)
+                ).alias(alias)
             )
         wide = row.select(F.array(*selects).alias("a"))
         parts.append(
@@ -131,18 +144,40 @@ def profile(df: DataFrame, columns: list | None = None, exact_distinct: bool = T
     oracle-checkable mode); pass ``False`` for
     ``approx_count_distinct`` (HLL, no expand) on very wide or very
     large tables.  min/max stringify so heterogeneous column types fit
-    one report schema."""
+    one report schema.
+
+    Non-orderable / non-comparable column types (maps, and structs or
+    arrays containing maps) take NULL for distinct/min/max instead of
+    failing the whole profile at analysis time — the null count still
+    computes for every column."""
+    from pyspark.sql import types as T
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
     cols = columns or df.columns
+    by_name = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         col = F.col(f"`{c}`")
         aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"_null_{c}"))
-        aggs.append(
-            (F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col))
-            .cast("long").alias(f"_dist_{c}")
-        )
-        aggs.append(F.min(col).cast("string").alias(f"_min_{c}"))
-        aggs.append(F.max(col).cast("string").alias(f"_max_{c}"))
+        if _orderable(by_name[c]):
+            aggs.append(
+                (F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col))
+                .cast("long").alias(f"_dist_{c}")
+            )
+            aggs.append(F.min(col).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.max(col).cast("string").alias(f"_max_{c}"))
+        else:
+            aggs.append(F.first(F.lit(None).cast("long")).alias(f"_dist_{c}"))
+            aggs.append(F.first(F.lit(None).cast("string")).alias(f"_min_{c}"))
+            aggs.append(F.first(F.lit(None).cast("string")).alias(f"_max_{c}"))
     row = df.agg(*aggs)
     dtypes = dict(df.dtypes)
     structs = [
