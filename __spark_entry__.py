@@ -2856,7 +2856,9 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(u.f * 40 AS BIGINT) AS byte_offset
             FROM documents,
                  LATERAL (SELECT unnest(range(0,
-                     octet_length(encode(text)) // 40 + 1)) AS f) u
+                     CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                          ELSE (octet_length(encode(text)) - 1) // 40 + 1
+                     END)) AS f) u
         """,
         "segment_dedup": f"""
             -- mirror of remove_duplicate_segments: raw whitespace

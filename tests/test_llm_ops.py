@@ -351,7 +351,10 @@ def test_frame_sample(docs, spark, duck):
                CAST(u.f AS INT) AS frame_idx,
                CAST(u.f * 40 AS BIGINT) AS byte_offset
         FROM documents,
-             LATERAL (SELECT unnest(range(0, octet_length(encode(text)) // 40 + 1)) AS f) u
+             LATERAL (SELECT unnest(range(0,
+                 CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                      ELSE (octet_length(encode(text)) - 1) // 40 + 1
+                 END)) AS f) u
         """
     )
     assert_frames_match(out, oracle)
@@ -1210,3 +1213,18 @@ def test_fuzzy_join_is_case_insensitive_and_caps_buckets(spark):
         df, "id", "name", max_distance=0, max_bucket=0
     ).toPandas()
     assert len(capped) == 0
+
+
+def test_frame_sample_offsets_stay_inside_payload(spark):
+    """ceil(n/every) frames: exact multiples must not emit a
+    past-the-end frame and empty payloads emit none."""
+    from vtk_reserves_spark.operators import multimodal as MM2
+
+    df = spark.createDataFrame(
+        [(1, "a" * 80), (2, "b" * 75), (3, "")], "doc_id long, text string"
+    )
+    out = MM2.frame_sample(MM2.attach_payload(df), every_n_bytes=40).toPandas()
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    assert by_doc[1].byte_offset.tolist() == [0, 40]  # NOT 80
+    assert by_doc[2].byte_offset.tolist() == [0, 40]
+    assert 3 not in by_doc

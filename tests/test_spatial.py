@@ -1160,3 +1160,28 @@ def test_anisotropy_transform_weights_along_strike(spark):
 
     with pytest.raises(ValueError, match="ratios"):
         anisotropy_transform(blocks, 0.0, minor_ratio=1.5)
+
+
+def test_grade_tonnage_duplicate_cutoffs_deduped(spark):
+    """A repeated cutoff must not double-count tonnage."""
+    from vtk_reserves_spark.operators.reserves import grade_tonnage
+
+    df = spark.createDataFrame(
+        [(1.0, 100.0), (2.0, 50.0)], "grade double, mass double"
+    )
+    out = (
+        grade_tonnage(df, "grade", "mass", [0.5, 0.5, 1.5])
+        .toPandas()
+        .set_index("cutoff")
+    )
+    assert len(out) == 2
+    assert out.loc[0.5, "tonnes"] == 150.0
+    assert out.loc[0.5, "n_blocks"] == 2
+    assert out.loc[1.5, "tonnes"] == 50.0
+
+
+def test_grid_depletion_rejects_unknown_region_type(spark, grid):
+    from vtk_reserves_spark.operators.reserves import grid_depletion
+
+    with pytest.raises(TypeError, match="region entries"):
+        grid_depletion(grid, regions=[["ore", ((0, 0, 0), (1, 1, 1))]])

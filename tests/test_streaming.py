@@ -392,3 +392,89 @@ def test_stream_upsert_composite_key_preserves_siblings(spark, tmp_path):
     assert got[("click", 1)] == (2, 3.0)
     # the untouched sibling survived batch 2's overwrite
     assert got[("click", 2)] == (1, 5.0)
+
+
+def test_stream_kmv_null_values_and_parity(spark, tmp_path):
+    """NULLs in a long value column must neither count as distinct nor
+    break hash parity with the batch sketch (Arrow int->float64 under
+    nulls used to change every hash)."""
+    import pandas as pd
+
+    from vtk_reserves_spark.operators.sketch import kmv_distinct
+    from vtk_reserves_spark.streaming import run_available_now
+    from vtk_reserves_spark.streaming.ops import stream_kmv_distinct
+
+    rows = [("a", v) for v in range(100)] + [("a", None)]
+    src = str(tmp_path / "kmv")
+    spark.createDataFrame(rows, "k string, v long").write.parquet(src)
+    batch = spark.read.parquet(src)
+    want = kmv_distinct(batch, "k", "v", k=64).collect()[0]
+    sdf = spark.readStream.schema("k string, v long").parquet(src)
+    got = (
+        run_available_now(
+            stream_kmv_distinct(sdf, "k", "v", k=64),
+            output_mode="update",
+            shuffle_partitions=2,
+        )
+        .collect()[-1]
+    )
+    assert got.n_kept == want.n_kept == 64
+    assert got.est_distinct == want.est_distinct  # bit-identical
+
+
+def test_stateful_user_stats_string_key(spark, tmp_path):
+    """The output key type follows the input schema (hardcoded 'long'
+    used to crash Arrow conversion for string keys)."""
+    import pandas as pd
+
+    from vtk_reserves_spark.streaming import run_available_now
+    from vtk_reserves_spark.streaming.breakdown import stateful_user_stats
+
+    pdf = pd.DataFrame(
+        {
+            "user_name": ["ann", "ann", "bob"],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-01"]),
+            "value": [1.0, 2.0, 5.0],
+        }
+    )
+    src = str(tmp_path / "ustats")
+    spark.createDataFrame(pdf).write.parquet(src)
+    sdf = spark.readStream.schema(
+        "user_name string, ts timestamp, value double"
+    ).parquet(src)
+    out = (
+        run_available_now(
+            stateful_user_stats(sdf, key_col="user_name"),
+            output_mode="update",
+            shuffle_partitions=2,
+        )
+        .toPandas()
+        .set_index("user_name")
+    )
+    assert out.loc["ann", "n_events"] == 2
+    assert out.loc["bob", "total_value"] == 5.0
+
+
+def test_read_stream_escapes_glob_metachars(spark, tmp_path):
+    """A single file whose NAME contains glob metacharacters must
+    stream its actual rows, not silently match nothing."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from vtk_reserves_spark.streaming import run_available_now
+    from vtk_reserves_spark.streaming.breakdown import read_stream
+
+    tmp = str(tmp_path / "plain.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"x": [1, 2, 3]})
+    ).coalesce(1).write.parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    weird = str(tmp_path / "part[0].parquet")
+    shutil.copy(os.path.join(tmp, part), weird)
+    sdf = read_stream(spark, weird, schema="x bigint")
+    out = run_available_now(sdf, output_mode="append", shuffle_partitions=2)
+    assert out.count() == 3

@@ -397,9 +397,16 @@ def resize_media(
 def frame_sample(df: DataFrame, every_n_bytes: int = 40) -> DataFrame:
     """Frame sampling plumbing: derive a frame count from the payload
     size and explode one row per sampled frame with its byte offset —
-    the partition-preserving explode a real video sampler would use."""
-    n_frames = (F.col("meta.n_bytes") / every_n_bytes).cast("int") + 1
-    frames = F.sequence(F.lit(0), n_frames - 1)
+    the partition-preserving explode a real video sampler would use.
+
+    Every emitted ``byte_offset`` is strictly inside the payload:
+    ``n_frames = ceil(n_bytes / every_n_bytes)`` (the previous
+    ``n // every + 1`` emitted a past-the-end frame whenever the size
+    was an exact multiple, and one bogus frame for empty payloads —
+    empty payloads now emit no rows)."""
+    n = F.col("meta.n_bytes")
+    n_frames = F.floor((n - 1) / every_n_bytes).cast("int") + 1
+    frames = F.when(n > 0, F.sequence(F.lit(0), n_frames - 1))
     return df.select(
         "doc_id",
         F.explode(frames).alias("frame_idx"),

@@ -51,6 +51,17 @@ def grid_depletion(
     if regions:
         boxes = [r for r in regions if isinstance(r, tuple)]
         meshes = [r for r in regions if isinstance(r, TriMesh)]
+        unknown = [
+            r for r in regions
+            if not isinstance(r, tuple) and not isinstance(r, TriMesh)
+        ]
+        if unknown:
+            # silently dropping these used to flag EVERY row '' and the
+            # region filter then deleted the whole block model
+            raise TypeError(
+                "region entries must be (name, bounds) tuples or TriMesh "
+                f"solids; got {[type(r).__name__ for r in unknown]}"
+            )
         if boxes and meshes:
             raise ValueError("mix of bbox and mesh regions is not supported")
         if boxes:
@@ -118,7 +129,10 @@ def grade_tonnage(
     m = F.col(mass_col).cast("double")
     if mine_col is not None:
         m = m * F.coalesce(F.col(mine_col).cast("double"), F.lit(0.0))
-    arr = F.array(*[F.lit(float(c)) for c in sorted(cutoffs)])
+    # dedupe: a repeated cutoff (lists merged from two configs) would
+    # explode every clearing row twice and report 2x tonnage for it
+    cutoffs = sorted({float(c) for c in cutoffs})
+    arr = F.array(*[F.lit(c) for c in cutoffs])
     rows = (
         df.where(g.isNotNull() & m.isNotNull())
         .select(g.alias("_g"), m.alias("_m"), F.explode(arr).alias("cutoff"))
@@ -130,7 +144,7 @@ def grade_tonnage(
         F.count(F.lit(1)).alias("n_blocks"),
     )
     cuts = df.sparkSession.createDataFrame(
-        [(float(c),) for c in sorted(cutoffs)], "cutoff double"
+        [(c,) for c in cutoffs], "cutoff double"
     )
     return cuts.join(agg, "cutoff", "left").select(
         "cutoff",

@@ -414,7 +414,7 @@ def proportional_volume(
 
 
 def _surface_fraction(
-    df_cols, surface, x: Column, y: Column, z: Column, dz: Column
+    surface, x: Column, y: Column, z: Column, dz: Column
 ) -> Column:
     """Per-cell fraction below a surface: ``clip((z_surf - z + dz/2)/dz,
     0, 1)`` — the reconstructed ``vtk_block_mine`` kernel (call sites
@@ -474,7 +474,7 @@ def mine_fraction(
             col = f"__m_{tag}"
             return df.withColumn(col, solid_udf(x, y, z)), F.col(col)
         if isinstance(surf, PlaneSurface):
-            return df, _surface_fraction(df.columns, surf, x, y, z, dz)
+            return df, _surface_fraction(surf, x, y, z, dz)
         # TriMesh open surface: elevation join then clip expression
         col = f"__zs_{tag}"
         df = surface_elevation(df, surf, col, xy=xyz[:2])

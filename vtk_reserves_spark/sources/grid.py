@@ -288,10 +288,21 @@ def detect_cell_size(df: DataFrame, xyz=("x", "y", "z")) -> tuple[float, ...]:
     for c in xyz:
         from pyspark.sql import Window
 
+        dv = df.select(F.col(c).alias("v")).where(F.col(c).isNotNull()).distinct()
+        # the lag() below uses a GLOBAL Window.orderBy — one task sorts
+        # every distinct coordinate.  Fine for a block model (distinct
+        # coords per axis = grid dims, thousands at most), but scattered
+        # continuous data barely deduplicates and would funnel the whole
+        # axis into one task; refuse with guidance instead of stalling
+        n_distinct = dv.limit(1_000_001).count()
+        if n_distinct > 1_000_000:
+            raise ValueError(
+                f"detect_cell_size: column {c!r} has over 1e6 distinct "
+                "values — this is scattered/continuous data, not a "
+                "regular block model; pass cell_size explicitly"
+            )
         d = (
-            df.select(F.col(c).alias("v"))
-            .where(F.col(c).isNotNull())
-            .distinct()
+            dv
             .withColumn("pv", F.lag("v").over(Window.orderBy("v")))
             .select(F.min(F.when(F.col("v") != F.col("pv"), F.col("v") - F.col("pv"))).alias("d"))
             .first()

@@ -26,6 +26,7 @@ Scale design:
 
 from __future__ import annotations
 
+import threading
 import uuid
 
 from pyspark.sql import Column, DataFrame
@@ -33,6 +34,10 @@ from pyspark.sql import functions as F
 
 from vtk_reserves_spark.functions.aggregates import plain_agg
 from vtk_reserves_spark.plans.template import compile_template
+
+#: serializes run_available_now drains within one process (they mutate
+#: the session-global shuffle-partition setting; see the function body)
+_DRAIN_LOCK = threading.Lock()
 
 #: breakdown modes that work as single-pass streaming aggregates
 _STREAMABLE = {
@@ -70,10 +75,22 @@ def read_stream(
 
     if os.path.isfile(path):
         # FileStreamSource derives basePath from the glob parent and
-        # rejects a concrete file path ("basePath must be a directory");
-        # bracket the basename's first char to force glob resolution
+        # rejects a concrete file path ("basePath must be a directory"):
+        # force glob resolution by bracketing the basename.  Every glob
+        # metacharacter must be escaped, not just the first char — a
+        # file literally named part[0].parquet would otherwise have its
+        # '[0]' read as a character class and silently stream 0 rows.
         d, b = os.path.dirname(path), os.path.basename(path)
-        path = os.path.join(d, f"[{b[0]}]{b[1:]}")
+        # Hadoop's Globber accepts backslash escapes (its char-class
+        # parser rejects []] for a literal ]), and a backslash counts
+        # as a glob char for basePath purposes, so escaping alone
+        # already forces glob resolution
+        escaped = "".join(
+            f"\\{ch}" if ch in "[]{}*?\\" else ch for ch in b
+        )
+        if escaped == b:  # no metachars: bracket the first char instead
+            escaped = f"[{b[0]}]{b[1:]}"
+        path = os.path.join(d, escaped)
     reader = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -171,14 +188,34 @@ def stateful_user_stats(
     key's state is O(1)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # derive the key's output type from the INPUT schema: hardcoding
+    # 'long' crashed Arrow conversion mid-query for string/other keys
+    key_ddl = sdf.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, n_events long, total_value double, last_ts timestamp"
+        f"{key_col} {key_ddl}, n_events long, total_value double, "
+        "last_ts timestamp"
     )
     state_schema = "n long, total double, last_ts timestamp"
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        # a fired processing-time timeout delivers an EMPTY batch with
+        # hasTimedOut set: emit the final snapshot once and EVICT the
+        # state — re-arming here would re-emit the same stale row every
+        # interval forever and the state would never shrink
+        if state.hasTimedOut:
+            n, total, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_ts": [last],
+                }
+            )
+            return
         n, total, last = (
             state.get if state.exists else (0, 0.0, None)
         )
@@ -242,19 +279,28 @@ def run_available_now(
     thousands of near-empty state partitions are pure overhead."""
     spark = sdf.sparkSession
     name = sink_name or f"stream_sink_{uuid.uuid4().hex[:12]}"
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
+    # shuffle_partitions is a SESSION-GLOBAL setting: two concurrent
+    # drains (or a batch query planned mid-drain) in one SparkSession
+    # would race on it and could restore a stale value.  The lock
+    # serializes drains within this process; cross-process sessions
+    # are independent.  (No per-query override exists — a stateful
+    # stream reads the session conf at first start.)
+    with _DRAIN_LOCK:
+        before = spark.conf.get("spark.sql.shuffle.partitions")
         if shuffle_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", before)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        try:
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if shuffle_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", before)
     return spark.table(name)

@@ -158,25 +158,27 @@ def stream_kmv_distinct(
     promote cardinality monitoring from batch to continuous without a
     parallel code path.  Emits ``(key, n_kept, est_distinct)`` for every
     key touched by the batch (update mode)."""
-    import hashlib
-
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from vtk_reserves_spark.operators.sketch import _unit_hash
 
     out_schema = f"{key_col} string, n_kept int, est_distinct double"
     state_schema = "hashes array<double>"
-    dom = 4294967296.0
 
+    # hash JVM-SIDE with the batch operator's exact _unit_hash
+    # expression — bit-parity with kmv_distinct by construction.  The
+    # previous Python-side str(v) hashing broke it two ways: NULLs were
+    # hashed (str(None)) and counted as distinct items, and a long
+    # column containing ANY null arrives in pandas as float64, so
+    # str(7.0) != CAST(7 AS STRING) and every hash differed.  NULL
+    # values are not distinct values: filtered, as in batch.
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
         (hashes,) = state.get if state.exists else ([],)
         s = set(hashes)
         for pdf in pdfs:
-            for v in pdf[value_col]:
-                h = (
-                    int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) + 1
-                ) / dom
-                s.add(h)
+            s.update(float(h) for h in pdf["_h"].dropna())
         kept = sorted(s)[:k]
         state.update((kept,))
         est = float(len(kept)) if len(kept) < k else (k - 1) / kept[-1]
@@ -185,7 +187,11 @@ def stream_kmv_distinct(
         )
 
     return (
-        sdf.select(F.col(key_col).cast("string").alias(key_col), value_col)
+        sdf.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).cast("string").alias(key_col),
+            _unit_hash(F.col(value_col)).alias("_h"),
+        )
         .groupBy(key_col)
         .applyInPandasWithState(
             update,
