@@ -485,3 +485,86 @@ def test_lang_id_null_text_stays_null(spark):
     assert out.loc[1, "lang"] == "en"
     assert out.loc[2, "lang"] is None
     assert out.loc[3, "lang"] == "und"
+
+
+def test_sniff_csv_utf8_char_at_probe_boundary(tmp_path):
+    """A 4-byte UTF-8 char ending exactly at the 64KB probe cut must
+    still detect UTF-8 (the old trimming left the lead byte behind and
+    fell back to latin-1, mojibaking the whole read)."""
+    from vtk_reserves_spark.sources.loaders import _sniff_csv
+
+    head = b"a,b\n"
+    filler = b"x,y\n" * ((64 * 1024 - len(head) - 4) // 4)
+    emoji = "\U0001f496".encode()  # 4 bytes
+    body = head + filler + emoji
+    assert len(body) == 64 * 1024
+    p = tmp_path / "boundary.csv"
+    p.write_bytes(body + b",tail\nmore,rows\n")
+    sep, encoding = _sniff_csv(str(p))
+    assert encoding == "UTF-8"
+    assert sep == ","
+
+
+def test_save_report_xls_rejected(spark, tmp_path):
+    from vtk_reserves_spark.sources.writers import save_report
+
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="xlsx instead"):
+        save_report(df, str(tmp_path / "out.xls"))
+
+
+def test_load_biff_xls_clear_error(spark, tmp_path, monkeypatch):
+    """A legacy binary .xls without xlrd must raise a clear message,
+    not zipfile.BadZipFile."""
+    import pandas as pd
+
+    from vtk_reserves_spark.sources import loaders
+
+    p = tmp_path / "old.xls"
+    p.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 64)  # OLE2 magic
+
+    def no_engine(*a, **k):
+        raise ImportError("no xlrd")
+
+    monkeypatch.setattr(pd, "read_excel", no_engine)
+    with pytest.raises(ValueError, match="xlrd"):
+        loaders.load_dataframe(spark, str(p))
+
+
+def test_xlsx_absolute_rel_target(tmp_path):
+    """Workbook rels with absolute part paths ('/xl/...') must resolve."""
+    import zipfile
+
+    import pandas as pd
+
+    from vtk_reserves_spark.sources.xlsx import read_xlsx_pdf, write_xlsx
+
+    src = tmp_path / "plain.xlsx"
+    write_xlsx({"s1": pd.DataFrame({"a": [1, 2]})}, str(src))
+    dst = tmp_path / "abs.xlsx"
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(dst, "w") as zout:
+        for item in zin.namelist():
+            data = zin.read(item)
+            if item == "xl/_rels/workbook.xml.rels":
+                data = data.replace(
+                    b'Target="worksheets/', b'Target="/xl/worksheets/'
+                )
+            zout.writestr(item, data)
+    pdf = read_xlsx_pdf(str(dst), None)
+    assert pdf["a"].tolist() == [1, 2]
+
+
+def test_zorder_empty_and_many_columns(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    from vtk_reserves_spark.sources.writers import save_zordered
+
+    df = spark.range(100).select(
+        *[(SF.col("id") * (i + 1) % 17).cast("double").alias(f"c{i}") for i in range(7)]
+    )
+    p1 = str(tmp_path / "seven")
+    save_zordered(df, p1, [f"c{i}" for i in range(7)])  # bits clamp, no wrap
+    assert spark.read.parquet(p1).count() == 100
+    p2 = str(tmp_path / "empty")
+    save_zordered(df.where(SF.lit(False)), p2, ["c0", "c1"])
+    assert spark.read.parquet(p2).count() == 0

@@ -1228,3 +1228,13 @@ def test_frame_sample_offsets_stay_inside_payload(spark):
     assert by_doc[1].byte_offset.tolist() == [0, 40]  # NOT 80
     assert by_doc[2].byte_offset.tolist() == [0, 40]
     assert 3 not in by_doc
+
+
+def test_minhash_lsh_rejects_bad_band_config(spark):
+    from vtk_reserves_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(df, "doc_id", "text", k=8, bands=16)
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(df, "doc_id", "text", k=10, bands=4)

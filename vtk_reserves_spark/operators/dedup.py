@@ -180,6 +180,13 @@ def minhash_lsh_pairs(
     downstream lambdas, where interpreted higher-order functions would
     re-evaluate it per element (measured: the single-expression form is
     ~1000× slower per row at k=8, bands=4, ngrams=3)."""
+    if bands > k or k % bands != 0:
+        # bands > k would make every band key the EMPTY slice — all
+        # documents collide into one O(n²) bucket; a non-divisor would
+        # silently ignore the k % bands trailing hashes
+        raise ValueError(
+            f"bands ({bands}) must evenly divide the signature size k ({k})"
+        )
     r = k // bands
     if ngrams > 1:
         from vtk_reserves_spark.functions.text import shingles_of_tokens

@@ -17,7 +17,6 @@ would mount.
 from __future__ import annotations
 
 import csv
-import io
 import os
 import re
 
@@ -133,22 +132,20 @@ def _sniff_csv(path: str) -> tuple[str, str]:
     ``pd.read_csv(sep=None, encoding='latin_1')`` (``_gui.py:225-226``)."""
     with open(path, "rb") as f:
         head = f.read(64 * 1024)
-    # the 64KB cut can land mid-way through a multibyte character: trim
-    # up to 3 trailing continuation/lead bytes so a valid UTF-8 file is
-    # not misdetected as latin-1 (which would mojibake the WHOLE read)
-    probe = head
-    for _ in range(3):
-        if probe and probe[-1] >= 0x80:
-            if probe[-1] >= 0xC0:  # lead byte of a cut sequence: drop it
-                probe = probe[:-1]
-                break
-            probe = probe[:-1]  # continuation byte: keep trimming
-        else:
+    # the 64KB cut can land mid-way through a multibyte character: try
+    # decoding with up to 3 trailing bytes dropped before concluding the
+    # file is not UTF-8 (the previous byte-class trimming left a lead
+    # byte behind when a complete 4-byte char ended exactly at the cut,
+    # mojibaking the WHOLE read via a latin-1 misdetection)
+    text = None
+    for k in range(4):
+        try:
+            text = head[: len(head) - k or None].decode("utf-8")
+            encoding = "UTF-8"
             break
-    try:
-        text = probe.decode("utf-8")
-        encoding = "UTF-8"
-    except UnicodeDecodeError:
+        except UnicodeDecodeError:
+            continue
+    if text is None:
         text = head.decode("latin-1")
         encoding = "ISO-8859-1"
     sample = "\n".join(text.splitlines()[:20])
@@ -244,6 +241,13 @@ def apply_load_options(
     if condition:
         df = df.filter(F.expr(translate_condition(condition)))
     if vl:
+        # INTERSECTION, deliberately not strict: the breakdown engine's
+        # missing-var→NULL feature (SURVEY §2.4, reference parity) means
+        # a template may legitimately reference columns the table lacks
+        # — the compiler emits lit(NULL) for those, and this projection
+        # prunes to the referenced columns that DO exist.  When nothing
+        # matches, the frame passes through unprojected so the row count
+        # (which the NULL aggregates still need) survives.
         keep = [c for c in df.columns if c in set(vl)]
         if keep:
             df = df.select(*keep)
@@ -259,6 +263,14 @@ def _load_excel(spark: SparkSession, path: str, sheet: str | None) -> DataFrame:
     try:
         pdf = pd.read_excel(path, sheet_name=sheet or 0)
     except ImportError:
+        # the built-in fallback reads OOXML (a zip); a legacy binary
+        # BIFF .xls would die inside zipfile with an opaque BadZipFile
+        with open(path, "rb") as f:
+            if f.read(2) != b"PK":
+                raise ValueError(
+                    f"{path}: legacy binary .xls needs xlrd (not in "
+                    "this environment); convert to .xlsx"
+                ) from None
         from vtk_reserves_spark.sources.xlsx import read_xlsx_pdf
 
         pdf = read_xlsx_pdf(path, sheet)

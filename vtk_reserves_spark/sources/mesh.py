@@ -120,8 +120,11 @@ class TriMesh:
         (the reference's shipped sample format) are detected from the
         format line and routed through `sources/vtk_binary.read_vtk` —
         previously they crashed here with a UnicodeDecodeError."""
+        # 4 KB probe: the legacy header allows a 256-char title line,
+        # so a 256-byte probe could cut BEFORE the format line and
+        # misroute a binary file into the ASCII parser
         with open(path, "rb") as fh:
-            head = fh.read(256)
+            head = fh.read(4096)
         fmt_line = head.split(b"\n")[2:3]
         if fmt_line and fmt_line[0].strip().upper().startswith(b"BINARY"):
             from vtk_reserves_spark.sources.vtk_binary import read_vtk
@@ -340,6 +343,12 @@ def decimate_vertex_cluster(ex: DataFrame, cell_size: float) -> DataFrame:
         )
         .withColumn(
             "new_node",
+            # global Window: one task renumbers ALL clusters.  Bounded
+            # by design, not an oversight — the cluster count IS the
+            # decimated (output) vertex count, which the caller chose
+            # to be small; the INPUT mesh streams through the earlier
+            # narrow stages at any size.  A billion-vertex TARGET would
+            # need a two-stage (per-range rank + offset) renumber here.
             F.dense_rank().over(
                 Window.orderBy(F.col("ci"), F.col("cj"), F.col("ck"))
             )

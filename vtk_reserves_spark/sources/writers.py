@@ -13,7 +13,6 @@ Two write paths, chosen by intent:
 from __future__ import annotations
 
 import os
-import sys
 
 from pyspark.sql import DataFrame
 
@@ -71,7 +70,14 @@ def save_report(df: DataFrame, path: str | None) -> None:
         print(pdf.to_string(index=False))
         return
     ext = os.path.splitext(path.lower())[1]
-    if ext in (".xlsx", ".xls"):
+    if ext == ".xls":
+        # pandas 2.x raises ValueError (no engine), not ImportError, so
+        # the old fallback never ran — and the built-in writer emits
+        # OOXML bytes, which Excel rejects under a .xls name anyway
+        raise ValueError(
+            "legacy .xls output is not supported; write .xlsx instead"
+        )
+    if ext == ".xlsx":
         try:
             pdf.to_excel(path, index=False)
         except ImportError:
@@ -167,11 +173,27 @@ def zorder_key(df: DataFrame, cols, bits: int = 10):
 
     if isinstance(cols, str):
         cols = [cols]
+    n = len(cols)
+    # the interleaved key must fit a signed 64-bit long: shiftleft is
+    # mod-64 in Spark, so overflowing bit positions would silently wrap
+    # high bit planes onto low ones and scramble locality — clamp bits
+    # instead (10 bits x up to 6 columns uses 60; 7+ columns shrink)
+    bits = min(bits, 63 // n)
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({n}) for a 64-bit key")
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
     row = df.agg(*aggs).collect()[0]
-    n = len(cols)
+    for c in cols:
+        if row[f"_mn_{c}"] is None:
+            # empty input or an all-NULL cluster column: there is no
+            # range to normalize against — float(None) used to raise an
+            # opaque TypeError here
+            raise ValueError(
+                f"zorder_key: column {c!r} has no non-NULL values "
+                "(empty input?); nothing to cluster"
+            )
     top = (1 << bits) - 1
     key = F.lit(0).cast("long")
     stats = {}
@@ -208,8 +230,17 @@ def save_zordered(
     and selective filters on ANY of them skip most of the table.
 
     One extra shuffle at write time buys every future scan's pruning —
-    the standard trade for append-mostly analytical tables."""
-    key, _ = zorder_key(df, cols, bits)
+    the standard trade for append-mostly analytical tables.  An input
+    with no non-NULL cluster values (e.g. empty after a filter) writes
+    as-is: there is nothing to cluster, and failing the whole job for
+    an empty partition would be worse than an unclustered empty file."""
+    try:
+        key, _ = zorder_key(df, cols, bits)
+    except ValueError as e:
+        if "no non-NULL values" not in str(e):
+            raise
+        df.write.mode(mode).parquet(path)
+        return
     out = df.withColumn("_zkey", key)
     n = n_files or out.sparkSession.conf.get("spark.sql.shuffle.partitions")
     out = (

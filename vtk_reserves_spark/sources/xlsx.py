@@ -58,7 +58,13 @@ def read_xlsx(path: str, sheet: "str | int | None" = None):
         if rels_part in z.namelist():
             for rel in ET.fromstring(z.read(rels_part)):
                 t = rel.get("Target", "")
-                rels[rel.get("Id")] = t if t.startswith("xl/") else f"xl/{t}"
+                if t.startswith("/"):
+                    # absolute part path (permitted by OPC): zip names
+                    # have no leading slash
+                    t = t[1:]
+                elif not t.startswith("xl/"):
+                    t = f"xl/{t}"
+                rels[rel.get("Id")] = t
         sheets = []
         for i, s in enumerate(wb.iter(f"{_NS}sheet")):
             part = rels.get(s.get(rid_attr), f"xl/worksheets/sheet{i + 1}.xml")
