@@ -432,8 +432,12 @@ def test_avi_decoder_rejects_compressed_streams():
 
     buf = bytearray(encode_avi(np.zeros((1, 4, 4), np.uint8)))
     at = bytes(buf).find(b"vids") + 4
+    buf[at : at + 4] = b"H264"
+    with pytest.raises(ValueError, match="H264"):
+        decode_avi(bytes(buf))
+    # an MJPG fourcc whose payload is NOT JPEG must fail loudly too
     buf[at : at + 4] = b"MJPG"
-    with pytest.raises(ValueError, match="MJPG"):
+    with pytest.raises(ValueError, match="JPEG"):
         decode_avi(bytes(buf))
     with pytest.raises(ValueError, match="RIFF/AVI"):
         decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
@@ -568,3 +572,287 @@ def test_zorder_empty_and_many_columns(spark, tmp_path):
     p2 = str(tmp_path / "empty")
     save_zordered(df.where(SF.lit(False)), p2, ["c0", "c1"])
     assert spark.read.parquet(p2).count() == 0
+
+
+def _riff_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return tag + struct.pack("<I", len(payload)) + payload + (
+        b"\x00" if len(payload) % 2 else b""
+    )
+
+
+def _riff_list(kind: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + payload)
+
+
+def test_avi_audio_stream_and_rec_lists():
+    """Eleventh-pass items 1a/1b: an audio strl's WAVEFORMATEX strf must
+    not be parsed as a BITMAPINFOHEADER, and frames interleaved inside
+    LIST('rec ') groups must still be found."""
+    import struct
+
+    from vtk_reserves_spark.sources.avi import decode_avi
+
+    h = w = 4
+    row = (w + 3) // 4 * 4
+    avih = struct.pack("<14I", 10**5, 0, 0, 0x10, 2, 0, 2, row * h, w, h, 0, 0, 0, 0)
+    strh_v = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0, 1, 10, 0,
+        2, row * h, 0, 0, 0, 0, w, h,
+    )
+    strf_v = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, row * h, 0, 0, 256, 0
+    ) + b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    strh_a = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00" * 4, 0, 0, 0, 0, 1, 8000, 0,
+        16, 2, 0, 0, 0, 0, 0, 0,
+    )
+    # 18-byte WAVEFORMATEX: too short for a BITMAPINFOHEADER unpack, and
+    # nonsense if force-read as one — must be skipped entirely
+    strf_a = struct.pack("<HHIIHHH", 1, 2, 8000, 32000, 4, 16, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh_v) + _riff_chunk(b"strf", strf_v))
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh_a) + _riff_chunk(b"strf", strf_a)),
+    )
+    f0 = np.full((h, row), 10, np.uint8)[::-1].tobytes()
+    f1 = np.full((h, row), 200, np.uint8)[::-1].tobytes()
+    audio = b"\x01\x02" * 20
+    movi = _riff_list(
+        b"movi",
+        _riff_list(b"rec ", _riff_chunk(b"00db", f0) + _riff_chunk(b"01wb", audio))
+        + _riff_list(b"rec ", _riff_chunk(b"00db", f1) + _riff_chunk(b"01wb", audio)),
+    )
+    body = b"AVI " + hdrl + movi
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    frames, fps, spans = decode_avi(buf)
+    assert frames.shape == (2, h, w)
+    assert frames[0].max() == 10 and frames[1].min() == 200
+    assert fps == 10 and len(spans) == 2
+
+
+def _manual_tiff(e: str, extra_tags=None, arr=None):
+    """Build a minimal single-strip TIFF with explicit endianness."""
+    import struct
+
+    if arr is None:
+        arr = np.arange(4, dtype=np.float32).reshape(2, 2)
+    strip = arr.astype(e + "f4").tobytes()
+    tags = {
+        256: (4, [arr.shape[1]]), 257: (4, [arr.shape[0]]),
+        258: (3, [32]), 277: (3, [1]), 278: (4, [arr.shape[0]]),
+        279: (4, [len(strip)]), 339: (3, [3]),
+    }
+    tags.update(extra_tags or {})
+    # strip offset placed after the IFD
+    n = len(tags) + 1
+    strip_off = 8 + 2 + 12 * n + 4
+    tags[273] = (4, [strip_off])
+    buf = struct.pack(e + "2sHI", b"II" if e == "<" else b"MM", 42, 8)
+    buf += struct.pack(e + "H", n)
+    fmts = {3: "H", 4: "I"}
+    for tag in sorted(tags):
+        typ, vals = tags[tag]
+        packed = struct.pack(e + str(len(vals)) + fmts[typ], *vals)
+        buf += struct.pack(e + "HHI", tag, typ, len(vals)) + packed.ljust(4, b"\x00")
+    buf += struct.pack(e + "I", 0)
+    return buf + strip
+
+
+def test_tiff_big_endian_decodes_native():
+    """Eleventh-pass item 2a: 'MM' sample arrays must byteswap to native
+    so Arrow accepts them downstream."""
+    from vtk_reserves_spark.sources.geotiff import decode_tiff
+
+    arr, scale, tie = decode_tiff(_manual_tiff(">"))
+    assert arr.dtype.byteorder in ("=", "<", "|")
+    assert arr.ravel().tolist() == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_tiff_planar_config_2_raises():
+    from vtk_reserves_spark.sources.geotiff import decode_tiff
+
+    with pytest.raises(ValueError, match="PlanarConfiguration"):
+        decode_tiff(_manual_tiff("<", extra_tags={284: (3, [2])}))
+
+
+def test_geotiff_non_origin_tiepoint(tmp_path, spark):
+    """Eleventh-pass item 2c: a ModelTiepoint anchored at pixel (2, 1)
+    must solve back to the top-left origin before the affine applies."""
+    from vtk_reserves_spark.sources.geotiff import encode_tiff, geotiff_to_df
+
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = str(tmp_path / "tie.tif")
+    with open(p, "wb") as fh:
+        fh.write(encode_tiff(arr, pixel_scale=(10.0, 10.0, 0.0),
+                             tiepoint=(2.0, 1.0, 0.0, 520.0, 980.0, 0.0)))
+    r = geotiff_to_df(spark, p).where("xc = 0 and yc = 0").collect()[0]
+    # origin: ox = 520 - 2*10 = 500, oy = 980 + 1*10 = 990; pixel centers
+    assert r["x"] == 505.0 and r["y"] == 985.0
+
+
+def test_dxf_empty_entities(tmp_path, spark):
+    from vtk_reserves_spark.sources.dxf import read_dxf
+
+    p = tmp_path / "empty.dxf"
+    p.write_text("0\nSECTION\n2\nENTITIES\n0\nENDSEC\n0\nEOF\n")
+    df = read_dxf(spark, str(p))
+    assert df.count() == 0
+    assert df.columns == ["oid", "type", "layer", "n", "x", "y", "z"]
+
+
+def test_las_empty_data_section(tmp_path, spark):
+    from vtk_reserves_spark.sources.las import read_las
+
+    p = tmp_path / "empty.las"
+    p.write_text(
+        "~Well\nNULL.  -999.25 : null\n~Curve\nDEPT.M : depth\nGR.API : gamma\n~Ascii\n"
+    )
+    df = read_las(spark, str(p))
+    assert df.count() == 0
+    assert df.columns == ["DEPT", "GR"]
+
+
+def test_leapfrog_index_extra_whitespace(tmp_path):
+    """Eleventh-pass item 4: extra spaces between index fields must not
+    shift wide/size."""
+    import struct
+
+    from vtk_reserves_spark.sources.leapfrog import _BIN_HEADER, read_msh
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], "<f8")
+    faces = np.array([[0, 1, 2]], "<i4")
+    header = (
+        "%%ARANZ-1.0\n\n[index]\n"
+        "Tri  Integer   3  1;\n"
+        "Location\tDouble 3   3;\n\n[binary]"
+    ).encode("ascii")
+    p = tmp_path / "ws.msh"
+    p.write_bytes(header + _BIN_HEADER + faces.tobytes() + verts.tobytes())
+    mesh = read_msh(str(p))
+    assert mesh.vertices.shape == (3, 3) and mesh.faces.shape == (1, 3)
+
+
+def test_sniff_csv_short_file_trailing_latin1(tmp_path):
+    """ADVICE: a complete (<64KB) latin-1 file whose only non-ASCII byte
+    is in the last 1-3 bytes must NOT be trimmed into a UTF-8 verdict."""
+    from vtk_reserves_spark.sources.loaders import _sniff_csv
+
+    p = tmp_path / "tail.csv"
+    p.write_bytes(b"name,city\nJo,Paris\nAna,Jos\xe9")
+    sep, enc = _sniff_csv(str(p))
+    assert enc == "ISO-8859-1" and sep == ","
+
+
+def test_bucket_sql_null_vector_parity(spark, duck):
+    """ADVICE: the DuckDB oracle's LSH bucket must NULL-propagate like
+    functions/vectors.lsh_bucket does for NULL/ragged vectors."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_test", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    planes = [[1.0, -1.0], [0.5, 0.5]]
+    expr = mod._bucket_sql("v", planes)
+    rows = duck.execute(
+        f"SELECT {expr} AS b FROM (VALUES ([1.0, 2.0]), (NULL), ([1.0])) t(v)"
+    ).fetchall()
+    assert rows[0][0] is not None
+    assert rows[1][0] is None and rows[2][0] is None
+
+    from vtk_reserves_spark.functions.vectors import lsh_bucket
+
+    sdf = spark.createDataFrame(
+        [([1.0, 2.0],), (None,), ([1.0],)], "v array<double>"
+    ).select(lsh_bucket(F.col("v"), planes).alias("b"))
+    got = [r["b"] for r in sdf.collect()]
+    assert got[0] is not None and got[1] is None and got[2] is None
+
+
+def test_jpeg_flat_roundtrip_exact():
+    """Flat even-valued blocks quantize losslessly (DC multiple of 16,
+    zero AC) — the invariant the MJPG oracle closed form relies on."""
+    from vtk_reserves_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    for v in (0, 64, 130, 254):
+        img = np.full((16, 24), v, np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img)), img), v
+
+
+def test_jpeg_subsampling_and_restart_roundtrips():
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [
+            (128 + 90 * np.sin(xx / 9)).clip(0, 255),
+            (128 + 90 * np.cos(yy / 7)).clip(0, 255),
+            ((xx + yy) * 2.0).clip(0, 255),
+        ],
+        -1,
+    ).astype(np.uint8)
+    from vtk_reserves_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    for sub in ("444", "422", "420"):
+        out = decode_jpeg(encode_jpeg(img, subsampling=sub, restart_interval=2))
+        assert out.shape == img.shape
+        mae = np.abs(out.astype(int) - img.astype(int)).mean()
+        assert mae < 6, (sub, mae)
+    # odd-dimension grayscale, luma extraction from a color stream
+    g = (yy[:17, :19] * 11 % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g))
+    assert out.shape == g.shape
+    assert np.abs(out.astype(int) - g.astype(int)).mean() < 3
+    lum = decode_jpeg(encode_jpeg(img), gray=True)
+    assert lum.shape == img.shape[:2]
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    from vtk_reserves_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+    buf = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # pretend progressive
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(buf))
+
+
+def test_avi_mjpg_roundtrip():
+    """MJPG AVI: encode writes one real baseline JPEG per frame; decode
+    Huffman-decodes + IDCTs them back.  Flat even frames are exact."""
+    from vtk_reserves_spark.sources.avi import decode_avi, encode_avi
+
+    fr = np.stack([np.full((12, 20), v, np.uint8) for v in (32, 130, 252)])
+    frames, fps, spans = decode_avi(encode_avi(fr, fps=9, codec="MJPG"))
+    assert np.array_equal(frames, fr) and fps == 9 and len(spans) == 3
+    # lossy-close on non-flat content
+    g = np.stack([(np.mgrid[0:12, 0:20][1] * 12 + i) % 256 for i in range(2)]).astype(np.uint8)
+    f2, _, _ = decode_avi(encode_avi(g, codec="MJPG"))
+    assert np.abs(f2.astype(int) - g.astype(int)).mean() < 3
+    # other codecs still rejected clearly
+    bad = bytearray(encode_avi(fr, codec="MJPG"))
+    i = bad.find(b"MJPG")
+    bad[i : i + 4] = b"H264"
+    with pytest.raises(ValueError, match="H264"):
+        decode_avi(bytes(bad))
+
+
+def test_video_frames_mjpg_hand_checked(spark):
+    """attach_mjpg_payload -> video_frames matches the closed-form rule
+    per frame (the exact invariant the driver oracle uses)."""
+    from vtk_reserves_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "x" * 29)], "doc_id long, text string"
+    )
+    out = MM.video_frames(MM.attach_mjpg_payload(docs)).collect()
+    for r in out:
+        n = {1: 11, 2: 0, 3: 29}[r["doc_id"]]
+        assert r["width"] == 8 + n % 5 and r["height"] == 8 + n % 7
+        assert r["mean_px"] == 2 * ((n * 7 + r["frame_idx"] * 13) % 128)
+    assert sorted({r["doc_id"]: 0 for r in out}) == [1, 2, 3]
+    assert len(out) == (2 + 11 % 3) + (2 + 0) + (2 + 29 % 3)

@@ -331,7 +331,13 @@ def cmd_quality(args) -> None:
     """Per-document quality signals: token/char counts, heuristic
     quality score, and corpus-trained char-bigram LM perplexity
     (operators/terms.charlm_perplexity) — optionally filter to rows
-    under a perplexity ceiling before writing."""
+    under a perplexity ceiling before writing.
+
+    Assumes ``--id-col`` uniquely identifies documents (duplicate ids
+    would multiply rows through the signals-perplexity join — dedup
+    upstream with ``dedup --method exact`` first).  Rows with a NULL id
+    are preserved with a NULL ``ppl`` (left join; a NULL key matches
+    nothing), not dropped."""
     from pyspark.sql import functions as F
 
     from vtk_reserves_spark.functions.text import quality_score, token_count
@@ -349,7 +355,7 @@ def cmd_quality(args) -> None:
             F.length(args.text_col).alias("n_chars"),
             quality_score(F.col(args.text_col)).alias("quality"),
         )
-        .join(ppl, args.id_col)
+        .join(ppl, args.id_col, "left")
     )
     if args.max_ppl is not None:
         # unscoreable docs (NULL ppl: text under 2 chars) are not ABOVE

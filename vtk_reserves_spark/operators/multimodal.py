@@ -238,6 +238,51 @@ def attach_avi_payload(
     )
 
 
+def attach_mjpg_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", fps: int = 10
+) -> DataFrame:
+    """Synthesize a REAL motion-JPEG AVI payload per row: ``2 + n%3``
+    flat grayscale frames of ``w = 8 + n%5`` by ``h = 8 + n%7`` (n =
+    utf-8 byte count), frame ``f`` uniformly ``2*((n*7 + f*13) % 128)``.
+
+    The flat even-valued frames are EXACT through baseline JPEG: the
+    level-shifted DC coefficient ``8*(v-128)`` is a multiple of the DC
+    quantizer (16) whenever v is even and every AC coefficient is zero,
+    so decode returns the byte-identical frame — which gives the oracle
+    a closed form while the payload is a genuine compressed MJPG stream
+    (`sources/jpeg.py` entropy coding, quantization and IDCT all run
+    for real on the decode side)."""
+    from vtk_reserves_spark.sources.avi import encode_avi
+
+    @F.pandas_udf(T.BinaryType())
+    def to_mjpg(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            n = len((t or "").encode("utf-8"))
+            nf, w, h = 2 + n % 3, 8 + n % 5, 8 + n % 7
+            frames = np.stack(
+                [
+                    np.full((h, w), 2 * ((n * 7 + f * 13) % 128), np.uint8)
+                    for f in range(nf)
+                ]
+            )
+            out.append(encode_avi(frames, fps, codec="MJPG"))
+        return pd.Series(out)
+
+    with_payload = df.select(F.col(id_col), to_mjpg(F.col(text_col)).alias("payload"))
+    return with_payload.select(
+        id_col,
+        "payload",
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit("video/x-msvideo").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 VIDEO_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -273,9 +318,10 @@ def video_frames(df: DataFrame) -> DataFrame:
 
 
 def decode_media(payload: bytes, mime: str, fake: bool = False):
-    """Decode one payload.  PNG decodes for real (pure-zlib codec);
-    other mimes need codecs absent from this environment, so callers
-    must opt into the deterministic fake."""
+    """Decode one payload.  PNG (pure-zlib) and baseline JPEG
+    (pure-numpy, ``sources/jpeg.py``) decode for real; other mimes need
+    codecs absent from this environment, so callers must opt into the
+    deterministic fake."""
     if fake:
         n = len(payload)
         return {
@@ -292,10 +338,20 @@ def decode_media(payload: bytes, mime: str, fake: bool = False):
             "height": int(img.shape[0]),
             "mean_byte": float(img.mean()),
         }
+    if mime in ("image/jpeg", "image/jpg"):
+        from vtk_reserves_spark.sources.jpeg import decode_jpeg
+
+        img = decode_jpeg(bytes(payload))
+        return {
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "mean_byte": float(img.mean()),
+        }
     raise NotImplementedError(
-        f"no codec for mime {mime!r} in this container (PNG is built in "
-        "here; WAV decodes for real via audio_features; video needs "
-        "ffmpeg) — pass fake=True for the deterministic stand-in"
+        f"no codec for mime {mime!r} in this container (PNG, JPEG and "
+        "MJPG-AVI decode for real; WAV via audio_features; other video "
+        "codecs need ffmpeg) — pass fake=True for the deterministic "
+        "stand-in"
     )
 
 

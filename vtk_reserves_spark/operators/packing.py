@@ -119,10 +119,11 @@ def chunk_documents(
     ).withColumn("_n", F.size("_t")).where(F.col("_n") > 0)
     # chunk starts 0, stride, 2*stride, ... < n  (sequence is inclusive,
     # so the upper bound is n-1; guard keeps ANSI mode happy).  A start
-    # at or past n-overlap would produce a chunk fully contained in its
-    # predecessor; only the LAST start can hit that (if s >= n-overlap
-    # then s+stride >= n, so no later start exists), hence the filter
-    # never gaps chunk_id
+    # at or past n-overlap would produce a chunk fully contained in the
+    # last KEPT chunk; the drop condition s >= n-overlap is monotone in
+    # s, so the dropped starts are always a suffix (a single start when
+    # overlap <= chunk_tokens/2, possibly several when overlap is
+    # larger) and chunk_id stays contiguous either way
     starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
     out = (
         base.select("_id", "_t", "_n", F.posexplode(starts).alias("chunk_id", "_s"))

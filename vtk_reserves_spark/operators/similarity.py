@@ -180,6 +180,11 @@ def ivf_topk(
             F.col("centroid_id").alias("cid"),
             F.col("centroid").alias("cvec"),
         )
+        # materialize the (tiny — n_centroids rows) relation ONCE: the
+        # caller often hands the raw kmeans_fit plan, and without the
+        # checkpoint the emptiness check below plus the later broadcast
+        # would each re-run the full k-means lineage
+        cent = cent.localCheckpoint(eager=True)
         # same fail-loud contract as the default quantizer below: an
         # empty centroid relation would silently zero out every stage
         if not cent.take(1):

@@ -134,9 +134,14 @@ def read_dxf(spark: SparkSession, path: str) -> DataFrame:
     with open(path, "r", encoding="latin-1") as fh:
         rows = list(parse_dxf(fh.read()))
     pdf = pd.DataFrame(rows, columns=["oid", "type", "layer", "n", "x", "y", "z"])
-    if pdf.empty:
-        pdf["layer"] = pdf["layer"].astype(str)
-    return spark.createDataFrame(pdf)
+    # explicit schema: an ENTITIES-free DXF (legal — header-only exports
+    # exist) yields an all-object empty frame createDataFrame cannot
+    # infer from (same guard as shapefile.py)
+    return spark.createDataFrame(
+        pdf,
+        schema="oid long, type string, layer string, n long, "
+               "x double, y double, z double",
+    )
 
 
 def write_dxf(polylines, path: str, layer: str = "0") -> None:

@@ -57,6 +57,10 @@ def decode_tiff(data: bytes):
     fmt = tags.get(339, (1,))[0]
     if comp != 1:
         raise ValueError("only uncompressed TIFF supported")
+    if tags.get(284, (1,))[0] != 1:
+        # PlanarConfiguration=2 stores each band as its own strip set;
+        # reshaping it as pixel-interleaved would silently scramble bands
+        raise ValueError("only chunky (PlanarConfiguration=1) TIFF supported")
     offsets = tags[273]
     counts = tags[279]
     raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
@@ -66,6 +70,9 @@ def decode_tiff(data: bytes):
         arr = np.frombuffer(raw, np.uint8)
     else:
         raise ValueError(f"unsupported sample format {fmt}/{bits[0]}bit")
+    if arr.dtype.byteorder == ">":
+        # Arrow rejects big-endian buffers — swap 'MM' samples to native
+        arr = arr.astype(arr.dtype.newbyteorder("="))
     arr = arr.reshape(h, w, spp)
     scale = tags.get(_PIXEL_SCALE)
     tie = tags.get(_TIEPOINT)
@@ -147,7 +154,10 @@ def geotiff_to_df(spark: SparkSession, path: str) -> DataFrame:
         cols[f"ch{b}"] = arr[:, :, b].ravel()
     df = spark.createDataFrame(pd.DataFrame(cols))
     sx, sy = (scale[0], scale[1]) if scale else (1.0, 1.0)
-    ox, oy = (tie[3], tie[4]) if tie else (0.0, 0.0)
+    # ModelTiepoint maps raster (i, j) -> world (x, y); solve back to the
+    # top-left corner so non-origin tiepoints georeference correctly
+    ox = tie[3] - tie[0] * sx if tie else 0.0
+    oy = tie[4] + tie[1] * sy if tie else 0.0
     # raster origin is the top-left corner; world y decreases with row
     x = F.lit(ox) + (F.col("xc") + F.lit(0.5)) * F.lit(sx)
     y = F.lit(oy) - (F.col("yc") + F.lit(0.5)) * F.lit(sy)
@@ -158,7 +168,7 @@ def geotiff_to_df(spark: SparkSession, path: str) -> DataFrame:
 def df_to_geotiff(df: DataFrame, path: str, pixel_scale=None, tiepoint=None) -> None:
     """Pixel table -> single/multi-band GeoTIFF (float32), inverse of
     :func:`geotiff_to_df` (``vulcan_save_tri.py:251-280``)."""
-    pdf = df.toPandas().sort_values(["yc", "xc"])
+    pdf = df.toPandas()  # assignment below is positional — no sort needed
     w = int(pdf["xc"].max()) + 1
     h = int(pdf["yc"].max()) + 1
     chans = sorted(c for c in pdf.columns if c.startswith("ch"))

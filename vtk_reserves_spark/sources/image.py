@@ -121,7 +121,7 @@ def png_to_df(spark: SparkSession, path: str) -> DataFrame:
 def df_to_png(df: DataFrame, path: str) -> None:
     """Pixel table -> PNG (inverse reshape, ``_gui.py:1266-1277``) —
     ordered driver-side collect of a report-sized image table."""
-    pdf = df.toPandas().sort_values(["y", "x"])
+    pdf = df.toPandas()  # assignment below is positional — no sort needed
     w = int(pdf["x"].max()) + 1
     h = int(pdf["y"].max()) + 1
     chans = sorted(c for c in pdf.columns if c.startswith("ch"))

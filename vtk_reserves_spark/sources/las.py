@@ -56,7 +56,14 @@ def read_las(spark: SparkSession, path: str) -> DataFrame:
         curves, rows, null_value = parse_las(fh.read())
     pdf = pd.DataFrame(rows, columns=curves, dtype=float)
     pdf = pdf.mask(pdf == null_value, np.nan)
-    df = spark.createDataFrame(pdf)
+    # explicit schema: a header-only LAS (empty ~A section) gives an
+    # empty frame createDataFrame cannot infer from; StructType rather
+    # than a DDL string because curve mnemonics can hold odd characters
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    df = spark.createDataFrame(
+        pdf, schema=StructType([StructField(c, DoubleType()) for c in curves])
+    )
     # Arrow ships NaN as float NaN, not NULL — normalize to real NULLs
     from pyspark.sql import functions as F
 

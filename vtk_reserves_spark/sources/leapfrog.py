@@ -43,7 +43,7 @@ _DTYPES = {"i": "<i4", "d": "<f8", "f": "<f4"}
 #: the writer's fixed 12-byte binary header (reference ``_gui.py:1240``)
 _BIN_HEADER = struct.pack("<3i", 15732735, 1115938331, 1072939210)
 
-_INDEX_RE = re.compile(rb"(\w+) (\w+) (\d+) ?(\d*)")
+_INDEX_RE = re.compile(rb"(\w+)\s+(\w+)\s+(\d+)(?:[ \t]+(\d+))?")
 
 
 def read_msh(path: str) -> TriMesh:

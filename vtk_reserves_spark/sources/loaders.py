@@ -136,9 +136,13 @@ def _sniff_csv(path: str) -> tuple[str, str]:
     # decoding with up to 3 trailing bytes dropped before concluding the
     # file is not UTF-8 (the previous byte-class trimming left a lead
     # byte behind when a complete 4-byte char ended exactly at the cut,
-    # mojibaking the WHOLE read via a latin-1 misdetection)
+    # mojibaking the WHOLE read via a latin-1 misdetection).  Only trim
+    # when the probe WAS actually cut — for a complete (<64KB) file a
+    # trailing decode error is real evidence of latin-1 (e.g. a file
+    # ending ',José' with no final newline), not a split character
+    max_trim = 4 if len(head) == 64 * 1024 else 1
     text = None
-    for k in range(4):
+    for k in range(max_trim):
         try:
             text = head[: len(head) - k or None].decode("utf-8")
             encoding = "UTF-8"

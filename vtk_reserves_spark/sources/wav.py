@@ -23,6 +23,8 @@ import struct
 
 import numpy as np
 
+from vtk_reserves_spark.sources.riff import walk_chunks
+
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """Serialize int16 PCM samples to a canonical RIFF/WAVE byte string.
@@ -58,20 +60,16 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     ``data``."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, end = 12, min(len(buf), 8 + struct.unpack("<I", buf[4:8])[0])
+    end = min(len(buf), 8 + struct.unpack("<I", buf[4:8])[0])
     fmt = None
     data = None
-    while pos + 8 <= end:
-        tag = buf[pos : pos + 4]
-        size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
-        payload = buf[pos + 8 : pos + 8 + size]
+    for tag, at, size in walk_chunks(buf, 12, end):
         if tag == b"fmt ":
             if size < 16:
                 raise ValueError(f"fmt chunk too short ({size} bytes)")
-            fmt = struct.unpack("<HHIIHH", payload[:16])
+            fmt = struct.unpack("<HHIIHH", buf[at : at + 16])
         elif tag == b"data":
-            data = payload
-        pos += 8 + size + (size % 2)  # chunks are padded to even offsets
+            data = buf[at : at + size]
     if fmt is None or data is None:
         raise ValueError("WAVE stream missing fmt or data chunk")
     tag_, ch, rate, _byte_rate, _align, bits = fmt
