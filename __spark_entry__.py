@@ -793,6 +793,26 @@ def q_xlsx_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return load_dataframe(spark, f"{p}!report", keep_null=True)
 
 
+def q_xls_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy BIFF8 .xls codec (sources/xls.py, pure-struct CFB+BIFF;
+    reference loads .xls via pandas.read_excel, _gui.py:227): literal
+    table -> write_xls -> dispatch load with a path!sheet selector —
+    the round-trip proves both the OLE2 container walk and the BIFF
+    record parse."""
+    import tempfile
+
+    import pandas as pd
+
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+    from vtk_reserves_spark.sources.xls import write_xls
+
+    t = pd.DataFrame({"region": ["a", "b"], "grade": [1.5, 2.5], "n": [3, 4]})
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "rep.xls")
+        write_xls({"report": t, "other": t.head(1)}, p)
+        return load_dataframe(spark, f"{p}!report", keep_null=True)
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (functions/skew.salted_agg): the
     hot-key mitigation — pre-aggregate on (key, salt), then reduce the
@@ -1834,6 +1854,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_ngrams(docs, bench, "doc_id", "text", ngrams=5)
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-memory Bloom decontamination (dedup.bloom_decontaminate):
+    the benchmark's 5-gram Bloom bitset (8192 bits, 2 salted md5
+    hashes) is a 1 KB array literal in the plan, and the corpus scan is
+    completely shuffle-free.  Deterministic false positives are part of
+    the contract — the oracle replays membership through the identical
+    position sets."""
+    from vtk_reserves_spark.operators.dedup import (
+        bloom_decontaminate,
+        build_bloom_bits,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    bits = build_bloom_bits(bench, "text", ngrams=5, m_bits=8192, k_hashes=2)
+    return bloom_decontaminate(docs, bits, "doc_id", "text", ngrams=5, k_hashes=2)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     t = F.col("text")
@@ -2565,6 +2603,29 @@ def _llm_oracles() -> dict[str, str]:
             FROM cg JOIN bg USING (gram)
             GROUP BY doc_id
         """,
+        "bloom_decontaminate": f"""
+            -- Bloom membership == "every salted position is in the
+            -- benchmark position set" (bit test <=> position-set IN,
+            -- by construction), so the oracle needs no bitset at all;
+            -- false positives reproduce because the md5 positions do
+            WITH tq AS (
+              SELECT doc_id, {{toks}} AS t FROM documents
+            ), cg AS (
+              SELECT doc_id, unnest({_shingle_sql('t', 5)}) AS g FROM tq
+            ), bp AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(g || '_bf' || j), 1, 8))::BIGINT % 8192 AS pos
+              FROM (SELECT DISTINCT g FROM cg WHERE doc_id % 97 = 0),
+                   (SELECT unnest([0, 1]) AS j)
+            )
+            SELECT doc_id, CAST(COUNT(*) AS INT) AS n_hits
+            FROM cg
+            WHERE ('0x' || substr(md5(g || '_bf0'), 1, 8))::BIGINT % 8192
+                    IN (SELECT pos FROM bp)
+              AND ('0x' || substr(md5(g || '_bf1'), 1, 8))::BIGINT % 8192
+                    IN (SELECT pos FROM bp)
+            GROUP BY doc_id
+        """.replace("{toks}", _TOKS_SQL.format(c="text")),
         "fuzzy_join": """
             WITH base AS (
               SELECT p_partkey AS id, lower(p_name) AS s
@@ -3160,6 +3221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed queries that sat past the 50-cap in round 2
         # (self-run MATCH only) ---
         "video_frames_mjpg": q_video_frames_mjpg,
+        "xls_report": q_xls_report,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "kmeans": q_kmeans,
         "fuzzy_join": q_fuzzy_join,
         # --- recorded green in round 2 ---
@@ -3508,6 +3571,13 @@ def oracle_sql() -> dict[str, str]:
         "xlsx_report": """
             -- Excel stores every number as a double; the reader keeps
             -- that type, so the oracle declares n as DOUBLE too
+            SELECT * FROM (VALUES
+              ('a', CAST(1.5 AS DOUBLE), CAST(3 AS DOUBLE)),
+              ('b', 2.5, 4)
+            ) AS t(region, grade, n)
+        """,
+        "xls_report": """
+            -- BIFF8 NUMBER cells are doubles, same as OOXML
             SELECT * FROM (VALUES
               ('a', CAST(1.5 AS DOUBLE), CAST(3 AS DOUBLE)),
               ('b', 2.5, 4)

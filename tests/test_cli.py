@@ -416,3 +416,34 @@ def test_estimate_cli_fit_variogram_degenerate_falls_back(tmp_path, spark, capsy
     import numpy as np
 
     assert len(got) > 0 and np.allclose(got["grade"], 7.0)
+
+
+def test_decimate_cli_qem_and_cluster(tmp_path):
+    import numpy as np
+
+    from vtk_reserves_spark import cli
+    from vtk_reserves_spark.sources.mesh import TriMesh
+
+    n = 9
+    xs, ys = np.meshgrid(np.arange(n, dtype=float), np.arange(n, dtype=float))
+    verts = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], 1)
+    faces = []
+    for j in range(n - 1):
+        for i in range(n - 1):
+            a = j * n + i
+            faces += [[a, a + 1, a + n + 1], [a, a + n + 1, a + n]]
+    src = str(tmp_path / "plane.obj")
+    TriMesh(verts, np.array(faces)).to_obj(src)
+
+    out1 = str(tmp_path / "dec.obj")
+    cli.main(["decimate", src, out1, "--target-reduction", "0.75"])
+    got = TriMesh.from_obj(out1)
+    assert 0 < len(got.faces) <= int(round(len(faces) * 0.25))
+    assert np.abs(got.vertices[:, 2]).max() == 0.0
+
+    out2 = str(tmp_path / "dec.msh")
+    cli.main(["decimate", src, out2, "--method", "cluster", "--cell-size", "2.0"])
+    from vtk_reserves_spark.sources.leapfrog import read_msh
+
+    got2 = read_msh(out2)
+    assert 0 < len(got2.faces) < len(faces)

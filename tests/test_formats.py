@@ -509,30 +509,42 @@ def test_sniff_csv_utf8_char_at_probe_boundary(tmp_path):
     assert sep == ","
 
 
-def test_save_report_xls_rejected(spark, tmp_path):
+def test_save_report_xls_roundtrip(spark, tmp_path):
+    """save_report(.xls) now writes real BIFF8 via the built-in codec
+    (previously a clear rejection — no engine existed)."""
     from vtk_reserves_spark.sources.writers import save_report
+    from vtk_reserves_spark.sources.xls import read_xls
 
-    df = spark.createDataFrame([(1,)], "a long")
-    with pytest.raises(ValueError, match="xlsx instead"):
-        save_report(df, str(tmp_path / "out.xls"))
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string")
+    p = str(tmp_path / "out.xls")
+    save_report(df, p)
+    rows = read_xls(p)
+    assert rows[0] == ["a", "b"]
+    assert sorted(rows[1:]) == [[1.0, "x"], [2.0, "y"]]
 
 
-def test_load_biff_xls_clear_error(spark, tmp_path, monkeypatch):
-    """A legacy binary .xls without xlrd must raise a clear message,
-    not zipfile.BadZipFile."""
+def test_load_biff_xls_via_builtin_reader(spark, tmp_path, monkeypatch):
+    """Without xlrd, a legacy binary .xls now loads through the built-in
+    BIFF8 reader (sources/xls.py) instead of raising."""
     import pandas as pd
 
     from vtk_reserves_spark.sources import loaders
+    from vtk_reserves_spark.sources.xls import write_xls
 
     p = tmp_path / "old.xls"
-    p.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 64)  # OLE2 magic
+    write_xls({"s": pd.DataFrame({"a": [1.0, 2.0], "b": ["x", "y"]})}, str(p))
 
     def no_engine(*a, **k):
         raise ImportError("no xlrd")
 
     monkeypatch.setattr(pd, "read_excel", no_engine)
-    with pytest.raises(ValueError, match="xlrd"):
-        loaders.load_dataframe(spark, str(p))
+    df = loaders.load_dataframe(spark, str(p))
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [(1.0, "x"), (2.0, "y")]
+    # garbage that is neither zip nor OLE2 still raises clearly
+    bad = tmp_path / "junk.xls"
+    bad.write_bytes(b"\x00garbage")
+    with pytest.raises(ValueError, match="OOXML|OLE2"):
+        loaders.load_dataframe(spark, str(bad))
 
 
 def test_xlsx_absolute_rel_target(tmp_path):
@@ -856,3 +868,127 @@ def test_video_frames_mjpg_hand_checked(spark):
         assert r["mean_px"] == 2 * ((n * 7 + r["frame_idx"] * 13) % 128)
     assert sorted({r["doc_id"]: 0 for r in out}) == [1, 2, 3]
     assert len(out) == (2 + 11 % 3) + (2 + 0) + (2 + 29 % 3)
+
+
+def test_xls_biff_roundtrip(tmp_path):
+    """write_xls -> read_xls: numbers, unicode strings, bools, sheet
+    selection by name and index."""
+    import pandas as pd
+
+    from vtk_reserves_spark.sources.xls import read_xls, read_xls_pdf, write_xls
+
+    pdf = pd.DataFrame(
+        {"name": ["ore", "waste", "Jörg"], "grade": [1.5, 0.2, 3.0],
+         "keep": [True, False, True]}
+    )
+    p = str(tmp_path / "t.xls")
+    write_xls({"s1": pdf, "extra": pd.DataFrame({"a": [9]})}, p)
+    rows = read_xls(p)
+    assert rows[0] == ["name", "grade", "keep"]
+    assert rows[3] == ["Jörg", 3.0, True]
+    assert read_xls(p, "extra") == [["a"], [9.0]]
+    assert read_xls(p, 1) == [["a"], [9.0]]
+    assert read_xls_pdf(p, "extra")["a"].tolist() == [9.0]
+    with pytest.raises(ValueError, match="not found"):
+        read_xls(p, "nope")
+
+
+def _biff_rec(rid: int, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack("<HH", rid, len(payload)) + payload
+
+
+def _wrap_cfb(wb: bytes, path: str) -> None:
+    """Minimal CFB container around a Workbook stream (mirrors the
+    writer's layout) for hand-built BIFF fixtures."""
+    import struct
+
+    import vtk_reserves_spark.sources.xls as X
+
+    wb = wb + b"\x00" * max(0, 4096 - len(wb))
+    n_stream = -(-len(wb) // 512)
+    fat_entries = [0xFFFFFFFD, X._ENDOFCHAIN]
+    fat_entries += [2 + i + 1 for i in range(n_stream - 1)] + [X._ENDOFCHAIN]
+    fat = b"".join(struct.pack("<I", e) for e in fat_entries)
+    fat += struct.pack("<I", X._FREESECT) * (128 - len(fat_entries))
+
+    def direntry(name, t, start, size, child=-1):
+        nm = name.encode("utf-16-le") + b"\x00\x00"
+        return (
+            nm.ljust(64, b"\x00") + struct.pack("<H", len(nm))
+            + bytes([t, 1]) + struct.pack("<iii", -1, -1, child)
+            + b"\x00" * 36 + struct.pack("<IQ", start, size)
+        )
+
+    dirsec = (
+        direntry("Root Entry", 5, X._ENDOFCHAIN, 0, child=1)
+        + direntry("Workbook", 2, 2, len(wb))
+    ).ljust(512, b"\x00")
+    header = bytearray(512)
+    header[0:8] = X._CFB_MAGIC
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<H", header, 30, 9)
+    struct.pack_into("<H", header, 32, 6)
+    struct.pack_into("<I", header, 44, 1)
+    struct.pack_into("<I", header, 48, 1)
+    struct.pack_into("<I", header, 56, 4096)
+    struct.pack_into("<I", header, 60, X._ENDOFCHAIN)
+    struct.pack_into("<I", header, 68, X._ENDOFCHAIN)
+    struct.pack_into("<I", header, 76, 0)
+    for i in range(1, 109):
+        struct.pack_into("<I", header, 76 + 4 * i, X._FREESECT)
+    with open(path, "wb") as fh:
+        fh.write(bytes(header) + fat + dirsec + wb.ljust(n_stream * 512, b"\x00"))
+
+
+def test_xls_sst_continue_rk_mulrk(tmp_path):
+    """Hand-built BIFF stream: SST split mid-string across a CONTINUE
+    (compressed half + fresh option byte), a UTF-16 string, RK int,
+    RK x100, and MULRK cells — the records real Excel writers emit."""
+    import struct
+
+    from vtk_reserves_spark.sources.xls import read_xls
+
+    sst_p1 = struct.pack("<II", 2, 2) + struct.pack("<HB", 10, 0) + b"abcd"
+    cont = bytes([0]) + b"efghij" + struct.pack("<HB", 3, 1) + "xyž".encode("utf-16-le")
+    bof_g = _biff_rec(0x0809, struct.pack("<HHHIII", 0x0600, 0x0005, 0, 0, 0, 0))
+    sheet = (
+        _biff_rec(0x0809, struct.pack("<HHHIII", 0x0600, 0x0010, 0, 0, 0, 0))
+        + _biff_rec(0x00FD, struct.pack("<HHHI", 0, 0, 15, 0))
+        + _biff_rec(0x00FD, struct.pack("<HHHI", 0, 1, 15, 1))
+        + _biff_rec(0x027E, struct.pack("<HHHI", 1, 0, 15, (123 << 2) | 2))
+        + _biff_rec(
+            0x00BD,
+            struct.pack("<HH", 1, 1)
+            + struct.pack("<HI", 15, (250 << 2) | 3)
+            + struct.pack("<HI", 15, (7 << 2) | 2)
+            + struct.pack("<H", 2),
+        )
+        + _biff_rec(0x000A, b"")
+    )
+    glob_tail = _biff_rec(0x00FC, sst_p1) + _biff_rec(0x003C, cont) + _biff_rec(0x000A, b"")
+    nm = "s".encode("utf-16-le")
+    bs_len = 4 + 4 + 2 + 1 + 1 + len(nm)
+    globals_len = len(bof_g) + bs_len + len(glob_tail)
+    bs = _biff_rec(0x0085, struct.pack("<IHBB", globals_len, 0, 1, 1) + nm)
+    p = str(tmp_path / "sst.xls")
+    _wrap_cfb(bof_g + bs + glob_tail + sheet, p)
+    rows = read_xls(p)
+    assert rows == [["abcdefghij", "xyž", None], [123.0, 2.5, 7.0]]
+
+
+def test_xls_rejects_biff5_and_non_cfb(tmp_path):
+    import struct
+
+    from vtk_reserves_spark.sources.xls import read_xls
+
+    p = str(tmp_path / "b5.xls")
+    wb = _biff_rec(0x0809, struct.pack("<HHHIII", 0x0500, 0x0005, 0, 0, 0, 0))
+    _wrap_cfb(wb + _biff_rec(0x000A, b""), p)
+    with pytest.raises(ValueError, match="BIFF8"):
+        read_xls(p)
+    q = tmp_path / "no.xls"
+    q.write_bytes(b"hello")
+    with pytest.raises(ValueError, match="CFB"):
+        read_xls(str(q))

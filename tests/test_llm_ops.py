@@ -1238,3 +1238,65 @@ def test_minhash_lsh_rejects_bad_band_config(spark):
         minhash_lsh_pairs(df, "doc_id", "text", k=8, bands=16)
     with pytest.raises(ValueError, match="evenly divide"):
         minhash_lsh_pairs(df, "doc_id", "text", k=10, bands=4)
+
+
+def test_bloom_decontaminate_flags_planted_overlap(spark):
+    """Bloom decontamination has NO false negatives: every true overlap
+    is flagged, and with a roomy bitset the planted-clean doc stays
+    clean too."""
+    from vtk_reserves_spark.operators.dedup import (
+        bloom_decontaminate,
+        build_bloom_bits,
+    )
+
+    secret = "one two three four five"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix words {secret} suffix words here"),
+            (2, "completely clean document with no overlap at all"),
+            (3, f"{secret} starts this one"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question {secret} benchmark answer")],
+        "doc_id long, text string",
+    )
+    bits = build_bloom_bits(bench, "text", ngrams=5, m_bits=8192, k_hashes=2)
+    assert len(bits) == 8192 // 64 and any(b != 0 for b in bits)
+    out = {
+        r.doc_id: r.n_hits
+        for r in bloom_decontaminate(
+            corpus, bits, "doc_id", "text", ngrams=5, k_hashes=2
+        ).collect()
+    }
+    assert 1 in out and 3 in out
+    # with ~7 benchmark grams in 8192 bits the FP chance is ~1e-5
+    assert 2 not in out
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom_bits(bench, "text", m_bits=100)
+
+
+def test_bloom_decontaminate_plan_shape(spark):
+    """The corpus side must stay narrow and JOIN-FREE: the bitset is a
+    plan literal, membership is a scalar bit test, and the only
+    Exchange is the per-document count over HIT grams.  Also pins the
+    explode_outer formulation: a pushed/inferred filter must not clone
+    the tokenize tree into the scan (the 14x regression documented on
+    the operator)."""
+    from vtk_reserves_spark.operators.dedup import bloom_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    )
+    out = bloom_decontaminate(corpus, [0] * 128, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan  # the hits-only groupBy
+    # the scan-level filter must not contain the tokenizer (regex split):
+    # that would mean the inferred-filter inlining regression is back
+    scan_filters = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("Filter") and "split" in l
+    ]
+    assert not scan_filters, scan_filters

@@ -188,3 +188,95 @@ def test_msh_loader_dispatch(spark, tmp_path, box):
     assert df.count() == 36
     want = sorted(tuple(r) for r in box.to_exploded_df(spark).collect())
     assert sorted(tuple(r) for r in df.collect()) == want
+
+
+def test_decimate_quadric_plane_exact(spark):
+    """QEM edge collapse on a flat plane: hits the face target exactly
+    and every surviving vertex stays ON the plane (zero quadric error
+    collapses are geometry-preserving)."""
+    import numpy as np
+
+    from vtk_reserves_spark.sources.mesh import TriMesh, decimate_quadric
+
+    n = 12
+    xs, ys = np.meshgrid(np.arange(n, dtype=float), np.arange(n, dtype=float))
+    verts = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], 1)
+    faces = []
+    for j in range(n - 1):
+        for i in range(n - 1):
+            a = j * n + i
+            faces += [[a, a + 1, a + n + 1], [a, a + n + 1, a + n]]
+    m = TriMesh(verts, np.array(faces))
+    out = decimate_quadric(m, 0.8)
+    assert len(out.faces) == int(round(len(m.faces) * 0.2))
+    assert np.abs(out.vertices[:, 2]).max() == 0.0
+    # faces index the compacted vertex array
+    assert out.faces.max() < len(out.vertices)
+    assert all(len(set(f)) == 3 for f in out.faces.tolist())
+
+
+def test_decimate_quadric_cube_stays_on_surface():
+    """A twice-subdivided cube decimated by 90% keeps every vertex on
+    the original cube surface (plane quadrics forbid drift) and stays a
+    closed-ish small mesh."""
+    import numpy as np
+
+    from vtk_reserves_spark.sources.mesh import TriMesh, decimate_quadric
+
+    cube = TriMesh.box(((0, 0, 0), (4, 4, 4)))
+
+    def subdivide(mesh):
+        V = list(map(tuple, mesh.vertices))
+        idx = {v: i for i, v in enumerate(V)}
+        F = []
+
+        def gid(p):
+            p = tuple(np.round(p, 9))
+            if p not in idx:
+                idx[p] = len(V)
+                V.append(p)
+            return idx[p]
+
+        for a, b, c in mesh.faces:
+            pa, pb, pc = mesh.vertices[a], mesh.vertices[b], mesh.vertices[c]
+            pts = [pa, pb, pc, (pa + pb) / 2, (pb + pc) / 2, (pc + pa) / 2]
+            ia, ib, ic, iab, ibc, ica = [gid(p) for p in pts]
+            F += [[ia, iab, ica], [iab, ib, ibc], [ica, ibc, ic], [iab, ibc, ica]]
+        return TriMesh(np.array(V, float), np.array(F))
+
+    c2 = subdivide(subdivide(cube))
+    out = decimate_quadric(c2, 0.9)
+    assert len(out.faces) <= int(round(len(c2.faces) * 0.1)) + 2
+    onsurf = np.any(
+        (np.abs(out.vertices) < 1e-6) | (np.abs(out.vertices - 4) < 1e-6), axis=1
+    )
+    assert onsurf.all()
+
+
+def test_decimate_edge_collapse_df_wrapper(spark):
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.mesh import decimate_edge_collapse
+
+    ex = entry._plane_mesh_exploded(spark)
+    out = decimate_edge_collapse(ex, 0.75)
+    n_in = ex.select("face").distinct().count()
+    n_out = out.select("face").distinct().count()
+    # a collapse removes up to 2 faces, so the loop may cross the target
+    # by one step
+    assert int(round(n_in * 0.25)) - 2 <= n_out <= int(round(n_in * 0.25))
+    bad = (
+        out.groupBy("face")
+        .agg(F.count_distinct("node").alias("nc"))
+        .where(F.col("nc") != 3)
+        .count()
+    )
+    assert bad == 0
+    import pytest as _pt
+
+    from vtk_reserves_spark.sources.mesh import decimate_quadric, TriMesh
+    import numpy as np
+
+    with _pt.raises(ValueError, match="target_reduction"):
+        decimate_quadric(TriMesh(np.zeros((3, 3)), [[0, 1, 2]]), 1.0)

@@ -156,6 +156,49 @@ def cmd_convert(args) -> None:
     save_table(df, args.output)
 
 
+def cmd_decimate(args) -> None:
+    """Mesh simplification (``tri_decimate.py:31-60`` equivalent):
+    ``qem`` runs the Garland-Heckbert edge collapse with the reference's
+    ``target_reduction`` face-proportion semantics; ``cluster`` runs the
+    distributed vertex-clustering variant (``--cell-size``) through
+    Spark for terrain-scale meshes."""
+    if args.method == "qem":
+        from vtk_reserves_spark.sources.mesh import decimate_quadric
+
+        mesh = _load_mesh(args.input)
+        out = decimate_quadric(mesh, args.target_reduction)
+        print(f"n_faces input {len(mesh.faces)} output {len(out.faces)}")
+        _save_mesh(out, args.output)
+    else:
+        from vtk_reserves_spark.sources.mesh import (
+            decimate_vertex_cluster,
+            mesh_from_exploded_df,
+        )
+
+        spark = _spark()
+        ex = _load_mesh(args.input).to_exploded_df(spark)
+        dec = decimate_vertex_cluster(ex, args.cell_size)
+        out = mesh_from_exploded_df(
+            dec.select("x", "y", "z", "n", "node", "face").toPandas()
+        )
+        print(f"n_faces output {len(out.faces)}")
+        _save_mesh(out, args.output)
+
+
+def _save_mesh(mesh, path: str) -> None:
+    ext = os.path.splitext(path.lower())[1]
+    if ext == ".msh":
+        from vtk_reserves_spark.sources.leapfrog import write_msh
+
+        write_msh(mesh, path)
+    elif ext == ".obj":
+        mesh.to_obj(path)
+    elif ext == ".vtk":
+        mesh.to_vtk(path)
+    else:
+        raise ValueError(f"unsupported mesh output format {ext!r} (obj/vtk/msh)")
+
+
 def cmd_dedup(args) -> None:
     """Corpus deduplication pipeline (north-star LLM ops, SURVEY §2.8):
     exact -> keep min-id per normalized text; minhash -> LSH candidate
@@ -436,6 +479,14 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--variables", default="")
     c.add_argument("--keep-null", action="store_true")
     c.set_defaults(fn=cmd_convert)
+
+    dm = sub.add_parser("decimate", help="mesh simplification (qem | cluster)")
+    dm.add_argument("input")
+    dm.add_argument("output")
+    dm.add_argument("--method", choices=["qem", "cluster"], default="qem")
+    dm.add_argument("--target-reduction", type=float, default=0.5)
+    dm.add_argument("--cell-size", type=float, default=1.0)
+    dm.set_defaults(fn=cmd_decimate)
 
     d = sub.add_parser("dedup", help="corpus deduplication (exact | minhash | segments)")
     d.add_argument("input")

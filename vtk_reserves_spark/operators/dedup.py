@@ -463,6 +463,119 @@ def decontaminate_ngrams(
     )
 
 
+def build_bloom_bits(
+    benchmark: DataFrame,
+    text_col: str,
+    ngrams: int = 5,
+    m_bits: int = 8192,
+    k_hashes: int = 2,
+) -> list[int]:
+    """Driver-side build of a Bloom filter over the benchmark's word
+    n-grams: ``m_bits`` bits packed into ``m_bits/64`` signed longs.
+
+    Bit positions are md5-derived with a per-hash salt
+    (``md5(gram || '_bf<j>') % m_bits``) so ANY engine reproduces them
+    — the filter's false positives are deterministic, which is what
+    lets an SQL oracle replay membership exactly.  The benchmark side
+    is small by construction (that is the premise of decontamination),
+    so collecting its distinct positions is a driver-sized result even
+    when the corpus is 100 TB."""
+    from vtk_reserves_spark.functions.text import shingles_of_tokens
+
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    t = benchmark.select(tokens(normalize_text(F.col(text_col))).alias("_t"))
+    g = t.select(F.explode(shingles_of_tokens(F.col("_t"), ngrams)).alias("_g"))
+    pos_cols = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("_g"), F.lit(f"_bf{j}"))), 1, 8),
+                16, 10,
+            ).cast("long") % m_bits
+        ).alias(f"p{j}")
+        for j in range(k_hashes)
+    ]
+    rows = (
+        g.distinct()
+        .select(*pos_cols)
+        .select(F.explode(F.array(*[F.col(f"p{j}") for j in range(k_hashes)])).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bits = [0] * (m_bits // 64)
+    for r in rows:
+        p = int(r["p"])
+        bits[p >> 6] |= 1 << (p & 63)
+    # longs with bit 63 set must travel as SIGNED values through lit()
+    return [b - (1 << 64) if b >= (1 << 63) else b for b in bits]
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    bloom_bits: list[int],
+    id_col: str,
+    text_col: str,
+    ngrams: int = 5,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination against a pre-built Bloom bitset
+    (:func:`build_bloom_bits`) — the fixed-memory variant of
+    :func:`decontaminate_ngrams` for when even the benchmark gram SET
+    is too large to broadcast comfortably: the filter is a constant
+    ``m_bits/64``-long array literal (1 KB at the default 8192 bits)
+    baked into the plan.
+
+    The corpus-wide stages are NARROW — tokenize, shingle,
+    ``explode_outer``, then a scalar bit test (``element_at`` +
+    ``bit_get`` against the literal) that no join touches; only the HIT
+    grams (rare by construction) reach the one per-document count
+    shuffle.  vs :func:`decontaminate_ngrams` this removes the
+    broadcast side entirely.  Subject to Bloom false positives
+    (deterministic, reproduced bit-for-bit by the SQL oracle); callers
+    needing exact hits re-check flagged docs with
+    :func:`decontaminate_ngrams`.  Returns contaminated documents only:
+    ``(id, n_hits)``.
+
+    Plan-shape note: the gram stream deliberately uses ``explode_outer``
+    + a post-explode scalar predicate.  A ``filter``/``exists``
+    higher-order function with a ``WHERE`` on its result — or a plain
+    ``explode`` — lets Catalyst infer/push a predicate through the
+    projection, INLINING the whole tokenize+shingle tree into a
+    scan-level Filter that re-evaluates it per reference (measured 14x
+    slower); the generator-output predicate cannot be pushed below the
+    Generate, so every expensive expression runs exactly once."""
+    from vtk_reserves_spark.functions.text import shingles_of_tokens
+
+    m_bits = 64 * len(bloom_bits)
+    bits_lit = F.array(*[F.lit(int(b)).cast("long") for b in bloom_bits])
+
+    def hit(g: Column) -> Column:
+        c = F.lit(True)
+        for j in range(k_hashes):
+            p = (
+                F.conv(
+                    F.substring(F.md5(F.concat(g, F.lit(f"_bf{j}"))), 1, 8), 16, 10
+                ).cast("long")
+                % m_bits
+            )
+            word = F.element_at(bits_lit, F.shiftright(p, 6).cast("int") + 1)
+            c = c & (F.bit_get(word, (p % 64).cast("int")) == 1)
+        return c
+
+    t = corpus.select(
+        F.col(id_col).alias("_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_t"),
+    )
+    g = t.select("_id", shingles_of_tokens(F.col("_t"), ngrams).alias("_g"))
+    ex = g.select("_id", F.explode_outer("_g").alias("_gram"))
+    return (
+        ex.where(hit(F.col("_gram")))  # NULL gram (empty doc) drops here
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.col("_id").alias(id_col), F.col("n_hits").cast("int").alias("n_hits"))
+    )
+
+
 def simhash(text: Column, bits: int = 16, seed: str = "sh") -> Column:
     """SimHash of the token multiset: bit b of the result is 1 iff more
     word-hashes have bit b set than unset.

@@ -316,6 +316,11 @@ def decode_jpeg(buf: bytes, gray: bool = False) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             h, w, comps = sof
             ns = seg[0]
+            if ns != len(comps):
+                raise ValueError(
+                    "multi-scan (non-interleaved) baseline JPEG is "
+                    f"unsupported: scan covers {ns} of {len(comps)} components"
+                )
             sel = {}
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]

@@ -267,15 +267,20 @@ def _load_excel(spark: SparkSession, path: str, sheet: str | None) -> DataFrame:
     try:
         pdf = pd.read_excel(path, sheet_name=sheet or 0)
     except ImportError:
-        # the built-in fallback reads OOXML (a zip); a legacy binary
-        # BIFF .xls would die inside zipfile with an opaque BadZipFile
+        # built-in fallbacks: OOXML (a zip starting 'PK') -> xlsx codec,
+        # OLE2/CFB magic -> the pure-struct BIFF8 reader (sources/xls.py)
         with open(path, "rb") as f:
-            if f.read(2) != b"PK":
-                raise ValueError(
-                    f"{path}: legacy binary .xls needs xlrd (not in "
-                    "this environment); convert to .xlsx"
-                ) from None
-        from vtk_reserves_spark.sources.xlsx import read_xlsx_pdf
+            magic = f.read(8)
+        if magic[:2] == b"PK":
+            from vtk_reserves_spark.sources.xlsx import read_xlsx_pdf
 
-        pdf = read_xlsx_pdf(path, sheet)
+            pdf = read_xlsx_pdf(path, sheet)
+        elif magic == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+            from vtk_reserves_spark.sources.xls import read_xls_pdf
+
+            pdf = read_xls_pdf(path, sheet)
+        else:
+            raise ValueError(
+                f"{path}: not an OOXML (.xlsx) or OLE2 (.xls) workbook"
+            ) from None
     return spark.createDataFrame(pdf)

@@ -376,3 +376,153 @@ def decimate_vertex_cluster(ex: DataFrame, cell_size: float) -> DataFrame:
             "face",
         )
     )
+
+
+def decimate_quadric(mesh: TriMesh, target_reduction: float) -> TriMesh:
+    """Edge-collapse decimation with Garland-Heckbert error quadrics
+    (public SIGGRAPH '97 algorithm) — the algorithm-parity path for the
+    reference's ``decimate_pro(target_reduction)`` wrapper
+    (``tri_decimate.py:31-60``): removes ``~target_reduction`` of the
+    faces by greedily collapsing the cheapest edge under the summed
+    plane-quadric error, placing the merged vertex at the quadric's
+    optimum (midpoint/endpoint fallback when singular).
+
+    Runs driver-/executor-side in numpy + a lazy-deletion heap: meshes
+    are broadcast-scale artifacts in this engine (module docstring), and
+    edge collapse is inherently sequential.  The DISTRIBUTED
+    simplification path for terrain-scale meshes remains
+    :func:`decimate_vertex_cluster`."""
+    import heapq
+
+    if not (0.0 <= target_reduction < 1.0):
+        raise ValueError(
+            f"target_reduction must be in [0, 1), got {target_reduction}"
+        )
+    V = mesh.vertices.astype(np.float64).copy()
+    faces = [list(map(int, f)) for f in mesh.faces]
+    nv = len(V)
+    if target_reduction == 0.0 or not faces:
+        return TriMesh(V, np.array(faces, np.int64).reshape(-1, 3), name=mesh.name)
+    target_faces = max(1, int(round(len(faces) * (1.0 - target_reduction))))
+
+    Q = np.zeros((nv, 4, 4))
+    vert_faces: list[set[int]] = [set() for _ in range(nv)]
+    face_alive = [True] * len(faces)
+    for fi, (a, b, c) in enumerate(faces):
+        for v in (a, b, c):
+            vert_faces[v].add(fi)
+        nrm = np.cross(V[b] - V[a], V[c] - V[a])
+        nn = np.linalg.norm(nrm)
+        if nn < 1e-30:
+            continue  # degenerate input face contributes no quadric
+        nrm = nrm / nn
+        p = np.append(nrm, -nrm.dot(V[a]))
+        K = np.outer(p, p)
+        Q[a] += K
+        Q[b] += K
+        Q[c] += K
+
+    alive = np.ones(nv, bool)
+    version = np.zeros(nv, np.int64)
+
+    def contraction(u: int, v: int):
+        Qe = Q[u] + Q[v]
+        A = Qe.copy()
+        A[3] = (0.0, 0.0, 0.0, 1.0)
+        vbar = None
+        if abs(np.linalg.det(A)) > 1e-12:
+            vbar = np.linalg.solve(A, np.array([0.0, 0.0, 0.0, 1.0]))[:3]
+        if vbar is None:
+            # singular quadric (flat/ridge regions): best of the three
+            # canonical candidates per the paper's fallback
+            cands = [V[u], V[v], 0.5 * (V[u] + V[v])]
+            costs = []
+            for c in cands:
+                h = np.append(c, 1.0)
+                costs.append(h @ Qe @ h)
+            k = int(np.argmin(costs))
+            return float(costs[k]), cands[k].copy()
+        h = np.append(vbar, 1.0)
+        return float(h @ Qe @ h), vbar
+
+    seq = iter(range(1 << 62))  # tiebreak so heapq never compares arrays
+
+    def push_edge(heap, u: int, v: int):
+        if u > v:
+            u, v = v, u
+        cost, vbar = contraction(u, v)
+        heapq.heappush(
+            heap,
+            (cost, u, v, int(version[u]), int(version[v]), next(seq), vbar),
+        )
+
+    edges = {
+        (min(a, b), max(a, b))
+        for f in faces
+        for a, b in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0]))
+        if a != b
+    }
+    heap: list = []
+    for u, v in edges:
+        push_edge(heap, u, v)
+
+    live_faces = sum(face_alive)
+    while live_faces > target_faces and heap:
+        cost, u, v, ver_u, ver_v, _seq, vbar = heapq.heappop(heap)
+        if not (alive[u] and alive[v]):
+            continue
+        if ver_u != version[u] or ver_v != version[v]:
+            continue  # stale entry: a neighbor collapse changed u or v
+        # collapse v into u at the optimal position
+        V[u] = vbar
+        Q[u] = Q[u] + Q[v]
+        alive[v] = False
+        version[u] += 1
+        shared = vert_faces[u] & vert_faces[v]
+        for fi in shared:
+            if face_alive[fi]:
+                face_alive[fi] = False
+                live_faces -= 1
+            for w in faces[fi]:
+                vert_faces[w].discard(fi)
+        for fi in list(vert_faces[v]):
+            f = faces[fi]
+            for i in range(3):
+                if f[i] == v:
+                    f[i] = u
+            if len(set(f)) < 3:  # became degenerate
+                if face_alive[fi]:
+                    face_alive[fi] = False
+                    live_faces -= 1
+                for w in f:
+                    vert_faces[w].discard(fi)
+            else:
+                vert_faces[u].add(fi)
+        vert_faces[v].clear()
+        # refresh the edge star of u
+        nbrs = {
+            w for fi in vert_faces[u] if face_alive[fi] for w in faces[fi]
+        } - {u}
+        for w in nbrs:
+            if alive[w]:
+                push_edge(heap, u, w)
+
+    keep = [fi for fi, ok in enumerate(face_alive) if ok]
+    used = sorted({w for fi in keep for w in faces[fi]})
+    remap = {old: new for new, old in enumerate(used)}
+    out_faces = np.array(
+        [[remap[w] for w in faces[fi]] for fi in keep], np.int64
+    ).reshape(-1, 3)
+    return TriMesh(V[used], out_faces, name=mesh.name)
+
+
+def decimate_edge_collapse(ex: DataFrame, target_reduction: float) -> DataFrame:
+    """Exploded-mesh-table wrapper over :func:`decimate_quadric` (the
+    same in/out contract as :func:`decimate_vertex_cluster`, but
+    parameterized by the reference's face-reduction PROPORTION instead
+    of a cluster size)."""
+    mesh = mesh_from_exploded_df(
+        ex.select("x", "y", "z", "n", "node", "face").toPandas()
+    )
+    out = decimate_quadric(mesh, target_reduction)
+    return out.to_exploded_df(ex.sparkSession)

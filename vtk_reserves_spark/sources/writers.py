@@ -71,12 +71,13 @@ def save_report(df: DataFrame, path: str | None) -> None:
         return
     ext = os.path.splitext(path.lower())[1]
     if ext == ".xls":
-        # pandas 2.x raises ValueError (no engine), not ImportError, so
-        # the old fallback never ran — and the built-in writer emits
-        # OOXML bytes, which Excel rejects under a .xls name anyway
-        raise ValueError(
-            "legacy .xls output is not supported; write .xlsx instead"
-        )
+        # real BIFF8 bytes via the built-in writer (sources/xls.py) —
+        # pandas 2.x has no .xls engine, and OOXML bytes under a .xls
+        # name would be rejected by Excel
+        from vtk_reserves_spark.sources.xls import write_xls
+
+        write_xls({"report": pdf}, path)
+        return
     if ext == ".xlsx":
         try:
             pdf.to_excel(path, index=False)
