@@ -939,6 +939,44 @@ def q_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_krige_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-nugget ordinary kriging — the kriging family's HASH-CHECKED
+    query.  With sill == nugget the variogram is the constant c0 for
+    every h > 0 (fixture coordinates guarantee no zero distances), so
+    the kriging system A = c0*(J - I) with a Lagrange border has the
+    closed-form solution w_i = 1/n, mu = c0/n: the estimate is the
+    neighborhood MEAN and the kriging variance is c0*(1 + 1/n) — both
+    replayable in DuckDB as AVG/COUNT over the radius join.
+    max_samples=300 >= |samples| makes the neighborhood "everything in
+    radius", removing nearest-k tie ambiguity from the oracle.  The
+    full solver still runs end-to-end (tile gather, per-size-class
+    batched LAPACK solve, left-join zero-fill); only the variogram is
+    degenerate.  General-variogram solves stay rows-only (q_krige)."""
+    from vtk_reserves_spark.operators.geostats import ordinary_krige
+
+    blocks = grid_df(spark, _GS).select("cell", "x", "y", "z")
+    s = spark.range(300)
+    samples = s.select(
+        ((F.col("id") * 37) % 300 + 0.25).cast("double").alias("sx"),
+        ((F.col("id") * 53) % 200 + 0.5).cast("double").alias("sy"),
+        ((F.col("id") * 29) % 200 + 0.75).cast("double").alias("sz"),
+        ((F.col("id") * 13) % 90 + 5.0).cast("double").alias("grade"),
+    )
+    out = ordinary_krige(
+        blocks,
+        samples,
+        "grade",
+        radius=25.0,
+        variogram=("spherical", 25.0, 1.0, 1.0),  # sill == nugget
+        max_samples=300,
+        sample_xyz=("sx", "sy", "sz"),
+    )
+    return out.select(
+        "cell", F.round("grade", 6).alias("grade"),
+        F.round("kvar", 6).alias("kvar"), "n_samples",
+    )
+
+
 def q_cokrige(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordinary co-kriging (operators/geostats.ordinary_cokrige):
     estimate a sparse primary grade from both its own samples and a
@@ -1110,6 +1148,37 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     merges = learn_bpe(word_counts(docs), num_merges=10)
+    return spark.createDataFrame(
+        [(i, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "step int, left string, right string, freq long",
+    )
+
+
+def q_bpe_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE learning on a DEGENERATE fixture that admits a SQL oracle:
+    every corpus word is exactly two characters, so each word
+    contributes exactly one adjacent pair and a merge retires exactly
+    the words equal to that pair without creating new pairs — the
+    greedy fixed point collapses to "top-k bigrams by (count DESC,
+    pair ASC)", which DuckDB replays as a window rank.  The query
+    still runs the REAL distributed rounds (driver_threshold=0 forces
+    the vocabulary-table path: pair explode -> groupBy -> top-1 ->
+    Arrow merge UDF -> checkpoint per round), so the hash row covers
+    the production code path; only the fixture is degenerate.  The
+    general iterative case stays rows-only (q_bpe_merges)."""
+    from vtk_reserves_spark.operators.bpe import learn_bpe, word_counts
+
+    letters = F.array(*[F.lit(c) for c in "abcdefg"])
+    idx = F.floor(F.sqrt(F.col("id"))).cast("int")
+    docs = spark.range(400).select(
+        F.concat(
+            F.element_at(letters, idx % 5 + 1),
+            F.element_at(letters, (idx * 3) % 7 + 1),
+        ).alias("text")
+    )
+    merges = learn_bpe(
+        word_counts(docs), num_merges=6, min_freq=2, driver_threshold=0
+    )
     return spark.createDataFrame(
         [(i, l, r, f) for i, (l, r, f) in enumerate(merges)],
         "step int, left string, right string, freq long",
@@ -3223,6 +3292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_mjpg": q_video_frames_mjpg,
         "xls_report": q_xls_report,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "krige_degenerate": q_krige_degenerate,
+        "bpe_degenerate": q_bpe_degenerate,
         "kmeans": q_kmeans,
         "fuzzy_join": q_fuzzy_join,
         # --- recorded green in round 2 ---
@@ -3670,6 +3741,54 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(e.g, 6) AS grade,
                    CAST(COALESCE(e.n, 0) AS BIGINT) AS n_samples
             FROM b LEFT JOIN est e USING (cell)
+        """,
+        "krige_degenerate": """
+            WITH b AS (
+              SELECT r.range AS cell,
+                     CAST((CAST(r.range % 30 AS INT) + 0.5) * 10.0 AS DOUBLE) AS x,
+                     CAST((CAST((r.range // 30) % 20 AS INT) + 0.5) * 10.0 AS DOUBLE) AS y,
+                     CAST((CAST(r.range // 600 AS INT) + 0.5) * 10.0 AS DOUBLE) AS z
+              FROM range(12000) r
+            ), s AS (
+              SELECT CAST((r.range * 37) % 300 + 0.25 AS DOUBLE) AS sx,
+                     CAST((r.range * 53) % 200 + 0.5 AS DOUBLE) AS sy,
+                     CAST((r.range * 29) % 200 + 0.75 AS DOUBLE) AS sz,
+                     CAST((r.range * 13) % 90 + 5.0 AS DOUBLE) AS grade
+              FROM range(300) r
+            ), est AS (
+              -- pure-nugget OK closed form: equal weights -> neighborhood
+              -- mean; kvar = c0*(1 + 1/n) with c0 = 1.0
+              SELECT b.cell, AVG(s.grade) AS g, COUNT(*) AS n
+              FROM b JOIN s ON (b.x-s.sx)^2 + (b.y-s.sy)^2 + (b.z-s.sz)^2
+                               <= 25.0 * 25.0
+              GROUP BY b.cell
+            )
+            SELECT b.cell,
+                   ROUND(e.g, 6) AS grade,
+                   ROUND(1.0 + 1.0 / e.n, 6) AS kvar,
+                   CAST(COALESCE(e.n, 0) AS INT) AS n_samples
+            FROM b LEFT JOIN est e USING (cell)
+        """,
+        "bpe_degenerate": """
+            -- all corpus words are 2 chars, so the greedy BPE fixed
+            -- point collapses to top-k bigrams by (count DESC, pair ASC)
+            WITH w AS (
+              SELECT CAST(FLOOR(SQRT(r.range)) AS INT) AS idx
+              FROM range(400) r
+            ), pairs AS (
+              SELECT substring('abcdefg', idx % 5 + 1, 1) AS l,
+                     substring('abcdefg', (idx * 3) % 7 + 1, 1) AS r,
+                     COUNT(*) AS freq
+              FROM w GROUP BY 1, 2
+            ), ranked AS (
+              SELECT l, r, freq,
+                     ROW_NUMBER() OVER (ORDER BY freq DESC, l ASC, r ASC) AS rn
+              FROM pairs WHERE freq >= 2
+            )
+            SELECT CAST(rn - 1 AS INT) AS step,
+                   l AS "left", r AS "right",
+                   CAST(freq AS BIGINT) AS freq
+            FROM ranked WHERE rn <= 6
         """,
         "swath": _FIXTURE_SQL
         + """

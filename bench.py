@@ -107,18 +107,63 @@ def main() -> None:
                 timings[name] = min(timings[name], elapsed)
 
     total = round(sum(timings.values()), 4)
+
+    # --- per-query trend tracking (BASELINE.md "Bench methodology"):
+    # this box shows ±25% run-to-run variance, so single-run deltas are
+    # ambiguous.  Persist every run to BENCH_HISTORY.json and compare
+    # each query against the MEDIAN of its last 5 recorded runs at the
+    # same sf; only ratios > 1.5x are flagged as regressions — that
+    # threshold clears the noise floor while catching plan changes.
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.json"
+    )
+    try:
+        with open(hist_path) as fh:
+            history = json.load(fh)
+    except (OSError, ValueError):
+        history = []
+    prior = [h["queries"] for h in history if h.get("sf") == sf][-5:]
+    regressions: dict[str, float] = {}
+    med_total = 0.0
+    for name, t in timings.items():
+        samples = sorted(h[name] for h in prior if name in h)
+        if not samples:
+            med_total += t  # new query: neutral contribution
+            continue
+        med = samples[len(samples) // 2]
+        med_total += med
+        # absolute floor: a 0.1 s -> 0.2 s jitter is not a regression
+        if med > 0 and t / med > 1.5 and t - med > 0.5:
+            regressions[name] = round(t / med, 3)
+    history.append({"ts": int(time.time()), "sf": sf, "queries": timings})
+    try:
+        with open(hist_path, "w") as fh:
+            json.dump(history[-20:], fh)
+    except OSError:
+        pass  # read-only checkout: trend tracking is best-effort
+
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
+                # the big per-query dict goes FIRST: the driver keeps the
+                # LAST 2000 chars of this line, so the summary keys below
+                # must sit at the tail to survive truncation
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # transparency: first-execution total including one-time
                 # codegen compilation (the recorded value is steady-state;
                 # see BASELINE.md "Bench methodology")
                 "value_cold_first_run": round(sum(cold.values()), 4),
+                # per-query regressions vs the median of the last 5
+                # same-sf runs (BENCH_HISTORY.json): flagged when >1.5x
+                # AND >0.5 s absolute — clears this box's ±25% variance
+                "regressions": regressions,
+                "ratio_total_vs_median": (
+                    round(total / med_total, 3) if prior and med_total else None
+                ),
+                "metric": "headline_queries_total",
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "value": total,
             }
         )
     )

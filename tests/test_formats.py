@@ -992,3 +992,74 @@ def test_xls_rejects_biff5_and_non_cfb(tmp_path):
     q.write_bytes(b"hello")
     with pytest.raises(ValueError, match="CFB"):
         read_xls(str(q))
+
+
+def test_png_streaming_strip_writer_matches_collect(tmp_path, spark):
+    """A raster larger than the (forced-tiny) driver threshold streams
+    sorted scanline strips through an incremental zlib stream — the
+    decoded image must be IDENTICAL to the collect path's, and the file
+    must actually contain multiple IDAT chunks (proof the strip path
+    ran).  Driver memory is bounded by one strip + one sorted
+    partition; the pixel frame here is deliberately multi-partition
+    and shuffled out of row order."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(40, 30, 3), dtype=np.uint8)
+    p = str(tmp_path / "big.png")
+    with open(p, "wb") as fh:
+        fh.write(encode_png(img))
+    df = png_to_df(spark, p).repartition(8)  # destroy row order
+    p2 = str(tmp_path / "stream.png")
+    df_to_png(df, p2, driver_threshold=100, strip_rows=16)
+    data = open(p2, "rb").read()
+    assert data.count(b"IDAT") >= 2, "streaming path must emit >1 IDAT"
+    assert (decode_png(data) == img).all()
+
+
+def test_geotiff_streaming_strip_writer_matches_collect(tmp_path, spark):
+    """Same bounded-memory contract for TIFF: >1 strip in the IFD,
+    header IFD pointer patched after the data, decode identical to the
+    one-shot encoder (which already concatenates multi-strip data)."""
+    from vtk_reserves_spark.sources.geotiff import (
+        decode_tiff,
+        df_to_geotiff,
+        encode_tiff,
+        geotiff_to_df,
+    )
+
+    rng = np.random.RandomState(13)
+    band = rng.rand(33, 20).astype(np.float32)
+    p = str(tmp_path / "big.tif")
+    with open(p, "wb") as fh:
+        fh.write(
+            encode_tiff(
+                band,
+                pixel_scale=(2.0, 2.0, 0.0),
+                tiepoint=(0.0, 0.0, 0.0, 100.0, 900.0, 0.0),
+            )
+        )
+    df = geotiff_to_df(spark, p).repartition(8)
+    p2 = str(tmp_path / "stream.tif")
+    df_to_geotiff(
+        df, p2, pixel_scale=(2.0, 2.0, 0.0),
+        tiepoint=(0.0, 0.0, 0.0, 100.0, 900.0, 0.0),
+        driver_threshold=100, strip_rows=8,
+    )
+    arr, scale, tie = decode_tiff(open(p2, "rb").read())
+    assert arr.shape == (33, 20, 1)
+    assert arr[:, :, 0] == pytest.approx(band)
+    assert scale[0] == 2.0 and tie[3] == 100.0
+
+
+def test_png_streaming_zero_fill_sparse_rows(tmp_path, spark):
+    """Missing pixels zero-fill on the streaming path too (including
+    whole skipped strips), matching the collect path's contract."""
+    from vtk_reserves_spark.sources.image import df_to_png as _to_png
+
+    rows = [(9, 29, 200)]  # single lit pixel far from origin
+    df = spark.createDataFrame(rows, "x int, y int, ch0 int")
+    p = str(tmp_path / "sparse.png")
+    _to_png(df, p, driver_threshold=1, strip_rows=4)
+    img = decode_png(open(p, "rb").read())
+    assert img.shape == (30, 10, 1)
+    assert img[29, 9, 0] == 200
+    assert int(img.sum()) == 200

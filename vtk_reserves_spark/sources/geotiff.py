@@ -165,15 +165,90 @@ def geotiff_to_df(spark: SparkSession, path: str) -> DataFrame:
     return df.select("xc", "yc", x.alias("x"), y.alias("y"), *chs)
 
 
-def df_to_geotiff(df: DataFrame, path: str, pixel_scale=None, tiepoint=None) -> None:
+def df_to_geotiff(
+    df: DataFrame,
+    path: str,
+    pixel_scale=None,
+    tiepoint=None,
+    driver_threshold: int = 1 << 25,
+    strip_rows: int = 512,
+) -> None:
     """Pixel table -> single/multi-band GeoTIFF (float32), inverse of
-    :func:`geotiff_to_df` (``vulcan_save_tri.py:251-280``)."""
-    pdf = df.toPandas()  # assignment below is positional — no sort needed
-    w = int(pdf["xc"].max()) + 1
-    h = int(pdf["yc"].max()) + 1
-    chans = sorted(c for c in pdf.columns if c.startswith("ch"))
-    arr = np.zeros((h, w, len(chans)), np.float32)
-    for ci, c in enumerate(chans):
-        arr[pdf["yc"].to_numpy(), pdf["xc"].to_numpy(), ci] = pdf[c].to_numpy()
+    :func:`geotiff_to_df` (``vulcan_save_tri.py:251-280``).
+
+    Report-sized rasters (``h*w*bands <= driver_threshold`` samples)
+    collect once; larger ones STREAM sorted ``strip_rows``-scanline
+    strips straight to disk as a multi-strip TIFF (strip data first,
+    IFD written after the last strip, header's IFD pointer patched by
+    seek) — driver memory stays bounded by one strip + one sorted
+    partition.  :func:`decode_tiff` already concatenates multi-strip
+    sample data, so round-trips are unchanged."""
+    from vtk_reserves_spark.sources.image import (
+        _raster_shape,
+        iter_raster_strips,
+    )
+
+    w, h, chans = _raster_shape(df, "xc", "yc")
+    if driver_threshold and h * w * len(chans) <= driver_threshold:
+        pdf = df.toPandas()  # assignment below is positional — no sort needed
+        arr = np.zeros((h, w, len(chans)), np.float32)
+        for ci, c in enumerate(chans):
+            arr[pdf["yc"].to_numpy(), pdf["xc"].to_numpy(), ci] = pdf[c].to_numpy()
+        with open(path, "wb") as fh:
+            fh.write(encode_tiff(arr, pixel_scale, tiepoint))
+        return
+
+    spp = len(chans)
     with open(path, "wb") as fh:
-        fh.write(encode_tiff(arr, pixel_scale, tiepoint))
+        # header with a placeholder IFD offset; strips stream next, the
+        # IFD lands wherever the data ends, then the pointer is patched
+        fh.write(struct.pack("<2sHI", b"II", 42, 0))
+        strip_offs: list[int] = []
+        strip_cnts: list[int] = []
+        for strip in iter_raster_strips(
+            df, w, h, chans, np.float32, strip_rows, "xc", "yc"
+        ):
+            raw = strip.tobytes()
+            strip_offs.append(fh.tell())
+            strip_cnts.append(len(raw))
+            fh.write(raw)
+
+        entries = []
+
+        def add(tag, typ, vals, vfmt):
+            entries.append(
+                (tag, typ, len(vals), struct.pack("<" + str(len(vals)) + vfmt, *vals))
+            )
+
+        add(256, 4, [w], "I")
+        add(257, 4, [h], "I")
+        add(258, 3, [32] * spp, "H")
+        add(259, 3, [1], "H")
+        add(262, 3, [1], "H")
+        add(273, 4, strip_offs, "I")
+        add(277, 3, [spp], "H")
+        add(278, 4, [min(strip_rows, h)], "I")
+        add(279, 4, strip_cnts, "I")
+        add(339, 3, [3] * spp, "H")
+        if pixel_scale is not None:
+            add(_PIXEL_SCALE, 12, list(pixel_scale), "d")
+        if tiepoint is not None:
+            add(_TIEPOINT, 12, list(tiepoint), "d")
+        entries.sort(key=lambda x: x[0])
+
+        ifd_off = fh.tell()
+        n = len(entries)
+        data_off = ifd_off + 2 + 12 * n + 4
+        extra = b""
+        fh.write(struct.pack("<H", n))
+        for tag, typ, cnt, body in entries:
+            if len(body) <= 4:
+                packed = body.ljust(4, b"\x00")
+            else:
+                packed = struct.pack("<I", data_off + len(extra))
+                extra += body
+            fh.write(struct.pack("<HHI", tag, typ, cnt) + packed)
+        fh.write(struct.pack("<I", 0))  # next IFD
+        fh.write(extra)
+        fh.seek(4)
+        fh.write(struct.pack("<I", ifd_off))

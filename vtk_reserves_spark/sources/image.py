@@ -118,15 +118,103 @@ def png_to_df(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(cols))
 
 
-def df_to_png(df: DataFrame, path: str) -> None:
-    """Pixel table -> PNG (inverse reshape, ``_gui.py:1266-1277``) —
-    ordered driver-side collect of a report-sized image table."""
-    pdf = df.toPandas()  # assignment below is positional — no sort needed
-    w = int(pdf["x"].max()) + 1
-    h = int(pdf["y"].max()) + 1
-    chans = sorted(c for c in pdf.columns if c.startswith("ch"))
-    img = np.zeros((h, w, len(chans)), np.uint8)
-    for ci, c in enumerate(chans):
-        img[pdf["y"].to_numpy(), pdf["x"].to_numpy(), ci] = pdf[c].to_numpy()
+def iter_raster_strips(
+    df: DataFrame,
+    w: int,
+    h: int,
+    chans: list,
+    dtype,
+    strip_rows: int,
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Yield ``(strip_h, w, ch)`` arrays covering rows 0..h-1 in order,
+    WITHOUT materializing the raster on the driver.
+
+    The frame is range-sorted by (row, col) and drained through
+    ``toLocalIterator`` — Spark ships one sorted partition at a time,
+    so driver memory is bounded by max(strip buffer, one partition of
+    rows) regardless of raster size.  Missing pixels stay 0 (same
+    zero-fill contract as the collect path)."""
+    rows = (
+        df.select(x_col, y_col, *chans)
+        .sort(y_col, x_col)
+        .toLocalIterator(prefetchPartitions=False)
+    )
+    nch = len(chans)
+    start = 0
+    buf = np.zeros((min(strip_rows, h), w, nch), dtype)
+    for r in rows:
+        y = r[1]
+        while y >= start + buf.shape[0]:
+            yield buf
+            start += buf.shape[0]
+            buf = np.zeros((min(strip_rows, h - start), w, nch), dtype)
+        buf[y - start, r[0], :] = r[2:]
+    while start < h:
+        yield buf
+        start += buf.shape[0]
+        if start < h:
+            buf = np.zeros((min(strip_rows, h - start), w, nch), dtype)
+
+
+def _raster_shape(df: DataFrame, x_col: str, y_col: str):
+    """(width, height, sorted channel columns) via ONE distributed agg."""
+    from pyspark.sql import functions as F
+
+    mx = df.agg(F.max(x_col), F.max(y_col)).first()
+    chans = sorted(c for c in df.columns if c.startswith("ch"))
+    return int(mx[0]) + 1, int(mx[1]) + 1, chans
+
+
+def df_to_png(
+    df: DataFrame,
+    path: str,
+    driver_threshold: int = 1 << 25,
+    strip_rows: int = 512,
+) -> None:
+    """Pixel table -> PNG (inverse reshape, ``_gui.py:1266-1277``).
+
+    Report-sized tables (``h*w*ch <= driver_threshold`` samples) use a
+    single driver-side collect.  Larger rasters STREAM: sorted strips
+    of ``strip_rows`` scanlines feed an incremental zlib compressor
+    emitting one IDAT chunk per strip (PNG allows any number of IDATs
+    — the concatenated stream is identical to the one-shot encode), so
+    driver memory stays bounded while the raster does not."""
+    pdf = None
+    if driver_threshold:
+        w, h, chans = _raster_shape(df, "x", "y")
+        if h * w * len(chans) <= driver_threshold:
+            pdf = df.toPandas()
+    else:
+        w, h, chans = _raster_shape(df, "x", "y")
+    if pdf is not None:
+        # assignment below is positional — no sort needed
+        img = np.zeros((h, w, len(chans)), np.uint8)
+        for ci, c in enumerate(chans):
+            img[pdf["y"].to_numpy(), pdf["x"].to_numpy(), ci] = pdf[c].to_numpy()
+        with open(path, "wb") as fh:
+            fh.write(encode_png(img))
+        return
+
+    ctype = {1: 0, 3: 2, 4: 6}[len(chans)]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">i", len(body)) + tag + body + struct.pack(">I", crc)
+
+    comp = zlib.compressobj()
     with open(path, "wb") as fh:
-        fh.write(encode_png(img))
+        fh.write(_SIG)
+        fh.write(chunk(b"IHDR", struct.pack(">2i5B", w, h, 8, ctype, 0, 0, 0)))
+        for strip in iter_raster_strips(
+            df, w, h, chans, np.uint8, strip_rows, "x", "y"
+        ):
+            raw = b"".join(
+                b"\x00" + strip[r].tobytes() for r in range(strip.shape[0])
+            )
+            out = comp.compress(raw)
+            if out:
+                fh.write(chunk(b"IDAT", out))
+        fh.write(chunk(b"IDAT", comp.flush()))
+        fh.write(chunk(b"IEND", b""))
