@@ -932,6 +932,7 @@ def q_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
         variogram=("spherical", 25.0, 1.0, 0.1),
         max_samples=12,
         sample_xyz=("sx", "sy", "sz"),
+        solve_supertile=4,  # 12k-block fixture: favor batch size
     )
     return out.select(
         "cell", F.round("grade", 6).alias("grade"),
@@ -970,6 +971,7 @@ def q_krige_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
         variogram=("spherical", 25.0, 1.0, 1.0),  # sill == nugget
         max_samples=300,
         sample_xyz=("sx", "sy", "sz"),
+        solve_supertile=4,  # 12k-block fixture: favor batch size
     )
     return out.select(
         "cell", F.round("grade", 6).alias("grade"),
@@ -1013,6 +1015,7 @@ def q_cokrige(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         max_samples=8,
         sample_xyz=("sx", "sy", "sz"),
+        solve_supertile=4,  # 12k-block fixture: favor batch size
     )
     return out.select(
         "cell", F.round("grade", 6).alias("grade"),
@@ -1040,6 +1043,7 @@ def q_simple_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocks, samples, "grade", radius=25.0, mean=49.5,
         variogram=("spherical", 25.0, 1.0, 0.1), max_samples=12,
         sample_xyz=("sx", "sy", "sz"),
+        solve_supertile=4,  # 12k-block fixture: favor batch size
     )
     return out.select(
         "cell", F.round("grade", 6).alias("grade"),
@@ -1066,6 +1070,7 @@ def q_indicator_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocks, samples, "grade", cutoff=50.0, radius=25.0,
         variogram=("spherical", 25.0, 0.25, 0.02), max_samples=12,
         sample_xyz=("sx", "sy", "sz"),
+        solve_supertile=4,  # 12k-block fixture: favor batch size
     )
     return out.select(
         "cell", F.round("prob_above", 6).alias("prob_above"),
@@ -1242,6 +1247,7 @@ def q_krige_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_xyz=("sx", "sy", "sz"),
         discretize=(2, 2, 2),
         block_size=(10.0, 10.0, 10.0),
+        solve_supertile=4,  # 12k-block fixture: favor batch size
     )
     return out.select(
         "cell", F.round("grade", 6).alias("grade"),
@@ -2083,7 +2089,13 @@ def q_video_frames_mjpg(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame executor-side.  The synthesis rule uses flat even-valued
     frames, which are bit-exact through JPEG quantization, so the
     oracle holds a closed form of the expected geometry and means."""
-    docs = _read(spark, sf_dir, "documents")
+    # the sf0.1 documents parquet is one 128MB-rule split, which would
+    # serialize ~1 ms/doc of Python JPEG work onto a single core; spread
+    # the (cheap, text-only) rows BEFORE synthesizing binary payloads so
+    # the encode and decode UDF stages run at full parallelism — the
+    # standard pattern when per-row Python cost >> per-row byte size
+    par = 2 * spark.sparkContext.defaultParallelism
+    docs = _read(spark, sf_dir, "documents").repartition(par, "doc_id")
     payloads = MM.attach_mjpg_payload(docs)
     out = MM.video_frames(payloads)
     return out.select(
@@ -2259,7 +2271,12 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation pass (multiple distincts lower via Catalyst expand)."""
     from vtk_reserves_spark.operators.validate import profile
 
-    return profile(_read(spark, sf_dir, "orders"))
+    # the sf0.1 orders parquet is ONE row group, so the 6-way distinct
+    # expand (rows x columns intermediate) would run on a single core;
+    # spread the scan first — at production scale the files are already
+    # split and this repartition is a no-op pattern
+    par = spark.sparkContext.defaultParallelism
+    return profile(_read(spark, sf_dir, "orders").repartition(par))
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,195 @@
+"""Property-based (hypothesis) round-trip tests for the pure-python
+codecs — driver-side only, no SparkSession.  The deterministic unit
+tests in test_formats.py pin known fixtures; these sweep the input
+space: arbitrary shapes, values, channel counts, subsampling modes,
+and odd (non-multiple-of-8 / non-multiple-of-strip) dimensions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+# -- PNG: lossless for every supported shape/depth ---------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_exact(h, w, ch, seed):
+    from vtk_reserves_spark.sources.image import decode_png, encode_png
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, ch), dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    assert out.shape == (h, w, ch)
+    assert (out == img).all()
+
+
+# -- TIFF: lossless float32 and uint8, multiband -----------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 30),
+    w=st.integers(1, 30),
+    bands=st.integers(1, 4),
+    as_float=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_roundtrip_exact(h, w, bands, as_float, seed):
+    from vtk_reserves_spark.sources.geotiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(seed)
+    if as_float:
+        img = rng.randn(h, w, bands).astype(np.float32)
+    else:
+        img = rng.randint(0, 256, (h, w, bands), dtype=np.uint8)
+    arr, _, _ = decode_tiff(encode_tiff(img))
+    assert arr.shape == (h, w, bands)
+    assert (arr == img).all()
+
+
+# -- WAV: lossless int16 PCM -------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_exact(n, rate, seed):
+    from vtk_reserves_spark.sources.wav import decode_wav, encode_wav
+
+    pcm = (
+        np.random.RandomState(seed).randint(-(2**15), 2**15, n).astype(np.int16)
+    )
+    samples, sr = decode_wav(encode_wav(pcm, rate))
+    assert sr == rate
+    assert (samples == pcm).all()
+
+
+# -- JPEG: lossy — decode must succeed for every mode and stay close ---------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    color=st.booleans(),
+    subsampling=st.sampled_from(["444", "422", "420"]),
+    restart=st.sampled_from([0, 1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_bounded_error(h, w, color, subsampling, restart, seed):
+    from vtk_reserves_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    # smooth-ish content (JPEG's operating regime): low-frequency ramps
+    # plus mild noise — random white noise has no error bound worth
+    # asserting at quality-50 quantization
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        128.0
+        + 80.0 * np.sin(yy / 11.0 + rng.rand() * 3)
+        + 40.0 * np.cos(xx / 7.0 + rng.rand() * 3)
+    )
+    if color:
+        img = np.stack(
+            [np.clip(base + o, 0, 255) for o in (0.0, -20.0, 20.0)], axis=-1
+        ).astype(np.uint8)
+    else:
+        img = np.clip(base, 0, 255).astype(np.uint8)
+    buf = encode_jpeg(img, subsampling=subsampling, restart_interval=restart)
+    out = decode_jpeg(buf)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(np.int32) - img.astype(np.int32))
+    # quality-50 tables on smooth content: generous but real bound
+    assert float(err.mean()) < 12.0, float(err.mean())
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    v=st.integers(0, 127),
+)
+def test_jpeg_flat_even_frames_bit_exact(h, w, v):
+    """The MJPG-oracle contract: flat frames with even values survive
+    quantization bit-exactly (DC multiple of the quantizer, zero AC)."""
+    from vtk_reserves_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((h, w), 2 * v, np.uint8)
+    assert (decode_jpeg(encode_jpeg(img)) == img).all()
+
+
+# -- XLS: typed cells round-trip through the BIFF8 writer/reader -------------
+
+
+_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+        max_size=40,
+    ),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(st.tuples(_cell, _cell, _cell), min_size=0, max_size=30),
+)
+def test_xls_roundtrip_typed_cells(tmp_path_factory, rows):
+    import pandas as pd
+
+    from vtk_reserves_spark.sources.xls import read_xls, write_xls
+
+    pdf = pd.DataFrame(rows, columns=["a", "b", "c"], dtype=object)
+    p = str(tmp_path_factory.mktemp("xlsfuzz") / "t.xls")
+    write_xls({"s": pdf}, p)
+    got = read_xls(p)
+    assert got[0] == ["a", "b", "c"]
+    body = got[1:]
+    # trailing all-None rows/columns are indistinguishable from absent
+    # cells in a sparse sheet — compare the written prefix
+    for r, tup in enumerate(rows):
+        for c, v in enumerate(tup):
+            cell = body[r][c] if r < len(body) and c < len(body[r]) else None
+            if v is None:
+                assert cell is None
+            elif isinstance(v, bool):
+                assert cell is v
+            elif isinstance(v, float):
+                assert cell == v
+            else:
+                assert cell == v
+
+
+# -- AVI/MJPG: flat even frames bit-exact through the container --------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    nf=st.integers(1, 4),
+    h=st.integers(4, 20),
+    w=st.integers(4, 20),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_mjpg_flat_frames_exact(nf, h, w, seed):
+    from vtk_reserves_spark.sources.avi import decode_avi, encode_avi
+
+    rng = np.random.RandomState(seed)
+    frames = np.stack(
+        [np.full((h, w), 2 * int(rng.randint(0, 128)), np.uint8) for _ in range(nf)]
+    )
+    out, fps, spans = decode_avi(encode_avi(frames, 10, codec="MJPG"))
+    assert len(spans) == nf
+    assert fps == 10
+    assert out.shape == frames.shape
+    assert (out == frames).all()

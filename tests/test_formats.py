@@ -1063,3 +1063,56 @@ def test_png_streaming_zero_fill_sparse_rows(tmp_path, spark):
     assert img.shape == (30, 10, 1)
     assert img[29, 9, 0] == 200
     assert int(img.sum()) == 200
+
+
+def test_xls_writer_multi_fat_sector_roundtrip(tmp_path):
+    """A workbook stream past one FAT sector's reach (~63 KB) needs the
+    multi-FAT-sector container layout — the old single-FAT writer
+    silently corrupted it.  3000 numeric rows (~130 KB stream) must
+    round-trip bit-exact through the reader."""
+    import pandas as pd
+
+    from vtk_reserves_spark.sources.xls import read_xls_pdf, write_xls
+
+    pdf = pd.DataFrame(
+        {"a": np.arange(3000, dtype=np.float64),
+         "b": np.arange(3000, dtype=np.float64) * 0.5,
+         "c": [f"row{i}" for i in range(3000)]}
+    )
+    p = str(tmp_path / "big.xls")
+    write_xls({"data": pdf}, p)
+    got = read_xls_pdf(p)
+    assert len(got) == 3000
+    assert got["a"].tolist() == pdf["a"].tolist()
+    assert got["b"].tolist() == pdf["b"].tolist()
+    assert got["c"].tolist() == pdf["c"].tolist()
+
+
+def test_xls_writer_numpy_scalar_cells(tmp_path):
+    """numpy int64 / bool_ cells are not python int/bool subclasses; they
+    must still emit NUMBER / BOOLERR records, not text LABELs."""
+    import pandas as pd
+
+    from vtk_reserves_spark.sources.xls import read_xls, write_xls
+
+    pdf = pd.DataFrame({"n": np.array([7, 8], dtype=np.int64),
+                        "f": np.array([1.5, 2.5]),
+                        "t": np.array([True, False])})
+    p = str(tmp_path / "np.xls")
+    write_xls({"s": pdf}, p)
+    rows = read_xls(p)
+    assert rows[1] == [7.0, 1.5, True]
+    assert rows[2] == [8.0, 2.5, False]
+
+
+def test_jpeg_standalone_markers_in_header_skipped():
+    """TEM/RSTn/stray-SOI markers carry no length field; the header walk
+    must skip them as 2-byte standalone markers instead of consuming a
+    bogus length."""
+    from vtk_reserves_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8), 100, np.uint8)
+    buf = encode_jpeg(img)
+    # splice a TEM marker right after SOI
+    spliced = buf[:2] + b"\xff\x01" + buf[2:]
+    assert (decode_jpeg(spliced) == decode_jpeg(buf)).all()

@@ -215,3 +215,20 @@ def test_length_filter_broadcasts_bounds(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan
+
+
+def test_nscore_exact_has_no_single_partition_sort(spark):
+    """Exact nscore's global rank is the bucketed two-pass ranker, NOT a
+    rank() window over a SinglePartition exchange (the round-2 verdict's
+    scale-killer).  The plan must hash-partition on the bucket column
+    and contain no global sort / single-partition exchange / Window."""
+    from vtk_reserves_spark.operators.geostats import nscore
+
+    df = spark.range(10000).select(
+        "id", ((F.col("id") * 131) % 977).cast("double").alias("val")
+    )
+    plan = _plan(nscore(df, "val"))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "hashpartitioning(_nsb" in plan
+    assert ", true, " not in plan  # no global (single-reducer) sort node

@@ -1185,3 +1185,73 @@ def test_grid_depletion_rejects_unknown_region_type(spark, grid):
 
     with pytest.raises(TypeError, match="region entries"):
         grid_depletion(grid, regions=[["ore", ((0, 0, 0), (1, 1, 1))]])
+
+
+def test_krige_solve_supertile_grouping_invariant(spark):
+    """The applyInPandas grouping key (per-tile vs coarsened supertile)
+    must not change RESULTS — it only sets the Arrow batch size.  The
+    batched per-size-class LAPACK solves are row-independent, so any
+    tile -> group mapping that keeps a block's candidates together is
+    bit-identical.  Pins the _solve_groups coarsening (default 2)
+    against the raw per-tile key across a multi-tile fixture."""
+    from vtk_reserves_spark.operators.geostats import ordinary_krige, simple_krige
+
+    blocks = spark.range(200).select(
+        F.col("id").alias("cell"),
+        ((F.col("id") % 20) * 7.0 + 3.0).alias("x"),
+        ((F.col("id") / 20).cast("int") * 11.0 + 2.0).alias("y"),
+        F.lit(0.0).alias("z"),
+    )
+    samples = spark.range(40).select(
+        ((F.col("id") * 13) % 140 + 0.5).cast("double").alias("sx"),
+        ((F.col("id") * 7) % 110 + 0.25).cast("double").alias("sy"),
+        F.lit(0.0).alias("sz"),
+        ((F.col("id") * 3) % 50 + 1.0).cast("double").alias("grade"),
+    )
+    kw = dict(radius=20.0, variogram=("spherical", 20.0, 1.0, 0.1),
+              max_samples=6, sample_xyz=("sx", "sy", "sz"))
+    a = ordinary_krige(blocks, samples, "grade", solve_supertile=1, **kw).orderBy("cell").collect()
+    b = ordinary_krige(blocks, samples, "grade", solve_supertile=3, **kw).orderBy("cell").collect()
+    assert a == b
+    sa = simple_krige(blocks, samples, "grade", mean=25.0, solve_supertile=1, **kw).orderBy("cell").collect()
+    sb = simple_krige(blocks, samples, "grade", mean=25.0, solve_supertile=4, **kw).orderBy("cell").collect()
+    assert sa == sb
+
+
+def test_nscore_distributed_rank_matches_global_window(spark):
+    """The bucketed two-pass exact ranker must be BIT-identical to a
+    single-reducer rank() window: heavy ties (only 7 distinct values
+    over 5000 rows, so tie runs straddle Arrow batches and bucket
+    boundaries would break a naive ranker), NaNs (rank as one tie
+    group, sorted last), NULLs (pass through), multi-partition input."""
+    from pyspark.sql import Window
+
+    from vtk_reserves_spark.functions.stats import probit
+    from vtk_reserves_spark.operators.geostats import nscore
+
+    df = (
+        spark.range(5000)
+        .repartition(16)
+        .select(
+            "id",
+            F.when(F.col("id") % 50 == 0, F.lit(None))
+            .when(F.col("id") % 97 == 0, F.lit(float("nan")))
+            .otherwise((F.col("id") % 7).cast("double"))
+            .alias("val"),
+        )
+    )
+    got = {r["id"]: r["nscore"] for r in nscore(df, "val").collect()}
+    v = F.col("val")
+    n = df.where(v.isNotNull()).count()
+    w = Window.orderBy(v)
+    ref = {
+        r["id"]: r["ns"]
+        for r in df.where(v.isNotNull())
+        .withColumn("ns", probit((F.rank().over(w).cast("double") - 0.5) / float(n)))
+        .collect()
+    }
+    assert len(got) == 5000
+    for i, expect in ref.items():
+        assert got[i] == expect, (i, got[i], expect)
+    for i in range(0, 5000, 50):
+        assert got[i] is None

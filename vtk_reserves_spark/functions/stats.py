@@ -77,3 +77,34 @@ def probit_sql(expr: str) -> str:
         f"WHEN ({expr}) > 1.0 - {_P_LOW!r} THEN {hi} "
         f"ELSE {mid} END)"
     )
+
+
+def probit_np(p):
+    """The SAME Acklam formula vectorized over a numpy array — for
+    Arrow-batch ranking paths (`operators/geostats.nscore` exact mode).
+    Identical Horner order and constants as :func:`probit`, so Spark-,
+    SQL- and numpy-evaluated scores agree to the ulp of the underlying
+    libm (absorbed by the harness's round-to-6)."""
+    import numpy as np
+
+    p = np.asarray(p, np.float64)
+    out = np.empty_like(p)
+    mid = (p >= _P_LOW) & (p <= 1.0 - _P_LOW)
+    lo = p < _P_LOW
+    hi = p > 1.0 - _P_LOW
+
+    def poly(q, coeffs):
+        acc = np.full_like(q, coeffs[0])
+        for c in coeffs[1:]:
+            acc = acc * q + c
+        return acc
+
+    qm = p[mid] - 0.5
+    r = qm * qm
+    out[mid] = poly(r, _A) * qm / (poly(r, _B) * r + 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ql = np.sqrt(-2.0 * np.log(p[lo]))
+        out[lo] = poly(ql, _C) / (poly(ql, _D) * ql + 1.0)
+        qh = np.sqrt(-2.0 * np.log(1.0 - p[hi]))
+        out[hi] = -(poly(qh, _C) / (poly(qh, _D) * qh + 1.0))
+    return out

@@ -120,17 +120,25 @@ def charlm_perplexity(
 
     Returns ``(id, n_bigrams, avg_logp, ppl)``.
     """
+    # bigrams as zip_with over a split-to-chars array, NOT positional
+    # substring(_t, i, 2): UTF8String substring resolves codepoint i by
+    # scanning from the string head, so per-index substring makes bigram
+    # extraction O(len²) per document — measured 2.7x slower end-to-end
+    # at sf0.1.  split+slice+zip_with is one linear pass per document.
+    chars = F.split(F.col("_t"), "")
     bi = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         .where(F.length("_t") >= 2)
         .select(
             "_id",
             F.explode(
-                F.sequence(F.lit(1), F.length("_t") - F.lit(1))
-            ).alias("_i"),
-            "_t",
+                F.zip_with(
+                    F.slice(chars, 1, F.size(chars) - 1),
+                    F.slice(chars, 2, F.size(chars) - 1),
+                    lambda a, b: F.concat(a, b),
+                )
+            ).alias("_bg"),
         )
-        .select("_id", F.substring(F.col("_t"), F.col("_i"), F.lit(2)).alias("_bg"))
     )
     doc_bg = bi.groupBy("_id", "_bg").agg(F.count(F.lit(1)).alias("_c"))
     # the model deliberately re-aggregates the RAW bigram stream rather

@@ -270,6 +270,11 @@ def decode_jpeg(buf: bytes, gray: bool = False) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # TEM / RSTn / stray SOI are STANDALONE markers (no length
+            # field); reading a length here would mis-skip the stream
+            pos += 2
+            continue
         (seglen,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
         seg = buf[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT

@@ -361,11 +361,16 @@ def _biff_record(rid: int, payload: bytes) -> bytes:
 
 
 def _biff_cell(row: int, col: int, v) -> bytes:
+    import numbers
+
     if v is None:
         return b""
-    if isinstance(v, bool):
+    # numpy bool_/int64/float64 are NOT bool/int/float subclasses (except
+    # float64); test the abstract numeric tower so frame cells don't get
+    # silently written as text LABELs
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
         return _biff_record(0x0205, struct.pack("<HHHBB", row, col, 15, int(v), 0))
-    if isinstance(v, (int, float)):
+    if isinstance(v, numbers.Real):
         return _biff_record(0x0203, struct.pack("<HHHd", row, col, 15, float(v)))
     s = str(v).encode("utf-16-le")
     us = struct.pack("<HB", len(s) // 2, 1) + s  # uncompressed unicode
@@ -416,12 +421,27 @@ def write_xls(tables: dict, path: str) -> None:
     if len(wb) < 4096:
         wb += b"\x00" * (4096 - len(wb))  # stay out of the mini stream
 
-    # CFB container: [header][FAT][DIR][stream sectors]
+    # CFB container: [header][FAT x k][DIR][stream sectors].  The FAT
+    # sector count solves a small fixed point (each FAT sector holds 128
+    # entries and the FAT covers itself + DIR + stream); all k ids fit
+    # the header DIFAT (109 slots -> ~6.9 MB stream ceiling, loudly
+    # enforced — a single-FAT writer silently corrupted streams > 63 KB)
     n_stream = -(-len(wb) // 512)
-    fat_entries = [0xFFFFFFFD, _ENDOFCHAIN]  # FAT sector, DIR sector
-    fat_entries += [2 + i + 1 for i in range(n_stream - 1)] + [_ENDOFCHAIN]
+    n_fat = 1
+    while n_fat * 128 < n_fat + 1 + n_stream:
+        n_fat += 1
+    if n_fat > 109:
+        raise ValueError(
+            f"workbook stream is {len(wb)} bytes — beyond the header-DIFAT "
+            "FAT capacity of this minimal writer (~6.9 MB)"
+        )
+    dir_sector = n_fat  # sectors 0..n_fat-1 are FAT, then DIR, then stream
+    first_stream = n_fat + 1
+    fat_entries = [0xFFFFFFFD] * n_fat + [_ENDOFCHAIN]  # FAT sectors, DIR
+    fat_entries += [first_stream + i + 1 for i in range(n_stream - 1)]
+    fat_entries += [_ENDOFCHAIN]
     fat = b"".join(struct.pack("<I", e) for e in fat_entries)
-    fat += struct.pack("<I", _FREESECT) * (128 - len(fat_entries))
+    fat += struct.pack("<I", _FREESECT) * (n_fat * 128 - len(fat_entries))
 
     def direntry(name, obj_type, start, size, child=-1):
         nm = name.encode("utf-16-le") + b"\x00\x00"
@@ -434,7 +454,7 @@ def write_xls(tables: dict, path: str) -> None:
         return e
 
     root = direntry("Root Entry", 5, _ENDOFCHAIN, 0, child=1)
-    wbent = direntry("Workbook", 2, 2, len(wb))
+    wbent = direntry("Workbook", 2, first_stream, len(wb))
     dirsec = (root + wbent).ljust(512, b"\x00")
 
     header = bytearray(512)
@@ -444,16 +464,17 @@ def write_xls(tables: dict, path: str) -> None:
     struct.pack_into("<H", header, 28, 0xFFFE)  # little-endian
     struct.pack_into("<H", header, 30, 9)  # sector shift
     struct.pack_into("<H", header, 32, 6)  # mini sector shift
-    struct.pack_into("<I", header, 44, 1)  # one FAT sector
-    struct.pack_into("<I", header, 48, 1)  # dir start = sector 1
+    struct.pack_into("<I", header, 44, n_fat)  # FAT sector count
+    struct.pack_into("<I", header, 48, dir_sector)  # dir start
     struct.pack_into("<I", header, 56, 4096)  # mini cutoff
     struct.pack_into("<I", header, 60, _ENDOFCHAIN)  # no mini FAT
     struct.pack_into("<I", header, 64, 0)
     struct.pack_into("<I", header, 68, _ENDOFCHAIN)  # no DIFAT chain
     struct.pack_into("<I", header, 72, 0)
-    struct.pack_into("<I", header, 76, 0)  # DIFAT[0] = FAT sector 0
-    for i in range(1, 109):
-        struct.pack_into("<I", header, 76 + 4 * i, _FREESECT)
+    for i in range(109):
+        struct.pack_into(
+            "<I", header, 76 + 4 * i, i if i < n_fat else _FREESECT
+        )
 
     with open(path, "wb") as fh:
         fh.write(bytes(header))
