@@ -123,17 +123,24 @@ def main() -> None:
     except (OSError, ValueError):
         history = []
     prior = [h["queries"] for h in history if h.get("sf") == sf][-5:]
-    regressions: dict[str, float] = {}
     med_total = 0.0
+    meds: dict[str, float] = {}
     for name, t in timings.items():
         samples = sorted(h[name] for h in prior if name in h)
         if not samples:
             med_total += t  # new query: neutral contribution
             continue
-        med = samples[len(samples) // 2]
-        med_total += med
+        meds[name] = samples[len(samples) // 2]
+        med_total += meds[name]
+    # normalize per-query ratios by the RUN's overall ratio: this box
+    # drifts ±25% uniformly run-to-run, and without the normalization a
+    # uniformly-slow run flags a rotating handful of innocent queries
+    run_ratio = max(1.0, total / med_total) if med_total else 1.0
+    regressions: dict[str, float] = {}
+    for name, med in meds.items():
+        t = timings[name]
         # absolute floor: a 0.1 s -> 0.2 s jitter is not a regression
-        if med > 0 and t / med > 1.5 and t - med > 0.5:
+        if med > 0 and (t / med) / run_ratio > 1.5 and t - med > 0.5:
             regressions[name] = round(t / med, 3)
     history.append({"ts": int(time.time()), "sf": sf, "queries": timings})
     try:

@@ -193,3 +193,80 @@ def test_avi_mjpg_flat_frames_exact(nf, h, w, seed):
     assert fps == 10
     assert out.shape == frames.shape
     assert (out == frames).all()
+
+
+# -- progressive JPEG: decode must equal the baseline decode bit-for-bit ----
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    color=st.booleans(),
+    subsampling=st.sampled_from(["444", "422", "420"]),
+    dc_al=st.integers(0, 2),
+    ac_split=st.sampled_from([1, 5, 20, 62]),
+    ac_al=st.integers(0, 2),
+    restart=st.sampled_from([0, 1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_jpeg_matches_baseline_decode(
+    h, w, color, subsampling, dc_al, ac_split, ac_al, restart, seed
+):
+    """Both encoders quantize identical coefficients, so the progressive
+    scan pipeline (DC SA bit-planes, spectral bands, AC first +
+    refinement with EOB runs and ZRL paths) must reconstruct EXACTLY
+    the baseline decode — over arbitrary shapes, subsampling, band
+    splits, and approximation depths."""
+    from vtk_reserves_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed)
+    # mix of smooth ramps, hard edges and noise — exercises long zero
+    # runs (ZRL/EOB), late-band coefficients, and dense spectra
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        128.0
+        + 70.0 * np.sin(yy / 7.0)
+        + 50.0 * ((xx // 4) % 2)
+        + rng.randn(h, w) * rng.choice([0.0, 8.0, 40.0])
+    )
+    if color:
+        img = np.stack(
+            [np.clip(base + o, 0, 255) for o in (0.0, -30.0, 30.0)], axis=-1
+        ).astype(np.uint8)
+    else:
+        img = np.clip(base, 0, 255).astype(np.uint8)
+    b = decode_jpeg(encode_jpeg(img, subsampling=subsampling))
+    p = decode_jpeg(
+        encode_jpeg_progressive(
+            img, subsampling=subsampling, dc_al=dc_al,
+            ac_split=ac_split, ac_al=ac_al, restart_interval=restart,
+        )
+    )
+    assert np.array_equal(b, p)
+
+
+def test_progressive_jpeg_truncated_prefix_decodes():
+    """Dropping trailing scans must still decode (coarser, right shape)
+    — the point of progressive encoding, and the path real truncated
+    web corpora hit."""
+    from vtk_reserves_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    img = np.clip(128 + 60 * np.sin(yy / 5.0) + 40 * np.cos(xx / 3.0), 0, 255).astype(np.uint8)
+    buf = encode_jpeg_progressive(img)
+    # cut right before the LAST SOS and append EOI
+    last_sos = buf.rfind(b"\xff\xda")
+    truncated = buf[:last_sos] + b"\xff\xd9"
+    out = decode_jpeg(truncated)
+    assert out.shape == img.shape
+    # and even without EOI (mid-stream cut) it reconstructs what arrived
+    out2 = decode_jpeg(buf[:last_sos])
+    assert out2.shape == img.shape

@@ -821,15 +821,23 @@ def test_jpeg_subsampling_and_restart_roundtrips():
     assert lum.shape == img.shape[:2]
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_unsupported_modes_and_garbage():
     from vtk_reserves_spark.sources.jpeg import decode_jpeg, encode_jpeg
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
     buf = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2  # pretend progressive
-    with pytest.raises(ValueError, match="baseline"):
+    buf[i + 1] = 0xC3  # lossless sequential
+    with pytest.raises(ValueError, match="SOF marker"):
+        decode_jpeg(bytes(buf))
+    buf[i + 1] = 0xC9  # arithmetic-coded
+    with pytest.raises(ValueError, match="SOF marker"):
+        decode_jpeg(bytes(buf))
+    # a baseline stream RELABELED SOF2 is malformed progressive (its one
+    # interleaved scan claims the full band): loud error, not garbage
+    buf[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se == 0"):
         decode_jpeg(bytes(buf))
 
 

@@ -13,11 +13,19 @@ MJPG frame and the vast majority of standalone ``.jpg`` files:
 * grayscale and YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling;
 * JFIF full-range BT.601 color conversion.
 
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-clear errors.  The encoder emits baseline 4:4:4 (or grayscale) streams
-with the spec's Annex K example quantization/Huffman tables — it exists
-so the AVI writer can produce real MJPG fixtures and so round-trips are
-testable without any external library.
+* PROGRESSIVE mode (SOF2): spectral selection + successive
+  approximation, DC/AC first and refinement scans, EOB runs, per-scan
+  restart intervals — scans accumulate into persistent coefficient
+  stores and any prefix of scans reconstructs (truncated streams
+  decode to the coarser image, the format's point).
+
+Arithmetic coding, lossless/hierarchical modes, and 12-bit precision
+raise clear errors.  The encoders (baseline `encode_jpeg`, progressive
+`encode_jpeg_progressive`) emit the spec's Annex K example tables —
+they exist so the AVI writer can produce real MJPG fixtures and so
+round-trips are testable without any external library; both encode the
+IDENTICAL quantized coefficients, so decoding a progressive stream is
+pinned bit-for-bit against the baseline decode of the same image.
 
 Scale note: like the PNG/WAV codecs this runs INSIDE Arrow-batched
 executors (`operators/multimodal.py` mapInPandas stages), one payload
@@ -261,6 +269,8 @@ def decode_jpeg(buf: bytes, gray: bool = False) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffTable] = {}
     sof = None
     restart = 0
+    progressive = False
+    mcux = mcuy = 0
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -269,6 +279,12 @@ def decode_jpeg(buf: bytes, gray: bool = False) -> np.ndarray:
             pos += 1
             continue
         if marker == 0xD9:  # EOI
+            if progressive and sof is not None:
+                h, w, comps = sof
+                blocks = [
+                    c["coef"].astype(np.float64) * qt[c["tq"]] for c in comps
+                ]
+                return _finish_planes(h, w, comps, blocks, gray)
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             # TEM / RSTn / stray SOI are STANDALONE markers (no length
@@ -308,11 +324,40 @@ def decode_jpeg(buf: bytes, gray: bool = False) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2 progressive
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG precision unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            sof = (h, w, comps)
+            progressive = True
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                # coefficient store on the MCU-padded block grid; scans
+                # accumulate into it until EOI
+                c["coef"] = np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), np.int64
+                )
+                c["eobrun"] = 0
+                # non-interleaved scan geometry: ceil of the ACTUAL
+                # component sample dims, NOT the MCU-padded ones
+                compw = -(-(w * c["h"]) // hmax)
+                comph = -(-(h * c["v"]) // vmax)
+                c["cbw"] = -(-compw // 8)
+                c["cbh"] = -(-comph // 8)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported "
-                f"(got SOF marker 0x{marker:02x})"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) "
+                f"Huffman JPEG is supported (got SOF marker 0x{marker:02x})"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
@@ -321,15 +366,31 @@ def decode_jpeg(buf: bytes, gray: bool = False) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             h, w, comps = sof
             ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i : 3 + 2 * i]
+                sel[cs] = (tt >> 4, tt & 15)
+            if progressive:
+                ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = ahl >> 4, ahl & 15
+                scan_comps = [c for c in comps if c["id"] in sel]
+                for c in scan_comps:
+                    td, ta = sel[c["id"]]
+                    if ss == 0 and ah == 0:
+                        c["dc"] = huff[(0, td)]
+                    if ss > 0:
+                        c["ac"] = huff[(1, ta)]
+                segments, pos = _split_entropy(buf, pos + 2 + seglen)
+                _decode_prog_scan(
+                    segments, scan_comps, ss, se, ah, al, restart,
+                    mcux, mcuy,
+                )
+                continue
             if ns != len(comps):
                 raise ValueError(
                     "multi-scan (non-interleaved) baseline JPEG is "
                     f"unsupported: scan covers {ns} of {len(comps)} components"
                 )
-            sel = {}
-            for i in range(ns):
-                cs, tt = seg[1 + 2 * i : 3 + 2 * i]
-                sel[cs] = (tt >> 4, tt & 15)
             for c in comps:
                 td, ta = sel[c["id"]]
                 c["dc"] = huff[(0, td)]
@@ -340,17 +401,19 @@ def decode_jpeg(buf: bytes, gray: bool = False) -> np.ndarray:
             )
         # APPn / COM / others: skip
         pos += 2 + seglen
+    if progressive and sof is not None:
+        # truncated progressive stream (missing EOI): reconstruct from
+        # the scans that did arrive — the format's point is that any
+        # prefix of scans yields a coarser but valid image
+        h, w, comps = sof
+        blocks = [c["coef"].astype(np.float64) * qt[c["tq"]] for c in comps]
+        return _finish_planes(h, w, comps, blocks, gray)
     raise ValueError("JPEG stream ended without a scan")
 
 
-def _decode_scan(buf, pos, h, w, comps, restart, gray):
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcu = mcux * mcuy
-
-    # split entropy data into destuffed restart segments
+def _split_entropy(buf: bytes, pos: int):
+    """Destuff entropy-coded data starting at ``pos`` into restart
+    segments; returns ``(segments, pos_of_next_marker)``."""
     segments = []
     cur = bytearray()
     while pos < len(buf):
@@ -370,29 +433,17 @@ def _decode_scan(buf, pos, h, w, comps, restart, gray):
         cur.append(b)
         pos += 1
     segments.append(bytes(cur))
+    return segments, pos
 
-    coeff_store = [[] for _ in comps]
-    mcu_iter = list(range(n_mcu))
-    step = restart if restart else n_mcu
-    si = 0
-    for start in range(0, n_mcu, step):
-        if si >= len(segments):
-            raise ValueError("JPEG truncated: missing restart segment")
-        br = _BitReader(segments[si])
-        dc_pred = [0] * len(comps)
-        _decode_segment(
-            br, comps, mcu_iter[start : start + step], mcux, dc_pred,
-            coeff_store,
-        )
-        si += 1
 
-    # batched dequantize + IDCT per component
+def _finish_planes(h, w, comps, blocks_per_comp, gray):
+    """Dequantized coefficient blocks -> decoded image (batched einsum
+    IDCT, chroma upsampling, crop, optional BT.601 color)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
-    for ci, c in enumerate(comps):
-        bw, bh = mcux * c["h"], mcuy * c["v"]
-        blocks = np.zeros((bh, bw, 64), np.float64)
-        for brow, bcol, coeffs in coeff_store[ci]:
-            blocks[brow, bcol] = coeffs * c["q"]
+    for c, blocks in zip(comps, blocks_per_comp):
+        bh, bw = blocks.shape[0], blocks.shape[1]
         # block[x, w] = sum_{u,v} C[u, x] * D[u, v] * C[v, w]
         spatial = np.einsum(
             "ux,ybuv,vw->ybxw", _C, blocks.reshape(bh, bw, 8, 8), _C
@@ -414,6 +465,175 @@ def _decode_scan(buf, pos, h, w, comps, restart, gray):
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(buf, pos, h, w, comps, restart, gray):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+
+    segments, _ = _split_entropy(buf, pos)
+
+    coeff_store = [[] for _ in comps]
+    mcu_iter = list(range(n_mcu))
+    step = restart if restart else n_mcu
+    si = 0
+    for start in range(0, n_mcu, step):
+        if si >= len(segments):
+            raise ValueError("JPEG truncated: missing restart segment")
+        br = _BitReader(segments[si])
+        dc_pred = [0] * len(comps)
+        _decode_segment(
+            br, comps, mcu_iter[start : start + step], mcux, dc_pred,
+            coeff_store,
+        )
+        si += 1
+
+    blocks_per_comp = []
+    for ci, c in enumerate(comps):
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        blocks = np.zeros((bh, bw, 64), np.float64)
+        for brow, bcol, coeffs in coeff_store[ci]:
+            blocks[brow, bcol] = coeffs * c["q"]
+        blocks_per_comp.append(blocks)
+    return _finish_planes(h, w, comps, blocks_per_comp, gray)
+
+
+def _decode_prog_scan(segments, comps, ss, se, ah, al, restart, mcux, mcuy):
+    """One progressive scan (T.81 G.2) into the components' persistent
+    ``coef`` stores.
+
+    Geometry: a multi-component scan must be a DC scan and iterates
+    MCUs (data units per MCU = h*v per component); a single-component
+    scan iterates that component's blocks in raster order over its
+    ACTUAL (cbh, cbw) grid.  Restart intervals reset the DC predictors
+    and the EOB run."""
+    interleaved = len(comps) > 1
+    if interleaved and ss != 0:
+        raise ValueError("progressive AC scan must be single-component")
+    if ss == 0 and se != 0 and ah == 0:
+        raise ValueError("progressive DC scan must have Se == 0")
+
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        units = comps[0]["cbw"] * comps[0]["cbh"]
+    step = restart if restart else units
+    si = 0
+    done = 0
+    while done < units:
+        if si >= len(segments):
+            raise ValueError("JPEG truncated: missing restart segment")
+        br = _BitReader(segments[si])
+        preds = [0] * len(comps)
+        for c in comps:
+            c["eobrun"] = 0
+        for u in range(done, min(done + step, units)):
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _prog_block(
+                                br, c, preds, ci,
+                                my * c["v"] + by, mx * c["h"] + bx,
+                                ss, se, ah, al,
+                            )
+            else:
+                c = comps[0]
+                by, bx = divmod(u, c["cbw"])
+                _prog_block(br, c, preds, 0, by, bx, ss, se, ah, al)
+        done += step
+        si += 1
+
+
+def _prog_block(br, c, preds, ci, brow, bcol, ss, se, ah, al):
+    coef = c["coef"][brow, bcol]
+    if ss == 0:
+        if ah == 0:  # DC first: baseline DC coding of (DC >> al) diffs
+            packed = int(c["dc"].lut[br.peek16()])
+            s, ln = packed >> 5, packed & 31
+            if ln == 0:
+                raise ValueError("invalid JPEG Huffman code (DC)")
+            br.skip(ln)
+            diff = _extend(br.getbits(s), s) if s else 0
+            preds[ci] += diff
+            coef[0] = preds[ci] << al
+        else:  # DC refinement: one raw bit per block
+            if br.getbits(1):
+                coef[0] |= 1 << al
+        return
+    # AC scans
+    if ah == 0:  # first pass over this band
+        if c["eobrun"] > 0:
+            c["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            packed = int(c["ac"].lut[br.peek16()])
+            rs, ln = packed >> 5, packed & 31
+            if ln == 0:
+                raise ValueError("invalid JPEG Huffman code (AC)")
+            br.skip(ln)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                c["eobrun"] = (1 << r) - 1 + br.getbits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            coef[ZIGZAG[k]] = _extend(br.getbits(s), s) << al
+            k += 1
+        return
+    # AC refinement (T.81 G.1.2.3): newly-significant coefficients come
+    # in as +-1<<al; every already-nonzero coefficient passed over reads
+    # one correction bit
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if c["eobrun"] == 0:
+        while k <= se:
+            packed = int(c["ac"].lut[br.peek16()])
+            rs, ln = packed >> 5, packed & 31
+            if ln == 0:
+                raise ValueError("invalid JPEG Huffman code (AC)")
+            br.skip(ln)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    c["eobrun"] = (1 << r) + br.getbits(r)
+                    break
+                val = 0  # ZRL: 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                val = p1 if br.getbits(1) else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z] != 0:
+                    if br.getbits(1) and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] > 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            coef[z] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if c["eobrun"] > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                if br.getbits(1) and (coef[z] & p1) == 0:
+                    coef[z] += p1 if coef[z] > 0 else m1
+            k += 1
+        c["eobrun"] -= 1
 
 
 class _BitWriter:
@@ -494,13 +714,10 @@ _SUBSAMPLING = {
 }
 
 
-def encode_jpeg(
-    img: np.ndarray, subsampling: str = "444", restart_interval: int = 0
-) -> bytes:
-    """uint8 ``(h, w)`` grayscale or ``(h, w, 3)`` RGB -> baseline JPEG
-    (Annex K example tables).  ``subsampling`` is one of ``444`` /
-    ``422`` / ``420`` (ignored for grayscale); ``restart_interval`` > 0
-    emits a DRI segment and RSTn markers every that many MCUs."""
+def _prep_planes(img: np.ndarray, subsampling: str):
+    """Shared encoder front end: color transform, MCU-grid edge pad,
+    chroma box-downsample.  Returns (planes level-shifted, samp, h, w,
+    ph, pw, hmax, vmax)."""
     a = np.asarray(img, np.uint8)
     if a.ndim == 2:
         planes = [a.astype(np.float64) - 128.0]
@@ -530,6 +747,17 @@ def encode_jpeg(
             planes[i] = p.reshape(
                 p.shape[0] // fy, fy, p.shape[1] // fx, fx
             ).mean(axis=(1, 3))
+    return planes, samp, h, w, ph, pw, hmax, vmax
+
+
+def encode_jpeg(
+    img: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """uint8 ``(h, w)`` grayscale or ``(h, w, 3)`` RGB -> baseline JPEG
+    (Annex K example tables).  ``subsampling`` is one of ``444`` /
+    ``422`` / ``420`` (ignored for grayscale); ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that many MCUs."""
+    planes, samp, h, w, ph, pw, hmax, vmax = _prep_planes(img, subsampling)
 
     def dqt(tid, tbl):
         zz = tbl[ZIGZAG].astype(np.uint8).tobytes()
@@ -597,5 +825,250 @@ def encode_jpeg(
                         preds[ci], dc, ac,
                     )
     out += bw_.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_ac_first(bw_, zz, ss, se, al, ac_codes):
+    """AC first scan (Ah=0) for one block's band: baseline-style
+    run/size over the point-transformed values (magnitude >> al,
+    toward zero); per-block EOB (no cross-block EOB runs)."""
+    run = 0
+    last = 0
+    shifted = [0] * (se + 1)
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        sv = (abs(v) >> al) * (1 if v >= 0 else -1)
+        shifted[k] = sv
+        if sv:
+            last = k
+    for k in range(ss, se + 1):
+        sv = shifted[k]
+        if k > last:
+            break
+        if sv == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw_.put(code, ln)
+            run -= 16
+        s = abs(sv).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        bw_.put(code, ln)
+        bw_.put(sv if sv >= 0 else sv + (1 << s) - 1, s)
+        run = 0
+    if last < se:
+        code, ln = ac_codes[0x00]  # EOB (EOBRUN = 1)
+        bw_.put(code, ln)
+
+
+def _emit_ac_refine(bw_, zz, ss, se, al, ac_codes):
+    """AC refinement scan (Ah = al+1 -> Al = al) for one block's band
+    (T.81 G.1.2.3 encoder side): newly-significant coefficients code as
+    run/1 + sign, already-nonzero ones contribute one positional
+    correction bit consumed by the decoder as it walks."""
+    ah = al + 1
+    events: list = []  # 'z' for zero-history zero, 0/1 correction bits
+
+    def flush_zrl():
+        # decoder's ZRL walk consumes exactly 16 zero-history positions
+        # and every correction bit interspersed before the 16th
+        code, ln = ac_codes[0xF0]
+        bw_.put(code, ln)
+        zseen = 0
+        while events:
+            e = events[0]
+            if e == "z":
+                if zseen == 16:
+                    break
+                zseen += 1
+                events.pop(0)
+            else:
+                if zseen == 16:
+                    break
+                bw_.put(events.pop(0), 1)
+
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        hist = abs(v) >> ah
+        bit = (abs(v) >> al) & 1
+        if hist == 0:
+            if bit:
+                while events.count("z") > 15:
+                    flush_zrl()
+                run = events.count("z")
+                code, ln = ac_codes[(run << 4) | 1]
+                bw_.put(code, ln)
+                bw_.put(1 if v > 0 else 0, 1)
+                for e in events:
+                    if e != "z":
+                        bw_.put(e, 1)
+                events = []
+            else:
+                events.append("z")
+        else:
+            events.append(bit)
+    if events:
+        code, ln = ac_codes[0x00]  # EOB, EOBRUN = 1
+        bw_.put(code, ln)
+        for e in events:
+            if e != "z":
+                bw_.put(e, 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    subsampling: str = "444",
+    dc_al: int = 1,
+    ac_split: int = 5,
+    ac_al: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 image -> PROGRESSIVE JPEG (SOF2, Annex K tables).
+
+    Scan script exercises the full progressive feature set the decoder
+    supports: interleaved DC first at Al=``dc_al`` + DC refinement
+    bit-planes; per-component spectral-selection AC bands split at
+    ``ac_split`` (1..split, split+1..63), each with a successive-
+    approximation first pass at Al=``ac_al`` and refinement passes down
+    to 0.  The quantized coefficients are IDENTICAL to
+    :func:`encode_jpeg`'s, so decoding both must yield bit-identical
+    pixels — the differential contract the property tests pin."""
+    planes, samp, h, w, ph, pw, hmax, vmax = _prep_planes(img, subsampling)
+    gray_only = len(planes) == 1
+    ncomp = len(planes)
+
+    def dqt(tid, tbl):
+        zz = tbl[ZIGZAG].astype(np.uint8).tobytes()
+        return b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, tid) + zz
+
+    def dht(tc, th, bits, vals):
+        payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += dqt(0, QUANT_LUMA)
+    if not gray_only:
+        out += dqt(1, QUANT_CHROMA)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0 if i == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray_only:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_codes = [
+        _encode_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+        if i == 0
+        else _encode_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        for i in range(ncomp)
+    ]
+    ac_codes = [
+        _encode_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+        if i == 0
+        else _encode_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+        for i in range(ncomp)
+    ]
+    coeffs = [
+        _fdct_quant(p, QUANT_LUMA if i == 0 else QUANT_CHROMA)
+        for i, p in enumerate(planes)
+    ]
+    mcux, mcuy = pw // (8 * hmax), ph // (8 * vmax)
+
+    def sos(comp_ids, tables, ss, se, ah, al):
+        seg = bytes([len(comp_ids)])
+        for cid, tt in zip(comp_ids, tables):
+            seg += bytes([cid, tt])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    # --- scan 1: interleaved DC first, Al=dc_al (floor shift: >> on
+    # two's-complement ints, matching the decoder's << reconstruction)
+    out += sos(list(range(1, ncomp + 1)), [0x00 if i == 0 else 0x10 for i in range(ncomp)], 0, 0, 0, dc_al)
+    bw_ = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            out += bw_.flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            bw_ = _BitWriter()
+            preds = [0] * ncomp
+        my, mx = divmod(m, mcux)
+        for ci in range(ncomp):
+            sh, sv = samp[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    dc = int(coeffs[ci][my * sv + by, mx * sh + bx][0]) >> dc_al
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    s = abs(diff).bit_length()
+                    code, ln = dc_codes[ci][s]
+                    bw_.put(code, ln)
+                    if s:
+                        bw_.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += bw_.flush()
+
+    # --- DC refinement bit-planes, Al = dc_al-1 .. 0 (raw bits)
+    for al in range(dc_al - 1, -1, -1):
+        out += sos(list(range(1, ncomp + 1)), [0] * ncomp, 0, 0, al + 1, al)
+        bw_ = _BitWriter()
+        rst = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                out += bw_.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw_ = _BitWriter()
+            my, mx = divmod(m, mcux)
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(coeffs[ci][my * sv + by, mx * sh + bx][0])
+                        bw_.put((dc >> al) & 1, 1)
+        out += bw_.flush()
+
+    # --- AC scans: per component, two spectral bands, SA first +
+    # refinements.  Non-interleaved geometry: the component's ACTUAL
+    # block grid (ceil of subsampled dims), not the MCU-padded one.
+    bands = [(1, ac_split), (ac_split + 1, 63)]
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        compw = -(-(w * sh) // hmax)
+        comph = -(-(h * sv) // vmax)
+        cbw = -(-compw // 8)
+        cbh = -(-comph // 8)
+        for ss, se in bands:
+            for al in range(ac_al, -1, -1):
+                ah = 0 if al == ac_al else al + 1
+                out += sos([ci + 1], [0x01 if ci else 0x00], ss, se, ah, al)
+                bw_ = _BitWriter()
+                rst = 0
+                for u in range(cbw * cbh):
+                    if restart_interval and u and u % restart_interval == 0:
+                        out += bw_.flush()
+                        out += bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) % 8
+                        bw_ = _BitWriter()
+                    by, bx = divmod(u, cbw)
+                    zz = coeffs[ci][by, bx][ZIGZAG]
+                    if ah == 0:
+                        _emit_ac_first(bw_, zz, ss, se, al, ac_codes[ci])
+                    else:
+                        _emit_ac_refine(bw_, zz, ss, se, al, ac_codes[ci])
+                out += bw_.flush()
+
     out += b"\xff\xd9"
     return bytes(out)
