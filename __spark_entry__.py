@@ -2016,6 +2016,20 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.resize_media(payloads, out_w=16, out_h=16, fake=False)
 
 
+def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG path (operators/multimodal +
+    sources/jpeg.py): each doc becomes a genuine SOF2 stream (DC
+    bit-planes, split AC bands with successive approximation, restart
+    intervals) and extract_features Huffman-decodes + accumulates +
+    IDCTs it executor-side.  Flat even-valued frames are bit-exact
+    through quantization, so the oracle holds the synthesis rule's
+    closed form while every progressive scan decodes for real."""
+    par = 2 * spark.sparkContext.defaultParallelism
+    docs = _read(spark, sf_dir, "documents").repartition(par, "doc_id")
+    payloads = MM.attach_progressive_jpeg_payload(docs)
+    return MM.extract_features(payloads, fake=False)
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate removal
     (operators/dedup.remove_duplicate_segments): 8-token segments
@@ -3003,6 +3017,20 @@ def _llm_oracles() -> dict[str, str]:
                    END AS mean_byte
             FROM d
         """,
+        "jpeg_progressive": """
+            -- closed form of the progressive-JPEG synthesis rule
+            -- (attach_progressive_jpeg_payload): flat w=8+n%5, h=8+n%7
+            -- frame of value 2*((n*11)%128); flat even frames are
+            -- bit-exact through JPEG quantization, so the decoded mean
+            -- IS the synthesized value (corpus is pure ASCII: length ==
+            -- utf-8 byte count, as verified for multimodal_features)
+            WITH d AS (SELECT doc_id, length(text) AS n FROM documents)
+            SELECT doc_id,
+                   CAST(8 + n % 5 AS INT) AS width,
+                   CAST(8 + n % 7 AS INT) AS height,
+                   CAST(2 * ((n * 11) % 128) AS DOUBLE) AS mean_byte
+            FROM d
+        """,
         "multimodal_resize": """
             -- nearest-neighbor resample of the synthesized w x h image to
             -- 16x16: output (r,c) reads source ((r*h)//16, (c*w)//16),
@@ -3311,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "krige_degenerate": q_krige_degenerate,
         "bpe_degenerate": q_bpe_degenerate,
+        "jpeg_progressive": q_jpeg_progressive,
         "kmeans": q_kmeans,
         "fuzzy_join": q_fuzzy_join,
         # --- recorded green in round 2 ---

@@ -1124,3 +1124,25 @@ def test_jpeg_standalone_markers_in_header_skipped():
     # splice a TEM marker right after SOI
     spliced = buf[:2] + b"\xff\x01" + buf[2:]
     assert (decode_jpeg(spliced) == decode_jpeg(buf)).all()
+
+
+def test_jpeg_progressive_payload_decodes_exact(spark):
+    """attach_progressive_jpeg_payload -> extract_features: the flat
+    even-valued frame survives the full progressive pipeline (DC
+    bit-planes, AC band scans, restart intervals) bit-exactly."""
+    import vtk_reserves_spark.operators.multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "x" * 37)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in MM.extract_features(
+            MM.attach_progressive_jpeg_payload(docs), fake=False
+        ).collect()
+    }
+    for i, t in ((1, "hello world"), (2, ""), (3, "x" * 37)):
+        n = len(t.encode("utf-8"))
+        r = rows[i]
+        assert (r["width"], r["height"]) == (8 + n % 5, 8 + n % 7)
+        assert r["mean_byte"] == float(2 * ((n * 11) % 128))

@@ -101,6 +101,48 @@ def attach_png_payload(
     )
 
 
+def attach_progressive_jpeg_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a REAL progressive-JPEG payload per row
+    (`sources/jpeg.py` encode_jpeg_progressive: SOF2, DC successive-
+    approximation bit-planes, split AC bands with SA refinement,
+    restart intervals): a flat grayscale ``w = 8 + n%5`` by
+    ``h = 8 + n%7`` frame of uniform value ``2*((n*11) % 128)``
+    (n = utf-8 byte count).  Flat even-valued frames are EXACT through
+    JPEG quantization (the level-shifted DC is a multiple of the
+    quantizer and every AC coefficient is zero), so the full
+    progressive scan pipeline — Huffman decode, bit-plane
+    accumulation, IDCT — runs for real while the oracle keeps a closed
+    form."""
+    from vtk_reserves_spark.sources.jpeg import encode_jpeg_progressive
+
+    @F.pandas_udf(T.BinaryType())
+    def to_pjpg(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            n = len((t or "").encode("utf-8"))
+            w, h = 8 + n % 5, 8 + n % 7
+            img = np.full((h, w), 2 * ((n * 11) % 128), np.uint8)
+            out.append(
+                encode_jpeg_progressive(img, restart_interval=2)
+            )
+        return pd.Series(out)
+
+    with_payload = df.select(F.col(id_col), to_pjpg(F.col(text_col)).alias("payload"))
+    return with_payload.select(
+        id_col,
+        "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/jpeg").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def attach_wav_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sample_rate: int = 8000,
@@ -318,8 +360,8 @@ def video_frames(df: DataFrame) -> DataFrame:
 
 
 def decode_media(payload: bytes, mime: str, fake: bool = False):
-    """Decode one payload.  PNG (pure-zlib) and baseline JPEG
-    (pure-numpy, ``sources/jpeg.py``) decode for real; other mimes need
+    """Decode one payload.  PNG (pure-zlib) and JPEG — baseline AND
+    progressive (pure-numpy, ``sources/jpeg.py``) — decode for real; other mimes need
     codecs absent from this environment, so callers must opt into the
     deterministic fake."""
     if fake:
