@@ -2030,6 +2030,22 @@ def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(payloads, fake=False)
 
 
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF path (operators/multimodal.gif_frames +
+    sources/gif.py): each doc becomes a genuine LZW-compressed GIF89a
+    animation and every frame is decoded + composited executor-side.
+    GIF is lossless, so the oracle replays the synthesis rule exactly
+    — no even-value trick needed (contrast q_video_frames_mjpg)."""
+    par = 2 * spark.sparkContext.defaultParallelism
+    docs = _read(spark, sf_dir, "documents").repartition(par, "doc_id")
+    payloads = MM.attach_gif_payload(docs)
+    out = MM.gif_frames(payloads)
+    return out.select(
+        "doc_id", "frame_idx", "width", "height",
+        F.round("mean_px", 6).alias("mean_px"),
+    )
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate removal
     (operators/dedup.remove_duplicate_segments): 8-token segments
@@ -3017,6 +3033,23 @@ def _llm_oracles() -> dict[str, str]:
                    END AS mean_byte
             FROM d
         """,
+        "gif_frames": """
+            -- closed form of the GIF synthesis rule (attach_gif_payload):
+            -- 2+n%3 flat frames of w=8+n%6 x h=8+n%4, frame f uniformly
+            -- (n*13 + f*29) % 256; GIF/LZW is lossless so decode returns
+            -- the rule exactly (corpus is pure ASCII: length == bytes)
+            WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+            f AS (
+              SELECT doc_id, n, unnest(range(0, 2 + n % 3)) AS frame_idx
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(8 + n % 6 AS INT) AS width,
+                   CAST(8 + n % 4 AS INT) AS height,
+                   CAST((n * 13 + frame_idx * 29) % 256 AS DOUBLE) AS mean_px
+            FROM f
+        """,
         "jpeg_progressive": """
             -- closed form of the progressive-JPEG synthesis rule
             -- (attach_progressive_jpeg_payload): flat w=8+n%5, h=8+n%7
@@ -3340,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krige_degenerate": q_krige_degenerate,
         "bpe_degenerate": q_bpe_degenerate,
         "jpeg_progressive": q_jpeg_progressive,
+        "gif_frames": q_gif_frames,
         "kmeans": q_kmeans,
         "fuzzy_join": q_fuzzy_join,
         # --- recorded green in round 2 ---

@@ -270,3 +270,30 @@ def test_progressive_jpeg_truncated_prefix_decodes():
     # and even without EOI (mid-stream cut) it reconstructs what arrived
     out2 = decode_jpeg(buf[:last_sos])
     assert out2.shape == img.shape
+
+
+# -- GIF: lossless animated roundtrip ---------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    nf=st.integers(1, 4),
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    ncol=st.sampled_from([2, 5, 16, 200, 256]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_animated_roundtrip_exact(nf, h, w, ncol, seed):
+    """GIF/LZW is lossless for palette-sized content: arbitrary frame
+    counts, geometries, and palette sizes (up to the 256 limit, forcing
+    code-width growth and 4096-entry table resets) round-trip exact."""
+    from vtk_reserves_spark.sources.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    vals = rng.choice(256, size=min(ncol, 256), replace=False)
+    fr = vals[rng.randint(0, len(vals), (nf, h, w))].astype(np.uint8)
+    frames, delays = decode_gif(encode_gif(fr, delay_cs=2))
+    assert frames.shape == (nf, h, w, 3)
+    assert np.array_equal(frames, np.repeat(fr[:, :, :, None], 3, axis=3))
+    if nf > 1:
+        assert delays == [2] * nf

@@ -1146,3 +1146,76 @@ def test_jpeg_progressive_payload_decodes_exact(spark):
         r = rows[i]
         assert (r["width"], r["height"]) == (8 + n % 5, 8 + n % 7)
         assert r["mean_byte"] == float(2 * ((n * 11) % 128))
+
+
+def test_gif_interlaced_and_transparency_and_disposal():
+    """Hand-crafted GIF89a features the encoder never emits: interlaced
+    row order, a transparent-index patch composited over frame 1, and
+    disposal=2 restoring background before frame 3."""
+    import struct
+
+    from vtk_reserves_spark.sources.gif import (
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    # --- interlace: encode normally, then rewrite image as interlaced
+    rng = np.random.RandomState(5)
+    img = (rng.randint(0, 4, (10, 7)) * 80).astype(np.uint8)
+    rows = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for r in range(start, 10, step)]
+    shuffled = img[rows]  # rows in interlace transmission order
+    base = encode_gif(shuffled[None, :, :])
+    # patch: set interlace flag in the image descriptor and keep data
+    i = base.index(b"\x2c")
+    desc = bytearray(base[i : i + 10])
+    desc[9] |= 0x40
+    patched = base[:i] + bytes(desc) + base[i + 10 :]
+    frames, _ = decode_gif(patched)
+    assert np.array_equal(frames[0, :, :, 0], img)
+
+    # --- transparency + disposal: 3 frames, 4x4, palette [black, white,
+    # red, green]; frame 2 paints a 2x2 patch with transparent holes;
+    # frame 2 disposal=2 so frame 3 starts from background (black)
+    pal = b"\x00\x00\x00\xff\xff\xff\xff\x00\x00\x00\xff\x00"
+    def lzw_block(indices, mcs=2):
+        raw = _lzw_encode(np.array(indices, np.uint8), mcs)
+        out = b""
+        for k in range(0, len(raw), 255):
+            c = raw[k : k + 255]
+            out += bytes([len(c)]) + c
+        return bytes([mcs]) + out + b"\x00"
+
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 4, 4, 0x81, 0, 0) + pal
+    # frame 1: all white, no GCE
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0) + lzw_block([1] * 16)
+    # frame 2: GCE transparent idx 3, disposal 2; 2x2 patch at (1,1):
+    # [red, transparent; transparent, red]
+    gif += b"\x21\xf9\x04" + struct.pack("<BHB", (2 << 2) | 1, 0, 3) + b"\x00"
+    gif += b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0) + lzw_block([2, 3, 3, 2])
+    # frame 3: GCE plain; full green
+    gif += b"\x21\xf9\x04" + struct.pack("<BHB", 0, 0, 0) + b"\x00"
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0) + lzw_block([3] * 16)
+    gif += b"\x3b"
+    frames, delays = decode_gif(bytes(gif))
+    assert frames.shape == (3, 4, 4, 3)
+    # frame 1 all white
+    assert (frames[0] == 255).all()
+    # frame 2: white screen, red at (1,1) and (2,2); holes stay white
+    assert tuple(frames[1][1, 1]) == (255, 0, 0)
+    assert tuple(frames[1][2, 2]) == (255, 0, 0)
+    assert tuple(frames[1][1, 2]) == (255, 255, 255)
+    # frame 3: painted over a background-restored patch -> all green
+    assert (frames[2] == np.array([0, 255, 0], np.uint8)).all()
+
+
+def test_gif_rejects_garbage_and_too_many_colors():
+    from vtk_reserves_spark.sources.gif import decode_gif, encode_gif
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF")
+    rng = np.random.RandomState(1)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(rng.randint(0, 256, (1, 32, 32, 3)).astype(np.uint8))

@@ -359,9 +359,74 @@ def video_frames(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
+def gif_frames(df: DataFrame) -> DataFrame:
+    """REAL animated-GIF decode (pure-python LZW, `sources/gif.py`):
+    composite every frame onto the logical screen and emit one row per
+    frame with its geometry and pixel mean — the GIF twin of
+    :func:`video_frames`.  Arrow-batched ``mapInPandas``; container
+    bytes never leave the executor."""
+    from vtk_reserves_spark.sources.gif import decode_gif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+                frames, _delays = decode_gif(bytes(p))
+                nf, h, w, _ = frames.shape
+                for i in range(nf):
+                    rows.append((did, i, w, h, float(frames[i].mean())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "width", "height", "mean_px"]
+            )
+
+    return df.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+def attach_gif_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a REAL animated-GIF payload per row (`sources/gif.py`):
+    ``2 + n%3`` flat grayscale frames of ``w = 8 + n%6`` by
+    ``h = 8 + n%4``, frame ``f`` uniformly ``(n*13 + f*29) % 256``
+    (n = utf-8 byte count).  GIF is LOSSLESS, so unlike the JPEG
+    fixtures there is no even-value constraint — any synthesis rule is
+    exact, and the oracle replays it in closed form while the payload
+    is a genuine LZW-compressed animation."""
+    from vtk_reserves_spark.sources.gif import encode_gif
+
+    @F.pandas_udf(T.BinaryType())
+    def to_gif(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            n = len((t or "").encode("utf-8"))
+            nf, w, h = 2 + n % 3, 8 + n % 6, 8 + n % 4
+            frames = np.stack(
+                [
+                    np.full((h, w), (n * 13 + f * 29) % 256, np.uint8)
+                    for f in range(nf)
+                ]
+            )
+            out.append(encode_gif(frames))
+        return pd.Series(out)
+
+    with_payload = df.select(F.col(id_col), to_gif(F.col(text_col)).alias("payload"))
+    return with_payload.select(
+        id_col,
+        "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/gif").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def decode_media(payload: bytes, mime: str, fake: bool = False):
-    """Decode one payload.  PNG (pure-zlib) and JPEG — baseline AND
-    progressive (pure-numpy, ``sources/jpeg.py``) — decode for real; other mimes need
+    """Decode one payload.  PNG (pure-zlib), JPEG — baseline AND
+    progressive (pure-numpy, ``sources/jpeg.py``) — and GIF (pure LZW,
+    first frame) decode for real; other mimes need
     codecs absent from this environment, so callers must opt into the
     deterministic fake."""
     if fake:
@@ -388,6 +453,15 @@ def decode_media(payload: bytes, mime: str, fake: bool = False):
             "width": int(img.shape[1]),
             "height": int(img.shape[0]),
             "mean_byte": float(img.mean()),
+        }
+    if mime == "image/gif":
+        from vtk_reserves_spark.sources.gif import decode_gif
+
+        frames, _delays = decode_gif(bytes(payload))
+        return {
+            "width": int(frames.shape[2]),
+            "height": int(frames.shape[1]),
+            "mean_byte": float(frames[0].mean()),
         }
     raise NotImplementedError(
         f"no codec for mime {mime!r} in this container (PNG, JPEG and "
