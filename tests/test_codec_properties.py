@@ -297,3 +297,29 @@ def test_gif_animated_roundtrip_exact(nf, h, w, ncol, seed):
     assert np.array_equal(frames, np.repeat(fr[:, :, :, None], 3, axis=3))
     if nf > 1:
         assert delays == [2] * nf
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 30),
+    w=st.integers(1, 30),
+    bands=st.integers(1, 3),
+    comp=st.sampled_from([1, 5, 8, 32773]),
+    pred=st.sampled_from([1, 2]),
+    as_float=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_compressed_roundtrip_exact(h, w, bands, comp, pred, as_float, seed):
+    """LZW (early-change) / Deflate / PackBits strips and the
+    horizontal predictor round-trip losslessly for every shape."""
+    from vtk_reserves_spark.sources.geotiff import decode_tiff, encode_tiff
+
+    if as_float and pred == 2:
+        pred = 1  # predictor 2 is uint8-only by contract
+    rng = np.random.RandomState(seed)
+    if as_float:
+        img = rng.randn(h, w, bands).astype(np.float32)
+    else:
+        img = rng.randint(0, 256, (h, w, bands), dtype=np.uint8)
+    arr, _, _ = decode_tiff(encode_tiff(img, compression=comp, predictor=pred))
+    assert (arr == img).all()

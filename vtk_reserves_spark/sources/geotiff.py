@@ -1,7 +1,9 @@
 """GeoTIFF ingest/export — minimal pure-``struct`` baseline-TIFF codec
-(public TIFF 6.0 + GeoTIFF specs): uncompressed strips, uint8/float32
-samples, ModelPixelScale + ModelTiepoint affine georeferencing.  No
-GDAL/rasterio dependency; anything fancier (compression, tiles) raises.
+(public TIFF 6.0 + GeoTIFF specs): uncompressed, LZW (early-change
+variant), Deflate and PackBits strips, the horizontal-differencing
+predictor, uint8/float32 samples, ModelPixelScale + ModelTiepoint
+affine georeferencing.  No GDAL/rasterio dependency; tiled layouts and
+other predictors raise.
 
 The reference reads GeoTIFF bands into rows carrying both the pixel
 indices and the affine-transformed world coordinates
@@ -20,6 +22,151 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 _PIXEL_SCALE, _TIEPOINT = 33550, 33922
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, initial
+    9-bit codes, Clear=256 / EOI=257, and the "early change" rule (the
+    code width grows one code EARLIER than the GIF variant)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # missing EOI: tolerated
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        # early change: widen when the NEXT entry would need more bits
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Inverse of :func:`_tiff_lzw_decode` (fixture/export side)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # early-change mirror: the encoder's table runs ONE entry ahead
+        # of the decoder's (it assigns after writing, the decoder after
+        # the NEXT read), so it widens at 2^width while the decoder
+        # widens at 2^width - 1 — the libtiff-compatible pairing
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([b])
+    if prev:
+        put(table[prev], width)
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Simple PackBits writer: literal runs split at 128, repeat runs
+    for >= 3 equal bytes."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            while lit_start < i:
+                take = min(128, i - lit_start)
+                out += bytes([take - 1]) + data[lit_start : lit_start + take]
+                lit_start += take
+            out += bytes([257 - run, data[i]])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    while lit_start < i:
+        take = min(128, i - lit_start)
+        out += bytes([take - 1]) + data[lit_start : lit_start + take]
+        lit_start += take
+    return bytes(out)
 
 
 def decode_tiff(data: bytes):
@@ -55,15 +202,28 @@ def decode_tiff(data: bytes):
     spp = tags.get(277, (1,))[0]
     comp = tags.get(259, (1,))[0]
     fmt = tags.get(339, (1,))[0]
-    if comp != 1:
-        raise ValueError("only uncompressed TIFF supported")
+    if comp not in (1, 5, 8, 32946, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {comp} (supported: none, LZW, "
+            "Deflate, PackBits)"
+        )
     if tags.get(284, (1,))[0] != 1:
         # PlanarConfiguration=2 stores each band as its own strip set;
         # reshaping it as pixel-interleaved would silently scramble bands
         raise ValueError("only chunky (PlanarConfiguration=1) TIFF supported")
+    predictor = tags.get(317, (1,))[0]
     offsets = tags[273]
     counts = tags[279]
-    raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+    strips = [data[o : o + c] for o, c in zip(offsets, counts)]
+    if comp == 5:
+        strips = [_tiff_lzw_decode(s) for s in strips]
+    elif comp in (8, 32946):
+        import zlib
+
+        strips = [zlib.decompress(s) for s in strips]
+    elif comp == 32773:
+        strips = [_packbits_decode(s) for s in strips]
+    raw = b"".join(strips)
     if fmt == 3 and bits[0] == 32:
         arr = np.frombuffer(raw, e + "f4")
     elif fmt in (1, 4) and bits[0] == 8:
@@ -74,13 +234,28 @@ def decode_tiff(data: bytes):
         # Arrow rejects big-endian buffers — swap 'MM' samples to native
         arr = arr.astype(arr.dtype.newbyteorder("="))
     arr = arr.reshape(h, w, spp)
+    if predictor == 2:
+        if arr.dtype != np.uint8:
+            raise ValueError("horizontal predictor only supported for uint8")
+        # undo horizontal differencing: per-row, per-channel cumulative
+        # sum mod 256 (TIFF 6.0 §14)
+        arr = np.cumsum(arr, axis=1, dtype=np.uint8)
+    elif predictor not in (1,):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     scale = tags.get(_PIXEL_SCALE)
     tie = tags.get(_TIEPOINT)
     return arr, scale, tie
 
 
-def encode_tiff(arr: np.ndarray, pixel_scale=None, tiepoint=None) -> bytes:
-    """(h, w[, bands]) uint8/float32 array -> single-strip TIFF bytes."""
+def encode_tiff(
+    arr: np.ndarray, pixel_scale=None, tiepoint=None,
+    compression: int = 1, predictor: int = 1,
+) -> bytes:
+    """(h, w[, bands]) uint8/float32 array -> single-strip TIFF bytes.
+
+    ``compression``: 1 none, 5 LZW, 8 Deflate, 32773 PackBits.
+    ``predictor=2`` applies horizontal differencing first (uint8 only —
+    the standard pairing with LZW/Deflate on smooth rasters)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, spp = arr.shape
@@ -89,7 +264,26 @@ def encode_tiff(arr: np.ndarray, pixel_scale=None, tiepoint=None) -> bytes:
     else:
         arr = arr.astype(np.float32)
         bits, fmt = 32, 3
-    strip = arr.tobytes()
+    if predictor == 2:
+        if arr.dtype != np.uint8:
+            raise ValueError("horizontal predictor only supported for uint8")
+        d = arr.copy()
+        d[:, 1:, :] = arr[:, 1:, :] - arr[:, :-1, :]  # uint8 wraps mod 256
+        strip = d.tobytes()
+    elif predictor == 1:
+        strip = arr.tobytes()
+    else:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if compression == 5:
+        strip = _tiff_lzw_encode(strip)
+    elif compression in (8, 32946):
+        import zlib
+
+        strip = zlib.compress(strip)
+    elif compression == 32773:
+        strip = _packbits_encode(strip)
+    elif compression != 1:
+        raise ValueError(f"unsupported TIFF compression {compression}")
 
     entries = []  # (tag, type, count, packed-or-(data))
     extra: list[bytes] = []
@@ -103,8 +297,10 @@ def encode_tiff(arr: np.ndarray, pixel_scale=None, tiepoint=None) -> bytes:
     add(256, 4, [w], "I")
     add(257, 4, [h], "I")
     add(258, 3, [bits] * spp, "H")
-    add(259, 3, [1], "H")
+    add(259, 3, [compression], "H")
     add(262, 3, [1], "H")
+    if predictor != 1:
+        add(317, 3, [predictor], "H")
     add(273, 4, [0], "I")  # strip offset patched below
     add(277, 3, [spp], "H")
     add(278, 4, [h], "I")
