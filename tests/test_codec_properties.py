@@ -323,3 +323,48 @@ def test_tiff_compressed_roundtrip_exact(h, w, bands, comp, pred, as_float, seed
         img = rng.randint(0, 256, (h, w, bands), dtype=np.uint8)
     arr, _, _ = decode_tiff(encode_tiff(img, compression=comp, predictor=pred))
     assert (arr == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    mode=st.sampled_from(
+        ["grey1", "grey2", "grey4", "grey16", "rgb16", "rgba16", "ga8",
+         "pal8", "pal4", "pal_trns"]
+    ),
+    interlace=st.sampled_from([0, 1]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_extended_modes_roundtrip_exact(h, w, mode, interlace, seed):
+    """The full PNG feature matrix — sub-byte/16-bit depths, palettes,
+    tRNS alpha, grey+alpha, Adam7 — round-trips losslessly (sub-byte
+    grey comes back spec-scaled to 8 bits)."""
+    from vtk_reserves_spark.sources.image import decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    if mode.startswith("grey") and mode != "grey16":
+        d = int(mode[4:])
+        img = rng.randint(0, 1 << d, (h, w, 1)).astype(np.uint8)
+        got = decode_png(encode_png(img, depth=d, interlace=interlace))
+        assert np.array_equal(got[:, :, 0], img[:, :, 0] * (255 // ((1 << d) - 1)))
+        return
+    if mode in ("grey16", "rgb16", "rgba16"):
+        ch = {"grey16": 1, "rgb16": 3, "rgba16": 4}[mode]
+        img = rng.randint(0, 65536, (h, w, ch)).astype(np.uint16)
+        got = decode_png(encode_png(img, depth=16, interlace=interlace))
+        assert got.dtype == np.uint16 and np.array_equal(got, img)
+        return
+    if mode == "ga8":
+        img = rng.randint(0, 256, (h, w, 2)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(img, interlace=interlace)), img)
+        return
+    d = 4 if mode == "pal4" else 8
+    idx = rng.randint(0, 16, (h, w, 1)).astype(np.uint8)
+    trns = bytes(rng.randint(0, 256, 16).astype(np.uint8)) if mode == "pal_trns" else None
+    got = decode_png(encode_png(idx, palette=pal, trns=trns, depth=d, interlace=interlace))
+    want = pal[idx[:, :, 0]]
+    if trns is not None:
+        want = np.dstack([want, np.frombuffer(trns, np.uint8)[idx[:, :, 0]]])
+    assert np.array_equal(got, want)
