@@ -368,3 +368,23 @@ def test_png_extended_modes_roundtrip_exact(h, w, mode, interlace, seed):
     if trns is not None:
         want = np.dstack([want, np.frombuffer(trns, np.uint8)[idx[:, :, 0]]])
     assert np.array_equal(got, want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_exact(h, w, gray, seed):
+    from vtk_reserves_spark.sources.bmp import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(seed)
+    if gray:
+        img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        want = np.repeat(img[:, :, None], 3, axis=2)
+    else:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        want = img
+    assert np.array_equal(decode_bmp(encode_bmp(img)), want)

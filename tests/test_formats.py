@@ -1219,3 +1219,33 @@ def test_gif_rejects_garbage_and_too_many_colors():
     rng = np.random.RandomState(1)
     with pytest.raises(ValueError, match="256"):
         encode_gif(rng.randint(0, 256, (1, 32, 32, 3)).astype(np.uint8))
+
+
+def test_bmp_palette_topdown_and_32bit():
+    """Hand-crafted BMP variants the encoder never writes: 8-bit
+    palette rows, top-down (negative height), and 32-bit BGRA."""
+    import struct
+
+    from vtk_reserves_spark.sources.bmp import decode_bmp
+
+    # 8-bit palette, 3x2 bottom-up, palette[i] = (i, 2i, 3i) as BGR
+    pal = b"".join(bytes([(3 * i) % 256, (2 * i) % 256, i, 0]) for i in range(256))
+    stride = (3 + 3) & ~3
+    rows = bytes([0, 1, 2, 0]) + bytes([3, 4, 5, 0])  # bottom row first
+    off = 14 + 40 + len(pal)
+    bmp = (b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, len(rows), 0, 0, 256, 0)
+           + pal + rows)
+    img = decode_bmp(bmp)
+    assert img.shape == (2, 3, 3)
+    assert tuple(img[0, 0]) == (3, 6, 9)   # top row = second stored row
+    assert tuple(img[1, 2]) == (2, 4, 6)
+    # 32-bit top-down 2x1: BGRA pixels
+    px = bytes([10, 20, 30, 255, 40, 50, 60, 255])
+    bmp32 = (b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+             + struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 32, 0, len(px), 0, 0, 0, 0)
+             + px)
+    img = decode_bmp(bmp32)
+    assert img.shape == (1, 2, 3)
+    assert tuple(img[0, 0]) == (30, 20, 10)
+    assert tuple(img[0, 1]) == (60, 50, 40)

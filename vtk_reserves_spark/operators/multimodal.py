@@ -425,8 +425,8 @@ def attach_gif_payload(
 
 def decode_media(payload: bytes, mime: str, fake: bool = False):
     """Decode one payload.  PNG (pure-zlib), JPEG — baseline AND
-    progressive (pure-numpy, ``sources/jpeg.py``) — and GIF (pure LZW,
-    first frame) decode for real; other mimes need
+    progressive (pure-numpy, ``sources/jpeg.py``) — GIF (pure LZW,
+    first frame) and BMP decode for real; other mimes need
     codecs absent from this environment, so callers must opt into the
     deterministic fake."""
     if fake:
@@ -449,6 +449,15 @@ def decode_media(payload: bytes, mime: str, fake: bool = False):
         from vtk_reserves_spark.sources.jpeg import decode_jpeg
 
         img = decode_jpeg(bytes(payload))
+        return {
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "mean_byte": float(img.mean()),
+        }
+    if mime in ("image/bmp", "image/x-ms-bmp"):
+        from vtk_reserves_spark.sources.bmp import decode_bmp
+
+        img = decode_bmp(bytes(payload))
         return {
             "width": int(img.shape[1]),
             "height": int(img.shape[0]),
