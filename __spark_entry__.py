@@ -3376,6 +3376,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frames": q_gif_frames,
         "kmeans": q_kmeans,
         "fuzzy_join": q_fuzzy_join,
+        # rows-only by design (linear solves / iterative fixed point):
+        # rotated INTO the recorded window this round so they earn a
+        # driver-recorded rows-only row; their oracle-checkable
+        # degenerate twins (krige_degenerate, bpe_degenerate) hash-match
+        "krige": q_krige,
+        "indicator_krige": q_indicator_krige,
+        "simple_krige": q_simple_krige,
+        "cokrige": q_cokrige,
+        "krige_block": q_krige_block,
+        "bpe_merges": q_bpe_merges,
+        # rewritten this round (distributed bucketed exact rank): keep in
+        # the recorded window so the NEW implementation earns a driver
+        # hash row, not just the r1/r2 rows of the old one
+        "nscore": q_nscore,
+        "nscore_roundtrip": q_nscore_roundtrip,
         # --- recorded green in round 2 ---
         "distinct_sketch": q_distinct_sketch,
         "sessionize": q_sessionize,
@@ -3397,8 +3412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_report": q_xlsx_report,
         "skew_salted_agg": q_skew_salted_agg,
         "pack_offsets": q_pack_offsets,
-        "reblock": q_reblock,
-        "composite": q_composite,
         "desurvey": q_desurvey,
         "desurvey_mincurve": q_desurvey_mincurve,
         "idw": q_idw,
@@ -3416,8 +3429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_filter": q_length_filter,
         "decluster": q_decluster,
         "topcut": q_topcut,
-        "nscore": q_nscore,
-        "nscore_roundtrip": q_nscore_roundtrip,
+        "reblock": q_reblock,
+        "composite": q_composite,
         "audio_features": q_audio_features,
         "segment_dedup": q_segment_dedup,
         "duplicate_spans": q_duplicate_spans,
@@ -3427,15 +3440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram_directional": q_variogram_directional,
         "charlm_perplexity": q_charlm_perplexity,
         "swath": q_swath,
-        # rows-only linear solves, demoted past the harness's 50-entry
-        # cap to make room for oracle-CHECKABLE queries above; the
-        # full-contract self-run artifact still covers them
-        "krige": q_krige,
-        "indicator_krige": q_indicator_krige,
-        "simple_krige": q_simple_krige,
-        "cokrige": q_cokrige,
-        "krige_block": q_krige_block,
-        "bpe_merges": q_bpe_merges,  # rows-only: iterative greedy fixed point
         # --- verified green in round 1 ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
