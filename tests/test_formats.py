@@ -93,8 +93,8 @@ def test_wav_decoder_walks_extra_chunks_and_rejects_non_pcm():
     # non-PCM format tag -> clear error, not misread bytes
     bad = bytearray(encode_wav(mono, 8000))
     fmt_at = bytes(bad).find(b"fmt ") + 8
-    bad[fmt_at : fmt_at + 2] = struct.pack("<H", 3)  # IEEE float tag
-    with pytest.raises(ValueError, match="format tag 3"):
+    bad[fmt_at : fmt_at + 2] = struct.pack("<H", 2)  # MS-ADPCM tag
+    with pytest.raises(ValueError, match="format tag 2"):
         decode_wav(bytes(bad))
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"not a wav")
@@ -1249,3 +1249,121 @@ def test_bmp_palette_topdown_and_32bit():
     assert img.shape == (1, 2, 3)
     assert tuple(img[0, 0]) == (30, 20, 10)
     assert tuple(img[0, 1]) == (60, 50, 40)
+
+
+def _build_tiled_tiff(img, tw, th, comp=5):
+    """Minimal little-endian tiled-TIFF builder (test-side only)."""
+    import struct
+
+    from vtk_reserves_spark.sources.geotiff import (
+        _packbits_encode,
+        _tiff_lzw_encode,
+    )
+
+    h, w, spp = img.shape
+    across, down = -(-w // tw), -(-h // th)
+    pad = np.zeros((down * th, across * tw, spp), img.dtype)
+    pad[:h, :w] = img
+    enc = {5: _tiff_lzw_encode, 32773: _packbits_encode, 1: lambda b: b}[comp]
+    tiles = [
+        enc(pad[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw].tobytes())
+        for ty in range(down)
+        for tx in range(across)
+    ]
+    entries = [
+        (256, 4, [w], "I"), (257, 4, [h], "I"), (258, 3, [8] * spp, "H"),
+        (259, 3, [comp], "H"), (262, 3, [1], "H"), (277, 3, [spp], "H"),
+        (339, 3, [1] * spp, "H"), (322, 3, [tw], "H"), (323, 3, [th], "H"),
+        (324, 4, None, "I"), (325, 4, [len(t) for t in tiles], "I"),
+    ]
+    n = len(entries)
+    data_off = 8 + 2 + 12 * n + 4
+    # lay out extra area twice: first to size it, then with tile offsets
+    def layout(tile_base):
+        offs = []
+        o = tile_base
+        for t in tiles:
+            offs.append(o)
+            o += len(t)
+        extra = b""
+        packed = []
+        for tag, typ, vals, vfmt in entries:
+            body_vals = offs if tag == 324 else vals
+            body = struct.pack("<" + str(len(body_vals)) + vfmt, *body_vals)
+            if len(body) <= 4:
+                packed.append((tag, typ, len(body_vals), body.ljust(4, b"\x00")))
+            else:
+                packed.append(
+                    (tag, typ, len(body_vals), struct.pack("<I", data_off + len(extra)))
+                )
+                extra += body
+        return packed, extra
+    _, extra0 = layout(0)
+    packed, extra = layout(data_off + len(extra0))
+    buf = struct.pack("<2sHI", b"II", 42, 8) + struct.pack("<H", n)
+    for tag, typ, cnt, p in packed:
+        buf += struct.pack("<HHI", tag, typ, cnt) + p
+    return buf + struct.pack("<I", 0) + extra + b"".join(tiles)
+
+
+def test_tiff_tiled_layout_decodes():
+    """Tiled TIFFs (tags 322-325) with edge-padded tiles reassemble
+    exactly, for uncompressed, LZW and PackBits tiles."""
+    from vtk_reserves_spark.sources.geotiff import decode_tiff
+
+    rng = np.random.RandomState(17)
+    for comp in (1, 5, 32773):
+        img = rng.randint(0, 256, (21, 13, 2)).astype(np.uint8)
+        arr, _, _ = decode_tiff(_build_tiled_tiff(img, 8, 8, comp=comp))
+        assert np.array_equal(arr, img), comp
+    # tile grid mismatch raises loudly
+    buf = bytearray(_build_tiled_tiff(rng.randint(0, 256, (9, 9, 1)).astype(np.uint8), 8, 8))
+    # corrupt the ImageWidth so geometry disagrees with the tile count
+    import struct as _s
+    i = buf.index(_s.pack("<HHI", 256, 4, 1))
+    buf[i + 8 : i + 12] = _s.pack("<I", 64)
+    with pytest.raises(ValueError, match="tile count"):
+        decode_tiff(bytes(buf))
+
+
+def test_wav_extended_sample_formats(tmp_path):
+    """8-bit unsigned / 24-bit / 32-bit PCM, IEEE float, and the
+    EXTENSIBLE wrapper all decode; only the canonical 16-bit is
+    written, so fixtures are hand-built chunk by chunk."""
+    import struct
+
+    from vtk_reserves_spark.sources.wav import decode_wav
+
+    def wav(fmt_tag, ch, rate, bits, payload, extensible=False):
+        if extensible:
+            guid = struct.pack("<H", fmt_tag) + b"\x00\x00" + b"\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+            fmt = struct.pack("<HHIIHHHHI", 0xFFFE, ch, rate, 0, 0, bits, 22, bits, 0) + guid
+        else:
+            fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate, 0, 0, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 8-bit unsigned: 128 -> 0, 255 -> 32512, 0 -> -32768
+    s, r = decode_wav(wav(1, 1, 8000, 8, bytes([128, 255, 0])))
+    assert r == 8000 and s.tolist() == [0, 32512, -32768]
+    # 24-bit: positive and negative sign extension
+    pay = (0x000001).to_bytes(3, "little") + (0xFFFFFF).to_bytes(3, "little")
+    s, _ = decode_wav(wav(1, 1, 8000, 24, pay))
+    assert s.tolist() == [1, -1] and s.dtype == np.int32
+    # 32-bit int
+    pay = struct.pack("<ii", 70000, -70000)
+    s, _ = decode_wav(wav(1, 1, 8000, 32, pay))
+    assert s.tolist() == [70000, -70000]
+    # float32
+    pay = struct.pack("<ff", 0.5, -0.25)
+    s, _ = decode_wav(wav(3, 1, 8000, 32, pay))
+    assert s.dtype == np.float32 and s.tolist() == [0.5, -0.25]
+    # extensible wrapping PCM 16
+    pay = struct.pack("<hh", 123, -456)
+    s, _ = decode_wav(wav(1, 1, 44100, 16, pay, extensible=True))
+    assert s.tolist() == [123, -456]
+    # compressed encodings still refuse loudly
+    with pytest.raises(ValueError, match="unsupported WAVE encoding"):
+        decode_wav(wav(2, 1, 8000, 4, b"\x00\x00"))

@@ -2,8 +2,8 @@
 (public TIFF 6.0 + GeoTIFF specs): uncompressed, LZW (early-change
 variant), Deflate and PackBits strips, the horizontal-differencing
 predictor, uint8/float32 samples, ModelPixelScale + ModelTiepoint
-affine georeferencing.  No GDAL/rasterio dependency; tiled layouts and
-other predictors raise.
+affine georeferencing, strip AND tiled layouts.  No GDAL/rasterio
+dependency; other predictors raise.
 
 The reference reads GeoTIFF bands into rows carrying both the pixel
 indices and the affine-transformed world coordinates
@@ -212,36 +212,64 @@ def decode_tiff(data: bytes):
         # reshaping it as pixel-interleaved would silently scramble bands
         raise ValueError("only chunky (PlanarConfiguration=1) TIFF supported")
     predictor = tags.get(317, (1,))[0]
-    offsets = tags[273]
-    counts = tags[279]
-    strips = [data[o : o + c] for o, c in zip(offsets, counts)]
-    if comp == 5:
-        strips = [_tiff_lzw_decode(s) for s in strips]
-    elif comp in (8, 32946):
-        import zlib
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
 
-        strips = [zlib.decompress(s) for s in strips]
-    elif comp == 32773:
-        strips = [_packbits_decode(s) for s in strips]
-    raw = b"".join(strips)
-    if fmt == 3 and bits[0] == 32:
-        arr = np.frombuffer(raw, e + "f4")
-    elif fmt in (1, 4) and bits[0] == 8:
-        arr = np.frombuffer(raw, np.uint8)
-    else:
-        raise ValueError(f"unsupported sample format {fmt}/{bits[0]}bit")
-    if arr.dtype.byteorder == ">":
-        # Arrow rejects big-endian buffers — swap 'MM' samples to native
-        arr = arr.astype(arr.dtype.newbyteorder("="))
-    arr = arr.reshape(h, w, spp)
-    if predictor == 2:
-        if arr.dtype != np.uint8:
+    def decompress(chunk: bytes) -> bytes:
+        if comp == 5:
+            return _tiff_lzw_decode(chunk)
+        if comp in (8, 32946):
+            import zlib
+
+            return zlib.decompress(chunk)
+        if comp == 32773:
+            return _packbits_decode(chunk)
+        return chunk
+
+    def to_samples(raw: bytes) -> np.ndarray:
+        if fmt == 3 and bits[0] == 32:
+            a = np.frombuffer(raw, e + "f4")
+        elif fmt in (1, 4) and bits[0] == 8:
+            a = np.frombuffer(raw, np.uint8)
+        else:
+            raise ValueError(f"unsupported sample format {fmt}/{bits[0]}bit")
+        if a.dtype.byteorder == ">":
+            # Arrow rejects big-endian buffers — swap 'MM' to native
+            a = a.astype(a.dtype.newbyteorder("="))
+        return a
+
+    def unpredict(a: np.ndarray) -> np.ndarray:
+        if predictor != 2:
+            return a
+        if a.dtype != np.uint8:
             raise ValueError("horizontal predictor only supported for uint8")
         # undo horizontal differencing: per-row, per-channel cumulative
-        # sum mod 256 (TIFF 6.0 §14)
-        arr = np.cumsum(arr, axis=1, dtype=np.uint8)
-    elif predictor not in (1,):
-        raise ValueError(f"unsupported TIFF predictor {predictor}")
+        # sum mod 256 (TIFF 6.0 §14); rows restart per strip/tile row,
+        # which the per-region application below respects
+        return np.cumsum(a, axis=1, dtype=np.uint8)
+
+    if 322 in tags:  # tiled layout (TIFF 6.0 §15)
+        tw, th = tags[322][0], tags[323][0]
+        offsets, counts = tags[324], tags[325]
+        across = -(-w // tw)
+        down = -(-h // th)
+        if len(offsets) != across * down:
+            raise ValueError("TIFF tile count does not match geometry")
+        full = None
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            tile = to_samples(decompress(data[o : o + c]))
+            tile = tile[: th * tw * spp].reshape(th, tw, spp)
+            tile = unpredict(tile)
+            if full is None:
+                full = np.zeros((down * th, across * tw, spp), tile.dtype)
+            ty, tx = divmod(i, across)
+            full[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+        arr = full[:h, :w]
+    else:
+        offsets = tags[273]
+        counts = tags[279]
+        raw = b"".join(decompress(data[o : o + c]) for o, c in zip(offsets, counts))
+        arr = unpredict(to_samples(raw).reshape(h, w, spp))
     scale = tags.get(_PIXEL_SCALE)
     tie = tags.get(_TIEPOINT)
     return arr, scale, tie

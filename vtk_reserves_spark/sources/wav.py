@@ -2,9 +2,11 @@
 
 Companion to the pure-zlib PNG codec (`sources/image.py`): gives the
 multimodal pipeline a REAL audio container to decode end-to-end in this
-dependency-free environment.  Only uncompressed integer PCM
-(format tag 1, 16-bit) is supported — that covers the overwhelming
-majority of .wav files in the wild; anything else raises a clear error
+dependency-free environment.  Uncompressed integer PCM at
+8/16/24/32 bits (8-bit unsigned recentered to int16 range, 24-bit
+sign-extended to int32), IEEE 32-bit float, and the
+WAVE_FORMAT_EXTENSIBLE wrapper are supported — that covers virtually
+every .wav in the wild; compressed encodings raise a clear error
 rather than misreading payload bytes.
 
 Scale note: both functions are byte-level codecs meant to run INSIDE
@@ -53,8 +55,9 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     """Parse a RIFF/WAVE byte string to ``(samples, sample_rate)``.
 
-    Returns int16 samples shaped ``(n,)`` for mono or ``(n, channels)``
-    otherwise.  Walks the chunk list properly (skipping LIST/fact/cue
+    Returns samples shaped ``(n,)`` for mono or ``(n, channels)``
+    otherwise — int16 for 8/16-bit PCM (8-bit is recentered and scaled),
+    int32 for 24/32-bit PCM, float32 for IEEE-float streams.  Walks the chunk list properly (skipping LIST/fact/cue
     chunks, honoring the odd-size pad byte) instead of assuming a fixed
     44-byte header — many real encoders emit extra chunks before
     ``data``."""
@@ -62,22 +65,56 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE stream")
     end = min(len(buf), 8 + struct.unpack("<I", buf[4:8])[0])
     fmt = None
+    fmt_raw = None
     data = None
     for tag, at, size in walk_chunks(buf, 12, end):
         if tag == b"fmt ":
             if size < 16:
                 raise ValueError(f"fmt chunk too short ({size} bytes)")
             fmt = struct.unpack("<HHIIHH", buf[at : at + 16])
+            fmt_raw = buf[at : at + size]
         elif tag == b"data":
             data = buf[at : at + size]
     if fmt is None or data is None:
         raise ValueError("WAVE stream missing fmt or data chunk")
     tag_, ch, rate, _byte_rate, _align, bits = fmt
-    if tag_ != 1 or bits != 16:
+    if tag_ == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format tag is the first two
+        # bytes of the SubFormat GUID (fmt chunk offset 24)
+        if fmt_raw is None or len(fmt_raw) < 26:
+            raise ValueError("extensible WAVE fmt chunk too short")
+        (tag_,) = struct.unpack("<H", fmt_raw[24:26])
+    if tag_ == 3:  # IEEE float
+        if bits != 32:
+            raise ValueError(f"unsupported float WAVE depth {bits}")
+        a = np.frombuffer(data[: (len(data) // (4 * ch)) * 4 * ch], "<f4")
+        a = a.reshape(-1, ch)
+    elif tag_ == 1:
+        if bits == 16:
+            a = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], "<i2")
+            a = a.reshape(-1, ch)
+        elif bits == 8:
+            # 8-bit PCM is UNSIGNED; center and scale to int16 range
+            u = np.frombuffer(data[: (len(data) // ch) * ch], np.uint8)
+            a = ((u.astype(np.int16) - 128) << 8).reshape(-1, ch)
+        elif bits == 24:
+            usable = (len(data) // (3 * ch)) * 3 * ch
+            b = np.frombuffer(data[:usable], np.uint8).reshape(-1, 3)
+            v = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            v = np.where(v & 0x800000, v - (1 << 24), v).astype(np.int32)
+            a = v.reshape(-1, ch)
+        elif bits == 32:
+            a = np.frombuffer(data[: (len(data) // (4 * ch)) * 4 * ch], "<i4")
+            a = a.reshape(-1, ch)
+        else:
+            raise ValueError(f"unsupported PCM WAVE depth {bits}")
+    else:
         raise ValueError(
             f"unsupported WAVE encoding (format tag {tag_}, {bits}-bit): "
-            "only 16-bit integer PCM is supported"
+            "integer PCM (8/16/24/32) and 32-bit float are supported"
         )
-    a = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2")
-    a = a.reshape(-1, ch)
     return (a[:, 0] if ch == 1 else a), rate
