@@ -1367,3 +1367,16 @@ def test_wav_extended_sample_formats(tmp_path):
     # compressed encodings still refuse loudly
     with pytest.raises(ValueError, match="unsupported WAVE encoding"):
         decode_wav(wav(2, 1, 8000, 4, b"\x00\x00"))
+
+
+def test_gif_rejects_frame_outside_logical_screen():
+    import struct
+
+    from vtk_reserves_spark.sources.gif import _lzw_encode, encode_gif, decode_gif
+
+    base = bytearray(encode_gif(np.zeros((1, 4, 4), np.uint8)))
+    i = bytes(base).index(b"\x2c")
+    # move the frame rectangle so it overruns the 4x4 screen
+    base[i + 1 : i + 5] = struct.pack("<HH", 2, 2)
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_gif(bytes(base))

@@ -206,6 +206,13 @@ def decode_gif(data: bytes):
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
+        if ix + iw > w or iy + ih > h:
+            # numpy slicing would silently clamp the region and then
+            # fail on shape mismatch deep in compositing — reject here
+            raise ValueError(
+                f"GIF frame rectangle {iw}x{ih}@({ix},{iy}) exceeds the "
+                f"{w}x{h} logical screen"
+            )
         ct = gct
         if iflags & 0x80:
             n = 2 << (iflags & 7)

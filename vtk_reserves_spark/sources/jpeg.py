@@ -513,8 +513,10 @@ def _decode_prog_scan(segments, comps, ss, se, ah, al, restart, mcux, mcuy):
     interleaved = len(comps) > 1
     if interleaved and ss != 0:
         raise ValueError("progressive AC scan must be single-component")
-    if ss == 0 and se != 0 and ah == 0:
+    if ss == 0 and se != 0:
         raise ValueError("progressive DC scan must have Se == 0")
+    if ss > 0 and ss > se:
+        raise ValueError("progressive AC scan has an empty spectral band")
 
     if interleaved:
         units = mcux * mcuy
