@@ -388,3 +388,34 @@ def test_bmp_roundtrip_exact(h, w, gray, seed):
         img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
         want = img
     assert np.array_equal(decode_bmp(encode_bmp(img)), want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    channels=st.sampled_from([2, 3, 4]),
+    sg=st.booleans(),
+    lz=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_webp_vp8l_roundtrip_exact(h, w, channels, sg, lz, seed):
+    """VP8L is lossless: arbitrary RGBA content (grayscale is channel
+    count 2 here, expanded), optional subtract-green transform and
+    run-LZ77 references all round-trip exactly."""
+    from vtk_reserves_spark.sources.webp import decode_webp, encode_webp
+
+    rng = np.random.RandomState(seed)
+    if channels == 2:
+        img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        want = np.dstack(
+            [np.repeat(img[:, :, None], 3, axis=2),
+             np.full((h, w, 1), 255, np.uint8)]
+        )
+    else:
+        img = rng.randint(0, 256, (h, w, channels), dtype=np.uint8)
+        want = img if channels == 4 else np.dstack(
+            [img, np.full((h, w, 1), 255, np.uint8)]
+        )
+    out = decode_webp(encode_webp(img, subtract_green=sg, use_lz77_runs=lz))
+    assert np.array_equal(out, want)

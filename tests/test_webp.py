@@ -1,0 +1,260 @@
+"""VP8L decoder path tests: the encoder only emits literal/LZ77
+streams, so the cache / palette / predictor / color-transform /
+meta-prefix paths are pinned with hand-assembled bitstreams built from
+the module's own bit/code writers."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from vtk_reserves_spark.sources import webp as W
+
+
+def _container(payload: bytes) -> bytes:
+    payload = b"\x2f" + payload
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _header(bw, w, h):
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+
+
+def _put(bw, tbl, sym):
+    W._put_sym(bw, tbl, sym)
+
+
+def _flat_codes(bw, with_meta_bit=True, with_cache_bit=True):
+    """[cache-off] [+ meta-off] + near-flat literal codes, encode tables."""
+    if with_cache_bit:
+        bw.write(0, 1)  # no color cache
+    if with_meta_bit:
+        bw.write(0, 1)  # no meta image
+    green_lengths = [8] * 232 + [9] * 48
+    W._emit_lengths(bw, list(green_lengths))
+    for _ in range(3):
+        W._emit_lengths(bw, [8] * 256)
+    W._write_single_code(bw, 1)
+    return W._code_table(list(green_lengths)), W._code_table([8] * 256)
+
+
+def _emit_pixels(bw, gtbl, ftbl, pixels):
+    for a, r, g, b in pixels:
+        _put(bw, gtbl, g)
+        _put(bw, ftbl, r)
+        _put(bw, ftbl, b)
+        _put(bw, ftbl, a)
+
+
+def test_vp8l_color_cache_hits():
+    """A literal inserts into the cache; subsequent cache symbols must
+    replay it.  Green code is length-coded over the cache-extended
+    alphabet with exactly two 1-bit symbols."""
+    px = (0xFF << 24) | (77 << 16) | (200 << 8) | 13
+    hidx = ((px * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - 4)
+    cache_sym = 256 + 24 + hidx
+    bw = W._BitWriter()
+    _header(bw, 5, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)
+    bw.write(4, 4)  # cache_bits = 4
+    bw.write(0, 1)  # no meta
+    # green code: lengths 1 at {200, cache_sym}, zeros elsewhere, via the
+    # cl-code {1:len1, 17:len2, 18:len2} and an explicit op budget
+    bw.write(0, 1)  # not simple
+    bw.write(13 - 4, 4)  # num_codes = 13 (covers order idx of 18, 17, 1)
+    cl_len = {1: 1, 17: 2, 18: 2}
+    for i in range(13):
+        sym = W._CLC_ORDER[i]
+        bw.write(cl_len.get(sym, 0), 3)
+    # op budget: 18,18,'1',18,'1' = 5 ops
+    bw.write(1, 1)  # use max_symbol
+    bw.write(0, 3)  # length_nbits = 2
+    bw.write(5 - 2, 2)
+    # canonical cl codes: (1,1)->0; (2,17)->10; (2,18)->11
+    def put_cl(sym):
+        code, n = {1: (0b0, 1), 17: (0b10, 2), 18: (0b11, 2)}[sym]
+        for k in range(n - 1, -1, -1):
+            bw.write((code >> k) & 1, 1)
+    put_cl(18); bw.write(138 - 11, 7)
+    put_cl(18); bw.write(62 - 11, 7)
+    put_cl(1)  # symbol 200 gets length 1
+    gap = cache_sym - 201
+    put_cl(18); bw.write(gap - 11, 7)
+    put_cl(1)  # cache_sym gets length 1
+    # r/b/a: single-symbol codes (zero bits per pixel)
+    W._write_single_code(bw, 77)   # red
+    W._write_single_code(bw, 13)   # blue
+    W._write_single_code(bw, 255)  # alpha
+    W._write_single_code(bw, 1)    # distance (unused)
+    # pixels: literal (green code 0) then 4 cache hits (code 1)
+    bw.write(0, 1)
+    for _ in range(4):
+        bw.write(1, 1)
+    out = W.decode_webp(_container(bw.finish()))
+    assert out.shape == (1, 5, 4)
+    want = np.array([77, 200, 13, 255], np.uint8)
+    assert (out == want).all()
+
+
+def test_vp8l_palette_with_pixel_bundling():
+    """4-color palette -> 2-bit indices bundled 4-per-byte; the palette
+    itself is delta-coded as a 4x1 entropy image."""
+    colors = [
+        (255, 10, 20, 30), (255, 40, 50, 60), (255, 70, 80, 90),
+        (255, 100, 110, 120),
+    ]  # (A, R, G, B)
+    w, h = 6, 2
+    idx = np.array([[0, 1, 2, 3, 0, 1], [3, 2, 1, 0, 3, 2]], np.uint8)
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)  # transform present
+    bw.write(3, 2)  # color indexing
+    bw.write(4 - 1, 8)  # n_colors
+    # palette entropy image (4x1): delta-coded entries, literal stream
+    deltas = []
+    prev = (0, 0, 0, 0)
+    for c in colors:
+        deltas.append(tuple((c[i] - prev[i]) & 0xFF for i in range(4)))
+        prev = c
+    gtbl, ftbl = _flat_codes(bw, with_meta_bit=False)
+    _emit_pixels(bw, gtbl, ftbl, deltas)
+    bw.write(0, 1)  # no more transforms
+    # main image at reduced width ceil(6/4)=2, bundled 2-bit indices
+    gtbl, ftbl = _flat_codes(bw, with_meta_bit=True)
+    bundled = []
+    for y in range(h):
+        row = []
+        for bx in range(-(-w // 4)):
+            byte = 0
+            for k in range(4):
+                x = bx * 4 + k
+                if x < w:
+                    byte |= int(idx[y, x]) << (2 * k)
+            row.append((255, 0, byte, 0))
+        bundled.extend(row)
+    _emit_pixels(bw, gtbl, ftbl, bundled)
+    out = W.decode_webp(_container(bw.finish()))
+    assert out.shape == (h, w, 4)
+    pal_rgba = np.array([(r, g, b, a) for a, r, g, b in colors], np.uint8)
+    assert (out == pal_rgba[idx]).all()
+
+
+def test_vp8l_predictor_transform_modes():
+    """Predictor transform, one block: mode 2 (top) residues restore the
+    original; the spec's edge rules (first pixel 0xFF000000, top row
+    predicts from the left, first column from above) are exercised."""
+    rng = np.random.RandomState(3)
+    w, h = 4, 3
+    img = rng.randint(0, 256, (h, w, 4)).astype(np.int32)  # RGBA
+    # forward-apply mode-2 residues with the decoder's edge rules
+    def sub(a, b):
+        return tuple((int(a[i]) - int(b[i])) & 0xFF for i in range(4))
+    res = np.zeros_like(img)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = (0, 0, 0, 255)  # ARGB 0xFF000000 as RGBA tuple
+            elif y == 0:
+                pred = tuple(img[y, x - 1])
+            elif x == 0:
+                pred = tuple(img[y - 1, x])
+            else:
+                pred = tuple(img[y - 1, x])  # mode 2: top
+            res[y, x] = sub(img[y, x], pred)
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)  # predictor transform
+    bw.write(4 - 2, 3)  # size_bits = 4 -> one 16x16 block
+    gtbl, ftbl = _flat_codes(bw, with_meta_bit=False)
+    _emit_pixels(bw, gtbl, ftbl, [(255, 0, 2, 0)])  # mode 2 in green
+    bw.write(0, 1)  # no more transforms
+    gtbl, ftbl = _flat_codes(bw, with_meta_bit=True)
+    pix = [
+        (int(res[y, x, 3]), int(res[y, x, 0]), int(res[y, x, 1]), int(res[y, x, 2]))
+        for y in range(h)
+        for x in range(w)
+    ]
+    _emit_pixels(bw, gtbl, ftbl, pix)
+    out = W.decode_webp(_container(bw.finish()))
+    assert (out == img.astype(np.uint8)).all()
+
+
+def test_vp8l_color_transform():
+    """Color transform, one block with fixed g->r / g->b / r->b
+    multipliers; residues built with the module's own delta."""
+    rng = np.random.RandomState(5)
+    w, h = 5, 2
+    img = rng.randint(0, 256, (h, w, 4)).astype(np.int32)  # RGBA
+    g2r, g2b, r2b = 16, 240, 5
+    res = img.copy()
+    for y in range(h):
+        for x in range(w):
+            r, g, b = int(img[y, x, 0]), int(img[y, x, 1]), int(img[y, x, 2])
+            res[y, x, 0] = (r - W._cdelta(g2r, g)) & 0xFF
+            res[y, x, 2] = (b - W._cdelta(g2b, g) - W._cdelta(r2b, r)) & 0xFF
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(1, 2)  # color transform
+    bw.write(4 - 2, 3)  # one block
+    # block pixel: A=r2b, R=g2b, G=g2r, B=anything
+    gtbl, ftbl = _flat_codes(bw, with_meta_bit=False)
+    _emit_pixels(bw, gtbl, ftbl, [(r2b, g2b, g2r, 0)])
+    bw.write(0, 1)
+    gtbl, ftbl = _flat_codes(bw, with_meta_bit=True)
+    pix = [
+        (int(res[y, x, 3]), int(res[y, x, 0]), int(res[y, x, 1]), int(res[y, x, 2]))
+        for y in range(h)
+        for x in range(w)
+    ]
+    _emit_pixels(bw, gtbl, ftbl, pix)
+    out = W.decode_webp(_container(bw.finish()))
+    assert (out == img.astype(np.uint8)).all()
+
+
+def test_vp8l_meta_prefix_groups():
+    """Meta-prefix image splits an 8x1 image into two 4-pixel blocks
+    with different green codes (group 1's is a single-symbol code)."""
+    bw = W._BitWriter()
+    _header(bw, 8, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta image present
+    bw.write(2 - 2, 3)  # meta_bits = 2 -> blocks of 4 px
+    # meta image 2x1: group ids in (px >> 8) & 0xFFFF -> greens 0 and 1
+    gtbl, ftbl = _flat_codes(bw, with_meta_bit=False)
+    _emit_pixels(bw, gtbl, ftbl, [(255, 0, 0, 0), (255, 0, 1, 0)])
+    # group 0: flat codes; group 1: all-single codes.  _read_group
+    # reads the five codes DIRECTLY — no cache/meta bits here
+    g0, f0 = _flat_codes(bw, with_meta_bit=False, with_cache_bit=False)
+    W._write_single_code(bw, 99)   # group 1 green
+    W._write_single_code(bw, 1)
+    W._write_single_code(bw, 2)
+    W._write_single_code(bw, 3)
+    W._write_single_code(bw, 1)    # distance
+    # pixels: first 4 via group0 literals, last 4 cost zero bits (all
+    # single-symbol codes)
+    _emit_pixels(bw, g0, f0, [(255, 10, 20, 30)] * 4)
+    out = W.decode_webp(_container(bw.finish()))
+    assert out.shape == (1, 8, 4)
+    assert (out[0, :4] == np.array([10, 20, 30, 255], np.uint8)).all()
+    assert (out[0, 4:] == np.array([1, 99, 2, 3], np.uint8)).all()
+
+
+def test_webp_rejects_lossy_and_garbage():
+    with pytest.raises(ValueError, match="RIFF"):
+        W.decode_webp(b"nope")
+    lossy = (b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="lossy"):
+        W.decode_webp(lossy)

@@ -426,7 +426,7 @@ def attach_gif_payload(
 def decode_media(payload: bytes, mime: str, fake: bool = False):
     """Decode one payload.  PNG (pure-zlib), JPEG — baseline AND
     progressive (pure-numpy, ``sources/jpeg.py``) — GIF (pure LZW,
-    first frame) and BMP decode for real; other mimes need
+    first frame), BMP and lossless WebP (VP8L) decode for real; other mimes need
     codecs absent from this environment, so callers must opt into the
     deterministic fake."""
     if fake:
@@ -453,6 +453,15 @@ def decode_media(payload: bytes, mime: str, fake: bool = False):
             "width": int(img.shape[1]),
             "height": int(img.shape[0]),
             "mean_byte": float(img.mean()),
+        }
+    if mime == "image/webp":
+        from vtk_reserves_spark.sources.webp import decode_webp
+
+        img = decode_webp(bytes(payload))
+        return {
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "mean_byte": float(img[:, :, :3].mean()),
         }
     if mime in ("image/bmp", "image/x-ms-bmp"):
         from vtk_reserves_spark.sources.bmp import decode_bmp
