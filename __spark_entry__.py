@@ -2030,6 +2030,19 @@ def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(payloads, fake=False)
 
 
+def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP path (operators/multimodal +
+    sources/webp.py): each doc becomes a genuine VP8L stream
+    (subtract-green transform + run-LZ77 backward references) and
+    extract_features prefix-decodes + untransforms it executor-side.
+    VP8L is lossless, so the oracle holds the synthesis rule's closed
+    form."""
+    par = 2 * spark.sparkContext.defaultParallelism
+    docs = _read(spark, sf_dir, "documents").repartition(par, "doc_id")
+    payloads = MM.attach_webp_payload(docs)
+    return MM.extract_features(payloads, fake=False)
+
+
 def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-GIF path (operators/multimodal.gif_frames +
     sources/gif.py): each doc becomes a genuine LZW-compressed GIF89a
@@ -3033,6 +3046,18 @@ def _llm_oracles() -> dict[str, str]:
                    END AS mean_byte
             FROM d
         """,
+        "webp_decode": """
+            -- closed form of the WebP synthesis rule (attach_webp_payload):
+            -- solid w=8+n%7 x h=8+n%5 RGBA frame, r=n%256, g=(n*3)%256,
+            -- b=(n*7)%256; VP8L is lossless so the decoded RGB mean is
+            -- exactly (r+g+b)/3 (corpus is pure ASCII: length == bytes)
+            WITH d AS (SELECT doc_id, length(text) AS n FROM documents)
+            SELECT doc_id,
+                   CAST(8 + n % 7 AS INT) AS width,
+                   CAST(8 + n % 5 AS INT) AS height,
+                   ((n % 256) + ((n * 3) % 256) + ((n * 7) % 256)) / 3.0 AS mean_byte
+            FROM d
+        """,
         "gif_frames": """
             -- closed form of the GIF synthesis rule (attach_gif_payload):
             -- 2+n%3 flat frames of w=8+n%6 x h=8+n%4, frame f uniformly
@@ -3374,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_degenerate": q_bpe_degenerate,
         "jpeg_progressive": q_jpeg_progressive,
         "gif_frames": q_gif_frames,
+        "webp_decode": q_webp_decode,
         "kmeans": q_kmeans,
         "fuzzy_join": q_fuzzy_join,
         # rows-only by design (linear solves / iterative fixed point):

@@ -423,6 +423,46 @@ def attach_gif_payload(
     )
 
 
+def attach_webp_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a REAL lossless-WebP payload per row
+    (`sources/webp.py`): a solid ``w = 8 + n%7`` by ``h = 8 + n%5``
+    RGBA frame with ``r = n%256, g = (n*3)%256, b = (n*7)%256``
+    (n = utf-8 byte count), encoded WITH the subtract-green transform
+    and run-LZ77 references — so the query path exercises the VP8L
+    transform and backward-reference decode, not just literals.  VP8L
+    is lossless, so the oracle replays the rule exactly."""
+    from vtk_reserves_spark.sources.webp import encode_webp
+
+    @F.pandas_udf(T.BinaryType())
+    def to_webp(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            n = len((t or "").encode("utf-8"))
+            w, h = 8 + n % 7, 8 + n % 5
+            img = np.zeros((h, w, 4), np.uint8)
+            img[:, :, 0] = n % 256
+            img[:, :, 1] = (n * 3) % 256
+            img[:, :, 2] = (n * 7) % 256
+            img[:, :, 3] = 255
+            out.append(encode_webp(img, subtract_green=True, use_lz77_runs=True))
+        return pd.Series(out)
+
+    with_payload = df.select(F.col(id_col), to_webp(F.col(text_col)).alias("payload"))
+    return with_payload.select(
+        id_col,
+        "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/webp").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def decode_media(payload: bytes, mime: str, fake: bool = False):
     """Decode one payload.  PNG (pure-zlib), JPEG — baseline AND
     progressive (pure-numpy, ``sources/jpeg.py``) — GIF (pure LZW,

@@ -86,6 +86,8 @@ class _Huffman:
     def __init__(self, lengths):
         lengths = list(lengths)
         used = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if not used:
+            raise ValueError("VP8L prefix code defines no symbols")
         if len(used) == 1:
             self.single = used[0][1]
             self.lookup = None
