@@ -457,22 +457,28 @@ def _cdelta(t, c):
 
 
 def _undo_color_transform(argb, sub, size_bits):
+    """Vectorized inverse color transform: per-block multipliers expand
+    to per-pixel arrays; no sequential dependency exists (unlike the
+    predictor transform), so megapixel photos stay numpy-speed."""
     h, xs = argb.shape
-    out = argb.copy()
-    for y in range(h):
-        for x in range(xs):
-            cx = int(sub[y >> size_bits, x >> size_bits])
-            g2r = (cx >> 8) & 0xFF
-            g2b = (cx >> 16) & 0xFF
-            r2b = (cx >> 24) & 0xFF
-            px = int(out[y, x])
-            g = (px >> 8) & 0xFF
-            r = (px >> 16) & 0xFF
-            b = px & 0xFF
-            r = (r + _cdelta(g2r, g)) & 0xFF
-            b = (b + _cdelta(g2b, g) + _cdelta(r2b, r)) & 0xFF
-            out[y, x] = (px & 0xFF00FF00) | (r << 16) | b
-    return out
+    yy = np.arange(h) >> size_bits
+    xx = np.arange(xs) >> size_bits
+    cx = sub[np.ix_(yy, xx)].astype(np.int64)
+
+    def signed(v):
+        return np.where(v >= 128, v - 256, v)
+
+    g2r = signed((cx >> 8) & 0xFF)
+    g2b = signed((cx >> 16) & 0xFF)
+    r2b = signed((cx >> 24) & 0xFF)
+    a64 = argb.astype(np.int64)
+    g = signed((a64 >> 8) & 0xFF)
+    r = ((a64 >> 16) & 0xFF)
+    b = a64 & 0xFF
+    r = (r + ((g2r * g) >> 5)) & 0xFF
+    rs = signed(r)
+    b = (b + ((g2b * g) >> 5) + ((r2b * rs) >> 5)) & 0xFF
+    return ((a64 & 0xFF00FF00) | (r << 16) | b).astype(np.uint32)
 
 
 def decode_webp(data: bytes) -> np.ndarray:
