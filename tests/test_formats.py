@@ -1380,3 +1380,58 @@ def test_gif_rejects_frame_outside_logical_screen():
     base[i + 1 : i + 5] = struct.pack("<HH", 2, 2)
     with pytest.raises(ValueError, match="exceeds"):
         decode_gif(bytes(base))
+
+
+def test_bmp_rle8_and_rle4_decode():
+    """RLE8/RLE4 with encoded runs, absolute mode, EOL, delta and EOB
+    escapes decode against a hand-computed expectation."""
+    import struct
+
+    from vtk_reserves_spark.sources.bmp import decode_bmp
+
+    def bmp(bpp, comp, w, h, pal_n, pixel_data):
+        pal = b"".join(bytes([i, 2 * i % 256, 3 * i % 256, 0]) for i in range(pal_n))
+        off = 14 + 40 + len(pal)
+        return (b"BM" + struct.pack("<IHHI", off + len(pixel_data), 0, 0, off)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                              len(pixel_data), 0, 0, pal_n, 0)
+                + pal + pixel_data)
+
+    # RLE8, 6x3 (stored bottom-up): row0 = run 4x5 + absolute [1,2,4]
+    # (clipped at width); EOL; row1 = delta +2 cols then run 4x7; EOL;
+    # row2 = run 6x9; EOB.  (Absolute escapes need count >= 3.)
+    rle8 = bytes([4, 5,            # 5 5 5 5
+                  0, 3, 1, 2, 4, 0,  # absolute: 1 2 4 (+pad), clipped to w
+                  0, 0,            # EOL
+                  0, 2, 2, 0,      # delta +2 cols
+                  4, 7,            # 7 7 7 7
+                  0, 0,            # EOL
+                  6, 9,            # 9 x 6
+                  0, 1])           # EOB
+    img = decode_bmp(bmp(8, 1, 6, 3, 16, rle8))
+    # palette entry i stored BGRA (i, 2i, 3i, 0) -> RGB (3i, 2i, i)
+    def rgb(i):
+        return (3 * i % 256, 2 * i % 256, i)
+    # stored row 0 (bottom of image): 5 5 5 5 1 2
+    assert [tuple(p) for p in img[2]] == [rgb(5)] * 4 + [rgb(1), rgb(2)]
+    # stored row 1: skip 2 (zeros), then 7 7 7 7
+    assert [tuple(p) for p in img[1]] == [rgb(0)] * 2 + [rgb(7)] * 4
+    # stored row 2 (top): 9 x 6
+    assert [tuple(p) for p in img[0]] == [rgb(9)] * 6
+    # RLE4: 5x2: run of 5 alternating (3,1) then EOL; abs 3 of [2,4,6]; EOB
+    rle4 = bytes([5, 0x31,
+                  0, 0,
+                  0, 3, 0x24, 0x60,
+                  0, 1])
+    img = decode_bmp(bmp(4, 2, 5, 2, 16, rle4))
+    assert [tuple(p) for p in img[1]] == [rgb(3), rgb(1), rgb(3), rgb(1), rgb(3)]
+    assert [tuple(p) for p in img[0]] == [rgb(2), rgb(4), rgb(6), rgb(0), rgb(0)]
+
+
+def test_gif_truncated_stream_raises_value_error():
+    from vtk_reserves_spark.sources.gif import decode_gif, encode_gif
+
+    buf = encode_gif(np.full((1, 6, 6), 7, np.uint8))
+    for cut in (len(buf) // 2, len(buf) - 3, 14):
+        with pytest.raises(ValueError):
+            decode_gif(buf[:cut])

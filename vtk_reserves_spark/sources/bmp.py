@@ -4,9 +4,9 @@ screenshots and legacy exports still carry it, so `decode_media`
 decodes it for real like the other pure codecs.
 
 Supported: BITMAPINFOHEADER (or larger V4/V5 headers), uncompressed
-BI_RGB, 8-bit palette / 24-bit BGR / 32-bit BGRA, bottom-up and
-top-down (negative height) row orders, 4-byte row padding.  RLE and
-bitfield compressions raise.  The encoder writes standard bottom-up
+BI_RGB (8-bit palette / 24-bit BGR / 32-bit BGRA), BI_RLE8 and BI_RLE4
+runs (encoded + absolute modes, EOL/EOB/delta escapes), bottom-up and
+top-down row orders, 4-byte row padding.  Bitfield compression raises.  The encoder writes standard bottom-up
 24-bit BI_RGB.
 """
 
@@ -29,21 +29,33 @@ def decode_bmp(data: bytes) -> np.ndarray:
     planes, bpp = struct.unpack("<HH", data[26:30])
     (comp,) = struct.unpack("<I", data[30:34])
     (clr_used,) = struct.unpack("<I", data[46:50])
-    if comp != 0:
-        raise ValueError(f"unsupported BMP compression {comp} (BI_RGB only)")
-    if bpp not in (8, 24, 32):
+    if comp not in (0, 1, 2):
+        raise ValueError(
+            f"unsupported BMP compression {comp} (BI_RGB / RLE8 / RLE4)"
+        )
+    if comp == 0 and bpp not in (8, 24, 32):
         raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if comp == 1 and bpp != 8:
+        raise ValueError("BI_RLE8 requires 8-bit pixels")
+    if comp == 2 and bpp != 4:
+        raise ValueError("BI_RLE4 requires 4-bit pixels")
     top_down = h_raw < 0
     h = abs(h_raw)
+    if comp in (1, 2) and top_down:
+        raise ValueError("RLE BMPs are bottom-up by definition")
 
     palette = None
-    if bpp == 8:
-        n = clr_used or 256
+    if bpp in (4, 8):
+        n = clr_used or (1 << bpp)
         ptab = np.frombuffer(
             data[14 + hdr_size : 14 + hdr_size + 4 * n], np.uint8
         ).reshape(n, 4)
         palette = ptab[:, [2, 1, 0]]  # BGRA table -> RGB
 
+    if comp in (1, 2):
+        idx = _decode_rle(data[pixel_off:], w, h, comp)
+        idx = idx[::-1]  # stored bottom-up
+        return palette[np.clip(idx, 0, len(palette) - 1)]
     stride = ((w * bpp // 8) + 3) & ~3
     rows = np.frombuffer(
         data[pixel_off : pixel_off + stride * h], np.uint8
@@ -56,6 +68,64 @@ def decode_bmp(data: bytes) -> np.ndarray:
     nch = bpp // 8
     px = rows[:, : w * nch].reshape(h, w, nch)
     return px[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB
+
+
+def _decode_rle(data: bytes, w: int, h: int, comp: int) -> np.ndarray:
+    """BI_RLE8 (comp 1) / BI_RLE4 (comp 2) -> (h, w) palette indices in
+    STORED row order (bottom-up).  Escapes: 0,0 end-of-line; 0,1
+    end-of-bitmap; 0,2 delta; 0,n absolute run (word-aligned)."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if comp == 1:
+                px = [val] * cnt
+            else:
+                px = [(val >> 4) if k % 2 == 0 else (val & 15) for k in range(cnt)]
+            take = min(cnt, w - x)
+            out[y, x : x + take] = px[:take]
+            x += take
+            continue
+        if val == 0:  # end of line
+            x = 0
+            y += 1
+            if y >= h:
+                break
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("truncated BMP RLE delta")
+            x = min(w, x + data[i])
+            y += data[i + 1]
+            i += 2
+            if y >= h:
+                break
+        else:  # absolute mode: val literal pixels
+            if comp == 1:
+                need = val
+                px = list(data[i : i + need])
+                i += need + (need & 1)  # word align
+            else:
+                need = (val + 1) // 2
+                raw = data[i : i + need]
+                if len(raw) < need:
+                    raise ValueError("truncated BMP RLE absolute run")
+                px = []
+                for k in range(val):
+                    b = raw[k // 2]
+                    px.append((b >> 4) if k % 2 == 0 else (b & 15))
+                i += need + (need & 1)
+            if len(px) < val:
+                raise ValueError("truncated BMP RLE absolute run")
+            take = min(val, w - x)
+            out[y, x : x + take] = px[:take]
+            x += take
+    return out
 
 
 def encode_bmp(img: np.ndarray) -> bytes:

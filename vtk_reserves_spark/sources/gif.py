@@ -156,6 +156,15 @@ def decode_gif(data: bytes):
     single-image GIFs)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
+    try:
+        return _decode_gif_inner(data)
+    except (IndexError, struct.error) as exc:
+        # a truncated stream runs the sub-block walk off the end; type
+        # it as the same error class every other codec here raises
+        raise ValueError(f"truncated or corrupt GIF stream: {exc}") from exc
+
+
+def _decode_gif_inner(data: bytes):
     w, h, flags, bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
