@@ -2043,6 +2043,24 @@ def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(payloads, fake=False)
 
 
+def q_webp_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-WebP path (operators/multimodal.webp_anim_frames +
+    sources/webp.py): each doc becomes a genuine VP8X/ANIM/ANMF
+    container of VP8L frames; every frame is decoded + composited onto
+    the canvas executor-side, and the ANIM loop count + per-frame
+    durations are surfaced.  VP8L is lossless, so the oracle replays
+    the synthesis rule exactly."""
+    par = 2 * spark.sparkContext.defaultParallelism
+    docs = _read(spark, sf_dir, "documents").repartition(par, "doc_id")
+    payloads = MM.attach_webp_anim_payload(docs)
+    out = MM.webp_anim_frames(payloads)
+    return out.select(
+        "doc_id", "frame_idx", "width", "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        "duration_ms", "loop_count",
+    )
+
+
 def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-GIF path (operators/multimodal.gif_frames +
     sources/gif.py): each doc becomes a genuine LZW-compressed GIF89a
@@ -2092,6 +2110,27 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the synthesis rule (m=64+n%64 samples, s_i=(byte[i%n]-96)*256)."""
     docs = _read(spark, sf_dir, "documents")
     payloads = MM.attach_wav_payload(docs)
+    out = MM.audio_features(payloads)
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+        "peak",
+    )
+
+
+def q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC codec path (sources/flac.py pure-python bitstream
+    decoder): each doc becomes a genuine multi-frame FLAC stream
+    (fixed-order-2 prediction, rice-coded residuals, CRC-8/16 verified)
+    holding the same waveform as q_audio_features' WAV rule; FLAC is
+    lossless so the decoded features match the identical closed form."""
+    par = 2 * spark.sparkContext.defaultParallelism
+    docs = _read(spark, sf_dir, "documents").repartition(par, "doc_id")
+    payloads = MM.attach_flac_payload(docs)
     out = MM.audio_features(payloads)
     return out.select(
         "doc_id",
@@ -3058,6 +3097,30 @@ def _llm_oracles() -> dict[str, str]:
                    ((n % 256) + ((n * 3) % 256) + ((n * 7) % 256)) / 3.0 AS mean_byte
             FROM d
         """,
+        "webp_anim": """
+            -- closed form of the animated-WebP synthesis rule
+            -- (attach_webp_anim_payload): 2+n%3 solid full-canvas frames
+            -- of w=8+n%6 x h=8+n%4, frame f has r=(n*11+f*17)%256,
+            -- g=(n*5+f*29)%256, b=(n*7+f*13)%256, duration 10*(f+1) ms,
+            -- loop n%5; VP8L is lossless and frames are no-blend, so the
+            -- composited decode IS the rule (pure-ASCII corpus:
+            -- length == bytes)
+            WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+            f AS (
+              SELECT doc_id, n, unnest(range(0, 2 + n % 3)) AS frame_idx
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(8 + n % 6 AS INT) AS width,
+                   CAST(8 + n % 4 AS INT) AS height,
+                   round(((n*11 + frame_idx*17) % 256
+                        + (n*5 + frame_idx*29) % 256
+                        + (n*7 + frame_idx*13) % 256) / 3.0, 6) AS mean_px,
+                   CAST(10 * (frame_idx + 1) AS INT) AS duration_ms,
+                   CAST(n % 5 AS INT) AS loop_count
+            FROM f
+        """,
         "gif_frames": """
             -- closed form of the GIF synthesis rule (attach_gif_payload):
             -- 2+n%3 flat frames of w=8+n%6 x h=8+n%4, frame f uniformly
@@ -3260,6 +3323,39 @@ def _llm_oracles() -> dict[str, str]:
                         AS INT) AS peak
             FROM s
         """,
+        "flac_features": """
+            -- attach_flac_payload uses the SAME waveform rule as
+            -- attach_wav_payload (m = 64 + n%64 mono 16-bit samples,
+            -- s_i = (byte[i%n] - 96) * 256 on this pure-ASCII corpus)
+            -- and FLAC is LOSSLESS, so the closed form is identical —
+            -- what differs is the Spark side: a genuine multi-frame
+            -- fixed-order-2 rice-coded FLAC stream decoded per doc.
+            WITH d AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents),
+            s AS (
+              SELECT doc_id, 64 + n % 64 AS m,
+                     CASE WHEN n = 0
+                          THEN list_transform(range(0, 64), i -> 0)
+                          ELSE list_transform(range(0, 64 + n % 64),
+                            i -> (ord(substring(text,
+                                   CAST(1 + i % n AS BIGINT), 1)) - 96)
+                                 * 256)
+                     END AS v
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(m AS INT) AS n_samples,
+                   ROUND(m / 8000.0, 6) AS duration_s,
+                   ROUND(sqrt(list_avg(list_transform(v,
+                         x -> CAST(x * x AS DOUBLE)))), 6) AS rms,
+                   CAST(length(list_filter(range(2, m + 1),
+                         i -> (v[i] >= 0) != (v[i - 1] >= 0)))
+                        AS INT) AS zero_crossings,
+                   CAST(list_max(list_transform(v, x -> abs(x)))
+                        AS INT) AS peak
+            FROM s
+        """,
     }
 
 
@@ -3400,6 +3496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive": q_jpeg_progressive,
         "gif_frames": q_gif_frames,
         "webp_decode": q_webp_decode,
+        "webp_anim": q_webp_anim,
+        "flac_features": q_flac_features,
         "kmeans": q_kmeans,
         "fuzzy_join": q_fuzzy_join,
         # rows-only by design (linear solves / iterative fixed point):

@@ -292,7 +292,7 @@ def test_gif_animated_roundtrip_exact(nf, h, w, ncol, seed):
     rng = np.random.RandomState(seed)
     vals = rng.choice(256, size=min(ncol, 256), replace=False)
     fr = vals[rng.randint(0, len(vals), (nf, h, w))].astype(np.uint8)
-    frames, delays = decode_gif(encode_gif(fr, delay_cs=2))
+    frames, delays, _loop = decode_gif(encode_gif(fr, delay_cs=2))
     assert frames.shape == (nf, h, w, 3)
     assert np.array_equal(frames, np.repeat(fr[:, :, :, None], 3, axis=3))
     if nf > 1:

@@ -1172,7 +1172,7 @@ def test_gif_interlaced_and_transparency_and_disposal():
     desc = bytearray(base[i : i + 10])
     desc[9] |= 0x40
     patched = base[:i] + bytes(desc) + base[i + 10 :]
-    frames, _ = decode_gif(patched)
+    frames, _, _ = decode_gif(patched)
     assert np.array_equal(frames[0, :, :, 0], img)
 
     # --- transparency + disposal: 3 frames, 4x4, palette [black, white,
@@ -1199,7 +1199,7 @@ def test_gif_interlaced_and_transparency_and_disposal():
     gif += b"\x21\xf9\x04" + struct.pack("<BHB", 0, 0, 0) + b"\x00"
     gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0) + lzw_block([3] * 16)
     gif += b"\x3b"
-    frames, delays = decode_gif(bytes(gif))
+    frames, delays, _loop = decode_gif(bytes(gif))
     assert frames.shape == (3, 4, 4, 3)
     # frame 1 all white
     assert (frames[0] == 255).all()
@@ -1435,3 +1435,166 @@ def test_gif_truncated_stream_raises_value_error():
     for cut in (len(buf) // 2, len(buf) - 3, 14):
         with pytest.raises(ValueError):
             decode_gif(buf[:cut])
+
+
+def test_gif_netscape_loop_count_roundtrip():
+    from vtk_reserves_spark.sources.gif import decode_gif, encode_gif
+
+    frames = np.stack([np.full((3, 4), v, np.uint8) for v in (10, 20, 30)])
+    _f, _d, loop = decode_gif(encode_gif(frames, loop_count=7))
+    assert loop == 7
+    # single-frame GIFs carry no Netscape extension -> loop 0
+    _f, _d, loop = decode_gif(encode_gif(frames[:1]))
+    assert loop == 0
+
+
+def _bmp_bitfields(w, h, bpp, masks, words, hdr_size=40, comp=3):
+    """Hand-craft a BI_BITFIELDS BMP: masks sit at file byte 54 both for
+    a 40-byte header followed by 3 DWORDs and for V2+/V4 headers."""
+    import struct as st
+
+    stride = ((w * bpp // 8) + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    word_dtype = np.uint16 if bpp == 16 else np.uint32
+    for y in range(h):
+        rows[y, : w * bpp // 8] = (
+            np.asarray(words[y], word_dtype).view(np.uint8)
+        )
+    pixels = rows[::-1].tobytes()  # bottom-up
+    mask_blob = st.pack("<III", *masks)
+    off = 14 + hdr_size + (len(mask_blob) if hdr_size == 40 else 0)
+    hdr = b"BM" + st.pack("<IHHI", off + len(pixels), 0, 0, off)
+    info = st.pack(
+        "<IiiHHIIiiII", hdr_size, w, h, 1, bpp, comp, len(pixels), 0, 0, 0, 0
+    )
+    if hdr_size == 40:
+        return hdr + info + mask_blob + pixels
+    # V4-style: masks inside the header (offset 40..), pad the rest
+    info += mask_blob + b"\x00" * (hdr_size - 40 - len(mask_blob))
+    return hdr + info + pixels
+
+
+def test_bmp_bitfields_rgb565_and_odd_masks():
+    from vtk_reserves_spark.sources.bmp import decode_bmp
+
+    # 16-bit RGB565: r=31 -> 255, g=63 -> 255, b=0
+    words = [[(31 << 11) | (63 << 5) | 0, (16 << 11) | (32 << 5) | 8]]
+    data = _bmp_bitfields(2, 1, 16, (0xF800, 0x07E0, 0x001F), words)
+    img = decode_bmp(data)
+    assert img.shape == (1, 2, 3)
+    assert tuple(img[0, 0]) == (255, 255, 0)
+    assert tuple(img[0, 1]) == (16 * 255 // 31, 32 * 255 // 63, 8 * 255 // 31)
+
+    # 32-bit with 10-bit channels (2-bit alpha ignored)
+    r, g, b = 600, 123, 1023
+    word = (r << 20) | (g << 10) | b
+    data = _bmp_bitfields(
+        1, 1, 32, (0x3FF << 20, 0x3FF << 10, 0x3FF), [[word]], hdr_size=108
+    )
+    img = decode_bmp(data)
+    assert tuple(img[0, 0]) == (
+        r * 255 // 1023, g * 255 // 1023, b * 255 // 1023
+    )
+
+
+def test_bmp_16bit_default_rgb555():
+    from vtk_reserves_spark.sources.bmp import decode_bmp
+
+    # comp 0 at 16bpp defaults to RGB555
+    words = [[(10 << 10) | (20 << 5) | 30]]
+    data = _bmp_bitfields(1, 1, 16, (0, 0, 0), words, comp=0)
+    # comp 0: the mask blob at byte 54 is ignored but pixel_off skips it
+    img = decode_bmp(data)
+    assert tuple(img[0, 0]) == (
+        10 * 255 // 31, 20 * 255 // 31, 30 * 255 // 31
+    )
+
+
+def test_xls_date_cells_roundtrip(tmp_path):
+    """Date-formatted cells come back typed (the pandas/xlrd behavior):
+    write_xls emits an XF with builtin ifmt 22 for datetime/date/time
+    cells; read_xls converts their serials back."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from vtk_reserves_spark.sources.xls import read_xls, write_xls
+
+    pdf = pd.DataFrame(
+        {
+            "when": [
+                dt.datetime(2024, 3, 1, 12, 30, 15),
+                dt.datetime(1999, 12, 31, 23, 59, 59),
+            ],
+            "day": [dt.date(2020, 2, 29), dt.date(1970, 1, 1)],
+            "tod": [dt.time(6, 45, 30), dt.time(0, 0, 1)],
+            "plain": [1.5, 42.0],
+        }
+    )
+    p = str(tmp_path / "d.xls")
+    write_xls({"s": pdf}, p)
+    rows = read_xls(p)
+    assert rows[1][0] == dt.datetime(2024, 3, 1, 12, 30, 15)
+    assert rows[2][0] == dt.datetime(1999, 12, 31, 23, 59, 59)
+    assert rows[1][1] == dt.datetime(2020, 2, 29)  # dates -> midnight dt
+    assert rows[1][2] == dt.time(6, 45, 30)  # pure fractions -> time
+    assert rows[2][2] == dt.time(0, 0, 1)
+    assert rows[1][3] == 1.5  # General-format numbers stay floats
+    # pandas Timestamp and NaT cells
+    pdf2 = pd.DataFrame({"ts": [pd.Timestamp("2021-06-01 08:00"), pd.NaT]})
+    write_xls({"s": pdf2}, p)
+    rows = read_xls(p)
+    assert rows[1][0] == dt.datetime(2021, 6, 1, 8, 0)
+    # the NaT cell wrote nothing -> the trailing all-empty row drops
+    assert len(rows) == 2
+
+
+def test_xls_custom_format_heuristic_and_1904(tmp_path):
+    """A custom FORMAT string with date tokens marks its XF as a date;
+    quoted literals / colors don't; Date1904 shifts the epoch."""
+    import datetime as dt
+    import struct
+
+    from vtk_reserves_spark.sources.xls import _format_is_date, read_xls
+
+    assert _format_is_date("yyyy-mm-dd")
+    assert _format_is_date("[h]:mm")  # elapsed hours
+    assert _format_is_date("[$-409]d-mmm-yy")
+    assert not _format_is_date("0.00")
+    assert not _format_is_date('0.0" years"')  # y only inside quotes
+    assert not _format_is_date("#,##0;[Red]-#,##0")
+
+    def us(s):
+        b = s.encode("utf-16-le")
+        return struct.pack("<HB", len(b) // 2, 1) + b
+
+    # globals: BOF, Date1904=1, FORMAT 164 = custom date, XFs 0..16
+    # (16 -> ifmt 164), BOUNDSHEET, EOF; sheet: BOF, NUMBER xf=16, EOF
+    bof_g = _biff_rec(0x0809, struct.pack("<HHHIII", 0x0600, 0x0005, 0, 0, 0, 0))
+    g = bytearray(bof_g)
+    g += _biff_rec(0x0022, struct.pack("<H", 1))
+    g += _biff_rec(0x041E, struct.pack("<H", 164) + us("dd/mm/yyyy"))
+    for ifmt in [0] * 16 + [164]:
+        g += _biff_rec(0x00E0, struct.pack("<HH", 0, ifmt) + b"\x00" * 16)
+    nm = "s".encode("utf-16-le")
+    bs = _biff_rec(0x0085, struct.pack("<IHBB", 0, 0, 1, 1) + nm)
+    eof = _biff_rec(0x000A, b"")
+    sheet_off = len(g) + len(bs) + len(eof)
+    g = bytearray(bof_g)
+    g += _biff_rec(0x0022, struct.pack("<H", 1))
+    g += _biff_rec(0x041E, struct.pack("<H", 164) + us("dd/mm/yyyy"))
+    for ifmt in [0] * 16 + [164]:
+        g += _biff_rec(0x00E0, struct.pack("<HH", 0, ifmt) + b"\x00" * 16)
+    g += _biff_rec(0x0085, struct.pack("<I", sheet_off) + struct.pack("<HBB", 0, 1, 1) + nm)
+    g += eof
+    assert len(g) == sheet_off
+    sheet = _biff_rec(0x0809, struct.pack("<HHHIII", 0x0600, 0x0010, 0, 0, 0, 0))
+    sheet += _biff_rec(0x0203, struct.pack("<HHHd", 0, 0, 16, 100.5))
+    sheet += _biff_rec(0x0203, struct.pack("<HHHd", 0, 1, 15, 100.5))
+    sheet += eof
+    p = str(tmp_path / "c.xls")
+    _wrap_cfb(bytes(g) + sheet, p)
+    rows = read_xls(p)
+    # 1904 epoch: serial 100.5 = 1904-01-01 + 100.5 days
+    assert rows[0][0] == dt.datetime(1904, 1, 1) + dt.timedelta(days=100.5)
+    assert rows[0][1] == 100.5  # General XF stays numeric

@@ -258,3 +258,172 @@ def test_webp_rejects_lossy_and_garbage():
              + b"VP8 " + struct.pack("<I", 0))
     with pytest.raises(ValueError, match="lossy"):
         W.decode_webp(lossy)
+
+
+def _undo_predictor_reference(argb, sub, size_bits):
+    """Independent scalar inverse-predictor (the pre-vectorization code
+    path, kept here as the parity oracle for the batched decoder)."""
+    h, xs = argb.shape
+    out = argb.astype(np.int64).copy()
+
+    def sel(l, t, tl):
+        p = 0
+        for shift in (24, 16, 8, 0):
+            p += abs(((t >> shift) & 0xFF) - ((tl >> shift) & 0xFF)) - abs(
+                ((l >> shift) & 0xFF) - ((tl >> shift) & 0xFF)
+            )
+        return l if p <= 0 else t
+
+    def cas_full(a, b, c):
+        o = 0
+        for shift in (24, 16, 8, 0):
+            v = ((a >> shift) & 0xFF) + ((b >> shift) & 0xFF) - ((c >> shift) & 0xFF)
+            o |= (0 if v < 0 else 255 if v > 255 else v) << shift
+        return o
+
+    def cas_half(a, b, c):
+        o = 0
+        for shift in (24, 16, 8, 0):
+            ave2 = (((a >> shift) & 0xFF) + ((b >> shift) & 0xFF)) // 2
+            v = ave2 + (ave2 - ((c >> shift) & 0xFF)) // 2
+            o |= (0 if v < 0 else 255 if v > 255 else v) << shift
+        return o
+
+    def avg2(a, b):
+        o = 0
+        for shift in (24, 16, 8, 0):
+            o |= ((((a >> shift) & 0xFF) + ((b >> shift) & 0xFF)) // 2) << shift
+        return o
+
+    for y in range(h):
+        for x in range(xs):
+            mode = int((sub[y >> size_bits, x >> size_bits] >> 8) & 0xFF)
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(out[y, x - 1])
+            elif x == 0:
+                pred = int(out[y - 1, x])
+            else:
+                L = int(out[y, x - 1])
+                T = int(out[y - 1, x])
+                TL = int(out[y - 1, x - 1])
+                TR = int(out[y - 1, x + 1]) if x + 1 < xs else int(out[y - 1, 0])
+                pred = [
+                    0xFF000000, L, T, TR, TL,
+                    avg2(avg2(L, TR), T), avg2(L, TL), avg2(L, T),
+                    avg2(TL, T), avg2(T, TR),
+                    avg2(avg2(L, TL), avg2(T, TR)),
+                    sel(L, T, TL), cas_full(L, T, TL), cas_half(L, T, TL),
+                ][mode]
+            v = int(out[y, x])
+            r = 0
+            for shift in (24, 16, 8, 0):
+                r |= ((((v >> shift) & 0xFF) + ((pred >> shift) & 0xFF)) & 0xFF) << shift
+            out[y, x] = r
+    return out.astype(np.uint32)
+
+
+def test_vp8l_predictor_vectorization_parity():
+    """The batched inverse predictor is bit-identical to the scalar
+    reference across all 14 modes, random mode fields, block sizes and
+    shapes — including the last-column TR wrap and 1-wide/1-high edge
+    shapes."""
+    rng = np.random.RandomState(11)
+    shapes = [(1, 1), (1, 9), (9, 1), (3, 4), (8, 8), (13, 21), (21, 13), (5, 32)]
+    for h, xs in shapes:
+        for size_bits in (2, 3, 5):
+            block = 1 << size_bits
+            bw = -(-xs // block)
+            bh = -(-h // block)
+            res = rng.randint(0, 2**32, (h, xs), dtype=np.uint64).astype(np.uint32)
+            modes = rng.randint(0, 14, (bh, bw)).astype(np.uint32)
+            sub = (modes << 8).astype(np.uint32)
+            got = W._undo_predictor(res, sub, size_bits, xs)
+            want = _undo_predictor_reference(res, sub, size_bits)
+            assert (got == want).all(), (h, xs, size_bits)
+    # every mode individually at a shape that hits the TR wrap column
+    for mode in range(14):
+        res = rng.randint(0, 2**32, (6, 7), dtype=np.uint64).astype(np.uint32)
+        sub = np.full((2, 2), mode << 8, np.uint32)
+        got = W._undo_predictor(res, sub, 2, 7)
+        want = _undo_predictor_reference(res, sub, 2)
+        assert (got == want).all(), mode
+
+
+def test_vp8l_predictor_rejects_bad_mode():
+    res = np.zeros((4, 4), np.uint32)
+    sub = np.full((1, 1), 14 << 8, np.uint32)
+    with pytest.raises(ValueError, match="predictor mode"):
+        W._undo_predictor(res, sub, 2, 4)
+
+
+def test_webp_anim_roundtrip_no_blend():
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, (3, 6, 9, 4), dtype=np.int64).astype(np.uint8)
+    data = W.encode_webp_anim(frames, durations_ms=[10, 20, 30], loop_count=5)
+    got, durs, loop = W.decode_webp_frames(data)
+    assert got.shape == (3, 6, 9, 4)
+    assert (got == frames).all()
+    assert durs == [10, 20, 30]
+    assert loop == 5
+    # decode_webp on an animation = first composited frame
+    assert (W.decode_webp(data) == frames[0]).all()
+
+
+def test_webp_anim_subrect_and_dispose():
+    """Frame 2 covers a 2x2 sub-rectangle; the rest of the canvas keeps
+    frame 1's pixels; dispose-to-background restores the rect after."""
+    f0 = np.full((4, 4, 4), 100, np.uint8)
+    patch = np.full((2, 2, 4), 200, np.uint8)
+    bg = (1, 2, 3, 255)
+    data = W.encode_webp_anim(
+        [f0, patch, patch],
+        offsets=[(0, 0), (2, 2), (0, 0)],
+        bg=bg,
+        dispose=True,
+        canvas_size=(4, 4),
+    )
+    got, _durs, _loop = W.decode_webp_frames(data)
+    assert got.shape[0] == 3
+    # frame 0 rendered then disposed -> frame 1 shows bg outside patch
+    assert (got[0] == 100).all()
+    assert (got[1][2:, 2:] == 200).all()
+    assert tuple(got[1][0, 0]) == bg
+    # frame 1's rect was disposed too before frame 2 composited at (0,0)
+    assert (got[2][:2, :2] == 200).all()
+    assert tuple(got[2][3, 3]) == bg
+
+
+def test_webp_anim_alpha_blend():
+    """blend=True alpha-composites: a half-alpha red over opaque blue."""
+    blue = np.zeros((2, 2, 4), np.uint8)
+    blue[:, :, 2] = 255
+    blue[:, :, 3] = 255
+    red = np.zeros((2, 2, 4), np.uint8)
+    red[:, :, 0] = 255
+    red[:, :, 3] = 128
+    data = W.encode_webp_anim([blue, red], blend=True)
+    got, _d, _l = W.decode_webp_frames(data)
+    px = got[1][0, 0].astype(int)
+    sa = 128 / 255.0
+    assert px[3] == 255  # over an opaque dst alpha stays opaque
+    assert abs(px[0] - round(255 * sa)) <= 1
+    assert abs(px[2] - round(255 * (1 - sa))) <= 1
+
+
+def test_webp_anim_rejects_bad_geometry():
+    patch = np.zeros((3, 3, 4), np.uint8)
+    data = W.encode_webp_anim([patch], offsets=[(2, 0)], canvas_size=(4, 4))
+    with pytest.raises(ValueError, match="exceeds"):
+        W.decode_webp_frames(data)
+    with pytest.raises(ValueError, match="even"):
+        W.encode_webp_anim([patch], offsets=[(1, 0)])
+
+
+def test_webp_frames_on_still_image():
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    frames, durs, loop = W.decode_webp_frames(W.encode_webp(img))
+    assert frames.shape == (1, 4, 4, 4)
+    assert (frames[0, :, :, :3] == img).all()
+    assert durs == [0] and loop == 0

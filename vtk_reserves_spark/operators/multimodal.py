@@ -187,6 +187,51 @@ def attach_wav_payload(
     )
 
 
+def attach_flac_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Synthesize a REAL FLAC payload per row (`sources/flac.py`): the
+    SAME waveform rule as :func:`attach_wav_payload` (``m = 64 + n%64``
+    mono 16-bit samples, ``s_i = (byte[i%n] % 192 - 96) * 256``) but
+    compressed as genuine FLAC — blocksize 48 forces multiple frames
+    per payload, and fixed-order-2 prediction makes the rice-coded
+    residual path real.  FLAC is lossless, so the decoded features
+    match the WAV oracle's closed form bit-for-bit."""
+    from vtk_reserves_spark.sources.flac import encode_flac
+
+    @F.pandas_udf(T.BinaryType())
+    def to_flac(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            b = np.frombuffer((t or "").encode("utf-8"), np.uint8).astype(np.int64)
+            n = b.size
+            m = 64 + n % 64
+            s = (
+                (b[np.arange(m) % n] % 192 - 96) * 256
+                if n
+                else np.zeros(m, np.int64)
+            )
+            out.append(
+                encode_flac(s, sample_rate, 16, blocksize=48,
+                            subframe_mode="fixed2")
+            )
+        return pd.Series(out)
+
+    with_payload = df.select(F.col(id_col), to_flac(F.col(text_col)).alias("payload"))
+    return with_payload.select(
+        id_col,
+        "payload",
+        F.struct(
+            F.lit("audio").alias("modality"),
+            F.lit("audio/flac").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -201,20 +246,27 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """REAL audio decode: parse each WAV payload (pure-struct RIFF
-    codec) executor-side and reduce to the standard quick-look signal
-    features — duration, RMS level, zero-crossing count (the classic
-    cheap voicing/noisiness proxy), and absolute peak.  Arrow-batched
-    ``mapInPandas``; bytes never leave the executor."""
+    """REAL audio decode: parse each payload — RIFF/WAVE PCM
+    (pure-struct codec) or FLAC (pure-python bitstream decoder,
+    sniffed by the fLaC magic) — executor-side and reduce to the
+    standard quick-look signal features — duration, RMS level,
+    zero-crossing count (the classic cheap voicing/noisiness proxy),
+    and absolute peak.  Arrow-batched ``mapInPandas``; bytes never
+    leave the executor."""
     import numpy as np
 
+    from vtk_reserves_spark.sources.flac import decode_flac
     from vtk_reserves_spark.sources.wav import decode_wav
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, p in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
-                s, rate = decode_wav(bytes(p))
+                raw = bytes(p)
+                if raw[:4] == b"fLaC":
+                    s, rate, _bits = decode_flac(raw)
+                else:
+                    s, rate = decode_wav(raw)
                 if s.ndim > 1:  # downmix by first channel for features
                     s = s[:, 0]
                 v = s.astype(np.float64)
@@ -371,7 +423,7 @@ def gif_frames(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, p in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
-                frames, _delays = decode_gif(bytes(p))
+                frames, _delays, _loop = decode_gif(bytes(p))
                 nf, h, w, _ = frames.shape
                 for i in range(nf):
                     rows.append((did, i, w, h, float(frames[i].mean())))
@@ -380,6 +432,97 @@ def gif_frames(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+WEBP_ANIM_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "mean_px double, duration_ms int, loop_count int"
+)
+
+
+def webp_anim_frames(df: DataFrame) -> DataFrame:
+    """REAL animated-WebP decode (`sources/webp.py`
+    ``decode_webp_frames``): composite every ANMF frame onto the canvas
+    and emit one row per frame with geometry, the RGB pixel mean, the
+    frame duration and the ANIM loop count — the WebP twin of
+    :func:`gif_frames`.  Arrow-batched ``mapInPandas``; container bytes
+    never leave the executor."""
+    from vtk_reserves_spark.sources.webp import decode_webp_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+                frames, durs, loop = decode_webp_frames(bytes(p))
+                nf, h, w, _ = frames.shape
+                for i in range(nf):
+                    rows.append(
+                        (did, i, w, h, float(frames[i, :, :, :3].mean()),
+                         int(durs[i]), int(loop))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height",
+                         "mean_px", "duration_ms", "loop_count"],
+            )
+
+    return df.mapInPandas(run, WEBP_ANIM_FRAME_SCHEMA)
+
+
+def attach_webp_anim_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a REAL animated-WebP payload per row
+    (`sources/webp.py` ``encode_webp_anim``): ``2 + n%3`` solid RGBA
+    frames of ``w = 8 + n%6`` by ``h = 8 + n%4`` with
+    ``r = (n*11 + f*17) % 256, g = (n*5 + f*29) % 256,
+    b = (n*7 + f*13) % 256`` (n = utf-8 byte count), frame durations
+    ``10*(f+1)`` ms and loop count ``n % 5``.  VP8L frames are
+    lossless and full-canvas no-blend, so the composited decode replays
+    the rule exactly and the oracle holds its closed form."""
+    from vtk_reserves_spark.sources.webp import encode_webp_anim
+
+    @F.pandas_udf(T.BinaryType())
+    def to_anim(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            n = len((t or "").encode("utf-8"))
+            nf, w, h = 2 + n % 3, 8 + n % 6, 8 + n % 4
+            frames = []
+            for f in range(nf):
+                img = np.zeros((h, w, 4), np.uint8)
+                img[:, :, 0] = (n * 11 + f * 17) % 256
+                img[:, :, 1] = (n * 5 + f * 29) % 256
+                img[:, :, 2] = (n * 7 + f * 13) % 256
+                img[:, :, 3] = 255
+                frames.append(img)
+            out.append(
+                encode_webp_anim(
+                    frames,
+                    durations_ms=[10 * (f + 1) for f in range(nf)],
+                    loop_count=n % 5,
+                    # run-LZ77 references collapse the solid frames to a
+                    # handful of symbols: decode cost drops ~5x and the
+                    # query path still covers backward references +
+                    # subtract-green untransform
+                    subtract_green=True,
+                    use_lz77_runs=True,
+                )
+            )
+        return pd.Series(out)
+
+    with_payload = df.select(F.col(id_col), to_anim(F.col(text_col)).alias("payload"))
+    return with_payload.select(
+        id_col,
+        "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/webp").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
 
 
 def attach_gif_payload(
@@ -515,16 +658,17 @@ def decode_media(payload: bytes, mime: str, fake: bool = False):
     if mime == "image/gif":
         from vtk_reserves_spark.sources.gif import decode_gif
 
-        frames, _delays = decode_gif(bytes(payload))
+        frames, _delays, _loop = decode_gif(bytes(payload))
         return {
             "width": int(frames.shape[2]),
             "height": int(frames.shape[1]),
             "mean_byte": float(frames[0].mean()),
         }
     raise NotImplementedError(
-        f"no codec for mime {mime!r} in this container (PNG, JPEG and "
-        "MJPG-AVI decode for real; WAV via audio_features; other video "
-        "codecs need ffmpeg) — pass fake=True for the deterministic "
+        f"no codec for mime {mime!r} in this container (PNG, JPEG, GIF, "
+        "BMP, WebP and MJPG-AVI decode for real; WAV/FLAC via "
+        "audio_features; other video codecs need ffmpeg) — pass "
+        "fake=True for the deterministic "
         "stand-in"
     )
 

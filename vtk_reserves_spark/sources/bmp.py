@@ -4,10 +4,11 @@ screenshots and legacy exports still carry it, so `decode_media`
 decodes it for real like the other pure codecs.
 
 Supported: BITMAPINFOHEADER (or larger V4/V5 headers), uncompressed
-BI_RGB (8-bit palette / 24-bit BGR / 32-bit BGRA), BI_RLE8 and BI_RLE4
-runs (encoded + absolute modes, EOL/EOB/delta escapes), bottom-up and
-top-down row orders, 4-byte row padding.  Bitfield compression raises.  The encoder writes standard bottom-up
-24-bit BI_RGB.
+BI_RGB (8-bit palette / 16-bit RGB555 / 24-bit BGR / 32-bit BGRA),
+BI_RLE8 and BI_RLE4 runs (encoded + absolute modes, EOL/EOB/delta
+escapes), BI_BITFIELDS with arbitrary 16/32-bit channel masks (each
+channel rescaled to 0..255), bottom-up and top-down row orders, 4-byte
+row padding.  The encoder writes standard bottom-up 24-bit BI_RGB.
 """
 
 from __future__ import annotations
@@ -29,12 +30,15 @@ def decode_bmp(data: bytes) -> np.ndarray:
     planes, bpp = struct.unpack("<HH", data[26:30])
     (comp,) = struct.unpack("<I", data[30:34])
     (clr_used,) = struct.unpack("<I", data[46:50])
-    if comp not in (0, 1, 2):
+    if comp not in (0, 1, 2, 3):
         raise ValueError(
-            f"unsupported BMP compression {comp} (BI_RGB / RLE8 / RLE4)"
+            f"unsupported BMP compression {comp} "
+            "(BI_RGB / RLE8 / RLE4 / BITFIELDS)"
         )
-    if comp == 0 and bpp not in (8, 24, 32):
+    if comp == 0 and bpp not in (8, 16, 24, 32):
         raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if comp == 3 and bpp not in (16, 32):
+        raise ValueError("BI_BITFIELDS requires 16- or 32-bit pixels")
     if comp == 1 and bpp != 8:
         raise ValueError("BI_RLE8 requires 8-bit pixels")
     if comp == 2 and bpp != 4:
@@ -65,6 +69,34 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if bpp == 8:
         idx = rows[:, :w]
         return palette[np.clip(idx, 0, len(palette) - 1)]
+    if comp == 3 or bpp == 16:
+        # channel masks: BITMAPV2+/V4 headers carry them at header
+        # offset 40 (file byte 54); a plain 40-byte BITMAPINFOHEADER
+        # with BI_BITFIELDS is followed immediately by the 3 DWORD
+        # masks — the SAME file position, so one read covers both.
+        if comp == 3:
+            if len(data) < 66:
+                raise ValueError("truncated BMP: BI_BITFIELDS masks missing")
+            rm, gm, bm = struct.unpack("<III", data[54:66])
+        else:  # 16-bit BI_RGB defaults to RGB555
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F
+        word = np.uint16 if bpp == 16 else np.uint32
+        px = (
+            rows[:, : w * (bpp // 8)]
+            .reshape(h, w, bpp // 8)
+            .view(word)[:, :, 0]
+            .astype(np.uint64)
+        )
+        out = np.zeros((h, w, 3), np.uint8)
+        for ch, mask in enumerate((rm, gm, bm)):
+            if mask == 0:
+                continue
+            shift = (mask & -mask).bit_length() - 1
+            top = mask >> shift
+            vals = (px & mask) >> shift
+            # scale the channel's full range to 0..255
+            out[:, :, ch] = (vals * 255 // top).astype(np.uint8)
+        return out
     nch = bpp // 8
     px = rows[:, : w * nch].reshape(h, w, nch)
     return px[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB

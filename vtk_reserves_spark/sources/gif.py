@@ -150,10 +150,13 @@ _DEINTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def decode_gif(data: bytes):
-    """GIF bytes -> ``(frames, delays_cs)`` with frames a uint8 array
-    ``(n, h, w, 3)`` of fully composited RGB logical screens and
-    ``delays_cs`` the per-frame delay in centiseconds (0 for plain
-    single-image GIFs)."""
+    """GIF bytes -> ``(frames, delays_cs, loop_count)`` with frames a
+    uint8 array ``(n, h, w, 3)`` of fully composited RGB logical
+    screens, ``delays_cs`` the per-frame delay in centiseconds (0 for
+    plain single-image GIFs) and ``loop_count`` the Netscape
+    application-extension repeat count (0 = loop forever, the extension
+    default; also 0 when the extension is absent — single-pass GIFs
+    simply have one frame)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     try:
@@ -180,6 +183,7 @@ def _decode_gif_inner(data: bytes):
 
     frames = []
     delays = []
+    loop_count = 0
     transparent = None
     disposal = 0
     delay = 0
@@ -204,9 +208,18 @@ def _decode_gif_inner(data: bytes):
                 if data[pos] != 0:
                     raise ValueError("bad GCE terminator")
                 pos += 1
-            else:  # comment / app / plain text: skip sub-blocks
+            else:  # comment / app / plain text: walk sub-blocks
+                is_netscape = False
+                first = True
                 while True:
                     sz = data[pos]
+                    block_body = data[pos + 1 : pos + 1 + sz]
+                    if label == 0xFF and first and block_body == b"NETSCAPE2.0":
+                        is_netscape = True
+                    elif is_netscape and sz == 3 and block_body[0] == 1:
+                        # Netscape loop sub-block: id 1 + 16-bit count
+                        loop_count = struct.unpack("<H", block_body[1:3])[0]
+                    first = False
                     pos += 1 + sz
                     if sz == 0:
                         break
@@ -272,10 +285,12 @@ def _decode_gif_inner(data: bytes):
 
     if not frames:
         raise ValueError("GIF has no image data")
-    return np.stack(frames), delays
+    return np.stack(frames), delays, loop_count
 
 
-def encode_gif(frames: np.ndarray, delay_cs: int = 4) -> bytes:
+def encode_gif(
+    frames: np.ndarray, delay_cs: int = 4, loop_count: int = 0
+) -> bytes:
     """uint8 frames ``(n, h, w)`` grayscale or ``(n, h, w, 3)`` RGB ->
     animated GIF89a with ONE global palette built from the distinct
     colors (raises above 256 — quantization is out of scope; GIF stays
@@ -303,7 +318,11 @@ def encode_gif(frames: np.ndarray, delay_cs: int = 4) -> bytes:
     out += struct.pack("<HHBBB", w, h, 0x80 | (pbits - 1), 0, 0)
     out += palette.tobytes()
     if n > 1:  # Netscape loop extension
-        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+        out += (
+            b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+            + struct.pack("<H", loop_count)
+            + b"\x00"
+        )
     min_code = max(2, pbits)
     for fi in range(n):
         if n > 1:

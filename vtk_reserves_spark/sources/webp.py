@@ -375,9 +375,57 @@ def _clamp_add_sub_half(a, b):
     return out
 
 
+#: predictor modes whose inputs all sit on the PREVIOUS row (or are
+#: constants) — safe to vectorize over a whole same-mode run; mode 1
+#: (L) is also vectorized as a per-channel cumulative sum.  The rest
+#: (5, 6, 7, 10, 11, 12, 13) read the just-decoded left pixel through a
+#: nonlinear function and stay scalar.
+_ROW_VECTOR_MODES = frozenset({0, 2, 3, 4, 8, 9})
+
+_SHIFTS = (24, 16, 8, 0)
+
+
+def _undo_predictor_run(out, res, y, x0, x1, mode, xs):
+    """Vectorized inverse predictor for one same-mode run on row y>0,
+    columns [x0, x1) with x0 >= 1.  Only called for modes whose
+    predictor is a pure function of row y-1 (or, for mode 1, a linear
+    chain along the row)."""
+    prev = out[y - 1]
+    r = res[y, x0:x1]
+    acc = np.zeros(x1 - x0, np.int64)
+    if mode == 3 or mode == 9:
+        idx = np.arange(x0 + 1, x1 + 1)
+        if idx[-1] >= xs:  # last column: TR wraps to the previous row's
+            idx[-1] = 0  # first pixel (libwebp convention)
+        tr = prev[idx]
+    if mode == 1:
+        seed = int(out[y, x0 - 1])
+    for shift in _SHIFTS:
+        rc = (r >> shift) & 0xFF
+        if mode == 0:
+            pc = 0xFF if shift == 24 else 0
+        elif mode == 1:  # L-chain == cumulative sum seeded by the left pixel
+            c = (np.cumsum(rc) + ((seed >> shift) & 0xFF)) & 0xFF
+            acc |= c << shift
+            continue
+        elif mode == 2:
+            pc = (prev[x0:x1] >> shift) & 0xFF
+        elif mode == 3:
+            pc = (tr >> shift) & 0xFF
+        elif mode == 4:
+            pc = (prev[x0 - 1 : x1 - 1] >> shift) & 0xFF
+        elif mode == 8:
+            pc = (((prev[x0 - 1 : x1 - 1] >> shift) & 0xFF) + ((prev[x0:x1] >> shift) & 0xFF)) // 2
+        else:  # mode 9
+            pc = (((prev[x0:x1] >> shift) & 0xFF) + ((tr >> shift) & 0xFF)) // 2
+        acc |= ((rc + pc) & 0xFF) << shift
+    out[y, x0:x1] = acc
+
+
 def _undo_predictor(argb, sub, size_bits, w):
     h, xs = argb.shape
-    out = argb.astype(np.int64).copy()
+    res = argb.astype(np.int64)
+    out = res.copy()
 
     def sel(l, t, tl):
         # Select predictor: choose l or t by Manhattan gradient
@@ -397,55 +445,110 @@ def _undo_predictor(argb, sub, size_bits, w):
             out_v |= v << shift
         return out_v
 
-    for y in range(h):
-        for x in range(xs):
-            mode = int((sub[y >> size_bits, x >> size_bits] >> 8) & 0xFF)
-            if x == 0 and y == 0:
-                pred = 0xFF000000
-            elif y == 0:
-                pred = int(out[y, x - 1])
-            elif x == 0:
-                pred = int(out[y - 1, x])
-            else:
-                L = int(out[y, x - 1])
-                T = int(out[y - 1, x])
-                TL = int(out[y - 1, x - 1])
-                TR = int(out[y - 1, x + 1]) if x + 1 < xs else int(out[y - 1, 0])
-                if mode == 0:
-                    pred = 0xFF000000
-                elif mode == 1:
-                    pred = L
-                elif mode == 2:
-                    pred = T
-                elif mode == 3:
-                    pred = TR
-                elif mode == 4:
-                    pred = TL
-                elif mode == 5:
+    # validate every referenced mode up front (the vector path would
+    # otherwise fall through to the scalar branch table silently)
+    used_modes = np.unique((sub >> 8) & 0xFF)
+    if int(used_modes.max(initial=0)) > 13:
+        raise ValueError(f"bad VP8L predictor mode {int(used_modes.max())}")
+
+    # row 0: every pixel predicts L (pixel 0 predicts opaque black),
+    # which is a per-channel cumulative sum
+    acc = np.zeros(xs, np.int64)
+    for shift in _SHIFTS:
+        init = 0xFF if shift == 24 else 0
+        acc |= ((np.cumsum((res[0] >> shift) & 0xFF) + init) & 0xFF) << shift
+    out[0] = acc
+
+    block = 1 << size_bits
+    for y in range(1, h):
+        # x == 0 predicts T regardless of mode
+        v = int(res[y, 0])
+        t = int(out[y - 1, 0])
+        px = 0
+        for shift in _SHIFTS:
+            px |= ((((v >> shift) & 0xFF) + ((t >> shift) & 0xFF)) & 0xFF) << shift
+        out[y, 0] = px
+
+        if xs == 1:
+            continue
+        mode_blocks = ((sub[y >> size_bits] >> 8) & 0xFF).astype(np.int64)
+        mode_px = np.repeat(mode_blocks, block)[1:xs]  # mode at x in [1, xs)
+        present = np.unique(mode_px)
+        if np.isin(present, (0, 1, 2, 3, 4, 8, 9)).all():
+            # whole-row vector path: every predictor reads only row y-1
+            # (mode-1 chains are patched below with seeded cumsums)
+            prev = out[y - 1]
+            t = prev[1:xs]
+            tl = prev[: xs - 1]
+            tr = np.empty_like(t)
+            tr[:-1] = prev[2:xs]
+            tr[-1] = prev[0]  # last column: TR wraps (libwebp convention)
+            vec_present = [int(m) for m in present if m != 1]
+            uniform = len(vec_present) == 1 and 1 not in present
+            masks = None if uniform else {m: mode_px == m for m in vec_present}
+            packed = np.zeros(xs - 1, np.int64)
+            for shift in _SHIFTS:
+                tc = (t >> shift) & 0xFF
+                tlc = (tl >> shift) & 0xFF
+                trc = (tr >> shift) & 0xFF
+                choice = {
+                    0: lambda: 0xFF if shift == 24 else 0,
+                    2: lambda: tc,
+                    3: lambda: trc,
+                    4: lambda: tlc,
+                    8: lambda: (tlc + tc) // 2,
+                    9: lambda: (tc + trc) // 2,
+                }
+                if uniform:
+                    pred = choice[vec_present[0]]()
+                else:
+                    pred = np.zeros(xs - 1, np.int64)
+                    for m in vec_present:
+                        np.copyto(pred, choice[m](), where=masks[m])
+                packed |= ((((res[y, 1:] >> shift) & 0xFF) + pred) & 0xFF) << shift
+            out[y, 1:] = packed
+            if 1 in present:
+                m1 = np.concatenate(([0], (mode_px == 1).view(np.int8), [0]))
+                d = np.diff(m1)
+                for a, b in zip(np.flatnonzero(d == 1), np.flatnonzero(d == -1)):
+                    _undo_predictor_run(out, res, y, a + 1, b + 1, 1, xs)
+            continue
+        x = 1
+        while x < xs:
+            mode = int(mode_blocks[x >> size_bits])
+            # extend the run across consecutive same-mode blocks
+            x1 = min(((x >> size_bits) + 1) * block, xs)
+            while x1 < xs and int(mode_blocks[x1 >> size_bits]) == mode:
+                x1 = min(x1 + block, xs)
+            if mode in _ROW_VECTOR_MODES or mode == 1:
+                _undo_predictor_run(out, res, y, x, x1, mode, xs)
+                x = x1
+                continue
+            for xi in range(x, x1):
+                L = int(out[y, xi - 1])
+                T = int(out[y - 1, xi])
+                TL = int(out[y - 1, xi - 1])
+                TR = int(out[y - 1, xi + 1]) if xi + 1 < xs else int(out[y - 1, 0])
+                if mode == 5:
                     pred = _avg2(_avg2(L, TR), T)
                 elif mode == 6:
                     pred = _avg2(L, TL)
                 elif mode == 7:
                     pred = _avg2(L, T)
-                elif mode == 8:
-                    pred = _avg2(TL, T)
-                elif mode == 9:
-                    pred = _avg2(T, TR)
                 elif mode == 10:
                     pred = _avg2(_avg2(L, TL), _avg2(T, TR))
                 elif mode == 11:
                     pred = sel(L, T, TL)
                 elif mode == 12:
                     pred = _clamp_add_sub_full(L, T, TL)
-                elif mode == 13:
+                else:  # mode 13 (validated above)
                     pred = cas_half(L, T, TL)
-                else:
-                    raise ValueError(f"bad VP8L predictor mode {mode}")
-            v = int(out[y, x])
-            res = 0
-            for shift in (24, 16, 8, 0):
-                res |= ((((v >> shift) & 0xFF) + ((pred >> shift) & 0xFF)) & 0xFF) << shift
-            out[y, x] = res
+                v = int(res[y, xi])
+                pxv = 0
+                for shift in _SHIFTS:
+                    pxv |= ((((v >> shift) & 0xFF) + ((pred >> shift) & 0xFF)) & 0xFF) << shift
+                out[y, xi] = pxv
+            x = x1
     return out.astype(np.uint32)
 
 
@@ -481,27 +584,19 @@ def _undo_color_transform(argb, sub, size_bits):
     return ((a64 & 0xFF00FF00) | (r << 16) | b).astype(np.uint32)
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """WebP bytes -> (h, w, 4) uint8 RGBA (lossless VP8L only)."""
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise ValueError("not a WebP (RIFF/WEBP) stream")
-    pos = 12
-    while pos + 8 <= len(data):
+def _iter_chunks(data: bytes, pos: int, end: int):
+    """RIFF sub-chunk walk: yields (tag, body) honoring the odd-size pad."""
+    while pos + 8 <= end:
         tag = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body = data[pos + 8 : pos + 8 + size]
-        if tag == b"VP8L":
-            break
-        if tag == b"VP8 ":
-            raise ValueError(
-                "lossy WebP (VP8) needs a full VP8 decoder — only lossless "
-                "VP8L is supported in this container"
-            )
-        if tag in (b"ANIM", b"ANMF"):
-            raise ValueError("animated WebP is not supported")
+        if pos + 8 + size > end:
+            raise ValueError("truncated WebP chunk")
+        yield tag, data[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)
-    else:
-        raise ValueError("WebP container has no VP8L chunk")
+
+
+def _decode_vp8l_payload(body: bytes) -> np.ndarray:
+    """VP8L chunk body -> (h, w, 4) uint8 RGBA."""
     if not body or body[0] != 0x2F:
         raise ValueError("bad VP8L signature byte")
     br = _BitReader(body[1:])
@@ -517,6 +612,120 @@ def decode_webp(data: bytes) -> np.ndarray:
     out[:, :, 2] = argb & 0xFF  # B
     out[:, :, 3] = (argb >> 24) & 0xFF  # A
     return out
+
+
+_LOSSY_MSG = (
+    "lossy WebP (VP8) needs a full VP8 decoder — only lossless "
+    "VP8L is supported in this container"
+)
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WebP bytes -> (h, w, 4) uint8 RGBA (lossless VP8L only).  For an
+    animated WebP this is the FIRST composited canvas frame (the GIF
+    convention in this codebase); use :func:`decode_webp_frames` for
+    the full animation."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) stream")
+    for tag, body in _iter_chunks(data, 12, len(data)):
+        if tag == b"VP8L":
+            return _decode_vp8l_payload(body)
+        if tag == b"VP8 ":
+            raise ValueError(_LOSSY_MSG)
+        if tag in (b"ANIM", b"ANMF"):
+            frames, _durations, _loop = decode_webp_frames(data)
+            return frames[0]
+    raise ValueError("WebP container has no VP8L chunk")
+
+
+def decode_webp_frames(data: bytes):
+    """Animated (or still) WebP -> ``(frames, durations_ms, loop_count)``
+    with frames a uint8 array ``(n, h, w, 4)`` of fully composited RGBA
+    canvases — the WebP twin of ``gif.decode_gif``.
+
+    Implements the public container spec: VP8X canvas geometry, the
+    ANIM chunk's background color + loop count, and per-ANMF frame
+    rectangles with both blending methods (alpha 'over' blend / no
+    blend) and dispose-to-background.  The canvas starts as the ANIM
+    background color.  Frame bitstreams must be lossless (VP8L); lossy
+    VP8 frames raise the usual clear error."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) stream")
+    canvas_w = canvas_h = None
+    bg = np.zeros(4, np.uint8)
+    loop_count = 0
+    frames = []
+    durations = []
+    canvas = None
+    saw_anim = False
+    for tag, body in _iter_chunks(data, 12, len(data)):
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("short VP8X chunk")
+            canvas_w = 1 + int.from_bytes(body[4:7], "little")
+            canvas_h = 1 + int.from_bytes(body[7:10], "little")
+        elif tag == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("short ANIM chunk")
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]  # BGRA
+            bg = np.array([r_, g_, b_, a_], np.uint8)
+            loop_count = struct.unpack("<H", body[4:6])[0]
+            saw_anim = True
+        elif tag == b"ANMF":
+            if not saw_anim or canvas_w is None:
+                raise ValueError("ANMF frame outside an animated WebP")
+            if len(body) < 16:
+                raise ValueError("short ANMF chunk")
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            no_blend = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            if fx + fw > canvas_w or fy + fh > canvas_h:
+                raise ValueError(
+                    f"WebP frame rectangle {fw}x{fh}@({fx},{fy}) exceeds "
+                    f"the {canvas_w}x{canvas_h} canvas"
+                )
+            img = None
+            for ftag, fbody in _iter_chunks(body, 16, len(body)):
+                if ftag == b"VP8L":
+                    img = _decode_vp8l_payload(fbody)
+                    break
+                if ftag == b"VP8 ":
+                    raise ValueError(_LOSSY_MSG)
+            if img is None:
+                raise ValueError("ANMF frame has no VP8L bitstream")
+            if img.shape[:2] != (fh, fw):
+                raise ValueError("ANMF geometry disagrees with its bitstream")
+            if canvas is None:
+                canvas = np.empty((canvas_h, canvas_w, 4), np.uint8)
+                canvas[:] = bg
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            if no_blend:
+                region[:] = img
+            else:
+                # spec 'over' blend on straight (non-premultiplied) alpha
+                sa = img[:, :, 3:4].astype(np.float64) / 255.0
+                da = region[:, :, 3:4].astype(np.float64) / 255.0
+                oa = sa + da * (1.0 - sa)
+                rgb = img[:, :, :3] * sa + region[:, :, :3] * da * (1.0 - sa)
+                safe = np.where(oa == 0.0, 1.0, oa)
+                region[:, :, :3] = np.rint(rgb / safe).astype(np.uint8)
+                region[:, :, 3] = np.rint(oa[:, :, 0] * 255.0).astype(np.uint8)
+            frames.append(canvas.copy())
+            durations.append(dur)
+            if dispose_bg:
+                canvas[fy : fy + fh, fx : fx + fw] = bg
+        elif tag == b"VP8L":
+            return _decode_vp8l_payload(body)[None, ...], [0], 0
+        elif tag == b"VP8 ":
+            raise ValueError(_LOSSY_MSG)
+    if not frames:
+        raise ValueError("WebP container has no VP8L or ANMF chunks")
+    return np.stack(frames), durations, loop_count
 
 
 # ---------------------------------------------------------------------------
@@ -606,6 +815,16 @@ def encode_webp(
     group, near-flat literal codes (correctness over ratio).
     ``use_lz77_runs`` emits distance-1 backward references for runs in
     scan order, exercising the decoder's LZ77 + 2-D distance-map path."""
+    payload = _encode_vp8l_payload(img, subtract_green, use_lz77_runs)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _encode_vp8l_payload(
+    img: np.ndarray, subtract_green: bool = False, use_lz77_runs: bool = False
+) -> bytes:
     a = np.asarray(img, np.uint8)
     if a.ndim == 2:
         a = np.repeat(a[:, :, None], 3, axis=2)
@@ -670,8 +889,75 @@ def encode_webp(
         _put_sym(bw, flat_tbl, aa)
         i += 1
 
-    payload = b"\x2f" + bw.finish()
-    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-    if len(payload) & 1:
-        chunk += b"\x00"
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return b"\x2f" + bw.finish()
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    out = tag + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        out += b"\x00"
+    return out
+
+
+def encode_webp_anim(
+    frames,
+    durations_ms=None,
+    loop_count: int = 0,
+    bg=(255, 255, 255, 255),
+    offsets=None,
+    blend: bool = False,
+    dispose: bool = False,
+    canvas_size=None,
+    subtract_green: bool = False,
+    use_lz77_runs: bool = False,
+) -> bytes:
+    """Frames (list of (h, w, 3|4) uint8, or an (n, h, w, c) array) ->
+    animated WebP (VP8X + ANIM + per-frame ANMF/VP8L) for fixtures.
+
+    ``offsets`` are per-frame (x, y) canvas positions (even values —
+    the container stores x/2, y/2); ``blend=True`` requests the spec's
+    alpha 'over' compositing, otherwise frames overwrite their
+    rectangle; ``dispose=True`` restores the rectangle to the
+    background color after each frame."""
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("animated WebP needs at least one frame")
+    n = len(frames)
+    if durations_ms is None:
+        durations_ms = [40] * n
+    if offsets is None:
+        offsets = [(0, 0)] * n
+    if canvas_size is None:
+        cw = max(ox + f.shape[1] for (ox, _), f in zip(offsets, frames))
+        ch = max(oy + f.shape[0] for (_, oy), f in zip(offsets, frames))
+    else:
+        cw, ch = canvas_size
+    body = b""
+    # VP8X: animation flag, 24-bit reserved, canvas w-1 / h-1 (24-bit)
+    body += _chunk(
+        b"VP8X",
+        bytes([0x02, 0, 0, 0])
+        + (cw - 1).to_bytes(3, "little")
+        + (ch - 1).to_bytes(3, "little"),
+    )
+    r_, g_, b_, a_ = bg
+    body += _chunk(
+        b"ANIM", bytes([b_, g_, r_, a_]) + struct.pack("<H", loop_count)
+    )
+    flags = (0x02 if not blend else 0) | (0x01 if dispose else 0)
+    for f, dur, (ox, oy) in zip(frames, durations_ms, offsets):
+        if ox % 2 or oy % 2:
+            raise ValueError("ANMF offsets are stored halved — use even x/y")
+        fh, fw = f.shape[:2]
+        payload = _encode_vp8l_payload(f, subtract_green, use_lz77_runs)
+        anmf = (
+            (ox // 2).to_bytes(3, "little")
+            + (oy // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([flags])
+            + _chunk(b"VP8L", payload)
+        )
+        body += _chunk(b"ANMF", anmf)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body

@@ -15,6 +15,12 @@ Supported subset — what report-style workbooks contain:
   mid-string splits with re-read option flags), LABELSST, LABEL,
   NUMBER, RK, MULRK, BOOLERR, FORMULA (cached numeric/bool result +
   trailing STRING record for text results);
+* number formats: FORMAT / XF / Date1904 records — cells whose XF
+  carries a builtin date ifmt (14-22, 27-36, 45-47, 50-58) or a custom
+  format string with date tokens (the xlrd heuristic: y/m/d/h/s outside
+  quotes, plus elapsed [h]/[mm]/[ss]) convert their serial numbers to
+  ``datetime`` (pure day fractions to ``datetime.time``) — the
+  pandas/xlrd behavior;
 * BIFF5 streams (no per-sheet unicode) raise a clear error.
 
 The companion :func:`write_xls` emits a minimal valid workbook (inline
@@ -30,6 +36,7 @@ distributed DataFrame.
 
 from __future__ import annotations
 
+import datetime as _dt
 import struct
 
 _CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -204,11 +211,79 @@ def _parse_unicode_string(payload: bytes, pos: int) -> tuple[str, int]:
     return s, pos + r.pos
 
 
-def _parse_sheet(wb: bytes, start: int, sst: list[str]) -> dict:
+#: builtin BIFF ifmt ids whose format is a date/time (MS-XLS 2.4.126;
+#: same set xlrd uses: dates 14-22, East Asian 27-36, elapsed/time
+#: 45-47, locale date variants 50-58)
+_BUILTIN_DATE_IFMTS = frozenset(
+    list(range(14, 23)) + list(range(27, 37)) + [45, 46, 47] + list(range(50, 59))
+)
+
+
+def _format_is_date(fmt: str) -> bool:
+    """Heuristic over a CUSTOM number-format string (the xlrd approach):
+    a y/m/d/h/s token outside quoted literals, [] sections other than
+    elapsed [h]/[m]/[s], and backslash escapes marks a date format."""
+    i = 0
+    n = len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c == '"':  # quoted literal
+            j = fmt.find('"', i + 1)
+            i = n if j < 0 else j + 1
+        elif c == "\\":
+            i += 2
+        elif c == "[":  # color/condition/elapsed section
+            j = fmt.find("]", i + 1)
+            body = fmt[i + 1 : j if j > 0 else n].lower()
+            if body and body.strip("hms") == "":  # [h], [mm], [ss]: elapsed time
+                return True
+            i = n if j < 0 else j + 1
+        elif c.lower() in "ymdhs":
+            return True
+        else:
+            i += 1
+    return False
+
+
+#: Excel serial-date epochs: the 1900 system counts from the phantom
+#: 1899-12-31/Jan-0 with the Lotus leap-year bug — 1899-12-30 as the
+#: epoch reproduces xlrd/pandas values for every serial > 60
+_EPOCH_1900 = _dt.datetime(1899, 12, 30)
+_EPOCH_1904 = _dt.datetime(1904, 1, 1)
+
+
+def _serial_to_datetime(v: float, date1904: bool):
+    """Excel serial number -> datetime (or datetime.time for pure
+    time-of-day fractions, matching pandas.read_excel)."""
+    epoch = _EPOCH_1904 if date1904 else _EPOCH_1900
+    if 0.0 <= v < 1.0 and not date1904:
+        secs = round(v * 86400.0, 3)
+        whole = int(secs)
+        return _dt.time(
+            whole // 3600, (whole % 3600) // 60, whole % 60,
+            int(round((secs - whole) * 1e6)),
+        )
+    # round to milliseconds: float64 serials carry ~µs noise
+    return epoch + _dt.timedelta(seconds=round(v * 86400.0, 3))
+
+
+def _parse_sheet(
+    wb: bytes,
+    start: int,
+    sst: list[str],
+    xf_is_date: list[bool] | None = None,
+    date1904: bool = False,
+) -> dict:
     cells: dict[tuple[int, int], object] = {}
     pos = start
     pending_formula_cell = None
     depth = 0
+
+    def num(row, col, xf, v):
+        if xf_is_date and xf < len(xf_is_date) and xf_is_date[xf]:
+            cells[(row, col)] = _serial_to_datetime(v, date1904)
+        else:
+            cells[(row, col)] = v
     while pos + 4 <= len(wb):
         rid, rlen = struct.unpack("<HH", wb[pos : pos + 4])
         p = wb[pos + 4 : pos + 4 + rlen]
@@ -228,17 +303,17 @@ def _parse_sheet(wb: bytes, start: int, sst: list[str]) -> dict:
             row, col, _xf, isst = struct.unpack("<HHHI", p[:10])
             cells[(row, col)] = sst[isst]
         elif rid == 0x0203:  # NUMBER
-            row, col, _xf = struct.unpack("<HHH", p[:6])
-            cells[(row, col)] = struct.unpack("<d", p[6:14])[0]
+            row, col, xf = struct.unpack("<HHH", p[:6])
+            num(row, col, xf, struct.unpack("<d", p[6:14])[0])
         elif rid == 0x027E:  # RK
-            row, col, _xf, rk = struct.unpack("<HHHI", p[:10])
-            cells[(row, col)] = _rk_value(rk)
+            row, col, xf, rk = struct.unpack("<HHHI", p[:10])
+            num(row, col, xf, _rk_value(rk))
         elif rid == 0x00BD:  # MULRK
             row, col_first = struct.unpack("<HH", p[:4])
             col_last = struct.unpack("<H", p[-2:])[0]
             for i in range(col_last - col_first + 1):
-                rk = struct.unpack("<I", p[6 + 6 * i : 10 + 6 * i])[0]
-                cells[(row, col_first + i)] = _rk_value(rk)
+                xf, rk = struct.unpack("<HI", p[4 + 6 * i : 10 + 6 * i])
+                num(row, col_first + i, xf, _rk_value(rk))
         elif rid == 0x0204:  # LABEL (inline BIFF8 string)
             row, col, _xf = struct.unpack("<HHH", p[:6])
             cells[(row, col)], _ = _parse_unicode_string(p, 6)
@@ -246,7 +321,7 @@ def _parse_sheet(wb: bytes, start: int, sst: list[str]) -> dict:
             row, col, _xf, val, is_err = struct.unpack("<HHHBB", p[:8])
             cells[(row, col)] = None if is_err else bool(val)
         elif rid == 0x0006:  # FORMULA: cached result
-            row, col, _xf = struct.unpack("<HHH", p[:6])
+            row, col, xf = struct.unpack("<HHH", p[:6])
             res = p[6:14]
             if res[6:8] == b"\xff\xff":
                 kind = res[0]
@@ -257,7 +332,7 @@ def _parse_sheet(wb: bytes, start: int, sst: list[str]) -> dict:
                 else:  # error / empty
                     cells[(row, col)] = None
             else:
-                cells[(row, col)] = struct.unpack("<d", res)[0]
+                num(row, col, xf, struct.unpack("<d", res)[0])
         elif rid == 0x0207 and pending_formula_cell is not None:  # STRING
             cells[pending_formula_cell], _ = _parse_unicode_string(p, 0)
             pending_formula_cell = None
@@ -283,12 +358,24 @@ def read_xls(path: str, sheet: "str | int | None" = None):
         )
     sheets: list[tuple[str, int]] = []
     sst: list[str] = []
+    custom_date_ifmts: set[int] = set()
+    xf_ifmts: list[int] = []
+    date1904 = False
     pos = 0
     while pos + 4 <= len(wb):
         rid, rlen = struct.unpack("<HH", wb[pos : pos + 4])
         p = wb[pos + 4 : pos + 4 + rlen]
         pos += 4 + rlen
-        if rid == 0x0085:  # BOUNDSHEET
+        if rid == 0x0022:  # Date1904
+            date1904 = bool(struct.unpack("<H", p[:2])[0])
+        elif rid == 0x041E:  # FORMAT: custom number-format string
+            ifmt = struct.unpack("<H", p[:2])[0]
+            fmt, _ = _parse_unicode_string(p, 2)
+            if _format_is_date(fmt):
+                custom_date_ifmts.add(ifmt)
+        elif rid == 0x00E0:  # XF: cell format -> ifmt mapping (in order)
+            xf_ifmts.append(struct.unpack("<H", p[2:4])[0])
+        elif rid == 0x0085:  # BOUNDSHEET
             lb_ply_pos = struct.unpack("<I", p[:4])[0]
             cch = p[6]
             high = p[7] & 1
@@ -310,6 +397,9 @@ def read_xls(path: str, sheet: "str | int | None" = None):
             break
     if not sheets:
         raise ValueError("BIFF workbook has no sheets")
+    xf_is_date = [
+        f in _BUILTIN_DATE_IFMTS or f in custom_date_ifmts for f in xf_ifmts
+    ]
 
     if sheet is None:
         name, off = sheets[0]
@@ -323,7 +413,7 @@ def read_xls(path: str, sheet: "str | int | None" = None):
             )
         name, off = match[0]
 
-    cells = _parse_sheet(wb, off, sst)
+    cells = _parse_sheet(wb, off, sst, xf_is_date, date1904)
     if not cells:
         return []
     max_r = max(r for r, _ in cells)
@@ -370,6 +460,19 @@ def _biff_cell(row: int, col: int, v) -> bytes:
     # silently written as text LABELs
     if isinstance(v, bool) or type(v).__name__ == "bool_":
         return _biff_record(0x0205, struct.pack("<HHHBB", row, col, 15, int(v), 0))
+    if isinstance(v, _dt.datetime) or type(v).__name__ in ("Timestamp", "datetime64"):
+        if v != v:  # pandas NaT (a datetime subclass)
+            return b""
+        ts = v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
+        serial = (ts - _EPOCH_1900).total_seconds() / 86400.0
+        # xf 16 is the writer's date XF (builtin ifmt 22, m/d/yy h:mm)
+        return _biff_record(0x0203, struct.pack("<HHHd", row, col, 16, serial))
+    if isinstance(v, _dt.date):
+        serial = (_dt.datetime(v.year, v.month, v.day) - _EPOCH_1900).days
+        return _biff_record(0x0203, struct.pack("<HHHd", row, col, 16, float(serial)))
+    if isinstance(v, _dt.time):
+        serial = (v.hour * 3600 + v.minute * 60 + v.second + v.microsecond / 1e6) / 86400.0
+        return _biff_record(0x0203, struct.pack("<HHHd", row, col, 16, serial))
     if isinstance(v, numbers.Real):
         return _biff_record(0x0203, struct.pack("<HHHd", row, col, 15, float(v)))
     s = str(v).encode("utf-16-le")
@@ -398,8 +501,12 @@ def write_xls(tables: dict, path: str) -> None:
         body += _biff_record(0x000A, b"")
         sheet_blobs.append((name, body))
 
-    # globals: BOF + BOUNDSHEETs (offsets patched) + EOF
+    # globals: BOF + XF table + BOUNDSHEETs (offsets patched) + EOF.
+    # XFs 0-15 are the style defaults (ifmt 0 = General); XF 16 carries
+    # builtin ifmt 22 (m/d/yy h:mm) so date cells round-trip typed
     bof = _biff_record(0x0809, struct.pack("<HHHIII", 0x0600, 0x0005, 0, 0, 0, 0))
+    for ifmt in [0] * 16 + [22]:
+        bof += _biff_record(0x00E0, struct.pack("<HH", 0, ifmt) + b"\x00" * 16)
     bs_payloads = []
     for name, _ in sheet_blobs:
         nm = name.encode("utf-16-le")
