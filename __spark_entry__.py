@@ -2122,6 +2122,126 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WARC pipeline (sources/warc.py + functions/text.py
+    html_to_text) — the CommonCrawl ingestion shape: every document
+    becomes a genuine HTTP-response record in a member-gzipped WARC
+    shard (one shard per partition, written executor-side), the shards
+    are re-ingested via the binaryFile source (one task per shard, the
+    correct grain for ~1 GB crawl files), the HTTP envelope is split
+    and the HTML payload is reduced to text by the pure-Catalyst
+    extractor.  Everything is deterministic, so DuckDB replays the
+    synthesis + extraction in closed form (string compare included)."""
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_warc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+
+    def write_shard(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        from vtk_reserves_spark.sources.warc import write_warc
+
+        recs = []
+        for pdf in batches:
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                t = t or ""
+                html = (
+                    "<html><head><script>var x=1;</script><style>p{}"
+                    f"</style></head><body><h1>Doc {did}</h1><p>{t}"
+                    " &amp; tail</p></body></html>"
+                )
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"http://example.com/doc/{did}",
+                        "http_status": 200,
+                        "http_content_type": "text/html",
+                        "payload": html,
+                    }
+                )
+        if recs:
+            path = _os.path.join(td, f"shard-{_uuid.uuid4().hex}.warc.gz")
+            with open(path, "wb") as fh:
+                fh.write(write_warc(recs, gzip_members=True))
+        yield _pd.DataFrame({"n": [len(recs)]})
+
+    docs.repartition(8).mapInPandas(write_shard, "n long").collect()
+
+    from vtk_reserves_spark.functions.text import html_to_text
+    from vtk_reserves_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, td + "/*")
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "http_status",
+        "http_content_type",
+        F.octet_length("payload").cast("long").alias("payload_len"),
+        html_to_text(F.col("payload").cast("string")).alias("extracted"),
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl curation stats (functions/urls.py, pure
+    Catalyst): deterministic per-doc URLs (scheme/userinfo-free hosts
+    with www prefixes, multi-part ccTLD suffixes, depth-varied paths,
+    query strings) are parsed back by url_host / registered_domain /
+    url_depth and aggregated BY REGISTERED DOMAIN — the per-domain
+    quota/stat shape every CC-derived pipeline runs.  The oracle
+    replays the synthesis rule in closed form (the parse must invert
+    it exactly, heuristic suffixes included)."""
+    from vtk_reserves_spark.functions.urls import (
+        registered_domain, url_depth, url_host,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    first = F.coalesce(
+        F.nullif(F.split_part(F.col("text"), F.lit(" "), F.lit(1)), F.lit("")),
+        F.lit("x"),
+    )
+    tlds = F.array(*[F.lit(t) for t in ("com", "co.uk", "org", "com.au", "net")])
+    tld = F.element_at(tlds, (F.col("doc_id") % 5 + 1).cast("int"))
+    host = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        first,
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("."),
+        tld,
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.expr("repeat('/p', CAST(doc_id % 3 AS INT))"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?q="), F.col("n_chars").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    parsed = with_url.select(
+        "doc_id",
+        registered_domain(url_host(F.col("url"))).alias("domain"),
+        url_depth(F.col("url")).alias("depth"),
+        F.startswith(url_host(F.col("url")), F.lit("www.")).alias("is_www"),
+    )
+    return parsed.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("is_www").cast("long")).alias("n_www"),
+        F.round(F.avg("depth"), 6).alias("avg_depth"),
+    )
+
+
 def q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL FLAC codec path (sources/flac.py pure-python bitstream
     decoder): each doc becomes a genuine multi-frame FLAC stream
@@ -3323,6 +3443,64 @@ def _llm_oracles() -> dict[str, str]:
                         AS INT) AS peak
             FROM s
         """,
+        "domain_stats": """
+            -- closed form of the URL synthesis rule (q_domain_stats):
+            -- host = [www.] first_token || doc_id%7 || '.' || tld with
+            -- tld = (com, co.uk, org, com.au, net)[doc_id%5]; the
+            -- registered domain strips www (last-2 labels, or last-3
+            -- over the known multi-part suffixes) = first_token ||
+            -- doc_id%7 || '.' || tld; depth = doc_id%3; www iff even id
+            WITH d AS (
+              SELECT doc_id,
+                     COALESCE(NULLIF(split_part(text, ' ', 1), ''), 'x')
+                       AS tok,
+                     ['com', 'co.uk', 'org', 'com.au', 'net']
+                       [CAST(doc_id % 5 AS INT) + 1] AS tld
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id,
+                     tok || CAST(doc_id % 7 AS VARCHAR) || '.' || tld
+                       AS domain,
+                     CAST(doc_id % 3 AS INT) AS depth,
+                     doc_id % 2 = 0 AS is_www
+              FROM d
+            )
+            SELECT domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN is_www THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_www,
+                   round(avg(depth), 6) AS avg_depth
+            FROM p
+            GROUP BY domain
+        """,
+        "warc_ingest": """
+            -- closed form of the WARC synthesis rule (q_warc_ingest):
+            -- each doc becomes an HTTP 200 text/html response whose
+            -- body is a fixed HTML template around the text; the
+            -- member-gzip round-trip is lossless and html_to_text
+            -- deterministically yields 'Doc <id> <text> & tail'
+            -- (script/style dropped, tags -> spaces, &amp; decoded,
+            -- whitespace collapsed; corpus text is single-spaced ASCII)
+            WITH d AS (SELECT doc_id, COALESCE(text, '') AS text
+                       FROM documents),
+            h AS (
+              SELECT doc_id, text,
+                     '<html><head><script>var x=1;</script><style>p{}'
+                     || '</style></head><body><h1>Doc '
+                     || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+                     || ' &amp; tail</p></body></html>' AS html
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(200 AS INT) AS http_status,
+                   'text/html' AS http_content_type,
+                   CAST(length(html) AS BIGINT) AS payload_len,
+                   'Doc ' || CAST(doc_id AS VARCHAR)
+                   || CASE WHEN text = '' THEN '' ELSE ' ' || text END
+                   || ' & tail' AS extracted
+            FROM h
+        """,
         "flac_features": """
             -- attach_flac_payload uses the SAME waveform rule as
             -- attach_wav_payload (m = 64 + n%64 mono 16-bit samples,
@@ -3498,6 +3676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_decode": q_webp_decode,
         "webp_anim": q_webp_anim,
         "flac_features": q_flac_features,
+        "warc_ingest": q_warc_ingest,
+        "domain_stats": q_domain_stats,
         "kmeans": q_kmeans,
         "fuzzy_join": q_fuzzy_join,
         # rows-only by design (linear solves / iterative fixed point):

@@ -1,0 +1,133 @@
+"""WARC reader/writer + html_to_text tests."""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np  # noqa: F401
+import pytest
+
+from vtk_reserves_spark.sources.warc import parse_warc, read_warc, write_warc
+
+
+def _sample_records():
+    return [
+        {
+            "warc_type": "warcinfo",
+            "payload": b"software: test\r\n",
+            "content_type": "application/warc-fields",
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "http://example.com/a",
+            "http_status": 200,
+            "http_content_type": "text/html; charset=utf-8",
+            "payload": b"<html><body>hello</body></html>",
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "http://example.com/b",
+            "http_status": 404,
+            "http_content_type": "text/plain",
+            "payload": b"not here",
+        },
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip(gz):
+    data = write_warc(_sample_records(), gzip_members=gz)
+    if gz:
+        assert data[:2] == b"\x1f\x8b"
+        # CommonCrawl layout: one member per record
+        assert data.count(b"\x1f\x8b\x08") == 3
+    recs = parse_warc(data)
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response", "response"]
+    assert recs[0]["payload"] == b"software: test\r\n"
+    assert recs[0]["http_status"] is None
+    assert recs[1]["target_uri"] == "http://example.com/a"
+    assert recs[1]["http_status"] == 200
+    assert recs[1]["http_content_type"] == "text/html; charset=utf-8"
+    assert recs[1]["payload"] == b"<html><body>hello</body></html>"
+    assert recs[2]["http_status"] == 404
+    assert recs[2]["payload"] == b"not here"
+
+
+def test_warc_max_payload_truncates():
+    recs = parse_warc(write_warc(_sample_records()), max_payload=5)
+    assert recs[1]["payload"] == b"<html"
+    assert recs[1]["content_length"] > 5  # original length preserved
+
+
+def test_warc_rejects_corrupt():
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    good = write_warc(_sample_records())
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(good.replace(b"Content-Length", b"X-Length", 1))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(good[:-40])
+    gz = write_warc(_sample_records(), gzip_members=True)
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(gz[:-10])
+
+
+def test_warc_header_quirks():
+    # duplicate headers keep the first; missing optional headers -> None
+    raw = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Content-Type: application/json\r\n"
+        b"Content-Length: 2\r\n\r\n"
+        b"ok\r\n\r\n"
+    )
+    (r,) = parse_warc(raw)
+    assert r["content_type"] == "text/plain"
+    assert r["target_uri"] is None and r["http_status"] is None
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"WARC/0.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    """read_warc parallelizes per file and explodes records to rows."""
+    for i, gz in enumerate([False, True]):
+        data = write_warc(_sample_records(), gzip_members=gz)
+        (tmp_path / f"shard{i}.warc{'.gz' if gz else ''}").write_bytes(data)
+    df = read_warc(spark, str(tmp_path) + "/*")
+    rows = df.collect()
+    assert len(rows) == 6
+    got = {(r.path.split("/")[-1], r.target_uri, r.http_status) for r in rows}
+    assert ("shard0.warc", "http://example.com/a", 200) in got
+    assert ("shard1.warc.gz", "http://example.com/b", 404) in got
+    # payload binary survives
+    a = [r for r in rows if r.target_uri == "http://example.com/a"][0]
+    assert bytes(a.payload) == b"<html><body>hello</body></html>"
+
+
+def test_html_to_text(spark):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.functions.text import html_to_text
+
+    cases = [
+        # script/style/comment blocks vanish wholesale
+        ("<script>var a = '<p>not text</p>';</script>hi", "hi"),
+        ("<style type='text/css'>p { color: red }</style>x", "x"),
+        ("a<!-- <b>comment</b> -->b", "a b"),
+        # tags become word boundaries
+        ("<p>one</p><p>two</p>", "one two"),
+        ("line<br/>break", "line break"),
+        # entities, &amp; decoded last
+        ("fish &amp; chips &lt;now&gt;", "fish & chips <now>"),
+        ("&amp;lt; stays literal", "&lt; stays literal"),
+        ("a&nbsp;&nbsp;b &quot;q&quot; &#39;s&#39;", 'a b "q" \'s\''),
+        # whitespace collapse + trim
+        ("  <div>\n\thello\n  world\n</div> ", "hello world"),
+        # attributes with > inside quotes are NOT handled (documented
+        # cheap-extraction contract) but plain attrs are
+        ('<a href="http://x.com/p">link</a>', "link"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    out = [r.t for r in df.select(html_to_text(F.col("html")).alias("t")).collect()]
+    assert out == [w for _, w in cases]

@@ -176,6 +176,37 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+#: HTML entities decoded by html_to_text (the named set that dominates
+#: real pages; numeric entities would need chr() and stay undecoded)
+HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),  # &amp; LAST:
+    # decoding it first would turn &amp;lt; into a live &lt;
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """HTML -> plain text, pure Catalyst (JVM regex — runs at scan
+    speed over a 100 TB crawl, zero Python):
+
+    1. drop ``<script>``/``<style>``/``<!-- -->`` blocks wholesale,
+    2. replace every remaining tag with a space (so ``a</p><p>b``
+       keeps a word boundary),
+    3. decode the common named entities (``&amp;`` last),
+    4. collapse whitespace runs to single spaces and trim.
+
+    This is the CommonCrawl-style cheap extraction step (WET-file
+    quality), not a DOM renderer — tables/lists flatten to word soup,
+    which is what corpus quality filters expect to score."""
+    out = F.regexp_replace(
+        html, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->", " "
+    )
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def ordered_shingles_of_tokens(t: Column, n: int = 3) -> Column:
     """Word n-grams over a token array IN DOCUMENT ORDER, duplicates
     kept — the form positional algorithms (winnowing) need.  Empty when

@@ -664,6 +664,36 @@ def decode_media(payload: bytes, mime: str, fake: bool = False):
             "height": int(frames.shape[1]),
             "mean_byte": float(frames[0].mean()),
         }
+    if mime in (
+        "image/x-portable-bitmap", "image/x-portable-graymap",
+        "image/x-portable-pixmap", "image/x-portable-anymap",
+    ):
+        from vtk_reserves_spark.sources.pnm import decode_pnm
+
+        img = decode_pnm(bytes(payload))
+        return {
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "mean_byte": float(img.mean()),
+        }
+    if mime in ("image/tga", "image/x-tga", "image/x-targa"):
+        from vtk_reserves_spark.sources.tga import decode_tga
+
+        img = decode_tga(bytes(payload))
+        return {
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "mean_byte": float(img[:, :, :3].mean()),
+        }
+    if mime in ("image/x-icon", "image/vnd.microsoft.icon"):
+        from vtk_reserves_spark.sources.ico import decode_ico
+
+        img = decode_ico(bytes(payload))
+        return {
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "mean_byte": float(img[:, :, :3].mean()),
+        }
     raise NotImplementedError(
         f"no codec for mime {mime!r} in this container (PNG, JPEG, GIF, "
         "BMP, WebP and MJPG-AVI decode for real; WAV/FLAC via "
