@@ -165,3 +165,14 @@ def test_decode_media_new_mimes():
     sq[:, :, 3] = 255
     r = decode_media(encode_ico(sq), "image/x-icon")
     assert (r["width"], r["height"], r["mean_byte"]) == (4, 4, 7.0)
+
+
+def test_pnm_p1_packed_digits():
+    # the spec allows bits with NO separating whitespace in P1
+    img = decode_pnm(b"P1\n4 2\n1010\n0101")
+    assert img.tolist() == [
+        [0, 255, 0, 255],
+        [255, 0, 255, 0],
+    ]
+    with pytest.raises(ValueError, match="P1"):
+        decode_pnm(b"P1\n2 1\n12\n")

@@ -131,3 +131,17 @@ def test_html_to_text(spark):
     df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
     out = [r.t for r in df.select(html_to_text(F.col("html")).alias("t")).collect()]
     assert out == [w for _, w in cases]
+
+
+def test_gunzip_many_members_chunked():
+    """The member walk must stay linear in total size (chunked feed,
+    no per-member tail copies) and handle hundreds of members."""
+    recs = [
+        {"warc_type": "resource", "payload": f"doc {i}".encode(),
+         "content_type": "text/plain"}
+        for i in range(300)
+    ]
+    data = write_warc(recs, gzip_members=True)
+    out = parse_warc(data)
+    assert len(out) == 300
+    assert out[299]["payload"] == b"doc 299"

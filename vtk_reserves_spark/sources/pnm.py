@@ -54,12 +54,29 @@ def decode_pnm(data: bytes) -> np.ndarray:
     channels = 3 if kind in (3, 6) else 1
     n = w * h * channels
 
-    if kind in (1, 2, 3):  # ASCII
+    if kind == 1:  # ASCII bitmap: digits may pack WITHOUT whitespace
+        vals = []
+        i = pos
+        ln = len(data)
+        while len(vals) < n and i < ln:
+            c = data[i]
+            if c in (0x30, 0x31):  # '0' / '1'
+                vals.append(c - 0x30)
+                i += 1
+            elif c == ord("#"):
+                j = data.find(b"\n", i)
+                i = ln if j < 0 else j + 1
+            elif data[i : i + 1].isspace():
+                i += 1
+            else:
+                raise ValueError(f"bad P1 bitmap byte {data[i:i+1]!r}")
+        if len(vals) < n:
+            raise ValueError("truncated P1 raster")
+        a = 1 - np.array(vals, np.int64)  # PBM: 1 = black
+        maxval = 1
+    elif kind in (2, 3):  # ASCII
         vals, _ = _tokens(data, pos, n)
         a = np.array(vals, np.int64)
-        if kind == 1:
-            a = 1 - a  # PBM: 1 = black
-            maxval = 1
     else:  # binary: exactly ONE whitespace byte after the header
         pos += 1
         if kind == 4:

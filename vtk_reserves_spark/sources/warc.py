@@ -47,15 +47,24 @@ def _split_headers(block: bytes) -> dict:
 
 def _gunzip_members(data: bytes):
     """Yield decompressed gzip members from a concatenated-member
-    stream (the CommonCrawl per-record layout)."""
+    stream (the CommonCrawl per-record layout).  Feeds the
+    decompressor in bounded chunks: slicing the whole remaining buffer
+    per member would copy O(members x filesize) bytes on a
+    50k-record shard."""
     pos = 0
-    while pos < len(data):
+    n = len(data)
+    chunk_size = 1 << 20
+    while pos < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        chunk = d.decompress(data[pos:])
+        out = []
+        fed = pos
+        while not d.eof and fed < n:
+            out.append(d.decompress(data[fed : fed + chunk_size]))
+            fed += chunk_size
         if not d.eof:
             raise ValueError("truncated gzip member in WARC stream")
-        yield chunk
-        consumed = len(data) - pos - len(d.unused_data)
+        yield b"".join(out)
+        consumed = min(fed, n) - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("empty gzip member in WARC stream")
         pos += consumed
