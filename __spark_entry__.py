@@ -2210,8 +2210,18 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.split_part(F.col("text"), F.lit(" "), F.lit(1)), F.lit("")),
         F.lit("x"),
     )
-    tlds = F.array(*[F.lit(t) for t in ("com", "co.uk", "org", "com.au", "net")])
-    tld = F.element_at(tlds, (F.col("doc_id") % 5 + 1).cast("int"))
+    # PSL-exercising suffix mix: classic gTLD/ccTLD second-levels PLUS
+    # suffixes only a real public-suffix snapshot resolves — github.io
+    # / blogspot.com (private section), co.nz / com.hk (ccTLDs absent
+    # from the old 20-entry heuristic), example.np (wildcard *.np).
+    # In every case registered_domain(host) = token||digit||'.'||tld,
+    # so the oracle's closed form stays exact.
+    _TLDS = (
+        "com", "co.uk", "org", "com.au", "net",
+        "github.io", "co.nz", "com.hk", "example.np", "blogspot.com",
+    )
+    tlds = F.array(*[F.lit(t) for t in _TLDS])
+    tld = F.element_at(tlds, (F.col("doc_id") % 10 + 1).cast("int"))
     host = F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
         first,
@@ -3446,16 +3456,21 @@ def _llm_oracles() -> dict[str, str]:
         "domain_stats": """
             -- closed form of the URL synthesis rule (q_domain_stats):
             -- host = [www.] first_token || doc_id%7 || '.' || tld with
-            -- tld = (com, co.uk, org, com.au, net)[doc_id%5]; the
-            -- registered domain strips www (last-2 labels, or last-3
-            -- over the known multi-part suffixes) = first_token ||
-            -- doc_id%7 || '.' || tld; depth = doc_id%3; www iff even id
+            -- tld drawn from a 10-entry PSL-exercising mix (classic
+            -- suffixes + github.io/blogspot.com private suffixes,
+            -- co.nz/com.hk ccTLD second-levels, the *.np wildcard);
+            -- every tld in the mix is a public suffix under the PSL
+            -- snapshot, so registered_domain strips exactly the www
+            -- label: domain = first_token || doc_id%7 || '.' || tld;
+            -- depth = doc_id%3; www iff even id
             WITH d AS (
               SELECT doc_id,
                      COALESCE(NULLIF(split_part(text, ' ', 1), ''), 'x')
                        AS tok,
-                     ['com', 'co.uk', 'org', 'com.au', 'net']
-                       [CAST(doc_id % 5 AS INT) + 1] AS tld
+                     ['com', 'co.uk', 'org', 'com.au', 'net',
+                      'github.io', 'co.nz', 'com.hk', 'example.np',
+                      'blogspot.com']
+                       [CAST(doc_id % 10 AS INT) + 1] AS tld
               FROM documents
             ),
             p AS (

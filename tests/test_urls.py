@@ -50,3 +50,65 @@ def test_registered_domain(spark):
         for r in df.select(U.registered_domain(F.col("h")).alias("v")).collect()
     ]
     assert got == [w for _, w in cases]
+
+
+def test_registered_domain_psl_rules(spark):
+    """PSL snapshot semantics: private suffixes, wildcards, exceptions."""
+    cases = [
+        # private-section hosting suffixes: naive last-2 would merge
+        # every github.io site into one bucket
+        ("alice.github.io", "alice.github.io"),
+        ("www.alice.github.io", "alice.github.io"),
+        ("myblog.blogspot.com", "myblog.blogspot.com"),
+        ("a.blogspot.co.uk", "a.blogspot.co.uk"),
+        # wildcard *.kobe.jp: bar.kobe.jp IS the public suffix
+        ("foo.bar.kobe.jp", "foo.bar.kobe.jp"),
+        # ...with its !city.kobe.jp exception
+        ("www.city.kobe.jp", "city.kobe.jp"),
+        # wildcard TLD *.np: every 2-label tail is a public suffix
+        ("example.com.np", "example.com.np"),
+        ("www.example.com.np", "example.com.np"),
+        # !www.ck exception under *.ck
+        ("www.ck", "www.ck"),
+        ("shop.www.ck", "www.ck"),
+        ("foo.other.ck", "foo.other.ck"),
+        # 4-label AWS wildcard
+        (
+            "ec2-1-2-3-4.us-west-2.compute.amazonaws.com",
+            "ec2-1-2-3-4.us-west-2.compute.amazonaws.com",
+        ),
+        # PSL-only ccTLD second levels absent from the old heuristic
+        ("shop.example.co.nz", "example.co.nz"),
+        ("x.y.example.com.hk", "example.com.hk"),
+        # unlisted suffix degrades to the implicit * rule
+        ("deep.sub.example.zz", "example.zz"),
+        # bare public suffix passes through
+        ("github.io", "github.io"),
+        ("kobe.jp", "kobe.jp"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [
+        r.v
+        for r in df.select(U.registered_domain(F.col("h")).alias("v")).collect()
+    ]
+    assert got == [w for _, w in cases]
+
+
+def test_public_suffix_len(spark):
+    cases = [
+        ("example.com", 1),
+        ("bbc.co.uk", 2),
+        ("alice.github.io", 2),
+        ("a.blogspot.co.uk", 3),
+        ("x.bar.kobe.jp", 3),
+        ("city.kobe.jp", 2),       # exception: kobe.jp is the suffix
+        ("www.ck", 1),             # exception: ck is the suffix
+        ("a.b.compute.amazonaws.com", 4),
+        ("example.zz", 1),         # implicit *
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [
+        r.v
+        for r in df.select(U.public_suffix_len(F.col("h")).alias("v")).collect()
+    ]
+    assert got == [w for _, w in cases]
