@@ -2192,6 +2192,74 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORD-grain WARC ingestion via a cdx-style index
+    (sources/warc.py read_warc_indexed): the same synthesized
+    member-gzipped shards as q_warc_ingest, but instead of one task
+    per file, a distributed index build (index_warc_files, binaryFile
+    grain — the one pass that must read whole members) feeds ranged
+    per-record reads that round-robin across the cluster.  This is the
+    skew escape hatch for CommonCrawl: a 10 GB straggler shard spreads
+    over every executor instead of pinning one core.  The records are
+    identical to the file-grain path, so the oracle replays the same
+    closed-form synthesis."""
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_warcidx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+
+    def write_shard(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        from vtk_reserves_spark.sources.warc import write_warc
+
+        recs = []
+        for pdf in batches:
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                t = t or ""
+                body = f"Indexed doc {did}: {t}"
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"http://example.com/doc/{did}",
+                        "http_status": 200,
+                        "http_content_type": "text/plain",
+                        "payload": body,
+                    }
+                )
+        if recs:
+            path = _os.path.join(td, f"shard-{_uuid.uuid4().hex}.warc.gz")
+            with open(path, "wb") as fh:
+                fh.write(write_warc(recs, gzip_members=True))
+        yield _pd.DataFrame({"n": [len(recs)]})
+
+    docs.repartition(8).mapInPandas(write_shard, "n long").collect()
+
+    from vtk_reserves_spark.sources.warc import (
+        index_warc_files, read_warc_indexed,
+    )
+
+    idx = index_warc_files(spark, td + "/*")
+    recs = read_warc_indexed(spark, idx)
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "http_status",
+        F.octet_length("payload").cast("long").alias("payload_len"),
+        F.col("payload").cast("string").alias("body"),
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain crawl curation stats (functions/urls.py, pure
     Catalyst): deterministic per-doc URLs (scheme/userinfo-free hosts
@@ -3489,6 +3557,24 @@ def _llm_oracles() -> dict[str, str]:
             FROM p
             GROUP BY domain
         """,
+        "warc_indexed": """
+            -- closed form of the indexed-WARC synthesis rule
+            -- (q_warc_indexed): each doc becomes an HTTP 200
+            -- text/plain response with body 'Indexed doc <id>: <text>'
+            -- written as one gzip member, indexed, then ranged-read
+            -- back at record grain — the member round-trip is
+            -- lossless so the body compares exactly
+            SELECT doc_id,
+                   CAST(200 AS INT) AS http_status,
+                   CAST(length(body) AS BIGINT) AS payload_len,
+                   body
+            FROM (
+              SELECT doc_id,
+                     'Indexed doc ' || CAST(doc_id AS VARCHAR) || ': '
+                     || COALESCE(text, '') AS body
+              FROM documents
+            )
+        """,
         "warc_ingest": """
             -- closed form of the WARC synthesis rule (q_warc_ingest):
             -- each doc becomes an HTTP 200 text/html response whose
@@ -3692,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_anim": q_webp_anim,
         "flac_features": q_flac_features,
         "warc_ingest": q_warc_ingest,
+        "warc_indexed": q_warc_indexed,
         "domain_stats": q_domain_stats,
         "kmeans": q_kmeans,
         "fuzzy_join": q_fuzzy_join,

@@ -145,3 +145,58 @@ def test_gunzip_many_members_chunked():
     out = parse_warc(data)
     assert len(out) == 300
     assert out[299]["payload"] == b"doc 299"
+
+
+def test_build_warc_index_gzip_and_plain():
+    from vtk_reserves_spark.sources.warc import build_warc_index
+
+    recs = _sample_records()
+    for gz in (True, False):
+        data = write_warc(recs, gzip_members=gz)
+        spans = build_warc_index(data)
+        assert len(spans) == len(recs)
+        # spans tile the stream exactly
+        assert spans[0][0] == 0
+        for (o1, l1), (o2, _) in zip(spans, spans[1:]):
+            assert o1 + l1 == o2
+        assert spans[-1][0] + spans[-1][1] == len(data)
+        # each span parses standalone to the matching record
+        for (off, ln), want in zip(spans, recs):
+            got = parse_warc(data[off : off + ln])
+            assert len(got) == 1
+            assert got[0]["warc_type"] == want["warc_type"]
+
+
+def test_read_warc_indexed_record_grain(spark, tmp_path):
+    """Ranged record-grain reads: same rows as read_warc, and the
+    physical plan parallelizes over the INDEX (a round-robin
+    repartition of the cdx rows), not over files."""
+    from vtk_reserves_spark.sources.warc import build_warc_index, read_warc_indexed
+
+    recs = [
+        {"warc_type": "response", "target_uri": f"http://e.com/{i}",
+         "http_status": 200, "http_content_type": "text/plain",
+         "payload": f"payload {i}".encode()}
+        for i in range(24)
+    ]
+    data = write_warc(recs, gzip_members=True)
+    p = tmp_path / "shard.warc.gz"
+    p.write_bytes(data)
+
+    idx_rows = [(str(p), off, ln) for off, ln in build_warc_index(data)]
+    idx = spark.createDataFrame(idx_rows, "path string, offset long, length long")
+    out = read_warc_indexed(spark, idx)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan or "Exchange" in plan
+    # record grain: one task per index partition, many partitions
+    assert out.rdd.getNumPartitions() > 1
+
+    rows = {r.target_uri: bytes(r.payload) for r in out.collect()}
+    assert len(rows) == 24
+    assert rows["http://e.com/7"] == b"payload 7"
+
+
+def test_zstd_warc_clear_error():
+    with pytest.raises(NotImplementedError, match="zstd"):
+        parse_warc(b"\x28\xb5\x2f\xfd" + b"\x00" * 32)
