@@ -1,4 +1,4 @@
-"""WebP lossless (VP8L) codec — pure python/numpy, no libwebp.
+"""WebP codec front-end — pure python/numpy, no libwebp.
 
 WebP is the second most common image format in modern web crawls;
 this decodes the LOSSLESS variant (VP8L bitstream, a public Google
@@ -8,11 +8,18 @@ images, the color cache, LZ77 backward references with the 2-D
 distance map, and all four transforms (predictor, color,
 subtract-green, color-indexing incl. sub-byte pixel bundling).
 
-Lossy WebP (VP8 chunk) needs a full VP8 intra decoder and raises a
-clear error, as does animated WebP (ANIM/ANMF).  The companion
-:func:`encode_webp` writes a valid minimal VP8L stream (optional
-subtract-green + run-LZ77, flat 8-bit literal codes) so round-trips
-are testable without external libraries.
+LOSSY WebP ('VP8 ' chunks) dispatches to the key-frame VP8 decoder
+in ``sources/vp8.py`` (RFC 6386: boolean coder, intra prediction,
+token decode, inverse WHT/DCT, loop filter) and converts the decoded
+YUV 4:2:0 to RGBA with a documented integer BT.601 closed form.
+ANIMATED WebP (VP8X/ANIM/ANMF) decodes via :func:`decode_webp_frames`
+with full canvas compositing (blend + dispose).  An ALPH chunk next
+to a lossy frame is NOT applied (alpha stays 255) — documented gap.
+
+The companion :func:`encode_webp` writes a valid minimal VP8L stream
+(optional subtract-green + run-LZ77, flat 8-bit literal codes), and
+``vp8.encode_webp_lossy`` writes genuine lossy key frames, so both
+paths round-trip without external libraries.
 
 Like the other codecs this runs INSIDE Arrow-batched executors
 (`operators/multimodal.py`), one payload at a time.
@@ -614,28 +621,25 @@ def _decode_vp8l_payload(body: bytes) -> np.ndarray:
     return out
 
 
-_LOSSY_MSG = (
-    "lossy WebP (VP8) needs a full VP8 decoder — only lossless "
-    "VP8L is supported in this container"
-)
-
-
 def decode_webp(data: bytes) -> np.ndarray:
-    """WebP bytes -> (h, w, 4) uint8 RGBA (lossless VP8L only).  For an
-    animated WebP this is the FIRST composited canvas frame (the GIF
-    convention in this codebase); use :func:`decode_webp_frames` for
-    the full animation."""
+    """WebP bytes -> (h, w, 4) uint8 RGBA — lossless (VP8L) or lossy
+    (VP8 key frame via ``sources/vp8.py``).  For an animated WebP this
+    is the FIRST composited canvas frame (the GIF convention in this
+    codebase); use :func:`decode_webp_frames` for the full
+    animation."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) stream")
     for tag, body in _iter_chunks(data, 12, len(data)):
         if tag == b"VP8L":
             return _decode_vp8l_payload(body)
         if tag == b"VP8 ":
-            raise ValueError(_LOSSY_MSG)
+            from vtk_reserves_spark.sources.vp8 import decode_vp8_rgba
+
+            return decode_vp8_rgba(body)
         if tag in (b"ANIM", b"ANMF"):
             frames, _durations, _loop = decode_webp_frames(data)
             return frames[0]
-    raise ValueError("WebP container has no VP8L chunk")
+    raise ValueError("WebP container has no VP8L or VP8 chunk")
 
 
 def decode_webp_frames(data: bytes):
@@ -647,8 +651,8 @@ def decode_webp_frames(data: bytes):
     ANIM chunk's background color + loop count, and per-ANMF frame
     rectangles with both blending methods (alpha 'over' blend / no
     blend) and dispose-to-background.  The canvas starts as the ANIM
-    background color.  Frame bitstreams must be lossless (VP8L); lossy
-    VP8 frames raise the usual clear error."""
+    background color.  Frame bitstreams may be lossless (VP8L) or
+    lossy (VP8 key frames, via ``sources/vp8.py``)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) stream")
     canvas_w = canvas_h = None
@@ -695,9 +699,12 @@ def decode_webp_frames(data: bytes):
                     img = _decode_vp8l_payload(fbody)
                     break
                 if ftag == b"VP8 ":
-                    raise ValueError(_LOSSY_MSG)
+                    from vtk_reserves_spark.sources.vp8 import decode_vp8_rgba
+
+                    img = decode_vp8_rgba(fbody)
+                    break
             if img is None:
-                raise ValueError("ANMF frame has no VP8L bitstream")
+                raise ValueError("ANMF frame has no VP8L/VP8 bitstream")
             if img.shape[:2] != (fh, fw):
                 raise ValueError("ANMF geometry disagrees with its bitstream")
             if canvas is None:
@@ -722,7 +729,9 @@ def decode_webp_frames(data: bytes):
         elif tag == b"VP8L":
             return _decode_vp8l_payload(body)[None, ...], [0], 0
         elif tag == b"VP8 ":
-            raise ValueError(_LOSSY_MSG)
+            from vtk_reserves_spark.sources.vp8 import decode_vp8_rgba
+
+            return decode_vp8_rgba(body)[None, ...], [0], 0
     if not frames:
         raise ValueError("WebP container has no VP8L or ANMF chunks")
     return np.stack(frames), durations, loop_count
