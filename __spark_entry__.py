@@ -2043,6 +2043,23 @@ def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(payloads, fake=False)
 
 
+def q_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-WebP path (operators/multimodal +
+    sources/vp8.py): each doc becomes a genuine VP8 KEY FRAME —
+    boolean-coded header + mode records + DC-only coefficient tokens
+    at quantizer ``n %% 128`` — decoded executor-side through the full
+    RFC 6386 pipeline (token decode, dequant, inverse WHT/DCT, DC_PRED
+    reconstruction with skip propagation) and the documented integer
+    BT.601 conversion.  Flat frames survive quantization exactly (the
+    q_video_frames_mjpg closed-form device), so DuckDB replays the
+    entire lossy pipeline: quantizer lookup, the (W*q+3)>>3 / (D+4)>>3
+    shift chain, and the YUV->RGB closed form."""
+    par = 2 * spark.sparkContext.defaultParallelism
+    docs = _read(spark, sf_dir, "documents").repartition(par, "doc_id")
+    payloads = MM.attach_webp_lossy_payload(docs)
+    return MM.extract_features(payloads, fake=False)
+
+
 def q_webp_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-WebP path (operators/multimodal.webp_anim_frames +
     sources/webp.py): each doc becomes a genuine VP8X/ANIM/ANMF
@@ -3283,6 +3300,67 @@ def _llm_oracles() -> dict[str, str]:
                    END AS mean_byte
             FROM d
         """,
+        "webp_lossy": """
+            -- closed form of the lossy-WebP synthesis rule
+            -- (attach_webp_lossy_payload): qi = n%128, DC-only levels
+            -- wl/du/dv; VP8 dequant y2dc = dc_q[qi]*2, uvdc =
+            -- min(dc_q[qi],132); the iWHT/iDCT shift chain gives the
+            -- uniform YUV offsets, then the documented integer BT.601
+            -- conversion; mean_byte = (r+g+b)/3 over the flat RGB
+            WITH d AS (
+              SELECT doc_id, length(COALESCE(text, '')) AS n
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, n, n % 128 AS qi,
+                     1 + n % 7 AS wl,
+                     1 + (3 * n) % 5 AS du,
+                     1 + (7 * n) % 5 AS dv
+              FROM d
+            ),
+            k AS (
+              SELECT *,
+                [4,5,6,7,8,9,10,10,11,12,13,14,15,16,17,17,18,19,20,
+                 20,21,21,22,22,23,23,24,25,25,26,27,28,29,30,31,32,
+                 33,34,35,36,37,37,38,39,40,41,42,43,44,45,46,46,47,
+                 48,49,50,51,52,53,54,55,56,57,58,59,60,61,62,63,64,
+                 65,66,67,68,69,70,71,72,73,74,75,76,76,77,78,79,80,
+                 81,82,83,84,85,86,87,88,89,91,93,95,96,98,100,101,
+                 102,104,106,108,110,112,114,116,118,122,124,126,128,
+                 130,132,134,136,138,140,143,145,148,151,154,157]
+                [qi + 1] AS dcq
+              FROM p
+            ),
+            o AS (
+              SELECT doc_id, n,
+                     ((wl * dcq * 2 + 3) // 8 + 4) // 8 AS offy,
+                     (du * LEAST(dcq, 132) + 4) // 8 AS offu,
+                     (dv * LEAST(dcq, 132) + 4) // 8 AS offv
+              FROM k
+            ),
+            c AS (
+              SELECT doc_id, n,
+                     LEAST(255, 128 + offy) AS y,
+                     LEAST(255, 128 + offu) AS u,
+                     LEAST(255, 128 + offv) AS v
+              FROM o
+            ),
+            rgb AS (
+              SELECT doc_id, n,
+                GREATEST(0, LEAST(255,
+                  (298*(y-16) + 409*(v-128) + 128) // 256)) AS r,
+                GREATEST(0, LEAST(255,
+                  (298*(y-16) - 100*(u-128) - 208*(v-128) + 128) // 256)) AS g,
+                GREATEST(0, LEAST(255,
+                  (298*(y-16) + 516*(u-128) + 128) // 256)) AS b
+              FROM c
+            )
+            SELECT doc_id,
+                   CAST(16 * (1 + n % 2) AS INT) AS width,
+                   CAST(16 AS INT) AS height,
+                   (r + g + b) / 3.0 AS mean_byte
+            FROM rgb
+        """,
         "webp_decode": """
             -- closed form of the WebP synthesis rule (attach_webp_payload):
             -- solid w=8+n%7 x h=8+n%5 RGBA frame, r=n%256, g=(n*3)%256,
@@ -3775,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive": q_jpeg_progressive,
         "gif_frames": q_gif_frames,
         "webp_decode": q_webp_decode,
+        "webp_lossy": q_webp_lossy,
         "webp_anim": q_webp_anim,
         "flac_features": q_flac_features,
         "warc_ingest": q_warc_ingest,

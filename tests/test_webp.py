@@ -251,12 +251,14 @@ def test_vp8l_meta_prefix_groups():
     assert (out[0, 4:] == np.array([1, 99, 2, 3], np.uint8)).all()
 
 
-def test_webp_rejects_lossy_and_garbage():
+def test_webp_rejects_garbage_and_truncated_lossy():
     with pytest.raises(ValueError, match="RIFF"):
         W.decode_webp(b"nope")
+    # lossy dispatches to the VP8 decoder since round 4; an empty VP8
+    # chunk is a truncated payload, not a missing-codec error
     lossy = (b"RIFF" + struct.pack("<I", 12) + b"WEBP"
              + b"VP8 " + struct.pack("<I", 0))
-    with pytest.raises(ValueError, match="lossy"):
+    with pytest.raises(ValueError, match="truncated VP8"):
         W.decode_webp(lossy)
 
 

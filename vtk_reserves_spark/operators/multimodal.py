@@ -606,10 +606,56 @@ def attach_webp_payload(
     )
 
 
+def attach_webp_lossy_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a REAL lossy-WebP payload per row (`sources/vp8.py`
+    key frames): a ``16*(1 + n%2)`` x 16 frame at quantizer index
+    ``n % 128`` whose corner macroblock carries DC-only quantized
+    levels (Y2 ``1 + n%7``, U ``1 + 3n%5``, V ``1 + 7n%5``) while the
+    remaining MBs skip — DC_PRED propagation makes the decoded frame
+    UNIFORM at a closed-form value (integer shifts of level x
+    quantizer, then the documented BT.601 conversion), so the oracle
+    replays the whole lossy pipeline exactly (n = utf-8 byte count)."""
+    from vtk_reserves_spark.sources.vp8 import DC_PRED, encode_webp_lossy
+
+    @F.pandas_udf(T.BinaryType())
+    def to_lossy(texts: pd.Series) -> pd.Series:
+        def flat(y2=0, u=0, v=0, skip=False):
+            mb = {"y_mode": DC_PRED, "uv_mode": DC_PRED, "skip": skip}
+            if not skip:
+                mb["y2"] = [y2] + [0] * 15
+                mb["u"] = [[u] + [0] * 15 for _ in range(4)]
+                mb["v"] = [[v] + [0] * 15 for _ in range(4)]
+            return mb
+
+        out = []
+        for t in texts:
+            n = len((t or "").encode("utf-8"))
+            qi = n % 128
+            wl, du, dv = 1 + n % 7, 1 + (3 * n) % 5, 1 + (7 * n) % 5
+            n_mb = 1 + n % 2
+            mbs = [flat(wl, du, dv)] + [flat(skip=True)] * (n_mb - 1)
+            out.append(encode_webp_lossy(16 * n_mb, 16, mbs, qi=qi))
+        return pd.Series(out)
+
+    with_payload = df.select(F.col(id_col), to_lossy(F.col(text_col)).alias("payload"))
+    return with_payload.select(
+        id_col,
+        "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/webp").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def decode_media(payload: bytes, mime: str, fake: bool = False):
     """Decode one payload.  PNG (pure-zlib), JPEG — baseline AND
     progressive (pure-numpy, ``sources/jpeg.py``) — GIF (pure LZW,
-    first frame), BMP and lossless WebP (VP8L) decode for real; other mimes need
+    first frame), BMP and WebP (lossless VP8L AND lossy VP8 key
+    frames, ``sources/vp8.py``) decode for real; other mimes need
     codecs absent from this environment, so callers must opt into the
     deterministic fake."""
     if fake:
