@@ -310,7 +310,9 @@ def _undo_predictor_reference(argb, sub, size_bits):
                 L = int(out[y, x - 1])
                 T = int(out[y - 1, x])
                 TL = int(out[y - 1, x - 1])
-                TR = int(out[y - 1, x + 1]) if x + 1 < xs else int(out[y - 1, 0])
+                # last-column TR wraps to the CURRENT row's first pixel
+                # (libwebp's upper[w] aliases out[y][0] in-place)
+                TR = int(out[y - 1, x + 1]) if x + 1 < xs else int(out[y, 0])
                 pred = [
                     0xFF000000, L, T, TR, TL,
                     avg2(avg2(L, TR), T), avg2(L, TL), avg2(L, T),
@@ -429,3 +431,23 @@ def test_webp_frames_on_still_image():
     assert frames.shape == (1, 4, 4, 4)
     assert (frames[0, :, :, :3] == img).all()
     assert durs == [0] and loop == 0
+
+
+def test_vp8l_tr_wrap_uses_current_row_first_pixel():
+    """Pins the last-column TR convention for predictor mode 3: TR
+    aliases out[y][0] (the CURRENT row's first reconstructed pixel, as
+    in libwebp's in-place row layout where upper[w] physically reads
+    it), NOT out[y-1][0].  Hand-built 2x2, mode 3 everywhere."""
+    res = np.zeros((2, 2), np.uint32)
+    # row 0: pixel0 = 0xFF000000 + r; pixel1 predicts L
+    res[0, 0] = 0x00000005  # out00 = 0xFF000005
+    res[0, 1] = 0x00000001  # out01 = 0xFF000006
+    # row 1: pixel0 predicts T: + 0x10 -> 0xFF000015 (differs from out00)
+    res[1, 0] = 0x00000010
+    # pixel1 (last col) mode 3: TR must be out[1][0] = 0xFF000015
+    res[1, 1] = 0x00000002
+    sub = np.full((1, 1), 3 << 8, np.uint32)
+    out = W._undo_predictor(res, sub, 5, 2)
+    assert out[1, 0] == 0xFF000015
+    assert out[1, 1] == 0xFF000017  # current-row wrap; 0xFF000007 would
+    # indicate the (wrong) previous-row convention

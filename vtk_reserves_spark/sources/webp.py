@@ -402,9 +402,16 @@ def _undo_predictor_run(out, res, y, x0, x1, mode, xs):
     acc = np.zeros(x1 - x0, np.int64)
     if mode == 3 or mode == 9:
         idx = np.arange(x0 + 1, x1 + 1)
-        if idx[-1] >= xs:  # last column: TR wraps to the previous row's
-            idx[-1] = 0  # first pixel (libwebp convention)
+        wrap = idx[-1] >= xs
+        if wrap:
+            idx[-1] = 0
         tr = prev[idx]
+        if wrap:
+            # last column: TR wraps to the CURRENT row's first pixel —
+            # libwebp's in-place row layout (upper[w] physically reads
+            # out[y][0], reconstructed by the per-row x==0 step)
+            tr = tr.copy()
+            tr[-1] = out[y, 0]
     if mode == 1:
         seed = int(out[y, x0 - 1])
     for shift in _SHIFTS:
@@ -489,7 +496,9 @@ def _undo_predictor(argb, sub, size_bits, w):
             tl = prev[: xs - 1]
             tr = np.empty_like(t)
             tr[:-1] = prev[2:xs]
-            tr[-1] = prev[0]  # last column: TR wraps (libwebp convention)
+            # last column: TR wraps to the CURRENT row's first pixel
+            # (libwebp upper[w] aliases out[y][0], written just above)
+            tr[-1] = out[y, 0]
             vec_present = [int(m) for m in present if m != 1]
             uniform = len(vec_present) == 1 and 1 not in present
             masks = None if uniform else {m: mode_px == m for m in vec_present}
@@ -535,7 +544,7 @@ def _undo_predictor(argb, sub, size_bits, w):
                 L = int(out[y, xi - 1])
                 T = int(out[y - 1, xi])
                 TL = int(out[y - 1, xi - 1])
-                TR = int(out[y - 1, xi + 1]) if xi + 1 < xs else int(out[y - 1, 0])
+                TR = int(out[y - 1, xi + 1]) if xi + 1 < xs else int(out[y, 0])
                 if mode == 5:
                     pred = _avg2(_avg2(L, TR), T)
                 elif mode == 6:
