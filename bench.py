@@ -167,6 +167,11 @@ def main() -> None:
                 "ratio_total_vs_median": (
                     round(total / med_total, 3) if prior and med_total else None
                 ),
+                # variance-normalized headline (VERDICT r3 item 7): the
+                # per-query median of the last 5 same-sf runs, summed —
+                # compare THIS across rounds; "value" below is the raw
+                # run and inherits the box's ±25% spread
+                "value_median_of_history": round(med_total, 4) if med_total else None,
                 "metric": "headline_queries_total",
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -451,3 +451,58 @@ def test_vp8l_tr_wrap_uses_current_row_first_pixel():
     assert out[1, 0] == 0xFF000015
     assert out[1, 1] == 0xFF000017  # current-row wrap; 0xFF000007 would
     # indicate the (wrong) previous-row convention
+
+
+def _lossy_with_alpha(alpha_body, w=16, h=16):
+    """Assemble RIFF/WEBP with ALPH + a flat lossy VP8 frame."""
+    from vtk_reserves_spark.sources.vp8 import DC_PRED, encode_vp8_frame
+
+    mb = {"y_mode": DC_PRED, "uv_mode": DC_PRED,
+          "y2": [4] + [0] * 15,
+          "u": [[1] + [0] * 15 for _ in range(4)],
+          "v": [[1] + [0] * 15 for _ in range(4)]}
+    vp8 = encode_vp8_frame(w, h, [mb], qi=30)
+    chunks = b""
+    for tag, body in ((b"ALPH", alpha_body), (b"VP8 ", vp8)):
+        if len(body) & 1:
+            body += b"\x00"
+        chunks += tag + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def test_alpha_raw_all_filters():
+    """ALPH raw compression with filters 0-3 round-trips through the
+    inverse-filter decoder and lands in the RGBA alpha channel."""
+    rng = np.random.RandomState(9)
+    alpha = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    for filt in range(4):
+        body = W.encode_alpha_chunk(alpha, filt=filt)
+        blob = _lossy_with_alpha(body)
+        img = W.decode_webp(blob)
+        assert (img[:, :, 3] == alpha).all(), filt
+        # RGB untouched by alpha application
+        assert len(np.unique(img[:, :, 0])) == 1
+
+
+def test_alpha_vp8l_compressed():
+    """ALPH compression method 1: a headerless VP8L stream whose green
+    channel carries the alpha plane."""
+    w, h = 4, 2
+    alpha = np.array([[5, 250, 7, 0], [128, 1, 2, 3]], np.uint8)
+    bw = W._BitWriter()
+    bw.write(0, 1)  # no transforms
+    gtbl, ftbl = _flat_codes(bw, with_meta_bit=False)
+    pix = [(255, 0, int(alpha[y, x]), 0) for y in range(h) for x in range(w)]
+    _emit_pixels(bw, gtbl, ftbl, pix)
+    body = bytes([1]) + bw.finish()  # compression method 1, no filter
+    got = W._decode_alpha(body, w, h)
+    assert (got == alpha).all()
+
+
+def test_alpha_errors():
+    with pytest.raises(ValueError, match="ALPH"):
+        W._decode_alpha(b"", 4, 4)
+    with pytest.raises(ValueError, match="shorter"):
+        W._decode_alpha(b"\x00" + b"\x01" * 5, 4, 4)
+    with pytest.raises(ValueError, match="compression method"):
+        W._decode_alpha(b"\x02" + b"\x00" * 64, 4, 4)

@@ -13,8 +13,9 @@ in ``sources/vp8.py`` (RFC 6386: boolean coder, intra prediction,
 token decode, inverse WHT/DCT, loop filter) and converts the decoded
 YUV 4:2:0 to RGBA with a documented integer BT.601 closed form.
 ANIMATED WebP (VP8X/ANIM/ANMF) decodes via :func:`decode_webp_frames`
-with full canvas compositing (blend + dispose).  An ALPH chunk next
-to a lossy frame is NOT applied (alpha stays 255) — documented gap.
+with full canvas compositing (blend + dispose).  ALPH chunks beside
+lossy frames are decoded too (raw or headerless-VP8L compression,
+all four spatial filters) and applied to the RGBA output.
 
 The companion :func:`encode_webp` writes a valid minimal VP8L stream
 (optional subtract-green + run-LZ77, flat 8-bit literal codes), and
@@ -630,22 +631,106 @@ def _decode_vp8l_payload(body: bytes) -> np.ndarray:
     return out
 
 
+def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane (container spec): header
+    byte = rsv(2) | preprocessing(2) | filter(2) | compression(2);
+    compression 0 = raw bytes, 1 = headerless VP8L stream whose GREEN
+    channel carries alpha; then the inverse of the spatial filter
+    (none / horizontal / vertical / gradient, libwebp border rules:
+    row 0 is always a left-chain seeded with 0, and x==0 predicts from
+    the pixel above).  Preprocessing is encoder-side lossy level
+    reduction — nothing to invert."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    b0 = body[0]
+    method = b0 & 3
+    filt = (b0 >> 2) & 3
+    if method == 0:
+        if len(body) - 1 < w * h:
+            raise ValueError("raw ALPH payload shorter than width*height")
+        a = (
+            np.frombuffer(body[1 : 1 + w * h], np.uint8)
+            .reshape(h, w)
+            .astype(np.int32)
+        )
+    elif method == 1:
+        br = _BitReader(body[1:])
+        argb = _decode_image(br, w, h, allow_meta=False, allow_transforms=True)
+        a = ((argb >> 8) & 0xFF).astype(np.int32)
+    else:
+        raise ValueError(f"bad ALPH compression method {method}")
+    if filt == 0:
+        return a.astype(np.uint8)
+    out = np.zeros((h, w), np.int32)
+    # row 0: all filters degrade to a left-chain seeded with 0
+    out[0] = np.cumsum(a[0]) & 0xFF
+    for y in range(1, h):
+        if filt == 1:  # horizontal: x==0 predicts from above
+            out[y] = (np.cumsum(a[y]) + out[y - 1, 0]) & 0xFF
+        elif filt == 2:  # vertical
+            out[y] = (a[y] + out[y - 1]) & 0xFF
+        else:  # gradient
+            for x in range(w):
+                if x == 0:
+                    pred = out[y - 1, 0]
+                else:
+                    g = out[y, x - 1] + out[y - 1, x] - out[y - 1, x - 1]
+                    pred = 0 if g < 0 else (255 if g > 255 else g)
+                out[y, x] = (a[y, x] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def encode_alpha_chunk(alpha: np.ndarray, filt: int = 0) -> bytes:
+    """(h, w) uint8 alpha -> raw-compression ALPH chunk body with the
+    chosen spatial filter applied (fixture/test encoder)."""
+    a = alpha.astype(np.int32)
+    h, w = a.shape
+    if filt == 0:
+        return bytes([0]) + alpha.astype(np.uint8).tobytes()
+    res = np.zeros_like(a)
+    for y in range(h):
+        for x in range(w):
+            if y == 0:  # all filters: row 0 is a left-chain seeded 0
+                pred = 0 if x == 0 else a[0, x - 1]
+            elif filt == 1:
+                pred = a[y, x - 1] if x else a[y - 1, 0]
+            elif filt == 2:
+                pred = a[y - 1, x]
+            else:
+                if x == 0:
+                    pred = a[y - 1, 0]
+                else:
+                    g = a[y, x - 1] + a[y - 1, x] - a[y - 1, x - 1]
+                    pred = 0 if g < 0 else (255 if g > 255 else g)
+            res[y, x] = (a[y, x] - pred) & 0xFF
+    return bytes([filt << 2]) + res.astype(np.uint8).tobytes()
+
+
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP bytes -> (h, w, 4) uint8 RGBA — lossless (VP8L) or lossy
-    (VP8 key frame via ``sources/vp8.py``).  For an animated WebP this
-    is the FIRST composited canvas frame (the GIF convention in this
-    codebase); use :func:`decode_webp_frames` for the full
-    animation."""
+    (VP8 key frame via ``sources/vp8.py``, with an optional ALPH
+    alpha plane applied).  For an animated WebP this is the FIRST
+    composited canvas frame (the GIF convention in this codebase); use
+    :func:`decode_webp_frames` for the full animation."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) stream")
+    alpha_body = None
     for tag, body in _iter_chunks(data, 12, len(data)):
-        if tag == b"VP8L":
+        if tag == b"ALPH":
+            alpha_body = body
+        elif tag == b"VP8L":
             return _decode_vp8l_payload(body)
-        if tag == b"VP8 ":
+        elif tag == b"VP8 ":
             from vtk_reserves_spark.sources.vp8 import decode_vp8_rgba
 
-            return decode_vp8_rgba(body)
-        if tag in (b"ANIM", b"ANMF"):
+            img = decode_vp8_rgba(body)
+            if alpha_body is not None:
+                img = img.copy()
+                img[:, :, 3] = _decode_alpha(
+                    alpha_body, img.shape[1], img.shape[0]
+                )
+            return img
+        elif tag in (b"ANIM", b"ANMF"):
             frames, _durations, _loop = decode_webp_frames(data)
             return frames[0]
     raise ValueError("WebP container has no VP8L or VP8 chunk")
@@ -703,14 +788,21 @@ def decode_webp_frames(data: bytes):
                     f"the {canvas_w}x{canvas_h} canvas"
                 )
             img = None
+            frame_alpha = None
             for ftag, fbody in _iter_chunks(body, 16, len(body)):
-                if ftag == b"VP8L":
+                if ftag == b"ALPH":
+                    frame_alpha = fbody
+                elif ftag == b"VP8L":
                     img = _decode_vp8l_payload(fbody)
                     break
-                if ftag == b"VP8 ":
+                elif ftag == b"VP8 ":
                     from vtk_reserves_spark.sources.vp8 import decode_vp8_rgba
 
                     img = decode_vp8_rgba(fbody)
+                    if frame_alpha is not None:
+                        img[:, :, 3] = _decode_alpha(
+                            frame_alpha, img.shape[1], img.shape[0]
+                        )
                     break
             if img is None:
                 raise ValueError("ANMF frame has no VP8L/VP8 bitstream")
