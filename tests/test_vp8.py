@@ -333,3 +333,13 @@ def test_loop_filter_preserves_flat_frames():
     hdr.filter_type = 1
     vp8._loop_filter(Y, U, V, hdr, info, 2, 2)
     assert (Y == ey).all()
+
+
+def test_inv_dct_batch_parity():
+    """inv_dct4x4_batch is bit-identical to the scalar transform over
+    random coefficient blocks spanning the full dequantized range."""
+    rng = np.random.RandomState(17)
+    blocks = rng.randint(-700000, 700000, (64, 16))
+    got = vp8.inv_dct4x4_batch(blocks)
+    for i in range(64):
+        assert (got[i] == inv_dct4x4(blocks[i].tolist())).all(), i
