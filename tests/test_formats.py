@@ -1598,3 +1598,46 @@ def test_xls_custom_format_heuristic_and_1904(tmp_path):
     # 1904 epoch: serial 100.5 = 1904-01-01 + 100.5 days
     assert rows[0][0] == dt.datetime(1904, 1, 1) + dt.timedelta(days=100.5)
     assert rows[0][1] == 100.5  # General XF stays numeric
+
+
+def test_sniff_mime_magics():
+    from vtk_reserves_spark.operators.multimodal import decode_media, sniff_mime
+
+    cases = [
+        (b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, "image/png"),
+        (b"\xff\xd8\xff\xe0" + b"\x00" * 8, "image/jpeg"),
+        (b"GIF89a" + b"\x00" * 8, "image/gif"),
+        (b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 4, "image/webp"),
+        (b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 4, "audio/x-wav"),
+        (b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 4, "video/x-msvideo"),
+        (b"BM" + b"\x00" * 12, "image/bmp"),
+        (b"fLaC" + b"\x00" * 8, "audio/flac"),
+        (b"II*\x00" + b"\x00" * 8, "image/tiff"),
+        (b"MM\x00*" + b"\x00" * 8, "image/tiff"),
+        (b"P6\n1 1\n255\n\x00\x00\x00", "image/x-portable-anymap"),
+        (b"\x00\x00\x01\x00\x01\x00" + b"\x00" * 8, "image/x-icon"),
+        (b"%PDF-1.7" + b"\x00" * 4, "application/pdf"),
+        (b"\x1f\x8b\x08" + b"\x00" * 8, "application/gzip"),
+        (b"\x28\xb5\x2f\xfd" + b"\x00" * 8, "application/zstd"),
+        (b"PK\x03\x04" + b"\x00" * 8, "application/zip"),
+        (b"WARC/1.0\r\n", "application/warc"),
+        (b"\x00" * 16, None),
+        (b"", None),
+    ]
+    for payload, want in cases:
+        assert sniff_mime(payload) == want, payload[:8]
+
+    # decode_media auto-dispatch: a real PNG under a generic mime decodes
+    from vtk_reserves_spark.sources.image import encode_png
+    import numpy as np
+
+    img = np.zeros((3, 5, 4), np.uint8)
+    img[..., 1] = 200
+    img[..., 3] = 255
+    png = encode_png(img)
+    feats = decode_media(png, "application/octet-stream")
+    assert (feats["width"], feats["height"]) == (5, 3)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="magic"):
+        decode_media(b"\x00" * 20, "auto")
