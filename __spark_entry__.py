@@ -2277,6 +2277,35 @@ def q_warc_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retroactive robots.txt filtering (functions/robots.py, RFC
+    9309): per-doc URLs over three fixed hosts are evaluated against a
+    broadcast robots corpus — longest-match Allow/Disallow with a
+    longer-Allow override, a blanket Disallow:/ host, and a
+    no-robots-present host.  The rules ride a broadcast variable into
+    an Arrow-batched UDF (no shuffle, no join — the per-domain
+    dimension is KB-scale while URLs are the big side).  The oracle
+    replays the fixed rule set as a CASE closed form."""
+    from vtk_reserves_spark.functions.robots import robots_allowed
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    hosts = F.array(
+        F.lit("site-a.com"), F.lit("site-b.com"), F.lit("site-c.com")
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.element_at(hosts, (F.col("doc_id") % 3 + 1).cast("int")),
+        F.expr("repeat('/p', CAST(doc_id % 4 AS INT))"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    robots = {
+        "site-a.com": "User-agent: *\nDisallow: /p/p\nAllow: /p/p/p",
+        "site-b.com": "User-agent: *\nDisallow: /",
+    }
+    out = robots_allowed(with_url, robots)
+    return out.select("doc_id", "url", F.col("robots_allowed").alias("allowed"))
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain crawl curation stats (functions/urls.py, pure
     Catalyst): deterministic per-doc URLs (scheme/userinfo-free hosts
@@ -3635,6 +3664,24 @@ def _llm_oracles() -> dict[str, str]:
             FROM p
             GROUP BY domain
         """,
+        "robots_filter": """
+            -- closed form of the robots fixture (q_robots_filter):
+            -- host = (site-a, site-b, site-c).com by doc_id%3, path =
+            -- repeat('/p', doc_id%4); site-b disallows everything,
+            -- site-c has no robots (allowed), site-a disallows /p/p
+            -- but a longer Allow rule reopens /p/p/p
+            SELECT doc_id,
+                   'https://' ||
+                   ['site-a.com','site-b.com','site-c.com']
+                     [CAST(doc_id % 3 AS INT) + 1] ||
+                   repeat('/p', CAST(doc_id % 4 AS INT)) AS url,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 1 THEN FALSE
+                     WHEN 2 THEN TRUE
+                     ELSE CAST(doc_id % 4 AS INT) != 2
+                   END AS allowed
+            FROM documents
+        """,
         "warc_indexed": """
             -- closed form of the indexed-WARC synthesis rule
             -- (q_warc_indexed): each doc becomes an HTTP 200
@@ -3842,16 +3889,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     never driver-verified; VERDICT r3 item 1);
     # [1-3] new/changed this round: webp_lossy (VP8 intra decode),
     #     warc_indexed (cdx record-grain reads), domain_stats (fixture
-    #     now exercises the PSL snapshot — prior green predates it);
-    # [4-49] the round-1-verified block, which holds the OLDEST green
-    #     rows — re-recorded this round; three r1 queries that do not
-    #     fit (asof_join, range_join, time_rollup) head the tail and
-    #     rotate in next round; r2/r3-verified queries fill the rest.
+    #     now exercises the PSL snapshot — prior green predates it),
+    #     robots_filter (new RFC 9309 engine);
+    # [5-49] the round-1-verified block, which holds the OLDEST green
+    #     rows — re-recorded this round; the r1 queries that do not
+    #     fit the 50-cap (proportional_volume, asof_join, range_join,
+    #     time_rollup) head the tail and rotate in next round;
+    #     r2/r3-verified queries fill the rest.
     return {
         # --- no driver-recorded green yet (r1 hash FAIL, fixed in r2) ---
         "repetition_signals": q_repetition_signals,
         # --- new or fixture-changed this round ---
         "webp_lossy": q_webp_lossy,
+        "robots_filter": q_robots_filter,
         "warc_indexed": q_warc_indexed,
         "domain_stats": q_domain_stats,
         # --- round-1 greens being re-recorded (oldest evidence) ---
