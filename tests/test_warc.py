@@ -200,3 +200,47 @@ def test_read_warc_indexed_record_grain(spark, tmp_path):
 def test_zstd_warc_clear_error():
     with pytest.raises(NotImplementedError, match="zstd"):
         parse_warc(b"\x28\xb5\x2f\xfd" + b"\x00" * 32)
+
+
+def test_read_cdx_roundtrip(spark, tmp_path):
+    """CDXJ text -> index DataFrame -> ranged record reads: the full
+    CommonCrawl workflow (index-filter, then fetch only matching
+    records)."""
+    from vtk_reserves_spark.sources.warc import (
+        build_warc_index, read_cdx, read_warc_indexed, write_cdx,
+    )
+
+    recs = [
+        {"warc_type": "response", "target_uri": f"http://e.com/p{i}",
+         "http_status": 200, "http_content_type": "text/html",
+         "payload": f"body {i}".encode()}
+        for i in range(6)
+    ]
+    data = write_warc(recs, gzip_members=True)
+    shard = tmp_path / "x.warc.gz"
+    shard.write_bytes(data)
+    spans = build_warc_index(data)
+    cdx_lines = [
+        (
+            f"com,e)/p{i}",
+            "20240101000000",
+            {"url": f"http://e.com/p{i}", "mime": "text/html",
+             "status": "200", "digest": "x", "filename": "x.warc.gz",
+             "offset": str(off), "length": str(ln)},
+        )
+        for i, (off, ln) in enumerate(spans)
+    ]
+    cdx_path = tmp_path / "idx.cdx"
+    cdx_path.write_text(write_cdx(cdx_lines))
+
+    idx = read_cdx(spark, str(cdx_path), base=str(tmp_path) + "/")
+    rows = idx.orderBy("offset").collect()
+    assert [r.url for r in rows] == [f"http://e.com/p{i}" for i in range(6)]
+    assert rows[0].status == 200 and rows[0].offset == 0
+
+    # pre-filter on the index (the 200-GB-scan-avoidance move), then
+    # ranged-read only the selected records
+    pick = idx.filter("urlkey like '%p3' or urlkey like '%p5'")
+    out = read_warc_indexed(spark, pick)
+    got = sorted(r.target_uri for r in out.collect())
+    assert got == ["http://e.com/p3", "http://e.com/p5"]

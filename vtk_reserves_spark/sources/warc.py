@@ -331,6 +331,51 @@ def index_warc_files(spark, path):
     return files.mapInPandas(run, "path string, offset long, length long")
 
 
+def read_cdx(spark, path, base: str = ""):
+    """CommonCrawl CDXJ index files -> the ``path, offset, length``
+    DataFrame `read_warc_indexed` consumes (plus url/status/mime for
+    pre-filtering).  CDXJ lines are ``<urlkey> <timestamp> <json>``
+    with the WARC location in the json's ``filename``/``offset``/
+    ``length`` string fields.  Pure Catalyst: text source ->
+    substring split -> from_json — predicate pushdown and column
+    pruning keep a filtered index build scan-bound, which matters
+    because one CC crawl's index is ~200 GB of text.  ``base`` is
+    prefixed onto ``filename`` to resolve the store root."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    # the json block starts at the first '{' (urlkey/timestamp cannot
+    # contain one; the json itself contains spaces, so split here)
+    j = F.expr("substring(value, instr(value, '{'))")
+    head = F.trim(F.expr("substring(value, 1, instr(value, '{') - 1)"))
+    parsed = F.from_json(
+        j,
+        "url string, mime string, status string, digest string, "
+        "filename string, offset string, length string",
+    )
+    return lines.select(
+        F.split(head, " ").getItem(0).alias("urlkey"),
+        F.split(head, " ").getItem(1).alias("timestamp"),
+        parsed.getField("url").alias("url"),
+        parsed.getField("mime").alias("mime"),
+        parsed.getField("status").cast("int").alias("status"),
+        F.concat(F.lit(base), parsed.getField("filename")).alias("path"),
+        parsed.getField("offset").cast("long").alias("offset"),
+        parsed.getField("length").cast("long").alias("length"),
+    )
+
+
+def write_cdx(records) -> str:
+    """Fixture/test writer: (urlkey, timestamp, dict) tuples -> CDXJ
+    text (one line per record, CC field order)."""
+    import json as _json
+
+    lines = []
+    for urlkey, ts, fields in records:
+        lines.append(f"{urlkey} {ts} {_json.dumps(fields)}")
+    return "\n".join(lines) + "\n"
+
+
 def _local_opener(path: str):
     """Default byte-range opener: the local filesystem (paths may be
     Spark ``file:``-prefixed URIs).  On a cluster, pass an opener that
