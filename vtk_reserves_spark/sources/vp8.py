@@ -871,14 +871,53 @@ def _dequant_factors(hdr: _Header, segment: int):
 
 
 def _decode_coeffs(bd, type_probs, ctx, first, dq_dc, dq_ac):
-    """One 4x4 block's token run -> (natural-order int16 coeffs, nonzero)."""
+    """One 4x4 block's token run -> (natural-order int coeffs, nonzero).
+
+    This is THE decode hot loop (25 blocks/MB x up to ~30 boolean
+    symbols each), so the boolean decoder is inlined on local
+    variables — ~2x over method calls; the readable BoolDecoder.bool
+    stays the reference (parity pinned by the roundtrip tests)."""
+    data = bd.data
+    n_data = len(data)
+    pos = bd.pos
+    value = bd.value
+    rng = bd.range
+    bit_count = bd.bit_count
+    tree = COEFF_TREE
+    bands = COEFF_BANDS
     coeffs = [0] * 16
     c = first
     start = 0
     nz = False
     while c < 16:
-        probs = type_probs[COEFF_BANDS[c]][ctx]
-        tok = bd.tree(COEFF_TREE, probs, start)
+        probs = type_probs[bands[c]][ctx]
+        # --- inlined tree decode from `start` ---
+        i = start
+        while True:
+            p = probs[i >> 1]
+            split = 1 + (((rng - 1) * p) >> 8)
+            big = split << 8
+            if value >= big:
+                bit = 1
+                rng -= split
+                value -= big
+            else:
+                bit = 0
+                rng = split
+            while rng < 128:
+                value <<= 1
+                rng <<= 1
+                bit_count += 1
+                if bit_count == 8:
+                    bit_count = 0
+                    if pos < n_data:
+                        value |= data[pos]
+                        pos += 1
+            node = tree[i + bit]
+            if node <= 0:
+                tok = -node
+                break
+            i = node
         if tok == EOB:
             break
         if tok == ZERO:
@@ -895,15 +934,53 @@ def _decode_coeffs(bd, type_probs, ctx, first, dq_dc, dq_ac):
             else:
                 extra = 0
                 for p in CAT_PROBS[tok]:
-                    extra = (extra << 1) | bd.bool(p)
+                    split = 1 + (((rng - 1) * p) >> 8)
+                    big = split << 8
+                    if value >= big:
+                        bit = 1
+                        rng -= split
+                        value -= big
+                    else:
+                        bit = 0
+                        rng = split
+                    while rng < 128:
+                        value <<= 1
+                        rng <<= 1
+                        bit_count += 1
+                        if bit_count == 8:
+                            bit_count = 0
+                            if pos < n_data:
+                                value |= data[pos]
+                                pos += 1
+                    extra = (extra << 1) | bit
                 v = CAT_BASE[tok] + extra
             ctx = 2
-        if bd.bool(128):
+        # sign bit at prob 128
+        split = 1 + (((rng - 1) * 128) >> 8)
+        big = split << 8
+        if value >= big:
             v = -v
+            rng -= split
+            value -= big
+        else:
+            rng = split
+        while rng < 128:
+            value <<= 1
+            rng <<= 1
+            bit_count += 1
+            if bit_count == 8:
+                bit_count = 0
+                if pos < n_data:
+                    value |= data[pos]
+                    pos += 1
         coeffs[ZIGZAG[c]] = v * (dq_dc if c == 0 else dq_ac)
         start = 0
         c += 1
         nz = True
+    bd.pos = pos
+    bd.value = value
+    bd.range = rng
+    bd.bit_count = bit_count
     return coeffs, nz
 
 
