@@ -447,3 +447,48 @@ def test_decimate_cli_qem_and_cluster(tmp_path):
 
     got2 = read_msh(out2)
     assert 0 < len(got2.faces) < len(faces)
+
+
+def test_warc_cli_file_and_cdx(tmp_path, spark):
+    """warc subcommand: file-grain ingest with text extraction, then
+    cdx record-grain ingest with an index-side mime filter."""
+    from vtk_reserves_spark.cli import main
+    from vtk_reserves_spark.sources.warc import build_warc_index, write_cdx, write_warc
+
+    recs = [
+        {"warc_type": "response", "target_uri": f"http://e.com/{i}",
+         "http_status": 200,
+         "http_content_type": "text/html" if i % 2 == 0 else "image/png",
+         "payload": f"<html><body>doc {i}</body></html>".encode()}
+        for i in range(8)
+    ]
+    data = write_warc(recs, gzip_members=True)
+    shard = tmp_path / "s.warc.gz"
+    shard.write_bytes(data)
+
+    out1 = str(tmp_path / "out1")
+    main(["warc", str(shard), out1, "--extract-text"])
+    got = spark.read.parquet(out1)
+    assert got.count() == 8
+    assert "text" in got.columns and "payload" not in got.columns
+    row = got.where("target_uri = 'http://e.com/3'").collect()[0]
+    assert row.text == "doc 3"
+
+    spans = build_warc_index(data)
+    cdx = tmp_path / "i.cdx"
+    cdx.write_text(write_cdx([
+        (f"com,e)/{i}", "20240101000000",
+         {"url": f"http://e.com/{i}",
+          "mime": "text/html" if i % 2 == 0 else "image/png",
+          "status": "200", "filename": "s.warc.gz",
+          "offset": str(off), "length": str(ln)})
+        for i, (off, ln) in enumerate(spans)
+    ]))
+    out2 = str(tmp_path / "out2")
+    main(["warc", "ignored", out2, "--cdx", str(cdx),
+          "--cdx-base", str(tmp_path) + "/", "--mime-filter", "text/html"])
+    got2 = spark.read.parquet(out2)
+    assert got2.count() == 4
+    assert sorted(r.target_uri for r in got2.collect()) == [
+        f"http://e.com/{i}" for i in (0, 2, 4, 6)
+    ]

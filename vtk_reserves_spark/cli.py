@@ -433,6 +433,40 @@ def cmd_vocab(args) -> None:
         print(pdf.to_string(index=False))
 
 
+def cmd_warc(args) -> None:
+    """Ingest WARC shards to parquet: file-grain by default (the right
+    shape for ~1 GB CommonCrawl shards), or record-grain ranged reads
+    when a CDXJ index is supplied (``--cdx``), with optional
+    index-side pre-filters (``--mime-filter``, ``--status``) that keep
+    the fetch volume proportional to the selection, not the crawl.
+    ``--extract-text`` adds the pure-Catalyst HTML text extraction
+    column; payload bytes are dropped in that case to keep the output
+    scan-friendly."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.warc import (
+        read_cdx, read_warc, read_warc_indexed,
+    )
+
+    spark = _spark()
+    if args.cdx:
+        idx = read_cdx(spark, args.cdx, base=args.cdx_base)
+        if args.mime_filter:
+            idx = idx.where(F.col("mime") == args.mime_filter)
+        if args.status is not None:
+            idx = idx.where(F.col("status") == args.status)
+        recs = read_warc_indexed(spark, idx, max_payload=args.max_payload)
+    else:
+        recs = read_warc(spark, args.input, max_payload=args.max_payload)
+    if args.extract_text:
+        from vtk_reserves_spark.functions.text import html_to_text
+
+        recs = recs.withColumn(
+            "text", html_to_text(F.col("payload").cast("string"))
+        ).drop("payload")
+    recs.write.mode("overwrite").parquet(args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vtk_reserves_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -558,6 +592,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep only documents at or under this char-LM perplexity",
     )
     q.set_defaults(fn=cmd_quality)
+
+    w = sub.add_parser(
+        "warc", help="ingest WARC shards (file-grain or cdx record-grain)"
+    )
+    w.add_argument("input", help="WARC path/glob (ignored when --cdx is set)")
+    w.add_argument("output", help="output parquet directory")
+    w.add_argument("--cdx", help="CDXJ index path/glob for record-grain reads")
+    w.add_argument(
+        "--cdx-base", default="", help="prefix joined onto cdx filename fields"
+    )
+    w.add_argument("--mime-filter", help="index-side mime equality filter")
+    w.add_argument("--status", type=int, help="index-side HTTP status filter")
+    w.add_argument(
+        "--max-payload", type=int, default=None,
+        help="truncate payloads beyond this many bytes",
+    )
+    w.add_argument(
+        "--extract-text", action="store_true",
+        help="replace payload with extracted HTML text",
+    )
+    w.set_defaults(fn=cmd_warc)
 
     v = sub.add_parser("vocab", help="learn a BPE merge table from a corpus")
     v.add_argument("input")
