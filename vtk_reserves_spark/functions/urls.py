@@ -56,32 +56,37 @@ def url_query(url: Column) -> Column:
     return F.nullif(F.regexp_extract(url, _URL_RE, 4), F.lit(""))
 
 
-def public_suffix_len(host: Column) -> Column:
-    """Label count of the host's public suffix under the PSL snapshot
-    (psl_data.py), evaluated entirely in Catalyst: the candidate tails
-    (last 1–4 labels) are probed against the rule sets with `isin`
-    (InSet hash lookups — O(1) per row, no join, no UDF), longest
-    match wins, exception rules override wildcards per the PSL
-    algorithm, and the implicit `*` rule yields 1 for unknown TLDs."""
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-
-    def lastk(k: int) -> Column:
-        return F.concat_ws(
-            ".", *[F.element_at(parts, -i) for i in range(k, 0, -1)]
-        )
-
-    l1, l2, l3, l4 = (
-        F.element_at(parts, -1), lastk(2), lastk(3), lastk(4),
-    )
+def _ps_len_unguarded(host: Column) -> Column:
+    """PSL suffix label count WITHOUT host-length guards: tails are
+    probed with ``substring_index`` (one cheap string op per probe, no
+    array split), and a probe on a host SHORTER than the tail length
+    returns the whole host — which can never equal a rule with more
+    dots, so short hosts fall through rather than false-matching.  The
+    one divergence from the guarded semantics: a host that IS a
+    wildcard parent (e.g. bare 'ck') reports the wildcard's suffix
+    length — harmless for registered_domain, whose take-one-more-label
+    ``substring_index`` saturates to the whole host anyway."""
+    l1 = F.substring_index(host, ".", -1)
+    l2 = F.substring_index(host, ".", -2)
+    l3 = F.substring_index(host, ".", -3)
     return (
-        F.when((n >= 3) & l3.isin(*EXCEPTIONS_3), F.lit(2))
-        .when((n >= 2) & l2.isin(*EXCEPTIONS_2), F.lit(1))
-        .when((n >= 4) & l3.isin(*WILDCARD_PARENTS_3), F.lit(4))
-        .when((n >= 3) & (l3.isin(*EXACT_3) | l2.isin(*WILDCARD_PARENTS_2)), F.lit(3))
-        .when((n >= 2) & (l2.isin(*EXACT_2) | l1.isin(*WILDCARD_PARENTS_1)), F.lit(2))
+        F.when(l3.isin(*EXCEPTIONS_3), F.lit(2))
+        .when(l2.isin(*EXCEPTIONS_2), F.lit(1))
+        .when(l3.isin(*WILDCARD_PARENTS_3), F.lit(4))
+        .when(l3.isin(*EXACT_3) | l2.isin(*WILDCARD_PARENTS_2), F.lit(3))
+        .when(l2.isin(*EXACT_2) | l1.isin(*WILDCARD_PARENTS_1), F.lit(2))
         .otherwise(F.lit(1))
     )
+
+
+def public_suffix_len(host: Column) -> Column:
+    """Label count of the host's public suffix under the PSL snapshot
+    (psl_data.py), evaluated entirely in Catalyst (InSet hash probes
+    of the last 1-3 label tails; longest match wins, exceptions
+    override wildcards, implicit `*` yields 1).  Guarded so the
+    suffix never exceeds the host's own label count."""
+    n = F.size(F.split(host, r"\."))
+    return F.least(_ps_len_unguarded(host), n)
 
 
 def registered_domain(host: Column) -> Column:
@@ -92,15 +97,23 @@ def registered_domain(host: Column) -> Column:
     suffixes fall back to the implicit `*` rule (last two labels).
     Hosts that ARE a bare public suffix (or a single label) pass
     through unchanged — a stable quota bucket rather than a NULL.
-    Pure Catalyst; the per-domain quota/dedup primitive for crawl
-    curation at 100 TB (the reference has no URL surface)."""
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    ps = public_suffix_len(host)
-    take = F.least(ps + F.lit(1), n)
-    return F.when(
-        host.isNull(), host
-    ).otherwise(F.array_join(F.slice(parts, n - take + 1, take), "."))
+
+    Perf shape: pure Catalyst built from ``substring_index`` tail
+    probes — no array split, no slice, ~6 cheap string ops + 5 InSet
+    hash lookups per row; the take-(ps+1)-labels step is a 4-branch
+    CASE of ``substring_index`` calls that saturate to the whole host
+    when it is the bare suffix.  This keeps the per-domain quota/dedup
+    primitive scan-bound at 100 TB (the reference has no URL
+    surface).  NOTE for callers: pass an already-materialized host
+    column (one projection for ``url_host``, a second for this) so
+    the regex URL parse is not inlined into every probe branch."""
+    ps = _ps_len_unguarded(host)
+    return F.when(host.isNull(), host).otherwise(
+        F.when(ps == 4, F.substring_index(host, ".", -5))
+        .when(ps == 3, F.substring_index(host, ".", -4))
+        .when(ps == 2, F.substring_index(host, ".", -3))
+        .otherwise(F.substring_index(host, ".", -2))
+    )
 
 
 def url_depth(url: Column) -> Column:
