@@ -2277,6 +2277,52 @@ def q_warc_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (operators/sampling.quota_sample):
+    at most k=3 docs kept per synthetic domain, chosen by
+    deterministic md5 rank — the per-site cap every CC-derived corpus
+    applies against site dominance.  ONE keyed shuffle + window
+    row_number; the oracle is the identical ROW_NUMBER closed form
+    over the same md5 bucket, so membership must match row-for-row."""
+    from vtk_reserves_spark.operators.sampling import quota_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.concat(F.lit("dom"), (F.col("doc_id") % 17).cast("string")).alias(
+            "domain"
+        ),
+    )
+    return quota_sample(keyed, "domain", 3, "doc_id")
+
+
+def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT url-key canonicalization (functions/urls.surt_key): the
+    CommonCrawl cdx join key (reversed comma-joined host, www
+    stripped, ')' + path) computed pure-Catalyst over synthesized
+    URLs with mixed case, www prefixes, ports and userinfo — the
+    oracle replays the closed form, so the whole parse + reverse
+    chain must invert the synthesis exactly."""
+    from vtk_reserves_spark.functions.urls import surt_key
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Sub"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".Example.CO.uk"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        host,
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.expr("repeat('/s', CAST(doc_id % 3 AS INT))"),
+    )
+    return docs.select(
+        "doc_id", surt_key(url).alias("surt")
+    )
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retroactive robots.txt filtering (functions/robots.py, RFC
     9309): per-doc URLs over three fixed hosts are evaluated against a
@@ -3672,6 +3718,33 @@ def _llm_oracles() -> dict[str, str]:
             FROM p
             GROUP BY domain
         """,
+        "domain_quota": """
+            -- identical md5-rank quota: keep 3 per domain by the
+            -- bucket ('0x'||substr(md5('quota_'||id),1,8))::BIGINT
+            -- % 1000000, ties by doc_id (quota_sample closed form)
+            SELECT doc_id, domain FROM (
+              SELECT doc_id,
+                     'dom' || CAST(doc_id % 17 AS VARCHAR) AS domain,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY doc_id % 17
+                       ORDER BY ('0x' || substr(md5('quota_' ||
+                                 CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                % 1000000,
+                                doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 3
+        """,
+        "surt_keys": """
+            -- closed form of the SURT synthesis (q_surt_keys): host =
+            -- [WWW.]Sub<d%5>.Example.CO.uk (lower-cased, www dropped)
+            -- reversed with commas + ')' + path repeat('/s', d%3);
+            -- userinfo/port stripped by the parse
+            SELECT doc_id,
+                   'uk,co,example,sub' || CAST(doc_id % 5 AS VARCHAR)
+                   || ')' || repeat('/s', CAST(doc_id % 3 AS INT)) AS surt
+            FROM documents
+        """,
         "robots_filter": """
             -- closed form of the robots fixture (q_robots_filter):
             -- host = (site-a, site-b, site-c).com by doc_id%3, path =
@@ -3898,18 +3971,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # [1-3] new/changed this round: webp_lossy (VP8 intra decode),
     #     warc_indexed (cdx record-grain reads), domain_stats (fixture
     #     now exercises the PSL snapshot — prior green predates it),
-    #     robots_filter (new RFC 9309 engine);
-    # [5-49] the round-1-verified block, which holds the OLDEST green
+    #     robots_filter (RFC 9309 engine), domain_quota (per-domain
+    #     cap), surt_keys (cdx join key);
+    # [7-49] the round-1-verified block, which holds the OLDEST green
     #     rows — re-recorded this round; the r1 queries that do not
-    #     fit the 50-cap (proportional_volume, asof_join, range_join,
-    #     time_rollup) head the tail and rotate in next round;
-    #     r2/r3-verified queries fill the rest.
+    #     fit the 50-cap (mesh_faces, mesh_explode_roundtrip,
+    #     proportional_volume, asof_join, range_join, time_rollup)
+    #     head the tail and rotate in next round; r2/r3-verified
+    #     queries fill the rest.
     return {
         # --- no driver-recorded green yet (r1 hash FAIL, fixed in r2) ---
         "repetition_signals": q_repetition_signals,
         # --- new or fixture-changed this round ---
         "webp_lossy": q_webp_lossy,
         "robots_filter": q_robots_filter,
+        "domain_quota": q_domain_quota,
+        "surt_keys": q_surt_keys,
         "warc_indexed": q_warc_indexed,
         "domain_stats": q_domain_stats,
         # --- round-1 greens being re-recorded (oldest evidence) ---

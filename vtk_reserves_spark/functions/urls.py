@@ -122,3 +122,19 @@ def url_depth(url: Column) -> Column:
     p = url_path(url)
     segs = F.filter(F.split(p, "/"), lambda s: s != "")
     return F.when(p.isNotNull(), F.size(segs))
+
+
+def surt_key(url: Column) -> Column:
+    """CommonCrawl-style SURT url key: host lower-cased, leading
+    ``www.`` dropped, labels REVERSED and comma-joined, then ``)`` and
+    the path — e.g. ``https://www.News.BBC.co.uk/sport`` ->
+    ``uk,co,bbc,news)/sport``.  This is the join key between a URL set
+    and the cdx index (sources/warc.read_cdx), so index-side lookups
+    are an equi-join, not a parse.  (Query-string normalization is
+    deliberately omitted — the fixture/index workflows here key on
+    host+path; document if extending.)  Pure Catalyst."""
+    host = url_host(url)
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.coalesce(url_path(url), F.lit(""))
+    return F.when(host.isNotNull(), F.concat(rev, F.lit(")"), path))

@@ -128,3 +128,30 @@ def mix_corpus(
         seed,
     ) < thr_last
     return out.where(keep_full | keep_frac)
+
+
+def quota_sample(
+    df: DataFrame, key_col: str, k: int, id_col: str, seed: str = "quota"
+) -> DataFrame:
+    """Per-key quota: keep at most ``k`` rows per key, chosen
+    deterministically by md5 rank (ties broken by id) — the
+    per-domain cap every CC-derived corpus applies to stop site
+    dominance.  Same reproducibility contract as the other samplers:
+    membership depends only on (key, id), never on partitioning, and
+    the DuckDB oracle is one ROW_NUMBER expression.
+
+    Plan shape: ONE shuffle on the key + a window ``row_number`` —
+    the minimum for an exact per-key cap.  Skew note: a hot key's
+    rows land in one task; at 100 TB pre-thin pathological keys with
+    ``hash_sample`` (cheap, shuffle-free) down to O(k/eps) candidates
+    first, then apply the exact quota."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        hash_bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_quota_rn", F.row_number().over(w))
+        .where(F.col("_quota_rn") <= k)
+        .drop("_quota_rn")
+    )
