@@ -1300,3 +1300,41 @@ def test_bloom_decontaminate_plan_shape(spark):
         if l.strip().startswith("Filter") and "split" in l
     ]
     assert not scan_filters, scan_filters
+
+
+def test_quota_sample_cap_and_determinism(spark):
+    from vtk_reserves_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 4}") for i in range(100)], "id long, dom string"
+    )
+    out = quota_sample(df, "dom", 5, "id")
+    rows = out.collect()
+    from collections import Counter
+
+    c = Counter(r.dom for r in rows)
+    assert all(v == 5 for v in c.values()) and len(c) == 4
+    # deterministic: identical selection on re-run and after reshuffle
+    again = quota_sample(df.repartition(7), "dom", 5, "id").collect()
+    assert sorted(r.id for r in rows) == sorted(r.id for r in again)
+    # k larger than group size keeps everything
+    assert quota_sample(df, "dom", 100, "id").count() == 100
+    # plan: exactly one exchange (the keyed window shuffle)
+    plan = quota_sample(df, "dom", 5, "id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_surt_key_unit(spark):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.functions.urls import surt_key
+
+    cases = [
+        ("https://www.News.BBC.co.uk/sport", "uk,co,bbc,news)/sport"),
+        ("http://user:pw@Example.COM:8080/a/b", "com,example)/a/b"),
+        ("https://example.org", "org,example)"),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.s for r in df.select(surt_key(F.col("u")).alias("s")).collect()]
+    assert got == [w for _, w in cases]
