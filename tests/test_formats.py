@@ -1641,3 +1641,78 @@ def test_sniff_mime_magics():
 
     with _pytest.raises(NotImplementedError, match="magic"):
         decode_media(b"\x00" * 20, "auto")
+
+
+def test_extract_features_on_error_null(spark):
+    """Corrupt payloads quarantine into NULL features + error column
+    instead of killing the task (the 100 TB posture)."""
+    import numpy as np
+    from pyspark.sql import functions as F, types as T
+
+    from vtk_reserves_spark.operators import multimodal as MM
+    from vtk_reserves_spark.sources.image import encode_png
+
+    img = np.zeros((2, 3, 4), np.uint8)
+    img[..., 3] = 255
+    good = encode_png(img)
+    rows = [
+        (0, bytearray(good), "image/png"),
+        (1, bytearray(good[:20]), "image/png"),          # truncated
+        (2, bytearray(b"\x00" * 30), "image/png"),       # not a png
+        (3, bytearray(good), "application/x-unknown"),   # no codec
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, mime string"
+    ).select(
+        "doc_id", "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.col("mime").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    out = MM.extract_features(df, fake=False, on_error="null").orderBy("doc_id")
+    got = out.collect()
+    assert got[0].error is None and got[0].width == 3
+    assert got[1].width is None and got[1].error
+    assert got[2].width is None and got[2].error
+    assert got[3].error.startswith("NotImplementedError")
+    # default posture still raises
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        MM.extract_features(df, fake=False).collect()
+
+
+def test_codec_truncation_fuzz():
+    """Every decoder must fail FAST and cleanly (an exception, not a
+    hang/crash) on truncations of its own valid output and on random
+    bytes behind its magic."""
+    import numpy as np
+
+    from vtk_reserves_spark.operators.multimodal import decode_media
+    from vtk_reserves_spark.sources.image import encode_png
+    from vtk_reserves_spark.sources.vp8 import DC_PRED, encode_webp_lossy
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (8, 8, 4)).astype(np.uint8)
+    img[..., 3] = 255
+    mb = {"y_mode": DC_PRED, "uv_mode": DC_PRED, "y2": [3] + [0] * 15,
+          "u": [[1] + [0] * 15] * 4, "v": [[1] + [0] * 15] * 4}
+    payloads = [
+        (encode_png(img), "image/png"),
+        (encode_webp_lossy(16, 16, [mb], qi=20), "image/webp"),
+    ]
+    for blob, mime in payloads:
+        decode_media(blob, mime)  # sanity: intact decodes
+        for cut in (4, 10, len(blob) // 2, len(blob) - 3):
+            try:
+                decode_media(blob[:cut], mime)
+            except Exception:
+                pass  # any clean exception is acceptable
+        # random tail behind a valid prefix
+        noisy = blob[:12] + bytes(rng.randint(0, 256, 64, dtype=np.uint8).tolist())
+        try:
+            decode_media(noisy, mime)
+        except Exception:
+            pass

@@ -805,27 +805,57 @@ def decode_media(payload: bytes, mime: str, fake: bool = False):
     )
 
 
-def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+FEATURE_SAFE_SCHEMA = T.StructType(
+    list(FEATURE_SCHEMA.fields) + [T.StructField("error", T.StringType())]
+)
+
+
+def extract_features(
+    df: DataFrame, fake: bool = True, on_error: str = "raise"
+) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, payload, meta):
     mapInPandas keeps bytes executor-side and processes whole record
-    batches per call — the shape real decoders plug into."""
+    batches per call — the shape real decoders plug into.
+
+    ``on_error``: ``'raise'`` (default — fixtures are known-good, a
+    decode error is a bug) or ``'null'`` — REQUIRED posture on real
+    crawl data, where a fraction of payloads is always truncated,
+    mislabeled or corrupt: failed rows yield NULL features plus an
+    ``error`` column (``ExcType: message``) so the pipeline can
+    quarantine and count failures instead of losing the task.  One bad
+    byte killing a 100 TB job is the failure mode this guards."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    safe = on_error == "null"
+    schema = FEATURE_SAFE_SCHEMA if safe else FEATURE_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode_media(p, m, fake=fake)
-                for p, m in zip(pdf["payload"], pdf["meta"].map(lambda s: s["mime"]))
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "width": [f["width"] for f in feats],
-                    "height": [f["height"] for f in feats],
-                    "mean_byte": [f["mean_byte"] for f in feats],
-                }
-            )
+            feats = []
+            errors = []
+            for p, m in zip(pdf["payload"], pdf["meta"].map(lambda s: s["mime"])):
+                if safe:
+                    try:
+                        feats.append(decode_media(p, m, fake=fake))
+                        errors.append(None)
+                    except Exception as exc:  # quarantine, don't die
+                        feats.append(
+                            {"width": None, "height": None, "mean_byte": None}
+                        )
+                        errors.append(f"{type(exc).__name__}: {exc}")
+                else:
+                    feats.append(decode_media(p, m, fake=fake))
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [f["width"] for f in feats],
+                "height": [f["height"] for f in feats],
+                "mean_byte": [f["mean_byte"] for f in feats],
+            }
+            if safe:
+                out["error"] = errors
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, FEATURE_SCHEMA)
+    return df.mapInPandas(run, schema)
 
 
 RESIZE_SCHEMA = T.StructType(
