@@ -221,6 +221,36 @@ WARC_RECORD_SCHEMA = (
 )
 
 
+_WARC_COLUMNS = [
+    "path", "warc_type", "target_uri", "date", "record_id",
+    "content_type", "content_length", "http_status",
+    "http_content_type", "payload",
+]
+
+
+def _file_parse_runner(max_payload):
+    """mapInPandas generator over (path, content) batches — shared by
+    the batch and streaming readers."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc(bytes(content), max_payload):
+                    rows.append(tuple(rec_get(rec, p)))
+            yield pd.DataFrame(rows, columns=_WARC_COLUMNS)
+
+    def rec_get(rec, p):
+        return (
+            p, rec["warc_type"], rec["target_uri"], rec["date"],
+            rec["record_id"], rec["content_type"], rec["content_length"],
+            rec["http_status"], rec["http_content_type"], rec["payload"],
+        )
+
+    return run
+
+
 def read_warc(spark, path, max_payload: int | None = None):
     """Distributed WARC ingestion: ``binaryFile`` source (one task per
     shard — the natural CommonCrawl grain; gzip members are not
@@ -229,39 +259,31 @@ def read_warc(spark, path, max_payload: int | None = None):
     Column pruning matters at 100 TB: project away ``payload`` before
     wide shuffles; the parse itself is executor-local and
     scan-bound."""
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(_file_parse_runner(max_payload), WARC_RECORD_SCHEMA)
 
-    def run(batches):
-        for pdf in batches:
-            rows = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                for rec in parse_warc(bytes(content), max_payload):
-                    rows.append(
-                        (
-                            p,
-                            rec["warc_type"],
-                            rec["target_uri"],
-                            rec["date"],
-                            rec["record_id"],
-                            rec["content_type"],
-                            rec["content_length"],
-                            rec["http_status"],
-                            rec["http_content_type"],
-                            rec["payload"],
-                        )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path", "warc_type", "target_uri", "date", "record_id",
-                    "content_type", "content_length", "http_status",
-                    "http_content_type", "payload",
-                ],
-            )
 
-    return files.mapInPandas(run, WARC_RECORD_SCHEMA)
+def read_warc_stream(spark, path, max_payload: int | None = None):
+    """STREAMING WARC ingestion: the continuous-drop workflow (a crawler
+    or transfer job keeps landing shards in a directory; downstream
+    wants exactly-once record rows).  ``readStream`` over the
+    binaryFile source (explicit schema — streaming sources cannot
+    infer) discovers new shards per micro-batch; the same stateless
+    mapInPandas parse yields records, so checkpointing gives
+    exactly-once per SHARD — the right unit, since a shard is written
+    atomically.  Compose with the checkpointed parquet append sink
+    (streaming/sinks.py) or ``trigger(availableNow=True)`` for
+    catch-up batch runs."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_file_parse_runner(max_payload), WARC_RECORD_SCHEMA)
 
 
 def build_warc_index(data: bytes) -> list[tuple[int, int]]:
