@@ -2514,6 +2514,77 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(read_stream(spark, f"{sf_dir}/events.parquet"))
 
 
+def q_stream_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WARC ingestion (sources/warc.read_warc_stream): the
+    continuous-drop workflow — member-gzipped shards synthesized from
+    the documents table land in a directory, a checkpointed
+    binaryFile readStream discovers them, and the stateless
+    mapInPandas parse emits records exactly-once per shard
+    (availableNow drain).  Records are identical to the batch path,
+    so the oracle replays the same closed-form synthesis."""
+    import shutil
+    import tempfile
+
+    from vtk_reserves_spark.sources.warc import read_warc_stream
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_warcstream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    drop = os.path.join(base, "drop")
+    ck = os.path.join(base, "ck")
+    os.makedirs(drop, exist_ok=True)
+
+    def write_shard(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        from vtk_reserves_spark.sources.warc import write_warc
+
+        recs = []
+        for pdf in batches:
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                body = f"Streamed doc {did}: {t or ''}"
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"http://example.com/doc/{did}",
+                        "http_status": 200,
+                        "http_content_type": "text/plain",
+                        "payload": body,
+                    }
+                )
+        if recs:
+            path = _os.path.join(drop, f"shard-{_uuid.uuid4().hex}.warc.gz")
+            with open(path, "wb") as fh:
+                fh.write(write_warc(recs, gzip_members=True))
+        yield _pd.DataFrame({"n": [len(recs)]})
+
+    docs.repartition(8).mapInPandas(write_shard, "n long").collect()
+
+    recs = read_warc_stream(spark, drop)
+    out = recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.octet_length("payload").cast("long").alias("payload_len"),
+        F.col("payload").cast("string").alias("body"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_stream_warc_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stream_warc_sink")
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
     agg = windowed_breakdown(ev, _EV_TEMPLATE, window="1 hour", watermark="1 hour")
@@ -3763,6 +3834,21 @@ def _llm_oracles() -> dict[str, str]:
                    END AS allowed
             FROM documents
         """,
+        "stream_warc": """
+            -- closed form of the streaming-WARC synthesis rule
+            -- (q_stream_warc): one HTTP 200 text/plain record per doc
+            -- with body 'Streamed doc <id>: <text>'; the gzip member
+            -- + stream drain round-trip is lossless
+            SELECT doc_id,
+                   CAST(length(body) AS BIGINT) AS payload_len,
+                   body
+            FROM (
+              SELECT doc_id,
+                     'Streamed doc ' || CAST(doc_id AS VARCHAR) || ': '
+                     || COALESCE(text, '') AS body
+              FROM documents
+            )
+        """,
         "warc_indexed": """
             -- closed form of the indexed-WARC synthesis rule
             -- (q_warc_indexed): each doc becomes an HTTP 200
@@ -3972,13 +4058,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     warc_indexed (cdx record-grain reads), domain_stats (fixture
     #     now exercises the PSL snapshot — prior green predates it),
     #     robots_filter (RFC 9309 engine), domain_quota (per-domain
-    #     cap), surt_keys (cdx join key);
-    # [7-49] the round-1-verified block, which holds the OLDEST green
-    #     rows — re-recorded this round; the r1 queries that do not
-    #     fit the 50-cap (mesh_faces, mesh_explode_roundtrip,
-    #     proportional_volume, asof_join, range_join, time_rollup)
-    #     head the tail and rotate in next round; r2/r3-verified
-    #     queries fill the rest.
+    #     cap), surt_keys (cdx join key), stream_warc (streaming
+    #     ingest);
+    # [8-49] the round-1-verified block, which holds the OLDEST green
+    #     rows — re-recorded this round; the r1 queries past the
+    #     50-cap head the tail and rotate in next round;
+    #     r2/r3-verified queries fill the rest.
     return {
         # --- no driver-recorded green yet (r1 hash FAIL, fixed in r2) ---
         "repetition_signals": q_repetition_signals,
@@ -3987,6 +4072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "domain_quota": q_domain_quota,
         "surt_keys": q_surt_keys,
+        "stream_warc": q_stream_warc,
         "warc_indexed": q_warc_indexed,
         "domain_stats": q_domain_stats,
         # --- round-1 greens being re-recorded (oldest evidence) ---
