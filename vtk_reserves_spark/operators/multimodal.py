@@ -617,12 +617,14 @@ def attach_webp_lossy_payload(
     UNIFORM at a closed-form value (integer shifts of level x
     quantizer, then the documented BT.601 conversion), so the oracle
     replays the whole lossy pipeline exactly (n = utf-8 byte count)."""
-    from vtk_reserves_spark.sources.vp8 import DC_PRED, encode_webp_lossy
+    from vtk_reserves_spark.sources.vp8 import (
+        DC_PRED, H_PRED, TM_PRED, encode_webp_lossy,
+    )
 
     @F.pandas_udf(T.BinaryType())
     def to_lossy(texts: pd.Series) -> pd.Series:
-        def flat(y2=0, u=0, v=0, skip=False):
-            mb = {"y_mode": DC_PRED, "uv_mode": DC_PRED, "skip": skip}
+        def flat(y2=0, u=0, v=0, skip=False, ym=DC_PRED, uvm=DC_PRED):
+            mb = {"y_mode": ym, "uv_mode": uvm, "skip": skip}
             if not skip:
                 mb["y2"] = [y2] + [0] * 15
                 mb["u"] = [[u] + [0] * 15 for _ in range(4)]
@@ -635,7 +637,17 @@ def attach_webp_lossy_payload(
             qi = n % 128
             wl, du, dv = 1 + n % 7, 1 + (3 * n) % 5, 1 + (7 * n) % 5
             n_mb = 1 + n % 2
-            mbs = [flat(wl, du, dv)] + [flat(skip=True)] * (n_mb - 1)
+            mbs = [flat(wl, du, dv)]
+            if n_mb > 1:
+                # non-corner MB: H/TM/DC prediction all propagate the
+                # uniform value exactly (left col = v; TM's A and AL are
+                # both the 127 border, cancelling) — so the closed-form
+                # oracle holds while the mode trees + H/TM predictors
+                # get driver-verified coverage
+                modes = (DC_PRED, H_PRED, TM_PRED)
+                mbs.append(
+                    flat(skip=True, ym=modes[n % 3], uvm=modes[(n // 3) % 3])
+                )
             out.append(encode_webp_lossy(16 * n_mb, 16, mbs, qi=qi))
         return pd.Series(out)
 
