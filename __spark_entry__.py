@@ -2352,6 +2352,111 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "url", F.col("robots_allowed").alias("allowed"))
 
 
+def q_warc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl->multimodal pipeline in one query: WARC shards
+    whose image payloads carry a DELIBERATELY wrong Content-Type
+    (application/octet-stream — the mislabeled-crawl reality), ingested
+    at file grain, mime recovered by magic-byte sniffing
+    (multimodal.sniff_mime), then decoded by the matching REAL codec —
+    PNG (even ids) or lossy VP8 WebP (odd ids) — executor-side.  Every
+    stage is deterministic, so the oracle replays synthesis + sniff +
+    decode in closed form."""
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_warcmedia_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+
+    def write_shard(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import numpy as _np
+        import pandas as _pd
+
+        from vtk_reserves_spark.sources.image import encode_png
+        from vtk_reserves_spark.sources.vp8 import DC_PRED, encode_webp_lossy
+        from vtk_reserves_spark.sources.warc import write_warc
+
+        recs = []
+        for pdf in batches:
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                n = len((t or "").encode("utf-8"))
+                if did % 2 == 0:
+                    w, h = 8 + n % 7, 8 + n % 5
+                    img = _np.zeros((h, w, 4), _np.uint8)
+                    img[:, :, 0] = n % 256
+                    img[:, :, 1] = (n * 3) % 256
+                    img[:, :, 2] = (n * 7) % 256
+                    img[:, :, 3] = 255
+                    payload = encode_png(img)
+                else:
+                    qi = n % 128
+                    mb = {
+                        "y_mode": DC_PRED, "uv_mode": DC_PRED,
+                        "y2": [1 + n % 7] + [0] * 15,
+                        "u": [[1 + (3 * n) % 5] + [0] * 15 for _ in range(4)],
+                        "v": [[1 + (7 * n) % 5] + [0] * 15 for _ in range(4)],
+                    }
+                    payload = encode_webp_lossy(16, 16, [mb], qi=qi)
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"http://img.example.com/{did}",
+                        "http_status": 200,
+                        # the lie every crawl tells:
+                        "http_content_type": "application/octet-stream",
+                        "payload": payload,
+                    }
+                )
+        if recs:
+            path = _os.path.join(td, f"shard-{_uuid.uuid4().hex}.warc.gz")
+            with open(path, "wb") as fh:
+                fh.write(write_warc(recs, gzip_members=True))
+        yield _pd.DataFrame({"n": [len(recs)]})
+
+    docs.repartition(8).mapInPandas(write_shard, "n long").collect()
+
+    from vtk_reserves_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, td + "/*")
+
+    def decode(batches):
+        import pandas as _pd
+
+        from vtk_reserves_spark.operators.multimodal import (
+            decode_media, sniff_mime,
+        )
+
+        for pdf in batches:
+            rows = []
+            for uri, payload in zip(pdf["target_uri"], pdf["payload"]):
+                did = int(uri.rsplit("/", 1)[1])
+                mime = sniff_mime(bytes(payload))
+                f = decode_media(bytes(payload), mime)
+                rows.append(
+                    (did, mime, f["width"], f["height"], f["mean_byte"])
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "width", "height", "mean_byte"],
+            )
+
+    out = recs.select("target_uri", "payload").mapInPandas(
+        decode,
+        "doc_id long, mime string, width int, height int, mean_byte double",
+    )
+    return out.select(
+        "doc_id", "mime", "width", "height",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain crawl curation stats (functions/urls.py, pure
     Catalyst): deterministic per-doc URLs (scheme/userinfo-free hosts
@@ -3834,6 +3939,66 @@ def _llm_oracles() -> dict[str, str]:
                    END AS allowed
             FROM documents
         """,
+        "warc_media": """
+            -- closed form of the crawl->multimodal rule (q_warc_media):
+            -- even ids: PNG w=8+n%7, h=8+n%5, RGBA mean =
+            -- (n%256 + 3n%256 + 7n%256 + 255)/4; odd ids: 16x16 lossy
+            -- VP8 at qi=n%128 with the webp_lossy dequant/BT.601 chain,
+            -- RGB mean = (r+g+b)/3; mime recovered by sniffing
+            WITH d AS (
+              SELECT doc_id, length(COALESCE(text, '')) AS n
+              FROM documents
+            ),
+            png AS (
+              SELECT doc_id, 'image/png' AS mime,
+                     CAST(8 + n % 7 AS INT) AS width,
+                     CAST(8 + n % 5 AS INT) AS height,
+                     round((n % 256 + (n * 3) % 256 + (n * 7) % 256
+                            + 255) / 4.0, 6) AS mean_byte
+              FROM d WHERE doc_id % 2 = 0
+            ),
+            wp AS (
+              SELECT doc_id, n, n % 128 AS qi,
+                     1 + n % 7 AS wl,
+                     1 + (3 * n) % 5 AS du,
+                     1 + (7 * n) % 5 AS dv
+              FROM d WHERE doc_id % 2 = 1
+            ),
+            wk AS (
+              SELECT *,
+                [4,5,6,7,8,9,10,10,11,12,13,14,15,16,17,17,18,19,20,
+                 20,21,21,22,22,23,23,24,25,25,26,27,28,29,30,31,32,
+                 33,34,35,36,37,37,38,39,40,41,42,43,44,45,46,46,47,
+                 48,49,50,51,52,53,54,55,56,57,58,59,60,61,62,63,64,
+                 65,66,67,68,69,70,71,72,73,74,75,76,76,77,78,79,80,
+                 81,82,83,84,85,86,87,88,89,91,93,95,96,98,100,101,
+                 102,104,106,108,110,112,114,116,118,122,124,126,128,
+                 130,132,134,136,138,140,143,145,148,151,154,157]
+                [qi + 1] AS dcq
+              FROM wp
+            ),
+            wo AS (
+              SELECT doc_id,
+                     LEAST(255, 128 + ((wl * dcq * 2 + 3) // 8 + 4) // 8) AS y,
+                     LEAST(255, 128 + (du * LEAST(dcq, 132) + 4) // 8) AS u,
+                     LEAST(255, 128 + (dv * LEAST(dcq, 132) + 4) // 8) AS v
+              FROM wk
+            ),
+            wrgb AS (
+              SELECT doc_id, 'image/webp' AS mime,
+                     CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                     round((
+                       GREATEST(0, LEAST(255,
+                         (298*(y-16) + 409*(v-128) + 128) // 256))
+                     + GREATEST(0, LEAST(255,
+                         (298*(y-16) - 100*(u-128) - 208*(v-128) + 128) // 256))
+                     + GREATEST(0, LEAST(255,
+                         (298*(y-16) + 516*(u-128) + 128) // 256))
+                     ) / 3.0, 6) AS mean_byte
+              FROM wo
+            )
+            SELECT * FROM png UNION ALL SELECT * FROM wrgb
+        """,
         "stream_warc": """
             -- closed form of the streaming-WARC synthesis rule
             -- (q_stream_warc): one HTTP 200 text/plain record per doc
@@ -4073,6 +4238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": q_domain_quota,
         "surt_keys": q_surt_keys,
         "stream_warc": q_stream_warc,
+        "warc_media": q_warc_media,
         "warc_indexed": q_warc_indexed,
         "domain_stats": q_domain_stats,
         # --- round-1 greens being re-recorded (oldest evidence) ---
