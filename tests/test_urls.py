@@ -112,3 +112,63 @@ def test_public_suffix_len(spark):
         for r in df.select(U.public_suffix_len(F.col("h")).alias("v")).collect()
     ]
     assert got == [w for _, w in cases]
+
+
+def test_registered_domain_hypothesis_vs_reference(spark):
+    """Property test: the Catalyst substring_index/InSet formulation
+    must equal an independent straightforward PSL longest-match
+    implementation over randomized hosts mixing known suffixes,
+    wildcard parents, exceptions and junk labels."""
+    import random
+
+    from vtk_reserves_spark.functions import psl_data as P
+
+    def reference(host):
+        if host is None:
+            return None
+        labels = host.split(".")
+        n = len(labels)
+
+        def tail(k):
+            return ".".join(labels[-k:]) if k <= n else None
+
+        # exception rules first (PSL: exceptions beat everything)
+        ps = None
+        if tail(3) in P.EXCEPTIONS_3:
+            ps = 2
+        elif tail(2) in P.EXCEPTIONS_2:
+            ps = 1
+        else:
+            # longest matching rule
+            if tail(3) in P.WILDCARD_PARENTS_3 and n >= 3:
+                ps = 4
+            elif tail(3) in P.EXACT_3 or (tail(2) in P.WILDCARD_PARENTS_2 and n >= 2):
+                ps = 3
+            elif tail(2) in P.EXACT_2 or labels[-1] in P.WILDCARD_PARENTS_1:
+                ps = 2
+            else:
+                ps = 1
+        take = min(ps + 1, n)
+        return ".".join(labels[-take:])
+
+    rng = random.Random(42)
+    pool = (
+        ["example", "www", "a", "b1", "deep"]
+        + list(P.EXACT_2[:40]) + list(P.EXACT_3[:6])
+        + list(P.WILDCARD_PARENTS_1) + list(P.WILDCARD_PARENTS_2)
+        + list(P.WILDCARD_PARENTS_3)
+        + list(P.EXCEPTIONS_2) + list(P.EXCEPTIONS_3)
+        + ["com", "org", "zz", "io", "uk", "jp", "np", "ck"]
+    )
+    hosts = []
+    for _ in range(400):
+        k = rng.randint(1, 4)
+        hosts.append(".".join(rng.choice(pool) for _ in range(k)))
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    got = [
+        r.v
+        for r in df.select(U.registered_domain(F.col("h")).alias("v")).collect()
+    ]
+    want = [reference(h) for h in hosts]
+    mism = [(h, g, w) for h, g, w in zip(hosts, got, want) if g != w]
+    assert not mism, mism[:5]
