@@ -2323,6 +2323,60 @@ def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script detection (functions/text.script_fractions):
+    per-doc character fractions across latin / cyrillic / arabic /
+    cjk / hangul / devanagari — the multilingual-curation signal a
+    stopword language guesser can't provide.  Docs with id%3==0 get a
+    five-script suffix appended, so every class fires; the suffix's
+    per-script character counts are constants, making the oracle a
+    closed form over the ASCII base text."""
+    from vtk_reserves_spark.functions.text import script_fractions
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = " Привет 世界 مرحبا 안녕 नमस्ते"
+    synth = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(suffix))
+    ).otherwise(F.col("text"))
+    fr = script_fractions(synth)
+    return docs.select(
+        "doc_id", *[fr[k].alias(k) for k in sorted(fr)]
+    )
+
+
+def q_curation_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packaged C4 + Gopher document-filter policies
+    (functions/text.curation_policy): six synthetic text shapes — a
+    clean passage, a curly-brace code marker, a lorem-ipsum stub,
+    bullet walls, degenerate word lengths, ellipsis trails — each
+    yielding a known (keep, first-failed-rule) verdict under BOTH
+    policies.  The Spark side evaluates the full rule chains; the
+    oracle pins the expected verdict per shape, so every rule's
+    threshold arithmetic and the first-fail ordering are verified."""
+    from vtk_reserves_spark.functions.text import curation_policy
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    base = "the quick brown fox jumps over the lazy dog " * 7
+    m = (F.col("doc_id") % 6).cast("int")
+    synth = (
+        F.when(m == 0, F.lit("the quick brown fox jumps over the lazy dog " * 8))
+        .when(m == 1, F.lit(base + "{x}"))
+        .when(m == 2, F.lit("lorem ipsum " + base))
+        .when(m == 3, F.lit("- bullet item here\n" * 60))
+        .when(m == 4, F.lit("a ab " * 40))
+        .otherwise(F.lit("this sentence surely trails off...\n" * 20))
+    )
+    c4 = curation_policy(synth, "c4")
+    gopher = curation_policy(synth, "gopher")
+    return docs.select(
+        "doc_id",
+        c4["keep"].alias("c4_keep"),
+        c4["reason"].alias("c4_reason"),
+        gopher["keep"].alias("gopher_keep"),
+        gopher["reason"].alias("gopher_reason"),
+    )
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retroactive robots.txt filtering (functions/robots.py, RFC
     9309): per-doc URLs over three fixed hosts are evaluated against a
@@ -3921,6 +3975,77 @@ def _llm_oracles() -> dict[str, str]:
                    || ')' || repeat('/s', CAST(doc_id % 3 AS INT)) AS surt
             FROM documents
         """,
+        "script_stats": """
+            -- closed form of the script-fraction rule (q_script_stats):
+            -- the id%3==0 suffix adds constant per-script counts
+            -- (cyr 6, cjk 2, arabic 5, hangul 2, devanagari 6, 21
+            -- non-space chars); the ASCII base contributes only latin
+            WITH d AS (
+              SELECT doc_id, text,
+                     length(regexp_replace(COALESCE(text, ''),
+                            '[^A-Za-z]', '', 'g')) AS latin,
+                     length(regexp_replace(COALESCE(text, ''),
+                            '\\s', '', 'g')) AS nonspace,
+                     doc_id % 3 = 0 AS sfx
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id, text, latin,
+                     nonspace + CASE WHEN sfx THEN 21 ELSE 0 END AS total,
+                     CASE WHEN sfx THEN 5 ELSE 0 END AS ar,
+                     CASE WHEN sfx THEN 2 ELSE 0 END AS cj,
+                     CASE WHEN sfx THEN 6 ELSE 0 END AS cy,
+                     CASE WHEN sfx THEN 6 ELSE 0 END AS de,
+                     CASE WHEN sfx THEN 2 ELSE 0 END AS ha
+              FROM d
+            )
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN total > 0 THEN round(ar / CAST(total AS DOUBLE), 6)
+                        ELSE 0.0 END AS frac_arabic,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN total > 0 THEN round(cj / CAST(total AS DOUBLE), 6)
+                        ELSE 0.0 END AS frac_cjk,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN total > 0 THEN round(cy / CAST(total AS DOUBLE), 6)
+                        ELSE 0.0 END AS frac_cyrillic,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN total > 0 THEN round(de / CAST(total AS DOUBLE), 6)
+                        ELSE 0.0 END AS frac_devanagari,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN total > 0 THEN round(ha / CAST(total AS DOUBLE), 6)
+                        ELSE 0.0 END AS frac_hangul,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN total > 0 THEN round(latin / CAST(total AS DOUBLE), 6)
+                        ELSE 0.0 END AS frac_latin
+            FROM t
+        """,
+        "curation_policy": """
+            -- verdict table for the six synthetic shapes
+            -- (q_curation_policy): each doc_id%6 class has a constant
+            -- (keep, first-failed-rule) under both policies
+            SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 1 THEN FALSE WHEN 2 THEN FALSE
+                     WHEN 4 THEN FALSE WHEN 5 THEN FALSE
+                     ELSE TRUE END AS c4_keep,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 1 THEN 'curly_brace'
+                     WHEN 2 THEN 'lorem_ipsum'
+                     WHEN 4 THEN 'word_len_out_of_range'
+                     WHEN 5 THEN 'ellipsis_lines'
+                     ELSE NULL END AS c4_reason,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 3 THEN FALSE WHEN 4 THEN FALSE
+                     WHEN 5 THEN FALSE
+                     ELSE TRUE END AS gopher_keep,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 3 THEN 'bullet_lines'
+                     WHEN 4 THEN 'word_len_out_of_range'
+                     WHEN 5 THEN 'ellipsis_lines'
+                     ELSE NULL END AS gopher_reason
+            FROM documents
+        """,
         "robots_filter": """
             -- closed form of the robots fixture (q_robots_filter):
             -- host = (site-a, site-b, site-c).com by doc_id%3, path =
@@ -4239,6 +4364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_keys": q_surt_keys,
         "stream_warc": q_stream_warc,
         "warc_media": q_warc_media,
+        "script_stats": q_script_stats,
+        "curation_policy": q_curation_policy,
         "warc_indexed": q_warc_indexed,
         "domain_stats": q_domain_stats,
         # --- round-1 greens being re-recorded (oldest evidence) ---

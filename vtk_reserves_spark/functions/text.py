@@ -221,3 +221,96 @@ def ordered_shingles_of_tokens(t: Column, n: int = 3) -> Column:
     # (the sequence device above would otherwise emit one phantom
     # whole-document shingle, or [""] for an empty token list)
     return F.when(k > 0, shingles).otherwise(F.array().cast("array<string>"))
+
+
+def script_fractions(text: Column) -> dict[str, Column]:
+    """Per-script character fractions (latin / cyrillic / arabic / cjk
+    / hangul / devanagari / other) over the NON-SPACE characters —
+    the standard multilingual-curation signal that catches
+    wrong-script content where a stopword language guesser returns
+    'und'.  Pure Catalyst: one regexp_count per script class; each
+    fraction has an exact SQL closed form.  NULL text -> NULL
+    fractions; all-space text -> 0 fractions."""
+    total = F.length(F.regexp_replace(text, r"\s", ""))
+    classes = {
+        "latin": r"[A-Za-zÀ-ɏ]",
+        "cyrillic": r"[Ѐ-ӿ]",
+        "arabic": r"[؀-ۿ]",
+        "cjk": r"[一-鿿぀-ヿ]",
+        "hangul": r"[가-힯ᄀ-ᇿ]",
+        "devanagari": r"[ऀ-ॿ]",
+    }
+    out = {}
+    for name, rx in classes.items():
+        cnt = F.regexp_count(text, F.lit(rx))
+        out[f"frac_{name}"] = F.when(
+            total > 0, F.round(cnt / total.cast("double"), 6)
+        ).otherwise(F.when(text.isNotNull(), F.lit(0.0)))
+    return out
+
+
+def curation_policy(text: Column, policy: str = "gopher") -> dict[str, Column]:
+    """Named document-filter policies as ONE Catalyst expression set —
+    the packaged form of the classic corpus rules:
+
+    * ``'c4'`` (Raffel et al. heuristics, the SQL-expressible subset):
+      ≥ 3 words; mean word length in [3, 10]; no lorem ipsum; no
+      curly brace (code); < 30% lines ending in '...'.
+    * ``'gopher'`` (Rae et al. repetition/format rules subset):
+      50–100k words; mean word length in [3, 10]; ≤ 90% lines starting
+      with a bullet; ≤ 30% lines ending in ellipsis; ≥ 80% words with
+      an alphabetic char; symbol-to-word ratio (# or ...) ≤ 0.1.
+
+    Returns ``{keep: bool, reason: first-failed-rule-name or NULL}`` —
+    keep/reason instead of a silent filter so pipelines can COUNT
+    drops per rule (the audit every curation run needs).  Thresholds
+    follow the published papers; the word floor for 'gopher' is 50
+    (the paper's table) — pass documents through ``length_filter``
+    first if a different floor is wanted."""
+    words = tokens(text)
+    n_words = F.size(words)
+    mwl = mean_word_len(text)
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    frac_lines = lambda pred: F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, pred)) / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = frac_lines(lambda l: l.rlike(r"\.\.\.\s*$"))
+    bullet_frac = frac_lines(lambda l: l.rlike(r"^\s*[-*•]"))
+    alpha_word_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]")))
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        n_words > 0,
+        (F.regexp_count(text, F.lit(r"#")) + F.regexp_count(text, F.lit(r"\.\.\.")))
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    if policy == "c4":
+        rules = [
+            ("too_few_words", n_words < 3),
+            ("word_len_out_of_range", (mwl < 3) | (mwl > 10)),
+            ("lorem_ipsum", F.lower(text).contains("lorem ipsum")),
+            ("curly_brace", text.contains("{")),
+            ("ellipsis_lines", ellipsis_frac > 0.3),
+        ]
+    elif policy == "gopher":
+        rules = [
+            ("too_few_words", n_words < 50),
+            ("too_many_words", n_words > 100000),
+            ("word_len_out_of_range", (mwl < 3) | (mwl > 10)),
+            ("bullet_lines", bullet_frac > 0.9),
+            ("ellipsis_lines", ellipsis_frac > 0.3),
+            ("low_alpha_words", alpha_word_frac < 0.8),
+            ("symbol_ratio", symbol_ratio > 0.1),
+        ]
+    else:
+        raise ValueError(f"unknown curation policy {policy!r}")
+
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(rules):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return {"keep": reason.isNull() & text.isNotNull(), "reason": reason}
