@@ -1338,3 +1338,36 @@ def test_surt_key_unit(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r.s for r in df.select(surt_key(F.col("u")).alias("s")).collect()]
     assert got == [w for _, w in cases]
+
+
+def test_script_fractions_and_curation_policy_edges(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.functions.text import (
+        curation_policy, script_fractions,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "Hello Мир"), (1, ""), (2, None), (3, "   ")],
+        "id long, t string",
+    )
+    fr = script_fractions(F.col("t"))
+    rows = df.select(
+        "id", fr["frac_latin"].alias("lat"), fr["frac_cyrillic"].alias("cyr")
+    ).orderBy("id").collect()
+    assert rows[0].lat == 0.625 and rows[0].cyr == 0.375  # 5+3 of 8
+    assert rows[1].lat == 0.0 and rows[1].cyr == 0.0
+    assert rows[2].lat is None
+    assert rows[3].lat == 0.0  # all-space -> zero fractions
+
+    pol = curation_policy(F.col("t"), "c4")
+    out = df.select(
+        "id", pol["keep"].alias("k"), pol["reason"].alias("r")
+    ).orderBy("id").collect()
+    # short strings fail too_few_words; NULL text is never kept
+    assert out[0].r == "too_few_words" and not out[0].k
+    assert out[2].k is False or out[2].k is None
+
+    with _pytest.raises(ValueError, match="unknown curation policy"):
+        curation_policy(F.col("t"), "nope")
