@@ -343,3 +343,51 @@ def test_inv_dct_batch_parity():
     got = vp8.inv_dct4x4_batch(blocks)
     for i in range(64):
         assert (got[i] == inv_dct4x4(blocks[i].tolist())).all(), i
+
+
+def _psnr(a, b):
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 * 255.0 / mse)
+
+
+def test_pixel_encoder_decode_matches_recon_and_psnr():
+    """encode_vp8_pixels: the emitted stream must decode BIT-IDENTICAL
+    to the encoder's own reconstruction (quantization is the only
+    lossy step), and quality must be sane (smooth gradient, qi=20 ->
+    high PSNR)."""
+    from vtk_reserves_spark.sources.vp8 import encode_vp8_pixels, rgb_to_yuv420
+
+    h, w = 40, 56  # non-multiples of 16: exercises true-size + padding
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 0] = (xx * 4) % 256
+    img[:, :, 1] = (yy * 3 + 40) % 256
+    img[:, :, 2] = 128
+    payload, enc = encode_vp8_pixels(img, qi=20)
+    f = decode_vp8(payload)
+    assert (f["width"], f["height"]) == (w, h)
+    assert (f["y"] == enc["recon_y"]).all()
+    assert (f["u"] == enc["recon_u"]).all()
+    assert (f["v"] == enc["recon_v"]).all()
+    y_src, u_src, v_src = rgb_to_yuv420(img)
+    assert _psnr(f["y"], y_src) > 34, _psnr(f["y"], y_src)
+    assert _psnr(f["u"], u_src) > 30
+    # coarser quantization degrades but still decodes consistently
+    payload2, enc2 = encode_vp8_pixels(img, qi=120)
+    f2 = decode_vp8(payload2)
+    assert (f2["y"] == enc2["recon_y"]).all()
+    assert _psnr(f2["y"], y_src) > 20
+
+
+def test_pixel_encoder_container_roundtrip():
+    from vtk_reserves_spark.sources.vp8 import encode_webp_lossy_pixels
+    from vtk_reserves_spark.sources.webp import decode_webp
+
+    img = np.full((24, 24, 4), 200, np.uint8)
+    img[8:16, 8:16, :3] = 40
+    img[:, :, 3] = 255
+    out = decode_webp(encode_webp_lossy_pixels(img, qi=10))
+    assert out.shape == (24, 24, 4)
+    # flat regions survive quantization closely
+    assert abs(int(out[2, 2, 0]) - 200) < 16
+    assert abs(int(out[12, 12, 0]) - 40) < 16

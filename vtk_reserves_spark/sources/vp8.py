@@ -1512,12 +1512,12 @@ def encode_vp8_frame(width: int, height: int, mbs: list, qi: int = 0) -> bytes:
     ``y_mode`` (DC_PRED..B_PRED), ``uv_mode``, optional ``b_modes``
     (4x4 list, required for B_PRED), ``skip`` (bool), and SCAN-ORDER
     quantized levels ``y2`` (16), ``y`` (16x16), ``u``/``v`` (4x16).
-    Dimensions must be multiples of 16.  No segmentation, loop filter
-    level 0, one DCT partition, default probabilities (shared with the
-    decoder, making every round-trip table-independent)."""
-    if width % 16 or height % 16:
-        raise ValueError("fixture encoder requires multiple-of-16 dims")
-    mb_rows, mb_cols = height >> 4, width >> 4
+    Non-multiple-of-16 dimensions follow the spec: the frame header
+    carries the true size and macroblocks pad implicitly (the decoder
+    crops).  No segmentation, loop filter level 0, one DCT partition,
+    default probabilities (shared with the decoder, making every
+    round-trip table-independent)."""
+    mb_rows, mb_cols = (height + 15) >> 4, (width + 15) >> 4
     if len(mbs) != mb_rows * mb_cols:
         raise ValueError("need one MB spec per macroblock")
 
@@ -1630,6 +1630,234 @@ def encode_webp_lossy(width: int, height: int, mbs: list, qi: int = 0) -> bytes:
     import struct
 
     payload = encode_vp8_frame(width, height, mbs, qi)
+    if len(payload) & 1:
+        payload += b"\x00"
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ---------------------------------------------------------------------------
+# Pixel-input encoder: forward transforms + quantization + the decoder's
+# exact reconstruction loop (so decode(encode(img)) == encoder's recon
+# bit-for-bit; quantization is where quality is lost, nowhere else)
+# ---------------------------------------------------------------------------
+
+
+def fdct4x4(block: np.ndarray) -> list:
+    """Forward 4x4 DCT (libvpx vp8_short_fdct4x4 arithmetic — the
+    forward transform is NON-normative; any consistent one works, this
+    one pairs with the spec's inverse at high accuracy)."""
+    ip = block.astype(np.int64)
+    tmp = np.zeros((4, 4), np.int64)
+    for i in range(4):
+        a1 = (ip[i, 0] + ip[i, 3]) * 8
+        b1 = (ip[i, 1] + ip[i, 2]) * 8
+        c1 = (ip[i, 1] - ip[i, 2]) * 8
+        d1 = (ip[i, 0] - ip[i, 3]) * 8
+        tmp[i, 0] = a1 + b1
+        tmp[i, 2] = a1 - b1
+        tmp[i, 1] = (c1 * 2217 + d1 * 5352 + 14500) >> 12
+        tmp[i, 3] = (d1 * 2217 - c1 * 5352 + 7500) >> 12
+    out = np.zeros((4, 4), np.int64)
+    for i in range(4):
+        a1 = tmp[0, i] + tmp[3, i]
+        b1 = tmp[1, i] + tmp[2, i]
+        c1 = tmp[1, i] - tmp[2, i]
+        d1 = tmp[0, i] - tmp[3, i]
+        out[0, i] = (a1 + b1 + 7) >> 4
+        out[2, i] = (a1 - b1 + 7) >> 4
+        out[1, i] = ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (1 if d1 != 0 else 0)
+        out[3, i] = (d1 * 2217 - c1 * 5352 + 51000) >> 16
+    return out.flatten().tolist()
+
+
+_WHT_M = np.array(
+    [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]], np.int64
+)
+
+
+def fwht4x4(dcs: list) -> list:
+    """Forward WHT for the 16 luma DCs: Y = (M X M) / 2 with M the
+    inverse transform's butterfly matrix (M^2 = 4I), so
+    inv_walsh(fwht(x)) == x up to the inverse's rounding."""
+    X = np.asarray(dcs, np.int64).reshape(4, 4)
+    Y = _WHT_M @ X @ _WHT_M
+    return ((Y + np.where(Y >= 0, 1, -1)) // 2).flatten().tolist()
+
+
+def _quant_scan(coeffs_natural, dq_dc, dq_ac, first=0):
+    """Natural-order coefficients -> SCAN-order quantized levels
+    (round-half-away), clamped to the CAT6 ceiling."""
+    out = [0] * 16
+    cap = CAT_BASE[CAT6] + (1 << len(CAT_PROBS[CAT6])) - 1
+    for c in range(first, 16):
+        v = coeffs_natural[ZIGZAG[c]]
+        q = dq_dc if c == 0 else dq_ac
+        lv = (abs(v) + q // 2) // q
+        if lv > cap:
+            lv = cap
+        out[c] = -lv if v < 0 else lv
+    return out
+
+
+def _dequant_scan(levels, dq_dc, dq_ac, first=0):
+    out = [0] * 16
+    for c in range(first, 16):
+        out[ZIGZAG[c]] = levels[c] * (dq_dc if c == 0 else dq_ac)
+    return out
+
+
+def rgb_to_yuv420(img: np.ndarray):
+    """(h, w, 3|4) uint8 RGB(A) -> (Y, U, V) planes with the integer
+    BT.601 limited-range forward matching yuv420_to_rgba's inverse;
+    chroma is the 2x2 block mean."""
+    r = img[:, :, 0].astype(np.int32)
+    g = img[:, :, 1].astype(np.int32)
+    b = img[:, :, 2].astype(np.int32)
+    y = np.clip(16 + ((66 * r + 129 * g + 25 * b + 128) >> 8), 0, 255)
+    u = np.clip(128 + ((-38 * r - 74 * g + 112 * b + 128) >> 8), 0, 255)
+    v = np.clip(128 + ((112 * r - 94 * g - 18 * b + 128) >> 8), 0, 255)
+    h, w = y.shape
+    he, we = h + (h & 1), w + (w & 1)
+
+    def sub(p):
+        q = np.empty((he, we), np.int32)
+        q[:h, :w] = p
+        if h & 1:
+            q[h, :w] = p[-1]
+        if w & 1:
+            q[:h, w] = p[:, -1]
+        if h & 1 and w & 1:
+            q[h, w] = p[-1, -1]
+        return (
+            q.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3)) + 0.5
+        ).astype(np.int32)
+
+    return y.astype(np.uint8), sub(u).astype(np.uint8), sub(v).astype(np.uint8)
+
+
+def encode_vp8_pixels(img: np.ndarray, qi: int = 40) -> bytes:
+    """REAL lossy encode from pixels: RGB(A) -> YUV420 -> DC_PRED
+    intra16 with forward DCT/WHT, quantization at index ``qi``, and
+    the DECODER's exact reconstruction loop feeding each next MB's
+    prediction — so the emitted stream decodes bit-identically to the
+    encoder's reconstruction.  Mode search is deliberately minimal
+    (DC_PRED everywhere): this is a correct, usable writer, not a
+    rate-distortion competitor."""
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError("need (h, w, 3|4) RGB(A)")
+    h, w = img.shape[:2]
+    y, u, v = rgb_to_yuv420(img)
+    mb_rows, mb_cols = (h + 15) >> 4, (w + 15) >> 4
+
+    def pad(p, ph, pw):
+        out = np.empty((ph, pw), np.uint8)
+        sh, sw = p.shape
+        out[:sh, :sw] = p
+        out[sh:, :sw] = p[-1:, :]
+        out[:sh, sw:] = p[:, -1:]
+        out[sh:, sw:] = p[-1, -1]
+        return out
+
+    ys = pad(y, mb_rows * 16, mb_cols * 16).astype(np.int32)
+    us = pad(u, mb_rows * 8, mb_cols * 8).astype(np.int32)
+    vs = pad(v, mb_rows * 8, mb_cols * 8).astype(np.int32)
+
+    qi = _clamp_q(qi)
+    y1 = (DC_QLOOKUP[qi], AC_QLOOKUP[qi])
+    y2q = (DC_QLOOKUP[qi] * 2, max(8, AC_QLOOKUP[qi] * 155 // 100))
+    uvq = (min(DC_QLOOKUP[qi], 132), AC_QLOOKUP[qi])
+
+    # bordered reconstruction planes, decoder conventions
+    Y = np.empty((mb_rows * 16 + 1, mb_cols * 16 + 1), np.uint8)
+    U = np.empty((mb_rows * 8 + 1, mb_cols * 8 + 1), np.uint8)
+    V = np.empty_like(U)
+    for P in (Y, U, V):
+        P[0, :] = 127
+        P[1:, 0] = 129
+        P[0, 0] = 127
+
+    mbs = []
+    for mb_row in range(mb_rows):
+        for mb_col in range(mb_cols):
+            ya, xa = 1 + mb_row * 16, 1 + mb_col * 16
+            yc, xc = 1 + mb_row * 8, 1 + mb_col * 8
+            ha, hl = mb_row > 0, mb_col > 0
+            mb = {"y_mode": DC_PRED, "uv_mode": DC_PRED}
+            # ---- luma ----
+            pred = predict_block(Y, ya, xa, 16, DC_PRED, ha, hl)
+            src = ys[ya - 1 : ya + 15, xa - 1 : xa + 15]
+            resid = src - pred
+            raw = [
+                fdct4x4(resid[4 * r : 4 * r + 4, 4 * c : 4 * c + 4])
+                for r in range(4)
+                for c in range(4)
+            ]
+            y2_levels = _quant_scan(
+                _natural_from_dcs(fwht4x4([blk[0] for blk in raw])),
+                y2q[0], y2q[1],
+            )
+            y2_deq = _dequant_scan(y2_levels, y2q[0], y2q[1])
+            dcs_hat = inv_walsh(y2_deq)
+            y_levels = []
+            recon = pred.copy()
+            for i in range(16):
+                lv = _quant_scan(raw[i], y1[0], y1[1], first=1)
+                y_levels.append(lv)
+                coeffs = _dequant_scan(lv, y1[0], y1[1], first=1)
+                coeffs[0] = dcs_hat[i]
+                r_, c_ = divmod(i, 4)
+                recon[4 * r_ : 4 * r_ + 4, 4 * c_ : 4 * c_ + 4] = (
+                    pred[4 * r_ : 4 * r_ + 4, 4 * c_ : 4 * c_ + 4]
+                    + inv_dct4x4(coeffs)
+                )
+            Y[ya : ya + 16, xa : xa + 16] = np.clip(recon, 0, 255).astype(np.uint8)
+            mb["y2"] = y2_levels
+            mb["y"] = y_levels
+            # ---- chroma ----
+            for P, plane, key in ((U, us, "u"), (V, vs, "v")):
+                pred = predict_block(P, yc, xc, 8, DC_PRED, ha, hl)
+                srcc = plane[yc - 1 : yc + 7, xc - 1 : xc + 7]
+                residc = srcc - pred
+                lvs = []
+                reconc = pred.copy()
+                for i in range(4):
+                    r_, c_ = divmod(i, 2)
+                    blk = residc[4 * r_ : 4 * r_ + 4, 4 * c_ : 4 * c_ + 4]
+                    lv = _quant_scan(fdct4x4(blk), uvq[0], uvq[1])
+                    lvs.append(lv)
+                    coeffs = _dequant_scan(lv, uvq[0], uvq[1])
+                    reconc[4 * r_ : 4 * r_ + 4, 4 * c_ : 4 * c_ + 4] = (
+                        pred[4 * r_ : 4 * r_ + 4, 4 * c_ : 4 * c_ + 4]
+                        + inv_dct4x4(coeffs)
+                    )
+                P[yc : yc + 8, xc : xc + 8] = np.clip(reconc, 0, 255).astype(
+                    np.uint8
+                )
+                mb[key] = lvs
+            mbs.append(mb)
+
+    return encode_vp8_frame(w, h, mbs, qi=qi), {
+        "width": w, "height": h,
+        "recon_y": Y[1 : 1 + h, 1 : 1 + w].copy(),
+        "recon_u": U[1 : 1 + ((h + 1) >> 1), 1 : 1 + ((w + 1) >> 1)].copy(),
+        "recon_v": V[1 : 1 + ((h + 1) >> 1), 1 : 1 + ((w + 1) >> 1)].copy(),
+    }
+
+
+def _natural_from_dcs(scan16: list) -> list:
+    """fwht output is already natural-order (4x4 raster) — identity
+    helper kept for clarity at the call site."""
+    return list(scan16)
+
+
+def encode_webp_lossy_pixels(img: np.ndarray, qi: int = 40) -> bytes:
+    """RGB(A) pixels -> lossy RIFF/WEBP (see encode_vp8_pixels); the
+    frame header carries the TRUE size and the decoder crops the
+    implicit macroblock padding, per spec."""
+    import struct
+
+    payload, _ = encode_vp8_pixels(img, qi)
     if len(payload) & 1:
         payload += b"\x00"
     chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
