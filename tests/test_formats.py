@@ -1716,3 +1716,25 @@ def test_codec_truncation_fuzz():
             decode_media(noisy, mime)
         except Exception:
             pass
+
+
+def test_resize_media_real_webp(spark):
+    """resize_media fake=False handles WebP payloads (lossy VP8 here)
+    alongside PNG."""
+    import numpy as np
+    from pyspark.sql import functions as F, types as T
+
+    from vtk_reserves_spark.operators import multimodal as MM
+    from vtk_reserves_spark.sources.vp8 import encode_webp_lossy_pixels
+
+    img = np.full((20, 20, 3), 180, np.uint8)
+    blob = encode_webp_lossy_pixels(img, qi=5)
+    df = spark.createDataFrame([(0, bytearray(blob))], "doc_id long, payload binary").select(
+        "doc_id", "payload",
+        F.struct(F.lit("image").alias("modality"), F.lit("image/webp").alias("mime"),
+                 F.octet_length("payload").cast("long").alias("n_bytes")).alias("meta"),
+    )
+    out = MM.resize_media(df, 4, 4, fake=False).collect()[0]
+    assert out.out_w == 4 and out.out_h == 4
+    # uniform-ish: the resized mean stays near the (RGB+alpha)/decode mean
+    assert out.mean_byte is not None and 120 < out.mean_byte < 255

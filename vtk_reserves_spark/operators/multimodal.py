@@ -7,17 +7,18 @@ feature-extraction / frame-sampling run as Arrow-batched
 ``mapInPandas`` stages so payload bytes never pass through the driver
 and partition boundaries are preserved.
 
-Codec status: **PNG and WAV decode for real** via the repo's pure
-codecs — :func:`attach_png_payload` synthesizes genuine PNG payloads
-decoded by the pure-zlib codec (`sources/image.py`), and
-:func:`attach_wav_payload` synthesizes genuine RIFF/WAVE PCM payloads
-decoded by the pure-struct codec (`sources/wav.py`,
-:func:`audio_features`).  Video codecs are not in this container, so
-video mimes still raise ``NotImplementedError`` unless ``fake=True``,
-which substitutes a deterministic byte-arithmetic fake whose outputs
-are reproducible (and SQL-expressible for the oracle).  The Spark-side
-plumbing — schema, batch iteration, UDF signatures, partitioning — is
-identical for both paths.
+Codec status (round 4): PNG, JPEG (baseline + progressive), GIF, BMP,
+PNM/TGA/ICO, WebP — lossless VP8L AND lossy VP8 key frames with ALPH
+alpha — WAV, FLAC, and MJPG/uncompressed AVI all decode FOR REAL via
+the repo's pure-python codecs; ``sniff_mime`` recovers lying
+Content-Types from magic bytes and ``decode_media`` auto-dispatches
+on generic mimes.  H.264/VP9 video remains gated behind
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic byte-arithmetic fake whose outputs are reproducible
+(and SQL-expressible for the oracle).  ``extract_features`` offers
+``on_error='null'`` quarantine for corrupt crawl payloads.  The
+Spark-side plumbing — schema, batch iteration, UDF signatures,
+partitioning — is identical for every path.
 """
 
 from __future__ import annotations
@@ -888,7 +889,8 @@ def resize_media(
     mapInPandas, bytes stay executor-side, output is the resized
     geometry plus a checkable reduction of the resampled bytes.
 
-    With ``fake=False`` payloads must be PNG: each image is decoded
+    With ``fake=False`` payloads may be PNG or WebP (sniffed on the
+    RIFF magic; lossless VP8L or lossy VP8): each image is decoded
     (pure-zlib codec) and resampled nearest-neighbor per axis —
     output pixel ``(r, c)`` reads source pixel
     ``((r·h) // out_h, (c·w) // out_w)`` — and ``mean_byte`` is the
@@ -912,7 +914,14 @@ def resize_media(
     def one_real(p) -> tuple[float | None, int]:
         from vtk_reserves_spark.sources.image import decode_png
 
-        img = decode_png(bytes(p))
+        # dispatch on magic: PNG or WebP (lossless VP8L / lossy VP8)
+        b = bytes(p)
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+            from vtk_reserves_spark.sources.webp import decode_webp
+
+            img = decode_webp(b)
+        else:
+            img = decode_png(b)
         h, w = img.shape[:2]
         rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
         cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
