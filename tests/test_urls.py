@@ -31,6 +31,8 @@ def test_url_no_parse_and_edges(spark):
     assert _one(spark, "http://example.com/", U.url_depth) == 0
     assert _one(spark, "ftp://example.com/x", U.url_scheme) == "ftp"
     assert _one(spark, "http://example.com:notaport/x", U.url_port) is None
+    # FQDN root dot: stripped so PSL grouping sees the canonical host
+    assert _one(spark, "https://www.Example.COM./x", U.url_host) == "www.example.com"
 
 
 def test_registered_domain(spark):

@@ -33,11 +33,14 @@ def url_scheme(url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Host (authority minus userinfo/port), lower-cased; NULL when the
-    value does not parse as an absolute URL."""
+    """Host (authority minus userinfo/port), lower-cased, trailing
+    root-dot dropped (the FQDN form ``example.com.`` — PSL matching
+    and per-domain grouping treat it as ``example.com``); NULL when
+    the value does not parse as an absolute URL."""
     auth = F.regexp_extract(url, _URL_RE, 2)
     host = F.regexp_replace(auth, r"^[^@]*@", "")  # strip userinfo
     host = F.regexp_replace(host, r":\d*$", "")  # strip port
+    host = F.regexp_replace(host, r"\.$", "")  # strip FQDN root dot
     return F.nullif(F.lower(host), F.lit(""))
 
 
