@@ -2323,6 +2323,66 @@ def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNM/TGA/ICO round-trips under the driver oracle (the three
+    codecs previously pinned only by pytest): each doc becomes a solid
+    ``(4+n%5) x (4+n%3)`` image encoded by the codec doc_id%3 selects
+    — P6 PPM, true-color TGA, or a PNG-free BMP-entry ICO — and
+    decode_media recovers geometry + the exact (r+g+b)/3 mean."""
+    par = 2 * spark.sparkContext.defaultParallelism
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+    )
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from vtk_reserves_spark.operators.multimodal import decode_media
+        from vtk_reserves_spark.sources.ico import encode_ico
+        from vtk_reserves_spark.sources.pnm import encode_pnm
+        from vtk_reserves_spark.sources.tga import encode_tga
+
+        for pdf in batches:
+            rows = []
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                n = len((t or "").encode("utf-8"))
+                w, h = 4 + n % 5, 4 + n % 3
+                img = _np.zeros((h, w, 4), _np.uint8)
+                img[:, :, 0] = n % 256
+                img[:, :, 1] = (n * 3) % 256
+                img[:, :, 2] = (n * 7) % 256
+                img[:, :, 3] = 255
+                k = did % 3
+                if k == 0:
+                    blob = encode_pnm(img[:, :, :3])
+                    mime = "image/x-portable-pixmap"
+                elif k == 1:
+                    blob = encode_tga(img[:, :, :3])
+                    mime = "image/tga"
+                else:
+                    blob = encode_ico(img)
+                    mime = "image/x-icon"
+                f = decode_media(blob, mime)
+                rows.append(
+                    (did, mime, f["width"], f["height"], f["mean_byte"])
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "width", "height", "mean_byte"],
+            )
+
+    out = docs.mapInPandas(
+        run, "doc_id long, mime string, width int, height int, mean_byte double"
+    )
+    return out.select(
+        "doc_id", "mime", "width", "height",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
+
+
 def q_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script detection (functions/text.script_fractions):
     per-doc character fractions across latin / cyrillic / arabic /
@@ -3975,6 +4035,20 @@ def _llm_oracles() -> dict[str, str]:
                    || ')' || repeat('/s', CAST(doc_id % 3 AS INT)) AS surt
             FROM documents
         """,
+        "small_codecs": """
+            -- closed form of the small-codec rule (q_small_codecs):
+            -- solid (4+n%5)x(4+n%3) image, rgb = (n, 3n, 7n) % 256,
+            -- lossless codecs -> mean = (r+g+b)/3; mime by doc_id%3
+            SELECT doc_id,
+                   ['image/x-portable-pixmap', 'image/tga',
+                    'image/x-icon'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+                   CAST(4 + n % 5 AS INT) AS width,
+                   CAST(4 + n % 3 AS INT) AS height,
+                   round((n % 256 + (n * 3) % 256 + (n * 7) % 256)
+                         / 3.0, 6) AS mean_byte
+            FROM (SELECT doc_id, length(COALESCE(text, '')) AS n
+                  FROM documents)
+        """,
         "script_stats": """
             -- closed form of the script-fraction rule (q_script_stats):
             -- the id%3==0 suffix adds constant per-script counts
@@ -4364,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_keys": q_surt_keys,
         "stream_warc": q_stream_warc,
         "warc_media": q_warc_media,
+        "small_codecs": q_small_codecs,
         "script_stats": q_script_stats,
         "curation_policy": q_curation_policy,
         "warc_indexed": q_warc_indexed,
