@@ -2325,10 +2325,11 @@ def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_small_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNM/TGA/ICO round-trips under the driver oracle (the three
-    codecs previously pinned only by pytest): each doc becomes a solid
-    ``(4+n%5) x (4+n%3)`` image encoded by the codec doc_id%3 selects
-    — P6 PPM, true-color TGA, or a PNG-free BMP-entry ICO — and
-    decode_media recovers geometry + the exact (r+g+b)/3 mean."""
+    codecs previously pinned only by pytest, plus BMP): each doc
+    becomes a solid ``(4+n%5) x (4+n%3)`` image encoded by the codec
+    doc_id%4 selects — P6 PPM, true-color TGA, a PNG-free BMP-entry
+    ICO, or a 24-bit BMP — and decode_media recovers geometry + the
+    exact (r+g+b)/3 mean."""
     par = 2 * spark.sparkContext.defaultParallelism
     docs = (
         _read(spark, sf_dir, "documents")
@@ -2341,6 +2342,7 @@ def q_small_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as _pd
 
         from vtk_reserves_spark.operators.multimodal import decode_media
+        from vtk_reserves_spark.sources.bmp import encode_bmp
         from vtk_reserves_spark.sources.ico import encode_ico
         from vtk_reserves_spark.sources.pnm import encode_pnm
         from vtk_reserves_spark.sources.tga import encode_tga
@@ -2355,16 +2357,19 @@ def q_small_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img[:, :, 1] = (n * 3) % 256
                 img[:, :, 2] = (n * 7) % 256
                 img[:, :, 3] = 255
-                k = did % 3
+                k = did % 4
                 if k == 0:
                     blob = encode_pnm(img[:, :, :3])
                     mime = "image/x-portable-pixmap"
                 elif k == 1:
                     blob = encode_tga(img[:, :, :3])
                     mime = "image/tga"
-                else:
+                elif k == 2:
                     blob = encode_ico(img)
                     mime = "image/x-icon"
+                else:
+                    blob = encode_bmp(img[:, :, :3])
+                    mime = "image/bmp"
                 f = decode_media(blob, mime)
                 rows.append(
                     (did, mime, f["width"], f["height"], f["mean_byte"])
@@ -4038,10 +4043,11 @@ def _llm_oracles() -> dict[str, str]:
         "small_codecs": """
             -- closed form of the small-codec rule (q_small_codecs):
             -- solid (4+n%5)x(4+n%3) image, rgb = (n, 3n, 7n) % 256,
-            -- lossless codecs -> mean = (r+g+b)/3; mime by doc_id%3
+            -- lossless codecs -> mean = (r+g+b)/3; mime by doc_id%4
             SELECT doc_id,
                    ['image/x-portable-pixmap', 'image/tga',
-                    'image/x-icon'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+                    'image/x-icon', 'image/bmp']
+                     [CAST(doc_id % 4 AS INT) + 1] AS mime,
                    CAST(4 + n % 5 AS INT) AS width,
                    CAST(4 + n % 3 AS INT) AS height,
                    round((n % 256 + (n * 3) % 256 + (n * 7) % 256)
