@@ -2418,7 +2418,9 @@ def q_curation_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     policies.  The Spark side evaluates the full rule chains; the
     oracle pins the expected verdict per shape, so every rule's
     threshold arithmetic and the first-fail ordering are verified."""
-    from vtk_reserves_spark.functions.text import curation_policy
+    from vtk_reserves_spark.functions.text import (
+        curation_signals, curation_verdict,
+    )
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     base = "the quick brown fox jumps over the lazy dog " * 7
@@ -2431,9 +2433,16 @@ def q_curation_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 4, F.lit("a ab " * 40))
         .otherwise(F.lit("this sentence surely trails off...\n" * 20))
     )
-    c4 = curation_policy(synth, "c4")
-    gopher = curation_policy(synth, "gopher")
-    return docs.select(
+    # materialize the signal columns once; the verdicts are then cheap
+    # CASEs over attributes (CollapseProject keeps the split)
+    sig_cols = curation_signals(synth)
+    with_sig = docs.select(
+        "doc_id", *[c.alias(k) for k, c in sig_cols.items()]
+    )
+    sig = {k: F.col(k) for k in sig_cols}
+    c4 = curation_verdict(sig, "c4")
+    gopher = curation_verdict(sig, "gopher")
+    return with_sig.select(
         "doc_id",
         c4["keep"].alias("c4_keep"),
         c4["reason"].alias("c4_reason"),
