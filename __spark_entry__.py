@@ -2277,6 +2277,90 @@ def q_warc_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`.warc.zst` ingestion (sources/zstd.py + zstd_pure.py): each doc
+    becomes one dict-REFERENCING zstd frame — the record's 'WARC/1.0'
+    prefix is a back-reference into the shard-head skippable-frame
+    dictionary, so decoding is impossible without the full announced
+    CommonCrawl layout working (dictionary extraction + the pure
+    RFC 8878 decoder; dict-less frames would take the libzstd fast
+    path instead).  File-grain read_warc tasks then parse shards
+    whole.  The frame synthesis is lossless, so the oracle replays the
+    same closed-form record rule the gzip variants use."""
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_warczst_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+
+    def write_shard(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        from vtk_reserves_spark.sources.warc import write_warc
+        from vtk_reserves_spark.sources.zstd import make_skippable_frame
+        from vtk_reserves_spark.sources.zstd_pure import (
+            encode_frame_fixture,
+        )
+
+        dict_content = b"WARC/1.0\r\nWARC-Type: response\r\n"
+        prefix = b"WARC/1.0\r\n"
+        frames = []
+        n = 0
+        for pdf in batches:
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                body = f"Zst doc {did}: {t or ''}"
+                raw = write_warc(
+                    [
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"http://example.com/doc/{did}",
+                            "http_status": 200,
+                            "http_content_type": "text/plain",
+                            "payload": body,
+                        }
+                    ]
+                )
+                frames.append(
+                    encode_frame_fixture(
+                        [
+                            (b"", len(dict_content), len(prefix)),
+                            (raw[len(prefix):], 0, 0),
+                        ],
+                        dict_id=5,
+                    )
+                )
+                n += 1
+        if frames:
+            path = _os.path.join(td, f"shard-{_uuid.uuid4().hex}.warc.zst")
+            with open(path, "wb") as fh:
+                fh.write(
+                    make_skippable_frame(dict_content) + b"".join(frames)
+                )
+        yield _pd.DataFrame({"n": [n]})
+
+    docs.repartition(8).mapInPandas(write_shard, "n long").collect()
+
+    from vtk_reserves_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, td + "/*")
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "http_status",
+        F.octet_length("payload").cast("long").alias("payload_len"),
+        F.col("payload").cast("string").alias("body"),
+    )
+
+
 def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota sampling (operators/sampling.quota_sample):
     at most k=3 docs kept per synthetic domain, chosen by
@@ -4246,6 +4330,24 @@ def _llm_oracles() -> dict[str, str]:
               FROM documents
             )
         """,
+        "warc_zst": """
+            -- closed form of the .warc.zst synthesis rule (q_warc_zst):
+            -- each doc becomes an HTTP 200 text/plain response with
+            -- body 'Zst doc <id>: <text>', encoded as one
+            -- dict-referencing zstd frame behind a shard-head
+            -- dictionary; the frame round-trip is lossless so the
+            -- body compares exactly
+            SELECT doc_id,
+                   CAST(200 AS INT) AS http_status,
+                   CAST(length(body) AS BIGINT) AS payload_len,
+                   body
+            FROM (
+              SELECT doc_id,
+                     'Zst doc ' || CAST(doc_id AS VARCHAR) || ': '
+                     || COALESCE(text, '') AS body
+              FROM documents
+            )
+        """,
         "warc_ingest": """
             -- closed form of the WARC synthesis rule (q_warc_ingest):
             -- each doc becomes an HTTP 200 text/html response whose
@@ -4457,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_stats": q_script_stats,
         "curation_policy": q_curation_policy,
         "warc_indexed": q_warc_indexed,
+        "warc_zst": q_warc_zst,
         "domain_stats": q_domain_stats,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,

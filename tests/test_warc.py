@@ -197,9 +197,17 @@ def test_read_warc_indexed_record_grain(spark, tmp_path):
     assert rows["http://e.com/7"] == b"payload 7"
 
 
-def test_zstd_warc_clear_error():
-    with pytest.raises(NotImplementedError, match="zstd"):
-        parse_warc(b"\x28\xb5\x2f\xfd" + b"\x00" * 32)
+def test_zstd_warc_supported():
+    """The former NotImplementedError gap: `.warc.zst` now decodes
+    (sources/zstd.py routes frames to libzstd or the pure RFC 8878
+    decoder).  Garbage after the magic still fails loudly."""
+    data = write_warc(_sample_records(), zstd_frames=True)
+    assert data[:4] == b"\x28\xb5\x2f\xfd"
+    assert len(parse_warc(data)) == len(_sample_records())
+    from vtk_reserves_spark.sources.zstd import ZstdFormatError
+
+    with pytest.raises(ZstdFormatError):
+        parse_warc(b"\x28\xb5\x2f\xfd" + b"\xff" * 32)
 
 
 def test_read_cdx_roundtrip(spark, tmp_path):

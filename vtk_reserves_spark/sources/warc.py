@@ -17,13 +17,19 @@ per-record index exists (CC publishes one), `read_warc_indexed`
 rebalances skewed shards at RECORD granularity via ranged reads;
 `build_warc_index` derives the (offset, length) spans.  Record
 payloads above ``max_payload`` bytes are truncated (the standard CC
-text-pipeline guard against multi-GB binaries).  zstd-compressed WARC
-(.warc.zst, CC's announced future format) is NOT supported — no zstd
-decoder exists in the standard library; `parse_warc` raises a clear
-NotImplementedError on the zstd magic.
+text-pipeline guard against multi-GB binaries).
+
+zstd-compressed WARC (`.warc.zst`, CC's announced future format —
+concatenated zstd frames, optionally led by a skippable frame
+carrying a shared dictionary) IS supported: dict-less frames decode
+through pyarrow's bundled libzstd, dict-referencing frames through
+the pure-python RFC 8878 decoder (`sources/zstd_pure.py`), and
+`build_warc_index` walks frame headers without decompressing so the
+cdx/ranged-read path works at frame grain (`read_warc_indexed`
+auto-fetches the shard-head dictionary once per path).
 
 The companion :func:`write_warc` emits valid (optionally
-member-gzipped) WARC bytes for fixtures and re-export.
+member-gzipped or zstd-framed) WARC bytes for fixtures and re-export.
 """
 
 from __future__ import annotations
@@ -76,7 +82,11 @@ def _gunzip_members(data: bytes):
         pos += consumed
 
 
-def parse_warc(data: bytes, max_payload: int | None = None) -> list[dict]:
+def parse_warc(
+    data: bytes,
+    max_payload: int | None = None,
+    zstd_dict: bytes | None = None,
+) -> list[dict]:
     """WARC bytes (plain or gzipped members) -> list of record dicts:
     ``warc_type, target_uri, date, record_id, content_type,
     content_length, http_status, http_content_type, payload``.
@@ -85,15 +95,26 @@ def parse_warc(data: bytes, max_payload: int | None = None) -> list[dict]:
     block is split off: ``payload`` is the entity body and
     ``http_status`` / ``http_content_type`` are filled; other records
     carry their raw content block as ``payload``."""
-    if data[:4] == b"\x28\xb5\x2f\xfd":
-        # CommonCrawl's announced future format; zstd has no stdlib
-        # decoder and this container bans new deps, so the gap is
-        # explicit rather than a confusing gzip error downstream.
-        raise NotImplementedError(
-            "zstd-compressed WARC (.warc.zst) is not supported: no zstd "
-            "decoder in the standard library. Re-compress with gzip "
-            "members, or plug a zstd-capable opener into "
-            "read_warc_indexed once a zstd library is available."
+    if data[:4] in (b"\x28\xb5\x2f\xfd", b"\x5d\x2a\x4d\x18") or (
+        len(data) >= 4
+        and data[1:4] == b"\x2a\x4d\x18"
+        and 0x50 <= data[0] <= 0x5F
+    ):
+        # CommonCrawl's announced future format: concatenated zstd
+        # frames (one or more records per frame), optionally led by a
+        # 0x184D2A5D skippable frame carrying a shared dictionary.
+        # Frames without a dictionary decode via pyarrow's bundled
+        # libzstd; dict-referencing frames via the pure-python RFC 8878
+        # decoder (sources/zstd_pure.py).
+        from vtk_reserves_spark.sources import zstd as _zstd
+
+        dict_bytes = _zstd.extract_warc_dictionary(data)
+        if dict_bytes is None:
+            # ranged reads of dict-referencing shards fetch the
+            # shard-head dictionary separately and pass it here
+            dict_bytes = zstd_dict
+        return parse_warc(
+            _zstd.decompress(data, dict_bytes=dict_bytes), max_payload
         )
     if data[:2] == b"\x1f\x8b":
         records = []
@@ -170,13 +191,30 @@ def parse_warc(data: bytes, max_payload: int | None = None) -> list[dict]:
     return records
 
 
-def write_warc(records: list[dict], gzip_members: bool = False) -> bytes:
+def write_warc(
+    records: list[dict],
+    gzip_members: bool = False,
+    zstd_frames: bool = False,
+    zstd_dict: bytes | None = None,
+) -> bytes:
     """Records (dicts with ``warc_type``; optional ``target_uri``,
     ``record_id``, ``date``, ``payload``; response records may carry
     ``http_status`` + ``http_content_type`` to grow an HTTP envelope)
-    -> WARC/1.0 bytes, optionally one gzip member per record (the
-    CommonCrawl layout)."""
+    -> WARC/1.0 bytes; ``gzip_members`` emits one gzip member per
+    record (the current CommonCrawl layout), ``zstd_frames`` one zstd
+    frame per record (the announced ``.warc.zst`` layout), optionally
+    led by the 0x184D2A5D skippable dictionary frame when
+    ``zstd_dict`` is given (frames written here carry dict_id 0 —
+    libzstd's buffer API can't attach one — so the dictionary frame
+    exercises readers' skip/extract path, not reference decoding;
+    dict-REFERENCING fixtures come from zstd_pure's test encoder)."""
+    if gzip_members and zstd_frames:
+        raise ValueError("pick one of gzip_members / zstd_frames")
     out = []
+    if zstd_frames and zstd_dict is not None:
+        from vtk_reserves_spark.sources.zstd import make_skippable_frame
+
+        out.append(make_skippable_frame(zstd_dict))
     for i, rec in enumerate(records):
         payload = rec.get("payload", b"")
         if isinstance(payload, str):
@@ -209,6 +247,10 @@ def write_warc(records: list[dict], gzip_members: bool = False) -> bytes:
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
                 gz.write(blob)
             blob = buf.getvalue()
+        elif zstd_frames:
+            from vtk_reserves_spark.sources.zstd import compress_frame
+
+            blob = compress_frame(blob)
         out.append(blob)
     return b"".join(out)
 
@@ -291,8 +333,28 @@ def build_warc_index(data: bytes) -> list[tuple[int, int]]:
     CDX-style index CommonCrawl publishes alongside each crawl.  For
     member-gzipped WARCs these are gzip-member boundaries (found by
     walking the deflate streams); for plain WARCs, record boundaries.
-    Runs once at index-build time; readers then seek directly."""
+    Runs once at index-build time; readers then seek directly.
+
+    For ``.warc.zst`` the spans are zstd FRAME boundaries (CC's "one
+    or more records per frame" layout makes frames the record-group
+    grain), found by the header-only walker in `sources/zstd.py` —
+    no decompression.  The leading dictionary skippable frame, when
+    present, is excluded: ranged readers of dict-referencing streams
+    must fetch it separately (`extract_warc_dictionary`) and pass it
+    to `parse_warc` alongside each frame."""
     spans = []
+    if data[:4] == b"\x28\xb5\x2f\xfd" or (
+        len(data) >= 4
+        and data[1:4] == b"\x2a\x4d\x18"
+        and 0x50 <= data[0] <= 0x5F
+    ):
+        from vtk_reserves_spark.sources import zstd as _zstd
+
+        return [
+            (h["offset"], h["length"])
+            for h in _zstd.split_frames(data)
+            if h["kind"] == "zstd"
+        ]
     if data[:2] == b"\x1f\x8b":
         pos = 0
         n = len(data)
@@ -428,17 +490,35 @@ def read_warc_indexed(spark, index_df, max_payload: int | None = None,
     The index rows are repartitioned round-robin before the read so
     co-located records from one shard spread out; each task seeks,
     reads ``length`` bytes, and parses the single member via
-    ``parse_warc`` (gzip or plain both work — the member is a
-    self-contained WARC stream).  ``opener`` abstracts the byte-range
-    source (see ``_local_opener``)."""
+    ``parse_warc`` (gzip, zstd frames, or plain all work — the member
+    is a self-contained WARC stream).  For `.warc.zst` shards whose
+    frames reference a shared dictionary, the dictionary lives in a
+    skippable frame at the shard HEAD (outside every indexed span) —
+    the runner fetches it once per path (one extra ranged read) and
+    threads it into every frame parse.  ``opener`` abstracts the
+    byte-range source (see ``_local_opener``)."""
     import pandas as pd
 
     open_fn = opener or _local_opener
     par = 2 * spark.sparkContext.defaultParallelism
     idx = index_df.select("path", "offset", "length").repartition(par)
 
+    def head_dict(fh) -> bytes | None:
+        from vtk_reserves_spark.sources import zstd as _zstd
+
+        fh.seek(0)
+        head = fh.read(8)
+        if len(head) < 8:
+            return None
+        magic = int.from_bytes(head[:4], "little")
+        if magic != _zstd.WARC_DICT_MAGIC:
+            return None
+        size = int.from_bytes(head[4:8], "little")
+        return _zstd.extract_warc_dictionary(head + fh.read(size))
+
     def run(batches):
         handles: dict[str, object] = {}
+        zdicts: dict[str, bytes | None] = {}
         try:
             for pdf in batches:
                 rows = []
@@ -451,7 +531,12 @@ def read_warc_indexed(spark, index_df, max_payload: int | None = None,
                         fh = handles[p] = open_fn(p)
                     fh.seek(int(off))
                     blob = fh.read(int(ln))
-                    for rec in parse_warc(blob, max_payload):
+                    zd = None
+                    if blob[:4] == b"\x28\xb5\x2f\xfd":
+                        if p not in zdicts:
+                            zdicts[p] = head_dict(fh)
+                        zd = zdicts[p]
+                    for rec in parse_warc(blob, max_payload, zstd_dict=zd):
                         rows.append(
                             (
                                 p, rec["warc_type"], rec["target_uri"],
