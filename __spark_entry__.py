@@ -2361,6 +2361,80 @@ def q_warc_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text mining (sources/pdf.py + multimodal.pdf_text): each doc
+    becomes a two-page PDF — header page + the document text — written
+    by the fixture writer in a per-doc MIX of layouts (doc_id%2 picks
+    classic xref vs xref-stream + object-stream; doc_id%3 picks
+    Flate-compressed vs raw content streams), then mined back through
+    the full ISO 32000 reader.  All four layout combinations must
+    round-trip for the hash to match; the oracle replays the
+    closed-form page-join rule."""
+    from vtk_reserves_spark.operators.multimodal import (
+        attach_pdf_payload, pdf_text,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = attach_pdf_payload(docs)
+    return pdf_text(payloads).select("doc_id", "text", "npages", "title")
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction + host-graph reduction (operators/graph.py
+    extract_links -> host_edges): each doc synthesizes an HTML page on
+    host ``site<id%5>.com`` whose anchors cover all four href shapes —
+    absolute (``dom<id%7>.com``), root-relative, protocol-relative
+    (``cdn<id%3>.com``) and path-relative — so extraction, base-URL
+    resolution, host projection, self-loop dropping and edge dedup all
+    sit under the oracle.  Pure Catalyst (regexp_extract_all +
+    explode; plan-shape test pins no-Python)."""
+    from vtk_reserves_spark.operators.graph import extract_links, host_edges
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/dir/page"), did, F.lit(".html"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="https://dom'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.com/x">ext</a><a href="/p'), did,
+            F.lit('">self</a><a href="//cdn'),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('.com/a">c</a><a href="rel.html">r</a></body></html>'),
+        ).alias("html"),
+    )
+    links = extract_links(pages, "html", base_col="url")
+    return host_edges(links, "url", "href")
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (operators/graph.pagerank): a deterministic
+    11-host graph derived from doc_id (two out-links per host class,
+    self-loops dropped, one dangling host) run for 3 power iterations
+    with damping 0.85 and uniform dangling-mass redistribution.  The
+    oracle UNROLLS the same 3 iterations as SQL CTEs — fixed-iteration
+    PageRank is exactly computable, so the distributed join/agg rounds
+    (localCheckpoint-truncated lineage each round) must reproduce the
+    closed form to 6 decimals."""
+    from vtk_reserves_spark.operators.graph import pagerank
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 11
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"))  # noqa: E731
+    e1 = docs.select(
+        h(k).alias("src"), h((F.col("doc_id") * 5 + 1) % 11).alias("dst")
+    )
+    e2 = docs.select(
+        h(k).alias("src"), h((F.col("doc_id") * 3 + 7) % 11).alias("dst")
+    )
+    edges = e1.union(e2).where(F.col("src") != F.col("dst")).distinct()
+    return pagerank(edges, iterations=3).select("node", "rank")
+
+
 def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota sampling (operators/sampling.quota_sample):
     at most k=3 docs kept per synthetic domain, chosen by
@@ -4330,6 +4404,106 @@ def _llm_oracles() -> dict[str, str]:
               FROM documents
             )
         """,
+        "link_graph": """
+            -- closed form of the link synthesis rule (q_link_graph):
+            -- page host site<id%5>.com links to dom<id%7>.com
+            -- (absolute) and cdn<id%3>.com (protocol-relative); the
+            -- root-relative and path-relative links resolve to the
+            -- page's own host and drop as self-loops; host edges are
+            -- distinct
+            WITH d AS (
+              SELECT doc_id % 5 AS k, doc_id % 7 AS j, doc_id % 3 AS m
+              FROM documents
+            )
+            SELECT DISTINCT 'site' || k || '.com' AS src,
+                            'dom' || j || '.com' AS dst
+            FROM d
+            UNION
+            SELECT DISTINCT 'site' || k || '.com', 'cdn' || m || '.com'
+            FROM d
+        """,
+        "pagerank_hosts": """
+            -- 3 power iterations of PageRank (damping 0.85, uniform
+            -- dangling redistribution) over the deterministic 11-host
+            -- graph from q_pagerank_hosts, unrolled as CTEs — the
+            -- distributed rounds must reproduce this exactly
+            WITH ks AS (SELECT DISTINCT doc_id % 11 AS k FROM documents),
+            edges AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT 'h' || k AS src, 'h' || ((5*k+1) % 11) AS dst FROM ks
+                UNION ALL
+                SELECT 'h' || k, 'h' || ((3*k+7) % 11) FROM ks
+              ) WHERE src <> dst
+            ),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges
+              )
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (
+              SELECT node,
+                     (SELECT COUNT(*) FROM edges e WHERE e.src = nodes.node)
+                     AS out_deg
+              FROM nodes
+            ),
+            r0 AS (
+              SELECT node, out_deg, 1.0 / (SELECT n FROM nn) AS rank
+              FROM deg
+            ),
+            r1 AS (
+              SELECT d.node, d.out_deg,
+                     (1.0 - 0.85) / (SELECT n FROM nn)
+                     + 0.85 * (
+                         COALESCE((SELECT SUM(r.rank / r.out_deg)
+                                   FROM edges e JOIN r0 r ON r.node = e.src
+                                   WHERE e.dst = d.node), 0)
+                         + (SELECT COALESCE(SUM(rank), 0) FROM r0
+                            WHERE out_deg = 0) / (SELECT n FROM nn)
+                       ) AS rank
+              FROM deg d
+            ),
+            r2 AS (
+              SELECT d.node, d.out_deg,
+                     (1.0 - 0.85) / (SELECT n FROM nn)
+                     + 0.85 * (
+                         COALESCE((SELECT SUM(r.rank / r.out_deg)
+                                   FROM edges e JOIN r1 r ON r.node = e.src
+                                   WHERE e.dst = d.node), 0)
+                         + (SELECT COALESCE(SUM(rank), 0) FROM r1
+                            WHERE out_deg = 0) / (SELECT n FROM nn)
+                       ) AS rank
+              FROM deg d
+            ),
+            r3 AS (
+              SELECT d.node, d.out_deg,
+                     (1.0 - 0.85) / (SELECT n FROM nn)
+                     + 0.85 * (
+                         COALESCE((SELECT SUM(r.rank / r.out_deg)
+                                   FROM edges e JOIN r2 r ON r.node = e.src
+                                   WHERE e.dst = d.node), 0)
+                         + (SELECT COALESCE(SUM(rank), 0) FROM r2
+                            WHERE out_deg = 0) / (SELECT n FROM nn)
+                       ) AS rank
+              FROM deg d
+            )
+            SELECT node, rank FROM r3
+        """,
+        "pdf_text": """
+            -- closed form of the PDF fixture rule (q_pdf_text): every
+            -- doc becomes a two-page PDF (header page 'Doc <id>', then
+            -- the text) in a mixed classic/modern + raw/Flate layout;
+            -- extraction joins pages with a blank line, so the mined
+            -- text is 'Doc <id>' || LF LF || text and the title is the
+            -- header
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+                   || COALESCE(text, '') AS text,
+                   CAST(2 AS INT) AS npages,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title
+            FROM documents
+        """,
         "warc_zst": """
             -- closed form of the .warc.zst synthesis rule (q_warc_zst):
             -- each doc becomes an HTTP 200 text/plain response with
@@ -4540,7 +4714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     now exercises the PSL snapshot — prior green predates it),
     #     robots_filter (RFC 9309 engine), domain_quota (per-domain
     #     cap), surt_keys (cdx join key), stream_warc (streaming
-    #     ingest);
+    #     ingest), warc_zst (.warc.zst + pure-python zstd), pdf_text
+    #     (ISO 32000 text mining), link_graph + pagerank_hosts
+    #     (hyperlink graph family);
     # [8-49] the round-1-verified block, which holds the OLDEST green
     #     rows — re-recorded this round; the r1 queries past the
     #     50-cap head the tail and rotate in next round;
@@ -4560,6 +4736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_policy": q_curation_policy,
         "warc_indexed": q_warc_indexed,
         "warc_zst": q_warc_zst,
+        "pdf_text": q_pdf_text,
+        "link_graph": q_link_graph,
+        "pagerank_hosts": q_pagerank_hosts,
         "domain_stats": q_domain_stats,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,

@@ -492,3 +492,29 @@ def test_warc_cli_file_and_cdx(tmp_path, spark):
     assert sorted(r.target_uri for r in got2.collect()) == [
         f"http://e.com/{i}" for i in (0, 2, 4, 6)
     ]
+
+
+def test_pdf_cli(tmp_path, spark):
+    """pdf subcommand: file-grain text mining; a corrupt file lands in
+    the error column instead of failing the job."""
+    from vtk_reserves_spark.cli import main
+    from vtk_reserves_spark.sources.pdf import write_pdf
+
+    (tmp_path / "a.pdf").write_bytes(
+        write_pdf(["alpha page"], title="A", modern=False)
+    )
+    (tmp_path / "b.pdf").write_bytes(
+        write_pdf(["beta one", "beta two"], title="B", modern=True,
+                  compress=True)
+    )
+    (tmp_path / "c.pdf").write_bytes(b"junk, not a pdf")
+    out = str(tmp_path / "out")
+    main(["pdf", str(tmp_path / "*.pdf"), out])
+    rows = {r["path"].rsplit("/", 1)[-1]: r
+            for r in spark.read.parquet(out).collect()}
+    assert rows["a.pdf"]["text"] == "alpha page"
+    assert rows["a.pdf"]["title"] == "A"
+    assert rows["b.pdf"]["text"] == "beta one\n\nbeta two"
+    assert rows["b.pdf"]["npages"] == 2
+    assert rows["c.pdf"]["text"] is None
+    assert "PdfError" in rows["c.pdf"]["error"]

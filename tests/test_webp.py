@@ -263,33 +263,53 @@ def test_webp_rejects_garbage_and_truncated_lossy():
 
 
 def _undo_predictor_reference(argb, sub, size_bits):
-    """Independent scalar inverse-predictor (the pre-vectorization code
-    path, kept here as the parity oracle for the batched decoder)."""
+    """Independent scalar inverse-predictor, transcribed from RFC 9649
+    §4.2.2 pseudo-code (NOT from the module's code): Select computes
+    the component-sum estimate and the two Manhattan distances exactly
+    as written (`pL < pT` strict — ties pick T), and
+    AddSubtractComponentHalf uses C integer division (truncation
+    toward zero).  Cross-validating the vectorized decoder against a
+    second derivation catches transcription errors that encoder/
+    decoder round-trips cannot (both sides would share them)."""
     h, xs = argb.shape
     out = argb.astype(np.int64).copy()
 
+    def chans(p):
+        return [(p >> s) & 0xFF for s in (24, 16, 8, 0)]
+
+    def pack(cs):
+        o = 0
+        for c, s in zip(cs, (24, 16, 8, 0)):
+            o |= c << s
+        return o
+
+    def clamp(v):
+        return 0 if v < 0 else 255 if v > 255 else v
+
     def sel(l, t, tl):
-        p = 0
-        for shift in (24, 16, 8, 0):
-            p += abs(((t >> shift) & 0xFF) - ((tl >> shift) & 0xFF)) - abs(
-                ((l >> shift) & 0xFF) - ((tl >> shift) & 0xFF)
-            )
-        return l if p <= 0 else t
+        # RFC 9649 Select(): estimate = L + T - TL per channel;
+        # pL = sum |estimate - L|, pT = sum |estimate - T|
+        est = [lc + tc - tlc for lc, tc, tlc in zip(chans(l), chans(t), chans(tl))]
+        p_l = sum(abs(e - lc) for e, lc in zip(est, chans(l)))
+        p_t = sum(abs(e - tc) for e, tc in zip(est, chans(t)))
+        return l if p_l < p_t else t
 
     def cas_full(a, b, c):
-        o = 0
-        for shift in (24, 16, 8, 0):
-            v = ((a >> shift) & 0xFF) + ((b >> shift) & 0xFF) - ((c >> shift) & 0xFF)
-            o |= (0 if v < 0 else 255 if v > 255 else v) << shift
-        return o
+        return pack(
+            [clamp(ac + bc - cc)
+             for ac, bc, cc in zip(chans(a), chans(b), chans(c))]
+        )
+
+    def c_div2(d):
+        # C truncation toward zero, unlike Python's floor //
+        return d // 2 if d >= 0 else -((-d) // 2)
 
     def cas_half(a, b, c):
-        o = 0
-        for shift in (24, 16, 8, 0):
-            ave2 = (((a >> shift) & 0xFF) + ((b >> shift) & 0xFF)) // 2
-            v = ave2 + (ave2 - ((c >> shift) & 0xFF)) // 2
-            o |= (0 if v < 0 else 255 if v > 255 else v) << shift
-        return o
+        o = []
+        for ac, bc, cc in zip(chans(a), chans(b), chans(c)):
+            ave = (ac + bc) // 2
+            o.append(clamp(ave + c_div2(ave - cc)))
+        return pack(o)
 
     def avg2(a, b):
         o = 0
@@ -353,6 +373,54 @@ def test_vp8l_predictor_vectorization_parity():
         got = W._undo_predictor(res, sub, 2, 7)
         want = _undo_predictor_reference(res, sub, 2)
         assert (got == want).all(), mode
+
+
+def test_vp8l_select_tie_goes_to_top():
+    """RFC 9649 Select(): on a Manhattan-distance tie the predictor is
+    T, not L (`if (pL < pT) return L; else return T`).  Pixel (1,1)
+    is decoded with mode 11 where L and T are equidistant from the
+    estimate, so the outputs differ by construction unless ties pick
+    T."""
+    # residuals chosen so the decoded neighborhood (blue channel) is
+    #   TL=3  T=2
+    #   L =4  X=res + Select(L, T, TL)
+    # pL = sum|T-TL| = 1 equals pT = sum|L-TL| = 1 (alpha ties at 255)
+    # -> tie -> spec picks T, so X_blue = (0x10 + 2) & 0xFF
+    res = np.array(
+        [[0x00000003, 0x000000FF],
+         [0x00000001, 0x00000010]], np.uint32)
+    sub = np.full((1, 1), 11 << 8, np.uint32)
+    got = W._undo_predictor(res, sub, 5, 2)
+    assert got[0, 0] == 0xFF000003  # TL
+    assert got[0, 1] == 0xFF000002  # T
+    assert got[1, 0] == 0xFF000004  # L
+    assert got[1, 1] & 0xFF == 0x12  # tie -> T, not L (0x14)
+    assert (got == _undo_predictor_reference(res, sub, 5)).all()
+    # asymmetric control: TL=3, T=2, L=3 -> pL=1 > pT=0 -> T either way
+    res2 = np.array(
+        [[0x00000003, 0x000000FF],
+         [0x00000000, 0x00000010]], np.uint32)
+    got2 = W._undo_predictor(res2, sub, 5, 2)
+    assert got2[1, 1] & 0xFF == 0x12
+    assert (got2 == _undo_predictor_reference(res2, sub, 5)).all()
+
+
+def test_vp8l_cas_half_truncates_toward_zero():
+    """AddSubtractComponentHalf is C integer division: for a negative
+    odd difference (ave - TL), truncation adds one less than Python's
+    floor.  ave=(L+T)/2=10, TL=13 -> C: 10 + (-3)/2 = 9; floor would
+    give 8."""
+    res = np.array(
+        [[0x0000000D, 0xFFFFFFFD],   # row0: TL=13, T=(13+0xFD)&0xFF=10
+         [0xFFFFFFFD, 0x00000000]],  # L=(13+0xFD)&0xFF=10, X=res+pred
+        np.uint32)
+    sub = np.full((1, 1), 13 << 8, np.uint32)
+    got = W._undo_predictor(res, sub, 5, 2)
+    assert got[1, 0] & 0xFF == 10 and got[0, 1] & 0xFF == 10
+    assert got[0, 0] & 0xFF == 13
+    # pred blue channel = clamp(10 + trunc((10-13)/2)) = 9
+    assert got[1, 1] & 0xFF == 9
+    assert (got == _undo_predictor_reference(res, sub, 5)).all()
 
 
 def test_vp8l_predictor_rejects_bad_mode():

@@ -467,6 +467,34 @@ def cmd_warc(args) -> None:
     recs.write.mode("overwrite").parquet(args.output)
 
 
+def cmd_pdf(args) -> None:
+    """Mine PDF files to a text parquet: binaryFile source at file
+    grain (one task per document — PDFs are small relative to
+    executors, so file grain IS record grain here) -> the pure-python
+    ISO 32000 reader -> (path, text, npages, title, error).  Corrupt
+    or encrypted files quarantine into the ``error`` column instead of
+    failing the job (the crawl posture)."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.operators.multimodal import pdf_text
+
+    spark = _spark()
+    files = (
+        spark.read.format("binaryFile")
+        .load(args.input)
+        .select(
+            F.col("path"),
+            F.col("content").alias("payload"),
+            # deterministic id (re-evaluation-safe, unlike
+            # monotonically_increasing_id in a self-join)
+            F.xxhash64("path").alias("doc_id"),
+        )
+    )
+    out = pdf_text(files.select("doc_id", "payload"), on_error="null")
+    out = out.join(files.select("doc_id", "path"), "doc_id").drop("doc_id")
+    out.write.mode("overwrite").parquet(args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vtk_reserves_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -613,6 +641,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="replace payload with extracted HTML text",
     )
     w.set_defaults(fn=cmd_warc)
+
+    pf = sub.add_parser(
+        "pdf", help="mine PDF files to text parquet (corrupt -> error col)"
+    )
+    pf.add_argument("input", help="PDF path/glob")
+    pf.add_argument("output", help="output parquet directory")
+    pf.set_defaults(fn=cmd_pdf)
 
     v = sub.add_parser("vocab", help="learn a BPE merge table from a corpus")
     v.add_argument("input")

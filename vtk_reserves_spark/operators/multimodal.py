@@ -951,6 +951,100 @@ def resize_media(
     return df.mapInPandas(run, RESIZE_SCHEMA)
 
 
+def attach_pdf_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a REAL PDF payload per row (`sources/pdf.py`
+    ``write_pdf``): a two-page document — header page ``Doc <id>``
+    plus the row's text — titled ``Doc <id>``, written in a per-row
+    MIX of layouts (``id % 2`` picks classic xref vs xref-stream +
+    object-stream, ``id % 3`` picks raw vs Flate-compressed content
+    streams) so every reader path is exercised under the oracle."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_pdf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        from vtk_reserves_spark.sources.pdf import write_pdf
+
+        out = []
+        for did, t in zip(doc_id.astype("int64"), text):
+            out.append(
+                write_pdf(
+                    [f"Doc {did}", t or ""],
+                    title=f"Doc {did}",
+                    compress=(did % 3 == 0),
+                    modern=(did % 2 == 0),
+                )
+            )
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        to_pdf(F.col(id_col), F.col(text_col)).alias("payload"),
+    )
+
+
+PDF_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("npages", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def pdf_text(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """PDF text mining over (doc_id, payload): each payload is parsed
+    by the pure-python ISO 32000 reader (sources/pdf.py — both xref
+    layouts, object streams, Flate/LZW/ASCII filters, ToUnicode
+    CMaps) and reduced to ``(text, npages, title)``.  PDF is the
+    second most common document payload in web crawls; this is the
+    non-HTML half of crawl-to-corpus text extraction.
+
+    Scale shape mirrors the image codecs: Arrow-batched mapInPandas,
+    one payload cell decoded at a time executor-side, bytes never on
+    the driver; downstream text ops (quality, dedup, language-id)
+    compose on the ``text`` column.  ``on_error='null'`` is the crawl
+    posture — corrupt/encrypted PDFs yield NULL text plus an
+    ``error`` column for quarantine accounting instead of task
+    death."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    safe = on_error == "null"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vtk_reserves_spark.sources.pdf import parse_pdf
+
+        for pdf in batches:
+            texts, npages, titles, errors = [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    parsed = parse_pdf(bytes(p))
+                    texts.append("\n\n".join(parsed["pages"]))
+                    npages.append(parsed["npages"])
+                    titles.append(parsed["title"])
+                    errors.append(None)
+                except Exception as exc:
+                    if not safe:
+                        raise
+                    texts.append(None)
+                    npages.append(None)
+                    titles.append(None)
+                    errors.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "text": texts,
+                    "npages": pd.array(npages, dtype="Int32"),
+                    "title": titles,
+                    "error": errors,
+                }
+            )
+
+    return df.mapInPandas(run, PDF_TEXT_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 40) -> DataFrame:
     """Frame sampling plumbing: derive a frame count from the payload
     size and explode one row per sampled frame with its byte offset —

@@ -443,19 +443,26 @@ def _undo_predictor(argb, sub, size_bits, w):
     out = res.copy()
 
     def sel(l, t, tl):
-        # Select predictor: choose l or t by Manhattan gradient
+        # Select predictor: choose l or t by Manhattan gradient.
+        # STRICT < — the spec picks L only when its distance is
+        # strictly smaller (RFC 9649 Select(): ``if (pL < pT)``);
+        # ties go to T.  An earlier <= mis-picked L on ties.
         p_alpha = abs(((t >> 24) & 0xFF) - ((tl >> 24) & 0xFF)) - abs(((l >> 24) & 0xFF) - ((tl >> 24) & 0xFF))
         p_red = abs(((t >> 16) & 0xFF) - ((tl >> 16) & 0xFF)) - abs(((l >> 16) & 0xFF) - ((tl >> 16) & 0xFF))
         p_green = abs(((t >> 8) & 0xFF) - ((tl >> 8) & 0xFF)) - abs(((l >> 8) & 0xFF) - ((tl >> 8) & 0xFF))
         p_blue = abs((t & 0xFF) - (tl & 0xFF)) - abs((l & 0xFF) - (tl & 0xFF))
-        return l if (p_alpha + p_red + p_green + p_blue) <= 0 else t
+        return l if (p_alpha + p_red + p_green + p_blue) < 0 else t
 
     def cas_half(a, b, c):
         out_v = 0
         for shift in (24, 16, 8, 0):
             ave2 = (((a >> shift) & 0xFF) + ((b >> shift) & 0xFF)) // 2
             cv = (c >> shift) & 0xFF
-            v = ave2 + (ave2 - cv) // 2
+            # (ave2 - cv) / 2 with C TRUNCATION toward zero (the spec's
+            # AddSubtractComponentHalf is C integer division; Python's
+            # floor // rounds negative odd differences one lower)
+            d = ave2 - cv
+            v = ave2 + (d // 2 if d >= 0 else -((-d) // 2))
             v = 0 if v < 0 else (255 if v > 255 else v)
             out_v |= v << shift
         return out_v
