@@ -2379,6 +2379,152 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_text(payloads).select("doc_id", "text", "npages", "title")
 
 
+def q_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Office-document text mining (sources/office.py +
+    multimodal.office_text): each doc becomes a two-part office
+    document — header part ``Doc <id>`` plus the document text — in a
+    container KIND rotating by doc_id%4 (docx / epub / pptx / odt)
+    with doc_id%2 picking stored vs deflated zip members, then mined
+    back through the stdlib zip+XML readers.  All four container
+    formats (and both zip methods) must round-trip for the hash to
+    match; the oracle replays the closed-form part-join + kind rule."""
+    from vtk_reserves_spark.operators.multimodal import (
+        attach_office_payload, office_text,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = attach_office_payload(docs)
+    return office_text(payloads).select(
+        "doc_id", "text", "nparts", "title", "kind"
+    )
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap extraction (functions/feeds.sitemap_urls): each doc
+    synthesizes a sitemaps.org <urlset> with TWO entries — a full
+    entry (loc + lastmod + changefreq + priority, with the loc padded
+    by whitespace and an &amp; entity so trim + entity decode sit
+    under the oracle) and a loc-only entry wrapped in CDATA — plus
+    one loc-less entry that must be DROPPED.  Pure Catalyst
+    (regexp_extract_all + explode; plan-shape test pins no-Python)."""
+    from vtk_reserves_spark.functions.feeds import sitemap_urls
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                  "<url><loc> https://site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/p"), did,
+            F.lit("?a=1&amp;b=2 </loc><lastmod>2024-01-0"),
+            ((F.col("doc_id") % 9) + 1).cast("string"),
+            F.lit("</lastmod><changefreq>daily</changefreq><priority>0."),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("</priority></url><url><loc><![CDATA[https://cdn"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com/x"), did,
+            F.lit("]]></loc></url><url><lastmod>2024-02-02</lastmod></url>"
+                  "</urlset>"),
+        ).alias("xml"),
+    )
+    return sitemap_urls(pages, "xml")
+
+
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom extraction (functions/feeds.feed_entries): doc_id%2
+    picks the feed dialect per row — RSS 2.0 (<item>, text <link>,
+    pubDate/guid/description with a CDATA body) or Atom (<entry>,
+    href-attribute <link>, published/id/summary) — so both parse
+    paths and the per-row kind label sit under one oracle.  Pure
+    Catalyst."""
+    from vtk_reserves_spark.functions.feeds import feed_entries
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    rss = F.concat(
+        F.lit("<rss><channel><item><title>Post &amp; note "), did,
+        F.lit("</title><link>https://r"), (F.col("doc_id") % 4).cast("string"),
+        F.lit(".com/p"), did,
+        F.lit("</link><pubDate>Mon, 01 Jan 2024 00:00:0"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(" GMT</pubDate><guid>g"), did,
+        F.lit("</guid><description><![CDATA[sum "), did,
+        F.lit("]]></description></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><entry>'
+              "<title>Atom post "), did,
+        F.lit('</title><link rel="alternate" href="https://a'),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".com/e"), did,
+        F.lit('"/><updated>2024-02-03T04:05:0'),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("Z</updated><id>urn:e"), did,
+        F.lit("</id><summary>asum "), did,
+        F.lit("</summary></entry></feed>"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom).alias("xml"),
+    )
+    return feed_entries(pages, "xml")
+
+
+def _subtitle_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic subtitle payloads: doc_id%2 picks SRT (comma
+    decimals, numeric counter lines, a multi-line cue body) vs WebVTT
+    (header + NOTE block that must be DROPPED, a named cue with
+    settings and an optional-hours timestamp, an anonymous hh-form
+    cue)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    a = (F.col("doc_id") % 5).cast("string")
+    a5 = (F.col("doc_id") % 5 + 5).cast("string")
+    d = (F.col("doc_id") % 10).cast("string")
+    srt = F.concat(
+        F.lit("1\n00:00:0"), a, F.lit(","), d, F.lit("00 --> 00:00:0"),
+        a5, F.lit(",000\nCue "), did, F.lit(" alpha\nbeta\n\n"),
+        F.lit("2\n00:01:00,000 --> 00:01:05,"), d,
+        F.lit("00\nTail "), did, F.lit("\n"),
+    )
+    vtt = F.concat(
+        F.lit("WEBVTT\n\nNOTE drop this block\n\nc"), did,
+        F.lit("\n0"), a, F.lit(":0"), a, F.lit("."), d,
+        F.lit("00 --> 59:59.900 align:middle\nVCue "), did,
+        F.lit("\n\n01:02:03."), d, F.lit("00 --> 01:02:04.000\nWide "),
+        did, F.lit("\nsecond\n"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, srt).otherwise(vtt).alias("payload"),
+    )
+
+
+def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT/WebVTT cue extraction (functions/subtitles.subtitle_cues):
+    per-row payloads from the fixture rule — both formats, both
+    timestamp dialects (comma/dot decimals, optional hours), cue ids
+    numeric and named, VTT settings, NOTE-block dropping — exploded to
+    one row per cue.  Pure Catalyst (plan-shape test pins no-Python);
+    the oracle replays the synthesis closed form per cue."""
+    from vtk_reserves_spark.functions.subtitles import subtitle_cues
+
+    return subtitle_cues(_subtitle_fixture(spark, sf_dir))
+
+
+def q_subtitle_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle-to-transcript reduction (subtitle_transcripts): cues
+    re-ordered by start time inside one keyed aggregation (array_sort
+    over structs — no global sort), texts joined, n_cues + span_ms
+    derived.  The oracle replays the closed form of the ordered
+    join."""
+    from vtk_reserves_spark.functions.subtitles import subtitle_transcripts
+
+    return subtitle_transcripts(_subtitle_fixture(spark, sf_dir))
+
+
 def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperlink extraction + host-graph reduction (operators/graph.py
     extract_links -> host_edges): each doc synthesizes an HTML page on
@@ -4504,6 +4650,136 @@ def _llm_oracles() -> dict[str, str]:
                    'Doc ' || CAST(doc_id AS VARCHAR) AS title
             FROM documents
         """,
+        "sitemap_urls": """
+            -- closed form of the sitemap synthesis rule
+            -- (q_sitemap_urls): entry 1 carries all four fields (loc
+            -- trimmed + entity-decoded), entry 2 is CDATA loc-only,
+            -- the loc-less third entry is dropped
+            SELECT doc_id,
+                   'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p'
+                     || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS loc,
+                   '2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod,
+                   'daily' AS changefreq,
+                   CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE)
+                     AS priority
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   'https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.com/x'
+                     || CAST(doc_id AS VARCHAR) AS loc,
+                   NULL AS lastmod, NULL AS changefreq,
+                   CAST(NULL AS DOUBLE) AS priority
+            FROM documents
+        """,
+        "feed_entries": """
+            -- closed form of the feed synthesis rule (q_feed_entries):
+            -- doc_id%2 picks RSS (<item>, text link, CDATA summary)
+            -- vs Atom (<entry>, href-attribute link)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END
+                     AS kind,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'Post & note ' || CAST(doc_id AS VARCHAR)
+                        ELSE 'Atom post ' || CAST(doc_id AS VARCHAR)
+                   END AS title,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'https://r' || CAST(doc_id % 4 AS VARCHAR)
+                             || '.com/p' || CAST(doc_id AS VARCHAR)
+                        ELSE 'https://a' || CAST(doc_id % 4 AS VARCHAR)
+                             || '.com/e' || CAST(doc_id AS VARCHAR)
+                   END AS link,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'Mon, 01 Jan 2024 00:00:0'
+                             || CAST(doc_id % 10 AS VARCHAR) || ' GMT'
+                        ELSE '2024-02-03T04:05:0'
+                             || CAST(doc_id % 10 AS VARCHAR) || 'Z'
+                   END AS published,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'g' || CAST(doc_id AS VARCHAR)
+                        ELSE 'urn:e' || CAST(doc_id AS VARCHAR)
+                   END AS entry_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'sum ' || CAST(doc_id AS VARCHAR)
+                        ELSE 'asum ' || CAST(doc_id AS VARCHAR)
+                   END AS summary
+            FROM documents
+        """,
+        "subtitle_cues": """
+            -- closed form of the subtitle fixture rule
+            -- (q_subtitle_cues): even docs are SRT (two numbered
+            -- cues), odd docs are WebVTT (named cue with settings +
+            -- anonymous hh-form cue); the NOTE/header blocks never
+            -- produce rows
+            SELECT doc_id, 'srt' AS kind,
+                   CAST(1 AS INT) AS cue_index, '1' AS cue_id,
+                   CAST((doc_id % 5) * 1000 + (doc_id % 10) * 100
+                        AS BIGINT) AS start_ms,
+                   CAST((doc_id % 5 + 5) * 1000 AS BIGINT) AS end_ms,
+                   CAST(NULL AS VARCHAR) AS settings,
+                   'Cue ' || CAST(doc_id AS VARCHAR) || ' alpha'
+                     || chr(10) || 'beta' AS text
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, 'srt', CAST(2 AS INT), '2',
+                   CAST(60000 AS BIGINT),
+                   CAST(65000 + (doc_id % 10) * 100 AS BIGINT),
+                   NULL, 'Tail ' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, 'vtt', CAST(NULL AS INT),
+                   'c' || CAST(doc_id AS VARCHAR),
+                   CAST((doc_id % 5) * 61000 + (doc_id % 10) * 100
+                        AS BIGINT),
+                   CAST(3599900 AS BIGINT), 'align:middle',
+                   'VCue ' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id, 'vtt', CAST(NULL AS INT),
+                   CAST(NULL AS VARCHAR),
+                   CAST(3723000 + (doc_id % 10) * 100 AS BIGINT),
+                   CAST(3724000 AS BIGINT), NULL,
+                   'Wide ' || CAST(doc_id AS VARCHAR) || chr(10)
+                     || 'second'
+            FROM documents WHERE doc_id % 2 = 1
+        """,
+        "subtitle_transcripts": """
+            -- closed form of the per-doc transcript reduction: cues
+            -- join in start order with single spaces; span is the
+            -- last end minus the first start
+            SELECT doc_id,
+                   'Cue ' || CAST(doc_id AS VARCHAR) || ' alpha'
+                     || chr(10) || 'beta Tail '
+                     || CAST(doc_id AS VARCHAR) AS transcript,
+                   CAST(2 AS INT) AS n_cues,
+                   CAST(65000 - (doc_id % 5) * 1000 AS BIGINT)
+                     AS span_ms
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id,
+                   'VCue ' || CAST(doc_id AS VARCHAR) || ' Wide '
+                     || CAST(doc_id AS VARCHAR) || chr(10) || 'second',
+                   CAST(2 AS INT),
+                   CAST(3724000 - (doc_id % 5) * 61000
+                        - (doc_id % 10) * 100 AS BIGINT)
+            FROM documents WHERE doc_id % 2 = 1
+        """,
+        "office_text": """
+            -- closed form of the office fixture rule (q_office_text):
+            -- every doc becomes a two-part container (header part
+            -- 'Doc <id>', then the text) whose kind rotates by
+            -- doc_id%4; extraction joins parts with a blank line, so
+            -- the mined text is 'Doc <id>' || LF LF || text, the
+            -- title is the header and nparts is 2 for every kind
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+                   || COALESCE(text, '') AS text,
+                   CAST(2 AS INT) AS nparts,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'docx' WHEN 1 THEN 'epub'
+                     WHEN 2 THEN 'pptx' ELSE 'odt' END AS kind
+            FROM documents
+        """,
         "warc_zst": """
             -- closed form of the .warc.zst synthesis rule (q_warc_zst):
             -- each doc becomes an HTTP 200 text/plain response with
@@ -4715,8 +4991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     robots_filter (RFC 9309 engine), domain_quota (per-domain
     #     cap), surt_keys (cdx join key), stream_warc (streaming
     #     ingest), warc_zst (.warc.zst + pure-python zstd), pdf_text
-    #     (ISO 32000 text mining), link_graph + pagerank_hosts
-    #     (hyperlink graph family);
+    #     (ISO 32000 text mining), office_text (DOCX/PPTX/ODT/EPUB
+    #     mining), link_graph + pagerank_hosts (hyperlink graph
+    #     family);
     # [8-49] the round-1-verified block, which holds the OLDEST green
     #     rows — re-recorded this round; the r1 queries past the
     #     50-cap head the tail and rotate in next round;
@@ -4737,6 +5014,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_indexed": q_warc_indexed,
         "warc_zst": q_warc_zst,
         "pdf_text": q_pdf_text,
+        "office_text": q_office_text,
+        "sitemap_urls": q_sitemap_urls,
+        "feed_entries": q_feed_entries,
+        "subtitle_cues": q_subtitle_cues,
+        "subtitle_transcripts": q_subtitle_transcripts,
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "domain_stats": q_domain_stats,

@@ -518,3 +518,32 @@ def test_pdf_cli(tmp_path, spark):
     assert rows["b.pdf"]["npages"] == 2
     assert rows["c.pdf"]["text"] is None
     assert "PdfError" in rows["c.pdf"]["error"]
+
+
+def test_office_cli(tmp_path, spark):
+    """office subcommand: file-grain text mining across all four
+    container kinds; a corrupt file lands in the error column."""
+    from vtk_reserves_spark.cli import main
+    from vtk_reserves_spark.sources.office import (
+        write_docx, write_epub, write_odt, write_pptx,
+    )
+
+    (tmp_path / "a.docx").write_bytes(write_docx(["alpha para"], title="A"))
+    (tmp_path / "b.epub").write_bytes(
+        write_epub(["chap one", "chap two"], title="B")
+    )
+    (tmp_path / "c.pptx").write_bytes(write_pptx(["slide text"], title="C"))
+    (tmp_path / "d.odt").write_bytes(write_odt(["odt para"], title="D"))
+    (tmp_path / "e.docx").write_bytes(b"junk, not a zip")
+    out = str(tmp_path / "out")
+    main(["office", str(tmp_path / "*.*"), out])
+    rows = {r["path"].rsplit("/", 1)[-1]: r
+            for r in spark.read.parquet(out).collect()}
+    assert rows["a.docx"]["text"] == "alpha para"
+    assert rows["a.docx"]["kind"] == "docx"
+    assert rows["b.epub"]["text"] == "chap one\n\nchap two"
+    assert rows["b.epub"]["nparts"] == 2
+    assert rows["c.pptx"]["kind"] == "pptx"
+    assert rows["d.odt"]["title"] == "D"
+    assert rows["e.docx"]["text"] is None
+    assert "OfficeError" in rows["e.docx"]["error"]

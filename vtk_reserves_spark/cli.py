@@ -495,6 +495,32 @@ def cmd_pdf(args) -> None:
     out.write.mode("overwrite").parquet(args.output)
 
 
+def cmd_office(args) -> None:
+    """Mine office documents (DOCX/PPTX/ODT/EPUB) to a text parquet:
+    binaryFile source at file grain -> the stdlib zip+XML readers ->
+    (path, text, nparts, title, kind, error).  Kind is sniffed from
+    the zip member list so extension-less crawl payloads work; corrupt
+    or unsupported containers quarantine into the ``error`` column
+    instead of failing the job (the crawl posture)."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.operators.multimodal import office_text
+
+    spark = _spark()
+    files = (
+        spark.read.format("binaryFile")
+        .load(args.input)
+        .select(
+            F.col("path"),
+            F.col("content").alias("payload"),
+            F.xxhash64("path").alias("doc_id"),
+        )
+    )
+    out = office_text(files.select("doc_id", "payload"), on_error="null")
+    out = out.join(files.select("doc_id", "path"), "doc_id").drop("doc_id")
+    out.write.mode("overwrite").parquet(args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vtk_reserves_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -648,6 +674,14 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("input", help="PDF path/glob")
     pf.add_argument("output", help="output parquet directory")
     pf.set_defaults(fn=cmd_pdf)
+
+    of = sub.add_parser(
+        "office",
+        help="mine DOCX/PPTX/ODT/EPUB files to text parquet (corrupt -> error col)",
+    )
+    of.add_argument("input", help="document path/glob")
+    of.add_argument("output", help="output parquet directory")
+    of.set_defaults(fn=cmd_office)
 
     v = sub.add_parser("vocab", help="learn a BPE merge table from a corpus")
     v.add_argument("input")
