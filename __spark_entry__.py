@@ -2472,6 +2472,232 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_entries(pages, "xml")
 
 
+def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction (sources/exif.py + multimodal.exif_metadata):
+    each doc becomes a REAL EXIF-bearing payload — camera fields,
+    rational exposure/aperture, pixel dims and DMS-exact GPS derived
+    from doc_id closed forms — in a container rotating by doc_id%4
+    (JPEG APP1 / raw TIFF / PNG eXIf / WebP RIFF EXIF) with doc_id%2
+    picking II vs MM byte order, then parsed back through the
+    TIFF-IFD walker.  All four envelopes, both endians, inline and
+    out-of-line values, three sub-IFDs and the signed GPS decode sit
+    under one oracle that replays the synthesis closed form."""
+    from vtk_reserves_spark.operators.multimodal import (
+        attach_exif_payload, exif_metadata,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return exif_metadata(attach_exif_payload(docs)).drop("error")
+
+
+def q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF header mining (sources/mp4.py + multimodal
+    .mp4_metadata): each doc becomes a REAL minimal MP4 — brand,
+    movie duration, a video trak (codec fourcc, 16.16 dims, stts
+    timing) and an audio trak (codec, channels, 16.16 sample rate,
+    packed ISO-639-2 language) from doc_id closed forms — with
+    doc_id%2 picking version-0 vs version-1 (64-bit) full boxes and
+    doc_id%7==0 dropping the video trak (audio-only).  The box
+    walker's output (duration / resolution / codec / fps / language
+    — the pre-decode video-curation filters) replays the synthesis
+    closed form under the oracle."""
+    from vtk_reserves_spark.operators.multimodal import (
+        attach_mp4_payload, mp4_metadata,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return mp4_metadata(attach_mp4_payload(docs)).drop("error")
+
+
+def q_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 header mining (sources/mp3.py + multimodal.mp3_metadata):
+    each doc becomes a REAL MP3 — ID3 text fields, CBR
+    bitrate/sample-rate, frame count — from doc_id closed forms.
+    doc_id%2 picks ID3v2.3 (plain frame sizes) vs v2.4 (syncsafe),
+    doc_id%3 rotates latin-1 / UTF-16 / UTF-8 text encodings,
+    doc_id%6 spans all six MPEG-1 + MPEG-2 sample rates (so both
+    bitrate tables and both samples-per-frame constants execute) and
+    doc_id%11==0 drops the v2 tag for the ID3v1-trailer fallback
+    (genre/track absent there).  The frame-walked duration replays
+    n_frames x samples-per-frame / rate under the oracle."""
+    from vtk_reserves_spark.operators.multimodal import (
+        attach_mp3_payload, mp3_metadata,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return mp3_metadata(attach_mp3_payload(docs)).drop("error")
+
+
+def q_ogg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg header mining (sources/ogg.py + multimodal.ogg_metadata):
+    each doc becomes a REAL CRC-correct Ogg stream — doc_id%2 picks
+    Vorbis vs Opus (both ID-header layouts, both granule rates),
+    VorbisComment tags and the granule-encoded duration come from
+    doc_id closed forms, doc_id%6==0 drops the album tag.  The
+    page-walked output replays the synthesis closed form (Opus
+    durations normalize to 48 kHz regardless of input rate) under
+    the oracle."""
+    from vtk_reserves_spark.operators.multimodal import (
+        attach_ogg_payload, ogg_metadata,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return ogg_metadata(attach_ogg_payload(docs)).drop("error")
+
+
+def q_mkv_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM header mining (sources/mkv.py +
+    multimodal.mkv_metadata): each doc becomes a REAL EBML blob —
+    doc type, duration in exact binary eighth-seconds (bit-identical
+    float round-trip through the Duration x TimestampScale
+    arithmetic at BOTH rotated scales), a video track (absent at
+    doc_id%5==0) and an audio track whose 'eng' rows omit the
+    Language element (spec-default path).  The EBML walk replays the
+    synthesis closed form under the oracle."""
+    from vtk_reserves_spark.operators.multimodal import (
+        attach_mkv_payload, mkv_metadata,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return mkv_metadata(attach_mkv_payload(docs)).drop("error")
+
+
+def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset ingestion (sources/tar.py + sources/webdataset.py)
+    — the LAION/DataComp training-corpus shape: every document
+    becomes a 3-member sample ({key}.txt with the doc text, {key}.cls
+    with the label, {key}.json sidecar) inside a REAL ustar shard
+    (one shard per partition, written executor-side by the pure
+    builder), shards are re-ingested via binaryFile (one task per
+    shard — the LAION grain), members walked by the checksum-verified
+    ustar parser, and samples reassembled by basename-stem key.  The
+    oracle replays the synthesis closed form including the text
+    payload round-trip (string compare through tar framing)."""
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_wds_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+
+    def write_shard(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        from vtk_reserves_spark.sources.tar import build_tar
+
+        members = []
+        for pdf in batches:
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                did = int(did)
+                key = f"{did:010d}"
+                members.append((f"{key}.txt", (t or "").encode()))
+                members.append((f"{key}.cls", str(did % 10).encode()))
+                members.append(
+                    (f"{key}.json", f'{{"doc_id":{did}}}'.encode())
+                )
+        if members:
+            path = _os.path.join(td, f"shard-{_uuid.uuid4().hex}.tar")
+            with open(path, "wb") as fh:
+                fh.write(build_tar(members))
+        yield _pd.DataFrame({"n": [len(members)]})
+
+    docs.repartition(8).mapInPandas(write_shard, "n long").collect()
+
+    from vtk_reserves_spark.sources.webdataset import read_webdataset
+
+    rows = read_webdataset(spark, td + "/*.tar")
+    # reassemble samples: one row per key with the typed members
+    return (
+        rows.groupBy("key")
+        .agg(
+            F.count("*").cast("int").alias("n_members"),
+            F.max(
+                F.when(F.col("ext") == "txt",
+                       F.col("payload").cast("string"))
+            ).alias("txt"),
+            F.max(
+                F.when(F.col("ext") == "cls",
+                       F.col("payload").cast("string").cast("int"))
+            ).alias("cls"),
+            F.max(
+                F.when(F.col("ext") == "json", F.col("n_bytes"))
+            ).alias("json_bytes"),
+        )
+        .select(
+            F.col("key").cast("long").alias("doc_id"),
+            "n_members", "txt", "cls", "json_bytes",
+        )
+    )
+
+
+def q_svg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVG analysis (functions/svg.py — pure Catalyst end to end,
+    zero Python: the fixture SVG is even synthesized with concat):
+    every doc becomes an SVG whose root drops width/height at
+    doc_id%3==0 (exercising the viewBox intrinsic-size fallback),
+    carries two <text> elements (one tspan-nested, entity-bearing)
+    plus a non-rendering <title>, and a shape census of
+    doc_id-arithmetic paths/rects/circles.  svg_dims / svg_text /
+    svg_shape_counts replay the closed form under the oracle."""
+    from vtk_reserves_spark.functions.svg import (
+        is_svg, svg_dims, svg_shape_counts, svg_text,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    dims_attr = F.when(
+        d % 3 != 0,
+        F.concat(
+            F.lit(' width="'), (d % 700 + 100).cast("string"),
+            F.lit('px" height="'), (d % 500 + 100).cast("string"),
+            F.lit('"'),
+        ),
+    ).otherwise(F.lit(""))
+    shapes = F.concat(
+        F.repeat(F.lit('<path d="M0 0"/>'), (d % 4).cast("int")),
+        F.repeat(F.lit('<rect x="1"/>'), (d % 3).cast("int")),
+        F.repeat(F.lit('<circle r="2"/>'), (d % 2).cast("int")),
+    )
+    svg = F.concat(
+        F.lit('<?xml version="1.0"?><svg'),
+        dims_attr,
+        F.lit(' viewBox="0 0 '),
+        (d % 1000 + 10).cast("string"),
+        F.lit(" "),
+        (d % 800 + 10).cast("string"),
+        F.lit('" xmlns="http://www.w3.org/2000/svg">'
+              "<title>not rendered</title>"),
+        shapes,
+        F.lit('<text x="1">Label '),
+        d.cast("string"),
+        F.lit('</text><text><tspan dy="2">T&amp;'),
+        (d % 7).cast("string"),
+        F.lit("</tspan></text></svg>"),
+    )
+    doc = docs.withColumn("svg", svg)
+    dims = svg_dims(F.col("svg"))
+    census = svg_shape_counts(F.col("svg"))
+    return doc.select(
+        "doc_id",
+        is_svg("svg").alias("valid"),
+        dims["width"].alias("width"),
+        dims["height"].alias("height"),
+        dims["viewbox_w"].alias("viewbox_w"),
+        dims["viewbox_h"].alias("viewbox_h"),
+        svg_text(F.col("svg")).alias("text"),
+        census["n_paths"].alias("n_paths"),
+        census["n_rects"].alias("n_rects"),
+        census["n_circles"].alias("n_circles"),
+    )
+
+
 def _subtitle_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic subtitle payloads: doc_id%2 picks SRT (comma
     decimals, numeric counter lines, a multi-line cue body) vs WebVTT
@@ -4704,6 +4930,238 @@ def _llm_oracles() -> dict[str, str]:
                    END AS summary
             FROM documents
         """,
+        "exif_metadata": """
+            -- closed form of the EXIF fixture rule (q_exif_metadata):
+            -- every field is a doc_id arithmetic; GPS is DMS-exact
+            -- (deg + min/60 + (sec_tenths/10)/3600, refs negate),
+            -- altitude in tenths with the below-sea-level flag at
+            -- doc_id%5=0
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'jpeg' WHEN 1 THEN 'tiff'
+                     WHEN 2 THEN 'png' ELSE 'webp' END AS container,
+                   'Maker' || CAST(doc_id % 7 AS VARCHAR) AS make,
+                   'Cam ' || CAST(doc_id AS VARCHAR) AS model,
+                   CAST(doc_id % 8 + 1 AS INT) AS orientation,
+                   '2024:01:0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                     || ' 12:00:0' || CAST(doc_id % 10 AS VARCHAR)
+                     AS datetime_original,
+                   1.0 / (doc_id % 500 + 2) AS exposure_time,
+                   (doc_id % 80 + 10) / 10.0 AS fnumber,
+                   CAST(100 * (doc_id % 16 + 1) AS INT) AS iso,
+                   CAST(doc_id % 300 + 10 AS DOUBLE) AS focal_length,
+                   CAST(640 + doc_id % 1280 AS INT) AS width,
+                   CAST(480 + doc_id % 720 AS INT) AS height,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN -(CAST(doc_id % 90 AS DOUBLE)
+                               + (doc_id % 60) / 60.0
+                               + ((doc_id % 600) / 10.0) / 3600.0)
+                        ELSE CAST(doc_id % 90 AS DOUBLE)
+                             + (doc_id % 60) / 60.0
+                             + ((doc_id % 600) / 10.0) / 3600.0
+                   END AS gps_lat,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN -(CAST(doc_id % 180 AS DOUBLE)
+                               + (doc_id * 7 % 60) / 60.0
+                               + ((doc_id * 13 % 600) / 10.0) / 3600.0)
+                        ELSE CAST(doc_id % 180 AS DOUBLE)
+                             + (doc_id * 7 % 60) / 60.0
+                             + ((doc_id * 13 % 600) / 10.0) / 3600.0
+                   END AS gps_lon,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN -((doc_id % 9000) / 10.0)
+                        ELSE (doc_id % 9000) / 10.0
+                   END AS gps_alt
+            FROM documents
+        """,
+        "mp4_metadata": """
+            -- closed form of the MP4 fixture rule (q_mp4_metadata):
+            -- every header field is a doc_id arithmetic; video trak
+            -- absent at doc_id%7=0; fps = video timescale (600) /
+            -- stts sample_delta; duration in movie-timescale
+            -- milliseconds
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                     ELSE 'dash' END AS brand,
+                   ((doc_id % 3600) * 1000 + doc_id % 1000) / 1000.0
+                     AS duration_s,
+                   CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 2 END
+                     ::INT AS n_tracks,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE CASE CAST(doc_id % 3 AS INT)
+                          WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+                          ELSE 'vp09' END
+                   END AS video_codec,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE CAST(320 + 16 * (doc_id % 40) AS DOUBLE)
+                   END AS width,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE CAST(240 + 16 * (doc_id % 30) AS DOUBLE)
+                   END AS height,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE CAST(doc_id % 500 + 1 AS BIGINT)
+                   END AS nframes,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE 600.0 / (doc_id % 24 + 1)
+                   END AS fps,
+                   CASE WHEN doc_id % 2 = 0 THEN 'mp4a' ELSE 'Opus'
+                     END AS audio_codec,
+                   CAST(doc_id % 2 + 1 AS INT) AS channels,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                     WHEN 2 THEN 22050 ELSE 16000 END::INT
+                     AS sample_rate,
+                   CASE CAST(doc_id % 5 AS INT)
+                     WHEN 0 THEN 'und' WHEN 1 THEN 'eng'
+                     WHEN 2 THEN 'deu' WHEN 3 THEN 'fra'
+                     ELSE 'jpn' END AS audio_lang
+            FROM documents
+        """,
+        "mp3_metadata": """
+            -- closed form of the MP3 fixture rule (q_mp3_metadata):
+            -- ID3 fields are doc_id strings (v1-trailer docs at
+            -- doc_id%11=0 lack genre/track); samples-per-frame is
+            -- 1152 for MPEG-1 rates (>=32000) and 576 for MPEG-2
+            SELECT doc_id,
+                   'Träck ' || CAST(doc_id AS VARCHAR) AS title,
+                   'Artist' || CAST(doc_id % 13 AS VARCHAR) AS artist,
+                   'Album' || CAST(doc_id % 7 AS VARCHAR) AS album,
+                   CAST(1990 + doc_id % 35 AS VARCHAR) AS year,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE 'Genre' || CAST(doc_id % 10 AS VARCHAR)
+                   END AS genre,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE CAST(doc_id % 20 + 1 AS VARCHAR) || '/20'
+                   END AS track,
+                   CAST(doc_id % 2 + 1 AS INT) AS channels,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                     WHEN 2 THEN 32000 WHEN 3 THEN 22050
+                     WHEN 4 THEN 24000 ELSE 16000 END::INT
+                     AS sample_rate,
+                   CASE CAST(doc_id % 5 AS INT)
+                     WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 112
+                     WHEN 3 THEN 128 ELSE 160 END::INT
+                     AS bitrate_kbps,
+                   CAST(doc_id % 200 + 10 AS BIGINT) AS n_frames,
+                   (doc_id % 200 + 10)
+                     * (CASE WHEN doc_id % 6 < 3 THEN 1152.0
+                             ELSE 576.0 END)
+                     / (CASE CAST(doc_id % 6 AS INT)
+                          WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                          WHEN 2 THEN 32000 WHEN 3 THEN 22050
+                          WHEN 4 THEN 24000 ELSE 16000 END)
+                     AS duration_s
+            FROM documents
+        """,
+        "ogg_metadata": """
+            -- closed form of the Ogg fixture rule (q_ogg_metadata):
+            -- even docs are Vorbis (duration = granule/sample_rate),
+            -- odd docs are Opus (granules at 48 kHz: duration =
+            -- 960*(doc_id%300+1)/48000 = (doc_id%300+1)/50);
+            -- album tag absent at doc_id%6=0
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'vorbis'
+                        ELSE 'opus' END AS codec,
+                   CAST(doc_id % 2 + 1 AS INT) AS channels,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                     WHEN 2 THEN 22050 ELSE 8000 END::INT
+                     AS sample_rate,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 1000.0 * (doc_id % 300 + 1)
+                             / (CASE CAST(doc_id % 4 AS INT)
+                                  WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                  WHEN 2 THEN 22050 ELSE 8000 END)
+                        ELSE 960.0 * (doc_id % 300 + 1) / 48000.0
+                   END AS duration_s,
+                   'Øgg ' || CAST(doc_id AS VARCHAR) AS title,
+                   'OArtist' || CAST(doc_id % 9 AS VARCHAR) AS artist,
+                   CASE WHEN doc_id % 6 = 0 THEN NULL
+                        ELSE 'OAlbum' || CAST(doc_id % 5 AS VARCHAR)
+                   END AS album,
+                   'enc' || CAST(doc_id % 3 AS VARCHAR) AS vendor
+            FROM documents
+        """,
+        "mkv_metadata": """
+            -- closed form of the Matroska fixture rule
+            -- (q_mkv_metadata): duration is (doc_id%28800)/8.0
+            -- seconds (binary-exact through both TimestampScale
+            -- rotations); video track absent at doc_id%5=0; audio
+            -- language defaults to 'eng' when doc_id%5=0 picked it
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'webm'
+                        ELSE 'matroska' END AS doc_type,
+                   (doc_id % 28800) / 8.0 AS duration_s,
+                   CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END::INT
+                     AS n_tracks,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE CASE CAST(doc_id % 4 AS INT)
+                          WHEN 0 THEN 'V_VP9' WHEN 1 THEN 'V_VP8'
+                          WHEN 2 THEN 'V_AV1'
+                          ELSE 'V_MPEG4/ISO/AVC' END
+                   END AS video_codec,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE CAST(128 + 16 * (doc_id % 120) AS INT)
+                   END AS width,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE CAST(96 + 16 * (doc_id % 60) AS INT)
+                   END AS height,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'A_OPUS' WHEN 1 THEN 'A_VORBIS'
+                     ELSE 'A_AAC' END AS audio_codec,
+                   CAST(doc_id % 8 + 1 AS INT) AS channels,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 48000.0 WHEN 1 THEN 44100.0
+                     WHEN 2 THEN 22050.0 ELSE 8000.0 END
+                     AS sample_rate,
+                   CASE CAST(doc_id % 5 AS INT)
+                     WHEN 0 THEN 'eng' WHEN 1 THEN 'und'
+                     WHEN 2 THEN 'deu' WHEN 3 THEN 'fra'
+                     ELSE 'jpn' END AS audio_lang,
+                   'mux' || CAST(doc_id % 4 AS VARCHAR) AS muxing_app
+            FROM documents
+        """,
+        "webdataset": """
+            -- closed form of the WebDataset fixture rule
+            -- (q_webdataset): each doc yields one 3-member sample;
+            -- txt round-trips the doc text, cls is doc_id%10, the
+            -- json sidecar is {"doc_id":<id>} whose byte length is
+            -- 11 + digits(doc_id)
+            SELECT doc_id,
+                   3::INT AS n_members,
+                   COALESCE(text, '') AS txt,
+                   CAST(doc_id % 10 AS INT) AS cls,
+                   CAST(11 + LENGTH(CAST(doc_id AS VARCHAR)) AS BIGINT)
+                     AS json_bytes
+            FROM documents
+        """,
+        "svg_stats": """
+            -- closed form of the SVG fixture rule (q_svg_stats):
+            -- width/height attributes present unless doc_id%3=0, in
+            -- which case the viewBox extent is the intrinsic size;
+            -- visible text excludes the <title>; census counts are
+            -- doc_id arithmetic
+            SELECT doc_id,
+                   TRUE AS valid,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST(doc_id % 1000 + 10 AS DOUBLE)
+                        ELSE CAST(doc_id % 700 + 100 AS DOUBLE)
+                   END AS width,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST(doc_id % 800 + 10 AS DOUBLE)
+                        ELSE CAST(doc_id % 500 + 100 AS DOUBLE)
+                   END AS height,
+                   CAST(doc_id % 1000 + 10 AS DOUBLE) AS viewbox_w,
+                   CAST(doc_id % 800 + 10 AS DOUBLE) AS viewbox_h,
+                   'Label ' || CAST(doc_id AS VARCHAR) || ' T&'
+                     || CAST(doc_id % 7 AS VARCHAR) AS text,
+                   CAST(doc_id % 4 AS INT) AS n_paths,
+                   CAST(doc_id % 3 AS INT) AS n_rects,
+                   CAST(doc_id % 2 AS INT) AS n_circles
+            FROM documents
+        """,
         "subtitle_cues": """
             -- closed form of the subtitle fixture rule
             -- (q_subtitle_cues): even docs are SRT (two numbered
@@ -4993,7 +5451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     ingest), warc_zst (.warc.zst + pure-python zstd), pdf_text
     #     (ISO 32000 text mining), office_text (DOCX/PPTX/ODT/EPUB
     #     mining), link_graph + pagerank_hosts (hyperlink graph
-    #     family);
+    #     family), exif_metadata / mp4_metadata / mp3_metadata /
+    #     ogg_metadata / mkv_metadata (image/video/audio header
+    #     mining), webdataset (tar-shard training-corpus ingest),
+    #     svg_stats (pure-Catalyst vector-image analysis);
     # [8-49] the round-1-verified block, which holds the OLDEST green
     #     rows — re-recorded this round; the r1 queries past the
     #     50-cap head the tail and rotate in next round;
@@ -5019,6 +5480,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": q_feed_entries,
         "subtitle_cues": q_subtitle_cues,
         "subtitle_transcripts": q_subtitle_transcripts,
+        "exif_metadata": q_exif_metadata,
+        "mp4_metadata": q_mp4_metadata,
+        "mp3_metadata": q_mp3_metadata,
+        "ogg_metadata": q_ogg_metadata,
+        "mkv_metadata": q_mkv_metadata,
+        "webdataset": q_webdataset,
+        "svg_stats": q_svg_stats,
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "domain_stats": q_domain_stats,

@@ -12,7 +12,10 @@ PNM/TGA/ICO, WebP — lossless VP8L AND lossy VP8 key frames with ALPH
 alpha — WAV, FLAC, and MJPG/uncompressed AVI all decode FOR REAL via
 the repo's pure-python codecs; ``sniff_mime`` recovers lying
 Content-Types from magic bytes and ``decode_media`` auto-dispatches
-on generic mimes.  H.264/VP9 video remains gated behind
+on generic mimes.  Header-level metadata mining (no sample/pixel
+decode needed) covers EXIF (JPEG/TIFF/PNG/WebP envelopes), MP4 /
+ISO-BMFF, MP3 (ID3v2/v1 + MPEG frame walk) and Ogg Vorbis/Opus —
+the pre-decode curation filters.  H.264/VP9 video remains gated behind
 ``NotImplementedError`` unless ``fake=True``, which substitutes a
 deterministic byte-arithmetic fake whose outputs are reproducible
 (and SQL-expressible for the oracle).  ``extract_features`` offers
@@ -696,6 +699,16 @@ def sniff_mime(payload: bytes) -> str | None:
         return "image/x-portable-anymap"
     if p[:4] == b"\x00\x00\x01\x00":
         return "image/x-icon"
+    if p[4:8] == b"ftyp":
+        return "video/mp4"
+    if p[:4] == b"OggS":
+        return "audio/ogg"
+    if p[:4] == b"\x1a\x45\xdf\xa3":
+        return "video/webm"
+    if p[:3] == b"ID3" or (
+        len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+    ):
+        return "audio/mpeg"
     if p[:5] == b"%PDF-":
         return "application/pdf"
     if p[:2] == b"\x1f\x8b":
@@ -1145,6 +1158,678 @@ def office_text(df: DataFrame, on_error: str = "raise") -> DataFrame:
             )
 
     return df.mapInPandas(run, OFFICE_TEXT_SCHEMA)
+
+
+def attach_exif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL EXIF-bearing media payload per row
+    (`sources/exif.py` builder): camera fields, pixel dimensions and
+    DMS-exact GPS derived from the id by closed forms, wrapped in a
+    container that rotates by ``id % 4`` (JPEG APP1 / raw TIFF / PNG
+    eXIf / WebP RIFF EXIF) with ``id % 2`` picking the II vs MM byte
+    order — every envelope and both endiannesses sit under one
+    oracle."""
+    import struct as _struct
+
+    @F.pandas_udf(T.BinaryType())
+    def to_media(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from vtk_reserves_spark.sources.exif import (
+            build_exif, insert_exif_jpeg,
+        )
+        from vtk_reserves_spark.sources.image import _png_chunk, encode_png
+        from vtk_reserves_spark.sources.jpeg import encode_jpeg
+
+        img = np.full((8, 8), 128, np.uint8)
+        base_jpeg = encode_jpeg(img)
+        base_png = encode_png(img)
+        out = []
+        for did in doc_id.astype("int64"):
+            did = int(did)
+            fields = {
+                "make": f"Maker{did % 7}",
+                "model": f"Cam {did}",
+                "orientation": did % 8 + 1,
+                "datetime_original": (
+                    f"2024:01:0{did % 9 + 1} 12:00:0{did % 10}"
+                ),
+                "exposure_time": (1, did % 500 + 2),
+                "fnumber": (did % 80 + 10, 10),
+                "iso": 100 * (did % 16 + 1),
+                "focal_length": (did % 300 + 10, 1),
+                "width": 640 + did % 1280,
+                "height": 480 + did % 720,
+                "gps_lat_dms": (
+                    "S" if did % 3 == 0 else "N",
+                    did % 90, did % 60, did % 600,
+                ),
+                "gps_lon_dms": (
+                    "W" if did % 4 == 0 else "E",
+                    did % 180, did * 7 % 60, did * 13 % 600,
+                ),
+                "gps_alt": (did % 9000, 10),
+            }
+            if did % 5 == 0:
+                fields["gps_alt_below"] = True
+            blob = build_exif(fields, "MM" if did % 2 else "II")
+            kind = did % 4
+            if kind == 0:
+                payload = insert_exif_jpeg(base_jpeg, blob)
+            elif kind == 1:
+                payload = blob  # raw TIFF
+            elif kind == 2:
+                payload = (
+                    base_png[:-12]
+                    + _png_chunk(b"eXIf", blob)
+                    + base_png[-12:]
+                )
+            else:
+                chunk = (
+                    b"EXIF" + _struct.pack("<I", len(blob)) + blob
+                    + (b"\x00" if len(blob) & 1 else b"")
+                )
+                payload = (
+                    b"RIFF" + _struct.pack("<I", 4 + len(chunk))
+                    + b"WEBP" + chunk
+                )
+            out.append(payload)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        to_media(F.col(id_col)).alias("payload"),
+    )
+
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("datetime_original", T.StringType()),
+        T.StructField("exposure_time", T.DoubleType()),
+        T.StructField("fnumber", T.DoubleType()),
+        T.StructField("iso", T.IntegerType()),
+        T.StructField("focal_length", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("gps_lat", T.DoubleType()),
+        T.StructField("gps_lon", T.DoubleType()),
+        T.StructField("gps_alt", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def exif_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """EXIF extraction over (doc_id, payload): the container is
+    sniffed from magic bytes (JPEG / TIFF / PNG / WebP — crawl
+    payloads drop extensions and lie in Content-Type) and the
+    TIFF-structured blob inside is walked for camera, exposure,
+    dimension and GPS fields; GPS comes back as signed decimal
+    degrees / meters.  Capture-time dedup, camera stratification and
+    geo filtering all key on these columns.
+
+    Scale shape mirrors the codec operators: Arrow-batched
+    mapInPandas, payload bytes never on the driver; metadata is a
+    bounded prefix walk (no pixel decode), so throughput is
+    scan-bound.  ``on_error='null'`` quarantines corrupt structures
+    into the ``error`` column — the crawl posture."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    safe = on_error == "null"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vtk_reserves_spark.sources.exif import extract_exif
+
+        names = [
+            "make", "model", "orientation", "datetime_original",
+            "exposure_time", "fnumber", "iso", "focal_length",
+            "width", "height", "gps_lat", "gps_lon", "gps_alt",
+        ]
+        for b in batches:
+            rows = []
+            for did, p in zip(b["doc_id"].astype("int64"), b["payload"]):
+                p = bytes(p)
+                container = (
+                    "jpeg" if p[:2] == b"\xff\xd8"
+                    else "tiff" if p[:4] in (b"II*\x00", b"MM\x00*")
+                    else "png" if p[:8] == b"\x89PNG\r\n\x1a\n"
+                    else "webp" if p[:4] == b"RIFF" and p[8:12] == b"WEBP"
+                    else None
+                )
+                try:
+                    meta = extract_exif(p) or {}
+                    err = None
+                except Exception as exc:
+                    if not safe:
+                        raise
+                    meta, err = {}, f"{type(exc).__name__}: {exc}"
+                rows.append(
+                    [int(did), container]
+                    + [meta.get(n) for n in names]
+                    + [err]
+                )
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "container"] + names + ["error"]
+            )
+            for c in ("orientation", "iso", "width", "height"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return df.mapInPandas(run, EXIF_SCHEMA)
+
+
+def attach_mp4_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL minimal MP4 per row (`sources/mp4.py`
+    builder): brand, movie duration, a video trak (codec fourcc,
+    16.16 presentation dims, NTSC-ish sample timing) and an audio
+    trak (codec, channels, 16.16 sample rate, packed ISO-639-2
+    language) all derived from the id by closed forms.  ``id % 2``
+    picks version-0 vs version-1 (64-bit) full boxes and
+    ``id % 7 == 0`` drops the video trak (audio-only file), so every
+    header branch sits under one oracle."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_mp4(doc_id: pd.Series) -> pd.Series:
+        from vtk_reserves_spark.sources.mp4 import build_mp4
+
+        out = []
+        for did in doc_id.astype("int64"):
+            did = int(did)
+            tracks = []
+            if did % 7 != 0:
+                tracks.append({
+                    "handler": "vide",
+                    "codec": ["avc1", "hev1", "vp09"][did % 3],
+                    "n_samples": did % 500 + 1,
+                    "sample_delta": did % 24 + 1,
+                    "timescale": 600,
+                    "lang": "und",
+                    "width": float(320 + 16 * (did % 40)),
+                    "height": float(240 + 16 * (did % 30)),
+                })
+            tracks.append({
+                "handler": "soun",
+                "codec": ["mp4a", "Opus"][did % 2],
+                "n_samples": did % 1000 + 1,
+                "sample_delta": 1024,
+                "timescale": [44100, 48000, 22050, 16000][did % 4],
+                "lang": ["und", "eng", "deu", "fra", "jpn"][did % 5],
+                "channels": did % 2 + 1,
+                "sample_rate": [44100, 48000, 22050, 16000][did % 4],
+            })
+            dur = ((did % 3600) * 1000 + did % 1000) / 1000.0
+            out.append(build_mp4(
+                dur, tracks,
+                brand=["isom", "mp42", "dash"][did % 3],
+                version=did % 2,
+            ))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        to_mp4(F.col(id_col)).alias("payload"),
+    )
+
+
+MP4_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("width", T.DoubleType()),
+        T.StructField("height", T.DoubleType()),
+        T.StructField("nframes", T.LongType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("audio_codec", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("audio_lang", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def mp4_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """ISO-BMFF header extraction over (doc_id, payload): walks the
+    box tree (`sources/mp4.py`) and flattens the first video and
+    first audio trak into one row — brand, movie duration, codec
+    fourccs, presentation dims, frame count + fps (stts), channel /
+    sample-rate (stsd audio entry) and audio language (mdhd).  These
+    are the duration-window / resolution-floor / codec-allowlist /
+    language-stratification signals video curation filters on
+    BEFORE any frame decode.
+
+    Scale shape mirrors `exif_metadata`: Arrow-batched mapInPandas,
+    a bounded prefix walk that never touches ``mdat`` payload bytes,
+    so throughput is scan-bound.  ``on_error='null'`` quarantines
+    corrupt structures into ``error`` — the crawl posture."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    safe = on_error == "null"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vtk_reserves_spark.sources.mp4 import parse_mp4
+
+        cols = [
+            "doc_id", "brand", "duration_s", "n_tracks", "video_codec",
+            "width", "height", "nframes", "fps", "audio_codec",
+            "channels", "sample_rate", "audio_lang", "error",
+        ]
+        for b in batches:
+            rows = []
+            for did, p in zip(b["doc_id"].astype("int64"), b["payload"]):
+                try:
+                    meta = parse_mp4(bytes(p))
+                    err = None
+                except Exception as exc:
+                    if not safe:
+                        raise
+                    meta, err = {"tracks": []}, f"{type(exc).__name__}: {exc}"
+                vid = next(
+                    (t for t in meta["tracks"] if t.get("handler") == "vide"),
+                    None,
+                )
+                aud = next(
+                    (t for t in meta["tracks"] if t.get("handler") == "soun"),
+                    None,
+                )
+                fps = None
+                if vid and vid.get("n_samples") and vid.get("duration"):
+                    fps = vid["n_samples"] * vid["timescale"] / vid["duration"]
+                rows.append([
+                    int(did),
+                    meta.get("brand"),
+                    meta.get("duration_s"),
+                    len(meta["tracks"]) if err is None else None,
+                    vid.get("codec") if vid else None,
+                    vid.get("width") if vid else None,
+                    vid.get("height") if vid else None,
+                    vid.get("n_samples") if vid else None,
+                    fps,
+                    aud.get("codec") if aud else None,
+                    aud.get("channels") if aud else None,
+                    aud.get("sample_rate") if aud else None,
+                    aud.get("lang") if aud else None,
+                    err,
+                ])
+            out = pd.DataFrame(rows, columns=cols)
+            out["n_tracks"] = pd.array(out["n_tracks"], dtype="Int32")
+            out["nframes"] = pd.array(out["nframes"], dtype="Int64")
+            out["channels"] = pd.array(out["channels"], dtype="Int32")
+            out["sample_rate"] = pd.array(out["sample_rate"], dtype="Int32")
+            yield out
+
+    return df.mapInPandas(run, MP4_SCHEMA)
+
+
+def attach_mp3_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL MP3 per row (`sources/mp3.py` builder):
+    ID3 text fields, CBR bitrate/sample-rate and frame count from
+    doc_id closed forms.  ``id % 2`` picks ID3v2.3 vs v2.4 (plain vs
+    syncsafe frame sizes), ``id % 3`` rotates the text encoding
+    (latin-1 / UTF-16-BOM / UTF-8), ``id % 6`` spans all six MPEG-1
+    and MPEG-2 sample rates, and ``id % 11 == 0`` drops the v2 tag
+    entirely for an ID3v1 trailer (the fallback path) — every parse
+    branch sits under one oracle."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_mp3(doc_id: pd.Series) -> pd.Series:
+        from vtk_reserves_spark.sources.mp3 import build_mp3
+
+        out = []
+        for did in doc_id.astype("int64"):
+            did = int(did)
+            fields = {
+                "title": f"Träck {did}",
+                "artist": f"Artist{did % 13}",
+                "album": f"Album{did % 7}",
+                "year": str(1990 + did % 35),
+                "genre": f"Genre{did % 10}",
+                "track": f"{did % 20 + 1}/20",
+            }
+            sr = [44100, 48000, 32000, 22050, 24000, 16000][did % 6]
+            br = [64, 96, 112, 128, 160][did % 5]
+            kw = dict(
+                n_frames=did % 200 + 10,
+                bitrate_kbps=br,
+                sample_rate=sr,
+                channels=did % 2 + 1,
+            )
+            if did % 11 == 0:
+                blob = build_mp3({}, **kw)
+                # strip the empty v2 tag and append an ID3v1 trailer
+                blob = blob[10:]
+                trailer = (
+                    b"TAG"
+                    + fields["title"].encode("latin-1").ljust(30, b"\x00")
+                    + fields["artist"].encode("latin-1").ljust(30, b"\x00")
+                    + fields["album"].encode("latin-1").ljust(30, b"\x00")
+                    + fields["year"].encode("ascii")
+                    + b"\x00" * 30
+                    + b"\xff"
+                )
+                blob += trailer
+            else:
+                blob = build_mp3(
+                    fields,
+                    id3_major=4 if did % 2 else 3,
+                    encoding=[0, 1, 3][did % 3],
+                    **kw,
+                )
+            out.append(blob)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        to_mp3(F.col(id_col)).alias("payload"),
+    )
+
+
+MP3_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("album", T.StringType()),
+        T.StructField("year", T.StringType()),
+        T.StructField("genre", T.StringType()),
+        T.StructField("track", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def mp3_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """MP3 header extraction over (doc_id, payload): ID3v2/v1 text
+    fields plus MPEG frame-walk facts (`sources/mp3.py`) — channel
+    mode, sample rate, first-frame bitrate, frame count and the
+    frame-accurate duration.  Title/artist dedup keys, duration
+    windows and bitrate floors are the audio-curation filters that
+    run BEFORE any sample decode.
+
+    Scale shape mirrors `mp4_metadata`: Arrow-batched mapInPandas;
+    the frame walk is header-hopping (4 bytes read per ~400-byte
+    frame), so throughput is scan-bound.  ``on_error='null'``
+    quarantines corrupt structures into ``error`` — the crawl
+    posture."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    safe = on_error == "null"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vtk_reserves_spark.sources.mp3 import parse_mp3
+
+        names = [
+            "title", "artist", "album", "year", "genre", "track",
+            "channels", "sample_rate", "bitrate_kbps", "n_frames",
+            "duration_s",
+        ]
+        for b in batches:
+            rows = []
+            for did, p in zip(b["doc_id"].astype("int64"), b["payload"]):
+                try:
+                    meta = parse_mp3(bytes(p))
+                    err = None
+                except Exception as exc:
+                    if not safe:
+                        raise
+                    meta, err = {}, f"{type(exc).__name__}: {exc}"
+                rows.append(
+                    [int(did)] + [meta.get(n) for n in names] + [err]
+                )
+            out = pd.DataFrame(rows, columns=["doc_id"] + names + ["error"])
+            for c in ("channels", "sample_rate", "bitrate_kbps"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["n_frames"] = pd.array(out["n_frames"], dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, MP3_SCHEMA)
+
+
+def attach_ogg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL Ogg stream per row (`sources/ogg.py`
+    builder, CRC-correct pages): ``id % 2`` picks Vorbis vs Opus
+    (so both ID-header layouts, both comment magics and both granule
+    rates execute), VorbisComment tags and the sample-exact granule
+    duration come from doc_id closed forms, and ``id % 6 == 0``
+    drops the album tag (absent-comment path)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_ogg(doc_id: pd.Series) -> pd.Series:
+        from vtk_reserves_spark.sources.ogg import build_ogg
+
+        out = []
+        for did in doc_id.astype("int64"):
+            did = int(did)
+            comments = {
+                "title": f"Øgg {did}",
+                "artist": f"OArtist{did % 9}",
+            }
+            if did % 6 != 0:
+                comments["album"] = f"OAlbum{did % 5}"
+            codec = "vorbis" if did % 2 == 0 else "opus"
+            out.append(build_ogg(
+                codec,
+                comments,
+                channels=did % 2 + 1,
+                sample_rate=[44100, 48000, 22050, 8000][did % 4],
+                total_samples=(1000 if codec == "vorbis" else 960)
+                * (did % 300 + 1),
+                vendor=f"enc{did % 3}",
+            ))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        to_ogg(F.col(id_col)).alias("payload"),
+    )
+
+
+OGG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("album", T.StringType()),
+        T.StructField("vendor", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def ogg_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Ogg Vorbis/Opus header extraction over (doc_id, payload):
+    CRC-verified page walk (`sources/ogg.py`), codec classification
+    from the first packet, channels / sample rate / VorbisComment
+    tags, and the sample-exact duration from the last page's granule
+    position (48 kHz minus pre-skip for Opus per RFC 7845).  Same
+    pre-decode audio-curation signals as `mp3_metadata`.
+
+    Scale shape: Arrow-batched mapInPandas over payload bytes that
+    never touch the driver; the page walk is header-hopping, so
+    throughput is scan-bound.  ``on_error='null'`` quarantines
+    corrupt streams into ``error`` — the crawl posture."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    safe = on_error == "null"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vtk_reserves_spark.sources.ogg import parse_ogg
+
+        names = [
+            "codec", "channels", "sample_rate", "duration_s",
+            "title", "artist", "album", "vendor",
+        ]
+        for b in batches:
+            rows = []
+            for did, p in zip(b["doc_id"].astype("int64"), b["payload"]):
+                try:
+                    meta = parse_ogg(bytes(p))
+                    err = None
+                except Exception as exc:
+                    if not safe:
+                        raise
+                    meta, err = {}, f"{type(exc).__name__}: {exc}"
+                rows.append(
+                    [int(did)] + [meta.get(n) for n in names] + [err]
+                )
+            out = pd.DataFrame(rows, columns=["doc_id"] + names + ["error"])
+            for c in ("channels", "sample_rate"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return df.mapInPandas(run, OGG_SCHEMA)
+
+
+def attach_mkv_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL Matroska/WebM blob per row
+    (`sources/mkv.py` builder): doc type, duration (exact binary
+    eighth-seconds so the float round-trips bit-identically), a
+    video track (absent at ``id % 5 == 0`` — audio-only) and an
+    audio track from doc_id closed forms; ``id % 2`` rotates the
+    TimestampScale (1 ms vs 2 ms units) and audio tracks at
+    ``lang='eng'`` omit the Language element to exercise the spec
+    default."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_mkv(doc_id: pd.Series) -> pd.Series:
+        from vtk_reserves_spark.sources.mkv import build_mkv
+
+        out = []
+        for did in doc_id.astype("int64"):
+            did = int(did)
+            tracks = []
+            if did % 5 != 0:
+                tracks.append({
+                    "type": "video",
+                    "codec": ["V_VP9", "V_VP8", "V_AV1",
+                              "V_MPEG4/ISO/AVC"][did % 4],
+                    "lang": "und",
+                    "width": 128 + 16 * (did % 120),
+                    "height": 96 + 16 * (did % 60),
+                })
+            lang = ["eng", "und", "deu", "fra", "jpn"][did % 5]
+            tracks.append({
+                "type": "audio",
+                "codec": ["A_OPUS", "A_VORBIS", "A_AAC"][did % 3],
+                "lang": None if lang == "eng" else lang,
+                "sample_rate": [48000.0, 44100.0, 22050.0, 8000.0][did % 4],
+                "channels": did % 8 + 1,
+            })
+            out.append(build_mkv(
+                ["webm", "matroska"][did % 2],
+                (did % 28800) / 8.0,
+                tracks,
+                ts_scale=[1_000_000, 2_000_000][did % 2],
+                muxing_app=f"mux{did % 4}",
+            ))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        to_mkv(F.col(id_col)).alias("payload"),
+    )
+
+
+MKV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("doc_type", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("audio_codec", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.DoubleType()),
+        T.StructField("audio_lang", T.StringType()),
+        T.StructField("muxing_app", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def mkv_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Matroska/WebM header extraction over (doc_id, payload): EBML
+    walk (`sources/mkv.py`) flattening doc type, movie duration
+    (Duration x TimestampScale), muxing app and the first video +
+    first audio track — codec IDs, pixel dims, channels, sampling
+    rate, language (with the spec 'eng' default).  Same pre-decode
+    video-curation filters as `mp4_metadata`, for the web's second
+    video container.
+
+    Scale shape: Arrow-batched mapInPandas; the walk stops at the
+    first Cluster so frame payloads are never touched.
+    ``on_error='null'`` quarantines corrupt structures into
+    ``error`` — the crawl posture."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    safe = on_error == "null"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vtk_reserves_spark.sources.mkv import parse_mkv
+
+        cols = [
+            "doc_id", "doc_type", "duration_s", "n_tracks",
+            "video_codec", "width", "height", "audio_codec",
+            "channels", "sample_rate", "audio_lang", "muxing_app",
+            "error",
+        ]
+        for b in batches:
+            rows = []
+            for did, p in zip(b["doc_id"].astype("int64"), b["payload"]):
+                try:
+                    meta = parse_mkv(bytes(p))
+                    err = None
+                except Exception as exc:
+                    if not safe:
+                        raise
+                    meta, err = {"tracks": []}, f"{type(exc).__name__}: {exc}"
+                vid = next(
+                    (t for t in meta["tracks"] if t.get("type") == "video"),
+                    None,
+                )
+                aud = next(
+                    (t for t in meta["tracks"] if t.get("type") == "audio"),
+                    None,
+                )
+                rows.append([
+                    int(did),
+                    meta.get("doc_type"),
+                    meta.get("duration_s"),
+                    len(meta["tracks"]) if err is None else None,
+                    vid.get("codec") if vid else None,
+                    vid.get("width") if vid else None,
+                    vid.get("height") if vid else None,
+                    aud.get("codec") if aud else None,
+                    aud.get("channels") if aud else None,
+                    aud.get("sample_rate") if aud else None,
+                    aud.get("lang") if aud else None,
+                    meta.get("muxing_app"),
+                    err,
+                ])
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("n_tracks", "width", "height", "channels"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return df.mapInPandas(run, MKV_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 40) -> DataFrame:
