@@ -2698,6 +2698,206 @@ def q_svg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (operators/imagehash.py): each doc
+    becomes a REAL grayscale PNG whose 9 column bands align with the
+    dHash area-mean grid, so the decoded 64-bit difference hash is
+    one closed-form gradient byte repeated per row — the oracle
+    rebuilds it with pure doc_id arithmetic (bit c set iff
+    (id*7+c*13)%256 < (id*7+(c+1)*13)%256).  Exercises the full
+    decode -> exact box-resize -> bit-pack pipeline, the image-side
+    SimHash for LAION-scale near-dup curation."""
+    from vtk_reserves_spark.operators.imagehash import (
+        attach_column_png_payload, image_hashes,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return image_hashes(attach_column_png_payload(docs)).select(
+        "doc_id", "width", "height", "dhash"
+    )
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded image near-dup blocking
+    (operators/imagehash.near_dup_image_pairs): candidate pairs via
+    exact equi-join on 16-bit hash bands (the pigeonhole guarantee —
+    never an all-pairs comparison), then exact Hamming filter.  On
+    the column-band fixture every hash is a repeated byte, so
+    hamming<=6 degenerates to hash equality and the oracle is a
+    closed-form self-join on the gradient byte."""
+    from vtk_reserves_spark.operators.imagehash import (
+        attach_column_png_payload, image_hashes, near_dup_image_pairs,
+    )
+
+    # 1-in-10 sample: the gradient fixture's hash groups are huge by
+    # construction (wraparound position ~determines the byte), so the
+    # unsampled pair count grows quadratically with sf — the sample
+    # keeps the banding demo while bounding bench output rows
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 10 == 0)
+    )
+    hashes = image_hashes(attach_column_png_payload(docs))
+    return near_dup_image_pairs(hashes, bands=4, max_hamming=6)
+
+
+def q_zip_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP enumeration (sources/zip.py): every document becomes a
+    member of a REAL stdlib-written zip (one archive per partition;
+    doc_id%2 alternates stored vs deflated so both decode paths and
+    the compressed-size accounting execute), archives are re-ingested
+    at archive grain via binaryFile and walked through the
+    hand-rolled central-directory parser (EOCD scan, local-header
+    skip, raw-inflate, CRC-32 verify).  The text payload round-trips
+    under the oracle (string compare through zip framing +
+    compression)."""
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_zip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+
+    def write_archive(batches):
+        import os as _os
+        import uuid as _uuid
+        import zipfile as _zipfile
+
+        import pandas as _pd
+
+        rows = []
+        for pdf in batches:
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                rows.append((int(did), t or ""))
+        if rows:
+            path = _os.path.join(td, f"arch-{_uuid.uuid4().hex}.zip")
+            with _zipfile.ZipFile(path, "w") as z:
+                for did, t in rows:
+                    z.writestr(
+                        f"docs/{did:010d}.txt", t,
+                        _zipfile.ZIP_STORED if did % 2 == 0
+                        else _zipfile.ZIP_DEFLATED,
+                    )
+        yield _pd.DataFrame({"n": [len(rows)]})
+
+    docs.repartition(8).mapInPandas(write_archive, "n long").collect()
+
+    from vtk_reserves_spark.sources.zip import read_zip_archive
+
+    members = read_zip_archive(spark, td + "/*.zip")
+    return members.select(
+        F.regexp_extract("member", r"/(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "method",
+        "n_bytes",
+        F.col("payload").cast("string").alias("txt"),
+    )
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprinting (operators/audiofp.py): each doc becomes
+    a REAL two-segment PCM WAV whose tones sit on exact rFFT bins,
+    decoded and reduced to per-frame dominant-band one-hot bytes —
+    the audio near-dup signature.  Exact-bin energy concentration
+    makes every byte a doc_id closed form (band = (bin-1)//64 over
+    the DC-stripped 512-bin spectrum), which the oracle replays
+    including the two-segment concatenation."""
+    from vtk_reserves_spark.operators.audiofp import (
+        attach_tone_wav_payload, audio_fingerprint,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return audio_fingerprint(attach_tone_wav_payload(docs)).drop("error")
+
+
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML structured-metadata mining (functions/html_meta.py —
+    pure Catalyst end to end): every doc becomes an HTML head whose
+    OpenGraph tags flip attribute order by doc_id%2 (property-first
+    vs content-first, both wild forms), whose rel=canonical link is
+    absent at doc_id%5==0, and which carries doc_id%3 JSON-LD blocks
+    (Article then Product).  og_tags / canonical_url / hreflang_map
+    / jsonld_types + get_json_object replay the closed form under
+    the oracle."""
+    from vtk_reserves_spark.functions.html_meta import (
+        canonical_url, hreflang_map, jsonld_blocks, jsonld_types, og_tags,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    og_fwd = F.concat(
+        F.lit('<meta property="og:title" content="Title '),
+        d.cast("string"), F.lit('"/>'),
+    )
+    og_rev = F.concat(
+        F.lit('<meta content="Title '), d.cast("string"),
+        F.lit('" property="og:title"/>'),
+    )
+    canonical = F.when(
+        d % 5 != 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="http://ex.com/page/'),
+            (d % 1000).cast("string"), F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    ld = F.concat(
+        F.when(
+            d % 3 >= 1,
+            F.concat(
+                F.lit('<script type="application/ld+json">'
+                      '{"@type": "Article", "headline": "H'),
+                d.cast("string"), F.lit('"}</script>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 2,
+            F.lit('<script type="application/ld+json">'
+                  '{"@type": "Product"}</script>'),
+        ).otherwise(F.lit("")),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 2 == 0, og_fwd).otherwise(og_rev),
+        F.concat(
+            F.lit('<meta property="og:image" content="http://img/'),
+            (d % 100).cast("string"), F.lit('.png"/>'),
+        ),
+        canonical,
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="de" '
+                  'href="http://ex.com/de/'),
+            d.cast("string"), F.lit('">'),
+        ),
+        ld,
+        F.lit("</head><body>x</body></html>"),
+    )
+    doc = docs.withColumn("html", html)
+    og = og_tags(F.col("html"))
+    return doc.select(
+        "doc_id",
+        og["title"].alias("og_title"),
+        og["image"].alias("og_image"),
+        canonical_url(F.col("html")).alias("canonical"),
+        hreflang_map(F.col("html"))["de"].alias("hreflang_de"),
+        F.size(jsonld_blocks(F.col("html"))).cast("int").alias("n_jsonld"),
+        F.array_join(jsonld_types(F.col("html")), ",").alias("ld_types"),
+        F.get_json_object(
+            F.element_at(
+                F.concat(jsonld_blocks(F.col("html")),
+                         F.array(F.lit("{}"))),
+                1,
+            ),
+            "$.headline",
+        ).alias("headline"),
+    )
+
+
 def _subtitle_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic subtitle payloads: doc_id%2 picks SRT (comma
     decimals, numeric counter lines, a multi-line cue body) vs WebVTT
@@ -5162,6 +5362,116 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(doc_id % 2 AS INT) AS n_circles
             FROM documents
         """,
+        "image_dhash": """
+            -- closed form of the dHash fixture rule (q_image_dhash):
+            -- the 16x18 column-band PNG area-means back to the band
+            -- values exactly, so dhash = one gradient byte repeated
+            -- 8x, bit c (MSB first) set iff band c < band c+1
+            WITH b AS (
+                SELECT doc_id,
+                       CAST((CASE WHEN (doc_id*7 +  0) % 256 < (doc_id*7 + 13) % 256 THEN 128 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 13) % 256 < (doc_id*7 + 26) % 256 THEN  64 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 26) % 256 < (doc_id*7 + 39) % 256 THEN  32 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 39) % 256 < (doc_id*7 + 52) % 256 THEN  16 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 52) % 256 < (doc_id*7 + 65) % 256 THEN   8 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 65) % 256 < (doc_id*7 + 78) % 256 THEN   4 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 78) % 256 < (doc_id*7 + 91) % 256 THEN   2 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 91) % 256 < (doc_id*7 +104) % 256 THEN   1 ELSE 0 END)
+                          AS INT) AS byte
+                FROM documents
+            )
+            SELECT doc_id,
+                   18::INT AS width,
+                   16::INT AS height,
+                   repeat(printf('%02x', byte), 8) AS dhash
+            FROM b
+        """,
+        "image_neardup": """
+            -- closed form of the banded near-dup rule
+            -- (q_image_neardup): repeated-byte hashes make
+            -- hamming<=6 equivalent to byte equality
+            WITH b AS (
+                SELECT doc_id,
+                       CAST((CASE WHEN (doc_id*7 +  0) % 256 < (doc_id*7 + 13) % 256 THEN 128 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 13) % 256 < (doc_id*7 + 26) % 256 THEN  64 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 26) % 256 < (doc_id*7 + 39) % 256 THEN  32 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 39) % 256 < (doc_id*7 + 52) % 256 THEN  16 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 52) % 256 < (doc_id*7 + 65) % 256 THEN   8 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 65) % 256 < (doc_id*7 + 78) % 256 THEN   4 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 78) % 256 < (doc_id*7 + 91) % 256 THEN   2 ELSE 0 END)
+                          + (CASE WHEN (doc_id*7 + 91) % 256 < (doc_id*7 +104) % 256 THEN   1 ELSE 0 END)
+                          AS INT) AS byte
+                FROM documents
+                WHERE doc_id % 10 = 0
+            )
+            SELECT x.doc_id AS id_a,
+                   y.doc_id AS id_b,
+                   repeat(printf('%02x', x.byte), 8) AS hash_a,
+                   repeat(printf('%02x', y.byte), 8) AS hash_b,
+                   0::INT AS hamming
+            FROM b x JOIN b y
+              ON x.byte = y.byte AND x.doc_id < y.doc_id
+        """,
+        "zip_archive": """
+            -- closed form of the ZIP fixture rule (q_zip_archive):
+            -- even docs stored, odd deflated; n_bytes is the UTF-8
+            -- byte length of the text payload
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'stored'
+                        ELSE 'deflated' END AS method,
+                   CAST(octet_length(encode(COALESCE(text, '')))
+                        AS BIGINT) AS n_bytes,
+                   COALESCE(text, '') AS txt
+            FROM documents
+        """,
+        "audio_fingerprint": """
+            -- closed form of the audio-fingerprint fixture rule
+            -- (q_audio_fingerprint): tone 1 at bin 16*(doc_id%30+1)
+            -- for doc_id%5+1 frames, tone 2 at bin 16*(doc_id%17+1)
+            -- for doc_id%4+1 frames; band = (bin-1)//64, frame byte
+            -- = 1 << (7-band)
+            SELECT doc_id,
+                   16000::INT AS sample_rate,
+                   CAST(doc_id % 5 + 1 + doc_id % 4 + 1 AS INT)
+                     AS n_frames,
+                   repeat(
+                     printf('%02x',
+                       CAST(pow(2, 7 - (16*(doc_id%30+1)-1)//64)
+                            AS INT)),
+                     CAST(doc_id % 5 + 1 AS INT))
+                   || repeat(
+                     printf('%02x',
+                       CAST(pow(2, 7 - (16*(doc_id%17+1)-1)//64)
+                            AS INT)),
+                     CAST(doc_id % 4 + 1 AS INT))
+                     AS fp
+            FROM documents
+        """,
+        "html_meta": """
+            -- closed form of the HTML-metadata fixture rule
+            -- (q_html_meta): attribute order flips by doc_id%2 but
+            -- extraction is order-insensitive; canonical absent at
+            -- doc_id%5=0; doc_id%3 JSON-LD blocks (Article first,
+            -- then Product)
+            SELECT doc_id,
+                   'Title ' || CAST(doc_id AS VARCHAR) AS og_title,
+                   'http://img/' || CAST(doc_id % 100 AS VARCHAR)
+                     || '.png' AS og_image,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE 'http://ex.com/page/'
+                             || CAST(doc_id % 1000 AS VARCHAR)
+                   END AS canonical,
+                   'http://ex.com/de/' || CAST(doc_id AS VARCHAR)
+                     AS hreflang_de,
+                   CAST(doc_id % 3 AS INT) AS n_jsonld,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN '' WHEN 1 THEN 'Article'
+                     ELSE 'Article,Product' END AS ld_types,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL
+                        ELSE 'H' || CAST(doc_id AS VARCHAR)
+                   END AS headline
+            FROM documents
+        """,
         "subtitle_cues": """
             -- closed form of the subtitle fixture rule
             -- (q_subtitle_cues): even docs are SRT (two numbered
@@ -5454,7 +5764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     family), exif_metadata / mp4_metadata / mp3_metadata /
     #     ogg_metadata / mkv_metadata (image/video/audio header
     #     mining), webdataset (tar-shard training-corpus ingest),
-    #     svg_stats (pure-Catalyst vector-image analysis);
+    #     svg_stats (pure-Catalyst vector-image analysis),
+    #     image_dhash / image_neardup (perceptual-hash dedup),
+    #     zip_archive (central-directory source), audio_fingerprint
+    #     (spectral-band audio near-dup);
     # [8-49] the round-1-verified block, which holds the OLDEST green
     #     rows — re-recorded this round; the r1 queries past the
     #     50-cap head the tail and rotate in next round;
@@ -5487,6 +5800,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mkv_metadata": q_mkv_metadata,
         "webdataset": q_webdataset,
         "svg_stats": q_svg_stats,
+        "image_dhash": q_image_dhash,
+        "image_neardup": q_image_neardup,
+        "zip_archive": q_zip_archive,
+        "audio_fingerprint": q_audio_fingerprint,
+        "html_meta": q_html_meta,
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "domain_stats": q_domain_stats,
