@@ -2898,6 +2898,44 @@ def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset detection + UTF-8 normalization
+    (functions/charset.py): every doc becomes raw page bytes in a
+    rotating encoding — plain UTF-8, UTF-8 BOM, UTF-16LE/BE BOMs,
+    meta-declared windows-1252 (the € at 0x80 proves the cp1252
+    table ran), and undeclared latin-1 whose bytes are invalid
+    UTF-8 (forcing the fallback) — then detected and decoded back.
+    All six precedence branches (BOM > strict UTF-8 > declaration >
+    fallback) replay the synthesis closed form, non-ASCII text
+    included, under the oracle."""
+    from vtk_reserves_spark.functions.charset import (
+        attach_charset_payload, transcode_to_utf8,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return transcode_to_utf8(attach_charset_payload(docs))
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch readability over the real documents text
+    (functions/text.readability — pure Catalyst): sentence /
+    whitespace-word / vowel-group-syllable counts with the
+    206.835 - 1.015(w/s) - 84.6(sy/w) score.  The oracle recomputes
+    the identical deterministic definitions in SQL over the same
+    column — a genuine dual implementation, not a fixture replay."""
+    from vtk_reserves_spark.functions.text import readability
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    r = readability(F.col("text"))
+    return docs.select(
+        "doc_id",
+        r["n_sentences"].alias("n_sentences"),
+        r["n_words"].alias("n_words"),
+        r["n_syllables"].alias("n_syllables"),
+        F.round(r["flesch"], 6).alias("flesch"),
+    )
+
+
 def _subtitle_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic subtitle payloads: doc_id%2 picks SRT (comma
     decimals, numeric counter lines, a multi-line cue body) vs WebVTT
@@ -5472,6 +5510,57 @@ def _llm_oracles() -> dict[str, str]:
                    END AS headline
             FROM documents
         """,
+        "readability": r"""
+            -- dual implementation of functions/text.readability:
+            -- sentences = runs of [.!?] (floor 1), words =
+            -- whitespace tokens (floor 1), syllables = vowel-group
+            -- runs over lowercased text; Flesch formula verbatim
+            WITH s AS (
+              SELECT doc_id,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')),
+                              1) AS n_sentences,
+                     greatest(len(list_filter(
+                        string_split_regex(trim(text), '\s+'),
+                        w -> w != '')), 1) AS n_words,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS n_syllables
+              FROM documents
+            )
+            SELECT doc_id,
+                   n_sentences::INT AS n_sentences,
+                   n_words::INT AS n_words,
+                   n_syllables::INT AS n_syllables,
+                   round(206.835
+                         - 1.015 * (CAST(n_words AS DOUBLE)
+                                    / CAST(n_sentences AS DOUBLE))
+                         - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                   / CAST(n_words AS DOUBLE)), 6)
+                     AS flesch
+            FROM s
+        """,
+        "charset_detect": """
+            -- closed form of the charset fixture rule
+            -- (q_charset_detect): encoding rotates by doc_id%6;
+            -- detection is BOM > strict UTF-8 > declaration >
+            -- latin-1 fallback; decoded text round-trips exactly
+            SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-sig'
+                     WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
+                     WHEN 4 THEN 'cp1252' ELSE 'latin-1'
+                   END AS charset,
+                   CAST(doc_id % 6 AS INT) IN (1, 2, 3) AS had_bom,
+                   CASE WHEN doc_id % 6 < 4
+                        THEN 'Seite ' || CAST(doc_id AS VARCHAR)
+                             || ' — größer & Café ✓'
+                        WHEN doc_id % 6 = 4
+                        THEN '<meta charset="windows-1252"><p>Preis '
+                             || CAST(doc_id AS VARCHAR) || ' €</p>'
+                        ELSE 'Seite ' || CAST(doc_id AS VARCHAR)
+                             || ' äöüß'
+                   END AS text
+            FROM documents
+        """,
         "subtitle_cues": """
             -- closed form of the subtitle fixture rule
             -- (q_subtitle_cues): even docs are SRT (two numbered
@@ -5767,7 +5856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     svg_stats (pure-Catalyst vector-image analysis),
     #     image_dhash / image_neardup (perceptual-hash dedup),
     #     zip_archive (central-directory source), audio_fingerprint
-    #     (spectral-band audio near-dup);
+    #     (spectral-band audio near-dup), html_meta (OG/JSON-LD),
+    #     charset_detect (encoding sniff + UTF-8 normalize),
+    #     readability (Flesch dual implementation over real text);
     # [8-49] the round-1-verified block, which holds the OLDEST green
     #     rows — re-recorded this round; the r1 queries past the
     #     50-cap head the tail and rotate in next round;
@@ -5805,6 +5896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_archive": q_zip_archive,
         "audio_fingerprint": q_audio_fingerprint,
         "html_meta": q_html_meta,
+        "charset_detect": q_charset_detect,
+        "readability": q_readability,
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "domain_stats": q_domain_stats,

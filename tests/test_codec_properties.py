@@ -419,3 +419,112 @@ def test_webp_vp8l_roundtrip_exact(h, w, channels, sg, lz, seed):
         )
     out = decode_webp(encode_webp(img, subtract_green=sg, use_lz77_runs=lz))
     assert np.array_equal(out, want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    names=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd"),
+                whitelist_characters="./-_",
+            ),
+            min_size=1, max_size=140,
+        ).filter(lambda s: not s.endswith("/") and ".." not in s),
+        min_size=1, max_size=8, unique=True,
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tar_roundtrip_arbitrary_members(names, seed):
+    """ustar builder/walker round-trips arbitrary member names
+    (unicode, >100-byte GNU longnames) and binary payloads."""
+    from vtk_reserves_spark.sources.tar import build_tar, iter_tar
+
+    rng = np.random.RandomState(seed)
+    members = [
+        (n, rng.bytes(int(rng.randint(0, 2000)))) for n in names
+    ]
+    assert list(iter_tar(build_tar(members))) == members
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    payload=st.binary(min_size=0, max_size=5000),
+    comment=st.binary(max_size=200).filter(
+        lambda c: b"PK\x05\x06" not in c
+    ),
+    deflate=st.booleans(),
+)
+def test_zip_walker_matches_stdlib(payload, comment, deflate):
+    """Our central-directory walker extracts exactly what stdlib
+    zipfile wrote, for arbitrary binary payloads, methods and EOCD
+    comments."""
+    import io
+    import zipfile
+
+    from vtk_reserves_spark.sources.zip import iter_zip
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.comment = comment
+        z.writestr(
+            "m.bin", payload,
+            zipfile.ZIP_DEFLATED if deflate else zipfile.ZIP_STORED,
+        )
+    got = list(iter_zip(buf.getvalue()))
+    assert got[0][0] == "m.bin" and got[0][1] == payload
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    tags=st.dictionaries(
+        st.sampled_from(["title", "artist", "album"]),
+        st.text(min_size=0, max_size=300).map(
+            lambda s: s.replace("=", " ").replace("\x00", " ")
+        ),
+        min_size=0, max_size=3,
+    ),
+    opus=st.booleans(),
+    samples=st.integers(0, 10_000_000),
+)
+def test_ogg_roundtrip_arbitrary_tags(tags, opus, samples):
+    """Ogg builder/walker round-trips arbitrary comment tags (incl.
+    >255-byte values spanning lacing boundaries) and granule
+    positions, CRC-verified."""
+    from vtk_reserves_spark.sources.ogg import build_ogg, parse_ogg
+
+    codec = "opus" if opus else "vorbis"
+    m = parse_ogg(build_ogg(codec, tags, 2, 48000, samples))
+    assert m["codec"] == codec
+    for k, v in tags.items():
+        assert m[k] == v
+    rate = 48000
+    assert m["duration_s"] == samples / rate
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    fields=st.dictionaries(
+        st.sampled_from(["title", "artist", "album", "genre"]),
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+            min_size=0, max_size=200,
+        ).map(lambda s: s.rstrip("\x00")),
+        min_size=0, max_size=4,
+    ),
+    major=st.sampled_from([3, 4]),
+    enc=st.sampled_from([1, 3]),
+    n_frames=st.integers(1, 40),
+    rate=st.sampled_from([44100, 48000, 32000, 22050, 24000, 16000]),
+)
+def test_mp3_roundtrip_arbitrary_tags(fields, major, enc, n_frames, rate):
+    """ID3v2.3/2.4 x UTF-16/UTF-8 x all six MPEG rates round-trip
+    arbitrary unicode tag text and frame counts."""
+    from vtk_reserves_spark.sources.mp3 import build_mp3, parse_mp3
+
+    m = parse_mp3(build_mp3(fields, n_frames, 128, rate, 2, major, enc))
+    for k, v in fields.items():
+        assert m[k] == v, (k, major, enc)
+    assert m["n_frames"] == n_frames
+    spf = 1152 if rate >= 32000 else 576
+    assert m["duration_s"] == n_frames * spf / rate

@@ -232,3 +232,36 @@ def test_nscore_exact_has_no_single_partition_sort(spark):
     assert "Window" not in plan
     assert "hashpartitioning(_nsb" in plan
     assert ", true, " not in plan  # no global (single-reducer) sort node
+
+
+def test_media_metadata_ops_no_shuffle(spark):
+    """Every header-mining operator (EXIF/MP4/MP3/Ogg/MKV) is scan ->
+    synth UDF -> mapInPandas: zero Exchange nodes, one scan-grain
+    pass — the shape that holds at 100 TB."""
+    for q in (
+        entry.q_exif_metadata, entry.q_mp4_metadata,
+        entry.q_mp3_metadata, entry.q_ogg_metadata,
+        entry.q_mkv_metadata,
+    ):
+        plan = _plan(q(spark, TESTDATA))
+        assert "Exchange" not in plan, q.__name__
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, q.__name__
+
+
+def test_pure_catalyst_meta_queries_no_python(spark):
+    """svg_stats / html_meta / readability stay entirely inside
+    whole-stage codegen — no Python eval nodes at all."""
+    for q in (entry.q_svg_stats, entry.q_html_meta, entry.q_readability):
+        plan = _plan(q(spark, TESTDATA))
+        assert "EvalPython" not in plan, q.__name__
+        assert "Exchange" not in plan, q.__name__
+
+
+def test_image_neardup_band_join_no_cartesian(spark):
+    """Perceptual-hash blocking must be an equi-join on band keys —
+    never a cartesian/broadcast-nested-loop pair enumeration."""
+    plan = _plan(entry.q_image_neardup(spark, TESTDATA))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)

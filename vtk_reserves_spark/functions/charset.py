@@ -37,7 +37,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["detect_charset", "decode_payload", "transcode_to_utf8"]
+__all__ = [
+    "detect_charset", "decode_payload", "transcode_to_utf8",
+    "attach_charset_payload",
+]
 
 _BOMS = [
     (codecs.BOM_UTF32_LE, "utf-32-le"),
@@ -101,6 +104,46 @@ def decode_payload(payload: bytes) -> tuple[str, bool, str]:
                 data = payload[len(bom):]
                 break
     return charset, had_bom, data.decode(charset, "replace")
+
+
+def attach_charset_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize raw page bytes per row in a rotating encoding
+    (``id % 6``): plain UTF-8, UTF-8 BOM, UTF-16LE/BE BOMs,
+    meta-declared windows-1252 (its € byte 0x80 proves the cp1252
+    table ran), and undeclared latin-1 whose bytes are invalid UTF-8
+    — one fixture per detection-precedence branch, each with a
+    closed-form decoded text the SQL oracle replays."""
+    import codecs as _codecs
+
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf(T.BinaryType())
+    def to_bytes(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for did in doc_id.astype("int64"):
+            did = int(did)
+            k = did % 6
+            if k < 4:
+                text = f"Seite {did} — größer & Café ✓"
+                enc = ["utf-8", "utf-8-sig", "utf-16-le", "utf-16-be"][k]
+                payload = text.encode(enc)
+                if enc == "utf-16-le":
+                    payload = _codecs.BOM_UTF16_LE + payload
+                elif enc == "utf-16-be":
+                    payload = _codecs.BOM_UTF16_BE + payload
+            elif k == 4:
+                text = f'<meta charset="windows-1252"><p>Preis {did} €</p>'
+                payload = text.encode("cp1252")
+            else:
+                text = f"Seite {did} äöüß"
+                payload = text.encode("latin-1")
+            out.append(payload)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        to_bytes(F.col(id_col)).alias("payload"),
+    )
 
 
 TRANSCODE_SCHEMA = T.StructType(

@@ -344,3 +344,38 @@ def curation_policy(text: Column, policy: str = "gopher") -> dict[str, Column]:
     and apply :func:`curation_verdict` instead (2x: the single-column
     form re-inlines the signal subtrees into every rule branch)."""
     return curation_verdict(curation_signals(text), policy)
+
+
+def readability(text: Column) -> Column:
+    """Flesch-style readability struct, pure Catalyst:
+    (n_sentences, n_words, n_syllables, flesch).
+
+    Definitions are deliberately the SIMPLE deterministic ones (the
+    oracle-replicable estimates, not dictionary syllabification):
+    sentences = runs of ``[.!?]``, floored at 1; words = whitespace
+    tokens, floored at 1; syllables = vowel-group runs
+    (``[aeiouy]+`` over the lowercased text — the standard
+    vowel-cluster estimate, no silent-e adjustment).  The Flesch
+    reading-ease formula 206.835 - 1.015 (words/sentences)
+    - 84.6 (syllables/words) then ranks docs for grade-level
+    curation filters; at crawl scale what matters is a consistent
+    monotone score, not phonological exactness."""
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    n_words = F.greatest(token_count(text), F.lit(1))
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return F.struct(
+        n_sent.cast("int").alias("n_sentences"),
+        n_words.cast("int").alias("n_words"),
+        n_syll.cast("int").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
