@@ -2936,6 +2936,281 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_font_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-font mining (sources/font.py + multimodal.font_metadata):
+    each doc becomes a REAL font — head/maxp/name tables with
+    closed-form family strings, unitsPerEm and glyph counts — in an
+    sfnt (even ids) or zlib-table WOFF wrapper (odd ids), truetype
+    vs CFF flavor at doc_id%3==0.  The table walk (incl. UTF-16BE
+    name storage and WOFF per-table inflate) replays the synthesis
+    closed form under the oracle."""
+    from vtk_reserves_spark.operators.multimodal import (
+        attach_font_payload, font_metadata,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return font_metadata(attach_font_payload(docs)).drop("error")
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negatives):
+    labels are vec_id%7 on the real embeddings table; for each of
+    the first 5 vectors, the top-3 most-cosine-similar vectors of a
+    DIFFERENT label with a 0.999 near-dup ceiling — the contrastive
+    batch-construction primitive.  Queries broadcast, corpus
+    streamed once, window top-k; the oracle replays the same
+    ranking with DuckDB's list_cosine_similarity."""
+    from vtk_reserves_spark.operators.similarity import hard_negatives
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "label", (F.col("vec_id") % 7).cast("int")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return hard_negatives(
+        emb, queries, k=3, max_sim=0.999
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def q_geoxml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KML + GPX extraction (functions/geoxml.py — pure Catalyst end
+    to end, fixture synthesized with concat): each doc carries a KML
+    with two placemarks (the second unnamed and altitude-less,
+    exercising the NULL paths and the LON,LAT spec order) and a GPX
+    track of doc_id%3+1 points whose odd points drop ele/time.
+    Coordinates are binary-exact fractions (.25/.5/.75/.125) so the
+    string->double parse round-trips bit-identically under the
+    oracle."""
+    from vtk_reserves_spark.functions.geoxml import (
+        gpx_trackpoints, kml_placemarks,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    kml = F.concat(
+        F.lit("<kml><Document><Placemark><name>Site "),
+        d.cast("string"),
+        F.lit("</name><Point><coordinates>"),
+        (d % 179).cast("string"), F.lit(".5,"),
+        (d % 89).cast("string"), F.lit(".25,"),
+        (d % 4000).cast("string"), F.lit(".125"),
+        F.lit("</coordinates></Point></Placemark>"
+              "<Placemark><Point><coordinates>"),
+        (d % 179).cast("string"), F.lit(".75,"),
+        (d % 89).cast("string"), F.lit(".5"),
+        F.lit("</coordinates></Point></Placemark></Document></kml>"),
+    )
+    gpx = F.concat(
+        F.lit("<gpx><trk><trkseg>"),
+        F.aggregate(
+            F.sequence(F.lit(0), (d % 3).cast("int")),
+            F.lit(""),
+            lambda acc, j: F.concat(
+                acc,
+                F.lit('<trkpt lat="'),
+                ((d + j) % 89).cast("string"), F.lit('.5" lon="'),
+                ((d * 3 + j) % 179).cast("string"), F.lit('.25">'),
+                F.when(
+                    j % 2 == 0,
+                    F.concat(
+                        F.lit("<ele>"),
+                        ((d + j) % 4000).cast("string"),
+                        F.lit(".5</ele><time>2024-01-0"),
+                        (j % 9 + 1).cast("string"),
+                        F.lit("</time>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("</trkpt>"),
+            ),
+        ),
+        F.lit("</trkseg></trk></gpx>"),
+    )
+    doc = docs.withColumn("kml", kml).withColumn("gpx", gpx)
+    k = doc.select(
+        "doc_id",
+        F.lit("kml").alias("kind"),
+        F.posexplode(kml_placemarks(F.col("kml"))).alias("idx", "p"),
+    ).select(
+        "doc_id", "kind", F.col("idx").cast("int").alias("idx"),
+        F.col("p.name").alias("name"), F.col("p.lat").alias("lat"),
+        F.col("p.lon").alias("lon"), F.col("p.alt").alias("elev"),
+        F.lit(None).cast("string").alias("time"),
+    )
+    g = doc.select(
+        "doc_id",
+        F.lit("gpx").alias("kind"),
+        F.posexplode(gpx_trackpoints(F.col("gpx"))).alias("idx", "p"),
+    ).select(
+        "doc_id", "kind", F.col("idx").cast("int").alias("idx"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("p.lat").alias("lat"), F.col("p.lon").alias("lon"),
+        F.col("p.ele").alias("elev"), F.col("p.time").alias("time"),
+    )
+    return k.unionByName(g)
+
+
+def q_stream_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multimodal ingest (streaming/media.py): the
+    continuous-drop media workflow — every doc lands as a real
+    media FILE (MP3 / MP4 / Ogg / MKV rotating by doc_id%4, the
+    same builders as the batch fixtures) in a drop directory, a
+    checkpointed binaryFile readStream discovers them, magic-byte
+    sniffing routes each payload to its header walker, and the
+    stateless parse emits exactly-once metadata rows per file
+    (availableNow drain).  Durations replay the batch fixtures'
+    closed forms under the oracle."""
+    import shutil
+    import tempfile
+
+    from vtk_reserves_spark.streaming.media import read_media_stream
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mediastream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    drop = os.path.join(base, "drop")
+    ck = os.path.join(base, "ck")
+    os.makedirs(drop, exist_ok=True)
+
+    def write_files(batches):
+        import os as _os
+
+        import numpy as _np
+        import pandas as _pd
+
+        from vtk_reserves_spark.sources.mkv import build_mkv
+        from vtk_reserves_spark.sources.mp3 import build_mp3
+        from vtk_reserves_spark.sources.mp4 import build_mp4
+        from vtk_reserves_spark.sources.ogg import build_ogg
+        from vtk_reserves_spark.sources.wav import encode_wav  # noqa: F401
+
+        n = 0
+        for pdf in batches:
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                k = did % 4
+                if k == 0:
+                    blob = build_mp3(
+                        {"title": f"S{did}"}, did % 50 + 5, 128, 44100,
+                    )
+                elif k == 1:
+                    blob = build_mp4(
+                        (did % 600) / 8.0,
+                        [{
+                            "handler": "vide", "codec": "avc1",
+                            "n_samples": 10, "sample_delta": 60,
+                            "timescale": 600, "lang": "und",
+                            "width": 64.0, "height": 48.0,
+                        }],
+                    )
+                elif k == 2:
+                    blob = build_ogg(
+                        "vorbis", {"title": f"S{did}"}, 2, 48000,
+                        960 * (did % 100 + 1),
+                    )
+                else:
+                    blob = build_mkv(
+                        "webm", (did % 2400) / 8.0,
+                        [{
+                            "type": "audio", "codec": "A_OPUS",
+                            "lang": "und", "sample_rate": 48000.0,
+                            "channels": 2,
+                        }],
+                    )
+                with open(_os.path.join(drop, f"{did}.bin"), "wb") as fh:
+                    fh.write(blob)
+                n += 1
+        yield _pd.DataFrame({"n": [n]})
+
+    docs.repartition(8).mapInPandas(write_files, "n long").collect()
+
+    out = read_media_stream(spark, drop).select(
+        F.regexp_extract("file", r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "mime",
+        "duration_s",
+        "detail",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_stream_media_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stream_media_sink")
+
+
+_AVRO_DOC_SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "txt", "type": ["null", "string"]},
+        {"name": "label", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+    ],
+}
+
+
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF ingestion (sources/avro.py — pure-stdlib container
+    reader, no spark-avro plugin): every partition writes a REAL
+    deflate-coded OCF shard (zigzag varints, ["null",T] unions,
+    sync-marker block framing) carrying the documents table plus
+    closed-form nullable/double/boolean fields; shards are
+    re-ingested at file grain and block-decoded in-task.  The text
+    payload and every union branch round-trip under the oracle."""
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_avro_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+    schema = _AVRO_DOC_SCHEMA
+
+    def write_shard(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        from vtk_reserves_spark.sources.avro import write_avro_bytes
+
+        rows = []
+        for pdf in batches:
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                did = int(did)
+                rows.append({
+                    "doc_id": did,
+                    "txt": t or "",
+                    "label": None if did % 9 == 0 else f"L{did % 5}",
+                    "score": (did % 4000) / 8.0,
+                    "flag": did % 2 == 1,
+                })
+        if rows:
+            path = _os.path.join(td, f"part-{_uuid.uuid4().hex}.avro")
+            with open(path, "wb") as fh:
+                fh.write(write_avro_bytes(
+                    schema, rows, codec="deflate", rows_per_block=50
+                ))
+        yield _pd.DataFrame({"n": [len(rows)]})
+
+    docs.repartition(8).mapInPandas(write_shard, "n long").collect()
+
+    from vtk_reserves_spark.sources.avro import read_avro
+
+    return read_avro(spark, td + "/*.avro", schema)
+
+
 def _subtitle_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic subtitle payloads: doc_id%2 picks SRT (comma
     decimals, numeric counter lines, a multi-line cue body) vs WebVTT
@@ -5510,6 +5785,119 @@ def _llm_oracles() -> dict[str, str]:
                    END AS headline
             FROM documents
         """,
+        "avro_roundtrip": """
+            -- closed form of the Avro fixture rule
+            -- (q_avro_roundtrip): text round-trips, label is a
+            -- ["null",string] union (null branch at doc_id%9=0),
+            -- score an exact binary eighth, flag the parity bit
+            SELECT doc_id,
+                   COALESCE(text, '') AS txt,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE 'L' || CAST(doc_id % 5 AS VARCHAR)
+                   END AS label,
+                   (doc_id % 4000) / 8.0 AS score,
+                   doc_id % 2 = 1 AS flag
+            FROM documents
+        """,
+        "stream_media": """
+            -- closed form of the streaming-media fixture rule
+            -- (q_stream_media): container rotates by doc_id%4;
+            -- durations are the batch fixtures' closed forms
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'audio/mpeg' WHEN 1 THEN 'video/mp4'
+                     WHEN 2 THEN 'audio/ogg' ELSE 'video/webm'
+                   END AS mime,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN (doc_id % 50 + 5) * 1152.0 / 44100.0
+                     WHEN 1 THEN (doc_id % 600) / 8.0
+                     WHEN 2 THEN 960.0 * (doc_id % 100 + 1) / 48000.0
+                     ELSE (doc_id % 2400) / 8.0
+                   END AS duration_s,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'S' || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN 'avc1'
+                     WHEN 2 THEN 'S' || CAST(doc_id AS VARCHAR)
+                     ELSE 'webm'
+                   END AS detail
+            FROM documents
+        """,
+        "geoxml": """
+            -- closed form of the geo-XML fixture rule (q_geoxml):
+            -- 2 KML placemarks per doc (second unnamed, no alt) +
+            -- doc_id%3+1 GPX trackpoints (odd points drop ele/time);
+            -- all fractions are binary-exact
+            SELECT doc_id, 'kml' AS kind, 0::INT AS idx,
+                   'Site ' || CAST(doc_id AS VARCHAR) AS name,
+                   (doc_id % 89) + 0.25 AS lat,
+                   (doc_id % 179) + 0.5 AS lon,
+                   (doc_id % 4000) + 0.125 AS elev,
+                   NULL AS time
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'kml', 1::INT, NULL,
+                   (doc_id % 89) + 0.5,
+                   (doc_id % 179) + 0.75,
+                   NULL, NULL
+            FROM documents
+            UNION ALL
+            SELECT d.doc_id, 'gpx', CAST(j.j AS INT), NULL,
+                   ((d.doc_id + j.j) % 89) + 0.5,
+                   ((d.doc_id * 3 + j.j) % 179) + 0.25,
+                   CASE WHEN j.j % 2 = 0
+                        THEN ((d.doc_id + j.j) % 4000) + 0.5 END,
+                   CASE WHEN j.j % 2 = 0
+                        THEN '2024-01-0' || CAST(j.j % 9 + 1 AS VARCHAR)
+                   END
+            FROM documents d
+            JOIN (SELECT range AS j FROM range(3)) j
+              ON j.j <= d.doc_id % 3
+        """,
+        "hard_negatives": """
+            -- dual implementation of hard-negative mining: same
+            -- cosine ranking as similarity_topk but restricted to
+            -- label (vec_id%7) mismatches with a 0.999 ceiling
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+                              vec_id % 7 AS qlabel
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id != q.qid AND e.vec_id % 7 != q.qlabel
+            ), ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM scored WHERE sim <= 0.999
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked
+            WHERE rank <= 3
+        """,
+        "font_metadata": """
+            -- closed form of the font fixture rule
+            -- (q_font_metadata): every field is doc_id arithmetic;
+            -- odd ids are WOFF-wrapped, doc_id%3=0 is CFF
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'sfnt'
+                        ELSE 'woff' END AS container,
+                   CASE WHEN doc_id % 3 = 0 THEN 'cff'
+                        ELSE 'truetype' END AS flavor,
+                   3::INT AS n_tables,
+                   CASE WHEN doc_id % 2 = 0 THEN 1000
+                        ELSE 2048 END::INT AS units_per_em,
+                   CAST(doc_id % 2000 + 1 AS INT) AS num_glyphs,
+                   'Font ' || CAST(doc_id % 97 AS VARCHAR) AS family,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'Regular' WHEN 1 THEN 'Bold'
+                     WHEN 2 THEN 'Italic' ELSE 'Bold Italic'
+                   END AS subfamily,
+                   'Font ' || CAST(doc_id % 97 AS VARCHAR) || ' '
+                     || CASE CAST(doc_id % 4 AS INT)
+                          WHEN 0 THEN 'Regular' WHEN 1 THEN 'Bold'
+                          WHEN 2 THEN 'Italic' ELSE 'Bold Italic'
+                        END AS full_name
+            FROM documents
+        """,
         "readability": r"""
             -- dual implementation of functions/text.readability:
             -- sentences = runs of [.!?] (floor 1), words =
@@ -5858,7 +6246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     zip_archive (central-directory source), audio_fingerprint
     #     (spectral-band audio near-dup), html_meta (OG/JSON-LD),
     #     charset_detect (encoding sniff + UTF-8 normalize),
-    #     readability (Flesch dual implementation over real text);
+    #     readability (Flesch dual implementation over real text),
+    #     font_metadata (sfnt/WOFF table walk), hard_negatives
+    #     (contrastive batch construction), geoxml (KML/GPX),
+    #     stream_media (continuous-drop multimodal ingest),
+    #     avro_roundtrip (pure-stdlib OCF container);
     # [8-49] the round-1-verified block, which holds the OLDEST green
     #     rows — re-recorded this round; the r1 queries past the
     #     50-cap head the tail and rotate in next round;
@@ -5898,6 +6290,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": q_html_meta,
         "charset_detect": q_charset_detect,
         "readability": q_readability,
+        "font_metadata": q_font_metadata,
+        "hard_negatives": q_hard_negatives,
+        "geoxml": q_geoxml,
+        "stream_media": q_stream_media,
+        "avro_roundtrip": q_avro_roundtrip,
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "domain_stats": q_domain_stats,

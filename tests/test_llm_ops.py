@@ -1371,3 +1371,34 @@ def test_script_fractions_and_curation_policy_edges(spark):
 
     with _pytest.raises(ValueError, match="unknown curation policy"):
         curation_policy(F.col("t"), "nope")
+
+
+def test_hard_negatives_excludes_same_label_and_near_dups(spark):
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from vtk_reserves_spark.operators.similarity import hard_negatives
+
+    # 2-D toy space: label 0 along x, label 1 along y, one near-dup
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.999, 0.05], 0),   # same label as query: excluded
+        (2, [0.9, 0.44], 1),
+        (3, [0.5, 0.87], 1),
+        (4, [1.0, 0.001], 1),    # different label but ~identical: ceiling
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]),
+    )
+    q = df.where(F.col("vec_id") == 0)
+    got = hard_negatives(df, q, k=2, max_sim=0.999).collect()
+    ids = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
+    assert ids == [2, 3]  # 1 excluded by label, 4 by the ceiling
+    # without the ceiling the near-dup wins
+    got2 = hard_negatives(df, q, k=1).collect()
+    assert got2[0].neighbor_id == 4

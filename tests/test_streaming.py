@@ -524,3 +524,34 @@ def test_streaming_warc_ingest(spark, tmp_path):
     drain()
     rows = [r.target_uri for r in spark.read.parquet(out).collect()]
     assert sorted(rows) == ["http://x/0", "http://x/1", "http://x/2"]
+
+
+def test_media_stream_routes_and_dead_letters(spark, tmp_path):
+    """Streaming media ingest: magic-byte routing per file plus the
+    dead-letter path for corrupt payloads (stream must not die)."""
+    from vtk_reserves_spark.sources.mp3 import build_mp3
+    from vtk_reserves_spark.sources.ogg import build_ogg
+    from vtk_reserves_spark.streaming.media import read_media_stream
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.bin").write_bytes(build_mp3({"title": "T"}, 10, 128, 44100))
+    (drop / "b.bin").write_bytes(
+        build_ogg("opus", {"title": "O"}, 1, 48000, 4800)
+    )
+    (drop / "c.bin").write_bytes(b"\x00garbage payload\x00")
+    out = read_media_stream(spark, str(drop))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_media_stream_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.file: r for r in spark.table("t_media_stream_sink").collect()}
+    assert rows["a.bin"].mime == "audio/mpeg"
+    assert rows["a.bin"].duration_s == pytest.approx(10 * 1152 / 44100)
+    assert rows["b.bin"].mime == "audio/ogg" and rows["b.bin"].detail == "O"
+    assert rows["b.bin"].duration_s == pytest.approx(0.1)
+    assert rows["c.bin"].error is not None and rows["c.bin"].mime is None

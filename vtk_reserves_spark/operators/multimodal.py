@@ -705,6 +705,10 @@ def sniff_mime(payload: bytes) -> str | None:
         return "audio/ogg"
     if p[:4] == b"\x1a\x45\xdf\xa3":
         return "video/webm"
+    if p[:4] == b"wOFF":
+        return "font/woff"
+    if p[:4] in (b"\x00\x01\x00\x00", b"OTTO", b"true"):
+        return "font/sfnt"
     if p[:3] == b"ID3" or (
         len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
     ):
@@ -1830,6 +1834,94 @@ def mkv_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
             yield out
 
     return df.mapInPandas(run, MKV_SCHEMA)
+
+
+def attach_font_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL web font per row (`sources/font.py`
+    builder): family/subfamily names, unitsPerEm and glyph count
+    from doc_id closed forms; ``id % 2`` wraps odd ids in WOFF
+    (zlib-compressed table directory) and ``id % 3 == 0`` flags the
+    CFF flavor — all four container x flavor framings sit under one
+    oracle."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_font(doc_id: pd.Series) -> pd.Series:
+        from vtk_reserves_spark.sources.font import build_font
+
+        out = []
+        for did in doc_id.astype("int64"):
+            did = int(did)
+            out.append(build_font(
+                family=f"Font {did % 97}",
+                units_per_em=[1000, 2048][did % 2],
+                num_glyphs=did % 2000 + 1,
+                subfamily=["Regular", "Bold", "Italic",
+                           "Bold Italic"][did % 4],
+                woff=bool(did % 2),
+                flavor="cff" if did % 3 == 0 else "truetype",
+            ))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        to_font(F.col(id_col)).alias("payload"),
+    )
+
+
+FONT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("flavor", T.StringType()),
+        T.StructField("n_tables", T.IntegerType()),
+        T.StructField("units_per_em", T.IntegerType()),
+        T.StructField("num_glyphs", T.IntegerType()),
+        T.StructField("family", T.StringType()),
+        T.StructField("subfamily", T.StringType()),
+        T.StructField("full_name", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def font_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Web-font header extraction over (doc_id, payload): sfnt/WOFF
+    table walk (`sources/font.py`) surfacing container, flavor,
+    unitsPerEm, glyph count and name-table family strings — the
+    family-dedup / sanity-filter signals for font curation.  Same
+    Arrow-batched mapInPandas scan-bound shape as the other
+    header miners; ``on_error='null'`` quarantines corrupt
+    payloads."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    safe = on_error == "null"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vtk_reserves_spark.sources.font import parse_font
+
+        names = [
+            "container", "flavor", "n_tables", "units_per_em",
+            "num_glyphs", "family", "subfamily", "full_name",
+        ]
+        for b in batches:
+            rows = []
+            for did, p in zip(b["doc_id"].astype("int64"), b["payload"]):
+                try:
+                    meta = parse_font(bytes(p))
+                    err = None
+                except Exception as exc:
+                    if not safe:
+                        raise
+                    meta, err = {}, f"{type(exc).__name__}: {exc}"
+                rows.append(
+                    [int(did)] + [meta.get(n) for n in names] + [err]
+                )
+            out = pd.DataFrame(rows, columns=["doc_id"] + names + ["error"])
+            for c in ("n_tables", "units_per_em", "num_glyphs"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return df.mapInPandas(run, FONT_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 40) -> DataFrame:

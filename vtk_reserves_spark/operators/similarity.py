@@ -65,6 +65,64 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    max_sim: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    query, the top-k most-similar corpus vectors whose LABEL differs
+    (the negatives that actually teach the model, vs random
+    negatives that are trivially separable).  Optional ``max_sim``
+    excludes near-duplicate "false negatives" above the cutoff —
+    the standard guard against mislabeled positives poisoning the
+    batch.
+
+    Returns (query_id, neighbor_id, sim, rank).  Scale shape
+    mirrors :func:`cosine_topk`: queries broadcast (the small side
+    by construction), corpus streamed once, per-query top-k via
+    window — no corpus self-join.  For web-scale corpora swap the
+    scorer for :func:`ivf_topk` candidates and keep the same
+    label-exclusion filter."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("clabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("qlabel") != F.col("clabel"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("sim"),
+        )
+    )
+    if max_sim is not None:
+        scored = scored.where(F.col("sim") <= F.lit(max_sim))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def _check_dim(df: DataFrame, vec_col: str, dim: int, what: str) -> None:
     """Fail loudly when the declared hyperplane dimension doesn't match
     the data: Spark's zip_with pads the shorter array with NULLs, so a
