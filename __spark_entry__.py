@@ -3063,7 +3063,15 @@ def q_stream_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vtk_reserves_spark.streaming.media import read_media_stream
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    # 1-in-10 sample: the drop-directory grain is one FILE per doc,
+    # and a streaming file source pays per-file listing/commit cost —
+    # the sample keeps all four container branches while bounding the
+    # fixture at ~50 files/bench-run per 500 docs
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 10 == 0)
+    )
     base = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_mediastream_{os.path.basename(sf_dir.rstrip('/'))}",
@@ -3209,6 +3217,200 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vtk_reserves_spark.sources.avro import read_avro
 
     return read_avro(spark, td + "/*.avro", schema)
+
+
+def q_protobuf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-less protobuf field census (sources/protobuf.py):
+    each doc becomes a REAL wire-format message — varint, LEN
+    string, I32, I64 and a non-UTF-8 LEN field from doc_id closed
+    forms, plus a conditional varint at doc_id%3==0 — and the walker
+    emits one row per field.  Varint byte-length boundaries (1/2/3
+    bytes across the %100000 range) and the text-vs-binary LEN
+    split replay under the oracle."""
+    from vtk_reserves_spark.sources.protobuf import (
+        attach_protobuf_payload, protobuf_census,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return protobuf_census(attach_protobuf_payload(docs)).drop("error")
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (native Spark columnar sibling of parquet —
+    zero custom code by design; the point is the distributed
+    write/read contract): documents + closed-form typed columns go
+    out through a snappy ORC write with 8 output tasks and come
+    back through the vectorized ORC scan.  Predicate pushdown and
+    column pruning work exactly as on parquet (same DataSource V1
+    scan machinery), so the parquet plan tests generalize."""
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_orc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    out = docs.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("txt"),
+        (F.col("doc_id") % 7).cast("int").alias("bucket"),
+        ((F.col("doc_id") % 4000) / 8.0).alias("score"),
+        (F.col("doc_id") % 2 == 1).alias("flag"),
+    )
+    out.repartition(8).write.mode("overwrite").orc(td)
+    back = spark.read.orc(td)
+    return back.where(F.col("bucket") != 3)
+
+
+def q_mbox_mail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email corpus ingestion (sources/email.py): every doc becomes
+    a REAL RFC 5322 message — transfer coding rotates 7bit /
+    quoted-printable / base64 by doc_id%3, doc_id%2 wraps the text
+    in multipart/alternative (plain part preferred over the HTML
+    twin), and non-7bit subjects are RFC 2047 encoded-words — in
+    mbox shards (one per partition, From_ envelope framing) read
+    back at file grain and split/parsed in-task, the WARC shape for
+    mail archives.  Headers, decodings and body text replay the
+    closed form under the oracle."""
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mbox_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+
+    def write_shard(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        from vtk_reserves_spark.sources.email import build_email
+
+        chunks = []
+        for pdf in batches:
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                k = did % 3
+                if k == 0:
+                    subject = f"Doc {did}"
+                    body = f"plain body {did}"
+                    enc = "7bit"
+                elif k == 1:
+                    subject = f"Döc {did}"
+                    body = f"Bödy {did} = equals"
+                    enc = "quoted-printable"
+                else:
+                    subject = f"Döc {did}"
+                    body = f"Bäse {did}\nline2"
+                    enc = "base64"
+                msg = build_email(
+                    subject,
+                    f"user{did % 50}@example.com",
+                    "list@example.com",
+                    body,
+                    encoding=enc,
+                    multipart=bool(did % 2),
+                    encode_subject=k != 0,
+                )
+                chunks.append(b"From sender Mon Jan  1 00:00:00 2024\n"
+                              + msg + b"\n")
+        if chunks:
+            path = _os.path.join(td, f"arch-{_uuid.uuid4().hex}.mbox")
+            with open(path, "wb") as fh:
+                fh.write(b"".join(chunks))
+        yield _pd.DataFrame({"n": [len(chunks)]})
+
+    docs.repartition(8).mapInPandas(write_shard, "n long").collect()
+
+    from vtk_reserves_spark.sources.email import parse_email, split_mbox
+
+    raw = (
+        spark.read.format("binaryFile").load(td + "/*.mbox")
+        .select("content")
+    )
+
+    def run(batches):
+        import pandas as _pd
+
+        cols = ["subject", "from_", "content_type", "text"]
+        for b in batches:
+            rows = []
+            for content in b["content"]:
+                for msg in split_mbox(bytes(content)):
+                    m = parse_email(msg)
+                    rows.append([m[c] for c in cols])
+            yield _pd.DataFrame(rows, columns=cols)
+
+    mails = raw.mapInPandas(
+        run, "subject string, from_ string, content_type string, text string"
+    )
+    return mails.select(
+        F.regexp_extract("subject", r"(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "subject", "from_", "content_type", "text",
+    )
+
+
+def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate mining (operators/bitext.py — pure
+    Catalyst): docs form translation groups of four (doc_id//4 is
+    the page, doc_id%4 the language en/de/fr/ja), published under
+    path-style (/en/...) or subdomain-style (en.site...) URLs by
+    group parity — both wild conventions.  url_lang_key normalizes
+    either form to one {L} key and a single self-equi-join emits
+    each cross-language pair once; the oracle replays the group
+    arithmetic (6 pairs per complete group)."""
+    from vtk_reserves_spark.operators.bitext import bitext_candidates
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    g = (d / 4).cast("long")
+    lang = (
+        F.when(d % 4 == 0, "en").when(d % 4 == 1, "de")
+        .when(d % 4 == 2, "fr").otherwise("ja")
+    )
+    url = F.when(
+        g % 2 == 0,
+        F.concat(
+            F.lit("https://site"), (g % 10).cast("string"),
+            F.lit(".example/"), lang, F.lit("/page/"),
+            g.cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), lang, F.lit(".site"),
+            (g % 10).cast("string"), F.lit(".example/page/"),
+            g.cast("string"),
+        ),
+    )
+    urls = docs.withColumn("url", url)
+    return bitext_candidates(urls)
+
+
+def q_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC (operators/metrics.binary_auc): the
+    histogram Mann-Whitney form — ONE groupBy over the rows, a
+    window over the ~128 bucket rows, no global sort (the textbook
+    rank implementation is a single-reducer anti-pattern at 100 TB).
+    Scores (doc_id*37)%128 vs labels doc_id%3==0 are discrete, so
+    the bucket form is EXACT and the oracle recomputes the identical
+    accumulation in SQL — a genuine dual implementation."""
+    from vtk_reserves_spark.operators.metrics import binary_auc
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    scored = docs.select(
+        ((F.col("doc_id") * 37) % 128).cast("int").alias("score"),
+        (F.col("doc_id") % 3 == 0).alias("label"),
+    )
+    out = binary_auc(scored, "score", "label")
+    return out.select(F.round("auc", 6).alias("auc"), "n_pos", "n_neg")
 
 
 def _subtitle_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5557,8 +5759,8 @@ def _llm_oracles() -> dict[str, str]:
                      WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 112
                      WHEN 3 THEN 128 ELSE 160 END::INT
                      AS bitrate_kbps,
-                   CAST(doc_id % 200 + 10 AS BIGINT) AS n_frames,
-                   (doc_id % 200 + 10)
+                   CAST(doc_id % 40 + 5 AS BIGINT) AS n_frames,
+                   (doc_id % 40 + 5)
                      * (CASE WHEN doc_id % 6 < 3 THEN 1152.0
                              ELSE 576.0 END)
                      / (CASE CAST(doc_id % 6 AS INT)
@@ -5785,6 +5987,122 @@ def _llm_oracles() -> dict[str, str]:
                    END AS headline
             FROM documents
         """,
+        "binary_auc": """
+            -- dual implementation of the histogram Mann-Whitney
+            -- AUC (q_binary_auc): same bucket accumulation, exact
+            -- on the discrete (doc_id*37)%128 scores
+            WITH h AS (
+              SELECT (doc_id * 37) % 128 AS bucket,
+                     SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                       AS pos,
+                     SUM(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
+                       AS neg
+              FROM documents GROUP BY 1
+            ), c AS (
+              SELECT pos, neg,
+                     COALESCE(SUM(neg) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_neg
+              FROM h
+            )
+            SELECT round(SUM(pos * (cum_neg + neg / 2.0))
+                         / (SUM(pos) * SUM(neg)), 6) AS auc,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(neg) AS BIGINT) AS n_neg
+            FROM c
+        """,
+        "bitext_pairs": """
+            -- closed form of the bitext fixture rule
+            -- (q_bitext_pairs): groups of 4 consecutive docs are
+            -- translations; 6 unordered pairs per complete group;
+            -- key style flips by group parity
+            WITH t AS (
+              SELECT doc_id,
+                     doc_id // 4 AS g,
+                     CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                       WHEN 2 THEN 'fr' ELSE 'ja' END AS lang
+              FROM documents
+            )
+            SELECT CASE WHEN a.g % 2 = 0
+                        THEN 'https://site' || CAST(a.g % 10 AS VARCHAR)
+                             || '.example/{L}/page/'
+                             || CAST(a.g AS VARCHAR)
+                        ELSE 'https://{L}.site'
+                             || CAST(a.g % 10 AS VARCHAR)
+                             || '.example/page/' || CAST(a.g AS VARCHAR)
+                   END AS key,
+                   a.lang AS lang_a, a.doc_id AS id_a,
+                   b.lang AS lang_b, b.doc_id AS id_b
+            FROM t a JOIN t b ON a.g = b.g AND a.lang < b.lang
+        """,
+        "mbox_mail": """
+            -- closed form of the mbox fixture rule (q_mbox_mail):
+            -- transfer coding rotates by doc_id%3 (bodies differ per
+            -- branch), multipart at doc_id%2=1 (plain part wins),
+            -- RFC 2047 subjects decode back to the unicode closed
+            -- form for the non-7bit branches
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                        ELSE 'Döc ' || CAST(doc_id AS VARCHAR)
+                   END AS subject,
+                   'user' || CAST(doc_id % 50 AS VARCHAR)
+                     || '@example.com' AS from_,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN 'multipart/alternative'
+                        ELSE 'text/plain' END AS content_type,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'plain body '
+                       || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN 'Bödy ' || CAST(doc_id AS VARCHAR)
+                       || ' = equals'
+                     ELSE 'Bäse ' || CAST(doc_id AS VARCHAR)
+                       || chr(10) || 'line2'
+                   END AS text
+            FROM documents
+        """,
+        "orc_roundtrip": """
+            -- closed form of the ORC fixture rule (q_orc_roundtrip):
+            -- typed columns survive the write/scan; bucket 3 is
+            -- filtered on the way back (pushdown path)
+            SELECT doc_id,
+                   COALESCE(text, '') AS txt,
+                   CAST(doc_id % 7 AS INT) AS bucket,
+                   (doc_id % 4000) / 8.0 AS score,
+                   doc_id % 2 = 1 AS flag
+            FROM documents
+            WHERE doc_id % 7 != 3
+        """,
+        "protobuf_census": """
+            -- closed form of the protobuf fixture rule
+            -- (q_protobuf_census): 5 fields per doc (+1 varint at
+            -- doc_id%3=0); varint length steps at 128 and 16384
+            SELECT doc_id, 1::BIGINT AS field_no, 0::INT AS wire_type,
+                   CASE WHEN doc_id % 100000 < 128 THEN 1
+                        WHEN doc_id % 100000 < 16384 THEN 2
+                        ELSE 3 END::BIGINT AS n_bytes,
+                   CAST(doc_id % 100000 AS BIGINT) AS uint,
+                   NULL AS text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2, 2,
+                   CAST(4 + LENGTH(CAST(doc_id AS VARCHAR)) AS BIGINT),
+                   NULL, 'msg ' || CAST(doc_id AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 3, 5, 4, CAST(doc_id % 4096 AS BIGINT), NULL
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 4, 1, 8, CAST(doc_id % 65536 AS BIGINT), NULL
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 5, 2, 2, NULL, NULL
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 6, 0, 1, CAST(doc_id % 7 AS BIGINT), NULL
+            FROM documents WHERE doc_id % 3 = 0
+        """,
         "avro_roundtrip": """
             -- closed form of the Avro fixture rule
             -- (q_avro_roundtrip): text round-trips, label is a
@@ -5821,6 +6139,7 @@ def _llm_oracles() -> dict[str, str]:
                      ELSE 'webm'
                    END AS detail
             FROM documents
+            WHERE doc_id % 10 = 0
         """,
         "geoxml": """
             -- closed form of the geo-XML fixture rule (q_geoxml):
@@ -6250,7 +6569,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     font_metadata (sfnt/WOFF table walk), hard_negatives
     #     (contrastive batch construction), geoxml (KML/GPX),
     #     stream_media (continuous-drop multimodal ingest),
-    #     avro_roundtrip (pure-stdlib OCF container);
+    #     avro_roundtrip (pure-stdlib OCF container),
+    #     protobuf_census (schema-less wire-format walk),
+    #     orc_roundtrip (native columnar sibling), mbox_mail
+    #     (RFC 5322/2047/MIME mail-archive ingestion), bitext_pairs
+    #     (URL-variant parallel-corpus mining), binary_auc
+    #     (histogram Mann-Whitney, no global sort);
     # [8-49] the round-1-verified block, which holds the OLDEST green
     #     rows — re-recorded this round; the r1 queries past the
     #     50-cap head the tail and rotate in next round;
@@ -6295,6 +6619,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoxml": q_geoxml,
         "stream_media": q_stream_media,
         "avro_roundtrip": q_avro_roundtrip,
+        "protobuf_census": q_protobuf_census,
+        "orc_roundtrip": q_orc_roundtrip,
+        "mbox_mail": q_mbox_mail,
+        "bitext_pairs": q_bitext_pairs,
+        "binary_auc": q_binary_auc,
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "domain_stats": q_domain_stats,

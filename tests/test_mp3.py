@@ -84,7 +84,7 @@ def test_spark_mp3_metadata(spark):
     assert rows[1].genre == "Genre1" and rows[1].track == "2/20"
     assert rows[5].title == "Träck 5"
     assert rows[3].sample_rate == 22050
-    assert rows[3].duration_s == pytest.approx((3 % 200 + 10) * 576 / 22050)
+    assert rows[3].duration_s == pytest.approx((3 % 40 + 5) * 576 / 22050)
     assert all(r.error is None for r in rows.values())
 
 

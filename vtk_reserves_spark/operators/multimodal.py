@@ -1500,7 +1500,7 @@ def attach_mp3_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             sr = [44100, 48000, 32000, 22050, 24000, 16000][did % 6]
             br = [64, 96, 112, 128, 160][did % 5]
             kw = dict(
-                n_frames=did % 200 + 10,
+                n_frames=did % 40 + 5,
                 bitrate_kbps=br,
                 sample_rate=sr,
                 channels=did % 2 + 1,
