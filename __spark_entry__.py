@@ -3413,6 +3413,127 @@ def q_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.round("auc", 6).alias("auc"), "n_pos", "n_neg")
 
 
+def q_segy_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEG-Y seismic ingestion (sources/segy.py): each doc becomes a
+    REAL rev-1 SEG-Y — EBCDIC vs ASCII textual header by doc_id%2,
+    sample format rotating IEEE / IBM-hex-float / int16 by doc_id%3
+    (IBM System/360 float encode+decode is exact on the integer
+    fixture samples), doc_id%4+1 traces of 16 closed-form samples —
+    parsed back to one row per trace with header fields and
+    amplitude stats.  The oracle replays the synthesis arithmetic
+    including the per-trace sample reductions (a range-join replay
+    of the (did+7t+i)%32-16 sample rule)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("text_ok", T.BooleanType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("cdp", T.IntegerType()),
+        T.StructField("inline", T.IntegerType()),
+        T.StructField("crossline", T.IntegerType()),
+        T.StructField("smin", T.DoubleType()),
+        T.StructField("smax", T.DoubleType()),
+        T.StructField("smean", T.DoubleType()),
+    ])
+
+    def run(batches):
+        import numpy as np
+
+        from vtk_reserves_spark.sources.segy import build_segy, parse_segy
+
+        for b in batches:
+            rows = []
+            for did in b["doc_id"].astype("int64"):
+                did = int(did)
+                fmt = ["ieee", "ibm", "i16"][did % 3]
+                traces = []
+                for t in range(did % 4 + 1):
+                    samples = (did + 7 * t + np.arange(16)) % 32 - 16
+                    traces.append((
+                        {"trace_seq": t + 1, "cdp": did * 10 + t,
+                         "inline": did % 100, "crossline": t},
+                        samples,
+                    ))
+                blob = build_segy(
+                    f"C 1 DOC {did}", traces, fmt,
+                    ebcdic=bool(did % 2),
+                )
+                m = parse_segy(blob)
+                for hdr, s in m["traces"]:
+                    rows.append([
+                        did, m["fmt"],
+                        m["text_header"] == f"C 1 DOC {did}",
+                        int(m["samples_per_trace"]),
+                        hdr["cdp"], hdr["inline"], hdr["crossline"],
+                        float(s.min()), float(s.max()),
+                        float(s.mean()),
+                    ])
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return docs.mapInPandas(run, schema)
+
+
+def q_gslib_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSLIB/GeoEAS ingestion (sources/gslib.py — the geostats
+    exchange format the reference's kriging users hold sample data
+    in): every partition writes a REAL GeoEAS file of closed-form
+    sample columns (east/north/grade; grade carries the -999
+    no-data sentinel at doc_id%11==0), read back at file grain with
+    sentinel->NULL mapping.  Values are binary-exact fractions so
+    the text round-trip is exact under the oracle."""
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_gslib_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+
+    def write_file(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        from vtk_reserves_spark.sources.gslib import write_gslib_text
+
+        rows = []
+        for pdf in batches:
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                rows.append([
+                    float(did),
+                    did % 1000 + 0.5,
+                    did % 700 + 0.25,
+                    None if did % 11 == 0 else (did % 80) / 8.0,
+                ])
+        if rows:
+            path = _os.path.join(td, f"s-{_uuid.uuid4().hex}.dat")
+            with open(path, "w") as fh:
+                fh.write(write_gslib_text(
+                    "samples", ["doc_id", "east", "north", "grade"], rows
+                ))
+        yield _pd.DataFrame({"n": [len(rows)]})
+
+    docs.repartition(8).mapInPandas(write_file, "n long").collect()
+
+    from vtk_reserves_spark.sources.gslib import read_gslib
+
+    t = read_gslib(spark, td + "/*.dat")
+    return t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "_title", "east", "north", "grade",
+    )
+
+
 def _subtitle_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic subtitle payloads: doc_id%2 picks SRT (comma
     decimals, numeric counter lines, a multi-line cue body) vs WebVTT
@@ -5987,6 +6108,51 @@ def _llm_oracles() -> dict[str, str]:
                    END AS headline
             FROM documents
         """,
+        "gslib_table": """
+            -- closed form of the GSLIB fixture rule
+            -- (q_gslib_table): binary-exact fractions; the -999
+            -- sentinel at doc_id%11=0 maps to NULL
+            SELECT doc_id,
+                   'samples' AS _title,
+                   (doc_id % 1000) + 0.5 AS east,
+                   (doc_id % 700) + 0.25 AS north,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE (doc_id % 80) / 8.0 END AS grade
+            FROM documents
+        """,
+        "segy_traces": """
+            -- closed form of the SEG-Y fixture rule
+            -- (q_segy_traces): doc_id%4+1 traces of 16 samples
+            -- (did+7t+i)%32-16; reductions replayed via a
+            -- trace x sample range join
+            WITH tr AS (
+              SELECT d.doc_id, t.t
+              FROM documents d
+              JOIN (SELECT range AS t FROM range(4)) t
+                ON t.t <= d.doc_id % 4
+            ), s AS (
+              SELECT tr.doc_id, tr.t,
+                     MIN((tr.doc_id + 7*tr.t + i.i) % 32 - 16) AS smin,
+                     MAX((tr.doc_id + 7*tr.t + i.i) % 32 - 16) AS smax,
+                     AVG((tr.doc_id + 7*tr.t + i.i) % 32 - 16) AS smean
+              FROM tr
+              JOIN (SELECT range AS i FROM range(16)) i ON TRUE
+              GROUP BY tr.doc_id, tr.t
+            )
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'ieee' WHEN 1 THEN 'ibm'
+                     ELSE 'i16' END AS fmt,
+                   TRUE AS text_ok,
+                   16::INT AS n_samples,
+                   CAST(doc_id * 10 + t AS INT) AS cdp,
+                   CAST(doc_id % 100 AS INT) AS inline,
+                   CAST(t AS INT) AS crossline,
+                   CAST(smin AS DOUBLE) AS smin,
+                   CAST(smax AS DOUBLE) AS smax,
+                   CAST(smean AS DOUBLE) AS smean
+            FROM s
+        """,
         "binary_auc": """
             -- dual implementation of the histogram Mann-Whitney
             -- AUC (q_binary_auc): same bucket accumulation, exact
@@ -6574,7 +6740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     orc_roundtrip (native columnar sibling), mbox_mail
     #     (RFC 5322/2047/MIME mail-archive ingestion), bitext_pairs
     #     (URL-variant parallel-corpus mining), binary_auc
-    #     (histogram Mann-Whitney, no global sort);
+    #     (histogram Mann-Whitney, no global sort), segy_traces
+    #     (SEG-Y rev-1 + IBM hex float), gslib_table (GeoEAS
+    #     geostats exchange format);
     # [8-49] the round-1-verified block, which holds the OLDEST green
     #     rows — re-recorded this round; the r1 queries past the
     #     50-cap head the tail and rotate in next round;
@@ -6624,6 +6792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mbox_mail": q_mbox_mail,
         "bitext_pairs": q_bitext_pairs,
         "binary_auc": q_binary_auc,
+        "segy_traces": q_segy_traces,
+        "gslib_table": q_gslib_table,
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "domain_stats": q_domain_stats,

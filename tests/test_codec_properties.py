@@ -528,3 +528,85 @@ def test_mp3_roundtrip_arbitrary_tags(fields, major, enc, n_frames, rate):
     assert m["n_frames"] == n_frames
     spf = 1152 if rate >= 32000 else 576
     assert m["duration_s"] == n_frames * spf / rate
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_rows=st.integers(0, 60),
+    block=st.integers(1, 17),
+    deflate=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avro_roundtrip_arbitrary_rows(n_rows, block, deflate, seed):
+    """OCF round-trips arbitrary row content across block sizes and
+    codecs; union null branches land anywhere."""
+    from vtk_reserves_spark.sources.avro import (
+        read_avro_bytes, write_avro_bytes,
+    )
+
+    rng = np.random.RandomState(seed)
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": "double"},
+    ]}
+    rows = [
+        {
+            "id": int(rng.randint(-(2**40), 2**40)),
+            "s": None if rng.rand() < 0.3 else f"v{rng.randint(1e6)}",
+            "d": float(rng.randn()),
+        }
+        for _ in range(n_rows)
+    ]
+    blob = write_avro_bytes(
+        schema, rows, "deflate" if deflate else "null", block
+    )
+    got_schema, got = read_avro_bytes(blob)
+    assert got_schema == schema and got == rows
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_traces=st.integers(1, 6),
+    hns=st.integers(1, 64),
+    fmt=st.sampled_from(["ieee", "ibm", "i16"]),
+    ebcdic=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_segy_roundtrip_arbitrary_traces(n_traces, hns, fmt, ebcdic, seed):
+    """SEG-Y round-trips arbitrary integer amplitudes in every
+    sample format (ints are exact in IBM hex float and int16)."""
+    from vtk_reserves_spark.sources.segy import build_segy, parse_segy
+
+    rng = np.random.RandomState(seed)
+    traces = [
+        ({"trace_seq": t, "cdp": t * 3, "inline": 1, "crossline": t},
+         rng.randint(-30000, 30000, hns).astype(float))
+        for t in range(n_traces)
+    ]
+    m = parse_segy(build_segy("C 1 prop", traces, fmt, 1000, ebcdic))
+    assert len(m["traces"]) == n_traces
+    for (h0, s0), (h1, s1) in zip(traces, m["traces"]):
+        assert h1["cdp"] == h0["cdp"]
+        assert np.array_equal(s1, s0), fmt
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    k=st.integers(0, 28799),
+    ts_scale=st.sampled_from([1_000_000, 2_000_000, 500_000]),
+    n_tracks=st.integers(1, 3),
+)
+def test_mkv_duration_exact_roundtrip(k, ts_scale, n_tracks):
+    """Eighth-second durations survive EBML float packing at any
+    TimestampScale in the fixture set — bit-exact, not approx."""
+    from vtk_reserves_spark.sources.mkv import build_mkv, parse_mkv
+
+    tracks = [
+        {"type": "audio", "codec": "A_OPUS", "lang": "und",
+         "sample_rate": 48000.0, "channels": 1}
+        for _ in range(n_tracks)
+    ]
+    m = parse_mkv(build_mkv("webm", k / 8.0, tracks, ts_scale=ts_scale))
+    assert m["duration_s"] == k / 8.0
+    assert len(m["tracks"]) == n_tracks
