@@ -3534,6 +3534,178 @@ def q_gslib_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_surpac_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surpac .str ingestion (sources/surpac.py — the mine-survey
+    polyline exchange format): every partition writes a REAL string
+    file (header, Y-before-X point records, segment separators, END
+    terminator) of closed-form points, read back at file grain and
+    exploded to one row per point.  The Y/X column order trap and
+    binary-exact coordinates replay under the oracle."""
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_str_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+
+    def write_file(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        from vtk_reserves_spark.sources.surpac import write_str_text
+
+        pts = []
+        for pdf in batches:
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                pts.append({
+                    "string_id": did % 5 + 1,
+                    "segment": 0,
+                    "y": did % 900 + 0.5,
+                    "x": did % 1100 + 0.25,
+                    "z": (did % 320) / 8.0,
+                    "desc": f"P{did}",
+                })
+        if pts:
+            path = _os.path.join(td, f"d-{_uuid.uuid4().hex}.str")
+            with open(path, "w") as fh:
+                fh.write(write_str_text(pts, "design"))
+        yield _pd.DataFrame({"n": [len(pts)]})
+
+    docs.repartition(8).mapInPandas(write_file, "n long").collect()
+
+    from vtk_reserves_spark.sources.surpac import parse_str
+
+    raw = (
+        spark.read.format("binaryFile").load(td + "/*.str")
+        .select("content")
+    )
+
+    def run(batches):
+        import pandas as _pd
+
+        for b in batches:
+            rows = []
+            for content in b["content"]:
+                for p in parse_str(bytes(content).decode()):
+                    rows.append([
+                        p["string_id"], p["y"], p["x"], p["z"],
+                        p["desc"],
+                    ])
+            yield _pd.DataFrame(
+                rows, columns=["string_id", "y", "x", "z", "desc"]
+            )
+
+    pts = raw.mapInPandas(
+        run, "string_id int, y double, x double, z double, desc string"
+    )
+    return pts.select(
+        F.regexp_extract("desc", r"^P(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "string_id", "y", "x", "z",
+    )
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table-to-text extraction (html_meta.html_tables — pure
+    Catalyst end to end): every doc carries one table of doc_id%3+1
+    body rows x 2 columns (plus a <th> header row, entity-bearing
+    and nested-markup-bearing cells) and a decoy tableless <p>;
+    cells explode to one row each and replay the closed form under
+    the oracle.  Tabular facts survive as text only if cell
+    boundaries do — this is the extraction a global tag strip
+    destroys."""
+    from vtk_reserves_spark.functions.html_meta import html_tables
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    body_rows = F.aggregate(
+        F.sequence(F.lit(0), (d % 3).cast("int")),
+        F.lit(""),
+        lambda acc, r: F.concat(
+            acc,
+            F.lit("<tr><td>item <b>"), d.cast("string"),
+            F.lit("-"), r.cast("string"),
+            F.lit("</b></td><td>"), ((d + r) % 100).cast("string"),
+            F.lit(" &amp; more</td></tr>"),
+        ),
+    )
+    html = F.concat(
+        F.lit("<html><p>no table here</p><table>"
+              "<tr><th>Item</th><th>Qty</th></tr>"),
+        body_rows,
+        F.lit("</table></html>"),
+    )
+    doc = docs.withColumn("html", html)
+    t = doc.select(
+        "doc_id",
+        F.posexplode(F.element_at(html_tables(F.col("html")), 1))
+        .alias("row_idx", "cells"),
+    )
+    return t.select(
+        "doc_id",
+        F.col("row_idx").cast("int").alias("row_idx"),
+        F.element_at("cells", 1).alias("c1"),
+        F.element_at("cells", 2).alias("c2"),
+    )
+
+
+def q_ics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iCalendar extraction (functions/ics.py — pure Catalyst):
+    every doc carries an RFC 5545 payload of doc_id%3+1 VEVENTs
+    whose SUMMARY lines FOLD (CRLF + space continuation — the rule
+    naive line parsers break on) and carry escaped commas; a
+    TZID-parameterized DTSTART exercises the ``NAME;PARAM:`` form.
+    Unfold + block extraction replay the closed form under the
+    oracle."""
+    from vtk_reserves_spark.functions.ics import ics_events
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    events = F.aggregate(
+        F.sequence(F.lit(0), (d % 3).cast("int")),
+        F.lit(""),
+        lambda acc, e: F.concat(
+            acc,
+            F.lit("BEGIN:VEVENT\r\nUID:ev-"),
+            d.cast("string"), F.lit("-"), e.cast("string"),
+            # folded SUMMARY: the space after the CRLF is consumed
+            F.lit("\r\nSUMMARY:Event "), d.cast("string"),
+            F.lit("\r\n  part "), e.cast("string"),
+            F.lit("\\, extended\r\n"
+                  "DTSTART;TZID=Europe/Zurich:2024010"),
+            (e % 9 + 1).cast("string"),
+            F.lit("T120000\r\nLOCATION:Hall "),
+            ((d + e) % 12).cast("string"),
+            F.lit("\r\nEND:VEVENT\r\n"),
+        ),
+    )
+    ics = F.concat(
+        F.lit("BEGIN:VCALENDAR\r\nVERSION:2.0\r\n"),
+        events,
+        F.lit("END:VCALENDAR\r\n"),
+    )
+    doc = docs.withColumn("ics", ics)
+    e = doc.select(
+        "doc_id",
+        F.posexplode(ics_events(F.col("ics"))).alias("idx", "ev"),
+    )
+    return e.select(
+        "doc_id",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("ev.summary").alias("summary"),
+        F.col("ev.dtstart").alias("dtstart"),
+        F.col("ev.location").alias("location"),
+        F.col("ev.uid").alias("uid"),
+    )
+
+
 def _subtitle_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic subtitle payloads: doc_id%2 picks SRT (comma
     decimals, numeric counter lines, a multi-line cue body) vs WebVTT
@@ -6108,6 +6280,53 @@ def _llm_oracles() -> dict[str, str]:
                    END AS headline
             FROM documents
         """,
+        "ics_events": """
+            -- closed form of the ICS fixture rule (q_ics_events):
+            -- doc_id%3+1 events; the folded SUMMARY unfolds to
+            -- 'Event <d> part <e>, extended' (escaped comma), the
+            -- single leading space of the continuation consumed
+            SELECT d.doc_id, CAST(e.e AS INT) AS idx,
+                   'Event ' || CAST(d.doc_id AS VARCHAR) || ' part '
+                     || CAST(e.e AS VARCHAR) || ', extended'
+                     AS summary,
+                   '2024010' || CAST(e.e % 9 + 1 AS VARCHAR)
+                     || 'T120000' AS dtstart,
+                   'Hall ' || CAST((d.doc_id + e.e) % 12 AS VARCHAR)
+                     AS location,
+                   'ev-' || CAST(d.doc_id AS VARCHAR) || '-'
+                     || CAST(e.e AS VARCHAR) AS uid
+            FROM documents d
+            JOIN (SELECT range AS e FROM range(3)) e
+              ON e.e <= d.doc_id % 3
+        """,
+        "html_tables": """
+            -- closed form of the HTML-table fixture rule
+            -- (q_html_tables): header row + doc_id%3+1 body rows,
+            -- entities decoded, nested <b> stripped
+            SELECT doc_id, 0::INT AS row_idx,
+                   'Item' AS c1, 'Qty' AS c2
+            FROM documents
+            UNION ALL
+            SELECT d.doc_id, CAST(r.r + 1 AS INT) AS row_idx,
+                   'item ' || CAST(d.doc_id AS VARCHAR) || '-'
+                     || CAST(r.r AS VARCHAR) AS c1,
+                   CAST((d.doc_id + r.r) % 100 AS VARCHAR)
+                     || ' & more' AS c2
+            FROM documents d
+            JOIN (SELECT range AS r FROM range(3)) r
+              ON r.r <= d.doc_id % 3
+        """,
+        "surpac_strings": """
+            -- closed form of the Surpac fixture rule
+            -- (q_surpac_strings): binary-exact coordinates, Y/X
+            -- order preserved through the format's Y-first records
+            SELECT doc_id,
+                   CAST(doc_id % 5 + 1 AS INT) AS string_id,
+                   (doc_id % 900) + 0.5 AS y,
+                   (doc_id % 1100) + 0.25 AS x,
+                   (doc_id % 320) / 8.0 AS z
+            FROM documents
+        """,
         "gslib_table": """
             -- closed form of the GSLIB fixture rule
             -- (q_gslib_table): binary-exact fractions; the -999
@@ -6742,11 +6961,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (URL-variant parallel-corpus mining), binary_auc
     #     (histogram Mann-Whitney, no global sort), segy_traces
     #     (SEG-Y rev-1 + IBM hex float), gslib_table (GeoEAS
-    #     geostats exchange format);
-    # [8-49] the round-1-verified block, which holds the OLDEST green
-    #     rows — re-recorded this round; the r1 queries past the
-    #     50-cap head the tail and rotate in next round;
-    #     r2/r3-verified queries fill the rest.
+    #     geostats exchange format), surpac_strings (mine-survey
+    #     polylines), html_tables (cell-preserving extraction),
+    #     ics_events (RFC 5545 with unfolding);
+    # [45-50] link_graph / pagerank_hosts / domain_stats close the
+    #     window (round-4 fixture changes needing re-record).  The
+    #     window is exactly full: 47 new + 3 changed.  The r1-green
+    #     block now sits entirely past the 50-cap and heads the
+    #     round-5 rotation; r2/r3-verified queries fill the tail.
     return {
         # --- no driver-recorded green yet (r1 hash FAIL, fixed in r2) ---
         "repetition_signals": q_repetition_signals,
@@ -6794,6 +7016,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_auc": q_binary_auc,
         "segy_traces": q_segy_traces,
         "gslib_table": q_gslib_table,
+        "surpac_strings": q_surpac_strings,
+        "html_tables": q_html_tables,
+        "ics_events": q_ics_events,
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "domain_stats": q_domain_stats,

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "meta_content", "og_tags", "canonical_url", "hreflang_map",
-    "jsonld_blocks", "jsonld_types",
+    "jsonld_blocks", "jsonld_types", "html_tables",
 ]
 
 
@@ -145,4 +145,42 @@ def jsonld_types(html: Column | str) -> Column:
             lambda b: F.get_json_object(b, "$['@type']"),
         ),
         lambda t: t.isNotNull(),
+    )
+
+
+def html_tables(html: Column | str) -> Column:
+    """Array over the page's ``<table>`` elements: each table is an
+    array of rows, each row an array of cell strings (``<th>`` and
+    ``<td>`` both count; nested markup stripped, entities decoded,
+    whitespace collapsed).  Table-to-text extraction is its own LLM
+    data family — tabular facts survive as text only if cell
+    boundaries do; a global tag strip destroys them."""
+    h = _c(html)
+    tables = F.regexp_extract_all(
+        h, F.lit(r"(?is)<table\b[^>]*>(.*?)</table>"), F.lit(1)
+    )
+
+    def cells(row: Column) -> Column:
+        frags = F.regexp_extract_all(
+            row, F.lit(r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh]>"), F.lit(1)
+        )
+        return F.transform(
+            frags,
+            lambda c: F.trim(F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(c, r"(?s)<[^>]+>", " "),
+                    "&amp;", "&",
+                ),
+                r"\s+", " ",
+            )),
+        )
+
+    return F.transform(
+        tables,
+        lambda t: F.transform(
+            F.regexp_extract_all(
+                t, F.lit(r"(?is)<tr\b[^>]*>(.*?)</tr>"), F.lit(1)
+            ),
+            cells,
+        ),
     )
