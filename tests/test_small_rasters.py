@@ -176,3 +176,21 @@ def test_pnm_p1_packed_digits():
     ]
     with pytest.raises(ValueError, match="P1"):
         decode_pnm(b"P1\n2 1\n12\n")
+
+
+def test_decode_media_tiff_real():
+    """decode_media routes image/tiff to the real GeoTIFF codec."""
+    import numpy as np
+
+    from vtk_reserves_spark.operators.multimodal import (
+        decode_media, sniff_mime,
+    )
+    from vtk_reserves_spark.sources.geotiff import encode_tiff
+
+    img = np.arange(48, dtype=np.float64).reshape(6, 8)
+    blob = encode_tiff(img)
+    assert sniff_mime(blob) == "image/tiff"
+    for mime in ("image/tiff", "auto"):
+        got = decode_media(blob, mime)
+        assert (got["width"], got["height"]) == (8, 6)
+        assert got["mean_byte"] == img.mean()

@@ -8,7 +8,8 @@ feature-extraction / frame-sampling run as Arrow-batched
 and partition boundaries are preserved.
 
 Codec status (round 4): PNG, JPEG (baseline + progressive), GIF, BMP,
-PNM/TGA/ICO, WebP — lossless VP8L AND lossy VP8 key frames with ALPH
+TIFF (LZW/Deflate/PackBits via the GeoTIFF codec), PNM/TGA/ICO,
+WebP — lossless VP8L AND lossy VP8 key frames with ALPH
 alpha — WAV, FLAC, and MJPG/uncompressed AVI all decode FOR REAL via
 the repo's pure-python codecs; ``sniff_mime`` recovers lying
 Content-Types from magic bytes and ``decode_media`` auto-dispatches
@@ -778,6 +779,15 @@ def decode_media(payload: bytes, mime: str, fake: bool = False):
             "height": int(img.shape[0]),
             "mean_byte": float(img[:, :, :3].mean()),
         }
+    if mime == "image/tiff":
+        from vtk_reserves_spark.sources.geotiff import decode_tiff
+
+        img, _scale, _tiepoint = decode_tiff(bytes(payload))
+        return {
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "mean_byte": float(img.mean()),
+        }
     if mime in ("image/bmp", "image/x-ms-bmp"):
         from vtk_reserves_spark.sources.bmp import decode_bmp
 
@@ -828,7 +838,7 @@ def decode_media(payload: bytes, mime: str, fake: bool = False):
         }
     raise NotImplementedError(
         f"no codec for mime {mime!r} in this container (PNG, JPEG, GIF, "
-        "BMP, WebP and MJPG-AVI decode for real; WAV/FLAC via "
+        "BMP, TIFF, WebP and MJPG-AVI decode for real; WAV/FLAC via "
         "audio_features; other video codecs need ffmpeg) — pass "
         "fake=True for the deterministic "
         "stand-in"
