@@ -51,29 +51,27 @@ def area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     weighted exactly, matching the continuous-area integral — the
     deterministic resize perceptual hashing needs."""
     h, w = img.shape
-    acc = np.zeros((out_h, out_w), np.float64)
     img = img.astype(np.float64)
-    # exact 1-D overlap weights source row i -> dest row r
-    def weights(n_src: int, n_dst: int):
+    if h % out_h == 0 and w % out_w == 0:
+        # integer-divisor fast path: pure reshape-mean (exact)
+        return img.reshape(
+            out_h, h // out_h, out_w, w // out_w
+        ).mean(axis=(1, 3))
+
+    # exact fractional-coverage weight matrix (n_dst x n_src); the
+    # resize is then two small matmuls — no per-cell python loops
+    def weights(n_src: int, n_dst: int) -> np.ndarray:
         edges = np.linspace(0, n_src, n_dst + 1)
-        rows = []
-        for r in range(n_dst):
-            a, b = edges[r], edges[r + 1]
-            i0, i1 = int(np.floor(a)), int(np.ceil(b))
-            idx = np.arange(i0, i1)
-            wgt = np.minimum(idx + 1, b) - np.maximum(idx, a)
-            keep = wgt > 0
-            rows.append((idx[keep], wgt[keep]))
-        return rows
+        idx = np.arange(n_src, dtype=np.float64)
+        # overlap of source cell [i, i+1) with dest cell [a, b)
+        a = edges[:-1, None]
+        b = edges[1:, None]
+        return np.clip(np.minimum(idx + 1, b) - np.maximum(idx, a), 0, 1)
 
     wr = weights(h, out_h)
     wc = weights(w, out_w)
-    for r, (ri, rw) in enumerate(wr):
-        band = (img[ri] * rw[:, None]).sum(axis=0)
-        for c, (ci, cw) in enumerate(wc):
-            acc[r, c] = (band[ci] * cw).sum()
     cell = (h / out_h) * (w / out_w)
-    return acc / cell
+    return wr @ img @ wc.T / cell
 
 
 def _gray(img: np.ndarray) -> np.ndarray:
@@ -90,22 +88,16 @@ def dhash_bits(img: np.ndarray, hash_size: int = 8) -> int:
     """Difference hash: row-major bits of cell[r, c] < cell[r, c+1]
     on the (hash_size+1)-wide area-mean grid."""
     g = area_resize(_gray(img), hash_size, hash_size + 1)
-    bits = g[:, :-1] < g[:, 1:]
-    out = 0
-    for b in bits.flatten():
-        out = (out << 1) | int(b)
-    return out
+    bits = (g[:, :-1] < g[:, 1:]).flatten()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
 
 
 def ahash_bits(img: np.ndarray, hash_size: int = 8) -> int:
     """Average hash: row-major bits of cell > mean on the square
     area-mean grid."""
     g = area_resize(_gray(img), hash_size, hash_size)
-    m = g.mean()
-    out = 0
-    for b in (g > m).flatten():
-        out = (out << 1) | int(b)
-    return out
+    bits = (g > g.mean()).flatten()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
 
 
 def attach_column_png_payload(
