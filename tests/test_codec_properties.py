@@ -610,3 +610,30 @@ def test_mkv_duration_exact_roundtrip(k, ts_scale, n_tracks):
     m = parse_mkv(build_mkv("webm", k / 8.0, tracks, ts_scale=ts_scale))
     assert m["duration_s"] == k / 8.0
     assert len(m["tracks"]) == n_tracks
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    subject=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F),
+        min_size=0, max_size=120,
+    ).map(lambda s: s.strip()),
+    body=st.text(min_size=0, max_size=500).map(
+        lambda s: s.replace("\r", "")
+    ),
+    enc=st.sampled_from(["quoted-printable", "base64"]),
+    multipart=st.booleans(),
+)
+def test_email_roundtrip_arbitrary_text(subject, body, enc, multipart):
+    """RFC 2047 subjects and QP/base64 bodies round-trip arbitrary
+    unicode (CR-free bodies; CRLF normalization is the transport's
+    job)."""
+    from vtk_reserves_spark.sources.email import build_email, parse_email
+
+    msg = build_email(
+        subject, "a@x", "b@x", body,
+        encoding=enc, multipart=multipart, encode_subject=True,
+    )
+    got = parse_email(msg)
+    assert got["subject"] == subject
+    assert got["text"] == body
