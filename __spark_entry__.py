@@ -3706,6 +3706,42 @@ def q_ics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transfer-compression normalization
+    (multimodal.decompress_media): every doc's text is compressed
+    with a rotating codec (gzip / bzip2 / xz / zlib / zstd /
+    passthrough by doc_id%6 — every stdlib magic plus the repo's
+    zstd and the no-magic fallthrough), then sniffed and
+    decompressed back.  The text round-trips exactly and the codec
+    label replays the rotation under the oracle."""
+    from vtk_reserves_spark.operators.multimodal import (
+        attach_compressed_payload, decompress_media,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return decompress_media(attach_compressed_payload(docs)).select(
+        "doc_id", "codec", "n_bytes",
+        F.col("payload").cast("string").alias("txt"),
+    )
+
+
+def q_ivf_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end to end (sources/ivf.py container +
+    sources/vp8.py RFC 6386 codec): each doc becomes an IVF of
+    doc_id%3+1 genuine VP8 key frames whose DC-only levels make
+    every decoded frame a uniform gray with a closed-form value —
+    the q:webp_lossy dequant/shift device applied per frame, under
+    one oracle.  This is the repo's strongest video claim: a
+    multi-frame container decoded to pixels with no external
+    codec."""
+    from vtk_reserves_spark.operators.multimodal import (
+        attach_ivf_payload, ivf_video_frames,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return ivf_video_frames(attach_ivf_payload(docs)).drop("error")
+
+
 def _subtitle_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic subtitle payloads: doc_id%2 picks SRT (comma
     decimals, numeric counter lines, a multi-line cue body) vs WebVTT
@@ -6280,6 +6316,61 @@ def _llm_oracles() -> dict[str, str]:
                    END AS headline
             FROM documents
         """,
+        "ivf_video": """
+            -- closed form of the IVF/VP8 fixture rule (q_ivf_video):
+            -- doc_id%3+1 frames; per frame the q:webp_lossy dequant
+            -- device with level 1+(doc_id+f)%7 at qi doc_id%128 and
+            -- neutral chroma -> uniform gray (r=g=b)
+            WITH fr AS (
+              SELECT d.doc_id, f.f
+              FROM documents d
+              JOIN (SELECT range AS f FROM range(3)) f
+                ON f.f <= d.doc_id % 3
+            ), k AS (
+              SELECT doc_id, f,
+                     1 + (doc_id + f) % 7 AS wl,
+                [4,5,6,7,8,9,10,10,11,12,13,14,15,16,17,17,18,19,20,
+                 20,21,21,22,22,23,23,24,25,25,26,27,28,29,30,31,32,
+                 33,34,35,36,37,37,38,39,40,41,42,43,44,45,46,46,47,
+                 48,49,50,51,52,53,54,55,56,57,58,59,60,61,62,63,64,
+                 65,66,67,68,69,70,71,72,73,74,75,76,76,77,78,79,80,
+                 81,82,83,84,85,86,87,88,89,91,93,95,96,98,100,101,
+                 102,104,106,108,110,112,114,116,118,122,124,126,128,
+                 130,132,134,136,138,140,143,145,148,151,154,157]
+                [CAST(doc_id % 128 AS INT) + 1] AS dcq
+              FROM fr
+            ), c AS (
+              SELECT doc_id, f,
+                     LEAST(255, 128 +
+                       ((wl * dcq * 2 + 3) // 8 + 4) // 8) AS y
+              FROM k
+            )
+            SELECT doc_id,
+                   'VP80' AS fourcc,
+                   CAST(f AS INT) AS frame_idx,
+                   CAST(f AS BIGINT) AS pts,
+                   16::INT AS width,
+                   16::INT AS height,
+                   CAST(GREATEST(0, LEAST(255,
+                     (298*(y-16) + 128) // 256)) AS DOUBLE) AS mean_byte
+            FROM c
+        """,
+        "decompress": """
+            -- closed form of the decompress fixture rule
+            -- (q_decompress): codec rotates by doc_id%6 (plain text
+            -- sniffs as 'none'); text round-trips; n_bytes is the
+            -- UTF-8 length
+            SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 0 THEN 'gzip' WHEN 1 THEN 'bzip2'
+                     WHEN 2 THEN 'xz' WHEN 3 THEN 'zlib'
+                     WHEN 4 THEN 'zstd' ELSE 'none'
+                   END AS codec,
+                   CAST(octet_length(encode(COALESCE(text, '')))
+                        AS BIGINT) AS n_bytes,
+                   COALESCE(text, '') AS txt
+            FROM documents
+        """,
         "ics_events": """
             -- closed form of the ICS fixture rule (q_ics_events):
             -- doc_id%3+1 events; the folded SUMMARY unfolds to
@@ -6963,7 +7054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (SEG-Y rev-1 + IBM hex float), gslib_table (GeoEAS
     #     geostats exchange format), surpac_strings (mine-survey
     #     polylines), html_tables (cell-preserving extraction),
-    #     ics_events (RFC 5545 with unfolding);
+    #     ics_events (RFC 5545 with unfolding); past the cap, the
+    #     round-5 block: decompress (transfer-codec normalize),
+    #     ivf_video (end-to-end VP8 video decode);
     # [45-50] link_graph / pagerank_hosts / domain_stats close the
     #     window (round-4 fixture changes needing re-record).  The
     #     window is exactly full: 47 new + 3 changed.  The r1-green
@@ -7022,6 +7115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "domain_stats": q_domain_stats,
+        # --- round-5 head candidates (past the 50-cap this round:
+        #     self-run MATCH now, driver-recorded after rotation) ---
+        "decompress": q_decompress,
+        "ivf_video": q_ivf_video,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,

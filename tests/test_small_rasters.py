@@ -194,3 +194,49 @@ def test_decode_media_tiff_real():
         got = decode_media(blob, mime)
         assert (got["width"], got["height"]) == (8, 6)
         assert got["mean_byte"] == img.mean()
+
+
+def test_decompress_payload_all_codecs():
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+
+    from vtk_reserves_spark.operators.multimodal import (
+        decompress_payload, sniff_compression,
+    )
+    from vtk_reserves_spark.sources.zstd import compress_frame
+
+    raw = b"the quick brown payload" * 20
+    cases = [
+        ("gzip", gzip.compress(raw, mtime=0)),
+        ("bzip2", bz2.compress(raw)),
+        ("xz", lzma.compress(raw)),
+        ("zlib", zlib.compress(raw)),
+        ("zstd", compress_frame(raw)),
+        ("none", raw),
+    ]
+    for codec, blob in cases:
+        assert sniff_compression(blob) == (None if codec == "none" else codec)
+        got_codec, out = decompress_payload(blob)
+        assert (got_codec, out) == (codec, raw), codec
+
+
+def test_decompress_media_error_quarantine(spark):
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from vtk_reserves_spark.operators.multimodal import decompress_media
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [b"\x1f\x8btruncated"]}),
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    out = decompress_media(df, on_error="null").collect()
+    assert out[0].error is not None and out[0].payload is None
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        decompress_media(df).collect()

@@ -1934,6 +1934,252 @@ def font_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
     return df.mapInPandas(run, FONT_SCHEMA)
 
 
+def sniff_compression(payload: bytes) -> str | None:
+    """Magic-byte compression detection: gzip / bzip2 / xz / zstd /
+    zlib (raw deflate streams have no magic and return None, like
+    uncompressed data)."""
+    p = bytes(payload[:6]) if payload else b""
+    if p[:2] == b"\x1f\x8b":
+        return "gzip"
+    if p[:3] == b"BZh":
+        return "bzip2"
+    if p[:6] == b"\xfd7zXZ\x00":
+        return "xz"
+    if p[:4] == b"\x28\xb5\x2f\xfd":
+        return "zstd"
+    if len(p) >= 2 and p[0] == 0x78 and ((p[0] << 8) | p[1]) % 31 == 0:
+        return "zlib"
+    return None
+
+
+def decompress_payload(payload: bytes) -> tuple[str, bytes]:
+    """Sniff and decompress one payload; returns (codec, bytes) —
+    codec 'none' when no compression magic matches (the payload is
+    passed through).  Crawl payloads nest transfer codings freely;
+    this is the normalize-before-sniff step `decode_media` and the
+    text extractors assume has happened."""
+    codec = sniff_compression(payload)
+    if codec == "gzip":
+        import gzip as _gzip
+
+        return codec, _gzip.decompress(bytes(payload))
+    if codec == "bzip2":
+        import bz2 as _bz2
+
+        return codec, _bz2.decompress(bytes(payload))
+    if codec == "xz":
+        import lzma as _lzma
+
+        return codec, _lzma.decompress(bytes(payload))
+    if codec == "zstd":
+        from vtk_reserves_spark.sources.zstd import decompress as _zd
+
+        return codec, _zd(bytes(payload))
+    if codec == "zlib":
+        import zlib as _zlib
+
+        return codec, _zlib.decompress(bytes(payload))
+    return "none", bytes(payload)
+
+
+def attach_compressed_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Compress each row's text with a rotating transfer codec
+    (``id % 6``: gzip / bzip2 / xz / zlib / zstd / passthrough) —
+    every magic `sniff_compression` knows plus the no-magic
+    fallthrough, under one oracle."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_compressed(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import bz2 as _bz2
+        import gzip as _gzip
+        import lzma as _lzma
+        import zlib as _zlib
+
+        from vtk_reserves_spark.sources.zstd import compress_frame
+
+        out = []
+        for did, t in zip(doc_id.astype("int64"), text):
+            did = int(did)
+            raw = (t or "").encode()
+            k = did % 6
+            if k == 0:
+                out.append(_gzip.compress(raw, mtime=0))
+            elif k == 1:
+                out.append(_bz2.compress(raw))
+            elif k == 2:
+                out.append(_lzma.compress(raw))
+            elif k == 3:
+                out.append(_zlib.compress(raw))
+            elif k == 4:
+                out.append(compress_frame(raw))
+            else:
+                out.append(raw)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        to_compressed(F.col(id_col), F.col(text_col)).alias("payload"),
+    )
+
+
+DECOMPRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("n_compressed", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decompress_media(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Normalize (doc_id, payload) through transfer compression:
+    sniff gzip/bzip2/xz/zstd/zlib magics, decompress, surface the
+    codec and both sizes (the compressed-ratio zip-bomb signal).
+    Arrow-batched mapInPandas; ``on_error='null'`` quarantines
+    corrupt streams."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    safe = on_error == "null"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "codec", "n_compressed", "n_bytes", "payload",
+            "error",
+        ]
+        for b in batches:
+            rows = []
+            for did, p in zip(b["doc_id"].astype("int64"), b["payload"]):
+                p = bytes(p)
+                try:
+                    codec, out = decompress_payload(p)
+                    rows.append([
+                        int(did), codec, len(p), len(out), out, None,
+                    ])
+                except Exception as exc:
+                    if not safe:
+                        raise
+                    rows.append([
+                        int(did), None, len(p), None, None,
+                        f"{type(exc).__name__}: {exc}",
+                    ])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, DECOMPRESS_SCHEMA)
+
+
+def attach_ivf_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL IVF video per row: ``id % 3 + 1`` genuine
+    VP8 key frames (single 16x16 macroblock, DC-only Y level
+    ``1 + (id+f) % 7`` at quantizer ``id % 128``, neutral chroma) —
+    each frame decodes to a uniform gray whose value is the
+    closed-form dequant/shift chain, so the whole
+    container-walk + VP8-decode pipeline sits under one oracle
+    (the q:webp_lossy device, per frame)."""
+    from vtk_reserves_spark.sources.ivf import build_ivf
+    from vtk_reserves_spark.sources.vp8 import DC_PRED, encode_vp8_frame
+
+    @F.pandas_udf(T.BinaryType())
+    def to_ivf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for did in doc_id.astype("int64"):
+            did = int(did)
+            frames = []
+            for f in range(did % 3 + 1):
+                wl = 1 + (did + f) % 7
+                mb = {
+                    "y_mode": DC_PRED, "uv_mode": DC_PRED,
+                    "skip": False,
+                    "y2": [wl] + [0] * 15,
+                    "u": [[0] * 16 for _ in range(4)],
+                    "v": [[0] * 16 for _ in range(4)],
+                }
+                frames.append(
+                    (f, encode_vp8_frame(16, 16, [mb], qi=did % 128))
+                )
+            out.append(build_ivf(frames, 16, 16))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        to_ivf(F.col(id_col)).alias("payload"),
+    )
+
+
+IVF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fourcc", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("pts", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def ivf_video_frames(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """REAL video decode end to end: walk the IVF container
+    (`sources/ivf.py`) and decode every VP8 key frame through the
+    RFC 6386 codec (`sources/vp8.py`) to per-frame RGB means — one
+    row per frame.  Completes the video story next to the
+    metadata-level MP4/MKV walkers; same Arrow-batched payload-grain
+    shape as `video_frames` (MJPG-AVI)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    safe = on_error == "null"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from vtk_reserves_spark.sources.ivf import parse_ivf
+        from vtk_reserves_spark.sources.vp8 import decode_vp8_rgba
+
+        cols = [
+            "doc_id", "fourcc", "frame_idx", "pts", "width", "height",
+            "mean_byte", "error",
+        ]
+        for b in batches:
+            rows = []
+            for did, p in zip(b["doc_id"].astype("int64"), b["payload"]):
+                did = int(did)
+                try:
+                    m = parse_ivf(bytes(p))
+                    if m["fourcc"] != "VP80":
+                        raise ValueError(
+                            f"ivf_video_frames: codec {m['fourcc']!r} "
+                            "not decodable (VP8 key frames only)"
+                        )
+                    for idx, (pts, body) in enumerate(m["frames"]):
+                        rgba = np.asarray(decode_vp8_rgba(body))
+                        rows.append([
+                            did, m["fourcc"], idx, int(pts),
+                            int(rgba.shape[1]), int(rgba.shape[0]),
+                            float(rgba[:, :, :3].mean()), None,
+                        ])
+                except Exception as exc:
+                    if not safe:
+                        raise
+                    rows.append([
+                        did, None, None, None, None, None, None,
+                        f"{type(exc).__name__}: {exc}",
+                    ])
+            out = pd.DataFrame(rows, columns=cols)
+            out["frame_idx"] = pd.array(out["frame_idx"], dtype="Int32")
+            for c in ("width", "height"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["pts"] = pd.array(out["pts"], dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, IVF_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 40) -> DataFrame:
     """Frame sampling plumbing: derive a frame count from the payload
     size and explode one row per sampled frame with its byte offset —
