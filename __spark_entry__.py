@@ -3742,6 +3742,115 @@ def q_ivf_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_video_frames(attach_ivf_payload(docs)).drop("error")
 
 
+def q_vp9_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VP9 key-frame header mining (sources/vp9.py inside
+    sources/ivf.py containers): per doc a VP90 IVF whose key frame's
+    UNCOMPRESSED header carries closed-form profile (doc_id%4, so
+    both profile bits and the profile-3 reserved bit execute), bit
+    depth (8 for profiles 0/1; 10/12 by parity above), color space
+    and dimensions — the resolution-floor / profile-allowlist
+    signals without a VP9 decoder (full decode stays the banked
+    gap; VP8 decodes fully via q:ivf_video)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fourcc", T.StringType()),
+        T.StructField("profile", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("color_space", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+
+    def run(batches):
+        from vtk_reserves_spark.sources.ivf import build_ivf, parse_ivf
+        from vtk_reserves_spark.sources.vp9 import (
+            build_vp9_keyframe_header, parse_vp9_keyframe,
+        )
+
+        spaces = ["bt601", "bt709", "smpte170", "bt2020"]
+        for b in batches:
+            rows = []
+            for did in b["doc_id"].astype("int64"):
+                did = int(did)
+                profile = did % 4
+                depth = 8 if profile < 2 else (10 if did % 2 == 0 else 12)
+                w = 128 + 16 * (did % 100)
+                h = 96 + 16 * (did % 60)
+                hdr = build_vp9_keyframe_header(
+                    w, h, profile, depth, spaces[did % 4]
+                )
+                blob = build_ivf([(0, hdr)], w, h, "VP90")
+                c = parse_ivf(blob)
+                m = parse_vp9_keyframe(c["frames"][0][1])
+                rows.append([
+                    did, c["fourcc"], m["profile"], m["bit_depth"],
+                    m["color_space"], m["width"], m["height"],
+                ])
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return docs.mapInPandas(run, schema)
+
+
+def q_msgpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack ingestion (sources/msgpack.py — the full type
+    table, pure stdlib): each doc becomes a packed map whose values
+    deliberately span the width ladder (fixint / uint8-64 /
+    negative fixint / int16, fixstr vs str8, float64, fixarray,
+    nested map, nil at doc_id%6==0) plus the doc text (str width by
+    content); decode flattens to typed rows the oracle replays."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("big", T.LongType()),
+        T.StructField("neg", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("n_tags", T.IntegerType()),
+        T.StructField("nested_x", T.LongType()),
+        T.StructField("txt", T.StringType()),
+    ])
+
+    def run(batches):
+        from vtk_reserves_spark.sources.msgpack import pack, unpack_one
+
+        for b in batches:
+            rows = []
+            for did, t in zip(b["doc_id"].astype("int64"), b["text"]):
+                did = int(did)
+                obj = {
+                    "name": f"mp {did}",
+                    "big": did * 1_000_003,
+                    "neg": -(did % 40000) - 1,
+                    "score": (did % 4000) / 8.0,
+                    "ok": did % 2 == 1,
+                    "tags": [f"t{i}" for i in range(did % 4)],
+                    "nested": {
+                        "x": None if did % 6 == 0 else did % 100000,
+                    },
+                    "txt": t or "",
+                }
+                v, _ = unpack_one(pack(obj))
+                rows.append([
+                    did, v["name"], v["big"], v["neg"], v["score"],
+                    v["ok"], len(v["tags"]), v["nested"]["x"],
+                    v["txt"],
+                ])
+            df = pd.DataFrame(rows, columns=[f.name for f in schema])
+            df["n_tags"] = pd.array(df["n_tags"], dtype="Int32")
+            df["nested_x"] = pd.array(df["nested_x"], dtype="Int64")
+            yield df
+
+    return docs.mapInPandas(run, schema)
+
+
 def _subtitle_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic subtitle payloads: doc_id%2 picks SRT (comma
     decimals, numeric counter lines, a multi-line cue body) vs WebVTT
@@ -6316,6 +6425,42 @@ def _llm_oracles() -> dict[str, str]:
                    END AS headline
             FROM documents
         """,
+        "msgpack": """
+            -- closed form of the msgpack fixture rule (q_msgpack):
+            -- values span the encoding width ladder; nested nil at
+            -- doc_id%6=0; text round-trips
+            SELECT doc_id,
+                   'mp ' || CAST(doc_id AS VARCHAR) AS name,
+                   CAST(doc_id * 1000003 AS BIGINT) AS big,
+                   CAST(-(doc_id % 40000) - 1 AS BIGINT) AS neg,
+                   (doc_id % 4000) / 8.0 AS score,
+                   doc_id % 2 = 1 AS ok,
+                   CAST(doc_id % 4 AS INT) AS n_tags,
+                   CASE WHEN doc_id % 6 = 0 THEN NULL
+                        ELSE CAST(doc_id % 100000 AS BIGINT)
+                   END AS nested_x,
+                   COALESCE(text, '') AS txt
+            FROM documents
+        """,
+        "vp9_headers": """
+            -- closed form of the VP9 header fixture rule
+            -- (q_vp9_headers): profile doc_id%4; depth 8 below
+            -- profile 2 else 10/12 by parity; dims are doc_id
+            -- arithmetic
+            SELECT doc_id,
+                   'VP90' AS fourcc,
+                   CAST(doc_id % 4 AS INT) AS profile,
+                   CASE WHEN doc_id % 4 < 2 THEN 8
+                        WHEN doc_id % 2 = 0 THEN 10 ELSE 12
+                   END::INT AS bit_depth,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'bt601' WHEN 1 THEN 'bt709'
+                     WHEN 2 THEN 'smpte170' ELSE 'bt2020'
+                   END AS color_space,
+                   CAST(128 + 16 * (doc_id % 100) AS INT) AS width,
+                   CAST(96 + 16 * (doc_id % 60) AS INT) AS height
+            FROM documents
+        """,
         "ivf_video": """
             -- closed form of the IVF/VP8 fixture rule (q_ivf_video):
             -- doc_id%3+1 frames; per frame the q:webp_lossy dequant
@@ -7119,6 +7264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     self-run MATCH now, driver-recorded after rotation) ---
         "decompress": q_decompress,
         "ivf_video": q_ivf_video,
+        "vp9_headers": q_vp9_headers,
+        "msgpack": q_msgpack,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,

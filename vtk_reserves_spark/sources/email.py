@@ -165,10 +165,24 @@ def build_email(
     multipart/alternative with an HTML sibling, ``encode_subject``
     RFC-2047-encodes the subject as UTF-8 quoted-printable."""
     if encode_subject:
-        payload = quopri.encodestring(
-            subject.encode(), header=True
-        ).decode()
-        subject = f"=?utf-8?Q?{payload}?="
+        # RFC 2047 caps encoded words at 75 chars: long subjects
+        # split into MULTIPLE words on folded continuation lines
+        # (decoders join adjacent words without the whitespace) —
+        # one long word would force quopri's =\n soft breaks inside
+        # the word, which is invalid
+        words = []
+        for i in range(0, max(len(subject), 1), 16):
+            chunk = subject[i : i + 16]
+            payload = (
+                quopri.encodestring(chunk.encode(), header=True)
+                .decode()
+                .replace("=\n", "")
+                # '?' must be escaped inside a Q encoded word
+                # (quopri's header mode leaves it literal)
+                .replace("?", "=3F")
+            )
+            words.append(f"=?utf-8?Q?{payload}?=")
+        subject = "\r\n ".join(words)
     if encoding == "base64":
         body = base64.encodebytes(text.encode()).decode()
         cte = "base64"
