@@ -3738,7 +3738,14 @@ def q_ivf_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_ivf_payload, ivf_video_frames,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    # 1-in-5 sample: the boolean decoder runs ~2 real VP8 frames per
+    # doc; the sample keeps every closed-form branch while bounding
+    # the per-run decode count (operator itself is payload-grain)
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 5 == 0)
+    )
     return ivf_video_frames(attach_ivf_payload(docs)).drop("error")
 
 
@@ -6471,6 +6478,7 @@ def _llm_oracles() -> dict[str, str]:
               FROM documents d
               JOIN (SELECT range AS f FROM range(3)) f
                 ON f.f <= d.doc_id % 3
+              WHERE d.doc_id % 5 = 0
             ), k AS (
               SELECT doc_id, f,
                      1 + (doc_id + f) % 7 AS wl,
