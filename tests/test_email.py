@@ -89,3 +89,33 @@ def test_mbox_split_preserves_messages():
     )
     got = [parse_email(m)["subject"] for m in split_mbox(mbox)]
     assert got == ["S0", "S1", "S2"]
+
+
+def test_nested_multipart_descends():
+    """multipart/alternative inside multipart/mixed: the nested
+    text/plain wins over html and sibling attachments."""
+    raw = (
+        'Content-Type: multipart/mixed; boundary="OUT"\r\n\r\n'
+        "--OUT\r\n"
+        'Content-Type: multipart/alternative; boundary="IN"\r\n\r\n'
+        "--IN\r\nContent-Type: text/html\r\n\r\n<p>html</p>\r\n"
+        "--IN\r\nContent-Type: text/plain\r\n\r\nnested plain\r\n"
+        "--IN--\r\n"
+        "--OUT\r\nContent-Type: application/pdf\r\n\r\nPDF\r\n"
+        "--OUT--\r\n"
+    ).encode()
+    assert parse_email(raw)["text"] == "nested plain"
+
+
+def test_multipart_depth_bomb_rejected():
+    # genuinely nested distinct boundaries, 12 levels deep
+    inner = b"leaf"
+    for i in range(12):
+        b = f"B{i}".encode()
+        inner = (
+            b'Content-Type: multipart/mixed; boundary="' + b
+            + b'"\r\n\r\n--' + b + b"\r\n" + inner
+            + b"\r\n--" + b + b"--\r\n"
+        )
+    with pytest.raises(ValueError, match="nesting"):
+        parse_email(inner)

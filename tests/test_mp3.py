@@ -103,3 +103,25 @@ def test_spark_on_error_null(spark):
     )
     out = mp3_metadata(df, on_error="null").collect()
     assert out[0].error is not None and out[0].title is None
+
+
+def test_id3v22_three_char_frames():
+    """ID3v2.2 tags (3-char IDs, 3-byte plain sizes) parse instead
+    of being skipped."""
+    audio = build_mp3({}, 5, 128, 44100)[10:]
+
+    def f22(fid, text):
+        body = b"\x00" + text.encode("latin-1")
+        return fid + len(body).to_bytes(3, "big") + body
+
+    frames = (f22(b"TT2", "Old Title") + f22(b"TP1", "Old Artist")
+              + f22(b"TAL", "LP") + f22(b"TYE", "1979")
+              + f22(b"TRK", "7"))
+    n = len(frames)
+    tag = (b"ID3\x02\x00\x00"
+           + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F]) + frames)
+    m = parse_mp3(tag + audio)
+    assert m["title"] == "Old Title" and m["artist"] == "Old Artist"
+    assert m["album"] == "LP" and m["year"] == "1979" and m["track"] == "7"
+    assert m["n_frames"] == 5

@@ -93,3 +93,17 @@ def test_spark_on_error_null(spark, tmp_path):
     assert len(errs) == 1 and errs[0].archive == "bad.zip"
     with pytest.raises(Exception):
         read_zip_archive(spark, str(tmp_path / "*.zip")).collect()
+
+
+def test_zip64_from_stdlib():
+    """ZIP64 archives (EOCD64 locator + 0xFFFFFFFF sentinels +
+    0x0001 extra fields) parse; stdlib writes them under
+    force_zip64."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", allowZip64=True) as z:
+        with z.open(zipfile.ZipInfo("big.bin"), "w", force_zip64=True) as f:
+            f.write(b"payload data" * 100)
+        z.writestr("small.txt", "ok")
+    got = list(iter_zip(buf.getvalue()))
+    assert got[0][:2] == ("big.bin", b"payload data" * 100)
+    assert got[1][:2] == ("small.txt", b"ok")

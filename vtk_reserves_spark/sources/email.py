@@ -93,6 +93,48 @@ _CT_RE = re.compile(r"([\w/.+-]+)")
 _PARAM_RE = re.compile(r'(\w+)\s*=\s*"?([^";]+)"?')
 
 
+def _walk_multipart(
+    params: dict, body: bytes, depth: int
+) -> tuple[str | None, str | None]:
+    """Recursive multipart walk -> (first text/plain, first other
+    decoded part).  Nested multiparts (mixed inside alternative and
+    vice versa) descend to a bounded depth — the structure real
+    mailers emit."""
+    if depth > 8:
+        raise ValueError("email: multipart nesting too deep")
+    boundary = params.get("boundary")
+    if not boundary:
+        raise ValueError("email: multipart without boundary")
+    delim = b"--" + boundary.encode()
+    parts = body.split(delim)[1:-1] if delim in body else []
+    text = None
+    fallback = None
+    for part in parts:
+        part = part.lstrip(b"\r\n")
+        ph, poff = _parse_headers(part)
+        pct = ph.get("content-type", "text/plain")
+        pm = _CT_RE.match(pct)
+        ptype = pm.group(1).lower() if pm else "text/plain"
+        pparams = dict(_PARAM_RE.findall(pct))
+        if ptype.startswith("multipart/"):
+            t, f = _walk_multipart(pparams, part[poff:], depth + 1)
+            if t is not None and text is None:
+                text = t
+            elif f is not None and fallback is None:
+                fallback = f
+            continue
+        decoded = _decode_body(
+            part[poff:].rstrip(b"\r\n"),
+            ph.get("content-transfer-encoding", "7bit"),
+            pparams.get("charset", "utf-8").lower(),
+        )
+        if ptype == "text/plain" and text is None:
+            text = decoded
+        elif fallback is None:
+            fallback = decoded
+    return text, fallback
+
+
 def parse_email(data: bytes) -> dict:
     """Parse one RFC 5322 message: decoded ``subject`` / ``from_``
     / ``to`` / ``date`` headers, ``content_type``, and ``text`` —
@@ -109,29 +151,7 @@ def parse_email(data: bytes) -> dict:
     charset = params.get("charset", "utf-8").lower()
     body = data[body_off:]
     if ctype.startswith("multipart/"):
-        boundary = params.get("boundary")
-        if not boundary:
-            raise ValueError("email: multipart without boundary")
-        delim = b"--" + boundary.encode()
-        parts = body.split(delim)[1:-1] if delim in body else []
-        text = None
-        fallback = None
-        for part in parts:
-            part = part.lstrip(b"\r\n")
-            ph, poff = _parse_headers(part)
-            pct = ph.get("content-type", "text/plain")
-            pm = _CT_RE.match(pct)
-            ptype = pm.group(1).lower() if pm else "text/plain"
-            pparams = dict(_PARAM_RE.findall(pct))
-            decoded = _decode_body(
-                part[poff:].rstrip(b"\r\n"),
-                ph.get("content-transfer-encoding", "7bit"),
-                pparams.get("charset", "utf-8").lower(),
-            )
-            if ptype == "text/plain" and text is None:
-                text = decoded
-            elif fallback is None:
-                fallback = decoded
+        text, fallback = _walk_multipart(params, body, depth=0)
         out_text = text if text is not None else (fallback or "")
     else:
         out_text = _decode_body(

@@ -11,9 +11,10 @@ audio surface at all; this exists for the 100 TB multimodal brief
 Two independent layers, matching the file structure (ISO/IEC 11172-3
 frames, informal ID3 specs):
 
-* **ID3v2.3/2.4 tag** at the file head: syncsafe tag size, 4-char
-  frame IDs with plain (2.3) vs syncsafe (2.4) frame sizes, text
-  frames in latin-1 / UTF-16-BOM / UTF-16-BE / UTF-8 encodings.
+* **ID3v2.2/2.3/2.4 tag** at the file head: syncsafe tag size,
+  4-char frame IDs with plain (2.3) vs syncsafe (2.4) frame sizes —
+  or v2.2's 3-char IDs with 3-byte plain sizes — text frames in
+  latin-1 / UTF-16-BOM / UTF-16-BE / UTF-8 encodings.
   Surfaced frames: TIT2 title, TPE1 artist, TALB album, TYER/TDRC
   year, TCON genre, TRCK track.  An ID3v1 trailer (128-byte ``TAG``
   block) is the fallback when no v2 tag exists.
@@ -58,6 +59,16 @@ _TEXT_FRAMES = {
     "TRCK": "track",
 }
 
+# ID3v2.2 three-character frame IDs (3-byte plain sizes)
+_TEXT_FRAMES_V22 = {
+    "TT2": "title",
+    "TP1": "artist",
+    "TAL": "album",
+    "TYE": "year",
+    "TCO": "genre",
+    "TRK": "track",
+}
+
 
 def _syncsafe(b: bytes) -> int:
     return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
@@ -91,7 +102,20 @@ def _parse_id3v2(data: bytes) -> tuple[dict, int]:
     end = 10 + size
     out: dict = {}
     if major == 2:
-        # v2.2 (3-char frames) is rare; skip the tag, keep the audio
+        # v2.2: 3-char frame IDs with 3-byte big-endian plain sizes
+        pos = 10
+        while pos + 6 <= end:
+            fid = data[pos : pos + 3]
+            if fid == b"\x00\x00\x00":
+                break
+            fsize = int.from_bytes(data[pos + 3 : pos + 6], "big")
+            body = data[pos + 6 : pos + 6 + fsize]
+            if len(body) < fsize:
+                raise ValueError("mp3: ID3v2.2 frame overruns tag")
+            name = _TEXT_FRAMES_V22.get(fid.decode("latin-1"))
+            if name and name not in out:
+                out[name] = _decode_text(body)
+            pos += 6 + fsize
         return out, end
     pos = 10
     while pos + 10 <= end:

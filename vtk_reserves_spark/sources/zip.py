@@ -13,9 +13,10 @@ then walk the CENTRAL directory — never trusting local headers,
 whose sizes may legitimately be zero under streaming (bit 3) —
 and for each member seek to its local header, skip its
 (independently sized!) name+extra, inflate raw-deflate or slice
-stored bytes, and verify CRC-32.  ZIP64 EOCD locators are detected
-and surfaced as a clear unsupported error rather than misparsed.
-Cross-validated against stdlib ``zipfile`` in both directions in
+stored bytes, and verify CRC-32.  ZIP64 is supported: the EOCD64
+locator/record supersedes sentinel counts, and 0x0001 extra fields
+supply 8-byte sizes/offsets per member.  Cross-validated against
+stdlib ``zipfile`` in both directions (incl. ``force_zip64``) in
 tests.
 
 Scale posture matches `sources/webdataset.py`: the ARCHIVE is the
@@ -46,16 +47,26 @@ _METHODS = {0: "stored", 8: "deflated"}
 def iter_zip(data: bytes, verify_crc: bool = True):
     """Yield (name, payload, method, compressed_size) per member via
     the central directory.  Raises ValueError on structural
-    corruption, CRC mismatch, or unsupported features (ZIP64,
-    encryption, exotic compression methods)."""
+    corruption, CRC mismatch, or unsupported features (encryption,
+    exotic compression methods); ZIP64 framing is handled."""
     tail = data[-(65536 + 22):]
     idx = tail.rfind(_EOCD_SIG)
     if idx < 0:
         raise ValueError("zip: no end-of-central-directory record")
     eocd = len(data) - len(tail) + idx
     n_total, cen_size, cen_off = struct.unpack_from("<HII", data, eocd + 10)
-    if data.rfind(_ZIP64_LOC_SIG, max(0, eocd - 20), eocd) >= 0:
-        raise ValueError("zip: ZIP64 archives not supported")
+    loc = data.rfind(_ZIP64_LOC_SIG, max(0, eocd - 20), eocd)
+    if loc >= 0 or 0xFFFF in (n_total,) or 0xFFFFFFFF in (cen_size, cen_off):
+        # ZIP64: the locator points at the EOCD64 record, whose
+        # 8-byte fields supersede any 0xFFFF/0xFFFFFFFF sentinels
+        if loc < 0:
+            raise ValueError("zip: ZIP64 sentinels without a locator")
+        (eocd64_off,) = struct.unpack_from("<Q", data, loc + 8)
+        if data[eocd64_off : eocd64_off + 4] != b"PK\x06\x06":
+            raise ValueError("zip: bad EOCD64 signature")
+        n_total, cen_size, cen_off = struct.unpack_from(
+            "<QQQ", data, eocd64_off + 32
+        )
     pos = cen_off
     end = cen_off + cen_size
     if end > len(data):
@@ -69,6 +80,25 @@ def iter_zip(data: bytes, verify_crc: bool = True):
         )
         (loc_off,) = struct.unpack_from("<I", data, pos + 42)
         name = data[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        # ZIP64 extra field (id 0x0001): 8-byte values replace any
+        # 0xFFFFFFFF sentinels, in spec order usize, csize, offset
+        if 0xFFFFFFFF in (csize, usize, loc_off):
+            extra = data[pos + 46 + nlen : pos + 46 + nlen + elen]
+            ep = 0
+            while ep + 4 <= len(extra):
+                eid, esz = struct.unpack_from("<HH", extra, ep)
+                if eid == 0x0001:
+                    vp = ep + 4
+                    if usize == 0xFFFFFFFF:
+                        (usize,) = struct.unpack_from("<Q", extra, vp)
+                        vp += 8
+                    if csize == 0xFFFFFFFF:
+                        (csize,) = struct.unpack_from("<Q", extra, vp)
+                        vp += 8
+                    if loc_off == 0xFFFFFFFF:
+                        (loc_off,) = struct.unpack_from("<Q", extra, vp)
+                    break
+                ep += 4 + esz
         pos += 46 + nlen + elen + clen
         count += 1
         if flags & 0x1:
