@@ -100,3 +100,22 @@ def test_spark_on_error_null(spark, tmp_path):
         read_webdataset(spark, str(tmp_path / "*.tar")).collect()
     with pytest.raises(ValueError):
         read_webdataset(spark, "x", on_error="bogus")
+
+
+def test_pax_global_header_defaults():
+    """pax 'g' records set defaults for ALL following members;
+    per-file 'x' overrides for exactly one member."""
+    from vtk_reserves_spark.sources.tar import _header, _pad, iter_tar
+
+    def pax(body: bytes, typ: bytes) -> bytes:
+        for ln in range(len(body) + 3, len(body) + 8):
+            cand = f"{ln} ".encode() + body + b"\n"
+            if len(cand) == ln:
+                return _header("pax", len(cand), typ) + _pad(cand)
+        raise AssertionError("unreachable")
+
+    g = pax(b"path=global/name.txt", b"g")
+    x = pax(b"path=per/file.bin", b"x")
+    f = _header("ignored", 2, b"0") + _pad(b"AA")
+    got = list(iter_tar(g + x + f + f + b"\x00" * 1024))
+    assert [n for n, _ in got] == ["per/file.bin", "global/name.txt"]

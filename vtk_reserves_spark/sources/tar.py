@@ -42,6 +42,7 @@ def iter_tar(data: bytes):
     structural corruption."""
     pos = 0
     pending_name: str | None = None
+    global_name: str | None = None
     while pos + _BLOCK <= len(data):
         hdr = data[pos : pos + _BLOCK]
         if hdr == b"\x00" * _BLOCK:  # end-of-archive marker
@@ -63,20 +64,31 @@ def iter_tar(data: bytes):
         if typeflag == b"L":  # GNU long name for the NEXT member
             pending_name = body.rstrip(b"\x00").decode("utf-8", "replace")
             continue
-        if typeflag == b"x":  # pax extended header: length key=value\n
+        if typeflag in (b"x", b"g"):
+            # pax extended header: length key=value\n records.
+            # 'x' applies to the NEXT member; 'g' sets defaults for
+            # ALL following members (per-file 'x' overrides)
             p = 0
+            path_val = None
             while p < len(body):
                 sp = body.index(b" ", p)
                 ln = int(body[p:sp])
                 rec = body[p + (sp - p) + 1 : p + ln - 1]
                 k, _, v = rec.partition(b"=")
                 if k == b"path":
-                    pending_name = v.decode("utf-8", "replace")
+                    path_val = v.decode("utf-8", "replace")
+            # noqa: the loop advances by the declared record length
                 p += ln
+            if typeflag == b"x":
+                pending_name = path_val
+            elif path_val is not None:
+                global_name = path_val
             continue
         if pending_name is not None:
             name = pending_name
             pending_name = None
+        elif global_name is not None:
+            name = global_name
         if typeflag in (b"0", b"\x00"):
             yield name, body
 
