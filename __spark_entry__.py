@@ -3858,6 +3858,61 @@ def q_msgpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema)
 
 
+def q_av1_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV1 sequence-header mining (sources/av1.py inside IVF
+    containers, AV01 fourcc): per doc an OBU stream (temporal
+    delimiter + sequence header behind leb128 sizing) whose
+    closed-form profile (doc_id%3), level (doc_id%14+1, so both the
+    tier-present >7 and tier-absent branches execute), still flag
+    and variable-bit-width dimensions replay under the oracle —
+    completing the WebM codec trio (VP8 full decode, VP9 + AV1
+    header mined)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("profile", T.IntegerType()),
+        T.StructField("level", T.IntegerType()),
+        T.StructField("tier", T.IntegerType()),
+        T.StructField("still_picture", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+
+    def run(batches):
+        from vtk_reserves_spark.sources.av1 import (
+            build_av1_sequence_header, parse_av1_sequence_header,
+        )
+        from vtk_reserves_spark.sources.ivf import build_ivf, parse_ivf
+
+        for b in batches:
+            rows = []
+            for did in b["doc_id"].astype("int64"):
+                did = int(did)
+                w = 16 * (did % 480 + 1)
+                h = 16 * (did % 270 + 1)
+                level = did % 14 + 1
+                blob = build_ivf(
+                    [(0, build_av1_sequence_header(
+                        w, h, did % 3, level, did % 2,
+                        still_picture=did % 5 == 0,
+                    ))],
+                    w, h, "AV01",
+                )
+                m = parse_av1_sequence_header(
+                    parse_ivf(blob)["frames"][0][1]
+                )
+                rows.append([
+                    did, m["profile"], m["level"], m["tier"],
+                    m["still_picture"], m["width"], m["height"],
+                ])
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return docs.mapInPandas(run, schema)
+
+
 def _subtitle_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic subtitle payloads: doc_id%2 picks SRT (comma
     decimals, numeric counter lines, a multi-line cue body) vs WebVTT
@@ -6432,6 +6487,20 @@ def _llm_oracles() -> dict[str, str]:
                    END AS headline
             FROM documents
         """,
+        "av1_headers": """
+            -- closed form of the AV1 header fixture rule
+            -- (q_av1_headers): tier surfaces only above level 7
+            SELECT doc_id,
+                   CAST(doc_id % 3 AS INT) AS profile,
+                   CAST(doc_id % 14 + 1 AS INT) AS level,
+                   CASE WHEN doc_id % 14 + 1 > 7
+                        THEN CAST(doc_id % 2 AS INT)
+                        ELSE 0 END::INT AS tier,
+                   doc_id % 5 = 0 AS still_picture,
+                   CAST(16 * (doc_id % 480 + 1) AS INT) AS width,
+                   CAST(16 * (doc_id % 270 + 1) AS INT) AS height
+            FROM documents
+        """,
         "msgpack": """
             -- closed form of the msgpack fixture rule (q_msgpack):
             -- values span the encoding width ladder; nested nil at
@@ -7274,6 +7343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_video": q_ivf_video,
         "vp9_headers": q_vp9_headers,
         "msgpack": q_msgpack,
+        "av1_headers": q_av1_headers,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
