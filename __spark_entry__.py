@@ -3913,6 +3913,57 @@ def q_av1_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema)
 
 
+def q_cbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBOR ingestion (sources/cbor.py — RFC 8949 core types,
+    validated against the spec's appendix-A vectors): each doc
+    becomes an encoded map spanning the additional-info width
+    ladder, negative integers, a tag-0 date (surfaced, not lost),
+    a nested array and the doc text; decode flattens to typed rows
+    the oracle replays."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("neg", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("n_arr", T.IntegerType()),
+        T.StructField("tag_date", T.StringType()),
+        T.StructField("txt", T.StringType()),
+    ])
+
+    def run(batches):
+        from vtk_reserves_spark.sources.cbor import decode_one, encode
+
+        for b in batches:
+            rows = []
+            for did, t in zip(b["doc_id"].astype("int64"), b["text"]):
+                did = int(did)
+                obj = {
+                    "name": f"cb {did}",
+                    "neg": -(did % 70000) - 1,
+                    "score": (did % 4000) / 8.0,
+                    "ok": did % 2 == 0,
+                    "arr": list(range(did % 5)),
+                    "date": ("__tag__", 0,
+                             f"2024-01-0{did % 9 + 1}T00:00:00Z"),
+                    "txt": t or "",
+                }
+                v, _ = decode_one(encode(obj))
+                rows.append([
+                    did, v["name"], v["neg"], v["score"], v["ok"],
+                    len(v["arr"]), v["date"][2], v["txt"],
+                ])
+            df = pd.DataFrame(rows, columns=[f.name for f in schema])
+            df["n_arr"] = pd.array(df["n_arr"], dtype="Int32")
+            yield df
+
+    return docs.mapInPandas(run, schema)
+
+
 def _subtitle_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic subtitle payloads: doc_id%2 picks SRT (comma
     decimals, numeric counter lines, a multi-line cue body) vs WebVTT
@@ -6487,6 +6538,19 @@ def _llm_oracles() -> dict[str, str]:
                    END AS headline
             FROM documents
         """,
+        "cbor": """
+            -- closed form of the CBOR fixture rule (q_cbor)
+            SELECT doc_id,
+                   'cb ' || CAST(doc_id AS VARCHAR) AS name,
+                   CAST(-(doc_id % 70000) - 1 AS BIGINT) AS neg,
+                   (doc_id % 4000) / 8.0 AS score,
+                   doc_id % 2 = 0 AS ok,
+                   CAST(doc_id % 5 AS INT) AS n_arr,
+                   '2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                     || 'T00:00:00Z' AS tag_date,
+                   COALESCE(text, '') AS txt
+            FROM documents
+        """,
         "av1_headers": """
             -- closed form of the AV1 header fixture rule
             -- (q_av1_headers): tier surfaces only above level 7
@@ -7344,6 +7408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vp9_headers": q_vp9_headers,
         "msgpack": q_msgpack,
         "av1_headers": q_av1_headers,
+        "cbor": q_cbor,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
