@@ -7307,108 +7307,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness harness records the FIRST 50
-    # entries in dict order (bench runs all).  Round-4 rotation:
-    # [0] repetition_signals — the one oracle-backed query whose last
-    #     driver record is a round-1 hash FAIL (fixed since r2 but
-    #     never driver-verified; VERDICT r3 item 1);
-    # [1-3] new/changed this round: webp_lossy (VP8 intra decode),
-    #     warc_indexed (cdx record-grain reads), domain_stats (fixture
-    #     now exercises the PSL snapshot — prior green predates it),
-    #     robots_filter (RFC 9309 engine), domain_quota (per-domain
-    #     cap), surt_keys (cdx join key), stream_warc (streaming
-    #     ingest), warc_zst (.warc.zst + pure-python zstd), pdf_text
-    #     (ISO 32000 text mining), office_text (DOCX/PPTX/ODT/EPUB
-    #     mining), link_graph + pagerank_hosts (hyperlink graph
-    #     family), exif_metadata / mp4_metadata / mp3_metadata /
-    #     ogg_metadata / mkv_metadata (image/video/audio header
-    #     mining), webdataset (tar-shard training-corpus ingest),
-    #     svg_stats (pure-Catalyst vector-image analysis),
-    #     image_dhash / image_neardup (perceptual-hash dedup),
-    #     zip_archive (central-directory source), audio_fingerprint
-    #     (spectral-band audio near-dup), html_meta (OG/JSON-LD),
-    #     charset_detect (encoding sniff + UTF-8 normalize),
-    #     readability (Flesch dual implementation over real text),
-    #     font_metadata (sfnt/WOFF table walk), hard_negatives
-    #     (contrastive batch construction), geoxml (KML/GPX),
-    #     stream_media (continuous-drop multimodal ingest),
-    #     avro_roundtrip (pure-stdlib OCF container),
-    #     protobuf_census (schema-less wire-format walk),
-    #     orc_roundtrip (native columnar sibling), mbox_mail
-    #     (RFC 5322/2047/MIME mail-archive ingestion), bitext_pairs
-    #     (URL-variant parallel-corpus mining), binary_auc
-    #     (histogram Mann-Whitney, no global sort), segy_traces
-    #     (SEG-Y rev-1 + IBM hex float), gslib_table (GeoEAS
-    #     geostats exchange format), surpac_strings (mine-survey
-    #     polylines), html_tables (cell-preserving extraction),
-    #     ics_events (RFC 5545 with unfolding); past the cap, the
-    #     round-5 block: decompress (transfer-codec normalize),
-    #     ivf_video (end-to-end VP8 video decode);
-    # [45-50] link_graph / pagerank_hosts / domain_stats close the
-    #     window (round-4 fixture changes needing re-record).  The
-    #     window is exactly full: 47 new + 3 changed.  The r1-green
-    #     block now sits entirely past the 50-cap and heads the
-    #     round-5 rotation; r2/r3-verified queries fill the tail.
+    # entries in dict order (bench runs all).  Round-5 rotation
+    # (machine-readable ledger: ROTATION.json, regenerated by
+    # tools/rotation_ledger.py at round end):
+    # [head] the six queries registered past the round-4 cap —
+    #     decompress, ivf_video, vp9_headers, msgpack, av1_headers,
+    #     cbor — whose only evidence so far is the builder self-run
+    #     (VERDICT r4 item 1: rotate these first);
+    # [next] queries NEW or fixture-changed in round 5 (H.264/HEVC
+    #     parameter-set mining, Avro complex/logical types, SEG-Y
+    #     rev-2 fixture, ...), inserted as they land;
+    # [fill] the round-1-green block (pricing_summary, flag_regions,
+    #     ...) whose newest driver evidence is four rounds old, in
+    #     original order, up to the 50-cap.  Whatever r1 greens spill
+    #     past the cap head the round-6 rotation; r2/r3/r4-verified
+    #     queries fill the tail.
     return {
-        # --- no driver-recorded green yet (r1 hash FAIL, fixed in r2) ---
-        "repetition_signals": q_repetition_signals,
-        # --- new or fixture-changed this round ---
-        "webp_lossy": q_webp_lossy,
-        "robots_filter": q_robots_filter,
-        "domain_quota": q_domain_quota,
-        "surt_keys": q_surt_keys,
-        "stream_warc": q_stream_warc,
-        "warc_media": q_warc_media,
-        "small_codecs": q_small_codecs,
-        "script_stats": q_script_stats,
-        "curation_policy": q_curation_policy,
-        "warc_indexed": q_warc_indexed,
-        "warc_zst": q_warc_zst,
-        "pdf_text": q_pdf_text,
-        "office_text": q_office_text,
-        "sitemap_urls": q_sitemap_urls,
-        "feed_entries": q_feed_entries,
-        "subtitle_cues": q_subtitle_cues,
-        "subtitle_transcripts": q_subtitle_transcripts,
-        "exif_metadata": q_exif_metadata,
-        "mp4_metadata": q_mp4_metadata,
-        "mp3_metadata": q_mp3_metadata,
-        "ogg_metadata": q_ogg_metadata,
-        "mkv_metadata": q_mkv_metadata,
-        "webdataset": q_webdataset,
-        "svg_stats": q_svg_stats,
-        "image_dhash": q_image_dhash,
-        "image_neardup": q_image_neardup,
-        "zip_archive": q_zip_archive,
-        "audio_fingerprint": q_audio_fingerprint,
-        "html_meta": q_html_meta,
-        "charset_detect": q_charset_detect,
-        "readability": q_readability,
-        "font_metadata": q_font_metadata,
-        "hard_negatives": q_hard_negatives,
-        "geoxml": q_geoxml,
-        "stream_media": q_stream_media,
-        "avro_roundtrip": q_avro_roundtrip,
-        "protobuf_census": q_protobuf_census,
-        "orc_roundtrip": q_orc_roundtrip,
-        "mbox_mail": q_mbox_mail,
-        "bitext_pairs": q_bitext_pairs,
-        "binary_auc": q_binary_auc,
-        "segy_traces": q_segy_traces,
-        "gslib_table": q_gslib_table,
-        "surpac_strings": q_surpac_strings,
-        "html_tables": q_html_tables,
-        "ics_events": q_ics_events,
-        "link_graph": q_link_graph,
-        "pagerank_hosts": q_pagerank_hosts,
-        "domain_stats": q_domain_stats,
-        # --- round-5 head candidates (past the 50-cap this round:
-        #     self-run MATCH now, driver-recorded after rotation) ---
+        # --- self-run-only round-4 block: driver evidence due now ---
         "decompress": q_decompress,
         "ivf_video": q_ivf_video,
         "vp9_headers": q_vp9_headers,
         "msgpack": q_msgpack,
         "av1_headers": q_av1_headers,
         "cbor": q_cbor,
+        # --- new or fixture-changed in round 5 ---
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -7531,6 +7453,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "nscore": q_nscore,
         "nscore_roundtrip": q_nscore_roundtrip,
+        # --- recorded green in round 4 ---
+        "repetition_signals": q_repetition_signals,
+        "webp_lossy": q_webp_lossy,
+        "robots_filter": q_robots_filter,
+        "domain_quota": q_domain_quota,
+        "surt_keys": q_surt_keys,
+        "stream_warc": q_stream_warc,
+        "warc_media": q_warc_media,
+        "small_codecs": q_small_codecs,
+        "script_stats": q_script_stats,
+        "curation_policy": q_curation_policy,
+        "warc_indexed": q_warc_indexed,
+        "warc_zst": q_warc_zst,
+        "pdf_text": q_pdf_text,
+        "office_text": q_office_text,
+        "sitemap_urls": q_sitemap_urls,
+        "feed_entries": q_feed_entries,
+        "subtitle_cues": q_subtitle_cues,
+        "subtitle_transcripts": q_subtitle_transcripts,
+        "exif_metadata": q_exif_metadata,
+        "mp4_metadata": q_mp4_metadata,
+        "mp3_metadata": q_mp3_metadata,
+        "ogg_metadata": q_ogg_metadata,
+        "mkv_metadata": q_mkv_metadata,
+        "webdataset": q_webdataset,
+        "svg_stats": q_svg_stats,
+        "image_dhash": q_image_dhash,
+        "image_neardup": q_image_neardup,
+        "zip_archive": q_zip_archive,
+        "audio_fingerprint": q_audio_fingerprint,
+        "html_meta": q_html_meta,
+        "charset_detect": q_charset_detect,
+        "readability": q_readability,
+        "font_metadata": q_font_metadata,
+        "hard_negatives": q_hard_negatives,
+        "geoxml": q_geoxml,
+        "stream_media": q_stream_media,
+        "avro_roundtrip": q_avro_roundtrip,
+        "protobuf_census": q_protobuf_census,
+        "orc_roundtrip": q_orc_roundtrip,
+        "mbox_mail": q_mbox_mail,
+        "bitext_pairs": q_bitext_pairs,
+        "binary_auc": q_binary_auc,
+        "segy_traces": q_segy_traces,
+        "gslib_table": q_gslib_table,
+        "surpac_strings": q_surpac_strings,
+        "html_tables": q_html_tables,
+        "ics_events": q_ics_events,
+        "link_graph": q_link_graph,
+        "pagerank_hosts": q_pagerank_hosts,
+        "domain_stats": q_domain_stats,
     }
 
 def _nscore_oracle() -> str:
