@@ -60,3 +60,17 @@ def test_malformed():
         decode_one(b"\xff")
     with pytest.raises(ValueError, match="unterminated"):
         decode_one(b"\x5f\x41\x01")
+
+
+def test_truncated_floats_raise_valueerror():
+    for blob in (b"\xf9\x01", b"\xfa\x00\x00", b"\xfb\x00\x00\x00\x00"):
+        with pytest.raises(ValueError, match="truncated"):
+            decode_one(blob)
+
+
+def test_two_byte_simple_values():
+    # RFC 8949 section 3.3: simple values 0-31 must use the one-byte
+    # form; the two-byte encoding of them is invalid
+    with pytest.raises(ValueError, match="simple"):
+        decode_one(b"\xf8\x1f")
+    assert decode_one(b"\xf8\xff")[0] == ("__simple__", 255)

@@ -119,3 +119,17 @@ def test_multipart_depth_bomb_rejected():
         )
     with pytest.raises(ValueError, match="nesting"):
         parse_email(inner)
+
+
+def test_duplicate_header_continuation_not_folded():
+    # a folded continuation of a DROPPED duplicate header must not
+    # append to the first-seen value of that name
+    raw = (
+        b"Subject: first\r\n"
+        b"Received: from a\r\n by b\r\n"
+        b"Subject: second\r\n spill\r\n"
+        b"From: f@x\r\n\r\nbody"
+    )
+    m = parse_email(raw)
+    assert m["subject"] == "first"
+    assert m["from_"] == "f@x"

@@ -125,3 +125,43 @@ def test_id3v22_three_char_frames():
     assert m["title"] == "Old Title" and m["artist"] == "Old Artist"
     assert m["album"] == "LP" and m["year"] == "1979" and m["track"] == "7"
     assert m["n_frames"] == 5
+
+
+def _ss(n):
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+
+
+def test_id3v23_whole_tag_unsynchronisation():
+    audio = build_mp3({}, 5, 128, 44100)[10:]
+    body = b"\x00A\xffB"                        # latin-1 'AÿB'
+    frame = b"TIT2" + struct.pack(">I", len(body)) + b"\x00\x00" + body
+    stored = frame.replace(b"\xff", b"\xff\x00")
+    tag = b"ID3\x03\x00\x80" + _ss(len(stored)) + stored
+    m = parse_mp3(tag + audio)
+    assert m["title"] == "A\xffB"
+    assert m["n_frames"] == 5
+
+
+def test_id3v23_extended_header_skipped():
+    audio = build_mp3({}, 4, 128, 44100)[10:]
+    body = b"\x00Ext"
+    frame = b"TIT2" + struct.pack(">I", len(body)) + b"\x00\x00" + body
+    ext = struct.pack(">I", 6) + b"\x00" * 6    # size excludes itself
+    tag = b"ID3\x03\x00\x40" + _ss(len(ext) + len(frame)) + ext + frame
+    m = parse_mp3(tag + audio)
+    assert m["title"] == "Ext" and m["n_frames"] == 4
+
+
+def test_id3v24_ext_header_frame_unsync_footer():
+    audio = build_mp3({}, 3, 128, 44100)[10:]
+    body = b"\x00A\xff"
+    stored = body.replace(b"\xff", b"\xff\x00")
+    frame = b"TIT2" + _ss(len(stored)) + b"\x00\x02" + stored
+    ext = _ss(6) + b"\x01\x00"                  # size includes itself
+    n = len(ext) + len(frame)
+    tag = b"ID3\x04\x00\x50" + _ss(n) + ext + frame
+    footer = b"3DI\x04\x00\x50" + _ss(n)
+    m = parse_mp3(tag + footer + audio)
+    assert m["title"] == "A\xff"
+    assert m["n_frames"] == 3

@@ -391,3 +391,27 @@ def test_pixel_encoder_container_roundtrip():
     # flat regions survive quantization closely
     assert abs(int(out[2, 2, 0]) - 200) < 16
     assert abs(int(out[12, 12, 0]) - 40) < 16
+
+
+def test_unverified_tables_gate():
+    """ADVICE r4: while the three large RFC 6386 tables await golden
+    validation, lossy decode warns by default and strict=True refuses."""
+    import warnings as _w
+
+    import pytest as _pt
+
+    from vtk_reserves_spark.sources import vp8 as v
+
+    mb = {
+        "y_mode": DC_PRED, "uv_mode": DC_PRED,
+        "y2": [0] * 16, "y": [[0] * 16] * 16, "u": [[0] * 16] * 4,
+        "v": [[0] * 16] * 4,
+    }
+    blob = encode_vp8_frame(16, 16, [mb], qi=0)
+    assert v.TABLES_UNVERIFIED  # flips False when goldens land
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        v.decode_vp8(blob)
+    assert any("unverified" in str(r.message) for r in rec)
+    with _pt.raises(ValueError, match="unverified"):
+        v.decode_vp8(blob, strict=True)

@@ -107,3 +107,14 @@ def test_zip64_from_stdlib():
     got = list(iter_zip(buf.getvalue()))
     assert got[0][:2] == ("big.bin", b"payload data" * 100)
     assert got[1][:2] == ("small.txt", b"ok")
+
+
+def test_sentinel_entry_count_without_zip64():
+    # an EOCD field that happens to equal a ZIP64 sentinel, with no
+    # EOCD64 locator present, is a plain archive per APPNOTE — the
+    # EOCD values stand (previously raised)
+    blob = bytearray(_make([("x.txt", b"data")], method=zipfile.ZIP_STORED))
+    eocd = blob.rfind(b"PK\x05\x06")
+    struct.pack_into("<H", blob, eocd + 10, 0xFFFF)
+    got = list(iter_zip(bytes(blob)))
+    assert len(got) == 1 and got[0][0] == "x.txt" and got[0][1] == b"data"

@@ -771,14 +771,23 @@ def decode_media(payload: bytes, mime: str, fake: bool = False):
             "mean_byte": float(img.mean()),
         }
     if mime == "image/webp":
-        from vtk_reserves_spark.sources.webp import decode_webp
+        from vtk_reserves_spark.sources import vp8 as _vp8
+        from vtk_reserves_spark.sources.webp import _iter_chunks, decode_webp
 
-        img = decode_webp(bytes(payload))
-        return {
+        b = bytes(payload)
+        img = decode_webp(b)
+        out = {
             "width": int(img.shape[1]),
             "height": int(img.shape[0]),
             "mean_byte": float(img[:, :, :3].mean()),
         }
+        if _vp8.TABLES_UNVERIFIED and any(
+            tag == b"VP8 " or (tag == b"ANMF" and b"VP8 " in body[16:36])
+            for tag, body in _iter_chunks(b, 12, len(b))
+        ):
+            # surfaced by extract_features(include_warnings=True)
+            out["warning"] = _vp8.UNVERIFIED_TABLES_NOTE
+        return out
     if mime == "image/tiff":
         from vtk_reserves_spark.sources.geotiff import decode_tiff
 
@@ -851,7 +860,8 @@ FEATURE_SAFE_SCHEMA = T.StructType(
 
 
 def extract_features(
-    df: DataFrame, fake: bool = True, on_error: str = "raise"
+    df: DataFrame, fake: bool = True, on_error: str = "raise",
+    include_warnings: bool = False,
 ) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, payload, meta):
     mapInPandas keeps bytes executor-side and processes whole record
@@ -863,11 +873,21 @@ def extract_features(
     mislabeled or corrupt: failed rows yield NULL features plus an
     ``error`` column (``ExcType: message``) so the pipeline can
     quarantine and count failures instead of losing the task.  One bad
-    byte killing a 100 TB job is the failure mode this guards."""
+    byte killing a 100 TB job is the failure mode this guards.
+
+    ``include_warnings=True`` adds a nullable ``warning`` column for
+    rows that decoded successfully but through a path with a
+    documented fidelity caveat (today: lossy VP8, whose three large
+    RFC 6386 probability tables await golden-vector validation — see
+    ``sources/vp8.py``).  Off by default to keep the stable schema."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     safe = on_error == "null"
     schema = FEATURE_SAFE_SCHEMA if safe else FEATURE_SCHEMA
+    if include_warnings:
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField("warning", T.StringType())]
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -893,6 +913,8 @@ def extract_features(
             }
             if safe:
                 out["error"] = errors
+            if include_warnings:
+                out["warning"] = [f.get("warning") for f in feats]
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema)

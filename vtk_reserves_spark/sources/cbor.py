@@ -136,16 +136,28 @@ def _decode(data: bytes, pos: int):
     if info == 23:
         return ("__undefined__",), pos
     if info == 25:
+        if pos + 2 > len(data):
+            raise ValueError("cbor: truncated float16")
         (h,) = struct.unpack_from(">H", data, pos)
         return _half_to_float(h), pos + 2
     if info == 26:
+        if pos + 4 > len(data):
+            raise ValueError("cbor: truncated float32")
         return struct.unpack_from(">f", data, pos)[0], pos + 4
     if info == 27:
+        if pos + 8 > len(data):
+            raise ValueError("cbor: truncated float64")
         return struct.unpack_from(">d", data, pos)[0], pos + 8
     if info == 31:
         return _BREAK, pos
-    if info < 20 or info == 24:
+    if info < 20:
+        return ("__simple__", info), pos
+    if info == 24:
         n, pos = _read_uint(data, pos, info)
+        if n < 32:
+            # RFC 8949 §3.3: two-byte form for simple values 0-31 is
+            # an invalid (non-minimal) encoding
+            raise ValueError(f"cbor: simple value {n} in two-byte form")
         return ("__simple__", n), pos
     raise ValueError(f"cbor: reserved simple value {info}")
 

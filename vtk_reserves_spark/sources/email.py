@@ -67,13 +67,19 @@ def _parse_headers(data: bytes) -> tuple[dict, int]:
         nxt = eol + 1
         if not line:
             return headers, nxt
-        if line[:1] in (b" ", b"\t") and name:
-            headers[name] += " " + line.strip().decode("latin-1")
+        if line[:1] in (b" ", b"\t"):
+            # a continuation of a dropped duplicate header (name is
+            # None) is skipped, not folded into the first-seen value
+            if name:
+                headers[name] += " " + line.strip().decode("latin-1")
         elif b":" in line:
             raw_name, _, val = line.partition(b":")
-            name = raw_name.strip().decode("latin-1").lower()
-            if name not in headers:
-                headers[name] = val.strip().decode("latin-1")
+            lname = raw_name.strip().decode("latin-1").lower()
+            if lname not in headers:
+                headers[lname] = val.strip().decode("latin-1")
+                name = lname
+            else:
+                name = None  # duplicate: first-seen wins
         pos = nxt
     return headers, pos
 

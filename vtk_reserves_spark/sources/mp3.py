@@ -92,49 +92,83 @@ def _decode_text(body: bytes) -> str:
 
 
 def _parse_id3v2(data: bytes) -> tuple[dict, int]:
-    """Parse the leading ID3v2 tag; returns (fields, audio_offset)."""
+    """Parse the leading ID3v2 tag; returns (fields, audio_offset).
+
+    Header flags are honoured: unsynchronisation (0x80; whole-tag
+    de-unsync for v2.2/v2.3, per-frame for v2.4), the v2.3/v2.4
+    extended header (0x40; skipped — v2.3 sizes exclude the 4 size
+    bytes and are plain big-endian, v2.4 sizes are syncsafe and
+    include themselves), and the v2.4 footer (0x10; +10 bytes of
+    audio offset)."""
     if data[:3] != b"ID3":
         return {}, 0
     major = data[3]
     if major not in (2, 3, 4):
         raise ValueError(f"mp3: unsupported ID3v2.{major}")
+    flags = data[5]
     size = _syncsafe(data[6:10])
-    end = 10 + size
+    audio_off = 10 + size + (10 if major == 4 and flags & 0x10 else 0)
+    tag = data[10 : 10 + size]
+    if flags & 0x80 and major in (2, 3):
+        # v2.2/v2.3: unsynchronisation was applied to the whole tag
+        # body after framing, so reversing it first restores every
+        # frame boundary and size
+        tag = tag.replace(b"\xff\x00", b"\xff")
     out: dict = {}
     if major == 2:
+        if flags & 0x40:
+            raise ValueError("mp3: ID3v2.2 compression flag set")
         # v2.2: 3-char frame IDs with 3-byte big-endian plain sizes
-        pos = 10
-        while pos + 6 <= end:
-            fid = data[pos : pos + 3]
+        pos = 0
+        while pos + 6 <= len(tag):
+            fid = tag[pos : pos + 3]
             if fid == b"\x00\x00\x00":
                 break
-            fsize = int.from_bytes(data[pos + 3 : pos + 6], "big")
-            body = data[pos + 6 : pos + 6 + fsize]
+            fsize = int.from_bytes(tag[pos + 3 : pos + 6], "big")
+            body = tag[pos + 6 : pos + 6 + fsize]
             if len(body) < fsize:
                 raise ValueError("mp3: ID3v2.2 frame overruns tag")
             name = _TEXT_FRAMES_V22.get(fid.decode("latin-1"))
             if name and name not in out:
                 out[name] = _decode_text(body)
             pos += 6 + fsize
-        return out, end
-    pos = 10
-    while pos + 10 <= end:
-        fid = data[pos : pos + 4]
+        return out, audio_off
+    pos = 0
+    if flags & 0x40:
+        if len(tag) < 4:
+            raise ValueError("mp3: ID3v2 extended header overruns tag")
+        if major == 3:
+            pos = 4 + struct.unpack(">I", tag[:4])[0]
+        else:
+            pos = _syncsafe(tag[:4])
+        if pos > len(tag) or pos < 4:
+            raise ValueError("mp3: ID3v2 extended header overruns tag")
+    while pos + 10 <= len(tag):
+        fid = tag[pos : pos + 4]
         if fid == b"\x00\x00\x00\x00":
             break
         fsize = (
-            _syncsafe(data[pos + 4 : pos + 8])
+            _syncsafe(tag[pos + 4 : pos + 8])
             if major == 4
-            else struct.unpack(">I", data[pos + 4 : pos + 8])[0]
+            else struct.unpack(">I", tag[pos + 4 : pos + 8])[0]
         )
-        body = data[pos + 10 : pos + 10 + fsize]
+        fmt_flags = tag[pos + 9]
+        body = tag[pos + 10 : pos + 10 + fsize]
         if len(body) < fsize:
             raise ValueError("mp3: ID3 frame overruns tag")
         name = _TEXT_FRAMES.get(fid.decode("latin-1"))
         if name and name not in out:
-            out[name] = _decode_text(body)
+            if major == 3 and fmt_flags & 0xC0:
+                pass  # compressed/encrypted v2.3 frame: skip field
+            else:
+                if major == 4:
+                    if fmt_flags & 0x01:
+                        body = body[4:]  # data-length indicator
+                    if fmt_flags & 0x02 or flags & 0x80:
+                        body = body.replace(b"\xff\x00", b"\xff")
+                out[name] = _decode_text(body)
         pos += 10 + fsize
-    return out, end
+    return out, audio_off
 
 
 def _parse_id3v1(data: bytes) -> dict:

@@ -40,7 +40,28 @@ reach the driver.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
+
+# Wild-file fidelity gate (ADVICE r4): the three large probability
+# tables below (DEFAULT_COEFF_PROBS, COEFF_UPDATE_PROBS,
+# KF_BMODE_PROBS) are best-effort RFC 6386 transcriptions that cannot
+# be byte-verified in this container — no libvpx/libwebp binaries to
+# produce a golden frame, no network to fetch the RFC text, so a
+# "second transcription" would derive from the same source as the
+# first.  Flip TABLES_UNVERIFIED to False once a reference-encoder
+# golden vector validates them.  Until then decode_vp8 emits a
+# one-time RuntimeWarning, and callers that need the repo's
+# explicit-error-never-silent-garbage posture for WILD payloads can
+# pass strict=True to refuse lossy decode outright (fixture payloads
+# are table-closed-loop and unaffected either way).
+TABLES_UNVERIFIED = True
+UNVERIFIED_TABLES_NOTE = (
+    "vp8: DEFAULT_COEFF_PROBS/COEFF_UPDATE_PROBS/KF_BMODE_PROBS are "
+    "unverified RFC 6386 transcriptions; lossy decode of wild files "
+    "may be inexact until golden-vector validation"
+)
 
 # ---------------------------------------------------------------------------
 # Spec-verified small tables (RFC 6386 §13, §14)
@@ -989,10 +1010,18 @@ def _decode_coeffs(bd, type_probs, ctx, first, dq_dc, dq_ac):
 # ---------------------------------------------------------------------------
 
 
-def decode_vp8(data: bytes) -> dict:
+def decode_vp8(data: bytes, strict: bool = False) -> dict:
     """VP8 payload (the 'VP8 ' chunk body) -> dict with uint8 planes
     ``y`` (h, w), ``u``/``v`` (ceil(h/2), ceil(w/2)) plus ``width`` /
-    ``height``.  Key frames only (every still WebP is one)."""
+    ``height``.  Key frames only (every still WebP is one).
+
+    ``strict=True`` refuses to decode while :data:`TABLES_UNVERIFIED`
+    is set — for callers that must not risk silently-wrong pixels on
+    wild files; the default emits a one-time RuntimeWarning instead."""
+    if TABLES_UNVERIFIED:
+        if strict:
+            raise ValueError(UNVERIFIED_TABLES_NOTE)
+        warnings.warn(UNVERIFIED_TABLES_NOTE, RuntimeWarning, stacklevel=2)
     if len(data) < 10:
         raise ValueError("truncated VP8 payload")
     tag = data[0] | (data[1] << 8) | (data[2] << 16)
@@ -1449,8 +1478,8 @@ def yuv420_to_rgba(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_vp8_rgba(data: bytes) -> np.ndarray:
-    f = decode_vp8(data)
+def decode_vp8_rgba(data: bytes, strict: bool = False) -> np.ndarray:
+    f = decode_vp8(data, strict=strict)
     return yuv420_to_rgba(f["y"], f["u"], f["v"])
 
 

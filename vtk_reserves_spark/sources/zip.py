@@ -56,11 +56,12 @@ def iter_zip(data: bytes, verify_crc: bool = True):
     eocd = len(data) - len(tail) + idx
     n_total, cen_size, cen_off = struct.unpack_from("<HII", data, eocd + 10)
     loc = data.rfind(_ZIP64_LOC_SIG, max(0, eocd - 20), eocd)
-    if loc >= 0 or 0xFFFF in (n_total,) or 0xFFFFFFFF in (cen_size, cen_off):
+    if loc >= 0:
         # ZIP64: the locator points at the EOCD64 record, whose
-        # 8-byte fields supersede any 0xFFFF/0xFFFFFFFF sentinels
-        if loc < 0:
-            raise ValueError("zip: ZIP64 sentinels without a locator")
+        # 8-byte fields supersede any 0xFFFF/0xFFFFFFFF sentinels.
+        # Without a locator the plain EOCD values stand even when a
+        # field happens to equal a sentinel — an archive with exactly
+        # 65535 entries is valid per APPNOTE with no ZIP64 records.
         (eocd64_off,) = struct.unpack_from("<Q", data, loc + 8)
         if data[eocd64_off : eocd64_off + 4] != b"PK\x06\x06":
             raise ValueError("zip: bad EOCD64 signature")
