@@ -3749,6 +3749,28 @@ def q_ivf_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_video_frames(attach_ivf_payload(docs)).drop("error")
 
 
+def q_h264_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264/HEVC parameter-set mining (sources/h264.py +
+    multimodal.video_codec_info): per doc a REAL SPS bitstream —
+    doc_id%2 picks the codec, doc_id%4<2 wraps it in an ISO-BMFF
+    stsd avcC/hvcC record (sources/mp4.py walks to it) vs a raw
+    Annex B stream (AUD + SPS + PPS NALs; the walk skips non-SPS
+    units).  Profile spans baseline/main/high/high10/high422
+    (H.264, both the implicit-4:2:0 and the chroma/bit-depth
+    extension syntax) and main/main10/mainstill/rext + both tiers
+    (HEVC); exact cropped dims exercise the CropUnit (H.264) and
+    conformance-window (HEVC) formulas.  Every surfaced field is a
+    doc_id closed form the oracle replays exactly — the
+    codec-allowlist / profile-ceiling / resolution-floor signals for
+    the dominant web video codecs, mined without a frame decoder."""
+    from vtk_reserves_spark.operators.multimodal import (
+        attach_video_codec_payload, video_codec_info,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return video_codec_info(attach_video_codec_payload(docs)).drop("error")
+
+
 def q_vp9_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VP9 key-frame header mining (sources/vp9.py inside
     sources/ivf.py containers): per doc a VP90 IVF whose key frame's
@@ -6582,6 +6604,57 @@ def _llm_oracles() -> dict[str, str]:
                    COALESCE(text, '') AS txt
             FROM documents
         """,
+        "h264_headers": """
+            -- closed form of the H.264/HEVC SPS fixture rule
+            -- (q_h264_headers): codec by doc_id%2, container by
+            -- doc_id%4, profile/tier/level/chroma/depth ladders per
+            -- codec, dims 320+2*(id%640) x 240+2*(id%360)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 < 2 THEN 'mp4' ELSE 'raw'
+                   END AS container,
+                   CASE WHEN doc_id % 4 >= 2 THEN 'annexb'
+                        WHEN doc_id % 2 = 0 THEN 'avcc' ELSE 'hvcc'
+                   END AS framing,
+                   CASE WHEN doc_id % 2 = 0 THEN 'h264' ELSE 'hevc'
+                   END AS codec,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN
+                          CASE CAST(doc_id % 5 AS INT)
+                            WHEN 0 THEN 66 WHEN 1 THEN 77
+                            WHEN 2 THEN 100 WHEN 3 THEN 110 ELSE 122
+                          END
+                        ELSE (doc_id % 8) // 2 + 1
+                   END AS INT) AS profile_idc,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                          CASE CAST(doc_id % 5 AS INT)
+                            WHEN 0 THEN 'baseline' WHEN 1 THEN 'main'
+                            WHEN 2 THEN 'high' WHEN 3 THEN 'high10'
+                            ELSE 'high422'
+                          END
+                        ELSE
+                          CASE CAST((doc_id % 8) // 2 AS INT)
+                            WHEN 0 THEN 'main' WHEN 1 THEN 'main10'
+                            WHEN 2 THEN 'mainstill' ELSE 'rext'
+                          END
+                   END AS profile,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                        ELSE (doc_id // 8) % 2 END AS INT) AS tier,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 30 + doc_id % 21
+                        ELSE 90 + 3 * (doc_id % 30)
+                   END AS INT) AS level_idc,
+                   CAST(320 + 2 * (doc_id % 640) AS INT) AS width,
+                   CAST(240 + 2 * (doc_id % 360) AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 4
+                        THEN 2 ELSE 1 END AS INT) AS chroma_format_idc,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN
+                          CASE WHEN doc_id % 5 IN (3, 4) THEN 10
+                               ELSE 8 END
+                        ELSE
+                          CASE CAST((doc_id % 8) // 2 AS INT)
+                            WHEN 1 THEN 10 WHEN 3 THEN 12 ELSE 8
+                          END
+                   END AS INT) AS bit_depth
+            FROM documents
+        """,
         "vp9_headers": """
             -- closed form of the VP9 header fixture rule
             -- (q_vp9_headers): profile doc_id%4; depth 8 below
@@ -7331,6 +7404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "av1_headers": q_av1_headers,
         "cbor": q_cbor,
         # --- new or fixture-changed in round 5 ---
+        "h264_headers": q_h264_headers,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,

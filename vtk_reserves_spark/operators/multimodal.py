@@ -1504,6 +1504,161 @@ def mp4_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
     return df.mapInPandas(run, MP4_SCHEMA)
 
 
+def attach_video_codec_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize an H.264/HEVC parameter-set carrier per row
+    (`sources/h264.py` builders): ``id % 2`` picks the codec,
+    ``id % 4 < 2`` wraps the SPS in a real MP4 ``stsd`` avcC/hvcC
+    record (`sources/mp4.py`) vs a raw Annex B elementary stream
+    (with a leading AUD NAL and trailing PPS, so the walk skips
+    non-SPS units); profile / tier / level / chroma / bit depth /
+    exact cropped dims all follow doc-id closed forms that span the
+    profile tables and both crop formulas."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_stream(doc_id: pd.Series) -> pd.Series:
+        from vtk_reserves_spark.sources.h264 import (
+            build_avcc, build_hvcc, build_sps_h264, build_sps_hevc,
+        )
+
+        out = []
+        for did in doc_id.astype("int64"):
+            did = int(did)
+            w = 320 + 2 * (did % 640)
+            h = 240 + 2 * (did % 360)
+            if did % 2 == 0:  # H.264
+                profile = [66, 77, 100, 110, 122][did % 5]
+                level = 30 + did % 21
+                chroma = 2 if profile == 122 else 1
+                depth = 10 if profile in (110, 122) else 8
+                sps = build_sps_h264(
+                    w, h, profile, level,
+                    chroma_format_idc=chroma, bit_depth=depth,
+                )
+                if did % 4 < 2:
+                    cfg = build_avcc([sps], [b"\x68\xce\x38\x80"])
+                    blob = _codec_mp4("avc1", "avcC", cfg, w, h)
+                else:
+                    blob = (b"\x00\x00\x00\x01\x09\x10"
+                            + b"\x00\x00\x00\x01" + sps
+                            + b"\x00\x00\x01\x68\xce\x38\x80")
+            else:  # HEVC
+                profile = (did % 8) // 2 + 1
+                tier = (did // 8) % 2
+                level = 90 + 3 * (did % 30)
+                depth = [8, 10, 8, 12][profile - 1]
+                sps = build_sps_hevc(
+                    w, h, profile, level, tier=tier, bit_depth=depth,
+                )
+                if did % 4 < 2:
+                    blob = _codec_mp4("hvc1", "hvcC", build_hvcc([sps]), w, h)
+                else:
+                    blob = (b"\x00\x00\x00\x01" + bytes([35 << 1, 1, 0x50])
+                            + b"\x00\x00\x00\x01" + sps)
+            out.append(blob)
+        return pd.Series(out)
+
+    return df.withColumn("payload", to_stream(F.col(id_col)))
+
+
+def _codec_mp4(fourcc: str, cfg_type: str, cfg: bytes, w: int, h: int) -> bytes:
+    from vtk_reserves_spark.sources.mp4 import build_mp4
+
+    return build_mp4(1.0, [{
+        "handler": "vide", "codec": fourcc, "track_id": 1,
+        "width": float(w), "height": float(h), "timescale": 600,
+        "duration": 600, "lang": "und", "n_samples": 1,
+        "sample_delta": 600, "codec_config": cfg,
+        "codec_config_type": cfg_type,
+    }])
+
+
+VIDEO_CODEC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("framing", T.StringType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("profile_idc", T.IntegerType()),
+    T.StructField("profile", T.StringType()),
+    T.StructField("tier", T.IntegerType()),
+    T.StructField("level_idc", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("chroma_format_idc", T.IntegerType()),
+    T.StructField("bit_depth", T.IntegerType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def video_codec_info(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """H.264/HEVC parameter-set mining over (doc_id, payload):
+    sniffs ISO-BMFF (walks to the ``stsd`` avcC/hvcC record via
+    `sources/mp4.py`) vs raw Annex B, parses the first SPS
+    (`sources/h264.py`) and surfaces profile / tier / level / exact
+    cropped dims / chroma format / bit depth — the codec-allowlist
+    and resolution-floor signals for the dominant web video codecs,
+    with NO frame decode (that stays the documented gap).
+
+    Scale shape mirrors `mp4_metadata`: Arrow-batched mapInPandas, a
+    bounded prefix walk (an SPS is <100 bytes; the MP4 walk never
+    touches ``mdat``), so throughput is scan-bound and there is no
+    shuffle.  ``on_error='null'`` quarantines corrupt structures
+    into ``error`` — the crawl posture."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    safe = on_error == "null"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vtk_reserves_spark.sources.h264 import stream_info
+        from vtk_reserves_spark.sources.mp4 import parse_mp4
+
+        cols = [f.name for f in VIDEO_CODEC_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for did, p in zip(b["doc_id"].astype("int64"), b["payload"]):
+                data = bytes(p)
+                try:
+                    if data[4:8] == b"ftyp":
+                        container = "mp4"
+                        meta = parse_mp4(data)
+                        cfg = next(
+                            (t["codec_config"] for t in meta["tracks"]
+                             if t.get("codec_config")),
+                            None,
+                        )
+                        if cfg is None:
+                            raise ValueError(
+                                "mp4: no avcC/hvcC codec configuration"
+                            )
+                        info = stream_info(cfg)
+                    else:
+                        container = "raw"
+                        info = stream_info(data)
+                    rows.append([
+                        int(did), container, info["framing"], info["codec"],
+                        info["profile_idc"], info["profile"],
+                        info.get("tier", 0), info["level_idc"],
+                        info["width"], info["height"],
+                        info["chroma_format_idc"], info["bit_depth_luma"],
+                        None,
+                    ])
+                except Exception as exc:
+                    if not safe:
+                        raise
+                    rows.append(
+                        [int(did)] + [None] * (len(cols) - 2)
+                        + [f"{type(exc).__name__}: {exc}"]
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("profile_idc", "tier", "level_idc", "width",
+                      "height", "chroma_format_idc", "bit_depth"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return df.mapInPandas(run, VIDEO_CODEC_SCHEMA)
+
+
 def attach_mp3_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a REAL MP3 per row (`sources/mp3.py` builder):
     ID3 text fields, CBR bitrate/sample-rate and frame count from

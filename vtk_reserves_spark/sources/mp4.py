@@ -127,6 +127,18 @@ def _parse_stbl(data: bytes, b: int, e: int) -> dict:
                 out["channels"], = struct.unpack_from(">H", data, entry + 16)
                 sr, = struct.unpack_from(">I", data, entry + 24)
                 out["sample_rate"] = sr >> 16
+            else:
+                # VisualSampleEntry: codec-config child boxes (avcC/
+                # hvcC) start after its 78 fixed bytes; surfaced raw
+                # for sources/h264.py parameter-set mining
+                (esize,) = struct.unpack_from(">I", data, off + 4)
+                entry_end = min(off + 4 + esize, e)
+                if entry + 70 <= entry_end:
+                    for cfc, cb, ce in _walk_boxes(data, entry + 78, entry_end):
+                        if cfc in (b"avcC", b"hvcC"):
+                            out["codec_config"] = data[cb:ce]
+                            out["codec_config_type"] = cfc.decode()
+                            break
     stts = _find(data, b, e, b"stts")
     if stts:
         _, off = _fullbox(data, stts[0])
@@ -294,6 +306,12 @@ def build_mp4(
                 + struct.pack(">I", t["sample_rate"] << 16),
             )
         else:
+            cfg = b""
+            if t.get("codec_config"):
+                cfg = _box(
+                    t.get("codec_config_type", "avcC").encode(),
+                    t["codec_config"],
+                )
             entry = _box(
                 t["codec"].encode(),
                 b"\x00" * 6 + struct.pack(">H", 1)
@@ -303,7 +321,8 @@ def build_mp4(
                 + struct.pack(">II", 0x00480000, 0x00480000)
                 + b"\x00" * 4 + struct.pack(">H", 1)
                 + b"\x00" * 32
-                + struct.pack(">Hh", 0x18, -1),
+                + struct.pack(">Hh", 0x18, -1)
+                + cfg,
             )
         stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
         stts = _full(
