@@ -3219,6 +3219,126 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_avro(spark, td + "/*.avro", schema)
 
 
+_AVRO_COMPLEX_SCHEMA = {
+    "type": "record", "name": "Doc", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "int"}},
+        {"name": "color", "type": {"type": "enum", "name": "Color",
+                                   "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "fp", "type": {"type": "fixed", "name": "FP", "size": 4}},
+        {"name": "price", "type": {"type": "bytes",
+                                   "logicalType": "decimal",
+                                   "precision": 10, "scale": 2}},
+        {"name": "born", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "addr", "type": ["null", {
+            "type": "record", "name": "Addr", "fields": [
+                {"name": "street", "type": "string"},
+                {"name": "zip", "type": "int"},
+            ]}]},
+        {"name": "alt", "type": ["string", "long", "null"]},
+    ],
+}
+
+
+def q_avro_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro complex + logical types (sources/avro.py): per batch the
+    documents become REAL deflate-coded OCF bytes whose schema spans
+    the full type system — nested record (nullable via union),
+    array, map, enum, fixed, a GENERAL three-branch union (string |
+    long | null, branch by doc_id%3), plus decimal / date /
+    timestamp-micros logical types — then decode and flatten.  Every
+    surfaced field is a doc_id closed form the oracle replays:
+    the encoder's union-branch resolution, the zigzag/varint block
+    coding, map/array block framing, two's-complement decimal
+    unscaling and the epoch-day/epoch-micro conversions all sit
+    under the hash."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tags", T.IntegerType()),
+        T.StructField("first_tag", T.StringType()),
+        T.StructField("attr_x", T.IntegerType()),
+        T.StructField("attr_y", T.IntegerType()),
+        T.StructField("color", T.StringType()),
+        T.StructField("fp_hex", T.StringType()),
+        T.StructField("price_cents", T.LongType()),
+        T.StructField("born", T.StringType()),
+        T.StructField("ts_micros", T.LongType()),
+        T.StructField("street", T.StringType()),
+        T.StructField("zip", T.IntegerType()),
+        T.StructField("alt_str", T.StringType()),
+        T.StructField("alt_long", T.LongType()),
+    ])
+
+    def run(batches):
+        import datetime
+        import decimal
+
+        from vtk_reserves_spark.sources.avro import (
+            read_avro_bytes, write_avro_bytes,
+        )
+
+        epoch_d = datetime.date(1970, 1, 1)
+        epoch = datetime.datetime(1970, 1, 1)
+        for b in batches:
+            rows = []
+            for did in b["doc_id"].astype("int64"):
+                did = int(did)
+                n = did % 4
+                cents = (did * 7919) % 1000000 - 500000
+                alt = ["s%d" % (did % 97), did * 3, None][did % 3]
+                rows.append({
+                    "id": did,
+                    "tags": ["tag%d" % ((did + i) % 10) for i in range(n)],
+                    "attrs": {"x": did % 100, "y": -(did % 50)},
+                    "color": ["RED", "GREEN", "BLUE"][did % 3],
+                    "fp": (did % (1 << 32)).to_bytes(4, "big"),
+                    "price": decimal.Decimal(cents).scaleb(-2),
+                    "born": epoch_d + datetime.timedelta(days=did % 20000),
+                    "ts": epoch + datetime.timedelta(
+                        microseconds=did * 1000003 % 10**14
+                    ),
+                    "addr": None if did % 3 == 0 else {
+                        "street": "St %d" % (did % 1000),
+                        "zip": did % 90000 + 10000,
+                    },
+                    "alt": alt,
+                })
+            blob = write_avro_bytes(
+                _AVRO_COMPLEX_SCHEMA, rows,
+                codec="deflate", rows_per_block=100,
+            )
+            _, got = read_avro_bytes(blob)
+            out = []
+            for r in got:
+                d = r["ts"] - epoch
+                micros = (d.days * 86400 + d.seconds) * 10**6 + d.microseconds
+                out.append([
+                    r["id"], len(r["tags"]),
+                    r["tags"][0] if r["tags"] else None,
+                    r["attrs"]["x"], r["attrs"]["y"], r["color"],
+                    r["fp"].hex(),
+                    int(r["price"].scaleb(2).to_integral_value()),
+                    r["born"].isoformat(), micros,
+                    r["addr"]["street"] if r["addr"] else None,
+                    r["addr"]["zip"] if r["addr"] else None,
+                    r["alt"] if isinstance(r["alt"], str) else None,
+                    r["alt"] if isinstance(r["alt"], int) else None,
+                ])
+            pdf = pd.DataFrame(out, columns=[f.name for f in schema])
+            pdf["zip"] = pd.array(pdf["zip"], dtype="Int32")
+            pdf["alt_long"] = pd.array(pdf["alt_long"], dtype="Int64")
+            yield pdf
+
+    return docs.mapInPandas(run, schema)
+
+
 def q_protobuf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-less protobuf field census (sources/protobuf.py):
     each doc becomes a REAL wire-format message — varint, LEN
@@ -6952,6 +7072,41 @@ def _llm_oracles() -> dict[str, str]:
                    doc_id % 2 = 1 AS flag
             FROM documents
         """,
+        "avro_complex": """
+            -- closed form of the Avro complex-type fixture rule
+            -- (q_avro_complex): array/map/enum/fixed/general-union
+            -- plus decimal/date/timestamp-micros logical types, all
+            -- doc_id arithmetic
+            SELECT doc_id,
+                   CAST(doc_id % 4 AS INT) AS n_tags,
+                   CASE WHEN doc_id % 4 = 0 THEN NULL
+                        ELSE 'tag' || CAST(doc_id % 10 AS VARCHAR)
+                   END AS first_tag,
+                   CAST(doc_id % 100 AS INT) AS attr_x,
+                   CAST(-(doc_id % 50) AS INT) AS attr_y,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'RED' WHEN 1 THEN 'GREEN' ELSE 'BLUE'
+                   END AS color,
+                   printf('%08x', doc_id % 4294967296) AS fp_hex,
+                   (doc_id * 7919) % 1000000 - 500000 AS price_cents,
+                   CAST(DATE '1970-01-01'
+                        + CAST(doc_id % 20000 AS INT) AS VARCHAR) AS born,
+                   (doc_id * 1000003) % 100000000000000 AS ts_micros,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL
+                        ELSE 'St ' || CAST(doc_id % 1000 AS VARCHAR)
+                   END AS street,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL
+                        ELSE CAST(doc_id % 90000 + 10000 AS INT)
+                   END AS zip,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 's' || CAST(doc_id % 97 AS VARCHAR)
+                        ELSE NULL
+                   END AS alt_str,
+                   CASE WHEN doc_id % 3 = 1 THEN doc_id * 3
+                        ELSE NULL
+                   END AS alt_long
+            FROM documents
+        """,
         "stream_media": """
             -- closed form of the streaming-media fixture rule
             -- (q_stream_media): container rotates by doc_id%4;
@@ -7405,6 +7560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cbor": q_cbor,
         # --- new or fixture-changed in round 5 ---
         "h264_headers": q_h264_headers,
+        "avro_complex": q_avro_complex,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,

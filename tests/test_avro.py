@@ -65,18 +65,22 @@ def test_corrupt_raises():
 
 
 def test_unsupported_schema_rejected():
-    bad = {"type": "record", "name": "x", "fields": [
-        {"name": "m", "type": {"type": "map", "values": "string"}},
+    # maps and general unions are now first-class; what still raises:
+    # unknown named types, non-record top level, bad enum symbols
+    with pytest.raises(ValueError, match="unknown type name"):
+        write_avro_bytes({"type": "record", "name": "x", "fields": [
+            {"name": "r", "type": "NoSuchType"},
+        ]}, [])
+    with pytest.raises(ValueError, match="top level"):
+        read_avro_bytes(write_avro_bytes(
+            {"type": "record", "name": "x", "fields": []}, []
+        ).replace(b'"record"', b'"string"', 1))
+    enum_schema = {"type": "record", "name": "x", "fields": [
+        {"name": "c", "type": {"type": "enum", "name": "C",
+                               "symbols": ["A", "B"]}},
     ]}
-    with pytest.raises(ValueError):
-        write_avro_bytes(bad, [])
-    with pytest.raises(ValueError):
-        write_avro_bytes(
-            {"type": "record", "name": "x", "fields": [
-                {"name": "u", "type": ["string", "long"]},
-            ]},
-            [],
-        )
+    with pytest.raises(ValueError, match="enum symbol"):
+        write_avro_bytes(enum_schema, [{"c": "Z"}])
 
 
 def test_spark_read_avro(spark, tmp_path):
@@ -102,3 +106,115 @@ def test_spark_schema_drift_raises(spark, tmp_path):
     other = dict(SCHEMA, name="other")
     with pytest.raises(Exception, match="differs"):
         read_avro(spark, str(tmp_path / "*.avro"), other).collect()
+
+
+COMPLEX_SCHEMA = {
+    "type": "record", "name": "Doc", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "int"}},
+        {"name": "color", "type": {"type": "enum", "name": "Color",
+                                   "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "fp", "type": {"type": "fixed", "name": "FP", "size": 4}},
+        {"name": "price", "type": {"type": "bytes",
+                                   "logicalType": "decimal",
+                                   "precision": 10, "scale": 2}},
+        {"name": "born", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "addr", "type": ["null", {
+            "type": "record", "name": "Addr", "fields": [
+                {"name": "street", "type": "string"},
+                {"name": "zip", "type": "int"},
+            ]}]},
+        {"name": "alt", "type": ["string", "long", "null"]},
+    ],
+}
+
+
+def _complex_rows():
+    import datetime
+    import decimal
+
+    return [
+        {
+            "id": 1, "tags": ["a", "b"], "attrs": {"x": 1, "y": -2},
+            "color": "GREEN", "fp": b"\x01\x02\x03\x04",
+            "price": decimal.Decimal("123.45"),
+            "born": datetime.date(1999, 12, 31),
+            "ts": datetime.datetime(2020, 6, 1, 12, 30, 15, 123456),
+            "addr": {"street": "Main St 5", "zip": 12345},
+            "alt": "s-branch",
+        },
+        {
+            "id": -2, "tags": [], "attrs": {},
+            "color": "RED", "fp": b"\xff\xfe\xfd\xfc",
+            "price": decimal.Decimal("-0.07"),
+            "born": datetime.date(1970, 1, 1),
+            "ts": datetime.datetime(1969, 12, 31, 23, 59, 59),
+            "addr": None,
+            "alt": 77,
+        },
+    ]
+
+
+def test_complex_types_roundtrip():
+    rows = _complex_rows()
+    for codec in ("null", "deflate"):
+        schema, got = read_avro_bytes(
+            write_avro_bytes(COMPLEX_SCHEMA, rows, codec=codec)
+        )
+        assert got == rows, codec
+
+
+def test_recursive_named_type():
+    schema = {"type": "record", "name": "Node", "fields": [
+        {"name": "v", "type": "int"},
+        {"name": "next", "type": ["null", "Node"]},
+    ]}
+    rows = [{"v": 1, "next": {"v": 2, "next": {"v": 3, "next": None}}}]
+    _, got = read_avro_bytes(write_avro_bytes(schema, rows))
+    assert got == rows
+
+
+def test_fixed_decimal_and_uuid():
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "d", "type": {"type": "fixed", "name": "Dec", "size": 8,
+                               "logicalType": "decimal",
+                               "precision": 18, "scale": 4}},
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+    ]}
+    import decimal
+
+    rows = [{"d": decimal.Decimal("-12345.6789"),
+             "u": "0f8fad5b-d9cb-469f-a165-70867728950e"}]
+    _, got = read_avro_bytes(write_avro_bytes(schema, rows))
+    assert got == rows
+
+
+def test_spark_read_avro_nested(spark, tmp_path):
+    import decimal
+
+    from vtk_reserves_spark.sources.avro import read_avro
+
+    # general unions (the "alt" field) have no Spark column type by
+    # design — read over the Spark-mappable subset of the schema
+    schema = dict(
+        COMPLEX_SCHEMA,
+        fields=[f for f in COMPLEX_SCHEMA["fields"] if f["name"] != "alt"],
+    )
+    rows = [{k: v for k, v in r.items() if k != "alt"}
+            for r in _complex_rows()]
+    p = tmp_path / "nested.avro"
+    p.write_bytes(write_avro_bytes(schema, rows))
+    df = read_avro(spark, str(p), schema)
+    assert df.schema["addr"].dataType.typeName() == "struct"
+    assert df.schema["tags"].dataType.typeName() == "array"
+    assert df.schema["attrs"].dataType.typeName() == "map"
+    assert df.schema["price"].dataType.simpleString() == "decimal(10,2)"
+    out = {r.id: r for r in df.collect()}
+    assert out[1].addr.street == "Main St 5" and out[1].addr.zip == 12345
+    assert out[1].attrs == {"x": 1, "y": -2}
+    assert out[1].price == decimal.Decimal("123.45")
+    assert out[-2].addr is None and out[-2].tags == []
+    assert str(out[1].born) == "1999-12-31"
