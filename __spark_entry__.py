@@ -3534,13 +3534,18 @@ def q_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_segy_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SEG-Y seismic ingestion (sources/segy.py): each doc becomes a
-    REAL rev-1 SEG-Y — EBCDIC vs ASCII textual header by doc_id%2,
-    sample format rotating IEEE / IBM-hex-float / int16 by doc_id%3
-    (IBM System/360 float encode+decode is exact on the integer
-    fixture samples), doc_id%4+1 traces of 16 closed-form samples —
-    parsed back to one row per trace with header fields and
-    amplitude stats.  The oracle replays the synthesis arithmetic
+    """SEG-Y seismic ingestion (sources/segy.py, rev 1 + rev 2):
+    each doc becomes a REAL SEG-Y — EBCDIC vs ASCII textual header
+    by doc_id%2, all seven sample formats by doc_id%7 (IBM
+    System/360 float encode+decode is exact on the integer fixture
+    samples; i32/f64/i64 are the rev-2 additions), doc_id%4+1
+    traces of 16 closed-form samples.  doc_id%3==0 emits a rev-2.0
+    file with the 64-bit declared trace count, the explicit
+    first-trace byte offset and (doc_id//3)%3 additional 240-byte
+    trace header blocks; doc_id%2==1 adds an Extended Textual File
+    Header record (legal since rev 1).  Parsed back to one row per
+    trace with revision/extension fields, trace headers and
+    amplitude stats; the oracle replays the synthesis arithmetic
     including the per-trace sample reductions (a range-join replay
     of the (did+7t+i)%32-16 sample rule)."""
     import pandas as pd
@@ -3552,6 +3557,10 @@ def q_segy_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("doc_id", T.LongType()),
         T.StructField("fmt", T.StringType()),
         T.StructField("text_ok", T.BooleanType()),
+        T.StructField("rev_major", T.IntegerType()),
+        T.StructField("n_ext_text", T.IntegerType()),
+        T.StructField("n_add", T.IntegerType()),
+        T.StructField("ext_ok", T.BooleanType()),
         T.StructField("n_samples", T.IntegerType()),
         T.StructField("cdp", T.IntegerType()),
         T.StructField("inline", T.IntegerType()),
@@ -3566,11 +3575,14 @@ def q_segy_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from vtk_reserves_spark.sources.segy import build_segy, parse_segy
 
+        fmts = ["ieee", "ibm", "i16", "i32", "f64", "i8", "i64"]
         for b in batches:
             rows = []
             for did in b["doc_id"].astype("int64"):
                 did = int(did)
-                fmt = ["ieee", "ibm", "i16"][did % 3]
+                fmt = fmts[did % 7]
+                rev2 = did % 3 == 0
+                n_ext = did % 2
                 traces = []
                 for t in range(did % 4 + 1):
                     samples = (did + 7 * t + np.arange(16)) % 32 - 16
@@ -3582,12 +3594,21 @@ def q_segy_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blob = build_segy(
                     f"C 1 DOC {did}", traces, fmt,
                     ebcdic=bool(did % 2),
+                    revision=(2, 0) if rev2 else (1, 0),
+                    ext_text_lines=[f"C 2 EXT {did}"] * n_ext,
+                    n_add_trace_headers=(did // 3) % 3 if rev2 else 0,
                 )
                 m = parse_segy(blob)
+                ext_ok = bool(
+                    m["ext_text_headers"]
+                    and m["ext_text_headers"][0] == f"C 2 EXT {did}"
+                )
                 for hdr, s in m["traces"]:
                     rows.append([
                         did, m["fmt"],
                         m["text_header"] == f"C 1 DOC {did}",
+                        m["rev_major"], len(m["ext_text_headers"]),
+                        m["n_add_trace_headers"], ext_ok,
                         int(m["samples_per_trace"]),
                         hdr["cdp"], hdr["inline"], hdr["crossline"],
                         float(s.min()), float(s.max()),
@@ -6929,10 +6950,18 @@ def _llm_oracles() -> dict[str, str]:
               GROUP BY tr.doc_id, tr.t
             )
             SELECT doc_id,
-                   CASE CAST(doc_id % 3 AS INT)
+                   CASE CAST(doc_id % 7 AS INT)
                      WHEN 0 THEN 'ieee' WHEN 1 THEN 'ibm'
-                     ELSE 'i16' END AS fmt,
+                     WHEN 2 THEN 'i16' WHEN 3 THEN 'i32'
+                     WHEN 4 THEN 'f64' WHEN 5 THEN 'i8'
+                     ELSE 'i64' END AS fmt,
                    TRUE AS text_ok,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1
+                        END AS INT) AS rev_major,
+                   CAST(doc_id % 2 AS INT) AS n_ext_text,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id // 3) % 3
+                        ELSE 0 END AS INT) AS n_add,
+                   doc_id % 2 = 1 AS ext_ok,
                    16::INT AS n_samples,
                    CAST(doc_id * 10 + t AS INT) AS cdp,
                    CAST(doc_id % 100 AS INT) AS inline,
@@ -7561,6 +7590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new or fixture-changed in round 5 ---
         "h264_headers": q_h264_headers,
         "avro_complex": q_avro_complex,
+        "segy_traces": q_segy_traces,  # fixture now exercises rev-2
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
@@ -7726,7 +7756,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mbox_mail": q_mbox_mail,
         "bitext_pairs": q_bitext_pairs,
         "binary_auc": q_binary_auc,
-        "segy_traces": q_segy_traces,
         "gslib_table": q_gslib_table,
         "surpac_strings": q_surpac_strings,
         "html_tables": q_html_tables,

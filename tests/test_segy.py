@@ -78,3 +78,63 @@ def test_spark_query(spark):
     assert r.fmt == "i16" and r.cdp == 21 and r.text_ok
     samples = (2 + 7 * 1 + np.arange(16)) % 32 - 16
     assert r.smin == samples.min() and r.smean == samples.mean()
+
+
+def test_rev2_roundtrip():
+    import numpy as np
+
+    traces = [({"trace_seq": 1, "cdp": 7, "inline": 3, "crossline": 0},
+               np.arange(8) - 4)]
+    blob = build_segy(
+        "C 1 REV2", traces, "f64", revision=(2, 0),
+        ext_text_lines=["C 2 FIRST EXT", "C 2 SECOND EXT"],
+        n_add_trace_headers=2,
+    )
+    m = parse_segy(blob)
+    assert (m["rev_major"], m["rev_minor"]) == (2, 0)
+    assert m["ext_text_headers"] == ["C 2 FIRST EXT", "C 2 SECOND EXT"]
+    assert m["n_add_trace_headers"] == 2 and m["fmt"] == "f64"
+    assert len(m["traces"]) == 1
+    hdr, s = m["traces"][0]
+    assert hdr["cdp"] == 7 and list(s) == list(range(-4, 4))
+
+
+def test_rev2_formats_exact():
+    import numpy as np
+
+    vals = np.array([-32000, -1, 0, 1, 32000], float)
+    for fmt in ("i32", "f64", "i64"):
+        m = parse_segy(build_segy("C", [({}, vals)], fmt, revision=(2, 0)))
+        assert list(m["traces"][0][1]) == list(vals), fmt
+
+
+def test_rev1_ext_text_headers():
+    import numpy as np
+
+    blob = build_segy("C 1", [({}, np.zeros(4))], "i16",
+                      ext_text_lines=["C 2 EXT"], ebcdic=False)
+    m = parse_segy(blob)
+    assert m["rev_major"] == 1 and m["ext_text_headers"] == ["C 2 EXT"]
+
+
+def test_rev2_declared_count_mismatch_raises():
+    import struct
+
+    import numpy as np
+
+    blob = bytearray(build_segy("C", [({}, np.zeros(4)), ({}, np.zeros(4))],
+                                "i16", revision=(2, 0)))
+    struct.pack_into(">Q", blob, 3200 + 312, 5)  # claim 5 traces
+    with pytest.raises(ValueError, match="declared"):
+        parse_segy(bytes(blob))
+
+
+def test_variable_ext_headers_rejected():
+    import struct
+
+    import numpy as np
+
+    blob = bytearray(build_segy("C", [({}, np.zeros(4))], "i16"))
+    struct.pack_into(">h", blob, 3200 + 304, -1)
+    with pytest.raises(ValueError, match="variable"):
+        parse_segy(bytes(blob))
