@@ -81,3 +81,49 @@ def test_robots_allowed_dataframe(spark):
     # scale shape: no shuffle — the rules ride a broadcast variable
     plan = robots_allowed(df, robots)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_robots_allowed_join_matches_broadcast(spark):
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from vtk_reserves_spark.functions.robots import (
+        robots_allowed, robots_allowed_join,
+    )
+
+    robots = {
+        "example.com": "User-agent: *\nDisallow: /private/\nAllow: /private/ok",
+        "blocked.org": "User-agent: *\nDisallow: /",
+    }
+    urls = [
+        "https://www.example.com/private/x",
+        "https://www.example.com/private/ok/page",
+        "https://example.com/public",
+        "https://blocked.org/anything",
+        "https://norules.net/a",
+        "not a url at all",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": urls}),
+        T.StructType([T.StructField("url", T.StringType())]),
+    )
+    rdf = spark.createDataFrame(
+        pd.DataFrame({
+            "domain": list(robots),
+            "robots_txt": [robots[d] for d in robots],
+        }),
+    )
+    via_join = robots_allowed_join(df, rdf)
+    a = {r.url: r.robots_allowed for r in via_join.collect()}
+    b = {r.url: r.robots_allowed
+         for r in robots_allowed(df, robots).collect()}
+    assert a == b
+    assert a["https://www.example.com/private/x"] is False
+    assert a["https://www.example.com/private/ok/page"] is True
+    assert a["https://norules.net/a"] is True
+    assert a["not a url at all"] is None
+    # plan shape: an equi-join on the registered-domain key, never a
+    # cartesian product — the 10^8-domain-safe shape
+    plan = via_join._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan and "_rb_dom" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

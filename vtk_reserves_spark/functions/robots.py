@@ -116,7 +116,14 @@ def robots_allowed(
     per-domain rule lists are BROADCAST (robots corpora are KB-scale
     per domain; URLs are the big side) and each Arrow batch is
     evaluated executor-side with per-domain regex caching.  Domains
-    without a robots.txt default to allowed (the REP convention)."""
+    without a robots.txt default to allowed (the REP convention).
+
+    SCALE BOUND: the dict is serialized to every executor, so this
+    path is right up to roughly 10^5-10^6 domains (tens of MB of
+    rules) — a curated allow/deny corpus.  A full-crawl rule set
+    (10^7-10^8 domains, GBs) is no longer broadcast-sized: use
+    :func:`robots_allowed_join`, which ships the rules as a
+    DataFrame and reaches URLs through an equi-join instead."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -153,3 +160,67 @@ def robots_allowed(
     host = url_host(F.col(url_col))
     path = url_path(F.col(url_col))
     return df.withColumn(out_col, allowed(host, path))
+
+
+def robots_allowed_join(
+    df,
+    robots_df,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+    user_agent: str = "*",
+    out_col: str = "robots_allowed",
+):
+    """Distributed twin of :func:`robots_allowed` for rule corpora
+    BEYOND broadcast size (a full-crawl robots snapshot: 10^7-10^8
+    domains, GBs of text).  ``robots_df`` carries ``(domain_col,
+    robots_col)`` rows keyed by REGISTERED domain; URLs reach their
+    rules through a left equi-join on the registered domain of the
+    URL host (`functions/urls.registered_domain`), then an
+    Arrow-batched pandas UDF parses and evaluates the joined rules
+    with a per-batch parse cache (one parse per distinct robots.txt
+    per batch — hot domains amortize).
+
+    Scale shape: one shuffle on the registered domain.  Catalyst
+    picks broadcast-hash automatically when ``robots_df`` IS small,
+    so this is safe to use at any size; mega-domain key skew is the
+    standard AQE skew-join case (spark.sql.adaptive.enabled).
+    Domains without a row default to allowed (the REP convention);
+    URLs whose host cannot be parsed yield NULL, matching the
+    broadcast path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from vtk_reserves_spark.functions.urls import (
+        registered_domain, url_host, url_path,
+    )
+
+    host = url_host(F.col(url_col))
+    keyed = df.withColumn("_rb_host", host).withColumn(
+        "_rb_dom", registered_domain(F.col("_rb_host"))
+    ).withColumn("_rb_path", url_path(F.col(url_col)))
+    rules = robots_df.select(
+        F.col(domain_col).alias("_rb_dom"),
+        F.col(robots_col).alias("_rb_txt"),
+    )
+    joined = keyed.join(rules, on="_rb_dom", how="left")
+
+    @F.pandas_udf(T.BooleanType())
+    def allowed(txt: pd.Series, path: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t, p in zip(txt, path):
+            if t is None:
+                out.append(True)
+                continue
+            rl = cache.get(t)
+            if rl is None:
+                rl = cache[t] = parse_robots(t, user_agent)
+            out.append(robots_match(rl, p or "/"))
+        return pd.Series(out, dtype="object")
+
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("_rb_host").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(allowed(F.col("_rb_txt"), F.col("_rb_path"))),
+    ).drop("_rb_host", "_rb_dom", "_rb_path", "_rb_txt")
