@@ -3851,8 +3851,9 @@ def q_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transfer-compression normalization
     (multimodal.decompress_media): every doc's text is compressed
     with a rotating codec (gzip / bzip2 / xz / zlib / zstd /
-    passthrough by doc_id%6 — every stdlib magic plus the repo's
-    zstd and the no-magic fallthrough), then sniffed and
+    passthrough / LZ4 frame / Snappy framing by doc_id%8 — every
+    stdlib magic plus the repo's pure-python zstd, lz4 and snappy
+    codecs and the no-magic fallthrough), then sniffed and
     decompressed back.  The text round-trips exactly and the codec
     label replays the rotation under the oracle."""
     from vtk_reserves_spark.operators.multimodal import (
@@ -6857,14 +6858,15 @@ def _llm_oracles() -> dict[str, str]:
         """,
         "decompress": """
             -- closed form of the decompress fixture rule
-            -- (q_decompress): codec rotates by doc_id%6 (plain text
+            -- (q_decompress): codec rotates by doc_id%8 (plain text
             -- sniffs as 'none'); text round-trips; n_bytes is the
             -- UTF-8 length
             SELECT doc_id,
-                   CASE CAST(doc_id % 6 AS INT)
+                   CASE CAST(doc_id % 8 AS INT)
                      WHEN 0 THEN 'gzip' WHEN 1 THEN 'bzip2'
                      WHEN 2 THEN 'xz' WHEN 3 THEN 'zlib'
-                     WHEN 4 THEN 'zstd' ELSE 'none'
+                     WHEN 4 THEN 'zstd' WHEN 6 THEN 'lz4'
+                     WHEN 7 THEN 'snappy' ELSE 'none'
                    END AS codec,
                    CAST(octet_length(encode(COALESCE(text, '')))
                         AS BIGINT) AS n_bytes,

@@ -2113,9 +2113,10 @@ def font_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
 
 def sniff_compression(payload: bytes) -> str | None:
     """Magic-byte compression detection: gzip / bzip2 / xz / zstd /
-    zlib (raw deflate streams have no magic and return None, like
+    lz4 (frame) / snappy (framing format) / zlib (raw deflate and
+    raw snappy blocks have no magic and return None, like
     uncompressed data)."""
-    p = bytes(payload[:6]) if payload else b""
+    p = bytes(payload[:10]) if payload else b""
     if p[:2] == b"\x1f\x8b":
         return "gzip"
     if p[:3] == b"BZh":
@@ -2124,6 +2125,10 @@ def sniff_compression(payload: bytes) -> str | None:
         return "xz"
     if p[:4] == b"\x28\xb5\x2f\xfd":
         return "zstd"
+    if p[:4] == b"\x04\x22\x4d\x18":
+        return "lz4"
+    if p[:10] == b"\xff\x06\x00\x00sNaPpY":
+        return "snappy"
     if len(p) >= 2 and p[0] == 0x78 and ((p[0] << 8) | p[1]) % 31 == 0:
         return "zlib"
     return None
@@ -2152,6 +2157,14 @@ def decompress_payload(payload: bytes) -> tuple[str, bytes]:
         from vtk_reserves_spark.sources.zstd import decompress as _zd
 
         return codec, _zd(bytes(payload))
+    if codec == "lz4":
+        from vtk_reserves_spark.sources.lz4 import decompress_frame
+
+        return codec, decompress_frame(bytes(payload))
+    if codec == "snappy":
+        from vtk_reserves_spark.sources.snappy import decompress_framed
+
+        return codec, decompress_framed(bytes(payload))
     if codec == "zlib":
         import zlib as _zlib
 
@@ -2163,9 +2176,9 @@ def attach_compressed_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Compress each row's text with a rotating transfer codec
-    (``id % 6``: gzip / bzip2 / xz / zlib / zstd / passthrough) —
-    every magic `sniff_compression` knows plus the no-magic
-    fallthrough, under one oracle."""
+    (``id % 8``: gzip / bzip2 / xz / zlib / zstd / passthrough /
+    lz4 frame / snappy framing) — every magic `sniff_compression`
+    knows plus the no-magic fallthrough, under one oracle."""
 
     @F.pandas_udf(T.BinaryType())
     def to_compressed(doc_id: pd.Series, text: pd.Series) -> pd.Series:
@@ -2174,13 +2187,17 @@ def attach_compressed_payload(
         import lzma as _lzma
         import zlib as _zlib
 
+        from vtk_reserves_spark.sources.lz4 import (
+            compress_frame as _lz4_frame,
+        )
+        from vtk_reserves_spark.sources.snappy import compress_framed
         from vtk_reserves_spark.sources.zstd import compress_frame
 
         out = []
         for did, t in zip(doc_id.astype("int64"), text):
             did = int(did)
             raw = (t or "").encode()
-            k = did % 6
+            k = did % 8
             if k == 0:
                 out.append(_gzip.compress(raw, mtime=0))
             elif k == 1:
@@ -2191,6 +2208,10 @@ def attach_compressed_payload(
                 out.append(_zlib.compress(raw))
             elif k == 4:
                 out.append(compress_frame(raw))
+            elif k == 6:
+                out.append(_lz4_frame(raw, block_checksums=did % 2 == 0))
+            elif k == 7:
+                out.append(compress_framed(raw))
             else:
                 out.append(raw)
         return pd.Series(out)
