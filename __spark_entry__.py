@@ -3913,6 +3913,53 @@ def q_h264_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_codec_info(attach_video_codec_payload(docs)).drop("error")
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level main-content extraction (functions/extract.py —
+    the jusText/boilerpipe-shaped curation step, PURE Catalyst):
+    each doc becomes a synthesized page — nav bar (all links),
+    headline, doc_id%3+1 prose paragraphs, a too-short fragment and
+    a link-dense footer, built with concat/transform so the whole
+    query runs inside codegen with zero Python — then segmented at
+    block-tag boundaries and classified by word count + link
+    density.  The extracted text and the four block counters replay
+    the synthesis closed form under the oracle."""
+    from vtk_reserves_spark.functions.extract import main_content
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    n = (F.col("doc_id") % 3 + 1).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda k: F.concat(
+            F.lit("<p>Paragraph "), k.cast("string"),
+            F.lit(" of document "), did,
+            F.lit(" brings sufficient prose volume for extraction.</p>"),
+        ),
+    )
+    html = F.concat(
+        F.lit(
+            "<html><head><title>Meta</title></head><body>"
+            '<nav><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/c">Contact</a></nav><h1>Document '
+        ),
+        did, F.lit(" Title Words Here Now</h1>"),
+        F.array_join(paras, ""),
+        F.lit(
+            '<p>Short.</p><footer><a href="/p">Privacy</a> &amp; '
+            '<a href="/t">Terms</a></footer></body></html>'
+        ),
+    )
+    m = main_content(html)
+    return docs.select(
+        "doc_id",
+        m.getField("n_blocks").alias("n_blocks"),
+        m.getField("n_content").alias("n_content"),
+        m.getField("n_boilerplate").alias("n_boilerplate"),
+        m.getField("content_chars").alias("content_chars"),
+        m.getField("text").alias("main_text"),
+    )
+
+
 def q_vp9_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VP9 key-frame header mining (sources/vp9.py inside
     sources/ivf.py containers): per doc a VP90 IVF whose key frame's
@@ -7103,6 +7150,40 @@ def _llm_oracles() -> dict[str, str]:
                    doc_id % 2 = 1 AS flag
             FROM documents
         """,
+        "main_content": """
+            -- closed form of the main-content fixture rule
+            -- (q_main_content): nav/short/footer are boilerplate,
+            -- headline + doc_id%3+1 paragraphs are content
+            WITH p AS (
+              SELECT d.doc_id, k.k
+              FROM documents d
+              JOIN (SELECT range + 1 AS k FROM range(3)) k
+                ON k.k <= d.doc_id % 3 + 1
+            ), agg AS (
+              SELECT doc_id,
+                     STRING_AGG(
+                       'Paragraph ' || CAST(k AS VARCHAR)
+                       || ' of document ' || CAST(doc_id AS VARCHAR)
+                       || ' brings sufficient prose volume for'
+                       || ' extraction.',
+                       chr(10) ORDER BY k) AS paras,
+                     COUNT(*) AS n
+              FROM p GROUP BY doc_id
+            ), m AS (
+              SELECT doc_id, n,
+                     'Document ' || CAST(doc_id AS VARCHAR)
+                     || ' Title Words Here Now' || chr(10) || paras
+                       AS main_text
+              FROM agg
+            )
+            SELECT doc_id,
+                   CAST(n + 4 AS INT) AS n_blocks,
+                   CAST(n + 1 AS INT) AS n_content,
+                   3::INT AS n_boilerplate,
+                   CAST(LENGTH(main_text) AS INT) AS content_chars,
+                   main_text
+            FROM m
+        """,
         "avro_complex": """
             -- closed form of the Avro complex-type fixture rule
             -- (q_avro_complex): array/map/enum/fixed/general-union
@@ -7593,6 +7674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h264_headers": q_h264_headers,
         "avro_complex": q_avro_complex,
         "segy_traces": q_segy_traces,  # fixture now exercises rev-2
+        "main_content": q_main_content,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,

@@ -1,0 +1,119 @@
+"""Main-content extraction from HTML — block-level boilerplate
+removal, pure Catalyst.
+
+The step between raw crawl HTML and a training corpus is separating
+article prose from navigation/footer/sidebar chrome.  The public
+algorithms (jusText, boilerpipe, trafilatura's fallback) all reduce
+to the same shape: segment the page into BLOCKS at block-level tag
+boundaries, score each block on structural signals — word count,
+link density (chars of anchor text / chars of block text),
+full-sentence shape — and keep the content-classified blocks.  This
+implements that shape entirely with Catalyst higher-order functions
+(split / transform / filter / aggregate over an array of block
+structs), so classification runs inside WholeStageCodegen at scan
+speed over a 100 TB crawl with ZERO Python in the loop — unlike the
+reference implementations, which are per-document Python/Java tree
+walks.
+
+`functions/text.html_to_text` remains the cheap whole-page
+flattener (WET quality); `main_content` is the quality path that
+feeds dedup/quality scoring with chrome-free prose.  The reference
+repo has no HTML surface (crawl curation addition, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vtk_reserves_spark.functions.text import HTML_ENTITIES
+
+__all__ = ["content_blocks", "main_content"]
+
+# block-level boundaries: opening OR closing forms of the sectioning
+# and flow containers, plus <br>
+_BLOCK_SPLIT = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tbody|thead|tr|td|th|"
+    r"section|article|aside|header|footer|nav|blockquote|pre|figure|"
+    r"figcaption|form|main|dl|dt|dd)\b[^>]*>|<br\s*/?>"
+)
+
+
+def _plain(fragment: Column) -> Column:
+    """Inline fragment -> visible text: strip tags, decode the common
+    entities, collapse whitespace."""
+    out = F.regexp_replace(fragment, r"(?s)<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def content_blocks(html: Column) -> Column:
+    """HTML -> array of block structs ``(text, chars, words,
+    link_chars)``.  Blocks are the segments between block-level tag
+    boundaries (script/style/comments dropped first); ``link_chars``
+    counts the visible characters inside ``<a>`` elements — the
+    numerator of the link-density signal."""
+    cleaned = F.regexp_replace(
+        html,
+        r"(?is)<head\b[^>]*>.*?</head\s*>"
+        r"|<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->",
+        " ",
+    )
+    raw = F.split(cleaned, _BLOCK_SPLIT)
+
+    def block(b: Column) -> Column:
+        text = _plain(b)
+        link_texts = F.regexp_extract_all(
+            b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), F.lit(1)
+        )
+        link_chars = F.aggregate(
+            link_texts, F.lit(0), lambda acc, x: acc + F.length(_plain(x))
+        )
+        words = F.size(F.filter(F.split(text, " "), lambda w: w != ""))
+        return F.struct(
+            text.alias("text"),
+            F.length(text).alias("chars"),
+            words.alias("words"),
+            link_chars.alias("link_chars"),
+        )
+
+    return F.filter(
+        F.transform(raw, block), lambda s: s.getField("chars") > 0
+    )
+
+
+def main_content(
+    html: Column,
+    min_words: int = 6,
+    max_link_density: float = 0.35,
+) -> Column:
+    """HTML -> struct ``(text, n_blocks, n_content, n_boilerplate,
+    content_chars)``: blocks with at least ``min_words`` words and
+    link density at most ``max_link_density`` are classified content
+    and joined with newlines; everything else (nav bars, footers,
+    share buttons, short fragments) is boilerplate.
+
+    The thresholds are the structural core of the public
+    content-extraction heuristics; stopword-density refinements
+    layer on top via `functions/text.quality signals` when a
+    language model of the corpus is available."""
+    blocks = content_blocks(html)
+    good = F.filter(
+        blocks,
+        lambda s: (s.getField("words") >= F.lit(min_words))
+        & (
+            s.getField("link_chars")
+            <= F.lit(max_link_density) * s.getField("chars")
+        ),
+    )
+    text = F.array_join(
+        F.transform(good, lambda s: s.getField("text")), "\n"
+    )
+    return F.struct(
+        text.alias("text"),
+        F.size(blocks).alias("n_blocks"),
+        F.size(good).alias("n_content"),
+        (F.size(blocks) - F.size(good)).alias("n_boilerplate"),
+        F.length(text).alias("content_chars"),
+    )
