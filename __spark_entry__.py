@@ -3913,6 +3913,59 @@ def q_h264_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_codec_info(attach_video_codec_payload(docs)).drop("error")
 
 
+def q_wet_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonCrawl sidecar formats (sources/warc.py build/parse_wet +
+    build/parse_wat): each batch of docs becomes a REAL WET shard
+    (warcinfo + text/plain conversion records, member-gzipped) and a
+    REAL WAT shard (metadata records carrying the JSON Envelope with
+    Head.Title and the Links array), parsed back and joined on URL
+    executor-side.  Text, title and link counts replay doc_id closed
+    forms under the oracle — completing the WARC/WET/WAT crawl trio."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("n_links", T.IntegerType()),
+        T.StructField("wet_text", T.StringType()),
+    ])
+
+    def run(batches):
+        from vtk_reserves_spark.sources.warc import (
+            build_wat, build_wet, parse_wat, parse_wet,
+        )
+
+        for b in batches:
+            pages = []
+            for did, t in zip(b["doc_id"].astype("int64"), b["text"]):
+                did = int(did)
+                url = f"https://example.org/doc/{did}"
+                pages.append({
+                    "url": url,
+                    "text": t or "",
+                    "title": f"Title {did}",
+                    "links": [
+                        f"https://example.org/l/{did}/{i}"
+                        for i in range(did % 5)
+                    ],
+                })
+            wet = {p["url"]: p for p in parse_wet(build_wet(pages))}
+            rows = []
+            for w in parse_wat(build_wat(pages)):
+                url = w["url"]
+                did = int(url.rsplit("/", 1)[1])
+                rows.append([
+                    did, url, w["title"], len(w["links"]),
+                    wet[url]["text"],
+                ])
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return docs.mapInPandas(run, schema)
+
+
 def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-level main-content extraction (functions/extract.py —
     the jusText/boilerpipe-shaped curation step, PURE Catalyst):
@@ -7150,6 +7203,18 @@ def _llm_oracles() -> dict[str, str]:
                    doc_id % 2 = 1 AS flag
             FROM documents
         """,
+        "wet_wat": """
+            -- closed form of the WET/WAT sidecar fixture rule
+            -- (q_wet_wat): url/title/link-count are doc_id
+            -- arithmetic; the WET text round-trips
+            SELECT doc_id,
+                   'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   'Title ' || CAST(doc_id AS VARCHAR) AS title,
+                   CAST(doc_id % 5 AS INT) AS n_links,
+                   COALESCE(text, '') AS wet_text
+            FROM documents
+        """,
         "main_content": """
             -- closed form of the main-content fixture rule
             -- (q_main_content): nav/short/footer are boilerplate,
@@ -7675,6 +7740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_complex": q_avro_complex,
         "segy_traces": q_segy_traces,  # fixture now exercises rev-2
         "main_content": q_main_content,
+        "wet_wat": q_wet_wat,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,

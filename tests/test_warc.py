@@ -252,3 +252,55 @@ def test_read_cdx_roundtrip(spark, tmp_path):
     out = read_warc_indexed(spark, pick)
     got = sorted(r.target_uri for r in out.collect())
     assert got == ["http://e.com/p3", "http://e.com/p5"]
+
+
+def test_wet_roundtrip():
+    from vtk_reserves_spark.sources.warc import build_wet, parse_wet
+
+    pages = [
+        {"url": "https://x.org/1", "text": "hello wörld\nline two"},
+        {"url": "https://x.org/2", "text": "",
+         "date": "2023-05-05T00:00:00Z"},
+    ]
+    for gz in (True, False):
+        got = parse_wet(build_wet(pages, gzip_members=gz))
+        assert [p["url"] for p in got] == ["https://x.org/1",
+                                          "https://x.org/2"]
+        assert got[0]["text"] == "hello wörld\nline two"
+        assert got[1]["date"] == "2023-05-05T00:00:00Z"
+
+
+def test_wat_roundtrip_and_envelope_shape():
+    import json
+
+    from vtk_reserves_spark.sources.warc import (
+        build_wat, parse_warc, parse_wat,
+    )
+
+    pages = [{"url": "https://x.org/1", "title": "T1",
+              "links": ["https://a", "https://b"]},
+             {"url": "https://x.org/2"}]
+    blob = build_wat(pages)
+    got = parse_wat(blob)
+    assert got[0]["title"] == "T1"
+    assert got[0]["links"] == ["https://a", "https://b"]
+    assert got[1]["title"] == "" and got[1]["links"] == []
+    # the JSON payload carries the real CommonCrawl Envelope path
+    recs = [r for r in parse_warc(blob) if r["warc_type"] == "metadata"]
+    env = json.loads(recs[0]["payload"])
+    links = (env["Envelope"]["Payload-Metadata"]
+             ["HTTP-Response-Metadata"]["HTML-Metadata"]["Links"])
+    assert links[0] == {"path": "A@/href", "url": "https://a"}
+
+
+def test_wet_skips_non_conversion_records():
+    from vtk_reserves_spark.sources.warc import parse_wet, write_warc
+
+    mixed = write_warc([
+        {"warc_type": "response", "target_uri": "https://x/1",
+         "http_status": 200, "payload": b"<html>hi</html>"},
+        {"warc_type": "conversion", "target_uri": "https://x/1",
+         "content_type": "text/plain", "payload": b"hi"},
+    ])
+    got = parse_wet(mixed)
+    assert len(got) == 1 and got[0]["text"] == "hi"

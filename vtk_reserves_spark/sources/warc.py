@@ -562,3 +562,124 @@ def read_warc_indexed(spark, index_df, max_payload: int | None = None,
                     pass
 
     return idx.mapInPandas(run, WARC_RECORD_SCHEMA)
+
+
+# ------------------------------------------------------- WET / WAT
+
+
+def build_wet(pages: list[dict], gzip_members: bool = True) -> bytes:
+    """Pages ``{url, text, date?}`` -> a WET file (the CommonCrawl
+    extracted-text sidecar): a leading ``warcinfo`` record, then one
+    ``conversion`` record of ``text/plain`` per page.  Rides the
+    same member-gzip framing as the main crawl files."""
+    records: list[dict] = [{
+        "warc_type": "warcinfo",
+        "content_type": "application/warc-fields",
+        "payload": (
+            "software: vtk-reserves-spark\r\n"
+            "format: WARC File Format 1.0\r\n"
+            "conformsTo: WET extraction sidecar\r\n"
+        ),
+    }]
+    for p in pages:
+        records.append({
+            "warc_type": "conversion",
+            "target_uri": p["url"],
+            "date": p.get("date", "2024-01-01T00:00:00Z"),
+            "content_type": "text/plain",
+            "payload": (p.get("text") or "").encode("utf-8"),
+        })
+    return write_warc(records, gzip_members=gzip_members)
+
+
+def parse_wet(data: bytes) -> list[dict]:
+    """WET bytes -> list of ``{url, date, text}`` from the
+    ``conversion`` records (warcinfo and anything else skipped)."""
+    out = []
+    for rec in parse_warc(data):
+        if rec["warc_type"] != "conversion":
+            continue
+        out.append({
+            "url": rec["target_uri"],
+            "date": rec["date"],
+            "text": (rec["payload"] or b"").decode("utf-8", "replace"),
+        })
+    return out
+
+
+def build_wat(pages: list[dict], gzip_members: bool = True) -> bytes:
+    """Pages ``{url, title?, links?, date?}`` -> a WAT file (the
+    CommonCrawl metadata sidecar): one ``metadata`` record of
+    ``application/json`` per page carrying the Envelope structure
+    real WAT readers consume — ``Envelope.Payload-Metadata.
+    HTTP-Response-Metadata.HTML-Metadata`` with ``Head.Title`` and
+    a ``Links`` array of ``{path, url}``."""
+    import json as _json
+
+    records: list[dict] = [{
+        "warc_type": "warcinfo",
+        "content_type": "application/warc-fields",
+        "payload": "format: WAT metadata sidecar\r\n",
+    }]
+    for p in pages:
+        env = {
+            "Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Target-URI": p["url"],
+                    "WARC-Type": "response",
+                },
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {"Title": p.get("title", "")},
+                            "Links": [
+                                {"path": "A@/href", "url": u}
+                                for u in p.get("links", [])
+                            ],
+                        },
+                    },
+                },
+            },
+        }
+        records.append({
+            "warc_type": "metadata",
+            "target_uri": p["url"],
+            "date": p.get("date", "2024-01-01T00:00:00Z"),
+            "content_type": "application/json",
+            "payload": _json.dumps(env, sort_keys=True).encode(),
+        })
+    return write_warc(records, gzip_members=gzip_members)
+
+
+def parse_wat(data: bytes) -> list[dict]:
+    """WAT bytes -> list of ``{url, date, title, links}`` from the
+    ``metadata`` records' JSON envelopes (missing HTML metadata
+    yields empty title/links rather than raising — real WAT files
+    carry non-HTML records too)."""
+    import json as _json
+
+    out = []
+    for rec in parse_warc(data):
+        if rec["warc_type"] != "metadata":
+            continue
+        try:
+            env = _json.loads(rec["payload"] or b"{}")
+        except ValueError:
+            continue
+        html_meta = (
+            env.get("Envelope", {})
+            .get("Payload-Metadata", {})
+            .get("HTTP-Response-Metadata", {})
+            .get("HTML-Metadata", {})
+        )
+        out.append({
+            "url": rec["target_uri"],
+            "date": rec["date"],
+            "title": html_meta.get("Head", {}).get("Title", ""),
+            "links": [
+                link.get("url")
+                for link in html_meta.get("Links", [])
+                if link.get("url")
+            ],
+        })
+    return out
