@@ -3913,6 +3913,69 @@ def q_h264_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_codec_info(attach_video_codec_payload(docs)).drop("error")
 
 
+def q_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown structure mining (functions/markdown.py, PURE
+    Catalyst): each doc becomes a synthesized markdown file —
+    quoted-scalar frontmatter, an H1 + doc_id%3 H2 sections, a prose
+    paragraph, doc_id%2 python code fences (whose '# comment' line
+    must NOT count as a heading) and doc_id%4 inline links — built
+    and mined entirely with Catalyst expressions (zero Python).
+    Frontmatter map lookups, the heading census, fenced-code line
+    counts, link counts and the code-excluded prose word count all
+    replay doc_id closed forms under the oracle."""
+    from vtk_reserves_spark.functions.markdown import md_frontmatter, md_stats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    n_sec = (F.col("doc_id") % 3).cast("int")
+    n_links = (F.col("doc_id") % 4).cast("int")
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("ja")),
+        n_links + 1,
+    )
+    sections = F.when(n_sec > 0, F.array_join(F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sec, F.lit(1))),
+        lambda k: F.concat(
+            F.lit("## Section "), k.cast("string"), F.lit("\n\n")
+        ),
+    ), "")).otherwise(F.lit(""))
+    code = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(
+            F.lit("```python\n# generated\nprint("), did,
+            F.lit(")\n```\n\n"),
+        ),
+    ).otherwise(F.lit(""))
+    links = F.when(n_links > 0, F.concat(F.array_join(F.transform(
+        F.sequence(F.lit(0), F.greatest(n_links, F.lit(1)) - 1),
+        lambda i: F.concat(
+            F.lit("[ref"), i.cast("string"), F.lit("](https://l.example/"),
+            did, F.lit("/"), i.cast("string"), F.lit(")"),
+        ),
+    ), " "), F.lit("\n"))).otherwise(F.lit(""))
+    md = F.concat(
+        F.lit("---\ntitle: \"Doc "), did, F.lit("\"\nlang: "), lang,
+        F.lit("\nweight: "), (F.col("doc_id") % 10).cast("string"),
+        F.lit("\n---\n# Heading Document "), did, F.lit("\n\n"),
+        sections,
+        F.lit("Plain prose sentence number "), did,
+        F.lit(" continues with several more words.\n\n"),
+        code, links,
+    )
+    fm = md_frontmatter(md)
+    st = md_stats(md)
+    return docs.select(
+        "doc_id",
+        F.element_at(fm, "title").alias("fm_title"),
+        F.element_at(fm, "lang").alias("fm_lang"),
+        st.getField("n_headings").alias("n_headings"),
+        st.getField("n_code_blocks").alias("n_code_blocks"),
+        st.getField("code_lines").alias("code_lines"),
+        st.getField("n_links").alias("n_links"),
+        st.getField("prose_words").alias("prose_words"),
+    )
+
+
 def q_wet_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CommonCrawl sidecar formats (sources/warc.py build/parse_wet +
     build/parse_wat): each batch of docs becomes a REAL WET shard
@@ -7203,6 +7266,25 @@ def _llm_oracles() -> dict[str, str]:
                    doc_id % 2 = 1 AS flag
             FROM documents
         """,
+        "markdown": """
+            -- closed form of the markdown fixture rule
+            -- (q_markdown): structure counters are doc_id
+            -- arithmetic; prose words = 4 (H1 tokens) + 3 per H2 +
+            -- 10 (paragraph) + 1 per link token
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS fm_title,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                     WHEN 2 THEN 'fr' ELSE 'ja'
+                   END AS fm_lang,
+                   CAST(1 + doc_id % 3 AS INT) AS n_headings,
+                   CAST(doc_id % 2 AS INT) AS n_code_blocks,
+                   CAST(2 * (doc_id % 2) AS INT) AS code_lines,
+                   CAST(doc_id % 4 AS INT) AS n_links,
+                   CAST(4 + 3 * (doc_id % 3) + 10 + doc_id % 4
+                        AS INT) AS prose_words
+            FROM documents
+        """,
         "wet_wat": """
             -- closed form of the WET/WAT sidecar fixture rule
             -- (q_wet_wat): url/title/link-count are doc_id
@@ -7741,6 +7823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segy_traces": q_segy_traces,  # fixture now exercises rev-2
         "main_content": q_main_content,
         "wet_wat": q_wet_wat,
+        "markdown": q_markdown,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
