@@ -3913,6 +3913,38 @@ def q_h264_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_codec_info(attach_video_codec_payload(docs)).drop("error")
 
 
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level Kneser-Ney bigram LM (operators/ngram_lm.py): the
+    KenLM-style perplexity quality gate, trained on the corpus
+    itself and scored on a PERTURBED stream (each doc gets
+    " the qqunseenzz" appended) so all four interpolation branches
+    execute — seen pair, unseen-pair backoff, unseen-history
+    continuation, and the OOV floor (qqunseenzz never occurs in
+    training).  Distinct-continuation counts, discounted pair
+    probabilities and the CASE ladder are all DataFrame
+    aggregations/joins the oracle replays term by term."""
+    from vtk_reserves_spark.operators.ngram_lm import kn_perplexity
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "score_text",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" the qqunseenzz"),
+            ),
+        )
+    )
+    out = kn_perplexity(docs, "doc_id", "text", score_col="score_text")
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
 def q_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown structure mining (functions/markdown.py, PURE
     Catalyst): each doc becomes a synthesized markdown file —
@@ -7266,6 +7298,75 @@ def _llm_oracles() -> dict[str, str]:
                    doc_id % 2 = 1 AS flag
             FROM documents
         """,
+        "kn_perplexity": """
+            -- dual implementation of the interpolated Kneser-Ney
+            -- bigram LM (q_kn_perplexity): same discount, same
+            -- operation order, same interpolation ladder; scoring
+            -- stream appends ' the qqunseenzz'
+            WITH tokd AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9]+'), w -> w != '') AS t
+              FROM documents
+            ), bi AS (
+              SELECT doc_id, t[i] AS v, t[i + 1] AS w
+              FROM tokd, LATERAL (SELECT
+                unnest(generate_series(1, len(t) - 1)) AS i)
+              WHERE len(t) >= 2
+            ), c_vw AS (
+              SELECT v, w, COUNT(*) AS c_vw FROM bi GROUP BY v, w
+            ), c_v AS (
+              SELECT v, SUM(c_vw) AS c_v, COUNT(*) AS n1p_v
+              FROM c_vw GROUP BY v
+            ), cont AS (
+              SELECT w, COUNT(*) AS n1p_w FROM c_vw GROUP BY w
+            ), k AS (SELECT COUNT(*) AS n1pp FROM c_vw),
+            pairs AS (
+              SELECT c_vw.v, c_vw.w,
+                     GREATEST(c_vw - CAST(0.75 AS DOUBLE), 0)
+                       / c_v
+                     + CAST(0.75 AS DOUBLE) * n1p_v / c_v
+                       * (CAST(n1p_w AS DOUBLE) / n1pp) AS p
+              FROM c_vw JOIN c_v USING (v) JOIN cont USING (w)
+              CROSS JOIN k
+            ), stokd AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(
+                       COALESCE(text, '') || ' the qqunseenzz'),
+                       '[^a-z0-9]+'), w -> w != '') AS t
+              FROM documents
+            ), sbi AS (
+              SELECT doc_id, t[i] AS v, t[i + 1] AS w
+              FROM stokd, LATERAL (SELECT
+                unnest(generate_series(1, len(t) - 1)) AS i)
+              WHERE len(t) >= 2
+            ), doc_bg AS (
+              SELECT doc_id, v, w, COUNT(*) AS c
+              FROM sbi GROUP BY doc_id, v, w
+            ), j AS (
+              SELECT doc_bg.doc_id, doc_bg.c, pairs.p,
+                     CAST(0.75 AS DOUBLE) * c_v.n1p_v / c_v.c_v
+                       AS bow,
+                     CAST(cont.n1p_w AS DOUBLE) / k.n1pp AS pcont,
+                     CAST(0.75 AS DOUBLE) / k.n1pp AS fl
+              FROM doc_bg
+              LEFT JOIN pairs USING (v, w)
+              LEFT JOIN c_v USING (v)
+              LEFT JOIN cont USING (w)
+              CROSS JOIN k
+            ), scored AS (
+              SELECT doc_id, SUM(c) AS n_bigrams,
+                     SUM(c * ln(COALESCE(p, bow * pcont, pcont, fl)))
+                       / SUM(c) AS avg_logp
+              FROM j GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_bigrams, 0) AS BIGINT)
+                     AS n_bigrams,
+                   ROUND(s.avg_logp, 6) AS avg_logp,
+                   ROUND(exp(-s.avg_logp), 6) AS ppl
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
         "markdown": """
             -- closed form of the markdown fixture rule
             -- (q_markdown): structure counters are doc_id
@@ -7824,6 +7925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "wet_wat": q_wet_wat,
         "markdown": q_markdown,
+        "kn_perplexity": q_kn_perplexity,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
