@@ -3913,6 +3913,66 @@ def q_h264_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_codec_info(attach_video_codec_payload(docs)).drop("error")
 
 
+def q_sqlite_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite ingestion (sources/sqlite.py — stdlib engine, file
+    grain): every partition writes a REAL .sqlite shard of the
+    documents (typed columns incl. a binary-exact eighth score),
+    shards are re-read via binaryFile tasks with a WHERE clause
+    pushed into the sqlite engine (doc_id % 7 <> 3 scans B-tree
+    pages, not Spark rows).  Values replay doc_id closed forms under
+    the oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sqlite_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("flag", T.IntegerType()),
+        T.StructField("txt", T.StringType()),
+    ])
+
+    def write_shard(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        from vtk_reserves_spark.sources.sqlite import write_sqlite_bytes
+
+        rows = []
+        for pdf in batches:
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                did = int(did)
+                rows.append((
+                    did, f"N{did % 97}", (did % 1000) / 8.0,
+                    did % 2, t or "",
+                ))
+        if rows:
+            blob = write_sqlite_bytes("docs", schema, rows)
+            path = _os.path.join(td, f"part-{_uuid.uuid4().hex}.sqlite")
+            with open(path, "wb") as fh:
+                fh.write(blob)
+        yield _pd.DataFrame({"n": [len(rows)]})
+
+    docs.repartition(8).mapInPandas(write_shard, "n long").collect()
+
+    from vtk_reserves_spark.sources.sqlite import read_sqlite
+
+    return read_sqlite(
+        spark, td + "/*.sqlite", "docs", schema, where="doc_id % 7 <> 3"
+    )
+
+
 def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-level Kneser-Ney bigram LM (operators/ngram_lm.py): the
     KenLM-style perplexity quality gate, trained on the corpus
@@ -7298,6 +7358,18 @@ def _llm_oracles() -> dict[str, str]:
                    doc_id % 2 = 1 AS flag
             FROM documents
         """,
+        "sqlite_table": """
+            -- closed form of the SQLite fixture rule
+            -- (q_sqlite_table): binary-exact eighths; the WHERE
+            -- pushed into the sqlite engine replays as a filter
+            SELECT doc_id,
+                   'N' || CAST(doc_id % 97 AS VARCHAR) AS name,
+                   (doc_id % 1000) / 8.0 AS score,
+                   CAST(doc_id % 2 AS INT) AS flag,
+                   COALESCE(text, '') AS txt
+            FROM documents
+            WHERE doc_id % 7 <> 3
+        """,
         "kn_perplexity": """
             -- dual implementation of the interpolated Kneser-Ney
             -- bigram LM (q_kn_perplexity): same discount, same
@@ -7926,6 +7998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_wat": q_wet_wat,
         "markdown": q_markdown,
         "kn_perplexity": q_kn_perplexity,
+        "sqlite_table": q_sqlite_table,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
