@@ -3913,6 +3913,46 @@ def q_h264_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_codec_info(attach_video_codec_payload(docs)).drop("error")
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators/retrieval.py): five fixed queries
+    score the whole corpus through the Lucene-form Okapi function —
+    one postings build (tokenize/explode/aggregate), queries
+    BROADCAST onto postings by term, per-pair aggregation, top-5 per
+    query ranked on the 6-dp-rounded score with id tie-break (stable
+    across engines and summation orders).  The oracle replays the
+    identical formula term by term — the contamination-check /
+    corpus-audit retrieval shape."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from vtk_reserves_spark.operators.retrieval import bm25_score, bm25_topk
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({
+            "qid": [0, 1, 2, 3, 4],
+            "qtext": [
+                "hash join merge", "stream window agg",
+                "fast table scan", "query filter sort",
+                "spark data vector",
+            ],
+        }),
+        T.StructType([
+            T.StructField("qid", T.IntegerType()),
+            T.StructField("qtext", T.StringType()),
+        ]),
+    )
+    scored = bm25_score(docs, queries, "doc_id", "text")
+    out = bm25_topk(scored, "doc_id", k=5)
+    return out.select(
+        "qid", "doc_id", F.col("rank").cast("int").alias("rank"),
+        F.col("n_terms_hit").cast("int").alias("n_terms_hit"), "score",
+    )
+
+
 def q_sqlite_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQLite ingestion (sources/sqlite.py — stdlib engine, file
     grain): every partition writes a REAL .sqlite shard of the
@@ -7358,6 +7398,67 @@ def _llm_oracles() -> dict[str, str]:
                    doc_id % 2 = 1 AS flag
             FROM documents
         """,
+        "bm25": """
+            -- dual implementation of Lucene-form BM25 (q_bm25):
+            -- same idf, same operation order, rank on the rounded
+            -- score with doc_id tie-break
+            WITH q(qid, qtext) AS (VALUES
+              (0, 'hash join merge'), (1, 'stream window agg'),
+              (2, 'fast table scan'), (3, 'query filter sort'),
+              (4, 'spark data vector')
+            ), tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(
+                       COALESCE(text, '')), '[^a-z0-9]+'),
+                       w -> w != '') AS t
+              FROM documents
+            ), lens AS (
+              SELECT doc_id, len(t) AS dl FROM tok
+            ), tf AS (
+              SELECT term, doc_id, dl, COUNT(*) AS tf
+              FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term
+                    FROM tok)
+              GROUP BY term, doc_id, dl
+            ), stats AS (
+              SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+            ), qt AS (
+              SELECT qid, unnest(list_distinct(list_filter(
+                string_split_regex(lower(qtext), '[^a-z0-9]+'),
+                w -> w != ''))) AS term
+              FROM q
+            ), j AS (
+              SELECT qt.qid, tf.doc_id, tf.tf, tf.dl, dfreq.df_t,
+                     stats.n_docs, stats.avgdl
+              FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+              CROSS JOIN stats
+            ), s AS (
+              SELECT qid, doc_id, COUNT(*) AS n_terms_hit,
+                     SUM(
+                       ln(CAST(1.0 AS DOUBLE)
+                          + (n_docs - df_t + CAST(0.5 AS DOUBLE))
+                            / (df_t + CAST(0.5 AS DOUBLE)))
+                       * (tf * CAST(2.2 AS DOUBLE))
+                       / (tf + CAST(1.2 AS DOUBLE)
+                          * (CAST(0.25 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * dl / avgdl))
+                     ) AS score
+              FROM j GROUP BY qid, doc_id
+            )
+            SELECT CAST(qid AS INT) AS qid, doc_id,
+                   CAST(rank AS INT) AS rank,
+                   CAST(n_terms_hit AS INT) AS n_terms_hit, score
+            FROM (
+              SELECT qid, doc_id, n_terms_hit,
+                     ROUND(score, 6) AS score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY ROUND(score, 6) DESC, doc_id
+                     ) AS rank
+              FROM s
+            ) WHERE rank <= 5
+        """,
         "sqlite_table": """
             -- closed form of the SQLite fixture rule
             -- (q_sqlite_table): binary-exact eighths; the WHERE
@@ -7999,6 +8100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown": q_markdown,
         "kn_perplexity": q_kn_perplexity,
         "sqlite_table": q_sqlite_table,
+        "bm25": q_bm25,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,

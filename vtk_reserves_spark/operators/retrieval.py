@@ -1,0 +1,124 @@
+"""BM25 full-text retrieval over a document corpus — index, score,
+top-k; pure Catalyst.
+
+Retrieval is corpus infrastructure for LLM-data work: eval-set
+contamination checks ("which training docs score high against this
+benchmark question"), targeted quality audits, and dedup triage all
+reduce to scoring a handful of queries against billions of
+documents.  This implements the Okapi BM25 ranking function in its
+Lucene form (the non-negative idf variant):
+
+    idf(t)       = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(q, d)  = sum_t idf(t) * tf * (k1+1)
+                   / (tf + k1 * (1 - b + b * dl / avgdl))
+
+Shape for scale: the postings list (term, doc, tf, dl) is ONE
+tokenize-explode-aggregate over the corpus; queries are a tiny
+DataFrame broadcast onto the postings by term, so scoring touches
+only postings of query terms (Catalyst pushes the semi-join);
+per-query aggregation and a top-k window finish it.  No Python, no
+driver collection, no corpus self-join.  Ranking ties break on the
+6-dp-rounded score then doc id, so results are deterministic across
+engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_postings", "bm25_score", "bm25_topk"]
+
+
+def _tokens(text_col):
+    return F.filter(
+        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def bm25_postings(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus -> (postings, stats): postings ``(term, _id, tf, dl)``
+    and the single-row stats ``(n_docs, avgdl)``.  Document length
+    sums are integer-valued doubles, so ``avgdl`` is exact
+    regardless of partitioning."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_t")
+    )
+    lens = toks.select("_id", F.size("_t").alias("dl"))
+    tf = (
+        toks.select("_id", F.size("_t").alias("dl"),
+                    F.explode("_t").alias("term"))
+        .groupBy("term", "_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return tf, stats
+
+
+def bm25_score(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every (query, doc) pair sharing at least one term.
+    Returns ``(qid, id, n_terms_hit, score)``; queries ride a
+    broadcast join onto the postings."""
+    postings, stats = bm25_postings(df, id_col, text_col)
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_t")
+    )
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(F.array_distinct(_tokens(F.col(qtext_col)))).alias("term"),
+    )
+    joined = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        joined.withColumn("_s", term_score)
+        .groupBy("qid", "_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("_s").alias("score"),
+        )
+        .select("qid", F.col("_id").alias(id_col), "n_terms_hit", "score")
+    )
+
+
+def bm25_topk(scored: DataFrame, id_col: str, k: int = 10) -> DataFrame:
+    """Top-k docs per query, ranked by the 6-dp-rounded score (ties
+    then break on the id) — the rounding makes ranks stable across
+    summation orders."""
+    r = F.round("score", 6)
+    w = Window.partitionBy("qid").orderBy(r.desc(), F.col(id_col))
+    return (
+        scored.withColumn("score", r)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
