@@ -3913,6 +3913,80 @@ def q_h264_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_codec_info(attach_video_codec_payload(docs)).drop("error")
 
 
+def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC ingestion (sources/arrow_ipc.py — the HF datasets
+    shard format): every partition writes a REAL Feather-v2 shard
+    (typed columns incl. a list column) via pyarrow, re-read at file
+    grain with projection pruned inside the IPC reader; record
+    batches stream columnar end to end.  Flattened list stats and
+    the binary-exact eighth score replay doc_id closed forms under
+    the oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_arrow_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+
+    def write_shard(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+        import pyarrow as _pa
+
+        from vtk_reserves_spark.sources.arrow_ipc import (
+            write_arrow_ipc_bytes,
+        )
+
+        ids, names, scores, tags, txts = [], [], [], [], []
+        for pdf in batches:
+            for did, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                did = int(did)
+                ids.append(did)
+                names.append(f"A{did % 89}")
+                scores.append((did % 4000) / 8.0)
+                tags.append([f"t{(did + i) % 7}" for i in range(did % 4)])
+                txts.append(t or "")
+        if ids:
+            tbl = _pa.table({
+                "doc_id": _pa.array(ids, _pa.int64()),
+                "name": _pa.array(names),
+                "score": _pa.array(scores, _pa.float64()),
+                "tags": _pa.array(tags, _pa.list_(_pa.string())),
+                "txt": _pa.array(txts),
+            })
+            path = _os.path.join(td, f"part-{_uuid.uuid4().hex}.arrow")
+            with open(path, "wb") as fh:
+                fh.write(write_arrow_ipc_bytes(tbl))
+        yield _pd.DataFrame({"n": [len(ids)]})
+
+    docs.repartition(8).mapInPandas(write_shard, "n long").collect()
+
+    from vtk_reserves_spark.sources.arrow_ipc import read_arrow_ipc
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("txt", T.StringType()),
+    ])
+    out = read_arrow_ipc(spark, td + "/*.arrow", schema)
+    return out.select(
+        "doc_id", "name", "score",
+        F.size("tags").cast("int").alias("n_tags"),
+        F.try_element_at("tags", F.lit(1)).alias("first_tag"),
+        "txt",
+    )
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval (operators/retrieval.py): five fixed queries
     score the whole corpus through the Lucene-form Okapi function —
@@ -7398,6 +7472,20 @@ def _llm_oracles() -> dict[str, str]:
                    doc_id % 2 = 1 AS flag
             FROM documents
         """,
+        "arrow_ipc": """
+            -- closed form of the Arrow IPC fixture rule
+            -- (q_arrow_ipc): binary-exact eighths; list column
+            -- flattened to count + first element
+            SELECT doc_id,
+                   'A' || CAST(doc_id % 89 AS VARCHAR) AS name,
+                   (doc_id % 4000) / 8.0 AS score,
+                   CAST(doc_id % 4 AS INT) AS n_tags,
+                   CASE WHEN doc_id % 4 = 0 THEN NULL
+                        ELSE 't' || CAST(doc_id % 7 AS VARCHAR)
+                   END AS first_tag,
+                   COALESCE(text, '') AS txt
+            FROM documents
+        """,
         "bm25": """
             -- dual implementation of Lucene-form BM25 (q_bm25):
             -- same idf, same operation order, rank on the rounded
@@ -8101,6 +8189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_perplexity": q_kn_perplexity,
         "sqlite_table": q_sqlite_table,
         "bm25": q_bm25,
+        "arrow_ipc": q_arrow_ipc,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,

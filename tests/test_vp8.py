@@ -415,3 +415,30 @@ def test_unverified_tables_gate():
     assert any("unverified" in str(r.message) for r in rec)
     with _pt.raises(ValueError, match="unverified"):
         v.decode_vp8(blob, strict=True)
+
+
+def test_unverified_table_pins():
+    """Structural invariants + content pins for the three large
+    RFC 6386 tables awaiting golden-vector validation: shapes are
+    spec-fixed, every entry is a valid boolean-coder probability
+    (1..255), and the SHA-256 pins record EXACTLY which transcription
+    shipped — when a libwebp/libvpx golden file becomes available,
+    validation compares against these bytes (and a pin change forces
+    a deliberate review, never a silent table edit)."""
+    import hashlib
+
+    import numpy as np
+
+    from vtk_reserves_spark.sources import vp8 as v
+
+    pins = {
+        "DEFAULT_COEFF_PROBS": ((4, 8, 3, 11), "6a7c8f6b431ff135"),
+        "COEFF_UPDATE_PROBS": ((4, 8, 3, 11), "01eee48780986ecc"),
+        "KF_BMODE_PROBS": ((10, 10, 9), "768b018f7e211db1"),
+    }
+    for name, (shape, digest) in pins.items():
+        t = np.asarray(getattr(v, name))
+        assert t.shape == shape, name
+        assert t.min() >= 1 and t.max() <= 255, name
+        got = hashlib.sha256(t.astype(np.uint8).tobytes()).hexdigest()[:16]
+        assert got == digest, f"{name} transcription changed: {got}"
