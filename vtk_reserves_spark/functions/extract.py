@@ -62,20 +62,30 @@ def content_blocks(html: Column) -> Column:
     )
     raw = F.split(cleaned, _BLOCK_SPLIT)
 
+    # higher-order-function lambdas are CodegenFallback, so shared
+    # subtrees would re-evaluate per struct field — the array-wrap
+    # staging below binds each expensive value to a lambda variable
+    # so it computes ONCE per block (the operators/dedup.py staged-
+    # projection discipline; measured ~2x end-to-end on this file)
     def block(b: Column) -> Column:
-        text = _plain(b)
         link_texts = F.regexp_extract_all(
             b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), F.lit(1)
         )
         link_chars = F.aggregate(
             link_texts, F.lit(0), lambda acc, x: acc + F.length(_plain(x))
         )
-        words = F.size(F.filter(F.split(text, " "), lambda w: w != ""))
-        return F.struct(
-            text.alias("text"),
-            F.length(text).alias("chars"),
-            words.alias("words"),
-            link_chars.alias("link_chars"),
+
+        def from_text(t: Column) -> Column:
+            return F.struct(
+                t.alias("text"),
+                F.length(t).alias("chars"),
+                F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+                .alias("words"),
+                link_chars.alias("link_chars"),
+            )
+
+        return F.element_at(
+            F.transform(F.array(_plain(b)), from_text), 1
         )
 
     return F.filter(
@@ -98,22 +108,31 @@ def main_content(
     content-extraction heuristics; stopword-density refinements
     layer on top via `functions/text.quality signals` when a
     language model of the corpus is available."""
-    blocks = content_blocks(html)
-    good = F.filter(
-        blocks,
-        lambda s: (s.getField("words") >= F.lit(min_words))
-        & (
-            s.getField("link_chars")
-            <= F.lit(max_link_density) * s.getField("chars")
-        ),
-    )
-    text = F.array_join(
-        F.transform(good, lambda s: s.getField("text")), "\n"
-    )
-    return F.struct(
-        text.alias("text"),
-        F.size(blocks).alias("n_blocks"),
-        F.size(good).alias("n_content"),
-        (F.size(blocks) - F.size(good)).alias("n_boilerplate"),
-        F.length(text).alias("content_chars"),
+    def summarize(blocks: Column) -> Column:
+        good_expr = F.filter(
+            blocks,
+            lambda s: (s.getField("words") >= F.lit(min_words))
+            & (
+                s.getField("link_chars")
+                <= F.lit(max_link_density) * s.getField("chars")
+            ),
+        )
+
+        def from_good(good: Column) -> Column:
+            text = F.array_join(
+                F.transform(good, lambda s: s.getField("text")), "\n"
+            )
+            return F.struct(
+                text.alias("text"),
+                F.size(blocks).alias("n_blocks"),
+                F.size(good).alias("n_content"),
+                (F.size(blocks) - F.size(good)).alias("n_boilerplate"),
+                F.length(text).alias("content_chars"),
+            )
+
+        return F.element_at(F.transform(F.array(good_expr), from_good), 1)
+
+    # stage the block parse once (see content_blocks on why)
+    return F.element_at(
+        F.transform(F.array(content_blocks(html)), summarize), 1
     )
