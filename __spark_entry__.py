@@ -3913,6 +3913,70 @@ def q_h264_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_codec_info(attach_video_codec_payload(docs)).drop("error")
 
 
+def q_npy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy .npz ingestion (sources/npy.py): every partition dumps
+    its slice of the embeddings table as a REAL .npz bundle (a 2-D
+    float32 "vectors" member + an aligned N x 1 "ids" member — the
+    shape embedding dumps actually ship in), shards are re-read at
+    file grain with allow_pickle=False, members re-joined on
+    (path, row_idx), and per-vector fields replay the parquet
+    column under the oracle (float32 -> float64 is exact)."""
+    import shutil
+    import tempfile
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_npy_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+
+    def write_shard(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import numpy as _np
+        import pandas as _pd
+
+        from vtk_reserves_spark.sources.npy import npz_bytes
+
+        ids, vecs = [], []
+        for pdf in batches:
+            for vid, v in zip(pdf["vec_id"].astype("int64"),
+                              pdf["embedding"]):
+                ids.append(int(vid))
+                vecs.append(_np.asarray(v, _np.float32))
+        if ids:
+            blob = npz_bytes(
+                vectors=_np.stack(vecs),
+                ids=_np.asarray(ids, _np.int64).reshape(-1, 1),
+            )
+            path = _os.path.join(td, f"part-{_uuid.uuid4().hex}.npz")
+            with open(path, "wb") as fh:
+                fh.write(blob)
+        yield _pd.DataFrame({"n": [len(ids)]})
+
+    emb.repartition(8).mapInPandas(write_shard, "n long").collect()
+
+    from vtk_reserves_spark.sources.npy import read_npz
+
+    rows = read_npz(spark, td + "/*.npz")
+    vecs = rows.where(F.col("member") == "vectors").select(
+        "path", "row_idx", F.col("values").alias("vec")
+    )
+    ids = rows.where(F.col("member") == "ids").select(
+        "path", "row_idx",
+        F.element_at("values", 1).cast("long").alias("vec_id"),
+    )
+    return ids.join(vecs, ["path", "row_idx"]).select(
+        "vec_id",
+        F.size("vec").cast("int").alias("dim"),
+        F.element_at("vec", 1).alias("v_first"),
+        F.element_at("vec", -1).alias("v_last"),
+    )
+
+
 def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow IPC ingestion (sources/arrow_ipc.py — the HF datasets
     shard format): every partition writes a REAL Feather-v2 shard
@@ -7472,6 +7536,15 @@ def _llm_oracles() -> dict[str, str]:
                    doc_id % 2 = 1 AS flag
             FROM documents
         """,
+        "npy_embeddings": """
+            -- the .npz round-trip surfaces the embeddings column
+            -- itself (q_npy_embeddings); float32->float64 is exact
+            SELECT vec_id,
+                   CAST(len(embedding) AS INT) AS dim,
+                   CAST(embedding[1] AS DOUBLE) AS v_first,
+                   CAST(embedding[len(embedding)] AS DOUBLE) AS v_last
+            FROM embeddings
+        """,
         "arrow_ipc": """
             -- closed form of the Arrow IPC fixture rule
             -- (q_arrow_ipc): binary-exact eighths; list column
@@ -8190,6 +8263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sqlite_table": q_sqlite_table,
         "bm25": q_bm25,
         "arrow_ipc": q_arrow_ipc,
+        "npy_embeddings": q_npy_embeddings,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
