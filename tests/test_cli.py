@@ -547,3 +547,31 @@ def test_office_cli(tmp_path, spark):
     assert rows["d.odt"]["title"] == "D"
     assert rows["e.docx"]["text"] is None
     assert "OfficeError" in rows["e.docx"]["error"]
+
+
+def test_extract_and_search_cli(tmp_path, spark):
+    import pandas as pd
+
+    from vtk_reserves_spark.cli import main
+
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [
+            '<nav><a href="/">Home</a></nav>'
+            "<p>apple banana apple prose words enough here</p>",
+            "<p>cherry words fill this paragraph quite adequately</p>",
+        ],
+    }).to_parquet(src)
+    out = str(tmp_path / "extracted")
+    main(["extract", src, out, "--html-col", "text"])
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert "Home" not in rows[1].text and "apple banana" in rows[1].text
+    assert rows[1].n_content == 1 and rows[1].n_blocks == 2
+
+    sout = str(tmp_path / "hits")
+    main(["search", src, "apple", "cherry", "--output", sout,
+          "--top-k", "1"])
+    hits = {r.qid: r for r in spark.read.parquet(sout).collect()}
+    assert hits[0].doc_id == 1 and hits[1].doc_id == 2
+    assert hits[0].rank == 1

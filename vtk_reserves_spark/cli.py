@@ -433,6 +433,60 @@ def cmd_vocab(args) -> None:
         print(pdf.to_string(index=False))
 
 
+def cmd_extract(args) -> None:
+    """Main-content extraction (functions/extract.py): classify each
+    HTML document's blocks by word count + link density, keep the
+    content prose, write (id columns + text + block counters) to
+    parquet — the trafilatura-shaped curation step, pure Catalyst."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.functions.extract import main_content
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+
+    spark = _spark()
+    df = load_dataframe(spark, args.input, keep_null=True)
+    m = main_content(
+        F.col(args.html_col),
+        min_words=args.min_words,
+        max_link_density=args.max_link_density,
+    )
+    out = df.withColumn("_m", m).drop(args.html_col).select(
+        "*",
+        F.col("_m.text").alias("text"),
+        F.col("_m.n_blocks").alias("n_blocks"),
+        F.col("_m.n_content").alias("n_content"),
+        F.col("_m.content_chars").alias("content_chars"),
+    ).drop("_m")
+    out.write.mode("overwrite").parquet(args.output)
+
+
+def cmd_search(args) -> None:
+    """BM25 retrieval (operators/retrieval.py): rank the corpus
+    against ad-hoc query strings; top-k rows per query to parquet or
+    stdout."""
+    import pandas as pd
+
+    from vtk_reserves_spark.operators.retrieval import bm25_score, bm25_topk
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+
+    spark = _spark()
+    df = load_dataframe(spark, args.input, keep_null=True)
+    queries = spark.createDataFrame(
+        pd.DataFrame({
+            "qid": list(range(len(args.queries))),
+            "qtext": args.queries,
+        })
+    )
+    scored = bm25_score(
+        df, queries, args.id_col, args.text_col
+    )
+    top = bm25_topk(scored, args.id_col, k=args.top_k)
+    if args.output:
+        top.write.mode("overwrite").parquet(args.output)
+    else:
+        print(top.toPandas().to_string(index=False))
+
+
 def cmd_warc(args) -> None:
     """Ingest WARC shards to parquet: file-grain by default (the right
     shape for ~1 GB CommonCrawl shards), or record-grain ranged reads
@@ -690,6 +744,29 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--merges", type=int, default=100)
     v.add_argument("--min-freq", type=int, default=2)
     v.set_defaults(fn=cmd_vocab)
+
+    x = sub.add_parser(
+        "extract",
+        help="block-level main-content extraction from an HTML column",
+    )
+    x.add_argument("input")
+    x.add_argument("output")
+    x.add_argument("--html-col", default="text")
+    x.add_argument("--min-words", type=int, default=6)
+    x.add_argument("--max-link-density", type=float, default=0.35)
+    x.set_defaults(fn=cmd_extract)
+
+    se = sub.add_parser(
+        "search",
+        help="BM25 retrieval: rank corpus docs against ad-hoc queries",
+    )
+    se.add_argument("input")
+    se.add_argument("queries", nargs="+", help="query strings")
+    se.add_argument("--output", default=None, help="parquet path (default: stdout)")
+    se.add_argument("--text-col", default="text")
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--top-k", type=int, default=10)
+    se.set_defaults(fn=cmd_search)
     return p
 
 
