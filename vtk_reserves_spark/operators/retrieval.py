@@ -111,14 +111,31 @@ def bm25_score(
     )
 
 
-def bm25_topk(scored: DataFrame, id_col: str, k: int = 10) -> DataFrame:
+def bm25_topk(
+    scored: DataFrame, id_col: str, k: int = 10, salt_parts: int = 64
+) -> DataFrame:
     """Top-k docs per query, ranked by the 6-dp-rounded score (ties
     then break on the id) — the rounding makes ranks stable across
-    summation orders."""
+    summation orders.
+
+    Two-stage at scale: a popular query can match millions of docs,
+    and a single per-qid window would serialize them through one
+    reducer.  Stage 1 takes a partial top-k within ``salt_parts``
+    deterministic hash-salted groups (top-k is salt-decomposable: the
+    global top-k is a subset of the union of per-salt top-ks), so at
+    most ``salt_parts * k`` rows per query reach the final exact
+    window."""
     r = F.round("score", 6)
-    w = Window.partitionBy("qid").orderBy(r.desc(), F.col(id_col))
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(salt_parts))
+    w1 = Window.partitionBy("qid", salt).orderBy(r.desc(), F.col(id_col))
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
     return (
         scored.withColumn("score", r)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("_pr", F.row_number().over(w1))
+        .where(F.col("_pr") <= k)
+        .drop("_pr")
+        .withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
     )
