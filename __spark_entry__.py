@@ -8236,9 +8236,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     decompress, ivf_video, vp9_headers, msgpack, av1_headers,
     #     cbor — whose only evidence so far is the builder self-run
     #     (VERDICT r4 item 1: rotate these first);
-    # [next] queries NEW or fixture-changed in round 5 (H.264/HEVC
-    #     parameter-set mining, Avro complex/logical types, SEG-Y
-    #     rev-2 fixture, ...), inserted as they land;
+    # [next] queries NEW or fixture-changed in round 5: h264_headers
+    #     (SPS mining), avro_complex (full Avro type system),
+    #     segy_traces (fixture now exercises rev-2), main_content
+    #     (pure-Catalyst boilerplate removal), wet_wat (CC sidecars),
+    #     markdown (structure mining), kn_perplexity (word-level KN
+    #     LM), sqlite_table, bm25, arrow_ipc, npy_embeddings;
+    #     decompress (already at the head) gained the lz4/snappy
+    #     rotation this round;
     # [fill] the round-1-green block (pricing_summary, flag_regions,
     #     ...) whose newest driver evidence is four rounds old, in
     #     original order, up to the 50-cap.  Whatever r1 greens spill
