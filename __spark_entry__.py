@@ -3961,15 +3961,21 @@ def q_npy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vtk_reserves_spark.sources.npy import read_npz
 
+    # ONE npz scan: a filter-join of the two members would parse
+    # every shard twice; conditional aggregation pairs them with a
+    # single pass + one keyed shuffle
     rows = read_npz(spark, td + "/*.npz")
-    vecs = rows.where(F.col("member") == "vectors").select(
-        "path", "row_idx", F.col("values").alias("vec")
+    paired = rows.groupBy("path", "row_idx").agg(
+        F.first(
+            F.when(F.col("member") == "ids", F.element_at("values", 1)),
+            ignorenulls=True,
+        ).cast("long").alias("vec_id"),
+        F.first(
+            F.when(F.col("member") == "vectors", F.col("values")),
+            ignorenulls=True,
+        ).alias("vec"),
     )
-    ids = rows.where(F.col("member") == "ids").select(
-        "path", "row_idx",
-        F.element_at("values", 1).cast("long").alias("vec_id"),
-    )
-    return ids.join(vecs, ["path", "row_idx"]).select(
+    return paired.select(
         "vec_id",
         F.size("vec").cast("int").alias("dim"),
         F.element_at("vec", 1).alias("v_first"),
