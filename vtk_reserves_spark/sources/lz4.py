@@ -138,10 +138,18 @@ def decompress_block(src: bytes, max_size: int = 1 << 27) -> bytes:
                     break
         if len(out) + match_len > max_size:
             raise ValueError("lz4: output exceeds size limit")
-        # overlapping copy: byte-at-a-time semantics
         start = len(out) - offset
-        for i in range(match_len):
-            out.append(out[start + i])
+        if offset >= match_len:
+            out += out[start : start + match_len]
+        else:
+            # overlapping copy: out[i] = out[i - offset] makes the
+            # tail periodic with period ``offset`` — doubling the
+            # seed gives exact byte-at-a-time semantics in O(log)
+            # slice copies instead of a per-byte Python loop
+            chunk = bytes(out[start:])
+            while len(chunk) < match_len:
+                chunk += chunk
+            out += chunk[:match_len]
     return bytes(out)
 
 
@@ -269,6 +277,8 @@ def decompress_frame(data: bytes) -> bytes:
     desc_end = 6 + (8 if has_size else 0) + (4 if has_dict else 0)
     declared = None
     if has_size:
+        if pos + 8 > len(data):
+            raise ValueError("lz4: truncated content size")
         (declared,) = struct.unpack_from("<Q", data, pos)
         pos += 8
     if has_dict:

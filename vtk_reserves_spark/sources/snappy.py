@@ -117,8 +117,14 @@ def decompress(src: bytes) -> bytes:
         if offset == 0 or offset > len(out):
             raise ValueError("snappy: bad copy offset")
         start = len(out) - offset
-        for i in range(ln):
-            out.append(out[start + i])
+        if offset >= ln:
+            out += out[start : start + ln]
+        else:
+            # periodic overlap copy (see lz4.decompress_block)
+            chunk = bytes(out[start:])
+            while len(chunk) < ln:
+                chunk += chunk
+            out += chunk[:ln]
     if len(out) != expected:
         raise ValueError(
             f"snappy: declared {expected} bytes, produced {len(out)}"
