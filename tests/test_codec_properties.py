@@ -637,3 +637,150 @@ def test_email_roundtrip_arbitrary_text(subject, body, enc, multipart):
     got = parse_email(msg)
     assert got["subject"] == subject
     assert got["text"] == body
+
+
+# -- LZ4 / Snappy: lossless for arbitrary byte streams -----------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(max_size=20000))
+def test_lz4_frame_roundtrip_property(data):
+    from vtk_reserves_spark.sources.lz4 import (
+        compress_frame, decompress_frame,
+    )
+
+    assert decompress_frame(compress_frame(data)) == data
+    assert decompress_frame(
+        compress_frame(data, block_checksums=True, block_size=1021)
+    ) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(max_size=20000))
+def test_snappy_roundtrip_property(data):
+    from vtk_reserves_spark.sources.snappy import (
+        compress, compress_framed, decompress, decompress_framed,
+    )
+
+    assert decompress(compress(data)) == data
+    assert decompress_framed(compress_framed(data, chunk_size=997)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(0, 8000),
+    period=st.integers(1, 20),
+)
+def test_lz4_snappy_periodic_overlap_property(seed, n, period):
+    """RLE-like inputs exercise the overlapping-copy fast path (match
+    offset < match length) in both decoders."""
+    import numpy as np
+
+    from vtk_reserves_spark.sources.lz4 import (
+        compress_block, decompress_block,
+    )
+    from vtk_reserves_spark.sources.snappy import compress, decompress
+
+    base = np.random.RandomState(seed).randint(0, 256, period, np.uint8)
+    data = bytes(np.tile(base, n // period + 1)[:n])
+    assert decompress_block(compress_block(data)) == data
+    assert decompress(compress(data)) == data
+
+
+# -- H.264/HEVC SPS: every reachable geometry round-trips --------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    mbw=st.integers(1, 120),
+    mbh=st.integers(1, 68),
+    crop_r=st.integers(0, 7),
+    crop_b=st.integers(0, 7),
+    profile=st.sampled_from([66, 77, 100, 110, 122, 244]),
+    level=st.integers(10, 62),
+)
+def test_h264_sps_geometry_property(mbw, mbh, crop_r, crop_b, profile, level):
+    from vtk_reserves_spark.sources.h264 import (
+        build_sps_h264, parse_sps_h264,
+    )
+
+    chroma = {122: 2, 244: 3}.get(profile, 1)
+    depth = {110: 10, 122: 10, 244: 12}.get(profile, 8)
+    sub = {1: (2, 2), 2: (2, 1), 3: (1, 1)}[chroma]
+    w = mbw * 16 - crop_r * sub[0]
+    h = mbh * 16 - crop_b * sub[1]
+    if w <= 0 or h <= 0:
+        return
+    m = parse_sps_h264(build_sps_h264(
+        w, h, profile, level, chroma_format_idc=chroma, bit_depth=depth,
+    ))
+    assert (m["width"], m["height"]) == (w, h)
+    assert (m["profile_idc"], m["level_idc"]) == (profile, level)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w8=st.integers(1, 480),
+    h8=st.integers(1, 270),
+    crop_r=st.integers(0, 3),
+    crop_b=st.integers(0, 3),
+    profile=st.integers(1, 4),
+    tier=st.integers(0, 1),
+)
+def test_hevc_sps_geometry_property(w8, h8, crop_r, crop_b, profile, tier):
+    from vtk_reserves_spark.sources.h264 import (
+        build_sps_hevc, parse_sps_hevc,
+    )
+
+    w = w8 * 8 - crop_r * 2
+    h = h8 * 8 - crop_b * 2
+    if w <= 0 or h <= 0:
+        return
+    m = parse_sps_hevc(build_sps_hevc(w, h, profile, 123, tier=tier))
+    assert (m["width"], m["height"]) == (w, h)
+    assert (m["profile_idc"], m["tier"]) == (profile, tier)
+
+
+# -- Avro: arbitrary values of the complex fixture schema --------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_avro_complex_roundtrip_property(data):
+    import datetime
+    import decimal
+
+    from vtk_reserves_spark.sources.avro import (
+        read_avro_bytes, write_avro_bytes,
+    )
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "e", "type": {"type": "enum", "name": "E",
+                               "symbols": ["A", "B", "C"]}},
+        {"name": "d", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 20, "scale": 3}},
+        {"name": "dt", "type": {"type": "int", "logicalType": "date"}},
+    ]}
+    rows = []
+    for _ in range(data.draw(st.integers(0, 8))):
+        rows.append({
+            "i": data.draw(st.integers(-(2**62), 2**62)),
+            "s": data.draw(st.one_of(st.none(), st.text(max_size=20))),
+            "arr": data.draw(st.lists(st.integers(-100, 100), max_size=5)),
+            "m": data.draw(st.dictionaries(
+                st.text(min_size=1, max_size=8), st.text(max_size=8),
+                max_size=4)),
+            "e": data.draw(st.sampled_from(["A", "B", "C"])),
+            "d": decimal.Decimal(data.draw(st.integers(-10**15, 10**15)))
+            .scaleb(-3),
+            "dt": datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=data.draw(st.integers(-10000, 30000))),
+        })
+    for codec in ("null", "deflate"):
+        _, got = read_avro_bytes(write_avro_bytes(schema, rows, codec=codec))
+        assert got == rows
