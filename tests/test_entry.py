@@ -31,3 +31,26 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         assert df.count() >= 0  # weaker rows-only check (driver parity)
         return
     assert_frames_match(df, duck.sql(ORACLES[name]))
+
+
+def test_recording_window_layout():
+    """The driver records only the FIRST 50 queries() entries; this
+    pins the round-5 rotation so an accidental reorder cannot
+    silently drop the evidence-due block out of the window."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    window = set(names[:50])
+    rotation_due = {"decompress", "ivf_video", "vp9_headers",
+                    "msgpack", "av1_headers", "cbor"}
+    round5_new = {"h264_headers", "avro_complex", "segy_traces",
+                  "main_content", "wet_wat", "markdown",
+                  "kn_perplexity", "sqlite_table", "bm25",
+                  "arrow_ipc", "npy_embeddings"}
+    assert rotation_due <= window
+    assert round5_new <= window
+    # every window entry that is oracle-backed must have an oracle
+    oracles = set(entry.oracle_sql())
+    rows_only = {"krige", "indicator_krige", "simple_krige", "cokrige",
+                 "krige_block", "bpe_merges"}
+    assert all(n in oracles for n in window - rows_only)
