@@ -218,3 +218,21 @@ def test_spark_read_avro_nested(spark, tmp_path):
     assert out[1].price == decimal.Decimal("123.45")
     assert out[-2].addr is None and out[-2].tags == []
     assert str(out[1].born) == "1999-12-31"
+
+
+def test_out_of_range_ints_raise():
+    """Values outside the declared int/long width must raise, not
+    silently wrap into corrupt-but-valid-looking OCF data."""
+    ok = _rows(1)[0]
+    for v in (2**63, -(2**63) - 1):
+        with pytest.raises(ValueError, match="long range"):
+            write_avro_bytes(SCHEMA, [dict(ok, id=v)])
+    for v in (2**31, -(2**31) - 1):
+        with pytest.raises(ValueError, match="int range"):
+            write_avro_bytes(SCHEMA, [dict(ok, small=v)])
+    # boundary values still encode
+    rows = [dict(ok, id=2**63 - 1, small=2**31 - 1),
+            dict(ok, id=-(2**63), small=-(2**31))]
+    _, got = read_avro_bytes(write_avro_bytes(SCHEMA, rows))
+    assert [(r["id"], r["small"]) for r in got] == \
+        [(r["id"], r["small"]) for r in rows]

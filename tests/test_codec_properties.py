@@ -688,6 +688,42 @@ def test_lz4_snappy_periodic_overlap_property(seed, n, period):
     assert decompress(compress(data)) == data
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.binary(max_size=20000),
+    linked=st.booleans(),
+    block_size=st.sampled_from([512, 1021, 1 << 16]),
+)
+def test_lz4_native_pure_parity_property(data, linked, block_size):
+    """The pure-python decoder is the differential oracle for the
+    pyarrow native fast path: both must produce identical bytes on
+    property-generated frames, independent AND linked blocks."""
+    from vtk_reserves_spark.sources.lz4 import (
+        compress_frame, decompress_frame,
+    )
+
+    frame = compress_frame(data, block_size=block_size, linked=linked)
+    pure = decompress_frame(frame, native=False)
+    assert pure == data
+    assert decompress_frame(frame, native=True) == pure
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(max_size=20000))
+def test_snappy_native_pure_parity_property(data):
+    """Native (pyarrow) and pure snappy decoders agree on raw blocks
+    and on the framing format (whose inner chunks dispatch native)."""
+    from vtk_reserves_spark.sources.snappy import (
+        compress, compress_framed, decompress, decompress_framed,
+    )
+
+    comp = compress(data)
+    pure = decompress(comp, native=False)
+    assert pure == data
+    assert decompress(comp, native=True) == pure
+    assert decompress_framed(compress_framed(data, chunk_size=997)) == data
+
+
 # -- H.264/HEVC SPS: every reachable geometry round-trips --------------------
 
 

@@ -129,3 +129,72 @@ def test_sniff_and_decompress_payload():
     assert sniff_compression(sn) == "snappy"
     assert decompress_payload(lz) == ("lz4", data)
     assert decompress_payload(sn) == ("snappy", data)
+
+
+def test_lz4_linked_blocks_cross_block_match():
+    """Linked frames (FLG bit 5 clear — the lz4 CLI default for
+    multi-block files) thread prior output as match history; a
+    hand-built frame whose second block references first-block bytes
+    must decode on both the pure and native paths."""
+    blk1 = b"ABCDEFGH" * 100
+    blk2 = blk1[:50] + b"tail-literals-here!!"
+    c1 = compress_block(blk1)
+    c2 = compress_block(blk2, history=blk1)
+    flg = (1 << 6) | (1 << 2)  # v1, linked, content checksum
+    desc = bytes([flg, 4 << 4])
+    frame = (
+        struct.pack("<I", 0x184D2204)
+        + desc
+        + bytes([(xxh32(desc) >> 8) & 0xFF])
+        + struct.pack("<I", len(c1)) + c1
+        + struct.pack("<I", len(c2)) + c2
+        + struct.pack("<I", 0)
+        + struct.pack("<I", xxh32(blk1 + blk2))
+    )
+    assert decompress_frame(frame, native=False) == blk1 + blk2
+    assert decompress_frame(frame, native=True) == blk1 + blk2
+
+
+def test_lz4_linked_frame_roundtrip_multi_block():
+    data = b"spark analytics engine " * 8000  # ~184 KB -> 3 blocks
+    frame = compress_frame(data, linked=True)
+    assert frame[4] & (1 << 5) == 0  # FLG declares linked
+    assert decompress_frame(frame, native=False) == data
+    assert decompress_frame(frame, native=True) == data
+    # linked frames compress at least as well as independent ones
+    assert len(frame) <= len(compress_frame(data, linked=False))
+
+
+def test_lz4_bd_code_tracks_block_size():
+    """BD max-block-size code must cover the actual block size
+    (4=64KB 5=256KB 6=1MB 7=4MB) so conformant external decoders
+    accept the frame; beyond 4 MB is a frame-format error."""
+    for bs, code in ((1 << 16, 4), ((1 << 16) + 1, 5), (1 << 18, 5),
+                     (1 << 20, 6), (1 << 22, 7)):
+        assert compress_frame(b"x" * 64, block_size=bs)[5] >> 4 == code
+    with pytest.raises(ValueError, match="4 MB"):
+        compress_frame(b"x", block_size=(1 << 22) + 1)
+
+
+def test_lz4_dictionary_frame_rejected():
+    flg = (1 << 6) | (1 << 5) | 1  # v1, independent, DictID present
+    desc = bytes([flg, 4 << 4]) + struct.pack("<I", 0xDEADBEEF)
+    frame = (
+        struct.pack("<I", 0x184D2204)
+        + desc
+        + bytes([(xxh32(desc) >> 8) & 0xFF])
+        + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="dictionary"):
+        decompress_frame(frame)
+
+
+def test_crc32c_slice_by_16_matches_bytewise():
+    from vtk_reserves_spark.sources.snappy import _CRC_TABLE
+
+    for n in (0, 1, 15, 16, 17, 31, 33, 1000):
+        data = bytes(RND.randrange(256) for _ in range(n))
+        ref = 0xFFFFFFFF
+        for b in data:
+            ref = _CRC_TABLE[(ref ^ b) & 0xFF] ^ (ref >> 8)
+        assert crc32c(data) == ref ^ 0xFFFFFFFF

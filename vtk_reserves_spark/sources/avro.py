@@ -60,6 +60,8 @@ def _zigzag_encode(n: int) -> int:
 
 
 def _write_long(out: bytearray, n: int) -> None:
+    if not -(1 << 63) <= n < (1 << 63):
+        raise ValueError(f"avro: value {n} out of 64-bit long range")
     z = _zigzag_encode(n) & 0xFFFFFFFFFFFFFFFF
     while True:
         b = z & 0x7F
@@ -309,7 +311,10 @@ def _write(out: bytearray, node: dict, v) -> None:
         if t == "boolean":
             out.append(1 if v else 0)
         elif t in ("int", "long"):
-            _write_long(out, int(v))
+            iv = int(v)
+            if t == "int" and not -(1 << 31) <= iv < (1 << 31):
+                raise ValueError(f"avro: value {iv} out of 32-bit int range")
+            _write_long(out, iv)
         elif t == "float":
             out += struct.pack("<f", float(v))
         elif t == "double":

@@ -10,17 +10,25 @@ native wheel.  This implements the public specifications exactly:
   rules) — both directions: a greedy hash-chain compressor and the
   full decompressor;
 * the FRAME format v1.6.x: magic 0x184D2204, FLG/BD descriptor with
-  header checksum, independent or linked blocks, optional block
-  checksums, optional content size + content checksum — checksums
-  are xxHash32, implemented here from the public algorithm;
+  header checksum, independent or linked blocks (FLG bit 5; linked
+  blocks thread the prior 64 KB of decoded output as match history),
+  optional block checksums, optional content size + content
+  checksum — checksums are xxHash32, implemented here from the
+  public algorithm;
 * legacy and skippable frames are recognized and rejected with a
   clear error (nothing modern emits them).
 
 Scale posture: payload-grain calls inside Arrow batches
 (`operators/multimodal.decompress_media`); bytes never reach the
-driver.  Like the sibling ``zstd_pure.py``, parity with the C
-implementation is by construction of the spec, and every in-repo
-producer/consumer pair round-trips under the driver oracle.
+driver.  ``decompress_frame`` dispatches to pyarrow's bundled
+native LZ4-frame codec when available (GB/s vs the pure decoder's
+MB/s) and falls back to the pure-python decoder — which is also the
+differential-test oracle for the native path — on import failure or
+any native-side error, so semantics (e.g. trailing bytes after the
+EndMark are ignored) are exactly the pure decoder's.  Like the
+sibling ``zstd_pure.py``, parity with the C implementation is by
+construction of the spec, and every in-repo producer/consumer pair
+round-trips under the driver oracle.
 """
 
 from __future__ import annotations
@@ -31,6 +39,11 @@ __all__ = [
     "xxh32", "compress_block", "decompress_block",
     "compress_frame", "decompress_frame",
 ]
+
+try:  # bundled native codec (pyarrow ships liblz4); optional
+    import pyarrow as _pa
+except ImportError:  # pragma: no cover - pyarrow is a hard dep elsewhere
+    _pa = None
 
 _MAGIC = 0x184D2204
 
@@ -95,10 +108,19 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 # ---------------------------------------------------------------- block
 
 
-def decompress_block(src: bytes, max_size: int = 1 << 27) -> bytes:
+def decompress_block(
+    src: bytes, max_size: int = 1 << 27, history: bytes = b""
+) -> bytes:
     """LZ4 block -> bytes.  Raises ValueError on malformed input
-    (bad offsets, truncation, output beyond ``max_size``)."""
-    out = bytearray()
+    (bad offsets, truncation, output beyond ``max_size``).
+
+    ``history`` is prior decoded output that matches may reference
+    — the linked-blocks mode of the frame format (FLG bit 5 clear),
+    where each block may copy from the preceding 64 KB of the
+    stream.  Only the newly decoded bytes are returned.
+    """
+    out = bytearray(history)
+    hist = len(history)
     pos = 0
     n = len(src)
     while pos < n:
@@ -136,7 +158,7 @@ def decompress_block(src: bytes, max_size: int = 1 << 27) -> bytes:
                 match_len += b
                 if b != 255:
                     break
-        if len(out) + match_len > max_size:
+        if len(out) - hist + match_len > max_size:
             raise ValueError("lz4: output exceeds size limit")
         start = len(out) - offset
         if offset >= match_len:
@@ -150,7 +172,7 @@ def decompress_block(src: bytes, max_size: int = 1 << 27) -> bytes:
             while len(chunk) < match_len:
                 chunk += chunk
             out += chunk[:match_len]
-    return bytes(out)
+    return bytes(out[hist:])
 
 
 def _write_len(out: bytearray, n: int) -> None:
@@ -160,31 +182,40 @@ def _write_len(out: bytearray, n: int) -> None:
     out.append(n)
 
 
-def compress_block(src: bytes) -> bytes:
+def compress_block(src: bytes, history: bytes = b"") -> bytes:
     """Greedy LZ4 block compressor: 4-byte hash-table matcher,
     16-bit offsets, spec end rules (last 5 bytes literal, no match
-    starting in the final 12)."""
-    n = len(src)
+    starting in the final 12).
+
+    ``history`` is prior stream output a linked-blocks frame may
+    reference: matches can start inside it (offsets still ≤ 64 KB),
+    but only ``src`` is emitted.
+    """
+    hist = len(history)
+    buf = history + src if hist else src
+    n = len(buf)
     out = bytearray()
     table: dict[bytes, int] = {}
-    anchor = 0
-    i = 0
+    for j in range(max(0, hist - 3)):
+        table[buf[j : j + 4]] = j
+    anchor = hist
+    i = hist
     limit = n - 12  # last match must start before here
     while i < limit:
-        key = src[i : i + 4]
+        key = buf[i : i + 4]
         cand = table.get(key)
         table[key] = i
-        if cand is None or i - cand > 0xFFFF or src[cand : cand + 4] != key:
+        if cand is None or i - cand > 0xFFFF or buf[cand : cand + 4] != key:
             i += 1
             continue
         # extend match, leaving the last 5 bytes as literals
         end_cap = n - 5
         m = i + 4
         c = cand + 4
-        while m < end_cap and src[m] == src[c]:
+        while m < end_cap and buf[m] == buf[c]:
             m += 1
             c += 1
-        lit = src[anchor:i]
+        lit = buf[anchor:i]
         match_len = m - i
         token_lit = 15 if len(lit) >= 15 else len(lit)
         token_match = 15 if match_len - 4 >= 15 else match_len - 4
@@ -198,7 +229,7 @@ def compress_block(src: bytes) -> bytes:
         anchor = m
         i = m
     # final literals
-    lit = src[anchor:]
+    lit = buf[anchor:]
     token_lit = 15 if len(lit) >= 15 else len(lit)
     out.append(token_lit << 4)
     if token_lit == 15:
@@ -216,17 +247,31 @@ def compress_frame(
     block_checksums: bool = False,
     content_checksum: bool = True,
     content_size: bool = True,
+    linked: bool = False,
 ) -> bytes:
-    """bytes -> LZ4 frame (independent blocks; incompressible blocks
-    stored uncompressed per the spec's high-bit convention)."""
-    flg = (1 << 6) | (1 << 5)  # version 01, block-independent
+    """bytes -> LZ4 frame (incompressible blocks stored uncompressed
+    per the spec's high-bit convention).  ``linked=True`` clears FLG
+    bit 5 and lets each block's matches reach into the previous
+    64 KB of the stream — the lz4 CLI's default mode for multi-block
+    files."""
+    flg = 1 << 6  # version 01
+    if not linked:
+        flg |= 1 << 5  # block-independent
     if block_checksums:
         flg |= 1 << 4
     if content_size:
         flg |= 1 << 3
     if content_checksum:
         flg |= 1 << 2
-    bd = 4 << 4  # 64 KB max block size code
+    # BD max-block-size code: 4=64KB 5=256KB 6=1MB 7=4MB (spec table)
+    for code, cap in ((4, 1 << 16), (5, 1 << 18), (6, 1 << 20), (7, 1 << 22)):
+        if block_size <= cap:
+            bd = code << 4
+            break
+    else:
+        raise ValueError(
+            f"lz4: block_size {block_size} exceeds the 4 MB frame maximum"
+        )
     desc = bytearray([flg, bd])
     if content_size:
         desc += struct.pack("<Q", len(data))
@@ -237,7 +282,8 @@ def compress_frame(
         raw = data[i : i + block_size]
         if not raw:
             break
-        comp = compress_block(raw)
+        hist = data[max(0, i - 0xFFFF) : i] if linked else b""
+        comp = compress_block(raw, history=hist)
         if len(comp) < len(raw):
             out += struct.pack("<I", len(comp))
             body = comp
@@ -253,10 +299,27 @@ def compress_frame(
     return bytes(out)
 
 
-def decompress_frame(data: bytes) -> bytes:
+def _native_decompress_frame(data: bytes) -> bytes:
+    """Decode a whole frame with pyarrow's bundled liblz4 (GB/s; the
+    C library verifies header/block/content checksums itself)."""
+    stream = _pa.input_stream(
+        _pa.BufferReader(data), compression="lz4", buffer_size=1 << 20
+    )
+    return stream.read()
+
+
+def decompress_frame(data: bytes, native: bool | None = None) -> bytes:
     """LZ4 frame -> bytes, verifying the header checksum and any
     block/content checksums.  Raises ValueError on corruption or on
-    legacy/skippable frames."""
+    legacy/skippable frames.
+
+    ``native=None`` (default) uses pyarrow's bundled liblz4 when
+    importable and falls back to the pure-python decoder on any
+    native-side error, so observable semantics are always the pure
+    decoder's (the fallback re-raises its own ValueError on truly
+    corrupt input, and quirks like ignoring trailing bytes after the
+    EndMark are preserved).  ``native=False`` forces the pure path
+    (the differential-test oracle)."""
     if len(data) < 7:
         raise ValueError("lz4: truncated frame")
     (magic,) = struct.unpack_from("<I", data, 0)
@@ -269,6 +332,17 @@ def decompress_frame(data: bytes) -> bytes:
     flg = data[4]
     if flg >> 6 != 1:
         raise ValueError("lz4: unsupported frame version")
+    if flg & 1:
+        raise ValueError("lz4: dictionary-dependent frame not supported")
+    if native is None:
+        native = _pa is not None
+    if native and _pa is not None:
+        try:
+            return _native_decompress_frame(data)
+        except Exception:
+            pass  # pure decoder decides: succeeds (e.g. trailing
+            # bytes past the EndMark) or raises its own ValueError
+    block_independent = bool(flg & (1 << 5))
     block_checksums = bool(flg & (1 << 4))
     has_size = bool(flg & (1 << 3))
     content_checksum = bool(flg & (1 << 2))
@@ -310,7 +384,12 @@ def decompress_frame(data: bytes) -> bytes:
             pos += 4
             if xxh32(body) != bc:
                 raise ValueError("lz4: block checksum mismatch")
-        out += body if uncompressed else decompress_block(body)
+        if uncompressed:
+            out += body
+        elif block_independent:
+            out += decompress_block(body)
+        else:  # linked: matches may reach 64 KB into prior output
+            out += decompress_block(body, history=bytes(out[-0xFFFF:]))
     if content_checksum:
         if pos + 4 > len(data):
             raise ValueError("lz4: missing content checksum")

@@ -133,7 +133,7 @@ def _parse_stbl(data: bytes, b: int, e: int) -> dict:
                 # for sources/h264.py parameter-set mining
                 (esize,) = struct.unpack_from(">I", data, off + 4)
                 entry_end = min(off + 4 + esize, e)
-                if entry + 70 <= entry_end:
+                if entry + 78 <= entry_end:
                     for cfc, cb, ce in _walk_boxes(data, entry + 78, entry_end):
                         if cfc in (b"avcC", b"hvcC"):
                             out["codec_config"] = data[cb:ce]

@@ -19,7 +19,14 @@ specifications:
 
 Scale posture: payload-grain calls inside Arrow batches
 (`operators/multimodal.decompress_media`); bytes never reach the
-driver.
+driver.  ``decompress``/``decompress_framed`` dispatch the raw-block
+inner decode to pyarrow's bundled native snappy when available (the
+uncompressed length needed by the C API is the block's own varint
+preamble) and fall back to the pure-python decoder — also the
+differential-test oracle — on import failure or any native-side
+error.  CRC-32C runs slice-by-16 (16 tables, one 16-byte stride per
+Python-level iteration) and is the remaining pure-python cost in
+the framed path; see SCALE.md.
 """
 
 from __future__ import annotations
@@ -31,9 +38,16 @@ __all__ = [
     "compress_framed", "decompress_framed",
 ]
 
+try:  # bundled native codec (pyarrow ships snappy); optional
+    import pyarrow as _pa
+except ImportError:  # pragma: no cover - pyarrow is a hard dep elsewhere
+    _pa = None
+
 _STREAM_ID = b"\xff\x06\x00\x00sNaPpY"
 
-# CRC-32C (Castagnoli), reflected polynomial 0x82F63B78
+# CRC-32C (Castagnoli), reflected polynomial 0x82F63B78 —
+# slice-by-16: table k maps a byte XORed into the CRC k positions
+# (bytes) ahead of the current window to its 32-bit contribution.
 _CRC_TABLE = []
 for _i in range(256):
     _c = _i
@@ -41,11 +55,39 @@ for _i in range(256):
         _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
     _CRC_TABLE.append(_c)
 
+_CRC_SLICE = [list(_CRC_TABLE)]
+for _k in range(1, 16):
+    _prev = _CRC_SLICE[-1]
+    _CRC_SLICE.append(
+        [_CRC_TABLE[_prev[_i] & 0xFF] ^ (_prev[_i] >> 8) for _i in range(256)]
+    )
+# _CRC_SLICE[k][b] advances byte b through k+1 zero bytes; reverse so
+# index 0 is the FIRST byte of a 16-byte stride (needs 15 more shifts)
+_T0, _T1, _T2, _T3, _T4, _T5, _T6, _T7, \
+    _T8, _T9, _T10, _T11, _T12, _T13, _T14, _T15 = _CRC_SLICE[::-1]
+
 
 def crc32c(data: bytes) -> int:
     crc = 0xFFFFFFFF
-    for b in data:
-        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    n = len(data)
+    pos = 0
+    # slice-by-16 main loop: fold the current CRC into the first 4
+    # bytes of the stride, then combine 16 independent table lookups
+    end16 = n - (n % 16)
+    while pos < end16:
+        b = data[pos : pos + 16]
+        crc = (
+            _T0[(b[0] ^ crc) & 0xFF]
+            ^ _T1[(b[1] ^ (crc >> 8)) & 0xFF]
+            ^ _T2[(b[2] ^ (crc >> 16)) & 0xFF]
+            ^ _T3[(b[3] ^ (crc >> 24)) & 0xFF]
+            ^ _T4[b[4]] ^ _T5[b[5]] ^ _T6[b[6]] ^ _T7[b[7]]
+            ^ _T8[b[8]] ^ _T9[b[9]] ^ _T10[b[10]] ^ _T11[b[11]]
+            ^ _T12[b[12]] ^ _T13[b[13]] ^ _T14[b[14]] ^ _T15[b[15]]
+        )
+        pos += 16
+    for i in range(pos, n):
+        crc = _CRC_TABLE[(crc ^ data[i]) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
 
 
@@ -72,10 +114,28 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
             raise ValueError("snappy: varint too long")
 
 
-def decompress(src: bytes) -> bytes:
+def decompress(src: bytes, native: bool | None = None) -> bytes:
     """Raw Snappy block -> bytes.  Raises ValueError on malformed
-    input or length mismatch."""
+    input or length mismatch.
+
+    ``native=None`` (default) uses pyarrow's bundled snappy when
+    importable (the C API's required uncompressed size is the
+    block's own varint preamble) and falls back to the pure decoder
+    on any native-side error so the error surface stays ours.
+    ``native=False`` forces the pure path (the differential oracle).
+    """
     expected, pos = _read_varint(src, 0)
+    if native is None:
+        native = _pa is not None
+    if native and _pa is not None and expected <= 1 << 31:
+        try:
+            out = _pa.Codec("snappy").decompress(
+                bytes(src), decompressed_size=expected, asbytes=True
+            )
+            if len(out) == expected:
+                return out
+        except Exception:
+            pass  # pure decoder re-raises its own ValueError
     out = bytearray()
     n = len(src)
     while pos < n:
