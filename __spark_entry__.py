@@ -631,6 +631,80 @@ def q_leapfrog_mesh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return load_dataframe(spark, p, keep_null=True)
 
 
+def _gltf_fixture_meshes():
+    """The gltf_mesh fixture: the standard box plus a textured
+    triangle exercising TEXCOORD_0 + embedded-PNG decode."""
+    import numpy as np
+
+    from vtk_reserves_spark.sources.gltf import GltfMesh
+
+    box = TriMesh.box(_MESH_BOX, name="b")
+    tri = GltfMesh(
+        [[0.0, 0.0, 0.0], [6.0, 0.0, 0.0], [0.0, 6.0, 0.0]],
+        [[0, 1, 2]],
+        name="t",
+        texcoords=[[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+        texture=np.arange(48, dtype=np.uint8).reshape(4, 4, 3),
+    )
+    return [box, tri]
+
+
+def q_gltf_mesh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """glTF/GLB codec round-trip (sources/gltf.py; reference semantics
+    gltf_to_vtk pd_vtk.py:1058-1091 / vtk_to_gltf pd_vtk.py:965-1052):
+    box + textured triangle -> GLB bytes -> accessor-decode read ->
+    per-face-vertex table with texcoords and the decoded texture's
+    mean (proves the embedded PNG decoded exactly)."""
+    from vtk_reserves_spark.sources.gltf import read_glb, write_glb
+
+    meshes = read_glb(write_glb(_gltf_fixture_meshes()))
+    rows = []
+    for m in meshes:
+        tex_mean = (
+            float(m.texture.mean()) if m.texture is not None else None
+        )
+        tc = getattr(m, "texcoords", None)
+        for fi, tri3 in enumerate(m.faces):
+            for n, node in enumerate(tri3):
+                x, y, z = m.vertices[node]
+                u = float(tc[node][0]) if tc is not None else None
+                v = float(tc[node][1]) if tc is not None else None
+                rows.append(
+                    (m.name, fi, n, int(node), float(x), float(y),
+                     float(z), u, v, tex_mean)
+                )
+    return spark.createDataFrame(
+        rows,
+        "mesh string, face int, n int, node int, x double, y double,"
+        " z double, u double, v double, tex_mean double",
+    )
+
+
+def _gltf_values_sql() -> str:
+    """The gltf_mesh fixture rows as a VALUES relation (the oracle
+    derives the identical table from the same deterministic fixture:
+    texture mean of arange(48) = 23.5)."""
+    rows = []
+    for m in _gltf_fixture_meshes():
+        tc = getattr(m, "texcoords", None)
+        tex_mean = "CAST(23.5 AS DOUBLE)" if tc is not None else "NULL"
+        for fi, tri3 in enumerate(m.faces):
+            for n, node in enumerate(tri3):
+                x, y, z = m.vertices[node]
+                u = f"CAST({float(tc[node][0])!r} AS DOUBLE)" if tc is not None else "NULL"
+                v = f"CAST({float(tc[node][1])!r} AS DOUBLE)" if tc is not None else "NULL"
+                rows.append(
+                    f"('{m.name}', {fi}, {n}, {int(node)},"
+                    f" CAST({float(x)!r} AS DOUBLE),"
+                    f" CAST({float(y)!r} AS DOUBLE),"
+                    f" CAST({float(z)!r} AS DOUBLE), {u}, {v}, {tex_mean})"
+                )
+    return (
+        "(SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(mesh, face, n, node, x, y, z, u, v, tex_mean))"
+    )
+
+
 def q_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical string -> sorted dictionary code (operators/encode.py;
     pd.factorize(sort=True) parity per pd_string_to_index,
@@ -8337,6 +8411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session": q_stream_session,
         "stream_stateful_user": q_stream_stateful_user,
         "leapfrog_mesh": q_leapfrog_mesh,
+        "gltf_mesh": q_gltf_mesh,
         "string_index": q_string_index,
         "sketch_rollup": q_sketch_rollup,
         "shapefile_roundtrip": q_shapefile_roundtrip,
@@ -8635,6 +8710,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "leapfrog_mesh": f"""
             SELECT x, y, z, n, node, face FROM {_mesh_values_sql()}
+        """,
+        "gltf_mesh": f"""
+            SELECT mesh, face, n, node, x, y, z, u, v, tex_mean
+            FROM {_gltf_values_sql()}
         """,
         "shapefile_roundtrip": """
             SELECT * FROM (VALUES

@@ -202,6 +202,10 @@ def load_dataframe(
         from vtk_reserves_spark.sources.leapfrog import read_msh_df
 
         df = read_msh_df(spark, df_path)
+    elif ext in (".glb", ".gltf"):
+        from vtk_reserves_spark.sources.gltf import read_glb_df
+
+        df = read_glb_df(spark, df_path)
     elif ext == ".shp":
         from vtk_reserves_spark.sources.shapefile import read_shp
 
