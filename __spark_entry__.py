@@ -4057,6 +4057,64 @@ def q_npy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zarr_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr v2 store ingestion (sources/zarr.py): the embeddings
+    table lands as a REAL two-array zarr group — "vectors" (n, d)
+    float32 under blosc-lz4 + byte-shuffle (the zarr-python default
+    layout) and "ids" (n,) int64 under zlib — then is re-read at
+    CHUNK grain (one Spark task per chunk, metadata-only driver
+    work) and re-joined on the row index; exploded per-dimension
+    values replay the parquet column under the oracle (float32 ->
+    float64 is exact).  The store write is driver-side and bounded
+    by the embeddings fixture; at 100 TB the read path is the
+    distributed one (chunk grain), and a chunk-parallel writer is a
+    foreachPartition away (SCALE.md)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from vtk_reserves_spark.sources.zarr import (
+        read_zarr_df, write_zarr_array,
+    )
+
+    pdf = (
+        _read(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    order = np.argsort(pdf["vec_id"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()[order].astype("<i8")
+    vecs = np.stack(
+        [np.asarray(v, "<f4") for v in pdf["embedding"].to_numpy()[order]]
+    )
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_zarr_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    write_zarr_array(
+        td, "vectors", vecs, chunks=(64, vecs.shape[1]),
+        compressor={"id": "blosc", "cname": "lz4", "clevel": 5,
+                    "shuffle": 1},
+    )
+    write_zarr_array(
+        td, "ids", ids, chunks=(64,),
+        compressor={"id": "zlib", "level": 5},
+    )
+    vec_rows = read_zarr_df(spark, td, "vectors")
+    id_rows = read_zarr_df(spark, td, "ids").select(
+        F.col("i0").alias("row"), F.col("value").alias("vec_id")
+    )
+    return vec_rows.join(
+        F.broadcast(id_rows), vec_rows.i0 == id_rows.row
+    ).select(
+        "vec_id",
+        F.col("i1").cast("int").alias("dim"),
+        F.col("value"),
+    )
+
+
 def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow IPC ingestion (sources/arrow_ipc.py — the HF datasets
     shard format): every partition writes a REAL Feather-v2 shard
@@ -7625,6 +7683,15 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(embedding[len(embedding)] AS DOUBLE) AS v_last
             FROM embeddings
         """,
+        "zarr_embeddings": """
+            -- the zarr round-trip surfaces the embeddings column
+            -- itself (q_zarr_embeddings); float32->float64 is exact
+            SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                   CAST(embedding[i] AS DOUBLE) AS value
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                          AS i)
+        """,
         "arrow_ipc": """
             -- closed form of the Arrow IPC fixture rule
             -- (q_arrow_ipc): binary-exact eighths; list column
@@ -8349,6 +8416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "arrow_ipc": q_arrow_ipc,
         "npy_embeddings": q_npy_embeddings,
+        "zarr_embeddings": q_zarr_embeddings,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,

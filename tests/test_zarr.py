@@ -1,0 +1,173 @@
+"""Zarr v2 store + c-blosc1 chunk codec: blosc round-trips across
+inner codecs/shuffle/typesize, store metadata handling (compressors,
+fill_value, F order, dimension_separator, missing chunks), the
+chunk-grain Spark reader, and malformed-input rejection."""
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vtk_reserves_spark.sources.zarr import (
+    blosc_decode,
+    blosc_encode,
+    read_zarr_array,
+    read_zarr_df,
+    write_zarr_array,
+)
+
+RNG = np.random.RandomState(11)
+
+
+@pytest.mark.parametrize("cname", ["lz4", "zlib", "zstd", "snappy"])
+@pytest.mark.parametrize("shuffle", [0, 1])
+def test_blosc_roundtrip_codecs(cname, shuffle):
+    data = RNG.randint(0, 1000, 5000).astype("<i4").tobytes()
+    chunk = blosc_encode(data, typesize=4, cname=cname, shuffle=shuffle)
+    assert blosc_decode(chunk) == data
+    assert len(chunk) < len(data)  # low-entropy ints compress
+
+
+def test_blosc_incompressible_memcpy():
+    data = RNG.bytes(4096)
+    chunk = blosc_encode(data, typesize=1)
+    assert chunk[2] & 0x2  # memcpy flag
+    assert blosc_decode(chunk) == data
+
+
+def test_blosc_multi_block_and_leftover():
+    # force several blocks plus a non-multiple tail
+    data = (b"abcdefgh" * 5000)[:-3]
+    chunk = blosc_encode(data, typesize=8, blocksize=4096)
+    assert blosc_decode(chunk) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(0, 30000),
+    typesize=st.sampled_from([1, 2, 4, 8]),
+    cname=st.sampled_from(["lz4", "zlib", "zstd", "snappy"]),
+    shuffle=st.integers(0, 1),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_blosc_roundtrip_property(n, typesize, cname, shuffle, seed):
+    rs = np.random.RandomState(seed)
+    data = rs.randint(0, 8, n).astype(np.uint8).tobytes()
+    chunk = blosc_encode(
+        data, typesize=typesize, cname=cname, shuffle=shuffle,
+        blocksize=7936,
+    )
+    assert blosc_decode(chunk) == data
+
+
+def test_blosc_malformed_rejected():
+    with pytest.raises(ValueError, match="truncated"):
+        blosc_decode(b"\x02\x00\x00\x01")
+    good = bytearray(blosc_encode(b"hello world " * 100, typesize=1))
+    bad = bytearray(good)
+    struct.pack_into("<i", bad, 4, -5)  # negative nbytes
+    with pytest.raises(ValueError):
+        blosc_decode(bytes(bad))
+    # bit-shuffle flag
+    bad = bytearray(good)
+    bad[2] |= 0x4
+    with pytest.raises(ValueError, match="bit-shuffle"):
+        blosc_decode(bytes(bad))
+
+
+COMPRESSORS = [
+    None,
+    {"id": "zlib", "level": 5},
+    {"id": "gzip", "level": 4},
+    {"id": "bz2", "level": 1},
+    {"id": "lzma"},
+    {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+    {"id": "blosc", "cname": "zstd", "clevel": 3, "shuffle": 0},
+]
+
+
+@pytest.mark.parametrize("comp", COMPRESSORS, ids=[
+    (c or {}).get("id", "null") + (c or {}).get("cname", "")
+    for c in COMPRESSORS
+])
+def test_store_roundtrip_compressors(tmp_path, comp):
+    data = RNG.randn(37, 13).astype("<f4")
+    write_zarr_array(str(tmp_path), "emb", data, chunks=(10, 13),
+                     compressor=comp)
+    out = read_zarr_array(str(tmp_path), "emb")
+    np.testing.assert_array_equal(out, data)
+    # .zgroup written at the store root
+    assert json.load(open(tmp_path / ".zgroup"))["zarr_format"] == 2
+
+
+def test_store_int_and_1d(tmp_path):
+    ids = np.arange(100, dtype="<i8") * 7
+    write_zarr_array(str(tmp_path), "ids", ids, chunks=(32,),
+                     compressor={"id": "zlib", "level": 1})
+    np.testing.assert_array_equal(read_zarr_array(str(tmp_path), "ids"), ids)
+
+
+def test_store_fortran_order(tmp_path):
+    data = RNG.randn(8, 5).astype("<f8")
+    write_zarr_array(str(tmp_path), "f", data, chunks=(4, 5), order="F")
+    np.testing.assert_array_equal(read_zarr_array(str(tmp_path), "f"), data)
+
+
+def test_store_missing_chunk_fill_value(tmp_path):
+    data = np.ones((20, 4), dtype="<f4")
+    write_zarr_array(str(tmp_path), "a", data, chunks=(10, 4),
+                     fill_value=-1.0)
+    os.remove(tmp_path / "a" / "1.0")
+    out = read_zarr_array(str(tmp_path), "a")
+    assert (out[:10] == 1).all() and (out[10:] == -1).all()
+
+
+def test_store_slash_separator(tmp_path):
+    data = np.arange(24, dtype="<i4").reshape(6, 4)
+    write_zarr_array(str(tmp_path), "s", data, chunks=(3, 2),
+                     dimension_separator="/")
+    assert (tmp_path / "s" / "0" / "1").exists()
+    np.testing.assert_array_equal(read_zarr_array(str(tmp_path), "s"), data)
+
+
+def test_unsupported_rejected(tmp_path):
+    data = np.zeros(4)
+    write_zarr_array(str(tmp_path), "x", data)
+    meta = json.load(open(tmp_path / "x" / ".zarray"))
+    meta["filters"] = [{"id": "delta"}]
+    json.dump(meta, open(tmp_path / "x" / ".zarray", "w"))
+    with pytest.raises(ValueError, match="filter"):
+        read_zarr_array(str(tmp_path), "x")
+    meta["filters"] = None
+    meta["zarr_format"] = 3
+    json.dump(meta, open(tmp_path / "x" / ".zarray", "w"))
+    with pytest.raises(ValueError, match="zarr_format"):
+        read_zarr_array(str(tmp_path), "x")
+
+
+def test_spark_reader_chunk_grain(spark, tmp_path):
+    data = RNG.randn(23, 7).astype("<f4")
+    write_zarr_array(
+        str(tmp_path), "emb", data, chunks=(10, 7),
+        compressor={"id": "blosc", "cname": "lz4", "shuffle": 1},
+    )
+    df = read_zarr_df(spark, str(tmp_path), "emb")
+    assert df.columns == ["i0", "i1", "value"]
+    pdf = df.toPandas().sort_values(["i0", "i1"]).reset_index(drop=True)
+    assert len(pdf) == 23 * 7
+    got = pdf["value"].to_numpy().reshape(23, 7)
+    np.testing.assert_array_equal(got, data.astype(np.float64))
+    # one input partition per chunk (3 row-chunks x 1 col-chunk)
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_spark_reader_int_1d(spark, tmp_path):
+    ids = np.arange(50, dtype="<i8") * 3
+    write_zarr_array(str(tmp_path), "ids", ids, chunks=(16,))
+    df = read_zarr_df(spark, str(tmp_path), "ids")
+    assert dict(df.dtypes)["value"] == "bigint"
+    pdf = df.toPandas().sort_values("i0")
+    np.testing.assert_array_equal(pdf["value"].to_numpy(), ids)

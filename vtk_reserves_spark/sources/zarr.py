@@ -1,0 +1,507 @@
+"""Zarr v2 chunked-array store reader/writer — pure-stdlib + numpy.
+
+Zarr is the de-facto chunked-array interchange for embedding dumps and
+scientific arrays too big for one .npy (the gap `sources/npy.py` and
+`sources/arrow_ipc.py` leave open).  This implements the public Zarr
+v2 spec (https://zarr.readthedocs.io/en/stable/spec/v2.html) plus the
+c-blosc1 chunk container it defaults to:
+
+* directory store: ``.zgroup`` / ``.zattrs`` / per-array ``.zarray``
+  JSON metadata (shape, chunks, numpy-syntax dtype, order C/F,
+  fill_value, dimension_separator "." or "/");
+* chunk files ``i.j.k`` — always full chunk-shape on disk, logically
+  clipped at the array bounds; missing chunks read as ``fill_value``;
+* compressors: ``null``, ``zlib``, ``gzip``, ``bz2``, ``lzma`` and
+  ``blosc`` — the c-blosc1 frame (16-byte header, per-block int32
+  starts, stored-vs-compressed blocks, byte-shuffle) with inner
+  codecs lz4 (raw LZ4 blocks — `sources/lz4.py` block format), zlib,
+  zstd and snappy.  blosclz and bit-shuffle are rejected with a clear
+  error.  Native (pyarrow) lz4/zstd fast paths with the pure-python
+  codecs as fallback, mirroring `sources/lz4.py`.
+
+Golden-vector caveat: like `sources/vp8.py`, no zarr/numcodecs wheel
+exists in this container, so cross-validation against zarr-python is
+environment-blocked; the byte layouts follow the published specs and
+round-trip under property tests, and every in-repo producer/consumer
+pair is driver-oracle-checked (q:zarr_embeddings).
+
+Scale posture: **one Spark task per chunk** — the natural grain for a
+chunked store (each chunk is independently compressed and addressed),
+so a 100 TB array fans out without any shuffle; `read_zarr_df` builds
+the chunk-key list from metadata only (no data read on the driver)
+and decodes inside `mapInPandas`.  The writer is driver-side for
+fixture-scale arrays (document-store writers stay distributed; a
+chunk-parallel writer is a `foreachPartition` away and noted in
+SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import struct
+from itertools import product
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "blosc_decode", "blosc_encode",
+    "read_zarray_meta", "read_zarr_array", "write_zarr_array",
+    "read_zarr_df",
+]
+
+try:
+    import pyarrow as _pa
+except ImportError:  # pragma: no cover
+    _pa = None
+
+# ---------------------------------------------------------------- blosc
+
+_BLOSC_CODECS = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+_BLOSC_CODES = {v: k for k, v in _BLOSC_CODECS.items()}
+
+
+def _shuffle(block: bytes, typesize: int) -> bytes:
+    """c-blosc byte shuffle: transpose elements x bytes -> bytes x
+    elements over the multiple-of-typesize part; tail copied raw."""
+    n = len(block)
+    m = (n // typesize) * typesize
+    if typesize <= 1 or m == 0:
+        return block
+    arr = np.frombuffer(block, np.uint8, count=m).reshape(-1, typesize)
+    return arr.T.tobytes() + block[m:]
+
+
+def _unshuffle(block: bytes, typesize: int) -> bytes:
+    n = len(block)
+    m = (n // typesize) * typesize
+    if typesize <= 1 or m == 0:
+        return block
+    arr = np.frombuffer(block, np.uint8, count=m).reshape(typesize, -1)
+    return arr.T.tobytes() + block[m:]
+
+
+def _inner_compress(raw: bytes, cname: str, clevel: int) -> bytes:
+    if cname == "lz4":
+        if _pa is not None:
+            return _pa.Codec("lz4_raw").compress(raw, asbytes=True)
+        from vtk_reserves_spark.sources.lz4 import compress_block
+
+        return compress_block(raw)
+    if cname == "zlib":
+        import zlib
+
+        return zlib.compress(raw, clevel)
+    if cname == "zstd":
+        if _pa is None:
+            raise ValueError("blosc: zstd inner codec needs pyarrow")
+        return _pa.Codec("zstd", compression_level=clevel).compress(
+            raw, asbytes=True
+        )
+    if cname == "snappy":
+        from vtk_reserves_spark.sources.snappy import compress
+
+        return compress(raw)
+    raise ValueError(f"blosc: unsupported inner codec {cname!r}")
+
+
+def _inner_decompress(body: bytes, cname: str, neblock: int) -> bytes:
+    if cname == "lz4":
+        if _pa is not None:
+            try:
+                return _pa.Codec("lz4_raw").decompress(
+                    body, decompressed_size=neblock, asbytes=True
+                )
+            except Exception:
+                pass
+        from vtk_reserves_spark.sources.lz4 import decompress_block
+
+        return decompress_block(body)
+    if cname == "zlib":
+        import zlib
+
+        return zlib.decompress(body)
+    if cname == "zstd":
+        from vtk_reserves_spark.sources.zstd import decompress
+
+        return decompress(body)
+    if cname == "snappy":
+        from vtk_reserves_spark.sources.snappy import decompress
+
+        return decompress(body)
+    raise ValueError(
+        f"blosc: unsupported inner codec {cname!r} (blosclz chunks need "
+        "the c-blosc library)"
+    )
+
+
+def blosc_decode(src: bytes) -> bytes:
+    """c-blosc1 chunk -> bytes (header layout per the public
+    BLOSC format doc: version, versionlz, flags, typesize, then
+    little-endian int32 nbytes/blocksize/cbytes)."""
+    if len(src) < 16:
+        raise ValueError("blosc: truncated header")
+    flags, typesize = src[2], src[3]
+    nbytes, blocksize, cbytes = struct.unpack_from("<iii", src, 4)
+    if nbytes < 0 or blocksize <= 0 or cbytes < 0 or cbytes > len(src):
+        raise ValueError("blosc: bad header sizes")
+    if flags & 0x4:
+        raise ValueError("blosc: bit-shuffle not supported")
+    if flags & 0x2:  # memcpyed: raw payload follows the header
+        if 16 + nbytes > len(src):
+            raise ValueError("blosc: memcpy chunk truncated")
+        return bytes(src[16 : 16 + nbytes])
+    cname = _BLOSC_CODECS.get((flags >> 5) & 0x7)
+    byte_shuffle = bool(flags & 0x1) and typesize > 1
+    nblocks = max(1, math.ceil(nbytes / blocksize)) if nbytes else 0
+    bstarts = struct.unpack_from(f"<{nblocks}i", src, 16)
+    out = bytearray()
+    for i, bs in enumerate(bstarts):
+        neblock = min(blocksize, nbytes - i * blocksize)
+        if bs + 4 > len(src):
+            raise ValueError("blosc: block start beyond chunk")
+        (cb,) = struct.unpack_from("<i", src, bs)
+        body = src[bs + 4 : bs + 4 + cb]
+        if len(body) != cb:
+            raise ValueError("blosc: block truncated")
+        if cb == neblock:  # stored uncompressed
+            block = bytes(body)
+        else:
+            block = _inner_decompress(bytes(body), cname, neblock)
+            if len(block) != neblock:
+                raise ValueError(
+                    f"blosc: block decoded to {len(block)} != {neblock}"
+                )
+        if byte_shuffle:
+            block = _unshuffle(block, typesize)
+        out += block
+    if len(out) != nbytes:
+        raise ValueError(f"blosc: chunk decoded to {len(out)} != {nbytes}")
+    return bytes(out)
+
+
+def blosc_encode(
+    raw: bytes,
+    typesize: int = 1,
+    cname: str = "lz4",
+    clevel: int = 5,
+    shuffle: int = 1,
+    blocksize: int = 0,
+) -> bytes:
+    """bytes -> c-blosc1 chunk (shuffle: 0 none, 1 byte-shuffle —
+    matching numcodecs.Blosc's argument convention)."""
+    if cname not in _BLOSC_CODES or cname == "blosclz":
+        raise ValueError(f"blosc: unsupported cname {cname!r}")
+    if shuffle not in (0, 1):
+        raise ValueError("blosc: only shuffle 0/1 (none/byte) supported")
+    nbytes = len(raw)
+    if typesize <= 0:
+        typesize = 1
+    if blocksize <= 0:
+        blocksize = max(typesize, min(nbytes or 1, 1 << 18))
+    blocksize -= blocksize % typesize or 0
+    blocksize = max(blocksize, typesize)
+    do_shuffle = shuffle == 1 and typesize > 1
+    flags = (0x1 if do_shuffle else 0) | (_BLOSC_CODES[cname] << 5)
+    nblocks = max(1, math.ceil(nbytes / blocksize)) if nbytes else 0
+    header = bytearray(
+        [2, 0, flags, min(typesize, 255)]
+    )  # version 2, versionlz 0
+    body = bytearray()
+    bstarts = []
+    base = 16 + 4 * nblocks
+    for i in range(nblocks):
+        neblock_raw = raw[i * blocksize : (i + 1) * blocksize]
+        neblock = len(neblock_raw)
+        block = _shuffle(neblock_raw, typesize) if do_shuffle else neblock_raw
+        comp = _inner_compress(bytes(block), cname, clevel)
+        if len(comp) >= neblock:  # store raw: cb == neblock flags "stored"
+            comp = bytes(block)
+        bstarts.append(base + len(body))
+        body += struct.pack("<i", len(comp)) + comp
+    chunk = (
+        bytes(header)
+        + struct.pack("<iii", nbytes, blocksize, base + len(body))
+        + b"".join(struct.pack("<i", b) for b in bstarts)
+        + body
+    )
+    if len(chunk) >= 16 + nbytes:  # incompressible: memcpy form wins
+        return (
+            bytes([2, 0, 0x2, min(typesize, 255)])
+            + struct.pack("<iii", nbytes, blocksize, 16 + nbytes)
+            + raw
+        )
+    return chunk
+
+
+# ---------------------------------------------------------------- store
+
+
+def _apply_compressor(raw: bytes, comp: dict | None, typesize: int) -> bytes:
+    if comp is None:
+        return raw
+    cid = comp.get("id")
+    if cid == "blosc":
+        return blosc_encode(
+            raw,
+            typesize=typesize,
+            cname=comp.get("cname", "lz4"),
+            clevel=int(comp.get("clevel", 5)),
+            shuffle=int(comp.get("shuffle", 1)),
+            blocksize=int(comp.get("blocksize", 0)),
+        )
+    if cid == "zlib":
+        import zlib
+
+        return zlib.compress(raw, int(comp.get("level", 1)))
+    if cid == "gzip":
+        import gzip
+
+        return gzip.compress(raw, int(comp.get("level", 1)), mtime=0)
+    if cid == "bz2":
+        import bz2
+
+        return bz2.compress(raw, int(comp.get("level", 1)))
+    if cid == "lzma":
+        import lzma
+
+        return lzma.compress(raw)
+    raise ValueError(f"zarr: unsupported compressor {cid!r}")
+
+
+def _strip_compressor(data: bytes, comp: dict | None) -> bytes:
+    if comp is None:
+        return data
+    cid = comp.get("id")
+    if cid == "blosc":
+        return blosc_decode(data)
+    if cid == "zlib":
+        import zlib
+
+        return zlib.decompress(data)
+    if cid == "gzip":
+        import gzip
+
+        return gzip.decompress(data)
+    if cid == "bz2":
+        import bz2
+
+        return bz2.decompress(data)
+    if cid == "lzma":
+        import lzma
+
+        return lzma.decompress(data)
+    raise ValueError(f"zarr: unsupported compressor {cid!r}")
+
+
+def read_zarray_meta(store: str, array: str = "") -> dict:
+    path = os.path.join(store, array, ".zarray") if array else os.path.join(
+        store, ".zarray"
+    )
+    with open(path) as fh:
+        meta = json.load(fh)
+    if meta.get("zarr_format") != 2:
+        raise ValueError(
+            f"zarr: unsupported zarr_format {meta.get('zarr_format')}"
+        )
+    if meta.get("filters"):
+        raise ValueError("zarr: filter pipelines not supported")
+    return meta
+
+
+def _meta_dtype(meta: dict) -> np.dtype:
+    dt = np.dtype(meta["dtype"])
+    if dt.kind not in "ifub":
+        raise ValueError(f"zarr: unsupported dtype {meta['dtype']!r}")
+    return dt
+
+
+def _decode_chunk_bytes(data: bytes, meta: dict) -> np.ndarray:
+    dt = _meta_dtype(meta)
+    raw = _strip_compressor(data, meta.get("compressor"))
+    chunks = meta["chunks"]
+    n = int(np.prod(chunks))
+    if len(raw) != n * dt.itemsize:
+        raise ValueError(
+            f"zarr: chunk holds {len(raw)} bytes, expected {n * dt.itemsize}"
+        )
+    order = meta.get("order", "C")
+    return np.frombuffer(raw, dtype=dt).reshape(chunks, order=order)
+
+
+def _chunk_grid(meta: dict) -> list[tuple[int, ...]]:
+    shape, chunks = meta["shape"], meta["chunks"]
+    counts = [math.ceil(s / c) if s else 0 for s, c in zip(shape, chunks)]
+    return list(product(*(range(c) for c in counts)))
+
+
+def _chunk_key(coord: tuple[int, ...], sep: str) -> str:
+    return sep.join(str(c) for c in coord) if coord else "0"
+
+
+def read_zarr_array(store: str, array: str = "") -> np.ndarray:
+    """Whole array, driver-side (tests / fixture-scale); missing
+    chunks fill with ``fill_value``."""
+    meta = read_zarray_meta(store, array)
+    dt = _meta_dtype(meta)
+    shape, chunks = meta["shape"], meta["chunks"]
+    sep = meta.get("dimension_separator") or "."
+    fill = meta.get("fill_value")
+    out = np.full(shape, 0 if fill is None else fill, dtype=dt)
+    adir = os.path.join(store, array) if array else store
+    for coord in _chunk_grid(meta):
+        p = os.path.join(adir, _chunk_key(coord, sep))
+        if sep == "/":
+            p = os.path.join(adir, *_chunk_key(coord, sep).split("/"))
+        if not os.path.exists(p):
+            continue
+        with open(p, "rb") as fh:
+            chunk = _decode_chunk_bytes(fh.read(), meta)
+        sl = tuple(
+            slice(c * ch, min((c + 1) * ch, s))
+            for c, ch, s in zip(coord, chunks, shape)
+        )
+        clip = tuple(slice(0, s.stop - s.start) for s in sl)
+        out[sl] = chunk[clip]
+    return out
+
+
+def write_zarr_array(
+    store: str,
+    array: str,
+    data: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    compressor: dict | None = None,
+    fill_value=0,
+    dimension_separator: str = ".",
+    order: str = "C",
+) -> None:
+    """ndarray -> zarr v2 array directory (driver-side; fixtures and
+    report-sized outputs — the distributed path is the reader)."""
+    data = np.asarray(data)
+    if chunks is None:
+        chunks = data.shape
+    adir = os.path.join(store, array) if array else store
+    os.makedirs(adir, exist_ok=True)
+    if array:
+        root_meta = os.path.join(store, ".zgroup")
+        if not os.path.exists(root_meta):
+            with open(root_meta, "w") as fh:
+                json.dump({"zarr_format": 2}, fh)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(data.shape),
+        "chunks": list(chunks),
+        "dtype": data.dtype.str,
+        "compressor": compressor,
+        "fill_value": fill_value,
+        "order": order,
+        "filters": None,
+    }
+    if dimension_separator != ".":
+        meta["dimension_separator"] = dimension_separator
+    with open(os.path.join(adir, ".zarray"), "w") as fh:
+        json.dump(meta, fh)
+    dt = data.dtype
+    for coord in _chunk_grid(meta):
+        sl = tuple(
+            slice(c * ch, min((c + 1) * ch, s))
+            for c, ch, s in zip(coord, chunks, data.shape)
+        )
+        part = data[sl]
+        full = np.full(chunks, fill_value, dtype=dt)
+        full[tuple(slice(0, p) for p in part.shape)] = part
+        raw = full.tobytes(order=order)
+        payload = _apply_compressor(raw, compressor, dt.itemsize)
+        key = _chunk_key(coord, dimension_separator)
+        p = (
+            os.path.join(adir, *key.split("/"))
+            if dimension_separator == "/"
+            else os.path.join(adir, key)
+        )
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as fh:
+            fh.write(payload)
+
+
+# ---------------------------------------------------------------- spark
+
+
+def read_zarr_df(
+    spark: SparkSession, store: str, array: str = ""
+) -> DataFrame:
+    """Zarr array -> exploded DataFrame at **chunk grain** — one task
+    per chunk, metadata-only driver work, no shuffle.
+
+    Columns: ``i0..i{ndim-1}`` (bigint indices) + ``value`` (double
+    for float dtypes, bigint for integer/bool) — the layout the
+    embedding/`kmeans` oracles already consume.
+    """
+    meta = read_zarray_meta(store, array)
+    dt = _meta_dtype(meta)
+    sep = meta.get("dimension_separator") or "."
+    ndim = len(meta["shape"])
+    if ndim == 0:
+        raise ValueError("zarr: 0-d arrays have no tabular form")
+    val_t = "double" if dt.kind == "f" else "bigint"
+    schema = (
+        ", ".join(f"i{d} bigint" for d in range(ndim))
+        + f", value {val_t}"
+    )
+    coords = [
+        (_chunk_key(c, sep),) + c for c in _chunk_grid(meta)
+    ]
+    key_schema = "key string, " + ", ".join(
+        f"c{d} bigint" for d in range(ndim)
+    )
+    keys_df = spark.createDataFrame(coords, key_schema).repartition(
+        max(1, len(coords))
+    )
+    adir = os.path.join(store, array) if array else store
+    meta_b = json.dumps(meta)
+    shape = meta["shape"]
+    chunks = meta["chunks"]
+    fill = meta.get("fill_value")
+
+    def decode(batches):
+        import pandas as pd
+
+        m = json.loads(meta_b)
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                key = row.key
+                coord = tuple(int(getattr(row, f"c{d}")) for d in range(ndim))
+                p = (
+                    os.path.join(adir, *key.split("/"))
+                    if sep == "/"
+                    else os.path.join(adir, key)
+                )
+                if os.path.exists(p):
+                    with open(p, "rb") as fh:
+                        arr = _decode_chunk_bytes(fh.read(), m)
+                else:
+                    arr = np.full(
+                        chunks, 0 if fill is None else fill, dtype=dt
+                    )
+                # clip the edge chunks to the logical array bounds
+                clip = tuple(
+                    slice(0, min(ch, s - c * ch))
+                    for c, ch, s in zip(coord, chunks, shape)
+                )
+                arr = arr[clip]
+                idx = np.indices(arr.shape).reshape(ndim, -1)
+                cols = {
+                    f"i{d}": idx[d] + coord[d] * chunks[d]
+                    for d in range(ndim)
+                }
+                vals = arr.reshape(-1)
+                cols["value"] = (
+                    vals.astype(np.float64)
+                    if dt.kind == "f"
+                    else vals.astype(np.int64)
+                )
+                yield pd.DataFrame(cols)
+
+    return keys_df.mapInPandas(decode, schema)
