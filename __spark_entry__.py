@@ -4057,6 +4057,55 @@ def q_npy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening of the embeddings table (operators/pca.py):
+    distributed partial moments (one narrow Arrow pass, one small
+    row per partition to the driver), d x d eigendecomposition
+    driver-side, broadcast transform.  Rows-only by design like the
+    kriging linear solves — the eigendecomposition is not
+    SQL-expressible; its diagonal-covariance twin
+    (q_pca_whiten_degenerate) hash-matches a closed form."""
+    from vtk_reserves_spark.operators.pca import pca_whiten
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = pca_whiten(emb, k=8, whiten=True)
+    return out.select(
+        "vec_id",
+        *[
+            F.element_at("projected", i + 1).alias(f"p{i}")
+            for i in range(8)
+        ],
+    )
+
+
+def q_pca_whiten_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate twin of q_pca_whiten with an EXACTLY diagonal
+    covariance: dims (id%7, 2*(id%5), id%3) over complete CRT cycles
+    have exact integer moment sums, so the population covariance is
+    exactly diag(4, 8, 2/3), eigenvectors are axis-aligned with the
+    pinned + sign, and the full distributed pipeline must reproduce
+    the closed form (x - mean)/sqrt(var) in eigenvalue-descending
+    order."""
+    from vtk_reserves_spark.operators.pca import pca_whiten
+
+    n = 105 * 20
+    base = spark.range(n).select(
+        F.col("id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            ((F.col("id") % 5) * 2.0),
+            (F.col("id") % 3).cast("double"),
+        ).alias("embedding"),
+    )
+    out = pca_whiten(base, whiten=True)
+    return out.select(
+        "id",
+        F.element_at("projected", 1).alias("p0"),
+        F.element_at("projected", 2).alias("p1"),
+        F.element_at("projected", 3).alias("p2"),
+    )
+
+
 def q_zarr_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zarr v2 store ingestion (sources/zarr.py): the embeddings
     table lands as a REAL two-array zarr group — "vectors" (n, d)
@@ -7683,6 +7732,23 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(embedding[len(embedding)] AS DOUBLE) AS v_last
             FROM embeddings
         """,
+        "pca_whiten_degenerate": """
+            -- closed form of the exactly-diagonal-covariance fixture
+            -- (q_pca_whiten_degenerate): components sort by variance
+            -- descending (8, 4, 2/3), whitening = (x - mean)/stddev
+            WITH t AS (
+              SELECT i AS id,
+                     CAST(i % 7 AS DOUBLE) AS x0,
+                     2.0 * (i % 5) AS x1,
+                     CAST(i % 3 AS DOUBLE) AS x2
+              FROM (SELECT unnest(range(2100)) AS i)
+            )
+            SELECT id,
+                   (x1 - 4.0) / sqrt(8.0) AS p0,
+                   (x0 - 3.0) / 2.0 AS p1,
+                   (x2 - 1.0) / sqrt(2.0 / 3.0) AS p2
+            FROM t
+        """,
         "zarr_embeddings": """
             -- the zarr round-trip surfaces the embeddings column
             -- itself (q_zarr_embeddings); float32->float64 is exact
@@ -8417,6 +8483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_ipc": q_arrow_ipc,
         "npy_embeddings": q_npy_embeddings,
         "zarr_embeddings": q_zarr_embeddings,
+        "pca_whiten": q_pca_whiten,
+        "pca_whiten_degenerate": q_pca_whiten_degenerate,
         # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
