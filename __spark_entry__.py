@@ -1014,6 +1014,61 @@ def q_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_krige_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary kriging with a GENERAL spherical-plus-nugget variogram,
+    hash-checked: the fixture isolates each block with 1-2 samples
+    (clusters 100 apart, radius 30), where the OK system has the
+    closed-form solution
+
+      n=1:  w = 1,  est = v1,  kvar = 2*gamma(d1)
+      n=2:  w2 = 1/2 + (g10 - g20) / (2*g12),  w1 = 1 - w2,
+            mu = g10 - g12*w2,
+            kvar = w1*g10 + w2*g20 + mu
+
+    so DuckDB replays the full pipeline — tile gather, per-size-class
+    batched LAPACK solve, variance — from the variogram formula alone.
+    Unlike q_krige_degenerate (pure-nugget) the variogram here is the
+    real anisotropy-free spherical model with a nugget, exercising the
+    non-constant gamma path end to end.  General neighborhoods stay
+    rows-only (q_krige)."""
+    from vtk_reserves_spark.operators.geostats import ordinary_krige
+
+    base = spark.range(120)
+    blocks = base.select(
+        F.col("id").cast("int").alias("cell"),
+        (F.col("id") * 100.0).alias("x"),
+        F.lit(0.0).alias("y"),
+        F.lit(0.0).alias("z"),
+    )
+    d1 = (F.col("id") * 7 % 17 + 2).cast("double")
+    d2 = (F.col("id") * 11 % 13 + 3).cast("double")
+    s1 = base.select(
+        (F.col("id") * 100.0 + d1).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sz"),
+        (10.0 + (F.col("id") % 23) * 0.5).alias("grade"),
+    )
+    s2 = base.filter(F.col("id") % 5 != 0).select(
+        (F.col("id") * 100.0 - d2).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sz"),
+        (20.0 + (F.col("id") % 19) * 0.25).alias("grade"),
+    )
+    out = ordinary_krige(
+        blocks,
+        s1.unionByName(s2),
+        "grade",
+        radius=30.0,
+        variogram=("spherical", 25.0, 3.0, 0.5),
+        max_samples=4,
+        sample_xyz=("sx", "sy", "sz"),
+    )
+    return out.select(
+        "cell", F.round("grade", 6).alias("grade"),
+        F.round("kvar", 6).alias("kvar"), "n_samples",
+    )
+
+
 def q_krige_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-nugget ordinary kriging — the kriging family's HASH-CHECKED
     query.  With sill == nugget the variogram is the constant c0 for
@@ -8591,6 +8646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xls_report": q_xls_report,
         "bloom_decontaminate": q_bloom_decontaminate,
         "krige_degenerate": q_krige_degenerate,
+        "krige_closed": q_krige_closed,
         "bpe_degenerate": q_bpe_degenerate,
         "jpeg_progressive": q_jpeg_progressive,
         "gif_frames": q_gif_frames,
@@ -8995,6 +9051,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(e.g, 6) AS grade,
                    CAST(COALESCE(e.n, 0) AS BIGINT) AS n_samples
             FROM b LEFT JOIN est e USING (cell)
+        """,
+        "krige_closed": """
+            -- 1-2-sample neighborhoods make general-variogram OK
+            -- closed-form (q_krige_closed docstring); spherical model
+            -- range 25, sill 3, nugget 0.5 => gamma(h) = 0.5 +
+            -- 2.5*(1.5*r - 0.5*r^3) with r = LEAST(h/25, 1), h > 0
+            WITH p AS (
+              SELECT r.range AS id,
+                     CAST(r.range * 7 % 17 + 2 AS DOUBLE) AS d1,
+                     CAST(r.range * 11 % 13 + 3 AS DOUBLE) AS d2,
+                     10.0 + (r.range % 23) * 0.5 AS v1,
+                     20.0 + (r.range % 19) * 0.25 AS v2,
+                     (r.range % 5 = 0) AS lone
+              FROM range(120) r
+            ), g AS (
+              SELECT *,
+                0.5 + 2.5*(1.5*LEAST(d1/25.0,1.0)
+                           - 0.5*POWER(LEAST(d1/25.0,1.0),3)) AS g10,
+                0.5 + 2.5*(1.5*LEAST(d2/25.0,1.0)
+                           - 0.5*POWER(LEAST(d2/25.0,1.0),3)) AS g20,
+                0.5 + 2.5*(1.5*LEAST((d1+d2)/25.0,1.0)
+                           - 0.5*POWER(LEAST((d1+d2)/25.0,1.0),3)) AS g12
+              FROM p
+            ), w AS (
+              SELECT *,
+                CASE WHEN lone THEN NULL
+                     ELSE 0.5 + (g10 - g20) / (2.0 * g12) END AS w2
+              FROM g
+            )
+            SELECT CAST(id AS INT) AS cell,
+                   ROUND(CASE WHEN lone THEN v1
+                         ELSE (1.0 - w2) * v1 + w2 * v2 END, 6) AS grade,
+                   ROUND(CASE WHEN lone THEN 2.0 * g10
+                         ELSE (1.0 - w2) * g10 + w2 * g20
+                              + (g10 - g12 * w2) END, 6) AS kvar,
+                   CASE WHEN lone THEN 1 ELSE 2 END AS n_samples
+            FROM w
         """,
         "krige_degenerate": """
             WITH b AS (
