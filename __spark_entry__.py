@@ -4112,6 +4112,65 @@ def q_npy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hdf5_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDF5 ingestion (sources/hdf5.py): the embeddings table lands
+    as a REAL .h5 file — "vectors" (n, d) float32 chunked with
+    shuffle+deflate (the h5py-default filter stack) and "ids" (n,)
+    int64 contiguous — then is re-read at CHUNK grain (driver walks
+    superblock -> object header -> v1 chunk B-tree, executors read
+    their own byte ranges) and re-joined on the row index; exploded
+    per-dimension values replay the parquet column under the oracle
+    (float32 -> float64 is exact).  Same scale shape as
+    q_zarr_embeddings; the two queries pin both halves of the
+    array-store interchange gap."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from vtk_reserves_spark.sources.hdf5 import read_hdf5_df, write_hdf5
+
+    pdf = (
+        _read(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    order = np.argsort(pdf["vec_id"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()[order].astype("<i8")
+    vecs = np.stack(
+        [np.asarray(v, "<f4") for v in pdf["embedding"].to_numpy()[order]]
+    )
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_hdf5_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+    p = os.path.join(td, "embeddings.h5")
+    write_hdf5(
+        p,
+        {
+            "vectors": (
+                vecs,
+                {"chunks": (64, vecs.shape[1]), "deflate": 4,
+                 "shuffle": True},
+            ),
+            "ids": ids,
+        },
+    )
+    vec_rows = read_hdf5_df(spark, p, "vectors")
+    id_rows = read_hdf5_df(spark, p, "ids").select(
+        F.col("i0").alias("row"), F.col("value").alias("vec_id")
+    )
+    return vec_rows.join(
+        F.broadcast(id_rows), vec_rows.i0 == id_rows.row
+    ).select(
+        "vec_id",
+        F.col("i1").cast("int").alias("dim"),
+        F.col("value"),
+    )
+
+
 def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA whitening of the embeddings table (operators/pca.py):
     distributed partial moments (one narrow Arrow pass, one small
@@ -7787,6 +7846,15 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(embedding[len(embedding)] AS DOUBLE) AS v_last
             FROM embeddings
         """,
+        "hdf5_embeddings": """
+            -- the .h5 round-trip surfaces the embeddings column
+            -- itself (q_hdf5_embeddings); float32->float64 is exact
+            SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                   CAST(embedding[i] AS DOUBLE) AS value
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                          AS i)
+        """,
         "pca_whiten_degenerate": """
             -- closed form of the exactly-diagonal-covariance fixture
             -- (q_pca_whiten_degenerate): components sort by variance
@@ -8538,6 +8606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_ipc": q_arrow_ipc,
         "npy_embeddings": q_npy_embeddings,
         "zarr_embeddings": q_zarr_embeddings,
+        "hdf5_embeddings": q_hdf5_embeddings,
         "pca_whiten": q_pca_whiten,
         "pca_whiten_degenerate": q_pca_whiten_degenerate,
         # --- round-1 greens being re-recorded (oldest evidence) ---

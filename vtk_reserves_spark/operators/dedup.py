@@ -708,8 +708,20 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         tokens(normalize_text(F.col(text_col))).alias("_t"),
     ).select("_id", shingles_of_tokens(F.col("_t"), n).alias("_grams"))
-    da = toked.select(F.col("_id").alias("id_a"), F.col("_grams").alias("grams_a"))
-    db = toked.select(F.col("_id").alias("id_b"), F.col("_grams").alias("grams_b"))
+    # carry 8-byte xxhash64 values through the candidate join instead
+    # of the full shingle strings: intersection/union SIZES (all
+    # Jaccard needs) are unchanged short of a 64-bit collision, and
+    # the shuffled bytes drop by the average shingle length;
+    # array_distinct shrinks them further (dupes don't affect
+    # set-semantics intersect/union)
+    hashed = toked.select(
+        "_id",
+        F.array_distinct(
+            F.transform("_grams", lambda g: F.xxhash64(g))
+        ).alias("_grams"),
+    )
+    da = hashed.select(F.col("_id").alias("id_a"), F.col("_grams").alias("grams_a"))
+    db = hashed.select(F.col("_id").alias("id_b"), F.col("_grams").alias("grams_b"))
     if blocking is None:
         pairs = da.crossJoin(db).where(F.col("id_a") < F.col("id_b"))
     else:
