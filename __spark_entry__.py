@@ -2127,6 +2127,34 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(both, threshold=0.999).select("id_a", "id_b")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (operators/similarity.py
+    semantic_dedup; Abbas et al. 2023): plant near-dup twins
+    (x + 0.001, cosine ~1 vs a 0.51 natural ceiling at threshold
+    0.9), assign everything to fixed seed centroids (vec_id < 8 —
+    closed-form in SQL like q:kmeans), then drop any vector whose
+    cluster holds a lower-id vector with cosine >= 0.9.  One
+    broadcast assignment + one cluster-keyed shuffle; per-cluster
+    scoring is a single numpy GEMM."""
+    from vtk_reserves_spark.operators.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twin = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x + F.lit(0.001)
+        ).alias("embedding"),
+    )
+    both = emb.unionByName(twin)
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double")
+        ).alias("centroid"),
+    )
+    return semantic_dedup(both, cents, threshold=0.9)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path: synthesize genuine PNG payloads from the text
     bytes, then decode actual pixels (pure-zlib codec) executor-side —
@@ -6366,6 +6394,42 @@ def _llm_oracles() -> dict[str, str]:
             FROM k a JOIN k b ON a.bucket = b.bucket AND a.id < b.id
             WHERE list_cosine_similarity(a.vec, b.vec) >= 0.999
         """,
+        "semantic_dedup": """
+            -- fixed seed centroids make the assignment closed-form
+            -- (the q:kmeans device); dedup rule: dropped iff a
+            -- lower-id same-cluster vector has cosine >= 0.9
+            WITH uni AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS id,
+                     list_transform(embedding, x -> x + 0.001) AS vec
+              FROM embeddings
+            ), c AS (
+              SELECT CAST(vec_id AS INT) AS centroid_id,
+                     embedding::DOUBLE[] AS centroid
+              FROM embeddings WHERE vec_id < 8
+            ), asg AS (
+              SELECT id, centroid_id FROM (
+                SELECT u.id, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY u.id
+                         ORDER BY list_distance(u.vec, c.centroid) ASC,
+                                  c.centroid_id ASC) AS rn
+                FROM uni u CROSS JOIN c
+              ) WHERE rn = 1
+            ), dup AS (
+              SELECT DISTINCT b.id AS id
+              FROM asg a
+              JOIN asg b ON a.centroid_id = b.centroid_id AND a.id < b.id
+              JOIN uni ua ON ua.id = a.id
+              JOIN uni ub ON ub.id = b.id
+              WHERE list_cosine_similarity(ua.vec, ub.vec) >= 0.9
+            )
+            SELECT a.id AS vec_id, a.centroid_id,
+                   (d.id IS NULL) AS kept
+            FROM asg a LEFT JOIN dup d ON d.id = a.id
+        """,
         "multimodal_features": """
             -- closed form of the PNG synthesis rule (attach_png_payload):
             -- grayscale w=8+n%9, h=8+n%7, pixel p = byte p%n; the corpus
@@ -8647,6 +8711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "frame_sample": q_frame_sample,

@@ -1402,3 +1402,63 @@ def test_hard_negatives_excludes_same_label_and_near_dups(spark):
     # without the ceiling the near-dup wins
     got2 = hard_negatives(df, q, k=1).collect()
     assert got2[0].neighbor_id == 4
+
+
+def test_semantic_dedup_keep_first_within_cluster(spark):
+    """SemDeDup-shaped dedup: planted twins drop, originals keep,
+    and the cross-cluster pair never dedups even at sim ~1."""
+    import numpy as np
+
+    from vtk_reserves_spark.operators.similarity import semantic_dedup
+
+    rs = np.random.RandomState(2)
+    base = rs.randn(12, 8)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # twins of 3 and 7 (same direction, higher ids -> dropped)
+    rows.append((100, [float(x) for x in base[3] * 1.001]))
+    rows.append((101, [float(x) for x in base[7] * 0.999]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # two fixed centroids: vectors 0 and 1
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in base[0]]), (1, [float(x) for x in base[1]])],
+        "centroid_id int, centroid array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["kept"])
+        for r in semantic_dedup(df, cents, threshold=0.95).collect()
+    }
+    assert len(out) == 14
+    # twins share their original's cluster and are dropped
+    assert out[100][0] == out[3][0] and out[100][1] is False
+    assert out[101][0] == out[7][0] and out[101][1] is False
+    # originals (lower ids) are kept
+    assert out[3][1] is True and out[7][1] is True
+    # random non-dup vectors all keep (sims far below 0.95)
+    assert all(out[i][1] for i in range(12))
+
+
+def test_semantic_dedup_cluster_locality(spark):
+    """Identical vectors in DIFFERENT clusters both survive — the
+    dedup scope is the cluster, per the SemDeDup design."""
+    from vtk_reserves_spark.operators.similarity import semantic_dedup
+
+    # centroids at +x and -x; two identical-direction pairs, one per side
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    df = spark.createDataFrame(
+        [
+            (10, [5.0, 0.1]),
+            (11, [-5.0, 0.1]),  # same |cos| story but other cluster
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, cents, threshold=0.9).collect()
+    }
+    assert out[10]["centroid_id"] == 0 and out[10]["kept"]
+    assert out[11]["centroid_id"] == 1 and out[11]["kept"]

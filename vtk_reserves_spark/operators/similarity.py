@@ -487,3 +487,68 @@ def kmeans_fit(
     return cent.join(counts, "centroid_id").select(
         "centroid_id", "n_assigned", "centroid"
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings coarsely, then drop
+    within-cluster semantic duplicates by cosine similarity.
+
+    The keep rule is PINNED (and SQL-replayable, unlike a greedy
+    chain): a vector is dropped iff some LOWER-id vector in the SAME
+    cluster has cosine similarity >= ``threshold`` — the keep-first
+    convention every dedup operator here uses (`operators/dedup.py`).
+
+    ``centroids`` is the small ``(centroid_id, centroid)`` relation —
+    train with :func:`kmeans_fit` or pass fixed seed vectors (the
+    oracle-checked query does the latter so DuckDB can replay the
+    assignment closed-form).
+
+    Scale shape: one broadcast assignment (`kmeans_assign`), then ONE
+    shuffle keyed by cluster; per-cluster scoring is one numpy GEMM in
+    ``applyInPandas`` (the `embedding_near_dup_pairs` pattern — never
+    |cluster|^2 interpreted expressions, never an all-pairs corpus
+    join).  Clusters are ~n/k; raise k so cluster matrices stay
+    executor-sized, exactly the SemDeDup paper's own scaling knob.
+    Returns ``(id_col, centroid_id, kept)`` for every input vector
+    that assigned to a cluster.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned = kmeans_assign(df, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        "centroid_id",
+    )
+
+    def cluster_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        u = np.array(
+            [np.asarray(v, np.float64) for v in pdf["vec"].to_numpy()[order]]
+        )
+        norms = np.linalg.norm(u, axis=1, keepdims=True)
+        np.divide(u, norms, out=u, where=norms > 0)
+        s = u @ u.T
+        # dropped iff any strictly-lower-id row similar enough
+        dup = (np.tril(s >= threshold, k=-1)).any(axis=1)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "centroid_id": pdf["centroid_id"].to_numpy()[order],
+                "kept": ~dup,
+            }
+        )
+
+    out_schema = "id long, centroid_id int, kept boolean"
+    return (
+        assigned.groupBy("centroid_id")
+        .applyInPandas(cluster_dedup, out_schema)
+        .withColumnRenamed("id", id_col)
+    )
