@@ -4140,6 +4140,69 @@ def q_npy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_features(docs: DataFrame):
+    """Cheap text features for the classifier queries — pure Catalyst
+    exprs (length, digit/punct/upper ratios), the FineWeb/CCNet-style
+    signal set."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n = F.greatest(F.length(t), F.lit(1)).cast("double")
+    return docs.select(
+        "doc_id",
+        F.array(
+            F.length(t).cast("double") / 100.0,
+            F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double") / n,
+            F.length(F.regexp_replace(t, r"[^\.\,\!\?\;\:]", "")).cast(
+                "double"
+            ) / n,
+            F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double") / n,
+        ).alias("features"),
+        ((F.col("doc_id") % 7) < 3).cast("int").alias("label"),
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression quality classifier
+    (operators/logreg.py): IRLS over Catalyst-computed text features
+    — one narrow Arrow pass per Newton iteration (partition-partial
+    gradient + Hessian, driver-side (d+1) x (d+1) solve), then
+    pure-Catalyst scoring.  Rows-only by design like kriging/PCA
+    (the iterated solve has no SQL oracle); its one-step d=1 twin
+    q:logreg_degenerate hash-matches a closed form."""
+    from vtk_reserves_spark.operators.logreg import (
+        logreg_fit, logreg_predict,
+    )
+
+    data = _quality_features(_read(spark, sf_dir, "documents"))
+    model = logreg_fit(data, n_iter=6, reg=1e-6)
+    return logreg_predict(data, model).select(
+        "doc_id", "label", F.round("prob", 6).alias("prob")
+    )
+
+
+def q_logreg_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate twin of q_quality_classifier: ONE Newton step from
+    zero with a single feature and no intercept has the closed form
+    w = 4 * sum(x*(y-1/2)) / sum(x^2) (gradient X'(y-p) at p=1/2,
+    Hessian X'X/4), so the full distributed trainer must reproduce
+    sigmoid(w*x) exactly."""
+    from vtk_reserves_spark.operators.logreg import (
+        logreg_fit, logreg_predict,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    data = docs.select(
+        "doc_id",
+        F.array(
+            ((F.col("doc_id") % 97 + 1) / 10.0).cast("double")
+        ).alias("features"),
+        ((F.col("doc_id") % 3) == 0).cast("int").alias("label"),
+    )
+    model = logreg_fit(data, n_iter=1, reg=0.0, intercept=False)
+    return logreg_predict(data, model).select(
+        "doc_id", "label", F.round("prob", 6).alias("prob")
+    )
+
+
 def q_hdf5_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HDF5 ingestion (sources/hdf5.py): the embeddings table lands
     as a REAL .h5 file — "vectors" (n, d) float32 chunked with
@@ -7910,6 +7973,22 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(embedding[len(embedding)] AS DOUBLE) AS v_last
             FROM embeddings
         """,
+        "logreg_degenerate": """
+            -- one-step d=1 no-intercept Newton closed form
+            -- (q_logreg_degenerate): w = 4*sum(x*(y-1/2))/sum(x^2)
+            WITH d AS (
+              SELECT doc_id,
+                     (doc_id % 97 + 1) / 10.0 AS x,
+                     CAST(doc_id % 3 = 0 AS INT) AS label
+              FROM documents
+            ), w AS (
+              SELECT 4.0 * SUM(x * (label - 0.5)) / SUM(x * x) AS w1
+              FROM d
+            )
+            SELECT d.doc_id, d.label,
+                   ROUND(1.0 / (1.0 + exp(-(w.w1 * d.x))), 6) AS prob
+            FROM d, w
+        """,
         "hdf5_embeddings": """
             -- the .h5 round-trip surfaces the embeddings column
             -- itself (q_hdf5_embeddings); float32->float64 is exact
@@ -8671,6 +8750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "npy_embeddings": q_npy_embeddings,
         "zarr_embeddings": q_zarr_embeddings,
         "hdf5_embeddings": q_hdf5_embeddings,
+        "quality_classifier": q_quality_classifier,
+        "logreg_degenerate": q_logreg_degenerate,
         "pca_whiten": q_pca_whiten,
         "pca_whiten_degenerate": q_pca_whiten_degenerate,
         # --- round-1 greens being re-recorded (oldest evidence) ---
