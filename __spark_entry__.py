@@ -8708,38 +8708,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness harness records the FIRST 50
-    # entries in dict order (bench runs all).  Round-5 rotation
-    # (machine-readable ledger: ROTATION.json, regenerated by
-    # tools/rotation_ledger.py at round end):
-    # [head] the six queries registered past the round-4 cap —
-    #     decompress, ivf_video, vp9_headers, msgpack, av1_headers,
-    #     cbor — whose only evidence so far is the builder self-run
-    #     (VERDICT r4 item 1: rotate these first);
-    # [next] queries NEW or fixture-changed in round 5: h264_headers
-    #     (SPS mining), avro_complex (full Avro type system),
-    #     segy_traces (fixture now exercises rev-2), main_content
-    #     (pure-Catalyst boilerplate removal), wet_wat (CC sidecars),
-    #     markdown (structure mining), kn_perplexity (word-level KN
-    #     LM), sqlite_table, bm25, arrow_ipc, npy_embeddings;
-    #     decompress (already at the head) gained the lz4/snappy
-    #     rotation this round;
-    # [fill] the round-1-green block (pricing_summary, flag_regions,
-    #     ...) whose newest driver evidence is four rounds old, in
-    #     original order, up to the 50-cap.  Whatever r1 greens spill
-    #     past the cap head the round-6 rotation; r2/r3/r4-verified
-    #     queries fill the tail.
+    # entries in dict order (bench runs all).  Round-6 rotation
+    # (ledger: ROTATION.json, regenerated by tools/rotation_ledger.py):
+    # [head, 16] the round-1 greens that sat past the round-5 cap —
+    #     the similarity/multimodal/mesh families plus asof_join/
+    #     range_join/time_rollup, whose newest driver evidence was
+    #     five rounds old (VERDICT r5 item 2);
+    # [next, 11] round-6 NEW queries (gltf_mesh, zarr_embeddings,
+    #     hdf5_embeddings, krige_closed, pca_whiten +
+    #     pca_whiten_degenerate, quality_classifier +
+    #     logreg_degenerate, semantic_dedup) and the two whose
+    #     IMPLEMENTATION changed this round (decompress: native
+    #     lz4/snappy dispatch + linked-block frames; ngram_jaccard:
+    #     hashed shingles through the candidate join);
+    # [fill, 23] the oldest round-2 greens (distinct_sketch ... idw)
+    #     whose newest evidence is four rounds old.
+    # Everything after slot 50 keeps its prior-round ordering; the
+    # remaining r2 greens head the round-7 rotation.
     return {
-        # --- self-run-only round-4 block: driver evidence due now ---
+        "similarity_topk": q_similarity_topk,
+        "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "frame_sample": q_frame_sample,
+        "rotated_grid": q_rotated_grid,
+        "grade_shells": q_grade_shells,
+        "mesh_decimate": q_mesh_decimate,
+        "mesh_faces": q_mesh_faces,
+        "mesh_explode_roundtrip": q_mesh_explode_roundtrip,
+        "proportional_volume": q_proportional_volume,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
         "decompress": q_decompress,
+        "ngram_jaccard": q_ngram_jaccard,
+        "gltf_mesh": q_gltf_mesh,
+        "zarr_embeddings": q_zarr_embeddings,
+        "hdf5_embeddings": q_hdf5_embeddings,
+        "krige_closed": q_krige_closed,
+        "pca_whiten_degenerate": q_pca_whiten_degenerate,
+        "logreg_degenerate": q_logreg_degenerate,
+        "semantic_dedup": q_semantic_dedup,
+        "pca_whiten": q_pca_whiten,
+        "quality_classifier": q_quality_classifier,
+        "distinct_sketch": q_distinct_sketch,
+        "sessionize": q_sessionize,
+        "events_json": q_events_json,
+        "stream_tumbling": q_stream_tumbling,
+        "stream_dedup": q_stream_dedup,
+        "stream_join": q_stream_join,
+        "stream_sliding": q_stream_sliding,
+        "stream_session": q_stream_session,
+        "stream_stateful_user": q_stream_stateful_user,
+        "leapfrog_mesh": q_leapfrog_mesh,
+        "string_index": q_string_index,
+        "sketch_rollup": q_sketch_rollup,
+        "shapefile_roundtrip": q_shapefile_roundtrip,
+        "dxf_roundtrip": q_dxf_roundtrip,
+        "las_read": q_las_read,
+        "png_table": q_png_table,
+        "geotiff_table": q_geotiff_table,
+        "xlsx_report": q_xlsx_report,
+        "skew_salted_agg": q_skew_salted_agg,
+        "pack_offsets": q_pack_offsets,
+        "desurvey": q_desurvey,
+        "desurvey_mincurve": q_desurvey_mincurve,
+        "idw": q_idw,
         "ivf_video": q_ivf_video,
         "vp9_headers": q_vp9_headers,
         "msgpack": q_msgpack,
         "av1_headers": q_av1_headers,
         "cbor": q_cbor,
-        # --- new or fixture-changed in round 5 ---
         "h264_headers": q_h264_headers,
         "avro_complex": q_avro_complex,
-        "segy_traces": q_segy_traces,  # fixture now exercises rev-2
+        "segy_traces": q_segy_traces,
         "main_content": q_main_content,
         "wet_wat": q_wet_wat,
         "markdown": q_markdown,
@@ -8748,13 +8792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "arrow_ipc": q_arrow_ipc,
         "npy_embeddings": q_npy_embeddings,
-        "zarr_embeddings": q_zarr_embeddings,
-        "hdf5_embeddings": q_hdf5_embeddings,
-        "quality_classifier": q_quality_classifier,
-        "logreg_degenerate": q_logreg_degenerate,
-        "pca_whiten": q_pca_whiten,
-        "pca_whiten_degenerate": q_pca_whiten_degenerate,
-        # --- round-1 greens being re-recorded (oldest evidence) ---
         "pricing_summary": q_pricing_summary,
         "flag_regions": q_flag_regions,
         "elevation": q_elevation,
@@ -8781,56 +8818,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_report": q_pivot_report,
         "corpus_mix": q_corpus_mix,
         "dedup_simhash": q_dedup_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
         "winnow_fingerprint": q_winnow_fingerprint,
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
-        "similarity_topk": q_similarity_topk,
-        "similarity_lsh": q_similarity_lsh,
-        "similarity_ivf": q_similarity_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "semantic_dedup": q_semantic_dedup,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "frame_sample": q_frame_sample,
-        "rotated_grid": q_rotated_grid,
-        "grade_shells": q_grade_shells,
-        "mesh_decimate": q_mesh_decimate,
-        "mesh_faces": q_mesh_faces,
-        "mesh_explode_roundtrip": q_mesh_explode_roundtrip,
-        "proportional_volume": q_proportional_volume,
-        # --- round-1 greens past the 50-cap: rotate in next round ---
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "time_rollup": q_time_rollup,
-        # --- recorded green in round 2 ---
-        "distinct_sketch": q_distinct_sketch,
-        "sessionize": q_sessionize,
-        "events_json": q_events_json,
-        "stream_tumbling": q_stream_tumbling,
-        "stream_dedup": q_stream_dedup,
-        "stream_join": q_stream_join,
-        "stream_sliding": q_stream_sliding,
-        "stream_session": q_stream_session,
-        "stream_stateful_user": q_stream_stateful_user,
-        "leapfrog_mesh": q_leapfrog_mesh,
-        "gltf_mesh": q_gltf_mesh,
-        "string_index": q_string_index,
-        "sketch_rollup": q_sketch_rollup,
-        "shapefile_roundtrip": q_shapefile_roundtrip,
-        "dxf_roundtrip": q_dxf_roundtrip,
-        "las_read": q_las_read,
-        "png_table": q_png_table,
-        "geotiff_table": q_geotiff_table,
-        "xlsx_report": q_xlsx_report,
-        "skew_salted_agg": q_skew_salted_agg,
-        "pack_offsets": q_pack_offsets,
-        "desurvey": q_desurvey,
-        "desurvey_mincurve": q_desurvey_mincurve,
-        "idw": q_idw,
         "grade_tonnage": q_grade_tonnage,
         "simhash_pairs": q_simhash_pairs,
         "stream_kmv": q_stream_kmv,
@@ -8856,12 +8849,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram_directional": q_variogram_directional,
         "charlm_perplexity": q_charlm_perplexity,
         "swath": q_swath,
-        # --- recorded green in round 3 ---
         "video_frames_mjpg": q_video_frames_mjpg,
         "xls_report": q_xls_report,
         "bloom_decontaminate": q_bloom_decontaminate,
         "krige_degenerate": q_krige_degenerate,
-        "krige_closed": q_krige_closed,
         "bpe_degenerate": q_bpe_degenerate,
         "jpeg_progressive": q_jpeg_progressive,
         "gif_frames": q_gif_frames,
@@ -8879,7 +8870,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "nscore": q_nscore,
         "nscore_roundtrip": q_nscore_roundtrip,
-        # --- recorded green in round 4 ---
         "repetition_signals": q_repetition_signals,
         "webp_lossy": q_webp_lossy,
         "robots_filter": q_robots_filter,
