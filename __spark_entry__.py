@@ -4262,6 +4262,78 @@ def q_hdf5_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake log replay (sources/delta.py): the documents table
+    lands as a REAL partitioned Delta table — commit 0 adds
+    bucket=0 (even doc_ids) and bucket=1 (odd), compacted into a
+    checkpoint parquet + _last_checkpoint; commit 1 then REMOVES the
+    odd part and adds a narrower one (doc_id % 4 == 1) — so the
+    read exercises checkpoint + tail-commit replay, tombstones, and
+    hive-style partition-column recovery in one pass.  The snapshot
+    scan is plain distributed parquet (Catalyst keeps pushdown /
+    partition pruning); the log replay is driver-side metadata,
+    exactly like delta-spark's own snapshot resolution."""
+    import json
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vtk_reserves_spark.sources.delta import (
+        read_delta, write_delta_checkpoint, write_delta_commit,
+    )
+
+    pdf = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_delta_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+
+    def part(rel, mask):
+        p = os.path.join(td, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        sub = pdf[mask]
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(sub["doc_id"], pa.int64()),
+                "text": pa.array(sub["text"], pa.string()),
+            }),
+            p,
+        )
+        return {"path": rel, "size": os.path.getsize(p)}
+
+    ids = pdf["doc_id"]
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "text", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "bucket", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    a = part("bucket=0/a.parquet", ids % 2 == 0)
+    a["partitionValues"] = {"bucket": "0"}
+    b = part("bucket=1/b.parquet", ids % 2 == 1)
+    b["partitionValues"] = {"bucket": "1"}
+    write_delta_commit(td, 0, adds=[a, b], schema_json=schema_json,
+                       partition_columns=["bucket"])
+    write_delta_checkpoint(td, 0)
+    c = part("bucket=1/c.parquet", ids % 4 == 1)
+    c["partitionValues"] = {"bucket": "1"}
+    write_delta_commit(td, 1, adds=[c], removes=["bucket=1/b.parquet"])
+    return read_delta(spark, td).select("doc_id", "text", "bucket")
+
+
 def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA whitening of the embeddings table (operators/pca.py):
     distributed partial moments (one narrow Arrow pass, one small
@@ -7973,6 +8045,16 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(embedding[len(embedding)] AS DOUBLE) AS v_last
             FROM embeddings
         """,
+        "delta_snapshot": """
+            -- closed form of the two-commit Delta fixture
+            -- (q_delta_snapshot): survivors = bucket 0 (evens, kept)
+            -- UNION the commit-1 replacement part (doc_id % 4 = 1)
+            SELECT doc_id, text, CAST(0 AS INT) AS bucket
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, text, CAST(1 AS INT) AS bucket
+            FROM documents WHERE doc_id % 4 = 1
+        """,
         "logreg_degenerate": """
             -- one-step d=1 no-intercept Newton closed form
             -- (q_logreg_degenerate): w = 4*sum(x*(y-1/2))/sum(x^2)
@@ -8714,15 +8796,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     the similarity/multimodal/mesh families plus asof_join/
     #     range_join/time_rollup, whose newest driver evidence was
     #     five rounds old (VERDICT r5 item 2);
-    # [next, 11] round-6 NEW queries (gltf_mesh, zarr_embeddings,
+    # [next, 12] round-6 NEW queries (gltf_mesh, zarr_embeddings,
     #     hdf5_embeddings, krige_closed, pca_whiten +
     #     pca_whiten_degenerate, quality_classifier +
-    #     logreg_degenerate, semantic_dedup) and the two whose
-    #     IMPLEMENTATION changed this round (decompress: native
-    #     lz4/snappy dispatch + linked-block frames; ngram_jaccard:
-    #     hashed shingles through the candidate join);
-    # [fill, 23] the oldest round-2 greens (distinct_sketch ... idw)
-    #     whose newest evidence is four rounds old.
+    #     logreg_degenerate, semantic_dedup, delta_snapshot) and the
+    #     two whose IMPLEMENTATION changed this round (decompress:
+    #     native lz4/snappy dispatch + linked-block frames;
+    #     ngram_jaccard: hashed shingles through the candidate join);
+    # [fill, 22] the oldest round-2 greens (distinct_sketch ...
+    #     desurvey_mincurve) whose newest evidence is four rounds
+    #     old; idw spills to slot 50 and heads the round-7 rotation.
     # Everything after slot 50 keeps its prior-round ordering; the
     # remaining r2 greens head the round-7 rotation.
     return {
@@ -8751,6 +8834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_whiten_degenerate": q_pca_whiten_degenerate,
         "logreg_degenerate": q_logreg_degenerate,
         "semantic_dedup": q_semantic_dedup,
+        "delta_snapshot": q_delta_snapshot,
         "pca_whiten": q_pca_whiten,
         "quality_classifier": q_quality_classifier,
         "distinct_sketch": q_distinct_sketch,
@@ -8775,6 +8859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_offsets": q_pack_offsets,
         "desurvey": q_desurvey,
         "desurvey_mincurve": q_desurvey_mincurve,
+        # idw spills to slot 50 (delta_snapshot took its window seat;
+        # idw has r2 green evidence and heads the round-7 rotation)
         "idw": q_idw,
         "ivf_video": q_ivf_video,
         "vp9_headers": q_vp9_headers,

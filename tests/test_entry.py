@@ -35,22 +35,31 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 
 def test_recording_window_layout():
     """The driver records only the FIRST 50 queries() entries; this
-    pins the round-5 rotation so an accidental reorder cannot
+    pins the round-6 rotation so an accidental reorder cannot
     silently drop the evidence-due block out of the window."""
     import __spark_entry__ as entry
 
     names = list(entry.queries())
     window = set(names[:50])
-    rotation_due = {"decompress", "ivf_video", "vp9_headers",
-                    "msgpack", "av1_headers", "cbor"}
-    round5_new = {"h264_headers", "avro_complex", "segy_traces",
-                  "main_content", "wet_wat", "markdown",
-                  "kn_perplexity", "sqlite_table", "bm25",
-                  "arrow_ipc", "npy_embeddings"}
+    # the 16 round-1 greens whose evidence sat past the r5 cap
+    rotation_due = {"similarity_topk", "similarity_lsh",
+                    "similarity_ivf", "embedding_near_dup",
+                    "multimodal_features", "multimodal_resize",
+                    "frame_sample", "rotated_grid", "grade_shells",
+                    "mesh_decimate", "mesh_faces",
+                    "mesh_explode_roundtrip", "proportional_volume",
+                    "asof_join", "range_join", "time_rollup"}
+    # new in round 6, plus the two whose implementation changed
+    round6_new = {"gltf_mesh", "zarr_embeddings", "hdf5_embeddings",
+                  "krige_closed", "pca_whiten",
+                  "pca_whiten_degenerate", "quality_classifier",
+                  "logreg_degenerate", "semantic_dedup",
+                  "delta_snapshot", "decompress", "ngram_jaccard"}
     assert rotation_due <= window
-    assert round5_new <= window
+    assert round6_new <= window
     # every window entry that is oracle-backed must have an oracle
     oracles = set(entry.oracle_sql())
     rows_only = {"krige", "indicator_krige", "simple_krige", "cokrige",
-                 "krige_block", "bpe_merges"}
+                 "krige_block", "bpe_merges", "pca_whiten",
+                 "quality_classifier"}
     assert all(n in oracles for n in window - rows_only)

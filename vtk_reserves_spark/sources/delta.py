@@ -1,0 +1,278 @@
+"""Delta Lake table reader — transaction-log replay without the
+delta-spark jar.
+
+Delta is the dominant lakehouse table format; its on-disk contract is
+public (delta.io PROTOCOL.md): a `_delta_log/` directory of
+newline-delimited JSON commits (``protocol`` / ``metaData`` / ``add``
+/ ``remove`` actions), optionally compacted into parquet checkpoints
+referenced by ``_last_checkpoint``.  A reader needs no library — just
+log replay:
+
+1. read ``_last_checkpoint`` (if present) and load that checkpoint
+   parquet's ``add``/``remove``/``metaData`` structs;
+2. apply every later ``NNNNNNNNNNNNNNNNNNNN.json`` commit in version
+   order — ``add`` upserts a file by path, ``remove`` deletes it
+   (tombstones ignored thereafter);
+3. the surviving ``add`` set IS the snapshot: hand the file list to
+   ``spark.read.parquet`` with ``basePath`` so hive-style partition
+   directories reconstruct partition columns.
+
+Protocol gating: ``minReaderVersion`` > 1 features (column mapping,
+deletion vectors, v2 checkpoints) are rejected with a clear error,
+never silently misread.
+
+Scale posture: the LOG is metadata (KBs-MBs) and replays driver-side
+— exactly what delta-spark itself does on the driver; the DATA path
+is an ordinary distributed parquet scan over the snapshot's file
+list, so predicate pushdown, column pruning and partition pruning
+all still come from Catalyst.  Time travel = replay to ``version``.
+
+The module also writes fixture-scale tables (JSON commits +
+checkpoint parquet via pyarrow) so the reader round-trips under the
+driver oracle (q:delta_snapshot) — multi-commit replay, removes, and
+checkpoint+tail-commit reads are all exercised.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "delta_snapshot", "read_delta", "write_delta_commit",
+    "write_delta_checkpoint",
+]
+
+_LOG_DIR = "_delta_log"
+
+
+def _commit_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:020d}.json")
+
+
+def _list_commit_versions(log_dir: str) -> list[int]:
+    out = []
+    for name in os.listdir(log_dir):
+        if name.endswith(".json") and len(name) == 25:
+            try:
+                out.append(int(name[:20]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _check_protocol(proto: dict) -> None:
+    if proto and int(proto.get("minReaderVersion", 1)) > 1:
+        feats = proto.get("readerFeatures")
+        raise ValueError(
+            "delta: table requires reader version "
+            f"{proto.get('minReaderVersion')}"
+            + (f" with features {feats}" if feats else "")
+            + " (column mapping / deletion vectors not supported)"
+        )
+
+
+def delta_snapshot(table: str, version: int | None = None) -> dict:
+    """Replay the log -> ``{"files": [(relpath, partitionValues,
+    size)], "metadata": metaData action, "version": n}``."""
+    log_dir = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"delta: no {_LOG_DIR} directory in {table}")
+    adds: dict[str, dict] = {}
+    meta: dict | None = None
+    proto: dict = {}
+    start = 0
+    # checkpoint fast path (skipped when time-traveling to before it)
+    lc_path = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc_path):
+        with open(lc_path) as fh:
+            lc = json.load(fh)
+        cv = int(lc["version"])
+        if version is None or cv <= version:
+            if lc.get("parts"):
+                raise ValueError(
+                    "delta: multi-part checkpoints not supported"
+                )
+            import pyarrow.parquet as pq
+
+            cp = os.path.join(log_dir, f"{cv:020d}.checkpoint.parquet")
+            t = pq.read_table(cp)
+            for row in t.to_pylist():
+                if row.get("protocol"):
+                    proto = row["protocol"]
+                if row.get("metaData"):
+                    meta = row["metaData"]
+                if row.get("add"):
+                    add = dict(row["add"])
+                    pv = add.get("partitionValues") or {}
+                    if not isinstance(pv, dict):  # pyarrow MAP -> pairs
+                        pv = dict(pv)
+                    add["partitionValues"] = {
+                        k: v for k, v in pv.items() if v is not None
+                    }
+                    adds[add["path"]] = add
+                if row.get("remove"):
+                    adds.pop(row["remove"]["path"], None)
+            start = cv + 1
+    _check_protocol(proto)
+    versions = [v for v in _list_commit_versions(log_dir) if v >= start]
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+    last = start - 1
+    for v in versions:
+        last = v
+        with open(_commit_path(table, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    proto = action["protocol"]
+                    _check_protocol(proto)
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
+    if meta is None:
+        raise ValueError(f"delta: no metaData action found in {table}")
+    files = [
+        (p, a.get("partitionValues") or {}, int(a.get("size", 0)))
+        for p, a in sorted(adds.items())
+    ]
+    return {"files": files, "metadata": meta, "version": last}
+
+
+def read_delta(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Delta table -> DataFrame at the requested (or latest) version.
+
+    The distributed scan is plain ``spark.read.parquet`` over the
+    snapshot's files with ``basePath`` set, so partition-directory
+    columns come back and Catalyst keeps pushdown/pruning."""
+    snap = delta_snapshot(table, version)
+    if not snap["files"]:
+        # empty snapshot: derive schema from metaData.schemaString
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(
+            json.loads(snap["metadata"]["schemaString"])
+        )
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table, p) for p, _, _ in snap["files"]]
+    return spark.read.option("basePath", table).parquet(*paths)
+
+
+# ------------------------------------------------------------- fixtures
+
+
+def write_delta_commit(
+    table: str,
+    version: int,
+    adds: list[dict] | None = None,
+    removes: list[str] | None = None,
+    schema_json: str | None = None,
+    partition_columns: list[str] | None = None,
+) -> None:
+    """Append one JSON commit (fixture-scale writer).  ``adds`` are
+    dicts with at least ``path`` (+ optional partitionValues/size);
+    version 0 should pass ``schema_json`` to emit protocol+metaData."""
+    os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
+    lines = []
+    if schema_json is not None:
+        lines.append(json.dumps(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        ))
+        lines.append(json.dumps({
+            "metaData": {
+                "id": f"fixture-{os.path.basename(table)}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": partition_columns or [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        }))
+    for a in adds or []:
+        add = {
+            "path": a["path"],
+            "partitionValues": a.get("partitionValues", {}),
+            "size": int(a.get("size", 0)),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        lines.append(json.dumps({"add": add}))
+    for p in removes or []:
+        lines.append(json.dumps({
+            "remove": {"path": p, "deletionTimestamp": 0,
+                       "dataChange": True}
+        }))
+    with open(_commit_path(table, version), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def write_delta_checkpoint(table: str, version: int) -> None:
+    """Compact the snapshot at ``version`` into a checkpoint parquet
+    + ``_last_checkpoint`` (the layout PROTOCOL.md specifies; struct
+    columns written via pyarrow)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = delta_snapshot(table, version)
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None, "remove": None},
+        {"protocol": None, "metaData": snap["metadata"],
+         "add": None, "remove": None},
+    ]
+    for path, pv, size in snap["files"]:
+        rows.append({
+            "protocol": None, "metaData": None,
+            "add": {"path": path, "partitionValues": pv, "size": size,
+                    "modificationTime": 0, "dataChange": False},
+            "remove": None,
+        })
+    # explicit schema: configuration/options/partitionValues are MAP
+    # types in real checkpoints (empty structs are unwritable)
+    str_map = pa.map_(pa.string(), pa.string())
+    schema = pa.schema([
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([
+                ("provider", pa.string()),
+                ("options", str_map),
+            ])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map),
+            ("createdTime", pa.int64()),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])),
+        ("remove", pa.struct([
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])),
+    ])
+    table_arrow = pa.Table.from_pylist(rows, schema=schema)
+    cp = os.path.join(table, _LOG_DIR,
+                      f"{version:020d}.checkpoint.parquet")
+    pq.write_table(table_arrow, cp)
+    with open(os.path.join(table, _LOG_DIR, "_last_checkpoint"),
+              "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
