@@ -4334,6 +4334,65 @@ def q_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, td).select("doc_id", "text", "bucket")
 
 
+def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Iceberg snapshot read (sources/iceberg.py): the
+    documents table lands as an Iceberg table whose manifests are
+    REAL Avro files decoded by the in-repo codec — snapshot 1 adds
+    two parts (doc_id % 3 == 0 and % 3 == 1), snapshot 2 rewrites:
+    deletes the second and adds a narrower part (doc_id % 6 == 1) —
+    exercising version-hint resolution, manifest-list + manifest
+    Avro decode, status-based delete handling, and snapshot
+    carry-forward.  Metadata is driver-side like iceberg-spark's own
+    planning; the scan is one distributed Catalyst parquet read."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vtk_reserves_spark.sources.iceberg import (
+        append_iceberg_snapshot, read_iceberg, write_iceberg_table,
+    )
+
+    pdf = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_iceberg_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    write_iceberg_table(td, [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "text", "required": False, "type": "string"},
+    ])
+
+    def part(rel, mask):
+        p = os.path.join(td, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        sub = pdf[mask]
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(sub["doc_id"], pa.int64()),
+                "text": pa.array(sub["text"], pa.string()),
+            }),
+            p,
+        )
+        return {"file_path": rel, "record_count": len(sub),
+                "size": os.path.getsize(p)}
+
+    ids = pdf["doc_id"]
+    a = part("data/a.parquet", ids % 3 == 0)
+    b = part("data/b.parquet", ids % 3 == 1)
+    append_iceberg_snapshot(td, 1, [a, b])
+    c = part("data/c.parquet", ids % 6 == 1)
+    append_iceberg_snapshot(td, 2, [c], deleted_files=["data/b.parquet"])
+    return read_iceberg(spark, td).select("doc_id", "text")
+
+
 def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA whitening of the embeddings table (operators/pca.py):
     distributed partial moments (one narrow Arrow pass, one small
@@ -8055,6 +8114,14 @@ def _llm_oracles() -> dict[str, str]:
             SELECT doc_id, text, CAST(1 AS INT) AS bucket
             FROM documents WHERE doc_id % 4 = 1
         """,
+        "iceberg_snapshot": """
+            -- closed form of the two-snapshot Iceberg fixture
+            -- (q_iceberg_snapshot): survivors = the kept first part
+            -- (doc_id % 3 = 0) UNION the rewrite part (doc_id % 6 = 1)
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, text FROM documents WHERE doc_id % 6 = 1
+        """,
         "logreg_degenerate": """
             -- one-step d=1 no-intercept Newton closed form
             -- (q_logreg_degenerate): w = 4*sum(x*(y-1/2))/sum(x^2)
@@ -8796,16 +8863,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     the similarity/multimodal/mesh families plus asof_join/
     #     range_join/time_rollup, whose newest driver evidence was
     #     five rounds old (VERDICT r5 item 2);
-    # [next, 12] round-6 NEW queries (gltf_mesh, zarr_embeddings,
+    # [next, 13] round-6 NEW queries (gltf_mesh, zarr_embeddings,
     #     hdf5_embeddings, krige_closed, pca_whiten +
     #     pca_whiten_degenerate, quality_classifier +
-    #     logreg_degenerate, semantic_dedup, delta_snapshot) and the
-    #     two whose IMPLEMENTATION changed this round (decompress:
-    #     native lz4/snappy dispatch + linked-block frames;
-    #     ngram_jaccard: hashed shingles through the candidate join);
-    # [fill, 22] the oldest round-2 greens (distinct_sketch ...
-    #     desurvey_mincurve) whose newest evidence is four rounds
-    #     old; idw spills to slot 50 and heads the round-7 rotation.
+    #     logreg_degenerate, semantic_dedup, delta_snapshot,
+    #     iceberg_snapshot) and the two whose IMPLEMENTATION changed
+    #     this round (decompress: native lz4/snappy dispatch +
+    #     linked-block frames; ngram_jaccard: hashed shingles
+    #     through the candidate join);
+    # [fill, 21] the oldest round-2 greens (distinct_sketch ...
+    #     desurvey) whose newest evidence is four rounds old;
+    #     desurvey_mincurve + idw spill past the cap and head the
+    #     round-7 rotation.
     # Everything after slot 50 keeps its prior-round ordering; the
     # remaining r2 greens head the round-7 rotation.
     return {
@@ -8835,6 +8904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_degenerate": q_logreg_degenerate,
         "semantic_dedup": q_semantic_dedup,
         "delta_snapshot": q_delta_snapshot,
+        "iceberg_snapshot": q_iceberg_snapshot,
         "pca_whiten": q_pca_whiten,
         "quality_classifier": q_quality_classifier,
         "distinct_sketch": q_distinct_sketch,

@@ -54,7 +54,8 @@ def test_recording_window_layout():
                   "krige_closed", "pca_whiten",
                   "pca_whiten_degenerate", "quality_classifier",
                   "logreg_degenerate", "semantic_dedup",
-                  "delta_snapshot", "decompress", "ngram_jaccard"}
+                  "delta_snapshot", "iceberg_snapshot",
+                  "decompress", "ngram_jaccard"}
     assert rotation_due <= window
     assert round6_new <= window
     # every window entry that is oracle-backed must have an oracle
