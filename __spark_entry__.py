@@ -4614,6 +4614,54 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval with reciprocal-rank fusion
+    (operators/retrieval.rrf_fuse; Cormack et al. 2009): the q_bm25
+    lexical top-10 fuses with the exact-cosine embedding top-10
+    (qids 0-4 are both the five fixed query strings and the first
+    five embedding vectors), rrf = sum over lists of 1/(60+rank),
+    fused rank on the 6-dp-rounded rrf with id tie-break.  Both
+    retrievers and the fusion replay in the oracle term by term."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from vtk_reserves_spark.operators.retrieval import (
+        bm25_score, bm25_topk, rrf_fuse,
+    )
+    from vtk_reserves_spark.operators.similarity import cosine_topk
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({
+            "qid": [0, 1, 2, 3, 4],
+            "qtext": [
+                "hash join merge", "stream window agg",
+                "fast table scan", "query filter sort",
+                "spark data vector",
+            ],
+        }),
+        T.StructType([
+            T.StructField("qid", T.IntegerType()),
+            T.StructField("qtext", T.StringType()),
+        ]),
+    )
+    sparse = bm25_topk(
+        bm25_score(docs, queries, "doc_id", "text"), "doc_id", k=10
+    ).select("qid", "doc_id", "rank")
+    emb = _read(spark, sf_dir, "embeddings")
+    dense = cosine_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10
+    ).select(
+        F.col("query_id").cast("int").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([sparse, dense], k0=60, k=10)
+
+
 def q_sqlite_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQLite ingestion (sources/sqlite.py — stdlib engine, file
     grain): every partition writes a REAL .sqlite shard of the
@@ -8122,6 +8170,94 @@ def _llm_oracles() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, text FROM documents WHERE doc_id % 6 = 1
         """,
+        "hybrid_retrieval": """
+            -- RRF fusion of the q_bm25 lexical top-10 and the
+            -- exact-cosine dense top-10 (q_hybrid_retrieval):
+            -- rrf = sum 1/(60+rank); fused rank on ROUND(rrf, 6)
+            WITH q(qid, qtext) AS (VALUES
+              (0, 'hash join merge'), (1, 'stream window agg'),
+              (2, 'fast table scan'), (3, 'query filter sort'),
+              (4, 'spark data vector')
+            ), tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(
+                       COALESCE(text, '')), '[^a-z0-9]+'),
+                       w -> w != '') AS t
+              FROM documents
+            ), lens AS (
+              SELECT doc_id, len(t) AS dl FROM tok
+            ), tf AS (
+              SELECT term, doc_id, dl, COUNT(*) AS tf
+              FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term
+                    FROM tok)
+              GROUP BY term, doc_id, dl
+            ), stats AS (
+              SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+            ), qt AS (
+              SELECT qid, unnest(list_distinct(list_filter(
+                string_split_regex(lower(qtext), '[^a-z0-9]+'),
+                w -> w != ''))) AS term
+              FROM q
+            ), j AS (
+              SELECT qt.qid, tf.doc_id, tf.tf, tf.dl, dfreq.df_t,
+                     stats.n_docs, stats.avgdl
+              FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+              CROSS JOIN stats
+            ), s AS (
+              SELECT qid, doc_id,
+                     SUM(
+                       ln(CAST(1.0 AS DOUBLE)
+                          + (n_docs - df_t + CAST(0.5 AS DOUBLE))
+                            / (df_t + CAST(0.5 AS DOUBLE)))
+                       * (tf * CAST(2.2 AS DOUBLE))
+                       / (tf + CAST(1.2 AS DOUBLE)
+                          * (CAST(0.25 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * dl / avgdl))
+                     ) AS score
+              FROM j GROUP BY qid, doc_id
+            ), sparse10 AS (
+              SELECT qid, doc_id, rank FROM (
+                SELECT qid, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY ROUND(score, 6) DESC, doc_id ASC)
+                       AS rank
+                FROM s
+              ) WHERE rank <= 10
+            ), qv AS (
+              SELECT CAST(vec_id AS INT) AS qid, embedding AS v
+              FROM embeddings WHERE vec_id < 5
+            ), dscored AS (
+              SELECT q.qid, e.vec_id AS doc_id,
+                     list_cosine_similarity(q.v, e.embedding) AS sim
+              FROM qv q CROSS JOIN embeddings e
+              WHERE e.vec_id != q.qid
+            ), dense10 AS (
+              SELECT qid, doc_id, rank FROM (
+                SELECT qid, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY sim DESC, doc_id ASC) AS rank
+                FROM dscored
+              ) WHERE rank <= 10
+            ), uni AS (
+              SELECT qid, doc_id, 1.0 / (60.0 + rank) AS rr
+              FROM sparse10
+              UNION ALL
+              SELECT qid, doc_id, 1.0 / (60.0 + rank) FROM dense10
+            ), fused AS (
+              SELECT qid, doc_id, ROUND(SUM(rr), 6) AS rrf,
+                     CAST(COUNT(*) AS INT) AS n_lists
+              FROM uni GROUP BY qid, doc_id
+            )
+            SELECT CAST(qid AS INT) AS qid, doc_id, rrf, n_lists,
+                   CAST(rank AS INT) AS rank
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY rrf DESC, doc_id ASC) AS rank
+              FROM fused
+            ) WHERE rank <= 10
+        """,
         "logreg_degenerate": """
             -- one-step d=1 no-intercept Newton closed form
             -- (q_logreg_degenerate): w = 4*sum(x*(y-1/2))/sum(x^2)
@@ -8863,18 +8999,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     the similarity/multimodal/mesh families plus asof_join/
     #     range_join/time_rollup, whose newest driver evidence was
     #     five rounds old (VERDICT r5 item 2);
-    # [next, 13] round-6 NEW queries (gltf_mesh, zarr_embeddings,
+    # [next, 14] round-6 NEW queries (gltf_mesh, zarr_embeddings,
     #     hdf5_embeddings, krige_closed, pca_whiten +
     #     pca_whiten_degenerate, quality_classifier +
     #     logreg_degenerate, semantic_dedup, delta_snapshot,
-    #     iceberg_snapshot) and the two whose IMPLEMENTATION changed
-    #     this round (decompress: native lz4/snappy dispatch +
-    #     linked-block frames; ngram_jaccard: hashed shingles
-    #     through the candidate join);
-    # [fill, 21] the oldest round-2 greens (distinct_sketch ...
-    #     desurvey) whose newest evidence is four rounds old;
-    #     desurvey_mincurve + idw spill past the cap and head the
-    #     round-7 rotation.
+    #     iceberg_snapshot, hybrid_retrieval) and the two whose
+    #     IMPLEMENTATION changed this round (decompress: native
+    #     lz4/snappy dispatch + linked-block frames; ngram_jaccard:
+    #     hashed shingles through the candidate join);
+    # [fill, 20] the oldest round-2 greens (distinct_sketch ...
+    #     pack_offsets) whose newest evidence is four rounds old;
+    #     desurvey, desurvey_mincurve + idw spill past the cap and
+    #     head the round-7 rotation.
     # Everything after slot 50 keeps its prior-round ordering; the
     # remaining r2 greens head the round-7 rotation.
     return {
@@ -8905,6 +9041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "delta_snapshot": q_delta_snapshot,
         "iceberg_snapshot": q_iceberg_snapshot,
+        "hybrid_retrieval": q_hybrid_retrieval,
         "pca_whiten": q_pca_whiten,
         "quality_classifier": q_quality_classifier,
         "distinct_sketch": q_distinct_sketch,

@@ -84,3 +84,42 @@ def test_broadcast_no_python(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "PythonUDF" not in plan and "CartesianProduct" not in plan
+
+
+def test_rrf_fuse_formula_and_rank(spark):
+    """RRF = sum 1/(k0+rank) over lists; docs in both lists beat
+    docs in one; rounded-score rank with id tie-break."""
+    from vtk_reserves_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "qid int, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "qid int, doc_id long, rank int",
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k0=60, k=10).collect()}
+    # doc 11 appears in both: 1/62 + 1/61
+    assert out[11]["n_lists"] == 2
+    assert abs(out[11]["rrf"] - round(1 / 62 + 1 / 61, 6)) < 1e-12
+    assert out[11]["rank"] == 1
+    # singles ordered by their reciprocal rank, ties by id
+    assert out[10]["rrf"] == round(1 / 61, 6)
+    assert out[13]["rrf"] == round(1 / 62, 6)
+    assert out[10]["rank"] == 2 and out[13]["rank"] == 3
+    assert out[12]["rank"] == 4
+
+
+def test_rrf_fuse_k_cap_and_empty(spark):
+    from vtk_reserves_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, i, i + 1) for i in range(20)],
+        "qid int, doc_id long, rank int",
+    )
+    assert rrf_fuse([a], k=5).count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])

@@ -139,3 +139,53 @@ def bm25_topk(
         .withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    N retrieval rankings — the standard hybrid sparse+dense combiner
+    (BM25 list + embedding list -> one list).
+
+    ``rrf = Σ_lists 1 / (k0 + rank)`` over lists where the doc
+    appears; the fused rank orders on the 6-dp-rounded rrf with id
+    tie-break (the `bm25_topk` stability device — rounding makes
+    ranks reproducible across engines and summation orders).
+
+    Scale shape: each input is already a top-k list (≤ k rows per
+    query per retriever), so the union is tiny relative to the
+    corpus; one groupBy on (qid, id) + one per-qid window over ≤
+    N·k rows.  Returns ``(qid, id, rrf, n_lists, rank)``.
+    """
+    from functools import reduce
+
+    if not ranked_lists:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    parts = [
+        df.select(
+            F.col(qid_col).alias("qid"),
+            F.col(id_col).alias("_id"),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col))).alias("_rr"),
+        )
+        for df in ranked_lists
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = u.groupBy("qid", "_id").agg(
+        F.round(F.sum("_rr"), 6).alias("rrf"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rrf").desc(), F.col("_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumnRenamed("_id", id_col)
+        .select("qid", id_col, "rrf", "n_lists", "rank")
+    )
