@@ -4,6 +4,8 @@ same data through different formats, sample_data/README.md)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -1738,3 +1740,76 @@ def test_resize_media_real_webp(spark):
     assert out.out_w == 4 and out.out_h == 4
     # uniform-ish: the resized mean stays near the (RGB+alpha)/decode mean
     assert out.mean_byte is not None and 120 < out.mean_byte < 255
+
+
+def test_loader_dispatch_directory_stores(spark, tmp_path):
+    """load_dataframe sniffs directory stores by marker files: Delta
+    (_delta_log), Iceberg (metadata/*.metadata.json), Zarr (.zarray /
+    .zgroup + '!array' selector), and .h5 via '!dataset'."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+
+    # --- delta
+    dt = str(tmp_path / "dtbl")
+    p = os.path.join(dt, "a.parquet")
+    os.makedirs(dt)
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), p)
+    from vtk_reserves_spark.sources.delta import write_delta_commit
+
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [{"name": "id", "type": "long", "nullable": True,
+                    "metadata": {}}],
+    })
+    write_delta_commit(
+        dt, 0,
+        adds=[{"path": "a.parquet", "size": os.path.getsize(p)}],
+        schema_json=schema_json,
+    )
+    assert sorted(
+        r["id"] for r in load_dataframe(spark, dt).collect()
+    ) == [1, 2]
+
+    # --- iceberg
+    it = str(tmp_path / "itbl")
+    from vtk_reserves_spark.sources.iceberg import (
+        append_iceberg_snapshot, write_iceberg_table,
+    )
+
+    write_iceberg_table(it, [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+    ])
+    ip = os.path.join(it, "data", "a.parquet")
+    os.makedirs(os.path.dirname(ip))
+    pq.write_table(pa.table({"id": pa.array([7], pa.int64())}), ip)
+    append_iceberg_snapshot(it, 1, [{"file_path": "data/a.parquet",
+                                     "record_count": 1,
+                                     "size": os.path.getsize(ip)}])
+    assert [r["id"] for r in load_dataframe(spark, it).collect()] == [7]
+
+    # --- zarr: bare array dir, then group with !array selector
+    from vtk_reserves_spark.sources.zarr import write_zarr_array
+
+    za = str(tmp_path / "arr")
+    write_zarr_array(za, "", np.arange(6, dtype="<i8"), chunks=(3,))
+    assert load_dataframe(spark, za).count() == 6
+    zg = str(tmp_path / "grp")
+    write_zarr_array(zg, "emb", np.ones((4, 2), dtype="<f4"))
+    with pytest.raises(ValueError, match="emb"):
+        load_dataframe(spark, zg)
+    assert load_dataframe(spark, zg + "!emb").count() == 8
+
+    # --- hdf5 via !dataset
+    from vtk_reserves_spark.sources.hdf5 import write_hdf5
+
+    h5 = str(tmp_path / "t.h5")
+    write_hdf5(h5, {"ids": np.arange(5, dtype="<i4")})
+    with pytest.raises(ValueError, match="ids"):
+        load_dataframe(spark, h5)
+    assert load_dataframe(spark, h5 + "!ids").count() == 5

@@ -175,6 +175,41 @@ def load_dataframe(
     table_name = table_name or suffix_table
     ext = os.path.splitext(df_path.lower())[1]
 
+    # directory stores sniff on their marker files, not extensions:
+    # Delta (_delta_log/), Iceberg (metadata/v*.metadata.json),
+    # Zarr (.zarray at the path, or a .zgroup + `path!array` suffix)
+    if os.path.isdir(df_path):
+        if os.path.isdir(os.path.join(df_path, "_delta_log")):
+            from vtk_reserves_spark.sources.delta import read_delta
+
+            return read_delta(spark, df_path)
+        mdir = os.path.join(df_path, "metadata")
+        if os.path.isdir(mdir) and any(
+            n.endswith(".metadata.json") for n in os.listdir(mdir)
+        ):
+            from vtk_reserves_spark.sources.iceberg import read_iceberg
+
+            return read_iceberg(spark, df_path)
+        if os.path.exists(os.path.join(df_path, ".zarray")):
+            from vtk_reserves_spark.sources.zarr import read_zarr_df
+
+            return read_zarr_df(spark, df_path)
+        if os.path.exists(os.path.join(df_path, ".zgroup")):
+            from vtk_reserves_spark.sources.zarr import read_zarr_df
+
+            if not table_name:
+                arrays = sorted(
+                    n for n in os.listdir(df_path)
+                    if os.path.exists(
+                        os.path.join(df_path, n, ".zarray")
+                    )
+                )
+                raise ValueError(
+                    "zarr group needs an array selector "
+                    f"('store!array'); available: {arrays}"
+                )
+            return read_zarr_df(spark, df_path, table_name)
+
     if ext in ("", ".parquet"):
         df = spark.read.parquet(df_path)
     elif ext in (".csv", ".asc", ".prn", ".txt"):
@@ -206,6 +241,17 @@ def load_dataframe(
         from vtk_reserves_spark.sources.gltf import read_glb_df
 
         df = read_glb_df(spark, df_path)
+    elif ext in (".h5", ".hdf5"):
+        from vtk_reserves_spark.sources.hdf5 import (
+            list_datasets, read_hdf5_df,
+        )
+
+        if not table_name:
+            raise ValueError(
+                "hdf5 needs a dataset selector ('file.h5!dataset'); "
+                f"available: {list_datasets(df_path)}"
+            )
+        df = read_hdf5_df(spark, df_path, table_name)
     elif ext == ".shp":
         from vtk_reserves_spark.sources.shapefile import read_shp
 
