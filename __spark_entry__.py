@@ -4614,6 +4614,32 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer introspection (sources/parquet_meta.py): the
+    Spark side reads ONLY file footers (row-group column statistics,
+    one metadata fetch per file — the data-skipping audit shape) and
+    aggregates per column; the oracle recomputes count / null count /
+    min / max from the DATA, so the hash match proves footer stats
+    equal data stats.  `+ 0.0` normalizes IEEE -0.0 footer minimums
+    on both sides."""
+    from vtk_reserves_spark.sources.parquet_meta import (
+        parquet_column_stats,
+    )
+
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ]
+    out = parquet_column_stats(
+        spark, os.path.join(sf_dir, "lineitem.parquet"), cols
+    )
+    return out.select(
+        "path_in_schema", "n_values", "n_nulls",
+        (F.col("min_value") + 0.0).alias("min_value"),
+        (F.col("max_value") + 0.0).alias("max_value"),
+    )
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid sparse+dense retrieval with reciprocal-rank fusion
     (operators/retrieval.rrf_fuse; Cormack et al. 2009): the q_bm25
@@ -8170,6 +8196,60 @@ def _llm_oracles() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, text FROM documents WHERE doc_id % 6 = 1
         """,
+        "parquet_stats": """
+            -- footer-vs-data cross-check (q_parquet_stats): the
+            -- Spark side reads parquet footers only; this recomputes
+            -- the same statistics from the rows
+            SELECT 'l_orderkey' AS path_in_schema,
+                   COUNT(*) AS n_values,
+                   CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_nulls,
+                   MIN(l_orderkey) + 0.0 AS min_value,
+                   MAX(l_orderkey) + 0.0 AS max_value
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', COUNT(*),
+                   CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   MIN(l_partkey) + 0.0, MAX(l_partkey) + 0.0
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_suppkey', COUNT(*),
+                   CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   MIN(l_suppkey) + 0.0, MAX(l_suppkey) + 0.0
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber', COUNT(*),
+                   CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   MIN(l_linenumber) + 0.0, MAX(l_linenumber) + 0.0
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', COUNT(*),
+                   CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   MIN(l_quantity) + 0.0, MAX(l_quantity) + 0.0
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', COUNT(*),
+                   CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   MIN(l_extendedprice) + 0.0, MAX(l_extendedprice) + 0.0
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', COUNT(*),
+                   CAST(SUM(CASE WHEN l_discount IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   MIN(l_discount) + 0.0, MAX(l_discount) + 0.0
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', COUNT(*),
+                   CAST(SUM(CASE WHEN l_tax IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   MIN(l_tax) + 0.0, MAX(l_tax) + 0.0
+            FROM lineitem
+        """,
         "hybrid_retrieval": """
             -- RRF fusion of the q_bm25 lexical top-10 and the
             -- exact-cosine dense top-10 (q_hybrid_retrieval):
@@ -8999,18 +9079,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     the similarity/multimodal/mesh families plus asof_join/
     #     range_join/time_rollup, whose newest driver evidence was
     #     five rounds old (VERDICT r5 item 2);
-    # [next, 14] round-6 NEW queries (gltf_mesh, zarr_embeddings,
+    # [next, 15] round-6 NEW queries (gltf_mesh, zarr_embeddings,
     #     hdf5_embeddings, krige_closed, pca_whiten +
     #     pca_whiten_degenerate, quality_classifier +
     #     logreg_degenerate, semantic_dedup, delta_snapshot,
-    #     iceberg_snapshot, hybrid_retrieval) and the two whose
-    #     IMPLEMENTATION changed this round (decompress: native
-    #     lz4/snappy dispatch + linked-block frames; ngram_jaccard:
-    #     hashed shingles through the candidate join);
-    # [fill, 20] the oldest round-2 greens (distinct_sketch ...
-    #     pack_offsets) whose newest evidence is four rounds old;
-    #     desurvey, desurvey_mincurve + idw spill past the cap and
-    #     head the round-7 rotation.
+    #     iceberg_snapshot, hybrid_retrieval, parquet_stats) and the
+    #     two whose IMPLEMENTATION changed this round (decompress:
+    #     native lz4/snappy dispatch + linked-block frames;
+    #     ngram_jaccard: hashed shingles through the candidate join);
+    # [fill, 19] the oldest round-2 greens (distinct_sketch ...
+    #     skew_salted_agg) whose newest evidence is four rounds old;
+    #     pack_offsets, desurvey, desurvey_mincurve + idw spill past
+    #     the cap and head the round-7 rotation.
     # Everything after slot 50 keeps its prior-round ordering; the
     # remaining r2 greens head the round-7 rotation.
     return {
@@ -9042,6 +9122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_snapshot": q_delta_snapshot,
         "iceberg_snapshot": q_iceberg_snapshot,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "parquet_stats": q_parquet_stats,
         "pca_whiten": q_pca_whiten,
         "quality_classifier": q_quality_classifier,
         "distinct_sketch": q_distinct_sketch,

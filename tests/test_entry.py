@@ -55,7 +55,8 @@ def test_recording_window_layout():
                   "pca_whiten_degenerate", "quality_classifier",
                   "logreg_degenerate", "semantic_dedup",
                   "delta_snapshot", "iceberg_snapshot",
-                  "hybrid_retrieval", "decompress", "ngram_jaccard"}
+                  "hybrid_retrieval", "parquet_stats",
+                  "decompress", "ngram_jaccard"}
     assert rotation_due <= window
     assert round6_new <= window
     # every window entry that is oracle-backed must have an oracle
