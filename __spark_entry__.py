@@ -4614,6 +4614,22 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEIF/AVIF still-image container mining (sources/heif.py +
+    multimodal.heif_metadata): each doc becomes a REAL minimal
+    HEIF — ftyp brand, pitm/iinf/infe items, ipco ispe dimensions
+    via ipma associations, iloc extents — and the item walk's
+    pre-decode triage signals replay the synthesis closed form
+    under the oracle.  Completes the ISO-BMFF family next to
+    q:mp4_metadata (movies) for the still-image half."""
+    from vtk_reserves_spark.operators.multimodal import (
+        attach_heif_payload, heif_metadata,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return heif_metadata(attach_heif_payload(docs)).drop("error")
+
+
 def q_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet footer introspection (sources/parquet_meta.py): the
     Spark side reads ONLY file footers (row-group column statistics,
@@ -8196,6 +8212,24 @@ def _llm_oracles() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, text FROM documents WHERE doc_id % 6 = 1
         """,
+        "heif_metadata": """
+            -- closed form of the HEIF synthesis rule
+            -- (attach_heif_payload)
+            SELECT doc_id,
+                   ['avif', 'heic', 'mif1'][doc_id % 3 + 1] AS brand,
+                   CAST(1 AS INT) AS primary_id,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END
+                        AS INT) AS n_items,
+                   CASE WHEN doc_id % 3 = 0 THEN 'av01'
+                        ELSE 'hvc1' END AS item_type,
+                   CAST(64 + 8 * (doc_id % 50) AS INT) AS width,
+                   CAST(64 + 8 * (doc_id % 40) AS INT) AS height,
+                   CAST(doc_id % 256 + 1 AS BIGINT) AS primary_size,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN CAST(doc_id % 100 + 10 AS BIGINT)
+                   END AS exif_size
+            FROM documents
+        """,
         "parquet_stats": """
             -- footer-vs-data cross-check (q_parquet_stats): the
             -- Spark side reads parquet footers only; this recomputes
@@ -9079,18 +9113,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     the similarity/multimodal/mesh families plus asof_join/
     #     range_join/time_rollup, whose newest driver evidence was
     #     five rounds old (VERDICT r5 item 2);
-    # [next, 15] round-6 NEW queries (gltf_mesh, zarr_embeddings,
+    # [next, 16] round-6 NEW queries (gltf_mesh, zarr_embeddings,
     #     hdf5_embeddings, krige_closed, pca_whiten +
     #     pca_whiten_degenerate, quality_classifier +
     #     logreg_degenerate, semantic_dedup, delta_snapshot,
-    #     iceberg_snapshot, hybrid_retrieval, parquet_stats) and the
-    #     two whose IMPLEMENTATION changed this round (decompress:
-    #     native lz4/snappy dispatch + linked-block frames;
-    #     ngram_jaccard: hashed shingles through the candidate join);
-    # [fill, 19] the oldest round-2 greens (distinct_sketch ...
-    #     skew_salted_agg) whose newest evidence is four rounds old;
-    #     pack_offsets, desurvey, desurvey_mincurve + idw spill past
-    #     the cap and head the round-7 rotation.
+    #     iceberg_snapshot, hybrid_retrieval, parquet_stats,
+    #     heif_metadata) and the two whose IMPLEMENTATION changed
+    #     this round (decompress: native lz4/snappy dispatch +
+    #     linked-block frames; ngram_jaccard: hashed shingles
+    #     through the candidate join);
+    # [fill, 18] the oldest round-2 greens (distinct_sketch ...
+    #     xlsx_report) whose newest evidence is four rounds old;
+    #     skew_salted_agg, pack_offsets, desurvey, desurvey_mincurve
+    #     + idw spill past the cap and head the round-7 rotation.
     # Everything after slot 50 keeps its prior-round ordering; the
     # remaining r2 greens head the round-7 rotation.
     return {
@@ -9123,6 +9158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_snapshot": q_iceberg_snapshot,
         "hybrid_retrieval": q_hybrid_retrieval,
         "parquet_stats": q_parquet_stats,
+        "heif_metadata": q_heif_metadata,
         "pca_whiten": q_pca_whiten,
         "quality_classifier": q_quality_classifier,
         "distinct_sketch": q_distinct_sketch,

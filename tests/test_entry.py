@@ -55,7 +55,7 @@ def test_recording_window_layout():
                   "pca_whiten_degenerate", "quality_classifier",
                   "logreg_degenerate", "semantic_dedup",
                   "delta_snapshot", "iceberg_snapshot",
-                  "hybrid_retrieval", "parquet_stats",
+                  "hybrid_retrieval", "parquet_stats", "heif_metadata",
                   "decompress", "ngram_jaccard"}
     assert rotation_due <= window
     assert round6_new <= window

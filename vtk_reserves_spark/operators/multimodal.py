@@ -2395,3 +2395,114 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 40) -> DataFrame:
         "doc_id",
         F.explode(frames).alias("frame_idx"),
     ).withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
+
+
+def attach_heif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL minimal HEIF/AVIF container per row
+    (`sources/heif.py` builder): brand, primary image item with ispe
+    dimensions and an id-length payload, plus an Exif metadata item
+    on every fourth row — all closed forms of the id so the item
+    walk sits under one oracle."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_heif(doc_id: pd.Series) -> pd.Series:
+        from vtk_reserves_spark.sources.heif import build_heif
+
+        out = []
+        for did in doc_id.astype("int64"):
+            did = int(did)
+            brand = ["avif", "heic", "mif1"][did % 3]
+            items = [{
+                "item_id": 1,
+                "item_type": "av01" if did % 3 == 0 else "hvc1",
+                "width": 64 + 8 * (did % 50),
+                "height": 64 + 8 * (did % 40),
+                "payload": bytes([did % 251]) * (did % 256 + 1),
+            }]
+            if did % 4 == 0:
+                items.append({
+                    "item_id": 2,
+                    "item_type": "Exif",
+                    "payload": b"E" * (did % 100 + 10),
+                })
+            out.append(build_heif(items, brand=brand))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        to_heif(F.col(id_col)).alias("payload"),
+    )
+
+
+HEIF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("primary_id", T.IntegerType()),
+        T.StructField("n_items", T.IntegerType()),
+        T.StructField("item_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("primary_size", T.LongType()),
+        T.StructField("exif_size", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def heif_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """HEIF/AVIF item-box mining over (doc_id, payload): brand,
+    primary item's type/ispe dimensions/extent size, Exif sidecar
+    size — the pre-decode triage signals for the still-image half of
+    the multimodal crawl (the video half is `mp4_metadata`).  Same
+    scale shape: Arrow-batched mapInPandas, metadata boxes only,
+    ``mdat`` payload bytes never read."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    safe = on_error == "null"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vtk_reserves_spark.sources.heif import parse_heif
+
+        cols = ["doc_id", "brand", "primary_id", "n_items", "item_type",
+                "width", "height", "primary_size", "exif_size", "error"]
+        for b in batches:
+            rows = []
+            for did, p in zip(b["doc_id"].astype("int64"), b["payload"]):
+                try:
+                    meta = parse_heif(bytes(p))
+                    err = None
+                except Exception as exc:
+                    if not safe:
+                        raise
+                    meta = {"items": [], "brand": None,
+                            "primary_item": None}
+                    err = f"{type(exc).__name__}: {exc}"
+                prim = next(
+                    (i for i in meta["items"]
+                     if i["item_id"] == meta.get("primary_item")),
+                    None,
+                )
+                exif = next(
+                    (i for i in meta["items"]
+                     if i["item_type"] == "Exif"),
+                    None,
+                )
+                rows.append([
+                    int(did), meta.get("brand"), meta.get("primary_item"),
+                    len(meta["items"]) if err is None else None,
+                    prim.get("item_type") if prim else None,
+                    prim.get("width") if prim else None,
+                    prim.get("height") if prim else None,
+                    prim.get("size") if prim else None,
+                    exif.get("size") if exif else None,
+                    err,
+                ])
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("primary_id", "n_items", "width", "height"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("primary_size", "exif_size"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, HEIF_SCHEMA)
