@@ -265,3 +265,90 @@ def test_image_neardup_band_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
         or ("BroadcastHashJoin" in plan)
+
+
+def test_delta_scan_keeps_pushdown_and_pruning(spark, tmp_path):
+    """The Delta snapshot scan is a plain Catalyst parquet read:
+    filters push into the scan and projection prunes columns —
+    the log replay must not cost the optimizer anything."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from vtk_reserves_spark.sources.delta import (
+        read_delta, write_delta_commit,
+    )
+
+    t = str(tmp_path / "dtbl")
+    _os.makedirs(t)
+    _pq.write_table(
+        _pa.table({
+            "id": _pa.array(range(100), _pa.int64()),
+            "v": _pa.array([i * 0.5 for i in range(100)], _pa.float64()),
+            "s": _pa.array([f"x{i}" for i in range(100)]),
+        }),
+        _os.path.join(t, "a.parquet"),
+    )
+    schema_json = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {}},
+            {"name": "s", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    write_delta_commit(t, 0, adds=[{"path": "a.parquet", "size": 1}],
+                       schema_json=schema_json)
+    df = read_delta(spark, t).where("id > 40").select("id", "v")
+    plan = _plan(df)
+    assert "GreaterThan(id,40" in plan  # filter reached the scan
+    assert "ReadSchema" in plan and '"s"' not in plan.split(
+        "ReadSchema"
+    )[1].split("\n")[0]  # projection pruned the untouched column
+    assert df.count() == 59
+
+
+def test_iceberg_scan_keeps_pushdown(spark, tmp_path):
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from vtk_reserves_spark.sources.iceberg import (
+        append_iceberg_snapshot, read_iceberg, write_iceberg_table,
+    )
+
+    t = str(tmp_path / "itbl")
+    write_iceberg_table(t, [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "double"},
+    ])
+    p = _os.path.join(t, "data", "a.parquet")
+    _os.makedirs(_os.path.dirname(p))
+    _pq.write_table(
+        _pa.table({
+            "id": _pa.array(range(50), _pa.int64()),
+            "v": _pa.array([i * 1.0 for i in range(50)], _pa.float64()),
+        }),
+        p,
+    )
+    append_iceberg_snapshot(t, 1, [{"file_path": "data/a.parquet",
+                                    "record_count": 50, "size": 1}])
+    df = read_iceberg(spark, t).where("id >= 45")
+    plan = _plan(df)
+    assert "GreaterThanOrEqual(id,45" in plan
+    assert df.count() == 5
+
+
+def test_hybrid_retrieval_no_cartesian(spark):
+    """RRF fusion composes two already-pinned retrievers; the fused
+    plan must stay cartesian-free with the query sides broadcast."""
+    q = entry.q_hybrid_retrieval(spark, TESTDATA)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
