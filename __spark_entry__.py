@@ -4393,6 +4393,57 @@ def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, td).select("doc_id", "text")
 
 
+def q_safetensors_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """safetensors ingestion (sources/safetensors.py — the
+    model-weight / embedding-dump format): the embeddings table
+    lands as a REAL .safetensors file ("vectors" F32 + "ids" I64 +
+    string metadata) and is re-read at ROW-SLAB grain (header-only
+    driver walk, one task per ~32 MB byte range) then re-joined on
+    the row index; exploded per-dimension values replay the parquet
+    column (float32 -> float64 exact).  Completes the embedding
+    interchange set: .npy/.npz, Arrow IPC, Zarr, HDF5, safetensors."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from vtk_reserves_spark.sources.safetensors import (
+        read_safetensors_df, write_safetensors,
+    )
+
+    pdf = (
+        _read(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    order = np.argsort(pdf["vec_id"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()[order].astype("<i8")
+    vecs = np.stack(
+        [np.asarray(v, "<f4") for v in pdf["embedding"].to_numpy()[order]]
+    )
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_st_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+    p = os.path.join(td, "embeddings.safetensors")
+    write_safetensors(
+        p, {"vectors": vecs, "ids": ids}, metadata={"source": "parquet"}
+    )
+    vec_rows = read_safetensors_df(spark, p, "vectors")
+    id_rows = read_safetensors_df(spark, p, "ids").select(
+        F.col("i0").alias("row"), F.col("value").alias("vec_id")
+    )
+    return vec_rows.join(
+        F.broadcast(id_rows), vec_rows.i0 == id_rows.row
+    ).select(
+        "vec_id",
+        F.col("i1").cast("int").alias("dim"),
+        F.col("value"),
+    )
+
+
 def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA whitening of the embeddings table (operators/pca.py):
     distributed partial moments (one narrow Arrow pass, one small
@@ -8212,6 +8263,15 @@ def _llm_oracles() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, text FROM documents WHERE doc_id % 6 = 1
         """,
+        "safetensors_embeddings": """
+            -- the .safetensors round-trip surfaces the embeddings
+            -- column itself; float32->float64 is exact
+            SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                   CAST(embedding[i] AS DOUBLE) AS value
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                          AS i)
+        """,
         "heif_metadata": """
             -- closed form of the HEIF synthesis rule
             -- (attach_heif_payload)
@@ -9113,19 +9173,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     the similarity/multimodal/mesh families plus asof_join/
     #     range_join/time_rollup, whose newest driver evidence was
     #     five rounds old (VERDICT r5 item 2);
-    # [next, 16] round-6 NEW queries (gltf_mesh, zarr_embeddings,
-    #     hdf5_embeddings, krige_closed, pca_whiten +
-    #     pca_whiten_degenerate, quality_classifier +
+    # [next, 17] round-6 NEW queries (gltf_mesh, zarr_embeddings,
+    #     hdf5_embeddings, safetensors_embeddings, krige_closed,
+    #     pca_whiten + pca_whiten_degenerate, quality_classifier +
     #     logreg_degenerate, semantic_dedup, delta_snapshot,
     #     iceberg_snapshot, hybrid_retrieval, parquet_stats,
     #     heif_metadata) and the two whose IMPLEMENTATION changed
     #     this round (decompress: native lz4/snappy dispatch +
     #     linked-block frames; ngram_jaccard: hashed shingles
     #     through the candidate join);
-    # [fill, 18] the oldest round-2 greens (distinct_sketch ...
-    #     xlsx_report) whose newest evidence is four rounds old;
-    #     skew_salted_agg, pack_offsets, desurvey, desurvey_mincurve
-    #     + idw spill past the cap and head the round-7 rotation.
+    # [fill, 17] the oldest round-2 greens (distinct_sketch ...
+    #     geotiff_table) whose newest evidence is four rounds old;
+    #     xlsx_report, skew_salted_agg, pack_offsets, desurvey,
+    #     desurvey_mincurve + idw spill past the cap and head the
+    #     round-7 rotation.
     # Everything after slot 50 keeps its prior-round ordering; the
     # remaining r2 greens head the round-7 rotation.
     return {
@@ -9159,6 +9220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": q_hybrid_retrieval,
         "parquet_stats": q_parquet_stats,
         "heif_metadata": q_heif_metadata,
+        "safetensors_embeddings": q_safetensors_embeddings,
         "pca_whiten": q_pca_whiten,
         "quality_classifier": q_quality_classifier,
         "distinct_sketch": q_distinct_sketch,

@@ -56,7 +56,8 @@ def test_recording_window_layout():
                   "logreg_degenerate", "semantic_dedup",
                   "delta_snapshot", "iceberg_snapshot",
                   "hybrid_retrieval", "parquet_stats", "heif_metadata",
-                  "decompress", "ngram_jaccard"}
+                  "safetensors_embeddings", "decompress",
+                  "ngram_jaccard"}
     assert rotation_due <= window
     assert round6_new <= window
     # every window entry that is oracle-backed must have an oracle

@@ -252,6 +252,19 @@ def load_dataframe(
                 f"available: {list_datasets(df_path)}"
             )
         df = read_hdf5_df(spark, df_path, table_name)
+    elif ext == ".safetensors":
+        from vtk_reserves_spark.sources.safetensors import (
+            read_safetensors_df, read_safetensors_header,
+        )
+
+        if not table_name:
+            header, _ = read_safetensors_header(df_path)
+            avail = sorted(k for k in header if k != "__metadata__")
+            raise ValueError(
+                "safetensors needs a tensor selector "
+                f"('file.safetensors!tensor'); available: {avail}"
+            )
+        df = read_safetensors_df(spark, df_path, table_name)
     elif ext == ".shp":
         from vtk_reserves_spark.sources.shapefile import read_shp
 
