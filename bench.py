@@ -136,12 +136,33 @@ def main() -> None:
     # drifts ±25% uniformly run-to-run, and without the normalization a
     # uniformly-slow run flags a rotating handful of innocent queries
     run_ratio = max(1.0, total / med_total) if med_total else 1.0
-    regressions: dict[str, float] = {}
-    for name, med in meds.items():
-        t = timings[name]
-        # absolute floor: a 0.1 s -> 0.2 s jitter is not a regression
-        if med > 0 and (t / med) / run_ratio > 1.5 and t - med > 0.5:
-            regressions[name] = round(t / med, 3)
+
+    def flagged() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name, med in meds.items():
+            t = timings[name]
+            # absolute floor: 0.1 s -> 0.2 s jitter is not a regression
+            if med > 0 and (t / med) / run_ratio > 1.5 and t - med > 0.5:
+                out[name] = round(t / med, 3)
+        return out
+
+    regressions = flagged()
+    # outlier re-measure: transient machine stalls (GC pause, a
+    # system snapshot landing mid-run) inflate a handful of queries
+    # 2-6x in one run; re-time each flagged query at run end and keep
+    # the MIN — a REAL plan regression stays slow on re-measure, a
+    # stall clears.  Bounded: two extra runs per flagged query.
+    for name in list(regressions):
+        fn = qs[name]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = min(
+                timings[name], round(time.perf_counter() - t0, 4)
+            )
+    if regressions:
+        total = round(sum(timings.values()), 4)
+        regressions = flagged()
     history.append({"ts": int(time.time()), "sf": sf, "queries": timings})
     try:
         with open(hist_path, "w") as fh:
