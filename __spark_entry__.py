@@ -4389,7 +4389,15 @@ def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = part("data/b.parquet", ids % 3 == 1)
     append_iceberg_snapshot(td, 1, [a, b])
     c = part("data/c.parquet", ids % 6 == 1)
-    append_iceberg_snapshot(td, 2, [c], deleted_files=["data/b.parquet"])
+    n_a = int((ids % 3 == 0).sum())
+    append_iceberg_snapshot(
+        td, 2, [c],
+        deleted_files=["data/b.parquet"],
+        # v2 position deletes: every 10th row of a.parquet (pos%10==7)
+        position_deletes=[
+            ("data/a.parquet", p) for p in range(7, n_a, 10)
+        ],
+    )
     return read_iceberg(spark, td).select("doc_id", "text")
 
 
@@ -8258,8 +8266,14 @@ def _llm_oracles() -> dict[str, str]:
         "iceberg_snapshot": """
             -- closed form of the two-snapshot Iceberg fixture
             -- (q_iceberg_snapshot): survivors = the kept first part
-            -- (doc_id % 3 = 0) UNION the rewrite part (doc_id % 6 = 1)
-            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+            -- (doc_id % 3 = 0) minus its v2 position deletes (row
+            -- positions p with p % 10 = 7 in doc_id order) UNION the
+            -- rewrite part (doc_id % 6 = 1)
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text,
+                     ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS p
+              FROM documents WHERE doc_id % 3 = 0
+            ) WHERE p % 10 <> 7
             UNION ALL
             SELECT doc_id, text FROM documents WHERE doc_id % 6 = 1
         """,

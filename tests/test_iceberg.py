@@ -104,3 +104,53 @@ def test_newest_metadata_without_hint(tmp_path):
     os.remove(os.path.join(t, "metadata", "version-hint.text"))
     snap = iceberg_snapshot(t)  # falls back to newest vN
     assert snap["snapshot_id"] == 5
+
+
+def test_position_deletes(tmp_path, spark):
+    """v2 position deletes: delete files anti-join the scan on
+    (_metadata.file_path, row_index); deletes carry forward across
+    snapshots; time travel before the delete sees all rows."""
+    t = str(tmp_path / "tbl")
+    write_iceberg_table(t, FIELDS)
+    a = _part(t, "data/a.parquet", [10, 11, 12, 13])
+    b = _part(t, "data/b.parquet", [20, 21])
+    append_iceberg_snapshot(t, 1, [a, b])
+    # drop rows 1 and 3 of a.parquet (values 11, 13)
+    append_iceberg_snapshot(
+        t, 2, [],
+        position_deletes=[("data/a.parquet", 1), ("data/a.parquet", 3)],
+    )
+    assert sorted(r["id"] for r in read_iceberg(spark, t).collect()) == \
+        [10, 12, 20, 21]
+    # time travel to before the delete
+    assert sorted(
+        r["id"] for r in read_iceberg(spark, t, snapshot_id=1).collect()
+    ) == [10, 11, 12, 13, 20, 21]
+    # a later snapshot carries the deletes forward AND adds data
+    c = _part(t, "data/c.parquet", [30])
+    append_iceberg_snapshot(t, 3, [c])
+    assert sorted(r["id"] for r in read_iceberg(spark, t).collect()) == \
+        [10, 12, 20, 21, 30]
+    # hidden metadata columns do not leak into the output schema
+    assert read_iceberg(spark, t).columns == ["id", "v"]
+
+
+def test_equality_deletes_rejected(tmp_path):
+    """content=2 (equality deletes) still gates with a clear error."""
+    from vtk_reserves_spark.sources.avro import (
+        read_avro_bytes, write_avro_bytes,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_iceberg_table(t, FIELDS)
+    a = _part(t, "data/a.parquet", [1])
+    append_iceberg_snapshot(t, 1, [a],
+                            position_deletes=[("data/a.parquet", 0)])
+    # rewrite the delete manifest's content to 2 (equality)
+    dman = os.path.join(t, "metadata", "snap-1-delete-manifest.avro")
+    schema, rows = read_avro_bytes(open(dman, "rb").read())
+    for r in rows:
+        r["data_file"]["content"] = 2
+    open(dman, "wb").write(write_avro_bytes(schema, rows))
+    with pytest.raises(ValueError, match="equality"):
+        iceberg_snapshot(t)

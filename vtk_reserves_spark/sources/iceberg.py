@@ -18,9 +18,12 @@ Both Avro layers decode through the in-repo Avro codec
 (`sources/avro.py` — the full complex-type system from round 5),
 so no external library is involved anywhere.
 
-Gating (never silently misread): ``format-version`` > 2, v2 DELETE
-manifests (``content`` != 0 — position/equality deletes), and
-entries whose data files are not parquet all raise clear errors.
+**v2 position deletes are supported Spark-natively**: delete files
+(parquet of ``file_path, pos``) become a broadcast LEFT-ANTI join
+against the scan's hidden ``_metadata.file_path``/``row_index``
+columns, so the data path stays a native Catalyst read.  Gating
+(never silently misread): ``format-version`` > 2, equality deletes,
+and non-parquet data files raise clear errors.
 
 Scale posture: identical to Delta — metadata is driver-side (KBs;
 the same place iceberg-spark plans scans), the data path is one
@@ -145,24 +148,27 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
             f"{[s['snapshot-id'] for s in snaps]}"
         )
     files: list[str] = []
+    delete_files: list[str] = []
     for mf in _read_avro_rows(_resolve(table, snap["manifest-list"])):
-        if int(mf.get("content") or 0) != 0:
-            raise ValueError(
-                "iceberg: DELETE manifests (position/equality deletes) "
-                "not supported"
-            )
+        is_delete_manifest = int(mf.get("content") or 0) == 1
         for entry in _read_avro_rows(_resolve(table, mf["manifest_path"])):
             if int(entry["status"]) == 2:  # deleted
                 continue
             df_ = entry["data_file"]
-            if int(df_.get("content") or 0) != 0:
-                raise ValueError("iceberg: delete files not supported")
+            content = int(df_.get("content") or 0)
             fmt = str(df_["file_format"]).upper()
             if fmt != "PARQUET":
                 raise ValueError(
                     f"iceberg: data file format {fmt} not supported"
                 )
-            files.append(_resolve(table, df_["file_path"]))
+            if content == 0 and not is_delete_manifest:
+                files.append(_resolve(table, df_["file_path"]))
+            elif content == 1:  # position deletes (v2)
+                delete_files.append(_resolve(table, df_["file_path"]))
+            else:
+                raise ValueError(
+                    "iceberg: equality deletes not supported"
+                )
     schema = meta.get("schemas")
     if schema:
         cur = meta.get("current-schema-id", 0)
@@ -172,6 +178,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
     else:
         schema = meta.get("schema")
     return {"files": sorted(set(files)), "snapshot_id": sid,
+            "delete_files": sorted(set(delete_files)),
             "schema": schema}
 
 
@@ -180,11 +187,48 @@ def read_iceberg(
 ) -> DataFrame:
     """Iceberg table -> DataFrame (current or time-traveled
     snapshot); the scan is plain distributed parquet with
-    ``basePath`` so hive-style partition dirs reconstruct."""
+    ``basePath`` so hive-style partition dirs reconstruct.
+
+    **v2 position deletes** apply Spark-natively: the scan adds the
+    hidden ``_metadata.file_path``/``row_index`` columns and
+    LEFT-ANTI joins the (file_path, pos) pairs from the snapshot's
+    delete files — the delete side is broadcast (position-delete
+    files are orders of magnitude smaller than data; a pathological
+    delete volume falls back to a shuffled anti-join via AQE).  The
+    data scan itself stays a native Catalyst parquet read."""
+    from pyspark.sql import functions as F
+
     snap = iceberg_snapshot(table, snapshot_id)
     if not snap["files"]:
         raise ValueError("iceberg: snapshot has no data files")
-    return spark.read.option("basePath", table).parquet(*snap["files"])
+    reader = spark.read.option("basePath", table)
+    if not snap["delete_files"]:
+        return reader.parquet(*snap["files"])
+    data = reader.parquet(*snap["files"]).withColumns({
+        "_ice_path": F.regexp_replace("_metadata.file_path", "^file:", ""),
+        "_ice_pos": F.col("_metadata.row_index"),
+    })
+    # normalize delete-side paths the same way: strip file:, resolve
+    # relative paths against the table root
+    root = table.rstrip("/") + "/"
+    dels = (
+        spark.read.parquet(*snap["delete_files"])
+        .select(
+            F.when(
+                F.col("file_path").startswith("file:"),
+                F.regexp_replace("file_path", "^file:", ""),
+            )
+            .when(
+                F.col("file_path").startswith("/"), F.col("file_path")
+            )
+            .otherwise(F.concat(F.lit(root), F.col("file_path")))
+            .alias("_ice_path"),
+            F.col("pos").alias("_ice_pos"),
+        )
+    )
+    return data.join(
+        F.broadcast(dels), ["_ice_path", "_ice_pos"], "left_anti"
+    ).drop("_ice_path", "_ice_pos")
 
 
 # ------------------------------------------------------------- fixtures
@@ -218,10 +262,13 @@ def append_iceberg_snapshot(
     snapshot_id: int,
     data_files: list[dict],
     deleted_files: list[str] | None = None,
+    position_deletes: list[tuple[str, int]] | None = None,
 ) -> None:
     """Add a snapshot: writes one manifest (adds + deletions of
     prior files), the manifest list, and the next vN.metadata.json.
-    ``data_files``: dicts with file_path (+ record_count/size)."""
+    ``data_files``: dicts with file_path (+ record_count/size).
+    ``position_deletes``: (data_file_relpath, row_pos) pairs — writes
+    a v2 position-delete parquet + a content-1 delete manifest."""
     from vtk_reserves_spark.sources.avro import write_avro_bytes
 
     meta = _load_table_metadata(table)
@@ -263,7 +310,6 @@ def append_iceberg_snapshot(
     blob = write_avro_bytes(_MANIFEST_ENTRY_SCHEMA, entries)
     with open(man_path, "wb") as fh:
         fh.write(blob)
-    ml_rel = f"metadata/snap-{snapshot_id}-manifest-list.avro"
     ml_rows = [{
         "manifest_path": man_rel,
         "manifest_length": len(blob),
@@ -271,6 +317,61 @@ def append_iceberg_snapshot(
         "content": 0,
         "added_snapshot_id": snapshot_id,
     }]
+    # v2 position deletes: delete parquet (file_path, pos) + a
+    # content-1 delete manifest; prior delete files carry forward
+    del_entries = []
+    if meta.get("snapshots"):
+        prev = iceberg_snapshot(table)
+        for p in prev.get("delete_files", []):
+            del_entries.append({
+                "status": 0, "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": os.path.relpath(p, table),
+                    "file_format": "parquet",
+                    "record_count": 0, "file_size_in_bytes": 0,
+                },
+            })
+    if position_deletes:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        del_rel = f"metadata/snap-{snapshot_id}-deletes.parquet"
+        pq.write_table(
+            pa.table({
+                "file_path": pa.array(
+                    [p for p, _ in position_deletes], pa.string()
+                ),
+                "pos": pa.array(
+                    [int(x) for _, x in position_deletes], pa.int64()
+                ),
+            }),
+            os.path.join(table, del_rel),
+        )
+        del_entries.append({
+            "status": 1, "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 1, "file_path": del_rel,
+                "file_format": "parquet",
+                "record_count": len(position_deletes),
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(table, del_rel)
+                ),
+            },
+        })
+    if del_entries:
+        dman_rel = f"metadata/snap-{snapshot_id}-delete-manifest.avro"
+        dblob = write_avro_bytes(_MANIFEST_ENTRY_SCHEMA, del_entries)
+        with open(os.path.join(table, dman_rel), "wb") as fh:
+            fh.write(dblob)
+        ml_rows.append({
+            "manifest_path": dman_rel,
+            "manifest_length": len(dblob),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_snapshot_id": snapshot_id,
+        })
+    ml_rel = f"metadata/snap-{snapshot_id}-manifest-list.avro"
     with open(os.path.join(table, ml_rel), "wb") as fh:
         fh.write(write_avro_bytes(_MANIFEST_LIST_SCHEMA, ml_rows))
     meta = dict(meta)
