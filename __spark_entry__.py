@@ -4321,16 +4321,29 @@ def q_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
              "metadata": {}},
         ],
     })
+    from vtk_reserves_spark.sources.delta import write_deletion_vector
+
     a = part("bucket=0/a.parquet", ids % 2 == 0)
     a["partitionValues"] = {"bucket": "0"}
     b = part("bucket=1/b.parquet", ids % 2 == 1)
     b["partitionValues"] = {"bucket": "1"}
     write_delta_commit(td, 0, adds=[a, b], schema_json=schema_json,
-                       partition_columns=["bucket"])
+                       partition_columns=["bucket"],
+                       reader_features=["deletionVectors"])
     write_delta_checkpoint(td, 0)
     c = part("bucket=1/c.parquet", ids % 4 == 1)
     c["partitionValues"] = {"bucket": "1"}
-    write_delta_commit(td, 1, adds=[c], removes=["bucket=1/b.parquet"])
+    # commit 1 re-adds the surviving part with a DELETION VECTOR
+    # (Roaring bitmap of row positions p % 10 == 3) alongside the
+    # remove + replace — checkpoint + tail replay, tombstones, and
+    # the reader-v3 DV anti-join all in one snapshot
+    n_a = int((ids % 2 == 0).sum())
+    a_dv = dict(a)
+    a_dv["deletionVector"] = write_deletion_vector(
+        td, list(range(3, n_a, 10))
+    )
+    write_delta_commit(td, 1, adds=[c, a_dv],
+                       removes=["bucket=1/b.parquet"])
     return read_delta(spark, td).select("doc_id", "text", "bucket")
 
 
@@ -8256,9 +8269,13 @@ def _llm_oracles() -> dict[str, str]:
         "delta_snapshot": """
             -- closed form of the two-commit Delta fixture
             -- (q_delta_snapshot): survivors = bucket 0 (evens, kept)
-            -- UNION the commit-1 replacement part (doc_id % 4 = 1)
-            SELECT doc_id, text, CAST(0 AS INT) AS bucket
-            FROM documents WHERE doc_id % 2 = 0
+            -- minus its deletion-vector rows (positions p % 10 = 3
+            -- in doc_id order) UNION the commit-1 replacement part
+            SELECT doc_id, text, CAST(0 AS INT) AS bucket FROM (
+              SELECT doc_id, text,
+                     ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS p
+              FROM documents WHERE doc_id % 2 = 0
+            ) WHERE p % 10 <> 3
             UNION ALL
             SELECT doc_id, text, CAST(1 AS INT) AS bucket
             FROM documents WHERE doc_id % 4 = 1

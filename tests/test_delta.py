@@ -93,6 +93,8 @@ def test_partition_columns_recovered(spark, tmp_path):
 
 
 def test_protocol_gating(tmp_path):
+    """Reader version 3 with ONLY deletionVectors is supported (the
+    DV read path); version 2 (column mapping era) still gates."""
     t = str(tmp_path / "tbl")
     os.makedirs(os.path.join(t, "_delta_log"))
     with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
@@ -104,8 +106,18 @@ def test_protocol_gating(tmp_path):
             "partitionColumns": [],
             "format": {"provider": "parquet", "options": {}},
         }}) + "\n")
-    with pytest.raises(ValueError, match="deletionVectors"):
-        delta_snapshot(t)
+    assert delta_snapshot(t)["files"] == []
+    t2 = str(tmp_path / "tbl2")
+    os.makedirs(os.path.join(t2, "_delta_log"))
+    with open(os.path.join(t2, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 2}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "schemaString": SCHEMA_JSON,
+            "partitionColumns": [],
+            "format": {"provider": "parquet", "options": {}},
+        }}) + "\n")
+    with pytest.raises(ValueError, match="reader version 2"):
+        delta_snapshot(t2)
 
 
 def test_empty_snapshot_schema(spark, tmp_path):
@@ -121,3 +133,57 @@ def test_empty_snapshot_schema(spark, tmp_path):
 def test_missing_log_rejected(tmp_path):
     with pytest.raises(ValueError, match="_delta_log"):
         delta_snapshot(str(tmp_path))
+
+
+def test_deletion_vectors(spark, tmp_path):
+    """Reader-version-3 deletion vectors: the DV's Roaring bitmap
+    anti-joins the scan on (_metadata.file_path, row_index); file
+    framing (version byte, BE size + CRC32) and the z85-UUID
+    storageType resolve per PROTOCOL.md."""
+    from vtk_reserves_spark.sources.delta import write_deletion_vector
+
+    t = str(tmp_path / "tbl")
+    a = _part(t, "a.parquet", [10, 11, 12, 13, 14])
+    b = _part(t, "b.parquet", [20, 21])
+    a["deletionVector"] = write_deletion_vector(t, [1, 3])  # 11, 13
+    write_delta_commit(t, 0, adds=[a, b], schema_json=SCHEMA_JSON,
+                       reader_features=["deletionVectors"])
+    got = sorted(r["id"] for r in read_delta(spark, t).collect())
+    assert got == [10, 12, 14, 20, 21]
+    # hidden join columns do not leak
+    assert read_delta(spark, t).columns == ["id", "v"]
+
+
+def test_deletion_vector_checksum_guard(spark, tmp_path):
+    import glob
+
+    from vtk_reserves_spark.sources.delta import write_deletion_vector
+
+    t = str(tmp_path / "tbl")
+    a = _part(t, "a.parquet", [1, 2, 3])
+    a["deletionVector"] = write_deletion_vector(t, [0])
+    write_delta_commit(t, 0, adds=[a], schema_json=SCHEMA_JSON,
+                       reader_features=["deletionVectors"])
+    (dvf,) = glob.glob(os.path.join(t, "deletion_vector_*.bin"))
+    blob = bytearray(open(dvf, "rb").read())
+    blob[-1] ^= 0xFF  # corrupt the CRC
+    open(dvf, "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="checksum"):
+        read_delta(spark, t).collect()
+
+
+def test_unknown_reader_feature_still_gated(tmp_path):
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3,
+            "readerFeatures": ["deletionVectors", "columnMapping"],
+        }}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "schemaString": SCHEMA_JSON,
+            "partitionColumns": [],
+            "format": {"provider": "parquet", "options": {}},
+        }}) + "\n")
+    with pytest.raises(ValueError, match="columnMapping"):
+        delta_snapshot(t)

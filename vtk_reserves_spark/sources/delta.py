@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import struct
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,15 +64,24 @@ def _list_commit_versions(log_dir: str) -> list[int]:
     return sorted(out)
 
 
+_SUPPORTED_READER_FEATURES = {"deletionVectors"}
+
+
 def _check_protocol(proto: dict) -> None:
-    if proto and int(proto.get("minReaderVersion", 1)) > 1:
-        feats = proto.get("readerFeatures")
-        raise ValueError(
-            "delta: table requires reader version "
-            f"{proto.get('minReaderVersion')}"
-            + (f" with features {feats}" if feats else "")
-            + " (column mapping / deletion vectors not supported)"
-        )
+    if not proto:
+        return
+    v = int(proto.get("minReaderVersion", 1))
+    if v <= 1:
+        return
+    feats = set(proto.get("readerFeatures") or [])
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if v == 3 and not unsupported:
+        return  # deletion vectors are handled (see read_delta)
+    raise ValueError(
+        f"delta: table requires reader version {v}"
+        + (f" with features {sorted(unsupported)}" if unsupported else "")
+        + " (not supported)"
+    )
 
 
 def delta_snapshot(table: str, version: int | None = None) -> dict:
@@ -141,10 +151,62 @@ def delta_snapshot(table: str, version: int | None = None) -> dict:
     if meta is None:
         raise ValueError(f"delta: no metaData action found in {table}")
     files = [
-        (p, a.get("partitionValues") or {}, int(a.get("size", 0)))
+        (p, a.get("partitionValues") or {}, int(a.get("size", 0)),
+         a.get("deletionVector"))
         for p, a in sorted(adds.items())
     ]
-    return {"files": files, "metadata": meta, "version": last}
+    return {"files": files, "metadata": meta, "version": last,
+            "protocol": proto or {"minReaderVersion": 1,
+                                  "minWriterVersion": 2}}
+
+
+def _load_dv_positions(table: str, dv: dict):
+    """Deletion-vector descriptor -> sorted uint64 row positions
+    (PROTOCOL.md Deletion Vector Format: storageType u/i/p; on-disk
+    DVs are [1-byte version][at offset: u32BE size | bitmap |
+    u32BE CRC32]; the bitmap is delta's portable
+    RoaringBitmapArray)."""
+    import uuid as _uuid
+    import zlib as _zlib
+
+    from vtk_reserves_spark.sources.roaring import (
+        deserialize_roaring64, z85_decode,
+    )
+
+    st = dv.get("storageType")
+    size = int(dv.get("sizeInBytes", 0))
+    if st == "i":  # inline: z85 of the bitmap itself
+        raw = z85_decode(dv["pathOrInlineDv"])[:size]
+        return deserialize_roaring64(raw)
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, uid_enc = enc[:-20], enc[-20:]
+        uid = _uuid.UUID(bytes=z85_decode(uid_enc))
+        path = os.path.join(
+            table, *( [prefix] if prefix else [] ),
+            f"deletion_vector_{uid}.bin",
+        )
+    elif st == "p":
+        path = dv["pathOrInlineDv"]
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+    else:
+        raise ValueError(f"delta: unknown DV storageType {st!r}")
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if not data or data[0] != 1:
+        raise ValueError("delta: unsupported DV file format version")
+    off = int(dv.get("offset", 1))
+    (stored_size,) = struct.unpack_from(">I", data, off)
+    if stored_size != size:
+        raise ValueError(
+            f"delta: DV size mismatch ({stored_size} != {size})"
+        )
+    bitmap = data[off + 4 : off + 4 + size]
+    (crc,) = struct.unpack_from(">I", data, off + 4 + size)
+    if _zlib.crc32(bitmap) & 0xFFFFFFFF != crc:
+        raise ValueError("delta: DV checksum mismatch")
+    return deserialize_roaring64(bitmap)
 
 
 def read_delta(
@@ -154,7 +216,13 @@ def read_delta(
 
     The distributed scan is plain ``spark.read.parquet`` over the
     snapshot's files with ``basePath`` set, so partition-directory
-    columns come back and Catalyst keeps pushdown/pruning."""
+    columns come back and Catalyst keeps pushdown/pruning.
+
+    **Deletion vectors** (reader version 3) apply Spark-natively:
+    each DV's Roaring bitmap expands to (file, position) rows which
+    broadcast LEFT-ANTI join the scan's hidden
+    ``_metadata.file_path``/``row_index`` columns — the same shape
+    as the Iceberg position-delete path (`sources/iceberg.py`)."""
     snap = delta_snapshot(table, version)
     if not snap["files"]:
         # empty snapshot: derive schema from metaData.schemaString
@@ -164,11 +232,69 @@ def read_delta(
             json.loads(snap["metadata"]["schemaString"])
         )
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table, p) for p, _, _ in snap["files"]]
-    return spark.read.option("basePath", table).parquet(*paths)
+    paths = [os.path.join(table, p) for p, _, _, _ in snap["files"]]
+    reader = spark.read.option("basePath", table)
+    dv_files = [
+        (os.path.join(table, p), json.dumps(dv))
+        for p, _, _, dv in snap["files"]
+        if dv
+    ]
+    if not dv_files:
+        return reader.parquet(*paths)
+    from pyspark.sql import functions as F
+
+    data = reader.parquet(*paths).withColumns({
+        "_dv_path": F.regexp_replace("_metadata.file_path", "^file:", ""),
+        "_dv_pos": F.col("_metadata.row_index"),
+    })
+    dv_df = spark.createDataFrame(dv_files, "path string, dv string")
+
+    def expand(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path, dv_json in zip(pdf["path"], pdf["dv"]):
+                pos = _load_dv_positions(table, json.loads(dv_json))
+                yield pd.DataFrame({
+                    "_dv_path": path,
+                    "_dv_pos": pos.astype("int64"),
+                })
+
+    positions = dv_df.mapInPandas(expand, "_dv_path string, _dv_pos long")
+    return data.join(
+        F.broadcast(positions), ["_dv_path", "_dv_pos"], "left_anti"
+    ).drop("_dv_path", "_dv_pos")
 
 
 # ------------------------------------------------------------- fixtures
+
+
+def write_deletion_vector(table: str, positions) -> dict:
+    """Row positions -> an on-disk DV file under ``table`` + its add
+    descriptor (storageType "u", z85 UUID, version-1 layout with the
+    big-endian size/CRC32 framing)."""
+    import uuid as _uuid
+    import zlib as _zlib
+
+    from vtk_reserves_spark.sources.roaring import (
+        serialize_roaring64, z85_encode,
+    )
+
+    bitmap = serialize_roaring64(positions)
+    uid = _uuid.uuid4()
+    path = os.path.join(table, f"deletion_vector_{uid}.bin")
+    with open(path, "wb") as fh:
+        fh.write(b"\x01")
+        fh.write(struct.pack(">I", len(bitmap)))
+        fh.write(bitmap)
+        fh.write(struct.pack(">I", _zlib.crc32(bitmap) & 0xFFFFFFFF))
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(uid.bytes),
+        "offset": 1,
+        "sizeInBytes": len(bitmap),
+        "cardinality": len(set(int(p) for p in positions)),
+    }
 
 
 def write_delta_commit(
@@ -178,16 +304,24 @@ def write_delta_commit(
     removes: list[str] | None = None,
     schema_json: str | None = None,
     partition_columns: list[str] | None = None,
+    reader_features: list[str] | None = None,
 ) -> None:
     """Append one JSON commit (fixture-scale writer).  ``adds`` are
-    dicts with at least ``path`` (+ optional partitionValues/size);
-    version 0 should pass ``schema_json`` to emit protocol+metaData."""
+    dicts with at least ``path`` (+ optional partitionValues/size/
+    deletionVector); version 0 should pass ``schema_json`` to emit
+    protocol+metaData (``reader_features=["deletionVectors"]`` emits
+    the v3 protocol DV tables declare)."""
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
     lines = []
     if schema_json is not None:
-        lines.append(json.dumps(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        ))
+        proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+        if reader_features:
+            proto = {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": reader_features,
+                "writerFeatures": reader_features,
+            }
+        lines.append(json.dumps({"protocol": proto}))
         lines.append(json.dumps({
             "metaData": {
                 "id": f"fixture-{os.path.basename(table)}",
@@ -206,6 +340,8 @@ def write_delta_commit(
             "modificationTime": 0,
             "dataChange": True,
         }
+        if a.get("deletionVector"):
+            add["deletionVector"] = a["deletionVector"]
         lines.append(json.dumps({"add": add}))
     for p in removes or []:
         lines.append(json.dumps({
@@ -224,13 +360,26 @@ def write_delta_checkpoint(table: str, version: int) -> None:
     import pyarrow.parquet as pq
 
     snap = delta_snapshot(table, version)
+    if any(dv for _, _, _, dv in snap["files"]):
+        raise ValueError(
+            "delta: checkpointing deletion-vector tables not supported "
+            "(the fixture checkpoint schema has no DV struct)"
+        )
+    proto = {
+        "minReaderVersion": int(
+            snap["protocol"].get("minReaderVersion", 1)
+        ),
+        "minWriterVersion": int(
+            snap["protocol"].get("minWriterVersion", 2)
+        ),
+    }
     rows = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-         "metaData": None, "add": None, "remove": None},
+        {"protocol": proto, "metaData": None, "add": None,
+         "remove": None},
         {"protocol": None, "metaData": snap["metadata"],
          "add": None, "remove": None},
     ]
-    for path, pv, size in snap["files"]:
+    for path, pv, size, _dv in snap["files"]:
         rows.append({
             "protocol": None, "metaData": None,
             "add": {"path": path, "partitionValues": pv, "size": size,
