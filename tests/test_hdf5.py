@@ -141,3 +141,54 @@ def test_spark_reader_contiguous_slabs(spark, tmp_path):
     assert dict(df.dtypes)["value"] == "bigint"
     pdf = df.toPandas().sort_values("i0")
     np.testing.assert_array_equal(pdf["value"].to_numpy(), ids)
+
+
+def test_v2_superblock_and_ohdr_with_compact_links():
+    """Hand-built 'new-style' file: superblock v2 + OHDR-v2 root
+    group with a compact link message pointing at a v1 dataset —
+    the layout h5py emits under libver='latest' (subset).  The
+    chunk-0 size excludes the trailing checksum; a short final
+    message must still parse."""
+    from vtk_reserves_spark.sources.hdf5 import _SIG, _UNDEF, _Writer
+
+    data = np.arange(12, dtype="<i4").reshape(3, 4)
+    blobs = bytearray(b"\x00" * 48)  # superblock v2 placeholder
+
+    def align(n=8):
+        while len(blobs) % n:
+            blobs.append(0)
+
+    w = _Writer()
+    hdr = w._dataset_header(data, {}, blobs, align)
+    align()
+    ds_addr = len(blobs)
+    blobs.extend(hdr)
+    align()
+    # link message (type 0x06): v1, flags 0 -> 1-byte name length
+    link_body = bytes([1, 0, len(b"dset")]) + b"dset" + struct.pack(
+        "<Q", ds_addr
+    )
+    msg = bytes([0x06]) + struct.pack("<H", len(link_body)) + bytes(
+        [0]
+    ) + link_body
+    root_addr = len(blobs)
+    ohdr = (
+        b"OHDR" + bytes([2, 0]) + bytes([len(msg)]) + msg
+        + b"\x00" * 4  # gated checksum (not verified by the subset)
+    )
+    blobs.extend(ohdr)
+    eof = len(blobs)
+    sb = (
+        _SIG + bytes([2, 8, 8, 0])
+        + struct.pack("<QQQQ", 0, _UNDEF, eof, root_addr)
+        + b"\x00" * 4  # superblock checksum (not verified)
+    )
+    blobs[: len(sb)] = sb
+    from vtk_reserves_spark.sources.hdf5 import (
+        list_datasets, read_hdf5_array,
+    )
+
+    assert list_datasets(bytes(blobs)) == ["/dset"]
+    np.testing.assert_array_equal(
+        read_hdf5_array(bytes(blobs), "dset"), data
+    )

@@ -152,7 +152,10 @@ def _parse_messages_v2(h: _H5, addr: int) -> list[tuple[int, bytes]]:
                 raise ValueError("hdf5: bad continuation signature")
             bpos += 4
             blen -= 8  # signature + trailing checksum
-        end = bpos + blen - (0 if is_cont else 4)  # v2 gated checksum
+        # "size of chunk 0" counts message data only (the 4-byte
+        # checksum FOLLOWS it); continuation lengths include sig +
+        # checksum, already stripped above
+        end = bpos + blen
         pos = bpos
         while pos + 4 <= end:
             mtype = d[pos]
