@@ -13,6 +13,70 @@ import sys
 import time
 
 
+def _find_prev_round_file() -> str | None:
+    """Highest-numbered stamped bench self-run next to this script
+    (falls back to the driver-recorded BENCH_rN.json)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)(_self)?\.json$", os.path.basename(p))
+        if not m:
+            continue
+        key = (int(m.group(1)), 1 if m.group(2) else 0, p)
+        if best is None or key > best:
+            best = key
+    return best[2] if best else None
+
+
+def _vs_round_compare(timings: dict, total: float, sf) -> dict | None:
+    """Per-query flags vs the previous round's stamped run.  Flags
+    normalize by the run-level total ratio (same rationale as the
+    in-round gate: this box drifts uniformly run-to-run) and require
+    >1.4x AND >0.5 s absolute on a common query."""
+    anchor = None
+    argv = sys.argv[1:]
+    if "--vs-round" in argv:
+        i = argv.index("--vs-round")
+        if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+            anchor = argv[i + 1]
+    if anchor is None:
+        anchor = _find_prev_round_file()
+    if anchor is None or not os.path.exists(anchor):
+        return None
+    try:
+        with open(anchor) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if str(prev.get("sf")) != str(sf):
+        return {"anchor": os.path.basename(anchor),
+                "note": f"sf mismatch ({prev.get('sf')} != {sf})"}
+    pq = prev.get("queries") or {}
+    common = [n for n in timings if n in pq and pq[n] > 0]
+    if not common:
+        return {"anchor": os.path.basename(anchor), "note": "no common queries"}
+    cur_total = sum(timings[n] for n in common)
+    prev_total = sum(pq[n] for n in common)
+    run_ratio = max(1.0, cur_total / prev_total) if prev_total else 1.0
+    ratios = sorted(timings[n] / pq[n] for n in common)
+    flags = {
+        n: round(timings[n] / pq[n], 3)
+        for n in common
+        if (timings[n] / pq[n]) / run_ratio > 1.4
+        and timings[n] - pq[n] > 0.5
+    }
+    return {
+        "anchor": os.path.basename(anchor),
+        "common_queries": len(common),
+        "median_ratio": round(ratios[len(ratios) // 2], 3),
+        "total_ratio": round(cur_total / prev_total, 3) if prev_total else None,
+        "flags": flags,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -152,6 +216,11 @@ def main() -> None:
     # 2-6x in one run; re-time each flagged query at run end and keep
     # the MIN — a REAL plan regression stays slow on re-measure, a
     # stall clears.  Bounded: two extra runs per flagged query.
+    # The re-measured mins feed the REPORTED timings only; history
+    # keeps the plain best-of-2 samples for every query, so flagged
+    # queries don't accumulate best-of-4 medians that would make the
+    # 1.5x gate trigger-happy on the next run (ADVICE r6).
+    history_timings = dict(timings)
     for name in list(regressions):
         fn = qs[name]
         for _ in range(2):
@@ -163,12 +232,21 @@ def main() -> None:
     if regressions:
         total = round(sum(timings.values()), 4)
         regressions = flagged()
-    history.append({"ts": int(time.time()), "sf": sf, "queries": timings})
+    history.append(
+        {"ts": int(time.time()), "sf": sf, "queries": history_timings}
+    )
     try:
         with open(hist_path, "w") as fh:
             json.dump(history[-20:], fh)
     except OSError:
         pass  # read-only checkout: trend tracking is best-effort
+
+    # --- cross-round compare (VERDICT r6 item 1): the 5-run history
+    # median RE-BASES after a slow round, hiding gradual creep.  So
+    # also compare against the PREVIOUS ROUND's stamped self-run —
+    # an anchor that does not re-base.  `--vs-round FILE` overrides
+    # the anchor; default = the highest-numbered BENCH_r*_self.json.
+    vs_round = _vs_round_compare(timings, total, sf)
 
     print(
         json.dumps(
@@ -188,6 +266,10 @@ def main() -> None:
                 "ratio_total_vs_median": (
                     round(total / med_total, 3) if prior and med_total else None
                 ),
+                # cross-round anchor compare: per-query flags vs the
+                # previous round's stamped run (normalized by the
+                # run-level ratio like the in-round gate)
+                "vs_round": vs_round,
                 # variance-normalized headline (VERDICT r3 item 7): the
                 # per-query median of the last 5 same-sf runs, summed —
                 # compare THIS across rounds; "value" below is the raw

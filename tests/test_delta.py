@@ -187,3 +187,134 @@ def test_unknown_reader_feature_still_gated(tmp_path):
         }}) + "\n")
     with pytest.raises(ValueError, match="columnMapping"):
         delta_snapshot(t)
+
+
+def test_deletion_vectors_path_with_spaces_and_relative_table(
+    spark, tmp_path, monkeypatch
+):
+    """URI-vs-path normalization: _metadata.file_path percent-encodes
+    specials, so DV anti-join keys must decode identically; a
+    relative `table` argument must also resolve (ADVICE r6)."""
+    from vtk_reserves_spark.sources.delta import write_deletion_vector
+
+    t = str(tmp_path / "tbl with space")
+    a = _part(t, "part a+b.parquet", [10, 11, 12, 13])
+    a["deletionVector"] = write_deletion_vector(t, [1, 3])
+    write_delta_commit(t, 0, adds=[a], schema_json=SCHEMA_JSON,
+                       reader_features=["deletionVectors"])
+    got = sorted(r["id"] for r in read_delta(spark, t).collect())
+    assert got == [10, 12]
+    # relative table path
+    monkeypatch.chdir(tmp_path)
+    got = sorted(
+        r["id"] for r in read_delta(spark, "tbl with space").collect()
+    )
+    assert got == [10, 12]
+
+
+CM_SCHEMA_JSON = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa111"}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb222"}},
+    ],
+})
+
+
+def _cm_part(table, rel, ids):
+    """Parquet under the PHYSICAL column names, as column-mapped
+    Delta writers produce."""
+    p = os.path.join(table, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    pq.write_table(
+        pa.table({"col-aaa111": pa.array(ids, pa.int64()),
+                  "col-bbb222": pa.array([i * 0.5 for i in ids],
+                                         pa.float64())}),
+        p,
+    )
+    return {"path": rel, "size": os.path.getsize(p)}
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """columnMapping.mode=name: parquet holds physical col-<uuid>
+    names; the scan renames them to the logical schema."""
+    t = str(tmp_path / "tbl")
+    a = _cm_part(t, "a.parquet", [1, 2, 3])
+    write_delta_commit(
+        t, 0, adds=[a], schema_json=CM_SCHEMA_JSON,
+        reader_features=["columnMapping"],
+        configuration={"delta.columnMapping.mode": "name",
+                       "delta.columnMapping.maxColumnId": "2"},
+    )
+    df = read_delta(spark, t)
+    assert df.columns == ["id", "v"]
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+
+
+def test_column_mapping_id_mode_reader_v2(spark, tmp_path):
+    """id mode under plain minReaderVersion=2 (no readerFeatures list,
+    the pre-table-features protocol shape) also reads."""
+    t = str(tmp_path / "tbl")
+    a = _cm_part(t, "a.parquet", [7])
+    os.makedirs(os.path.join(t, "_delta_log"), exist_ok=True)
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "schemaString": CM_SCHEMA_JSON,
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "format": {"provider": "parquet", "options": {}},
+        }}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "a.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    df = read_delta(spark, t)
+    assert df.columns == ["id", "v"]
+    assert [r["id"] for r in df.collect()] == [7]
+
+
+def test_column_mapping_with_deletion_vectors(spark, tmp_path):
+    from vtk_reserves_spark.sources.delta import write_deletion_vector
+
+    t = str(tmp_path / "tbl")
+    a = _cm_part(t, "a.parquet", [10, 11, 12, 13])
+    a["deletionVector"] = write_deletion_vector(t, [0, 2])
+    write_delta_commit(
+        t, 0, adds=[a], schema_json=CM_SCHEMA_JSON,
+        reader_features=["columnMapping", "deletionVectors"],
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    df = read_delta(spark, t)
+    assert df.columns == ["id", "v"]
+    assert sorted(r["id"] for r in df.collect()) == [11, 13]
+
+
+def test_column_mapping_nested_gates(tmp_path, spark):
+    nested = json.dumps({
+        "type": "struct",
+        "fields": [{
+            "name": "s", "nullable": True,
+            "metadata": {"delta.columnMapping.physicalName": "col-xyz"},
+            "type": {"type": "struct", "fields": [{
+                "name": "inner", "type": "long", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.physicalName": "col-inner"},
+            }]},
+        }],
+    })
+    t = str(tmp_path / "tbl")
+    p = os.path.join(t, "a.parquet")
+    os.makedirs(t, exist_ok=True)
+    pq.write_table(pa.table({"col-xyz": pa.array([1], pa.int64())}), p)
+    write_delta_commit(
+        t, 0, adds=[{"path": "a.parquet", "size": 1}],
+        schema_json=nested,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    with pytest.raises(ValueError, match="nested"):
+        read_delta(spark, t)

@@ -84,25 +84,128 @@ def test_roundtrip_property(rows, cols, crows, deflate, shuffle, seed):
     np.testing.assert_array_equal(read_hdf5_array(blob, "d"), data)
 
 
+def _h5_fletcher32_ref(data: bytes) -> int:
+    """Literal transcription of libhdf5's H5_checksum_fletcher32
+    (big-endian word assembly, odd byte in the HIGH byte, fold
+    reduction every 360 words on uint32-wrapped accumulators)."""
+    M = 0xFFFFFFFF
+    s1 = 0
+    s2 = 0
+    nwords = len(data) // 2
+    i = 0
+    while nwords:
+        tlen = min(nwords, 360)
+        nwords -= tlen
+        for _ in range(tlen):
+            s1 = (s1 + ((data[i] << 8) | data[i + 1])) & M
+            s2 = (s2 + s1) & M
+            i += 2
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    if len(data) % 2:
+        s1 = (s1 + (data[-1] << 8)) & M
+        s2 = (s2 + s1) & M
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    s1 = (s1 & 0xFFFF) + (s1 >> 16)
+    s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    return (s2 << 16) | s1
+
+
 def test_fletcher32_reference_values():
-    """Spot values cross-checked against the published HDF5
-    checksum algorithm (16-bit words, mod-65535 sums)."""
+    """Spot values per libhdf5's algorithm: 16-bit words assembled
+    BIG-endian, an odd trailing byte in the high byte."""
     assert _fletcher32(b"") == 0
-    # manual: words [0x6261] -> s1 = s2 = 0x6261
-    assert _fletcher32(b"ab") == (0x6261 << 16) | 0x6261
-    # odd length zero-pads: b"abc" -> words [0x6261, 0x0063]
-    s1 = (0x6261 + 0x0063) % 65535
-    s2 = (0x6261 + s1) % 65535
-    assert _fletcher32(b"abc") == (s2 << 16) | s1
-    # long input exercises the blocked reduction
-    data = bytes(range(256)) * 100
-    ref_s1 = 0
-    ref_s2 = 0
-    words = np.frombuffer(data, "<u2")
-    for w in words.astype(int):
-        ref_s1 = (ref_s1 + w) % 65535
-        ref_s2 = (ref_s2 + ref_s1) % 65535
-    assert _fletcher32(data) == (ref_s2 << 16) | ref_s1
+    # manual: b"ab" -> one word 0x6162 -> s1 = s2 = 0x6162
+    assert _fletcher32(b"ab") == (0x6162 << 16) | 0x6162
+    # odd length: b"abc" -> word 0x6162 then odd byte as 0x6300;
+    # s1 = 0xC462, s2 = 0x6162+0xC462 = 0x125C4 -> fold 0x25C5
+    assert _fletcher32(b"abc") == 0x25C5C462
+    # single odd byte: contributes in the HIGH byte
+    assert _fletcher32(b"a") == 0x61006100
+    # hand-worked with the end-of-block fold:
+    # words [0xdead, 0xbeef]: s1=0x19d9c->fold 0x9d9d,
+    # s2=0xdead+0x19d9c=0x27c49->fold 0x7c4b
+    assert _fletcher32(b"\xde\xad\xbe\xef") == 0x7C4B9D9D
+
+
+@given(st.binary(min_size=0, max_size=3000), st.integers(0, 3))
+@settings(max_examples=60, deadline=None)
+def test_fletcher32_matches_literal_c_transcription(data, pad):
+    data = data + b"\xff" * pad  # bias toward high bytes (overflow)
+    assert _fletcher32(data) == _h5_fletcher32_ref(data)
+
+
+def test_fletcher32_block_overflow_path():
+    # all-0xff data long enough to wrap the 32-bit sum2 accumulator
+    data = b"\xff" * 4000
+    assert _fletcher32(data) == _h5_fletcher32_ref(data)
+
+
+@pytest.mark.parametrize("opts", [
+    {"chunks": (7, 5), "fletcher32": True},
+    {"chunks": (7, 5), "deflate": 4, "shuffle": True, "fletcher32": True},
+])
+def test_fletcher32_filter_roundtrip(opts):
+    data = RNG.randn(23, 13).astype("<f4")
+    blob = write_hdf5(None, {"d": (data, opts)})
+    np.testing.assert_array_equal(read_hdf5_array(blob, "d"), data)
+
+
+def test_fletcher32_detects_corruption():
+    data = np.arange(35, dtype="<i4").reshape(7, 5)
+    blob = bytearray(write_hdf5(
+        None, {"d": (data, {"chunks": (7, 5), "fletcher32": True})}
+    ))
+    # flip a byte inside the stored chunk payload
+    needle = data.tobytes()[:16]
+    pos = bytes(blob).index(needle)
+    blob[pos + 3] ^= 0xFF
+    with pytest.raises(ValueError, match="fletcher32"):
+        read_hdf5_array(bytes(blob), "d")
+
+
+def test_fill_value_roundtrip_and_unallocated_chunks():
+    data = np.full((20, 6), -99.0, "<f8")
+    data[3:7, :] = RNG.randn(4, 6)  # only chunk row 0 gets real data
+    blob = write_hdf5(
+        None, {"d": (data, {"chunks": (10, 6), "fillvalue": -99.0})}
+    )
+    metas = read_hdf5_meta(blob)
+    ds = metas["/d"]
+    assert float(ds.fill) == -99.0
+    assert len(ds.chunks()) == 1  # the all-fill chunk is unallocated
+    np.testing.assert_array_equal(ds.read(), data)
+
+
+def test_fill_value_spark_reader_emits_fill_rows(spark, tmp_path):
+    p = str(tmp_path / "fill.h5")
+    data = np.full((20, 6), 7.5, "<f8")
+    data[0, 0] = 1.25
+    write_hdf5(p, {"d": (data, {"chunks": (10, 6), "fillvalue": 7.5})})
+    df = read_hdf5_df(spark, p, "d")
+    pdf = df.toPandas().sort_values(["i0", "i1"])
+    assert len(pdf) == 120  # dense: unallocated chunk rows included
+    got = pdf["value"].to_numpy().reshape(20, 6)
+    np.testing.assert_array_equal(got, data)
+
+
+def test_fill_value_message_versions():
+    from vtk_reserves_spark.sources.hdf5 import _parse_fill_value
+    dt = np.dtype("<i4")
+    v = np.array(42, dt).tobytes()
+    # v1: ver, alloc, write, defined, size, data
+    assert _parse_fill_value(
+        bytes([1, 2, 0, 1]) + struct.pack("<I", 4) + v, dt) == 42
+    # v2 undefined
+    assert _parse_fill_value(bytes([2, 2, 0, 0]), dt) is None
+    # v3 defined / undefined
+    assert _parse_fill_value(
+        bytes([3, 0x23]) + struct.pack("<I", 4) + v, dt) == 42
+    assert _parse_fill_value(bytes([3, 0x13]), dt) is None
+    # v3 defined but size 0 -> default
+    assert _parse_fill_value(
+        bytes([3, 0x23]) + struct.pack("<I", 0), dt) is None
 
 
 def test_malformed_rejected():

@@ -135,8 +135,9 @@ def test_position_deletes(tmp_path, spark):
     assert read_iceberg(spark, t).columns == ["id", "v"]
 
 
-def test_equality_deletes_rejected(tmp_path):
-    """content=2 (equality deletes) still gates with a clear error."""
+def test_equality_deletes_without_ids_rejected(tmp_path):
+    """content=2 files missing equality_ids gate with a clear error;
+    content=0 entries inside a delete manifest are rejected too."""
     from vtk_reserves_spark.sources.avro import (
         read_avro_bytes, write_avro_bytes,
     )
@@ -146,11 +147,117 @@ def test_equality_deletes_rejected(tmp_path):
     a = _part(t, "data/a.parquet", [1])
     append_iceberg_snapshot(t, 1, [a],
                             position_deletes=[("data/a.parquet", 0)])
-    # rewrite the delete manifest's content to 2 (equality)
+    # rewrite the delete entry's content to 2 without equality_ids
     dman = os.path.join(t, "metadata", "snap-1-delete-manifest.avro")
     schema, rows = read_avro_bytes(open(dman, "rb").read())
+    orig = [dict(r["data_file"]) for r in rows]
     for r in rows:
         r["data_file"]["content"] = 2
+        r["data_file"]["equality_ids"] = None
     open(dman, "wb").write(write_avro_bytes(schema, rows))
-    with pytest.raises(ValueError, match="equality"):
+    with pytest.raises(ValueError, match="equality_ids"):
         iceberg_snapshot(t)
+    # a content-0 (data) entry inside the delete manifest is a
+    # classification error, not a silent scan
+    schema, rows = read_avro_bytes(open(dman, "rb").read())
+    for r, o in zip(rows, orig):
+        r["data_file"].update(o)
+        r["data_file"]["content"] = 0
+    open(dman, "wb").write(write_avro_bytes(schema, rows))
+    with pytest.raises(ValueError, match="delete manifest"):
+        iceberg_snapshot(t)
+
+
+def test_equality_deletes(tmp_path, spark):
+    """v2 equality deletes: null-safe match on the equality columns,
+    scoped by sequence number (only data STRICTLY older than the
+    delete is affected), carried forward across snapshots."""
+    t = str(tmp_path / "tbl")
+    write_iceberg_table(t, FIELDS)
+    a = _part(t, "data/a.parquet", [1, 2, 3, 4])
+    append_iceberg_snapshot(t, 1, [a])
+    # snapshot 2: equality-delete ids 2 and 4 (field id 1 = "id")
+    append_iceberg_snapshot(
+        t, 2, [],
+        equality_deletes=([{"id": 2}, {"id": 4}], [1]),
+    )
+    assert sorted(r["id"] for r in read_iceberg(spark, t).collect()) == \
+        [1, 3]
+    # time travel before the delete sees everything
+    assert sorted(
+        r["id"] for r in read_iceberg(spark, t, snapshot_id=1).collect()
+    ) == [1, 2, 3, 4]
+    # snapshot 3 RE-ADDS id 2 in a new file: its sequence number is
+    # above the delete's, so the new row survives (spec scoping)
+    b = _part(t, "data/b.parquet", [2, 5])
+    append_iceberg_snapshot(t, 3, [b])
+    assert sorted(r["id"] for r in read_iceberg(spark, t).collect()) == \
+        [1, 2, 3, 5]
+    assert read_iceberg(spark, t).columns == ["id", "v"]
+
+
+def test_equality_deletes_multi_column_null_safe(tmp_path, spark):
+    """Multi-column equality deletes match with null-safe equality."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "tbl")
+    write_iceberg_table(t, FIELDS)
+    p = os.path.join(t, "data/a.parquet")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2, 2, None], pa.int64()),
+            "v": pa.array([0.5, 1.0, None, 2.0], pa.float64()),
+        }),
+        p,
+    )
+    append_iceberg_snapshot(
+        t, 1,
+        [{"file_path": "data/a.parquet", "record_count": 4,
+          "size": os.path.getsize(p)}],
+    )
+    append_iceberg_snapshot(
+        t, 2, [],
+        equality_deletes=(
+            [{"id": 2, "v": None}, {"id": None, "v": 2.0}], [1, 2]
+        ),
+    )
+    got = sorted(
+        (r["id"], r["v"])
+        for r in read_iceberg(spark, t).collect()
+    )
+    assert got == [(1, 0.5), (2, 1.0)]
+
+
+def test_mixed_position_and_equality_deletes(tmp_path, spark):
+    t = str(tmp_path / "tbl")
+    write_iceberg_table(t, FIELDS)
+    a = _part(t, "data/a.parquet", [10, 11, 12, 13])
+    append_iceberg_snapshot(t, 1, [a])
+    append_iceberg_snapshot(
+        t, 2, [],
+        position_deletes=[("data/a.parquet", 0)],  # drops id 10
+        equality_deletes=([{"id": 13}], [1]),
+    )
+    assert sorted(r["id"] for r in read_iceberg(spark, t).collect()) == \
+        [11, 12]
+
+
+def test_position_deletes_path_with_spaces(spark, tmp_path, monkeypatch):
+    """Percent-encoded _metadata.file_path values and a relative
+    table argument still join against delete-side paths (ADVICE r6)."""
+    t = str(tmp_path / "tbl with space")
+    a = _part(t, "data dir/a+b.parquet", [10, 11, 12])
+    write_iceberg_table(t, FIELDS)
+    append_iceberg_snapshot(t, 1, [a])
+    append_iceberg_snapshot(
+        t, 2, [], position_deletes=[("data dir/a+b.parquet", 1)],
+    )
+    assert sorted(r["id"] for r in read_iceberg(spark, t).collect()) == \
+        [10, 12]
+    monkeypatch.chdir(tmp_path)
+    assert sorted(
+        r["id"]
+        for r in read_iceberg(spark, "tbl with space").collect()
+    ) == [10, 12]

@@ -17,9 +17,12 @@ log replay:
    ``spark.read.parquet`` with ``basePath`` so hive-style partition
    directories reconstruct partition columns.
 
-Protocol gating: ``minReaderVersion`` > 1 features (column mapping,
-deletion vectors, v2 checkpoints) are rejected with a clear error,
-never silently misread.
+Reader-version-2/3 features **deletion vectors** and **column
+mapping** (name/id modes — the Databricks default on new tables:
+parquet files carry physical ``col-<uuid>`` names that rename to the
+logical schema at scan) are supported; anything else (v2 checkpoints,
+nested-field mapping, unknown reader features) is rejected with a
+clear error, never silently misread.
 
 Scale posture: the LOG is metadata (KBs-MBs) and replays driver-side
 — exactly what delta-spark itself does on the driver; the DATA path
@@ -42,8 +45,8 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "delta_snapshot", "read_delta", "write_delta_commit",
-    "write_delta_checkpoint",
+    "decoded_file_path", "delta_snapshot", "read_delta",
+    "write_delta_commit", "write_delta_checkpoint",
 ]
 
 _LOG_DIR = "_delta_log"
@@ -64,7 +67,7 @@ def _list_commit_versions(log_dir: str) -> list[int]:
     return sorted(out)
 
 
-_SUPPORTED_READER_FEATURES = {"deletionVectors"}
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
 
 
 def _check_protocol(proto: dict) -> None:
@@ -73,15 +76,69 @@ def _check_protocol(proto: dict) -> None:
     v = int(proto.get("minReaderVersion", 1))
     if v <= 1:
         return
+    if v == 2:
+        return  # reader v2 = column mapping (handled in read_delta)
     feats = set(proto.get("readerFeatures") or [])
     unsupported = feats - _SUPPORTED_READER_FEATURES
     if v == 3 and not unsupported:
-        return  # deletion vectors are handled (see read_delta)
+        return  # DVs + column mapping are handled (see read_delta)
     raise ValueError(
         f"delta: table requires reader version {v}"
         + (f" with features {sorted(unsupported)}" if unsupported else "")
         + " (not supported)"
     )
+
+
+def _column_mapping(meta: dict) -> dict[str, str] | None:
+    """metaData -> {physical name: logical name} when the table uses
+    column mapping (``delta.columnMapping.mode`` = name/id — the
+    Databricks default on new tables), else None.
+
+    Both modes store ``delta.columnMapping.physicalName`` in each
+    field's schemaString metadata and write parquet under the
+    physical names, so the read path is: scan physical, rename to
+    logical.  Nested mapped fields (structs with their own physical
+    names) are out of the subset and gate with a clear error."""
+    conf = meta.get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode in ("none", "", None):
+        return None
+    if mode not in ("name", "id"):
+        raise ValueError(f"delta: unknown columnMapping.mode {mode!r}")
+    schema = json.loads(meta["schemaString"])
+    out: dict[str, str] = {}
+    for f in schema.get("fields", []):
+        fmeta = f.get("metadata") or {}
+        phys = fmeta.get("delta.columnMapping.physicalName")
+        if not isinstance(f.get("type"), str):
+            # struct/array/map: nested mapping not in the subset
+            t = f["type"]
+            tt = t.get("type") if isinstance(t, dict) else t
+            if _has_nested_mapping(t):
+                raise ValueError(
+                    "delta: column mapping on nested field "
+                    f"{f['name']!r} ({tt}) not supported"
+                )
+        out[phys or f["name"]] = f["name"]
+    return out
+
+
+def _has_nested_mapping(t) -> bool:
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            for f in t.get("fields", []):
+                if (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName"
+                ):
+                    return True
+                if _has_nested_mapping(f.get("type")):
+                    return True
+        elif t.get("type") == "array":
+            return _has_nested_mapping(t.get("elementType"))
+        elif t.get("type") == "map":
+            return _has_nested_mapping(t.get("keyType")) or \
+                _has_nested_mapping(t.get("valueType"))
+    return False
 
 
 def delta_snapshot(table: str, version: int | None = None) -> dict:
@@ -209,6 +266,18 @@ def _load_dv_positions(table: str, dv: dict):
     return deserialize_roaring64(bitmap)
 
 
+def decoded_file_path(F):
+    """``_metadata.file_path`` -> plain filesystem path column.
+
+    Spark formats the column as a Hadoop URI: ``file:`` scheme with a
+    single slash and percent-encoded specials — but a literal ``+``
+    stays literal (verified empirically), so escape ``+`` before
+    ``url_decode`` (whose URLDecoder semantics would turn it into a
+    space)."""
+    stripped = F.regexp_replace("_metadata.file_path", "^file:(//)?", "")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+
+
 def read_delta(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
@@ -232,19 +301,38 @@ def read_delta(
             json.loads(snap["metadata"]["schemaString"])
         )
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table, p) for p, _, _, _ in snap["files"]]
-    reader = spark.read.option("basePath", table)
+    from urllib.parse import unquote
+
+    # add.path is table-relative and percent-encoded (PROTOCOL.md);
+    # abspath both sides so a relative `table` still joins correctly
+    # against the absolute URI in _metadata.file_path
+    base = os.path.abspath(table)
+    paths = [
+        os.path.join(base, unquote(p)) for p, _, _, _ in snap["files"]
+    ]
+    reader = spark.read.option("basePath", base)
     dv_files = [
-        (os.path.join(table, p), json.dumps(dv))
+        (os.path.join(base, unquote(p)), json.dumps(dv))
         for p, _, _, dv in snap["files"]
         if dv
     ]
+    mapping = _column_mapping(snap["metadata"])
+
+    def rename(df):
+        if not mapping:
+            return df
+        from pyspark.sql import functions as F
+
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+
     if not dv_files:
-        return reader.parquet(*paths)
+        return rename(reader.parquet(*paths))
     from pyspark.sql import functions as F
 
     data = reader.parquet(*paths).withColumns({
-        "_dv_path": F.regexp_replace("_metadata.file_path", "^file:", ""),
+        "_dv_path": decoded_file_path(F),
         "_dv_pos": F.col("_metadata.row_index"),
     })
     dv_df = spark.createDataFrame(dv_files, "path string, dv string")
@@ -254,16 +342,17 @@ def read_delta(
 
         for pdf in batches:
             for path, dv_json in zip(pdf["path"], pdf["dv"]):
-                pos = _load_dv_positions(table, json.loads(dv_json))
+                # `base` (absolute): Python workers have their own cwd
+                pos = _load_dv_positions(base, json.loads(dv_json))
                 yield pd.DataFrame({
                     "_dv_path": path,
                     "_dv_pos": pos.astype("int64"),
                 })
 
     positions = dv_df.mapInPandas(expand, "_dv_path string, _dv_pos long")
-    return data.join(
+    return rename(data.join(
         F.broadcast(positions), ["_dv_path", "_dv_pos"], "left_anti"
-    ).drop("_dv_path", "_dv_pos")
+    ).drop("_dv_path", "_dv_pos"))
 
 
 # ------------------------------------------------------------- fixtures
@@ -305,6 +394,7 @@ def write_delta_commit(
     schema_json: str | None = None,
     partition_columns: list[str] | None = None,
     reader_features: list[str] | None = None,
+    configuration: dict | None = None,
 ) -> None:
     """Append one JSON commit (fixture-scale writer).  ``adds`` are
     dicts with at least ``path`` (+ optional partitionValues/size/
@@ -328,7 +418,7 @@ def write_delta_commit(
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema_json,
                 "partitionColumns": partition_columns or [],
-                "configuration": {},
+                "configuration": configuration or {},
                 "createdTime": 0,
             }
         }))

@@ -27,7 +27,9 @@ writer (fixture + report scale, driver-side like the zarr writer)
     symbol nodes under a v1 group B-tree — the layout every HDF5
     tool accepts (libhdf5 "earliest" libver);
   * contiguous or chunked datasets (v1 chunk B-tree), optional
-    shuffle + deflate filters, the same dtype subset.
+    shuffle + deflate + fletcher32 filters, defined fill values
+    (message 0x0005 v3, with all-fill chunks left unallocated),
+    the same dtype subset.
 
 Golden-vector caveat: like `sources/zarr.py`/`sources/vp8.py`,
 cross-validation against libhdf5 is environment-blocked (no wheel,
@@ -357,20 +359,65 @@ def _apply_filters_decode(
 
 
 def _fletcher32(data: bytes) -> int:
-    """HDF5's fletcher32 over 16-bit little-endian words (odd tail
-    zero-padded), per the library's H5_checksum_fletcher32."""
-    if len(data) % 2:
-        data = data + b"\x00"
-    words = np.frombuffer(data, "<u2").astype(np.uint64)
-    s1 = np.uint64(0)
-    s2 = np.uint64(0)
-    # block the mod-reduction like the reference (every 360 words)
+    """libhdf5's H5_checksum_fletcher32: 16-bit words assembled
+    BIG-endian (``data[0]<<8 | data[1]``), an odd trailing byte
+    contributing its value in the HIGH byte, and the fold reduction
+    ``(s & 0xffff) + (s >> 16)`` applied after every 360-word block
+    (on the 32-bit-wrapped accumulators) plus once more at the end."""
+    n = len(data)
+    odd = n % 2
+    words = np.frombuffer(data, ">u2", count=(n - odd) // 2).astype(
+        np.uint64
+    )
+    M = 0xFFFFFFFF
+    s1 = 0
+    s2 = 0
     for i in range(0, len(words), 360):
         blk = words[i : i + 360]
         c1 = np.cumsum(blk, dtype=np.uint64)
-        s2 = (s2 + np.uint64(len(blk)) * s1 + c1.sum()) % np.uint64(65535)
-        s1 = (s1 + c1[-1] if len(blk) else s1) % np.uint64(65535)
-    return int((s2 << np.uint64(16)) | s1)
+        t = len(blk)
+        # exact uint64 block sums, then wrap to the C code's uint32
+        new_s1 = (s1 + int(c1[-1])) & M
+        s2 = (s2 + t * s1 + int(c1.sum())) & M
+        s1 = new_s1
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    if odd:
+        s1 = (s1 + (data[-1] << 8)) & M
+        s2 = (s2 + s1) & M
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    s1 = (s1 & 0xFFFF) + (s1 >> 16)
+    s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    return ((s2 << 16) | s1) & 0xFFFFFFFF
+
+
+def _parse_fill_value(body: bytes, dtype: np.dtype):
+    """Fill value message (0x0005) v1-v3 -> scalar or None (None =
+    the default fill, i.e. zeros)."""
+    ver = body[0]
+    if ver in (1, 2):
+        defined = body[3]
+        if not defined:
+            return None
+        sz = _u(body, 4, 4)
+        data = body[8 : 8 + sz]
+    elif ver == 3:
+        flags = body[1]
+        if not (flags & 0x20):  # bit 5: fill value defined
+            return None
+        sz = _u(body, 2, 4)
+        data = body[6 : 6 + sz]
+    else:
+        raise ValueError(f"hdf5: fill value message v{ver}")
+    if sz == 0:
+        return None
+    if len(data) != dtype.itemsize:
+        raise ValueError(
+            f"hdf5: fill value size {len(data)} != dtype size "
+            f"{dtype.itemsize}"
+        )
+    return np.frombuffer(data, dtype)[0]
 
 
 class _Dataset:
@@ -385,6 +432,13 @@ class _Dataset:
             _parse_filters(by[0x000B][0]) if 0x000B in by else []
         )
         self.fill = None
+        if 0x0005 in by:
+            self.fill = _parse_fill_value(by[0x0005][0], self.dtype)
+        elif 0x0004 in by:  # old-style fill value: size + data
+            body = by[0x0004][0]
+            sz = _u(body, 0, 4)
+            if sz == self.dtype.itemsize:
+                self.fill = np.frombuffer(body[4 : 4 + sz], self.dtype)[0]
         layout = by[0x0008][0]
         ver = layout[0]
         if ver != 3:
@@ -453,6 +507,11 @@ class _Dataset:
             self.chunk_shape
         )
 
+    def _fill_array(self, shape) -> np.ndarray:
+        if self.fill is not None:
+            return np.full(shape, self.fill, self.dtype)
+        return np.zeros(shape, self.dtype)
+
     def read(self) -> np.ndarray:
         d = self.h.data
         if self.layout_class == 0:
@@ -461,10 +520,10 @@ class _Dataset:
             ).reshape(self.shape)
         if self.layout_class == 1:
             if self.address == _UNDEF:
-                return np.zeros(self.shape, self.dtype)
+                return self._fill_array(self.shape)
             raw = d[self.address : self.address + self.size]
             return np.frombuffer(raw, self.dtype).reshape(self.shape)
-        out = np.zeros(self.shape, self.dtype)
+        out = self._fill_array(self.shape)
         cs = self.chunk_shape
         for coords, addr, nbytes, mask in self.chunks():
             chunk = self.decode_chunk(d[addr : addr + nbytes], mask)
@@ -603,6 +662,8 @@ class _Writer:
         chunks = opts.get("chunks")
         deflate = opts.get("deflate")
         shuffle = bool(opts.get("shuffle"))
+        fletcher = bool(opts.get("fletcher32"))
+        fillvalue = opts.get("fillvalue")
         dt = data.dtype
         if dt.kind not in "iufS":
             raise ValueError(f"hdf5: unsupported dtype {dt}")
@@ -638,11 +699,23 @@ class _Writer:
         msgs: list[tuple[int, bytes]] = [
             (0x0001, ds_body), (0x0003, dt_body),
         ]
+        if fillvalue is not None:
+            fv = np.asarray(fillvalue, dt)
+            # v3 message: flags = incremental alloc (3) | defined (bit 5)
+            msgs.append((
+                0x0005,
+                bytes([3, 0x23]) + struct.pack("<I", dt.itemsize)
+                + fv.tobytes(),
+            ))
         filters = []
         if shuffle:
             filters.append((2, (dt.itemsize,)))
         if deflate is not None:
             filters.append((1, (int(deflate),)))
+        if fletcher:
+            # last in the pipeline, as h5py appends it: the checksum
+            # covers the (shuffled/compressed) stored bytes
+            filters.append((3, ()))
         if filters and not chunks:
             chunks = data.shape  # filters require chunked layout
         if filters:
@@ -656,7 +729,8 @@ class _Writer:
             msgs.append((0x000B, bytes(fp)))
         if chunks:
             addr_btree = self._write_chunked(
-                data, tuple(chunks), filters, blobs, align
+                data, tuple(chunks), filters, blobs, align,
+                fillvalue=fillvalue,
             )
             lay = bytes([3, 2, len(chunks) + 1]) + struct.pack(
                 "<Q", addr_btree
@@ -687,20 +761,29 @@ class _Writer:
             out += p
         return bytes(out)
 
-    def _write_chunked(self, data, chunks, filters, blobs, align) -> int:
+    def _write_chunked(self, data, chunks, filters, blobs, align,
+                       fillvalue=None) -> int:
         dt = data.dtype
         rank = data.ndim
         entries = []
         counts = [
             max(1, -(-s // c)) for s, c in zip(data.shape, chunks)
         ]
+        fv = None if fillvalue is None else np.asarray(fillvalue, dt)
         for coord in product(*(range(c) for c in counts)):
             sl = tuple(
                 slice(i * c, min((i + 1) * c, s))
                 for i, c, s in zip(coord, chunks, data.shape)
             )
             part = data[sl]
-            full = np.zeros(chunks, dt)
+            if fv is not None and np.all(part == fv):
+                # all-fill chunk: leave unallocated (no B-tree entry),
+                # like libhdf5's FILL_TIME_IFSET behavior
+                continue
+            full = (
+                np.zeros(chunks, dt) if fv is None
+                else np.full(chunks, fv, dt)
+            )
             full[tuple(slice(0, p) for p in part.shape)] = part
             raw = full.tobytes()
             for fid, cdv in filters:  # forward order on write
@@ -713,6 +796,8 @@ class _Writer:
                     raw = arr.T.tobytes() + raw[m:]
                 elif fid == 1:
                     raw = zlib.compress(raw, cdv[0])
+                elif fid == 3:
+                    raw = raw + _fletcher32(raw).to_bytes(4, "little")
             align()
             addr = len(blobs)
             blobs.extend(raw)
@@ -788,26 +873,37 @@ def read_hdf5_df(
             (list(coords), addr, nbytes, mask)
             for coords, addr, nbytes, mask in ds.chunks()
         ]
+        # unallocated chunks hold the fill value (default 0) — emit
+        # them as addr=-1 tasks so the tabular view stays dense,
+        # matching _Dataset.read()
+        present = {tuple(t[0]) for t in tasks}
+        for coord in product(
+            *(range(0, s, c) for s, c in zip(shape, cs))
+        ):
+            if coord not in present:
+                tasks.append((list(coord), -1, 0, 0))
     else:
         # contiguous: slab by first dimension into ~32 MB ranges
         row_bytes = int(np.prod(shape[1:], dtype=np.int64)) * dt.itemsize
         rows_per = max(1, (32 << 20) // max(1, row_bytes))
+        allocated = getattr(ds, "address", _UNDEF) != _UNDEF
         tasks = []
-        if getattr(ds, "address", _UNDEF) != _UNDEF:
-            for r0 in range(0, shape[0], rows_per):
-                nrows = min(rows_per, shape[0] - r0)
-                tasks.append(
-                    ([r0] + [0] * (ndim - 1),
-                     ds.address + r0 * row_bytes,
-                     nrows * row_bytes, 0)
-                )
+        for r0 in range(0, shape[0], rows_per):
+            nrows = min(rows_per, shape[0] - r0)
+            tasks.append(
+                ([r0] + [0] * (ndim - 1),
+                 ds.address + r0 * row_bytes if allocated else -1,
+                 nrows * row_bytes, 0)
+            )
         cs = None
     tasks_df = spark.createDataFrame(
         tasks, "coords array<bigint>, addr long, nbytes long, mask int"
     ).repartition(max(1, len(tasks)))
+    fill_scalar = None if ds.fill is None else ds.fill.item()
     meta_blob = {
         "shape": shape, "chunk": cs, "dtype": dt.str,
         "filters": ds.filters, "layout": ds.layout_class,
+        "fill": fill_scalar,
     }
 
     def decode(batches):
@@ -816,10 +912,45 @@ def read_hdf5_df(
         dtype = np.dtype(meta_blob["dtype"])
         for pdf in batches:
             for row in pdf.itertuples(index=False):
+                coords = [int(c) for c in row.coords]
+                if int(row.addr) < 0:
+                    # unallocated: synthesize the fill value
+                    fv = meta_blob["fill"]
+                    if meta_blob["layout"] == 2:
+                        ashape = [
+                            min(ch, s - c)
+                            for c, ch, s in zip(
+                                coords, meta_blob["chunk"],
+                                meta_blob["shape"],
+                            )
+                        ]
+                    else:
+                        nrows = int(row.nbytes) // max(
+                            1,
+                            int(np.prod(meta_blob["shape"][1:] or [1]))
+                            * dtype.itemsize,
+                        )
+                        ashape = [nrows] + list(meta_blob["shape"][1:])
+                    arr = (
+                        np.zeros(ashape, dtype)
+                        if fv is None
+                        else np.full(ashape, fv, dtype)
+                    )
+                    idx = np.indices(arr.shape).reshape(ndim, -1)
+                    cols = {
+                        f"i{d}": idx[d] + coords[d] for d in range(ndim)
+                    }
+                    vals = arr.reshape(-1)
+                    cols["value"] = (
+                        vals.astype(np.float64)
+                        if dtype.kind == "f"
+                        else vals.astype(np.int64)
+                    )
+                    yield pd.DataFrame(cols)
+                    continue
                 with open(path, "rb") as fh:
                     fh.seek(int(row.addr))
                     raw = fh.read(int(row.nbytes))
-                coords = [int(c) for c in row.coords]
                 if meta_blob["layout"] == 2:
                     if meta_blob["filters"]:
                         raw = _apply_filters_decode(

@@ -18,12 +18,17 @@ Both Avro layers decode through the in-repo Avro codec
 (`sources/avro.py` — the full complex-type system from round 5),
 so no external library is involved anywhere.
 
-**v2 position deletes are supported Spark-natively**: delete files
-(parquet of ``file_path, pos``) become a broadcast LEFT-ANTI join
-against the scan's hidden ``_metadata.file_path``/``row_index``
-columns, so the data path stays a native Catalyst read.  Gating
-(never silently misread): ``format-version`` > 2, equality deletes,
-and non-parquet data files raise clear errors.
+**v2 row-level deletes are supported Spark-natively**: position
+deletes (parquet of ``file_path, pos``) become a broadcast LEFT-ANTI
+join against the scan's hidden ``_metadata.file_path``/``row_index``
+columns; equality deletes (the delete shape Flink CDC writes) become
+the equality-column variant of the same anti-join, null-safe and
+scoped by v2 data sequence numbers (a delete applies only to data
+files with a strictly lower sequence), so the data path stays a
+native Catalyst read in both cases.  Gating (never silently
+misread): ``format-version`` > 2, content-2 files without
+``equality_ids``, data entries inside delete manifests, and
+non-parquet data files raise clear errors.
 
 Scale posture: identical to Delta — metadata is driver-side (KBs;
 the same place iceberg-spark plans scans), the data path is one
@@ -53,6 +58,10 @@ _MANIFEST_ENTRY_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        # v2 data sequence number: null on ADDED entries = inherit the
+        # manifest's sequence number (spec "sequence number inheritance")
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None},
         {
             "name": "data_file",
             "type": {
@@ -64,6 +73,10 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # field ids of the equality columns (content=2 only)
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}],
+                     "default": None},
                 ],
             },
         },
@@ -78,6 +91,7 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int", "default": 0},
+        {"name": "sequence_number", "type": "long", "default": 0},
         {"name": "added_snapshot_id", "type": ["null", "long"],
          "default": None},
     ],
@@ -85,11 +99,18 @@ _MANIFEST_LIST_SCHEMA = {
 
 
 def _resolve(table: str, path: str) -> str:
+    from urllib.parse import unquote
+
     if path.startswith("file://"):
         path = path[len("file://"):]
+    elif path.startswith("file:"):
+        path = path[len("file:"):]
+    path = unquote(path)
     if os.path.isabs(path):
         return path
-    return os.path.join(table, path)
+    # absolute so the join key matches the absolute URI Spark puts in
+    # _metadata.file_path even when `table` is a relative path
+    return os.path.abspath(os.path.join(table, path))
 
 
 def _read_avro_rows(path: str) -> list[dict]:
@@ -136,6 +157,10 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
         return {
             "files": [],
             "snapshot_id": None,
+            "data_seqs": {},
+            "delete_files": [],
+            "position_deletes": [],
+            "equality_deletes": [],
             "schema": meta.get("schemas", [meta.get("schema")])[0],
         }
     sid = snapshot_id if snapshot_id is not None else meta.get(
@@ -148,26 +173,51 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
             f"{[s['snapshot-id'] for s in snaps]}"
         )
     files: list[str] = []
-    delete_files: list[str] = []
+    data_seqs: dict[str, int] = {}
+    position_deletes: dict[str, int] = {}
+    equality_deletes: dict[str, tuple[int, tuple[int, ...]]] = {}
     for mf in _read_avro_rows(_resolve(table, snap["manifest-list"])):
-        is_delete_manifest = int(mf.get("content") or 0) == 1
+        mf_content = int(mf.get("content") or 0)
+        mf_seq = int(mf.get("sequence_number") or 0)
         for entry in _read_avro_rows(_resolve(table, mf["manifest_path"])):
             if int(entry["status"]) == 2:  # deleted
                 continue
             df_ = entry["data_file"]
+            # classify by the data_file's own content value (0 data /
+            # 1 position deletes / 2 equality deletes) — independent
+            # of the enclosing manifest's content flag
             content = int(df_.get("content") or 0)
+            eseq = entry.get("sequence_number")
+            seq = int(eseq) if eseq is not None else mf_seq
             fmt = str(df_["file_format"]).upper()
             if fmt != "PARQUET":
                 raise ValueError(
                     f"iceberg: data file format {fmt} not supported"
                 )
-            if content == 0 and not is_delete_manifest:
-                files.append(_resolve(table, df_["file_path"]))
+            path = _resolve(table, df_["file_path"])
+            if content == 0:
+                if mf_content == 1:
+                    raise ValueError(
+                        "iceberg: data entry (content 0) inside a "
+                        "delete manifest"
+                    )
+                files.append(path)
+                data_seqs[path] = seq
             elif content == 1:  # position deletes (v2)
-                delete_files.append(_resolve(table, df_["file_path"]))
+                position_deletes[path] = seq
+            elif content == 2:  # equality deletes (v2)
+                ids = df_.get("equality_ids")
+                if not ids:
+                    raise ValueError(
+                        "iceberg: equality-delete file without "
+                        "equality_ids"
+                    )
+                equality_deletes[path] = (
+                    seq, tuple(int(i) for i in ids)
+                )
             else:
                 raise ValueError(
-                    "iceberg: equality deletes not supported"
+                    f"iceberg: unknown data_file content {content}"
                 )
     schema = meta.get("schemas")
     if schema:
@@ -178,8 +228,26 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
     else:
         schema = meta.get("schema")
     return {"files": sorted(set(files)), "snapshot_id": sid,
-            "delete_files": sorted(set(delete_files)),
+            "data_seqs": data_seqs,
+            "delete_files": sorted(position_deletes),
+            "position_deletes": sorted(position_deletes.items()),
+            "equality_deletes": sorted(
+                (p, s, list(ids))
+                for p, (s, ids) in equality_deletes.items()
+            ),
             "schema": schema}
+
+
+def _normalized_path_col(F, col, base: str):
+    """Delete-side ``file_path`` values -> absolute filesystem paths:
+    strip the ``file:`` scheme, percent-decode (literal ``+``
+    preserved — see `sources/delta.decoded_file_path`), and resolve
+    relative paths against the table root."""
+    stripped = F.regexp_replace(col, "^file:(//)?", "")
+    decoded = F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+    return F.when(decoded.startswith("/"), decoded).otherwise(
+        F.concat(F.lit(base.rstrip("/") + "/"), decoded)
+    )
 
 
 def read_iceberg(
@@ -192,43 +260,90 @@ def read_iceberg(
     **v2 position deletes** apply Spark-natively: the scan adds the
     hidden ``_metadata.file_path``/``row_index`` columns and
     LEFT-ANTI joins the (file_path, pos) pairs from the snapshot's
-    delete files — the delete side is broadcast (position-delete
-    files are orders of magnitude smaller than data; a pathological
-    delete volume falls back to a shuffled anti-join via AQE).  The
-    data scan itself stays a native Catalyst parquet read."""
+    delete files, scoped to data files whose sequence number is <=
+    the delete's (spec: a position delete applies to data with
+    ``data_seq <= delete_seq``).
+
+    **v2 equality deletes** are the equality-field variant of the
+    same broadcast anti-join: each delete file's rows match data rows
+    where every equality column is null-safe-equal AND the data
+    file's sequence number is STRICTLY below the delete's — so rows
+    (re-)added after the delete survive, per spec.  Delete sides are
+    broadcast (delete files are orders of magnitude smaller than
+    data; a pathological delete volume falls back to a shuffled
+    anti-join via AQE).  The data scan itself stays a native Catalyst
+    parquet read."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import decoded_file_path
 
     snap = iceberg_snapshot(table, snapshot_id)
     if not snap["files"]:
         raise ValueError("iceberg: snapshot has no data files")
-    reader = spark.read.option("basePath", table)
-    if not snap["delete_files"]:
+    base = os.path.abspath(table)
+    reader = spark.read.option("basePath", base)
+    pos_dels = snap["position_deletes"]
+    eq_dels = snap["equality_deletes"]
+    if not pos_dels and not eq_dels:
         return reader.parquet(*snap["files"])
     data = reader.parquet(*snap["files"]).withColumns({
-        "_ice_path": F.regexp_replace("_metadata.file_path", "^file:", ""),
+        "_ice_path": decoded_file_path(F),
         "_ice_pos": F.col("_metadata.row_index"),
     })
-    # normalize delete-side paths the same way: strip file:, resolve
-    # relative paths against the table root
-    root = table.rstrip("/") + "/"
-    dels = (
-        spark.read.parquet(*snap["delete_files"])
-        .select(
-            F.when(
-                F.col("file_path").startswith("file:"),
-                F.regexp_replace("file_path", "^file:", ""),
-            )
-            .when(
-                F.col("file_path").startswith("/"), F.col("file_path")
-            )
-            .otherwise(F.concat(F.lit(root), F.col("file_path")))
-            .alias("_ice_path"),
-            F.col("pos").alias("_ice_pos"),
-        )
+    # per-file sequence numbers ride in on a broadcast map join
+    seq_df = spark.createDataFrame(
+        [(p, int(s)) for p, s in snap["data_seqs"].items()],
+        "_ice_path string, _ice_seq long",
     )
-    return data.join(
-        F.broadcast(dels), ["_ice_path", "_ice_pos"], "left_anti"
-    ).drop("_ice_path", "_ice_pos")
+    data = data.join(F.broadcast(seq_df), "_ice_path", "left")
+    if pos_dels:
+        parts = [
+            spark.read.parquet(p).select(
+                _normalized_path_col(F, F.col("file_path"), base)
+                .alias("_pd_path"),
+                F.col("pos").alias("_pd_pos"),
+                F.lit(int(s)).alias("_pd_seq"),
+            )
+            for p, s in pos_dels
+        ]
+        dels = reduce(DataFrame.unionByName, parts)
+        cond = (
+            (F.col("_ice_path") == F.col("_pd_path"))
+            & (F.col("_ice_pos") == F.col("_pd_pos"))
+            & (F.col("_pd_seq") >= F.col("_ice_seq"))
+        )
+        data = data.join(F.broadcast(dels), cond, "left_anti")
+    if eq_dels:
+        name_by_id = {
+            int(f["id"]): f["name"]
+            for f in (snap["schema"] or {}).get("fields", [])
+        }
+        # group delete files by their equality-column set
+        groups: dict[tuple[int, ...], list[tuple[str, int]]] = {}
+        for p, s, ids in eq_dels:
+            groups.setdefault(tuple(ids), []).append((p, s))
+        for ids, plist in groups.items():
+            missing = [i for i in ids if i not in name_by_id]
+            if missing:
+                raise ValueError(
+                    f"iceberg: equality_ids {missing} not in schema"
+                )
+            cols = [name_by_id[i] for i in ids]
+            parts = [
+                spark.read.parquet(p).select(
+                    *[F.col(c).alias(f"_eq_{c}") for c in cols],
+                    F.lit(int(s)).alias("_eq_seq"),
+                )
+                for p, s in plist
+            ]
+            eq = reduce(DataFrame.unionByName, parts)
+            cond = F.col("_ice_seq") < F.col("_eq_seq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
+            data = data.join(F.broadcast(eq), cond, "left_anti")
+    return data.drop("_ice_path", "_ice_pos", "_ice_seq")
 
 
 # ------------------------------------------------------------- fixtures
@@ -263,20 +378,28 @@ def append_iceberg_snapshot(
     data_files: list[dict],
     deleted_files: list[str] | None = None,
     position_deletes: list[tuple[str, int]] | None = None,
+    equality_deletes: tuple[list[dict], list[int]] | None = None,
 ) -> None:
     """Add a snapshot: writes one manifest (adds + deletions of
     prior files), the manifest list, and the next vN.metadata.json.
     ``data_files``: dicts with file_path (+ record_count/size).
     ``position_deletes``: (data_file_relpath, row_pos) pairs — writes
-    a v2 position-delete parquet + a content-1 delete manifest."""
+    a v2 position-delete parquet + a content-1 delete manifest.
+    ``equality_deletes``: (rows, field_ids) — rows are dicts keyed by
+    the equality columns' names; writes a content-2 delete file.
+    Each snapshot gets the next data sequence number; added entries
+    inherit it (null sequence_number), carried-forward entries keep
+    their original — so readers can scope deletes per spec."""
     from vtk_reserves_spark.sources.avro import write_avro_bytes
 
     meta = _load_table_metadata(table)
     mdir = os.path.join(table, "metadata")
+    seq = int(meta.get("last-sequence-number", 0)) + 1
     entries = [
         {
             "status": 1,
             "snapshot_id": snapshot_id,
+            "sequence_number": None,  # inherit the manifest's
             "data_file": {
                 "content": 0,
                 "file_path": d["file_path"],
@@ -289,8 +412,8 @@ def append_iceberg_snapshot(
     ]
     # carry forward the previous snapshot's surviving files so each
     # manifest list is self-contained (the simple "rewrite" strategy)
-    if meta.get("snapshots"):
-        prev = iceberg_snapshot(table)
+    prev = iceberg_snapshot(table) if meta.get("snapshots") else None
+    if prev:
         dropped = set(deleted_files or [])
         for p in prev["files"]:
             rel = os.path.relpath(p, table)
@@ -299,6 +422,7 @@ def append_iceberg_snapshot(
             entries.append({
                 "status": 0,
                 "snapshot_id": snapshot_id,
+                "sequence_number": int(prev["data_seqs"].get(p, 0)),
                 "data_file": {
                     "content": 0, "file_path": rel,
                     "file_format": "parquet",
@@ -315,21 +439,34 @@ def append_iceberg_snapshot(
         "manifest_length": len(blob),
         "partition_spec_id": 0,
         "content": 0,
+        "sequence_number": seq,
         "added_snapshot_id": snapshot_id,
     }]
-    # v2 position deletes: delete parquet (file_path, pos) + a
-    # content-1 delete manifest; prior delete files carry forward
+    # v2 deletes: delete parquet + a content-1 delete manifest;
+    # prior delete files carry forward with their original sequence
     del_entries = []
-    if meta.get("snapshots"):
-        prev = iceberg_snapshot(table)
-        for p in prev.get("delete_files", []):
+    if prev:
+        for p, s in prev.get("position_deletes", []):
             del_entries.append({
                 "status": 0, "snapshot_id": snapshot_id,
+                "sequence_number": int(s),
                 "data_file": {
                     "content": 1,
                     "file_path": os.path.relpath(p, table),
                     "file_format": "parquet",
                     "record_count": 0, "file_size_in_bytes": 0,
+                },
+            })
+        for p, s, ids in prev.get("equality_deletes", []):
+            del_entries.append({
+                "status": 0, "snapshot_id": snapshot_id,
+                "sequence_number": int(s),
+                "data_file": {
+                    "content": 2,
+                    "file_path": os.path.relpath(p, table),
+                    "file_format": "parquet",
+                    "record_count": 0, "file_size_in_bytes": 0,
+                    "equality_ids": [int(i) for i in ids],
                 },
             })
     if position_deletes:
@@ -350,6 +487,7 @@ def append_iceberg_snapshot(
         )
         del_entries.append({
             "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": None,
             "data_file": {
                 "content": 1, "file_path": del_rel,
                 "file_format": "parquet",
@@ -357,6 +495,34 @@ def append_iceberg_snapshot(
                 "file_size_in_bytes": os.path.getsize(
                     os.path.join(table, del_rel)
                 ),
+            },
+        })
+    if equality_deletes:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        eq_rows, field_ids = equality_deletes
+        name_by_id = {
+            int(f["id"]): f["name"]
+            for f in (meta.get("schema") or {}).get("fields", [])
+        }
+        cols = [name_by_id[int(i)] for i in field_ids]
+        eq_rel = f"metadata/snap-{snapshot_id}-eq-deletes.parquet"
+        pq.write_table(
+            pa.table({c: [r.get(c) for r in eq_rows] for c in cols}),
+            os.path.join(table, eq_rel),
+        )
+        del_entries.append({
+            "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": None,
+            "data_file": {
+                "content": 2, "file_path": eq_rel,
+                "file_format": "parquet",
+                "record_count": len(eq_rows),
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(table, eq_rel)
+                ),
+                "equality_ids": [int(i) for i in field_ids],
             },
         })
     if del_entries:
@@ -369,6 +535,7 @@ def append_iceberg_snapshot(
             "manifest_length": len(dblob),
             "partition_spec_id": 0,
             "content": 1,
+            "sequence_number": seq,
             "added_snapshot_id": snapshot_id,
         })
     ml_rel = f"metadata/snap-{snapshot_id}-manifest-list.avro"
@@ -377,10 +544,12 @@ def append_iceberg_snapshot(
     meta = dict(meta)
     meta["snapshots"] = list(meta.get("snapshots") or []) + [
         {"snapshot-id": snapshot_id, "timestamp-ms": 0,
+         "sequence-number": seq,
          "manifest-list": ml_rel,
          "summary": {"operation": "append"}}
     ]
     meta["current-snapshot-id"] = snapshot_id
+    meta["last-sequence-number"] = seq
     hint = os.path.join(mdir, "version-hint.text")
     with open(hint) as fh:
         v = int(fh.read().strip())
