@@ -4414,6 +4414,236 @@ def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, td).select("doc_id", "text")
 
 
+def q_zarr_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED zarr write + chunk-grain read-back
+    (sources/zarr.write_zarr_df — SURVEY r6 banked item 4): the
+    embeddings table explodes to (row, dim, value) rows, shuffles
+    ONCE to their owning chunk (floor(i/chunk) ownership), each task
+    compresses and writes its own chunk file (blosc-lz4 +
+    byte-shuffle, atomic rename), the driver writes only .zarray —
+    then read_zarr_df re-reads one task per chunk and the oracle
+    replays the parquet column (float32 -> float64 exact).  The
+    embedding-dump loop now scales out BOTH directions."""
+    import shutil
+    import tempfile
+
+    from vtk_reserves_spark.sources.zarr import (
+        read_zarr_df, write_zarr_df,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    n, d = emb.agg(
+        F.max("vec_id").alias("n"),
+        F.max(F.size("embedding")).alias("d"),
+    ).first()
+    n, d = int(n) + 1, int(d)
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_zarr_w_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    rows = emb.select(
+        F.col("vec_id").alias("i0"),
+        F.posexplode("embedding").alias("i1", "value"),
+    ).select("i0", "i1", F.col("value").cast("double").alias("value"))
+    write_zarr_df(
+        rows, td, "vectors", shape=(n, d), chunks=(256, d),
+        dtype="<f4",
+        compressor={"id": "blosc", "cname": "lz4", "clevel": 5,
+                    "shuffle": 1},
+    )
+    out = read_zarr_df(spark, td, "vectors")
+    return out.select(
+        F.col("i0").alias("vec_id"),
+        F.col("i1").cast("int").alias("dim"),
+        F.col("value"),
+    )
+
+
+def q_hdf5_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED HDF5 write + chunk-grain read-back
+    (sources/hdf5.write_hdf5_df): chunk encode (shuffle + deflate +
+    fletcher32 pipeline) fans out across executors into scratch
+    payloads; the driver pass is a pure byte-stream assembly of the
+    single .h5 (B-tree + headers are KBs) — then read_hdf5_df
+    re-reads at chunk grain and the oracle replays the parquet
+    column.  Single-file formats need SOME single-writer pass; this
+    keeps it IO-bound only (SURVEY r6 banked item 4)."""
+    import shutil
+    import tempfile
+
+    from vtk_reserves_spark.sources.hdf5 import (
+        read_hdf5_df, write_hdf5_df,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    n, d = emb.agg(
+        F.max("vec_id").alias("n"),
+        F.max(F.size("embedding")).alias("d"),
+    ).first()
+    n, d = int(n) + 1, int(d)
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_hdf5_w_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    os.makedirs(td, exist_ok=True)
+    p = os.path.join(td, "emb.h5")
+    rows = emb.select(
+        F.col("vec_id").alias("i0"),
+        F.posexplode("embedding").alias("i1", "value"),
+    ).select("i0", "i1", F.col("value").cast("double").alias("value"))
+    write_hdf5_df(
+        rows, p, "vectors", shape=(n, d), chunks=(256, d),
+        dtype="<f4", deflate=4, shuffle=True, fletcher32=True,
+    )
+    out = read_hdf5_df(spark, p, "vectors")
+    return out.select(
+        F.col("i0").alias("vec_id"),
+        F.col("i1").cast("int").alias("dim"),
+        F.col("value"),
+    )
+
+
+def q_iceberg_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes (sources/iceberg.py — the delete
+    shape Flink CDC writes): snapshot 1 lands the documents table,
+    snapshot 2 equality-deletes doc_id % 7 == 3 on field id 1, and
+    snapshot 3 re-adds the doc_id % 14 == 3 half in a NEW file —
+    which survives because equality deletes only apply to data files
+    with a STRICTLY lower data sequence number (spec scoping).  The
+    delete applies as a null-safe broadcast anti-join on the equality
+    column; the data path stays one distributed Catalyst parquet
+    scan.  Reference parity: the reference has no lakehouse layer;
+    this extends the Delta/Iceberg tier (SURVEY §8)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vtk_reserves_spark.sources.iceberg import (
+        append_iceberg_snapshot, read_iceberg, write_iceberg_table,
+    )
+
+    pdf = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_iceberg_eq_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    write_iceberg_table(td, [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "text", "required": False, "type": "string"},
+    ])
+
+    def part(rel, mask):
+        p = os.path.join(td, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        sub = pdf[mask]
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(sub["doc_id"], pa.int64()),
+                "text": pa.array(sub["text"], pa.string()),
+            }),
+            p,
+        )
+        return {"file_path": rel, "record_count": len(sub),
+                "size": os.path.getsize(p)}
+
+    ids = pdf["doc_id"]
+    a = part("data/a.parquet", ids % 1 == 0)  # everything
+    append_iceberg_snapshot(td, 1, [a])
+    append_iceberg_snapshot(
+        td, 2, [],
+        equality_deletes=(
+            [{"doc_id": int(v)} for v in ids[ids % 7 == 3]], [1]
+        ),
+    )
+    b = part("data/b.parquet", ids % 14 == 3)  # re-add half
+    append_iceberg_snapshot(td, 3, [b])
+    return read_iceberg(spark, td).select("doc_id", "text")
+
+
+def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN MAPPING (sources/delta.py — the Databricks
+    default on new tables): the documents table lands as a
+    name-mapped Delta table whose parquet files carry physical
+    ``col-<uuid>`` names, renamed to the logical schema at scan; one
+    part also carries a deletion vector so the DV anti-join and the
+    rename compose.  Reference parity: lakehouse tier (SURVEY §8)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vtk_reserves_spark.sources.delta import (
+        read_delta, write_delta_commit, write_deletion_vector,
+    )
+
+    pdf = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_delta_cm_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    import json
+
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName":
+                              "col-1f3a9c"}},
+            {"name": "text", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName":
+                              "col-8b24de"}},
+        ],
+    })
+
+    def part(rel, mask):
+        p = os.path.join(td, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        sub = pdf[mask]
+        pq.write_table(
+            pa.table({
+                "col-1f3a9c": pa.array(sub["doc_id"], pa.int64()),
+                "col-8b24de": pa.array(sub["text"], pa.string()),
+            }),
+            p,
+        )
+        return {"path": rel, "size": os.path.getsize(p)}
+
+    ids = pdf["doc_id"]
+    a = part("a.parquet", ids % 2 == 0)
+    n_a = int((ids % 2 == 0).sum())
+    # every 10th even-doc row (positions p % 10 == 3) gets DV-deleted
+    a["deletionVector"] = write_deletion_vector(
+        td, list(range(3, n_a, 10))
+    )
+    b = part("b.parquet", ids % 2 == 1)
+    write_delta_commit(
+        td, 0, adds=[a, b], schema_json=schema_json,
+        reader_features=["columnMapping", "deletionVectors"],
+        configuration={"delta.columnMapping.mode": "name",
+                       "delta.columnMapping.maxColumnId": "2"},
+    )
+    return read_delta(spark, td).select("doc_id", "text")
+
+
 def q_safetensors_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """safetensors ingestion (sources/safetensors.py — the
     model-weight / embedding-dump format): the embeddings table
@@ -8294,6 +8524,46 @@ def _llm_oracles() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, text FROM documents WHERE doc_id % 6 = 1
         """,
+        "zarr_write_roundtrip": """
+            -- distributed zarr write + read-back surfaces the
+            -- embeddings column itself; float32 storage widens
+            -- exactly to float64
+            SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                   CAST(embedding[i] AS DOUBLE) AS value
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                          AS i)
+        """,
+        "hdf5_write_roundtrip": """
+            -- distributed HDF5 write + read-back: same closed form
+            SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                   CAST(embedding[i] AS DOUBLE) AS value
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                          AS i)
+        """,
+        "iceberg_equality": """
+            -- closed form of the three-snapshot equality-delete
+            -- fixture (q_iceberg_equality): snapshot 2 deletes
+            -- doc_id % 7 = 3 from data strictly older than it;
+            -- snapshot 3 re-adds doc_id % 14 = 3 ABOVE the delete's
+            -- sequence number, so that half survives
+            SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+            UNION ALL
+            SELECT doc_id, text FROM documents WHERE doc_id % 14 = 3
+        """,
+        "delta_column_mapping": """
+            -- closed form of the column-mapped Delta fixture
+            -- (q_delta_column_mapping): evens minus the DV rows
+            -- (positions p % 10 = 3 in doc_id order) plus all odds
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text,
+                     ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS p
+              FROM documents WHERE doc_id % 2 = 0
+            ) WHERE p % 10 <> 3
+            UNION ALL
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        """,
         "safetensors_embeddings": """
             -- the .safetensors round-trip surfaces the embeddings
             -- column itself; float32->float64 is exact
@@ -9248,6 +9518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "delta_snapshot": q_delta_snapshot,
         "iceberg_snapshot": q_iceberg_snapshot,
+        "iceberg_equality": q_iceberg_equality,
+        "delta_column_mapping": q_delta_column_mapping,
+        "zarr_write_roundtrip": q_zarr_write_roundtrip,
+        "hdf5_write_roundtrip": q_hdf5_write_roundtrip,
         "hybrid_retrieval": q_hybrid_retrieval,
         "parquet_stats": q_parquet_stats,
         "heif_metadata": q_heif_metadata,

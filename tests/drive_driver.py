@@ -63,6 +63,9 @@ def main() -> None:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    if len(sys.argv) > 1:  # optional name filter: exact names only
+        keep = set(sys.argv[1:])
+        qs = {n: f for n, f in qs.items() if n in keep}
     results = {}
     n_match = n_rows_only = n_fail = 0
     for name, fn in qs.items():

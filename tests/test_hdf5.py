@@ -252,21 +252,21 @@ def test_v2_superblock_and_ohdr_with_compact_links():
     the layout h5py emits under libver='latest' (subset).  The
     chunk-0 size excludes the trailing checksum; a short final
     message must still parse."""
-    from vtk_reserves_spark.sources.hdf5 import _SIG, _UNDEF, _Writer
+    from vtk_reserves_spark.sources.hdf5 import (
+        _SIG, _UNDEF, _MemSink, _Writer,
+    )
 
     data = np.arange(12, dtype="<i4").reshape(3, 4)
-    blobs = bytearray(b"\x00" * 48)  # superblock v2 placeholder
-
-    def align(n=8):
-        while len(blobs) % n:
-            blobs.append(0)
+    sink = _MemSink()
+    sink.extend(b"\x00" * 48)  # superblock v2 placeholder
 
     w = _Writer()
-    hdr = w._dataset_header(data, {}, blobs, align)
-    align()
-    ds_addr = len(blobs)
-    blobs.extend(hdr)
-    align()
+    hdr = w._dataset_header(data, {}, sink)
+    sink.align()
+    ds_addr = sink.tell()
+    sink.extend(hdr)
+    sink.align()
+    blobs = sink.buf
     # link message (type 0x06): v1, flags 0 -> 1-byte name length
     link_body = bytes([1, 0, len(b"dset")]) + b"dset" + struct.pack(
         "<Q", ds_addr
@@ -295,3 +295,67 @@ def test_v2_superblock_and_ohdr_with_compact_links():
     np.testing.assert_array_equal(
         read_hdf5_array(bytes(blobs), "dset"), data
     )
+
+
+def test_write_hdf5_df_distributed_roundtrip(spark, tmp_path):
+    """Distributed writer: chunk encode fans out, the driver only
+    streams encoded payloads + metadata; result reads back through
+    both the driver reader and the chunk-grain Spark reader."""
+    from vtk_reserves_spark.sources.hdf5 import write_hdf5_df
+
+    p = str(tmp_path / "dist.h5")
+    rng = np.random.RandomState(21)
+    data = rng.randn(23, 13).astype("<f8")
+    rows = [(int(i), int(j), float(data[i, j]))
+            for i in range(23) for j in range(13)]
+    df = spark.createDataFrame(rows, "i0 long, i1 long, value double")
+    n = write_hdf5_df(
+        df, p, "emb", shape=(23, 13), chunks=(10, 5),
+        deflate=5, shuffle=True, fletcher32=True,
+    )
+    assert n == 9
+    np.testing.assert_array_equal(read_hdf5_array(p, "emb"), data)
+    pdf = (
+        read_hdf5_df(spark, p, "emb")
+        .toPandas().sort_values(["i0", "i1"])
+    )
+    np.testing.assert_array_equal(
+        pdf["value"].to_numpy().reshape(23, 13), data
+    )
+
+
+def test_write_hdf5_df_sparse_chunks_fill(spark, tmp_path):
+    from vtk_reserves_spark.sources.hdf5 import write_hdf5_df
+
+    p = str(tmp_path / "sp.h5")
+    df = spark.createDataFrame(
+        [(0, 0, 5.0), (19, 3, 7.0)], "i0 long, i1 long, value double"
+    )
+    n = write_hdf5_df(df, p, "d", shape=(20, 4), chunks=(5, 4),
+                      fillvalue=-1.0)
+    assert n == 2  # untouched chunks stay unallocated
+    out = read_hdf5_array(p, "d")
+    expect = np.full((20, 4), -1.0)
+    expect[0, 0] = 5.0
+    expect[19, 3] = 7.0
+    np.testing.assert_array_equal(out, expect)
+    # the Spark reader emits the fill rows too (dense view)
+    pdf = read_hdf5_df(spark, p, "d").toPandas()
+    assert len(pdf) == 80
+
+
+def test_write_hdf5_df_int_and_bounds(spark, tmp_path):
+    from vtk_reserves_spark.sources.hdf5 import write_hdf5_df
+
+    p = str(tmp_path / "i.h5")
+    data = np.arange(40, dtype="<i8").reshape(8, 5)
+    rows = [(int(i), int(j), int(data[i, j]))
+            for i in range(8) for j in range(5)]
+    df = spark.createDataFrame(rows, "i0 long, i1 long, value long")
+    write_hdf5_df(df, p, "d", shape=(8, 5), chunks=(3, 5), dtype="<i8")
+    np.testing.assert_array_equal(read_hdf5_array(p, "d"), data)
+    bad = spark.createDataFrame([(99, 0, 1.0)],
+                                "i0 long, i1 long, value double")
+    with pytest.raises(Exception, match="out of bounds"):
+        write_hdf5_df(bad, str(tmp_path / "bad.h5"), "d",
+                      shape=(8, 5), chunks=(3, 5))

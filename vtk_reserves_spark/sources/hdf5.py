@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "read_hdf5_meta", "read_hdf5_array", "write_hdf5",
-    "read_hdf5_df", "list_datasets",
+    "read_hdf5_df", "write_hdf5_df", "list_datasets",
 ]
 
 _SIG = b"\x89HDF\r\n\x1a\n"
@@ -565,59 +565,159 @@ def read_hdf5_array(path, dataset: str) -> np.ndarray:
 # ----------------------------------------------------------------- write
 
 
+class _MemSink:
+    """In-memory sink for the writer (tobytes path)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+
+    def tell(self) -> int:
+        return len(self.buf)
+
+    def extend(self, b) -> None:
+        self.buf.extend(b)
+
+    def align(self, n: int = 8) -> None:
+        while len(self.buf) % n:
+            self.buf.append(0)
+
+    def copy_file(self, path: str, nbytes: int) -> None:
+        with open(path, "rb") as fh:
+            self.buf.extend(fh.read(nbytes))
+
+    def backpatch(self, pos: int, b: bytes) -> None:
+        self.buf[pos : pos + len(b)] = b
+
+
+class _FileSink:
+    """Streaming file sink: chunk payloads copy through without ever
+    being held whole in driver memory (the 100 TB-honest path for
+    `write_hdf5_df`'s assembly pass)."""
+
+    def __init__(self, fh):
+        self.fh = fh
+        self.pos = 0
+
+    def tell(self) -> int:
+        return self.pos
+
+    def extend(self, b) -> None:
+        self.fh.write(b)
+        self.pos += len(b)
+
+    def align(self, n: int = 8) -> None:
+        pad = (-self.pos) % n
+        if pad:
+            self.extend(b"\x00" * pad)
+
+    def copy_file(self, path: str, nbytes: int) -> None:
+        with open(path, "rb") as src:
+            remaining = nbytes
+            while remaining:
+                block = src.read(min(remaining, 8 << 20))
+                if not block:
+                    raise ValueError(f"hdf5: short chunk file {path}")
+                self.extend(block)
+                remaining -= len(block)
+
+    def backpatch(self, pos: int, b: bytes) -> None:
+        cur = self.pos
+        self.fh.seek(pos)
+        self.fh.write(b)
+        self.fh.seek(cur)
+
+
+def _encode_chunk_bytes(raw: bytes, filters) -> bytes:
+    """Apply the filter pipeline in forward (write) order — shared by
+    the driver-side writer and the distributed chunk tasks."""
+    for fid, cdv in filters:
+        if fid == 2:
+            ts = cdv[0]
+            m = (len(raw) // ts) * ts
+            arr = np.frombuffer(raw, np.uint8, count=m).reshape(-1, ts)
+            raw = arr.T.tobytes() + raw[m:]
+        elif fid == 1:
+            raw = zlib.compress(raw, cdv[0])
+        elif fid == 3:
+            raw = raw + _fletcher32(raw).to_bytes(4, "little")
+    return raw
+
+
 class _Writer:
     """Minimal old-style (superblock v0) writer: root group as a
     local-heap + one-SNOD v1 B-tree symbol table — the layout every
     HDF5 reader accepts."""
 
     def __init__(self):
-        self.datasets: list[tuple[str, np.ndarray, dict]] = []
+        self.datasets: list[tuple[str, np.ndarray | None, dict]] = []
 
     def add(self, name: str, data: np.ndarray, **opts) -> None:
         self.datasets.append((name, np.ascontiguousarray(data), opts))
 
+    def add_precoded(
+        self, name: str, shape, dtype, chunks, chunk_files,
+        filters=(), fillvalue=None,
+    ) -> None:
+        """A chunked dataset whose chunk payloads are ALREADY encoded
+        on disk (the distributed write path): ``chunk_files`` is
+        ``[(offset coords, path, nbytes)]``; the assembly pass
+        streams each file into place and builds only metadata."""
+        self.datasets.append((name, None, {
+            "_precoded": {
+                "shape": tuple(int(s) for s in shape),
+                "dtype": np.dtype(dtype),
+                "chunks": tuple(int(c) for c in chunks),
+                "files": list(chunk_files),
+                "filters": list(filters),
+            },
+            "fillvalue": fillvalue,
+        }))
+
+    def tobytes(self) -> bytes:
+        sink = _MemSink()
+        self.write_to(sink)
+        return bytes(sink.buf)
+
     # layout plan: [superblock 96][per-dataset object headers + data]
     # [local heap][SNOD][B-tree]
-    def tobytes(self) -> bytes:
-        blobs = bytearray(b"\x00" * 96)  # superblock placeholder
-
-        def align(n=8):
-            while len(blobs) % n:
-                blobs.append(0)
+    def write_to(self, sink) -> None:
+        sink.extend(b"\x00" * 96)  # superblock placeholder
 
         entries = []  # (heap name offset, header addr)
         heap_names = bytearray(b"\x00")  # offset 0 reserved (empty name)
-        for name, data, opts in sorted(self.datasets):
+        for name, data, opts in sorted(
+            self.datasets, key=lambda t: t[0]
+        ):
             name_off = len(heap_names)
             heap_names += name.encode() + b"\x00"
             # _dataset_header appends the dataset's raw/chunked data to
-            # blobs while building; the header itself lands after it
-            hdr = self._dataset_header(data, opts, blobs, align)
-            align()
-            header_addr = len(blobs)
-            blobs.extend(hdr)
+            # the sink while building; the header itself lands after it
+            hdr = self._dataset_header(data, opts, sink)
+            sink.align()
+            header_addr = sink.tell()
+            sink.extend(hdr)
             entries.append((name_off, header_addr))
         while len(heap_names) % 8:
             heap_names += b"\x00"
-        align()
-        heap_data_addr = len(blobs) + 32
+        sink.align()
+        heap_data_addr = sink.tell() + 32
         heap = (
             b"HEAP\x00\x00\x00\x00"
             + struct.pack("<QQQ", len(heap_names), len(heap_names),
                           heap_data_addr)
             + heap_names
         )
-        heap_addr = len(blobs)
-        blobs.extend(heap)
-        align()
-        snod_addr = len(blobs)
+        heap_addr = sink.tell()
+        sink.extend(heap)
+        sink.align()
+        snod_addr = sink.tell()
         snod = bytearray(b"SNOD\x01\x00" + struct.pack("<H", len(entries)))
         for name_off, header_addr in entries:
             snod += struct.pack("<QQII", name_off, header_addr, 0, 0)
             snod += b"\x00" * 16
-        blobs.extend(snod)
-        align()
-        btree_addr = len(blobs)
+        sink.extend(snod)
+        sink.align()
+        btree_addr = sink.tell()
         # group B-tree: one leaf pointing at the SNOD; keys are heap
         # offsets of the lexically-first/last names (0 = empty string
         # low key, last entry's name as high key)
@@ -628,9 +728,9 @@ class _Writer:
             + struct.pack("<Q", 0)
             + (struct.pack("<QQ", snod_addr, high_key) if entries else b"")
         )
-        blobs.extend(btree)
-        align()
-        root_addr = len(blobs)
+        sink.extend(btree)
+        sink.align()
+        root_addr = sink.tell()
         stmsg = struct.pack("<QQ", btree_addr, heap_addr)
         root = (
             b"\x01\x00" + struct.pack("<H", 1)
@@ -641,9 +741,9 @@ class _Writer:
             + b"\x00" * 4
             + stmsg
         )
-        blobs.extend(root)
-        align()
-        eof = len(blobs)
+        sink.extend(root)
+        sink.align()
+        eof = sink.tell()
         sb = (
             _SIG
             # sb ver, freespace ver, root-group ver, reserved,
@@ -655,25 +755,33 @@ class _Writer:
             + struct.pack("<QQII", 0, root_addr, 0, 0)
             + b"\x00" * 16
         )
-        blobs[: len(sb)] = sb
-        return bytes(blobs)
+        sink.backpatch(0, sb)
 
-    def _dataset_header(self, data, opts, blobs, align) -> bytes:
+    def _dataset_header(self, data, opts, sink) -> bytes:
+        precoded = opts.get("_precoded")
         chunks = opts.get("chunks")
         deflate = opts.get("deflate")
         shuffle = bool(opts.get("shuffle"))
         fletcher = bool(opts.get("fletcher32"))
         fillvalue = opts.get("fillvalue")
-        dt = data.dtype
+        if precoded:
+            dt = precoded["dtype"]
+            shape = precoded["shape"]
+            chunks = precoded["chunks"]
+        else:
+            dt = data.dtype
+            shape = data.shape
         if dt.kind not in "iufS":
             raise ValueError(f"hdf5: unsupported dtype {dt}")
         if dt.byteorder == ">":
+            if precoded:
+                raise ValueError("hdf5: precoded chunks must be LE")
             data = data.astype(dt.newbyteorder("<"))
             dt = data.dtype
         # dataspace v1
-        rank = data.ndim
+        rank = len(shape)
         ds_body = bytes([1, rank, 0, 0]) + b"\x00" * 4 + b"".join(
-            struct.pack("<Q", s) for s in data.shape
+            struct.pack("<Q", s) for s in shape
         )
         # datatype
         if dt.kind in "iu":
@@ -707,17 +815,21 @@ class _Writer:
                 bytes([3, 0x23]) + struct.pack("<I", dt.itemsize)
                 + fv.tobytes(),
             ))
-        filters = []
-        if shuffle:
-            filters.append((2, (dt.itemsize,)))
-        if deflate is not None:
-            filters.append((1, (int(deflate),)))
-        if fletcher:
-            # last in the pipeline, as h5py appends it: the checksum
-            # covers the (shuffled/compressed) stored bytes
-            filters.append((3, ()))
-        if filters and not chunks:
-            chunks = data.shape  # filters require chunked layout
+        if precoded:
+            filters = [tuple(f) for f in precoded["filters"]]
+            filters = [(int(f), tuple(c)) for f, c in filters]
+        else:
+            filters = []
+            if shuffle:
+                filters.append((2, (dt.itemsize,)))
+            if deflate is not None:
+                filters.append((1, (int(deflate),)))
+            if fletcher:
+                # last in the pipeline, as h5py appends it: the
+                # checksum covers the (shuffled/compressed) bytes
+                filters.append((3, ()))
+            if filters and not chunks:
+                chunks = shape  # filters require chunked layout
         if filters:
             fp = bytearray([1, len(filters), 0, 0, 0, 0, 0, 0])
             for fid, cdv in filters:
@@ -727,9 +839,18 @@ class _Writer:
                 if len(cdv) % 2:
                     fp += b"\x00" * 4
             msgs.append((0x000B, bytes(fp)))
-        if chunks:
+        if precoded:
+            addr_btree = self._stream_precoded_chunks(
+                precoded["files"], tuple(chunks), shape, dt, sink
+            )
+            lay = bytes([3, 2, len(chunks) + 1]) + struct.pack(
+                "<Q", addr_btree
+            ) + b"".join(struct.pack("<I", c) for c in chunks) + struct.pack(
+                "<I", dt.itemsize
+            )
+        elif chunks:
             addr_btree = self._write_chunked(
-                data, tuple(chunks), filters, blobs, align,
+                data, tuple(chunks), filters, sink,
                 fillvalue=fillvalue,
             )
             lay = bytes([3, 2, len(chunks) + 1]) + struct.pack(
@@ -738,11 +859,11 @@ class _Writer:
                 "<I", dt.itemsize
             )
         else:
-            align()
-            addr = len(blobs)
+            sink.align()
+            addr = sink.tell()
             raw = data.tobytes()
-            blobs.extend(raw)
-            align()
+            sink.extend(raw)
+            sink.align()
             lay = bytes([3, 1]) + struct.pack("<QQ", addr, len(raw))
         msgs.append((0x0008, lay))
         out = bytearray()
@@ -761,10 +882,9 @@ class _Writer:
             out += p
         return bytes(out)
 
-    def _write_chunked(self, data, chunks, filters, blobs, align,
+    def _write_chunked(self, data, chunks, filters, sink,
                        fillvalue=None) -> int:
         dt = data.dtype
-        rank = data.ndim
         entries = []
         counts = [
             max(1, -(-s // c)) for s, c in zip(data.shape, chunks)
@@ -785,28 +905,34 @@ class _Writer:
                 else np.full(chunks, fv, dt)
             )
             full[tuple(slice(0, p) for p in part.shape)] = part
-            raw = full.tobytes()
-            for fid, cdv in filters:  # forward order on write
-                if fid == 2:
-                    ts = cdv[0]
-                    m = (len(raw) // ts) * ts
-                    arr = np.frombuffer(raw, np.uint8, count=m).reshape(
-                        -1, ts
-                    )
-                    raw = arr.T.tobytes() + raw[m:]
-                elif fid == 1:
-                    raw = zlib.compress(raw, cdv[0])
-                elif fid == 3:
-                    raw = raw + _fletcher32(raw).to_bytes(4, "little")
-            align()
-            addr = len(blobs)
-            blobs.extend(raw)
+            raw = _encode_chunk_bytes(full.tobytes(), filters)
+            sink.align()
+            addr = sink.tell()
+            sink.extend(raw)
             offs = tuple(i * c for i, c in zip(coord, chunks))
             entries.append((offs, addr, len(raw)))
-        align()
-        btree_addr = len(blobs)
-        # single leaf node (fixture-scale writer); nentries keys have
-        # one extra high key at the end
+        return self._chunk_btree(entries, chunks, data.shape, dt, sink)
+
+    def _stream_precoded_chunks(self, files, chunks, shape, dt,
+                                sink) -> int:
+        """Stream already-encoded chunk payload files into place and
+        emit the B-tree (the driver half of `write_hdf5_df`)."""
+        entries = []
+        # deterministic chunk order in the file (and the B-tree must
+        # be key-sorted for readers that binary-search)
+        for offs, path, nbytes in sorted(files):
+            sink.align()
+            addr = sink.tell()
+            sink.copy_file(path, int(nbytes))
+            entries.append((tuple(offs), addr, int(nbytes)))
+        return self._chunk_btree(entries, chunks, shape, dt, sink)
+
+    def _chunk_btree(self, entries, chunks, shape, dt, sink) -> int:
+        sink.align()
+        btree_addr = sink.tell()
+        # single leaf node (fixture-scale metadata; entries are
+        # key-sorted); nentries keys have one extra high key
+        entries = sorted(entries)
         node = bytearray(b"TREE\x01\x00" + struct.pack("<H", len(entries)))
         node += struct.pack("<QQ", _UNDEF, _UNDEF)
         for offs, addr, nbytes in entries:
@@ -817,10 +943,10 @@ class _Writer:
             node += struct.pack("<Q", addr)
         # high key: one past the last chunk in every dimension
         node += struct.pack("<II", 0, 0)
-        for c, s in zip(chunks, data.shape):
+        for c, s in zip(chunks, shape):
             node += struct.pack("<Q", max(1, -(-s // c)) * c)
         node += struct.pack("<Q", dt.itemsize)
-        blobs.extend(node)
+        sink.extend(node)
         return btree_addr
 
 
@@ -989,3 +1115,130 @@ def read_hdf5_df(
                 yield pd.DataFrame(cols)
 
     return tasks_df.mapInPandas(decode, schema)
+
+
+def write_hdf5_df(
+    df: DataFrame,
+    path: str,
+    dataset: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    dtype: str = "<f8",
+    deflate: int | None = None,
+    shuffle: bool = False,
+    fletcher32: bool = False,
+    fillvalue=None,
+) -> int:
+    """DISTRIBUTED HDF5 writer — the inverse of `read_hdf5_df` and
+    the single-file counterpart of `sources/zarr.write_zarr_df`.
+
+    ``df`` carries the exploded layout the reader emits (columns
+    ``i0..i{ndim-1}`` + ``value``).  Phase 1 (distributed, the heavy
+    work): rows shuffle ONCE to their owning chunk
+    (``floor(i_d / chunk_d)`` ownership), each task materializes its
+    full chunk, applies the filter pipeline (shuffle/deflate/
+    fletcher32 — the CPU cost of an HDF5 write), and spills the
+    encoded payload to a scratch file via temp-name + ``os.replace``
+    (idempotent under retries).  Phase 2 (driver, IO-bound only):
+    stream every scratch payload into the final file and emit the
+    chunk B-tree + object headers — HDF5 is a single file, so SOME
+    single-writer pass is unavoidable; keeping it a byte-copy with
+    KB-scale metadata is the honest version (at object-store scale
+    the same manifest drives a multipart upload).  Chunks that
+    receive no rows are left unallocated and read back as the fill
+    value.  Returns the number of chunks written."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ndim = len(shape)
+    if ndim == 0 or len(chunks) != ndim:
+        raise ValueError("hdf5: shape/chunks rank mismatch")
+    need = [f"i{d}" for d in range(ndim)] + ["value"]
+    missing = [c for c in need if c not in df.columns]
+    if missing:
+        raise ValueError(f"hdf5: input is missing columns {missing}")
+    dt = np.dtype(dtype)
+    if dt.byteorder == ">":
+        raise ValueError("hdf5: write_hdf5_df wants a LE dtype")
+    filters: list[tuple[int, tuple[int, ...]]] = []
+    if shuffle:
+        filters.append((2, (dt.itemsize,)))
+    if deflate is not None:
+        filters.append((1, (int(deflate),)))
+    if fletcher32:
+        filters.append((3, ()))
+    shape_l, chunks_l = [int(s) for s in shape], [int(c) for c in chunks]
+    scratch = tempfile.mkdtemp(
+        prefix=os.path.basename(path) + ".chunks-",
+        dir=os.path.dirname(os.path.abspath(path)) or ".",
+    )
+    fv = fillvalue
+
+    keyed = df.select(
+        *[
+            F.floor(F.col(f"i{d}") / F.lit(chunks_l[d])).alias(f"_c{d}")
+            for d in range(ndim)
+        ],
+        *[F.col(f"i{d}") for d in range(ndim)],
+        F.col("value"),
+    )
+
+    def encode_chunk(key, pdf):
+        import os as _os
+        import uuid
+
+        import pandas as pd
+
+        coord = tuple(int(k) for k in key)
+        arr = np.full(chunks_l, 0 if fv is None else fv, dtype=dt)
+        loc = []
+        for d in range(ndim):
+            i = pdf[f"i{d}"].to_numpy(np.int64) - coord[d] * chunks_l[d]
+            hi = min(chunks_l[d], shape_l[d] - coord[d] * chunks_l[d])
+            if (i < 0).any() or (i >= hi).any():
+                raise ValueError(
+                    f"hdf5: index out of bounds in chunk {coord} dim {d}"
+                )
+            loc.append(i)
+        arr[tuple(loc)] = pdf["value"].to_numpy().astype(dt)
+        if fv is not None and bool(np.all(arr == np.asarray(fv, dt))):
+            # all-fill: leave unallocated, like the driver writer
+            return pd.DataFrame({
+                "coords": [[]], "path": [""], "nbytes": [0],
+            }).iloc[:0]
+        raw = _encode_chunk_bytes(arr.tobytes(), filters)
+        name = "c_" + "_".join(str(c) for c in coord) + ".bin"
+        p = _os.path.join(scratch, name)
+        tmp = f"{p}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(raw)
+        _os.replace(tmp, p)
+        offs = [coord[d] * chunks_l[d] for d in range(ndim)]
+        return pd.DataFrame({
+            "coords": [offs], "path": [p], "nbytes": [len(raw)],
+        })
+
+    try:
+        manifest = keyed.groupBy(
+            *[f"_c{d}" for d in range(ndim)]
+        ).applyInPandas(
+            encode_chunk, "coords array<bigint>, path string, nbytes long"
+        ).collect()  # one small row per chunk
+        files = [
+            (tuple(int(c) for c in r["coords"]), r["path"], int(r["nbytes"]))
+            for r in manifest
+        ]
+        w = _Writer()
+        w.add_precoded(
+            dataset, shape_l, dt, chunks_l, files,
+            filters=filters, fillvalue=fv,
+        )
+        tmp_out = f"{path}.tmp-assembly"
+        with open(tmp_out, "wb") as fh:
+            w.write_to(_FileSink(fh))
+        os.replace(tmp_out, path)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return len(files)

@@ -29,10 +29,14 @@ Scale posture: **one Spark task per chunk** — the natural grain for a
 chunked store (each chunk is independently compressed and addressed),
 so a 100 TB array fans out without any shuffle; `read_zarr_df` builds
 the chunk-key list from metadata only (no data read on the driver)
-and decodes inside `mapInPandas`.  The writer is driver-side for
-fixture-scale arrays (document-store writers stay distributed; a
-chunk-parallel writer is a `foreachPartition` away and noted in
-SCALE.md).
+and decodes inside `mapInPandas`.  `write_zarr_array` is the
+driver-side fixture writer; `write_zarr_df` is the DISTRIBUTED
+writer: rows shuffle once to their owning chunk (deterministic
+``floor(i_d / chunk_d)`` ownership), each task encodes and writes
+its chunk file directly (atomic rename for task-retry safety), the
+driver only writes the KB-sized ``.zarray`` metadata — a directory
+store has no single-writer bottleneck, so embedding dumps scale out
+both directions.
 """
 
 from __future__ import annotations
@@ -49,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "blosc_decode", "blosc_encode",
     "read_zarray_meta", "read_zarr_array", "write_zarr_array",
-    "read_zarr_df",
+    "read_zarr_df", "write_zarr_df",
 ]
 
 try:
@@ -505,3 +509,118 @@ def read_zarr_df(
                 yield pd.DataFrame(cols)
 
     return keys_df.mapInPandas(decode, schema)
+
+
+def write_zarr_df(
+    df: DataFrame,
+    store: str,
+    array: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    dtype: str = "<f8",
+    compressor: dict | None = None,
+    fill_value=0,
+    dimension_separator: str = ".",
+) -> int:
+    """DISTRIBUTED zarr v2 writer: the inverse of `read_zarr_df`.
+
+    ``df`` carries the exploded layout the reader emits — columns
+    ``i0..i{ndim-1}`` (indices) + ``value``.  Rows shuffle ONCE to
+    their owning chunk (``floor(i_d / chunk_d)`` — deterministic
+    ownership, the foreachPartition pattern banked in SURVEY r6 #4),
+    then each task materializes its full chunk (absent cells =
+    ``fill_value``), applies the compressor, and writes the chunk
+    file itself via temp-name + ``os.replace`` so task retries and
+    speculative execution stay idempotent.  The driver writes only
+    the KB-sized ``.zarray``.  Chunks that receive no rows are not
+    written (they read back as ``fill_value``, zarr's own
+    semantics).  Returns the number of chunk files written.
+
+    Scale: shuffle volume = data volume (one pass), write fan-out =
+    one file per chunk with no coordination — the directory store
+    is why zarr parallelizes where HDF5 needs the assembly pass
+    (`sources/hdf5.write_hdf5_df`)."""
+    from pyspark.sql import functions as F
+
+    ndim = len(shape)
+    if ndim == 0 or len(chunks) != ndim:
+        raise ValueError("zarr: shape/chunks rank mismatch")
+    need = [f"i{d}" for d in range(ndim)] + ["value"]
+    missing = [c for c in need if c not in df.columns]
+    if missing:
+        raise ValueError(f"zarr: input is missing columns {missing}")
+    dt = np.dtype(dtype)
+    adir = os.path.join(store, array) if array else store
+    os.makedirs(adir, exist_ok=True)
+    if array:
+        root_meta = os.path.join(store, ".zgroup")
+        if not os.path.exists(root_meta):
+            with open(root_meta, "w") as fh:
+                json.dump({"zarr_format": 2}, fh)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "dtype": dt.str,
+        "compressor": compressor,
+        "fill_value": fill_value,
+        "order": "C",
+        "filters": None,
+    }
+    if dimension_separator != ".":
+        meta["dimension_separator"] = dimension_separator
+    with open(os.path.join(adir, ".zarray"), "w") as fh:
+        json.dump(meta, fh)
+    meta_b = json.dumps(meta)
+    sep = dimension_separator
+    shape_l, chunks_l = list(shape), list(chunks)
+
+    keyed = df.select(
+        *[
+            F.floor(F.col(f"i{d}") / F.lit(chunks_l[d])).alias(f"_c{d}")
+            for d in range(ndim)
+        ],
+        *[F.col(f"i{d}") for d in range(ndim)],
+        F.col("value"),
+    )
+
+    def write_chunk(key, pdf):
+        import os as _os
+        import uuid
+
+        import pandas as pd
+
+        m = json.loads(meta_b)
+        coord = tuple(int(k) for k in key)
+        arr = np.full(chunks_l, fill_value, dtype=dt)
+        loc = []
+        for d in range(ndim):
+            i = pdf[f"i{d}"].to_numpy(np.int64) - coord[d] * chunks_l[d]
+            hi = min(chunks_l[d], shape_l[d] - coord[d] * chunks_l[d])
+            if (i < 0).any() or (i >= hi).any():
+                raise ValueError(
+                    f"zarr: index out of bounds in chunk {coord} dim {d}"
+                )
+            loc.append(i)
+        arr[tuple(loc)] = pdf["value"].to_numpy().astype(dt)
+        raw = arr.tobytes(order="C")
+        payload = _apply_compressor(raw, m["compressor"], dt.itemsize)
+        key_s = _chunk_key(coord, sep)
+        p = (
+            _os.path.join(adir, *key_s.split("/"))
+            if sep == "/"
+            else _os.path.join(adir, key_s)
+        )
+        _os.makedirs(_os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        _os.replace(tmp, p)  # atomic: retries/speculation stay safe
+        return pd.DataFrame(
+            {"key": [key_s], "nbytes": [len(payload)]}
+        )
+
+    manifest = keyed.groupBy(
+        *[f"_c{d}" for d in range(ndim)]
+    ).applyInPandas(write_chunk, "key string, nbytes long")
+    return manifest.count()  # forces the distributed write
