@@ -4211,9 +4211,12 @@ def q_hdf5_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     superblock -> object header -> v1 chunk B-tree, executors read
     their own byte ranges) and re-joined on the row index; exploded
     per-dimension values replay the parquet column under the oracle
-    (float32 -> float64 is exact).  Same scale shape as
-    q_zarr_embeddings; the two queries pin both halves of the
-    array-store interchange gap."""
+    (float32 -> float64 is exact).  The fixture stores its root
+    links DENSELY (fractal heap + v2 B-tree — the >8-link libhdf5
+    layout, round 7), so the dense-group read path sits under the
+    driver oracle too.  Same scale shape as q_zarr_embeddings; the
+    two queries pin both halves of the array-store interchange
+    gap."""
     import shutil
     import tempfile
 
@@ -4248,6 +4251,7 @@ def q_hdf5_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "ids": ids,
         },
+        dense_links=True,
     )
     vec_rows = read_hdf5_df(spark, p, "vectors")
     id_rows = read_hdf5_df(spark, p, "ids").select(

@@ -359,3 +359,54 @@ def test_write_hdf5_df_int_and_bounds(spark, tmp_path):
     with pytest.raises(Exception, match="out of bounds"):
         write_hdf5_df(bad, str(tmp_path / "bad.h5"), "d",
                       shape=(8, 5), chunks=(3, 5))
+
+
+def test_jenkins_lookup3_vectors():
+    """Published lookup3 self-test vectors (hashlittle)."""
+    from vtk_reserves_spark.sources.hdf5 import jenkins_lookup3
+
+    # from lookup3.c's driver: hashlittle("", 0) = 0xdeadbeef
+    assert jenkins_lookup3(b"") == 0xDEADBEEF
+    # hashlittle("Four score and seven years ago", 0) = 0x17770551
+    assert jenkins_lookup3(b"Four score and seven years ago") == 0x17770551
+    # hashlittle("Four score and seven years ago", 1) = 0xcd628161
+    assert jenkins_lookup3(b"Four score and seven years ago", 1) == \
+        0xCD628161
+
+
+def test_dense_group_roundtrip():
+    """Dense link storage (fractal heap + v2 B-tree): 20 datasets —
+    well past libhdf5's 8-link compact limit — round-trip through
+    the dense writer and the fractal-heap reader."""
+    data = {
+        f"ds{i:02d}": np.arange(i + 1, dtype="<i4") for i in range(20)
+    }
+    blob = write_hdf5(None, data, dense_links=True)
+    assert list_datasets(blob) == sorted("/" + k for k in data)
+    for k, v in data.items():
+        np.testing.assert_array_equal(read_hdf5_array(blob, k), v)
+
+
+def test_dense_group_mixed_options(tmp_path):
+    p = str(tmp_path / "dense.h5")
+    vals = RNG.randn(30, 7).astype("<f8")
+    data = {
+        "chunked": (vals, {"chunks": (10, 7), "deflate": 3,
+                           "shuffle": True}),
+        "plain": np.arange(9, dtype="<i8"),
+        "named_with_longer_name_than_most": vals[:5],
+    }
+    write_hdf5(p, data, dense_links=True)
+    np.testing.assert_array_equal(read_hdf5_array(p, "chunked"), vals)
+    np.testing.assert_array_equal(
+        read_hdf5_array(p, "plain"), np.arange(9, dtype="<i8"))
+    np.testing.assert_array_equal(
+        read_hdf5_array(p, "named_with_longer_name_than_most"), vals[:5])
+
+
+def test_dense_group_spark_reader(spark, tmp_path):
+    p = str(tmp_path / "dense2.h5")
+    data = {f"d{i}": np.full(4, float(i)) for i in range(12)}
+    write_hdf5(p, data, dense_links=True)
+    pdf = read_hdf5_df(spark, p, "d7").toPandas()
+    assert pdf["value"].tolist() == [7.0] * 4

@@ -13,8 +13,11 @@ reader
   * object headers v1 and v2 (``OHDR``, incl. creation-order /
     timestamp optional fields), continuation blocks;
   * groups: old-style symbol tables (local heap + v1 B-tree + SNOD
-    nodes) and new-style compact link messages (0x0006); dense
-    (fractal-heap) link storage is rejected with a clear error;
+    nodes), new-style compact link messages (0x0006), and DENSE
+    link storage (Link Info -> fractal heap of link messages + v2
+    B-tree of name-hash records — the layout libhdf5 switches to
+    past 8 links); huge/tiny heap IDs, filtered heaps, nested
+    indirect blocks and B-tree depth > 1 gate with clear errors;
   * dataspace v1/v2, datatype classes fixed-point / float / string
     (fixed ASCII), little- and big-endian;
   * data layout v3: compact, contiguous, and chunked via the v1
@@ -29,7 +32,10 @@ writer (fixture + report scale, driver-side like the zarr writer)
   * contiguous or chunked datasets (v1 chunk B-tree), optional
     shuffle + deflate + fletcher32 filters, defined fill values
     (message 0x0005 v3, with all-fill chunks left unallocated),
-    the same dtype subset.
+    the same dtype subset;
+  * ``dense_links=True``: root-group links stored densely (fractal
+    heap + v2 B-tree with Jenkins-lookup3 name hashes), so the
+    dense READ path has an in-repo producer to round-trip against.
 
 Golden-vector caveat: like `sources/zarr.py`/`sources/vp8.py`,
 cross-validation against libhdf5 is environment-blocked (no wheel,
@@ -198,12 +204,190 @@ def _walk_group(h: _H5, addr: int, prefix: str, out: dict) -> None:
             name, child = _parse_link_message(body)
             _walk_group(h, child, prefix + name + "/", out)
         return
-    if 0x0002 in by_type:  # link info only -> dense (fractal heap) links
-        raise ValueError(
-            "hdf5: dense (fractal-heap) group links not supported"
-        )
+    if 0x0002 in by_type:  # link info -> dense (fractal heap) links
+        for name, child in _iter_dense_links(h, by_type[0x0002][0]):
+            _walk_group(h, child, prefix + name + "/", out)
+        return
     # empty group
     return
+
+
+def _iter_dense_links(h: _H5, link_info: bytes):
+    """Dense link storage (the layout libhdf5 switches to past 8
+    links with creation-order tracking): the Link Info message
+    (0x0002) points at a FRACTAL HEAP holding the link messages and
+    a v2 B-TREE (record type 5: name hash + heap ID) indexing them.
+    Enumerating = walk every B-tree record, fetch each link message
+    from the heap by its managed heap ID."""
+    flags = link_info[1]
+    pos = 2
+    if flags & 0x01:
+        pos += 8  # max creation index
+    heap_addr = _u(link_info, pos, 8)
+    name_btree = _u(link_info, pos + 8, 8)
+    if heap_addr == _UNDEF or name_btree == _UNDEF:
+        return []
+    heap = _FractalHeap(h, heap_addr)
+    links = []
+    for rec in _v2_btree_records(h, name_btree):
+        # type-5 record: 4-byte name hash + managed heap ID
+        obj = heap.read_object(rec[4:])
+        links.append(_parse_link_message(obj))
+    return sorted(links)
+
+
+class _FractalHeap:
+    """Fractal heap subset: unfiltered managed objects, direct root
+    block or one level of indirect block (the shapes dense link/
+    attribute storage produces; huge/tiny IDs and filtered blocks
+    gate with clear errors)."""
+
+    def __init__(self, h: _H5, addr: int):
+        d = h.data
+        if d[addr : addr + 4] != b"FRHP":
+            raise ValueError("hdf5: bad fractal heap signature")
+        if d[addr + 4] != 0:
+            raise ValueError("hdf5: fractal heap version != 0")
+        self.h = h
+        pos = addr + 5
+        self.id_len = _u(d, pos, 2)
+        io_filter_len = _u(d, pos + 2, 2)
+        self.flags = d[pos + 4]
+        self.max_man_size = _u(d, pos + 5, 4)
+        pos += 9
+        pos += 16  # next huge id + huge btree addr
+        pos += 32  # free space, fs mgr addr, managed space, alloc space
+        pos += 8  # direct block iterator offset
+        self.n_managed = _u(d, pos, 8)
+        pos += 8
+        pos += 32  # huge size, n huge, tiny size, n tiny
+        self.width = _u(d, pos, 2)
+        self.start_block = _u(d, pos + 2, 8)
+        self.max_direct = _u(d, pos + 10, 8)
+        self.max_heap_bits = _u(d, pos + 18, 2)
+        self.start_rows = _u(d, pos + 20, 2)
+        self.root_addr = _u(d, pos + 22, 8)
+        self.cur_rows = _u(d, pos + 30, 2)
+        if io_filter_len:
+            raise ValueError("hdf5: filtered fractal heap not supported")
+        self.off_size = (self.max_heap_bits + 7) // 8
+        # object-length field width: min(bytes for an offset within
+        # the largest direct block, bytes to encode max_man_size) —
+        # libhdf5's heap_len_size rule
+        b1 = ((self.max_direct.bit_length() - 1) + 7) // 8
+        b2 = (self.max_man_size.bit_length() - 1) // 8 + 1
+        self.len_size = min(b1, b2)
+        self._dblock_hdr = 4 + 1 + 8 + self.off_size + (
+            4 if self.flags & 0x02 else 0
+        )
+
+    def _direct_blocks(self):
+        """[(heap-space offset, file addr, size)] for every direct
+        block reachable from the root."""
+        if self.root_addr == _UNDEF:
+            return []
+        if self.cur_rows == 0:  # root IS a direct block
+            return [(0, self.root_addr, self.start_block)]
+        d = self.h.data
+        addr = self.root_addr
+        if d[addr : addr + 4] != b"FHIB":
+            raise ValueError("hdf5: bad indirect block signature")
+        pos = addr + 5 + 8 + self.off_size  # sig+ver, heap addr, off
+        out = []
+        heap_off = 0
+        max_direct_rows = (
+            (self.max_direct.bit_length() - 1)
+            - (self.start_block.bit_length() - 1) + 2
+        )
+        for row in range(self.cur_rows):
+            if row >= max_direct_rows:
+                raise ValueError(
+                    "hdf5: nested indirect fractal-heap blocks not "
+                    "supported"
+                )
+            size = (
+                self.start_block if row <= 1
+                else self.start_block << (row - 1)
+            )
+            for _ in range(self.width):
+                baddr = _u(d, pos, 8)
+                pos += 8
+                if baddr != _UNDEF:
+                    out.append((heap_off, baddr, size))
+                heap_off += size
+        return out
+
+    def read_object(self, heap_id: bytes) -> bytes:
+        typ = (heap_id[0] >> 4) & 0x3
+        if typ != 0:
+            raise ValueError(
+                f"hdf5: fractal-heap ID type {typ} (huge/tiny) not "
+                "supported"
+            )
+        off = int.from_bytes(heap_id[1 : 1 + self.off_size], "little")
+        ln = int.from_bytes(
+            heap_id[1 + self.off_size : 1 + self.off_size + self.len_size],
+            "little",
+        )
+        for b_off, b_addr, b_size in self._direct_blocks():
+            if b_off <= off < b_off + b_size:
+                # heap-space offsets INCLUDE block headers, so the
+                # file position is addr + (off - block_off)
+                p = b_addr + (off - b_off)
+                return self.h.data[p : p + ln]
+        raise ValueError(f"hdf5: heap offset {off} outside all blocks")
+
+
+def _v2_btree_records(h: _H5, addr: int) -> list[bytes]:
+    """All records of a v2 B-tree (BTHD header; depth 0 = one BTLF
+    leaf, depth 1 = BTIN root over leaves — the shapes dense link
+    storage produces at fixture-to-large scale)."""
+    d = h.data
+    if d[addr : addr + 4] != b"BTHD":
+        raise ValueError("hdf5: bad v2 B-tree signature")
+    pos = addr + 5  # sig + version
+    pos += 1  # type
+    node_size = _u(d, pos, 4)
+    record_size = _u(d, pos + 4, 2)
+    depth = _u(d, pos + 6, 2)
+    pos += 8 + 2  # split/merge percent
+    root_addr = _u(d, pos, 8)
+    root_nrec = _u(d, pos + 8, 2)
+    if root_addr == _UNDEF:
+        return []
+    # leaf capacity -> width of the per-child record-count field
+    max_nrec_leaf = (node_size - 10) // record_size
+    nrec_size = (max_nrec_leaf.bit_length() + 7) // 8
+    records: list[bytes] = []
+
+    def leaf(naddr, nrec):
+        if d[naddr : naddr + 4] != b"BTLF":
+            raise ValueError("hdf5: bad v2 B-tree leaf signature")
+        p = naddr + 6
+        for i in range(nrec):
+            records.append(bytes(d[p + i * record_size
+                                   : p + (i + 1) * record_size]))
+
+    if depth == 0:
+        leaf(root_addr, root_nrec)
+    elif depth == 1:
+        if d[root_addr : root_addr + 4] != b"BTIN":
+            raise ValueError("hdf5: bad v2 B-tree internal signature")
+        p = root_addr + 6
+        for i in range(root_nrec):
+            records.append(bytes(d[p + i * record_size
+                                   : p + (i + 1) * record_size]))
+        p += root_nrec * record_size
+        for _ in range(root_nrec + 1):
+            child = _u(d, p, 8)
+            cnrec = _u(d, p + 8, nrec_size)
+            p += 8 + nrec_size
+            leaf(child, cnrec)
+    else:
+        raise ValueError(
+            f"hdf5: v2 B-tree depth {depth} not supported"
+        )
+    return records
 
 
 def _parse_link_message(body: bytes) -> tuple[str, int]:
@@ -627,6 +811,47 @@ class _FileSink:
         self.fh.seek(cur)
 
 
+def jenkins_lookup3(data: bytes, init: int = 0) -> int:
+    """Bob Jenkins' lookup3 ``hashlittle`` (public domain), the hash
+    HDF5 uses for v2 metadata checksums and dense-link name hashes
+    (H5_checksum_lookup3)."""
+    M = 0xFFFFFFFF
+
+    def rot(x, k):
+        return ((x << k) | (x >> (32 - k))) & M
+
+    a = b = c = (0xDEADBEEF + len(data) + init) & M
+    i = 0
+    length = len(data)
+    while length > 12:
+        a = (a + int.from_bytes(data[i : i + 4], "little")) & M
+        b = (b + int.from_bytes(data[i + 4 : i + 8], "little")) & M
+        c = (c + int.from_bytes(data[i + 8 : i + 12], "little")) & M
+        # mix(a, b, c)
+        a = (a - c) & M; a ^= rot(c, 4); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 6); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 8); b = (b + a) & M
+        a = (a - c) & M; a ^= rot(c, 16); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 19); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 4); b = (b + a) & M
+        i += 12
+        length -= 12
+    if length:
+        t = data[i:] + b"\x00" * (12 - length)
+        a = (a + int.from_bytes(t[0:4], "little")) & M
+        b = (b + int.from_bytes(t[4:8], "little")) & M
+        c = (c + int.from_bytes(t[8:12], "little")) & M
+        # final(a, b, c)
+        c ^= b; c = (c - rot(b, 14)) & M
+        a ^= c; a = (a - rot(c, 11)) & M
+        b ^= a; b = (b - rot(a, 25)) & M
+        c ^= b; c = (c - rot(b, 16)) & M
+        a ^= c; a = (a - rot(c, 4)) & M
+        b ^= a; b = (b - rot(a, 14)) & M
+        c ^= b; c = (c - rot(b, 24)) & M
+    return c
+
+
 def _encode_chunk_bytes(raw: bytes, filters) -> bytes:
     """Apply the filter pipeline in forward (write) order — shared by
     the driver-side writer and the distributed chunk tasks."""
@@ -648,8 +873,9 @@ class _Writer:
     local-heap + one-SNOD v1 B-tree symbol table — the layout every
     HDF5 reader accepts."""
 
-    def __init__(self):
+    def __init__(self, dense_links: bool = False):
         self.datasets: list[tuple[str, np.ndarray | None, dict]] = []
+        self.dense_links = dense_links
 
     def add(self, name: str, data: np.ndarray, **opts) -> None:
         self.datasets.append((name, np.ascontiguousarray(data), opts))
@@ -684,6 +910,7 @@ class _Writer:
         sink.extend(b"\x00" * 96)  # superblock placeholder
 
         entries = []  # (heap name offset, header addr)
+        named = []  # (name, header addr) for the dense-link path
         heap_names = bytearray(b"\x00")  # offset 0 reserved (empty name)
         for name, data, opts in sorted(
             self.datasets, key=lambda t: t[0]
@@ -697,6 +924,21 @@ class _Writer:
             header_addr = sink.tell()
             sink.extend(hdr)
             entries.append((name_off, header_addr))
+            named.append((name, header_addr))
+        if self.dense_links:
+            root_addr = self._dense_root(named, sink)
+            sink.align()
+            eof = sink.tell()
+            sb = (
+                _SIG
+                + bytes([0, 0, 0, 0, 0, 8, 8, 0])
+                + struct.pack("<HHI", 4, 16, 0)
+                + struct.pack("<QQQQ", 0, _UNDEF, eof, _UNDEF)
+                + struct.pack("<QQII", 0, root_addr, 0, 0)
+                + b"\x00" * 16
+            )
+            sink.backpatch(0, sb)
+            return
         while len(heap_names) % 8:
             heap_names += b"\x00"
         sink.align()
@@ -756,6 +998,124 @@ class _Writer:
             + b"\x00" * 16
         )
         sink.backpatch(0, sb)
+
+    def _dense_root(self, named, sink) -> int:
+        """Root group with DENSE link storage (the layout libhdf5
+        switches to past 8 links): link messages live in a fractal
+        heap (one direct root block), a v2 B-tree of (lookup3 name
+        hash, heap ID) records indexes them, and the root object
+        header carries only a Link Info message.  Returns the root
+        header address."""
+        # link message bodies (v1, flags=0 -> 1-byte name length)
+        bodies = []
+        for name, addr in named:
+            nb = name.encode()
+            if len(nb) > 255:
+                raise ValueError("hdf5: link name too long")
+            bodies.append(
+                bytes([1, 0, len(nb)]) + nb + struct.pack("<Q", addr)
+            )
+        # fractal heap geometry (libhdf5's dense-link defaults)
+        width = 4
+        max_heap_bits = 32
+        off_size = 4  # ceil(32 / 8)
+        max_man_size = 4096
+        if any(len(b) > max_man_size for b in bodies):
+            raise ValueError("hdf5: link message exceeds managed size")
+        hdr_size = 4 + 1 + 8 + off_size  # FHDB header, no checksum
+        need = hdr_size + sum(len(b) for b in bodies)
+        start_block = 1 << max(9, (need - 1).bit_length())
+        max_direct = max(start_block, 1 << 16)
+        b1 = ((max_direct.bit_length() - 1) + 7) // 8
+        b2 = (max_man_size.bit_length() - 1) // 8 + 1
+        len_size = min(b1, b2)
+        id_len = 1 + off_size + len_size
+
+        # layout: [direct block][FRHP][BTLF][BTHD][root header]
+        sink.align()
+        dblock_addr = sink.tell()
+        frhp_addr = dblock_addr + start_block
+        frhp_addr += (-frhp_addr) % 8
+
+        dblock = bytearray()
+        dblock += b"FHDB" + bytes([0]) + struct.pack("<Q", frhp_addr)
+        dblock += (0).to_bytes(off_size, "little")  # block offset 0
+        heap_ids = []
+        for b in bodies:
+            off = len(dblock)  # heap space includes the block header
+            heap_ids.append(
+                bytes([0])  # version 0, managed
+                + off.to_bytes(off_size, "little")
+                + len(b).to_bytes(len_size, "little")
+            )
+            dblock += b
+        dblock += b"\x00" * (start_block - len(dblock))
+        sink.extend(dblock)
+
+        sink.align()
+        assert sink.tell() == frhp_addr
+        frhp = bytearray()
+        frhp += b"FRHP" + bytes([0])
+        frhp += struct.pack("<HHB", id_len, 0, 0)  # id len, filters, flags
+        frhp += struct.pack("<I", max_man_size)
+        frhp += struct.pack("<QQ", 0, _UNDEF)  # next huge id, huge btree
+        frhp += struct.pack("<QQ", 0, _UNDEF)  # free space, fs mgr
+        used = hdr_size + sum(len(b) for b in bodies)
+        frhp += struct.pack("<QQ", start_block, start_block)  # man/alloc
+        frhp += struct.pack("<Q", used)  # direct block iterator offset
+        frhp += struct.pack("<Q", len(bodies))  # n managed
+        frhp += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny size+count
+        frhp += struct.pack("<H", width)
+        frhp += struct.pack("<QQ", start_block, max_direct)
+        frhp += struct.pack("<HH", max_heap_bits, 1)  # heap bits, rows
+        frhp += struct.pack("<Q", dblock_addr)
+        frhp += struct.pack("<H", 0)  # cur rows: 0 = root is direct
+        frhp += struct.pack("<I", jenkins_lookup3(bytes(frhp)))
+        sink.extend(frhp)
+
+        # v2 B-tree: records sorted by (name hash, heap id)
+        record_size = 4 + id_len
+        recs = sorted(
+            struct.pack("<I", jenkins_lookup3(name.encode())) + hid
+            for (name, _), hid in zip(named, heap_ids)
+        )
+        node_size = max(512, 10 + len(recs) * record_size)
+        sink.align()
+        btlf_addr = sink.tell()
+        btlf = bytearray(b"BTLF" + bytes([0, 5]))
+        for r in recs:
+            btlf += r
+        btlf += struct.pack("<I", jenkins_lookup3(bytes(btlf)))
+        sink.extend(btlf)
+        sink.align()
+        bthd_addr = sink.tell()
+        bthd = bytearray(b"BTHD" + bytes([0, 5]))
+        bthd += struct.pack("<I", node_size)
+        bthd += struct.pack("<H", record_size)
+        bthd += struct.pack("<H", 0)  # depth
+        bthd += bytes([100, 40])  # split / merge percent
+        bthd += struct.pack("<Q", btlf_addr)
+        bthd += struct.pack("<H", len(recs))
+        bthd += struct.pack("<Q", len(recs))
+        bthd += struct.pack("<I", jenkins_lookup3(bytes(bthd)))
+        sink.extend(bthd)
+
+        # root object header: one Link Info message (v0, flags 0)
+        li = bytes([0, 0]) + struct.pack("<QQ", frhp_addr, bthd_addr)
+        pad = (-len(li)) % 8
+        sink.align()
+        root_addr = sink.tell()
+        root = (
+            b"\x01\x00" + struct.pack("<H", 1)
+            + struct.pack("<I", 1)
+            + struct.pack("<I", 8 + len(li) + pad)
+            + b"\x00" * 4
+            + struct.pack("<HH", 0x0002, len(li) + pad)
+            + b"\x00" * 4
+            + li + b"\x00" * pad
+        )
+        sink.extend(root)
+        return root_addr
 
     def _dataset_header(self, data, opts, sink) -> bytes:
         precoded = opts.get("_precoded")
@@ -950,11 +1310,14 @@ class _Writer:
         return btree_addr
 
 
-def write_hdf5(path_or_none, datasets: dict) -> bytes:
+def write_hdf5(path_or_none, datasets: dict,
+               dense_links: bool = False) -> bytes:
     """``{name: ndarray | (ndarray, opts)}`` -> HDF5 bytes (and
     optionally a file).  opts: ``chunks`` tuple, ``deflate`` level,
-    ``shuffle`` bool."""
-    w = _Writer()
+    ``shuffle`` / ``fletcher32`` bools, ``fillvalue`` scalar.
+    ``dense_links=True`` stores the root group's links densely
+    (fractal heap + v2 B-tree, the >8-link libhdf5 layout)."""
+    w = _Writer(dense_links=dense_links)
     for name, v in datasets.items():
         if isinstance(v, tuple):
             data, opts = v
