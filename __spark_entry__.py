@@ -2973,6 +2973,54 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint(attach_tone_wav_payload(docs)).drop("error")
 
 
+def q_mel_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mel spectrogram features (operators/audiofeat.py — SURVEY r6
+    banked item 5): 60 docs become REAL float32 WAVs carrying a pure
+    tone at exact rFFT bin 8*(doc%29+1); decode -> rectangular
+    frames -> rFFT power -> per-frame normalization -> HTK mel
+    filterbank.  Normalization makes each mel energy EXACTLY the
+    filterbank weight at the tone bin, closed-form arithmetic the
+    SQL oracle replays (the krige_closed pattern for DSP).  Scale:
+    one Arrow-batched mapInPandas at file grain, samples never on
+    the driver."""
+    from vtk_reserves_spark.operators.audiofeat import (
+        attach_pure_tone_payload, mel_spectrogram,
+    )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id").filter(F.col("doc_id") < 60)
+    )
+    out = mel_spectrogram(
+        attach_pure_tone_payload(docs), window="rect", normalize=True,
+    )
+    # 6-dp rounding on BOTH sides: the harness sorts rows on the
+    # energy column before keys, so sub-6dp fp residue must not
+    # permute ties across engines (the hybrid_retrieval pattern)
+    return out.withColumn("energy", F.round("energy", 6))
+
+
+def q_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFCCs (operators/audiofeat.py): log10(mel + 0.01) of the
+    q_mel_spectrogram tone energies through an orthonormal DCT-II,
+    first 13 coefficients.  The oracle recomputes the DCT of the
+    closed-form filterbank weights in SQL (cos/log10/power are
+    IEEE-double on both engines; 6-dp rounding absorbs the
+    summation-order residue)."""
+    from vtk_reserves_spark.operators.audiofeat import (
+        attach_pure_tone_payload, mfcc,
+    )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id").filter(F.col("doc_id") < 60)
+    )
+    return mfcc(
+        attach_pure_tone_payload(docs), window="rect", normalize=True,
+        log_eps=0.01,
+    )
+
+
 def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML structured-metadata mining (functions/html_meta.py —
     pure Catalyst end to end): every doc becomes an HTML head whose
@@ -8042,6 +8090,99 @@ def _llm_oracles() -> dict[str, str]:
                    COALESCE(text, '') AS txt
             FROM documents
         """,
+        "mel_spectrogram": """
+            -- closed form of the pure-tone mel fixture
+            -- (q_mel_spectrogram): normalized power = delta at bin
+            -- k = 8*(doc%29+1), so energy(mel j) = the HTK
+            -- triangular filter weight at f_k = k*16000/1024,
+            -- identical for every frame (doc%3+1 frames)
+            WITH docs AS (
+              SELECT doc_id,
+                     8 * (doc_id % 29 + 1) AS k,
+                     doc_id % 3 + 1 AS nfr
+              FROM documents WHERE doc_id < 60
+            ),
+            frames AS (
+              SELECT doc_id, k, CAST(f - 1 AS INT) AS frame
+              FROM docs,
+                   LATERAL (SELECT unnest(generate_series(1, nfr)) AS f)
+            ),
+            mels AS (
+              SELECT CAST(j - 1 AS INT) AS mel, j
+              FROM (SELECT unnest(generate_series(1, 26)) AS j)
+            ),
+            p AS (SELECT 2595.0 * log10(1.0 + 8000.0 / 700.0) AS mm)
+            SELECT doc_id, frame, mel,
+                   ROUND(GREATEST(0.0, LEAST(
+                     (k * 16000.0 / 1024
+                      - 700.0 * (POW(10.0, ((j - 1) * mm / 27.0)
+                                            / 2595.0) - 1.0))
+                     / (700.0 * (POW(10.0, (j * mm / 27.0)
+                                            / 2595.0) - 1.0)
+                        - 700.0 * (POW(10.0, ((j - 1) * mm / 27.0)
+                                              / 2595.0) - 1.0)),
+                     (700.0 * (POW(10.0, ((j + 1) * mm / 27.0)
+                                           / 2595.0) - 1.0)
+                      - k * 16000.0 / 1024)
+                     / (700.0 * (POW(10.0, ((j + 1) * mm / 27.0)
+                                            / 2595.0) - 1.0)
+                        - 700.0 * (POW(10.0, (j * mm / 27.0)
+                                              / 2595.0) - 1.0))
+                   )), 6) AS energy
+            FROM frames, mels, p
+        """,
+        "mfcc": """
+            -- DCT-II of log10(weight + 0.01) over the same closed
+            -- form (q_mfcc); orthonormal scaling
+            WITH docs AS (
+              SELECT doc_id,
+                     8 * (doc_id % 29 + 1) AS k,
+                     doc_id % 3 + 1 AS nfr
+              FROM documents WHERE doc_id < 60
+            ),
+            frames AS (
+              SELECT doc_id, k, CAST(f - 1 AS INT) AS frame
+              FROM docs,
+                   LATERAL (SELECT unnest(generate_series(1, nfr)) AS f)
+            ),
+            mels AS (
+              SELECT CAST(j - 1 AS INT) AS mel, j
+              FROM (SELECT unnest(generate_series(1, 26)) AS j)
+            ),
+            coefs AS (
+              SELECT CAST(i AS INT) AS coef
+              FROM (SELECT unnest(generate_series(0, 12)) AS i)
+            ),
+            p AS (SELECT 2595.0 * log10(1.0 + 8000.0 / 700.0) AS mm),
+            w AS (
+              SELECT doc_id, frame, mel,
+                     GREATEST(0.0, LEAST(
+                       (k * 16000.0 / 1024
+                        - 700.0 * (POW(10.0, ((j - 1) * mm / 27.0)
+                                              / 2595.0) - 1.0))
+                       / (700.0 * (POW(10.0, (j * mm / 27.0)
+                                              / 2595.0) - 1.0)
+                          - 700.0 * (POW(10.0, ((j - 1) * mm / 27.0)
+                                                / 2595.0) - 1.0)),
+                       (700.0 * (POW(10.0, ((j + 1) * mm / 27.0)
+                                             / 2595.0) - 1.0)
+                        - k * 16000.0 / 1024)
+                       / (700.0 * (POW(10.0, ((j + 1) * mm / 27.0)
+                                              / 2595.0) - 1.0)
+                          - 700.0 * (POW(10.0, (j * mm / 27.0)
+                                                / 2595.0) - 1.0))
+                     )) AS wt
+              FROM frames, mels, p
+            )
+            SELECT doc_id, frame, coef,
+                   CASE WHEN coef = 0 THEN SQRT(1.0 / 26.0)
+                        ELSE SQRT(2.0 / 26.0) END
+                   * SUM(log10(wt + 0.01)
+                         * COS(PI() * coef * (2 * mel + 1) / 52.0))
+                   AS value
+            FROM w, coefs
+            GROUP BY doc_id, frame, coef
+        """,
         "audio_fingerprint": """
             -- closed form of the audio-fingerprint fixture rule
             -- (q_audio_fingerprint): tone 1 at bin 16*(doc_id%30+1)
@@ -9680,6 +9821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "zip_archive": q_zip_archive,
         "audio_fingerprint": q_audio_fingerprint,
+        "mel_spectrogram": q_mel_spectrogram,
+        "mfcc": q_mfcc,
         "html_meta": q_html_meta,
         "charset_detect": q_charset_detect,
         "readability": q_readability,

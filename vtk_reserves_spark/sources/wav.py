@@ -29,10 +29,12 @@ from vtk_reserves_spark.sources.riff import walk_chunks
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
-    """Serialize int16 PCM samples to a canonical RIFF/WAVE byte string.
+    """Serialize samples to a canonical RIFF/WAVE byte string.
 
-    ``samples`` is ``(n,)`` mono or ``(n, channels)``; values are cast
-    to little-endian int16 (callers clip beforehand if needed).
+    ``samples`` is ``(n,)`` mono or ``(n, channels)``; integer input
+    is cast to little-endian int16 PCM (callers clip beforehand if
+    needed), float input is written as IEEE 32-bit float (format
+    tag 3) — the quantization-free stream the feature oracles need.
     """
     a = np.asarray(samples)
     if a.ndim == 1:
@@ -40,9 +42,15 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     if a.ndim != 2:
         raise ValueError(f"samples must be (n,) or (n, channels), got {a.shape}")
     n, ch = a.shape
-    data = a.astype("<i2").tobytes()
-    byte_rate = sample_rate * ch * 2
-    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    if a.dtype.kind == "f":
+        data = a.astype("<f4").tobytes()
+        width, tag = 4, 3
+    else:
+        data = a.astype("<i2").tobytes()
+        width, tag = 2, 1
+    byte_rate = sample_rate * ch * width
+    fmt = struct.pack("<HHIIHH", tag, ch, sample_rate, byte_rate,
+                      ch * width, width * 8)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
