@@ -2973,6 +2973,47 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint(attach_tone_wav_payload(docs)).drop("error")
 
 
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (operators/unigram.py — SURVEY r6 banked item 6): substring-seed
+    the piece vocabulary over the distributed word table, run two
+    hard-EM (Viterbi) rounds — broadcast log-probs, Arrow-batched
+    lattice DP per word, one groupBy(piece) per round — and prune to
+    150 pieces with char fallback.  Iterative fixed point => rows-
+    only; the learner is pinned to a pure-Python reference by
+    tests/test_unigram.py and q:unigram_degenerate hash-matches the
+    char-level closed form."""
+    from vtk_reserves_spark.operators.bpe import word_counts
+    from vtk_reserves_spark.operators.unigram import learn_unigram
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    return learn_unigram(
+        word_counts(docs), vocab_size=150, em_iters=2,
+        max_piece_len=6, seed_size=500,
+    )
+
+
+def q_unigram_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram training on the DEGENERATE fixture that admits a SQL
+    oracle (the bpe_degenerate pattern): max_piece_len=1 collapses
+    the lattice to single characters, so the learned vocabulary is
+    exactly the char-frequency table of the tokenized corpus — which
+    DuckDB replays by exploding lower(text) into characters and
+    dropping whitespace (tokens() only ever removes whitespace).
+    The query still runs the REAL code path (seed explode ->
+    broadcast logp -> Viterbi UDF -> groupBy round); only the
+    fixture is degenerate."""
+    from vtk_reserves_spark.operators.bpe import word_counts
+    from vtk_reserves_spark.operators.unigram import learn_unigram
+
+    docs = _read(spark, sf_dir, "documents").select("text")
+    out = learn_unigram(
+        word_counts(docs), vocab_size=100, em_iters=1,
+        max_piece_len=1,
+    )
+    return out.withColumn("prob", F.round("prob", 6))
+
+
 def q_mel_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mel spectrogram features (operators/audiofeat.py — SURVEY r6
     banked item 5): 60 docs become REAL float32 WAVs carrying a pure
@@ -8090,6 +8131,26 @@ def _llm_oracles() -> dict[str, str]:
                    COALESCE(text, '') AS txt
             FROM documents
         """,
+        "unigram_degenerate": """
+            -- char-level closed form of q_unigram_degenerate:
+            -- max_piece_len=1 makes the learned vocabulary the char
+            -- frequencies of the whitespace-tokenized lowercased
+            -- corpus
+            WITH ch AS (
+              SELECT substr(lower(text), i, 1) AS piece
+              FROM documents,
+                   LATERAL (SELECT unnest(generate_series(
+                     1, length(text))) AS i)
+            ),
+            nz AS (
+              SELECT piece FROM ch
+              WHERE piece NOT IN (' ', chr(9), chr(10), chr(13))
+            )
+            SELECT piece, COUNT(*) AS count,
+                   ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6)
+                     AS prob
+            FROM nz GROUP BY piece
+        """,
         "mel_spectrogram": """
             -- closed form of the pure-tone mel fixture
             -- (q_mel_spectrogram): normalized power = delta at bin
@@ -9823,6 +9884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": q_audio_fingerprint,
         "mel_spectrogram": q_mel_spectrogram,
         "mfcc": q_mfcc,
+        "unigram_vocab": q_unigram_vocab,
+        "unigram_degenerate": q_unigram_degenerate,
         "html_meta": q_html_meta,
         "charset_detect": q_charset_detect,
         "readability": q_readability,
