@@ -93,8 +93,9 @@ def test_partition_columns_recovered(spark, tmp_path):
 
 
 def test_protocol_gating(tmp_path):
-    """Reader version 3 with ONLY deletionVectors is supported (the
-    DV read path); version 2 (column mapping era) still gates."""
+    """Reader version 3 with deletionVectors/columnMapping is
+    supported, and version 2 (column mapping era) reads; an unknown
+    reader version still gates."""
     t = str(tmp_path / "tbl")
     os.makedirs(os.path.join(t, "_delta_log"))
     with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
@@ -116,8 +117,18 @@ def test_protocol_gating(tmp_path):
             "partitionColumns": [],
             "format": {"provider": "parquet", "options": {}},
         }}) + "\n")
-    with pytest.raises(ValueError, match="reader version 2"):
-        delta_snapshot(t2)
+    assert delta_snapshot(t2)["files"] == []  # v2 = column mapping
+    t3 = str(tmp_path / "tbl3")
+    os.makedirs(os.path.join(t3, "_delta_log"))
+    with open(os.path.join(t3, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 9}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "schemaString": SCHEMA_JSON,
+            "partitionColumns": [],
+            "format": {"provider": "parquet", "options": {}},
+        }}) + "\n")
+    with pytest.raises(ValueError, match="reader version 9"):
+        delta_snapshot(t3)
 
 
 def test_empty_snapshot_schema(spark, tmp_path):
@@ -178,14 +189,14 @@ def test_unknown_reader_feature_still_gated(tmp_path):
     with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3,
-            "readerFeatures": ["deletionVectors", "columnMapping"],
+            "readerFeatures": ["deletionVectors", "v2Checkpoint"],
         }}) + "\n")
         fh.write(json.dumps({"metaData": {
             "id": "x", "schemaString": SCHEMA_JSON,
             "partitionColumns": [],
             "format": {"provider": "parquet", "options": {}},
         }}) + "\n")
-    with pytest.raises(ValueError, match="columnMapping"):
+    with pytest.raises(ValueError, match="v2Checkpoint"):
         delta_snapshot(t)
 
 
