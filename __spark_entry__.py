@@ -9674,29 +9674,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness harness records the FIRST 50
-    # entries in dict order (bench runs all).  Round-6 rotation
+    # entries in dict order (bench runs all).  Round-7 rotation
     # (ledger: ROTATION.json, regenerated by tools/rotation_ledger.py):
-    # [head, 16] the round-1 greens that sat past the round-5 cap —
-    #     the similarity/multimodal/mesh families plus asof_join/
-    #     range_join/time_rollup, whose newest driver evidence was
-    #     five rounds old (VERDICT r5 item 2);
-    # [next, 17] round-6 NEW queries (gltf_mesh, zarr_embeddings,
-    #     hdf5_embeddings, safetensors_embeddings, krige_closed,
-    #     pca_whiten + pca_whiten_degenerate, quality_classifier +
-    #     logreg_degenerate, semantic_dedup, delta_snapshot,
-    #     iceberg_snapshot, hybrid_retrieval, parquet_stats,
-    #     heif_metadata) and the two whose IMPLEMENTATION changed
-    #     this round (decompress: native lz4/snappy dispatch +
-    #     linked-block frames; ngram_jaccard: hashed shingles
-    #     through the candidate join);
-    # [fill, 17] the oldest round-2 greens (distinct_sketch ...
-    #     geotiff_table) whose newest evidence is four rounds old;
-    #     xlsx_report, skew_salted_agg, pack_offsets, desurvey,
-    #     desurvey_mincurve + idw spill past the cap and head the
-    #     round-7 rotation.
-    # Everything after slot 50 keeps its prior-round ordering; the
-    # remaining r2 greens head the round-7 rotation.
+    # [head, 7] the NEW oracle-backed round-7 queries (equality
+    #     deletes, column mapping, distributed zarr/hdf5 write
+    #     round-trips, mel/mfcc, unigram char twin);
+    # [next, 3] queries whose IMPLEMENTATION changed this round
+    #     (hdf5_embeddings: dense-link fixture + fletcher32/fill
+    #     fixes; delta_snapshot / iceberg_snapshot: URI-decoded join
+    #     keys + sequence-number scoping);
+    # [next, 20] every oracle-backed query whose newest driver
+    #     evidence is round 2 (the oldest-evidence set);
+    # [fill, 20] the round-3 tail, headed by the six the r6 note
+    #     promised would lead this rotation (xlsx_report,
+    #     skew_salted_agg, pack_offsets, desurvey, desurvey_mincurve,
+    #     idw).
+    # Per VERDICT r6 item 3, NO rows-only (no_oracle) queries occupy
+    # window slots this round — rows-only execution is proven by the
+    # full self-run (CORRECTNESS_full_r07).  Everything after slot 50
+    # keeps its prior-round ordering.
     return {
+        "iceberg_equality": q_iceberg_equality,
+        "delta_column_mapping": q_delta_column_mapping,
+        "zarr_write_roundtrip": q_zarr_write_roundtrip,
+        "hdf5_write_roundtrip": q_hdf5_write_roundtrip,
+        "mel_spectrogram": q_mel_spectrogram,
+        "mfcc": q_mfcc,
+        "unigram_degenerate": q_unigram_degenerate,
+        "hdf5_embeddings": q_hdf5_embeddings,
+        "delta_snapshot": q_delta_snapshot,
+        "iceberg_snapshot": q_iceberg_snapshot,
+        "heavy_hitters": q_heavy_hitters,
+        "asof_interpolate": q_asof_interpolate,
+        "quality_checks": q_quality_checks,
+        "profile": q_profile,
+        "chunk_documents": q_chunk_documents,
+        "melt_measures": q_melt_measures,
+        "length_filter": q_length_filter,
+        "decluster": q_decluster,
+        "topcut": q_topcut,
+        "reblock": q_reblock,
+        "composite": q_composite,
+        "audio_features": q_audio_features,
+        "segment_dedup": q_segment_dedup,
+        "duplicate_spans": q_duplicate_spans,
+        "video_frames": q_video_frames,
+        "variogram": q_variogram,
+        "variogram_fit": q_variogram_fit,
+        "variogram_directional": q_variogram_directional,
+        "charlm_perplexity": q_charlm_perplexity,
+        "swath": q_swath,
+        "xlsx_report": q_xlsx_report,
+        "skew_salted_agg": q_skew_salted_agg,
+        "pack_offsets": q_pack_offsets,
+        "desurvey": q_desurvey,
+        "desurvey_mincurve": q_desurvey_mincurve,
+        "idw": q_idw,
+        "grade_tonnage": q_grade_tonnage,
+        "simhash_pairs": q_simhash_pairs,
+        "stream_kmv": q_stream_kmv,
+        "stream_topk": q_stream_topk,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
+        "video_frames_mjpg": q_video_frames_mjpg,
+        "xls_report": q_xls_report,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "krige_degenerate": q_krige_degenerate,
+        "bpe_degenerate": q_bpe_degenerate,
+        "jpeg_progressive": q_jpeg_progressive,
+        "gif_frames": q_gif_frames,
+        "webp_decode": q_webp_decode,
+        "webp_anim": q_webp_anim,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
@@ -9717,17 +9764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "gltf_mesh": q_gltf_mesh,
         "zarr_embeddings": q_zarr_embeddings,
-        "hdf5_embeddings": q_hdf5_embeddings,
         "krige_closed": q_krige_closed,
         "pca_whiten_degenerate": q_pca_whiten_degenerate,
         "logreg_degenerate": q_logreg_degenerate,
         "semantic_dedup": q_semantic_dedup,
-        "delta_snapshot": q_delta_snapshot,
-        "iceberg_snapshot": q_iceberg_snapshot,
-        "iceberg_equality": q_iceberg_equality,
-        "delta_column_mapping": q_delta_column_mapping,
-        "zarr_write_roundtrip": q_zarr_write_roundtrip,
-        "hdf5_write_roundtrip": q_hdf5_write_roundtrip,
         "hybrid_retrieval": q_hybrid_retrieval,
         "parquet_stats": q_parquet_stats,
         "heif_metadata": q_heif_metadata,
@@ -9751,14 +9791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "las_read": q_las_read,
         "png_table": q_png_table,
         "geotiff_table": q_geotiff_table,
-        "xlsx_report": q_xlsx_report,
-        "skew_salted_agg": q_skew_salted_agg,
-        "pack_offsets": q_pack_offsets,
-        "desurvey": q_desurvey,
-        "desurvey_mincurve": q_desurvey_mincurve,
-        # idw spills to slot 50 (delta_snapshot took its window seat;
-        # idw has r2 green evidence and heads the round-7 rotation)
-        "idw": q_idw,
         "ivf_video": q_ivf_video,
         "vp9_headers": q_vp9_headers,
         "msgpack": q_msgpack,
@@ -9807,40 +9839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
-        "grade_tonnage": q_grade_tonnage,
-        "simhash_pairs": q_simhash_pairs,
-        "stream_kmv": q_stream_kmv,
-        "stream_topk": q_stream_topk,
-        "stream_heavy_hitters": q_stream_heavy_hitters,
-        "heavy_hitters": q_heavy_hitters,
-        "asof_interpolate": q_asof_interpolate,
-        "quality_checks": q_quality_checks,
-        "profile": q_profile,
-        "chunk_documents": q_chunk_documents,
-        "melt_measures": q_melt_measures,
-        "length_filter": q_length_filter,
-        "decluster": q_decluster,
-        "topcut": q_topcut,
-        "reblock": q_reblock,
-        "composite": q_composite,
-        "audio_features": q_audio_features,
-        "segment_dedup": q_segment_dedup,
-        "duplicate_spans": q_duplicate_spans,
-        "video_frames": q_video_frames,
-        "variogram": q_variogram,
-        "variogram_fit": q_variogram_fit,
-        "variogram_directional": q_variogram_directional,
-        "charlm_perplexity": q_charlm_perplexity,
-        "swath": q_swath,
-        "video_frames_mjpg": q_video_frames_mjpg,
-        "xls_report": q_xls_report,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "krige_degenerate": q_krige_degenerate,
-        "bpe_degenerate": q_bpe_degenerate,
-        "jpeg_progressive": q_jpeg_progressive,
-        "gif_frames": q_gif_frames,
-        "webp_decode": q_webp_decode,
-        "webp_anim": q_webp_anim,
         "flac_features": q_flac_features,
         "warc_ingest": q_warc_ingest,
         "kmeans": q_kmeans,
@@ -9882,10 +9880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "zip_archive": q_zip_archive,
         "audio_fingerprint": q_audio_fingerprint,
-        "mel_spectrogram": q_mel_spectrogram,
-        "mfcc": q_mfcc,
         "unigram_vocab": q_unigram_vocab,
-        "unigram_degenerate": q_unigram_degenerate,
         "html_meta": q_html_meta,
         "charset_detect": q_charset_detect,
         "readability": q_readability,
