@@ -261,3 +261,71 @@ def test_position_deletes_path_with_spaces(spark, tmp_path, monkeypatch):
         r["id"]
         for r in read_iceberg(spark, "tbl with space").collect()
     ) == [10, 12]
+
+
+# ------------------------------------------------- distributed writer
+
+
+def test_write_iceberg_append_and_time_travel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import write_iceberg
+
+    t = str(tmp_path / "ice")
+    df = spark.range(30).withColumn(
+        "txt", F.concat(F.lit("r-"), F.col("id"))
+    )
+    assert write_iceberg(df, t) == 1
+    assert write_iceberg(
+        spark.range(30, 40).withColumn(
+            "txt", F.concat(F.lit("r-"), F.col("id"))
+        ),
+        t,
+    ) == 2
+    back = read_iceberg(spark, t)
+    assert sorted(r["id"] for r in back.collect()) == list(range(40))
+    assert read_iceberg(spark, t, snapshot_id=1).count() == 30
+    # the second snapshot carries the first's files forward
+    snap = iceberg_snapshot(t)
+    assert len(snap["files"]) > len(iceberg_snapshot(t, 1)["files"]) or \
+        len(snap["files"]) >= 1
+
+
+def test_write_iceberg_overwrite_new_schema(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import write_iceberg
+
+    t = str(tmp_path / "ice")
+    write_iceberg(spark.range(10), t)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg(spark.range(3).withColumn("v", F.lit(0.5)), t)
+    write_iceberg(
+        spark.range(3).withColumn("v", F.col("id") * 0.5), t,
+        mode="overwrite",
+    )
+    back = read_iceberg(spark, t)
+    assert set(back.columns) == {"id", "v"}
+    assert back.count() == 3
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(t, "metadata", "version-hint.text")) as fh:
+        v = int(fh.read())
+    with open(
+        _os.path.join(t, "metadata", f"v{v}.metadata.json")
+    ) as fh:
+        meta = _json.load(fh)
+    names = [f["name"] for f in meta["schema"]["fields"]]
+    assert names == ["id", "v"]
+
+
+def test_write_iceberg_type_gate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import write_iceberg
+
+    t = str(tmp_path / "ice")
+    bad = spark.range(2).withColumn("arr", F.array(F.lit(1)))
+    with pytest.raises(ValueError, match="writable subset"):
+        write_iceberg(bad, t)

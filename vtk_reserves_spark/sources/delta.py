@@ -45,7 +45,7 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "decoded_file_path", "delta_snapshot", "read_delta",
+    "decoded_file_path", "delta_snapshot", "read_delta", "write_delta",
     "write_delta_commit", "write_delta_checkpoint",
 ]
 
@@ -158,30 +158,45 @@ def delta_snapshot(table: str, version: int | None = None) -> dict:
             lc = json.load(fh)
         cv = int(lc["version"])
         if version is None or cv <= version:
-            if lc.get("parts"):
-                raise ValueError(
-                    "delta: multi-part checkpoints not supported"
-                )
             import pyarrow.parquet as pq
 
-            cp = os.path.join(log_dir, f"{cv:020d}.checkpoint.parquet")
-            t = pq.read_table(cp)
-            for row in t.to_pylist():
-                if row.get("protocol"):
-                    proto = row["protocol"]
-                if row.get("metaData"):
-                    meta = row["metaData"]
-                if row.get("add"):
-                    add = dict(row["add"])
-                    pv = add.get("partitionValues") or {}
-                    if not isinstance(pv, dict):  # pyarrow MAP -> pairs
-                        pv = dict(pv)
-                    add["partitionValues"] = {
-                        k: v for k, v in pv.items() if v is not None
-                    }
-                    adds[add["path"]] = add
-                if row.get("remove"):
-                    adds.pop(row["remove"]["path"], None)
+            parts = int(lc.get("parts") or 0)
+            if parts:  # multi-part: NNN.checkpoint.0001.0003.parquet
+                cps = [
+                    os.path.join(
+                        log_dir,
+                        f"{cv:020d}.checkpoint.{p:010d}.{parts:010d}"
+                        ".parquet",
+                    )
+                    for p in range(1, parts + 1)
+                ]
+            else:
+                cps = [
+                    os.path.join(log_dir, f"{cv:020d}.checkpoint.parquet")
+                ]
+            for cp in cps:
+                t = pq.read_table(cp)
+                for row in t.to_pylist():
+                    if row.get("protocol"):
+                        proto = row["protocol"]
+                    if row.get("metaData"):
+                        meta = row["metaData"]
+                    if row.get("add"):
+                        add = dict(row["add"])
+                        pv = add.get("partitionValues") or {}
+                        if not isinstance(pv, dict):  # pyarrow MAP
+                            pv = dict(pv)
+                        add["partitionValues"] = {
+                            k: v for k, v in pv.items() if v is not None
+                        }
+                        dv = add.get("deletionVector")
+                        if dv is not None and dv.get(
+                            "storageType"
+                        ) is None:
+                            add["deletionVector"] = None  # all-null struct
+                        adds[add["path"]] = add
+                    if row.get("remove"):
+                        adds.pop(row["remove"]["path"], None)
             start = cv + 1
     _check_protocol(proto)
     versions = [v for v in _list_commit_versions(log_dir) if v >= start]
@@ -355,6 +370,139 @@ def read_delta(
     ).drop("_dv_path", "_dv_pos"))
 
 
+def _hive_partition_values(rel_dir: str) -> dict:
+    """``k1=v1/k2=v2`` directory components -> partitionValues dict
+    (hive escaping undone; ``__HIVE_DEFAULT_PARTITION__`` -> null,
+    which is how delta-spark records a null partition value)."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for comp in rel_dir.split(os.sep):
+        if not comp or "=" not in comp:
+            continue
+        k, _, v = comp.partition("=")
+        v = unquote(v)
+        out[unquote(k)] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return out
+
+
+def _stage_and_promote(
+    df: DataFrame, table: str, partition_by: list[str] | None
+) -> list[dict]:
+    """Distributed data write: executors write parquet into a hidden
+    staging dir INSIDE the table (same filesystem, so promotion is a
+    metadata rename, never a copy), then the driver moves each part
+    file to its final partition directory and returns the ``add``
+    descriptors.  This is the exact split delta-spark uses — tasks
+    write data files, the driver commits the log."""
+    import shutil
+    import uuid as _uuid
+    from urllib.parse import quote
+
+    os.makedirs(table, exist_ok=True)
+    stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+    adds: list[dict] = []
+    try:
+        for root, _dirs, files in os.walk(stage):
+            rel_dir = os.path.relpath(root, stage)
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue  # _SUCCESS, .crc
+                rel = name if rel_dir == "." else os.path.join(
+                    rel_dir, name
+                )
+                dst = os.path.join(table, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(root, name), dst)
+                adds.append({
+                    "path": quote(rel.replace(os.sep, "/"), safe="/"),
+                    "partitionValues": _hive_partition_values(rel_dir),
+                    "size": os.path.getsize(dst),
+                })
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return adds
+
+
+def write_delta(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    checkpoint_interval: int = 10,
+) -> int:
+    """DataFrame -> Delta table commit; returns the new version.
+
+    The DATA path is fully distributed (ordinary ``df.write.parquet``
+    — Catalyst/Tungsten write the part files in parallel, hive
+    partition dirs included); only the LOG append is driver-side
+    metadata, which is exactly how delta-spark itself commits.  At
+    100 TB the driver handles one small JSON line per part file and
+    never touches data bytes.
+
+    ``mode="append"`` adds the files to the current snapshot (the
+    schema and partition columns must match the table's);
+    ``mode="overwrite"`` additionally tombstones every current file
+    and re-emits metaData, so schema/partition changes are legal
+    exactly when delta-spark allows them (overwriteSchema).  Every
+    ``checkpoint_interval`` commits the log compacts into a
+    checkpoint parquet (delta-spark defaults to 10); deletion-vector
+    descriptors checkpoint too (``add.deletionVector`` struct)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"delta: write mode {mode!r} (append/overwrite)")
+    log_dir = os.path.join(table, _LOG_DIR)
+    exists = os.path.isdir(log_dir) and (
+        _list_commit_versions(log_dir)
+        or os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    )
+    snap = delta_snapshot(table) if exists else None
+    schema_json = df.schema.json()
+    removes: list[str] = []
+    if snap is None:
+        version = 0
+        emit_schema = schema_json
+    else:
+        version = snap["version"] + 1
+        prev_cols = snap["metadata"].get("partitionColumns") or []
+        if mode == "append":
+            if list(partition_by or []) != list(prev_cols):
+                raise ValueError(
+                    f"delta: append partitioned by {partition_by} but "
+                    f"table uses {prev_cols}"
+                )
+            prev = json.loads(snap["metadata"]["schemaString"])
+            want = json.loads(schema_json)
+            norm = lambda s: [  # noqa: E731
+                (f["name"], f["type"]) for f in s.get("fields", [])
+            ]
+            if norm(prev) != norm(want):
+                raise ValueError(
+                    "delta: append schema mismatch "
+                    f"({norm(want)} vs table {norm(prev)})"
+                )
+            emit_schema = None
+        else:
+            removes = [p for p, _, _, _ in snap["files"]]
+            emit_schema = schema_json  # metaData re-emit (overwriteSchema)
+    adds = _stage_and_promote(df, table, partition_by)
+    write_delta_commit(
+        table, version, adds=adds, removes=removes,
+        schema_json=emit_schema,
+        partition_columns=list(partition_by or []),
+    )
+    if (
+        checkpoint_interval
+        and version
+        and version % checkpoint_interval == 0
+    ):
+        write_delta_checkpoint(table, version)
+    return version
+
+
 # ------------------------------------------------------------- fixtures
 
 
@@ -442,47 +590,70 @@ def write_delta_commit(
         fh.write("\n".join(lines) + "\n")
 
 
-def write_delta_checkpoint(table: str, version: int) -> None:
+def write_delta_checkpoint(
+    table: str, version: int, parts: int | None = None
+) -> None:
     """Compact the snapshot at ``version`` into a checkpoint parquet
     + ``_last_checkpoint`` (the layout PROTOCOL.md specifies; struct
-    columns written via pyarrow)."""
+    columns written via pyarrow).  Deletion-vector descriptors ride
+    along in the ``add.deletionVector`` struct (reader-v3 tables
+    checkpoint fine).  ``parts=N`` writes the multi-part form
+    (``NNN.checkpoint.<i>.<N>.parquet``) that delta-spark emits for
+    very large snapshots — actions round-robin across parts."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     snap = delta_snapshot(table, version)
-    if any(dv for _, _, _, dv in snap["files"]):
-        raise ValueError(
-            "delta: checkpointing deletion-vector tables not supported "
-            "(the fixture checkpoint schema has no DV struct)"
-        )
+    rv = int(snap["protocol"].get("minReaderVersion", 1))
     proto = {
-        "minReaderVersion": int(
-            snap["protocol"].get("minReaderVersion", 1)
-        ),
+        "minReaderVersion": rv,
         "minWriterVersion": int(
             snap["protocol"].get("minWriterVersion", 2)
         ),
     }
+    if snap["protocol"].get("readerFeatures"):
+        proto["readerFeatures"] = list(snap["protocol"]["readerFeatures"])
+        proto["writerFeatures"] = list(
+            snap["protocol"].get("writerFeatures")
+            or snap["protocol"]["readerFeatures"]
+        )
     rows = [
         {"protocol": proto, "metaData": None, "add": None,
          "remove": None},
         {"protocol": None, "metaData": snap["metadata"],
          "add": None, "remove": None},
     ]
-    for path, pv, size, _dv in snap["files"]:
+    for path, pv, size, dv in snap["files"]:
+        add = {"path": path, "partitionValues": pv, "size": size,
+               "modificationTime": 0, "dataChange": False}
+        if dv:
+            add["deletionVector"] = {
+                "storageType": dv["storageType"],
+                "pathOrInlineDv": dv["pathOrInlineDv"],
+                "offset": int(dv.get("offset", 1)),
+                "sizeInBytes": int(dv["sizeInBytes"]),
+                "cardinality": int(dv.get("cardinality", 0)),
+            }
         rows.append({
-            "protocol": None, "metaData": None,
-            "add": {"path": path, "partitionValues": pv, "size": size,
-                    "modificationTime": 0, "dataChange": False},
+            "protocol": None, "metaData": None, "add": add,
             "remove": None,
         })
     # explicit schema: configuration/options/partitionValues are MAP
     # types in real checkpoints (empty structs are unwritable)
     str_map = pa.map_(pa.string(), pa.string())
+    dv_struct = pa.struct([
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()),
+        ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
     schema = pa.schema([
         ("protocol", pa.struct([
             ("minReaderVersion", pa.int32()),
             ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
         ])),
         ("metaData", pa.struct([
             ("id", pa.string()),
@@ -501,6 +672,7 @@ def write_delta_checkpoint(table: str, version: int) -> None:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("deletionVector", dv_struct),
         ])),
         ("remove", pa.struct([
             ("path", pa.string()),
@@ -508,10 +680,24 @@ def write_delta_checkpoint(table: str, version: int) -> None:
             ("dataChange", pa.bool_()),
         ])),
     ])
-    table_arrow = pa.Table.from_pylist(rows, schema=schema)
-    cp = os.path.join(table, _LOG_DIR,
-                      f"{version:020d}.checkpoint.parquet")
-    pq.write_table(table_arrow, cp)
-    with open(os.path.join(table, _LOG_DIR, "_last_checkpoint"),
-              "w") as fh:
-        json.dump({"version": version, "size": len(rows)}, fh)
+    log_dir = os.path.join(table, _LOG_DIR)
+    lc: dict = {"version": version, "size": len(rows)}
+    if parts:
+        lc["parts"] = parts
+        for p in range(1, parts + 1):
+            chunk = rows[p - 1 :: parts]  # round-robin split
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=schema),
+                os.path.join(
+                    log_dir,
+                    f"{version:020d}.checkpoint.{p:010d}.{parts:010d}"
+                    ".parquet",
+                ),
+            )
+    else:
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=schema),
+            os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"),
+        )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump(lc, fh)

@@ -48,7 +48,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "iceberg_snapshot", "read_iceberg",
+    "iceberg_snapshot", "read_iceberg", "write_iceberg",
     "write_iceberg_table", "append_iceberg_snapshot",
 ]
 
@@ -346,6 +346,119 @@ def read_iceberg(
     return data.drop("_ice_path", "_ice_pos", "_ice_seq")
 
 
+_ICE_TYPES = {
+    "long": "long", "integer": "int", "short": "int", "byte": "int",
+    "double": "double", "float": "float", "string": "string",
+    "boolean": "boolean", "date": "date", "binary": "binary",
+    "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
+}
+
+
+def _iceberg_schema_fields(schema) -> list[dict]:
+    """Spark StructType -> Iceberg schema field dicts (spec type
+    names, sequential field ids).  Nested/decimal types outside the
+    subset gate with a clear error rather than a misdeclared schema."""
+    out = []
+    for i, f in enumerate(schema.fields, start=1):
+        tn = f.dataType.typeName()
+        if tn == "decimal":
+            t = f"decimal({f.dataType.precision}, {f.dataType.scale})"
+        elif tn in _ICE_TYPES:
+            t = _ICE_TYPES[tn]
+        else:
+            raise ValueError(
+                f"iceberg: column {f.name!r} type {tn} not in the "
+                "writable subset"
+            )
+        out.append({
+            "id": i, "name": f.name, "required": not f.nullable,
+            "type": t,
+        })
+    return out
+
+
+def write_iceberg(
+    df: DataFrame, table: str, mode: str = "append"
+) -> int:
+    """DataFrame -> Iceberg snapshot; returns the new snapshot id.
+
+    Same split as ``delta.write_delta`` (and as iceberg-spark
+    itself): the DATA write is one distributed Catalyst parquet job
+    into a staging dir inside the table, promoted into ``data/`` by
+    filesystem rename; the driver then writes the manifest Avro,
+    manifest list, and next ``vN.metadata.json`` — pure metadata.
+    Per-file ``record_count`` comes from the parquet FOOTERS
+    (metadata pages only, never data; at scale these stats would ride
+    back from the write tasks like iceberg-spark's commit messages,
+    but a footer read per part file is the same O(files) driver
+    cost).  ``mode="append"`` requires the existing schema;
+    ``mode="overwrite"`` tombstones every current data file and may
+    change the schema (the metadata's schema is replaced)."""
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(
+            f"iceberg: write mode {mode!r} (append/overwrite)"
+        )
+    fields = _iceberg_schema_fields(df.schema)
+    mdir = os.path.join(table, "metadata")
+    exists = os.path.exists(os.path.join(mdir, "version-hint.text"))
+    new_schema = None
+    if not exists:
+        write_iceberg_table(table, fields)
+        meta = _load_table_metadata(table)
+    else:
+        meta = _load_table_metadata(table)
+        prev = [
+            (f["name"], f["type"])
+            for f in (meta.get("schema") or {}).get("fields", [])
+        ]
+        want = [(f["name"], f["type"]) for f in fields]
+        if prev != want:
+            if mode == "append":
+                raise ValueError(
+                    f"iceberg: append schema mismatch ({want} vs "
+                    f"table {prev})"
+                )
+            new_schema = fields
+    deleted = None
+    if mode == "overwrite" and meta.get("snapshots"):
+        deleted = [
+            os.path.relpath(p, table)
+            for p in iceberg_snapshot(table)["files"]
+        ]
+    snapshot_id = 1 + max(
+        [int(s["snapshot-id"]) for s in meta.get("snapshots") or []],
+        default=0,
+    )
+    stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    data_files = []
+    try:
+        os.makedirs(os.path.join(table, "data"), exist_ok=True)
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"data/{name}"
+            dst = os.path.join(table, rel)
+            os.rename(os.path.join(stage, name), dst)
+            data_files.append({
+                "file_path": rel,
+                "record_count": pq.ParquetFile(dst).metadata.num_rows,
+                "size": os.path.getsize(dst),
+            })
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    append_iceberg_snapshot(
+        table, snapshot_id, data_files, deleted_files=deleted,
+        new_schema_fields=new_schema,
+    )
+    return snapshot_id
+
+
 # ------------------------------------------------------------- fixtures
 
 
@@ -379,6 +492,7 @@ def append_iceberg_snapshot(
     deleted_files: list[str] | None = None,
     position_deletes: list[tuple[str, int]] | None = None,
     equality_deletes: tuple[list[dict], list[int]] | None = None,
+    new_schema_fields: list[dict] | None = None,
 ) -> None:
     """Add a snapshot: writes one manifest (adds + deletions of
     prior files), the manifest list, and the next vN.metadata.json.
@@ -542,6 +656,12 @@ def append_iceberg_snapshot(
     with open(os.path.join(table, ml_rel), "wb") as fh:
         fh.write(write_avro_bytes(_MANIFEST_LIST_SCHEMA, ml_rows))
     meta = dict(meta)
+    if new_schema_fields is not None:  # overwrite-with-new-schema
+        meta["schema"] = {"type": "struct",
+                          "fields": new_schema_fields}
+        meta["last-column-id"] = max(
+            (int(f["id"]) for f in new_schema_fields), default=0
+        )
     meta["snapshots"] = list(meta.get("snapshots") or []) + [
         {"snapshot-id": snapshot_id, "timestamp-ms": 0,
          "sequence-number": seq,
