@@ -4553,6 +4553,50 @@ def q_zarr_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zarr_v3_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr **v3** store, both directions (sources/zarr.py): the
+    embeddings table writes DISTRIBUTED as a v3 array — zarr.json
+    metadata, ``c/i/j`` default chunk keys, codec chain
+    bytes(little) -> zstd -> crc32c (checksum verified on read) —
+    then reads back one task per chunk via the same ``_chunk_path``
+    machinery as v2.  Covers the current zarr spec (ZEP0001) next to
+    the v2 surface (q:zarr_embeddings / q:zarr_write_roundtrip);
+    float32 storage widens exactly to float64 for the oracle."""
+    import shutil
+    import tempfile
+
+    from vtk_reserves_spark.sources.zarr import (
+        read_zarr_df, write_zarr_df,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    n, d = emb.agg(
+        F.max("vec_id").alias("n"),
+        F.max(F.size("embedding")).alias("d"),
+    ).first()
+    n, d = int(n) + 1, int(d)
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_zarr3_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    rows = emb.select(
+        F.col("vec_id").alias("i0"),
+        F.posexplode("embedding").alias("i1", "value"),
+    ).select("i0", "i1", F.col("value").cast("double").alias("value"))
+    write_zarr_df(
+        rows, td, "vectors", shape=(n, d), chunks=(256, d),
+        dtype="<f4", compressor={"id": "zstd", "level": 3},
+        zarr_format=3, checksum=True,
+    )
+    out = read_zarr_df(spark, td, "vectors")
+    return out.select(
+        F.col("i0").alias("vec_id"),
+        F.col("i1").cast("int").alias("dim"),
+        F.col("value"),
+    )
+
+
 def q_hdf5_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED HDF5 write + chunk-grain read-back
     (sources/hdf5.write_hdf5_df): chunk encode (shuffle + deflate +
@@ -4596,6 +4640,81 @@ def q_hdf5_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i1").cast("int").alias("dim"),
         F.col("value"),
     )
+
+
+def q_delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED Delta Lake write + read-back
+    (sources/delta.write_delta): commit 0 writes the even-doc_id half
+    of documents as a hive-PARTITIONED Delta table (executors write
+    the parquet part files, the driver appends one JSON commit —
+    delta-spark's own split), commit 1 APPENDS the doc_id % 10 == 5
+    slice; the read replays both commits and recovers the partition
+    column from the directories.  Completes the lakehouse loop in
+    both directions (reader: q:delta_snapshot).  Reference parity:
+    the reference has no lakehouse layer; SURVEY §8 extension."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import read_delta, write_delta
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_deltaw_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.length("text").alias("text_len"),
+            (F.col("doc_id") % 3).cast("int").alias("bucket"),
+        )
+    )
+    write_delta(
+        base.filter(F.col("doc_id") % 2 == 0), td,
+        partition_by=["bucket"],
+    )
+    write_delta(
+        base.filter(F.col("doc_id") % 10 == 5), td,
+        partition_by=["bucket"],
+    )
+    return read_delta(spark, td).select(
+        "doc_id", "text_len", F.col("bucket").cast("int").alias("bucket")
+    )
+
+
+def q_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED Iceberg write + read-back
+    (sources/iceberg.write_iceberg): snapshot 1 appends the even
+    half of documents (executors write parquet into data/, the
+    driver writes manifest Avro + manifest list + next metadata
+    JSON via the in-repo Avro codec; per-file record counts from the
+    parquet FOOTERS), snapshot 2 appends the doc_id % 10 == 5 slice
+    with carry-forward of snapshot 1's files.  Completes the
+    lakehouse loop in both directions (reader: q:iceberg_snapshot).
+    Reference parity: SURVEY §8 extension."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        read_iceberg, write_iceberg,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_icew_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    write_iceberg(base.filter(F.col("doc_id") % 2 == 0), td)
+    write_iceberg(base.filter(F.col("doc_id") % 10 == 5), td)
+    return read_iceberg(spark, td).select("doc_id", "text_len")
 
 
 def q_iceberg_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8740,6 +8859,15 @@ def _llm_oracles() -> dict[str, str]:
                  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
                           AS i)
         """,
+        "zarr_v3_embeddings": """
+            -- zarr v3 write + read-back surfaces the embeddings
+            -- column itself (zstd + crc32c chain verified)
+            SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                   CAST(embedding[i] AS DOUBLE) AS value
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                          AS i)
+        """,
         "hdf5_write_roundtrip": """
             -- distributed HDF5 write + read-back: same closed form
             SELECT vec_id, CAST(i - 1 AS INT) AS dim,
@@ -8747,6 +8875,27 @@ def _llm_oracles() -> dict[str, str]:
             FROM embeddings,
                  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
                           AS i)
+        """,
+        "delta_write_roundtrip": """
+            -- closed form of the two-commit distributed Delta write
+            -- (q_delta_write_roundtrip): evens from commit 0 plus
+            -- the doc_id % 10 = 5 append from commit 1
+            SELECT doc_id, LENGTH(text) AS text_len,
+                   CAST(doc_id % 3 AS INT) AS bucket
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, LENGTH(text) AS text_len,
+                   CAST(doc_id % 3 AS INT) AS bucket
+            FROM documents WHERE doc_id % 10 = 5
+        """,
+        "iceberg_write_roundtrip": """
+            -- closed form of the two-snapshot distributed Iceberg
+            -- write (q_iceberg_write_roundtrip)
+            SELECT doc_id, LENGTH(text) AS text_len
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, LENGTH(text) AS text_len
+            FROM documents WHERE doc_id % 10 = 5
         """,
         "iceberg_equality": """
             -- closed form of the three-snapshot equality-delete
@@ -9698,6 +9847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_column_mapping": q_delta_column_mapping,
         "zarr_write_roundtrip": q_zarr_write_roundtrip,
         "hdf5_write_roundtrip": q_hdf5_write_roundtrip,
+        "delta_write_roundtrip": q_delta_write_roundtrip,
+        "iceberg_write_roundtrip": q_iceberg_write_roundtrip,
+        "zarr_v3_embeddings": q_zarr_v3_embeddings,
         "mel_spectrogram": q_mel_spectrogram,
         "mfcc": q_mfcc,
         "unigram_degenerate": q_unigram_degenerate,

@@ -35,34 +35,29 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 
 def test_recording_window_layout():
     """The driver records only the FIRST 50 queries() entries; this
-    pins the round-6 rotation so an accidental reorder cannot
-    silently drop the evidence-due block out of the window."""
+    pins the round-7 rotation (ROTATION.json) so an accidental
+    reorder cannot silently drop the evidence-due block out of the
+    window."""
     import __spark_entry__ as entry
 
     names = list(entry.queries())
     window = set(names[:50])
-    # the 16 round-1 greens whose evidence sat past the r5 cap
-    rotation_due = {"similarity_topk", "similarity_lsh",
-                    "similarity_ivf", "embedding_near_dup",
-                    "multimodal_features", "multimodal_resize",
-                    "frame_sample", "rotated_grid", "grade_shells",
-                    "mesh_decimate", "mesh_faces",
-                    "mesh_explode_roundtrip", "proportional_volume",
-                    "asof_join", "range_join", "time_rollup"}
-    # new in round 6, plus the two whose implementation changed
-    round6_new = {"gltf_mesh", "zarr_embeddings", "hdf5_embeddings",
-                  "krige_closed", "pca_whiten",
-                  "pca_whiten_degenerate", "quality_classifier",
-                  "logreg_degenerate", "semantic_dedup",
-                  "delta_snapshot", "iceberg_snapshot",
-                  "hybrid_retrieval", "parquet_stats", "heif_metadata",
-                  "safetensors_embeddings", "decompress",
-                  "ngram_jaccard"}
-    assert rotation_due <= window
-    assert round6_new <= window
-    # every window entry that is oracle-backed must have an oracle
+    # head: the new oracle-backed round-7 queries
+    round7_new = {"iceberg_equality", "delta_column_mapping",
+                  "zarr_write_roundtrip", "hdf5_write_roundtrip",
+                  "delta_write_roundtrip", "iceberg_write_roundtrip",
+                  "zarr_v3_embeddings",
+                  "mel_spectrogram", "mfcc", "unigram_degenerate"}
+    # queries whose IMPLEMENTATION changed in round 7
+    impl_changed = {"hdf5_embeddings", "delta_snapshot",
+                    "iceberg_snapshot"}
+    # the six the r6 note promised would head the r3-tail fill
+    promised = {"xlsx_report", "skew_salted_agg", "pack_offsets",
+                "desurvey", "desurvey_mincurve", "idw"}
+    assert round7_new <= window
+    assert impl_changed <= window
+    assert promised <= window
+    # VERDICT r6 item 3: no rows-only queries spend window slots —
+    # every window entry must be oracle-backed
     oracles = set(entry.oracle_sql())
-    rows_only = {"krige", "indicator_krige", "simple_krige", "cokrige",
-                 "krige_block", "bpe_merges", "pca_whiten",
-                 "quality_classifier"}
-    assert all(n in oracles for n in window - rows_only)
+    assert window <= oracles, f"rows-only in window: {window - oracles}"

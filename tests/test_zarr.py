@@ -256,3 +256,183 @@ def test_write_zarr_df_blosc_and_bounds(spark, tmp_path):
     with _pytest.raises(Exception, match="out of bounds"):
         write_zarr_df(bad, str(tmp_path), "bad", shape=(8, 5),
                       chunks=(3, 5))
+
+
+# ----------------------------------------------------------------- v3
+
+
+def test_v3_store_roundtrip_codecs(tmp_path):
+    import numpy as np
+
+    from vtk_reserves_spark.sources.zarr import (
+        read_zarr_array, write_zarr_array,
+    )
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(7, 9)).astype("<f4")
+    for comp in (
+        None,
+        {"id": "zstd", "level": 3},
+        {"id": "gzip", "level": 4},
+        {"id": "blosc", "cname": "lz4", "shuffle": 1},
+    ):
+        store = str(tmp_path / f"v3_{(comp or {}).get('id', 'raw')}")
+        write_zarr_array(
+            store, "", data, chunks=(3, 4), compressor=comp,
+            zarr_format=3, checksum=True,
+        )
+        # v3 layout on disk: zarr.json + c/i/j chunk keys
+        assert (tmp_path / f"v3_{(comp or {}).get('id', 'raw')}"
+                / "zarr.json").exists()
+        assert (tmp_path / f"v3_{(comp or {}).get('id', 'raw')}"
+                / "c" / "0" / "0").exists()
+        back = read_zarr_array(store)
+        np.testing.assert_array_equal(back, data)
+
+
+def test_v3_crc32c_detects_corruption(tmp_path):
+    import numpy as np
+    import pytest as _pytest
+
+    from vtk_reserves_spark.sources.zarr import (
+        read_zarr_array, write_zarr_array,
+    )
+
+    store = str(tmp_path / "v3")
+    write_zarr_array(
+        store, "", np.arange(12, dtype="<i4").reshape(3, 4),
+        chunks=(3, 4), zarr_format=3, checksum=True,
+    )
+    p = tmp_path / "v3" / "c" / "0" / "0"
+    raw = bytearray(p.read_bytes())
+    raw[0] ^= 0xFF
+    p.write_bytes(bytes(raw))
+    with _pytest.raises(ValueError, match="crc32c"):
+        read_zarr_array(store)
+
+
+def test_v3_fortran_transpose_and_big_endian(tmp_path):
+    import json as _json
+
+    import numpy as np
+
+    from vtk_reserves_spark.sources.zarr import (
+        read_zarr_array, write_zarr_array,
+    )
+
+    store = str(tmp_path / "v3f")
+    data = np.arange(30, dtype=">i2").reshape(5, 6)
+    write_zarr_array(store, "", data, chunks=(2, 3), order="F",
+                     zarr_format=3)
+    doc = _json.loads((tmp_path / "v3f" / "zarr.json").read_text())
+    names = [c["name"] for c in doc["codecs"]]
+    assert names[0] == "transpose"
+    assert doc["codecs"][1]["configuration"]["endian"] == "big"
+    np.testing.assert_array_equal(read_zarr_array(store), data)
+
+
+def test_v3_missing_chunk_fill_and_nan(tmp_path):
+    import json as _json
+
+    import numpy as np
+
+    from vtk_reserves_spark.sources.zarr import (
+        read_zarr_array, write_zarr_array,
+    )
+
+    store = str(tmp_path / "v3nan")
+    data = np.ones((4, 4), dtype="<f8")
+    write_zarr_array(store, "", data, chunks=(2, 2),
+                     fill_value=float("nan"), zarr_format=3)
+    # spec spells non-finite fills as strings in zarr.json
+    doc = _json.loads((tmp_path / "v3nan" / "zarr.json").read_text())
+    assert doc["fill_value"] == "NaN"
+    import shutil
+
+    shutil.rmtree(tmp_path / "v3nan" / "c" / "1")
+    back = read_zarr_array(store)
+    assert np.isnan(back[2:, :]).all() and (back[:2, :] == 1).all()
+
+
+def test_v3_gates(tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from vtk_reserves_spark.sources.zarr import read_zarray_meta
+
+    store = tmp_path / "v3bad"
+    store.mkdir()
+
+    def put(doc):
+        (store / "zarr.json").write_text(_json.dumps(doc))
+
+    base = {
+        "zarr_format": 3, "node_type": "array", "shape": [4],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [2]}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": 0,
+        "codecs": [{"name": "bytes",
+                    "configuration": {"endian": "little"}}],
+    }
+    put({**base, "codecs": [
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {"name": "sharding_indexed", "configuration": {}},
+    ]})
+    with _pytest.raises(ValueError, match="sharding_indexed"):
+        read_zarray_meta(str(store))
+    put({**base, "data_type": "complex128"})
+    with _pytest.raises(ValueError, match="data_type"):
+        read_zarray_meta(str(store))
+    put({**base, "chunk_grid": {"name": "rectilinear",
+                                "configuration": {}}})
+    with _pytest.raises(ValueError, match="chunk grid"):
+        read_zarray_meta(str(store))
+
+
+def test_v3_spark_reader_and_distributed_writer(spark, tmp_path):
+    import numpy as np
+
+    from vtk_reserves_spark.sources.zarr import (
+        read_zarr_array, read_zarr_df, write_zarr_df,
+    )
+
+    store = str(tmp_path / "v3spark")
+    src = spark.range(40).selectExpr(
+        "id % 8 as i0", "cast(id / 8 as bigint) as i1",
+        "cast(id as double) as value",
+    )
+    n = write_zarr_df(
+        src, store, "emb", shape=(8, 5), chunks=(4, 2),
+        compressor={"id": "zstd", "level": 3}, zarr_format=3,
+        checksum=True,
+    )
+    assert n == 6
+    arr = read_zarr_array(store, "emb")
+    want = np.array([[i + 8 * j for j in range(5)] for i in range(8)],
+                    dtype="<f8")
+    np.testing.assert_array_equal(arr, want)
+    back = read_zarr_df(spark, store, "emb").toPandas()
+    assert len(back) == 40
+    got = back.sort_values(["i0", "i1"])["value"].to_numpy()
+    np.testing.assert_array_equal(got, want.reshape(-1))
+
+
+def test_v3_loader_dispatch(spark, tmp_path):
+    import numpy as np
+
+    from vtk_reserves_spark.sources.loaders import load_dataframe as load_df
+    from vtk_reserves_spark.sources.zarr import write_zarr_array
+
+    store = str(tmp_path / "v3store")
+    write_zarr_array(store, "emb", np.arange(6, dtype="<f8"),
+                     chunks=(3,), zarr_format=3)
+    # group without selector lists the members
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="emb"):
+        load_df(spark, store)
+    df = load_df(spark, f"{store}!emb")
+    assert df.count() == 6

@@ -194,6 +194,28 @@ def load_dataframe(
             from vtk_reserves_spark.sources.zarr import read_zarr_df
 
             return read_zarr_df(spark, df_path)
+        zjson = os.path.join(df_path, "zarr.json")
+        if os.path.exists(zjson):  # zarr v3 array or group
+            import json as _json
+
+            from vtk_reserves_spark.sources.zarr import read_zarr_df
+
+            with open(zjson) as fh:
+                node = _json.load(fh).get("node_type")
+            if node == "array":
+                return read_zarr_df(spark, df_path)
+            if not table_name:
+                arrays = sorted(
+                    n for n in os.listdir(df_path)
+                    if os.path.exists(
+                        os.path.join(df_path, n, "zarr.json")
+                    )
+                )
+                raise ValueError(
+                    "zarr group needs an array selector "
+                    f"('store!array'); available: {arrays}"
+                )
+            return read_zarr_df(spark, df_path, table_name)
         if os.path.exists(os.path.join(df_path, ".zgroup")):
             from vtk_reserves_spark.sources.zarr import read_zarr_df
 

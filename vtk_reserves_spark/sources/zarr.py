@@ -19,6 +19,19 @@ c-blosc1 chunk container it defaults to:
   error.  Native (pyarrow) lz4/zstd fast paths with the pure-python
   codecs as fallback, mirroring `sources/lz4.py`.
 
+**Zarr v3** (the current spec, zarr-specs ZEP0001) is supported on
+the same machinery: ``zarr.json`` array/group documents, the regular
+chunk grid, ``default`` (``c/0/1``) and ``v2`` chunk key encodings,
+and the codec-chain model — optional ``transpose`` (identity or full
+reversal = F order), the mandatory ``bytes`` codec (either endian),
+one optional compressor (``blosc`` with the v3 string shuffle knob /
+``gzip`` / standalone ``zstd``), and a trailing ``crc32c``
+(little-endian, verified on read).  ``sharding_indexed``,
+bit-shuffle, and non-regular grids gate with clear errors.  Both
+writers take ``zarr_format=3`` + ``checksum=True`` and all four
+read/write paths share one ``_chunk_path`` / ``_encode_payload``
+pair, so the v3 surface is the same one-task-per-chunk plan.
+
 Golden-vector caveat: like `sources/vp8.py`, no zarr/numcodecs wheel
 exists in this container, so cross-validation against zarr-python is
 environment-blocked; the byte layouts follow the published specs and
@@ -272,6 +285,12 @@ def _apply_compressor(raw: bytes, comp: dict | None, typesize: int) -> bytes:
         import lzma
 
         return lzma.compress(raw)
+    if cid == "zstd":  # standalone zstd (zarr v3 codec)
+        if _pa is None:
+            raise ValueError("zarr: zstd codec needs pyarrow")
+        return _pa.Codec(
+            "zstd", compression_level=int(comp.get("level", 3))
+        ).compress(raw, asbytes=True)
     raise ValueError(f"zarr: unsupported compressor {cid!r}")
 
 
@@ -297,13 +316,194 @@ def _strip_compressor(data: bytes, comp: dict | None) -> bytes:
         import lzma
 
         return lzma.decompress(data)
+    if cid == "zstd":
+        from vtk_reserves_spark.sources.zstd import decompress
+
+        return decompress(data)
     raise ValueError(f"zarr: unsupported compressor {cid!r}")
 
 
-def read_zarray_meta(store: str, array: str = "") -> dict:
-    path = os.path.join(store, array, ".zarray") if array else os.path.join(
-        store, ".zarray"
+def _encode_payload(raw: bytes, meta: dict, typesize: int) -> bytes:
+    """Full encode chain for one chunk: compressor, then the v3
+    trailing crc32c when the metadata declares it."""
+    payload = _apply_compressor(raw, meta.get("compressor"), typesize)
+    if meta.get("_crc32c"):
+        from vtk_reserves_spark.sources.snappy import crc32c
+
+        payload += struct.pack("<I", crc32c(payload))
+    return payload
+
+
+def _decode_payload(data: bytes, meta: dict) -> bytes:
+    if meta.get("_crc32c"):
+        if len(data) < 4:
+            raise ValueError("zarr: crc32c chunk truncated")
+        from vtk_reserves_spark.sources.snappy import crc32c
+
+        (want,) = struct.unpack_from("<I", data, len(data) - 4)
+        data = data[:-4]
+        if crc32c(data) != want:
+            raise ValueError("zarr: crc32c checksum mismatch")
+    return _strip_compressor(data, meta.get("compressor"))
+
+
+def _chunk_path(adir: str, meta: dict, coord: tuple[int, ...]) -> str:
+    """Chunk coordinate -> file path for every store flavor: v2 keys
+    (``0.1`` / ``0/1``), v3 default encoding (``c/0/1`` or
+    ``c.0.1``), v3 v2-encoding."""
+    sep = meta.get("dimension_separator") or "."
+    if meta.get("zarr_format") == 3:
+        sep = meta.get("dimension_separator") or "/"
+        if meta.get("_key_encoding", "default") == "default":
+            parts = ["c"] + [str(c) for c in coord]
+            key = sep.join(parts)
+        else:
+            key = sep.join(str(c) for c in coord) if coord else "0"
+    else:
+        key = _chunk_key(coord, sep)
+    if sep == "/":
+        return os.path.join(adir, *key.split("/"))
+    return os.path.join(adir, key)
+
+
+# v3 data_type names -> numpy dtype chars (endianness comes from the
+# "bytes" codec, applied in _normalize_v3)
+_V3_DTYPES = {
+    "bool": "b1", "int8": "i1", "int16": "i2", "int32": "i4",
+    "int64": "i8", "uint8": "u1", "uint16": "u2", "uint32": "u4",
+    "uint64": "u8", "float32": "f4", "float64": "f8",
+}
+_V3_DTYPE_NAMES = {v: k for k, v in _V3_DTYPES.items()}
+
+
+def _v3_fill(fv, dt: np.dtype):
+    """v3 JSON fill_value -> python scalar (the spec spells the
+    non-finite floats as strings)."""
+    if isinstance(fv, str):
+        return {"NaN": float("nan"), "Infinity": float("inf"),
+                "-Infinity": float("-inf")}[fv]
+    return fv
+
+
+def _normalize_v3(meta: dict) -> dict:
+    """Zarr v3 array metadata (zarr.json) -> the internal v2-shaped
+    dict the rest of the module consumes (shape/chunks/dtype/order/
+    fill_value/compressor), plus ``zarr_format: 3`` and the v3-only
+    knobs ``_key_encoding`` ("default"/"v2") and ``_crc32c``.
+
+    The codec chain must be [optional transpose] -> bytes ->
+    [optional one compressor] -> [optional crc32c]; anything else
+    (sharding_indexed in particular) gates with a clear error."""
+    if meta.get("node_type") != "array":
+        raise ValueError(
+            f"zarr: v3 node_type {meta.get('node_type')!r} is not an array"
+        )
+    grid = meta.get("chunk_grid") or {}
+    if grid.get("name") != "regular":
+        raise ValueError(
+            f"zarr: v3 chunk grid {grid.get('name')!r} not supported"
+        )
+    chunks = list(grid["configuration"]["chunk_shape"])
+    cke = meta.get("chunk_key_encoding") or {"name": "default"}
+    if cke.get("name") not in ("default", "v2"):
+        raise ValueError(
+            f"zarr: v3 chunk_key_encoding {cke.get('name')!r} not supported"
+        )
+    sep = (cke.get("configuration") or {}).get(
+        "separator", "/" if cke["name"] == "default" else "."
     )
+    dt_name = meta.get("data_type")
+    if dt_name not in _V3_DTYPES:
+        raise ValueError(f"zarr: v3 data_type {dt_name!r} not supported")
+    order = "C"
+    endian = "little"
+    compressor = None
+    crc = False
+    codecs = list(meta.get("codecs") or [])
+    # leading transpose (array -> array)
+    if codecs and codecs[0].get("name") == "transpose":
+        perm = list(codecs[0]["configuration"]["order"])
+        nd = len(meta["shape"])
+        if perm == list(range(nd - 1, -1, -1)):
+            order = "F"
+        elif perm != list(range(nd)):
+            raise ValueError(
+                f"zarr: v3 transpose order {perm} not supported"
+            )
+        codecs = codecs[1:]
+    if not codecs or codecs[0].get("name") != "bytes":
+        raise ValueError(
+            "zarr: v3 codec chain must start with the bytes codec "
+            f"(got {[c.get('name') for c in codecs]})"
+        )
+    endian = (codecs[0].get("configuration") or {}).get(
+        "endian", "little"
+    )
+    codecs = codecs[1:]
+    if codecs and codecs[-1].get("name") == "crc32c":
+        crc = True
+        codecs = codecs[:-1]
+    if len(codecs) > 1 or (
+        codecs and codecs[0].get("name") not in ("blosc", "gzip", "zstd")
+    ):
+        names = [c.get("name") for c in codecs]
+        raise ValueError(
+            f"zarr: v3 codec chain {names} not supported "
+            "(sharding_indexed needs the inner-shard index walk)"
+        )
+    if codecs:
+        c = codecs[0]
+        conf = c.get("configuration") or {}
+        if c["name"] == "blosc":
+            shuf = conf.get("shuffle", "noshuffle")
+            if shuf == "bitshuffle":
+                raise ValueError("blosc: bit-shuffle not supported")
+            compressor = {
+                "id": "blosc",
+                "cname": conf.get("cname", "zstd"),
+                "clevel": int(conf.get("clevel", 5)),
+                "shuffle": 1 if shuf == "shuffle" else 0,
+                "blocksize": int(conf.get("blocksize", 0)),
+            }
+        elif c["name"] == "gzip":
+            compressor = {"id": "gzip", "level": int(conf.get("level", 5))}
+        else:  # zstd
+            if conf.get("checksum"):
+                raise ValueError(
+                    "zarr: v3 zstd content checksum not supported"
+                )
+            compressor = {"id": "zstd", "level": int(conf.get("level", 3))}
+    bo = ">" if endian == "big" else "<"
+    ch = _V3_DTYPES[dt_name]
+    dtype = ("|" + ch) if ch in ("b1", "i1", "u1") else (bo + ch)
+    dt = np.dtype(dtype)
+    return {
+        "zarr_format": 3,
+        "shape": list(meta["shape"]),
+        "chunks": chunks,
+        "dtype": dtype,
+        "order": order,
+        "fill_value": _v3_fill(meta.get("fill_value", 0), dt),
+        "compressor": compressor,
+        "dimension_separator": sep,
+        "_key_encoding": cke["name"],
+        "_crc32c": crc,
+    }
+
+
+def read_zarray_meta(store: str, array: str = "") -> dict:
+    adir = os.path.join(store, array) if array else store
+    path = os.path.join(adir, ".zarray")
+    if not os.path.exists(path) and os.path.exists(
+        os.path.join(adir, "zarr.json")
+    ):
+        with open(os.path.join(adir, "zarr.json")) as fh:
+            m = json.load(fh)
+        if m.get("zarr_format") != 3:
+            raise ValueError(
+                f"zarr: unsupported zarr_format {m.get('zarr_format')}"
+            )
+        return _normalize_v3(m)
     with open(path) as fh:
         meta = json.load(fh)
     if meta.get("zarr_format") != 2:
@@ -324,7 +524,7 @@ def _meta_dtype(meta: dict) -> np.dtype:
 
 def _decode_chunk_bytes(data: bytes, meta: dict) -> np.ndarray:
     dt = _meta_dtype(meta)
-    raw = _strip_compressor(data, meta.get("compressor"))
+    raw = _decode_payload(data, meta)
     chunks = meta["chunks"]
     n = int(np.prod(chunks))
     if len(raw) != n * dt.itemsize:
@@ -351,14 +551,11 @@ def read_zarr_array(store: str, array: str = "") -> np.ndarray:
     meta = read_zarray_meta(store, array)
     dt = _meta_dtype(meta)
     shape, chunks = meta["shape"], meta["chunks"]
-    sep = meta.get("dimension_separator") or "."
     fill = meta.get("fill_value")
     out = np.full(shape, 0 if fill is None else fill, dtype=dt)
     adir = os.path.join(store, array) if array else store
     for coord in _chunk_grid(meta):
-        p = os.path.join(adir, _chunk_key(coord, sep))
-        if sep == "/":
-            p = os.path.join(adir, *_chunk_key(coord, sep).split("/"))
+        p = _chunk_path(adir, meta, coord)
         if not os.path.exists(p):
             continue
         with open(p, "rb") as fh:
@@ -372,6 +569,110 @@ def read_zarr_array(store: str, array: str = "") -> np.ndarray:
     return out
 
 
+def _v3_array_json(meta: dict) -> dict:
+    """Internal meta -> the zarr.json document for a v3 array."""
+    dt = np.dtype(meta["dtype"])
+    codecs: list[dict] = []
+    if meta.get("order", "C") == "F":
+        nd = len(meta["shape"])
+        codecs.append({
+            "name": "transpose",
+            "configuration": {"order": list(range(nd - 1, -1, -1))},
+        })
+    codecs.append({
+        "name": "bytes",
+        "configuration": {
+            "endian": "big" if dt.byteorder == ">" else "little"
+        },
+    })
+    comp = meta.get("compressor")
+    if comp:
+        cid = comp["id"]
+        if cid == "blosc":
+            codecs.append({"name": "blosc", "configuration": {
+                "cname": comp.get("cname", "lz4"),
+                "clevel": int(comp.get("clevel", 5)),
+                "shuffle": "shuffle" if comp.get("shuffle", 1) == 1
+                else "noshuffle",
+                "typesize": dt.itemsize,
+                "blocksize": int(comp.get("blocksize", 0)),
+            }})
+        elif cid in ("gzip", "zlib"):
+            codecs.append({"name": "gzip", "configuration": {
+                "level": int(comp.get("level", 5))
+            }})
+        elif cid == "zstd":
+            codecs.append({"name": "zstd", "configuration": {
+                "level": int(comp.get("level", 3)), "checksum": False,
+            }})
+        else:
+            raise ValueError(
+                f"zarr: compressor {cid!r} has no v3 codec form"
+            )
+    if meta.get("_crc32c"):
+        codecs.append({"name": "crc32c"})
+    fv = meta.get("fill_value", 0)
+    if isinstance(fv, float) and not math.isfinite(fv):
+        fv = {float("inf"): "Infinity", float("-inf"): "-Infinity"}.get(
+            fv, "NaN"
+        )
+    ch = dt.str[1:]
+    return {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(meta["shape"]),
+        "data_type": _V3_DTYPE_NAMES[ch],
+        "chunk_grid": {"name": "regular", "configuration": {
+            "chunk_shape": list(meta["chunks"])
+        }},
+        "chunk_key_encoding": {
+            "name": meta.get("_key_encoding", "default"),
+            "configuration": {
+                "separator": meta.get("dimension_separator") or "/"
+            },
+        },
+        "fill_value": fv if fv is not None else 0,
+        "codecs": codecs,
+        "attributes": {},
+    }
+
+
+def _write_store_meta(store: str, array: str, meta: dict) -> None:
+    """Write the array metadata document (v2 .zarray / v3 zarr.json)
+    plus the root group marker when the array is nested."""
+    adir = os.path.join(store, array) if array else store
+    os.makedirs(adir, exist_ok=True)
+    if meta.get("zarr_format") == 3:
+        if array:
+            root = os.path.join(store, "zarr.json")
+            if not os.path.exists(root):
+                with open(root, "w") as fh:
+                    json.dump({"zarr_format": 3, "node_type": "group",
+                               "attributes": {}}, fh)
+        with open(os.path.join(adir, "zarr.json"), "w") as fh:
+            json.dump(_v3_array_json(meta), fh)
+        return
+    if array:
+        root_meta = os.path.join(store, ".zgroup")
+        if not os.path.exists(root_meta):
+            with open(root_meta, "w") as fh:
+                json.dump({"zarr_format": 2}, fh)
+    doc = {
+        "zarr_format": 2,
+        "shape": meta["shape"],
+        "chunks": meta["chunks"],
+        "dtype": meta["dtype"],
+        "compressor": meta.get("compressor"),
+        "fill_value": meta.get("fill_value", 0),
+        "order": meta.get("order", "C"),
+        "filters": None,
+    }
+    if (meta.get("dimension_separator") or ".") != ".":
+        doc["dimension_separator"] = meta["dimension_separator"]
+    with open(os.path.join(adir, ".zarray"), "w") as fh:
+        json.dump(doc, fh)
+
+
 def write_zarr_array(
     store: str,
     array: str,
@@ -379,35 +680,39 @@ def write_zarr_array(
     chunks: tuple[int, ...] | None = None,
     compressor: dict | None = None,
     fill_value=0,
-    dimension_separator: str = ".",
+    dimension_separator: str | None = None,
     order: str = "C",
+    zarr_format: int = 2,
+    checksum: bool = False,
 ) -> None:
-    """ndarray -> zarr v2 array directory (driver-side; fixtures and
-    report-sized outputs — the distributed path is the reader)."""
+    """ndarray -> zarr array directory (driver-side; fixtures and
+    report-sized outputs — the distributed path is the reader).
+    ``zarr_format=3`` emits the v3 layout (zarr.json, default chunk
+    key encoding ``c/i/j``, codec chain bytes -> compressor ->
+    optional crc32c via ``checksum=True``)."""
     data = np.asarray(data)
     if chunks is None:
         chunks = data.shape
+    if dimension_separator is None:
+        dimension_separator = "/" if zarr_format == 3 else "."
+    if zarr_format not in (2, 3):
+        raise ValueError(f"zarr: zarr_format {zarr_format}")
+    if checksum and zarr_format != 3:
+        raise ValueError("zarr: crc32c is a v3 codec")
     adir = os.path.join(store, array) if array else store
-    os.makedirs(adir, exist_ok=True)
-    if array:
-        root_meta = os.path.join(store, ".zgroup")
-        if not os.path.exists(root_meta):
-            with open(root_meta, "w") as fh:
-                json.dump({"zarr_format": 2}, fh)
     meta = {
-        "zarr_format": 2,
+        "zarr_format": zarr_format,
         "shape": list(data.shape),
         "chunks": list(chunks),
         "dtype": data.dtype.str,
         "compressor": compressor,
         "fill_value": fill_value,
         "order": order,
-        "filters": None,
+        "dimension_separator": dimension_separator,
+        "_key_encoding": "default",
+        "_crc32c": checksum,
     }
-    if dimension_separator != ".":
-        meta["dimension_separator"] = dimension_separator
-    with open(os.path.join(adir, ".zarray"), "w") as fh:
-        json.dump(meta, fh)
+    _write_store_meta(store, array, meta)
     dt = data.dtype
     for coord in _chunk_grid(meta):
         sl = tuple(
@@ -418,13 +723,8 @@ def write_zarr_array(
         full = np.full(chunks, fill_value, dtype=dt)
         full[tuple(slice(0, p) for p in part.shape)] = part
         raw = full.tobytes(order=order)
-        payload = _apply_compressor(raw, compressor, dt.itemsize)
-        key = _chunk_key(coord, dimension_separator)
-        p = (
-            os.path.join(adir, *key.split("/"))
-            if dimension_separator == "/"
-            else os.path.join(adir, key)
-        )
+        payload = _encode_payload(raw, meta, dt.itemsize)
+        p = _chunk_path(adir, meta, coord)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         with open(p, "wb") as fh:
             fh.write(payload)
@@ -475,13 +775,8 @@ def read_zarr_df(
         m = json.loads(meta_b)
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                key = row.key
                 coord = tuple(int(getattr(row, f"c{d}")) for d in range(ndim))
-                p = (
-                    os.path.join(adir, *key.split("/"))
-                    if sep == "/"
-                    else os.path.join(adir, key)
-                )
+                p = _chunk_path(adir, m, coord)
                 if os.path.exists(p):
                     with open(p, "rb") as fh:
                         arr = _decode_chunk_bytes(fh.read(), m)
@@ -520,7 +815,9 @@ def write_zarr_df(
     dtype: str = "<f8",
     compressor: dict | None = None,
     fill_value=0,
-    dimension_separator: str = ".",
+    dimension_separator: str | None = None,
+    zarr_format: int = 2,
+    checksum: bool = False,
 ) -> int:
     """DISTRIBUTED zarr v2 writer: the inverse of `read_zarr_df`.
 
@@ -550,27 +847,26 @@ def write_zarr_df(
     if missing:
         raise ValueError(f"zarr: input is missing columns {missing}")
     dt = np.dtype(dtype)
+    if zarr_format not in (2, 3):
+        raise ValueError(f"zarr: zarr_format {zarr_format}")
+    if checksum and zarr_format != 3:
+        raise ValueError("zarr: crc32c is a v3 codec")
+    if dimension_separator is None:
+        dimension_separator = "/" if zarr_format == 3 else "."
     adir = os.path.join(store, array) if array else store
-    os.makedirs(adir, exist_ok=True)
-    if array:
-        root_meta = os.path.join(store, ".zgroup")
-        if not os.path.exists(root_meta):
-            with open(root_meta, "w") as fh:
-                json.dump({"zarr_format": 2}, fh)
     meta = {
-        "zarr_format": 2,
+        "zarr_format": zarr_format,
         "shape": list(shape),
         "chunks": list(chunks),
         "dtype": dt.str,
         "compressor": compressor,
         "fill_value": fill_value,
         "order": "C",
-        "filters": None,
+        "dimension_separator": dimension_separator,
+        "_key_encoding": "default",
+        "_crc32c": checksum,
     }
-    if dimension_separator != ".":
-        meta["dimension_separator"] = dimension_separator
-    with open(os.path.join(adir, ".zarray"), "w") as fh:
-        json.dump(meta, fh)
+    _write_store_meta(store, array, meta)
     meta_b = json.dumps(meta)
     sep = dimension_separator
     shape_l, chunks_l = list(shape), list(chunks)
@@ -604,13 +900,9 @@ def write_zarr_df(
             loc.append(i)
         arr[tuple(loc)] = pdf["value"].to_numpy().astype(dt)
         raw = arr.tobytes(order="C")
-        payload = _apply_compressor(raw, m["compressor"], dt.itemsize)
+        payload = _encode_payload(raw, m, dt.itemsize)
         key_s = _chunk_key(coord, sep)
-        p = (
-            _os.path.join(adir, *key_s.split("/"))
-            if sep == "/"
-            else _os.path.join(adir, key_s)
-        )
+        p = _chunk_path(adir, m, coord)
         _os.makedirs(_os.path.dirname(p), exist_ok=True)
         tmp = f"{p}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "wb") as fh:
