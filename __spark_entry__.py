@@ -4597,6 +4597,41 @@ def q_zarr_v3_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord + tf.train.Example, both directions
+    (sources/tfrecord.py): the embeddings table writes as 4 sharded
+    .tfrecord files — one shard per input partition, records framed
+    with masked-CRC32C checksums, features as packed Int64List /
+    FloatList protobuf — then reads back one task per shard and
+    explodes to the standard (vec_id, dim, value) layout.  The
+    TensorFlow training-data interchange next to WebDataset
+    (q:webdataset); float32 storage widens exactly to float64."""
+    import shutil
+    import tempfile
+
+    from vtk_reserves_spark.sources.tfrecord import (
+        read_tfrecord_df, write_tfrecord_df,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_tfrec_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).repartition(4)
+    write_tfrecord_df(
+        emb, td, {"vec_id": "int64", "emb": "float_list"}
+    )
+    back = read_tfrecord_df(
+        spark, td, {"vec_id": "int64", "emb": "float_list"}
+    )
+    return back.select(
+        "vec_id", F.posexplode("emb").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "value")
+
+
 def q_hdf5_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED HDF5 write + chunk-grain read-back
     (sources/hdf5.write_hdf5_df): chunk encode (shuffle + deflate +
@@ -8859,6 +8894,17 @@ def _llm_oracles() -> dict[str, str]:
                  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
                           AS i)
         """,
+        "tfrecord_roundtrip": """
+            -- TFRecord write + read-back surfaces the embeddings
+            -- column itself (masked-CRC framing + packed FloatList);
+            -- floats ride as float32 in the Example, so round-trip
+            -- through the same exact widening
+            SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                   CAST(CAST(embedding[i] AS FLOAT) AS DOUBLE) AS value
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                          AS i)
+        """,
         "zarr_v3_embeddings": """
             -- zarr v3 write + read-back surfaces the embeddings
             -- column itself (zstd + crc32c chain verified)
@@ -9850,6 +9896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_write_roundtrip": q_delta_write_roundtrip,
         "iceberg_write_roundtrip": q_iceberg_write_roundtrip,
         "zarr_v3_embeddings": q_zarr_v3_embeddings,
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "mel_spectrogram": q_mel_spectrogram,
         "mfcc": q_mfcc,
         "unigram_degenerate": q_unigram_degenerate,
