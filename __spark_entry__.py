@@ -4720,6 +4720,49 @@ def q_delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO (sources/delta.merge_delta): the
+    even-doc_id half of documents lands as a partitioned Delta
+    table, then ONE merge upserts a source of updates (doc_id % 20
+    == 0 rows get text_len = -doc_id) and inserts (odd doc_id % 10
+    == 1 rows) — the plan finds touched files with a broadcast
+    semi-join (driver sees a file list only), rewrites JUST those
+    files, and commits removes+adds atomically; untouched files keep
+    their original add entries.  The lakehouse write surface now
+    covers append / overwrite / upsert.  SURVEY §8 extension."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        merge_delta, read_delta, write_delta,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_deltam_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        (F.col("doc_id") % 3).cast("int").alias("bucket"),
+    )
+    write_delta(
+        base.filter(F.col("doc_id") % 2 == 0), td,
+        partition_by=["bucket"],
+    )
+    src = base.filter(
+        (F.col("doc_id") % 20 == 0) | (F.col("doc_id") % 10 == 1)
+    ).withColumn("text_len", -F.col("doc_id"))
+    merge_delta(spark, src, td, on=["doc_id"])
+    return read_delta(spark, td).select(
+        "doc_id", "text_len",
+        F.col("bucket").cast("int").alias("bucket"),
+    )
+
+
 def q_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED Iceberg write + read-back
     (sources/iceberg.write_iceberg): snapshot 1 appends the even
@@ -8894,6 +8937,20 @@ def _llm_oracles() -> dict[str, str]:
                  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
                           AS i)
         """,
+        "delta_merge": """
+            -- closed form of the single-merge upsert
+            -- (q_delta_merge): table = evens; matched (doc_id % 20
+            -- = 0, all even) replaced with text_len = -doc_id;
+            -- unmatched source rows (odd doc_id % 10 = 1) inserted
+            SELECT doc_id, LENGTH(text) AS text_len,
+                   CAST(doc_id % 3 AS INT) AS bucket
+            FROM documents WHERE doc_id % 2 = 0 AND doc_id % 20 <> 0
+            UNION ALL
+            SELECT doc_id, -doc_id AS text_len,
+                   CAST(doc_id % 3 AS INT) AS bucket
+            FROM documents
+            WHERE doc_id % 20 = 0 OR doc_id % 10 = 1
+        """,
         "tfrecord_roundtrip": """
             -- TFRecord write + read-back surfaces the embeddings
             -- column itself (masked-CRC framing + packed FloatList);
@@ -9897,6 +9954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_write_roundtrip": q_iceberg_write_roundtrip,
         "zarr_v3_embeddings": q_zarr_v3_embeddings,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "delta_merge": q_delta_merge,
         "mel_spectrogram": q_mel_spectrogram,
         "mfcc": q_mfcc,
         "unigram_degenerate": q_unigram_degenerate,

@@ -462,3 +462,67 @@ def test_checkpoint_with_deletion_vectors(spark, tmp_path):
             os.remove(p)
     got = sorted(r["id"] for r in read_delta(spark, t).collect())
     assert got == [i for i in range(20) if i not in (1, 3, 5)]
+
+
+# --------------------------------------------------------------- merge
+
+
+def test_merge_upsert_copy_on_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import merge_delta, write_delta
+
+    t = str(tmp_path / "m")
+    base = spark.range(60).withColumn(
+        "bucket", (F.col("id") % 3).cast("int")
+    ).withColumn("v", F.col("id") * 1.0)
+    write_delta(base.repartition(6), t, partition_by=["bucket"])
+    before = {p for p, _, _, _ in delta_snapshot(t)["files"]}
+    src = spark.range(3).withColumn(
+        "bucket", (F.col("id") % 3).cast("int")
+    ).withColumn("v", F.lit(-1.0)).union(
+        spark.range(60, 62).withColumn(
+            "bucket", (F.col("id") % 3).cast("int")
+        ).withColumn("v", F.lit(5.0))
+    )
+    v = merge_delta(spark, src, t, on=["id"])
+    assert v == 1
+    after = delta_snapshot(t)["files"]
+    # untouched files survive the commit with their original paths
+    assert before & {p for p, _, _, _ in after}
+    back = read_delta(spark, t).toPandas().set_index("id")["v"]
+    assert len(back) == 62
+    assert (back.loc[[0, 1, 2]] == -1.0).all()
+    assert (back.loc[[60, 61]] == 5.0).all()
+    assert back.loc[30] == 30.0
+
+
+def test_merge_delete_and_gates(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import merge_delta, write_delta
+
+    t = str(tmp_path / "m")
+    write_delta(
+        spark.range(20).withColumn("v", F.col("id") * 1.0), t
+    )
+    v = merge_delta(
+        spark, spark.range(5, 8), t, on=["id"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert v == 1
+    assert read_delta(spark, t).count() == 17
+    with pytest.raises(ValueError, match="when_matched"):
+        merge_delta(spark, spark.range(1), t, on=["id"],
+                    when_matched="upsert")
+    with pytest.raises(ValueError, match="source columns"):
+        merge_delta(
+            spark, spark.range(1).withColumn("other", F.lit(1)),
+            t, on=["id"],
+        )
+    # no-op merge commits nothing
+    v2 = merge_delta(
+        spark, spark.range(900, 901), t, on=["id"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert v2 == 1

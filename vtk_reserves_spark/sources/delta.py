@@ -45,7 +45,8 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "decoded_file_path", "delta_snapshot", "read_delta", "write_delta",
+    "decoded_file_path", "delta_snapshot", "merge_delta",
+    "read_delta", "write_delta",
     "write_delta_commit", "write_delta_checkpoint",
 ]
 
@@ -294,7 +295,8 @@ def decoded_file_path(F):
 
 
 def read_delta(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession, table: str, version: int | None = None,
+    with_file_path: bool = False,
 ) -> DataFrame:
     """Delta table -> DataFrame at the requested (or latest) version.
 
@@ -306,7 +308,11 @@ def read_delta(
     each DV's Roaring bitmap expands to (file, position) rows which
     broadcast LEFT-ANTI join the scan's hidden
     ``_metadata.file_path``/``row_index`` columns — the same shape
-    as the Iceberg position-delete path (`sources/iceberg.py`)."""
+    as the Iceberg position-delete path (`sources/iceberg.py`).
+
+    ``with_file_path=True`` appends a ``_delta_file`` column (the
+    decoded absolute path of each row's data file) — the handle
+    :func:`merge_delta` uses to rewrite only touched files."""
     snap = delta_snapshot(table, version)
     if not snap["files"]:
         # empty snapshot: derive schema from metaData.schemaString
@@ -343,7 +349,12 @@ def read_delta(
         )
 
     if not dv_files:
-        return rename(reader.parquet(*paths))
+        df = reader.parquet(*paths)
+        if with_file_path:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("_delta_file", decoded_file_path(F))
+        return rename(df)
     from pyspark.sql import functions as F
 
     data = reader.parquet(*paths).withColumns({
@@ -365,9 +376,12 @@ def read_delta(
                 })
 
     positions = dv_df.mapInPandas(expand, "_dv_path string, _dv_pos long")
-    return rename(data.join(
+    out = data.join(
         F.broadcast(positions), ["_dv_path", "_dv_pos"], "left_anti"
-    ).drop("_dv_path", "_dv_pos"))
+    )
+    if with_file_path:
+        out = out.withColumn("_delta_file", F.col("_dv_path"))
+    return rename(out.drop("_dv_path", "_dv_pos"))
 
 
 def _hive_partition_values(rel_dir: str) -> dict:
@@ -500,6 +514,122 @@ def write_delta(
         and version % checkpoint_interval == 0
     ):
         write_delta_checkpoint(table, version)
+    return version
+
+
+def merge_delta(
+    spark: SparkSession,
+    source: DataFrame,
+    table: str,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> int:
+    """Copy-on-write MERGE (delta-spark's ``MERGE INTO`` subset):
+    upsert ``source`` into the table keyed on the ``on`` columns;
+    returns the committed version.
+
+    ``when_matched``: "update" (matched target rows are replaced by
+    the source rows) or "delete"; ``when_not_matched``: "insert" or
+    "ignore".
+
+    Scale shape — the same copy-on-write plan delta-spark executes:
+
+    1. ONE distributed pass finds the files that contain at least
+       one matched key (broadcast LEFT-SEMI join of the scan against
+       the source keys, grouped to ``_delta_file``) — the driver
+       receives only a file list, never rows;
+    2. only those files rewrite: surviving rows (anti-join on the
+       keys) union the source rows land in fresh part files via the
+       ordinary distributed write; untouched files — the vast
+       majority under a selective merge — are not read again and not
+       rewritten, their ``add`` entries survive the commit untouched;
+    3. one JSON commit removes the touched files and adds the new
+       ones, atomically.
+
+    Duplicate keys in ``source`` are written as-is (delta-spark
+    raises instead; de-duplicate upstream if that matters).  Tables
+    using column mapping gate (our writer emits unmapped files)."""
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"delta: when_matched {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"delta: when_not_matched {when_not_matched!r}")
+    snap = delta_snapshot(table)
+    if _column_mapping(snap["metadata"]):
+        raise ValueError(
+            "delta: merge into column-mapped tables not supported"
+        )
+    part_cols = list(snap["metadata"].get("partitionColumns") or [])
+    table_cols = [
+        f["name"]
+        for f in json.loads(snap["metadata"]["schemaString"])["fields"]
+    ]
+    missing = [k for k in on if k not in table_cols]
+    if missing:
+        raise ValueError(f"delta: merge keys {missing} not in table")
+    if when_matched == "update" or when_not_matched == "insert":
+        if sorted(source.columns) != sorted(table_cols):
+            raise ValueError(
+                f"delta: merge source columns {sorted(source.columns)} "
+                f"!= table columns {sorted(table_cols)}"
+            )
+    data = read_delta(spark, table, with_file_path=True)
+    keys = source.select(*on).distinct()
+    # pass 1: which files hold a matched key (file list only)
+    touched_abs = [
+        r["_delta_file"]
+        for r in data.join(F.broadcast(keys), on, "left_semi")
+        .select("_delta_file").distinct().collect()
+    ]
+    from urllib.parse import unquote
+
+    base = os.path.abspath(table)
+    rel_by_abs = {
+        os.path.join(base, unquote(p)): p
+        for p, _, _, _ in snap["files"]
+    }
+    removes = [rel_by_abs[a] for a in touched_abs]
+    # pass 2: rewrite only the touched files
+    touched_rows = data.filter(
+        F.col("_delta_file").isin(touched_abs)
+    ) if touched_abs else None
+    pieces = []
+    if touched_rows is not None:
+        pieces.append(
+            touched_rows.join(F.broadcast(keys), on, "left_anti")
+            .drop("_delta_file").select(*table_cols)
+        )
+    if when_matched == "update" and when_not_matched == "insert":
+        pieces.append(source.select(*table_cols))  # upsert: all rows
+    elif when_not_matched == "insert":  # delete + insert
+        matched_keys = (
+            touched_rows.select(*on).distinct()
+            if touched_rows is not None
+            else None
+        )
+        ins = source
+        if matched_keys is not None:
+            ins = ins.join(F.broadcast(matched_keys), on, "left_anti")
+        pieces.append(ins.select(*table_cols))
+    elif when_matched == "update":  # update + ignore
+        if touched_rows is not None:
+            matched_keys = touched_rows.select(*on).distinct()
+            pieces.append(
+                source.join(F.broadcast(matched_keys), on, "left_semi")
+                .select(*table_cols)
+            )
+    if not pieces and not removes:
+        return snap["version"]  # no-op merge
+    version = snap["version"] + 1
+    adds: list[dict] = []
+    if pieces:
+        new_df = pieces[0]
+        for p in pieces[1:]:
+            new_df = new_df.unionByName(p)
+        adds = _stage_and_promote(new_df, table, part_cols or None)
+    write_delta_commit(table, version, adds=adds, removes=removes)
     return version
 
 
