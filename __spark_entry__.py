@@ -4763,6 +4763,44 @@ def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE + VACUUM (sources/delta.optimize_delta /
+    vacuum_delta): documents land as 8 deliberately-small part
+    files, OPTIMIZE ZORDER(doc_id, text_len) rewrites them sorted by
+    the Morton key (tight row-group min/max on both columns — the
+    data-skipping device delta-spark's own OPTIMIZE ZORDER builds),
+    a checkpoint + log prune makes the pre-optimize files
+    unreachable, VACUUM physically deletes them, and the read-back
+    proves rows survived both maintenance verbs untouched."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        optimize_delta, read_delta, vacuum_delta, write_delta,
+        write_delta_checkpoint,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_deltao_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    write_delta(base.repartition(8), td)
+    v = optimize_delta(spark, td, zorder_by=["doc_id", "text_len"])
+    write_delta_checkpoint(td, v)
+    for old in range(v):
+        p = os.path.join(td, "_delta_log", f"{old:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    vacuum_delta(td)
+    return read_delta(spark, td).select("doc_id", "text_len")
+
+
 def q_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED Iceberg write + read-back
     (sources/iceberg.write_iceberg): snapshot 1 appends the even
@@ -8937,6 +8975,10 @@ def _llm_oracles() -> dict[str, str]:
                  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
                           AS i)
         """,
+        "delta_optimize": """
+            -- OPTIMIZE ZORDER + VACUUM preserve rows exactly
+            SELECT doc_id, LENGTH(text) AS text_len FROM documents
+        """,
         "delta_merge": """
             -- closed form of the single-merge upsert
             -- (q_delta_merge): table = evens; matched (doc_id % 20
@@ -9955,6 +9997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zarr_v3_embeddings": q_zarr_v3_embeddings,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "delta_merge": q_delta_merge,
+        "delta_optimize": q_delta_optimize,
         "mel_spectrogram": q_mel_spectrogram,
         "mfcc": q_mfcc,
         "unigram_degenerate": q_unigram_degenerate,

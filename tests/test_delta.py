@@ -526,3 +526,92 @@ def test_merge_delete_and_gates(spark, tmp_path):
         when_matched="delete", when_not_matched="ignore",
     )
     assert v2 == 1
+
+
+# ----------------------------------------------------- optimize/vacuum
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        optimize_delta, vacuum_delta, write_delta,
+    )
+
+    t = str(tmp_path / "o")
+    write_delta(
+        spark.range(100).withColumn("v", F.col("id") * 1.0)
+        .repartition(10),
+        t,
+    )
+    assert len(delta_snapshot(t)["files"]) == 10
+    v = optimize_delta(spark, t, min_file_size=1 << 20)
+    assert v == 1
+    snap = delta_snapshot(t)
+    assert len(snap["files"]) < 10
+    back = read_delta(spark, t)
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+    # the compacted-away files are unreferenced at HEAD but still
+    # referenced by version 0 -> vacuum keeps them (time travel safe)
+    assert vacuum_delta(t, dry_run=True) == []
+    assert read_delta(spark, t, version=0).count() == 100
+
+
+def test_optimize_zorder_rewrites_sorted(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        optimize_delta, write_delta,
+    )
+
+    t = str(tmp_path / "z")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / F.lit(64)).cast("long").alias("y"),
+        F.col("id").alias("id"),
+    )
+    write_delta(df.repartition(4), t)
+    v = optimize_delta(spark, t, zorder_by=["x", "y"])
+    assert v == 1
+    snap = delta_snapshot(t)
+    # every rewritten file covers a compact x-range (z-order locality:
+    # with 2 interleaved dims, each file's x-span is ~sqrt coverage)
+    import os as _os
+
+    spans = []
+    for rel, _, _, _ in snap["files"]:
+        md = pq.read_table(_os.path.join(t, rel), columns=["x"])
+        col = md["x"].to_pylist()
+        spans.append(max(col) - min(col))
+    assert min(spans) < 64 - 1  # at least one file is x-local
+    assert read_delta(spark, t).count() == 4096
+
+
+def test_vacuum_removes_fully_unreferenced(spark, tmp_path):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        vacuum_delta, write_delta, write_delta_checkpoint,
+    )
+
+    t = str(tmp_path / "v")
+    write_delta(spark.range(10).withColumn("v", F.lit(1.0)), t)
+    write_delta(
+        spark.range(5).withColumn("v", F.lit(2.0)), t,
+        mode="overwrite",
+    )
+    # checkpoint at HEAD, then drop the older JSON commits: version 0
+    # is no longer replayable, so its overwritten files are garbage
+    write_delta_checkpoint(t, 1)
+    _os.remove(_os.path.join(t, "_delta_log", f"{0:020d}.json"))
+    _os.remove(_os.path.join(t, "_delta_log", f"{1:020d}.json"))
+    doomed = vacuum_delta(t, dry_run=True)
+    assert doomed  # the version-0 files
+    gone = vacuum_delta(t)
+    assert gone == doomed
+    for rel in gone:
+        assert not _os.path.exists(_os.path.join(t, rel))
+    assert read_delta(spark, t).count() == 5

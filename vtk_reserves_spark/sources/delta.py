@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "decoded_file_path", "delta_snapshot", "merge_delta",
-    "read_delta", "write_delta",
+    "optimize_delta", "read_delta", "vacuum_delta", "write_delta",
     "write_delta_commit", "write_delta_checkpoint",
 ]
 
@@ -631,6 +631,125 @@ def merge_delta(
         adds = _stage_and_promote(new_df, table, part_cols or None)
     write_delta_commit(table, version, adds=adds, removes=removes)
     return version
+
+
+def optimize_delta(
+    spark: SparkSession,
+    table: str,
+    min_file_size: int = 128 << 20,
+    zorder_by: list[str] | None = None,
+) -> int:
+    """OPTIMIZE: compact small files (and optionally Z-order) —
+    delta-spark's table-maintenance pair of verbs; returns the new
+    version (unchanged if nothing qualified).
+
+    Files smaller than ``min_file_size`` rewrite into fresh part
+    files, grouped per partition (partition values recover from the
+    hive directories on the scan, so the rewrite lands back in the
+    right directories).  With ``zorder_by`` ALL files rewrite sorted
+    by the Morton key (`sources/writers.zorder_key`) so parquet
+    row-group min/max stats get tight on every interleaved column —
+    the multi-dimensional data-skipping device.  The commit marks
+    ``dataChange: false`` semantics by content (rows identical); the
+    plan is the same copy-on-write shape as :func:`merge_delta` —
+    only qualifying files are read or rewritten."""
+    snap = delta_snapshot(table)
+    if _column_mapping(snap["metadata"]):
+        raise ValueError(
+            "delta: optimize on column-mapped tables not supported"
+        )
+    part_cols = list(snap["metadata"].get("partitionColumns") or [])
+    from urllib.parse import unquote
+
+    base = os.path.abspath(table)
+    if zorder_by:
+        victims = [p for p, _, _, _ in snap["files"]]
+    else:
+        victims = [
+            p for p, _, size, _ in snap["files"] if size < min_file_size
+        ]
+    if len(victims) < (1 if zorder_by else 2):
+        return snap["version"]  # nothing to compact
+    victim_abs = {os.path.join(base, unquote(p)) for p in victims}
+    data = read_delta(spark, table, with_file_path=True)
+    from pyspark.sql import functions as F
+
+    rows = data.filter(
+        F.col("_delta_file").isin(list(victim_abs))
+    ).drop("_delta_file")
+    if zorder_by:
+        from vtk_reserves_spark.sources.writers import zorder_key
+
+        key, _stats = zorder_key(rows, zorder_by)
+        rows = (
+            rows.withColumn("_zkey", key)
+            .repartitionByRange(
+                max(1, rows.rdd.getNumPartitions()), "_zkey"
+            )
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    else:
+        # bin-pack: one output file per partition directory per
+        # coalesced task group
+        rows = rows.coalesce(max(1, len(victims) // 8))
+    adds = _stage_and_promote(rows, table, part_cols or None)
+    version = snap["version"] + 1
+    write_delta_commit(table, version, adds=adds, removes=victims)
+    return version
+
+
+def vacuum_delta(table: str, dry_run: bool = False) -> list[str]:
+    """VACUUM: delete data files under the table that no commit in
+    the retained log references (the files left behind by overwrite /
+    merge / optimize tombstones).  Returns the deleted (or, with
+    ``dry_run``, deletable) table-relative paths.
+
+    Retention note: delta-spark defaults to a 7-day grace window
+    keyed on modification time so concurrent readers of older
+    snapshots don't break; this implementation retains every file
+    referenced by ANY replayable version instead (strictly safer for
+    time travel — a file is removed only when no version in the log
+    can reach it, e.g. its adds precede the earliest checkpoint or
+    every referencing version's tombstone is final)."""
+    from urllib.parse import unquote
+
+    log_dir = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"delta: no {_LOG_DIR} directory in {table}")
+    referenced: set[str] = set()
+    versions = _list_commit_versions(log_dir)
+    lc_path = os.path.join(log_dir, "_last_checkpoint")
+    probe = list(versions)
+    if os.path.exists(lc_path):
+        with open(lc_path) as fh:
+            probe.append(int(json.load(fh)["version"]))
+    for v in sorted(set(probe)):
+        try:
+            snap = delta_snapshot(table, version=v)
+        except (ValueError, FileNotFoundError):
+            continue
+        referenced.update(unquote(p) for p, _, _, _ in snap["files"])
+    doomed: list[str] = []
+    for root, dirs, files in os.walk(table):
+        dirs[:] = [
+            d for d in dirs
+            if d != _LOG_DIR and not d.startswith(".stage-")
+        ]
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), table)
+            if rel not in referenced:
+                doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(table, rel))
+        # prune now-empty partition directories
+        for root, dirs, files in os.walk(table, topdown=False):
+            if root != table and not os.listdir(root):
+                os.rmdir(root)
+    return sorted(doomed)
 
 
 # ------------------------------------------------------------- fixtures
