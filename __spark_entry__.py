@@ -4801,6 +4801,44 @@ def q_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, td).select("doc_id", "text_len")
 
 
+def q_stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming -> Delta with END-TO-END exactly-once
+    (streaming/sinks.stream_to_delta): the events stream drains
+    (availableNow) through foreachBatch appends that carry ``txn``
+    actions of (app_id, batch_id) — the idempotent-writer protocol
+    delta-spark's own sink uses — then an at-least-once REPLAY of
+    the full input with the recorded txn is a proven no-op, and the
+    read-back matches the batch table exactly once."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import read_delta, write_delta
+    from vtk_reserves_spark.streaming.sinks import stream_to_delta
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_deltas_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = os.path.join(root, "table")
+    sel = ["event_id", "user_id", "value"]
+    ev = _events_stream(spark, sf_dir).select(*sel)
+    q = stream_to_delta(
+        ev, tbl, os.path.join(root, "cp"), app_id="events-etl"
+    )
+    q.awaitTermination(300)
+    # at-least-once redelivery of the whole input: txn ledger says
+    # batch 0 is already applied -> skipped, still exactly one copy
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    replay = spark.read.parquet(f"{sf_dir}/events.parquet").select(*sel)
+    write_delta(replay, tbl, txn=("events-etl", 0))
+    return read_delta(spark, tbl).select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+
+
 def q_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED Iceberg write + read-back
     (sources/iceberg.write_iceberg): snapshot 1 appends the even
@@ -8979,6 +9017,12 @@ def _llm_oracles() -> dict[str, str]:
             -- OPTIMIZE ZORDER + VACUUM preserve rows exactly
             SELECT doc_id, LENGTH(text) AS text_len FROM documents
         """,
+        "stream_delta_sink": """
+            -- exactly-once streaming sink: one copy of every event
+            -- despite the checkpointed drain + a full txn replay
+            SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+            FROM events
+        """,
         "delta_merge": """
             -- closed form of the single-merge upsert
             -- (q_delta_merge): table = evens; matched (doc_id % 20
@@ -9998,6 +10042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "delta_merge": q_delta_merge,
         "delta_optimize": q_delta_optimize,
+        "stream_delta_sink": q_stream_delta_sink,
         "mel_spectrogram": q_mel_spectrogram,
         "mfcc": q_mfcc,
         "unigram_degenerate": q_unigram_degenerate,

@@ -615,3 +615,78 @@ def test_vacuum_removes_fully_unreferenced(spark, tmp_path):
     for rel in gone:
         assert not _os.path.exists(_os.path.join(t, rel))
     assert read_delta(spark, t).count() == 5
+
+
+# ------------------------------------------------- txn / streaming sink
+
+
+def test_txn_makes_appends_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import write_delta
+
+    t = str(tmp_path / "txn")
+    df = spark.range(10).withColumn("v", F.lit(1.0))
+    v0 = write_delta(df, t, txn=("app-1", 0))
+    assert v0 == 0
+    # replay of batch 0: skipped, no new version, no duplicate rows
+    assert write_delta(df, t, txn=("app-1", 0)) == 0
+    assert read_delta(spark, t).count() == 10
+    # next batch commits; a different app is independent
+    assert write_delta(df, t, txn=("app-1", 1)) == 1
+    assert write_delta(df, t, txn=("app-2", 0)) == 2
+    assert read_delta(spark, t).count() == 30
+    assert delta_snapshot(t)["txns"] == {"app-1": 1, "app-2": 0}
+
+
+def test_txn_survives_checkpoint(spark, tmp_path):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        write_delta, write_delta_checkpoint,
+    )
+
+    t = str(tmp_path / "txncp")
+    df = spark.range(5).withColumn("v", F.lit(1.0))
+    write_delta(df, t, txn=("app", 7))
+    write_delta_checkpoint(t, 0)
+    _os.remove(_os.path.join(t, "_delta_log", f"{0:020d}.json"))
+    assert delta_snapshot(t)["txns"] == {"app": 7}
+    # replays of <= 7 still skip after the log compacts
+    assert write_delta(df, t, txn=("app", 7)) == 0
+    assert read_delta(spark, t).count() == 5
+
+
+def test_stream_to_delta_exactly_once(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import read_delta
+    from vtk_reserves_spark.streaming.sinks import stream_to_delta
+
+    src = str(tmp_path / "src")
+    spark.range(40).withColumn(
+        "v", F.col("id") * 2.0
+    ).write.parquet(src)
+    t = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+    sdf = spark.readStream.schema("id long, v double").parquet(src)
+    q = stream_to_delta(sdf, t, cp, app_id="etl")
+    q.awaitTermination(120)
+    assert read_delta(spark, t).count() == 40
+    # restart the SAME stream + checkpoint: no new data, no new rows
+    q2 = stream_to_delta(
+        spark.readStream.schema("id long, v double").parquet(src),
+        t, cp, app_id="etl",
+    )
+    q2.awaitTermination(120)
+    assert read_delta(spark, t).count() == 40
+    # simulate an at-least-once replay of batch 0 directly
+    from vtk_reserves_spark.sources.delta import write_delta
+
+    write_delta(
+        spark.range(40).withColumn("v", F.col("id") * 2.0), t,
+        txn=("etl", 0),
+    )
+    assert read_delta(spark, t).count() == 40

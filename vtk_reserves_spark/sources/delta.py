@@ -151,6 +151,7 @@ def delta_snapshot(table: str, version: int | None = None) -> dict:
     adds: dict[str, dict] = {}
     meta: dict | None = None
     proto: dict = {}
+    txns: dict[str, int] = {}  # appId -> latest txn version
     start = 0
     # checkpoint fast path (skipped when time-traveling to before it)
     lc_path = os.path.join(log_dir, "_last_checkpoint")
@@ -198,6 +199,12 @@ def delta_snapshot(table: str, version: int | None = None) -> dict:
                         adds[add["path"]] = add
                     if row.get("remove"):
                         adds.pop(row["remove"]["path"], None)
+                    if row.get("txn") and row["txn"].get(
+                        "appId"
+                    ) is not None:
+                        txns[row["txn"]["appId"]] = int(
+                            row["txn"]["version"]
+                        )
             start = cv + 1
     _check_protocol(proto)
     versions = [v for v in _list_commit_versions(log_dir) if v >= start]
@@ -221,6 +228,10 @@ def delta_snapshot(table: str, version: int | None = None) -> dict:
                     adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     adds.pop(action["remove"]["path"], None)
+                elif "txn" in action:
+                    txns[action["txn"]["appId"]] = int(
+                        action["txn"]["version"]
+                    )
     if meta is None:
         raise ValueError(f"delta: no metaData action found in {table}")
     files = [
@@ -229,6 +240,7 @@ def delta_snapshot(table: str, version: int | None = None) -> dict:
         for p, a in sorted(adds.items())
     ]
     return {"files": files, "metadata": meta, "version": last,
+            "txns": txns,
             "protocol": proto or {"minReaderVersion": 1,
                                   "minWriterVersion": 2}}
 
@@ -448,6 +460,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     checkpoint_interval: int = 10,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """DataFrame -> Delta table commit; returns the new version.
 
@@ -465,7 +478,14 @@ def write_delta(
     exactly when delta-spark allows them (overwriteSchema).  Every
     ``checkpoint_interval`` commits the log compacts into a
     checkpoint parquet (delta-spark defaults to 10); deletion-vector
-    descriptors checkpoint too (``add.deletionVector`` struct)."""
+    descriptors checkpoint too (``add.deletionVector`` struct).
+
+    ``txn=(app_id, app_version)`` gives EXACTLY-ONCE semantics for
+    at-least-once producers (the streaming-sink protocol, PROTOCOL.md
+    ``txn`` action): the write is SKIPPED — no data staged, no commit
+    — when the log already records the same appId at an equal-or-
+    newer version, so replayed micro-batches are no-ops across
+    restarts."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"delta: write mode {mode!r} (append/overwrite)")
     log_dir = os.path.join(table, _LOG_DIR)
@@ -474,6 +494,10 @@ def write_delta(
         or os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
     )
     snap = delta_snapshot(table) if exists else None
+    if txn is not None and snap is not None:
+        seen = snap.get("txns", {}).get(txn[0])
+        if seen is not None and seen >= int(txn[1]):
+            return snap["version"]  # replayed batch: exactly-once skip
     schema_json = df.schema.json()
     removes: list[str] = []
     if snap is None:
@@ -507,6 +531,7 @@ def write_delta(
         table, version, adds=adds, removes=removes,
         schema_json=emit_schema,
         partition_columns=list(partition_by or []),
+        txn=txn,
     )
     if (
         checkpoint_interval
@@ -792,6 +817,7 @@ def write_delta_commit(
     partition_columns: list[str] | None = None,
     reader_features: list[str] | None = None,
     configuration: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Append one JSON commit (fixture-scale writer).  ``adds`` are
     dicts with at least ``path`` (+ optional partitionValues/size/
@@ -835,6 +861,11 @@ def write_delta_commit(
             "remove": {"path": p, "deletionTimestamp": 0,
                        "dataChange": True}
         }))
+    if txn is not None:
+        lines.append(json.dumps({
+            "txn": {"appId": txn[0], "version": int(txn[1]),
+                    "lastUpdated": 0}
+        }))
     with open(_commit_path(table, version), "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
@@ -868,13 +899,20 @@ def write_delta_checkpoint(
         )
     rows = [
         {"protocol": proto, "metaData": None, "add": None,
-         "remove": None},
+         "remove": None, "txn": None},
         {"protocol": None, "metaData": snap["metadata"],
-         "add": None, "remove": None},
+         "add": None, "remove": None, "txn": None},
     ]
+    for app_id, ver in sorted(snap.get("txns", {}).items()):
+        rows.append({
+            "protocol": None, "metaData": None, "add": None,
+            "remove": None,
+            "txn": {"appId": app_id, "version": int(ver)},
+        })
     for path, pv, size, dv in snap["files"]:
         add = {"path": path, "partitionValues": pv, "size": size,
                "modificationTime": 0, "dataChange": False}
+        row_txn = None
         if dv:
             add["deletionVector"] = {
                 "storageType": dv["storageType"],
@@ -885,7 +923,7 @@ def write_delta_checkpoint(
             }
         rows.append({
             "protocol": None, "metaData": None, "add": add,
-            "remove": None,
+            "remove": None, "txn": row_txn,
         })
     # explicit schema: configuration/options/partitionValues are MAP
     # types in real checkpoints (empty structs are unwritable)
@@ -927,6 +965,10 @@ def write_delta_checkpoint(
             ("path", pa.string()),
             ("deletionTimestamp", pa.int64()),
             ("dataChange", pa.bool_()),
+        ])),
+        ("txn", pa.struct([
+            ("appId", pa.string()),
+            ("version", pa.int64()),
         ])),
     ])
     log_dir = os.path.join(table, _LOG_DIR)

@@ -88,3 +88,41 @@ def stream_upsert_parquet(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_to_delta(
+    sdf: DataFrame,
+    table: str,
+    checkpoint: str,
+    app_id: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Streaming Delta sink with END-TO-END exactly-once: each
+    micro-batch appends through ``delta.write_delta`` carrying a
+    ``txn`` action of ``(app_id, batch_id)`` — the same idempotent-
+    writer protocol delta-spark's own streaming sink uses
+    (PROTOCOL.md Transaction Identifiers).  The checkpoint makes the
+    source replay at-least-once after a crash; the txn ledger in the
+    Delta log downgrades every replayed batch to a no-op, so the
+    table sees each batch exactly once regardless of restarts.
+
+    Returns the started ``StreamingQuery``.  Scale: the batch append
+    is the ordinary distributed parquet write; the txn check is one
+    driver-side log lookup per batch."""
+    from vtk_reserves_spark.sources.delta import write_delta
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        write_delta(
+            batch_df, table, mode="append",
+            partition_by=partition_by, txn=(app_id, int(batch_id)),
+        )
+
+    w = (
+        sdf.writeStream.foreachBatch(append)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
