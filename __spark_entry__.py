@@ -4839,6 +4839,78 @@ def q_stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_closed_form_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PQ fixture on the embeddings ids: 8 dims of
+    ``(vec_id + dim) % 4`` — exactly 4 distinct values per 1-dim
+    subspace, so Lloyd's with k=4 converges to the value set and the
+    quantizer reconstructs EXACTLY (the krige_closed pattern: a
+    closed-form regime that still runs the full pipeline)."""
+    return _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: ((F.col("vec_id") + j) % 4).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+def q_pq_topk_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end
+    (similarity.pq_train/pq_encode/pq_topk — Jegou et al. 2011):
+    train m=8 one-dim codebooks with k=4 on the closed-form corpus,
+    encode every vector to 8 codes, and answer two queries by
+    asymmetric distance (broadcast LUT + one mapInPandas corpus pass
+    with a per-partition (d2, id)-lexicographic cut, so the shuffle
+    is partitions x queries x k rows, never n x queries).  Because
+    k covers the distinct subvector values, ADC == exact L2 and the
+    oracle replays the whole thing in SQL."""
+    from vtk_reserves_spark.operators.similarity import (
+        pq_encode, pq_topk, pq_train,
+    )
+
+    corpus = _pq_closed_form_corpus(spark, sf_dir)
+    # one Lloyd step suffices: the init (subvectors of ids 0..3)
+    # already covers the 4 distinct values, so the first mean IS the
+    # fixed point — iteration 2 would recompute identical centroids
+    cb = pq_train(corpus, m=8, k=4, n_iter=1)
+    codes = pq_encode(corpus, cb, m=8)
+    queries = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [3.0] * 8), (2, [0.5] * 8)],
+        "query_id bigint, embedding array<double>",
+    )
+    return pq_topk(codes, cb, queries, k=5).select(
+        "query_id", "vec_id", "d2", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization on the REAL embeddings (rows-only: ADC
+    ranks are approximate by design, so no SQL oracle — recall floors
+    are pinned by pytest test_llm_ops.py): m=4 subspaces, k=16 codes,
+    three query vectors taken from the corpus; the quantizer trains,
+    encodes 8-32x smaller codes, and answers via the broadcast-LUT
+    mapInPandas pass.  The scale path next to similarity_ivf."""
+    from vtk_reserves_spark.operators.similarity import (
+        pq_encode, pq_topk, pq_train,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    cb = pq_train(emb, m=4, k=16, n_iter=2)
+    codes = pq_encode(emb, cb, m=4)
+    queries = emb.where(F.col("vec_id").isin(0, 7, 13)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(codes, cb, queries, k=10).select(
+        "query_id", "vec_id", F.round("d2", 6).alias("d2"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED Iceberg write + read-back
     (sources/iceberg.write_iceberg): snapshot 1 appends the even
@@ -9023,6 +9095,31 @@ def _llm_oracles() -> dict[str, str]:
             SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
             FROM events
         """,
+        "pq_topk_degenerate": """
+            -- closed form of the PQ fixture (q_pq_topk_degenerate):
+            -- with one code per distinct subvector value, ADC == the
+            -- exact squared L2 over the synthesized vectors
+            WITH v AS (
+              SELECT vec_id, j, CAST((vec_id + j) % 4 AS DOUBLE) AS x
+              FROM (SELECT DISTINCT vec_id FROM embeddings),
+                   (SELECT unnest(generate_series(0, 7)) AS j)
+            ), q AS (
+              SELECT 0 AS query_id, 0.0 AS qv
+              UNION ALL SELECT 1, 3.0
+              UNION ALL SELECT 2, 0.5
+            ), d AS (
+              SELECT q.query_id, v.vec_id,
+                     SUM((v.x - q.qv) * (v.x - q.qv)) AS d2
+              FROM v, q GROUP BY 1, 2
+            ), r AS (
+              SELECT query_id, vec_id, d2,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY d2, vec_id
+                     ) AS INT) AS rank
+              FROM d
+            )
+            SELECT query_id, vec_id, d2, rank FROM r WHERE rank <= 5
+        """,
         "delta_merge": """
             -- closed form of the single-merge upsert
             -- (q_delta_merge): table = evens; matched (doc_id % 20
@@ -10043,6 +10140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_merge": q_delta_merge,
         "delta_optimize": q_delta_optimize,
         "stream_delta_sink": q_stream_delta_sink,
+        "pq_topk_degenerate": q_pq_topk_degenerate,
         "mel_spectrogram": q_mel_spectrogram,
         "mfcc": q_mfcc,
         "unigram_degenerate": q_unigram_degenerate,
@@ -10246,6 +10344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "domain_stats": q_domain_stats,
+        "pq_ann": q_pq_ann,
     }
 
 def _nscore_oracle() -> str:

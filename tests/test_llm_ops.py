@@ -1462,3 +1462,78 @@ def test_semantic_dedup_cluster_locality(spark):
     }
     assert out[10]["centroid_id"] == 0 and out[10]["kept"]
     assert out[11]["centroid_id"] == 1 and out[11]["kept"]
+
+
+# -------------------------------------------------- product quantization
+
+
+def test_pq_degenerate_exact_reconstruction(spark):
+    """One-value-per-code fixture: with k >= distinct subvector values
+    the trained codebook IS the value set, encoding reconstructs
+    exactly, and ADC == exact L2 (the q:pq_topk_degenerate oracle)."""
+    from vtk_reserves_spark.operators.similarity import (
+        pq_encode, pq_topk, pq_train,
+    )
+
+    d, k = 8, 4
+    rows = [(i, [float((i + j) % k) for j in range(d)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = pq_train(df, m=d, k=k, n_iter=2)
+    got = sorted(
+        r["centroid"][0]
+        for r in cb.where("subspace = 3").collect()
+    )
+    assert got == [0.0, 1.0, 2.0, 3.0]
+    codes = pq_encode(df, cb, m=d)
+    q = spark.createDataFrame(
+        [(0, [0.0] * d)], "query_id bigint, embedding array<double>"
+    )
+    top = pq_topk(codes, cb, q, k=3).orderBy("rank").collect()
+    # all-zero query: d2 = 2*(0+1+4+9) = 28 for every vector; ties
+    # resolve by ascending vec_id globally (partition-safe lexsort)
+    assert [r["vec_id"] for r in top] == [0, 1, 2]
+    assert all(r["d2"] == 28.0 for r in top)
+
+
+def test_pq_recall_on_random_vectors(spark):
+    import numpy as np
+
+    from vtk_reserves_spark.operators.similarity import (
+        pq_encode, pq_topk, pq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=(150, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(150)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cb = pq_train(df, m=4, k=16, n_iter=2)
+    codes = pq_encode(df, cb, m=4)
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in data[5]])],
+        "query_id bigint, embedding array<double>",
+    )
+    top = pq_topk(codes, cb, q, k=10).toPandas()
+    exact = set(np.argsort(((data - data[5]) ** 2).sum(1))[:10].tolist())
+    assert len(set(top["vec_id"]) & exact) >= 4  # ADC recall floor
+    assert 5 in set(top["vec_id"])  # the vector itself survives
+
+
+def test_pq_gates(spark):
+    import pytest as _pytest
+
+    from vtk_reserves_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2, k=2)
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="one dimension"):
+        pq_train(ragged, m=2, k=2)

@@ -552,3 +552,238 @@ def semantic_dedup(
         .applyInPandas(cluster_dedup, out_schema)
         .withColumnRenamed("id", id_col)
     )
+
+
+# -------------------------------------------------- product quantization
+
+
+def _pq_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int
+) -> tuple[DataFrame, int]:
+    """(id, subspace, subvec) rows — each vector split into ``m``
+    contiguous subvectors; requires a uniform dimension divisible by
+    ``m`` (fails loudly otherwise, like kmeans_fit)."""
+    sizes = [
+        r[0]
+        for r in df.select(F.size(vec_col)).distinct().take(2)
+    ]
+    if not sizes or len(sizes) > 1 or sizes[0] is None:
+        raise ValueError(
+            f"pq: vectors must share one dimension (saw {sizes!r})"
+        )
+    d = int(sizes[0])
+    if m <= 0 or d % m:
+        raise ValueError(f"pq: dimension {d} not divisible by m={m}")
+    sub = d // m
+    slices = F.array(*[
+        F.transform(
+            F.slice(F.col(vec_col), i * sub + 1, sub),
+            lambda x: x.cast("double"),
+        )
+        for i in range(m)
+    ])
+    return (
+        df.select(F.col(id_col), F.posexplode(slices).alias(
+            "subspace", "_subvec"
+        )),
+        d,
+    )
+
+
+def _pq_assign(subdf: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """Nearest codebook entry per (id, subspace): broadcast join on
+    subspace, squared-L2 folded JVM-side, then ONE hash aggregation
+    taking ``min(struct(d2, code, subvec))`` — lexicographic, so ties
+    break by lowest code deterministically, with map-side partial
+    aggregation instead of a sort-based window (the same argmin, one
+    shuffle of pre-combined rows)."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_subvec"), F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    j = (
+        subdf.join(
+            F.broadcast(cent.select("subspace", "code", "centroid")),
+            "subspace",
+        )
+        .withColumn("_d2", d2)
+        .where(F.col("_d2").isNotNull())
+    )
+    best = j.groupBy(id_col, "subspace").agg(
+        F.min(F.struct("_d2", "code", "_subvec")).alias("_b")
+    )
+    return best.select(
+        id_col, "subspace",
+        F.col("_b.code").alias("code"),
+        F.col("_b._subvec").alias("_subvec"),
+        F.col("_b._d2").alias("_d2"),
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Train product-quantizer codebooks (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split
+    each vector into ``m`` contiguous subvectors and run the SAME
+    deterministic Lloyd's as :func:`kmeans_fit` independently per
+    subspace — init = the subvectors of the ``k`` lowest-id vectors,
+    ties break by code, fixed iteration count (SQL-replayable).
+
+    Returns ``(subspace, code, centroid)`` — ``m * k`` rows, KBs:
+    the codebook broadcasts everywhere downstream.  Per iteration:
+    one broadcast assignment + one mean-reduce, both linear in
+    ``n * d`` — the training pass streams the corpus, nothing
+    quadratic."""
+    subdf, d = _pq_subvectors(df, id_col, vec_col, m)
+    sub = d // m
+    cent = (
+        subdf.where(F.col(id_col) < k)
+        .select(
+            "subspace",
+            F.col(id_col).cast("int").alias("code"),
+            F.col("_subvec").alias("centroid"),
+        )
+    )
+    for _ in range(n_iter):
+        a = _pq_assign(subdf, cent, id_col)
+        # element-wise mean with ONE hash aggregation (indexed avg,
+        # no posexplode blow-up, no second regroup shuffle)
+        cent = a.groupBy("subspace", "code").agg(
+            F.array(*[
+                F.avg(F.col("_subvec")[i]) for i in range(sub)
+            ]).alias("centroid")
+        )
+    # the codebook is m*k rows (KBs): materialize it so downstream
+    # encode/search plans don't re-execute the whole training DAG on
+    # every action (the lineage doubles per Lloyd iteration)
+    rows = cent.collect()
+    if not rows:
+        raise ValueError(
+            f"pq_train found no init vectors with {id_col} < {k} — "
+            "ids must be dense integers from 0, or remap them first"
+        )
+    return df.sparkSession.createDataFrame(rows, cent.schema)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+) -> DataFrame:
+    """Vectors -> PQ codes: ``(id, codes array<int>)`` where
+    ``codes[s]`` is the nearest codebook entry in subspace ``s``.
+    This is the 8-256x compression step — at 100 TB the code table
+    (``m`` small ints per vector) is what ships to the search tier,
+    not the float vectors.  One broadcast assignment pass, one
+    regroup by id."""
+    subdf, _ = _pq_subvectors(df, id_col, vec_col, m)
+    a = _pq_assign(subdf, codebooks, id_col)
+    return a.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, the
+    distance to every corpus item is the SUM over subspaces of
+    ``||q_sub - centroid[codes[sub]]||^2``, looked up in a
+    query-local table.
+
+    Scale shape: the LUT is ``queries x m x k`` floats — computed as
+    one broadcast expression join and collected (KBs; the queries
+    relation is small by contract, like cosine_topk).  The corpus
+    pass is ONE ``mapInPandas`` over the codes: numpy gathers the
+    LUT rows per subspace and keeps only the per-partition top-k per
+    query (argpartition), so the shuffle after the scan is
+    ``partitions * queries * k`` rows, never ``n * queries``.  A
+    final window takes the global top-k (ties -> ascending id)."""
+    import numpy as np
+
+    # both relations are small by contract (codebook m*k rows — and
+    # already driver-local after pq_train's materialization; queries
+    # like cosine_topk's): build the LUT in numpy with NO Spark jobs
+    # beyond the two collects
+    cb_rows = codebooks.select("subspace", "code", "centroid").collect()
+    if not cb_rows:
+        raise ValueError("pq: empty codebook")
+    m = max(r["subspace"] for r in cb_rows) + 1
+    subs = {len(r["centroid"]) for r in cb_rows}
+    if len(subs) != 1:
+        raise ValueError("pq: ragged codebook centroids")
+    sub = subs.pop()
+    n_codes = max(r["code"] for r in cb_rows) + 1
+    cents = np.full((m, n_codes, sub), np.inf)
+    for r in cb_rows:
+        cents[r["subspace"], r["code"]] = r["centroid"]
+    q_rows = queries.select(query_id, vec_col).collect()
+    qids = sorted(r[query_id] for r in q_rows)
+    qvecs = {r[query_id]: np.asarray(r[vec_col], float) for r in q_rows}
+    bad = [q for q, v in qvecs.items() if v.size != m * sub]
+    if bad:
+        raise ValueError(
+            f"pq: queries {bad} have dimension != {m * sub}"
+        )
+    lut = np.full((len(qids), m, n_codes), np.inf)
+    for qi, q in enumerate(qids):
+        qv = qvecs[q].reshape(m, sub)
+        # (m, n_codes): squared L2 of each query subvector vs centroid
+        lut[qi] = ((cents - qv[:, None, :]) ** 2).sum(axis=2)
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cd = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            # gather: scores[q, i] = sum_s lut[q, s, cd[i, s]]
+            scores = np.zeros((len(qids), len(ids)))
+            for s in range(m):
+                scores += lut[:, s, cd[:, s]]
+            take = min(k, len(ids))
+            out = []
+            for qi, q in enumerate(qids):
+                # deterministic local cut: (d2, id) lexicographic, so
+                # ties can never evict a lower id in one partition
+                # that the global window would have kept
+                part = np.lexsort((ids, scores[qi]))[:take]
+                out.append(pd.DataFrame({
+                    query_id: q,
+                    id_col: ids[part],
+                    "d2": scores[qi][part],
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    qid_t = "string" if isinstance(qids[0], str) else "bigint"
+    local = codes.mapInPandas(
+        adc, f"{query_id} {qid_t}, {id_col} bigint, d2 double"
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
