@@ -4943,6 +4943,49 @@ def q_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, td).select("doc_id", "text_len")
 
 
+def q_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-PARTITIONED Iceberg write + manifest-level pruning
+    (sources/iceberg.py): documents land partitioned by doc_id % 3
+    across two snapshots (partition values recorded per manifest
+    entry and preserved through carry-forward), then the read prunes
+    to bucket=1 IN METADATA — mismatching files never reach the scan
+    list, Iceberg's actual partition-elimination story — and the
+    hive-style data/bucket=N/ directories hand Catalyst the
+    partition column for the kept files."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        read_iceberg, write_iceberg,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_icep_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        (F.col("doc_id") % 3).cast("int").alias("bucket"),
+    )
+    write_iceberg(
+        base.filter(F.col("doc_id") % 2 == 0), td,
+        partition_by=["bucket"],
+    )
+    write_iceberg(
+        base.filter(F.col("doc_id") % 2 == 1), td,
+        partition_by=["bucket"],
+    )
+    return read_iceberg(
+        spark, td, partition_filter={"bucket": 1}
+    ).select(
+        "doc_id", "text_len", F.col("bucket").cast("int").alias("bucket")
+    )
+
+
 def q_iceberg_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v2 EQUALITY deletes (sources/iceberg.py — the delete
     shape Flink CDC writes): snapshot 1 lands the documents table,
@@ -9183,6 +9226,12 @@ def _llm_oracles() -> dict[str, str]:
             SELECT doc_id, LENGTH(text) AS text_len
             FROM documents WHERE doc_id % 10 = 5
         """,
+        "iceberg_partitioned": """
+            -- manifest-level partition pruning to bucket = 1
+            SELECT doc_id, LENGTH(text) AS text_len,
+                   CAST(doc_id % 3 AS INT) AS bucket
+            FROM documents WHERE doc_id % 3 = 1
+        """,
         "iceberg_equality": """
             -- closed form of the three-snapshot equality-delete
             -- fixture (q_iceberg_equality): snapshot 2 deletes
@@ -10141,6 +10190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_optimize": q_delta_optimize,
         "stream_delta_sink": q_stream_delta_sink,
         "pq_topk_degenerate": q_pq_topk_degenerate,
+        "iceberg_partitioned": q_iceberg_partitioned,
         "mel_spectrogram": q_mel_spectrogram,
         "mfcc": q_mfcc,
         "unigram_degenerate": q_unigram_degenerate,

@@ -48,7 +48,7 @@ def test_recording_window_layout():
                   "delta_write_roundtrip", "iceberg_write_roundtrip",
                   "zarr_v3_embeddings", "tfrecord_roundtrip",
                   "delta_merge", "delta_optimize", "stream_delta_sink",
-                  "pq_topk_degenerate",
+                  "pq_topk_degenerate", "iceberg_partitioned",
                   "mel_spectrogram", "mfcc", "unigram_degenerate"}
     # queries whose IMPLEMENTATION changed in round 7
     impl_changed = {"hdf5_embeddings", "delta_snapshot",

@@ -329,3 +329,43 @@ def test_write_iceberg_type_gate(spark, tmp_path):
     bad = spark.range(2).withColumn("arr", F.array(F.lit(1)))
     with pytest.raises(ValueError, match="writable subset"):
         write_iceberg(bad, t)
+
+
+def test_write_iceberg_partitioned_and_pruned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import write_iceberg
+
+    t = str(tmp_path / "icep")
+    df = spark.range(60).withColumn(
+        "bucket", (F.col("id") % 3).cast("int")
+    ).withColumn("v", F.col("id") * 1.0)
+    write_iceberg(df, t, partition_by=["bucket"])
+    write_iceberg(
+        spark.range(60, 90).withColumn(
+            "bucket", (F.col("id") % 3).cast("int")
+        ).withColumn("v", F.col("id") * 1.0),
+        t, partition_by=["bucket"],
+    )
+    snap = iceberg_snapshot(t)
+    # every data file carries its identity-partition values — also
+    # across the second snapshot's carry-forward entries
+    assert all(
+        snap["partitions"][p].get("bucket") in {"0", "1", "2"}
+        for p in snap["files"]
+    )
+    back = read_iceberg(spark, t)
+    assert back.count() == 90 and "bucket" in back.columns
+    pruned = read_iceberg(spark, t, partition_filter={"bucket": 2})
+    assert pruned.count() == 30
+    kept = [
+        p for p in snap["files"]
+        if snap["partitions"][p].get("bucket") == "2"
+    ]
+    assert 0 < len(kept) < len(snap["files"])
+    # append without the table's partitioning gates
+    with pytest.raises(ValueError, match="partitioned by"):
+        write_iceberg(df, t)
+    # filter matching nothing errors loudly, never silently empty
+    with pytest.raises(ValueError, match="partition filter"):
+        read_iceberg(spark, t, partition_filter={"bucket": 9})

@@ -71,6 +71,13 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {"name": "content", "type": "int", "default": 0},
                     {"name": "file_path", "type": "string"},
                     {"name": "file_format", "type": "string"},
+                    # identity-transform partition values, normalized
+                    # to strings (the spec's typed r102 struct keyed by
+                    # the partition-spec fields; this subset records
+                    # identity transforms only, so strings round-trip)
+                    {"name": "partition",
+                     "type": ["null", {"type": "map", "values": "string"}],
+                     "default": None},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
                     # field ids of the equality columns (content=2 only)
@@ -157,6 +164,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
         return {
             "files": [],
             "snapshot_id": None,
+            "partitions": {},
             "data_seqs": {},
             "delete_files": [],
             "position_deletes": [],
@@ -173,6 +181,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
             f"{[s['snapshot-id'] for s in snaps]}"
         )
     files: list[str] = []
+    partitions: dict[str, dict] = {}
     data_seqs: dict[str, int] = {}
     position_deletes: dict[str, int] = {}
     equality_deletes: dict[str, tuple[int, tuple[int, ...]]] = {}
@@ -202,6 +211,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
                         "delete manifest"
                     )
                 files.append(path)
+                partitions[path] = dict(df_.get("partition") or {})
                 data_seqs[path] = seq
             elif content == 1:  # position deletes (v2)
                 position_deletes[path] = seq
@@ -228,6 +238,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
     else:
         schema = meta.get("schema")
     return {"files": sorted(set(files)), "snapshot_id": sid,
+            "partitions": partitions,
             "data_seqs": data_seqs,
             "delete_files": sorted(position_deletes),
             "position_deletes": sorted(position_deletes.items()),
@@ -251,7 +262,8 @@ def _normalized_path_col(F, col, base: str):
 
 
 def read_iceberg(
-    spark: SparkSession, table: str, snapshot_id: int | None = None
+    spark: SparkSession, table: str, snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Iceberg table -> DataFrame (current or time-traveled
     snapshot); the scan is plain distributed parquet with
@@ -272,7 +284,15 @@ def read_iceberg(
     broadcast (delete files are orders of magnitude smaller than
     data; a pathological delete volume falls back to a shuffled
     anti-join via AQE).  The data scan itself stays a native Catalyst
-    parquet read."""
+    parquet read.
+
+    ``partition_filter={"col": "value", ...}`` prunes at the
+    MANIFEST level — files whose recorded identity-partition values
+    mismatch never reach the scan's file list.  This is Iceberg's
+    actual 100 TB story: partition elimination happens in metadata,
+    before any data I/O, not as a post-scan filter (the hive-style
+    directories additionally give Catalyst the partition columns for
+    in-scan pruning/pushdown of whatever the manifest pass kept)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -280,8 +300,21 @@ def read_iceberg(
     from vtk_reserves_spark.sources.delta import decoded_file_path
 
     snap = iceberg_snapshot(table, snapshot_id)
+    if partition_filter:
+        want = {k: str(v) for k, v in partition_filter.items()}
+        snap["files"] = [
+            p for p in snap["files"]
+            if all(
+                snap["partitions"].get(p, {}).get(k) == v
+                for k, v in want.items()
+            )
+        ]
     if not snap["files"]:
-        raise ValueError("iceberg: snapshot has no data files")
+        raise ValueError(
+            "iceberg: snapshot has no data files"
+            + (" matching the partition filter" if partition_filter
+               else "")
+        )
     base = os.path.abspath(table)
     reader = spark.read.option("basePath", base)
     pos_dels = snap["position_deletes"]
@@ -378,7 +411,8 @@ def _iceberg_schema_fields(schema) -> list[dict]:
 
 
 def write_iceberg(
-    df: DataFrame, table: str, mode: str = "append"
+    df: DataFrame, table: str, mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> int:
     """DataFrame -> Iceberg snapshot; returns the new snapshot id.
 
@@ -393,7 +427,16 @@ def write_iceberg(
     but a footer read per part file is the same O(files) driver
     cost).  ``mode="append"`` requires the existing schema;
     ``mode="overwrite"`` tombstones every current data file and may
-    change the schema (the metadata's schema is replaced)."""
+    change the schema (the metadata's schema is replaced).
+
+    ``partition_by`` = identity-transform partitioning: part files
+    land under hive-style ``data/col=value/`` directories (so the
+    basePath scan recovers the columns) AND each manifest entry
+    records its partition values — which is what lets
+    ``read_iceberg(partition_filter=...)`` eliminate files in
+    metadata before any data I/O.  Appends must keep the table's
+    partition columns (checked against the metadata partition
+    spec)."""
     import shutil
     import uuid as _uuid
 
@@ -404,11 +447,15 @@ def write_iceberg(
             f"iceberg: write mode {mode!r} (append/overwrite)"
         )
     fields = _iceberg_schema_fields(df.schema)
+    part_cols = list(partition_by or [])
+    bad = [c for c in part_cols if c not in df.columns]
+    if bad:
+        raise ValueError(f"iceberg: partition columns {bad} missing")
     mdir = os.path.join(table, "metadata")
     exists = os.path.exists(os.path.join(mdir, "version-hint.text"))
     new_schema = None
     if not exists:
-        write_iceberg_table(table, fields)
+        write_iceberg_table(table, fields, partition_by=part_cols)
         meta = _load_table_metadata(table)
     else:
         meta = _load_table_metadata(table)
@@ -424,6 +471,15 @@ def write_iceberg(
                     f"table {prev})"
                 )
             new_schema = fields
+        spec_cols = [
+            f["name"]
+            for f in (meta.get("partition-spec") or [])
+        ]
+        if mode == "append" and part_cols != spec_cols:
+            raise ValueError(
+                f"iceberg: append partitioned by {part_cols} but "
+                f"table spec uses {spec_cols}"
+            )
     deleted = None
     if mode == "overwrite" and meta.get("snapshots"):
         deleted = [
@@ -434,22 +490,44 @@ def write_iceberg(
         [int(s["snapshot-id"]) for s in meta.get("snapshots") or []],
         default=0,
     )
+    from urllib.parse import quote
+
+    from vtk_reserves_spark.sources.delta import _hive_partition_values
+
     stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
     data_files = []
     try:
         os.makedirs(os.path.join(table, "data"), exist_ok=True)
-        for name in sorted(os.listdir(stage)):
-            if not name.endswith(".parquet"):
-                continue
-            rel = f"data/{name}"
-            dst = os.path.join(table, rel)
-            os.rename(os.path.join(stage, name), dst)
-            data_files.append({
-                "file_path": rel,
-                "record_count": pq.ParquetFile(dst).metadata.num_rows,
-                "size": os.path.getsize(dst),
-            })
+        for root, _dirs, names in os.walk(stage):
+            rel_dir = os.path.relpath(root, stage)
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                rel = "data/" + (
+                    name if rel_dir == "."
+                    else f"{rel_dir.replace(os.sep, '/')}/{name}"
+                )
+                dst = os.path.join(table, *rel.split("/"))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(root, name), dst)
+                entry = {
+                    "file_path": quote(rel, safe="/="),
+                    "record_count":
+                        pq.ParquetFile(dst).metadata.num_rows,
+                    "size": os.path.getsize(dst),
+                }
+                if part_cols:
+                    entry["partition"] = {
+                        k: ("" if v is None else v)
+                        for k, v in _hive_partition_values(
+                            rel_dir
+                        ).items()
+                    }
+                data_files.append(entry)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     append_iceberg_snapshot(
@@ -462,9 +540,14 @@ def write_iceberg(
 # ------------------------------------------------------------- fixtures
 
 
-def write_iceberg_table(table: str, schema_fields: list[dict]) -> dict:
+def write_iceberg_table(
+    table: str, schema_fields: list[dict],
+    partition_by: list[str] | None = None,
+) -> dict:
     """Create metadata/v1.metadata.json (no snapshots yet) +
-    version-hint; returns the metadata dict for appends."""
+    version-hint; returns the metadata dict for appends.
+    ``partition_by`` records an identity-transform partition spec
+    (spec field-ids from 1000, per convention)."""
     mdir = os.path.join(table, "metadata")
     os.makedirs(mdir, exist_ok=True)
     meta = {
@@ -474,7 +557,18 @@ def write_iceberg_table(table: str, schema_fields: list[dict]) -> dict:
         "last-updated-ms": 0,
         "last-column-id": len(schema_fields),
         "schema": {"type": "struct", "fields": schema_fields},
-        "partition-spec": [],
+        "partition-spec": [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": next(
+                    (int(f["id"]) for f in schema_fields
+                     if f["name"] == c), 0
+                ),
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(partition_by or [])
+        ],
         "properties": {},
         "snapshots": [],
     }
@@ -520,6 +614,7 @@ def append_iceberg_snapshot(
                 "file_format": "parquet",
                 "record_count": int(d.get("record_count", 0)),
                 "file_size_in_bytes": int(d.get("size", 0)),
+                "partition": d.get("partition"),
             },
         }
         for d in data_files
@@ -541,6 +636,10 @@ def append_iceberg_snapshot(
                     "content": 0, "file_path": rel,
                     "file_format": "parquet",
                     "record_count": 0, "file_size_in_bytes": 0,
+                    # keep partition values across carry-forward so
+                    # manifest pruning survives later appends
+                    "partition": prev.get("partitions", {}).get(p)
+                    or None,
                 },
             })
     man_rel = f"metadata/snap-{snapshot_id}-manifest.avro"
