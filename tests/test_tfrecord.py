@@ -120,3 +120,28 @@ def test_spark_missing_feature_is_null(spark, tmp_path):
     assert list(back["a"]) == [1, 2]
     assert back["b"].tolist()[0] is None
     assert back["b"].tolist()[1] == "x"
+
+
+def test_spec_sniffing_and_loader_dispatch(spark, tmp_path):
+    from vtk_reserves_spark.sources.loaders import (
+        load_dataframe as load_df,
+    )
+    from vtk_reserves_spark.sources.tfrecord import sniff_tfrecord_spec
+
+    p = str(tmp_path / "s.tfrecord")
+    write_tfrecord_file(p, [
+        example_encode({
+            "id": ("int64", [3]),
+            "name": ("bytes", ["seven"]),
+            "raw": ("bytes", [b"\xff\x00"]),
+            "emb": ("float", [1.0, 2.0]),
+        }),
+    ])
+    spec = sniff_tfrecord_spec(p)
+    assert spec == {"emb": "float_list", "id": "int64",
+                    "name": "string", "raw": "bytes"}
+    df = load_df(spark, p)
+    row = df.collect()[0]
+    assert row["id"] == 3 and row["name"] == "seven"
+    assert bytes(row["raw"]) == b"\xff\x00"
+    assert row["emb"] == [1.0, 2.0]

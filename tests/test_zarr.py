@@ -436,3 +436,107 @@ def test_v3_loader_dispatch(spark, tmp_path):
         load_df(spark, store)
     df = load_df(spark, f"{store}!emb")
     assert df.count() == 6
+
+
+# ----------------------------------------------------------- v3 sharding
+
+
+def test_v3_sharding_roundtrip_and_layout(tmp_path):
+    import json as _json
+
+    import numpy as np
+
+    from vtk_reserves_spark.sources.zarr import (
+        read_zarr_array, read_zarray_meta, write_zarr_array,
+    )
+
+    store = str(tmp_path / "sh")
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=(10, 12)).astype("<f4")
+    write_zarr_array(
+        store, "", data, chunks=(5, 6), inner_chunks=(5, 3),
+        compressor={"id": "zstd", "level": 3},
+        zarr_format=3, checksum=True,
+    )
+    doc = _json.loads((tmp_path / "sh" / "zarr.json").read_text())
+    assert [c["name"] for c in doc["codecs"]] == ["sharding_indexed"]
+    conf = doc["codecs"][0]["configuration"]
+    assert [c["name"] for c in conf["codecs"]] == [
+        "bytes", "zstd", "crc32c"
+    ]
+    assert [c["name"] for c in conf["index_codecs"]] == [
+        "bytes", "crc32c"
+    ]
+    np.testing.assert_array_equal(read_zarr_array(store), data)
+    m = read_zarray_meta(store)
+    assert m["_shard"]["inner"] == [5, 3]
+
+
+def test_v3_sharding_sparse_and_corruption(tmp_path):
+    import numpy as np
+    import pytest as _pytest
+
+    from vtk_reserves_spark.sources.zarr import (
+        read_zarr_array, write_zarr_array,
+    )
+
+    store = str(tmp_path / "sp")
+    d = np.zeros((8, 8), dtype="<i4")
+    d[0, 0] = 7
+    write_zarr_array(store, "", d, chunks=(8, 8), inner_chunks=(4, 4),
+                     fill_value=0, zarr_format=3)
+    shard = tmp_path / "sp" / "c" / "0" / "0"
+    raw = shard.read_bytes()
+    idx = np.frombuffer(raw[-(16 * 4 + 4):-4], "<u8").reshape(-1, 2)
+    # 3 of the 4 inner chunks are all-fill -> absent (2^64-1 pairs)
+    assert int((idx == (1 << 64) - 1).all(axis=1).sum()) == 3
+    np.testing.assert_array_equal(read_zarr_array(store), d)
+    bad = bytearray(raw)
+    bad[-2] ^= 0xFF
+    shard.write_bytes(bytes(bad))
+    with _pytest.raises(ValueError, match="index checksum"):
+        read_zarr_array(store)
+
+
+def test_v3_sharding_gates(tmp_path):
+    import numpy as np
+    import pytest as _pytest
+
+    from vtk_reserves_spark.sources.zarr import write_zarr_array
+
+    d = np.zeros((4, 4))
+    with _pytest.raises(ValueError, match="v3 codec"):
+        write_zarr_array(str(tmp_path / "a"), "", d, chunks=(4, 4),
+                         inner_chunks=(2, 2))
+    with _pytest.raises(ValueError, match="must divide"):
+        write_zarr_array(str(tmp_path / "b"), "", d, chunks=(4, 4),
+                         inner_chunks=(3, 2), zarr_format=3)
+    with _pytest.raises(ValueError, match="C-order"):
+        write_zarr_array(str(tmp_path / "c"), "", d, chunks=(4, 4),
+                         inner_chunks=(2, 2), order="F", zarr_format=3)
+
+
+def test_v3_sharded_distributed_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from vtk_reserves_spark.sources.zarr import (
+        read_zarr_array, read_zarr_df, write_zarr_df,
+    )
+
+    store = str(tmp_path / "shspark")
+    src = spark.range(48).selectExpr(
+        "id % 8 as i0", "cast(id / 8 as bigint) as i1",
+        "cast(id as double) as value",
+    )
+    n = write_zarr_df(
+        src, store, "emb", shape=(8, 6), chunks=(4, 6),
+        inner_chunks=(4, 2), compressor={"id": "zstd", "level": 3},
+        zarr_format=3, checksum=True,
+    )
+    assert n == 2  # shards, each holding 3 inner chunks
+    want = np.array([[i + 8 * j for j in range(6)] for i in range(8)],
+                    dtype="<f8")
+    np.testing.assert_array_equal(read_zarr_array(store, "emb"), want)
+    back = read_zarr_df(spark, store, "emb").toPandas()
+    got = back.sort_values(["i0", "i1"])["value"].to_numpy()
+    np.testing.assert_array_equal(got, want.reshape(-1))

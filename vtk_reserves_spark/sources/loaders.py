@@ -232,6 +232,10 @@ def load_dataframe(
                 )
             return read_zarr_df(spark, df_path, table_name)
 
+    if ext == ".tfrecord":
+        from vtk_reserves_spark.sources.tfrecord import read_tfrecord_df
+
+        return read_tfrecord_df(spark, df_path)  # spec sniffed
     if ext in ("", ".parquet"):
         df = spark.read.parquet(df_path)
     elif ext in (".csv", ".asc", ".prn", ".txt"):

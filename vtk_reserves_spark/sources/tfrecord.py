@@ -42,7 +42,7 @@ from vtk_reserves_spark.sources.snappy import crc32c
 
 __all__ = [
     "masked_crc", "read_tfrecord_records", "write_tfrecord_file",
-    "example_encode", "example_decode",
+    "example_encode", "example_decode", "sniff_tfrecord_spec",
     "read_tfrecord_df", "write_tfrecord_df",
 ]
 
@@ -264,13 +264,38 @@ def _spec_to_schema(spec: dict) -> str:
     return ", ".join(parts)
 
 
+def sniff_tfrecord_spec(path: str) -> dict:
+    """Infer a read spec from the FIRST record of one shard: int64 /
+    float scalars become lists when the first record holds more than
+    one value; BytesList features that decode as UTF-8 map to
+    "string", else "bytes".  A heuristic by nature (later records
+    may be wider) — pass an explicit spec when the schema is known."""
+    payload = next(iter(read_tfrecord_records(path)), None)
+    if payload is None:
+        raise ValueError(f"tfrecord: {path} has no records to sniff")
+    spec: dict = {}
+    for name, (kind, vals) in sorted(example_decode(payload).items()):
+        if kind == "bytes":
+            try:
+                (vals[0] if vals else b"").decode("utf-8")
+                spec[name] = "string"
+            except UnicodeDecodeError:
+                spec[name] = "bytes"
+        elif len(vals) > 1:
+            spec[name] = f"{kind}_list"
+        else:
+            spec[name] = kind
+    return spec
+
+
 def read_tfrecord_df(
-    spark: SparkSession, paths, spec: dict
+    spark: SparkSession, paths, spec: dict | None = None
 ) -> DataFrame:
     """.tfrecord shard(s) -> DataFrame at SHARD grain (one task per
     file).  ``spec`` maps feature name -> "int64" / "float" /
     "string" / "bytes" (scalars: first value) or "int64_list" /
-    "float_list" (full arrays)."""
+    "float_list" (full arrays); ``None`` sniffs it from the first
+    record (:func:`sniff_tfrecord_spec`)."""
     import glob as _glob
 
     if isinstance(paths, str):
@@ -284,6 +309,8 @@ def read_tfrecord_df(
         files = sorted(paths)
     if not files:
         raise ValueError(f"tfrecord: no shards under {paths!r}")
+    if spec is None:
+        spec = sniff_tfrecord_spec(files[0])
     schema = _spec_to_schema(spec)
     spec_items = list(spec.items())
     files_df = spark.createDataFrame(

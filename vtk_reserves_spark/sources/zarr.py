@@ -26,8 +26,11 @@ and the codec-chain model — optional ``transpose`` (identity or full
 reversal = F order), the mandatory ``bytes`` codec (either endian),
 one optional compressor (``blosc`` with the v3 string shuffle knob /
 ``gzip`` / standalone ``zstd``), and a trailing ``crc32c``
-(little-endian, verified on read).  ``sharding_indexed``,
-bit-shuffle, and non-regular grids gate with clear errors.  Both
+(little-endian, verified on read) — plus **ZEP-2
+``sharding_indexed``**: shard files of independently-addressable
+inner chunks behind a crc32c-checked (offset, nbytes) index,
+all-fill inner chunks absent, writers via ``inner_chunks=``.
+Bit-shuffle, non-regular grids and nested sharding gate.  Both
 writers take ``zarr_format=3`` + ``checksum=True`` and all four
 read/write paths share one ``_chunk_path`` / ``_encode_payload``
 pair, so the v3 surface is the same one-task-per-chunk plan.
@@ -366,6 +369,132 @@ def _chunk_path(adir: str, meta: dict, coord: tuple[int, ...]) -> str:
     return os.path.join(adir, key)
 
 
+_SHARD_MISSING = (1 << 64) - 1
+
+
+def _inner_grid(meta: dict) -> list[tuple[int, ...]]:
+    """C-order inner-chunk coordinates within one shard."""
+    counts = [
+        c // i for c, i in zip(meta["chunks"], meta["_shard"]["inner"])
+    ]
+    return list(product(*(range(n) for n in counts)))
+
+
+def _shard_inner_meta(meta: dict) -> dict:
+    sh = meta["_shard"]
+    return {"compressor": sh.get("compressor"),
+            "_crc32c": sh.get("_crc32c", False)}
+
+
+def _decode_shard(data: bytes, meta: dict) -> np.ndarray:
+    """One shard file -> the full OUTER chunk array (ZEP-2
+    sharding_indexed): the index is a (chunks_per_shard, 2) uint64-LE
+    array of (offset, nbytes) at index_location (crc32c-checked when
+    declared), 2^64-1 pairs marking absent inner chunks, which read
+    as fill_value."""
+    sh = meta["_shard"]
+    dt = _meta_dtype(meta)
+    inner = sh["inner"]
+    grid = _inner_grid(meta)
+    n_idx = 16 * len(grid) + (4 if sh.get("index_crc") else 0)
+    if len(data) < n_idx:
+        raise ValueError("zarr: shard smaller than its index")
+    raw_idx = (
+        data[-n_idx:] if sh.get("index_location", "end") == "end"
+        else data[:n_idx]
+    )
+    if sh.get("index_crc"):
+        from vtk_reserves_spark.sources.snappy import crc32c
+
+        (want,) = struct.unpack_from("<I", raw_idx, len(raw_idx) - 4)
+        raw_idx = raw_idx[:-4]
+        if crc32c(raw_idx) != want:
+            raise ValueError("zarr: shard index checksum mismatch")
+    pairs = np.frombuffer(raw_idx, "<u8").reshape(-1, 2)
+    fill = meta.get("fill_value")
+    out = np.full(meta["chunks"], 0 if fill is None else fill, dtype=dt)
+    imeta = _shard_inner_meta(meta)
+    for (off, ln), coord in zip(pairs, grid):
+        if off == _SHARD_MISSING and ln == _SHARD_MISSING:
+            continue
+        off, ln = int(off), int(ln)
+        if off + ln > len(data):
+            raise ValueError("zarr: inner chunk beyond shard end")
+        raw = _decode_payload(data[off : off + ln], imeta)
+        n = int(np.prod(inner))
+        if len(raw) != n * dt.itemsize:
+            raise ValueError(
+                f"zarr: inner chunk holds {len(raw)} bytes, expected "
+                f"{n * dt.itemsize}"
+            )
+        arr = np.frombuffer(raw, dtype=dt).reshape(
+            inner, order=sh.get("order", "C")
+        )
+        sl = tuple(
+            slice(c * i, (c + 1) * i)
+            for c, i in zip(coord, inner)
+        )
+        out[sl] = arr
+    return out
+
+
+def _encode_shard(arr: np.ndarray, meta: dict) -> bytes:
+    """Full OUTER chunk array -> one shard file: inner chunks that
+    are entirely fill_value stay ABSENT (2^64-1 index pairs — the
+    spec's own sparse form), the rest encode through the inner chain
+    in C-grid order, index (+ optional crc32c) appended/prepended per
+    index_location."""
+    sh = meta["_shard"]
+    inner = sh["inner"]
+    grid = _inner_grid(meta)
+    fill = meta.get("fill_value")
+    imeta = _shard_inner_meta(meta)
+    body = bytearray()
+    n_idx = 16 * len(grid) + (4 if sh.get("index_crc") else 0)
+    at_start = sh.get("index_location", "end") == "start"
+    base = n_idx if at_start else 0
+    pairs = []
+    for coord in grid:
+        sl = tuple(
+            slice(c * i, (c + 1) * i) for c, i in zip(coord, inner)
+        )
+        part = np.ascontiguousarray(arr[sl])
+        absent = False
+        if fill is not None:
+            if isinstance(fill, float) and math.isnan(fill):
+                absent = part.dtype.kind == "f" and bool(
+                    np.isnan(part).all()
+                )
+            else:
+                absent = bool((part == fill).all())
+        if absent:
+            pairs.append((_SHARD_MISSING, _SHARD_MISSING))
+            continue
+        enc = _encode_payload(
+            part.tobytes(order=sh.get("order", "C")), imeta,
+            arr.dtype.itemsize,
+        )
+        pairs.append((base + len(body), len(enc)))
+        body += enc
+    idx = np.asarray(pairs, "<u8").tobytes()
+    if sh.get("index_crc"):
+        from vtk_reserves_spark.sources.snappy import crc32c
+
+        idx += struct.pack("<I", crc32c(idx))
+    return (idx + bytes(body)) if at_start else (bytes(body) + idx)
+
+
+def _encode_chunk_array(arr: np.ndarray, meta: dict) -> bytes:
+    """Full chunk-shaped ndarray -> on-disk chunk bytes, through the
+    sharded or plain chain."""
+    if meta.get("_shard"):
+        return _encode_shard(arr, meta)
+    return _encode_payload(
+        arr.tobytes(order=meta.get("order", "C")), meta,
+        arr.dtype.itemsize,
+    )
+
+
 # v3 data_type names -> numpy dtype chars (endianness comes from the
 # "bytes" codec, applied in _normalize_v3)
 _V3_DTYPES = {
@@ -391,9 +520,11 @@ def _normalize_v3(meta: dict) -> dict:
     fill_value/compressor), plus ``zarr_format: 3`` and the v3-only
     knobs ``_key_encoding`` ("default"/"v2") and ``_crc32c``.
 
-    The codec chain must be [optional transpose] -> bytes ->
-    [optional one compressor] -> [optional crc32c]; anything else
-    (sharding_indexed in particular) gates with a clear error."""
+    Codec chains: [optional transpose] -> bytes -> [optional one
+    compressor] -> [optional crc32c], or [optional transpose] ->
+    sharding_indexed (ZEP-2; the same grammar recursively for the
+    inner chain, parsed into the ``_shard`` knob).  Anything else
+    gates with a clear error."""
     if meta.get("node_type") != "array":
         raise ValueError(
             f"zarr: v3 node_type {meta.get('node_type')!r} is not an array"
@@ -415,15 +546,77 @@ def _normalize_v3(meta: dict) -> dict:
     dt_name = meta.get("data_type")
     if dt_name not in _V3_DTYPES:
         raise ValueError(f"zarr: v3 data_type {dt_name!r} not supported")
+    nd = len(meta["shape"])
+    order, endian, compressor, crc, shard_codec = _parse_v3_chain(
+        meta.get("codecs"), nd
+    )
+    shard = None
+    if shard_codec is not None:
+        conf = shard_codec.get("configuration") or {}
+        inner = list(conf["chunk_shape"])
+        if len(inner) != nd or any(
+            c % i for c, i in zip(chunks, inner)
+        ):
+            raise ValueError(
+                f"zarr: shard inner chunk_shape {inner} must divide "
+                f"the outer chunk shape {chunks}"
+            )
+        i_order, i_endian, i_comp, i_crc, nested = _parse_v3_chain(
+            conf.get("codecs"), nd
+        )
+        if nested is not None:
+            raise ValueError("zarr: nested sharding not supported")
+        ixc = [c.get("name") for c in conf.get("index_codecs") or []]
+        if ixc and ixc[0] != "bytes":
+            raise ValueError(
+                f"zarr: shard index_codecs {ixc} not supported"
+            )
+        index_crc = "crc32c" in ixc[1:]
+        if any(n not in ("bytes", "crc32c") for n in ixc):
+            raise ValueError(
+                f"zarr: shard index_codecs {ixc} not supported"
+            )
+        loc = conf.get("index_location", "end")
+        if loc not in ("start", "end"):
+            raise ValueError(f"zarr: shard index_location {loc!r}")
+        shard = {
+            "inner": inner,
+            "order": i_order,
+            "compressor": i_comp,
+            "_crc32c": i_crc,
+            "index_location": loc,
+            "index_crc": index_crc,
+        }
+        endian = i_endian  # array bytes are encoded by the INNER chain
+    bo = ">" if endian == "big" else "<"
+    ch = _V3_DTYPES[dt_name]
+    dtype = ("|" + ch) if ch in ("b1", "i1", "u1") else (bo + ch)
+    dt = np.dtype(dtype)
+    return {
+        "zarr_format": 3,
+        "shape": list(meta["shape"]),
+        "chunks": chunks,
+        "dtype": dtype,
+        "order": order,
+        "fill_value": _v3_fill(meta.get("fill_value", 0), dt),
+        "compressor": compressor,
+        "dimension_separator": sep,
+        "_key_encoding": cke["name"],
+        "_crc32c": crc,
+        "_shard": shard,
+    }
+
+
+def _parse_v3_chain(codecs, nd: int):
+    """One v3 codec chain -> (order, endian, compressor, crc,
+    shard_codec).  ``shard_codec`` is the raw ``sharding_indexed``
+    codec dict when the chain delegates to it (after an optional
+    transpose), else None — the caller recurses into its inner
+    chain."""
     order = "C"
-    endian = "little"
-    compressor = None
-    crc = False
-    codecs = list(meta.get("codecs") or [])
-    # leading transpose (array -> array)
+    codecs = list(codecs or [])
     if codecs and codecs[0].get("name") == "transpose":
         perm = list(codecs[0]["configuration"]["order"])
-        nd = len(meta["shape"])
         if perm == list(range(nd - 1, -1, -1)):
             order = "F"
         elif perm != list(range(nd)):
@@ -431,6 +624,12 @@ def _normalize_v3(meta: dict) -> dict:
                 f"zarr: v3 transpose order {perm} not supported"
             )
         codecs = codecs[1:]
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        if len(codecs) > 1:
+            raise ValueError(
+                "zarr: codecs after sharding_indexed not supported"
+            )
+        return order, "little", None, False, codecs[0]
     if not codecs or codecs[0].get("name") != "bytes":
         raise ValueError(
             "zarr: v3 codec chain must start with the bytes codec "
@@ -440,6 +639,7 @@ def _normalize_v3(meta: dict) -> dict:
         "endian", "little"
     )
     codecs = codecs[1:]
+    crc = False
     if codecs and codecs[-1].get("name") == "crc32c":
         crc = True
         codecs = codecs[:-1]
@@ -447,10 +647,8 @@ def _normalize_v3(meta: dict) -> dict:
         codecs and codecs[0].get("name") not in ("blosc", "gzip", "zstd")
     ):
         names = [c.get("name") for c in codecs]
-        raise ValueError(
-            f"zarr: v3 codec chain {names} not supported "
-            "(sharding_indexed needs the inner-shard index walk)"
-        )
+        raise ValueError(f"zarr: v3 codec chain {names} not supported")
+    compressor = None
     if codecs:
         c = codecs[0]
         conf = c.get("configuration") or {}
@@ -473,22 +671,7 @@ def _normalize_v3(meta: dict) -> dict:
                     "zarr: v3 zstd content checksum not supported"
                 )
             compressor = {"id": "zstd", "level": int(conf.get("level", 3))}
-    bo = ">" if endian == "big" else "<"
-    ch = _V3_DTYPES[dt_name]
-    dtype = ("|" + ch) if ch in ("b1", "i1", "u1") else (bo + ch)
-    dt = np.dtype(dtype)
-    return {
-        "zarr_format": 3,
-        "shape": list(meta["shape"]),
-        "chunks": chunks,
-        "dtype": dtype,
-        "order": order,
-        "fill_value": _v3_fill(meta.get("fill_value", 0), dt),
-        "compressor": compressor,
-        "dimension_separator": sep,
-        "_key_encoding": cke["name"],
-        "_crc32c": crc,
-    }
+    return order, endian, compressor, crc, None
 
 
 def read_zarray_meta(store: str, array: str = "") -> dict:
@@ -524,6 +707,8 @@ def _meta_dtype(meta: dict) -> np.dtype:
 
 def _decode_chunk_bytes(data: bytes, meta: dict) -> np.ndarray:
     dt = _meta_dtype(meta)
+    if meta.get("_shard"):
+        return _decode_shard(data, meta)
     raw = _decode_payload(data, meta)
     chunks = meta["chunks"]
     n = int(np.prod(chunks))
@@ -569,6 +754,60 @@ def read_zarr_array(store: str, array: str = "") -> np.ndarray:
     return out
 
 
+def _apply_shard_opt(meta: dict, inner_chunks, zarr_format: int) -> None:
+    """Writer knob: move the compressor/crc into a ZEP-2 shard inner
+    chain when ``inner_chunks`` is given (v3 only)."""
+    if inner_chunks is None:
+        return
+    if zarr_format != 3:
+        raise ValueError("zarr: sharding is a v3 codec")
+    chunks = meta["chunks"]
+    if len(inner_chunks) != len(chunks) or any(
+        c % i for c, i in zip(chunks, inner_chunks)
+    ):
+        raise ValueError(
+            f"zarr: inner_chunks {list(inner_chunks)} must divide "
+            f"chunks {chunks}"
+        )
+    if meta.get("order", "C") != "C":
+        raise ValueError("zarr: sharded writes are C-order only")
+    meta["_shard"] = {
+        "inner": list(inner_chunks),
+        "order": "C",
+        "compressor": meta.get("compressor"),
+        "_crc32c": meta.get("_crc32c", False),
+        "index_location": "end",
+        "index_crc": True,
+    }
+    meta["compressor"] = None
+    meta["_crc32c"] = False
+
+
+def _v3_compressor_codecs(comp: dict | None, dt: np.dtype) -> list[dict]:
+    """Internal compressor dict -> its v3 codec-object form."""
+    if not comp:
+        return []
+    cid = comp["id"]
+    if cid == "blosc":
+        return [{"name": "blosc", "configuration": {
+            "cname": comp.get("cname", "lz4"),
+            "clevel": int(comp.get("clevel", 5)),
+            "shuffle": "shuffle" if comp.get("shuffle", 1) == 1
+            else "noshuffle",
+            "typesize": dt.itemsize,
+            "blocksize": int(comp.get("blocksize", 0)),
+        }}]
+    if cid in ("gzip", "zlib"):
+        return [{"name": "gzip", "configuration": {
+            "level": int(comp.get("level", 5))
+        }}]
+    if cid == "zstd":
+        return [{"name": "zstd", "configuration": {
+            "level": int(comp.get("level", 3)), "checksum": False,
+        }}]
+    raise ValueError(f"zarr: compressor {cid!r} has no v3 codec form")
+
+
 def _v3_array_json(meta: dict) -> dict:
     """Internal meta -> the zarr.json document for a v3 array."""
     dt = np.dtype(meta["dtype"])
@@ -585,30 +824,36 @@ def _v3_array_json(meta: dict) -> dict:
             "endian": "big" if dt.byteorder == ">" else "little"
         },
     })
-    comp = meta.get("compressor")
-    if comp:
-        cid = comp["id"]
-        if cid == "blosc":
-            codecs.append({"name": "blosc", "configuration": {
-                "cname": comp.get("cname", "lz4"),
-                "clevel": int(comp.get("clevel", 5)),
-                "shuffle": "shuffle" if comp.get("shuffle", 1) == 1
-                else "noshuffle",
-                "typesize": dt.itemsize,
-                "blocksize": int(comp.get("blocksize", 0)),
-            }})
-        elif cid in ("gzip", "zlib"):
-            codecs.append({"name": "gzip", "configuration": {
-                "level": int(comp.get("level", 5))
-            }})
-        elif cid == "zstd":
-            codecs.append({"name": "zstd", "configuration": {
-                "level": int(comp.get("level", 3)), "checksum": False,
-            }})
-        else:
-            raise ValueError(
-                f"zarr: compressor {cid!r} has no v3 codec form"
-            )
+    if meta.get("_shard"):
+        sh = meta["_shard"]
+        inner_chain = [{
+            "name": "bytes",
+            "configuration": {
+                "endian": "big" if dt.byteorder == ">" else "little"
+            },
+        }]
+        inner_chain += _v3_compressor_codecs(sh.get("compressor"), dt)
+        if sh.get("_crc32c"):
+            inner_chain.append({"name": "crc32c"})
+        index_codecs = [
+            {"name": "bytes", "configuration": {"endian": "little"}}
+        ]
+        if sh.get("index_crc", True):
+            index_codecs.append({"name": "crc32c"})
+        codecs.pop()  # the plain bytes codec: sharding replaces it
+        codecs.append({
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": list(sh["inner"]),
+                "codecs": inner_chain,
+                "index_codecs": index_codecs,
+                "index_location": sh.get("index_location", "end"),
+            },
+        })
+        comp = None
+    else:
+        comp = meta.get("compressor")
+    codecs += _v3_compressor_codecs(comp, dt)
     if meta.get("_crc32c"):
         codecs.append({"name": "crc32c"})
     fv = meta.get("fill_value", 0)
@@ -684,12 +929,18 @@ def write_zarr_array(
     order: str = "C",
     zarr_format: int = 2,
     checksum: bool = False,
+    inner_chunks: tuple[int, ...] | None = None,
 ) -> None:
     """ndarray -> zarr array directory (driver-side; fixtures and
     report-sized outputs — the distributed path is the reader).
     ``zarr_format=3`` emits the v3 layout (zarr.json, default chunk
     key encoding ``c/i/j``, codec chain bytes -> compressor ->
-    optional crc32c via ``checksum=True``)."""
+    optional crc32c via ``checksum=True``).  ``inner_chunks`` (v3
+    only) switches to ZEP-2 ``sharding_indexed``: each chunk file is
+    a SHARD of independently-addressable inner chunks with a
+    crc32c-checked (offset, nbytes) index; ``compressor``/
+    ``checksum`` then describe the inner chain, and all-fill inner
+    chunks stay absent (the spec's sparse form)."""
     data = np.asarray(data)
     if chunks is None:
         chunks = data.shape
@@ -712,6 +963,7 @@ def write_zarr_array(
         "_key_encoding": "default",
         "_crc32c": checksum,
     }
+    _apply_shard_opt(meta, inner_chunks, zarr_format)
     _write_store_meta(store, array, meta)
     dt = data.dtype
     for coord in _chunk_grid(meta):
@@ -722,8 +974,7 @@ def write_zarr_array(
         part = data[sl]
         full = np.full(chunks, fill_value, dtype=dt)
         full[tuple(slice(0, p) for p in part.shape)] = part
-        raw = full.tobytes(order=order)
-        payload = _encode_payload(raw, meta, dt.itemsize)
+        payload = _encode_chunk_array(full, meta)
         p = _chunk_path(adir, meta, coord)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         with open(p, "wb") as fh:
@@ -818,6 +1069,7 @@ def write_zarr_df(
     dimension_separator: str | None = None,
     zarr_format: int = 2,
     checksum: bool = False,
+    inner_chunks: tuple[int, ...] | None = None,
 ) -> int:
     """DISTRIBUTED zarr v2 writer: the inverse of `read_zarr_df`.
 
@@ -866,6 +1118,7 @@ def write_zarr_df(
         "_key_encoding": "default",
         "_crc32c": checksum,
     }
+    _apply_shard_opt(meta, inner_chunks, zarr_format)
     _write_store_meta(store, array, meta)
     meta_b = json.dumps(meta)
     sep = dimension_separator
@@ -899,8 +1152,7 @@ def write_zarr_df(
                 )
             loc.append(i)
         arr[tuple(loc)] = pdf["value"].to_numpy().astype(dt)
-        raw = arr.tobytes(order="C")
-        payload = _encode_payload(raw, m, dt.itemsize)
+        payload = _encode_chunk_array(arr, m)
         key_s = _chunk_key(coord, sep)
         p = _chunk_path(adir, m, coord)
         _os.makedirs(_os.path.dirname(p), exist_ok=True)
