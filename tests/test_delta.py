@@ -690,3 +690,22 @@ def test_stream_to_delta_exactly_once(spark, tmp_path):
         txn=("etl", 0),
     )
     assert read_delta(spark, t).count() == 40
+
+
+def test_partition_filter_prunes_in_metadata(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import write_delta
+
+    t = str(tmp_path / "pf")
+    write_delta(
+        spark.range(30).withColumn(
+            "bucket", (F.col("id") % 3).cast("int")
+        ),
+        t, partition_by=["bucket"],
+    )
+    got = read_delta(spark, t, partition_filter={"bucket": "1"})
+    assert got.count() == 10
+    assert got.select("bucket").distinct().collect()[0][0] == 1
+    with pytest.raises(ValueError, match="partition filter"):
+        read_delta(spark, t, partition_filter={"bucket": "9"})

@@ -369,3 +369,36 @@ def test_write_iceberg_partitioned_and_pruned(spark, tmp_path):
     # filter matching nothing errors loudly, never silently empty
     with pytest.raises(ValueError, match="partition filter"):
         read_iceberg(spark, t, partition_filter={"bucket": 9})
+
+
+def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        expire_iceberg_snapshots, remove_iceberg_orphans,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "exp")
+    write_iceberg(spark.range(10).withColumn("v", F.lit(1.0)), t)
+    write_iceberg(
+        spark.range(5).withColumn("v", F.lit(2.0)), t,
+        mode="overwrite",
+    )
+    # both snapshots replayable before expiry
+    assert read_iceberg(spark, t, snapshot_id=1).count() == 10
+    # nothing is orphaned while snapshot 1 is retained
+    assert remove_iceberg_orphans(t, dry_run=True) == []
+    expired = expire_iceberg_snapshots(t, keep_last=1)
+    assert expired == [1]
+    with pytest.raises(ValueError, match="snapshot 1"):
+        iceberg_snapshot(t, snapshot_id=1)
+    doomed = remove_iceberg_orphans(t, dry_run=True)
+    assert doomed  # snapshot 1's data + manifests
+    gone = remove_iceberg_orphans(t)
+    assert gone == doomed
+    for rel in gone:
+        assert not os.path.exists(os.path.join(t, rel))
+    # the retained snapshot still reads perfectly
+    assert read_iceberg(spark, t).count() == 5
+    assert expire_iceberg_snapshots(t, keep_last=1) == []

@@ -309,6 +309,7 @@ def decoded_file_path(F):
 def read_delta(
     spark: SparkSession, table: str, version: int | None = None,
     with_file_path: bool = False,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Delta table -> DataFrame at the requested (or latest) version.
 
@@ -324,8 +325,28 @@ def read_delta(
 
     ``with_file_path=True`` appends a ``_delta_file`` column (the
     decoded absolute path of each row's data file) — the handle
-    :func:`merge_delta` uses to rewrite only touched files."""
+    :func:`merge_delta` uses to rewrite only touched files.
+
+    ``partition_filter={"col": "value"}`` prunes the snapshot's file
+    list IN METADATA against the log's recorded partitionValues
+    (exact string match, null matches None) before any data I/O —
+    the same elimination layer as
+    `sources/iceberg.read_iceberg(partition_filter=...)`; Catalyst's
+    own partition pruning still applies on whatever survives."""
     snap = delta_snapshot(table, version)
+    if partition_filter:
+        want = {
+            k: (None if v is None else str(v))
+            for k, v in partition_filter.items()
+        }
+        snap["files"] = [
+            f for f in snap["files"]
+            if all(f[1].get(k) == v for k, v in want.items())
+        ]
+        if not snap["files"]:
+            raise ValueError(
+                "delta: no files match the partition filter"
+            )
     if not snap["files"]:
         # empty snapshot: derive schema from metaData.schemaString
         from pyspark.sql.types import StructType

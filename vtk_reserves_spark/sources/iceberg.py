@@ -48,7 +48,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "iceberg_snapshot", "read_iceberg", "write_iceberg",
+    "expire_iceberg_snapshots", "iceberg_snapshot", "read_iceberg",
+    "remove_iceberg_orphans", "write_iceberg",
     "write_iceberg_table", "append_iceberg_snapshot",
 ]
 
@@ -535,6 +536,86 @@ def write_iceberg(
         new_schema_fields=new_schema,
     )
     return snapshot_id
+
+
+def expire_iceberg_snapshots(
+    table: str, keep_last: int = 1, keep_ids=None
+) -> list[int]:
+    """Iceberg's EXPIRE SNAPSHOTS: drop old snapshot entries from the
+    table metadata, keeping the newest ``keep_last`` plus any
+    ``keep_ids``; writes the next ``vN.metadata.json`` and returns
+    the expired ids.  Pure metadata — data/manifest files become
+    orphans for :func:`remove_iceberg_orphans` (the same two-verb
+    split as the real engine's expire + remove_orphan_files)."""
+    meta = _load_table_metadata(table)
+    snaps = list(meta.get("snapshots") or [])
+    if keep_last < 1:
+        raise ValueError("iceberg: keep_last must be >= 1")
+    keep = {int(s["snapshot-id"]) for s in snaps[-keep_last:]}
+    keep.update(int(i) for i in (keep_ids or []))
+    cur = meta.get("current-snapshot-id")
+    if cur is not None:
+        keep.add(int(cur))
+    expired = [
+        int(s["snapshot-id"]) for s in snaps
+        if int(s["snapshot-id"]) not in keep
+    ]
+    if not expired:
+        return []
+    meta = dict(meta)
+    meta["snapshots"] = [
+        s for s in snaps if int(s["snapshot-id"]) in keep
+    ]
+    mdir = os.path.join(table, "metadata")
+    hint = os.path.join(mdir, "version-hint.text")
+    with open(hint) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(mdir, f"v{v + 1}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(hint, "w") as fh:
+        fh.write(str(v + 1))
+    return expired
+
+
+def remove_iceberg_orphans(table: str, dry_run: bool = False) -> list[str]:
+    """Delete data/delete/manifest files no RETAINED snapshot
+    references (the garbage expire_iceberg_snapshots leaves behind).
+    Returns the deleted (or deletable, with ``dry_run``)
+    table-relative paths.  Metadata JSONs and the version hint are
+    never touched."""
+    meta = _load_table_metadata(table)
+    referenced: set[str] = set()
+    for snap in meta.get("snapshots") or []:
+        ml = _resolve(table, snap["manifest-list"])
+        referenced.add(os.path.relpath(ml, table))
+        for mf in _read_avro_rows(ml):
+            mp = _resolve(table, mf["manifest_path"])
+            referenced.add(os.path.relpath(mp, table))
+            for entry in _read_avro_rows(mp):
+                fp = _resolve(table, entry["data_file"]["file_path"])
+                referenced.add(os.path.relpath(fp, table))
+    doomed: list[str] = []
+    for root, dirs, files in os.walk(table):
+        dirs[:] = [d for d in dirs if not d.startswith(".stage-")]
+        for name in files:
+            rel = os.path.relpath(os.path.join(root, name), table)
+            is_candidate = name.endswith(".avro") or (
+                name.endswith(".parquet")
+                and not name.endswith(".metadata.json")
+            )
+            if name.endswith(".metadata.json") or name == (
+                "version-hint.text"
+            ):
+                continue
+            if is_candidate and rel not in referenced:
+                doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(table, rel))
+        for root, dirs, files in os.walk(table, topdown=False):
+            if root != table and not os.listdir(root):
+                os.rmdir(root)
+    return sorted(doomed)
 
 
 # ------------------------------------------------------------- fixtures
