@@ -4956,6 +4956,33 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar quantization of the embeddings column
+    (similarity.sq_stats/sq_encode/sq_decode — FAISS SQ8 / the int8
+    dumps vector stores ingest): ONE calibration pass collects
+    per-dimension (min, max) (d tiny rows to the driver), encode and
+    decode are pure Catalyst zip_with against broadcast literal
+    arrays — 4x smaller vectors, fully deterministic, so code AND
+    reconstruction hash-match the closed-form SQL."""
+    from vtk_reserves_spark.operators.similarity import (
+        sq_decode, sq_encode, sq_stats,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    stats = sq_stats(emb)
+    enc = sq_encode(emb, stats)
+    dec = sq_decode(enc, stats, out_col="recon")
+    return dec.select(
+        "vec_id",
+        F.posexplode(F.arrays_zip("codes", "recon")).alias("dim", "z"),
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("z.codes").alias("code"),
+        F.col("z.recon").alias("recon"),
+    )
+
+
 def q_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED Iceberg write + read-back
     (sources/iceberg.write_iceberg): snapshot 1 appends the even
@@ -9233,6 +9260,34 @@ def _llm_oracles() -> dict[str, str]:
                  LATERAL (SELECT unnest(generate_series(1, len(embedding)))
                           AS i)
         """,
+        "sq_roundtrip": """
+            -- closed form of int8 scalar quantization: per-dim
+            -- min/max calibration, round((x-mn)*255/(mx-mn)) clamp,
+            -- reconstruction code*(mx-mn)/255+mn (6-dp rounded by
+            -- the harness on both sides)
+            WITH v AS (
+              SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                     CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                            AS i)
+            ), s AS (
+              SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM v GROUP BY dim
+            )
+            SELECT v.vec_id, v.dim,
+                   CAST(GREATEST(0, LEAST(255,
+                     ROUND((v.x - s.mn) *
+                       (CASE WHEN s.mx > s.mn
+                             THEN 255.0 / (s.mx - s.mn)
+                             ELSE 0.0 END), 0))) AS INT) AS code,
+                   CAST(GREATEST(0, LEAST(255,
+                     ROUND((v.x - s.mn) *
+                       (CASE WHEN s.mx > s.mn
+                             THEN 255.0 / (s.mx - s.mn)
+                             ELSE 0.0 END), 0))) AS INT)
+                     * ((s.mx - s.mn) / 255.0) + s.mn AS recon
+            FROM v JOIN s USING (dim)
+        """,
         "zarr_sharded": """
             -- ZEP-2 sharded v3 write + read-back surfaces the
             -- embeddings column itself (indexed shards, zstd+crc32c)
@@ -10246,6 +10301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_degenerate": q_pq_topk_degenerate,
         "iceberg_partitioned": q_iceberg_partitioned,
         "zarr_sharded": q_zarr_sharded,
+        "sq_roundtrip": q_sq_roundtrip,
         "mel_spectrogram": q_mel_spectrogram,
         "mfcc": q_mfcc,
         "unigram_degenerate": q_unigram_degenerate,

@@ -1537,3 +1537,49 @@ def test_pq_gates(spark):
     )
     with _pytest.raises(ValueError, match="one dimension"):
         pq_train(ragged, m=2, k=2)
+
+
+def test_scalar_quantization_roundtrip_error_bound(spark):
+    import numpy as np
+
+    from vtk_reserves_spark.operators.similarity import (
+        sq_decode, sq_encode, sq_stats,
+    )
+
+    rng = np.random.default_rng(2)
+    data = rng.normal(size=(50, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(50)],
+        "vec_id bigint, embedding array<double>",
+    )
+    stats = sq_stats(df)
+    assert len(stats) == 8 and all(mn < mx for mn, mx in stats)
+    out = sq_decode(
+        sq_encode(df, stats), stats, out_col="recon"
+    ).toPandas().sort_values("vec_id")
+    codes = np.stack(out["codes"].to_numpy())
+    assert codes.min() >= 0 and codes.max() <= 255
+    # every dimension uses the full range at its extremes
+    assert (codes.min(axis=0) == 0).all()
+    assert (codes.max(axis=0) == 255).all()
+    recon = np.stack(out["recon"].to_numpy())
+    steps = np.array([(mx - mn) / 255.0 for mn, mx in stats])
+    assert (np.abs(recon - data) <= steps / 2 + 1e-12).all()
+
+
+def test_scalar_quantization_constant_dim(spark):
+    from vtk_reserves_spark.operators.similarity import (
+        sq_decode, sq_encode, sq_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [2.0, 5.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    stats = sq_stats(df)
+    out = sq_decode(
+        sq_encode(df, stats), stats, out_col="r"
+    ).orderBy("vec_id").collect()
+    # a constant dimension encodes to 0 and reconstructs exactly
+    assert out[0]["codes"][1] == 0 and out[0]["r"][1] == 5.0
+    assert out[0]["codes"][0] == 0 and out[1]["codes"][0] == 255

@@ -787,3 +787,81 @@ def pq_topk(
         local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# -------------------------------------------------- scalar quantization
+
+
+def sq_stats(
+    df: DataFrame, vec_col: str = "embedding"
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) over an embedding column — ONE
+    aggregation pass (posexplode -> min/max per dim, d rows to the
+    driver); the calibration step of scalar quantization."""
+    stats = (
+        df.select(F.posexplode(vec_col).alias("_d", "_x"))
+        .groupBy("_d")
+        .agg(F.min(F.col("_x").cast("double")).alias("_mn"),
+             F.max(F.col("_x").cast("double")).alias("_mx"))
+        .orderBy("_d")
+        .collect()
+    )
+    if not stats:
+        raise ValueError("sq: no vectors to calibrate on")
+    return [(float(r["_mn"]), float(r["_mx"])) for r in stats]
+
+
+def sq_encode(
+    df: DataFrame,
+    stats: list[tuple[float, float]],
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """INT8-style scalar quantization: each dimension maps to
+    ``round((x - min) / (max - min) * 255)`` clamped to [0, 255] —
+    the standard uniform quantizer (FAISS SQ8 / the int8 embedding
+    dumps vector stores ingest), 4x smaller than float32.  Pure
+    Catalyst (zip_with against broadcast literal min/scale arrays,
+    HALF_UP rounding via bround+0.5-floor... spark's ``round`` is
+    HALF_UP on doubles, matching the closed-form SQL oracle), fully
+    deterministic — so encode/decode hash-match SQL end-to-end."""
+    mins = F.array(*[F.lit(mn) for mn, _ in stats])
+    scales = F.array(*[
+        F.lit(255.0 / (mx - mn) if mx > mn else 0.0)
+        for mn, mx in stats
+    ])
+    code = F.zip_with(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            mins, lambda x, mn: x - mn,
+        ),
+        scales,
+        lambda d, sc: F.greatest(
+            F.lit(0),
+            F.least(F.lit(255), F.round(d * sc, 0).cast("int")),
+        ),
+    )
+    return df.withColumn(out_col, code)
+
+
+def sq_decode(
+    df: DataFrame,
+    stats: list[tuple[float, float]],
+    codes_col: str = "codes",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse map: ``code / 255 * (max - min) + min`` — the
+    reconstruction used at search time; quantization error is
+    bounded by half a step per dimension."""
+    mins = F.array(*[F.lit(mn) for mn, _ in stats])
+    steps = F.array(*[
+        F.lit((mx - mn) / 255.0) for mn, mx in stats
+    ])
+    rec = F.zip_with(
+        F.zip_with(
+            F.col(codes_col), steps,
+            lambda c, st: c.cast("double") * st,
+        ),
+        mins, lambda v, mn: v + mn,
+    )
+    return df.withColumn(out_col, rec)
