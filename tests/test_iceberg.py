@@ -402,3 +402,32 @@ def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
     # the retained snapshot still reads perfectly
     assert read_iceberg(spark, t).count() == 5
     assert expire_iceberg_snapshots(t, keep_last=1) == []
+
+
+def test_metadata_tables(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_files_df, iceberg_snapshots_df, write_iceberg,
+    )
+
+    t = str(tmp_path / "meta")
+    df = spark.range(30).withColumn(
+        "bucket", (F.col("id") % 3).cast("int")
+    )
+    write_iceberg(df, t, partition_by=["bucket"])
+    write_iceberg(
+        spark.range(30, 40).withColumn(
+            "bucket", (F.col("id") % 3).cast("int")
+        ),
+        t, partition_by=["bucket"],
+    )
+    files = iceberg_files_df(spark, t).toPandas()
+    assert files["record_count"].sum() == 40
+    assert set(
+        v["bucket"] for v in files["partition"]
+    ) == {"0", "1", "2"}
+    assert files["file_path"].str.startswith("data/").all()
+    snaps = iceberg_snapshots_df(spark, t).toPandas()
+    assert list(snaps["snapshot_id"]) == [1, 2]
+    assert (snaps["operation"] == "append").all()

@@ -46,7 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "decoded_file_path", "delta_snapshot", "merge_delta",
-    "optimize_delta", "read_delta", "vacuum_delta", "write_delta",
+    "delta_history", "optimize_delta", "read_delta",
+    "vacuum_delta", "write_delta",
     "write_delta_commit", "write_delta_checkpoint",
 ]
 
@@ -553,6 +554,7 @@ def write_delta(
         schema_json=emit_schema,
         partition_columns=list(partition_by or []),
         txn=txn,
+        operation="WRITE" if mode == "append" else "OVERWRITE",
     )
     if (
         checkpoint_interval
@@ -675,7 +677,8 @@ def merge_delta(
         for p in pieces[1:]:
             new_df = new_df.unionByName(p)
         adds = _stage_and_promote(new_df, table, part_cols or None)
-    write_delta_commit(table, version, adds=adds, removes=removes)
+    write_delta_commit(table, version, adds=adds, removes=removes,
+                       operation="MERGE")
     return version
 
 
@@ -741,7 +744,8 @@ def optimize_delta(
         rows = rows.coalesce(max(1, len(victims) // 8))
     adds = _stage_and_promote(rows, table, part_cols or None)
     version = snap["version"] + 1
-    write_delta_commit(table, version, adds=adds, removes=victims)
+    write_delta_commit(table, version, adds=adds, removes=victims,
+                       operation="OPTIMIZE")
     return version
 
 
@@ -798,6 +802,38 @@ def vacuum_delta(table: str, dry_run: bool = False) -> list[str]:
     return sorted(doomed)
 
 
+def delta_history(table: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per retained JSON commit —
+    ``{version, operation, timestamp, operationMetrics, txn}`` —
+    newest first, straight from the log's commitInfo/txn actions
+    (commits older than the checkpoint horizon are gone, like
+    delta-spark after log cleanup).  Driver-side metadata only."""
+    log_dir = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"delta: no {_LOG_DIR} directory in {table}")
+    out = []
+    for v in _list_commit_versions(log_dir):
+        row = {"version": v, "operation": None, "timestamp": None,
+               "operationMetrics": None, "txn": None}
+        with open(_commit_path(table, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ci = action["commitInfo"]
+                    row["operation"] = ci.get("operation")
+                    row["timestamp"] = ci.get("timestamp")
+                    row["operationMetrics"] = ci.get(
+                        "operationMetrics"
+                    )
+                elif "txn" in action:
+                    row["txn"] = action["txn"]
+        out.append(row)
+    return sorted(out, key=lambda r: -r["version"])
+
+
 # ------------------------------------------------------------- fixtures
 
 
@@ -839,6 +875,7 @@ def write_delta_commit(
     reader_features: list[str] | None = None,
     configuration: dict | None = None,
     txn: tuple[str, int] | None = None,
+    operation: str | None = None,
 ) -> None:
     """Append one JSON commit (fixture-scale writer).  ``adds`` are
     dicts with at least ``path`` (+ optional partitionValues/size/
@@ -886,6 +923,19 @@ def write_delta_commit(
         lines.append(json.dumps({
             "txn": {"appId": txn[0], "version": int(txn[1]),
                     "lastUpdated": 0}
+        }))
+    if operation is not None:
+        import time as _time
+
+        lines.append(json.dumps({
+            "commitInfo": {
+                "timestamp": int(_time.time() * 1000),
+                "operation": operation,
+                "operationMetrics": {
+                    "numAddedFiles": str(len(adds or [])),
+                    "numRemovedFiles": str(len(removes or [])),
+                },
+            }
         }))
     with open(_commit_path(table, version), "w") as fh:
         fh.write("\n".join(lines) + "\n")

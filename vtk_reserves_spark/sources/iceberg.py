@@ -48,7 +48,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "expire_iceberg_snapshots", "iceberg_snapshot", "read_iceberg",
+    "expire_iceberg_snapshots", "iceberg_files_df",
+    "iceberg_snapshot", "iceberg_snapshots_df", "read_iceberg",
     "remove_iceberg_orphans", "write_iceberg",
     "write_iceberg_table", "append_iceberg_snapshot",
 ]
@@ -166,6 +167,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
             "files": [],
             "snapshot_id": None,
             "partitions": {},
+            "record_counts": {},
             "data_seqs": {},
             "delete_files": [],
             "position_deletes": [],
@@ -183,6 +185,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
         )
     files: list[str] = []
     partitions: dict[str, dict] = {}
+    record_counts: dict[str, int] = {}
     data_seqs: dict[str, int] = {}
     position_deletes: dict[str, int] = {}
     equality_deletes: dict[str, tuple[int, tuple[int, ...]]] = {}
@@ -213,6 +216,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
                     )
                 files.append(path)
                 partitions[path] = dict(df_.get("partition") or {})
+                record_counts[path] = int(df_.get("record_count") or 0)
                 data_seqs[path] = seq
             elif content == 1:  # position deletes (v2)
                 position_deletes[path] = seq
@@ -240,6 +244,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
         schema = meta.get("schema")
     return {"files": sorted(set(files)), "snapshot_id": sid,
             "partitions": partitions,
+            "record_counts": record_counts,
             "data_seqs": data_seqs,
             "delete_files": sorted(position_deletes),
             "position_deletes": sorted(position_deletes.items()),
@@ -538,6 +543,53 @@ def write_iceberg(
     return snapshot_id
 
 
+def iceberg_files_df(
+    spark: SparkSession, table: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The ``files`` metadata table (iceberg-spark's
+    ``table.files``): one row per live data file with its
+    table-relative path, data sequence number, manifest-recorded
+    record count and identity-partition values.  Metadata only — no
+    data pages are read (the same audit surface as
+    `sources/parquet_meta.py`, one level up)."""
+    snap = iceberg_snapshot(table, snapshot_id)
+    rows = [
+        (
+            os.path.relpath(p, table),
+            int(snap["data_seqs"].get(p, 0)),
+            int(snap["record_counts"].get(p, 0)),
+            snap["partitions"].get(p) or {},
+        )
+        for p in snap["files"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "file_path string, sequence_number long, record_count long, "
+        "partition map<string,string>",
+    )
+
+
+def iceberg_snapshots_df(spark: SparkSession, table: str) -> DataFrame:
+    """The ``snapshots`` metadata table: (snapshot_id,
+    sequence_number, operation, manifest_list) per retained
+    snapshot, oldest first."""
+    meta = _load_table_metadata(table)
+    rows = [
+        (
+            int(s["snapshot-id"]),
+            int(s.get("sequence-number") or 0),
+            (s.get("summary") or {}).get("operation"),
+            s.get("manifest-list"),
+        )
+        for s in meta.get("snapshots") or []
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, sequence_number long, operation string, "
+        "manifest_list string",
+    )
+
+
 def expire_iceberg_snapshots(
     table: str, keep_last: int = 1, keep_ids=None
 ) -> list[int]:
@@ -716,9 +768,12 @@ def append_iceberg_snapshot(
                 "data_file": {
                     "content": 0, "file_path": rel,
                     "file_format": "parquet",
-                    "record_count": 0, "file_size_in_bytes": 0,
-                    # keep partition values across carry-forward so
-                    # manifest pruning survives later appends
+                    # keep stats across carry-forward so the files
+                    # metadata table and manifest pruning stay true
+                    "record_count": int(
+                        prev.get("record_counts", {}).get(p, 0)
+                    ),
+                    "file_size_in_bytes": 0,
                     "partition": prev.get("partitions", {}).get(p)
                     or None,
                 },
