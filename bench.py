@@ -247,6 +247,28 @@ def main() -> None:
     # an anchor that does not re-base.  `--vs-round FILE` overrides
     # the anchor; default = the highest-numbered BENCH_r*_self.json.
     vs_round = _vs_round_compare(timings, total, sf)
+    # the suite now OUTLASTS the box's ~15-min snapshot period, so
+    # every run spans one tick and a contiguous innocent cluster
+    # inflates 1.5-3x.  Re-measure the cross-round flags the same way
+    # the in-round gate's flags are re-measured (min wins; a REAL
+    # regression stays slow), then recompute the compare — bounded at
+    # two extra runs per flagged query.
+    if vs_round and vs_round.get("flags"):
+        for name in list(vs_round["flags"]):
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                timings[name] = min(
+                    timings[name],
+                    round(time.perf_counter() - t0, 4),
+                )
+        total = round(sum(timings.values()), 4)
+        vs_round = _vs_round_compare(timings, total, sf)
 
     print(
         json.dumps(
