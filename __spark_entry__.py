@@ -4983,6 +4983,33 @@ def q_sq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVFADC end-to-end (similarity.ivfpq_topk): coarse
+    k-means list assignment, product quantization of the RESIDUALS,
+    and probed asymmetric-distance search — the billion-vector index
+    layout, composed from kmeans_fit/kmeans_assign + pq_train/
+    pq_encode.  In the closed-form regime (one coarse centroid whose
+    mean is exactly 1.5 per dim because the corpus size is a
+    multiple of 4; residuals take 4 exact values covered by pq_k=4)
+    the whole pipeline equals brute-force L2, so the SAME exact-L2
+    oracle as q:pq_topk_degenerate hash-checks the residual path,
+    the probe selection and the per-list ADC in one query."""
+    from vtk_reserves_spark.operators.similarity import ivfpq_topk
+
+    corpus = _pq_closed_form_corpus(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [3.0] * 8), (2, [0.5] * 8)],
+        "query_id bigint, embedding array<double>",
+    )
+    return ivfpq_topk(
+        corpus, queries, k=5, n_centroids=1, n_probe=1, m=8,
+        pq_k=4, n_iter=1,
+    ).select(
+        "query_id", "vec_id", "d2",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED Iceberg write + read-back
     (sources/iceberg.write_iceberg): snapshot 1 appends the even
@@ -9210,6 +9237,32 @@ def _llm_oracles() -> dict[str, str]:
             SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
             FROM events
         """,
+        "ivfpq_degenerate": """
+            -- closed form of the IVFADC fixture (q_ivfpq_degenerate):
+            -- one exact coarse centroid + exact residual PQ ==
+            -- with one code per distinct subvector value, ADC == the
+            -- exact squared L2 over the synthesized vectors
+            WITH v AS (
+              SELECT vec_id, j, CAST((vec_id + j) % 4 AS DOUBLE) AS x
+              FROM (SELECT DISTINCT vec_id FROM embeddings),
+                   (SELECT unnest(generate_series(0, 7)) AS j)
+            ), q AS (
+              SELECT 0 AS query_id, 0.0 AS qv
+              UNION ALL SELECT 1, 3.0
+              UNION ALL SELECT 2, 0.5
+            ), d AS (
+              SELECT q.query_id, v.vec_id,
+                     SUM((v.x - q.qv) * (v.x - q.qv)) AS d2
+              FROM v, q GROUP BY 1, 2
+            ), r AS (
+              SELECT query_id, vec_id, d2,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY d2, vec_id
+                     ) AS INT) AS rank
+              FROM d
+            )
+            SELECT query_id, vec_id, d2, rank FROM r WHERE rank <= 5
+        """,
         "pq_topk_degenerate": """
             -- closed form of the PQ fixture (q_pq_topk_degenerate):
             -- with one code per distinct subvector value, ADC == the
@@ -10302,6 +10355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partitioned": q_iceberg_partitioned,
         "zarr_sharded": q_zarr_sharded,
         "sq_roundtrip": q_sq_roundtrip,
+        "ivfpq_degenerate": q_ivfpq_degenerate,
         "mel_spectrogram": q_mel_spectrogram,
         "mfcc": q_mfcc,
         "unigram_degenerate": q_unigram_degenerate,

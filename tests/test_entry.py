@@ -49,7 +49,7 @@ def test_recording_window_layout():
                   "zarr_v3_embeddings", "tfrecord_roundtrip",
                   "delta_merge", "delta_optimize", "stream_delta_sink",
                   "pq_topk_degenerate", "iceberg_partitioned",
-                  "zarr_sharded", "sq_roundtrip",
+                  "zarr_sharded", "sq_roundtrip", "ivfpq_degenerate",
                   "mel_spectrogram", "mfcc", "unigram_degenerate"}
     # queries whose IMPLEMENTATION changed in round 7
     impl_changed = {"hdf5_embeddings", "delta_snapshot",

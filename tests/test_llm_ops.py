@@ -1583,3 +1583,43 @@ def test_scalar_quantization_constant_dim(spark):
     # a constant dimension encodes to 0 and reconstructs exactly
     assert out[0]["codes"][1] == 0 and out[0]["r"][1] == 5.0
     assert out[0]["codes"][0] == 0 and out[1]["codes"][0] == 255
+
+
+def test_ivfpq_degenerate_exact_and_recall(spark):
+    import numpy as np
+
+    from vtk_reserves_spark.operators.similarity import ivfpq_topk
+
+    # 40 % 4 == 0 -> the single coarse centroid is exactly 1.5 per
+    # dim; residuals take 4 exact values, so IVFADC == brute force
+    d, kk = 8, 4
+    rows = [(i, [float((i + j) % kk) for j in range(d)])
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(0, [0.0] * d)], "query_id bigint, embedding array<double>"
+    )
+    top = ivfpq_topk(df, q, k=3, n_centroids=1, n_probe=1, m=d,
+                     pq_k=4, n_iter=1).orderBy("rank").collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 2]
+    assert all(r["d2"] == 28.0 for r in top)
+    # real vectors: probing 2 of 4 lists still finds the vector
+    # itself and a sane share of true neighbors
+    rng = np.random.default_rng(9)
+    data = rng.normal(size=(120, 16))
+    df2 = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(120)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q2 = spark.createDataFrame(
+        [(0, [float(x) for x in data[11]])],
+        "query_id bigint, embedding array<double>",
+    )
+    t2 = ivfpq_topk(df2, q2, k=10, n_centroids=4, n_probe=2,
+                    m=4, pq_k=16, n_iter=2).toPandas()
+    exact = set(np.argsort(((data - data[11]) ** 2).sum(1))[:10]
+                .tolist())
+    assert 11 in set(t2["vec_id"])
+    assert len(set(t2["vec_id"]) & exact) >= 3

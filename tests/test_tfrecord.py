@@ -145,3 +145,46 @@ def test_spec_sniffing_and_loader_dispatch(spark, tmp_path):
     assert row["id"] == 3 and row["name"] == "seven"
     assert bytes(row["raw"]) == b"\xff\x00"
     assert row["emb"] == [1.0, 2.0]
+
+
+def test_gzip_shards(spark, tmp_path):
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    # raw file API: .gz path gzips, magic-sniffed on read
+    p = str(tmp_path / "a.tfrecord.gz")
+    write_tfrecord_file(p, [b"one", b"two"])
+    assert open(p, "rb").read(2) == b"\x1f\x8b"
+    assert list(read_tfrecord_records(p)) == [b"one", b"two"]
+    # distributed writer/reader with compress=True
+    out = str(tmp_path / "shards")
+    df = spark.range(20).withColumn(
+        "txt", F.concat(F.lit("d-"), F.col("id"))
+    ).repartition(2)
+    n = write_tfrecord_df(
+        df, out, {"id": "int64", "txt": "string"}, compress=True
+    )
+    assert n == 2
+    assert sorted(os.listdir(out)) == [
+        "part-00000.tfrecord.gz", "part-00001.tfrecord.gz"
+    ]
+    back = read_tfrecord_df(
+        spark, out, {"id": "int64", "txt": "string"}
+    ).toPandas().sort_values("id")
+    assert list(back["id"]) == list(range(20))
+    # a gzipped stream still detects payload corruption
+    raw = gzip.decompress(
+        open(os.path.join(out, "part-00000.tfrecord.gz"), "rb").read()
+    )
+    bad = bytearray(raw)
+    bad[14] ^= 0xFF
+    open(os.path.join(out, "part-00000.tfrecord.gz"), "wb").write(
+        gzip.compress(bytes(bad))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="checksum"):
+        read_tfrecord_df(
+            spark, out, {"id": "int64", "txt": "string"}
+        ).collect()

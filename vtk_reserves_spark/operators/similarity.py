@@ -865,3 +865,133 @@ def sq_decode(
         mins, lambda v, mn: v + mn,
     )
     return df.withColumn(out_col, rec)
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    n_iter: int = 1,
+) -> DataFrame:
+    """FAISS-style IVFADC: coarse k-means lists + product
+    quantization of the RESIDUALS (x - centroid), searched by
+    asymmetric distance over only the ``n_probe`` lists nearest each
+    query.  The composition of :func:`kmeans_fit`/:func:`kmeans_assign`
+    and :func:`pq_train`/:func:`pq_encode` — the index layout that
+    serves billion-vector corpora.
+
+    Scale shape: training/encoding are the components' own linear
+    passes; the coarse centroids AND pq codebooks are driver-collected
+    KBs; at search time each query's per-(list, code) LUT broadcasts
+    into ONE mapInPandas pass over the code table that (a) skips rows
+    whose list is not probed by any query and (b) keeps only a
+    (d2, id)-lexicographic per-partition top-k per query — so the
+    post-scan shuffle is partitions x queries x k rows.  At 100 TB
+    the code table would additionally be BUCKETED by list id so
+    probes prune entire files; the seam is the ``codes`` relation.
+
+    Determinism: every stage inherits the components' deterministic
+    tie-breaks, so with ``n_centroids=1`` on a closed-form corpus the
+    result is exactly brute-force L2 (q:ivfpq_degenerate's oracle)."""
+    import numpy as np
+
+    coarse_rows = kmeans_fit(
+        corpus, id_col, vec_col, k=n_centroids, n_iter=n_iter
+    ).collect()
+    coarse = corpus.sparkSession.createDataFrame(
+        [(int(r["centroid_id"]), list(r["centroid"]))
+         for r in coarse_rows],
+        "centroid_id int, centroid array<double>",
+    )
+    assigned = kmeans_assign(corpus, coarse, id_col, vec_col)
+    residuals = assigned.join(
+        F.broadcast(coarse), "centroid_id"
+    ).select(
+        id_col, "centroid_id",
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.col("centroid"), lambda x, c: x - c,
+        ).alias("_res"),
+    )
+    cb = pq_train(
+        residuals.select(id_col, F.col("_res").alias(vec_col)),
+        id_col, vec_col, m=m, k=pq_k, n_iter=n_iter,
+    )
+    codes = pq_encode(
+        residuals.select(id_col, F.col("_res").alias(vec_col)),
+        cb, id_col, vec_col, m=m,
+    ).join(residuals.select(id_col, "centroid_id"), id_col)
+    # ---- search: driver-side probe selection + per-(query, list) LUT
+    cents = {
+        int(r["centroid_id"]): np.asarray(r["centroid"], float)
+        for r in coarse_rows
+    }
+    cb_rows = cb.collect()
+    sub = len(cb_rows[0]["centroid"])
+    n_codes = max(r["code"] for r in cb_rows) + 1
+    pq_cents = np.full((m, n_codes, sub), np.inf)
+    for r in cb_rows:
+        pq_cents[r["subspace"], r["code"]] = r["centroid"]
+    q_rows = queries.select("query_id", vec_col).collect()
+    qids = sorted(r["query_id"] for r in q_rows)
+    luts: dict = {}  # (qid, cid) -> (m, n_codes) LUT
+    probed_lists: set[int] = set()
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], float)
+        order = sorted(
+            cents, key=lambda c: (float(((qv - cents[c]) ** 2).sum()), c)
+        )[:n_probe]
+        for cid in order:
+            probed_lists.add(cid)
+            qres = (qv - cents[cid]).reshape(m, sub)
+            luts[(r["query_id"], cid)] = (
+                (pq_cents - qres[:, None, :]) ** 2
+            ).sum(axis=2)
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf["centroid_id"].isin(list(probed_lists))]
+            if not len(pdf):
+                continue
+            out = []
+            for (qid, cid), lut in luts.items():
+                part = pdf[pdf["centroid_id"] == cid]
+                if not len(part):
+                    continue
+                ids = part[id_col].to_numpy()
+                cd = np.stack(part["codes"].to_numpy())
+                scores = np.zeros(len(ids))
+                for s_ in range(m):
+                    scores += lut[s_, cd[:, s_]]
+                take = min(k, len(ids))
+                sel = np.lexsort((ids, scores))[:take]
+                out.append(pd.DataFrame({
+                    "query_id": qid,
+                    id_col: ids[sel],
+                    "d2": scores[sel],
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    qid_t = "string" if isinstance(qids[0], str) else "bigint"
+    local = codes.mapInPandas(
+        adc, f"query_id {qid_t}, {id_col} bigint, d2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

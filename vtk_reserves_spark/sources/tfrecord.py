@@ -54,9 +54,22 @@ def masked_crc(data: bytes) -> int:
     return (((c >> 15) | (c << 17)) + _MASK_DELTA) & 0xFFFFFFFF
 
 
+def _open_maybe_gzip(path: str):
+    """TFRecordOptions GZIP shards (.tfrecord.gz) stream through
+    gzip; plain shards open raw.  Sniffed by magic, not extension,
+    so mislabeled files still read."""
+    import gzip
+
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
 def read_tfrecord_records(path: str):
     """Yield record payloads, verifying both masked CRCs."""
-    with open(path, "rb") as fh:
+    with _open_maybe_gzip(path) as fh:
         while True:
             head = fh.read(12)
             if not head:
@@ -77,11 +90,21 @@ def read_tfrecord_records(path: str):
             yield payload
 
 
-def write_tfrecord_file(path: str, payloads) -> int:
+def write_tfrecord_file(
+    path: str, payloads, compress: bool = False
+) -> int:
     """Write raw record payloads with the framing + masked CRCs;
-    returns the record count."""
+    returns the record count.  ``compress`` (or a ``.gz`` path)
+    gzips the whole stream — TFRecordOptions GZIP."""
+    import gzip
+
     n = 0
-    with open(path, "wb") as fh:
+    opener = (
+        (lambda: gzip.open(path, "wb", compresslevel=6))
+        if compress or path.endswith(".gz")
+        else (lambda: open(path, "wb"))
+    )
+    with opener() as fh:
         for p in payloads:
             p = bytes(p)
             head = struct.pack("<Q", len(p))
@@ -302,6 +325,7 @@ def read_tfrecord_df(
         if os.path.isdir(paths):
             files = sorted(
                 _glob.glob(os.path.join(paths, "*.tfrecord"))
+                + _glob.glob(os.path.join(paths, "*.tfrecord.gz"))
             )
         else:
             files = sorted(_glob.glob(paths)) or [paths]
@@ -355,7 +379,9 @@ def read_tfrecord_df(
     return files_df.mapInPandas(parse, schema)
 
 
-def write_tfrecord_df(df: DataFrame, out_dir: str, spec: dict) -> int:
+def write_tfrecord_df(
+    df: DataFrame, out_dir: str, spec: dict, compress: bool = False
+) -> int:
     """DataFrame -> directory of .tfrecord shards, ONE per input
     partition (control shard count with ``df.repartition(n)``).
     ``spec`` as in :func:`read_tfrecord_df`; string/bytes columns
@@ -375,12 +401,17 @@ def write_tfrecord_df(df: DataFrame, out_dir: str, spec: dict) -> int:
         import pandas as pd
         from pyspark import TaskContext
 
+        import gzip
+
         pid = TaskContext.get().partitionId()
-        tmp = os.path.join(
-            out_dir, f".tmp-{uuid.uuid4().hex}.tfrecord"
-        )
+        ext = ".tfrecord.gz" if compress else ".tfrecord"
+        tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}{ext}")
         n_rec = 0
-        with open(tmp, "wb") as fh:
+        opener = (
+            (lambda: gzip.open(tmp, "wb", compresslevel=6))
+            if compress else (lambda: open(tmp, "wb"))
+        )
+        with opener() as fh:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
                     feats = {}
@@ -407,7 +438,7 @@ def write_tfrecord_df(df: DataFrame, out_dir: str, spec: dict) -> int:
                     fh.write(p)
                     fh.write(struct.pack("<I", masked_crc(p)))
                     n_rec += 1
-        final = os.path.join(out_dir, f"part-{pid:05d}.tfrecord")
+        final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
         os.replace(tmp, final)
         yield pd.DataFrame({"shard": [final], "records": [n_rec]})
 
