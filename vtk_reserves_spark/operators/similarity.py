@@ -922,6 +922,12 @@ def ivfpq_topk(
             F.col("centroid"), lambda x, c: x - c,
         ).alias("_res"),
     )
+    # the residual relation is consumed THREE times (codebook
+    # training, encoding, list lookup): truncate its lineage so each
+    # consumer reads materialized partitions instead of re-running
+    # the coarse assignment — at index-build scale this is exactly
+    # the persist step FAISS-style builders do between stages
+    residuals = residuals.localCheckpoint()
     cb = pq_train(
         residuals.select(id_col, F.col("_res").alias(vec_col)),
         id_col, vec_col, m=m, k=pq_k, n_iter=n_iter,
