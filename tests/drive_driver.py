@@ -92,6 +92,15 @@ def main() -> None:
         s, o = norm(sdf), norm(odf)
         rows_ok = len(s) == len(o)
         cols_ok = list(s.columns) == list(o.columns)
+        # schema compare like the driver: same columns AND compatible
+        # dtype kinds per column (int/uint fold together; duckdb may
+        # return a wider numeric than Spark, so kinds not exact types)
+        kind = lambda d: {"i": "i", "u": "i", "f": "f", "b": "b"}.get(
+            d.kind, "O"
+        )
+        schema_ok = cols_ok and all(
+            kind(s[c].dtype) == kind(o[c].dtype) for c in s.columns
+        )
         # round floats to 6 dp on both sides before hashing
         for df in (s, o):
             for c in df.columns:
@@ -105,6 +114,7 @@ def main() -> None:
             "oracle_rows": len(o),
             "rows_match": rows_ok,
             "cols_match": cols_ok,
+            "schema_match": schema_ok,
             "hash_match": hash_ok,
             "sec": round(time.time() - t0, 2),
         }

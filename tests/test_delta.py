@@ -707,8 +707,11 @@ def test_partition_filter_prunes_in_metadata(spark, tmp_path):
     got = read_delta(spark, t, partition_filter={"bucket": "1"})
     assert got.count() == 10
     assert got.select("bucket").distinct().collect()[0][0] == 1
-    with pytest.raises(ValueError, match="partition filter"):
-        read_delta(spark, t, partition_filter={"bucket": "9"})
+    # a filter matching nothing returns an EMPTY relation with the
+    # table schema (delta-spark semantics), never an error
+    empty = read_delta(spark, t, partition_filter={"bucket": "9"})
+    assert empty.count() == 0
+    assert set(empty.columns) == set(got.columns)
 
 
 def test_delta_history(spark, tmp_path):
@@ -744,3 +747,50 @@ def test_delta_history(spark, tmp_path):
         assert by_v[3]["operation"] == "OPTIMIZE"
     assert by_v[1]["operationMetrics"]["numAddedFiles"].isdigit()
     assert isinstance(by_v[0]["timestamp"], int)
+
+
+def test_vacuum_keeps_referenced_dv_removes_orphans(spark, tmp_path):
+    """vacuum_delta keeps deletion-vector .bin files referenced by
+    any reachable snapshot and removes unreferenced ones (the orphans
+    merge/optimize tombstones leave behind)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vtk_reserves_spark.sources.delta import (
+        read_delta, vacuum_delta, write_delta_commit,
+        write_deletion_vector,
+    )
+
+    t = str(tmp_path / "dv")
+    os.makedirs(t)
+    pq.write_table(
+        pa.table({"id": pa.array(range(6), pa.int64())}),
+        os.path.join(t, "a.parquet"),
+    )
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [{"name": "id", "type": "long", "nullable": True,
+                    "metadata": {}}],
+    })
+    dv = write_deletion_vector(t, [1, 3])
+    write_delta_commit(
+        t, 0,
+        adds=[{"path": "a.parquet", "deletionVector": dv}],
+        schema_json=schema_json,
+        reader_features=["deletionVectors"],
+    )
+    # an orphaned DV no snapshot references
+    stray = write_deletion_vector(t, [0])
+    from vtk_reserves_spark.sources.delta import _dv_file_path
+
+    stray_path = _dv_file_path(t, stray)
+    assert os.path.exists(stray_path)
+    doomed = vacuum_delta(t)
+    assert os.path.basename(stray_path) in [
+        os.path.basename(p) for p in doomed
+    ]
+    assert not os.path.exists(stray_path)
+    # the referenced DV survived and the table still reads
+    assert os.path.exists(_dv_file_path(t, dv))
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) == \
+        [0, 2, 4, 5]

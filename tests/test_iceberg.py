@@ -366,9 +366,11 @@ def test_write_iceberg_partitioned_and_pruned(spark, tmp_path):
     # append without the table's partitioning gates
     with pytest.raises(ValueError, match="partitioned by"):
         write_iceberg(df, t)
-    # filter matching nothing errors loudly, never silently empty
-    with pytest.raises(ValueError, match="partition filter"):
-        read_iceberg(spark, t, partition_filter={"bucket": 9})
+    # filter matching nothing returns an EMPTY relation with the
+    # table schema (iceberg-spark semantics), never an error
+    empty = read_iceberg(spark, t, partition_filter={"bucket": 9})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "bucket", "v"}
 
 
 def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
@@ -431,3 +433,138 @@ def test_metadata_tables(spark, tmp_path):
     snaps = iceberg_snapshots_df(spark, t).toPandas()
     assert list(snaps["snapshot_id"]) == [1, 2]
     assert (snaps["operation"] == "append").all()
+
+
+def test_bucket_transform_spec_vectors():
+    """The spec's own bucket test vectors (Iceberg spec, Appendix B:
+    32-bit hash requirements)."""
+    import struct
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_bucket, iceberg_truncate, murmur3_32,
+    )
+
+    def signed(x):
+        return x - (1 << 32) if x >= (1 << 31) else x
+
+    assert signed(murmur3_32(struct.pack("<q", 34))) == 2017239379
+    assert signed(murmur3_32(b"iceberg")) == 1210000089
+    assert signed(murmur3_32(struct.pack("<q", 17486))) == -653330422
+    assert iceberg_bucket(34, 16) == 3
+    assert iceberg_bucket("iceberg", 16) == 1210000089 % 16
+    assert iceberg_truncate(-1, 10) == -10
+    assert iceberg_truncate(7, 10) == 0
+    assert iceberg_truncate("iceberg", 3) == "ice"
+
+
+def test_partition_transforms_write_read_prune(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_bucket, iceberg_snapshot, read_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "tr")
+    df = spark.range(100).select(
+        F.col("id").cast("long").alias("id"),
+        (
+            F.expr("timestamp'1992-03-01 00:00:00'")
+            + F.make_interval(hours=F.col("id") * 7)
+        ).alias("ts"),
+        F.concat(F.lit("user"), (F.col("id") % 7).cast("string"))
+        .alias("name"),
+    )
+    write_iceberg(df, t, partition_by=["day(ts)", "bucket(4, id)"])
+    snap = iceberg_snapshot(t)
+    # the spec records the transform strings the spec defines
+    assert [(e["name"], e["transform"])
+            for e in snap["partition_spec"]] == [
+        ("ts_day", "day"), ("id_bucket", "bucket[4]"),
+    ]
+    # hidden partitioning: transform fields never reach the schema
+    back = read_iceberg(spark, t)
+    assert back.columns == ["id", "ts", "name"]
+    assert back.count() == 100
+    # manifest-recorded values agree with driver-side transforms
+    b42 = iceberg_bucket(42, 4)
+    kept = [
+        p for p in snap["files"]
+        if snap["partitions"][p].get("ts_day") == "1992-03-13"
+        and snap["partitions"][p].get("id_bucket") == str(b42)
+    ]
+    assert 0 < len(kept) < len(snap["files"])
+    pruned = read_iceberg(
+        spark, t,
+        partition_filter={"ts_day": "1992-03-13", "id_bucket": b42},
+    )
+    rows = pruned.filter(F.col("id") == 42).collect()
+    assert len(rows) == 1 and rows[0]["name"] == "user0"
+    # appends must keep the SAME spec, transform included
+    with pytest.raises(ValueError, match="partitioned by"):
+        write_iceberg(df, t, partition_by=["day(ts)"])
+    # overwrite may replace the spec — and the metadata records it so
+    # the next append with the new spec is accepted
+    write_iceberg(df, t, mode="overwrite",
+                  partition_by=["truncate(4, name)"])
+    snap2 = iceberg_snapshot(t)
+    assert [(e["name"], e["transform"])
+            for e in snap2["partition_spec"]] == [
+        ("name_trunc", "truncate[4]"),
+    ]
+    write_iceberg(df.limit(3), t, partition_by=["truncate(4, name)"])
+    assert read_iceberg(spark, t).count() == 103
+    # truncate dirs carry the first-W-chars value
+    assert all(
+        v.get("name_trunc") == "user"
+        for v in iceberg_snapshot(t)["partitions"].values()
+    )
+
+
+def test_year_month_hour_transforms(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_snapshot, read_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "ymh")
+    df = spark.range(48).select(
+        F.col("id").alias("id"),
+        (
+            F.expr("timestamp'2024-12-31 20:00:00'")
+            + F.make_interval(hours=F.col("id"))
+        ).alias("ts"),
+    )
+    write_iceberg(df, t, partition_by=["hour(ts)"])
+    snap = iceberg_snapshot(t)
+    vals = {v["ts_hour"] for v in snap["partitions"].values()}
+    assert "2024-12-31-20" in vals and "2025-01-01-00" in vals
+    pf = read_iceberg(
+        spark, t, partition_filter={"ts_hour": "2025-01-01-00"}
+    )
+    assert pf.count() == 1
+    t2 = str(tmp_path / "ym2")
+    write_iceberg(df, t2, partition_by=["month(ts)", "year(ts)"])
+    snap2 = iceberg_snapshot(t2)
+    v0 = next(iter(snap2["partitions"].values()))
+    assert v0["ts_month"] in ("2024-12", "2025-01")
+    assert v0["ts_year"] in ("2024", "2025")
+
+
+def test_empty_partition_filter_returns_empty(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        read_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "ef")
+    write_iceberg(
+        spark.range(10).withColumn("b", (F.col("id") % 2).cast("int")),
+        t, partition_by=["b"],
+    )
+    empty = read_iceberg(spark, t, partition_filter={"b": 99})
+    assert empty.count() == 0
+    assert empty.columns == ["id", "b"]
+    assert [f.dataType.simpleString() for f in empty.schema.fields] \
+        == ["bigint", "int"]

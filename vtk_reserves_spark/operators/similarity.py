@@ -756,6 +756,8 @@ def pq_topk(
         import pandas as pd
 
         for pdf in batches:
+            if not len(pdf):  # np.stack raises on empty batches
+                continue
             ids = pdf[id_col].to_numpy()
             cd = np.stack(pdf["codes"].to_numpy())  # (n, m)
             # gather: scores[q, i] = sum_s lut[q, s, cd[i, s]]

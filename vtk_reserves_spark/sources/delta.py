@@ -246,13 +246,37 @@ def delta_snapshot(table: str, version: int | None = None) -> dict:
                                   "minWriterVersion": 2}}
 
 
+def _dv_file_path(table: str, dv: dict) -> str:
+    """On-disk path of a storageType "u"/"p" deletion-vector
+    descriptor (u: z85-encoded UUID with an optional dir prefix,
+    relative to the table; p: absolute path)."""
+    import uuid as _uuid
+
+    from vtk_reserves_spark.sources.roaring import z85_decode
+
+    st = dv.get("storageType")
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, uid_enc = enc[:-20], enc[-20:]
+        uid = _uuid.UUID(bytes=z85_decode(uid_enc))
+        return os.path.join(
+            table, *( [prefix] if prefix else [] ),
+            f"deletion_vector_{uid}.bin",
+        )
+    if st == "p":
+        path = dv["pathOrInlineDv"]
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        return path
+    raise ValueError(f"delta: DV storageType {st!r} has no file path")
+
+
 def _load_dv_positions(table: str, dv: dict):
     """Deletion-vector descriptor -> sorted uint64 row positions
     (PROTOCOL.md Deletion Vector Format: storageType u/i/p; on-disk
     DVs are [1-byte version][at offset: u32BE size | bitmap |
     u32BE CRC32]; the bitmap is delta's portable
     RoaringBitmapArray)."""
-    import uuid as _uuid
     import zlib as _zlib
 
     from vtk_reserves_spark.sources.roaring import (
@@ -264,20 +288,7 @@ def _load_dv_positions(table: str, dv: dict):
     if st == "i":  # inline: z85 of the bitmap itself
         raw = z85_decode(dv["pathOrInlineDv"])[:size]
         return deserialize_roaring64(raw)
-    if st == "u":
-        enc = dv["pathOrInlineDv"]
-        prefix, uid_enc = enc[:-20], enc[-20:]
-        uid = _uuid.UUID(bytes=z85_decode(uid_enc))
-        path = os.path.join(
-            table, *( [prefix] if prefix else [] ),
-            f"deletion_vector_{uid}.bin",
-        )
-    elif st == "p":
-        path = dv["pathOrInlineDv"]
-        if path.startswith("file://"):
-            path = path[len("file://"):]
-    else:
-        raise ValueError(f"delta: unknown DV storageType {st!r}")
+    path = _dv_file_path(table, dv)
     with open(path, "rb") as fh:
         data = fh.read()
     if not data or data[0] != 1:
@@ -344,18 +355,23 @@ def read_delta(
             f for f in snap["files"]
             if all(f[1].get(k) == v for k, v in want.items())
         ]
-        if not snap["files"]:
-            raise ValueError(
-                "delta: no files match the partition filter"
-            )
     if not snap["files"]:
-        # empty snapshot: derive schema from metaData.schemaString
+        # empty snapshot OR a partition filter that matched nothing
+        # (delta-spark returns an empty relation, not an error):
+        # derive schema from metaData.schemaString
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(
             json.loads(snap["metadata"]["schemaString"])
         )
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        if with_file_path:
+            from pyspark.sql import functions as F
+
+            empty = empty.withColumn(
+                "_delta_file", F.lit(None).cast("string")
+            )
+        return empty
     from urllib.parse import unquote
 
     # add.path is table-relative and percent-encoded (PROTOCOL.md);
@@ -780,6 +796,17 @@ def vacuum_delta(table: str, dry_run: bool = False) -> list[str]:
         except (ValueError, FileNotFoundError):
             continue
         referenced.update(unquote(p) for p, _, _, _ in snap["files"])
+        # deletion-vector files referenced by any reachable snapshot
+        # stay too (storageType u/p descriptors resolve to on-disk
+        # .bin files; inline "i" DVs have no file)
+        for _, _, _, dv in snap["files"]:
+            if not dv or dv.get("storageType") not in ("u", "p"):
+                continue
+            try:
+                referenced.add(os.path.relpath(_dv_file_path(table, dv),
+                                               table))
+            except Exception:
+                continue
     doomed: list[str] = []
     for root, dirs, files in os.walk(table):
         dirs[:] = [
@@ -787,7 +814,11 @@ def vacuum_delta(table: str, dry_run: bool = False) -> list[str]:
             if d != _LOG_DIR and not d.startswith(".stage-")
         ]
         for name in files:
-            if not name.endswith(".parquet"):
+            is_dv = (
+                name.startswith("deletion_vector_")
+                and name.endswith(".bin")
+            )
+            if not name.endswith(".parquet") and not is_dv:
                 continue
             rel = os.path.relpath(os.path.join(root, name), table)
             if rel not in referenced:

@@ -48,8 +48,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "expire_iceberg_snapshots", "iceberg_files_df",
-    "iceberg_snapshot", "iceberg_snapshots_df", "read_iceberg",
+    "expire_iceberg_snapshots", "iceberg_bucket", "iceberg_files_df",
+    "iceberg_snapshot", "iceberg_snapshots_df", "iceberg_truncate",
+    "murmur3_32", "read_iceberg",
     "remove_iceberg_orphans", "write_iceberg",
     "write_iceberg_table", "append_iceberg_snapshot",
 ]
@@ -173,6 +174,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
             "position_deletes": [],
             "equality_deletes": [],
             "schema": meta.get("schemas", [meta.get("schema")])[0],
+            "partition_spec": meta.get("partition-spec") or [],
         }
     sid = snapshot_id if snapshot_id is not None else meta.get(
         "current-snapshot-id"
@@ -252,7 +254,8 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
                 (p, s, list(ids))
                 for p, (s, ids) in equality_deletes.items()
             ),
-            "schema": schema}
+            "schema": schema,
+            "partition_spec": meta.get("partition-spec") or []}
 
 
 def _normalized_path_col(F, col, base: str):
@@ -307,7 +310,14 @@ def read_iceberg(
 
     snap = iceberg_snapshot(table, snapshot_id)
     if partition_filter:
-        want = {k: str(v) for k, v in partition_filter.items()}
+        # the manifest writer records null partition values as ""
+        # (write_iceberg); normalize None on the filter side so a
+        # null-partition lookup matches, mirroring read_delta's
+        # null handling
+        want = {
+            k: ("" if v is None else str(v))
+            for k, v in partition_filter.items()
+        }
         snap["files"] = [
             p for p in snap["files"]
             if all(
@@ -316,17 +326,27 @@ def read_iceberg(
             )
         ]
     if not snap["files"]:
-        raise ValueError(
-            "iceberg: snapshot has no data files"
-            + (" matching the partition filter" if partition_filter
-               else "")
+        # empty snapshot OR a filter matching nothing: iceberg-spark
+        # returns an empty relation, so derive the Spark schema from
+        # the table metadata instead of erroring
+        return spark.createDataFrame(
+            [], _spark_schema_from_iceberg(snap["schema"])
         )
     base = os.path.abspath(table)
     reader = spark.read.option("basePath", base)
+    # hidden partitioning: non-identity transform fields exist only
+    # as directory keys (the source columns live inside the data
+    # files), so drop what the hive-dir scan reconstructs — the
+    # logical schema never contains them, exactly like iceberg-spark
+    hidden = [
+        e["name"] for e in snap.get("partition_spec") or []
+        if e.get("transform") not in (None, "identity")
+    ]
     pos_dels = snap["position_deletes"]
     eq_dels = snap["equality_deletes"]
     if not pos_dels and not eq_dels:
-        return reader.parquet(*snap["files"])
+        df = reader.parquet(*snap["files"])
+        return df.drop(*hidden) if hidden else df
     data = reader.parquet(*snap["files"]).withColumns({
         "_ice_path": decoded_file_path(F),
         "_ice_pos": F.col("_metadata.row_index"),
@@ -382,7 +402,7 @@ def read_iceberg(
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
             data = data.join(F.broadcast(eq), cond, "left_anti")
-    return data.drop("_ice_path", "_ice_pos", "_ice_seq")
+    return data.drop("_ice_path", "_ice_pos", "_ice_seq", *hidden)
 
 
 _ICE_TYPES = {
@@ -391,6 +411,256 @@ _ICE_TYPES = {
     "boolean": "boolean", "date": "date", "binary": "binary",
     "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
 }
+
+# iceberg spec type name -> Spark simpleString (inverse of the
+# writable subset above, for empty-relation schemas)
+_ICE_TO_SPARK = {
+    "long": "long", "int": "int", "integer": "int",
+    "double": "double", "float": "float", "string": "string",
+    "boolean": "boolean", "date": "date", "binary": "binary",
+    "timestamptz": "timestamp", "timestamp": "timestamp_ntz",
+}
+
+
+def _spark_schema_from_iceberg(schema: dict | None):
+    """Iceberg schema dict -> Spark StructType (the writable-subset
+    types only; unknown/nested types gate)."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    fields = (schema or {}).get("fields") or []
+    if not fields:
+        return StructType([])
+    parts = []
+    for f in fields:
+        t = f["type"]
+        if isinstance(t, str) and t.startswith("decimal"):
+            st = t
+        elif isinstance(t, str) and t in _ICE_TO_SPARK:
+            st = _ICE_TO_SPARK[t]
+        else:
+            raise ValueError(
+                f"iceberg: column {f['name']!r} type {t!r} not in "
+                "the readable subset for empty-relation schemas"
+            )
+        parts.append(f"`{f['name']}` {st}")
+    return _parse_datatype_string(", ".join(parts))
+
+
+# ------------------------------------------------- partition transforms
+#
+# Iceberg's hidden partitioning (spec "Partition Transforms" table):
+# a partition field is (source column, transform) where the transform
+# is identity / bucket[N] / truncate[W] / year / month / day / hour.
+# Data files carry the SOURCE columns; the transformed value exists
+# only in partition paths + manifest entries, which is exactly what
+# lets `read_iceberg(partition_filter=...)` eliminate files in
+# metadata before any I/O — the default shape of a 100 TB event
+# table is day(ts) + bucket(id).
+#
+# This subset renders transformed values as the strings Iceberg
+# itself uses in partition paths (day -> "yyyy-MM-dd", hour ->
+# "yyyy-MM-dd-HH", month -> "yyyy-MM", year -> "yyyy", bucket/
+# truncate -> decimal/string literal), so hive directories, manifest
+# maps and filters all agree.  Temporal transforms assume a UTC
+# session timezone (Iceberg defines them over UTC).
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit MurmurHash3 (x86 variant, Austin Appleby's public
+    domain algorithm) — the hash the Iceberg spec requires for
+    ``bucket[N]`` transforms.  Returns the UNSIGNED 32-bit value."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data) - len(data) % 4
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket(value, n: int) -> int:
+    """The spec's bucket transform: ``(murmur3(v) & MAX_INT) % n``.
+    ints/longs hash as 8-byte little-endian (the spec hashes int
+    widened to long); strings as UTF-8 bytes; date/datetime as their
+    epoch day/microsecond long.  Spec test vectors: bucket hash of
+    long 34 = 2017239379, of "iceberg" = 1210000089."""
+    import datetime as _dt
+    import struct as _struct
+
+    if isinstance(value, bool):
+        raise ValueError("iceberg: bucket over boolean not defined")
+    if isinstance(value, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        micros = int((value - epoch).total_seconds() * 1_000_000)
+        data = _struct.pack("<q", micros)
+    elif isinstance(value, _dt.date):
+        data = _struct.pack("<q", (value - _dt.date(1970, 1, 1)).days)
+    elif isinstance(value, int):
+        data = _struct.pack("<q", value)
+    elif isinstance(value, str):
+        data = value.encode("utf-8")
+    elif isinstance(value, (bytes, bytearray)):
+        data = bytes(value)
+    else:
+        raise ValueError(
+            f"iceberg: bucket over {type(value).__name__} not supported"
+        )
+    return (murmur3_32(data) & 0x7FFFFFFF) % int(n)
+
+
+def iceberg_truncate(value, w: int):
+    """The spec's truncate transform: ints floor to a multiple of
+    ``w`` (``v - (((v % w) + w) % w)``), strings keep the first
+    ``w`` characters."""
+    if isinstance(value, int) and not isinstance(value, bool):
+        return value - (((value % w) + w) % w)
+    if isinstance(value, str):
+        return value[: int(w)]
+    raise ValueError(
+        f"iceberg: truncate over {type(value).__name__} not supported"
+    )
+
+
+def _parse_partition_term(term: str) -> tuple[str, int | None, str, str]:
+    """``"col"`` / ``"day(col)"`` / ``"bucket(8, col)"`` /
+    ``"truncate(4, col)"`` -> (transform, param, source_col,
+    partition_field_name).  Transform strings follow the spec's
+    metadata forms (``bucket[8]`` etc. are emitted by the caller)."""
+    import re
+
+    term = term.strip()
+    m = re.fullmatch(r"(\w+)\s*\(([^)]*)\)", term)
+    if not m:
+        return "identity", None, term, term
+    fn = m.group(1).lower()
+    args = [a.strip() for a in m.group(2).split(",")]
+    if fn in ("year", "month", "day", "hour"):
+        if len(args) != 1:
+            raise ValueError(f"iceberg: {term!r} takes one column")
+        return fn, None, args[0], f"{args[0]}_{fn}"
+    if fn in ("bucket", "truncate"):
+        if len(args) != 2:
+            raise ValueError(
+                f"iceberg: {term!r} needs (N, column)"
+            )
+        n = int(args[0])
+        if n <= 0:
+            raise ValueError(f"iceberg: {term!r} needs N > 0")
+        suffix = "bucket" if fn == "bucket" else "trunc"
+        return fn, n, args[1], f"{args[1]}_{suffix}"
+    raise ValueError(f"iceberg: unknown partition transform {term!r}")
+
+
+def _transform_spec_name(transform: str, param: int | None) -> str:
+    if transform == "bucket":
+        return f"bucket[{param}]"
+    if transform == "truncate":
+        return f"truncate[{param}]"
+    return transform
+
+
+_TIME_FORMATS = {
+    "year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd",
+    "hour": "yyyy-MM-dd-HH",
+}
+
+
+def _transform_column(F, transform: str, param: int | None,
+                      source_col: str, dtype: str):
+    """Partition-value Column for one transform, rendered as the
+    path-form string.  bucket[] needs the spec's murmur3, which Spark
+    lacks, so it runs as ONE vectorized Arrow-batched pandas UDF over
+    the source column (write-side only — reads prune in metadata and
+    never evaluate transforms)."""
+    col = F.col(source_col)
+    if transform == "identity":
+        return col
+    if transform in _TIME_FORMATS:
+        return F.date_format(col, _TIME_FORMATS[transform])
+    if transform == "truncate":
+        if dtype in ("string",):
+            return F.substring(col, 1, int(param))
+        return (col - F.pmod(col, F.lit(int(param)))).cast("long")
+    if transform == "bucket":
+        from pyspark.sql.functions import pandas_udf
+
+        n = int(param)
+        is_str = dtype == "string"
+        is_ts = dtype.startswith("timestamp")
+        is_date = dtype == "date"
+
+        @pandas_udf("int")
+        def _bucket(s):
+            import numpy as np
+            import pandas as pd
+            import struct as _struct
+
+            if is_str:
+                vals = [
+                    (murmur3_32(v.encode("utf-8")) & 0x7FFFFFFF) % n
+                    if v is not None else None
+                    for v in s
+                ]
+                return pd.Series(vals, dtype="Int32")
+            if is_ts:
+                longs = s.astype("datetime64[us]").astype("int64")
+            elif is_date:
+                longs = (
+                    s.astype("datetime64[D]").astype("int64")
+                )
+            else:
+                longs = pd.to_numeric(s).astype("int64")
+            out = np.empty(len(longs), dtype=object)
+            for i, v in enumerate(np.asarray(longs)):
+                out[i] = (
+                    murmur3_32(_struct.pack("<q", int(v)))
+                    & 0x7FFFFFFF
+                ) % n
+            return pd.Series(out, dtype="Int32")
+
+        return _bucket(col)
+    raise ValueError(f"iceberg: transform {transform!r}")
+
+
+def _build_partition_spec(
+    terms: list[tuple[str, int | None, str, str]],
+    schema_fields: list[dict],
+) -> list[dict]:
+    """Parsed partition terms -> spec entry dicts ({name, transform,
+    source-id, field-id}; field ids from 1000 per spec convention)."""
+    id_by_name = {f["name"]: int(f["id"]) for f in schema_fields}
+    return [
+        {
+            "name": fname,
+            "transform": _transform_spec_name(tr, p),
+            "source-id": id_by_name.get(src, 0),
+            "field-id": 1000 + i,
+        }
+        for i, (tr, p, src, fname) in enumerate(terms)
+    ]
 
 
 def _iceberg_schema_fields(schema) -> list[dict]:
@@ -435,33 +705,41 @@ def write_iceberg(
     ``mode="overwrite"`` tombstones every current data file and may
     change the schema (the metadata's schema is replaced).
 
-    ``partition_by`` = identity-transform partitioning: part files
-    land under hive-style ``data/col=value/`` directories (so the
-    basePath scan recovers the columns) AND each manifest entry
-    records its partition values — which is what lets
-    ``read_iceberg(partition_filter=...)`` eliminate files in
-    metadata before any data I/O.  Appends must keep the table's
-    partition columns (checked against the metadata partition
-    spec)."""
+    ``partition_by`` terms are identity columns (``"city"``) or the
+    spec's hidden-partitioning transforms — ``"day(ts)"`` /
+    ``"hour(ts)"`` / ``"month(ts)"`` / ``"year(ts)"`` /
+    ``"bucket(8, id)"`` / ``"truncate(4, name)"``.  Part files land
+    under hive-style ``data/<field>=<value>/`` directories AND each
+    manifest entry records its transformed partition values — which
+    is what lets ``read_iceberg(partition_filter=...)`` eliminate
+    files in metadata before any data I/O.  Non-identity transforms
+    keep the SOURCE column inside the data files (the transformed
+    value exists only in paths + manifests, like real Iceberg);
+    appends must keep the table's partition spec (name + transform
+    checked against the metadata)."""
     import shutil
     import uuid as _uuid
 
     import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
 
     if mode not in ("append", "overwrite"):
         raise ValueError(
             f"iceberg: write mode {mode!r} (append/overwrite)"
         )
     fields = _iceberg_schema_fields(df.schema)
-    part_cols = list(partition_by or [])
-    bad = [c for c in part_cols if c not in df.columns]
+    terms = [_parse_partition_term(t) for t in (partition_by or [])]
+    bad = [src for _, _, src, _ in terms if src not in df.columns]
     if bad:
         raise ValueError(f"iceberg: partition columns {bad} missing")
+    spec = _build_partition_spec(terms, fields)
+    canon = [(e["name"], e["transform"]) for e in spec]
     mdir = os.path.join(table, "metadata")
     exists = os.path.exists(os.path.join(mdir, "version-hint.text"))
     new_schema = None
+    new_spec = None
     if not exists:
-        write_iceberg_table(table, fields, partition_by=part_cols)
+        write_iceberg_table(table, fields, partition_by=partition_by)
         meta = _load_table_metadata(table)
     else:
         meta = _load_table_metadata(table)
@@ -477,15 +755,20 @@ def write_iceberg(
                     f"table {prev})"
                 )
             new_schema = fields
-        spec_cols = [
-            f["name"]
-            for f in (meta.get("partition-spec") or [])
+        prev_canon = [
+            (e["name"], e["transform"])
+            for e in (meta.get("partition-spec") or [])
         ]
-        if mode == "append" and part_cols != spec_cols:
-            raise ValueError(
-                f"iceberg: append partitioned by {part_cols} but "
-                f"table spec uses {spec_cols}"
-            )
+        if canon != prev_canon:
+            if mode == "append":
+                raise ValueError(
+                    f"iceberg: append partitioned by {canon} but "
+                    f"table spec uses {prev_canon}"
+                )
+            # overwrite may replace the partition spec: re-emit it in
+            # the new metadata so manifests and spec stay consistent
+            # (otherwise a later append would see spec [])
+            new_spec = spec
     deleted = None
     if mode == "overwrite" and meta.get("snapshots"):
         deleted = [
@@ -500,10 +783,21 @@ def write_iceberg(
 
     from vtk_reserves_spark.sources.delta import _hive_partition_values
 
+    if new_schema is not None and new_spec is None:
+        new_spec = spec  # field ids may shift with the schema
     stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
+    dtypes = dict(df.dtypes)
+    out_df = df
+    part_fields = []
+    for tr, p, src, fname in terms:
+        part_fields.append(fname)
+        if tr != "identity":
+            out_df = out_df.withColumn(
+                fname, _transform_column(F, tr, p, src, dtypes[src])
+            )
+    writer = out_df.write.mode("overwrite")
+    if part_fields:
+        writer = writer.partitionBy(*part_fields)
     writer.parquet(stage)
     data_files = []
     try:
@@ -526,7 +820,11 @@ def write_iceberg(
                         pq.ParquetFile(dst).metadata.num_rows,
                     "size": os.path.getsize(dst),
                 }
-                if part_cols:
+                if part_fields:
+                    # null partition values record as "" (manifest
+                    # maps are string-valued in this subset);
+                    # read_iceberg's partition_filter normalizes
+                    # None -> "" to match
                     entry["partition"] = {
                         k: ("" if v is None else v)
                         for k, v in _hive_partition_values(
@@ -538,7 +836,7 @@ def write_iceberg(
         shutil.rmtree(stage, ignore_errors=True)
     append_iceberg_snapshot(
         table, snapshot_id, data_files, deleted_files=deleted,
-        new_schema_fields=new_schema,
+        new_schema_fields=new_schema, new_partition_spec=new_spec,
     )
     return snapshot_id
 
@@ -679,10 +977,13 @@ def write_iceberg_table(
 ) -> dict:
     """Create metadata/v1.metadata.json (no snapshots yet) +
     version-hint; returns the metadata dict for appends.
-    ``partition_by`` records an identity-transform partition spec
-    (spec field-ids from 1000, per convention)."""
+    ``partition_by`` terms may be identity columns or transform
+    expressions (``day(ts)``, ``bucket(8, id)``, ...); the spec
+    records the transform strings the Iceberg spec defines
+    (field-ids from 1000, per convention)."""
     mdir = os.path.join(table, "metadata")
     os.makedirs(mdir, exist_ok=True)
+    terms = [_parse_partition_term(t) for t in (partition_by or [])]
     meta = {
         "format-version": 1,
         "table-uuid": f"fixture-{os.path.basename(table)}",
@@ -690,18 +991,7 @@ def write_iceberg_table(
         "last-updated-ms": 0,
         "last-column-id": len(schema_fields),
         "schema": {"type": "struct", "fields": schema_fields},
-        "partition-spec": [
-            {
-                "name": c,
-                "transform": "identity",
-                "source-id": next(
-                    (int(f["id"]) for f in schema_fields
-                     if f["name"] == c), 0
-                ),
-                "field-id": 1000 + i,
-            }
-            for i, c in enumerate(partition_by or [])
-        ],
+        "partition-spec": _build_partition_spec(terms, schema_fields),
         "properties": {},
         "snapshots": [],
     }
@@ -720,6 +1010,7 @@ def append_iceberg_snapshot(
     position_deletes: list[tuple[str, int]] | None = None,
     equality_deletes: tuple[list[dict], list[int]] | None = None,
     new_schema_fields: list[dict] | None = None,
+    new_partition_spec: list[dict] | None = None,
 ) -> None:
     """Add a snapshot: writes one manifest (adds + deletions of
     prior files), the manifest list, and the next vN.metadata.json.
@@ -897,6 +1188,8 @@ def append_iceberg_snapshot(
         meta["last-column-id"] = max(
             (int(f["id"]) for f in new_schema_fields), default=0
         )
+    if new_partition_spec is not None:  # overwrite-with-new-spec
+        meta["partition-spec"] = new_partition_spec
     meta["snapshots"] = list(meta.get("snapshots") or []) + [
         {"snapshot-id": snapshot_id, "timestamp-ms": 0,
          "sequence-number": seq,
