@@ -557,71 +557,24 @@ def semantic_dedup(
 # -------------------------------------------------- product quantization
 
 
-def _pq_subvectors(
-    df: DataFrame, id_col: str, vec_col: str, m: int
-) -> tuple[DataFrame, int]:
-    """(id, subspace, subvec) rows — each vector split into ``m``
-    contiguous subvectors; requires a uniform dimension divisible by
-    ``m`` (fails loudly otherwise, like kmeans_fit)."""
-    sizes = [
-        r[0]
-        for r in df.select(F.size(vec_col)).distinct().take(2)
-    ]
-    if not sizes or len(sizes) > 1 or sizes[0] is None:
-        raise ValueError(
-            f"pq: vectors must share one dimension (saw {sizes!r})"
-        )
-    d = int(sizes[0])
-    if m <= 0 or d % m:
-        raise ValueError(f"pq: dimension {d} not divisible by m={m}")
-    sub = d // m
-    slices = F.array(*[
-        F.transform(
-            F.slice(F.col(vec_col), i * sub + 1, sub),
-            lambda x: x.cast("double"),
-        )
-        for i in range(m)
-    ])
-    return (
-        df.select(F.col(id_col), F.posexplode(slices).alias(
-            "subspace", "_subvec"
-        )),
-        d,
-    )
+def _pq_centroid_array(cb_rows):
+    """Collected codebook rows -> (m, n_codes, sub) ndarray with
+    +inf in absent (subspace, code) holes so argmin never picks a
+    dead code."""
+    import numpy as np
 
-
-def _pq_assign(subdf: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
-    """Nearest codebook entry per (id, subspace): broadcast join on
-    subspace, squared-L2 folded JVM-side, then ONE hash aggregation
-    taking ``min(struct(d2, code, subvec))`` — lexicographic, so ties
-    break by lowest code deterministically, with map-side partial
-    aggregation instead of a sort-based window (the same argmin, one
-    shuffle of pre-combined rows)."""
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("_subvec"), F.col("centroid"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    j = (
-        subdf.join(
-            F.broadcast(cent.select("subspace", "code", "centroid")),
-            "subspace",
-        )
-        .withColumn("_d2", d2)
-        .where(F.col("_d2").isNotNull())
-    )
-    best = j.groupBy(id_col, "subspace").agg(
-        F.min(F.struct("_d2", "code", "_subvec")).alias("_b")
-    )
-    return best.select(
-        id_col, "subspace",
-        F.col("_b.code").alias("code"),
-        F.col("_b._subvec").alias("_subvec"),
-        F.col("_b._d2").alias("_d2"),
-    )
+    if not cb_rows:
+        raise ValueError("pq: empty codebook")
+    m = max(r["subspace"] for r in cb_rows) + 1
+    subs = {len(r["centroid"]) for r in cb_rows}
+    if len(subs) != 1:
+        raise ValueError("pq: ragged codebook centroids")
+    sub = subs.pop()
+    n_codes = max(r["code"] for r in cb_rows) + 1
+    cents = np.full((m, n_codes, sub), np.inf)
+    for r in cb_rows:
+        cents[r["subspace"], r["code"]] = r["centroid"]
+    return cents
 
 
 def pq_train(
@@ -637,42 +590,107 @@ def pq_train(
     each vector into ``m`` contiguous subvectors and run the SAME
     deterministic Lloyd's as :func:`kmeans_fit` independently per
     subspace — init = the subvectors of the ``k`` lowest-id vectors,
-    ties break by code, fixed iteration count (SQL-replayable).
+    ties break by lowest code, fixed iteration count
+    (SQL-replayable on degenerate fixtures).
 
-    Returns ``(subspace, code, centroid)`` — ``m * k`` rows, KBs:
-    the codebook broadcasts everywhere downstream.  Per iteration:
-    one broadcast assignment + one mean-reduce, both linear in
-    ``n * d`` — the training pass streams the corpus, nothing
-    quadratic."""
-    subdf, d = _pq_subvectors(df, id_col, vec_col, m)
-    sub = d // m
-    cent = (
-        subdf.where(F.col(id_col) < k)
-        .select(
-            "subspace",
-            F.col(id_col).cast("int").alias("code"),
-            F.col("_subvec").alias("centroid"),
-        )
+    Returns ``(subspace, code, centroid)`` — at most ``m * k`` rows,
+    KBs: the codebook broadcasts everywhere downstream.  Per
+    iteration the corpus streams through ONE narrow Arrow-batched
+    ``mapInPandas`` pass that emits per-partition PARTIAL sums
+    (``partitions * m * k`` tiny rows — a map-side combine with no
+    shuffle of vector rows at all); the driver folds partials into
+    the next centroids.  Linear in ``n * d``, nothing quadratic, no
+    lineage growth across iterations (each pass closes over a plain
+    numpy array)."""
+    import numpy as np
+
+    init = (
+        df.where(F.col(id_col) < k)
+        .select(F.col(id_col).cast("int").alias("_c"), vec_col)
+        .collect()
     )
-    for _ in range(n_iter):
-        a = _pq_assign(subdf, cent, id_col)
-        # element-wise mean with ONE hash aggregation (indexed avg,
-        # no posexplode blow-up, no second regroup shuffle)
-        cent = a.groupBy("subspace", "code").agg(
-            F.array(*[
-                F.avg(F.col("_subvec")[i]) for i in range(sub)
-            ]).alias("centroid")
-        )
-    # the codebook is m*k rows (KBs): materialize it so downstream
-    # encode/search plans don't re-execute the whole training DAG on
-    # every action (the lineage doubles per Lloyd iteration)
-    rows = cent.collect()
-    if not rows:
+    if not init:
         raise ValueError(
             f"pq_train found no init vectors with {id_col} < {k} — "
             "ids must be dense integers from 0, or remap them first"
         )
-    return df.sparkSession.createDataFrame(rows, cent.schema)
+    # dimension comes from the init vectors (no extra corpus scan);
+    # the training pass re-checks every batch, so a ragged corpus
+    # still fails with the same error during this call's actions
+    dims = {len(r[vec_col]) for r in init if r[vec_col] is not None}
+    if len(dims) != 1:
+        raise ValueError(
+            f"pq: vectors must share one dimension (saw {sorted(dims)!r})"
+        )
+    d = dims.pop()
+    if m <= 0 or d % m:
+        raise ValueError(f"pq: dimension {d} not divisible by m={m}")
+    sub = d // m
+    cents = np.full((m, k, sub), np.inf)
+    live = np.zeros((m, k), dtype=bool)
+    for r in init:
+        c = int(r["_c"])
+        cents[:, c, :] = np.asarray(r[vec_col], float).reshape(m, sub)
+        live[:, c] = True
+    vecs_only = df.select(vec_col)
+    for _ in range(n_iter):
+        cur = cents.copy()
+
+        def partial(batches, cur=cur):
+            import pandas as pd
+
+            sums = np.zeros((m, k, sub))
+            cnts = np.zeros((m, k), dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                col = pdf[vec_col].dropna()
+                if not len(col):
+                    continue
+                arr = np.stack([np.asarray(v, float) for v in col])
+                if arr.shape[1] != d:
+                    raise ValueError(
+                        "pq: vectors must share one dimension "
+                        f"(saw [{d}, {arr.shape[1]}])"
+                    )
+                sv = arr.reshape(-1, m, sub)
+                # (n, m, k): squared L2 per subvector vs centroid;
+                # argmin tie-breaks to the lowest code like
+                # min(struct(d2, code))
+                d2 = ((sv[:, :, None, :] - cur[None]) ** 2).sum(-1)
+                code = d2.argmin(-1)
+                for s in range(m):
+                    np.add.at(sums[s], code[:, s], sv[:, s, :])
+                    np.add.at(cnts[s], code[:, s], 1)
+                seen = True
+            if seen:
+                si, ci = np.nonzero(cnts)
+                yield pd.DataFrame({
+                    "subspace": si.astype("int32"),
+                    "code": ci.astype("int32"),
+                    "cnt": cnts[si, ci],
+                    "vsum": [sums[a, b].tolist()
+                             for a, b in zip(si, ci)],
+                })
+
+        parts = vecs_only.mapInPandas(
+            partial,
+            "subspace int, code int, cnt long, vsum array<double>",
+        ).collect()
+        sums = np.zeros((m, k, sub))
+        cnts = np.zeros((m, k), dtype=np.int64)
+        for r in sorted(parts, key=lambda r: (r["subspace"], r["code"])):
+            sums[r["subspace"], r["code"]] += np.asarray(r["vsum"])
+            cnts[r["subspace"], r["code"]] += int(r["cnt"])
+        live = cnts > 0
+        cents = np.full((m, k, sub), np.inf)
+        cents[live] = sums[live] / cnts[live][:, None]
+    rows = [
+        (int(s), int(c), [float(x) for x in cents[s, c]])
+        for s in range(m) for c in range(k) if live[s, c]
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    )
 
 
 def pq_encode(
@@ -681,21 +699,61 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 4,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Vectors -> PQ codes: ``(id, codes array<int>)`` where
     ``codes[s]`` is the nearest codebook entry in subspace ``s``.
     This is the 8-256x compression step — at 100 TB the code table
     (``m`` small ints per vector) is what ships to the search tier,
-    not the float vectors.  One broadcast assignment pass, one
-    regroup by id."""
-    subdf, _ = _pq_subvectors(df, id_col, vec_col, m)
-    a = _pq_assign(subdf, codebooks, id_col)
-    return a.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
+    not the float vectors.  ONE narrow Arrow-batched mapInPandas
+    pass with the KB-scale codebook in closure — no shuffle, no
+    extra corpus scan (the dimension comes from the codebook and is
+    re-checked per batch).  ``passthrough`` columns of ``df`` ride
+    along unchanged (e.g. an IVF list id), saving downstream a
+    re-join against the source relation."""
+    import numpy as np
+
+    cents = _pq_centroid_array(
+        codebooks.select("subspace", "code", "centroid").collect()
     )
+    if cents.shape[0] != m:
+        raise ValueError(
+            f"pq: codebook has {cents.shape[0]} subspaces, "
+            f"expected m={m}"
+        )
+    sub = cents.shape[2]
+    d = m * sub
+    pt = list(passthrough)
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            arr = np.stack([np.asarray(v, float) for v in pdf[vec_col]])
+            if arr.shape[1] != d:
+                raise ValueError(
+                    f"pq: vectors have dimension {arr.shape[1]}, "
+                    f"codebook expects {d}"
+                )
+            sv = arr.reshape(-1, m, sub)
+            d2 = ((sv[:, :, None, :] - cents[None]) ** 2).sum(-1)
+            codes = d2.argmin(-1).astype("int32")
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "codes": list(codes),
+            }
+            for c in pt:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
+
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = f"{id_col} {types[id_col]}, codes array<int>" + "".join(
+        f", {c} {types[c]}" for c in pt
+    )
+    return df.select(id_col, vec_col, *pt).mapInPandas(enc, schema)
 
 
 def pq_topk(
@@ -726,18 +784,10 @@ def pq_topk(
     # already driver-local after pq_train's materialization; queries
     # like cosine_topk's): build the LUT in numpy with NO Spark jobs
     # beyond the two collects
-    cb_rows = codebooks.select("subspace", "code", "centroid").collect()
-    if not cb_rows:
-        raise ValueError("pq: empty codebook")
-    m = max(r["subspace"] for r in cb_rows) + 1
-    subs = {len(r["centroid"]) for r in cb_rows}
-    if len(subs) != 1:
-        raise ValueError("pq: ragged codebook centroids")
-    sub = subs.pop()
-    n_codes = max(r["code"] for r in cb_rows) + 1
-    cents = np.full((m, n_codes, sub), np.inf)
-    for r in cb_rows:
-        cents[r["subspace"], r["code"]] = r["centroid"]
+    cents = _pq_centroid_array(
+        codebooks.select("subspace", "code", "centroid").collect()
+    )
+    m, n_codes, sub = cents.shape
     q_rows = queries.select(query_id, vec_col).collect()
     qids = sorted(r[query_id] for r in q_rows)
     qvecs = {r[query_id]: np.asarray(r[vec_col], float) for r in q_rows}
@@ -906,38 +956,59 @@ def ivfpq_topk(
     result is exactly brute-force L2 (q:ivfpq_degenerate's oracle)."""
     import numpy as np
 
-    coarse_rows = kmeans_fit(
-        corpus, id_col, vec_col, k=n_centroids, n_iter=n_iter
-    ).collect()
-    coarse = corpus.sparkSession.createDataFrame(
-        [(int(r["centroid_id"]), list(r["centroid"]))
-         for r in coarse_rows],
-        "centroid_id int, centroid array<double>",
+    # coarse training IS Lloyd's over whole vectors = pq_train with
+    # m=1 (identical deterministic init + ties-to-lowest-code), so
+    # the numpy-fused partial-sum trainer serves both quantizer
+    # levels; k-means as a user-facing operator stays kmeans_fit
+    coarse_rows = [
+        {"centroid_id": int(r["code"]), "centroid": list(r["centroid"])}
+        for r in pq_train(
+            corpus, id_col, vec_col, m=1, k=n_centroids, n_iter=n_iter
+        ).collect()
+    ]
+    cc_ids = np.array([r["centroid_id"] for r in coarse_rows])
+    cc = np.stack([
+        np.asarray(r["centroid"], float) for r in coarse_rows
+    ])
+
+    def res_pass(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            arr = np.stack([np.asarray(v, float) for v in pdf[vec_col]])
+            a = ((arr[:, None, :] - cc[None]) ** 2).sum(-1).argmin(1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "centroid_id": cc_ids[a].astype("int32"),
+                "_res": list(arr - cc[a]),
+            })
+
+    id_t = dict(corpus.dtypes)[id_col]
+    residuals = corpus.select(id_col, vec_col).mapInPandas(
+        res_pass, f"{id_col} {id_t}, centroid_id int, "
+        "_res array<double>",
     )
-    assigned = kmeans_assign(corpus, coarse, id_col, vec_col)
-    residuals = assigned.join(
-        F.broadcast(coarse), "centroid_id"
-    ).select(
-        id_col, "centroid_id",
-        F.zip_with(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")),
-            F.col("centroid"), lambda x, c: x - c,
-        ).alias("_res"),
-    )
-    # the residual relation is consumed THREE times (codebook
-    # training, encoding, list lookup): truncate its lineage so each
-    # consumer reads materialized partitions instead of re-running
-    # the coarse assignment — at index-build scale this is exactly
-    # the persist step FAISS-style builders do between stages
+    # the residual relation is consumed by codebook training AND the
+    # encode/search pass: truncate its lineage so each consumer reads
+    # materialized partitions instead of re-running the coarse
+    # assignment — at index-build scale this is exactly the persist
+    # step FAISS-style builders do between stages
     residuals = residuals.localCheckpoint()
     cb = pq_train(
         residuals.select(id_col, F.col("_res").alias(vec_col)),
         id_col, vec_col, m=m, k=pq_k, n_iter=n_iter,
     )
+    # the IVF list id rides through the encode pass itself — no
+    # re-join of the code table against the residual relation
     codes = pq_encode(
-        residuals.select(id_col, F.col("_res").alias(vec_col)),
-        cb, id_col, vec_col, m=m,
-    ).join(residuals.select(id_col, "centroid_id"), id_col)
+        residuals.select(
+            id_col, F.col("_res").alias(vec_col), "centroid_id"
+        ),
+        cb, id_col, vec_col, m=m, passthrough=("centroid_id",),
+    )
     # ---- search: driver-side probe selection + per-(query, list) LUT
     cents = {
         int(r["centroid_id"]): np.asarray(r["centroid"], float)
