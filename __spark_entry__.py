@@ -5085,6 +5085,65 @@ def q_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg HIDDEN-partitioning transforms with manifest-level
+    pruning (sources/iceberg.py; Iceberg spec 'Partition
+    Transforms'): the first events week lands partitioned by
+    ``day(ts)`` + ``bucket(4, user_id)`` — the default shape of a
+    100 TB event table.  Data files keep the SOURCE columns; the
+    transformed values (path-form day string, spec murmur3 bucket)
+    exist only in directories + manifest entries.  Two reads prune
+    IN METADATA before any I/O: leg 'day' keeps one day across all
+    buckets; leg 'day+bucket' composes the day with the bucket of
+    one user id (computed driver-side with the same spec murmur3) —
+    if either transform or the pruning were wrong, the matching
+    files would be eliminated and the oracle hash would catch the
+    missing rows.  Reference parity: no lakehouse in the reference;
+    SURVEY §8 extension (VERDICT r7 next-1)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_bucket, read_iceberg, write_iceberg,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_icet_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    week = (
+        _read_events(spark, sf_dir)
+        .select("event_id", "ts", "user_id", "value")
+        .where(F.col("ts") < F.lit("2024-01-08"))
+        # colocate each day in one task so the write emits ~one file
+        # per (day, bucket) directory
+        .repartition(F.to_date("ts"))
+    )
+    write_iceberg(
+        week, td, partition_by=["day(ts)", "bucket(4, user_id)"]
+    )
+    day = read_iceberg(
+        spark, td, partition_filter={"ts_day": "2024-01-05"}
+    ).select(
+        F.lit("day").alias("leg"), "event_id", "user_id", "value",
+    )
+    uid = 7
+    day_bucket = read_iceberg(
+        spark, td,
+        partition_filter={
+            "ts_day": "2024-01-03",
+            "user_id_bucket": iceberg_bucket(uid, 4),
+        },
+    ).where(F.col("user_id") == uid).select(
+        F.lit("day+bucket").alias("leg"), "event_id", "user_id",
+        "value",
+    )
+    return day.unionByName(day_bucket)
+
+
 def q_iceberg_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v2 EQUALITY deletes (sources/iceberg.py — the delete
     shape Flink CDC writes): snapshot 1 lands the documents table,
@@ -9394,6 +9453,23 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(doc_id % 3 AS INT) AS bucket
             FROM documents WHERE doc_id % 3 = 1
         """,
+        "iceberg_transforms": """
+            -- closed form of the day(ts)+bucket(4,user_id)
+            -- hidden-partitioned week (q_iceberg_transforms):
+            -- leg 'day' = all of 2024-01-05; leg 'day+bucket' =
+            -- user 7 on 2024-01-03 (the bucket filter prunes files,
+            -- the residual user_id filter picks the user)
+            SELECT 'day' AS leg, event_id, user_id, value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05'
+              AND ts < TIMESTAMP '2024-01-06'
+            UNION ALL
+            SELECT 'day+bucket' AS leg, event_id, user_id, value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-03'
+              AND ts < TIMESTAMP '2024-01-04'
+              AND user_id = 7
+        """,
         "iceberg_equality": """
             -- closed form of the three-snapshot equality-delete
             -- fixture (q_iceberg_equality): snapshot 2 deletes
@@ -10340,6 +10416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full self-run (CORRECTNESS_full_r07).  Everything after slot 50
     # keeps its prior-round ordering.
     return {
+        "iceberg_transforms": q_iceberg_transforms,
         "iceberg_equality": q_iceberg_equality,
         "delta_column_mapping": q_delta_column_mapping,
         "zarr_write_roundtrip": q_zarr_write_roundtrip,
