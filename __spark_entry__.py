@@ -5085,6 +5085,48 @@ def q_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta V2 SPEC CHECKPOINT replay (sources/delta.py;
+    PROTOCOL.md "V2 Spec Checkpoints" — what modern Databricks
+    tables emit after long histories): three commits land document
+    slices, the log compacts into a UUID-named top-level checkpoint
+    (checkpointMetadata version pin + sidecar actions +
+    checkpointSchema in _last_checkpoint) with the file actions
+    round-robined across TWO _delta_log/_sidecars/ parquets, the
+    replaced JSON commits are removed, and a tail commit appends on
+    top — so the read exercises sidecar resolution, the v2Checkpoint
+    protocol feature, and checkpoint+tail replay in one pass.
+    Reference parity: no lakehouse in the reference; SURVEY §8
+    extension (VERDICT r7 next-3)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        read_delta, write_delta, write_delta_checkpoint,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_deltav2_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    write_delta(base.filter(F.col("doc_id") % 4 == 0), td)
+    write_delta(base.filter(F.col("doc_id") % 4 == 1), td)
+    write_delta(base.filter(F.col("doc_id") % 4 == 2), td)
+    write_delta_checkpoint(td, 2, v2_sidecars=2)
+    for old in (0, 1, 2):
+        os.remove(
+            os.path.join(td, "_delta_log", f"{old:020d}.json")
+        )
+    write_delta(base.filter(F.col("doc_id") % 8 == 3), td)
+    return read_delta(spark, td).select("doc_id", "text_len")
+
+
 def q_iceberg_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg HIDDEN-partitioning transforms with manifest-level
     pruning (sources/iceberg.py; Iceberg spec 'Partition
@@ -9453,6 +9495,16 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(doc_id % 3 AS INT) AS bucket
             FROM documents WHERE doc_id % 3 = 1
         """,
+        "delta_v2_checkpoint": """
+            -- closed form of the v2-checkpoint fixture
+            -- (q_delta_v2_checkpoint): three mod-4 slices compacted
+            -- into the sidecar checkpoint plus the mod-8 tail commit
+            SELECT doc_id, LENGTH(text) AS text_len
+            FROM documents WHERE doc_id % 4 IN (0, 1, 2)
+            UNION ALL
+            SELECT doc_id, LENGTH(text) AS text_len
+            FROM documents WHERE doc_id % 8 = 3
+        """,
         "iceberg_transforms": """
             -- closed form of the day(ts)+bucket(4,user_id)
             -- hidden-partitioned week (q_iceberg_transforms):
@@ -10416,6 +10468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full self-run (CORRECTNESS_full_r07).  Everything after slot 50
     # keeps its prior-round ordering.
     return {
+        "delta_v2_checkpoint": q_delta_v2_checkpoint,
         "iceberg_transforms": q_iceberg_transforms,
         "iceberg_equality": q_iceberg_equality,
         "delta_column_mapping": q_delta_column_mapping,

@@ -189,14 +189,14 @@ def test_unknown_reader_feature_still_gated(tmp_path):
     with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3,
-            "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+            "readerFeatures": ["deletionVectors", "timestampNtz"],
         }}) + "\n")
         fh.write(json.dumps({"metaData": {
             "id": "x", "schemaString": SCHEMA_JSON,
             "partitionColumns": [],
             "format": {"provider": "parquet", "options": {}},
         }}) + "\n")
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="timestampNtz"):
         delta_snapshot(t)
 
 
@@ -794,3 +794,74 @@ def test_vacuum_keeps_referenced_dv_removes_orphans(spark, tmp_path):
     assert os.path.exists(_dv_file_path(t, dv))
     assert sorted(r["id"] for r in read_delta(spark, t).collect()) == \
         [0, 2, 4, 5]
+
+
+def test_v2_checkpoint_roundtrip(spark, tmp_path):
+    """V2 spec checkpoints (PROTOCOL.md): UUID-named top-level
+    checkpoint with checkpointMetadata + sidecar actions, file
+    actions in _delta_log/_sidecars/ parquets, checkpointSchema in
+    _last_checkpoint — replayed with tail commits on top."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        write_delta, write_delta_checkpoint,
+    )
+
+    t = str(tmp_path / "v2")
+    write_delta(spark.range(20).withColumn("v", F.col("id") * 1.0), t)
+    write_delta(
+        spark.range(20, 30).withColumn("v", F.col("id") * 1.0), t
+    )
+    write_delta_checkpoint(t, 1, v2_sidecars=2)
+    log = os.path.join(t, "_delta_log")
+    lc = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert "checkpointSchema" in lc and "parts" not in lc
+    import glob
+
+    tops = [
+        p for p in glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))
+    ]
+    assert len(tops) == 1  # UUID-named, not multipart
+    assert len(glob.glob(os.path.join(log, "_sidecars", "*.parquet"))) == 2
+    # the reader must work from checkpoint + tail alone
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    write_delta(
+        spark.range(30, 35).withColumn("v", F.col("id") * 1.0), t
+    )
+    got = sorted(r["id"] for r in read_delta(spark, t).collect())
+    assert got == list(range(35))
+    snap = delta_snapshot(t)
+    assert snap["version"] == 2
+    assert "v2Checkpoint" in snap["protocol"]["readerFeatures"]
+
+
+def test_v2_checkpoint_version_pin(spark, tmp_path):
+    """A checkpointMetadata version disagreeing with _last_checkpoint
+    is a corruption signal and gates."""
+    import glob
+
+    import pyarrow.parquet as pq_
+    import pyarrow as pa_
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        write_delta, write_delta_checkpoint,
+    )
+
+    t = str(tmp_path / "v2pin")
+    write_delta(spark.range(5).withColumn("v", F.lit(1.0)), t)
+    write_delta_checkpoint(t, 0, v2_sidecars=1)
+    log = os.path.join(t, "_delta_log")
+    (top,) = glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))
+    tbl = pq_.read_table(top).to_pylist()
+    for row in tbl:
+        if row.get("checkpointMetadata"):
+            row["checkpointMetadata"]["version"] = 99
+    pq_.write_table(
+        pa_.Table.from_pylist(tbl, schema=pq_.read_table(top).schema),
+        top,
+    )
+    with pytest.raises(ValueError, match="declares version 99"):
+        delta_snapshot(t)

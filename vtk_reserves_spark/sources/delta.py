@@ -69,7 +69,9 @@ def _list_commit_versions(log_dir: str) -> list[int]:
     return sorted(out)
 
 
-_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors", "columnMapping", "v2Checkpoint",
+}
 
 
 def _check_protocol(proto: dict) -> None:
@@ -143,6 +145,41 @@ def _has_nested_mapping(t) -> bool:
     return False
 
 
+def _checkpoint_files(log_dir: str, cv: int, lc: dict) -> list[str]:
+    """Resolve the checkpoint parquet(s) for version ``cv``: classic
+    single-file, v1 multi-part (``parts`` in _last_checkpoint), or a
+    v2 UUID-named top-level file (PROTOCOL.md V2 Spec Checkpoints —
+    its file actions live in sidecars)."""
+    parts = int(lc.get("parts") or 0)
+    if parts:  # multi-part: NNN.checkpoint.0001.0003.parquet
+        return [
+            os.path.join(
+                log_dir,
+                f"{cv:020d}.checkpoint.{p:010d}.{parts:010d}.parquet",
+            )
+            for p in range(1, parts + 1)
+        ]
+    classic = os.path.join(log_dir, f"{cv:020d}.checkpoint.parquet")
+    if os.path.exists(classic):
+        return [classic]
+    import glob as _glob
+    import re as _re
+
+    multipart = _re.compile(r"\.checkpoint\.\d{10}\.\d{10}\.parquet$")
+    v2 = sorted(
+        c for c in _glob.glob(
+            os.path.join(log_dir, f"{cv:020d}.checkpoint.*.parquet")
+        )
+        if not multipart.search(c)
+    )
+    if not v2:
+        raise FileNotFoundError(
+            f"delta: no checkpoint parquet for version {cv} under "
+            f"{log_dir}"
+        )
+    return [v2[-1]]
+
+
 def delta_snapshot(table: str, version: int | None = None) -> dict:
     """Replay the log -> ``{"files": [(relpath, partitionValues,
     size)], "metadata": metaData action, "version": n}``."""
@@ -163,49 +200,58 @@ def delta_snapshot(table: str, version: int | None = None) -> dict:
         if version is None or cv <= version:
             import pyarrow.parquet as pq
 
-            parts = int(lc.get("parts") or 0)
-            if parts:  # multi-part: NNN.checkpoint.0001.0003.parquet
-                cps = [
-                    os.path.join(
-                        log_dir,
-                        f"{cv:020d}.checkpoint.{p:010d}.{parts:010d}"
-                        ".parquet",
+            def apply_row(row: dict) -> list[str]:
+                nonlocal proto, meta
+                if row.get("protocol"):
+                    proto = row["protocol"]
+                if row.get("metaData"):
+                    meta = row["metaData"]
+                if row.get("add"):
+                    add = dict(row["add"])
+                    pv = add.get("partitionValues") or {}
+                    if not isinstance(pv, dict):  # pyarrow MAP
+                        pv = dict(pv)
+                    add["partitionValues"] = {
+                        k: v for k, v in pv.items() if v is not None
+                    }
+                    dv = add.get("deletionVector")
+                    if dv is not None and dv.get(
+                        "storageType"
+                    ) is None:
+                        add["deletionVector"] = None  # all-null struct
+                    adds[add["path"]] = add
+                if row.get("remove"):
+                    adds.pop(row["remove"]["path"], None)
+                if row.get("txn") and row["txn"].get(
+                    "appId"
+                ) is not None:
+                    txns[row["txn"]["appId"]] = int(
+                        row["txn"]["version"]
                     )
-                    for p in range(1, parts + 1)
-                ]
-            else:
-                cps = [
-                    os.path.join(log_dir, f"{cv:020d}.checkpoint.parquet")
-                ]
-            for cp in cps:
-                t = pq.read_table(cp)
-                for row in t.to_pylist():
-                    if row.get("protocol"):
-                        proto = row["protocol"]
-                    if row.get("metaData"):
-                        meta = row["metaData"]
-                    if row.get("add"):
-                        add = dict(row["add"])
-                        pv = add.get("partitionValues") or {}
-                        if not isinstance(pv, dict):  # pyarrow MAP
-                            pv = dict(pv)
-                        add["partitionValues"] = {
-                            k: v for k, v in pv.items() if v is not None
-                        }
-                        dv = add.get("deletionVector")
-                        if dv is not None and dv.get(
-                            "storageType"
-                        ) is None:
-                            add["deletionVector"] = None  # all-null struct
-                        adds[add["path"]] = add
-                    if row.get("remove"):
-                        adds.pop(row["remove"]["path"], None)
-                    if row.get("txn") and row["txn"].get(
-                        "appId"
-                    ) is not None:
-                        txns[row["txn"]["appId"]] = int(
-                            row["txn"]["version"]
+                # v2-checkpoint actions (PROTOCOL.md "V2 Spec
+                # Checkpoints"): checkpointMetadata pins the version,
+                # sidecar actions point at the file-action parquets
+                if row.get("checkpointMetadata"):
+                    cm_v = int(row["checkpointMetadata"]["version"])
+                    if cm_v != cv:
+                        raise ValueError(
+                            f"delta: v2 checkpoint declares version "
+                            f"{cm_v}, _last_checkpoint says {cv}"
                         )
+                if row.get("sidecar") and row["sidecar"].get("path"):
+                    return [row["sidecar"]["path"]]
+                return []
+
+            sidecars: list[str] = []
+            for cp in _checkpoint_files(log_dir, cv, lc):
+                for row in pq.read_table(cp).to_pylist():
+                    sidecars.extend(apply_row(row))
+            for sc in sidecars:
+                scp = sc if os.path.isabs(sc) else os.path.join(
+                    log_dir, "_sidecars", sc
+                )
+                for row in pq.read_table(scp).to_pylist():
+                    apply_row(row)
             start = cv + 1
     _check_protocol(proto)
     versions = [v for v in _list_commit_versions(log_dir) if v >= start]
@@ -973,7 +1019,8 @@ def write_delta_commit(
 
 
 def write_delta_checkpoint(
-    table: str, version: int, parts: int | None = None
+    table: str, version: int, parts: int | None = None,
+    v2_sidecars: int | None = None,
 ) -> None:
     """Compact the snapshot at ``version`` into a checkpoint parquet
     + ``_last_checkpoint`` (the layout PROTOCOL.md specifies; struct
@@ -981,9 +1028,23 @@ def write_delta_checkpoint(
     along in the ``add.deletionVector`` struct (reader-v3 tables
     checkpoint fine).  ``parts=N`` writes the multi-part form
     (``NNN.checkpoint.<i>.<N>.parquet``) that delta-spark emits for
-    very large snapshots — actions round-robin across parts."""
+    very large snapshots — actions round-robin across parts.
+
+    ``v2_sidecars=N`` writes the V2 SPEC CHECKPOINT form modern
+    Databricks tables emit after long histories: a UUID-named
+    top-level ``NNN.checkpoint.<uuid>.parquet`` holding the non-file
+    actions plus a ``checkpointMetadata`` action (version pin) and
+    ``sidecar`` actions, with the file (add) actions round-robined
+    across ``N`` sidecar parquets under ``_delta_log/_sidecars/``;
+    ``_last_checkpoint`` carries the ``checkpointSchema``.  The
+    protocol gains the ``v2Checkpoint`` reader/writer feature."""
+    import uuid as _uuid
+
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    if parts and v2_sidecars:
+        raise ValueError("delta: parts and v2_sidecars are exclusive")
 
     snap = delta_snapshot(table, version)
     rv = int(snap["protocol"].get("minReaderVersion", 1))
@@ -1075,6 +1136,90 @@ def write_delta_checkpoint(
     ])
     log_dir = os.path.join(table, _LOG_DIR)
     lc: dict = {"version": version, "size": len(rows)}
+    if v2_sidecars:
+        feats = set(proto.get("readerFeatures") or [])
+        wfeats = set(proto.get("writerFeatures") or feats)
+        proto = {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(feats | {"v2Checkpoint"}),
+            "writerFeatures": sorted(wfeats | {"v2Checkpoint"}),
+        }
+        rows[0]["protocol"] = proto
+        file_rows = [r for r in rows if r.get("add")]
+        top_rows = [r for r in rows if not r.get("add")]
+        sdir = os.path.join(log_dir, "_sidecars")
+        os.makedirs(sdir, exist_ok=True)
+        sc_schema = pa.schema([
+            schema.field("add"), schema.field("remove"),
+        ])
+        sidecar_actions = []
+        for i in range(v2_sidecars):
+            chunk = file_rows[i::v2_sidecars]
+            name = f"{_uuid.uuid4().hex}.parquet"
+            scp = os.path.join(sdir, name)
+            pq.write_table(
+                pa.Table.from_pylist(
+                    [{"add": r["add"], "remove": None} for r in chunk],
+                    schema=sc_schema,
+                ),
+                scp,
+            )
+            sidecar_actions.append({
+                "path": name,
+                "sizeInBytes": os.path.getsize(scp),
+                "modificationTime": 0,
+            })
+        top_schema = pa.schema([
+            schema.field("protocol"),
+            schema.field("metaData"),
+            schema.field("txn"),
+            ("checkpointMetadata", pa.struct([
+                ("version", pa.int64()),
+                ("tags", str_map),
+            ])),
+            ("sidecar", pa.struct([
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ])),
+        ])
+        out_rows = [
+            {
+                "protocol": r.get("protocol"),
+                "metaData": r.get("metaData"),
+                "txn": r.get("txn"),
+                "checkpointMetadata": None,
+                "sidecar": None,
+            }
+            for r in top_rows
+        ]
+        out_rows.append({
+            "protocol": None, "metaData": None, "txn": None,
+            "checkpointMetadata": {"version": version, "tags": {}},
+            "sidecar": None,
+        })
+        out_rows.extend({
+            "protocol": None, "metaData": None, "txn": None,
+            "checkpointMetadata": None, "sidecar": sc,
+        } for sc in sidecar_actions)
+        top_name = (
+            f"{version:020d}.checkpoint.{_uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(
+            pa.Table.from_pylist(out_rows, schema=top_schema),
+            os.path.join(log_dir, top_name),
+        )
+        lc["checkpointSchema"] = {
+            "type": "struct",
+            "fields": [
+                {"name": f.name, "type": "struct", "nullable": True,
+                 "metadata": {}}
+                for f in top_schema
+            ],
+        }
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+            json.dump(lc, fh)
+        return
     if parts:
         lc["parts"] = parts
         for p in range(1, parts + 1):
