@@ -568,3 +568,42 @@ def test_empty_partition_filter_returns_empty(spark, tmp_path):
     assert empty.columns == ["id", "b"]
     assert [f.dataType.simpleString() for f in empty.schema.fields] \
         == ["bigint", "int"]
+
+
+def test_stream_to_iceberg_exactly_once(spark, tmp_path):
+    """The streaming Iceberg sink's properties ledger downgrades
+    replayed batches to no-ops (the delta twin's txn protocol)."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        _load_table_metadata, read_iceberg, write_iceberg,
+    )
+    from vtk_reserves_spark.streaming.sinks import stream_to_iceberg
+
+    src = str(tmp_path / "src")
+    spark.range(40).withColumn("v", F.col("id") * 2.0).write.parquet(src)
+    t = str(tmp_path / "tbl")
+    cp = str(tmp_path / "cp")
+    q = stream_to_iceberg(
+        spark.readStream.schema("id long, v double").parquet(src),
+        t, cp, app_id="etl",
+    )
+    q.awaitTermination(120)
+    assert read_iceberg(spark, t).count() == 40
+    meta = _load_table_metadata(t)
+    assert meta["properties"]["txn.etl"] == "0"
+    snaps = meta["snapshots"]
+    assert snaps[-1]["summary"]["streaming-app-id"] == "etl"
+    # simulate an at-least-once replay of batch 0 directly
+    write_iceberg(
+        spark.range(40).withColumn("v", F.col("id") * 2.0), t,
+        txn=("etl", 0),
+    )
+    assert read_iceberg(spark, t).count() == 40
+    # a NEWER batch still lands and advances the ledger
+    write_iceberg(
+        spark.range(40, 45).withColumn("v", F.col("id") * 2.0), t,
+        txn=("etl", 1),
+    )
+    assert read_iceberg(spark, t).count() == 45
+    assert _load_table_metadata(t)["properties"]["txn.etl"] == "1"

@@ -689,6 +689,7 @@ def _iceberg_schema_fields(schema) -> list[dict]:
 def write_iceberg(
     df: DataFrame, table: str, mode: str = "append",
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """DataFrame -> Iceberg snapshot; returns the new snapshot id.
 
@@ -716,7 +717,17 @@ def write_iceberg(
     keep the SOURCE column inside the data files (the transformed
     value exists only in paths + manifests, like real Iceberg);
     appends must keep the table's partition spec (name + transform
-    checked against the metadata)."""
+    checked against the metadata).
+
+    ``txn=(app_id, app_version)`` gives EXACTLY-ONCE semantics for
+    at-least-once producers, mirroring ``delta.write_delta``'s txn
+    actions with Iceberg's own durability surfaces: the committed
+    version ledger lives in the table PROPERTIES (``txn.<app_id>`` —
+    properties survive snapshot expiry, unlike summaries) and each
+    snapshot's SUMMARY records the producing app/batch for
+    provenance (where iceberg-spark's streaming sink records its
+    query/epoch ids).  A replayed batch whose version is <= the
+    ledger's is skipped — no data staged, no snapshot committed."""
     import shutil
     import uuid as _uuid
 
@@ -769,6 +780,12 @@ def write_iceberg(
             # the new metadata so manifests and spec stay consistent
             # (otherwise a later append would see spec [])
             new_spec = spec
+    if txn is not None:
+        seen = (meta.get("properties") or {}).get(f"txn.{txn[0]}")
+        if seen is not None and int(seen) >= int(txn[1]):
+            # replayed batch: exactly-once skip
+            snaps = meta.get("snapshots") or []
+            return int(snaps[-1]["snapshot-id"]) if snaps else 0
     deleted = None
     if mode == "overwrite" and meta.get("snapshots"):
         deleted = [
@@ -834,9 +851,18 @@ def write_iceberg(
                 data_files.append(entry)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    summary_extra = None
+    props_update = None
+    if txn is not None:
+        summary_extra = {
+            "streaming-app-id": str(txn[0]),
+            "streaming-batch-id": str(int(txn[1])),
+        }
+        props_update = {f"txn.{txn[0]}": str(int(txn[1]))}
     append_iceberg_snapshot(
         table, snapshot_id, data_files, deleted_files=deleted,
         new_schema_fields=new_schema, new_partition_spec=new_spec,
+        summary_extra=summary_extra, properties_update=props_update,
     )
     return snapshot_id
 
@@ -1011,6 +1037,8 @@ def append_iceberg_snapshot(
     equality_deletes: tuple[list[dict], list[int]] | None = None,
     new_schema_fields: list[dict] | None = None,
     new_partition_spec: list[dict] | None = None,
+    summary_extra: dict | None = None,
+    properties_update: dict | None = None,
 ) -> None:
     """Add a snapshot: writes one manifest (adds + deletions of
     prior files), the manifest list, and the next vN.metadata.json.
@@ -1190,11 +1218,17 @@ def append_iceberg_snapshot(
         )
     if new_partition_spec is not None:  # overwrite-with-new-spec
         meta["partition-spec"] = new_partition_spec
+    if properties_update:
+        meta["properties"] = {
+            **(meta.get("properties") or {}),
+            **{k: str(v) for k, v in properties_update.items()},
+        }
     meta["snapshots"] = list(meta.get("snapshots") or []) + [
         {"snapshot-id": snapshot_id, "timestamp-ms": 0,
          "sequence-number": seq,
          "manifest-list": ml_rel,
-         "summary": {"operation": "append"}}
+         "summary": {"operation": "append",
+                     **(summary_extra or {})}}
     ]
     meta["current-snapshot-id"] = snapshot_id
     meta["last-sequence-number"] = seq
