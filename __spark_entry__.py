@@ -5170,6 +5170,55 @@ def q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, td).select("doc_id", "text_len")
 
 
+def q_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED (sources/delta.read_delta_cdf;
+    PROTOCOL.md "Add CDC File" — VERDICT r7 next-5): a CDF-enabled
+    documents table takes three commits — the even half (derived
+    inserts: no CDC files, the adds ARE the change set), a MERGE
+    upsert (+1000 on doc_id%4==0, inserting doc_id%4==1; writes
+    explicit _change_data/ parquets with update_preimage /
+    update_postimage / insert rows), and a MERGE delete of
+    doc_id%8==4.  The feed is read back across the whole version
+    range — how incremental 100 TB pipelines consume lakehouse
+    churn without full rescans (scan cost tracks the changes, not
+    the table)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        merge_delta, read_delta_cdf, write_delta,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_deltacdf_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    write_delta(
+        base.filter(F.col("doc_id") % 2 == 0), td,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    src = base.filter(F.col("doc_id") % 4 < 2).withColumn(
+        "text_len", F.col("text_len") + F.lit(1000)
+    )
+    merge_delta(spark, src, td, on=["doc_id"])
+    dels = base.filter(F.col("doc_id") % 8 == 4).select("doc_id", "text_len")
+    merge_delta(
+        spark, dels, td, on=["doc_id"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    return read_delta_cdf(spark, td).select(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+        "doc_id", "text_len",
+    )
+
+
 def q_iceberg_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg HIDDEN-partitioning transforms with manifest-level
     pruning (sources/iceberg.py; Iceberg spec 'Partition
@@ -9545,6 +9594,27 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(doc_id % 3 AS INT) AS bucket
             FROM documents WHERE doc_id % 3 = 1
         """,
+        "delta_cdf": """
+            -- closed form of the CDF fixture (q_delta_cdf): derived
+            -- inserts (v0 = even half), MERGE upsert pre/postimages
+            -- + inserts (v1), MERGE deletes (v2; those rows were
+            -- updated by v1, so the delete carries +1000 values)
+            SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+                   doc_id, LENGTH(text) AS text_len
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'update_preimage', 1, doc_id, LENGTH(text)
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT 'update_postimage', 1, doc_id, LENGTH(text) + 1000
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT 'insert', 1, doc_id, LENGTH(text) + 1000
+            FROM documents WHERE doc_id % 4 = 1
+            UNION ALL
+            SELECT 'delete', 2, doc_id, LENGTH(text) + 1000
+            FROM documents WHERE doc_id % 8 = 4
+        """,
         "delta_v2_checkpoint": """
             -- closed form of the v2-checkpoint fixture
             -- (q_delta_v2_checkpoint): three mod-4 slices compacted
@@ -10518,6 +10588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full self-run (CORRECTNESS_full_r07).  Everything after slot 50
     # keeps its prior-round ordering.
     return {
+        "delta_cdf": q_delta_cdf,
         "delta_v2_checkpoint": q_delta_v2_checkpoint,
         "iceberg_transforms": q_iceberg_transforms,
         "stream_iceberg_sink": q_stream_iceberg_sink,

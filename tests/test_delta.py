@@ -865,3 +865,58 @@ def test_v2_checkpoint_version_pin(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="declares version 99"):
         delta_snapshot(t)
+
+
+def test_change_data_feed(spark, tmp_path):
+    """CDF end-to-end: derived inserts from plain appends, explicit
+    _change_data files from MERGE (pre/postimage, delete, insert),
+    version scoping, and vacuum retention of referenced CDC files."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        merge_delta, read_delta_cdf, vacuum_delta, write_delta,
+    )
+
+    t = str(tmp_path / "cdf")
+    write_delta(
+        spark.range(10).withColumn("v", F.col("id") * 1.0), t,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    # v1: MERGE upsert — updates ids 5..9, inserts 10..12
+    src = spark.range(5, 13).withColumn("v", F.col("id") * 10.0)
+    merge_delta(spark, src, t, on=["id"])
+    # v2: MERGE delete of ids 0 and 1
+    merge_delta(
+        spark, spark.range(2).withColumn("v", F.lit(0.0)), t,
+        on=["id"], when_matched="delete", when_not_matched="ignore",
+    )
+    cdf = read_delta_cdf(spark, t).toPandas()
+    by = lambda ver, ct: sorted(
+        cdf[(cdf["_commit_version"] == ver)
+            & (cdf["_change_type"] == ct)]["id"]
+    )
+    assert by(0, "insert") == list(range(10))  # derived from adds
+    assert by(1, "update_preimage") == [5, 6, 7, 8, 9]
+    assert by(1, "update_postimage") == [5, 6, 7, 8, 9]
+    assert by(1, "insert") == [10, 11, 12]
+    assert by(2, "delete") == [0, 1]
+    # postimage values are the source's
+    post = cdf[(cdf["_commit_version"] == 1)
+               & (cdf["_change_type"] == "update_postimage")]
+    assert sorted(post["v"]) == [50.0, 60.0, 70.0, 80.0, 90.0]
+    assert cdf["_commit_timestamp"].notna().all()
+    # version scoping
+    only1 = read_delta_cdf(spark, t, 1, 1).toPandas()
+    assert set(only1["_commit_version"]) == {1}
+    # vacuum keeps the referenced CDC files; CDF still reads after
+    vacuum_delta(t)
+    again = read_delta_cdf(spark, t).toPandas()
+    assert len(again) == len(cdf)
+    # the final table state agrees with the CDF story
+    from vtk_reserves_spark.sources.delta import read_delta
+
+    final = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert final == {
+        **{i: float(i) for i in range(2, 5)},
+        **{i: i * 10.0 for i in range(5, 13)},
+    }

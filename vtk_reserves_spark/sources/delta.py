@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "decoded_file_path", "delta_snapshot", "merge_delta",
     "delta_history", "optimize_delta", "read_delta",
-    "vacuum_delta", "write_delta",
+    "read_delta_cdf", "vacuum_delta", "write_delta",
     "write_delta_commit", "write_delta_checkpoint",
 ]
 
@@ -480,6 +480,170 @@ def read_delta(
     return rename(out.drop("_dv_path", "_dv_pos"))
 
 
+def _cdf_enabled(meta: dict) -> bool:
+    return str(
+        (meta.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed", "false"
+        )
+    ).lower() == "true"
+
+
+def read_delta_cdf(
+    spark: SparkSession, table: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed read — the ``readChangeFeed`` equivalent
+    (delta.io PROTOCOL.md "Add CDC File" + the CDF semantics doc):
+    one row per row-level change in the version range, as the table
+    columns plus ``_change_type`` (insert / update_preimage /
+    update_postimage / delete), ``_commit_version`` and
+    ``_commit_timestamp``.
+
+    Per commit, the change set comes from (exactly delta-spark's
+    resolution order):
+
+    - its ``cdc`` actions when present (MERGE under
+      ``delta.enableChangeDataFeed`` writes explicit ``_change_data/``
+      parquets carrying ``_change_type``), read as ONE distributed
+      parquet scan;
+    - otherwise DERIVED from the file actions: rows of
+      ``dataChange=true`` adds are inserts, rows of removed files are
+      deletes (why plain appends need no CDC files).
+
+    This is how incremental 100 TB pipelines avoid full rescans: the
+    scan cost tracks the CHANGED data in the range, never the table
+    size; everything stays native Catalyst parquet reads."""
+    from functools import reduce
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    log_dir = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"delta: no {_LOG_DIR} directory in {table}")
+    versions = [
+        v for v in _list_commit_versions(log_dir)
+        if v >= starting_version
+        and (ending_version is None or v <= ending_version)
+    ]
+    if not versions:
+        raise ValueError(
+            f"delta: no commits in CDF range [{starting_version}, "
+            f"{ending_version}]"
+        )
+    meta = delta_snapshot(table, version=versions[-1])["metadata"]
+    cols = [
+        f["name"]
+        for f in json.loads(meta["schemaString"])["fields"]
+    ]
+    base = os.path.abspath(table)
+    pieces: list[DataFrame] = []
+    for v in versions:
+        cdc_paths: list[str] = []
+        add_paths: list[str] = []
+        rem_paths: list[str] = []
+        ts_ms = None
+        with open(_commit_path(table, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    cdc_paths.append(
+                        os.path.join(base, unquote(action["cdc"]["path"]))
+                    )
+                elif "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
+                    add_paths.append(
+                        os.path.join(base, unquote(action["add"]["path"]))
+                    )
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    rem_paths.append(
+                        os.path.join(
+                            base, unquote(action["remove"]["path"])
+                        )
+                    )
+                elif "commitInfo" in action:
+                    ts_ms = action["commitInfo"].get("timestamp")
+        sub: list[DataFrame] = []
+        if cdc_paths:
+            sub.append(
+                spark.read.parquet(*cdc_paths)
+                .select(*cols, "_change_type")
+            )
+        else:
+            if add_paths:
+                sub.append(
+                    spark.read.option("basePath", base)
+                    .parquet(*add_paths)
+                    .select(*cols)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            if rem_paths:
+                sub.append(
+                    spark.read.option("basePath", base)
+                    .parquet(*rem_paths)
+                    .select(*cols)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+        if not sub:
+            continue
+        piece = reduce(DataFrame.unionByName, sub).withColumns({
+            "_commit_version": F.lit(int(v)).cast("long"),
+            "_commit_timestamp": (
+                F.timestamp_millis(F.lit(int(ts_ms)))
+                if ts_ms is not None
+                else F.lit(None).cast("timestamp")
+            ),
+        })
+        pieces.append(piece)
+    if not pieces:
+        raise ValueError(
+            "delta: CDF range contains no row-level changes"
+        )
+    return reduce(DataFrame.unionByName, pieces)
+
+
+def _stage_and_promote_cdc(df: DataFrame, table: str) -> list[dict]:
+    """Distributed write of CDF rows (table columns +
+    ``_change_type``) into ``_change_data/``; returns the ``cdc``
+    action descriptors.  Same stage-rename split as
+    :func:`_stage_and_promote`."""
+    import shutil
+    import uuid as _uuid
+    from urllib.parse import quote
+
+    stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    out: list[dict] = []
+    cdir = os.path.join(table, "_change_data")
+    os.makedirs(cdir, exist_ok=True)
+    uid = _uuid.uuid4().hex
+    try:
+        i = 0
+        for root, _dirs, files in os.walk(stage):
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                rel = f"_change_data/cdc-{uid}-{i}.parquet"
+                dst = os.path.join(table, *rel.split("/"))
+                os.rename(os.path.join(root, name), dst)
+                out.append({
+                    "path": quote(rel, safe="/"),
+                    "partitionValues": {},
+                    "size": os.path.getsize(dst),
+                })
+                i += 1
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
 def _hive_partition_values(rel_dir: str) -> dict:
     """``k1=v1/k2=v2`` directory components -> partitionValues dict
     (hive escaping undone; ``__HIVE_DEFAULT_PARTITION__`` -> null,
@@ -545,6 +709,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     checkpoint_interval: int = 10,
     txn: tuple[str, int] | None = None,
+    configuration: dict | None = None,
 ) -> int:
     """DataFrame -> Delta table commit; returns the new version.
 
@@ -610,11 +775,16 @@ def write_delta(
         else:
             removes = [p for p, _, _, _ in snap["files"]]
             emit_schema = schema_json  # metaData re-emit (overwriteSchema)
+            if configuration is None:
+                # carry the table configuration (e.g. the CDF flag)
+                # through an overwrite unless explicitly replaced
+                configuration = snap["metadata"].get("configuration")
     adds = _stage_and_promote(df, table, partition_by)
     write_delta_commit(
         table, version, adds=adds, removes=removes,
         schema_json=emit_schema,
         partition_columns=list(partition_by or []),
+        configuration=configuration if emit_schema else None,
         txn=txn,
         operation="WRITE" if mode == "append" else "OVERWRITE",
     )
@@ -732,6 +902,52 @@ def merge_delta(
             )
     if not pieces and not removes:
         return snap["version"]  # no-op merge
+    # Change Data Feed: when delta.enableChangeDataFeed is set, MERGE
+    # writes explicit _change_data/ parquets describing its row-level
+    # changes (update_preimage/update_postimage/delete/insert) — the
+    # rewrite sets are already at hand, so CDF costs one extra
+    # distributed write of the CHANGED rows only
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(snap["metadata"]):
+        from functools import reduce
+
+        cdf_parts: list[DataFrame] = []
+        if touched_rows is not None:
+            matched_tgt = (
+                touched_rows.join(F.broadcast(keys), on, "left_semi")
+                .select(*table_cols)
+            )
+            tgt_type = (
+                "update_preimage" if when_matched == "update"
+                else "delete"
+            )
+            cdf_parts.append(
+                matched_tgt.withColumn("_change_type", F.lit(tgt_type))
+            )
+            tgt_keys = matched_tgt.select(*on).distinct()
+            if when_matched == "update":
+                cdf_parts.append(
+                    source.join(F.broadcast(tgt_keys), on, "left_semi")
+                    .select(*table_cols)
+                    .withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            if when_not_matched == "insert":
+                cdf_parts.append(
+                    source.join(F.broadcast(tgt_keys), on, "left_anti")
+                    .select(*table_cols)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+        elif when_not_matched == "insert":
+            cdf_parts.append(
+                source.select(*table_cols)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        if cdf_parts:
+            cdc_actions = _stage_and_promote_cdc(
+                reduce(DataFrame.unionByName, cdf_parts), table
+            )
     version = snap["version"] + 1
     adds: list[dict] = []
     if pieces:
@@ -740,7 +956,7 @@ def merge_delta(
             new_df = new_df.unionByName(p)
         adds = _stage_and_promote(new_df, table, part_cols or None)
     write_delta_commit(table, version, adds=adds, removes=removes,
-                       operation="MERGE")
+                       operation="MERGE", cdc=cdc_actions or None)
     return version
 
 
@@ -853,6 +1069,17 @@ def vacuum_delta(table: str, dry_run: bool = False) -> list[str]:
                                                table))
             except Exception:
                 continue
+    # CDC files referenced by any retained commit stay (the CDF read
+    # resolves them per commit, outside the snapshot file list)
+    for v in versions:
+        with open(_commit_path(table, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    referenced.add(unquote(action["cdc"]["path"]))
     doomed: list[str] = []
     for root, dirs, files in os.walk(table):
         dirs[:] = [
@@ -953,12 +1180,15 @@ def write_delta_commit(
     configuration: dict | None = None,
     txn: tuple[str, int] | None = None,
     operation: str | None = None,
+    cdc: list[dict] | None = None,
 ) -> None:
     """Append one JSON commit (fixture-scale writer).  ``adds`` are
     dicts with at least ``path`` (+ optional partitionValues/size/
     deletionVector); version 0 should pass ``schema_json`` to emit
     protocol+metaData (``reader_features=["deletionVectors"]`` emits
-    the v3 protocol DV tables declare)."""
+    the v3 protocol DV tables declare).  ``cdc`` actions describe
+    Change-Data-Feed files under ``_change_data/`` (PROTOCOL.md
+    "Add CDC File" — always ``dataChange: false``)."""
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
     lines = []
     if schema_json is not None:
@@ -995,6 +1225,15 @@ def write_delta_commit(
         lines.append(json.dumps({
             "remove": {"path": p, "deletionTimestamp": 0,
                        "dataChange": True}
+        }))
+    for c in cdc or []:
+        lines.append(json.dumps({
+            "cdc": {
+                "path": c["path"],
+                "partitionValues": c.get("partitionValues", {}),
+                "size": int(c.get("size", 0)),
+                "dataChange": False,
+            }
         }))
     if txn is not None:
         lines.append(json.dumps({
