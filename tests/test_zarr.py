@@ -540,3 +540,37 @@ def test_v3_sharded_distributed_roundtrip(spark, tmp_path):
     back = read_zarr_df(spark, store, "emb").toPandas()
     got = back.sort_values(["i0", "i1"])["value"].to_numpy()
     np.testing.assert_array_equal(got, want.reshape(-1))
+
+
+def test_write_zarr_df_sharded_inner_parallel_sparse(spark, tmp_path):
+    """The two-stage sharded writer (inner-chunk tasks + shard
+    assembly): all-fill inner chunks stay ABSENT index holes, edge
+    shards pad with fill, and the .partial spill dir is cleaned."""
+    import numpy as np
+
+    from vtk_reserves_spark.sources.zarr import (
+        read_zarr_array, read_zarr_df, write_zarr_df,
+    )
+
+    store = str(tmp_path / "shsp2")
+    # only the top-left 3x3 corner holds non-fill data of a 10x7
+    # array -> most inner chunks are holes; shape not divisible by
+    # chunks -> edge shards pad
+    rows = [(i, j, float(10 * i + j + 1)) for i in range(3)
+            for j in range(3)]
+    src = spark.createDataFrame(rows, "i0 long, i1 long, value double")
+    n = write_zarr_df(
+        src, store, "a", shape=(10, 7), chunks=(8, 4),
+        inner_chunks=(2, 2), zarr_format=3, fill_value=0.0,
+        compressor={"id": "zstd", "level": 1},
+    )
+    assert n == 1  # only the shard with non-fill inner chunks lands
+    assert not os.path.exists(os.path.join(store, "a", ".partial"))
+    want = np.zeros((10, 7))
+    for i, j, v in rows:
+        want[i, j] = v
+    np.testing.assert_array_equal(read_zarr_array(store, "a"), want)
+    back = read_zarr_df(spark, store, "a").toPandas()
+    assert len(back) == 70
+    got = back.sort_values(["i0", "i1"])["value"].to_numpy().reshape(10, 7)
+    np.testing.assert_array_equal(got, want)

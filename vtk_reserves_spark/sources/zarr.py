@@ -1057,6 +1057,182 @@ def read_zarr_df(
     return keys_df.mapInPandas(decode, schema)
 
 
+def _write_zarr_sharded_df(
+    df: DataFrame, adir: str, meta: dict,
+    shape_l: list, chunks_l: list, dt, fill_value,
+) -> int:
+    """Sharded v3 write with PER-INNER-CHUNK task parallelism
+    (VERDICT r7 next-6; banked r7 #4): giant shards no longer
+    serialize in one task.  Two distributed stages:
+
+    1. rows shuffle ONCE to their INNER chunk (the real data
+       shuffle); each task materializes + encodes its inner chunk
+       body through the inner chain and spills it to a
+       deterministically-named file under ``.partial/`` (tmp +
+       os.replace — retries/speculation idempotent), emitting a
+       KB manifest row (shard coord, inner index, path, nbytes);
+    2. the TINY manifest reshuffles by shard coord; each task
+       concatenates its shard's spilled bodies in C-grid order,
+       builds the (offset, nbytes) index (absent inner chunks =
+       2^64-1 pairs), and writes the shard file atomically.
+
+    Data bytes move driver-free end-to-end; the second shuffle is
+    metadata-sized.  All-fill inner chunks stay absent (spec sparse
+    form), so a shard whose every inner chunk is fill is simply not
+    written (reads back as fill_value either way)."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    sh = meta["_shard"]
+    inner_l = list(sh["inner"])
+    ndim = len(shape_l)
+    grid_dims = [c // i for c, i in zip(chunks_l, inner_l)]
+    meta_b = json.dumps(meta)
+    partial = os.path.join(adir, ".partial")
+    os.makedirs(partial, exist_ok=True)
+
+    keyed = df.select(
+        *[
+            F.floor(F.col(f"i{d}") / F.lit(inner_l[d])).alias(f"_n{d}")
+            for d in range(ndim)
+        ],
+        *[F.col(f"i{d}") for d in range(ndim)],
+        F.col("value"),
+    )
+
+    def write_inner(key, pdf):
+        import os as _os
+        import uuid
+
+        import pandas as pd
+
+        m = json.loads(meta_b)
+        imeta = _shard_inner_meta(m)
+        n = tuple(int(k) for k in key)
+        scoord = tuple(
+            n[d] * inner_l[d] // chunks_l[d] for d in range(ndim)
+        )
+        rel = tuple(n[d] - scoord[d] * grid_dims[d] for d in range(ndim))
+        linear = 0
+        for d in range(ndim):
+            linear = linear * grid_dims[d] + rel[d]
+        arr = np.full(inner_l, fill_value, dtype=dt)
+        loc = []
+        for d in range(ndim):
+            i = pdf[f"i{d}"].to_numpy(np.int64)
+            if (i < 0).any() or (i >= shape_l[d]).any():
+                raise ValueError(
+                    f"zarr: index out of bounds in inner chunk {n} "
+                    f"dim {d}"
+                )
+            loc.append(i - n[d] * inner_l[d])
+        arr[tuple(loc)] = pdf["value"].to_numpy().astype(dt)
+        fv = m.get("fill_value")
+        absent = False
+        if fv is not None:
+            if isinstance(fv, float) and math.isnan(fv):
+                absent = arr.dtype.kind == "f" and bool(
+                    np.isnan(arr).all()
+                )
+            else:
+                absent = bool((arr == fv).all())
+        if absent:  # spec sparse form: stays a 2^64-1 index hole
+            return pd.DataFrame({
+                "linear": pd.Series([], dtype="int64"),
+                "path": pd.Series([], dtype="str"),
+                "nbytes": pd.Series([], dtype="int64"),
+                **{f"_s{d}": pd.Series([], dtype="int64")
+                   for d in range(ndim)},
+            })
+        enc = _encode_payload(
+            arr.tobytes(order=sh.get("order", "C")), imeta,
+            dt.itemsize,
+        )
+        name = "s" + "_".join(str(c) for c in scoord) + f"__{linear}"
+        p = _os.path.join(partial, name)
+        tmp = f"{p}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(enc)
+        _os.replace(tmp, p)
+        return pd.DataFrame({
+            "linear": [linear], "path": [p], "nbytes": [len(enc)],
+            **{f"_s{d}": [scoord[d]] for d in range(ndim)},
+        })
+
+    man_schema = "linear long, path string, nbytes long, " + ", ".join(
+        f"_s{d} long" for d in range(ndim)
+    )
+    manifest = keyed.groupBy(
+        *[f"_n{d}" for d in range(ndim)]
+    ).applyInPandas(write_inner, man_schema)
+
+    def assemble(key, pdf):
+        import os as _os
+        import uuid
+
+        import pandas as pd
+
+        m = json.loads(meta_b)
+        msh = m["_shard"]
+        coord = tuple(int(k) for k in key)
+        n_inner = 1
+        for g in grid_dims:
+            n_inner *= g
+        n_idx = 16 * n_inner + (4 if msh.get("index_crc") else 0)
+        at_start = msh.get("index_location", "end") == "start"
+        base = n_idx if at_start else 0
+        present = {
+            int(r.linear): (r.path, int(r.nbytes))
+            for r in pdf.itertuples()
+        }
+        body = bytearray()
+        pairs = []
+        for li in range(n_inner):
+            if li not in present:
+                pairs.append((_SHARD_MISSING, _SHARD_MISSING))
+                continue
+            p, nb = present[li]
+            with open(p, "rb") as fh:
+                enc = fh.read()
+            if len(enc) != nb:
+                raise ValueError(
+                    f"zarr: spilled inner chunk {p} truncated"
+                )
+            pairs.append((base + len(body), len(enc)))
+            body += enc
+        idx = np.asarray(pairs, "<u8").tobytes()
+        if msh.get("index_crc"):
+            from vtk_reserves_spark.sources.snappy import crc32c
+
+            idx += struct.pack("<I", crc32c(idx))
+        payload = (
+            (idx + bytes(body)) if at_start else (bytes(body) + idx)
+        )
+        p = _chunk_path(adir, m, coord)
+        _os.makedirs(_os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        _os.replace(tmp, p)
+        for q, _ in present.values():
+            try:
+                _os.remove(q)
+            except OSError:
+                pass
+        key_s = _chunk_key(
+            coord, m.get("dimension_separator", "/")
+        )
+        return pd.DataFrame({"key": [key_s], "nbytes": [len(payload)]})
+
+    shards = manifest.groupBy(
+        *[f"_s{d}" for d in range(ndim)]
+    ).applyInPandas(assemble, "key string, nbytes long")
+    n = shards.count()  # forces both distributed stages
+    _shutil.rmtree(partial, ignore_errors=True)
+    return n
+
+
 def write_zarr_df(
     df: DataFrame,
     store: str,
@@ -1120,6 +1296,11 @@ def write_zarr_df(
     }
     _apply_shard_opt(meta, inner_chunks, zarr_format)
     _write_store_meta(store, array, meta)
+    if meta.get("_shard"):
+        # sharded writes split across tasks at INNER-chunk grain
+        return _write_zarr_sharded_df(
+            df, adir, meta, list(shape), list(chunks), dt, fill_value,
+        )
     meta_b = json.dumps(meta)
     sep = dimension_separator
     shape_l, chunks_l = list(shape), list(chunks)
