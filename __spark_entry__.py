@@ -5170,6 +5170,147 @@ def q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, td).select("doc_id", "text_len")
 
 
+def q_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF (sources/delta.
+    restore_delta): v0 lands the even documents, v1 MERGE-deletes
+    doc_id % 4 == 0, and the restore commits a NEW version whose
+    file set is v0's — pure metadata, history preserved (v1 stays
+    time-travelable).  Two tagged legs prove both: leg 'restored'
+    reads the head (= v0 content back), leg 'deleted' time-travels
+    to v1 (the delete is still visible) — if restore were a no-op
+    the legs would coincide and the oracle hash would catch it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        merge_delta, read_delta, restore_delta, write_delta,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_deltar_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    write_delta(base.filter(F.col("doc_id") % 2 == 0), td)
+    dels = base.filter(F.col("doc_id") % 4 == 0)
+    merge_delta(
+        spark, dels, td, on=["doc_id"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    restore_delta(td, 0)
+    restored = read_delta(spark, td).select(
+        F.lit("restored").alias("leg"), "doc_id", "text_len"
+    )
+    deleted = read_delta(spark, td, version=1).select(
+        F.lit("deleted").alias("leg"), "doc_id", "text_len"
+    )
+    return restored.unionByName(deleted)
+
+
+def q_iceberg_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg COMPACTION (sources/iceberg.optimize_iceberg —
+    rewrite_data_files bin-pack): the documents land as 8
+    deliberately-small files per partition-less table, compaction
+    rewrites every sub-threshold file into a handful (one
+    distributed scan + write; victim selection is metadata-only from
+    manifest file sizes, which carry across snapshot
+    carry-forward), the old snapshot stays time-travelable, and
+    expire + orphan removal reclaims the victims.  Content is
+    hash-checked; the file-count drop is pinned by pytest."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        expire_iceberg_snapshots, optimize_iceberg, read_iceberg,
+        remove_iceberg_orphans, write_iceberg,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_iceo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    write_iceberg(base.repartition(8), td)
+    optimize_iceberg(spark, td, min_file_size=1 << 20)
+    expire_iceberg_snapshots(td, keep_last=1)
+    remove_iceberg_orphans(td)
+    return read_iceberg(spark, td).select("doc_id", "text_len")
+
+
+def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg INCREMENTAL append scan (sources/iceberg.
+    read_iceberg_incremental — the engine's start/end-snapshot-id
+    read): three snapshots land the doc_id % 3 slices; the
+    incremental read from snapshot 1 drains ONLY the files snapshots
+    2-3 added — a metadata-level file-set difference feeding one
+    distributed scan of the new data, how incremental consumers
+    avoid rescanning a 100 TB table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        read_iceberg_incremental, write_iceberg,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_icei_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    s1 = write_iceberg(base.filter(F.col("doc_id") % 3 == 0), td)
+    write_iceberg(base.filter(F.col("doc_id") % 3 == 1), td)
+    write_iceberg(base.filter(F.col("doc_id") % 3 == 2), td)
+    return read_iceberg_incremental(spark, td, s1).select(
+        "doc_id", "text_len"
+    )
+
+
+def q_iceberg_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``partitions`` metadata table (sources/iceberg.
+    iceberg_partitions_df): per-partition file + record counts from
+    the MANIFEST stats alone (no data pages) — the audit surface for
+    spotting skew/fragmentation.  Written with one task per write so
+    file_count is the closed-form 1 per partition."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_partitions_df, write_iceberg,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_icepm_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 5).cast("int").alias("b")
+    )
+    write_iceberg(base.repartition(1), td, partition_by=["b"])
+    pm = iceberg_partitions_df(spark, td)
+    return pm.select(
+        F.col("partition")["b"].alias("b"),
+        "file_count", "record_count",
+    )
+
+
 def q_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta CHANGE DATA FEED (sources/delta.read_delta_cdf;
     PROTOCOL.md "Add CDC File" — VERDICT r7 next-5): a CDF-enabled
@@ -9594,6 +9735,34 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(doc_id % 3 AS INT) AS bucket
             FROM documents WHERE doc_id % 3 = 1
         """,
+        "delta_restore": """
+            -- closed form of the restore fixture (q_delta_restore):
+            -- head = restored v0 (all evens); v1 still shows the
+            -- delete of doc_id % 4 = 0
+            SELECT 'restored' AS leg, doc_id, LENGTH(text) AS text_len
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'deleted', doc_id, LENGTH(text)
+            FROM documents WHERE doc_id % 2 = 0 AND doc_id % 4 <> 0
+        """,
+        "iceberg_optimize": """
+            -- compaction preserves content exactly
+            SELECT doc_id, LENGTH(text) AS text_len FROM documents
+        """,
+        "iceberg_incremental": """
+            -- appended after snapshot 1 = the doc_id % 3 in (1, 2)
+            -- slices
+            SELECT doc_id, LENGTH(text) AS text_len
+            FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "iceberg_partitions": """
+            -- manifest-stat partition rollup: 1 file per partition
+            -- (single-task write), exact record counts
+            SELECT CAST(doc_id % 5 AS VARCHAR) AS b,
+                   CAST(1 AS BIGINT) AS file_count,
+                   COUNT(*) AS record_count
+            FROM documents GROUP BY 1
+        """,
         "delta_cdf": """
             -- closed form of the CDF fixture (q_delta_cdf): derived
             -- inserts (v0 = even half), MERGE upsert pre/postimages
@@ -10590,6 +10759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "delta_cdf": q_delta_cdf,
         "delta_v2_checkpoint": q_delta_v2_checkpoint,
+        "delta_restore": q_delta_restore,
+        "iceberg_optimize": q_iceberg_optimize,
+        "iceberg_incremental": q_iceberg_incremental,
+        "iceberg_partitions": q_iceberg_partitions,
         "iceberg_transforms": q_iceberg_transforms,
         "stream_iceberg_sink": q_stream_iceberg_sink,
         "iceberg_equality": q_iceberg_equality,

@@ -920,3 +920,68 @@ def test_change_data_feed(spark, tmp_path):
         **{i: float(i) for i in range(2, 5)},
         **{i: i * 10.0 for i in range(5, 13)},
     }
+
+
+def test_restore_and_timestamp_as_of(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        merge_delta, restore_delta, version_as_of_timestamp,
+        write_delta,
+    )
+
+    t = str(tmp_path / "rst")
+    write_delta(spark.range(10).withColumn("v", F.lit(1.0)), t)
+    write_delta(
+        spark.range(10, 15).withColumn("v", F.lit(2.0)), t
+    )
+    merge_delta(
+        spark, spark.range(3).withColumn("v", F.lit(0.0)), t,
+        on=["id"], when_matched="delete", when_not_matched="ignore",
+    )
+    assert read_delta(spark, t).count() == 12
+    v = restore_delta(t, 1)  # undo the delete
+    assert v == 3
+    got = sorted(r["id"] for r in read_delta(spark, t).collect())
+    assert got == list(range(15))
+    # restore is itself a version: time travel still sees the delete
+    assert read_delta(spark, t, version=2).count() == 12
+    # timestampAsOf: pin deterministic timestamps into the log
+    for ver, ts in ((0, 1000), (1, 2000), (2, 3000), (3, 4000)):
+        p = os.path.join(t, "_delta_log", f"{ver:020d}.json")
+        lines = []
+        for line in open(p):
+            a = json.loads(line)
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+            lines.append(json.dumps(a))
+        open(p, "w").write("\n".join(lines) + "\n")
+    assert version_as_of_timestamp(t, 2500) == 1
+    assert version_as_of_timestamp(t, 2000) == 1
+    assert version_as_of_timestamp(t, 9999) == 3
+    with pytest.raises(ValueError, match="no commit at or before"):
+        version_as_of_timestamp(t, 500)
+
+
+def test_restore_missing_files_gates(spark, tmp_path):
+    """Restore to a version whose data files are gone (vacuumed)
+    fails loudly instead of committing a broken snapshot."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        delta_snapshot, restore_delta, write_delta,
+    )
+
+    t = str(tmp_path / "rstv")
+    write_delta(spark.range(5).withColumn("v", F.lit(1.0)), t)
+    write_delta(
+        spark.range(5).withColumn("v", F.lit(2.0)), t,
+        mode="overwrite",
+    )
+    # v0's files are tombstoned at head; fake a vacuum by deleting one
+    v0 = delta_snapshot(t, version=0)
+    os.remove(os.path.join(t, unquote(v0["files"][0][0])))
+    with pytest.raises(ValueError, match="vacuumed"):
+        restore_delta(t, 0)

@@ -607,3 +607,91 @@ def test_stream_to_iceberg_exactly_once(spark, tmp_path):
     )
     assert read_iceberg(spark, t).count() == 45
     assert _load_table_metadata(t)["properties"]["txn.etl"] == "1"
+
+
+def test_optimize_iceberg_compaction(spark, tmp_path):
+    """rewrite_data_files bin-pack: small files compact per
+    partition, untouched files carry forward, table content is
+    unchanged, and the victims become orphans."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_snapshot, optimize_iceberg, read_iceberg,
+        remove_iceberg_orphans, write_iceberg,
+    )
+
+    t = str(tmp_path / "opt")
+    df = spark.range(60).withColumn(
+        "b", (F.col("id") % 2).cast("int")
+    ).withColumn("v", F.col("id") * 1.0)
+    write_iceberg(df.repartition(6), t, partition_by=["b"])
+    before = iceberg_snapshot(t)
+    assert len(before["files"]) > 4
+    v = optimize_iceberg(spark, t, min_file_size=1 << 20)
+    after = iceberg_snapshot(t)
+    assert after["snapshot_id"] == v
+    assert len(after["files"]) < len(before["files"])
+    # per-partition: every output file still carries its partition
+    assert all(
+        after["partitions"][p].get("b") in {"0", "1"}
+        for p in after["files"]
+    )
+    got = read_iceberg(spark, t).toPandas().sort_values("id")
+    assert list(got["id"]) == list(range(60))
+    assert list(got["b"]) == [i % 2 for i in range(60)]
+    # the compacted victims are unreferenced by the NEW snapshot but
+    # still referenced by the old one (time travel); expire + orphan
+    # removal reclaims them
+    from vtk_reserves_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+    )
+
+    expire_iceberg_snapshots(t, keep_last=1)
+    doomed = remove_iceberg_orphans(t)
+    assert doomed
+    assert read_iceberg(spark, t).count() == 60
+
+
+def test_incremental_append_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        optimize_iceberg, read_iceberg_incremental, write_iceberg,
+    )
+
+    t = str(tmp_path / "inc")
+    df = spark.range(30).withColumn("v", F.col("id") * 1.0)
+    s1 = write_iceberg(df.filter(F.col("id") < 10), t)
+    s2 = write_iceberg(
+        df.filter((F.col("id") >= 10) & (F.col("id") < 20)), t
+    )
+    s3 = write_iceberg(df.filter(F.col("id") >= 20), t)
+    inc = read_iceberg_incremental(spark, t, s1, s3)
+    assert sorted(r["id"] for r in inc.collect()) == list(range(10, 30))
+    inc2 = read_iceberg_incremental(spark, t, s2)
+    assert sorted(r["id"] for r in inc2.collect()) == list(range(20, 30))
+    # empty range -> empty relation with the table schema
+    empty = read_iceberg_incremental(spark, t, s3, s3)
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+    # a rewrite snapshot in range gates
+    optimize_iceberg(spark, t, min_file_size=1 << 20)
+    with pytest.raises(ValueError, match="append snapshots"):
+        read_iceberg_incremental(spark, t, s1)
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_partitions_df, write_iceberg,
+    )
+
+    t = str(tmp_path / "pmt")
+    df = spark.range(40).withColumn(
+        "b", (F.col("id") % 4).cast("int")
+    )
+    write_iceberg(df.repartition(1), t, partition_by=["b"])
+    pm = iceberg_partitions_df(spark, t).toPandas()
+    assert len(pm) == 4
+    assert pm["record_count"].sum() == 40
+    assert {v["b"] for v in pm["partition"]} == {"0", "1", "2", "3"}

@@ -47,7 +47,8 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "decoded_file_path", "delta_snapshot", "merge_delta",
     "delta_history", "optimize_delta", "read_delta",
-    "read_delta_cdf", "vacuum_delta", "write_delta",
+    "read_delta_cdf", "restore_delta", "vacuum_delta",
+    "version_as_of_timestamp", "write_delta",
     "write_delta_commit", "write_delta_checkpoint",
 ]
 
@@ -1104,6 +1105,76 @@ def vacuum_delta(table: str, dry_run: bool = False) -> list[str]:
             if root != table and not os.listdir(root):
                 os.rmdir(root)
     return sorted(doomed)
+
+
+def version_as_of_timestamp(table: str, timestamp_ms: int) -> int:
+    """``timestampAsOf`` resolution (delta-spark semantics): the
+    LATEST version whose commit timestamp is <= the given epoch-ms
+    instant; errors if the instant precedes the first retained
+    commit.  Driver-side metadata only."""
+    best = None
+    for row in delta_history(table):
+        ts = row.get("timestamp")
+        if ts is not None and int(ts) <= int(timestamp_ms):
+            best = row["version"] if best is None else max(
+                best, row["version"]
+            )
+    if best is None:
+        raise ValueError(
+            f"delta: no commit at or before timestamp {timestamp_ms}"
+        )
+    return int(best)
+
+
+def restore_delta(table: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — delta-spark's restore:
+    commit a new version whose file set IS the target version's
+    (adds = files the target had that the head lost, removes = files
+    the head has that the target lacked), so history is preserved
+    and the restore itself is undoable.  Requires the target's data
+    files to still exist (un-vacuumed), like the engine.  Pure
+    metadata — no data bytes move.  Returns the new version."""
+    head = delta_snapshot(table)
+    target = delta_snapshot(table, version=version)
+    head_files = {p: (pv, size, dv)
+                  for p, pv, size, dv in head["files"]}
+    target_files = {p: (pv, size, dv)
+                    for p, pv, size, dv in target["files"]}
+    adds = [
+        {"path": p, "partitionValues": pv, "size": size,
+         **({"deletionVector": dv} if dv else {})}
+        for p, (pv, size, dv) in sorted(target_files.items())
+        if p not in head_files
+    ]
+    removes = sorted(p for p in head_files if p not in target_files)
+    from urllib.parse import unquote
+
+    missing = [
+        a["path"] for a in adds
+        if not os.path.exists(os.path.join(table, unquote(a["path"])))
+    ]
+    if missing:
+        raise ValueError(
+            f"delta: cannot restore to version {version}: data files "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''} were "
+            "vacuumed"
+        )
+    new_version = head["version"] + 1
+    # a restore may also need to roll the schema back
+    schema_json = None
+    if target["metadata"].get("schemaString") != head["metadata"].get(
+        "schemaString"
+    ):
+        schema_json = target["metadata"]["schemaString"]
+    write_delta_commit(
+        table, new_version, adds=adds, removes=removes,
+        schema_json=schema_json,
+        partition_columns=target["metadata"].get("partitionColumns"),
+        configuration=target["metadata"].get("configuration")
+        if schema_json else None,
+        operation="RESTORE",
+    )
+    return new_version
 
 
 def delta_history(table: str) -> list[dict]:
