@@ -5170,6 +5170,31 @@ def q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, td).select("doc_id", "text_len")
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py; Xie et al.
+    2023, arXiv:2302.03169): select the 100 raw documents whose
+    hashed unigram+bigram distribution best matches the English
+    slice — smoothed bag-of-n-grams log-likelihood ratio weights +
+    deterministic (md5-seeded) Gumbel top-k, i.e. sampling without
+    replacement proportional to the importance weight.  Everything
+    is one explode + hash agg for features, two B-sized model
+    vectors driver-side, one broadcast join for weights, and a
+    TakeOrderedAndProject cut — the oracle replays the entire
+    pipeline in SQL."""
+    from vtk_reserves_spark.operators.dsir import dsir_resample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_resample(docs, target, k=100, n_buckets=256)
+    return out.select(
+        "rank", "doc_id",
+        F.round("log_w", 6).alias("log_w"),
+        F.round("key", 6).alias("key"),
+    )
+
+
 def q_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE TABLE ... TO VERSION AS OF (sources/delta.
     restore_delta): v0 lands the even documents, v1 MERGE-deletes
@@ -9735,6 +9760,71 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(doc_id % 3 AS INT) AS bucket
             FROM documents WHERE doc_id % 3 = 1
         """,
+        "dsir_resample": f"""
+            -- DSIR replayed in SQL: hashed unigram+bigram features,
+            -- smoothed target(en)/raw bag-of-n-grams LLR weights,
+            -- md5-seeded Gumbel top-100
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, unnest(list_concat(t,
+                list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1]))) AS g
+              FROM toks
+            ),
+            feats AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('dsir_' || g), 1, 8))::BIGINT
+                          % 256 AS INT) AS bucket,
+                     COUNT(*) AS cnt
+              FROM grams GROUP BY 1, 2
+            ),
+            tgt AS (
+              SELECT f.bucket, SUM(f.cnt) AS c FROM feats f
+              JOIN documents d ON d.doc_id = f.doc_id AND d.lang = 'en'
+              GROUP BY 1
+            ),
+            allb AS (SELECT unnest(range(0, 256)) AS bucket),
+            p AS (
+              SELECT a.bucket,
+                     ln((COALESCE(t.c, 0) + 1.0)
+                        / ((SELECT SUM(c) FROM tgt) + 256.0)) AS lp
+              FROM allb a LEFT JOIN tgt t USING (bucket)
+            ),
+            rawm AS (SELECT bucket, SUM(cnt) AS c FROM feats GROUP BY 1),
+            q AS (
+              SELECT a.bucket,
+                     ln((COALESCE(r.c, 0) + 1.0)
+                        / ((SELECT SUM(c) FROM rawm) + 256.0)) AS lq
+              FROM allb a LEFT JOIN rawm r USING (bucket)
+            ),
+            wts AS (
+              SELECT d.doc_id,
+                     COALESCE(SUM(f.cnt * (p.lp - q.lq)), 0.0) AS log_w
+              FROM documents d
+              LEFT JOIN feats f ON f.doc_id = d.doc_id
+              LEFT JOIN p ON p.bucket = f.bucket
+              LEFT JOIN q ON q.bucket = f.bucket
+              GROUP BY 1
+            ),
+            keyed AS (
+              SELECT doc_id, log_w,
+                     log_w + (-ln(-ln(
+                       ((('0x' || substr(md5('gdsir_' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 1000000) + 0.5) / 1000000.0
+                     ))) AS key
+              FROM wts
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id)
+                        AS INT) AS rank,
+                   doc_id, ROUND(log_w, 6) AS log_w,
+                   ROUND(key, 6) AS key
+            FROM keyed
+            ORDER BY key DESC, doc_id LIMIT 100
+        """,
         "delta_restore": """
             -- closed form of the restore fixture (q_delta_restore):
             -- head = restored v0 (all evens); v1 still shows the
@@ -10757,6 +10847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full self-run (CORRECTNESS_full_r07).  Everything after slot 50
     # keeps its prior-round ordering.
     return {
+        "dsir_resample": q_dsir_resample,
         "delta_cdf": q_delta_cdf,
         "delta_v2_checkpoint": q_delta_v2_checkpoint,
         "delta_restore": q_delta_restore,

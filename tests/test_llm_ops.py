@@ -1623,3 +1623,57 @@ def test_ivfpq_degenerate_exact_and_recall(spark):
                 .tolist())
     assert 11 in set(t2["vec_id"])
     assert len(set(t2["vec_id"]) & exact) >= 3
+
+
+# ------------------------------------------------------------------ DSIR
+
+
+def test_dsir_selects_target_like_documents(spark):
+    """Importance resampling prefers documents that look like the
+    target: with a target of 'alpha'-heavy docs, the alpha half of
+    the raw corpus dominates the selection."""
+    from vtk_reserves_spark.operators.dsir import (
+        dsir_resample, dsir_weights,
+    )
+
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            rows.append((i, "alpha beta alpha gamma alpha beta"))
+        else:
+            rows.append((i, "delta epsilon zeta delta eta theta"))
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + j, "alpha beta alpha alpha") for j in range(10)],
+        "doc_id long, text string",
+    )
+    w = dsir_weights(raw, target, n_buckets=64).toPandas()
+    evens = w[w["doc_id"] % 2 == 0]["log_w"].mean()
+    odds = w[w["doc_id"] % 2 == 1]["log_w"].mean()
+    assert evens > odds
+    top = dsir_resample(
+        raw, target, k=10, n_buckets=64, gumbel=False
+    ).toPandas()
+    assert (top["doc_id"] % 2 == 0).all()
+    assert list(top["rank"]) == list(range(1, 11))
+    # gumbel draw is deterministic: same seed -> same selection
+    g1 = dsir_resample(raw, target, k=10, n_buckets=64).toPandas()
+    g2 = dsir_resample(raw, target, k=10, n_buckets=64).toPandas()
+    assert list(g1["doc_id"]) == list(g2["doc_id"])
+    # ...and still favors the target-like half
+    assert (g1["doc_id"] % 2 == 0).mean() >= 0.7
+
+
+def test_dsir_tokenless_docs_weight_zero(spark):
+    from vtk_reserves_spark.operators.dsir import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "   "), (2, None)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(9, "alpha")], "doc_id long, text string"
+    )
+    w = {r["doc_id"]: r["log_w"]
+         for r in dsir_weights(raw, target, n_buckets=16).collect()}
+    assert w[1] == 0.0 and w[2] == 0.0 and w[0] != 0.0
