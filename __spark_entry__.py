@@ -5170,6 +5170,52 @@ def q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, td).select("doc_id", "text_len")
 
 
+def q_hudi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Hudi COPY_ON_WRITE round-trip (sources/hudi.py — the
+    third lakehouse format, completing the Delta/Iceberg tier):
+    commit 1 writes the even documents through the distributed
+    writer (each part file a fresh file group
+    ``<fileId>_<token>_<instant>.parquet``; the driver writes only
+    the timeline JSON), commit 2 appends the doc_id % 10 == 5 slice,
+    then an INSERT_OVERWRITE replacecommit replaces everything with
+    the doc_id % 7 == 0 slice.  Three tagged legs read the head
+    (post-overwrite), the pre-overwrite snapshot (time travel across
+    a replacecommit), and the first commit — exercising timeline
+    fold, file-group supersession and replace semantics in one
+    query.  Reference parity: no lakehouse in the reference; SURVEY
+    §8 extension."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import read_hudi, write_hudi
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_hudi_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    i1 = write_hudi(base.filter(F.col("doc_id") % 2 == 0), td)
+    i2 = write_hudi(base.filter(F.col("doc_id") % 10 == 5), td)
+    write_hudi(
+        base.filter(F.col("doc_id") % 7 == 0), td, mode="overwrite"
+    )
+    head = read_hudi(spark, td).select(
+        F.lit("head").alias("leg"), "doc_id", "text_len"
+    )
+    pre = read_hudi(spark, td, as_of=i2).select(
+        F.lit("pre").alias("leg"), "doc_id", "text_len"
+    )
+    first = read_hudi(spark, td, as_of=i1).select(
+        F.lit("first").alias("leg"), "doc_id", "text_len"
+    )
+    return head.unionByName(pre).unionByName(first)
+
+
 def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/dsir.py; Xie et al.
     2023, arXiv:2302.03169): select the 100 raw documents whose
@@ -9760,6 +9806,19 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(doc_id % 3 AS INT) AS bucket
             FROM documents WHERE doc_id % 3 = 1
         """,
+        "hudi_snapshot": """
+            -- closed form of the Hudi CoW fixture (q_hudi_snapshot):
+            -- head = the insert_overwrite slice; pre = commits 1+2;
+            -- first = commit 1 alone
+            SELECT 'head' AS leg, doc_id, LENGTH(text) AS text_len
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'pre', doc_id, LENGTH(text)
+            FROM documents WHERE doc_id % 2 = 0 OR doc_id % 10 = 5
+            UNION ALL
+            SELECT 'first', doc_id, LENGTH(text)
+            FROM documents WHERE doc_id % 2 = 0
+        """,
         "dsir_resample": f"""
             -- DSIR replayed in SQL: hashed unigram+bigram features,
             -- smoothed target(en)/raw bag-of-n-grams LLR weights,
@@ -10847,6 +10906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full self-run (CORRECTNESS_full_r07).  Everything after slot 50
     # keeps its prior-round ordering.
     return {
+        "hudi_snapshot": q_hudi_snapshot,
         "dsir_resample": q_dsir_resample,
         "delta_cdf": q_delta_cdf,
         "delta_v2_checkpoint": q_delta_v2_checkpoint,
