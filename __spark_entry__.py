@@ -5170,6 +5170,55 @@ def q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, td).select("doc_id", "text_len")
 
 
+def q_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO for Iceberg (sources/iceberg.
+    merge_iceberg — the Delta twin's plan on the second format):
+    the even documents land partitioned by doc_id % 3, a MERGE
+    upserts the doc_id % 4 < 2 slice with +1000 text lengths
+    (updating the matched evens, inserting the odd half of the
+    slice), touching ONLY the files holding matched keys (file list
+    via a broadcast semi-join on _metadata.file_path; untouched
+    files carry forward unread), then a delete-merge removes
+    doc_id % 8 == 4.  The oracle replays the final state closed
+    form."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        merge_iceberg, read_iceberg, write_iceberg,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_icem_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        (F.col("doc_id") % 3).cast("int").alias("bucket"),
+    )
+    write_iceberg(
+        base.filter(F.col("doc_id") % 2 == 0), td,
+        partition_by=["bucket"],
+    )
+    src = base.filter(F.col("doc_id") % 4 < 2).withColumn(
+        "text_len", F.col("text_len") + F.lit(1000)
+    )
+    merge_iceberg(spark, src, td, on=["doc_id"])
+    dels = base.filter(F.col("doc_id") % 8 == 4)
+    merge_iceberg(
+        spark, dels, td, on=["doc_id"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    return read_iceberg(spark, td).select(
+        "doc_id", "text_len",
+        F.col("bucket").cast("int").alias("bucket"),
+    )
+
+
 def q_hudi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache Hudi COPY_ON_WRITE round-trip (sources/hudi.py — the
     third lakehouse format, completing the Delta/Iceberg tier):
@@ -9806,6 +9855,19 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(doc_id % 3 AS INT) AS bucket
             FROM documents WHERE doc_id % 3 = 1
         """,
+        "iceberg_merge": """
+            -- closed form of the two-merge fixture (q_iceberg_merge):
+            -- evens, upserted by the %4<2 slice (+1000), minus the
+            -- %8==4 delete.  Updated evens are %4==0; inserted rows
+            -- are the odd %4==1 half; untouched evens are %4==2.
+            SELECT doc_id, LENGTH(text) + 1000 AS text_len,
+                   CAST(doc_id % 3 AS INT) AS bucket
+            FROM documents
+            WHERE doc_id % 4 IN (0, 1) AND doc_id % 8 <> 4
+            UNION ALL
+            SELECT doc_id, LENGTH(text), CAST(doc_id % 3 AS INT)
+            FROM documents WHERE doc_id % 4 = 2
+        """,
         "hudi_snapshot": """
             -- closed form of the Hudi CoW fixture (q_hudi_snapshot):
             -- head = the insert_overwrite slice; pre = commits 1+2;
@@ -10906,6 +10968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full self-run (CORRECTNESS_full_r07).  Everything after slot 50
     # keeps its prior-round ordering.
     return {
+        "iceberg_merge": q_iceberg_merge,
         "hudi_snapshot": q_hudi_snapshot,
         "dsir_resample": q_dsir_resample,
         "delta_cdf": q_delta_cdf,

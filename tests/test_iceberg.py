@@ -695,3 +695,96 @@ def test_partitions_metadata_table(spark, tmp_path):
     assert len(pm) == 4
     assert pm["record_count"].sum() == 40
     assert {v["b"] for v in pm["partition"]} == {"0", "1", "2", "3"}
+
+
+def test_merge_iceberg_upsert_and_delete(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_snapshot, merge_iceberg, read_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "mrg")
+    df = spark.range(20).withColumn(
+        "b", (F.col("id") % 2).cast("int")
+    ).withColumn("v", F.col("id") * 1.0)
+    write_iceberg(df.repartition(4), t, partition_by=["b"])
+    n_before = len(iceberg_snapshot(t)["files"])
+    # upsert: update ids 15..19, insert 20..22
+    src = spark.range(15, 23).withColumn(
+        "b", (F.col("id") % 2).cast("int")
+    ).withColumn("v", F.col("id") * 10.0)
+    v = merge_iceberg(spark, src, t, on=["id"])
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {
+        **{i: float(i) for i in range(15)},
+        **{i: i * 10.0 for i in range(15, 23)},
+    }
+    # untouched files carried forward; old snapshot time-travels
+    old = read_iceberg(spark, t, snapshot_id=1)
+    assert old.count() == 20
+    snap = iceberg_snapshot(t)
+    assert snap["snapshot_id"] == v
+    assert all(
+        snap["partitions"][p].get("b") in {"0", "1"}
+        for p in snap["files"]
+    )
+    # delete merge
+    merge_iceberg(
+        spark,
+        spark.range(5).withColumn(
+            "b", (F.col("id") % 2).cast("int")
+        ).withColumn("v", F.lit(0.0)),
+        t, on=["id"], when_matched="delete",
+        when_not_matched="ignore",
+    )
+    assert sorted(
+        r["id"] for r in read_iceberg(spark, t).collect()
+    ) == list(range(5, 23))
+    assert n_before > 0  # sanity
+
+
+def test_merge_iceberg_gates(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        merge_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "mrgg")
+    df = spark.range(10).withColumn("v", F.col("id") * 1.0)
+    write_iceberg(
+        df.withColumn("ts", F.expr("timestamp'2024-01-01'")), t,
+        partition_by=["day(ts)"],
+    )
+    with pytest.raises(ValueError, match="transform-partitioned"):
+        merge_iceberg(spark, df, t, on=["id"])
+
+
+def test_snapshot_as_of_timestamp(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        _load_table_metadata, read_iceberg, snapshot_as_of_timestamp,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "asof")
+    write_iceberg(spark.range(5).withColumn("v", F.lit(1.0)), t)
+    write_iceberg(spark.range(5, 8).withColumn("v", F.lit(2.0)), t)
+    # pin deterministic snapshot timestamps into the metadata
+    mdir = os.path.join(t, "metadata")
+    hint = int(open(os.path.join(mdir, "version-hint.text")).read())
+    mp = os.path.join(mdir, f"v{hint}.metadata.json")
+    meta = json.load(open(mp))
+    for s, ts in zip(meta["snapshots"], (1000, 2000)):
+        s["timestamp-ms"] = ts
+    json.dump(meta, open(mp, "w"))
+    assert snapshot_as_of_timestamp(t, 1500) == 1
+    assert snapshot_as_of_timestamp(t, 2000) == 2
+    sid = snapshot_as_of_timestamp(t, 1000)
+    assert read_iceberg(spark, t, snapshot_id=sid).count() == 5
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        snapshot_as_of_timestamp(t, 500)
+    # real writes record a real clock
+    assert _load_table_metadata(t)["snapshots"][0]["timestamp-ms"] == 1000

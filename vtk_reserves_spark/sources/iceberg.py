@@ -51,9 +51,10 @@ __all__ = [
     "expire_iceberg_snapshots", "iceberg_bucket", "iceberg_files_df",
     "iceberg_partitions_df", "iceberg_snapshot",
     "iceberg_snapshots_df", "iceberg_truncate",
+    "merge_iceberg",
     "murmur3_32", "optimize_iceberg", "read_iceberg",
     "read_iceberg_incremental",
-    "remove_iceberg_orphans", "write_iceberg",
+    "remove_iceberg_orphans", "snapshot_as_of_timestamp", "write_iceberg",
     "write_iceberg_table", "append_iceberg_snapshot",
 ]
 
@@ -922,6 +923,25 @@ def iceberg_snapshots_df(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+def snapshot_as_of_timestamp(table: str, timestamp_ms: int) -> int:
+    """``as-of-timestamp`` resolution (iceberg-spark's time travel by
+    instant): the LATEST snapshot whose ``timestamp-ms`` is <= the
+    given epoch-ms; errors if the instant precedes the first
+    retained snapshot.  Pass the result to
+    ``read_iceberg(snapshot_id=...)``."""
+    meta = _load_table_metadata(table)
+    best = None
+    for s in meta.get("snapshots") or []:
+        if int(s.get("timestamp-ms") or 0) <= int(timestamp_ms):
+            best = int(s["snapshot-id"])
+    if best is None:
+        raise ValueError(
+            f"iceberg: no snapshot at or before timestamp "
+            f"{timestamp_ms}"
+        )
+    return best
+
+
 def expire_iceberg_snapshots(
     table: str, keep_last: int = 1, keep_ids=None
 ) -> list[int]:
@@ -1000,6 +1020,158 @@ def remove_iceberg_orphans(table: str, dry_run: bool = False) -> list[str]:
             if root != table and not os.listdir(root):
                 os.rmdir(root)
     return sorted(doomed)
+
+
+def merge_iceberg(
+    spark: SparkSession,
+    source: DataFrame,
+    table: str,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> int:
+    """Copy-on-write MERGE INTO for Iceberg — the same plan shape as
+    `sources/delta.merge_delta` (and as iceberg-spark's own CoW
+    MERGE): ONE distributed pass finds the data files holding a
+    matched key (broadcast LEFT-SEMI join against the scan's hidden
+    ``_metadata.file_path``; the driver receives a FILE LIST, never
+    rows), only those files rewrite (surviving rows anti-joined on
+    the keys union the source rows), and one snapshot commit swaps
+    the touched files — untouched files carry forward unread.
+    Returns the new snapshot id.
+
+    ``when_matched``: "update" | "delete";
+    ``when_not_matched``: "insert" | "ignore".  Tables with v2
+    row-level deletes or non-identity partition transforms gate
+    (rewriting those safely needs delete-file compaction / transform
+    recomputation)."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import decoded_file_path
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"iceberg: when_matched {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"iceberg: when_not_matched {when_not_matched!r}"
+        )
+    snap = iceberg_snapshot(table)
+    if snap["position_deletes"] or snap["equality_deletes"]:
+        raise ValueError(
+            "iceberg: merge into tables with row-level delete files "
+            "not supported (compact them first)"
+        )
+    spec = snap.get("partition_spec") or []
+    if any(e.get("transform") != "identity" for e in spec):
+        raise ValueError(
+            "iceberg: merge into transform-partitioned tables not "
+            "supported"
+        )
+    part_cols = [e["name"] for e in spec]
+    table_cols = [
+        f["name"] for f in (snap["schema"] or {}).get("fields", [])
+    ]
+    missing = [k for k in on if k not in table_cols]
+    if missing:
+        raise ValueError(f"iceberg: merge keys {missing} not in table")
+    if when_matched == "update" or when_not_matched == "insert":
+        if sorted(source.columns) != sorted(table_cols):
+            raise ValueError(
+                f"iceberg: merge source columns "
+                f"{sorted(source.columns)} != table columns "
+                f"{sorted(table_cols)}"
+            )
+    base = os.path.abspath(table)
+    data = spark.read.option("basePath", base).parquet(
+        *snap["files"]
+    ).withColumn("_ice_file", decoded_file_path(F))
+    keys = source.select(*on).distinct()
+    touched = [
+        r["_ice_file"]
+        for r in data.join(F.broadcast(keys), on, "left_semi")
+        .select("_ice_file").distinct().collect()
+    ]
+    pieces: list[DataFrame] = []
+    touched_rows = (
+        data.filter(F.col("_ice_file").isin(touched))
+        if touched else None
+    )
+    if touched_rows is not None:
+        pieces.append(
+            touched_rows.join(F.broadcast(keys), on, "left_anti")
+            .select(*table_cols)
+        )
+    if when_matched == "update" and when_not_matched == "insert":
+        pieces.append(source.select(*table_cols))
+    elif when_not_matched == "insert":  # delete + insert
+        ins = source
+        if touched_rows is not None:
+            matched_keys = touched_rows.select(*on).distinct()
+            ins = ins.join(F.broadcast(matched_keys), on, "left_anti")
+        pieces.append(ins.select(*table_cols))
+    elif when_matched == "update":  # update + ignore
+        if touched_rows is not None:
+            matched_keys = touched_rows.select(*on).distinct()
+            pieces.append(
+                source.join(F.broadcast(matched_keys), on, "left_semi")
+                .select(*table_cols)
+            )
+    if not pieces and not touched:
+        return int(snap["snapshot_id"] or 0)  # no-op merge
+    import shutil
+    import uuid as _uuid
+    from urllib.parse import quote
+
+    import pyarrow.parquet as pq
+
+    from vtk_reserves_spark.sources.delta import _hive_partition_values
+
+    new_df = pieces[0]
+    for p in pieces[1:]:
+        new_df = new_df.unionByName(p)
+    stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
+    writer = new_df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
+    data_files = []
+    try:
+        os.makedirs(os.path.join(table, "data"), exist_ok=True)
+        for root, _dirs, names in os.walk(stage):
+            rel_dir = os.path.relpath(root, stage)
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                rel = "data/" + (
+                    name if rel_dir == "."
+                    else f"{rel_dir.replace(os.sep, '/')}/{name}"
+                )
+                dst = os.path.join(table, *rel.split("/"))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(root, name), dst)
+                entry = {
+                    "file_path": quote(rel, safe="/="),
+                    "record_count":
+                        pq.ParquetFile(dst).metadata.num_rows,
+                    "size": os.path.getsize(dst),
+                }
+                if part_cols:
+                    entry["partition"] = {
+                        k: ("" if v is None else v)
+                        for k, v in _hive_partition_values(
+                            rel_dir
+                        ).items()
+                    }
+                data_files.append(entry)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    snapshot_id = 1 + int(snap["snapshot_id"] or 0)
+    append_iceberg_snapshot(
+        table, snapshot_id, data_files,
+        deleted_files=[os.path.relpath(p, table) for p in touched],
+        summary_extra={"operation-detail": "merge"},
+    )
+    return snapshot_id
 
 
 def optimize_iceberg(
@@ -1380,8 +1552,11 @@ def append_iceberg_snapshot(
             **(meta.get("properties") or {}),
             **{k: str(v) for k, v in properties_update.items()},
         }
+    import time as _time
+
     meta["snapshots"] = list(meta.get("snapshots") or []) + [
-        {"snapshot-id": snapshot_id, "timestamp-ms": 0,
+        {"snapshot-id": snapshot_id,
+         "timestamp-ms": int(_time.time() * 1000),
          "sequence-number": seq,
          "manifest-list": ml_rel,
          "summary": {"operation": "append",
