@@ -10948,25 +10948,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness harness records the FIRST 50
-    # entries in dict order (bench runs all).  Round-7 rotation
+    # entries in dict order (bench runs all).  Round-8 rotation
     # (ledger: ROTATION.json, regenerated by tools/rotation_ledger.py):
-    # [head, 7] the NEW oracle-backed round-7 queries (equality
-    #     deletes, column mapping, distributed zarr/hdf5 write
-    #     round-trips, mel/mfcc, unigram char twin);
-    # [next, 3] queries whose IMPLEMENTATION changed this round
-    #     (hdf5_embeddings: dense-link fixture + fletcher32/fill
-    #     fixes; delta_snapshot / iceberg_snapshot: URI-decoded join
-    #     keys + sequence-number scoping);
-    # [next, 20] every oracle-backed query whose newest driver
-    #     evidence is round 2 (the oldest-evidence set);
-    # [fill, 20] the round-3 tail, headed by the six the r6 note
-    #     promised would lead this rotation (xlsx_report,
-    #     skew_salted_agg, pack_offsets, desurvey, desurvey_mincurve,
-    #     idw).
-    # Per VERDICT r6 item 3, NO rows-only (no_oracle) queries occupy
-    # window slots this round — rows-only execution is proven by the
-    # full self-run (CORRECTNESS_full_r07).  Everything after slot 50
-    # keeps its prior-round ordering.
+    # [head, 11] the NEW oracle-backed round-8 queries (iceberg
+    #     transforms/merge/optimize/incremental/partitions, hudi,
+    #     dsir, delta cdf/v2-checkpoint/restore, iceberg stream sink);
+    # [next, 12] queries whose IMPLEMENTATION changed this round
+    #     (PQ family numpy-fused train/encode; zarr sharded two-stage
+    #     write; delta merge/optimize/snapshot/write + stream sink
+    #     touched by the CDF/v2-checkpoint/vacuum work; iceberg
+    #     reader/writer touched by transforms + empty-filter + size
+    #     carry-forward);
+    # [fill, 27] the oldest-evidence oracle-backed queries: the full
+    #     round-3 evidence set (18) + the head of the round-4 set (9).
+    # No rows-only (no_oracle) queries occupy window slots (VERDICT r6
+    # item 3).  Everything after slot 50 keeps its prior ordering.
     return {
         "iceberg_merge": q_iceberg_merge,
         "hudi_snapshot": q_hudi_snapshot,
@@ -10979,28 +10975,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partitions": q_iceberg_partitions,
         "iceberg_transforms": q_iceberg_transforms,
         "stream_iceberg_sink": q_stream_iceberg_sink,
+        "pq_topk_degenerate": q_pq_topk_degenerate,
+        "ivfpq_degenerate": q_ivfpq_degenerate,
+        "zarr_sharded": q_zarr_sharded,
+        "delta_merge": q_delta_merge,
+        "delta_optimize": q_delta_optimize,
+        "delta_snapshot": q_delta_snapshot,
+        "delta_write_roundtrip": q_delta_write_roundtrip,
+        "iceberg_snapshot": q_iceberg_snapshot,
         "iceberg_equality": q_iceberg_equality,
+        "iceberg_partitioned": q_iceberg_partitioned,
+        "iceberg_write_roundtrip": q_iceberg_write_roundtrip,
+        "stream_delta_sink": q_stream_delta_sink,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "bpe_degenerate": q_bpe_degenerate,
+        "flac_features": q_flac_features,
+        "fuzzy_join": q_fuzzy_join,
+        "gif_frames": q_gif_frames,
+        "jpeg_progressive": q_jpeg_progressive,
+        "kmeans": q_kmeans,
+        "krige_degenerate": q_krige_degenerate,
+        "nscore": q_nscore,
+        "nscore_roundtrip": q_nscore_roundtrip,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
+        "stream_kmv": q_stream_kmv,
+        "stream_topk": q_stream_topk,
+        "video_frames_mjpg": q_video_frames_mjpg,
+        "warc_ingest": q_warc_ingest,
+        "webp_anim": q_webp_anim,
+        "webp_decode": q_webp_decode,
+        "xls_report": q_xls_report,
+        "audio_fingerprint": q_audio_fingerprint,
+        "avro_roundtrip": q_avro_roundtrip,
+        "binary_auc": q_binary_auc,
+        "bitext_pairs": q_bitext_pairs,
+        "charset_detect": q_charset_detect,
+        "curation_policy": q_curation_policy,
+        "domain_quota": q_domain_quota,
+        "domain_stats": q_domain_stats,
+        "exif_metadata": q_exif_metadata,
         "delta_column_mapping": q_delta_column_mapping,
         "zarr_write_roundtrip": q_zarr_write_roundtrip,
         "hdf5_write_roundtrip": q_hdf5_write_roundtrip,
-        "delta_write_roundtrip": q_delta_write_roundtrip,
-        "iceberg_write_roundtrip": q_iceberg_write_roundtrip,
         "zarr_v3_embeddings": q_zarr_v3_embeddings,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
-        "delta_merge": q_delta_merge,
-        "delta_optimize": q_delta_optimize,
-        "stream_delta_sink": q_stream_delta_sink,
-        "pq_topk_degenerate": q_pq_topk_degenerate,
-        "iceberg_partitioned": q_iceberg_partitioned,
-        "zarr_sharded": q_zarr_sharded,
         "sq_roundtrip": q_sq_roundtrip,
-        "ivfpq_degenerate": q_ivfpq_degenerate,
         "mel_spectrogram": q_mel_spectrogram,
         "mfcc": q_mfcc,
         "unigram_degenerate": q_unigram_degenerate,
         "hdf5_embeddings": q_hdf5_embeddings,
-        "delta_snapshot": q_delta_snapshot,
-        "iceberg_snapshot": q_iceberg_snapshot,
         "heavy_hitters": q_heavy_hitters,
         "asof_interpolate": q_asof_interpolate,
         "quality_checks": q_quality_checks,
@@ -11029,18 +11052,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw": q_idw,
         "grade_tonnage": q_grade_tonnage,
         "simhash_pairs": q_simhash_pairs,
-        "stream_kmv": q_stream_kmv,
-        "stream_topk": q_stream_topk,
-        "stream_heavy_hitters": q_stream_heavy_hitters,
-        "video_frames_mjpg": q_video_frames_mjpg,
-        "xls_report": q_xls_report,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "krige_degenerate": q_krige_degenerate,
-        "bpe_degenerate": q_bpe_degenerate,
-        "jpeg_progressive": q_jpeg_progressive,
-        "gif_frames": q_gif_frames,
-        "webp_decode": q_webp_decode,
-        "webp_anim": q_webp_anim,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
@@ -11136,28 +11147,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
-        "flac_features": q_flac_features,
-        "warc_ingest": q_warc_ingest,
-        "kmeans": q_kmeans,
-        "fuzzy_join": q_fuzzy_join,
         "krige": q_krige,
         "indicator_krige": q_indicator_krige,
         "simple_krige": q_simple_krige,
         "cokrige": q_cokrige,
         "krige_block": q_krige_block,
         "bpe_merges": q_bpe_merges,
-        "nscore": q_nscore,
-        "nscore_roundtrip": q_nscore_roundtrip,
         "repetition_signals": q_repetition_signals,
         "webp_lossy": q_webp_lossy,
         "robots_filter": q_robots_filter,
-        "domain_quota": q_domain_quota,
         "surt_keys": q_surt_keys,
         "stream_warc": q_stream_warc,
         "warc_media": q_warc_media,
         "small_codecs": q_small_codecs,
         "script_stats": q_script_stats,
-        "curation_policy": q_curation_policy,
         "warc_indexed": q_warc_indexed,
         "warc_zst": q_warc_zst,
         "pdf_text": q_pdf_text,
@@ -11166,7 +11169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": q_feed_entries,
         "subtitle_cues": q_subtitle_cues,
         "subtitle_transcripts": q_subtitle_transcripts,
-        "exif_metadata": q_exif_metadata,
         "mp4_metadata": q_mp4_metadata,
         "mp3_metadata": q_mp3_metadata,
         "ogg_metadata": q_ogg_metadata,
@@ -11176,28 +11178,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "image_neardup": q_image_neardup,
         "zip_archive": q_zip_archive,
-        "audio_fingerprint": q_audio_fingerprint,
         "unigram_vocab": q_unigram_vocab,
         "html_meta": q_html_meta,
-        "charset_detect": q_charset_detect,
         "readability": q_readability,
         "font_metadata": q_font_metadata,
         "hard_negatives": q_hard_negatives,
         "geoxml": q_geoxml,
         "stream_media": q_stream_media,
-        "avro_roundtrip": q_avro_roundtrip,
         "protobuf_census": q_protobuf_census,
         "orc_roundtrip": q_orc_roundtrip,
         "mbox_mail": q_mbox_mail,
-        "bitext_pairs": q_bitext_pairs,
-        "binary_auc": q_binary_auc,
         "gslib_table": q_gslib_table,
         "surpac_strings": q_surpac_strings,
         "html_tables": q_html_tables,
         "ics_events": q_ics_events,
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
-        "domain_stats": q_domain_stats,
         "pq_ann": q_pq_ann,
     }
 

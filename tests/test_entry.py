@@ -35,31 +35,37 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 
 def test_recording_window_layout():
     """The driver records only the FIRST 50 queries() entries; this
-    pins the round-7 rotation (ROTATION.json) so an accidental
+    pins the round-8 rotation (ROTATION.json) so an accidental
     reorder cannot silently drop the evidence-due block out of the
     window."""
     import __spark_entry__ as entry
 
     names = list(entry.queries())
     window = set(names[:50])
-    # head: the new oracle-backed round-7 queries
-    round7_new = {"iceberg_equality", "delta_column_mapping",
-                  "zarr_write_roundtrip", "hdf5_write_roundtrip",
-                  "delta_write_roundtrip", "iceberg_write_roundtrip",
-                  "zarr_v3_embeddings", "tfrecord_roundtrip",
-                  "delta_merge", "delta_optimize", "stream_delta_sink",
-                  "pq_topk_degenerate", "iceberg_partitioned",
-                  "zarr_sharded", "sq_roundtrip", "ivfpq_degenerate",
-                  "mel_spectrogram", "mfcc", "unigram_degenerate"}
-    # queries whose IMPLEMENTATION changed in round 7
-    impl_changed = {"hdf5_embeddings", "delta_snapshot",
-                    "iceberg_snapshot"}
-    # the six the r6 note promised would head the r3-tail fill
-    promised = {"xlsx_report", "skew_salted_agg", "pack_offsets",
-                "desurvey", "desurvey_mincurve", "idw"}
-    assert round7_new <= window
+    # head: the new oracle-backed round-8 queries
+    round8_new = {"iceberg_merge", "hudi_snapshot", "dsir_resample",
+                  "delta_cdf", "delta_v2_checkpoint", "delta_restore",
+                  "iceberg_optimize", "iceberg_incremental",
+                  "iceberg_partitions", "iceberg_transforms",
+                  "stream_iceberg_sink"}
+    # queries whose IMPLEMENTATION changed in round 8
+    impl_changed = {"pq_topk_degenerate", "ivfpq_degenerate",
+                    "zarr_sharded", "delta_merge", "delta_optimize",
+                    "delta_snapshot", "delta_write_roundtrip",
+                    "iceberg_snapshot", "iceberg_equality",
+                    "iceberg_partitioned", "iceberg_write_roundtrip",
+                    "stream_delta_sink"}
+    # the oldest-evidence fill: the whole round-3 evidence set leads
+    round3_due = {"bloom_decontaminate", "bpe_degenerate",
+                  "flac_features", "fuzzy_join", "gif_frames",
+                  "jpeg_progressive", "kmeans", "krige_degenerate",
+                  "nscore", "nscore_roundtrip", "stream_heavy_hitters",
+                  "stream_kmv", "stream_topk", "video_frames_mjpg",
+                  "warc_ingest", "webp_anim", "webp_decode",
+                  "xls_report"}
+    assert round8_new <= window
     assert impl_changed <= window
-    assert promised <= window
+    assert round3_due <= window
     # VERDICT r6 item 3: no rows-only queries spend window slots —
     # every window entry must be oracle-backed
     oracles = set(entry.oracle_sql())

@@ -163,3 +163,14 @@ def test_hoodie_meta_columns_dropped(spark, tmp_path):
     assert "_hoodie_record_key" in read_hudi(
         spark, t, drop_meta=False
     ).columns
+
+
+def test_loader_dispatch_hudi(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.loaders import load_dataframe
+    from vtk_reserves_spark.sources.hudi import write_hudi
+
+    t = str(tmp_path / "disp")
+    write_hudi(spark.range(4).withColumn("v", F.lit(1.0)), t)
+    assert load_dataframe(spark, t).count() == 4

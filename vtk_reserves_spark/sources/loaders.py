@@ -177,12 +177,17 @@ def load_dataframe(
 
     # directory stores sniff on their marker files, not extensions:
     # Delta (_delta_log/), Iceberg (metadata/v*.metadata.json),
-    # Zarr (.zarray at the path, or a .zgroup + `path!array` suffix)
+    # Hudi (.hoodie/), Zarr (.zarray at the path, or a .zgroup +
+    # `path!array` suffix)
     if os.path.isdir(df_path):
         if os.path.isdir(os.path.join(df_path, "_delta_log")):
             from vtk_reserves_spark.sources.delta import read_delta
 
             return read_delta(spark, df_path)
+        if os.path.isdir(os.path.join(df_path, ".hoodie")):
+            from vtk_reserves_spark.sources.hudi import read_hudi
+
+            return read_hudi(spark, df_path)
         mdir = os.path.join(df_path, "metadata")
         if os.path.isdir(mdir) and any(
             n.endswith(".metadata.json") for n in os.listdir(mdir)
