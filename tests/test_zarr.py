@@ -565,6 +565,7 @@ def test_write_zarr_df_sharded_inner_parallel_sparse(spark, tmp_path):
         compressor={"id": "zstd", "level": 1},
     )
     assert n == 1  # only the shard with non-fill inner chunks lands
+    # no side-channel spill dir: bodies travel through the shuffle
     assert not os.path.exists(os.path.join(store, "a", ".partial"))
     want = np.zeros((10, 7))
     for i, j, v in rows:

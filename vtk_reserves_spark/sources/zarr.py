@@ -1067,21 +1067,20 @@ def _write_zarr_sharded_df(
 
     1. rows shuffle ONCE to their INNER chunk (the real data
        shuffle); each task materializes + encodes its inner chunk
-       body through the inner chain and spills it to a
-       deterministically-named file under ``.partial/`` (tmp +
-       os.replace — retries/speculation idempotent), emitting a
-       KB manifest row (shard coord, inner index, path, nbytes);
-    2. the TINY manifest reshuffles by shard coord; each task
-       concatenates its shard's spilled bodies in C-grid order,
-       builds the (offset, nbytes) index (absent inner chunks =
-       2^64-1 pairs), and writes the shard file atomically.
+       body through the inner chain and emits it as ONE
+       (shard coord, inner index, body) row;
+    2. the encoded bodies (already compressed — a fraction of the
+       input volume) reshuffle by shard coord; each task
+       concatenates its shard's bodies in C-grid order, builds the
+       (offset, nbytes) index (absent inner chunks = 2^64-1 pairs),
+       and writes the shard file atomically (tmp + os.replace —
+       retries/speculation idempotent).
 
-    Data bytes move driver-free end-to-end; the second shuffle is
-    metadata-sized.  All-fill inner chunks stay absent (spec sparse
+    Data bytes move driver-free end-to-end through Spark's own
+    shuffle (no side-channel spill files to clean up or make
+    idempotent).  All-fill inner chunks stay absent (spec sparse
     form), so a shard whose every inner chunk is fill is simply not
     written (reads back as fill_value either way)."""
-    import shutil as _shutil
-
     from pyspark.sql import functions as F
 
     sh = meta["_shard"]
@@ -1089,8 +1088,6 @@ def _write_zarr_sharded_df(
     ndim = len(shape_l)
     grid_dims = [c // i for c, i in zip(chunks_l, inner_l)]
     meta_b = json.dumps(meta)
-    partial = os.path.join(adir, ".partial")
-    os.makedirs(partial, exist_ok=True)
 
     keyed = df.select(
         *[
@@ -1102,9 +1099,6 @@ def _write_zarr_sharded_df(
     )
 
     def write_inner(key, pdf):
-        import os as _os
-        import uuid
-
         import pandas as pd
 
         m = json.loads(meta_b)
@@ -1140,8 +1134,7 @@ def _write_zarr_sharded_df(
         if absent:  # spec sparse form: stays a 2^64-1 index hole
             return pd.DataFrame({
                 "linear": pd.Series([], dtype="int64"),
-                "path": pd.Series([], dtype="str"),
-                "nbytes": pd.Series([], dtype="int64"),
+                "body": pd.Series([], dtype=object),
                 **{f"_s{d}": pd.Series([], dtype="int64")
                    for d in range(ndim)},
             })
@@ -1149,18 +1142,12 @@ def _write_zarr_sharded_df(
             arr.tobytes(order=sh.get("order", "C")), imeta,
             dt.itemsize,
         )
-        name = "s" + "_".join(str(c) for c in scoord) + f"__{linear}"
-        p = _os.path.join(partial, name)
-        tmp = f"{p}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "wb") as fh:
-            fh.write(enc)
-        _os.replace(tmp, p)
         return pd.DataFrame({
-            "linear": [linear], "path": [p], "nbytes": [len(enc)],
+            "linear": [linear], "body": [enc],
             **{f"_s{d}": [scoord[d]] for d in range(ndim)},
         })
 
-    man_schema = "linear long, path string, nbytes long, " + ", ".join(
+    man_schema = "linear long, body binary, " + ", ".join(
         f"_s{d} long" for d in range(ndim)
     )
     manifest = keyed.groupBy(
@@ -1183,22 +1170,15 @@ def _write_zarr_sharded_df(
         at_start = msh.get("index_location", "end") == "start"
         base = n_idx if at_start else 0
         present = {
-            int(r.linear): (r.path, int(r.nbytes))
-            for r in pdf.itertuples()
+            int(r.linear): bytes(r.body) for r in pdf.itertuples()
         }
         body = bytearray()
         pairs = []
         for li in range(n_inner):
-            if li not in present:
+            enc = present.get(li)
+            if enc is None:
                 pairs.append((_SHARD_MISSING, _SHARD_MISSING))
                 continue
-            p, nb = present[li]
-            with open(p, "rb") as fh:
-                enc = fh.read()
-            if len(enc) != nb:
-                raise ValueError(
-                    f"zarr: spilled inner chunk {p} truncated"
-                )
             pairs.append((base + len(body), len(enc)))
             body += enc
         idx = np.asarray(pairs, "<u8").tobytes()
@@ -1215,11 +1195,6 @@ def _write_zarr_sharded_df(
         with open(tmp, "wb") as fh:
             fh.write(payload)
         _os.replace(tmp, p)
-        for q, _ in present.values():
-            try:
-                _os.remove(q)
-            except OSError:
-                pass
         key_s = _chunk_key(
             coord, m.get("dimension_separator", "/")
         )
@@ -1228,9 +1203,7 @@ def _write_zarr_sharded_df(
     shards = manifest.groupBy(
         *[f"_s{d}" for d in range(ndim)]
     ).applyInPandas(assemble, "key string, nbytes long")
-    n = shards.count()  # forces both distributed stages
-    _shutil.rmtree(partial, ignore_errors=True)
-    return n
+    return shards.count()  # forces both distributed stages
 
 
 def write_zarr_df(
