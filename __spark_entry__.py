@@ -5170,6 +5170,174 @@ def q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, td).select("doc_id", "text_len")
 
 
+def q_iceberg_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete COMPACTION (sources/iceberg.
+    compact_iceberg_deletes — rewrite_position_delete_files):
+    documents land in snapshot 1, snapshot 2 equality-deletes
+    doc_id % 7 == 3, snapshot 3 position-deletes the first two rows
+    of one file; compaction rewrites the affected data files WITH
+    the deletes folded in and stops carrying the delete files —
+    lifting merge/optimize's row-level-delete gate.  The read after
+    compaction must still hash-match the delete-applied content
+    (pytest pins that the delete files are gone and merge works
+    after)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vtk_reserves_spark.sources.iceberg import (
+        append_iceberg_snapshot, compact_iceberg_deletes,
+        read_iceberg, write_iceberg_table,
+    )
+
+    pdf = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_icecd_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    write_iceberg_table(td, [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "text", "required": False, "type": "string"},
+    ])
+    os.makedirs(os.path.join(td, "data"), exist_ok=True)
+    half = len(pdf) // 2
+    files = []
+    for i, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        rel = f"data/part-{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            os.path.join(td, rel),
+        )
+        files.append({
+            "file_path": rel, "record_count": len(part),
+            "size": os.path.getsize(os.path.join(td, rel)),
+        })
+    append_iceberg_snapshot(td, 1, files)
+    append_iceberg_snapshot(
+        td, 2, [],
+        equality_deletes=(
+            [{"doc_id": int(d)} for d in pdf["doc_id"] if d % 7 == 3],
+            [1],
+        ),
+    )
+    append_iceberg_snapshot(
+        td, 3, [],
+        position_deletes=[("data/part-0.parquet", 0),
+                          ("data/part-0.parquet", 1)],
+    )
+    compact_iceberg_deletes(spark, td)
+    return read_iceberg(spark, td).select("doc_id", "text")
+
+
+def q_hudi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi record-key UPSERT + DELETE (sources/hudi.merge_hudi):
+    the evens land partitioned by doc_id % 3 (file groups per
+    partition), a merge upserts the doc_id % 4 < 2 slice with +1000
+    text lengths, and a delete-merge removes doc_id % 8 == 4 — each
+    merge replaces ONLY the matched file groups via a
+    ``.replacecommit`` (untouched groups carry forward unread;
+    pre-merge instants stay time-travelable).  Same closed-form
+    oracle as q:iceberg_merge, third format."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import merge_hudi, read_hudi, write_hudi
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_hudim_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        (F.col("doc_id") % 3).cast("int").alias("bucket"),
+    )
+    write_hudi(
+        base.filter(F.col("doc_id") % 2 == 0).repartition(4), td,
+        partition_by=["bucket"],
+    )
+    src = base.filter(F.col("doc_id") % 4 < 2).withColumn(
+        "text_len", F.col("text_len") + F.lit(1000)
+    )
+    merge_hudi(spark, src, td, on=["doc_id"])
+    dels = base.filter(F.col("doc_id") % 8 == 4)
+    merge_hudi(
+        spark, dels, td, on=["doc_id"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    return read_hudi(spark, td).select(
+        "doc_id", "text_len",
+        F.col("bucket").cast("int").alias("bucket"),
+    )
+
+
+def q_delta_cdf_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDF consumption (sources/delta.drain_delta_cdf —
+    the streaming-source semantics for change feeds): drain 1 takes
+    the initial insert set (the even documents), two more commits
+    land (an append + a MERGE delete), drain 2 takes EXACTLY those
+    commits' changes, and a third drain is empty (cursor
+    up-to-date; pinned by pytest).  Two tagged legs hash-check that
+    each drain carries precisely its range — how a 100 TB pipeline
+    consumes lakehouse churn at the cost of the churn."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        drain_delta_cdf, merge_delta, write_delta,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cdfdrain_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    td = os.path.join(root, "table")
+    cur = os.path.join(root, "cursor.json")
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    write_delta(
+        base.filter(F.col("doc_id") % 2 == 0), td,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    sel = [
+        F.col("_change_type").alias("change_type"),
+        "_commit_version", "doc_id", "text_len",
+    ]
+    d1 = drain_delta_cdf(spark, td, cur).select(*sel).withColumn(
+        "leg", F.lit("d1")
+    )
+    d1 = spark.createDataFrame(d1.collect(), d1.schema)  # take drain 1
+    write_delta(base.filter(F.col("doc_id") % 4 == 1), td)
+    merge_delta(
+        spark, base.filter(F.col("doc_id") % 8 == 4), td,
+        on=["doc_id"], when_matched="delete",
+        when_not_matched="ignore",
+    )
+    d2 = drain_delta_cdf(spark, td, cur).select(*sel).withColumn(
+        "leg", F.lit("d2")
+    )
+    return d1.unionByName(d2).select(
+        "leg", "change_type",
+        F.col("_commit_version").alias("commit_version"),
+        "doc_id", "text_len",
+    )
+
+
 def q_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE INTO for Iceberg (sources/iceberg.
     merge_iceberg — the Delta twin's plan on the second format):
@@ -9855,6 +10023,44 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(doc_id % 3 AS INT) AS bucket
             FROM documents WHERE doc_id % 3 = 1
         """,
+        "iceberg_compact_deletes": """
+            -- delete-applied content survives compaction: equality
+            -- deletes doc_id % 7 = 3 plus position deletes of the
+            -- first two rows of part-0 (global rows 0,1 in doc_id
+            -- order)
+            WITH ranked AS (
+              SELECT doc_id, text,
+                     ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+              FROM documents
+            )
+            SELECT doc_id, text FROM ranked
+            WHERE doc_id % 7 <> 3 AND rn >= 2
+        """,
+        "hudi_merge": """
+            -- same closed form as iceberg_merge, third format
+            SELECT doc_id, LENGTH(text) + 1000 AS text_len,
+                   CAST(doc_id % 3 AS INT) AS bucket
+            FROM documents
+            WHERE doc_id % 4 IN (0, 1) AND doc_id % 8 <> 4
+            UNION ALL
+            SELECT doc_id, LENGTH(text), CAST(doc_id % 3 AS INT)
+            FROM documents WHERE doc_id % 4 = 2
+        """,
+        "delta_cdf_drain": """
+            -- drain 1 = the v0 insert set; drain 2 = exactly the
+            -- v1 append + v2 delete changes; drain 3 is empty
+            -- (pytest-pinned)
+            SELECT 'd1' AS leg, 'insert' AS change_type,
+                   CAST(0 AS BIGINT) AS commit_version,
+                   doc_id, LENGTH(text) AS text_len
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'd2', 'insert', 1, doc_id, LENGTH(text)
+            FROM documents WHERE doc_id % 4 = 1
+            UNION ALL
+            SELECT 'd2', 'delete', 2, doc_id, LENGTH(text)
+            FROM documents WHERE doc_id % 8 = 4
+        """,
         "iceberg_merge": """
             -- closed form of the two-merge fixture (q_iceberg_merge):
             -- evens, upserted by the %4<2 slice (+1000), minus the
@@ -10950,20 +11156,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness harness records the FIRST 50
     # entries in dict order (bench runs all).  Round-8 rotation
     # (ledger: ROTATION.json, regenerated by tools/rotation_ledger.py):
-    # [head, 11] the NEW oracle-backed round-8 queries (iceberg
-    #     transforms/merge/optimize/incremental/partitions, hudi,
-    #     dsir, delta cdf/v2-checkpoint/restore, iceberg stream sink);
+    # [head, 14] the NEW oracle-backed round-8 queries (iceberg
+    #     transforms/merge/optimize/incremental/partitions/
+    #     compact-deletes, hudi snapshot/merge, dsir, delta
+    #     cdf/cdf-drain/v2-checkpoint/restore, iceberg stream sink);
     # [next, 12] queries whose IMPLEMENTATION changed this round
     #     (PQ family numpy-fused train/encode; zarr sharded two-stage
     #     write; delta merge/optimize/snapshot/write + stream sink
     #     touched by the CDF/v2-checkpoint/vacuum work; iceberg
     #     reader/writer touched by transforms + empty-filter + size
     #     carry-forward);
-    # [fill, 27] the oldest-evidence oracle-backed queries: the full
-    #     round-3 evidence set (18) + the head of the round-4 set (9).
+    # [fill, 24] the oldest-evidence oracle-backed queries: the full
+    #     round-3 evidence set (18) + the head of the round-4 set (6;
+    #     the 3 late additions pushed domain_quota/domain_stats/
+    #     exif_metadata to the next rotation).
     # No rows-only (no_oracle) queries occupy window slots (VERDICT r6
     # item 3).  Everything after slot 50 keeps its prior ordering.
     return {
+        "iceberg_compact_deletes": q_iceberg_compact_deletes,
+        "hudi_merge": q_hudi_merge,
+        "delta_cdf_drain": q_delta_cdf_drain,
         "iceberg_merge": q_iceberg_merge,
         "hudi_snapshot": q_hudi_snapshot,
         "dsir_resample": q_dsir_resample,

@@ -985,3 +985,38 @@ def test_restore_missing_files_gates(spark, tmp_path):
     os.remove(os.path.join(t, unquote(v0["files"][0][0])))
     with pytest.raises(ValueError, match="vacuumed"):
         restore_delta(t, 0)
+
+
+def test_drain_delta_cdf_cursor(spark, tmp_path):
+    """The incremental CDF drain returns only the changes since the
+    last drain and advances its version cursor; an up-to-date cursor
+    drains empty."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        drain_delta_cdf, merge_delta, write_delta,
+    )
+
+    t = str(tmp_path / "drain")
+    cur = str(tmp_path / "cursor.json")
+    write_delta(
+        spark.range(6).withColumn("v", F.lit(1.0)), t,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    d1 = drain_delta_cdf(spark, t, cur).toPandas()
+    assert set(d1["_change_type"]) == {"insert"} and len(d1) == 6
+    # nothing new -> empty with the change schema
+    d2 = drain_delta_cdf(spark, t, cur)
+    assert d2.count() == 0
+    assert "_commit_version" in d2.columns
+    # two more commits -> the next drain carries exactly their changes
+    write_delta(spark.range(6, 9).withColumn("v", F.lit(2.0)), t)
+    merge_delta(
+        spark, spark.range(2).withColumn("v", F.lit(0.0)), t,
+        on=["id"], when_matched="delete", when_not_matched="ignore",
+    )
+    d3 = drain_delta_cdf(spark, t, cur).toPandas()
+    assert sorted(d3[d3["_change_type"] == "insert"]["id"]) == [6, 7, 8]
+    assert sorted(d3[d3["_change_type"] == "delete"]["id"]) == [0, 1]
+    assert set(d3["_commit_version"]) == {1, 2}
+    assert drain_delta_cdf(spark, t, cur).count() == 0

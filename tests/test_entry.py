@@ -47,7 +47,8 @@ def test_recording_window_layout():
                   "delta_cdf", "delta_v2_checkpoint", "delta_restore",
                   "iceberg_optimize", "iceberg_incremental",
                   "iceberg_partitions", "iceberg_transforms",
-                  "stream_iceberg_sink"}
+                  "stream_iceberg_sink", "iceberg_compact_deletes",
+                  "hudi_merge", "delta_cdf_drain"}
     # queries whose IMPLEMENTATION changed in round 8
     impl_changed = {"pq_topk_degenerate", "ivfpq_degenerate",
                     "zarr_sharded", "delta_merge", "delta_optimize",

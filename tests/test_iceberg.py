@@ -788,3 +788,55 @@ def test_snapshot_as_of_timestamp(spark, tmp_path):
         snapshot_as_of_timestamp(t, 500)
     # real writes record a real clock
     assert _load_table_metadata(t)["snapshots"][0]["timestamp-ms"] == 1000
+
+
+def test_compact_iceberg_deletes(spark, tmp_path):
+    """Delete compaction folds position + equality deletes into the
+    data files, lifts the merge gate, and leaves orphaned delete
+    parquets for expire + orphan removal."""
+    from vtk_reserves_spark.sources.iceberg import (
+        compact_iceberg_deletes, iceberg_snapshot, merge_iceberg,
+        read_iceberg, write_iceberg_table,
+    )
+
+    t = str(tmp_path / "cde")
+    write_iceberg_table(t, FIELDS)
+    a = _part(t, "data/a.parquet", [1, 2, 3, 4])
+    b = _part(t, "data/b.parquet", [10, 11])
+    append_iceberg_snapshot(t, 1, [a, b])
+    # position-delete rows 1,3 of a (values 2, 4); equality-delete 10
+    append_iceberg_snapshot(
+        t, 2, [],
+        position_deletes=[("data/a.parquet", 1), ("data/a.parquet", 3)],
+    )
+    append_iceberg_snapshot(
+        t, 3, [], equality_deletes=([{"id": 10}], [1]),
+    )
+    # a file ADDED above the deletes is untouched by compaction
+    c = _part(t, "data/c.parquet", [20])
+    append_iceberg_snapshot(t, 4, [c])
+    before = sorted(
+        r["id"] for r in read_iceberg(spark, t).collect()
+    )
+    assert before == [1, 3, 11, 20]
+    v = compact_iceberg_deletes(spark, t)
+    snap = iceberg_snapshot(t)
+    assert snap["snapshot_id"] == v
+    assert not snap["position_deletes"] and not snap["equality_deletes"]
+    # untouched newer file carried forward by name
+    assert any(p.endswith("c.parquet") for p in snap["files"])
+    after = sorted(r["id"] for r in read_iceberg(spark, t).collect())
+    assert after == before
+    # the gate is lifted: merge now works
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [(1, 100.0), (50, 500.0)], "id long, v double"
+    )
+    merge_iceberg(spark, src, t, on=["id"])
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got[1] == 100.0 and got[50] == 500.0 and 3 in got
+    # no-op on a table without deletes
+    assert compact_iceberg_deletes(spark, t) == iceberg_snapshot(t)[
+        "snapshot_id"
+    ]

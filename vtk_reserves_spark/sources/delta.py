@@ -45,7 +45,8 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "decoded_file_path", "delta_snapshot", "merge_delta",
+    "decoded_file_path", "delta_snapshot", "drain_delta_cdf",
+    "merge_delta",
     "delta_history", "optimize_delta", "read_delta",
     "read_delta_cdf", "restore_delta", "vacuum_delta",
     "version_as_of_timestamp", "write_delta",
@@ -608,6 +609,66 @@ def read_delta_cdf(
             "delta: CDF range contains no row-level changes"
         )
     return reduce(DataFrame.unionByName, pieces)
+
+
+def drain_delta_cdf(
+    spark: SparkSession, table: str, cursor_path: str
+) -> DataFrame:
+    """Incremental CDF consumer — the streaming-source semantics for
+    Delta change feeds without a custom DataSource: each call returns
+    ONLY the row-level changes committed since the last drain
+    (tracked in a tiny JSON version cursor at ``cursor_path``) and
+    advances the cursor.  The foreachBatch-style loop
+    ``while True: drain -> process -> repeat`` consumes a 100 TB
+    table at the cost of its churn, never a rescan.
+
+    Delivery contract: the cursor advances when the DRAIN is taken,
+    so a consumer that crashes mid-processing re-reads nothing — pair
+    the drain with an idempotent sink (``write_delta(txn=...)`` /
+    ``write_iceberg(txn=...)``) keyed on the drained version range
+    for end-to-end exactly-once, the same at-least-once + idempotence
+    split the streaming sinks use.  An up-to-date cursor returns an
+    EMPTY relation with the change schema."""
+    from pyspark.sql import functions as F
+
+    last = -1
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            last = int(json.load(fh)["version"])
+    snap = delta_snapshot(table)
+    head = int(snap["version"])
+    def empty():
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(
+            json.loads(snap["metadata"]["schemaString"])
+        )
+        return spark.createDataFrame([], schema).withColumns({
+            "_change_type": F.lit(None).cast("string"),
+            "_commit_version": F.lit(None).cast("long"),
+            "_commit_timestamp": F.lit(None).cast("timestamp"),
+        })
+
+    if head <= last:
+        return empty()
+    try:
+        changes = read_delta_cdf(
+            spark, table, starting_version=last + 1,
+            ending_version=head,
+        )
+    except ValueError as e:
+        # a range of changeless commits (txn/checkpoint-only) is a
+        # legitimate empty drain, and still advances the cursor
+        if "no row-level changes" not in str(e):
+            raise
+        changes = empty()
+    os.makedirs(os.path.dirname(os.path.abspath(cursor_path)),
+                exist_ok=True)
+    tmp = f"{cursor_path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": head}, fh)
+    os.replace(tmp, cursor_path)
+    return changes
 
 
 def _stage_and_promote_cdc(df: DataFrame, table: str) -> list[dict]:

@@ -51,7 +51,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "hudi_snapshot", "hudi_timeline", "read_hudi", "write_hudi",
+    "hudi_snapshot", "hudi_timeline", "merge_hudi", "read_hudi",
+    "write_hudi",
 ]
 
 _HOODIE = ".hoodie"
@@ -139,6 +140,12 @@ def hudi_snapshot(table: str, as_of: str | None = None) -> dict:
         "files": sorted(
             os.path.join(base, p) for _, p in groups.values()
         ),
+        # abs path -> (partition, fileId): the live file-group map
+        # merge_hudi uses to name what a replacecommit replaces
+        "groups": {
+            os.path.join(base, p): key
+            for key, (_, p) in groups.items()
+        },
         "instant": last,
     }
 
@@ -206,6 +213,11 @@ def write_hudi(
                 + os.path.basename(table.rstrip("/"))
                 + "\nhoodie.table.type=COPY_ON_WRITE\n"
                 "hoodie.table.version=6\n"
+                + (
+                    "hoodie.table.partition.fields="
+                    + ",".join(part_cols) + "\n"
+                    if part_cols else ""
+                )
             )
     replaced: dict[str, list[str]] = {}
     if mode == "overwrite" and exists:
@@ -228,6 +240,29 @@ def write_hudi(
         except ValueError:
             pass
     instant = _next_instant(table)
+    _stage_and_commit_hudi(
+        df, table, instant, part_cols,
+        replaced=replaced if mode == "overwrite" else None,
+        operation=(
+            "INSERT_OVERWRITE" if mode == "overwrite" else "UPSERT"
+        ),
+    )
+    return instant
+
+
+def _stage_and_commit_hudi(
+    df: DataFrame, table: str, instant: str, part_cols: list[str],
+    replaced: dict[str, list[str]] | None, operation: str,
+) -> None:
+    """One distributed staged parquet write promoted as fresh file
+    groups + the timeline JSON (a ``.replacecommit`` when
+    ``replaced`` names file groups this commit supersedes)."""
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    hdir = os.path.join(table, _HOODIE)
     stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if part_cols:
@@ -258,16 +293,125 @@ def write_hudi(
         shutil.rmtree(stage, ignore_errors=True)
     meta = {
         "partitionToWriteStats": stats,
-        "operationType": (
-            "INSERT_OVERWRITE" if mode == "overwrite" else "UPSERT"
-        ),
+        "operationType": operation,
     }
     suffix = ".commit"
-    if mode == "overwrite":
+    if replaced is not None:
         meta["partitionToReplaceFileIds"] = replaced
         suffix = ".replacecommit"
     tmp = os.path.join(hdir, f".{instant}{suffix}.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(hdir, f"{instant}{suffix}"))
+
+
+def merge_hudi(
+    spark: SparkSession,
+    source: DataFrame,
+    table: str,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    partition_by: list[str] | None = None,
+) -> str:
+    """Record-key UPSERT/DELETE — Hudi's defining verb, expressed as
+    the same copy-on-write plan as ``merge_delta``/``merge_iceberg``:
+    one broadcast LEFT-SEMI pass finds the FILE GROUPS holding a
+    matched key (via ``_metadata.file_path``; the driver sees a file
+    list, never rows), only those groups' survivors rewrite together
+    with the source rows, and ONE ``.replacecommit`` supersedes the
+    touched groups (``partitionToReplaceFileIds``) while adding the
+    fresh ones — untouched groups carry forward unread, and the
+    pre-merge snapshot stays time-travelable.  Returns the commit
+    instant."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import decoded_file_path
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"hudi: when_matched {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"hudi: when_not_matched {when_not_matched!r}")
+    snap = hudi_snapshot(table)
+    if partition_by is None:
+        # the table records its partition fields (hoodie convention)
+        props = os.path.join(table, _HOODIE, "hoodie.properties")
+        fields = ""
+        with open(props) as fh:
+            for line in fh:
+                if line.startswith("hoodie.table.partition.fields="):
+                    fields = line.partition("=")[2].strip()
+        partition_by = [f for f in fields.split(",") if f]
+    part_cols = list(partition_by)
+    base = os.path.abspath(table)
+    data = spark.read.option("basePath", base).parquet(
+        *snap["files"]
+    ).withColumn("_hudi_file", decoded_file_path(F))
+    table_cols = [
+        c for c in data.columns
+        if c != "_hudi_file" and not c.startswith("_hoodie_")
+    ]
+    missing = [k for k in on if k not in table_cols]
+    if missing:
+        raise ValueError(f"hudi: merge keys {missing} not in table")
+    keys = source.select(*on).distinct()
+    touched = [
+        r["_hudi_file"]
+        for r in data.join(F.broadcast(keys), on, "left_semi")
+        .select("_hudi_file").distinct().collect()
+    ]
+    pieces: list[DataFrame] = []
+    touched_rows = (
+        data.filter(F.col("_hudi_file").isin(touched))
+        if touched else None
+    )
+    if touched_rows is not None:
+        pieces.append(
+            touched_rows.join(F.broadcast(keys), on, "left_anti")
+            .select(*table_cols)
+        )
+    if when_matched == "update" and when_not_matched == "insert":
+        pieces.append(source.select(*table_cols))
+    elif when_not_matched == "insert":
+        ins = source
+        if touched_rows is not None:
+            matched_keys = touched_rows.select(*on).distinct()
+            ins = ins.join(F.broadcast(matched_keys), on, "left_anti")
+        pieces.append(ins.select(*table_cols))
+    elif when_matched == "update":
+        if touched_rows is not None:
+            matched_keys = touched_rows.select(*on).distinct()
+            pieces.append(
+                source.join(F.broadcast(matched_keys), on, "left_semi")
+                .select(*table_cols)
+            )
+    if not pieces and not touched:
+        return snap["instant"]  # no-op merge
+    replaced: dict[str, list[str]] = {}
+    for p in touched:
+        part, fid = snap["groups"][p]
+        replaced.setdefault(part, []).append(fid)
+    new_df = pieces[0] if pieces else None
+    for p in pieces[1:]:
+        new_df = new_df.unionByName(p)
+    instant = _next_instant(table)
+    if new_df is None:
+        import json as _json
+
+        hdir = os.path.join(table, _HOODIE)
+        tmp = os.path.join(hdir, f".{instant}.replacecommit.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump({
+                "partitionToWriteStats": {},
+                "partitionToReplaceFileIds": replaced,
+                "operationType": "DELETE",
+            }, fh)
+        os.replace(
+            tmp, os.path.join(hdir, f"{instant}.replacecommit")
+        )
+        return instant
+    _stage_and_commit_hudi(
+        new_df, table, instant, part_cols, replaced=replaced,
+        operation="UPSERT",
+    )
     return instant

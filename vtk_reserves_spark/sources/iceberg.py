@@ -48,6 +48,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
+    "compact_iceberg_deletes",
     "expire_iceberg_snapshots", "iceberg_bucket", "iceberg_files_df",
     "iceberg_partitions_df", "iceberg_snapshot",
     "iceberg_snapshots_df", "iceberg_truncate",
@@ -311,12 +312,6 @@ def read_iceberg(
     before any data I/O, not as a post-scan filter (the hive-style
     directories additionally give Catalyst the partition columns for
     in-scan pruning/pushdown of whatever the manifest pass kept)."""
-    from functools import reduce
-
-    from pyspark.sql import functions as F
-
-    from vtk_reserves_spark.sources.delta import decoded_file_path
-
     snap = iceberg_snapshot(table, snapshot_id)
     if partition_filter:
         # the manifest writer records null partition values as ""
@@ -341,6 +336,19 @@ def read_iceberg(
         return spark.createDataFrame(
             [], _spark_schema_from_iceberg(snap["schema"])
         )
+    return _scan_snapshot(spark, table, snap)
+
+
+def _scan_snapshot(spark: SparkSession, table: str, snap: dict) -> DataFrame:
+    """The delete-applied distributed scan of ``snap["files"]`` —
+    shared by :func:`read_iceberg` (whole snapshot) and
+    :func:`compact_iceberg_deletes` (the affected-file subset)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import decoded_file_path
+
     base = os.path.abspath(table)
     reader = spark.read.option("basePath", base)
     # hidden partitioning: non-identity transform fields exist only
@@ -1174,6 +1182,105 @@ def merge_iceberg(
     return snapshot_id
 
 
+def compact_iceberg_deletes(spark: SparkSession, table: str) -> int:
+    """Row-level delete compaction — iceberg-spark's
+    ``rewrite_position_delete_files`` / delete-to-data folding: every
+    data file a position or equality delete could apply to (data
+    sequence number <= the newest delete's) rewrites WITH its deletes
+    applied, newer files carry forward untouched, and the delete
+    files stop being carried in the new snapshot.  Returns the new
+    snapshot id (unchanged when the table has no delete files).
+
+    This lifts :func:`merge_iceberg` / :func:`optimize_iceberg`'s
+    row-level-delete gate: compact first, then merge/compact freely.
+    The affected-file selection is metadata-only (sequence numbers);
+    the rewrite is ONE distributed delete-applied scan of only those
+    files (the same `_scan_snapshot` the reader uses) staged and
+    promoted like every other writer here.  The orphaned delete
+    parquets are reclaimed by expire + remove_iceberg_orphans.
+    Transform-partitioned tables gate (the rewrite would need
+    transform recomputation)."""
+    import shutil
+    import uuid as _uuid
+    from urllib.parse import quote
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F  # noqa: F401
+
+    snap = iceberg_snapshot(table)
+    pos, eq = snap["position_deletes"], snap["equality_deletes"]
+    if not pos and not eq:
+        return int(snap["snapshot_id"] or 0)
+    spec = snap.get("partition_spec") or []
+    if any(e.get("transform") != "identity" for e in spec):
+        raise ValueError(
+            "iceberg: delete compaction on transform-partitioned "
+            "tables not supported"
+        )
+    part_fields = [e["name"] for e in spec]
+    max_seq = max(
+        [int(s) for _, s in pos] + [int(s) for _, s, _ in eq]
+    )
+    victims = [
+        p for p in snap["files"]
+        if int(snap["data_seqs"].get(p, 0)) <= max_seq
+    ]
+    if not victims:  # deletes exist but can apply to nothing
+        victims = []
+    sub = dict(snap)
+    sub["files"] = victims
+    rows = _scan_snapshot(spark, table, sub) if victims else None
+    stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
+    data_files: list[dict] = []
+    if rows is not None:
+        writer = rows.write.mode("overwrite")
+        if part_fields:
+            writer = writer.partitionBy(*part_fields)
+        writer.parquet(stage)
+        from vtk_reserves_spark.sources.delta import (
+            _hive_partition_values,
+        )
+
+        try:
+            os.makedirs(os.path.join(table, "data"), exist_ok=True)
+            for root, _dirs, names in os.walk(stage):
+                rel_dir = os.path.relpath(root, stage)
+                for name in sorted(names):
+                    if not name.endswith(".parquet"):
+                        continue
+                    rel = "data/" + (
+                        name if rel_dir == "."
+                        else f"{rel_dir.replace(os.sep, '/')}/{name}"
+                    )
+                    dst = os.path.join(table, *rel.split("/"))
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(os.path.join(root, name), dst)
+                    entry = {
+                        "file_path": quote(rel, safe="/="),
+                        "record_count":
+                            pq.ParquetFile(dst).metadata.num_rows,
+                        "size": os.path.getsize(dst),
+                    }
+                    if part_fields:
+                        entry["partition"] = {
+                            k: ("" if v is None else v)
+                            for k, v in _hive_partition_values(
+                                rel_dir
+                            ).items()
+                        }
+                    data_files.append(entry)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+    snapshot_id = 1 + int(snap["snapshot_id"] or 0)
+    append_iceberg_snapshot(
+        table, snapshot_id, data_files,
+        deleted_files=[os.path.relpath(p, table) for p in victims],
+        drop_delete_files=True,
+        summary_extra={"operation-detail": "rewrite-deletes"},
+    )
+    return snapshot_id
+
+
 def optimize_iceberg(
     spark: SparkSession, table: str, min_file_size: int = 128 << 20,
 ) -> int:
@@ -1365,6 +1472,7 @@ def append_iceberg_snapshot(
     new_partition_spec: list[dict] | None = None,
     summary_extra: dict | None = None,
     properties_update: dict | None = None,
+    drop_delete_files: bool = False,
 ) -> None:
     """Add a snapshot: writes one manifest (adds + deletions of
     prior files), the manifest list, and the next vN.metadata.json.
@@ -1375,7 +1483,11 @@ def append_iceberg_snapshot(
     the equality columns' names; writes a content-2 delete file.
     Each snapshot gets the next data sequence number; added entries
     inherit it (null sequence_number), carried-forward entries keep
-    their original — so readers can scope deletes per spec."""
+    their original — so readers can scope deletes per spec.
+    ``drop_delete_files=True`` stops carrying the previous snapshot's
+    row-level delete files forward — the delete-compaction commit
+    shape, valid only when the data files they applied to were
+    rewritten (or tombstoned) in the same snapshot."""
     from vtk_reserves_spark.sources.avro import write_avro_bytes
 
     meta = _load_table_metadata(table)
@@ -1442,6 +1554,10 @@ def append_iceberg_snapshot(
     # v2 deletes: delete parquet + a content-1 delete manifest;
     # prior delete files carry forward with their original sequence
     del_entries = []
+    if prev and drop_delete_files:
+        prev = dict(prev)
+        prev["position_deletes"] = []
+        prev["equality_deletes"] = []
     if prev:
         for p, s in prev.get("position_deletes", []):
             del_entries.append({
