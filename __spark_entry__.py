@@ -5170,6 +5170,82 @@ def q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, td).select("doc_id", "text_len")
 
 
+def q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FORMAT CDC replication — the round-8 lakehouse tier
+    composed end-to-end: a CDF-enabled Delta source takes three
+    commits (initial evens, a MERGE upsert of the doc_id % 4 < 2
+    slice at +1000, a MERGE delete of doc_id % 8 == 4); an Iceberg
+    REPLICA is maintained purely from ``drain_delta_cdf`` batches —
+    drain 1 seeds it (write_iceberg), drain 2 applies as ONE
+    merge_iceberg upsert (insert + update_postimage rows) plus one
+    delete-merge (delete rows) — so the replica converges without
+    ever scanning the source table.  Both legs return: 'src' reads
+    the Delta head, 'replica' reads the Iceberg table; the oracle
+    pins them to the SAME closed form, which is the whole point —
+    incremental 100 TB replication at the cost of the churn."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        drain_delta_cdf, merge_delta, read_delta, write_delta,
+    )
+    from vtk_reserves_spark.sources.iceberg import (
+        merge_iceberg, read_iceberg, write_iceberg,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cdcrep_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_t = os.path.join(root, "delta_src")
+    rep_t = os.path.join(root, "iceberg_replica")
+    cur = os.path.join(root, "cursor.json")
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    write_delta(
+        base.filter(F.col("doc_id") % 2 == 0), src_t,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    d1 = drain_delta_cdf(spark, src_t, cur)
+    write_iceberg(
+        d1.filter(F.col("_change_type") == "insert")
+        .select("doc_id", "text_len"),
+        rep_t,
+    )
+    src = base.filter(F.col("doc_id") % 4 < 2).withColumn(
+        "text_len", F.col("text_len") + F.lit(1000)
+    )
+    merge_delta(spark, src, src_t, on=["doc_id"])
+    merge_delta(
+        spark, base.filter(F.col("doc_id") % 8 == 4), src_t,
+        on=["doc_id"], when_matched="delete",
+        when_not_matched="ignore",
+    )
+    d2 = drain_delta_cdf(spark, src_t, cur).localCheckpoint()
+    upserts = d2.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("doc_id", "text_len")
+    merge_iceberg(spark, upserts, rep_t, on=["doc_id"])
+    deletes = d2.filter(F.col("_change_type") == "delete").select(
+        "doc_id", "text_len"
+    )
+    merge_iceberg(
+        spark, deletes, rep_t, on=["doc_id"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    src_leg = read_delta(spark, src_t).select(
+        F.lit("src").alias("leg"), "doc_id", "text_len"
+    )
+    rep_leg = read_iceberg(spark, rep_t).select(
+        F.lit("replica").alias("leg"), "doc_id", "text_len"
+    )
+    return src_leg.unionByName(rep_leg)
+
+
 def q_iceberg_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level delete COMPACTION (sources/iceberg.
     compact_iceberg_deletes — rewrite_position_delete_files):
@@ -10023,6 +10099,22 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(doc_id % 3 AS INT) AS bucket
             FROM documents WHERE doc_id % 3 = 1
         """,
+        "cdc_replicate": """
+            -- source and replica converge to the SAME closed form:
+            -- the upserted %4<2 slice (+1000) minus the %8==4
+            -- deletes, plus untouched %4==2 evens — once per leg
+            WITH final AS (
+              SELECT doc_id, LENGTH(text) + 1000 AS text_len
+              FROM documents
+              WHERE doc_id % 4 IN (0, 1) AND doc_id % 8 <> 4
+              UNION ALL
+              SELECT doc_id, LENGTH(text)
+              FROM documents WHERE doc_id % 4 = 2
+            )
+            SELECT 'src' AS leg, doc_id, text_len FROM final
+            UNION ALL
+            SELECT 'replica', doc_id, text_len FROM final
+        """,
         "iceberg_compact_deletes": """
             -- delete-applied content survives compaction: equality
             -- deletes doc_id % 7 = 3 plus position deletes of the
@@ -11156,23 +11248,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness harness records the FIRST 50
     # entries in dict order (bench runs all).  Round-8 rotation
     # (ledger: ROTATION.json, regenerated by tools/rotation_ledger.py):
-    # [head, 14] the NEW oracle-backed round-8 queries (iceberg
+    # [head, 15] the NEW oracle-backed round-8 queries (iceberg
     #     transforms/merge/optimize/incremental/partitions/
     #     compact-deletes, hudi snapshot/merge, dsir, delta
-    #     cdf/cdf-drain/v2-checkpoint/restore, iceberg stream sink);
+    #     cdf/cdf-drain/v2-checkpoint/restore, iceberg stream sink,
+    #     and the cross-format cdc_replicate composition);
     # [next, 12] queries whose IMPLEMENTATION changed this round
     #     (PQ family numpy-fused train/encode; zarr sharded two-stage
     #     write; delta merge/optimize/snapshot/write + stream sink
     #     touched by the CDF/v2-checkpoint/vacuum work; iceberg
     #     reader/writer touched by transforms + empty-filter + size
     #     carry-forward);
-    # [fill, 24] the oldest-evidence oracle-backed queries: the full
-    #     round-3 evidence set (18) + the head of the round-4 set (6;
-    #     the 3 late additions pushed domain_quota/domain_stats/
-    #     exif_metadata to the next rotation).
+    # [fill, 23] the oldest-evidence oracle-backed queries: the full
+    #     round-3 evidence set (18) + the head of the round-4 set (5;
+    #     the late additions pushed charset_detect/domain_quota/
+    #     domain_stats/exif_metadata to the next rotation).
     # No rows-only (no_oracle) queries occupy window slots (VERDICT r6
     # item 3).  Everything after slot 50 keeps its prior ordering.
     return {
+        "cdc_replicate": q_cdc_replicate,
         "iceberg_compact_deletes": q_iceberg_compact_deletes,
         "hudi_merge": q_hudi_merge,
         "delta_cdf_drain": q_delta_cdf_drain,

@@ -48,7 +48,7 @@ def test_recording_window_layout():
                   "iceberg_optimize", "iceberg_incremental",
                   "iceberg_partitions", "iceberg_transforms",
                   "stream_iceberg_sink", "iceberg_compact_deletes",
-                  "hudi_merge", "delta_cdf_drain"}
+                  "hudi_merge", "delta_cdf_drain", "cdc_replicate"}
     # queries whose IMPLEMENTATION changed in round 8
     impl_changed = {"pq_topk_degenerate", "ivfpq_degenerate",
                     "zarr_sharded", "delta_merge", "delta_optimize",
