@@ -1020,3 +1020,125 @@ def test_drain_delta_cdf_cursor(spark, tmp_path):
     assert sorted(d3[d3["_change_type"] == "delete"]["id"]) == [0, 1]
     assert set(d3["_commit_version"]) == {1, 2}
     assert drain_delta_cdf(spark, t, cur).count() == 0
+
+
+def test_read_delta_cdf_partitioned_cdc_files(spark, tmp_path):
+    """delta-spark writes _change_data files for PARTITIONED tables
+    with the partition columns only in the directory path (and the
+    cdc action's partitionValues) — the CDF read must recover them,
+    for both hive-dir and flat+partitionValues layouts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vtk_reserves_spark.sources.delta import read_delta_cdf
+
+    t = str(tmp_path / "pcdf")
+    # build the table by hand: partitioned by p, CDF enabled
+    from vtk_reserves_spark.sources.delta import write_delta
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, p string, v double"
+    )
+    write_delta(
+        df, t, partition_by=["p"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    # hand-write commit 1: cdc files in delta-spark's layout —
+    # hive dirs under _change_data, NO p column in file content
+    cdir = os.path.join(t, "_change_data")
+    os.makedirs(os.path.join(cdir, "p=a"), exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "id": pa.array([10], pa.int64()),
+            "v": pa.array([10.0], pa.float64()),
+            "_change_type": pa.array(["insert"], pa.string()),
+        }),
+        os.path.join(cdir, "p=a", "cdc-000.parquet"),
+    )
+    # plus a FLAT cdc file whose partition value rides only in the
+    # action's partitionValues
+    pq.write_table(
+        pa.table({
+            "id": pa.array([20], pa.int64()),
+            "v": pa.array([20.0], pa.float64()),
+            "_change_type": pa.array(["delete"], pa.string()),
+        }),
+        os.path.join(cdir, "cdc-001.parquet"),
+    )
+    commit = os.path.join(t, "_delta_log", "%020d.json" % 1)
+    with open(commit, "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 1700000000000}}) + "\n")
+        fh.write(json.dumps({"cdc": {
+            "path": "_change_data/p=a/cdc-000.parquet",
+            "partitionValues": {"p": "a"}, "size": 1, "dataChange": False,
+        }}) + "\n")
+        fh.write(json.dumps({"cdc": {
+            "path": "_change_data/cdc-001.parquet",
+            "partitionValues": {"p": "b"}, "size": 1, "dataChange": False,
+        }}) + "\n")
+    got = read_delta_cdf(spark, t, 1, 1).toPandas()
+    by_id = {int(r["id"]): r for _, r in got.iterrows()}
+    assert by_id[10]["p"] == "a" and by_id[10]["_change_type"] == "insert"
+    assert by_id[20]["p"] == "b" and by_id[20]["_change_type"] == "delete"
+
+
+def test_read_delta_cdf_schema_change_gate(spark, tmp_path):
+    """A CDF range spanning a schema change raises instead of
+    mis-shaping earlier commits under the head schema."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        read_delta_cdf, write_delta,
+    )
+
+    t = str(tmp_path / "scdf")
+    write_delta(
+        spark.range(3).withColumn("v", F.lit(1.0)), t,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    write_delta(
+        spark.range(3, 5).withColumn("v", F.lit(2.0))
+        .withColumn("w", F.lit("x")),
+        t, mode="overwrite",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    with _pytest.raises(ValueError, match="schema change"):
+        read_delta_cdf(spark, t, 0)
+    # reading each side of the change separately works
+    assert read_delta_cdf(spark, t, 1, 1).count() > 0
+
+
+def test_drain_delta_cdf_range_and_materialize(spark, tmp_path):
+    """return_range=True hands back the drained version interval;
+    the changes are materialized before the cursor advances, so they
+    stay readable even after the source files vanish."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        drain_delta_cdf, write_delta,
+    )
+
+    t = str(tmp_path / "drainr")
+    cur = str(tmp_path / "cursor.json")
+    write_delta(
+        spark.range(4).withColumn("v", F.lit(1.0)), t,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    write_delta(spark.range(4, 6).withColumn("v", F.lit(2.0)), t)
+    d, (lo, hi) = drain_delta_cdf(spark, t, cur, return_range=True)
+    assert (lo, hi) == (0, 1)
+    shutil.rmtree(t)  # the drain must not depend on the source now
+    assert d.count() == 6
+    # up-to-date drain: empty relation, inverted range
+    t2 = str(tmp_path / "drainr2")
+    cur2 = str(tmp_path / "cursor2.json")
+    write_delta(
+        spark.range(2).withColumn("v", F.lit(1.0)), t2,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    drain_delta_cdf(spark, t2, cur2)
+    d2, (lo2, hi2) = drain_delta_cdf(spark, t2, cur2, return_range=True)
+    assert d2.count() == 0 and lo2 == hi2 + 1

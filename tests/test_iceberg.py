@@ -840,3 +840,71 @@ def test_compact_iceberg_deletes(spark, tmp_path):
     assert compact_iceberg_deletes(spark, t) == iceberg_snapshot(t)[
         "snapshot_id"
     ]
+
+
+def test_optimize_applies_row_level_deletes(spark, tmp_path):
+    """optimize_iceberg must not resurrect rows deleted via v2 delete
+    files: victims rewrite delete-applied, delete files keep carrying
+    for the untouched files."""
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_snapshot, optimize_iceberg, read_iceberg,
+        write_iceberg_table,
+    )
+
+    t = str(tmp_path / "odel")
+    write_iceberg_table(t, FIELDS)
+    a = _part(t, "data/a.parquet", [1, 2, 3, 4])
+    b = _part(t, "data/b.parquet", [10, 11])
+    append_iceberg_snapshot(t, 1, [a, b])
+    # position-delete row 1 of a (value 2); equality-delete 10
+    append_iceberg_snapshot(
+        t, 2, [], position_deletes=[("data/a.parquet", 1)],
+    )
+    append_iceberg_snapshot(
+        t, 3, [], equality_deletes=([{"id": 10}], [1]),
+    )
+    before = sorted(r["id"] for r in read_iceberg(spark, t).collect())
+    assert before == [1, 3, 4, 11]
+    v = optimize_iceberg(spark, t, min_file_size=1 << 20)
+    snap = iceberg_snapshot(t)
+    assert snap["snapshot_id"] == v
+    after = sorted(r["id"] for r in read_iceberg(spark, t).collect())
+    assert after == before  # deleted rows did NOT reappear
+    # the delete files still carry (untouched files may need them)
+    assert snap["position_deletes"] and snap["equality_deletes"]
+
+
+def test_bucket_transform_date_column(spark, tmp_path):
+    """bucket(N, <date>) hashes EPOCH DAYS as a little-endian long
+    (spec Appendix B; the spec's own vector: 2017-11-16 = day 17486
+    -> -653330422)."""
+    import datetime as dt
+    import struct
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_snapshot, murmur3_32, read_iceberg, write_iceberg,
+    )
+
+    n = 8
+    days = [17486, 0, 19000, -100]
+    dates = [dt.date(1970, 1, 1) + dt.timedelta(days=d) for d in days]
+    assert dates[0] == dt.date(2017, 11, 16)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(dates)], "id long, d date"
+    )
+    t = str(tmp_path / "dbucket")
+    write_iceberg(df, t, partition_by=[f"bucket({n}, d)"])
+    snap = iceberg_snapshot(t)
+    want = {
+        i: (murmur3_32(struct.pack("<q", d)) & 0x7FFFFFFF) % n
+        for i, d in enumerate(days)
+    }
+    got = {
+        r["id"]: int(r["d_bucket"])
+        for r in spark.read.option(
+            "basePath", os.path.abspath(t)
+        ).parquet(*snap["files"]).collect()
+    }
+    assert got == want
+    # the reader never exposes the hidden transform column
+    assert "d_bucket" not in read_iceberg(spark, t).columns

@@ -535,14 +535,19 @@ def read_delta_cdf(
             f"{ending_version}]"
         )
     meta = delta_snapshot(table, version=versions[-1])["metadata"]
+    head_schema = meta["schemaString"]
     cols = [
-        f["name"]
-        for f in json.loads(meta["schemaString"])["fields"]
+        f["name"] for f in json.loads(head_schema)["fields"]
     ]
+    field_types = {
+        f["name"]: f["type"]
+        for f in json.loads(head_schema)["fields"]
+        if isinstance(f["type"], str)
+    }
     base = os.path.abspath(table)
     pieces: list[DataFrame] = []
     for v in versions:
-        cdc_paths: list[str] = []
+        cdc_actions: list[tuple[str, dict]] = []
         add_paths: list[str] = []
         rem_paths: list[str] = []
         ts_ms = None
@@ -552,10 +557,27 @@ def read_delta_cdf(
                 if not line:
                     continue
                 action = json.loads(line)
+                if "metaData" in action:
+                    # the range is read under ONE schema (the head
+                    # version's); a schema change inside it would
+                    # silently mis-shape earlier commits' changes
+                    sch = action["metaData"].get("schemaString")
+                    if sch and json.loads(sch) != json.loads(
+                        head_schema
+                    ):
+                        raise ValueError(
+                            f"delta: CDF range [{versions[0]}, "
+                            f"{versions[-1]}] spans a schema change "
+                            f"at version {v}; split the read at that "
+                            "version"
+                        )
                 if "cdc" in action:
-                    cdc_paths.append(
-                        os.path.join(base, unquote(action["cdc"]["path"]))
-                    )
+                    cdc_actions.append((
+                        os.path.join(
+                            base, unquote(action["cdc"]["path"])
+                        ),
+                        action["cdc"].get("partitionValues") or {},
+                    ))
                 elif "add" in action and action["add"].get(
                     "dataChange", True
                 ):
@@ -573,25 +595,68 @@ def read_delta_cdf(
                 elif "commitInfo" in action:
                     ts_ms = action["commitInfo"].get("timestamp")
         sub: list[DataFrame] = []
-        if cdc_paths:
-            sub.append(
-                spark.read.parquet(*cdc_paths)
-                .select(*cols, "_change_type")
-            )
+        if cdc_actions:
+            # delta-spark writes _change_data/ files for PARTITIONED
+            # tables with the partition columns only in the directory
+            # path + the cdc action's partitionValues, never in the
+            # file content.  Read content-only (explicit file paths,
+            # no partition inference — a basePath scan silently DROPS
+            # root-level files when hive dirs coexist) and fill the
+            # missing columns from the actions' authoritative
+            # partitionValues via ONE broadcast path->values join.
+            cdf = spark.read.parquet(*[p for p, _ in cdc_actions])
+            missing = [c for c in cols if c not in cdf.columns]
+            if not missing:
+                sub.append(cdf.select(*cols, "_change_type"))
+            else:
+                pv_rows = [
+                    (os.path.abspath(p),
+                     *[pv.get(c) for c in missing])
+                    for p, pv in cdc_actions
+                ]
+                pv_df = spark.createDataFrame(
+                    pv_rows,
+                    ", ".join(["_cdc_path string"]
+                              + [f"`_pv_{c}` string" for c in missing]),
+                )
+                cdf = (
+                    cdf.withColumn("_cdc_path", decoded_file_path(F))
+                    .join(F.broadcast(pv_df), "_cdc_path", "left")
+                )
+                for c in missing:
+                    cdf = cdf.withColumn(
+                        c,
+                        F.col(f"_pv_{c}").cast(
+                            field_types.get(c, "string")
+                        ),
+                    )
+                sub.append(cdf.select(*cols, "_change_type"))
         else:
+            # removed (and, across overwrites, added) files may
+            # predate columns the head schema carries — null-fill
+            # them, the same widening delta-spark applies
+            def _filled(df):
+                return df.select(*[
+                    F.col(c) if c in df.columns
+                    else F.lit(None).cast(
+                        field_types.get(c, "string")
+                    ).alias(c)
+                    for c in cols
+                ])
+
             if add_paths:
                 sub.append(
-                    spark.read.option("basePath", base)
-                    .parquet(*add_paths)
-                    .select(*cols)
-                    .withColumn("_change_type", F.lit("insert"))
+                    _filled(
+                        spark.read.option("basePath", base)
+                        .parquet(*add_paths)
+                    ).withColumn("_change_type", F.lit("insert"))
                 )
             if rem_paths:
                 sub.append(
-                    spark.read.option("basePath", base)
-                    .parquet(*rem_paths)
-                    .select(*cols)
-                    .withColumn("_change_type", F.lit("delete"))
+                    _filled(
+                        spark.read.option("basePath", base)
+                        .parquet(*rem_paths)
+                    ).withColumn("_change_type", F.lit("delete"))
                 )
         if not sub:
             continue
@@ -612,8 +677,9 @@ def read_delta_cdf(
 
 
 def drain_delta_cdf(
-    spark: SparkSession, table: str, cursor_path: str
-) -> DataFrame:
+    spark: SparkSession, table: str, cursor_path: str,
+    return_range: bool = False,
+):
     """Incremental CDF consumer — the streaming-source semantics for
     Delta change feeds without a custom DataSource: each call returns
     ONLY the row-level changes committed since the last drain
@@ -622,13 +688,20 @@ def drain_delta_cdf(
     ``while True: drain -> process -> repeat`` consumes a 100 TB
     table at the cost of its churn, never a rescan.
 
+    The changes are MATERIALIZED (``localCheckpoint``) before the
+    cursor advances: a scan failure surfaces as a failed drain with
+    the cursor untouched, never as a silently skipped version range
+    (the lazy-DataFrame trap).  ``return_range=True`` additionally
+    returns the drained ``(start_version, end_version)`` tuple so
+    consumers can key an idempotent apply on it.
+
     Delivery contract: the cursor advances when the DRAIN is taken,
     so a consumer that crashes mid-processing re-reads nothing — pair
     the drain with an idempotent sink (``write_delta(txn=...)`` /
     ``write_iceberg(txn=...)``) keyed on the drained version range
     for end-to-end exactly-once, the same at-least-once + idempotence
     split the streaming sinks use.  An up-to-date cursor returns an
-    EMPTY relation with the change schema."""
+    EMPTY relation with the change schema (range ``(head+1, head)``)."""
     from pyspark.sql import functions as F
 
     last = -1
@@ -650,7 +723,8 @@ def drain_delta_cdf(
         })
 
     if head <= last:
-        return empty()
+        out = empty()
+        return (out, (head + 1, head)) if return_range else out
     try:
         changes = read_delta_cdf(
             spark, table, starting_version=last + 1,
@@ -662,13 +736,17 @@ def drain_delta_cdf(
         if "no row-level changes" not in str(e):
             raise
         changes = empty()
+    # materialize BEFORE the cursor moves: a failed scan fails the
+    # drain, so the range stays drainable; after this point the rows
+    # live in session-local blocks independent of the source files
+    changes = changes.localCheckpoint(eager=True)
     os.makedirs(os.path.dirname(os.path.abspath(cursor_path)),
                 exist_ok=True)
     tmp = f"{cursor_path}.tmp"
     with open(tmp, "w") as fh:
         json.dump({"version": head}, fh)
     os.replace(tmp, cursor_path)
-    return changes
+    return (changes, (last + 1, head)) if return_range else changes
 
 
 def _stage_and_promote_cdc(df: DataFrame, table: str) -> list[dict]:

@@ -339,10 +339,15 @@ def read_iceberg(
     return _scan_snapshot(spark, table, snap)
 
 
-def _scan_snapshot(spark: SparkSession, table: str, snap: dict) -> DataFrame:
+def _scan_snapshot(spark: SparkSession, table: str, snap: dict,
+                   keep_hidden: bool = False) -> DataFrame:
     """The delete-applied distributed scan of ``snap["files"]`` —
-    shared by :func:`read_iceberg` (whole snapshot) and
-    :func:`compact_iceberg_deletes` (the affected-file subset)."""
+    shared by :func:`read_iceberg` (whole snapshot),
+    :func:`compact_iceberg_deletes` and :func:`optimize_iceberg`
+    (affected-file subsets).  ``keep_hidden=True`` keeps the
+    non-identity transform partition columns the hive-dir scan
+    reconstructs (the rewrite paths need them for ``partitionBy``
+    write-back; readers never see them)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -355,7 +360,7 @@ def _scan_snapshot(spark: SparkSession, table: str, snap: dict) -> DataFrame:
     # as directory keys (the source columns live inside the data
     # files), so drop what the hive-dir scan reconstructs — the
     # logical schema never contains them, exactly like iceberg-spark
-    hidden = [
+    hidden = [] if keep_hidden else [
         e["name"] for e in snap.get("partition_spec") or []
         if e.get("transform") not in (None, "identity")
     ]
@@ -645,8 +650,11 @@ def _transform_column(F, transform: str, param: int | None,
             if is_ts:
                 longs = s.astype("datetime64[us]").astype("int64")
             elif is_date:
+                # epoch DAYS per the spec (hashed as a little-endian
+                # long); pandas>=2.0 rejects astype("datetime64[D]"),
+                # so go through seconds
                 longs = (
-                    s.astype("datetime64[D]").astype("int64")
+                    s.astype("datetime64[s]").astype("int64") // 86400
                 )
             else:
                 longs = pd.to_numeric(s).astype("int64")
@@ -1191,8 +1199,9 @@ def compact_iceberg_deletes(spark: SparkSession, table: str) -> int:
     files stop being carried in the new snapshot.  Returns the new
     snapshot id (unchanged when the table has no delete files).
 
-    This lifts :func:`merge_iceberg` / :func:`optimize_iceberg`'s
-    row-level-delete gate: compact first, then merge/compact freely.
+    This lifts :func:`merge_iceberg`'s row-level-delete gate:
+    compact first, then merge freely.  (:func:`optimize_iceberg`
+    needs no gate — it folds applicable deletes into its rewrites.)
     The affected-file selection is metadata-only (sequence numbers);
     the rewrite is ONE distributed delete-applied scan of only those
     files (the same `_scan_snapshot` the reader uses) staged and
@@ -1290,6 +1299,15 @@ def optimize_iceberg(
     carry forward.  Returns the new snapshot id (unchanged if
     nothing qualified).
 
+    Tables carrying v2 row-level delete files rewrite their victims
+    through the delete-applied :func:`_scan_snapshot` (so rows
+    deleted by position/equality delete files can NOT reappear in
+    the compacted output — the rewritten files get a new data
+    sequence number, putting them out of reach of the old deletes,
+    which is only correct because those deletes were folded in).
+    The delete files keep being carried for the untouched files;
+    :func:`compact_iceberg_deletes` retires them.
+
     Scale shape: ONE distributed job — the victims scan with
     ``basePath`` (so identity partition columns and transform
     directory values recover as columns), coalesced to bin-pack,
@@ -1315,8 +1333,13 @@ def optimize_iceberg(
     spec = snap.get("partition_spec") or []
     part_fields = [e["name"] for e in spec]
     base = os.path.abspath(table)
-    reader = spark.read.option("basePath", base)
-    rows = reader.parquet(*victims)
+    if snap["position_deletes"] or snap["equality_deletes"]:
+        sub = dict(snap)
+        sub["files"] = victims
+        rows = _scan_snapshot(spark, table, sub, keep_hidden=True)
+    else:
+        reader = spark.read.option("basePath", base)
+        rows = reader.parquet(*victims)
     rows = rows.coalesce(max(1, len(victims) // 8))
     stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
     writer = rows.write.mode("overwrite")
