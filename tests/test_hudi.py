@@ -126,7 +126,9 @@ def test_gating(spark, tmp_path):
     open(os.path.join(hdir, "hoodie.properties"), "w").write(
         "hoodie.table.type=MERGE_ON_READ\n"
     )
-    with pytest.raises(ValueError, match="MERGE_ON_READ"):
+    # the r8 MOR gate is lifted: an empty MOR table now fails only
+    # for having no commits, like CoW
+    with pytest.raises(ValueError, match="no completed commits"):
         hudi_snapshot(t)
     open(os.path.join(hdir, "hoodie.properties"), "w").write(
         "hoodie.table.type=COPY_ON_WRITE\n"
@@ -218,3 +220,167 @@ def test_merge_hudi_upsert_and_delete(spark, tmp_path):
     assert sorted(
         r["id"] for r in read_hudi(spark, t).collect()
     ) == list(range(3, 23))
+
+
+# ----------------------------------------------------------- MOR
+
+
+def test_hudi_log_block_roundtrip():
+    from vtk_reserves_spark.sources.hudi_log import (
+        BLOCK_AVRO, BLOCK_DELETE, DELETE_SCHEMA, H_INSTANT_TIME,
+        read_log_file, write_log_blocks,
+    )
+
+    sch = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": ["null", "long"], "default": None},
+        {"name": "v", "type": ["null", "double"], "default": None},
+    ]}
+    data = write_log_blocks([
+        (BLOCK_AVRO, sch, [{"id": 1, "v": 1.5}, {"id": 2, "v": None}],
+         {H_INSTANT_TIME: "00000000000002"}),
+        (BLOCK_DELETE, DELETE_SCHEMA,
+         [{"recordKey": "3", "partitionPath": None,
+           "orderingVal": None}], {}),
+    ])
+    blocks = read_log_file(data)
+    assert [b["type"] for b in blocks] == [BLOCK_AVRO, BLOCK_DELETE]
+    assert blocks[0]["rows"][0] == {"id": 1, "v": 1.5}
+    assert blocks[1]["rows"][0]["recordKey"] == "3"
+    # strict gates
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad magic"):
+        read_log_file(b"NOTHUD" + data[6:])
+    with _pytest.raises(ValueError, match="overruns"):
+        read_log_file(data[:-4])
+
+
+def test_hudi_mor_upsert_read(spark, tmp_path):
+    """MOR real-time view: base rows superseded by log updates,
+    delete blocks removing keys, inserts landing as new base
+    groups — all merged newest-wins."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        hudi_timeline, read_hudi, upsert_hudi_mor, write_hudi,
+    )
+
+    t = str(tmp_path / "mor")
+    df = spark.range(6).select(
+        "id", (F.col("id") * 1.0).alias("v"),
+    )
+    write_hudi(df, t, table_type="MERGE_ON_READ", record_key=["id"])
+    assert hudi_timeline(t)[-1][1] == "deltacommit"
+    # update 0,1 -> v=100/101; insert 10
+    src = spark.createDataFrame(
+        [(0, 100.0), (1, 101.0), (10, 110.0)], "id long, v double"
+    )
+    upsert_hudi_mor(spark, src, t)
+    got = {r["id"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert got[0] == 100.0 and got[1] == 101.0 and got[10] == 110.0
+    assert got[5] == 5.0 and len(got) == 7
+    # delete 1 and 10 (one lives in a log, one in base of its group)
+    dels = spark.createDataFrame([(1,), (10,)], "id long")
+    upsert_hudi_mor(spark, dels, t, when_matched="delete",
+                    when_not_matched="ignore")
+    got = {r["id"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert 1 not in got and 10 not in got and got[0] == 100.0
+    assert len(got) == 5
+    # a second update round stacks another log file (version 2)
+    src2 = spark.createDataFrame([(0, 200.0)], "id long, v double")
+    upsert_hudi_mor(spark, src2, t)
+    got = {r["id"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert got[0] == 200.0 and len(got) == 5
+    # the log files really exist and the timeline is deltacommits
+    acts = [a for _, a, _ in hudi_timeline(t)]
+    assert acts == ["deltacommit"] * 4
+    logs = [n for n in os.listdir(t) if ".log." in n]
+    assert logs, "expected log files in the table dir"
+
+
+def test_hudi_mor_time_travel_and_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        compact_hudi_mor, hudi_snapshot, hudi_timeline, read_hudi,
+        upsert_hudi_mor, write_hudi,
+    )
+
+    t = str(tmp_path / "morc")
+    write_hudi(
+        spark.range(4).select("id", (F.col("id") * 1.0).alias("v")),
+        t, table_type="MERGE_ON_READ", record_key=["id"],
+    )
+    i1 = hudi_snapshot(t)["instant"]
+    upsert_hudi_mor(
+        spark,
+        spark.createDataFrame([(2, 22.0)], "id long, v double"), t,
+    )
+    # time travel to before the upsert sees the old value
+    got1 = {r["id"]: r["v"]
+            for r in read_hudi(spark, t, as_of=i1).collect()}
+    assert got1[2] == 2.0
+    inst = compact_hudi_mor(spark, t)
+    assert hudi_timeline(t)[-1][0] == inst
+    assert hudi_timeline(t)[-1][1] == "commit"
+    # after compaction: same data, but no slice carries logs
+    got = {r["id"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert got[2] == 22.0 and len(got) == 4
+    snap = hudi_snapshot(t)
+    assert all(not sl["logs"] for sl in snap["slices"].values())
+    # no-op compaction returns the same instant
+    assert compact_hudi_mor(spark, t) == inst
+    # upserts after compaction stack on the NEW base
+    upsert_hudi_mor(
+        spark,
+        spark.createDataFrame([(2, 222.0)], "id long, v double"), t,
+    )
+    got = {r["id"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert got[2] == 222.0 and len(got) == 4
+
+
+def test_hudi_mor_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        read_hudi, upsert_hudi_mor, write_hudi,
+    )
+
+    t = str(tmp_path / "morp")
+    df = spark.range(8).select(
+        "id", (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    write_hudi(df, t, partition_by=["p"],
+               table_type="MERGE_ON_READ", record_key=["id"])
+    src = spark.createDataFrame(
+        [(3, "1", 33.0), (8, "0", 88.0)], "id long, p string, v double"
+    )
+    upsert_hudi_mor(spark, src, t)
+    got = {r["id"]: (r["p"], r["v"])
+           for r in read_hudi(spark, t).collect()}
+    assert got[3] == ("1", 33.0) and got[8] == ("0", 88.0)
+    assert len(got) == 9
+    # the log file landed inside its partition dir
+    import glob
+
+    assert glob.glob(os.path.join(t, "p=1", ".*" + "*.log.*"))
+
+
+def test_hudi_cow_rejects_mor_verbs(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        compact_hudi_mor, upsert_hudi_mor, write_hudi,
+    )
+
+    t = str(tmp_path / "cow")
+    write_hudi(
+        spark.range(3).select("id", (F.col("id") * 1.0).alias("v")), t,
+    )
+    src = spark.createDataFrame([(0, 9.0)], "id long, v double")
+    with _pytest.raises(ValueError, match="MOR table"):
+        upsert_hudi_mor(spark, src, t, on=["id"])
+    with _pytest.raises(ValueError, match="MOR table"):
+        compact_hudi_mor(spark, t)

@@ -51,14 +51,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "hudi_snapshot", "hudi_timeline", "merge_hudi", "read_hudi",
-    "write_hudi",
+    "compact_hudi_mor", "hudi_snapshot", "hudi_timeline",
+    "merge_hudi", "read_hudi", "upsert_hudi_mor", "write_hudi",
 ]
 
 _HOODIE = ".hoodie"
 
 
-def _table_type(table: str) -> str:
+def _table_props(table: str) -> dict:
     props = os.path.join(table, _HOODIE, "hoodie.properties")
     if not os.path.exists(props):
         raise ValueError(f"hudi: no {_HOODIE}/hoodie.properties in {table}")
@@ -70,7 +70,16 @@ def _table_type(table: str) -> str:
                 continue
             k, _, v = line.partition("=")
             out[k.strip()] = v.strip()
-    return out.get("hoodie.table.type", "COPY_ON_WRITE")
+    return out
+
+
+def _table_type(table: str) -> str:
+    return _table_props(table).get("hoodie.table.type", "COPY_ON_WRITE")
+
+
+def _record_key_fields(table: str) -> list[str]:
+    raw = _table_props(table).get("hoodie.table.recordkey.fields", "")
+    return [f for f in raw.split(",") if f]
 
 
 def hudi_timeline(table: str) -> list[tuple[str, str, dict]]:
@@ -85,6 +94,7 @@ def hudi_timeline(table: str) -> list[tuple[str, str, dict]]:
     for name in sorted(os.listdir(hdir)):
         for suffix, action in (
             (".replacecommit", "replacecommit"),
+            (".deltacommit", "deltacommit"),
             (".commit", "commit"),
         ):
             if not name.endswith(suffix):
@@ -99,35 +109,67 @@ def hudi_timeline(table: str) -> list[tuple[str, str, dict]]:
     return sorted(out, key=lambda t: t[0])
 
 
+def _log_name_parts(path: str) -> tuple[str, str, int] | None:
+    """``<part>/.{fileId}_{baseInstant}.log.{version}_{token}`` ->
+    (fileId, baseInstant, version); None when not a log file."""
+    name = os.path.basename(path)
+    if not name.startswith(".") or ".log." not in name:
+        return None
+    stem, _, tail = name[1:].partition(".log.")
+    fid, _, base_instant = stem.rpartition("_")
+    ver = tail.split("_")[0]
+    if not fid or not ver.isdigit():
+        return None
+    return fid, base_instant, int(ver)
+
+
 def hudi_snapshot(table: str, as_of: str | None = None) -> dict:
-    """Timeline fold -> ``{"files": [abs paths], "instant": last}``:
-    newest base file per live (partition, fileId) group at or before
-    ``as_of``."""
+    """Timeline fold -> the live FILE SLICES at or before ``as_of``:
+    per (partition, fileId) group, the newest committed base file
+    plus (MERGE_ON_READ) the log files stacked on that base.
+
+    Returns ``{"files": [base abs paths], "groups": {abs path ->
+    (partition, fileId)}, "slices": {(partition, fileId): {"base":
+    (instant, abs path) | None, "logs": [(instant, version, abs
+    path), ...]}}, "instant": last, "type": table type}`` — logs
+    sorted by (instant, version).  A newer base file (compaction)
+    RESETS the slice: only log files whose embedded baseInstant
+    matches the live base apply, which is exactly how Hudi scopes
+    log files to a file slice."""
     tt = _table_type(table)
-    if tt != "COPY_ON_WRITE":
-        raise ValueError(
-            f"hudi: table type {tt} not supported (MERGE_ON_READ "
-            "needs log-file merging)"
-        )
     groups: dict[tuple[str, str], tuple[str, str]] = {}
+    logs: dict[tuple[str, str], list[tuple[str, str, int, str]]] = {}
     last = None
+    schema_json = None
     for instant, action, meta in hudi_timeline(table):
         if as_of is not None and instant > str(as_of):
             break
         last = instant
+        schema_json = (
+            (meta.get("extraMetadata") or {}).get("schema")
+            or schema_json
+        )
         if action == "replacecommit":
             for part, fids in (
                 meta.get("partitionToReplaceFileIds") or {}
             ).items():
                 for fid in fids:
                     groups.pop((part, fid), None)
+                    logs.pop((part, fid), None)
         for part, stats in (
             meta.get("partitionToWriteStats") or {}
         ).items():
             for st in stats:
+                lp = _log_name_parts(st["path"])
+                if lp is not None:
+                    fid, base_instant, ver = lp
+                    logs.setdefault((part, fid), []).append(
+                        (base_instant, instant, ver, st["path"])
+                    )
+                    continue
                 key = (part, st["fileId"])
                 prev = groups.get(key)
-                # CoW: the newest instant's base file wins the group
+                # the newest instant's base file wins the group
                 if prev is None or instant >= prev[0]:
                     groups[key] = (instant, st["path"])
     if last is None:
@@ -136,6 +178,28 @@ def hudi_snapshot(table: str, as_of: str | None = None) -> dict:
             + (f" at or before {as_of}" if as_of is not None else "")
         )
     base = os.path.abspath(table)
+    slices: dict[tuple[str, str], dict] = {}
+    for key, (inst, p) in groups.items():
+        slices[key] = {
+            "base": (inst, os.path.join(base, p)), "logs": [],
+        }
+    for key, entries in logs.items():
+        sl = slices.setdefault(key, {"base": None, "logs": []})
+        live_base = sl["base"][0] if sl["base"] else None
+        sl["logs"] = sorted(
+            (inst, ver, os.path.join(base, p))
+            for base_instant, inst, ver, p in entries
+            # a log applies only to the slice whose base it names;
+            # log-only groups (no base yet) keep every log
+            if live_base is None or base_instant == live_base
+        )
+    if tt != "MERGE_ON_READ":
+        stray = [k for k, sl in slices.items() if sl["logs"]]
+        if stray:
+            raise ValueError(
+                f"hudi: COPY_ON_WRITE table carries log files for "
+                f"groups {sorted(stray)[:3]}"
+            )
     return {
         "files": sorted(
             os.path.join(base, p) for _, p in groups.values()
@@ -146,7 +210,10 @@ def hudi_snapshot(table: str, as_of: str | None = None) -> dict:
             os.path.join(base, p): key
             for key, (_, p) in groups.items()
         },
+        "slices": slices,
         "instant": last,
+        "type": tt,
+        "schema": schema_json,
     }
 
 
@@ -154,11 +221,25 @@ def read_hudi(
     spark: SparkSession, table: str, as_of: str | None = None,
     drop_meta: bool = True,
 ) -> DataFrame:
-    """Hudi CoW snapshot -> DataFrame: one distributed parquet scan
-    of the live base files (``basePath`` recovers hive-style
-    partition columns; Catalyst keeps pushdown/pruning).  Time
-    travel = ``as_of`` instant."""
+    """Hudi snapshot -> DataFrame.
+
+    COPY_ON_WRITE: one distributed parquet scan of the live base
+    files (``basePath`` recovers hive-style partition columns;
+    Catalyst keeps pushdown/pruning).  Time travel = ``as_of``.
+
+    MERGE_ON_READ: the real-time view — per file slice, the base
+    file merged with its Avro log blocks, newest record version
+    winning per record key, delete blocks removing keys.  Expressed
+    Spark-first instead of Hudi's per-slice iterator merge: slices
+    WITHOUT logs stream straight off the parquet scan (zero merge
+    cost — the read-optimized fraction, which at 100 TB is almost
+    everything on a compacted table), and only log-bearing slices
+    pay ONE hash shuffle on the record key (``max_by`` newest-wins
+    reduce; AQE handles key skew).  Log files parse in Arrow-batched
+    ``mapInPandas`` tasks — record bytes never touch the driver."""
     snap = hudi_snapshot(table, as_of)
+    if snap["type"] == "MERGE_ON_READ":
+        return _read_hudi_mor(spark, table, snap)
     df = spark.read.option(
         "basePath", os.path.abspath(table)
     ).parquet(*snap["files"])
@@ -166,7 +247,276 @@ def read_hudi(
         meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
         if meta_cols:
             df = df.drop(*meta_cols)
+    declared = _declared_schema(snap)
+    if declared is not None:
+        df = _cast_declared(df, declared)
     return df
+
+
+def _declared_schema(snap: dict):
+    """The commit-recorded writer schema (``extraMetadata.schema``)
+    as a StructType, None for fixtures that never recorded one."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    if not snap.get("schema"):
+        return None
+    return T.StructType.fromJson(_json.loads(snap["schema"]))
+
+
+def _cast_declared(df: DataFrame, declared, extra: list[str] = ()):
+    """Recovered hive-dir partition columns type-infer from the
+    directory STRINGS (``p=1`` comes back int even when the column
+    is string) — cast every declared column back to its recorded
+    type; columns outside the declared set (``_hoodie_*`` from
+    foreign writers) ride along unchanged."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    exprs = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        for f in declared.fields if f.name in have
+    ]
+    exprs += [F.col(c) for c in df.columns
+              if c not in {f.name for f in declared.fields}
+              and (c in extra or c.startswith("_hoodie_"))]
+    return df.select(*exprs)
+
+
+def _ord_string(instant: str, ver: int, block: int, row: int) -> str:
+    return f"{instant}.{ver:06d}.{block:04d}.{row:08d}"
+
+
+def _key_expr(F, key_fields: list[str]):
+    """The record-key string both sides of the MOR merge agree on:
+    key columns cast to string, NULL as an empty sentinel, joined by
+    an unprintable separator.  Computed IN SPARK everywhere (reader
+    data rows and writer delete rows alike) so cast formatting can
+    never diverge."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+        for c in key_fields
+    ]
+    return F.concat_ws("\x1f", *parts)
+
+
+def _scan_hudi_logs(spark: SparkSession, entries, schema):
+    """Distributed parse of MOR log files -> DataFrame of the table
+    columns + ``_op`` (U/D), ``_ord`` (slice-order sort key),
+    ``_del_key`` (delete blocks' precomputed record-key string) and
+    ``_hudi_fid``.  ``entries`` = [(fid, instant, version, abs
+    path)]; each task reads whole log files (they are
+    churn-sized — Hudi rolls them small by design)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from vtk_reserves_spark.sources.hudi_log import (
+        BLOCK_AVRO, BLOCK_DELETE, read_log_file,
+    )
+
+    out_schema = T.StructType(
+        list(schema.fields) + [
+            T.StructField("_op", T.StringType()),
+            T.StructField("_ord", T.StringType()),
+            T.StructField("_del_key", T.StringType()),
+            T.StructField("_hudi_fid", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    files_df = spark.createDataFrame(
+        entries, "fid string, instant string, ver int, path string"
+    ).repartition(min(len(entries), 64))
+
+    def parse(batches):
+        for pdf in batches:
+            rows_out: list[dict] = []
+            for fid, instant, ver, path in pdf.itertuples(index=False):
+                with open(path, "rb") as fh:
+                    blocks = read_log_file(fh.read())
+                for bi, blk in enumerate(blocks):
+                    if blk["type"] == BLOCK_AVRO:
+                        for rj, rec in enumerate(blk["rows"]):
+                            row = {c: rec.get(c) for c in cols}
+                            row.update({
+                                "_op": "U",
+                                "_ord": _ord_string(
+                                    instant, ver, bi, rj
+                                ),
+                                "_del_key": None,
+                                "_hudi_fid": fid,
+                            })
+                            rows_out.append(row)
+                    elif blk["type"] == BLOCK_DELETE:
+                        for rj, rec in enumerate(blk["rows"]):
+                            row = {c: None for c in cols}
+                            row.update({
+                                "_op": "D",
+                                "_ord": _ord_string(
+                                    instant, ver, bi, rj
+                                ),
+                                "_del_key": rec["recordKey"],
+                                "_hudi_fid": fid,
+                            })
+                            rows_out.append(row)
+            yield pd.DataFrame(
+                rows_out,
+                columns=[f.name for f in out_schema.fields],
+            )
+
+    return files_df.mapInPandas(parse, out_schema)
+
+
+def _read_hudi_mor(
+    spark: SparkSession, table: str, snap: dict,
+    with_fid: bool = False,
+) -> DataFrame:
+    """The MOR real-time view (see :func:`read_hudi`).  With
+    ``with_fid`` the result keeps ``_hudi_fid`` — the routing handle
+    :func:`upsert_hudi_mor` joins on."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import decoded_file_path
+
+    key_fields = _record_key_fields(table)
+    if not key_fields:
+        raise ValueError(
+            "hudi: MERGE_ON_READ read needs "
+            "hoodie.table.recordkey.fields (pass record_key= to "
+            "write_hudi)"
+        )
+    base = os.path.abspath(table)
+    clean_files: list[str] = []
+    dirty_bases: list[tuple[str, str, str]] = []  # path, instant, fid
+    log_entries: list[tuple[str, str, int, str]] = []
+    for (part, fid), sl in snap["slices"].items():
+        if sl["logs"]:
+            if sl["base"] is not None:
+                dirty_bases.append((sl["base"][1], sl["base"][0], fid))
+            log_entries.extend(
+                (fid, inst, ver, p) for inst, ver, p in sl["logs"]
+            )
+        elif sl["base"] is not None:
+            clean_files.append(sl["base"][1])
+    reader = spark.read.option("basePath", base)
+    # schema: the commit-recorded writer schema when present, else
+    # the base files'; log-only tables fall back to ONE driver-side
+    # log header parse (metadata-sized)
+    declared = _declared_schema(snap)
+    if declared is not None:
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            f for f in declared.fields
+            if not f.name.startswith("_hoodie_")
+        ])
+    elif clean_files or dirty_bases:
+        schema_df = reader.parquet(
+            *(clean_files or [p for p, _, _ in dirty_bases])
+        )
+        schema_df = schema_df.drop(*[
+            c for c in schema_df.columns if c.startswith("_hoodie_")
+        ])
+        schema = schema_df.schema
+    else:
+        import json as _json
+
+        from vtk_reserves_spark.sources.avro import to_spark_type
+        from vtk_reserves_spark.sources.hudi_log import (
+            H_SCHEMA, read_log_file,
+        )
+
+        with open(log_entries[0][3], "rb") as fh:
+            blocks = read_log_file(fh.read())
+        avro_schema = next(
+            _json.loads(b["headers"][H_SCHEMA])
+            for b in blocks if H_SCHEMA in b["headers"]
+        )
+        schema = to_spark_type(avro_schema)
+    cols = [f.name for f in schema.fields]
+    cast_cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    missing = [k for k in key_fields if k not in cols]
+    if missing:
+        raise ValueError(f"hudi: record key {missing} not in table")
+    pieces: list[DataFrame] = []
+    if clean_files and not with_fid:
+        pieces.append(reader.parquet(*clean_files).select(*cast_cols))
+    elif clean_files:
+        fid_map = spark.createDataFrame(
+            [(p, snap["groups"][p][1]) for p in clean_files],
+            "_hudi_path string, _hudi_fid string",
+        )
+        pieces.append(
+            reader.parquet(*clean_files)
+            .withColumn("_hudi_path", decoded_file_path(F))
+            .join(F.broadcast(fid_map), "_hudi_path")
+            .select(*cast_cols, "_hudi_fid")
+        )
+    merged = None
+    if log_entries:
+        sub: list[DataFrame] = []
+        if dirty_bases:
+            bmap = spark.createDataFrame(
+                [(p, inst, fid) for p, inst, fid in dirty_bases],
+                "_hudi_path string, _b_instant string, _b_fid string",
+            )
+            sub.append(
+                reader.parquet(*[p for p, _, _ in dirty_bases])
+                .withColumn("_hudi_path", decoded_file_path(F))
+                .join(F.broadcast(bmap), "_hudi_path")
+                .select(
+                    *cast_cols,
+                    F.lit("U").alias("_op"),
+                    # base rows sort below every log row of the same
+                    # slice (logs commit at strictly later instants)
+                    F.concat(
+                        F.col("_b_instant"),
+                        F.lit(".000000.0000.00000000"),
+                    ).alias("_ord"),
+                    F.lit(None).cast("string").alias("_del_key"),
+                    F.col("_b_fid").alias("_hudi_fid"),
+                )
+            )
+        sub.append(
+            _scan_hudi_logs(spark, log_entries, schema).select(
+                *cols, "_op", "_ord", "_del_key", "_hudi_fid"
+            )
+        )
+        from functools import reduce
+
+        all_rows = reduce(DataFrame.unionByName, sub)
+        all_rows = all_rows.withColumn(
+            "_key",
+            F.when(
+                F.col("_op") == "D", F.col("_del_key")
+            ).otherwise(_key_expr(F, key_fields)),
+        )
+        # newest-wins per record key: ONE shuffle over only the
+        # log-bearing slices' rows
+        winner = all_rows.groupBy("_key").agg(
+            F.max_by(
+                F.struct(*cols, "_op", "_hudi_fid"), F.col("_ord")
+            ).alias("_w")
+        )
+        merged = (
+            winner.filter(F.col("_w._op") != "D")
+            .select(
+                *[F.col(f"_w.{c}").alias(c) for c in cols]
+                + ([F.col("_w._hudi_fid").alias("_hudi_fid")]
+                   if with_fid else [])
+            )
+        )
+    if merged is not None:
+        pieces.append(merged)
+    if not pieces:
+        return spark.createDataFrame([], schema)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _next_instant(table: str) -> str:
@@ -181,6 +531,8 @@ def _next_instant(table: str) -> str:
 def write_hudi(
     df: DataFrame, table: str, mode: str = "append",
     partition_by: list[str] | None = None,
+    table_type: str = "COPY_ON_WRITE",
+    record_key: list[str] | None = None,
 ) -> str:
     """DataFrame -> one Hudi CoW commit; returns the instant.
 
@@ -191,7 +543,13 @@ def write_hudi(
     commit) + the commit JSON.  ``mode="overwrite"`` emits a
     REPLACECOMMIT whose ``partitionToReplaceFileIds`` covers every
     previously-live group (insert_overwrite) — old snapshots stay
-    time-travelable."""
+    time-travelable.
+
+    ``table_type="MERGE_ON_READ"`` creates an MOR table (initial
+    bulk-insert base files committed as a ``.deltacommit``, Hudi's
+    MOR write action); ``record_key`` persists
+    ``hoodie.table.recordkey.fields``, which :func:`read_hudi`'s
+    merged view and :func:`upsert_hudi_mor` key on."""
     import shutil
     import uuid as _uuid
 
@@ -199,6 +557,8 @@ def write_hudi(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"hudi: write mode {mode!r} (append/overwrite)")
+    if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(f"hudi: table type {table_type!r}")
     part_cols = list(partition_by or [])
     bad = [c for c in part_cols if c not in df.columns]
     if bad:
@@ -211,14 +571,23 @@ def write_hudi(
             fh.write(
                 "hoodie.table.name="
                 + os.path.basename(table.rstrip("/"))
-                + "\nhoodie.table.type=COPY_ON_WRITE\n"
+                + f"\nhoodie.table.type={table_type}\n"
                 "hoodie.table.version=6\n"
                 + (
                     "hoodie.table.partition.fields="
                     + ",".join(part_cols) + "\n"
                     if part_cols else ""
                 )
+                + (
+                    "hoodie.table.recordkey.fields="
+                    + ",".join(record_key) + "\n"
+                    if record_key else ""
+                )
             )
+    else:
+        # table_type/record_key are creation-time choices: appends
+        # adopt the existing table's properties
+        table_type = _table_type(table)
     replaced: dict[str, list[str]] = {}
     if mode == "overwrite" and exists:
         try:
@@ -246,6 +615,10 @@ def write_hudi(
         operation=(
             "INSERT_OVERWRITE" if mode == "overwrite" else "UPSERT"
         ),
+        action=(
+            "deltacommit" if table_type == "MERGE_ON_READ"
+            and mode != "overwrite" else None
+        ),
     )
     return instant
 
@@ -253,10 +626,16 @@ def write_hudi(
 def _stage_and_commit_hudi(
     df: DataFrame, table: str, instant: str, part_cols: list[str],
     replaced: dict[str, list[str]] | None, operation: str,
+    action: str | None = None,
+    extra_stats: dict[str, list[dict]] | None = None,
 ) -> None:
     """One distributed staged parquet write promoted as fresh file
     groups + the timeline JSON (a ``.replacecommit`` when
-    ``replaced`` names file groups this commit supersedes)."""
+    ``replaced`` names file groups this commit supersedes;
+    ``action`` overrides the suffix — MOR writes commit as
+    ``deltacommit``).  ``extra_stats`` merges additional write-stat
+    entries (log files an MOR upsert wrote task-side) into the same
+    commit."""
     import shutil
     import uuid as _uuid
 
@@ -291,11 +670,30 @@ def _stage_and_commit_hudi(
                 })
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    for part, entries in (extra_stats or {}).items():
+        stats.setdefault(part, []).extend(entries)
+    _write_hudi_commit_json(
+        table, instant, stats, replaced, operation, action,
+        schema_json=df.schema.json(),
+    )
+
+
+def _write_hudi_commit_json(
+    table: str, instant: str, stats: dict[str, list[dict]],
+    replaced: dict[str, list[str]] | None, operation: str,
+    action: str | None = None, schema_json: str | None = None,
+) -> None:
+    hdir = os.path.join(table, _HOODIE)
     meta = {
         "partitionToWriteStats": stats,
         "operationType": operation,
     }
-    suffix = ".commit"
+    if schema_json:
+        # real Hudi records the writer schema per commit in
+        # extraMetadata; readers cast hive-dir-recovered partition
+        # columns back to it (dir values would otherwise type-infer)
+        meta["extraMetadata"] = {"schema": schema_json}
+    suffix = f".{action}" if action else ".commit"
     if replaced is not None:
         meta["partitionToReplaceFileIds"] = replaced
         suffix = ".replacecommit"
@@ -413,5 +811,260 @@ def merge_hudi(
     _stage_and_commit_hudi(
         new_df, table, instant, part_cols, replaced=replaced,
         operation="UPSERT",
+    )
+    return instant
+
+
+def _slice_meta(snap: dict) -> dict[str, tuple[str, str, int]]:
+    """fid -> (partition, base instant the next log must name, next
+    log version).  Driver-side and metadata-sized (one entry per
+    live file group — the same scale as the snapshot fold)."""
+    out: dict[str, tuple[str, str, int]] = {}
+    for (part, fid), sl in snap["slices"].items():
+        if sl["base"] is not None:
+            base_instant = sl["base"][0]
+        else:
+            lp = _log_name_parts(sl["logs"][0][2])
+            base_instant = lp[1] if lp else "00000000000000"
+        next_ver = 1 + max(
+            (v for _, v, _ in sl["logs"]), default=0
+        )
+        out[fid] = (part, base_instant, next_ver)
+    return out
+
+
+def upsert_hudi_mor(
+    spark: SparkSession,
+    source: DataFrame,
+    table: str,
+    on: list[str] | None = None,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> str:
+    """MERGE_ON_READ upsert — Hudi's write path for CDC-heavy
+    tables: matched records do NOT rewrite their base files; each
+    touched file group gets ONE new Avro log block file
+    (``when_matched="update"`` an AVRO data block,
+    ``"delete"`` a DELETE block of record keys), and unmatched
+    source rows (``when_not_matched="insert"``) become fresh base
+    file groups — all in one ``.deltacommit``.  Returns the instant.
+
+    Scale shape: routing is one distributed join of the source
+    against the live view's record keys (never a collect); the log
+    files write INSIDE ``applyInPandas`` tasks, one task per touched
+    file group — the driver sees only write-stat rows.  That is
+    exactly Hudi's upsert geometry: write cost tracks the CHANGE
+    size, not the table size (the 100 TB point of MOR).  Caveat:
+    update rows pass through pandas, where nullable int64 columns
+    ride as float64 — integer values above 2**53 in nullable
+    columns would lose precision (documented, fixture-scale safe)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"hudi: when_matched {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"hudi: when_not_matched {when_not_matched!r}"
+        )
+    if _table_type(table) != "MERGE_ON_READ":
+        raise ValueError("hudi: upsert_hudi_mor needs an MOR table "
+                         "(use merge_hudi for COPY_ON_WRITE)")
+    snap = hudi_snapshot(table)
+    key_fields = list(on or _record_key_fields(table))
+    if not key_fields:
+        raise ValueError("hudi: no record key fields (pass on= or "
+                         "record_key= at table creation)")
+    live = _read_hudi_mor(spark, table, snap, with_fid=True)
+    cols = [c for c in live.columns if c != "_hudi_fid"]
+    missing = [k for k in key_fields if k not in source.columns]
+    if missing:
+        raise ValueError(f"hudi: merge keys {missing} not in source")
+    if when_matched == "update" or when_not_matched == "insert":
+        if sorted(source.columns) != sorted(cols):
+            raise ValueError(
+                f"hudi: source columns {sorted(source.columns)} != "
+                f"table columns {sorted(cols)}"
+            )
+    route = live.select(
+        _key_expr(F, key_fields).alias("_key"), "_hudi_fid"
+    )
+    src = source.withColumn("_key", _key_expr(F, key_fields))
+    matched = src.join(route, "_key", "inner")
+    meta = _slice_meta(snap)
+    instant = _next_instant(table)
+    base_abs = os.path.abspath(table)
+
+    from vtk_reserves_spark.sources.hudi_log import (
+        BLOCK_AVRO, BLOCK_DELETE, DELETE_SCHEMA, H_INSTANT_TIME,
+        avro_schema_for_spark, write_log_blocks,
+    )
+
+    if when_matched == "update":
+        avro_schema = avro_schema_for_spark(
+            spark.createDataFrame([], source.schema)
+            .select(*cols).schema
+        )
+        field_types = {
+            f.name: f.dataType.typeName()
+            for f in source.schema.fields
+        }
+    else:
+        avro_schema, field_types = DELETE_SCHEMA, {}
+    wm = when_matched
+
+    def _coerce(v, tn):
+        if v is None or (isinstance(v, float) and v != v):
+            return None
+        if hasattr(v, "item"):
+            v = v.item()
+        if tn in ("long", "integer", "short", "byte"):
+            return int(v)
+        if tn in ("double", "float"):
+            return float(v)
+        if tn == "string":
+            return str(v)
+        return v
+
+    def write_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        fid = pdf["_hudi_fid"].iloc[0]
+        part, base_instant, next_ver = meta[fid]
+        fname = f".{fid}_{base_instant}.log.{next_ver}_0-0-0"
+        rel = f"{part}/{fname}" if part else fname
+        dst = os.path.join(base_abs, *rel.split("/"))
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if wm == "update":
+            recs = [
+                {c: _coerce(row[c], field_types.get(c, ""))
+                 for c in cols}
+                for _, row in pdf.iterrows()
+            ]
+            block = (BLOCK_AVRO, avro_schema, recs,
+                     {H_INSTANT_TIME: instant})
+        else:
+            recs = [
+                {"recordKey": str(k), "partitionPath": part or None,
+                 "orderingVal": None}
+                for k in pdf["_key"]
+            ]
+            block = (BLOCK_DELETE, DELETE_SCHEMA, recs,
+                     {H_INSTANT_TIME: instant})
+        data = write_log_blocks([block])
+        tmp = dst + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, dst)
+        return pd.DataFrame([{
+            "part": part, "fileId": fid, "path": rel,
+            "numWrites": len(recs),
+            "fileSizeInBytes": len(data),
+        }])
+
+    stat_rows = matched.groupBy("_hudi_fid").applyInPandas(
+        write_group,
+        "part string, fileId string, path string, numWrites long, "
+        "fileSizeInBytes long",
+    ).collect()
+    log_stats: dict[str, list[dict]] = {}
+    for r in stat_rows:
+        log_stats.setdefault(r["part"], []).append({
+            "fileId": r["fileId"], "path": r["path"],
+            "numWrites": int(r["numWrites"]),
+            "fileSizeInBytes": int(r["fileSizeInBytes"]),
+        })
+    part_cols = [
+        f for f in _table_props(table)
+        .get("hoodie.table.partition.fields", "").split(",") if f
+    ]
+    if when_not_matched == "insert":
+        inserts = src.join(route, "_key", "left_anti").select(*cols)
+        _stage_and_commit_hudi(
+            inserts, table, instant, part_cols, replaced=None,
+            operation="UPSERT", action="deltacommit",
+            extra_stats=log_stats,
+        )
+    else:
+        _write_hudi_commit_json(
+            table, instant, log_stats, None, "UPSERT",
+            action="deltacommit",
+        )
+    return instant
+
+
+def compact_hudi_mor(spark: SparkSession, table: str) -> str:
+    """MOR compaction — Hudi's ``compaction`` action: every file
+    slice carrying log files rewrites (base merged with its logs,
+    newest-wins, deletes applied) into a NEW base file for the SAME
+    fileId under a ``.commit``; the old logs stop applying because
+    they name the previous base instant.  Log-free slices carry
+    forward unread.  Returns the instant (unchanged when nothing to
+    compact).
+
+    Scale shape: the merged rows repartition by file group and
+    re-write in ONE distributed staged job (one output file per
+    group — Hudi's own compaction granularity); the driver promotes
+    renames and writes the commit JSON."""
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F  # noqa: F401
+
+    snap = hudi_snapshot(table)
+    if snap["type"] != "MERGE_ON_READ":
+        raise ValueError("hudi: compact_hudi_mor needs an MOR table")
+    dirty = {
+        key: sl for key, sl in snap["slices"].items() if sl["logs"]
+    }
+    if not dirty:
+        return snap["instant"]
+    sub = dict(snap)
+    sub["slices"] = dirty
+    merged = _read_hudi_mor(spark, table, sub, with_fid=True)
+    cols = [c for c in merged.columns if c != "_hudi_fid"]
+    instant = _next_instant(table)
+    base_abs = os.path.abspath(table)
+    part_by_fid = {fid: part for (part, fid) in dirty}
+    stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
+    (
+        merged.repartition("_hudi_fid")
+        .write.mode("overwrite").partitionBy("_hudi_fid")
+        .parquet(stage)
+    )
+    stats: dict[str, list[dict]] = {}
+    try:
+        for entry in sorted(os.listdir(stage)):
+            if not entry.startswith("_hudi_fid="):
+                continue
+            fid = entry.split("=", 1)[1]
+            part = part_by_fid[fid]
+            names = sorted(
+                n for n in os.listdir(os.path.join(stage, entry))
+                if n.endswith(".parquet")
+            )
+            # repartition("_hudi_fid") hash-routes each group to one
+            # task -> one file per group dir; two files for one fid
+            # would make the timeline fold drop rows
+            if len(names) != 1:
+                raise RuntimeError(
+                    f"hudi: compaction wrote {len(names)} files for "
+                    f"file group {fid}"
+                )
+            for i, name in enumerate(names):
+                fname = f"{fid}_{i}-0-0_{instant}.parquet"
+                rel = f"{part}/{fname}" if part else fname
+                dst = os.path.join(base_abs, *rel.split("/"))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(stage, entry, name), dst)
+                stats.setdefault(part, []).append({
+                    "fileId": fid, "path": rel,
+                    "numWrites":
+                        pq.ParquetFile(dst).metadata.num_rows,
+                    "fileSizeInBytes": os.path.getsize(dst),
+                })
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    _write_hudi_commit_json(
+        table, instant, stats, None, "COMPACT", action="commit"
     )
     return instant
