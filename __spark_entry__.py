@@ -5358,6 +5358,70 @@ def q_hudi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MERGE_ON_READ end-to-end (sources/hudi.upsert_hudi_mor /
+    compact_hudi_mor / the real-time read): the evens land as MOR
+    base file groups (deltacommit), an upsert writes AVRO log blocks
+    (+1000 on the %4<2 slice; odd %4==1 rows insert as new groups),
+    a DELETE block removes %8==4, the table COMPACTS (logs fold into
+    new base files, same fileIds, old logs stop applying), and one
+    more upsert stacks +5000 logs on %6==0 — updating rows on the
+    NEW base and RE-INSERTING the deleted ∩ %6==0 keys.  Three legs:
+    'tt' time-travels to after upsert 1, 'rt' to after the delete,
+    'post' is the final merged view — base rows superseded by log
+    rows, delete blocks, compaction and post-compaction stacking all
+    hash-checked against one closed form."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        compact_hudi_mor, hudi_snapshot, read_hudi, upsert_hudi_mor,
+        write_hudi,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_hudimor_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        (F.col("doc_id") % 3).cast("int").alias("bucket"),
+    )
+    write_hudi(
+        base.filter(F.col("doc_id") % 2 == 0).repartition(4), td,
+        partition_by=["bucket"], table_type="MERGE_ON_READ",
+        record_key=["doc_id"],
+    )
+    u1 = base.filter(F.col("doc_id") % 4 < 2).withColumn(
+        "text_len", F.col("text_len") + F.lit(1000)
+    )
+    upsert_hudi_mor(spark, u1, td)
+    i1 = hudi_snapshot(td)["instant"]
+    dels = base.filter(F.col("doc_id") % 8 == 4).select("doc_id")
+    upsert_hudi_mor(spark, dels, td, when_matched="delete",
+                    when_not_matched="ignore")
+    i2 = hudi_snapshot(td)["instant"]
+    compact_hudi_mor(spark, td)
+    u2 = base.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "text_len", F.col("text_len") + F.lit(5000)
+    )
+    upsert_hudi_mor(spark, u2, td)
+    # no pinning needed: Hudi never deletes superseded files, so the
+    # pre-compaction legs time-travel — all three legs compute in
+    # the ONE final action
+    tt = read_hudi(spark, td, as_of=i1).withColumn("leg", F.lit("tt"))
+    rt = read_hudi(spark, td, as_of=i2).withColumn("leg", F.lit("rt"))
+    post = read_hudi(spark, td).withColumn("leg", F.lit("post"))
+    return tt.unionByName(rt).unionByName(post).select(
+        "leg", "doc_id", "text_len",
+        F.col("bucket").cast("int").alias("bucket"),
+    )
+
+
 def q_delta_cdf_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CDF consumption (sources/delta.drain_delta_cdf —
     the streaming-source semantics for change feeds): drain 1 takes
@@ -10099,6 +10163,40 @@ def _llm_oracles() -> dict[str, str]:
                    CAST(doc_id % 3 AS INT) AS bucket
             FROM documents WHERE doc_id % 3 = 1
         """,
+        "hudi_mor": """
+            -- closed form of the MOR fixture (q_hudi_mor):
+            -- tt   = after upsert 1 (evens + inserted %4==1 odds,
+            --        +1000 on the %4<2 slice);
+            -- rt   = after the %8==4 DELETE block;
+            -- post = after compaction + the +5000 restack on %6==0,
+            --        which RE-INSERTS the deleted ∩ %6==0 keys —
+            --        hence the %6<>0 carve-out
+            WITH L AS (
+              SELECT doc_id, LENGTH(text) AS tl,
+                     CAST(doc_id % 3 AS INT) AS bucket
+              FROM documents
+            )
+            SELECT 'tt' AS leg, doc_id,
+                   tl + CASE WHEN doc_id % 4 IN (0, 1)
+                             THEN 1000 ELSE 0 END AS text_len,
+                   bucket
+            FROM L WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
+            UNION ALL
+            SELECT 'rt', doc_id,
+                   tl + CASE WHEN doc_id % 4 IN (0, 1)
+                             THEN 1000 ELSE 0 END,
+                   bucket
+            FROM L WHERE (doc_id % 2 = 0 OR doc_id % 4 = 1)
+              AND doc_id % 8 <> 4
+            UNION ALL
+            SELECT 'post', doc_id,
+                   tl + CASE WHEN doc_id % 6 = 0 THEN 5000
+                             WHEN doc_id % 4 IN (0, 1) THEN 1000
+                             ELSE 0 END,
+                   bucket
+            FROM L WHERE (doc_id % 2 = 0 OR doc_id % 4 = 1)
+              AND NOT (doc_id % 8 = 4 AND doc_id % 6 <> 0)
+        """,
         "cdc_replicate": """
             -- source and replica converge to the SAME closed form:
             -- the upserted %4<2 slice (+1000) minus the %8==4
@@ -11266,6 +11364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # No rows-only (no_oracle) queries occupy window slots (VERDICT r6
     # item 3).  Everything after slot 50 keeps its prior ordering.
     return {
+        "hudi_mor": q_hudi_mor,
         "cdc_replicate": q_cdc_replicate,
         "iceberg_compact_deletes": q_iceberg_compact_deletes,
         "hudi_merge": q_hudi_merge,

@@ -833,6 +833,83 @@ def _slice_meta(snap: dict) -> dict[str, tuple[str, str, int]]:
     return out
 
 
+def _route_hudi_keys(
+    spark: SparkSession, table: str, snap: dict,
+    key_fields: list[str],
+) -> DataFrame:
+    """(record-key string, fileId) pairs for every key SIGHTING in
+    the table — the upsert router.  Deliberately skips the
+    newest-wins reduce: routing an update to any group that ever
+    held the key is correct (the read-side merge resolves by
+    ordinal), and the plan stays a column-PRUNED key scan (the
+    parquet reads touch only the key columns) plus the log parse —
+    no ``max_by`` shuffle."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import decoded_file_path
+
+    base = os.path.abspath(table)
+    reader = spark.read.option("basePath", base)
+    declared = _declared_schema(snap)
+    sub: list[DataFrame] = []
+    base_files = [
+        sl["base"][1] for sl in snap["slices"].values()
+        if sl["base"] is not None
+    ]
+    log_entries = [
+        (fid, inst, ver, p)
+        for (part, fid), sl in snap["slices"].items()
+        for inst, ver, p in sl["logs"]
+    ]
+    if base_files:
+        fid_map = spark.createDataFrame(
+            [(p, snap["groups"][p][1]) for p in base_files],
+            "_hudi_path string, _hudi_fid string",
+        )
+        df = (
+            reader.parquet(*base_files)
+            .withColumn("_hudi_path", decoded_file_path(F))
+            .join(F.broadcast(fid_map), "_hudi_path")
+        )
+        if declared is not None:
+            df = _cast_declared(df, declared, extra=["_hudi_fid"])
+        sub.append(
+            df.select(
+                _key_expr(F, key_fields).alias("_key"), "_hudi_fid"
+            )
+        )
+    if log_entries:
+        if declared is not None:
+            from pyspark.sql import types as T
+
+            schema = T.StructType([
+                f for f in declared.fields
+                if not f.name.startswith("_hoodie_")
+            ])
+        elif base_files:
+            df = reader.parquet(*base_files)
+            schema = df.drop(*[
+                c for c in df.columns if c.startswith("_hoodie_")
+            ]).schema
+        else:
+            raise ValueError(
+                "hudi: log-only table without a commit-recorded "
+                "schema"
+            )
+        logs = _scan_hudi_logs(spark, log_entries, schema)
+        sub.append(
+            logs.select(
+                F.coalesce(
+                    F.col("_del_key"), _key_expr(F, key_fields)
+                ).alias("_key"),
+                "_hudi_fid",
+            )
+        )
+    return reduce(DataFrame.unionByName, sub).distinct()
+
+
 def upsert_hudi_mor(
     spark: SparkSession,
     source: DataFrame,
@@ -875,8 +952,17 @@ def upsert_hudi_mor(
     if not key_fields:
         raise ValueError("hudi: no record key fields (pass on= or "
                          "record_key= at table creation)")
-    live = _read_hudi_mor(spark, table, snap, with_fid=True)
-    cols = [c for c in live.columns if c != "_hudi_fid"]
+    declared = _declared_schema(snap)
+    if declared is not None:
+        cols = [
+            f.name for f in declared.fields
+            if not f.name.startswith("_hoodie_")
+        ]
+    else:
+        cols = [
+            c for c in
+            _read_hudi_mor(spark, table, snap).columns
+        ]
     missing = [k for k in key_fields if k not in source.columns]
     if missing:
         raise ValueError(f"hudi: merge keys {missing} not in source")
@@ -886,9 +972,11 @@ def upsert_hudi_mor(
                 f"hudi: source columns {sorted(source.columns)} != "
                 f"table columns {sorted(cols)}"
             )
-    route = live.select(
-        _key_expr(F, key_fields).alias("_key"), "_hudi_fid"
-    )
+    # one materialization feeds both the matched join and the
+    # insert anti-join (the route would otherwise re-scan twice)
+    route = _route_hudi_keys(
+        spark, table, snap, key_fields
+    ).localCheckpoint(eager=True)
     src = source.withColumn("_key", _key_expr(F, key_fields))
     matched = src.join(route, "_key", "inner")
     meta = _slice_meta(snap)
