@@ -5847,6 +5847,69 @@ def q_iceberg_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day.unionByName(day_bucket)
 
 
+def q_iceberg_merge_transforms(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """MERGE INTO a hidden-partitioned Iceberg table
+    (sources/iceberg.merge_iceberg on the q:iceberg_transforms
+    day(ts)+bucket(4,user_id) shape — the r8 gate lifted): the first
+    events week lands transform-partitioned, then ONE merge updates
+    the event_id%3==0 rows (+1000 value) and inserts the following
+    day's events — the rewrite path recomputes both transforms with
+    the writer's own _transform_column machinery, so rewritten files
+    land back in their day/bucket directories AND the new day's
+    inserts mint fresh transform directories.  Leg 'all' reads the
+    merged table; leg 'pruned' re-reads with a
+    day+bucket partition_filter (manifest-level pruning must still
+    hold AFTER the merge — wrongly pruned files would drop rows and
+    break the hash)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_bucket, merge_iceberg, read_iceberg, write_iceberg,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_icemt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    events = _read_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    week = events.where(
+        F.col("ts") < F.lit("2024-01-08")
+    ).repartition(F.to_date("ts"))
+    write_iceberg(
+        week, td, partition_by=["day(ts)", "bucket(4, user_id)"]
+    )
+    upd = week.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    ins = events.where(
+        (F.col("ts") >= F.lit("2024-01-08"))
+        & (F.col("ts") < F.lit("2024-01-09"))
+    )
+    merge_iceberg(spark, upd.unionByName(ins), td, on=["event_id"])
+    full = read_iceberg(spark, td).select(
+        F.lit("all").alias("leg"), "event_id", "user_id", "value",
+    )
+    uid = 7
+    pruned = read_iceberg(
+        spark, td,
+        partition_filter={
+            "ts_day": "2024-01-05",
+            "user_id_bucket": iceberg_bucket(uid, 4),
+        },
+    ).where(F.col("user_id") == uid).select(
+        F.lit("pruned").alias("leg"), "event_id", "user_id", "value",
+    )
+    return full.unionByName(pruned)
+
+
 def q_iceberg_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v2 EQUALITY deletes (sources/iceberg.py — the delete
     shape Flink CDC writes): snapshot 1 lands the documents table,
@@ -10418,6 +10481,31 @@ def _llm_oracles() -> dict[str, str]:
               AND ts < TIMESTAMP '2024-01-04'
               AND user_id = 7
         """,
+        "iceberg_merge_transforms": """
+            -- closed form of the merge-into-hidden-partitions
+            -- fixture (q_iceberg_merge_transforms): week 1 with
+            -- event_id%3==0 values +1000, plus the inserted day 8;
+            -- leg 'pruned' = user 7 on 2024-01-05 after the merge
+            -- (the day+bucket partition filter prunes files, the
+            -- residual user_id filter picks the user)
+            WITH m AS (
+              SELECT event_id, ts, user_id,
+                     value + CASE WHEN event_id % 3 = 0
+                                  THEN 1000 ELSE 0 END AS value
+              FROM events WHERE ts < TIMESTAMP '2024-01-08'
+              UNION ALL
+              SELECT event_id, ts, user_id, value
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-08'
+                AND ts < TIMESTAMP '2024-01-09'
+            )
+            SELECT 'all' AS leg, event_id, user_id, value FROM m
+            UNION ALL
+            SELECT 'pruned', event_id, user_id, value FROM m
+            WHERE ts >= TIMESTAMP '2024-01-05'
+              AND ts < TIMESTAMP '2024-01-06'
+              AND user_id = 7
+        """,
         "iceberg_equality": """
             -- closed form of the three-snapshot equality-delete
             -- fixture (q_iceberg_equality): snapshot 2 deletes
@@ -11365,6 +11453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # item 3).  Everything after slot 50 keeps its prior ordering.
     return {
         "hudi_mor": q_hudi_mor,
+        "iceberg_merge_transforms": q_iceberg_merge_transforms,
         "cdc_replicate": q_cdc_replicate,
         "iceberg_compact_deletes": q_iceberg_compact_deletes,
         "hudi_merge": q_hudi_merge,

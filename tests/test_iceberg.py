@@ -757,7 +757,9 @@ def test_merge_iceberg_gates(spark, tmp_path):
         df.withColumn("ts", F.expr("timestamp'2024-01-01'")), t,
         partition_by=["day(ts)"],
     )
-    with pytest.raises(ValueError, match="transform-partitioned"):
+    # the r8 transform gate is lifted; a source whose columns do not
+    # match the table still gates
+    with pytest.raises(ValueError, match="columns"):
         merge_iceberg(spark, df, t, on=["id"])
 
 
@@ -908,3 +910,70 @@ def test_bucket_transform_date_column(spark, tmp_path):
     assert got == want
     # the reader never exposes the hidden transform column
     assert "d_bucket" not in read_iceberg(spark, t).columns
+
+
+def test_merge_iceberg_transform_partitioned(spark, tmp_path):
+    """MERGE INTO a day(ts)+bucket(4,id) hidden-partitioned table:
+    transforms recompute on the rewrite path, rewritten files land
+    back in their transform dirs, and manifest-level pruning still
+    works afterward."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_bucket, iceberg_snapshot, merge_iceberg,
+        read_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "mtr")
+    df = spark.range(100).select(
+        F.col("id").cast("long").alias("id"),
+        (
+            F.expr("timestamp'1992-03-01 00:00:00'")
+            + F.make_interval(hours=F.col("id") * 7)
+        ).alias("ts"),
+        F.concat(F.lit("user"), (F.col("id") % 7).cast("string"))
+        .alias("name"),
+    )
+    write_iceberg(df, t, partition_by=["day(ts)", "bucket(4, id)"])
+    # upsert: ids < 10 get renamed; id 1000 inserts
+    src = df.filter(F.col("id") < 10).withColumn(
+        "name", F.concat(F.lit("upd"), F.col("id").cast("string"))
+    ).unionByName(
+        spark.sql(
+            "SELECT CAST(1000 AS LONG) id, "
+            "timestamp'1992-03-13 00:00:00' ts, 'newbie' name"
+        )
+    )
+    v = merge_iceberg(spark, src, t, on=["id"])
+    snap = iceberg_snapshot(t)
+    assert snap["snapshot_id"] == v
+    back = read_iceberg(spark, t)
+    assert back.count() == 101
+    got = {r["id"]: r["name"] for r in back.collect()}
+    assert got[3] == "upd3" and got[1000] == "newbie"
+    assert got[42] == "user0"
+    # every live file records BOTH transform partition values
+    assert all(
+        set(vv) == {"ts_day", "id_bucket"}
+        for vv in snap["partitions"].values()
+    )
+    # pruning still metadata-level: the filter keeps a strict subset
+    b42 = iceberg_bucket(42, 4)
+    pruned_files = [
+        p for p in snap["files"]
+        if snap["partitions"][p].get("ts_day") == "1992-03-13"
+        and snap["partitions"][p].get("id_bucket") == str(b42)
+    ]
+    assert 0 < len(pruned_files) < len(snap["files"])
+    pruned = read_iceberg(
+        spark, t,
+        partition_filter={"ts_day": "1992-03-13", "id_bucket": b42},
+    )
+    rows = pruned.filter(F.col("id") == 42).collect()
+    assert len(rows) == 1 and rows[0]["name"] == "user0"
+    # delete-merge on the same transform spec
+    merge_iceberg(
+        spark, spark.createDataFrame([(1000,)], "id long"), t,
+        on=["id"], when_matched="delete", when_not_matched="ignore",
+    )
+    assert read_iceberg(spark, t).count() == 100

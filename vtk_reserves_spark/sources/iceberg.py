@@ -604,6 +604,15 @@ def _transform_spec_name(transform: str, param: int | None) -> str:
     return transform
 
 
+def _parse_spec_transform(spec_name: str) -> tuple[str, int | None]:
+    """Inverse of :func:`_transform_spec_name`: ``"bucket[4]"`` ->
+    ``("bucket", 4)``."""
+    if "[" in spec_name and spec_name.endswith("]"):
+        base, _, param = spec_name[:-1].partition("[")
+        return base, int(param)
+    return spec_name, None
+
+
 _TIME_FORMATS = {
     "year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd",
     "hour": "yyyy-MM-dd-HH",
@@ -1058,9 +1067,12 @@ def merge_iceberg(
 
     ``when_matched``: "update" | "delete";
     ``when_not_matched``: "insert" | "ignore".  Tables with v2
-    row-level deletes or non-identity partition transforms gate
-    (rewriting those safely needs delete-file compaction / transform
-    recomputation)."""
+    row-level deletes gate (compact them first); hidden-partitioning
+    transforms (``day``/``bucket[N]``/``truncate[W]``/...) are
+    RECOMPUTED on the rewrite path with the same
+    :func:`_transform_column` machinery the writer uses, so the
+    rewritten files land back in their transform directories and the
+    manifest partition values keep metadata-level pruning intact."""
     from pyspark.sql import functions as F
 
     from vtk_reserves_spark.sources.delta import decoded_file_path
@@ -1078,11 +1090,6 @@ def merge_iceberg(
             "not supported (compact them first)"
         )
     spec = snap.get("partition_spec") or []
-    if any(e.get("transform") != "identity" for e in spec):
-        raise ValueError(
-            "iceberg: merge into transform-partitioned tables not "
-            "supported"
-        )
     part_cols = [e["name"] for e in spec]
     table_cols = [
         f["name"] for f in (snap["schema"] or {}).get("fields", [])
@@ -1145,6 +1152,29 @@ def merge_iceberg(
     new_df = pieces[0]
     for p in pieces[1:]:
         new_df = new_df.unionByName(p)
+    # recompute hidden-partitioning transform values for write-back
+    # (the rewrite drops the dir-recovered columns with the
+    # table_cols projection above; transforms are deterministic, so
+    # recomputation reproduces them exactly)
+    name_by_id = {
+        int(f["id"]): f["name"]
+        for f in (snap["schema"] or {}).get("fields", [])
+    }
+    dtypes = dict(new_df.dtypes)
+    for e in spec:
+        tr_spec = e.get("transform") or "identity"
+        if tr_spec == "identity":
+            continue
+        tr, param = _parse_spec_transform(tr_spec)
+        src = name_by_id.get(int(e.get("source-id", 0)))
+        if src is None or src not in dtypes:
+            raise ValueError(
+                f"iceberg: transform source column for partition "
+                f"field {e['name']!r} not in table schema"
+            )
+        new_df = new_df.withColumn(
+            e["name"], _transform_column(F, tr, param, src, dtypes[src])
+        )
     stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
     writer = new_df.write.mode("overwrite")
     if part_cols:
