@@ -5179,7 +5179,16 @@ def q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain 1 seeds it (write_iceberg), drain 2 applies as ONE
     merge_iceberg upsert (insert + update_postimage rows) plus one
     delete-merge (delete rows) — so the replica converges without
-    ever scanning the source table.  Both legs return: 'src' reads
+    ever scanning the source table.
+
+    RESTART-SAFE (r8 verdict item 3): every apply is keyed on the
+    drained version range via the txn ledger (``write_iceberg(txn=
+    ...)`` / ``merge_iceberg(txn=...)``), so a crash between drain
+    and apply replays as a no-op.  Proof IN the hash: after the real
+    applies, POISONED redeliveries of the same version range (+777
+    values; a delete of the %4==2 survivors) re-apply under the same
+    txn ids — the ledger must skip them or the legs' values/rows
+    shift and the oracle hash breaks.  Both legs return: 'src' reads
     the Delta head, 'replica' reads the Iceberg table; the oracle
     pins them to the SAME closed form, which is the whole point —
     incremental 100 TB replication at the cost of the churn."""
@@ -5210,11 +5219,12 @@ def q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("doc_id") % 2 == 0), src_t,
         configuration={"delta.enableChangeDataFeed": "true"},
     )
-    d1 = drain_delta_cdf(spark, src_t, cur)
+    d1, (_, hi1) = drain_delta_cdf(spark, src_t, cur,
+                                   return_range=True)
     write_iceberg(
         d1.filter(F.col("_change_type") == "insert")
         .select("doc_id", "text_len"),
-        rep_t,
+        rep_t, txn=("cdc-seed", hi1),
     )
     src = base.filter(F.col("doc_id") % 4 < 2).withColumn(
         "text_len", F.col("text_len") + F.lit(1000)
@@ -5225,17 +5235,34 @@ def q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["doc_id"], when_matched="delete",
         when_not_matched="ignore",
     )
-    d2 = drain_delta_cdf(spark, src_t, cur).localCheckpoint()
+    d2, (_, hi2) = drain_delta_cdf(spark, src_t, cur,
+                                   return_range=True)
     upserts = d2.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     ).select("doc_id", "text_len")
-    merge_iceberg(spark, upserts, rep_t, on=["doc_id"])
+    merge_iceberg(spark, upserts, rep_t, on=["doc_id"],
+                  txn=("cdc-upsert", hi2))
     deletes = d2.filter(F.col("_change_type") == "delete").select(
         "doc_id", "text_len"
     )
     merge_iceberg(
         spark, deletes, rep_t, on=["doc_id"],
         when_matched="delete", when_not_matched="ignore",
+        txn=("cdc-delete", hi2),
+    )
+    # poisoned redeliveries of the SAME version range: the txn
+    # ledger must skip both, or the replica leg's hash breaks
+    merge_iceberg(
+        spark,
+        upserts.withColumn("text_len", F.col("text_len") + F.lit(777)),
+        rep_t, on=["doc_id"], txn=("cdc-upsert", hi2),
+    )
+    merge_iceberg(
+        spark,
+        base.filter(F.col("doc_id") % 4 == 2)
+        .select("doc_id", "text_len"),
+        rep_t, on=["doc_id"], when_matched="delete",
+        when_not_matched="ignore", txn=("cdc-delete", hi2),
     )
     src_leg = read_delta(spark, src_t).select(
         F.lit("src").alias("leg"), "doc_id", "text_len"

@@ -977,3 +977,41 @@ def test_merge_iceberg_transform_partitioned(spark, tmp_path):
         on=["id"], when_matched="delete", when_not_matched="ignore",
     )
     assert read_iceberg(spark, t).count() == 100
+
+
+def test_merge_iceberg_txn_exactly_once(spark, tmp_path):
+    """merge_iceberg(txn=) skips replayed batches via the table
+    properties ledger, like write_iceberg's streaming-sink
+    protocol."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        _load_table_metadata, iceberg_snapshot, merge_iceberg,
+        read_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "mtxn")
+    write_iceberg(spark.range(5).withColumn("v", F.lit(1.0)), t)
+    src = spark.createDataFrame([(0, 10.0), (9, 90.0)],
+                                "id long, v double")
+    v1 = merge_iceberg(spark, src, t, on=["id"], txn=("etl", 3))
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got[0] == 10.0 and got[9] == 90.0
+    # poisoned replay at the same version: skipped entirely
+    poison = spark.createDataFrame([(0, 666.0)], "id long, v double")
+    assert merge_iceberg(
+        spark, poison, t, on=["id"], txn=("etl", 3),
+    ) == v1
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got[0] == 10.0
+    # an older version skips too; a NEWER one applies
+    assert merge_iceberg(
+        spark, poison, t, on=["id"], txn=("etl", 2),
+    ) == v1
+    v2 = merge_iceberg(spark, poison, t, on=["id"], txn=("etl", 4))
+    assert v2 == v1 + 1
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got[0] == 666.0
+    props = _load_table_metadata(t).get("properties") or {}
+    assert props.get("txn.etl") == "4"
+    assert iceberg_snapshot(t)["snapshot_id"] == v2

@@ -1054,6 +1054,7 @@ def merge_iceberg(
     on: list[str],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Copy-on-write MERGE INTO for Iceberg — the same plan shape as
     `sources/delta.merge_delta` (and as iceberg-spark's own CoW
@@ -1072,7 +1073,17 @@ def merge_iceberg(
     RECOMPUTED on the rewrite path with the same
     :func:`_transform_column` machinery the writer uses, so the
     rewritten files land back in their transform directories and the
-    manifest partition values keep metadata-level pruning intact."""
+    manifest partition values keep metadata-level pruning intact.
+
+    ``txn=(app_id, app_version)`` gives EXACTLY-ONCE semantics for
+    at-least-once producers, same ledger as ``write_iceberg``: the
+    merge is SKIPPED (no scan, no rewrite, no commit) when the
+    table's ``txn.<app_id>`` property already records an
+    equal-or-newer version — how an incremental CDC apply keyed on
+    the drained source version range replays as a no-op after a
+    crash between drain and apply.  (A merge that is itself a no-op
+    does not advance the ledger; an empty batch re-applies as
+    another no-op.)"""
     from pyspark.sql import functions as F
 
     from vtk_reserves_spark.sources.delta import decoded_file_path
@@ -1083,6 +1094,12 @@ def merge_iceberg(
         raise ValueError(
             f"iceberg: when_not_matched {when_not_matched!r}"
         )
+    if txn is not None:
+        meta = _load_table_metadata(table)
+        seen = (meta.get("properties") or {}).get(f"txn.{txn[0]}")
+        if seen is not None and int(seen) >= int(txn[1]):
+            snaps = meta.get("snapshots") or []
+            return int(snaps[-1]["snapshot-id"]) if snaps else 0
     snap = iceberg_snapshot(table)
     if snap["position_deletes"] or snap["equality_deletes"]:
         raise ValueError(
@@ -1212,10 +1229,19 @@ def merge_iceberg(
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     snapshot_id = 1 + int(snap["snapshot_id"] or 0)
+    summary_extra = {"operation-detail": "merge"}
+    props_update = None
+    if txn is not None:
+        summary_extra.update({
+            "streaming-app-id": str(txn[0]),
+            "streaming-batch-id": str(int(txn[1])),
+        })
+        props_update = {f"txn.{txn[0]}": str(int(txn[1]))}
     append_iceberg_snapshot(
         table, snapshot_id, data_files,
         deleted_files=[os.path.relpath(p, table) for p in touched],
-        summary_extra={"operation-detail": "merge"},
+        summary_extra=summary_extra,
+        properties_update=props_update,
     )
     return snapshot_id
 
