@@ -5668,15 +5668,20 @@ def q_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_iceberg_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iceberg COMPACTION (sources/iceberg.optimize_iceberg —
-    rewrite_data_files bin-pack): the documents land as 8
-    deliberately-small files per partition-less table, compaction
-    rewrites every sub-threshold file into a handful (one
-    distributed scan + write; victim selection is metadata-only from
-    manifest file sizes, which carry across snapshot
-    carry-forward), the old snapshot stays time-travelable, and
-    expire + orphan removal reclaims the victims.  Content is
-    hash-checked; the file-count drop is pinned by pytest."""
+    """Iceberg PARTIAL-PROGRESS compaction (sources/iceberg.
+    optimize_iceberg — rewrite_data_files bin-pack with
+    ``max_commits``, iceberg-spark's partial-progress mode): the
+    documents land as 4 deliberately-small files in each of 3
+    partitions, compaction rewrites them in TWO per-partition commit
+    batches (a 100 TB compaction never stakes everything on one
+    snapshot CAS; a crash keeps the batches already committed), then
+    expire keeps the last two snapshots and orphan removal reclaims
+    the batch-1 victims.  Leg 'head' reads the final state; leg
+    'mid' time-travels to the INTERMEDIATE snapshot — a valid table
+    state with some partitions compacted and the rest original —
+    and must carry the full content.  Victim selection is
+    metadata-only (manifest file sizes, carried across snapshot
+    carry-forward); file counts per batch are pinned by pytest."""
     import shutil
     import tempfile
 
@@ -5693,13 +5698,22 @@ def q_iceberg_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(td, ignore_errors=True)
     base = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("text_len")
+        "doc_id", F.length("text").alias("text_len"),
+        (F.col("doc_id") % 3).cast("int").alias("bucket"),
     )
-    write_iceberg(base.repartition(8), td)
-    optimize_iceberg(spark, td, min_file_size=1 << 20)
-    expire_iceberg_snapshots(td, keep_last=1)
+    write_iceberg(base.repartition(4), td, partition_by=["bucket"])
+    v = optimize_iceberg(
+        spark, td, min_file_size=1 << 20, max_commits=2,
+    )
+    expire_iceberg_snapshots(td, keep_last=2)
     remove_iceberg_orphans(td)
-    return read_iceberg(spark, td).select("doc_id", "text_len")
+    head = read_iceberg(spark, td).select(
+        F.lit("head").alias("leg"), "doc_id", "text_len", "bucket",
+    )
+    mid = read_iceberg(spark, td, snapshot_id=v - 1).select(
+        F.lit("mid").alias("leg"), "doc_id", "text_len", "bucket",
+    )
+    return head.unionByName(mid)
 
 
 def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10443,8 +10457,15 @@ def _llm_oracles() -> dict[str, str]:
             FROM documents WHERE doc_id % 2 = 0 AND doc_id % 4 <> 0
         """,
         "iceberg_optimize": """
-            -- compaction preserves content exactly
-            SELECT doc_id, LENGTH(text) AS text_len FROM documents
+            -- partial-progress compaction preserves content exactly
+            -- at the head AND at the intermediate commit batch
+            SELECT 'head' AS leg, doc_id, LENGTH(text) AS text_len,
+                   CAST(doc_id % 3 AS INT) AS bucket
+            FROM documents
+            UNION ALL
+            SELECT 'mid', doc_id, LENGTH(text),
+                   CAST(doc_id % 3 AS INT)
+            FROM documents
         """,
         "iceberg_incremental": """
             -- appended after snapshot 1 = the doc_id % 3 in (1, 2)

@@ -1015,3 +1015,55 @@ def test_merge_iceberg_txn_exactly_once(spark, tmp_path):
     props = _load_table_metadata(t).get("properties") or {}
     assert props.get("txn.etl") == "4"
     assert iceberg_snapshot(t)["snapshot_id"] == v2
+
+
+def test_optimize_iceberg_partial_progress(spark, tmp_path):
+    """max_commits>1 compacts in per-partition commit batches: each
+    intermediate snapshot is a valid time-travelable table state and
+    the final content matches the single-commit result."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_snapshot, iceberg_snapshots_df, optimize_iceberg,
+        read_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "pp")
+    df = spark.range(60).select(
+        "id", (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    # 4 small files per partition
+    write_iceberg(df.repartition(4), t, partition_by=["p"])
+    before = sorted(r["id"] for r in read_iceberg(spark, t).collect())
+    pre = iceberg_snapshot(t)
+    v = optimize_iceberg(spark, t, min_file_size=1 << 20,
+                         max_commits=2)
+    snap = iceberg_snapshot(t)
+    assert snap["snapshot_id"] == v
+    # two rewrite commits landed
+    snaps = iceberg_snapshots_df(spark, t).toPandas()
+    assert len(snaps) == 3  # append + 2 rewrite batches
+    # fewer files than before, same content
+    assert len(snap["files"]) < len(pre["files"])
+    after = sorted(r["id"] for r in read_iceberg(spark, t).collect())
+    assert after == before
+    # the INTERMEDIATE snapshot is a valid table state with the
+    # full content (some partitions compacted, others not yet)
+    mid = sorted(
+        r["id"]
+        for r in read_iceberg(spark, t, snapshot_id=v - 1).collect()
+    )
+    assert mid == before
+    mid_files = iceberg_snapshot(t, snapshot_id=v - 1)["files"]
+    assert len(snap["files"]) < len(mid_files) < len(pre["files"])
+    # partition-less table: batches chunk the victim list
+    t2 = str(tmp_path / "pp2")
+    write_iceberg(
+        spark.range(40).withColumn("v", F.lit(1.0)).repartition(6),
+        t2,
+    )
+    v2 = optimize_iceberg(spark, t2, min_file_size=1 << 20,
+                          max_commits=3)
+    assert v2 >= 3  # multiple commit batches
+    assert read_iceberg(spark, t2).count() == 40

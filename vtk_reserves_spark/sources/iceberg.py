@@ -1348,6 +1348,7 @@ def compact_iceberg_deletes(spark: SparkSession, table: str) -> int:
 
 def optimize_iceberg(
     spark: SparkSession, table: str, min_file_size: int = 128 << 20,
+    max_commits: int | None = None,
 ) -> int:
     """Compaction — iceberg-spark's ``rewrite_data_files`` bin-pack
     strategy: data files smaller than ``min_file_size`` rewrite into
@@ -1364,19 +1365,24 @@ def optimize_iceberg(
     The delete files keep being carried for the untouched files;
     :func:`compact_iceberg_deletes` retires them.
 
-    Scale shape: ONE distributed job — the victims scan with
-    ``basePath`` (so identity partition columns and transform
+    ``max_commits`` enables PARTIAL-PROGRESS compaction
+    (iceberg-spark's ``partial-progress.enabled`` /
+    ``partial-progress.max-commits``): victims group by partition
+    directory into up to ``max_commits`` batches, each committed as
+    its OWN snapshot — a 100 TB compaction no longer stakes
+    everything on one snapshot CAS, a crash keeps the batches
+    already committed, and every intermediate snapshot is a valid,
+    time-travelable table state.  Default (None/1) keeps the single
+    commit.
+
+    Scale shape: per batch, ONE distributed job — the victims scan
+    with ``basePath`` (so identity partition columns and transform
     directory values recover as columns), coalesced to bin-pack,
     re-written with ``partitionBy`` so every row lands back in its
     own partition directory; the driver then swaps manifest entries
     (remove victims, add outputs), pure metadata.  File sizes come
     from the manifests (carried across snapshots), so victim
     selection is metadata-only."""
-    import shutil
-    import uuid as _uuid
-    from urllib.parse import quote
-
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F  # noqa: F401
 
     snap = iceberg_snapshot(table)
@@ -1388,22 +1394,77 @@ def optimize_iceberg(
         return snap["snapshot_id"] or 0
     spec = snap.get("partition_spec") or []
     part_fields = [e["name"] for e in spec]
+    has_deletes = bool(
+        snap["position_deletes"] or snap["equality_deletes"]
+    )
+    if max_commits is None or max_commits <= 1:
+        batches = [victims]
+    else:
+        groups: dict[str, list[str]] = {}
+        for p in victims:
+            groups.setdefault(
+                os.path.dirname(os.path.relpath(p, table)), []
+            ).append(p)
+        ordered = [groups[k] for k in sorted(groups)]
+        if len(ordered) == 1:
+            # partition-less (or single-partition) table: chunk the
+            # victim list itself so progress still lands in batches
+            only = ordered[0]
+            n = min(int(max_commits), max(1, len(only) // 2))
+            step = -(-len(only) // n)
+            batches = [
+                only[i : i + step] for i in range(0, len(only), step)
+            ]
+        else:
+            n = min(int(max_commits), len(ordered))
+            batches = [[] for _ in range(n)]
+            for i, grp in enumerate(ordered):
+                batches[i % n].extend(grp)
+        batches = [b for b in batches if len(b) >= 1]
+    snapshot_id = int(snap["snapshot_id"] or 0)
+    for batch in batches:
+        data_files = _rewrite_files_batch(
+            spark, table, snap, batch, part_fields, has_deletes
+        )
+        snapshot_id += 1
+        append_iceberg_snapshot(
+            table, snapshot_id, data_files,
+            deleted_files=[
+                os.path.relpath(p, table) for p in batch
+            ],
+            summary_extra={"operation-detail": "rewrite-data-files"},
+        )
+    return snapshot_id
+
+
+def _rewrite_files_batch(
+    spark: SparkSession, table: str, snap: dict,
+    victims: list[str], part_fields: list[str], has_deletes: bool,
+) -> list[dict]:
+    """One compaction batch: delete-applied scan of ``victims``,
+    bin-packed staged write, promote-by-rename; returns the manifest
+    entries for the new files."""
+    import shutil
+    import uuid as _uuid
+    from urllib.parse import quote
+
+    import pyarrow.parquet as pq
+
+    from vtk_reserves_spark.sources.delta import _hive_partition_values
+
     base = os.path.abspath(table)
-    if snap["position_deletes"] or snap["equality_deletes"]:
+    if has_deletes:
         sub = dict(snap)
         sub["files"] = victims
         rows = _scan_snapshot(spark, table, sub, keep_hidden=True)
     else:
-        reader = spark.read.option("basePath", base)
-        rows = reader.parquet(*victims)
+        rows = spark.read.option("basePath", base).parquet(*victims)
     rows = rows.coalesce(max(1, len(victims) // 8))
     stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
     writer = rows.write.mode("overwrite")
     if part_fields:
         writer = writer.partitionBy(*part_fields)
     writer.parquet(stage)
-    from vtk_reserves_spark.sources.delta import _hive_partition_values
-
     data_files = []
     try:
         os.makedirs(os.path.join(table, "data"), exist_ok=True)
@@ -1435,13 +1496,7 @@ def optimize_iceberg(
                 data_files.append(entry)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    snapshot_id = 1 + int(snap["snapshot_id"] or 0)
-    append_iceberg_snapshot(
-        table, snapshot_id, data_files,
-        deleted_files=[os.path.relpath(p, table) for p in victims],
-        summary_extra={"operation-detail": "rewrite-data-files"},
-    )
-    return snapshot_id
+    return data_files
 
 
 def read_iceberg_incremental(
