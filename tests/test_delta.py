@@ -1142,3 +1142,52 @@ def test_drain_delta_cdf_range_and_materialize(spark, tmp_path):
     drain_delta_cdf(spark, t2, cur2)
     d2, (lo2, hi2) = drain_delta_cdf(spark, t2, cur2, return_range=True)
     assert d2.count() == 0 and lo2 == hi2 + 1
+
+
+def test_merge_broadcast_source_fallback(spark, tmp_path):
+    """broadcast_source=False runs the merge joins un-hinted (the
+    very-large-source fallback): results identical across all three
+    formats."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import merge_delta, read_delta, write_delta
+    from vtk_reserves_spark.sources.hudi import merge_hudi, read_hudi, write_hudi
+    from vtk_reserves_spark.sources.iceberg import (
+        merge_iceberg, read_iceberg, write_iceberg,
+    )
+
+    df = spark.range(20).withColumn("v", F.col("id") * 1.0)
+    src = spark.createDataFrame(
+        [(3, 33.0), (25, 250.0)], "id long, v double"
+    )
+    dels = spark.createDataFrame([(4,), (5,)], "id long")
+    want = {i: float(i) for i in range(20) if i not in (4, 5)}
+    want[3] = 33.0
+    want[25] = 250.0
+
+    t1 = str(tmp_path / "d")
+    write_delta(df, t1)
+    merge_delta(spark, src, t1, on=["id"], broadcast_source=False)
+    merge_delta(spark, dels.withColumn("v", F.lit(0.0)), t1,
+                on=["id"], when_matched="delete",
+                when_not_matched="ignore", broadcast_source=False)
+    got = {r["id"]: r["v"] for r in read_delta(spark, t1).collect()}
+    assert got == want
+
+    t2 = str(tmp_path / "i")
+    write_iceberg(df, t2)
+    merge_iceberg(spark, src, t2, on=["id"], broadcast_source=False)
+    merge_iceberg(spark, dels.withColumn("v", F.lit(0.0)), t2,
+                  on=["id"], when_matched="delete",
+                  when_not_matched="ignore", broadcast_source=False)
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t2).collect()}
+    assert got == want
+
+    t3 = str(tmp_path / "h")
+    write_hudi(df, t3)
+    merge_hudi(spark, src, t3, on=["id"], broadcast_source=False)
+    merge_hudi(spark, dels.withColumn("v", F.lit(0.0)), t3,
+               on=["id"], when_matched="delete",
+               when_not_matched="ignore", broadcast_source=False)
+    got = {r["id"]: r["v"] for r in read_hudi(spark, t3).collect()}
+    assert got == want

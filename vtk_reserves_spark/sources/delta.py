@@ -944,6 +944,7 @@ def merge_delta(
     on: list[str],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    broadcast_source: bool = True,
 ) -> int:
     """Copy-on-write MERGE (delta-spark's ``MERGE INTO`` subset):
     upsert ``source`` into the table keyed on the ``on`` columns;
@@ -969,8 +970,23 @@ def merge_delta(
 
     Duplicate keys in ``source`` are written as-is (delta-spark
     raises instead; de-duplicate upstream if that matters).  Tables
-    using column mapping gate (our writer emits unmapped files)."""
+    using column mapping gate (our writer emits unmapped files).
+
+    ``broadcast_source`` (default True) hints the source KEY SET
+    into a broadcast for every merge join — right for the
+    upsert-batch shape (keys comfortably under the executor-memory
+    ceiling, roughly ``spark.sql.autoBroadcastJoinThreshold``-scale,
+    ~10s of MB / low millions of keys).  Pass False for very large
+    merge sources: the joins run un-hinted and AQE picks shuffled
+    hash / sort-merge strategies instead — same result, no driver
+    OOM risk.  (Applies equally to ``merge_iceberg`` and
+    ``merge_hudi``, which take the same parameter.)"""
     from pyspark.sql import functions as F
+
+    # broadcast_source=False switches the source-key joins to
+    # plain (AQE-planned) joins - the fallback for merge sources
+    # too large to broadcast (see module docstring ceiling note)
+    _b = F.broadcast if broadcast_source else (lambda d: d)
 
     if when_matched not in ("update", "delete"):
         raise ValueError(f"delta: when_matched {when_matched!r}")
@@ -1000,7 +1016,7 @@ def merge_delta(
     # pass 1: which files hold a matched key (file list only)
     touched_abs = [
         r["_delta_file"]
-        for r in data.join(F.broadcast(keys), on, "left_semi")
+        for r in data.join(_b(keys), on, "left_semi")
         .select("_delta_file").distinct().collect()
     ]
     from urllib.parse import unquote
@@ -1018,7 +1034,7 @@ def merge_delta(
     pieces = []
     if touched_rows is not None:
         pieces.append(
-            touched_rows.join(F.broadcast(keys), on, "left_anti")
+            touched_rows.join(_b(keys), on, "left_anti")
             .drop("_delta_file").select(*table_cols)
         )
     if when_matched == "update" and when_not_matched == "insert":
@@ -1031,13 +1047,13 @@ def merge_delta(
         )
         ins = source
         if matched_keys is not None:
-            ins = ins.join(F.broadcast(matched_keys), on, "left_anti")
+            ins = ins.join(_b(matched_keys), on, "left_anti")
         pieces.append(ins.select(*table_cols))
     elif when_matched == "update":  # update + ignore
         if touched_rows is not None:
             matched_keys = touched_rows.select(*on).distinct()
             pieces.append(
-                source.join(F.broadcast(matched_keys), on, "left_semi")
+                source.join(_b(matched_keys), on, "left_semi")
                 .select(*table_cols)
             )
     if not pieces and not removes:
@@ -1054,7 +1070,7 @@ def merge_delta(
         cdf_parts: list[DataFrame] = []
         if touched_rows is not None:
             matched_tgt = (
-                touched_rows.join(F.broadcast(keys), on, "left_semi")
+                touched_rows.join(_b(keys), on, "left_semi")
                 .select(*table_cols)
             )
             tgt_type = (
@@ -1067,7 +1083,7 @@ def merge_delta(
             tgt_keys = matched_tgt.select(*on).distinct()
             if when_matched == "update":
                 cdf_parts.append(
-                    source.join(F.broadcast(tgt_keys), on, "left_semi")
+                    source.join(_b(tgt_keys), on, "left_semi")
                     .select(*table_cols)
                     .withColumn(
                         "_change_type", F.lit("update_postimage")
@@ -1075,7 +1091,7 @@ def merge_delta(
                 )
             if when_not_matched == "insert":
                 cdf_parts.append(
-                    source.join(F.broadcast(tgt_keys), on, "left_anti")
+                    source.join(_b(tgt_keys), on, "left_anti")
                     .select(*table_cols)
                     .withColumn("_change_type", F.lit("insert"))
                 )

@@ -711,6 +711,7 @@ def merge_hudi(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     partition_by: list[str] | None = None,
+    broadcast_source: bool = True,
 ) -> str:
     """Record-key UPSERT/DELETE — Hudi's defining verb, expressed as
     the same copy-on-write plan as ``merge_delta``/``merge_iceberg``:
@@ -723,6 +724,11 @@ def merge_hudi(
     pre-merge snapshot stays time-travelable.  Returns the commit
     instant."""
     from pyspark.sql import functions as F
+
+    # broadcast_source=False switches the source-key joins to
+    # plain (AQE-planned) joins - the fallback for merge sources
+    # too large to broadcast (see module docstring ceiling note)
+    _b = F.broadcast if broadcast_source else (lambda d: d)
 
     from vtk_reserves_spark.sources.delta import decoded_file_path
 
@@ -755,7 +761,7 @@ def merge_hudi(
     keys = source.select(*on).distinct()
     touched = [
         r["_hudi_file"]
-        for r in data.join(F.broadcast(keys), on, "left_semi")
+        for r in data.join(_b(keys), on, "left_semi")
         .select("_hudi_file").distinct().collect()
     ]
     pieces: list[DataFrame] = []
@@ -765,7 +771,7 @@ def merge_hudi(
     )
     if touched_rows is not None:
         pieces.append(
-            touched_rows.join(F.broadcast(keys), on, "left_anti")
+            touched_rows.join(_b(keys), on, "left_anti")
             .select(*table_cols)
         )
     if when_matched == "update" and when_not_matched == "insert":
@@ -774,13 +780,13 @@ def merge_hudi(
         ins = source
         if touched_rows is not None:
             matched_keys = touched_rows.select(*on).distinct()
-            ins = ins.join(F.broadcast(matched_keys), on, "left_anti")
+            ins = ins.join(_b(matched_keys), on, "left_anti")
         pieces.append(ins.select(*table_cols))
     elif when_matched == "update":
         if touched_rows is not None:
             matched_keys = touched_rows.select(*on).distinct()
             pieces.append(
-                source.join(F.broadcast(matched_keys), on, "left_semi")
+                source.join(_b(matched_keys), on, "left_semi")
                 .select(*table_cols)
             )
     if not pieces and not touched:

@@ -1055,6 +1055,7 @@ def merge_iceberg(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     txn: tuple[str, int] | None = None,
+    broadcast_source: bool = True,
 ) -> int:
     """Copy-on-write MERGE INTO for Iceberg — the same plan shape as
     `sources/delta.merge_delta` (and as iceberg-spark's own CoW
@@ -1085,6 +1086,11 @@ def merge_iceberg(
     does not advance the ledger; an empty batch re-applies as
     another no-op.)"""
     from pyspark.sql import functions as F
+
+    # broadcast_source=False switches the source-key joins to
+    # plain (AQE-planned) joins - the fallback for merge sources
+    # too large to broadcast (see module docstring ceiling note)
+    _b = F.broadcast if broadcast_source else (lambda d: d)
 
     from vtk_reserves_spark.sources.delta import decoded_file_path
 
@@ -1128,7 +1134,7 @@ def merge_iceberg(
     keys = source.select(*on).distinct()
     touched = [
         r["_ice_file"]
-        for r in data.join(F.broadcast(keys), on, "left_semi")
+        for r in data.join(_b(keys), on, "left_semi")
         .select("_ice_file").distinct().collect()
     ]
     pieces: list[DataFrame] = []
@@ -1138,7 +1144,7 @@ def merge_iceberg(
     )
     if touched_rows is not None:
         pieces.append(
-            touched_rows.join(F.broadcast(keys), on, "left_anti")
+            touched_rows.join(_b(keys), on, "left_anti")
             .select(*table_cols)
         )
     if when_matched == "update" and when_not_matched == "insert":
@@ -1147,13 +1153,13 @@ def merge_iceberg(
         ins = source
         if touched_rows is not None:
             matched_keys = touched_rows.select(*on).distinct()
-            ins = ins.join(F.broadcast(matched_keys), on, "left_anti")
+            ins = ins.join(_b(matched_keys), on, "left_anti")
         pieces.append(ins.select(*table_cols))
     elif when_matched == "update":  # update + ignore
         if touched_rows is not None:
             matched_keys = touched_rows.select(*on).distinct()
             pieces.append(
-                source.join(F.broadcast(matched_keys), on, "left_semi")
+                source.join(_b(matched_keys), on, "left_semi")
                 .select(*table_cols)
             )
     if not pieces and not touched:
