@@ -5625,6 +5625,35 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNKED-target DSIR (operators/dsir.dsir_resample_domains —
+    per-domain target models + per-domain quotas, the target-mixture
+    practice of Xie et al. 2023 composed with quota sampling): each
+    language gets its OWN smoothed bag-of-n-grams target (the
+    doc_id%5==0 'curated' slice of that language) and raw model, a
+    document's weight is the LLR against ITS language's models, and
+    the cut takes a per-language quota (en 40 / de 15 / zh 20) by
+    deterministic Gumbel rank WITHIN the language.  Features compute
+    once; per-domain model vectors are driver-side metadata; the cut
+    is one domain-keyed window — the oracle replays the entire
+    per-domain pipeline in SQL."""
+    from vtk_reserves_spark.operators.dsir import dsir_resample_domains
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    out = dsir_resample_domains(
+        docs, target, quotas={"en": 40, "de": 15, "zh": 20},
+        domain_col="lang", n_buckets=256,
+    )
+    return out.select(
+        "lang", "rank", "doc_id",
+        F.round("log_w", 6).alias("log_w"),
+        F.round("key", 6).alias("key"),
+    )
+
+
 def q_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE TABLE ... TO VERSION AS OF (sources/delta.
     restore_delta): v0 lands the even documents, v1 MERGE-deletes
@@ -10446,6 +10475,96 @@ def _llm_oracles() -> dict[str, str]:
             FROM keyed
             ORDER BY key DESC, doc_id LIMIT 100
         """,
+        "dsir_domains": f"""
+            -- chunked-target DSIR replayed per domain: per-language
+            -- target (doc_id%5==0 slice) and raw models, LLR weights
+            -- against the document's OWN language models, Gumbel
+            -- quota cut within the language (en 40 / de 15 / zh 20)
+            WITH toks AS (
+              SELECT doc_id, lang, {_TOKS_SQL.format(c='text')} AS t
+              FROM documents WHERE lang IN ('en', 'de', 'zh')
+            ),
+            grams AS (
+              SELECT doc_id, lang, unnest(list_concat(t,
+                list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1]))) AS g
+              FROM toks
+            ),
+            feats AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5('dsir_' || g), 1, 8))::BIGINT
+                          % 256 AS INT) AS bucket,
+                     COUNT(*) AS cnt
+              FROM grams GROUP BY 1, 2, 3
+            ),
+            tgtc AS (
+              SELECT lang, bucket, SUM(cnt) AS c FROM feats
+              WHERE doc_id % 5 = 0 GROUP BY 1, 2
+            ),
+            rawc AS (
+              SELECT lang, bucket, SUM(cnt) AS c FROM feats
+              GROUP BY 1, 2
+            ),
+            allb AS (
+              SELECT d.lang, b.bucket
+              FROM (SELECT unnest(['en', 'de', 'zh']) AS lang) d
+              CROSS JOIN (SELECT unnest(range(0, 256)) AS bucket) b
+            ),
+            p AS (
+              SELECT a.lang, a.bucket,
+                     ln((COALESCE(t.c, 0) + 1.0)
+                        / (tt.total + 256.0)) AS lp
+              FROM allb a
+              LEFT JOIN tgtc t
+                ON t.lang = a.lang AND t.bucket = a.bucket
+              JOIN (SELECT lang, SUM(c) AS total FROM tgtc
+                    GROUP BY 1) tt ON tt.lang = a.lang
+            ),
+            q AS (
+              SELECT a.lang, a.bucket,
+                     ln((COALESCE(r.c, 0) + 1.0)
+                        / (rt.total + 256.0)) AS lq
+              FROM allb a
+              LEFT JOIN rawc r
+                ON r.lang = a.lang AND r.bucket = a.bucket
+              JOIN (SELECT lang, SUM(c) AS total FROM rawc
+                    GROUP BY 1) rt ON rt.lang = a.lang
+            ),
+            wts AS (
+              SELECT d.doc_id, d.lang,
+                     COALESCE(SUM(f.cnt * (p.lp - q.lq)), 0.0)
+                       AS log_w
+              FROM documents d
+              LEFT JOIN feats f ON f.doc_id = d.doc_id
+              LEFT JOIN p ON p.lang = f.lang AND p.bucket = f.bucket
+              LEFT JOIN q ON q.lang = f.lang AND q.bucket = f.bucket
+              WHERE d.lang IN ('en', 'de', 'zh')
+              GROUP BY 1, 2
+            ),
+            keyed AS (
+              SELECT doc_id, lang, log_w,
+                     log_w + (-ln(-ln(
+                       ((('0x' || substr(md5('gdsir_' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 1000000) + 0.5) / 1000000.0
+                     ))) AS key
+              FROM wts
+            ),
+            ranked AS (
+              SELECT lang,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY key DESC, doc_id) AS INT) AS rank,
+                     doc_id, log_w, key
+              FROM keyed
+            )
+            SELECT lang, rank, doc_id,
+                   ROUND(log_w, 6) AS log_w, ROUND(key, 6) AS key
+            FROM ranked
+            WHERE (lang = 'en' AND rank <= 40)
+               OR (lang = 'de' AND rank <= 15)
+               OR (lang = 'zh' AND rank <= 20)
+        """,
         "delta_restore": """
             -- closed form of the restore fixture (q_delta_restore):
             -- head = restored v0 (all evens); v1 still shows the
@@ -11502,6 +11621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hudi_mor": q_hudi_mor,
         "iceberg_merge_transforms": q_iceberg_merge_transforms,
+        "dsir_domains": q_dsir_domains,
         "cdc_replicate": q_cdc_replicate,
         "iceberg_compact_deletes": q_iceberg_compact_deletes,
         "hudi_merge": q_hudi_merge,

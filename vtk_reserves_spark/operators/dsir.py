@@ -48,6 +48,7 @@ from vtk_reserves_spark.operators.sampling import MOD, md5_bucket
 
 __all__ = [
     "dsir_resample",
+    "dsir_resample_domains",
     "dsir_weights",
     "hashed_ngram_counts",
 ]
@@ -192,4 +193,130 @@ def dsir_resample(
     w = Window.orderBy(F.col("key").desc(), F.col(id_col).asc())
     return ranked.withColumn(
         "rank", F.row_number().over(w).cast("int")
+    )
+
+
+def _domain_logprobs(
+    feats_by_domain: DataFrame, n_buckets: int, alpha: float
+) -> dict[str, list[float]]:
+    """(domain, bucket) totals -> per-domain smoothed
+    log-probability vectors.  At most ``domains * n_buckets`` rows
+    reach the driver — the per-domain twin of
+    :func:`_bucket_logprobs`, with the same metadata-sized ceiling
+    (document-scale domain counts belong in the quota map anyway)."""
+    rows = (
+        feats_by_domain.groupBy("_domain", "bucket")
+        .agg(F.sum("cnt").alias("c"))
+        .collect()
+    )
+    counts: dict[str, list[float]] = {}
+    for r in rows:
+        counts.setdefault(
+            r["_domain"], [0.0] * n_buckets
+        )[int(r["bucket"])] = float(r["c"])
+    out = {}
+    for d, cs in counts.items():
+        denom = sum(cs) + alpha * n_buckets
+        out[d] = [math.log((c + alpha) / denom) for c in cs]
+    return out
+
+
+def dsir_resample_domains(
+    raw: DataFrame,
+    target: DataFrame,
+    quotas: dict[str, int],
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+    gumbel: bool = True,
+) -> DataFrame:
+    """CHUNKED-target DSIR (the paper's target-mixture practice +
+    quota sampling): each domain gets its OWN bag-of-n-grams target
+    and raw models — a document's importance weight is the LLR
+    against ITS domain's models — and the resampling cut takes
+    ``quotas[domain]`` documents per domain (deterministic Gumbel
+    top-k within the domain).  Domains absent from ``quotas``
+    contribute nothing.
+
+    Scale shape: features compute ONCE over each corpus (one explode
+    + hash agg); the per-domain model vectors collect driver-side
+    (``domains x n_buckets`` — metadata); weights are one broadcast
+    (domain, bucket)->llr join + hash agg; the quota cut is one
+    window ranked within the domain (a single shuffle keyed by
+    domain; per-domain quotas are how a 100 TB mixture pipeline
+    balances sources without a global sort)."""
+    missing = [c for c in (domain_col, id_col, text_col)
+               if c not in raw.columns]
+    if missing:
+        raise ValueError(f"dsir: raw is missing columns {missing}")
+    if domain_col not in target.columns:
+        raise ValueError(f"dsir: target is missing {domain_col!r}")
+    doms = sorted(quotas)
+    raw_d = raw.filter(F.col(domain_col).isin(doms))
+    tgt_d = target.filter(F.col(domain_col).isin(doms))
+    raw_feats = hashed_ngram_counts(
+        raw_d, id_col, text_col, n_buckets, seed
+    ).join(
+        raw_d.select(
+            F.col(id_col), F.col(domain_col).alias("_domain")
+        ),
+        id_col,
+    ).localCheckpoint()
+    tgt_feats = hashed_ngram_counts(
+        tgt_d, id_col, text_col, n_buckets, seed
+    ).join(
+        tgt_d.select(
+            F.col(id_col), F.col(domain_col).alias("_domain")
+        ),
+        id_col,
+    )
+    logp = _domain_logprobs(tgt_feats, n_buckets, alpha)
+    logq = _domain_logprobs(raw_feats, n_buckets, alpha)
+    llr_rows = [
+        (d, b, logp[d][b] - logq[d][b])
+        for d in doms if d in logp and d in logq
+        for b in range(n_buckets)
+    ]
+    if not llr_rows:
+        raise ValueError("dsir: no quota domain present in both "
+                         "corpora")
+    llr = raw.sparkSession.createDataFrame(
+        llr_rows, "_domain string, bucket int, llr double"
+    )
+    w = (
+        raw_feats.join(F.broadcast(llr), ["_domain", "bucket"])
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("llr")).alias("log_w"))
+    )
+    wdf = raw_d.join(w, id_col, "left").withColumn(
+        "log_w", F.coalesce(F.col("log_w"), F.lit(0.0))
+    )
+    if gumbel:
+        u = (
+            md5_bucket(
+                F.col(id_col), MOD, seed=f"g{seed}", signed_mod=False
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(MOD))
+        key = F.col("log_w") + (-F.log(-F.log(u)))
+    else:
+        key = F.col("log_w")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(F.col(domain_col)).orderBy(
+        F.col("key").desc(), F.col(id_col).asc()
+    )
+    qdf = raw.sparkSession.createDataFrame(
+        [(d, int(k)) for d, k in quotas.items()],
+        f"{domain_col} string, _quota int",
+    )
+    return (
+        wdf.withColumn("key", key)
+        .withColumn("rank", F.row_number().over(win).cast("int"))
+        .join(F.broadcast(qdf), domain_col)
+        .filter(F.col("rank") <= F.col("_quota"))
+        .drop("_quota")
     )
