@@ -5449,6 +5449,47 @@ def q_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hudi_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CLUSTERING with z-order sort (sources/hudi.cluster_hudi
+    — the replacecommit the clustering table service writes): the
+    documents land as 8 deliberately-small file groups, clustering
+    rewrites every live group sorted by the Morton key of
+    (doc_id, text_len) — tight row-group min/max footers on BOTH
+    interleaved columns, pinned by pytest like q:delta_optimize's —
+    and the pre-cluster snapshot stays time-travelable.  Leg 'head'
+    reads the clustered table, leg 'pre' time-travels to before the
+    replacecommit; both must carry identical content (clustering
+    moves rows between files, never changes them)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        cluster_hudi, hudi_snapshot, read_hudi, write_hudi,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_hudic_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    write_hudi(base.repartition(8), td)
+    pre_instant = hudi_snapshot(td)["instant"]
+    cluster_hudi(spark, td, zorder_by=["doc_id", "text_len"],
+                 n_files=2)
+    head = read_hudi(spark, td).select(
+        F.lit("head").alias("leg"), "doc_id", "text_len"
+    )
+    pre = read_hudi(spark, td, as_of=pre_instant).select(
+        F.lit("pre").alias("leg"), "doc_id", "text_len"
+    )
+    return head.unionByName(pre)
+
+
 def q_delta_cdf_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CDF consumption (sources/delta.drain_delta_cdf —
     the streaming-source semantics for change feeds): drain 1 takes
@@ -10359,6 +10400,15 @@ def _llm_oracles() -> dict[str, str]:
             SELECT doc_id, text FROM ranked
             WHERE doc_id % 7 <> 3 AND rn >= 2
         """,
+        "hudi_cluster": """
+            -- clustering moves rows between files, never changes
+            -- them: head (clustered) and pre (time travel) coincide
+            SELECT 'head' AS leg, doc_id, LENGTH(text) AS text_len
+            FROM documents
+            UNION ALL
+            SELECT 'pre', doc_id, LENGTH(text)
+            FROM documents
+        """,
         "hudi_merge": """
             -- same closed form as iceberg_merge, third format
             SELECT doc_id, LENGTH(text) + 1000 AS text_len,
@@ -11622,6 +11672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_mor": q_hudi_mor,
         "iceberg_merge_transforms": q_iceberg_merge_transforms,
         "dsir_domains": q_dsir_domains,
+        "hudi_cluster": q_hudi_cluster,
         "cdc_replicate": q_cdc_replicate,
         "iceberg_compact_deletes": q_iceberg_compact_deletes,
         "hudi_merge": q_hudi_merge,

@@ -384,3 +384,70 @@ def test_hudi_cow_rejects_mor_verbs(spark, tmp_path):
         upsert_hudi_mor(spark, src, t, on=["id"])
     with _pytest.raises(ValueError, match="MOR table"):
         compact_hudi_mor(spark, t)
+
+
+def test_cluster_hudi_zorder(spark, tmp_path):
+    """Clustering replacecommit: content preserved, pre-cluster
+    snapshot time-travelable, and the rewritten file groups' parquet
+    footers tighten on BOTH z-order columns (the data-skipping
+    device — same pin as q:delta_optimize's)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        cluster_hudi, hudi_snapshot, hudi_timeline, read_hudi,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "clus")
+    df = spark.range(4000).select(
+        "id",
+        (F.col("id") * 37 % 1000).alias("a"),
+        (F.col("id") * 91 % 1000).alias("b"),
+    )
+    write_hudi(df.repartition(8), t)
+    pre = hudi_snapshot(t)
+    inst = cluster_hudi(spark, t, zorder_by=["a", "b"], n_files=8)
+    assert hudi_timeline(t)[-1][0] == inst
+    assert hudi_timeline(t)[-1][1] == "replacecommit"
+    snap = hudi_snapshot(t)
+    assert set(snap["files"]).isdisjoint(set(pre["files"]))
+    back = read_hudi(spark, t)
+    assert back.count() == 4000
+    assert read_hudi(spark, t, as_of=pre["instant"]).count() == 4000
+
+    def mean_span(paths, col):
+        spans, lo, hi = [], None, None
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            names = [md.schema.column(i).name
+                     for i in range(md.num_columns)]
+            j = names.index(col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(j).statistics
+                spans.append(st.max - st.min)
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        return sum(spans) / len(spans), (hi - lo)
+
+    for col in ("a", "b"):
+        span_p, full_p = mean_span(pre["files"], col)
+        span_z, full_z = mean_span(snap["files"], col)
+        assert span_p > 0.8 * full_p  # hash layout spans ~everything
+        assert span_z < 0.6 * full_z, (col, span_z, full_z)
+    # MOR with live logs gates
+    from vtk_reserves_spark.sources.hudi import upsert_hudi_mor
+
+    t2 = str(tmp_path / "clmor")
+    write_hudi(spark.range(10).withColumn("v", F.lit(1.0)), t2,
+               table_type="MERGE_ON_READ", record_key=["id"])
+    upsert_hudi_mor(
+        spark, spark.createDataFrame([(1, 9.0)], "id long, v double"),
+        t2,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compact_hudi_mor"):
+        cluster_hudi(spark, t2, zorder_by=["v"])

@@ -51,8 +51,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "compact_hudi_mor", "hudi_snapshot", "hudi_timeline",
-    "merge_hudi", "read_hudi", "upsert_hudi_mor", "write_hudi",
+    "cluster_hudi", "compact_hudi_mor", "hudi_snapshot",
+    "hudi_timeline", "merge_hudi", "read_hudi", "upsert_hudi_mor",
+    "write_hudi",
 ]
 
 _HOODIE = ".hoodie"
@@ -1160,5 +1161,65 @@ def compact_hudi_mor(spark: SparkSession, table: str) -> str:
         shutil.rmtree(stage, ignore_errors=True)
     _write_hudi_commit_json(
         table, instant, stats, None, "COMPACT", action="commit"
+    )
+    return instant
+
+
+def cluster_hudi(
+    spark: SparkSession,
+    table: str,
+    zorder_by: list[str],
+    n_files: int | None = None,
+) -> str:
+    """Hudi CLUSTERING with a z-order sort strategy — the
+    ``replacecommit`` Hudi's clustering service writes (hudi docs
+    "Clustering"): every live file group rewrites into fresh groups
+    sorted by the Morton key of ``zorder_by``
+    (`sources/writers.zorder_key` — the same device as
+    ``optimize_delta(zorder_by=...)``), so parquet row-group min/max
+    footers get tight on ALL the interleaved columns and selective
+    filters on any of them skip most files.  Old snapshots stay
+    time-travelable (replacecommits never delete data).  Returns the
+    commit instant.
+
+    MERGE_ON_READ tables with live log files gate (cluster after
+    :func:`compact_hudi_mor`); log-free MOR tables cluster like CoW.
+
+    Scale shape: ONE distributed job — scan, range-repartition on
+    the z-key (each output file covers a contiguous z-range),
+    in-partition sort with the partition columns leading so the
+    writer's required ordering is already satisfied (no second
+    sort), staged write promoted by rename; the driver writes one
+    replacecommit JSON."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vtk_reserves_spark.sources.writers import zorder_key
+
+    snap = hudi_snapshot(table)
+    if any(sl["logs"] for sl in snap["slices"].values()):
+        raise ValueError(
+            "hudi: clustering a table with live log files not "
+            "supported (run compact_hudi_mor first)"
+        )
+    rows = read_hudi(spark, table)
+    part_cols = [
+        f for f in _table_props(table)
+        .get("hoodie.table.partition.fields", "").split(",") if f
+    ]
+    key, _stats = zorder_key(rows, zorder_by)
+    n = int(n_files or max(1, len(snap["files"]) // 4))
+    rows = (
+        rows.withColumn("_zkey", key)
+        .repartitionByRange(n, "_zkey")
+        .sortWithinPartitions(*part_cols, "_zkey")
+        .drop("_zkey")
+    )
+    replaced: dict[str, list[str]] = {}
+    for part, fid in snap["groups"].values():
+        replaced.setdefault(part, []).append(fid)
+    instant = _next_instant(table)
+    _stage_and_commit_hudi(
+        rows, table, instant, part_cols, replaced=replaced,
+        operation="CLUSTER",
     )
     return instant
