@@ -5449,6 +5449,54 @@ def q_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi's INCREMENTAL query type (sources/hudi.
+    read_hudi_incremental): commit 1 lands the evens, commit 2
+    appends the %4==1 odds, commit 3 MERGE-updates %8==0 (+1000) —
+    rewriting whole file groups.  The incremental pull after commit
+    1 returns ONLY the appended and updated records with their
+    per-row commit stamps: the rewritten groups' unchanged survivors
+    must NOT appear even though they live in freshly-written files
+    (the per-row ``_hoodie_commit_time`` preservation that makes
+    incremental consumption exact).  Leg 'bounded' ends the range at
+    commit 2; leg 'full' runs to the head.  Pruning is
+    metadata-level: groups whose newest write predates the range are
+    never opened."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        merge_hudi, read_hudi_incremental, write_hudi,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_hudii_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    write_hudi(base.filter(F.col("doc_id") % 2 == 0).repartition(4),
+               td)
+    write_hudi(base.filter(F.col("doc_id") % 4 == 1), td)
+    upd = base.filter(F.col("doc_id") % 8 == 0).withColumn(
+        "text_len", F.col("text_len") + F.lit(1000)
+    )
+    merge_hudi(spark, upd, td, on=["doc_id"])
+    sel = ["doc_id", "text_len",
+           F.col("_hoodie_commit_time").alias("commit_time")]
+    full = read_hudi_incremental(spark, td, "%014d" % 1).select(
+        F.lit("full").alias("leg"), *sel
+    )
+    bounded = read_hudi_incremental(
+        spark, td, "%014d" % 1, end_instant="%014d" % 2
+    ).select(F.lit("bounded").alias("leg"), *sel)
+    return full.unionByName(bounded)
+
+
 def q_hudi_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hudi CLUSTERING with z-order sort (sources/hudi.cluster_hudi
     — the replacecommit the clustering table service writes): the
@@ -10400,6 +10448,21 @@ def _llm_oracles() -> dict[str, str]:
             SELECT doc_id, text FROM ranked
             WHERE doc_id % 7 <> 3 AND rn >= 2
         """,
+        "hudi_incremental": """
+            -- only the appended (%4==1, commit 2) and updated
+            -- (%8==0, commit 3) records pull; rewritten survivors
+            -- keep their old stamps and stay out of the range
+            SELECT 'full' AS leg, doc_id,
+                   LENGTH(text) + 1000 AS text_len,
+                   '00000000000003' AS commit_time
+            FROM documents WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT 'full', doc_id, LENGTH(text), '00000000000002'
+            FROM documents WHERE doc_id % 4 = 1
+            UNION ALL
+            SELECT 'bounded', doc_id, LENGTH(text), '00000000000002'
+            FROM documents WHERE doc_id % 4 = 1
+        """,
         "hudi_cluster": """
             -- clustering moves rows between files, never changes
             -- them: head (clustered) and pre (time travel) coincide
@@ -11672,6 +11735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_mor": q_hudi_mor,
         "iceberg_merge_transforms": q_iceberg_merge_transforms,
         "dsir_domains": q_dsir_domains,
+        "hudi_incremental": q_hudi_incremental,
         "hudi_cluster": q_hudi_cluster,
         "cdc_replicate": q_cdc_replicate,
         "iceberg_compact_deletes": q_iceberg_compact_deletes,

@@ -451,3 +451,116 @@ def test_cluster_hudi_zorder(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="compact_hudi_mor"):
         cluster_hudi(spark, t2, zorder_by=["v"])
+
+
+def test_hudi_incremental_cow(spark, tmp_path):
+    """CoW incremental: rewritten SURVIVORS keep their original
+    per-row commit stamps, so a merge never drags unchanged rows
+    into the incremental pull; file-level pruning skips groups whose
+    newest write predates the range."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        hudi_snapshot, merge_hudi, read_hudi_incremental, write_hudi,
+    )
+
+    t = str(tmp_path / "inc")
+    write_hudi(
+        spark.range(10).withColumn("v", F.col("id") * 1.0)
+        .repartition(2), t,
+    )
+    i1 = hudi_snapshot(t)["instant"]
+    # commit 2: append 10..12
+    write_hudi(spark.range(10, 13).withColumn("v", F.lit(2.0)), t)
+    # commit 3: merge-update ids 0,1 (rewrites their groups whole)
+    src = spark.createDataFrame(
+        [(0, 100.0), (1, 101.0)], "id long, v double"
+    )
+    merge_hudi(spark, src, t, on=["id"])
+    i3 = hudi_snapshot(t)["instant"]
+    inc = read_hudi_incremental(spark, t, i1)
+    got = {r["id"]: (r["v"], r["_hoodie_commit_time"])
+           for r in inc.collect()}
+    # ONLY the appended + updated rows — survivors of the rewritten
+    # groups are absent despite living in freshly-written files
+    assert set(got) == {10, 11, 12, 0, 1}
+    assert got[0][0] == 100.0 and got[0][1] == i3
+    # bounded range: only commit 2's rows
+    inc2 = read_hudi_incremental(spark, t, i1, end_instant="%014d" % 2)
+    assert {r["id"] for r in inc2.collect()} == {10, 11, 12}
+    # empty range
+    assert read_hudi_incremental(spark, t, i3).count() == 0
+
+
+def test_hudi_incremental_mor(spark, tmp_path):
+    """MOR incremental: log-borne updates and re-inserts pull, the
+    deleted record drops out, and compaction does NOT re-time rows
+    (the pull after compaction stays empty)."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        compact_hudi_mor, hudi_snapshot, read_hudi_incremental,
+        upsert_hudi_mor, write_hudi,
+    )
+
+    t = str(tmp_path / "incm")
+    write_hudi(
+        spark.range(6).withColumn("v", F.col("id") * 1.0), t,
+        table_type="MERGE_ON_READ", record_key=["id"],
+    )
+    i1 = hudi_snapshot(t)["instant"]
+    upsert_hudi_mor(
+        spark,
+        spark.createDataFrame([(2, 22.0), (9, 99.0)],
+                              "id long, v double"), t,
+    )
+    upsert_hudi_mor(
+        spark, spark.createDataFrame([(3,)], "id long"), t,
+        when_matched="delete", when_not_matched="ignore",
+    )
+    inc = read_hudi_incremental(spark, t, i1)
+    got = {r["id"]: r["v"] for r in inc.collect()}
+    assert got == {2: 22.0, 9: 99.0}  # delete of 3 omitted
+    i3 = hudi_snapshot(t)["instant"]
+    compact_hudi_mor(spark, t)
+    # compaction rewrote every dirty slice, but row stamps survive:
+    # nothing "changed" since i3
+    assert read_hudi_incremental(spark, t, i3).count() == 0
+    # the pre-compaction pull still returns the same changes
+    got2 = {r["id"]: r["v"]
+            for r in read_hudi_incremental(spark, t, i1).collect()}
+    assert got2 == {2: 22.0, 9: 99.0}
+
+
+def test_hudi_read_optimized_view(spark, tmp_path):
+    """read_optimized on MOR returns base files only (log updates
+    invisible until compaction); on CoW it coincides with snapshot."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        compact_hudi_mor, read_hudi, upsert_hudi_mor, write_hudi,
+    )
+
+    t = str(tmp_path / "ro")
+    write_hudi(
+        spark.range(4).withColumn("v", F.col("id") * 1.0), t,
+        table_type="MERGE_ON_READ", record_key=["id"],
+    )
+    upsert_hudi_mor(
+        spark,
+        spark.createDataFrame([(1, 11.0)], "id long, v double"), t,
+    )
+    rt = {r["id"]: r["v"] for r in read_hudi(spark, t).collect()}
+    ro = {r["id"]: r["v"]
+          for r in read_hudi(spark, t, view="read_optimized")
+          .collect()}
+    assert rt[1] == 11.0 and ro[1] == 1.0  # log invisible to RO
+    compact_hudi_mor(spark, t)
+    ro2 = {r["id"]: r["v"]
+           for r in read_hudi(spark, t, view="read_optimized")
+           .collect()}
+    assert ro2[1] == 11.0  # compaction catches the RO view up
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="view"):
+        read_hudi(spark, t, view="nope")

@@ -52,8 +52,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "cluster_hudi", "compact_hudi_mor", "hudi_snapshot",
-    "hudi_timeline", "merge_hudi", "read_hudi", "upsert_hudi_mor",
-    "write_hudi",
+    "hudi_timeline", "merge_hudi", "read_hudi",
+    "read_hudi_incremental", "upsert_hudi_mor", "write_hudi",
 ]
 
 _HOODIE = ".hoodie"
@@ -220,16 +220,22 @@ def hudi_snapshot(table: str, as_of: str | None = None) -> dict:
 
 def read_hudi(
     spark: SparkSession, table: str, as_of: str | None = None,
-    drop_meta: bool = True,
+    drop_meta: bool = True, view: str = "snapshot",
 ) -> DataFrame:
-    """Hudi snapshot -> DataFrame.
+    """Hudi snapshot -> DataFrame.  ``view`` selects Hudi's query
+    type: ``"snapshot"`` (the default; MOR's real-time view) or
+    ``"read_optimized"`` (base files ONLY — MOR log files are
+    skipped, trading freshness for a pure columnar scan, exactly
+    Hudi's ``hoodie.datasource.query.type=read_optimized``; on
+    COPY_ON_WRITE the two views coincide).  The third query type,
+    incremental, is :func:`read_hudi_incremental`.
 
     COPY_ON_WRITE: one distributed parquet scan of the live base
     files (``basePath`` recovers hive-style partition columns;
     Catalyst keeps pushdown/pruning).  Time travel = ``as_of``.
 
-    MERGE_ON_READ: the real-time view — per file slice, the base
-    file merged with its Avro log blocks, newest record version
+    MERGE_ON_READ snapshot: the real-time view — per file slice, the
+    base file merged with its Avro log blocks, newest record version
     winning per record key, delete blocks removing keys.  Expressed
     Spark-first instead of Hudi's per-slice iterator merge: slices
     WITHOUT logs stream straight off the parquet scan (zero merge
@@ -238,9 +244,18 @@ def read_hudi(
     pay ONE hash shuffle on the record key (``max_by`` newest-wins
     reduce; AQE handles key skew).  Log files parse in Arrow-batched
     ``mapInPandas`` tasks — record bytes never touch the driver."""
+    if view not in ("snapshot", "read_optimized"):
+        raise ValueError(f"hudi: view {view!r} "
+                         "(snapshot/read_optimized)")
     snap = hudi_snapshot(table, as_of)
-    if snap["type"] == "MERGE_ON_READ":
+    if snap["type"] == "MERGE_ON_READ" and view == "snapshot":
         return _read_hudi_mor(spark, table, snap)
+    if not snap["files"]:
+        declared = _declared_schema(snap)
+        if declared is None:
+            raise ValueError("hudi: empty table without a recorded "
+                             "schema")
+        return spark.createDataFrame([], declared)
     df = spark.read.option(
         "basePath", os.path.abspath(table)
     ).parquet(*snap["files"])
@@ -370,11 +385,16 @@ def _scan_hudi_logs(spark: SparkSession, entries, schema):
 
 def _read_hudi_mor(
     spark: SparkSession, table: str, snap: dict,
-    with_fid: bool = False,
+    with_fid: bool = False, keep_commit_time: bool = False,
 ) -> DataFrame:
     """The MOR real-time view (see :func:`read_hudi`).  With
     ``with_fid`` the result keeps ``_hudi_fid`` — the routing handle
-    :func:`upsert_hudi_mor` joins on."""
+    :func:`upsert_hudi_mor` joins on.  With ``keep_commit_time`` the
+    result carries ``_hoodie_commit_time`` — base rows keep their
+    stamped value (falling back to the base file's instant for
+    pre-stamp files), log rows take their deltacommit's instant
+    (the ``_ord`` prefix) — which is what the incremental query and
+    compaction preserve."""
     from pyspark.sql import functions as F
 
     from vtk_reserves_spark.sources.delta import decoded_file_path
@@ -443,19 +463,37 @@ def _read_hudi_mor(
     if missing:
         raise ValueError(f"hudi: record key {missing} not in table")
     pieces: list[DataFrame] = []
-    if clean_files and not with_fid:
+
+    def _base_ct(df, fallback):
+        # stamped value when the files carry it, else the file's
+        # commit instant from the slice map
+        if "_hoodie_commit_time" in df.columns:
+            return F.coalesce(F.col("_hoodie_commit_time"), fallback)
+        return fallback
+
+    if clean_files and not with_fid and not keep_commit_time:
         pieces.append(reader.parquet(*clean_files).select(*cast_cols))
     elif clean_files:
         fid_map = spark.createDataFrame(
-            [(p, snap["groups"][p][1]) for p in clean_files],
-            "_hudi_path string, _hudi_fid string",
+            [(p, snap["groups"][p][1],
+              snap["slices"][snap["groups"][p]]["base"][0])
+             for p in clean_files],
+            "_hudi_path string, _hudi_fid string, _sl_instant string",
         )
-        pieces.append(
+        cdf = (
             reader.parquet(*clean_files)
             .withColumn("_hudi_path", decoded_file_path(F))
             .join(F.broadcast(fid_map), "_hudi_path")
-            .select(*cast_cols, "_hudi_fid")
         )
+        extra = []
+        if with_fid:
+            extra.append(F.col("_hudi_fid"))
+        if keep_commit_time:
+            extra.append(
+                _base_ct(cdf, F.col("_sl_instant"))
+                .alias("_hoodie_commit_time")
+            )
+        pieces.append(cdf.select(*cast_cols, *extra))
     merged = None
     if log_entries:
         sub: list[DataFrame] = []
@@ -464,11 +502,13 @@ def _read_hudi_mor(
                 [(p, inst, fid) for p, inst, fid in dirty_bases],
                 "_hudi_path string, _b_instant string, _b_fid string",
             )
-            sub.append(
+            bdf = (
                 reader.parquet(*[p for p, _, _ in dirty_bases])
                 .withColumn("_hudi_path", decoded_file_path(F))
                 .join(F.broadcast(bmap), "_hudi_path")
-                .select(
+            )
+            sub.append(
+                bdf.select(
                     *cast_cols,
                     F.lit("U").alias("_op"),
                     # base rows sort below every log row of the same
@@ -479,11 +519,16 @@ def _read_hudi_mor(
                     ).alias("_ord"),
                     F.lit(None).cast("string").alias("_del_key"),
                     F.col("_b_fid").alias("_hudi_fid"),
+                    _base_ct(bdf, F.col("_b_instant"))
+                    .alias("_hct"),
                 )
             )
+        logs_df = _scan_hudi_logs(spark, log_entries, schema)
         sub.append(
-            _scan_hudi_logs(spark, log_entries, schema).select(
-                *cols, "_op", "_ord", "_del_key", "_hudi_fid"
+            logs_df.select(
+                *cols, "_op", "_ord", "_del_key", "_hudi_fid",
+                # a log row's commit time IS its deltacommit instant
+                F.substring(F.col("_ord"), 1, 14).alias("_hct"),
             )
         )
         from functools import reduce
@@ -499,7 +544,8 @@ def _read_hudi_mor(
         # log-bearing slices' rows
         winner = all_rows.groupBy("_key").agg(
             F.max_by(
-                F.struct(*cols, "_op", "_hudi_fid"), F.col("_ord")
+                F.struct(*cols, "_op", "_hudi_fid", "_hct"),
+                F.col("_ord"),
             ).alias("_w")
         )
         merged = (
@@ -508,6 +554,8 @@ def _read_hudi_mor(
                 *[F.col(f"_w.{c}").alias(c) for c in cols]
                 + ([F.col("_w._hudi_fid").alias("_hudi_fid")]
                    if with_fid else [])
+                + ([F.col("_w._hct").alias("_hoodie_commit_time")]
+                   if keep_commit_time else [])
             )
         )
     if merged is not None:
@@ -641,7 +689,13 @@ def _stage_and_commit_hudi(
     import uuid as _uuid
 
     import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
 
+    if "_hoodie_commit_time" not in df.columns:
+        # per-row commit time, like real Hudi's meta column — what
+        # makes the incremental query exact (rewritten survivors
+        # keep their ORIGINAL stamp, see merge_hudi)
+        df = df.withColumn("_hoodie_commit_time", F.lit(instant))
     hdir = os.path.join(table, _HOODIE)
     stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -765,6 +819,21 @@ def merge_hudi(
         for r in data.join(_b(keys), on, "left_semi")
         .select("_hudi_file").distinct().collect()
     ]
+    instant = _next_instant(table)
+    # per-row commit stamps: rewritten SURVIVORS keep their original
+    # _hoodie_commit_time (files predating the stamp fall back to the
+    # new instant — slightly over-inclusive incrementally, documented
+    # in read_hudi_incremental); source rows stamp with this commit
+    if "_hoodie_commit_time" in data.columns:
+        surv_ct = F.col("_hoodie_commit_time")
+    else:
+        surv_ct = F.lit(instant)
+    surv_cols = list(table_cols) + [
+        surv_ct.alias("_hoodie_commit_time")
+    ]
+    src_cols = list(table_cols) + [
+        F.lit(instant).alias("_hoodie_commit_time")
+    ]
     pieces: list[DataFrame] = []
     touched_rows = (
         data.filter(F.col("_hudi_file").isin(touched))
@@ -773,22 +842,22 @@ def merge_hudi(
     if touched_rows is not None:
         pieces.append(
             touched_rows.join(_b(keys), on, "left_anti")
-            .select(*table_cols)
+            .select(*surv_cols)
         )
     if when_matched == "update" and when_not_matched == "insert":
-        pieces.append(source.select(*table_cols))
+        pieces.append(source.select(*src_cols))
     elif when_not_matched == "insert":
         ins = source
         if touched_rows is not None:
             matched_keys = touched_rows.select(*on).distinct()
             ins = ins.join(_b(matched_keys), on, "left_anti")
-        pieces.append(ins.select(*table_cols))
+        pieces.append(ins.select(*src_cols))
     elif when_matched == "update":
         if touched_rows is not None:
             matched_keys = touched_rows.select(*on).distinct()
             pieces.append(
                 source.join(_b(matched_keys), on, "left_semi")
-                .select(*table_cols)
+                .select(*src_cols)
             )
     if not pieces and not touched:
         return snap["instant"]  # no-op merge
@@ -799,7 +868,6 @@ def merge_hudi(
     new_df = pieces[0] if pieces else None
     for p in pieces[1:]:
         new_df = new_df.unionByName(p)
-    instant = _next_instant(table)
     if new_df is None:
         import json as _json
 
@@ -1115,7 +1183,10 @@ def compact_hudi_mor(spark: SparkSession, table: str) -> str:
         return snap["instant"]
     sub = dict(snap)
     sub["slices"] = dirty
-    merged = _read_hudi_mor(spark, table, sub, with_fid=True)
+    # keep per-row commit stamps: compaction moves rows, it never
+    # re-times them (what keeps the incremental query exact)
+    merged = _read_hudi_mor(spark, table, sub, with_fid=True,
+                            keep_commit_time=True)
     cols = [c for c in merged.columns if c != "_hudi_fid"]
     instant = _next_instant(table)
     base_abs = os.path.abspath(table)
@@ -1223,3 +1294,107 @@ def cluster_hudi(
         operation="CLUSTER",
     )
     return instant
+
+
+def read_hudi_incremental(
+    spark: SparkSession,
+    table: str,
+    begin_instant: str,
+    end_instant: str | None = None,
+) -> DataFrame:
+    """Hudi's third query type, the INCREMENTAL query
+    (``hoodie.datasource.query.type=incremental``): the LATEST state
+    of every record inserted or updated in instants
+    ``(begin_instant, end_instant]`` — how downstream consumers
+    drain a Hudi table at the cost of its churn.  Records whose
+    latest change in the range is a delete are omitted (Hudi emits
+    them only with an empty payload; document-level parity).
+    The result carries ``_hoodie_commit_time``.
+
+    Exactness comes from the per-row commit stamps the writers emit
+    (real Hudi's meta column): copy-on-write rewrites preserve the
+    SURVIVORS' original stamps, so a merge that rewrites a whole
+    file group does not drag unchanged rows into everyone's
+    incremental pull.  Files written before the stamp existed fall
+    back to their file instant — over-inclusive, never lossy.
+
+    Scale shape: metadata-level pruning first — a file (CoW) or file
+    slice (MOR) whose newest write is at or before ``begin_instant``
+    cannot hold changed rows and is never opened; the survivors scan
+    once and filter on the stamp."""
+    from pyspark.sql import functions as F
+
+    snap = hudi_snapshot(table, as_of=end_instant)
+    begin = str(begin_instant)
+    if snap["type"] == "MERGE_ON_READ":
+        dirty = {
+            k: sl for k, sl in snap["slices"].items()
+            if (sl["base"] is not None and sl["base"][0] > begin)
+            or any(inst > begin for inst, _, _ in sl["logs"])
+        }
+        declared = _declared_schema(snap)
+        if not dirty:
+            if declared is None:
+                raise ValueError(
+                    "hudi: empty incremental range on a table "
+                    "without a recorded schema"
+                )
+            from pyspark.sql import types as T
+
+            fields = [f for f in declared.fields
+                      if not f.name.startswith("_hoodie_")]
+            fields.append(
+                T.StructField("_hoodie_commit_time", T.StringType())
+            )
+            return spark.createDataFrame([], T.StructType(fields))
+        sub = dict(snap)
+        sub["slices"] = dirty
+        df = _read_hudi_mor(spark, table, sub,
+                            keep_commit_time=True)
+        return df.filter(F.col("_hoodie_commit_time") > begin)
+    from vtk_reserves_spark.sources.delta import decoded_file_path
+
+    cand = [
+        (sl["base"][1], sl["base"][0])
+        for sl in snap["slices"].values()
+        if sl["base"] is not None and sl["base"][0] > begin
+    ]
+    declared = _declared_schema(snap)
+    if not cand:
+        if declared is None:
+            raise ValueError(
+                "hudi: empty incremental range on a table without "
+                "a recorded schema"
+            )
+        from pyspark.sql import types as T
+
+        fields = [f for f in declared.fields
+                  if not f.name.startswith("_hoodie_")]
+        fields.append(
+            T.StructField("_hoodie_commit_time", T.StringType())
+        )
+        return spark.createDataFrame([], T.StructType(fields))
+    df = spark.read.option(
+        "basePath", os.path.abspath(table)
+    ).parquet(*[p for p, _ in cand])
+    if "_hoodie_commit_time" not in df.columns:
+        imap = spark.createDataFrame(
+            list(cand), "_hudi_path string, _hoodie_commit_time string"
+        )
+        df = (
+            df.withColumn("_hudi_path", decoded_file_path(F))
+            .join(F.broadcast(imap), "_hudi_path")
+            .drop("_hudi_path")
+        )
+    out_cols = [c for c in df.columns
+                if not c.startswith("_hoodie_")
+                or c == "_hoodie_commit_time"]
+    df = df.select(*out_cols)
+    if declared is not None:
+        df = _cast_declared(df, declared, extra=())
+        df = df.select(*[
+            c for c in df.columns
+            if not c.startswith("_hoodie_")
+            or c == "_hoodie_commit_time"
+        ])
+    return df.filter(F.col("_hoodie_commit_time") > begin)
