@@ -6069,6 +6069,65 @@ def q_iceberg_merge_transforms(
     return full.unionByName(pruned)
 
 
+def q_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg BRANCHES + TAGS + write-audit-publish (sources/
+    iceberg.create_iceberg_branch / write_iceberg(branch=) /
+    fast_forward_iceberg — the spec ``refs`` map): the evens land on
+    main and get TAGGED 'prepub'; the %4==1 odds stage on an 'audit'
+    branch (two commits; main never moves while staging — the WAP
+    isolation); an audit read validates the branch; fast-forward
+    publishes it to main.  Legs: 'prepub' reads the tag (pinned
+    against expiry by the ref), 'staged' reads the branch head,
+    'published' reads main after the fast-forward — if branch writes
+    leaked to main or the publish dropped commits, the leg hashes
+    split."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        create_iceberg_branch, create_iceberg_tag,
+        expire_iceberg_snapshots, fast_forward_iceberg, read_iceberg,
+        write_iceberg,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_icew_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    write_iceberg(base.filter(F.col("doc_id") % 2 == 0), td)
+    create_iceberg_tag(td, "prepub")
+    create_iceberg_branch(td, "audit")
+    write_iceberg(
+        base.filter(F.col("doc_id") % 8 == 1), td, branch="audit",
+    )
+    write_iceberg(
+        base.filter((F.col("doc_id") % 4 == 1)
+                    & (F.col("doc_id") % 8 != 1)),
+        td, branch="audit",
+    )
+    fast_forward_iceberg(td, "audit")
+    # expiry keeps every ref'd snapshot: the tag still time-travels
+    expire_iceberg_snapshots(td, keep_last=1)
+    legs = [
+        read_iceberg(spark, td, ref="prepub").select(
+            F.lit("prepub").alias("leg"), "doc_id", "text_len"
+        ),
+        read_iceberg(spark, td, ref="audit").select(
+            F.lit("staged").alias("leg"), "doc_id", "text_len"
+        ),
+        read_iceberg(spark, td).select(
+            F.lit("published").alias("leg"), "doc_id", "text_len"
+        ),
+    ]
+    return legs[0].unionByName(legs[1]).unionByName(legs[2])
+
+
 def q_iceberg_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v2 EQUALITY deletes (sources/iceberg.py — the delete
     shape Flink CDC writes): snapshot 1 lands the documents table,
@@ -10761,6 +10820,20 @@ def _llm_oracles() -> dict[str, str]:
               AND ts < TIMESTAMP '2024-01-04'
               AND user_id = 7
         """,
+        "iceberg_wap": """
+            -- write-audit-publish: prepub tag = the evens; the
+            -- staged branch and published main both = evens + %4==1
+            WITH pub AS (
+              SELECT doc_id, LENGTH(text) AS text_len FROM documents
+              WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
+            )
+            SELECT 'prepub' AS leg, doc_id, LENGTH(text) AS text_len
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'staged', doc_id, text_len FROM pub
+            UNION ALL
+            SELECT 'published', doc_id, text_len FROM pub
+        """,
         "iceberg_merge_transforms": """
             -- closed form of the merge-into-hidden-partitions
             -- fixture (q_iceberg_merge_transforms): week 1 with
@@ -11734,6 +11807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hudi_mor": q_hudi_mor,
         "iceberg_merge_transforms": q_iceberg_merge_transforms,
+        "iceberg_wap": q_iceberg_wap,
         "dsir_domains": q_dsir_domains,
         "hudi_incremental": q_hudi_incremental,
         "hudi_cluster": q_hudi_cluster,

@@ -1067,3 +1067,56 @@ def test_optimize_iceberg_partial_progress(spark, tmp_path):
                           max_commits=3)
     assert v2 >= 3  # multiple commit batches
     assert read_iceberg(spark, t2).count() == 40
+
+
+def test_iceberg_refs_branch_tag_wap(spark, tmp_path):
+    """Refs: tags pin snapshots, branch writes stage without moving
+    main, fast-forward publishes (WAP), non-descendant branches
+    refuse to publish, expire honors refs."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        create_iceberg_branch, create_iceberg_tag, drop_iceberg_ref,
+        expire_iceberg_snapshots, fast_forward_iceberg,
+        iceberg_refs_df, read_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "refs")
+    write_iceberg(spark.range(5).withColumn("v", F.lit(1.0)), t)
+    create_iceberg_tag(t, "v1")
+    create_iceberg_branch(t, "audit")
+    # stage two commits on the branch: main must not move
+    write_iceberg(spark.range(5, 8).withColumn("v", F.lit(2.0)), t,
+                  branch="audit")
+    write_iceberg(spark.range(8, 9).withColumn("v", F.lit(3.0)), t,
+                  branch="audit")
+    assert read_iceberg(spark, t).count() == 5          # main
+    assert read_iceberg(spark, t, ref="audit").count() == 9
+    assert read_iceberg(spark, t, ref="v1").count() == 5
+    refs = {r["name"]: (r["type"], r["snapshot_id"])
+            for r in iceberg_refs_df(spark, t).collect()}
+    assert refs["audit"][0] == "branch" and refs["v1"][0] == "tag"
+    assert refs["main"][1] == refs["v1"][1]
+    # publish: fast-forward main to the audited branch head
+    head = fast_forward_iceberg(t, "audit")
+    assert read_iceberg(spark, t).count() == 9
+    assert head == refs["audit"][1]
+    # the tag still time-travels after expiry (refs pin snapshots)
+    expire_iceberg_snapshots(t, keep_last=1)
+    assert read_iceberg(spark, t, ref="v1").count() == 5
+    drop_iceberg_ref(t, "audit")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no ref"):
+        read_iceberg(spark, t, ref="audit")
+    # a DIVERGED branch cannot fast-forward over main
+    create_iceberg_branch(t, "side", snapshot_id=refs["v1"][1])
+    write_iceberg(spark.range(100, 101).withColumn("v", F.lit(9.0)),
+                  t, branch="side")
+    with _pytest.raises(ValueError, match="descendant"):
+        fast_forward_iceberg(t, "side")
+    # duplicate / reserved names gate
+    with _pytest.raises(ValueError, match="already exists"):
+        create_iceberg_tag(t, "v1")
+    with _pytest.raises(ValueError, match="reserved"):
+        create_iceberg_branch(t, "main")

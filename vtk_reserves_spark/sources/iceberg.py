@@ -48,7 +48,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "compact_iceberg_deletes",
+    "compact_iceberg_deletes", "create_iceberg_branch",
+    "create_iceberg_tag", "drop_iceberg_ref",
+    "fast_forward_iceberg", "iceberg_refs_df",
     "expire_iceberg_snapshots", "iceberg_bucket", "iceberg_files_df",
     "iceberg_partitions_df", "iceberg_snapshot",
     "iceberg_snapshots_df", "iceberg_truncate",
@@ -162,10 +164,24 @@ def _load_table_metadata(table: str) -> dict:
     return meta
 
 
-def iceberg_snapshot(table: str, snapshot_id: int | None = None) -> dict:
+def iceberg_snapshot(table: str, snapshot_id: int | None = None,
+                     ref: str | None = None) -> dict:
     """Metadata walk -> ``{"files": [paths], "snapshot_id",
-    "schema": iceberg schema dict}``."""
+    "schema": iceberg schema dict}``.  ``ref`` resolves a named
+    branch or tag (spec ``refs`` map; ``"main"`` is the current
+    snapshot) instead of ``snapshot_id``."""
     meta = _load_table_metadata(table)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("iceberg: pass snapshot_id OR ref")
+        if ref != "main":
+            entry = (meta.get("refs") or {}).get(ref)
+            if entry is None:
+                raise ValueError(
+                    f"iceberg: no ref {ref!r} "
+                    f"(have {sorted(meta.get('refs') or {})})"
+                )
+            snapshot_id = int(entry["snapshot-id"])
     snaps = meta.get("snapshots") or []
     if not snaps:
         return {
@@ -283,6 +299,7 @@ def _normalized_path_col(F, col, base: str):
 def read_iceberg(
     spark: SparkSession, table: str, snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Iceberg table -> DataFrame (current or time-traveled
     snapshot); the scan is plain distributed parquet with
@@ -311,8 +328,10 @@ def read_iceberg(
     actual 100 TB story: partition elimination happens in metadata,
     before any data I/O, not as a post-scan filter (the hive-style
     directories additionally give Catalyst the partition columns for
-    in-scan pruning/pushdown of whatever the manifest pass kept)."""
-    snap = iceberg_snapshot(table, snapshot_id)
+    in-scan pruning/pushdown of whatever the manifest pass kept).
+
+    ``ref`` reads a named branch or tag head (spec ``refs``)."""
+    snap = iceberg_snapshot(table, snapshot_id, ref=ref)
     if partition_filter:
         # the manifest writer records null partition values as ""
         # (write_iceberg); normalize None on the filter side so a
@@ -724,6 +743,7 @@ def write_iceberg(
     df: DataFrame, table: str, mode: str = "append",
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    branch: str | None = None,
 ) -> int:
     """DataFrame -> Iceberg snapshot; returns the new snapshot id.
 
@@ -822,9 +842,10 @@ def write_iceberg(
             return int(snaps[-1]["snapshot-id"]) if snaps else 0
     deleted = None
     if mode == "overwrite" and meta.get("snapshots"):
+        # a branch overwrite tombstones the BRANCH head's files
         deleted = [
             os.path.relpath(p, table)
-            for p in iceberg_snapshot(table)["files"]
+            for p in iceberg_snapshot(table, ref=branch)["files"]
         ]
     snapshot_id = 1 + max(
         [int(s["snapshot-id"]) for s in meta.get("snapshots") or []],
@@ -897,6 +918,7 @@ def write_iceberg(
         table, snapshot_id, data_files, deleted_files=deleted,
         new_schema_fields=new_schema, new_partition_spec=new_spec,
         summary_extra=summary_extra, properties_update=props_update,
+        branch=branch,
     )
     return snapshot_id
 
@@ -985,6 +1007,9 @@ def expire_iceberg_snapshots(
     cur = meta.get("current-snapshot-id")
     if cur is not None:
         keep.add(int(cur))
+    # named refs PIN their snapshots (spec: expire honors refs)
+    for entry in (meta.get("refs") or {}).values():
+        keep.add(int(entry["snapshot-id"]))
     expired = [
         int(s["snapshot-id"]) for s in snaps
         if int(s["snapshot-id"]) not in keep
@@ -1613,6 +1638,7 @@ def append_iceberg_snapshot(
     summary_extra: dict | None = None,
     properties_update: dict | None = None,
     drop_delete_files: bool = False,
+    branch: str | None = None,
 ) -> None:
     """Add a snapshot: writes one manifest (adds + deletions of
     prior files), the manifest list, and the next vN.metadata.json.
@@ -1627,10 +1653,24 @@ def append_iceberg_snapshot(
     ``drop_delete_files=True`` stops carrying the previous snapshot's
     row-level delete files forward — the delete-compaction commit
     shape, valid only when the data files they applied to were
-    rewritten (or tombstoned) in the same snapshot."""
+    rewritten (or tombstoned) in the same snapshot.
+
+    ``branch`` commits to a named branch ref instead of main: the
+    carry-forward base is the BRANCH head, the snapshot records its
+    parent, and only ``refs[branch]`` advances —
+    ``current-snapshot-id`` (= main) is untouched.  That is the
+    write-audit-publish staging shape; :func:`fast_forward_iceberg`
+    publishes."""
     from vtk_reserves_spark.sources.avro import write_avro_bytes
 
     meta = _load_table_metadata(table)
+    if branch is not None:
+        bentry = (meta.get("refs") or {}).get(branch)
+        if bentry is None or bentry.get("type") != "branch":
+            raise ValueError(
+                f"iceberg: no branch {branch!r} "
+                "(create_iceberg_branch first)"
+            )
     mdir = os.path.join(table, "metadata")
     seq = int(meta.get("last-sequence-number", 0)) + 1
     entries = [
@@ -1650,8 +1690,14 @@ def append_iceberg_snapshot(
         for d in data_files
     ]
     # carry forward the previous snapshot's surviving files so each
-    # manifest list is self-contained (the simple "rewrite" strategy)
-    prev = iceberg_snapshot(table) if meta.get("snapshots") else None
+    # manifest list is self-contained (the simple "rewrite" strategy);
+    # a branch commit carries from the BRANCH head, not main
+    if branch is not None:
+        prev = iceberg_snapshot(table, ref=branch)
+        parent_id = int(bentry["snapshot-id"])
+    else:
+        prev = iceberg_snapshot(table) if meta.get("snapshots") else None
+        parent_id = meta.get("current-snapshot-id")
     if prev:
         dropped = set(deleted_files or [])
         for p in prev["files"]:
@@ -1812,13 +1858,21 @@ def append_iceberg_snapshot(
 
     meta["snapshots"] = list(meta.get("snapshots") or []) + [
         {"snapshot-id": snapshot_id,
+         "parent-snapshot-id": parent_id,
          "timestamp-ms": int(_time.time() * 1000),
          "sequence-number": seq,
          "manifest-list": ml_rel,
          "summary": {"operation": "append",
                      **(summary_extra or {})}}
     ]
-    meta["current-snapshot-id"] = snapshot_id
+    if branch is not None:
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {**refs[branch],
+                        "snapshot-id": snapshot_id,
+                        "type": "branch"}
+        meta["refs"] = refs
+    else:
+        meta["current-snapshot-id"] = snapshot_id
     meta["last-sequence-number"] = seq
     hint = os.path.join(mdir, "version-hint.text")
     with open(hint) as fh:
@@ -1827,3 +1881,121 @@ def append_iceberg_snapshot(
         json.dump(meta, fh)
     with open(hint, "w") as fh:
         fh.write(str(v + 1))
+
+
+def _write_next_metadata(table: str, meta: dict) -> None:
+    """Write ``meta`` as the next ``vN.metadata.json`` and bump the
+    version hint — the shared commit tail of every metadata-only
+    verb here (refs, expire, fast-forward)."""
+    mdir = os.path.join(table, "metadata")
+    hint = os.path.join(mdir, "version-hint.text")
+    with open(hint) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(mdir, f"v{v + 1}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(hint, "w") as fh:
+        fh.write(str(v + 1))
+
+
+def _set_ref(table: str, name: str, rtype: str,
+             snapshot_id: int | None) -> int:
+    if name == "main":
+        raise ValueError("iceberg: 'main' is reserved (the current "
+                         "snapshot)")
+    meta = dict(_load_table_metadata(table))
+    sid = snapshot_id if snapshot_id is not None else meta.get(
+        "current-snapshot-id"
+    )
+    if sid is None:
+        raise ValueError("iceberg: table has no snapshot to ref")
+    known = {int(s["snapshot-id"]) for s in meta.get("snapshots") or []}
+    if int(sid) not in known:
+        raise ValueError(f"iceberg: snapshot {sid} not in {sorted(known)}")
+    refs = dict(meta.get("refs") or {})
+    if name in refs:
+        raise ValueError(f"iceberg: ref {name!r} already exists")
+    refs[name] = {"snapshot-id": int(sid), "type": rtype}
+    meta["refs"] = refs
+    _write_next_metadata(table, meta)
+    return int(sid)
+
+
+def create_iceberg_tag(table: str, name: str,
+                       snapshot_id: int | None = None) -> int:
+    """CREATE TAG — an immutable named pointer at a snapshot (spec
+    ``refs`` map, type ``tag``).  Tags PIN their snapshot against
+    :func:`expire_iceberg_snapshots`; reads resolve them via
+    ``read_iceberg(ref=...)``.  Returns the tagged snapshot id."""
+    return _set_ref(table, name, "tag", snapshot_id)
+
+
+def create_iceberg_branch(table: str, name: str,
+                          snapshot_id: int | None = None) -> int:
+    """CREATE BRANCH — a movable named head starting at a snapshot.
+    ``write_iceberg(..., branch=name)`` advances it without touching
+    main; :func:`fast_forward_iceberg` publishes it.  The
+    write-audit-publish staging pattern.  Returns the branch's
+    starting snapshot id."""
+    return _set_ref(table, name, "branch", snapshot_id)
+
+
+def drop_iceberg_ref(table: str, name: str) -> None:
+    """DROP TAG/BRANCH: remove the named ref (its snapshots stop
+    being pinned against expiry)."""
+    meta = dict(_load_table_metadata(table))
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"iceberg: no ref {name!r}")
+    del refs[name]
+    meta["refs"] = refs
+    _write_next_metadata(table, meta)
+
+
+def fast_forward_iceberg(table: str, branch: str) -> int:
+    """PUBLISH a staged branch — iceberg-spark's ``fast_forward``
+    procedure: move main (``current-snapshot-id``) to the branch
+    head, gated on the branch head being a DESCENDANT of main (the
+    parent-snapshot-id chain must reach the current main head) so a
+    fast-forward can never silently drop main-side commits.  Returns
+    the new main snapshot id.  The branch ref survives (drop it
+    separately); this is the audit->publish step of WAP."""
+    meta = dict(_load_table_metadata(table))
+    entry = (meta.get("refs") or {}).get(branch)
+    if entry is None or entry.get("type") != "branch":
+        raise ValueError(f"iceberg: no branch {branch!r}")
+    head = int(entry["snapshot-id"])
+    cur = meta.get("current-snapshot-id")
+    if cur is not None and int(cur) != head:
+        by_id = {
+            int(s["snapshot-id"]): s
+            for s in meta.get("snapshots") or []
+        }
+        walk, seen = head, set()
+        while walk is not None and walk not in seen:
+            if int(walk) == int(cur):
+                break
+            seen.add(walk)
+            parent = by_id.get(int(walk), {}).get("parent-snapshot-id")
+            walk = int(parent) if parent is not None else None
+        else:
+            raise ValueError(
+                f"iceberg: branch {branch!r} head {head} is not a "
+                f"descendant of main ({cur}); cannot fast-forward"
+            )
+    meta["current-snapshot-id"] = head
+    _write_next_metadata(table, meta)
+    return head
+
+
+def iceberg_refs_df(spark: SparkSession, table: str) -> DataFrame:
+    """The ``refs`` metadata table (iceberg-spark's ``table.refs``):
+    one row per named ref plus main.  Metadata only."""
+    meta = _load_table_metadata(table)
+    rows = [("main", "branch", int(meta["current-snapshot-id"]))] \
+        if meta.get("current-snapshot-id") is not None else []
+    for name, entry in sorted((meta.get("refs") or {}).items()):
+        rows.append((name, entry.get("type", "branch"),
+                     int(entry["snapshot-id"])))
+    return spark.createDataFrame(
+        rows, "name string, type string, snapshot_id long"
+    )
