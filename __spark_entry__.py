@@ -6069,6 +6069,61 @@ def q_iceberg_merge_transforms(
     return full.unionByName(pruned)
 
 
+def q_iceberg_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SCHEMA EVOLUTION with field-id resolution (sources/
+    iceberg.alter_iceberg_table + _epoch_scan — the spec's "Schema
+    Evolution" guarantees): the evens land as (doc_id, text_len,
+    lang); ALTER renames text_len -> len_chars, drops lang and adds
+    src — WITHOUT rewriting a single data file; the %4==1 odds then
+    append in the new shape, and a MERGE updates the %8==0 rows
+    (+1000) ACROSS epochs.  Old files serve the renamed column by
+    field id and null-fill the added one; a second rename
+    (src -> origin) stacks another epoch.  Every file's write-time
+    schema resolves from its data sequence number — pure metadata,
+    no footer reads, a handful of per-epoch scan groups."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        alter_iceberg_table, merge_iceberg, read_iceberg,
+        write_iceberg,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_icee_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len"), "lang"
+    )
+    write_iceberg(base.filter(F.col("doc_id") % 2 == 0), td)
+    alter_iceberg_table(
+        td, rename={"text_len": "len_chars"},
+        add=[("src", "string")], drop=["lang"],
+    )
+    write_iceberg(
+        base.filter(F.col("doc_id") % 4 == 1).select(
+            "doc_id",
+            F.col("text_len").alias("len_chars"),
+            F.lit("web").alias("src"),
+        ),
+        td,
+    )
+    upd = base.filter(F.col("doc_id") % 8 == 0).select(
+        "doc_id",
+        (F.col("text_len") + F.lit(1000)).alias("len_chars"),
+        F.lit("fix").alias("src"),
+    )
+    merge_iceberg(spark, upd, td, on=["doc_id"])
+    alter_iceberg_table(td, rename={"src": "origin"})
+    return read_iceberg(spark, td).select(
+        "doc_id", "len_chars", "origin"
+    )
+
+
 def q_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg BRANCHES + TAGS + write-audit-publish (sources/
     iceberg.create_iceberg_branch / write_iceberg(branch=) /
@@ -10820,6 +10875,22 @@ def _llm_oracles() -> dict[str, str]:
               AND ts < TIMESTAMP '2024-01-04'
               AND user_id = 7
         """,
+        "iceberg_evolution": """
+            -- field-id resolution closed form: evens (old files)
+            -- serve the renamed column + NULL origin unless the
+            -- %8==0 merge rewrote them ('fix', +1000); %4==1 odds
+            -- appended post-alter as 'web'
+            SELECT doc_id,
+                   LENGTH(text) + 1000 AS len_chars,
+                   'fix' AS origin
+            FROM documents WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT doc_id, LENGTH(text), NULL
+            FROM documents WHERE doc_id % 2 = 0 AND doc_id % 8 <> 0
+            UNION ALL
+            SELECT doc_id, LENGTH(text), 'web'
+            FROM documents WHERE doc_id % 4 = 1
+        """,
         "iceberg_wap": """
             -- write-audit-publish: prepub tag = the evens; the
             -- staged branch and published main both = evens + %4==1
@@ -11807,6 +11878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hudi_mor": q_hudi_mor,
         "iceberg_merge_transforms": q_iceberg_merge_transforms,
+        "iceberg_evolution": q_iceberg_evolution,
         "iceberg_wap": q_iceberg_wap,
         "dsir_domains": q_dsir_domains,
         "hudi_incremental": q_hudi_incremental,

@@ -1120,3 +1120,79 @@ def test_iceberg_refs_branch_tag_wap(spark, tmp_path):
         create_iceberg_tag(t, "v1")
     with _pytest.raises(ValueError, match="reserved"):
         create_iceberg_branch(t, "main")
+
+
+def test_iceberg_schema_evolution(spark, tmp_path):
+    """ALTER ADD/RENAME/DROP with field-id resolution: files written
+    before a rename keep serving the renamed column, files predating
+    an added column null-fill it, dropped columns vanish without
+    touching data files — and MERGE works across epochs."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        alter_iceberg_table, iceberg_snapshot, merge_iceberg,
+        read_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "evo")
+    write_iceberg(
+        spark.range(4).select(
+            "id", (F.col("id") * 1.0).alias("val"),
+            F.lit("junk").alias("tmp"),
+        ),
+        t,
+    )
+    files_before = set(iceberg_snapshot(t)["files"])
+    alter_iceberg_table(
+        t, rename={"val": "score"}, add=[("src", "string")],
+        drop=["tmp"],
+    )
+    # no data file was rewritten
+    assert set(iceberg_snapshot(t)["files"]) == files_before
+    back = read_iceberg(spark, t)
+    assert back.columns == ["id", "score", "src"]
+    got = {r["id"]: (r["score"], r["src"]) for r in back.collect()}
+    assert got[2] == (2.0, None)  # old file serves the rename + null
+    # appends after the alter carry the new shape
+    write_iceberg(
+        spark.createDataFrame([(10, 10.5, "web")],
+                              "id long, score double, src string"),
+        t,
+    )
+    got = {r["id"]: (r["score"], r["src"])
+           for r in read_iceberg(spark, t).collect()}
+    assert got[10] == (10.5, "web") and got[1] == (1.0, None)
+    # MERGE across epochs: update an OLD-file row and a NEW-file row
+    src = spark.createDataFrame(
+        [(0, 100.0, "fix"), (10, 110.0, "fix")],
+        "id long, score double, src string",
+    )
+    merge_iceberg(spark, src, t, on=["id"])
+    got = {r["id"]: (r["score"], r["src"])
+           for r in read_iceberg(spark, t).collect()}
+    assert got[0] == (100.0, "fix") and got[10] == (110.0, "fix")
+    assert got[3] == (3.0, None) and len(got) == 5
+    # a SECOND evolution stacks another epoch
+    alter_iceberg_table(t, rename={"src": "origin"})
+    got = {r["id"]: r["origin"]
+           for r in read_iceberg(spark, t).collect()}
+    assert got[0] == "fix" and got[1] is None
+    # gates
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exists"):
+        alter_iceberg_table(t, add=[("origin", "string")])
+    with _pytest.raises(ValueError, match="no column"):
+        alter_iceberg_table(t, drop=["nope"])
+    t2 = str(tmp_path / "evop")
+    write_iceberg(
+        spark.range(4).select(
+            "id", (F.col("id") % 2).cast("int").alias("p"),
+            (F.col("id") * 1.0).alias("v"),
+        ),
+        t2, partition_by=["p"],
+    )
+    with _pytest.raises(ValueError, match="partition-source"):
+        alter_iceberg_table(t2, rename={"p": "q"})
+    with _pytest.raises(ValueError, match="partition-source"):
+        alter_iceberg_table(t2, drop=["p"])

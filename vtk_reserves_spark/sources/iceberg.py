@@ -51,6 +51,7 @@ __all__ = [
     "compact_iceberg_deletes", "create_iceberg_branch",
     "create_iceberg_tag", "drop_iceberg_ref",
     "fast_forward_iceberg", "iceberg_refs_df",
+    "alter_iceberg_table",
     "expire_iceberg_snapshots", "iceberg_bucket", "iceberg_files_df",
     "iceberg_partitions_df", "iceberg_snapshot",
     "iceberg_snapshots_df", "iceberg_truncate",
@@ -196,6 +197,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None,
             "equality_deletes": [],
             "schema": meta.get("schemas", [meta.get("schema")])[0],
             "partition_spec": meta.get("partition-spec") or [],
+            "schema_log": meta.get("schema-log") or [],
         }
     sid = snapshot_id if snapshot_id is not None else meta.get(
         "current-snapshot-id"
@@ -281,8 +283,14 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None,
                 for p, (s, ids) in equality_deletes.items()
             ),
             "schema": schema,
+            "schema_log": meta.get("schema-log") or [],
             "partition_spec": meta.get("partition-spec") or []}
 
+
+
+
+def _is_evolved(snap: dict) -> bool:
+    return len(snap.get("schema_log") or []) > 1
 
 def _normalized_path_col(F, col, base: str):
     """Delete-side ``file_path`` values -> absolute filesystem paths:
@@ -354,6 +362,18 @@ def read_iceberg(
         # the table metadata instead of erroring
         return spark.createDataFrame(
             [], _spark_schema_from_iceberg(snap["schema"])
+        )
+    if _is_evolved(snap):
+        # schema-evolved table: field-id resolution via per-epoch
+        # scan groups (alter gates while delete files are live, and
+        # appending deletes AFTER an alter is rejected here too)
+        if snap["position_deletes"] or snap["equality_deletes"]:
+            raise ValueError(
+                "iceberg: schema-evolved table with row-level "
+                "delete files not supported"
+            )
+        return _epoch_scan(
+            spark, table, snap, _load_table_metadata(table)
         )
     return _scan_snapshot(spark, table, snap)
 
@@ -1153,9 +1173,15 @@ def merge_iceberg(
                 f"{sorted(table_cols)}"
             )
     base = os.path.abspath(table)
-    data = spark.read.option("basePath", base).parquet(
-        *snap["files"]
-    ).withColumn("_ice_file", decoded_file_path(F))
+    if _is_evolved(snap):
+        data = _epoch_scan(
+            spark, table, snap, _load_table_metadata(table),
+            with_path=True,
+        )
+    else:
+        data = spark.read.option("basePath", base).parquet(
+            *snap["files"]
+        ).withColumn("_ice_file", decoded_file_path(F))
     keys = source.select(*on).distinct()
     touched = [
         r["_ice_file"]
@@ -1305,6 +1331,11 @@ def compact_iceberg_deletes(spark: SparkSession, table: str) -> int:
 
     snap = iceberg_snapshot(table)
     pos, eq = snap["position_deletes"], snap["equality_deletes"]
+    if _is_evolved(snap) and (pos or eq):
+        raise ValueError(
+            "iceberg: delete compaction on schema-evolved tables "
+            "not supported"
+        )
     if not pos and not eq:
         return int(snap["snapshot_id"] or 0)
     spec = snap.get("partition_spec") or []
@@ -1417,6 +1448,12 @@ def optimize_iceberg(
     from pyspark.sql import functions as F  # noqa: F401
 
     snap = iceberg_snapshot(table)
+    if _is_evolved(snap):
+        raise ValueError(
+            "iceberg: optimize on schema-evolved tables not "
+            "supported yet (the rewrite would need per-epoch "
+            "projection; merge handles evolved tables)"
+        )
     victims = [
         p for p in snap["files"]
         if int(snap["file_sizes"].get(p, 0)) < min_file_size
@@ -1999,3 +2036,177 @@ def iceberg_refs_df(spark: SparkSession, table: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "name string, type string, snapshot_id long"
     )
+
+
+_ICE_TO_SPARK = {
+    "long": "long", "int": "int", "double": "double",
+    "float": "float", "string": "string", "boolean": "boolean",
+    "date": "date", "binary": "binary",
+    "timestamptz": "timestamp", "timestamp": "timestamp_ntz",
+}
+
+
+def alter_iceberg_table(
+    table: str,
+    add: list[tuple[str, str]] | None = None,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> None:
+    """Schema evolution — ALTER TABLE ADD/RENAME/DROP COLUMN with
+    Iceberg's defining semantic: columns resolve by FIELD ID, never
+    by position or name, so files written BEFORE a rename keep
+    serving the renamed column, files predating an added column
+    return null for it, and dropped columns vanish without touching
+    a single data file (the spec "Schema Evolution" guarantees).
+
+    Implementation: renamed fields keep their ids, added fields get
+    fresh ids past ``last-column-id``, and a ``schema-log`` of
+    (sequence-number, fields) epochs accrues in the metadata.  Every
+    data file already records its data sequence number in the
+    manifests, so a file's WRITE-TIME schema is the epoch in force
+    at its sequence number — pure metadata, no footer reads.  The
+    readers and MERGE group files by epoch and alias/null-fill to
+    the current schema (:func:`_epoch_scan`).
+
+    Gates (clear errors, never silent misreads): renaming or
+    dropping a partition-source column; altering while v2 row-level
+    delete files are live (compact them first); column TYPE changes
+    (not in the subset)."""
+    meta = dict(_load_table_metadata(table))
+    fields = [dict(f) for f in (meta.get("schema") or {})
+              .get("fields", [])]
+    if not fields:
+        raise ValueError("iceberg: table has no schema to alter")
+    snaps = meta.get("snapshots") or []
+    if snaps:
+        snap = iceberg_snapshot(table)
+        if snap["position_deletes"] or snap["equality_deletes"]:
+            raise ValueError(
+                "iceberg: schema evolution with live row-level "
+                "delete files not supported (compact them first)"
+            )
+    spec_sources = {
+        int(e.get("source-id", 0))
+        for e in (meta.get("partition-spec") or [])
+    }
+    by_name = {f["name"]: f for f in fields}
+    for old, new in (rename or {}).items():
+        if old not in by_name:
+            raise ValueError(f"iceberg: no column {old!r} to rename")
+        if new in by_name and by_name[new] is not by_name[old]:
+            raise ValueError(f"iceberg: column {new!r} exists")
+        if int(by_name[old]["id"]) in spec_sources:
+            raise ValueError(
+                f"iceberg: cannot rename partition-source column "
+                f"{old!r}"
+            )
+        by_name[old]["name"] = new
+    for name in (drop or []):
+        f = next((f for f in fields if f["name"] == name), None)
+        if f is None:
+            raise ValueError(f"iceberg: no column {name!r} to drop")
+        if int(f["id"]) in spec_sources:
+            raise ValueError(
+                f"iceberg: cannot drop partition-source column "
+                f"{name!r}"
+            )
+        fields.remove(f)
+    next_id = int(meta.get("last-column-id") or max(
+        (int(f["id"]) for f in fields), default=0
+    ))
+    for name, ice_type in (add or []):
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"iceberg: column {name!r} exists")
+        if ice_type not in _ICE_TO_SPARK and not str(
+            ice_type
+        ).startswith("decimal"):
+            raise ValueError(f"iceberg: add type {ice_type!r} not in "
+                             "the subset")
+        next_id += 1
+        fields.append({"id": next_id, "name": name,
+                       "required": False, "type": ice_type})
+    # record the OLD schema's epoch (seq 0) on first evolution, then
+    # the new epoch starting at the NEXT sequence number
+    log = list(meta.get("schema-log") or [])
+    if not log:
+        log.append({
+            "seq": 0,
+            "fields": (meta.get("schema") or {}).get("fields", []),
+        })
+    log.append({
+        "seq": int(meta.get("last-sequence-number", 0)) + 1,
+        "fields": fields,
+    })
+    meta["schema"] = {"type": "struct", "fields": fields}
+    meta["last-column-id"] = next_id
+    meta["schema-log"] = log
+    _write_next_metadata(table, meta)
+
+
+def _epoch_scan(
+    spark: SparkSession, table: str, snap: dict, meta: dict,
+    with_path: bool = False,
+) -> DataFrame:
+    """Field-id-resolved scan of an evolved table: group the
+    snapshot's files by the schema EPOCH in force at each file's
+    data sequence number, scan each group once, alias historical
+    names to current names by field id and null-fill fields the
+    epoch predates, then union.  Epoch count = number of schema
+    changes — a handful, so the plan stays a few parquet scans.
+    ``with_path`` threads the decoded ``_metadata.file_path`` (the
+    MERGE routing handle)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import decoded_file_path
+
+    base = os.path.abspath(table)
+    cur_fields = (meta.get("schema") or {}).get("fields", [])
+    log = sorted(
+        meta.get("schema-log") or [], key=lambda e: int(e["seq"])
+    )
+    hidden = [
+        e["name"] for e in snap.get("partition_spec") or []
+        if e.get("transform") not in (None, "identity")
+    ]
+    groups: dict[int, list[str]] = {}
+    for p in snap["files"]:
+        seq = int(snap["data_seqs"].get(p, 0))
+        ei = 0
+        for i, e in enumerate(log):
+            if int(e["seq"]) <= seq:
+                ei = i
+        groups.setdefault(ei, []).append(p)
+    pieces = []
+    for ei, files in sorted(groups.items()):
+        efields = log[ei]["fields"] if log else cur_fields
+        name_by_id = {int(f["id"]): f["name"] for f in efields}
+        df = spark.read.option("basePath", base).parquet(*files)
+        sel = []
+        for f in cur_fields:
+            fid, name = int(f["id"]), f["name"]
+            spark_t = _ICE_TO_SPARK.get(f["type"], f["type"])
+            old = name_by_id.get(fid)
+            if old is not None and old in df.columns:
+                sel.append(F.col(old).cast(spark_t).alias(name))
+            else:
+                sel.append(F.lit(None).cast(spark_t).alias(name))
+        if with_path:
+            sel.append(decoded_file_path(F).alias("_ice_file"))
+        pieces.append(df.select(*sel))
+    if not pieces:
+        from pyspark.sql import types as T
+
+        out = spark.createDataFrame([], T.StructType([
+            T.StructField(
+                f["name"],
+                T._parse_datatype_string(
+                    _ICE_TO_SPARK.get(f["type"], f["type"])
+                ),
+            )
+            for f in cur_fields
+        ]))
+        return out
+    out = reduce(DataFrame.unionByName, pieces)
+    return out.drop(*hidden) if hidden else out
