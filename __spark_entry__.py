@@ -11856,26 +11856,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the correctness harness records the FIRST 50
-    # entries in dict order (bench runs all).  Round-8 rotation
+    # entries in dict order (bench runs all).  Round-9 rotation
     # (ledger: ROTATION.json, regenerated by tools/rotation_ledger.py):
-    # [head, 15] the NEW oracle-backed round-8 queries (iceberg
-    #     transforms/merge/optimize/incremental/partitions/
-    #     compact-deletes, hudi snapshot/merge, dsir, delta
-    #     cdf/cdf-drain/v2-checkpoint/restore, iceberg stream sink,
-    #     and the cross-format cdc_replicate composition);
-    # [next, 12] queries whose IMPLEMENTATION changed this round
-    #     (PQ family numpy-fused train/encode; zarr sharded two-stage
-    #     write; delta merge/optimize/snapshot/write + stream sink
-    #     touched by the CDF/v2-checkpoint/vacuum work; iceberg
-    #     reader/writer touched by transforms + empty-filter + size
-    #     carry-forward);
-    # [fill, 23] the oldest-evidence oracle-backed queries: the full
-    #     round-3 evidence set (18) + the head of the round-4 set (5;
-    #     the late additions pushed charset_detect/domain_quota/
-    #     domain_stats/exif_metadata to the next rotation).
+    # [head, 7] the NEW oracle-backed round-9 queries (hudi_mor,
+    #     iceberg_merge_transforms, iceberg_evolution, iceberg_wap,
+    #     dsir_domains, hudi_incremental, hudi_cluster);
+    # [next, 9] queries whose IMPLEMENTATION changed this round
+    #     (iceberg_optimize partial-progress re-record; cdc_replicate
+    #     txn-keyed applies; delta_cdf_drain materialize+range;
+    #     delta_cdf partitioned/schema-gate read; hudi_merge +
+    #     hudi_snapshot commit stamps + recorded schema; iceberg_merge
+    #     transforms+txn; iceberg_transforms date-bucket writer fix;
+    #     iceberg_compact_deletes evolved gate);
+    # [fill, 34] the oldest-evidence oracle-backed queries (the
+    #     round-4 cohort, alphabetical).
     # No rows-only (no_oracle) queries occupy window slots (VERDICT r6
     # item 3).  Everything after slot 50 keeps its prior ordering.
-    return {
+    # The explicit _WINDOW reorder below makes the layout auditable
+    # and immune to literal-ordering drift.
+    q = {
         "hudi_mor": q_hudi_mor,
         "iceberg_merge_transforms": q_iceberg_merge_transforms,
         "iceberg_evolution": q_iceberg_evolution,
@@ -12119,6 +12118,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "pq_ann": q_pq_ann,
     }
+    head = _WINDOW + [n for n in q if n not in _WINDOW_SET]
+    return {n: q[n] for n in head}
+
+
+_WINDOW = [
+    # new round-9
+    "hudi_mor", "iceberg_merge_transforms", "iceberg_evolution",
+    "iceberg_wap", "dsir_domains", "hudi_incremental", "hudi_cluster",
+    # impl-changed round-9
+    "iceberg_optimize", "cdc_replicate", "delta_cdf_drain",
+    "delta_cdf", "hudi_merge", "hudi_snapshot", "iceberg_merge",
+    "iceberg_transforms", "iceberg_compact_deletes",
+    # oldest-evidence fill (round-4 cohort)
+    "curation_policy", "domain_quota", "domain_stats",
+    "exif_metadata", "feed_entries", "font_metadata", "geoxml",
+    "gslib_table", "hard_negatives", "html_meta", "html_tables",
+    "ics_events", "image_dhash", "image_neardup", "link_graph",
+    "mbox_mail", "mkv_metadata", "mp3_metadata", "mp4_metadata",
+    "office_text", "ogg_metadata", "orc_roundtrip", "pagerank_hosts",
+    "pdf_text", "protobuf_census", "readability",
+    "repetition_signals", "robots_filter", "script_stats",
+    "sitemap_urls", "small_codecs", "stream_media", "stream_warc",
+    "subtitle_cues",
+]
+_WINDOW_SET = set(_WINDOW)
+
 
 def _nscore_oracle() -> str:
     """DuckDB mirror of q_nscore: same Hazen rank, same Acklam probit

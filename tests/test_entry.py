@@ -35,38 +35,29 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 
 def test_recording_window_layout():
     """The driver records only the FIRST 50 queries() entries; this
-    pins the round-8 rotation (ROTATION.json) so an accidental
+    pins the round-9 rotation (ROTATION.json) so an accidental
     reorder cannot silently drop the evidence-due block out of the
     window."""
     import __spark_entry__ as entry
 
     names = list(entry.queries())
     window = set(names[:50])
-    # head: the new oracle-backed round-8 queries
-    round8_new = {"iceberg_merge", "hudi_snapshot", "dsir_resample",
-                  "delta_cdf", "delta_v2_checkpoint", "delta_restore",
-                  "iceberg_optimize", "iceberg_incremental",
-                  "iceberg_partitions", "iceberg_transforms",
-                  "stream_iceberg_sink", "iceberg_compact_deletes",
-                  "hudi_merge", "delta_cdf_drain", "cdc_replicate"}
-    # queries whose IMPLEMENTATION changed in round 8
-    impl_changed = {"pq_topk_degenerate", "ivfpq_degenerate",
-                    "zarr_sharded", "delta_merge", "delta_optimize",
-                    "delta_snapshot", "delta_write_roundtrip",
-                    "iceberg_snapshot", "iceberg_equality",
-                    "iceberg_partitioned", "iceberg_write_roundtrip",
-                    "stream_delta_sink"}
-    # the oldest-evidence fill: the whole round-3 evidence set leads
-    round3_due = {"bloom_decontaminate", "bpe_degenerate",
-                  "flac_features", "fuzzy_join", "gif_frames",
-                  "jpeg_progressive", "kmeans", "krige_degenerate",
-                  "nscore", "nscore_roundtrip", "stream_heavy_hitters",
-                  "stream_kmv", "stream_topk", "video_frames_mjpg",
-                  "warc_ingest", "webp_anim", "webp_decode",
-                  "xls_report"}
-    assert round8_new <= window
+    # the layout is the explicit _WINDOW list — exactly the window
+    assert names[:50] == entry._WINDOW
+    # head: the new oracle-backed round-9 queries
+    round9_new = {"hudi_mor", "iceberg_merge_transforms",
+                  "iceberg_evolution", "iceberg_wap", "dsir_domains",
+                  "hudi_incremental", "hudi_cluster"}
+    # queries whose IMPLEMENTATION changed in round 9
+    impl_changed = {"iceberg_optimize", "cdc_replicate",
+                    "delta_cdf_drain", "delta_cdf", "hudi_merge",
+                    "hudi_snapshot", "iceberg_merge",
+                    "iceberg_transforms", "iceberg_compact_deletes"}
+    assert round9_new <= window
     assert impl_changed <= window
-    assert round3_due <= window
+    # fill = oldest-evidence (round-4 cohort per ROTATION.json)
+    assert {"curation_policy", "subtitle_cues", "pdf_text",
+            "robots_filter"} <= window
     # VERDICT r6 item 3: no rows-only queries spend window slots —
     # every window entry must be oracle-backed
     oracles = set(entry.oracle_sql())
