@@ -1191,3 +1191,33 @@ def test_merge_broadcast_source_fallback(spark, tmp_path):
                when_not_matched="ignore", broadcast_source=False)
     got = {r["id"]: r["v"] for r in read_hudi(spark, t3).collect()}
     assert got == want
+
+
+def test_merge_delta_txn_exactly_once(spark, tmp_path):
+    """merge_delta(txn=) skips replayed batches via the log's txn
+    actions — the Delta twin of merge_iceberg's ledger (the
+    idempotent-apply half of incremental CDC in either direction)."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        merge_delta, read_delta, write_delta,
+    )
+
+    t = str(tmp_path / "mtxn")
+    write_delta(spark.range(5).withColumn("v", F.lit(1.0)), t)
+    src = spark.createDataFrame([(0, 10.0), (9, 90.0)],
+                                "id long, v double")
+    v1 = merge_delta(spark, src, t, on=["id"], txn=("etl", 3))
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got[0] == 10.0 and got[9] == 90.0
+    poison = spark.createDataFrame([(0, 666.0)], "id long, v double")
+    assert merge_delta(spark, poison, t, on=["id"],
+                       txn=("etl", 3)) == v1
+    assert merge_delta(spark, poison, t, on=["id"],
+                       txn=("etl", 2)) == v1
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got[0] == 10.0  # both replays skipped
+    v2 = merge_delta(spark, poison, t, on=["id"], txn=("etl", 4))
+    assert v2 == v1 + 1
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got[0] == 666.0

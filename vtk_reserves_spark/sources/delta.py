@@ -945,6 +945,7 @@ def merge_delta(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     broadcast_source: bool = True,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Copy-on-write MERGE (delta-spark's ``MERGE INTO`` subset):
     upsert ``source`` into the table keyed on the ``on`` columns;
@@ -993,6 +994,13 @@ def merge_delta(
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(f"delta: when_not_matched {when_not_matched!r}")
     snap = delta_snapshot(table)
+    if txn is not None:
+        # exactly-once for at-least-once producers: the PROTOCOL.md
+        # txn-action ledger write_delta uses, on the merge verb — a
+        # replayed batch at an equal-or-older version skips entirely
+        seen = snap.get("txns", {}).get(txn[0])
+        if seen is not None and int(seen) >= int(txn[1]):
+            return int(snap["version"])
     if _column_mapping(snap["metadata"]):
         raise ValueError(
             "delta: merge into column-mapped tables not supported"
@@ -1112,7 +1120,8 @@ def merge_delta(
             new_df = new_df.unionByName(p)
         adds = _stage_and_promote(new_df, table, part_cols or None)
     write_delta_commit(table, version, adds=adds, removes=removes,
-                       operation="MERGE", cdc=cdc_actions or None)
+                       operation="MERGE", cdc=cdc_actions or None,
+                       txn=txn)
     return version
 
 
