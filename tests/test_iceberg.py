@@ -1196,3 +1196,82 @@ def test_iceberg_schema_evolution(spark, tmp_path):
         alter_iceberg_table(t2, rename={"p": "q"})
     with _pytest.raises(ValueError, match="partition-source"):
         alter_iceberg_table(t2, drop=["p"])
+
+
+def test_iceberg_evolution_optimize_and_snapshot_schema(spark, tmp_path):
+    """Evolved-table compaction rewrites through the per-epoch
+    projection (materializing the current schema), and TIME TRAVEL
+    reads a pre-alter snapshot under its OWN schema epoch."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        alter_iceberg_table, iceberg_snapshot, optimize_iceberg,
+        read_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "evoopt")
+    write_iceberg(
+        spark.range(6).select(
+            "id", (F.col("id") * 1.0).alias("val"),
+        ).repartition(3),
+        t,
+    )
+    v1 = iceberg_snapshot(t)["snapshot_id"]
+    alter_iceberg_table(t, rename={"val": "score"},
+                        add=[("src", "string")])
+    write_iceberg(
+        spark.createDataFrame([(10, 9.5, "web")],
+                              "id long, score double, src string"),
+        t,
+    )
+    # time travel to the pre-alter snapshot: the OLD schema applies
+    old = read_iceberg(spark, t, snapshot_id=v1)
+    assert old.columns == ["id", "val"]
+    assert {r["id"] for r in old.collect()} == set(range(6))
+    # head read: current schema, old files serve the rename
+    head = read_iceberg(spark, t)
+    assert head.columns == ["id", "score", "src"]
+    # compaction on the evolved table materializes the new schema
+    v = optimize_iceberg(spark, t, min_file_size=1 << 20)
+    snap = iceberg_snapshot(t)
+    assert snap["snapshot_id"] == v
+    got = {r["id"]: (r["score"], r["src"])
+           for r in read_iceberg(spark, t).collect()}
+    assert got[3] == (3.0, None) and got[10] == (9.5, "web")
+    assert len(got) == 7
+    # the rewritten files carry the CURRENT column names in content
+    import pyarrow.parquet as pq
+
+    newest = [p for p in snap["files"]]
+    names = set()
+    for p in newest:
+        md = pq.ParquetFile(p).metadata
+        names |= {md.schema.column(i).name
+                  for i in range(md.num_columns)}
+    assert "score" in names and "val" not in names
+
+
+def test_merge_iceberg_on_branch(spark, tmp_path):
+    """Branch-scoped MERGE: upserts stage on the branch (main
+    untouched) and fast-forward publishes them — WAP with merges."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        create_iceberg_branch, fast_forward_iceberg, merge_iceberg,
+        read_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "bm")
+    write_iceberg(spark.range(5).withColumn("v", F.lit(1.0)), t)
+    create_iceberg_branch(t, "stage")
+    src = spark.createDataFrame([(0, 10.0), (9, 90.0)],
+                                "id long, v double")
+    merge_iceberg(spark, src, t, on=["id"], branch="stage")
+    main = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert main[0] == 1.0 and 9 not in main  # main untouched
+    staged = {r["id"]: r["v"]
+              for r in read_iceberg(spark, t, ref="stage").collect()}
+    assert staged[0] == 10.0 and staged[9] == 90.0
+    fast_forward_iceberg(t, "stage")
+    pub = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert pub == staged

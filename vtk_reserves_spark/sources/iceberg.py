@@ -284,6 +284,8 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None,
             ),
             "schema": schema,
             "schema_log": meta.get("schema-log") or [],
+            "sequence_number": snap.get("sequence-number"),
+            "current_snapshot_id": meta.get("current-snapshot-id"),
             "partition_spec": meta.get("partition-spec") or []}
 
 
@@ -1101,6 +1103,7 @@ def merge_iceberg(
     when_not_matched: str = "insert",
     txn: tuple[str, int] | None = None,
     broadcast_source: bool = True,
+    branch: str | None = None,
 ) -> int:
     """Copy-on-write MERGE INTO for Iceberg — the same plan shape as
     `sources/delta.merge_delta` (and as iceberg-spark's own CoW
@@ -1151,7 +1154,9 @@ def merge_iceberg(
         if seen is not None and int(seen) >= int(txn[1]):
             snaps = meta.get("snapshots") or []
             return int(snaps[-1]["snapshot-id"]) if snaps else 0
-    snap = iceberg_snapshot(table)
+    # branch-scoped merge: the scan base AND the commit target are
+    # the branch head (WAP upserts stage like branch appends do)
+    snap = iceberg_snapshot(table, ref=branch)
     if snap["position_deletes"] or snap["equality_deletes"]:
         raise ValueError(
             "iceberg: merge into tables with row-level delete files "
@@ -1285,7 +1290,12 @@ def merge_iceberg(
                 data_files.append(entry)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    snapshot_id = 1 + int(snap["snapshot_id"] or 0)
+    meta_all = _load_table_metadata(table)
+    snapshot_id = 1 + max(
+        [int(s["snapshot-id"])
+         for s in meta_all.get("snapshots") or []],
+        default=0,
+    )
     summary_extra = {"operation-detail": "merge"}
     props_update = None
     if txn is not None:
@@ -1299,6 +1309,7 @@ def merge_iceberg(
         deleted_files=[os.path.relpath(p, table) for p in touched],
         summary_extra=summary_extra,
         properties_update=props_update,
+        branch=branch,
     )
     return snapshot_id
 
@@ -1448,12 +1459,17 @@ def optimize_iceberg(
     from pyspark.sql import functions as F  # noqa: F401
 
     snap = iceberg_snapshot(table)
+    evolved_meta = None
     if _is_evolved(snap):
-        raise ValueError(
-            "iceberg: optimize on schema-evolved tables not "
-            "supported yet (the rewrite would need per-epoch "
-            "projection; merge handles evolved tables)"
-        )
+        if snap["position_deletes"] or snap["equality_deletes"]:
+            raise ValueError(
+                "iceberg: optimize on schema-evolved tables with "
+                "row-level delete files not supported"
+            )
+        # evolved tables rewrite through the per-epoch projection —
+        # compaction doubles as schema MATERIALIZATION (rewritten
+        # files land in the current schema's epoch)
+        evolved_meta = _load_table_metadata(table)
     victims = [
         p for p in snap["files"]
         if int(snap["file_sizes"].get(p, 0)) < min_file_size
@@ -1492,7 +1508,8 @@ def optimize_iceberg(
     snapshot_id = int(snap["snapshot_id"] or 0)
     for batch in batches:
         data_files = _rewrite_files_batch(
-            spark, table, snap, batch, part_fields, has_deletes
+            spark, table, snap, batch, part_fields, has_deletes,
+            evolved_meta=evolved_meta,
         )
         snapshot_id += 1
         append_iceberg_snapshot(
@@ -1508,20 +1525,45 @@ def optimize_iceberg(
 def _rewrite_files_batch(
     spark: SparkSession, table: str, snap: dict,
     victims: list[str], part_fields: list[str], has_deletes: bool,
+    evolved_meta: dict | None = None,
 ) -> list[dict]:
     """One compaction batch: delete-applied scan of ``victims``,
     bin-packed staged write, promote-by-rename; returns the manifest
-    entries for the new files."""
+    entries for the new files.  With ``evolved_meta`` (schema-evolved
+    tables) the victims project through :func:`_epoch_scan` and
+    transform partition values recompute for write-back."""
     import shutil
     import uuid as _uuid
     from urllib.parse import quote
 
     import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
 
     from vtk_reserves_spark.sources.delta import _hive_partition_values
 
     base = os.path.abspath(table)
-    if has_deletes:
+    if evolved_meta is not None:
+        sub = dict(snap)
+        sub["files"] = victims
+        rows = _epoch_scan(spark, table, sub, evolved_meta)
+        # transform partition values recompute like merge's rewrite
+        name_by_id = {
+            int(f["id"]): f["name"]
+            for f in (snap["schema"] or {}).get("fields", [])
+        }
+        dtypes = dict(rows.dtypes)
+        for e in snap.get("partition_spec") or []:
+            tr_spec = e.get("transform") or "identity"
+            if tr_spec == "identity":
+                continue
+            tr, param = _parse_spec_transform(tr_spec)
+            src_col = name_by_id.get(int(e.get("source-id", 0)))
+            rows = rows.withColumn(
+                e["name"],
+                _transform_column(F, tr, param, src_col,
+                                  dtypes[src_col]),
+            )
+    elif has_deletes:
         sub = dict(snap)
         sub["files"] = victims
         rows = _scan_snapshot(spark, table, sub, keep_hidden=True)
@@ -2166,6 +2208,19 @@ def _epoch_scan(
     log = sorted(
         meta.get("schema-log") or [], key=lambda e: int(e["seq"])
     )
+    # snapshot-scoped schemas: reading the CURRENT snapshot uses the
+    # current schema (evolution is visible immediately); TIME TRAVEL
+    # (an older snapshot, or a branch/tag head) projects the epoch
+    # in force at that snapshot's sequence number — the spec's
+    # per-snapshot schema-id semantics
+    sid = snap.get("snapshot_id")
+    cur_id = snap.get("current_snapshot_id")
+    snap_seq = snap.get("sequence_number")
+    if (log and sid is not None and cur_id is not None
+            and int(sid) != int(cur_id) and snap_seq is not None):
+        for e in log:
+            if int(e["seq"]) <= int(snap_seq):
+                cur_fields = e["fields"]
     hidden = [
         e["name"] for e in snap.get("partition_spec") or []
         if e.get("transform") not in (None, "identity")
