@@ -5273,6 +5273,77 @@ def q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src_leg.unionByName(rep_leg)
 
 
+def q_cdc_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVERSE cross-format replication — Iceberg -> Delta, the
+    mirror of q:cdc_replicate: an append-only Iceberg source takes
+    three snapshots (evens; the %4==1 odds; then UPDATED versions of
+    the %8==0 rows at +1000 — the append-log upsert shape), and a
+    Delta REPLICA is maintained purely from
+    ``read_iceberg_incremental`` batches applied as
+    ``merge_delta(txn=...)`` upserts keyed on the drained snapshot
+    range.  A POISONED redelivery of batch 3 (+777) under the same
+    txn id must skip via the Delta txn-action ledger or the hash
+    breaks.  Leg 'replica' is the deduplicated latest-per-key state;
+    leg 'src_log' is the raw append log (the %8==0 keys appear
+    twice) — the differing closed forms prove the merge really
+    upserts rather than blindly appending."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        merge_delta, read_delta, write_delta,
+    )
+    from vtk_reserves_spark.sources.iceberg import (
+        read_iceberg, read_iceberg_incremental, write_iceberg,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cdcrev_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_t = os.path.join(root, "iceberg_src")
+    rep_t = os.path.join(root, "delta_replica")
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    s1 = write_iceberg(base.filter(F.col("doc_id") % 2 == 0), src_t)
+    s2 = write_iceberg(base.filter(F.col("doc_id") % 4 == 1), src_t)
+    s3 = write_iceberg(
+        base.filter(F.col("doc_id") % 8 == 0).withColumn(
+            "text_len", F.col("text_len") + F.lit(1000)
+        ),
+        src_t,
+    )
+    # batch 1 seeds the replica; batches 2-3 drain incrementally and
+    # apply as txn-keyed merges (restart-safe in either direction)
+    write_delta(
+        read_iceberg(spark, src_t, snapshot_id=s1), rep_t,
+        txn=("rev", s1),
+    )
+    merge_delta(
+        spark, read_iceberg_incremental(spark, src_t, s1, s2),
+        rep_t, on=["doc_id"], txn=("rev", s2),
+    )
+    b3 = read_iceberg_incremental(spark, src_t, s2, s3)
+    merge_delta(spark, b3, rep_t, on=["doc_id"], txn=("rev", s3))
+    # poisoned redelivery: the txn ledger must skip it
+    merge_delta(
+        spark,
+        b3.withColumn("text_len", F.col("text_len") + F.lit(777)),
+        rep_t, on=["doc_id"], txn=("rev", s3),
+    )
+    replica = read_delta(spark, rep_t).select(
+        F.lit("replica").alias("leg"), "doc_id", "text_len"
+    )
+    src_log = read_iceberg(spark, src_t).select(
+        F.lit("src_log").alias("leg"), "doc_id", "text_len"
+    )
+    return replica.unionByName(src_log)
+
+
 def q_iceberg_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level delete COMPACTION (sources/iceberg.
     compact_iceberg_deletes — rewrite_position_delete_files):
@@ -10549,6 +10620,25 @@ def _llm_oracles() -> dict[str, str]:
             UNION ALL
             SELECT 'replica', doc_id, text_len FROM final
         """,
+        "cdc_reverse": """
+            -- replica = latest per key (the %8==0 updates win);
+            -- src_log = the raw append log (those keys twice)
+            SELECT 'replica' AS leg, doc_id,
+                   LENGTH(text) + 1000 AS text_len
+            FROM documents WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT 'replica', doc_id, LENGTH(text)
+            FROM documents
+            WHERE (doc_id % 2 = 0 AND doc_id % 8 <> 0)
+               OR doc_id % 4 = 1
+            UNION ALL
+            SELECT 'src_log', doc_id, LENGTH(text)
+            FROM documents
+            WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
+            UNION ALL
+            SELECT 'src_log', doc_id, LENGTH(text) + 1000
+            FROM documents WHERE doc_id % 8 = 0
+        """,
         "iceberg_compact_deletes": """
             -- delete-applied content survives compaction: equality
             -- deletes doc_id % 7 = 3 plus position deletes of the
@@ -11883,6 +11973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_incremental": q_hudi_incremental,
         "hudi_cluster": q_hudi_cluster,
         "cdc_replicate": q_cdc_replicate,
+        "cdc_reverse": q_cdc_reverse,
         "iceberg_compact_deletes": q_iceberg_compact_deletes,
         "hudi_merge": q_hudi_merge,
         "delta_cdf_drain": q_delta_cdf_drain,
@@ -12126,6 +12217,7 @@ _WINDOW = [
     # new round-9
     "hudi_mor", "iceberg_merge_transforms", "iceberg_evolution",
     "iceberg_wap", "dsir_domains", "hudi_incremental", "hudi_cluster",
+    "cdc_reverse",
     # impl-changed round-9
     "iceberg_optimize", "cdc_replicate", "delta_cdf_drain",
     "delta_cdf", "hudi_merge", "hudi_snapshot", "iceberg_merge",
@@ -12140,7 +12232,6 @@ _WINDOW = [
     "pdf_text", "protobuf_census", "readability",
     "repetition_signals", "robots_filter", "script_stats",
     "sitemap_urls", "small_codecs", "stream_media", "stream_warc",
-    "subtitle_cues",
 ]
 _WINDOW_SET = set(_WINDOW)
 
