@@ -5273,6 +5273,58 @@ def q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src_leg.unionByName(rep_leg)
 
 
+def q_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CHANGELOG view (sources/iceberg.iceberg_changelog —
+    create_changelog_view's net-changes mode): the evens land (s1),
+    the %4==1 odds append (s2), a MERGE updates %8==0 at +1000 (s3,
+    rewriting whole file groups), and a MERGE deletes %8==2 (s4).
+    The changelog from s1 must contain EXACTLY the net row-level
+    changes per commit — the s3 rewrite's moved-but-unchanged
+    survivors cancel via multiset exceptAll, leaving one delete (old
+    value) + one insert (+1000) per updated key, and s4 emits
+    deletes only.  File-set diffs are metadata; only changed files
+    scan — CDC cost tracks churn even when the source takes
+    rewrites (what read_iceberg_incremental cannot do)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_changelog, merge_iceberg, write_iceberg,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_icecl_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    s1 = write_iceberg(
+        base.filter(F.col("doc_id") % 2 == 0).repartition(4), td,
+    )
+    write_iceberg(base.filter(F.col("doc_id") % 4 == 1), td)
+    merge_iceberg(
+        spark,
+        base.filter(F.col("doc_id") % 8 == 0).withColumn(
+            "text_len", F.col("text_len") + F.lit(1000)
+        ),
+        td, on=["doc_id"],
+    )
+    merge_iceberg(
+        spark, base.filter(F.col("doc_id") % 8 == 2), td,
+        on=["doc_id"], when_matched="delete",
+        when_not_matched="ignore",
+    )
+    return iceberg_changelog(spark, td, s1).select(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_snapshot_id").alias("commit_snapshot_id"),
+        "doc_id", "text_len",
+    )
+
+
 def q_cdc_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REVERSE cross-format replication — Iceberg -> Delta, the
     mirror of q:cdc_replicate: an append-only Iceberg source takes
@@ -10620,6 +10672,24 @@ def _llm_oracles() -> dict[str, str]:
             UNION ALL
             SELECT 'replica', doc_id, text_len FROM final
         """,
+        "iceberg_changelog": """
+            -- net changes per commit: s2 appends; s3 = one
+            -- delete(old)+insert(+1000) per %8==0 key (rewrite
+            -- survivors cancel); s4 = deletes of %8==2
+            SELECT 'insert' AS change_type,
+                   CAST(2 AS BIGINT) AS commit_snapshot_id,
+                   doc_id, LENGTH(text) AS text_len
+            FROM documents WHERE doc_id % 4 = 1
+            UNION ALL
+            SELECT 'delete', 3, doc_id, LENGTH(text)
+            FROM documents WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT 'insert', 3, doc_id, LENGTH(text) + 1000
+            FROM documents WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT 'delete', 4, doc_id, LENGTH(text)
+            FROM documents WHERE doc_id % 8 = 2
+        """,
         "cdc_reverse": """
             -- replica = latest per key (the %8==0 updates win);
             -- src_log = the raw append log (those keys twice)
@@ -11974,6 +12044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_cluster": q_hudi_cluster,
         "cdc_replicate": q_cdc_replicate,
         "cdc_reverse": q_cdc_reverse,
+        "iceberg_changelog": q_iceberg_changelog,
         "iceberg_compact_deletes": q_iceberg_compact_deletes,
         "hudi_merge": q_hudi_merge,
         "delta_cdf_drain": q_delta_cdf_drain,
@@ -12217,7 +12288,7 @@ _WINDOW = [
     # new round-9
     "hudi_mor", "iceberg_merge_transforms", "iceberg_evolution",
     "iceberg_wap", "dsir_domains", "hudi_incremental", "hudi_cluster",
-    "cdc_reverse",
+    "cdc_reverse", "iceberg_changelog",
     # impl-changed round-9
     "iceberg_optimize", "cdc_replicate", "delta_cdf_drain",
     "delta_cdf", "hudi_merge", "hudi_snapshot", "iceberg_merge",
@@ -12231,7 +12302,7 @@ _WINDOW = [
     "office_text", "ogg_metadata", "orc_roundtrip", "pagerank_hosts",
     "pdf_text", "protobuf_census", "readability",
     "repetition_signals", "robots_filter", "script_stats",
-    "sitemap_urls", "small_codecs", "stream_media", "stream_warc",
+    "sitemap_urls", "small_codecs", "stream_media",
 ]
 _WINDOW_SET = set(_WINDOW)
 

@@ -47,7 +47,8 @@ def test_recording_window_layout():
     # head: the new oracle-backed round-9 queries
     round9_new = {"hudi_mor", "iceberg_merge_transforms",
                   "iceberg_evolution", "iceberg_wap", "dsir_domains",
-                  "hudi_incremental", "hudi_cluster", "cdc_reverse"}
+                  "hudi_incremental", "hudi_cluster", "cdc_reverse",
+                  "iceberg_changelog"}
     # queries whose IMPLEMENTATION changed in round 9
     impl_changed = {"iceberg_optimize", "cdc_replicate",
                     "delta_cdf_drain", "delta_cdf", "hudi_merge",
@@ -56,7 +57,7 @@ def test_recording_window_layout():
     assert round9_new <= window
     assert impl_changed <= window
     # fill = oldest-evidence (round-4 cohort per ROTATION.json)
-    assert {"curation_policy", "stream_warc", "pdf_text",
+    assert {"curation_policy", "stream_media", "pdf_text",
             "robots_filter"} <= window
     # VERDICT r6 item 3: no rows-only queries spend window slots —
     # every window entry must be oracle-backed

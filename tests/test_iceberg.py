@@ -1275,3 +1275,59 @@ def test_merge_iceberg_on_branch(spark, tmp_path):
     fast_forward_iceberg(t, "stage")
     pub = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
     assert pub == staged
+
+
+def test_iceberg_changelog(spark, tmp_path):
+    """Changelog across appends, merges and compaction: net mode
+    cancels moved-but-unchanged rows, so a merge yields exactly
+    delete(old)+insert(new) and a pure compaction yields nothing."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_changelog, merge_iceberg, optimize_iceberg,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "cl")
+    s1 = write_iceberg(
+        spark.range(6).withColumn("v", F.col("id") * 1.0)
+        .repartition(2), t,
+    )
+    s2 = write_iceberg(
+        spark.range(6, 8).withColumn("v", F.lit(7.0)), t,
+    )
+    src = spark.createDataFrame([(0, 100.0)], "id long, v double")
+    s3 = merge_iceberg(spark, src, t, on=["id"])
+    cl = iceberg_changelog(spark, t, s1).toPandas()
+    by = lambda ct, sid: sorted(
+        cl[(cl["_change_type"] == ct)
+           & (cl["_commit_snapshot_id"] == sid)]["id"]
+    )
+    assert by("insert", s2) == [6, 7] and by("delete", s2) == []
+    # the merge rewrote a whole file group, but net mode reduces it
+    # to exactly the changed row
+    assert by("insert", s3) == [0] and by("delete", s3) == [0]
+    ins_row = cl[(cl["_change_type"] == "insert")
+                 & (cl["_commit_snapshot_id"] == s3)]
+    del_row = cl[(cl["_change_type"] == "delete")
+                 & (cl["_commit_snapshot_id"] == s3)]
+    assert float(ins_row["v"].iloc[0]) == 100.0
+    assert float(del_row["v"].iloc[0]) == 0.0
+    # a pure compaction nets to NOTHING
+    s4 = optimize_iceberg(spark, t, min_file_size=1 << 20)
+    cl2 = iceberg_changelog(spark, t, s3)
+    assert cl2.count() == 0
+    # raw (net=False) mode shows the full rewrite churn
+    raw = iceberg_changelog(spark, t, s3, net=False)
+    assert raw.count() > 0
+    # bounded range
+    cl3 = iceberg_changelog(spark, t, s1, to_snapshot_id=s2)
+    assert set(cl3.toPandas()["_commit_snapshot_id"]) == {s2}
+    # delete-merge emits deletes only
+    dels = spark.createDataFrame([(3,)], "id long")
+    s5 = merge_iceberg(spark, dels, t, on=["id"],
+                       when_matched="delete",
+                       when_not_matched="ignore")
+    cl4 = iceberg_changelog(spark, t, s4).toPandas()
+    assert sorted(cl4[cl4["_change_type"] == "delete"]["id"]) == [3]
+    assert list(cl4[cl4["_change_type"] == "insert"]["id"]) == []

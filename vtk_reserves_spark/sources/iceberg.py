@@ -51,7 +51,7 @@ __all__ = [
     "compact_iceberg_deletes", "create_iceberg_branch",
     "create_iceberg_tag", "drop_iceberg_ref",
     "fast_forward_iceberg", "iceberg_refs_df",
-    "alter_iceberg_table",
+    "alter_iceberg_table", "iceberg_changelog",
     "expire_iceberg_snapshots", "iceberg_bucket", "iceberg_files_df",
     "iceberg_partitions_df", "iceberg_snapshot",
     "iceberg_snapshots_df", "iceberg_truncate",
@@ -2265,3 +2265,106 @@ def _epoch_scan(
         return out
     out = reduce(DataFrame.unionByName, pieces)
     return out.drop(*hidden) if hidden else out
+
+
+def iceberg_changelog(
+    spark: SparkSession,
+    table: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    net: bool = True,
+) -> DataFrame:
+    """CHANGELOG view — iceberg-spark's ``create_changelog_view``
+    procedure: the row-level changes between ``from_snapshot_id``
+    (exclusive) and ``to_snapshot_id`` (inclusive), as the table
+    columns plus ``_change_type`` (insert / delete) and
+    ``_commit_snapshot_id``.  Unlike :func:`read_iceberg_incremental`
+    this handles REWRITE snapshots (MERGE, compaction): per commit,
+    rows of added files are insert candidates and rows of removed
+    files are delete candidates, and with ``net=True`` (the
+    procedure's net-changes mode) identical rows present on both
+    sides CANCEL (``exceptAll`` — multiset semantics, so duplicate
+    rows survive with the right multiplicity).  A pure compaction
+    therefore produces an EMPTY changelog; a merge-update produces
+    exactly one delete (the old row) and one insert (the new row).
+    Updates are represented as delete+insert pairs, which is how the
+    engine's changelog emits them without a row-identity column.
+
+    Scale shape: per commit, the file-set diff is pure metadata and
+    only the CHANGED files scan; net cancellation is one
+    ``exceptAll`` hash shuffle over those rows — cost tracks the
+    churn, never the table.  Snapshots carrying v2 row-level delete
+    files in the range gate (their change semantics live in the
+    delete files, not the file set)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    meta = _load_table_metadata(table)
+    snaps = [int(s["snapshot-id"])
+             for s in meta.get("snapshots") or []]
+    if from_snapshot_id not in snaps:
+        raise ValueError(
+            f"iceberg: snapshot {from_snapshot_id} not in {snaps}"
+        )
+    to_id = (int(to_snapshot_id) if to_snapshot_id is not None
+             else int(meta["current-snapshot-id"]))
+    if to_id not in snaps:
+        raise ValueError(f"iceberg: snapshot {to_id} not in {snaps}")
+    i0, i1 = snaps.index(int(from_snapshot_id)), snaps.index(to_id)
+    if i1 < i0:
+        raise ValueError("iceberg: to_snapshot precedes from_snapshot")
+    hidden_drop = None
+    pieces: list[DataFrame] = []
+    prev = iceberg_snapshot(table, snaps[i0])
+    base = os.path.abspath(table)
+    schema = _spark_schema_from_iceberg(prev["schema"])
+    cols = [f.name for f in schema.fields]
+    for sid in snaps[i0 + 1 : i1 + 1]:
+        cur = iceberg_snapshot(table, sid)
+        if cur["position_deletes"] or cur["equality_deletes"]:
+            raise ValueError(
+                "iceberg: changelog over snapshots carrying "
+                "row-level delete files not supported"
+            )
+        if hidden_drop is None:
+            hidden_drop = [
+                e["name"] for e in cur.get("partition_spec") or []
+                if e.get("transform") not in (None, "identity")
+            ]
+        added = [p for p in cur["files"]
+                 if p not in set(prev["files"])]
+        removed = [p for p in prev["files"]
+                   if p not in set(cur["files"])]
+
+        def _scan(paths):
+            df = spark.read.option("basePath", base).parquet(*paths)
+            if hidden_drop:
+                df = df.drop(*hidden_drop)
+            return df.select(*cols)
+
+        ins = _scan(added) if added else None
+        dels = _scan(removed) if removed else None
+        if net and ins is not None and dels is not None:
+            ins_net = ins.exceptAll(dels)
+            dels_net = dels.exceptAll(ins)
+            ins, dels = ins_net, dels_net
+        for df, ct in ((ins, "insert"), (dels, "delete")):
+            if df is None:
+                continue
+            pieces.append(df.withColumns({
+                "_change_type": F.lit(ct),
+                "_commit_snapshot_id":
+                    F.lit(int(sid)).cast("long"),
+            }))
+        prev = cur
+    if not pieces:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], T.StructType(
+            list(schema.fields) + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_snapshot_id", T.LongType()),
+            ]
+        ))
+    return reduce(DataFrame.unionByName, pieces)
