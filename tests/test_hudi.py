@@ -564,3 +564,31 @@ def test_hudi_read_optimized_view(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="view"):
         read_hudi(spark, t, view="nope")
+
+
+def test_hudi_mor_int64_precision(spark, tmp_path):
+    """The Arrow-native MOR log path keeps exact 64-bit integers in
+    NULLABLE columns (a pandas transit would ride them as float64
+    and corrupt values above 2**53)."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        read_hudi, upsert_hudi_mor, write_hudi,
+    )
+
+    big = (1 << 60) + 7
+    t = str(tmp_path / "big")
+    df = spark.createDataFrame(
+        [(1, 10, None), (2, None, 5)],
+        "id long, payload long, other long",
+    )
+    write_hudi(df, t, table_type="MERGE_ON_READ", record_key=["id"])
+    src = spark.createDataFrame(
+        [(1, big, None), (3, big + 1, None)],
+        "id long, payload long, other long",
+    )
+    upsert_hudi_mor(spark, src, t)
+    got = {r["id"]: r["payload"]
+           for r in read_hudi(spark, t).collect()}
+    assert got[1] == big and got[3] == big + 1  # exact, not 2**60
+    assert got[2] is None

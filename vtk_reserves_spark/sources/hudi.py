@@ -323,9 +323,15 @@ def _scan_hudi_logs(spark: SparkSession, entries, schema):
     ``_del_key`` (delete blocks' precomputed record-key string) and
     ``_hudi_fid``.  ``entries`` = [(fid, instant, version, abs
     path)]; each task reads whole log files (they are
-    churn-sized — Hudi rolls them small by design)."""
-    import pandas as pd
+    churn-sized — Hudi rolls them small by design).
+
+    ARROW-NATIVE (``mapInArrow``): record values go avro -> python
+    -> Arrow with explicit types, never through pandas — nullable
+    int64 columns keep exact 64-bit values (the float64 transit a
+    pandas hop would force loses integers above 2**53)."""
+    import pyarrow as pa
     from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     from vtk_reserves_spark.sources.hudi_log import (
         BLOCK_AVRO, BLOCK_DELETE, read_log_file,
@@ -339,21 +345,26 @@ def _scan_hudi_logs(spark: SparkSession, entries, schema):
             T.StructField("_hudi_fid", T.StringType()),
         ]
     )
+    arrow_schema = to_arrow_schema(out_schema)
     cols = [f.name for f in schema.fields]
     files_df = spark.createDataFrame(
         entries, "fid string, instant string, ver int, path string"
     ).repartition(min(len(entries), 64))
 
     def parse(batches):
-        for pdf in batches:
+        for batch in batches:
             rows_out: list[dict] = []
-            for fid, instant, ver, path in pdf.itertuples(index=False):
+            for rec in batch.to_pylist():
+                fid, instant, ver, path = (
+                    rec["fid"], rec["instant"], rec["ver"],
+                    rec["path"],
+                )
                 with open(path, "rb") as fh:
                     blocks = read_log_file(fh.read())
                 for bi, blk in enumerate(blocks):
                     if blk["type"] == BLOCK_AVRO:
-                        for rj, rec in enumerate(blk["rows"]):
-                            row = {c: rec.get(c) for c in cols}
+                        for rj, r in enumerate(blk["rows"]):
+                            row = {c: r.get(c) for c in cols}
                             row.update({
                                 "_op": "U",
                                 "_ord": _ord_string(
@@ -364,23 +375,22 @@ def _scan_hudi_logs(spark: SparkSession, entries, schema):
                             })
                             rows_out.append(row)
                     elif blk["type"] == BLOCK_DELETE:
-                        for rj, rec in enumerate(blk["rows"]):
+                        for rj, r in enumerate(blk["rows"]):
                             row = {c: None for c in cols}
                             row.update({
                                 "_op": "D",
                                 "_ord": _ord_string(
                                     instant, ver, bi, rj
                                 ),
-                                "_del_key": rec["recordKey"],
+                                "_del_key": r["recordKey"],
                                 "_hudi_fid": fid,
                             })
                             rows_out.append(row)
-            yield pd.DataFrame(
-                rows_out,
-                columns=[f.name for f in out_schema.fields],
+            yield pa.RecordBatch.from_pylist(
+                rows_out, schema=arrow_schema
             )
 
-    return files_df.mapInPandas(parse, out_schema)
+    return files_df.mapInArrow(parse, out_schema)
 
 
 def _read_hudi_mor(
@@ -1003,14 +1013,13 @@ def upsert_hudi_mor(
 
     Scale shape: routing is one distributed join of the source
     against the live view's record keys (never a collect); the log
-    files write INSIDE ``applyInPandas`` tasks, one task per touched
+    files write INSIDE ``applyInArrow`` tasks, one task per touched
     file group — the driver sees only write-stat rows.  That is
     exactly Hudi's upsert geometry: write cost tracks the CHANGE
-    size, not the table size (the 100 TB point of MOR).  Caveat:
-    update rows pass through pandas, where nullable int64 columns
-    ride as float64 — integer values above 2**53 in nullable
-    columns would lose precision (documented, fixture-scale safe)."""
-    import pandas as pd
+    size, not the table size (the 100 TB point of MOR).  The write
+    path is ARROW-NATIVE end-to-end (Spark -> Arrow -> python ->
+    avro): nullable int64 columns keep exact 64-bit values — no
+    pandas float64 transit."""
     from pyspark.sql import functions as F
 
     if when_matched not in ("update", "delete"):
@@ -1068,47 +1077,30 @@ def upsert_hudi_mor(
             spark.createDataFrame([], source.schema)
             .select(*cols).schema
         )
-        field_types = {
-            f.name: f.dataType.typeName()
-            for f in source.schema.fields
-        }
     else:
-        avro_schema, field_types = DELETE_SCHEMA, {}
+        avro_schema = DELETE_SCHEMA
     wm = when_matched
 
-    def _coerce(v, tn):
-        if v is None or (isinstance(v, float) and v != v):
-            return None
-        if hasattr(v, "item"):
-            v = v.item()
-        if tn in ("long", "integer", "short", "byte"):
-            return int(v)
-        if tn in ("double", "float"):
-            return float(v)
-        if tn == "string":
-            return str(v)
-        return v
+    def write_group(_key_tuple, table_in):
+        import pyarrow as pa
 
-    def write_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        fid = pdf["_hudi_fid"].iloc[0]
+        fid = table_in.column("_hudi_fid")[0].as_py()
         part, base_instant, next_ver = meta[fid]
         fname = f".{fid}_{base_instant}.log.{next_ver}_0-0-0"
         rel = f"{part}/{fname}" if part else fname
         dst = os.path.join(base_abs, *rel.split("/"))
         os.makedirs(os.path.dirname(dst), exist_ok=True)
+        rows = table_in.to_pylist()  # exact: Arrow -> python values
         if wm == "update":
-            recs = [
-                {c: _coerce(row[c], field_types.get(c, ""))
-                 for c in cols}
-                for _, row in pdf.iterrows()
-            ]
+            recs = [{c: r.get(c) for c in cols} for r in rows]
             block = (BLOCK_AVRO, avro_schema, recs,
                      {H_INSTANT_TIME: instant})
         else:
             recs = [
-                {"recordKey": str(k), "partitionPath": part or None,
+                {"recordKey": str(r["_key"]),
+                 "partitionPath": part or None,
                  "orderingVal": None}
-                for k in pdf["_key"]
+                for r in rows
             ]
             block = (BLOCK_DELETE, DELETE_SCHEMA, recs,
                      {H_INSTANT_TIME: instant})
@@ -1117,13 +1109,13 @@ def upsert_hudi_mor(
         with open(tmp, "wb") as fh:
             fh.write(data)
         os.replace(tmp, dst)
-        return pd.DataFrame([{
+        return pa.Table.from_pylist([{
             "part": part, "fileId": fid, "path": rel,
             "numWrites": len(recs),
             "fileSizeInBytes": len(data),
         }])
 
-    stat_rows = matched.groupBy("_hudi_fid").applyInPandas(
+    stat_rows = matched.groupBy("_hudi_fid").applyInArrow(
         write_group,
         "part string, fileId string, path string, numWrites long, "
         "fileSizeInBytes long",
