@@ -592,3 +592,55 @@ def test_hudi_mor_int64_precision(spark, tmp_path):
            for r in read_hudi(spark, t).collect()}
     assert got[1] == big and got[3] == big + 1  # exact, not 2**60
     assert got[2] is None
+
+
+def test_merge_hudi_rejects_mor(spark, tmp_path):
+    """merge_hudi is a copy-on-write plan reading BASE files only;
+    on an MOR table its replacecommit would supersede touched groups
+    while having ignored their live log blocks — silent data loss.
+    It must gate, directing callers to upsert_hudi_mor."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import merge_hudi, write_hudi
+
+    t = str(tmp_path / "morgate")
+    write_hudi(
+        spark.range(4).select("id", (F.col("id") * 1.0).alias("v")),
+        t, table_type="MERGE_ON_READ", record_key=["id"],
+    )
+    src = spark.createDataFrame([(0, 9.0)], "id long, v double")
+    with _pytest.raises(ValueError, match="upsert_hudi_mor"):
+        merge_hudi(spark, src, t, on=["id"])
+
+
+def test_hudi_mor_slice_scoped_read_merge(spark, tmp_path):
+    """Two legitimate rows sharing a record key in DIFFERENT
+    partitions must both survive the real-time view even when both
+    their file groups carry logs (the merge fold is scoped per file
+    slice, like Hudi's scan — not a global key collapse)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vtk_reserves_spark.sources.hudi import (
+        read_hudi, upsert_hudi_mor, write_hudi,
+    )
+
+    t = str(tmp_path / "morscope")
+    base = spark.createDataFrame(
+        [(1, "0", 1.0), (2, "0", 2.0), (1, "1", 10.0), (3, "1", 3.0)],
+        "id long, p string, v double",
+    )
+    write_hudi(base, t, partition_by=["p"],
+               table_type="MERGE_ON_READ", record_key=["id"])
+    # touch BOTH groups' logs via keys unique to each partition, so
+    # both id=1 rows ride through the merge fold
+    src = spark.createDataFrame(
+        [(2, "0", 22.0), (3, "1", 33.0)], "id long, p string, v double"
+    )
+    upsert_hudi_mor(spark, src, t)
+    rows = sorted(
+        (r["id"], r["p"], r["v"]) for r in read_hudi(spark, t).collect()
+    )
+    assert rows == [
+        (1, "0", 1.0), (1, "1", 10.0), (2, "0", 22.0), (3, "1", 33.0)
+    ]

@@ -1331,3 +1331,77 @@ def test_iceberg_changelog(spark, tmp_path):
     cl4 = iceberg_changelog(spark, t, s4).toPandas()
     assert sorted(cl4[cl4["_change_type"] == "delete"]["id"]) == [3]
     assert list(cl4[cl4["_change_type"] == "insert"]["id"]) == []
+
+
+def test_snapshot_id_allocation_past_branch_heads(spark, tmp_path):
+    """optimize_iceberg / compact_iceberg_deletes allocate snapshot
+    ids past ALL snapshots (main and branches).  Allocating from the
+    main head would reuse a branch snapshot id, corrupting ref
+    resolution and changelog indexing; append_iceberg_snapshot also
+    hard-refuses a duplicate id."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        _load_table_metadata, append_iceberg_snapshot,
+        compact_iceberg_deletes, create_iceberg_branch,
+        optimize_iceberg, read_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "alloc")
+    write_iceberg(spark.range(6).withColumn("v", F.lit(1.0)), t)
+    write_iceberg(spark.range(6, 9).withColumn("v", F.lit(1.5)), t)
+    create_iceberg_branch(t, "side")
+    # branch head takes ids above main's
+    write_iceberg(spark.range(9, 12).withColumn("v", F.lit(2.0)), t,
+                  branch="side")
+    sid = optimize_iceberg(spark, t)  # compacts main's small files
+    meta = _load_table_metadata(t)
+    ids = [int(s["snapshot-id"]) for s in meta["snapshots"]]
+    assert len(ids) == len(set(ids))  # no duplicate snapshot ids
+    branch_head = int(meta["refs"]["side"]["snapshot-id"])
+    assert sid > branch_head
+    assert sorted(
+        r["id"] for r in read_iceberg(spark, t).collect()
+    ) == list(range(9))
+    # delete compaction allocates the same way
+    from vtk_reserves_spark.sources.iceberg import iceberg_snapshot
+
+    cur = iceberg_snapshot(t)
+    rel = os.path.relpath(cur["files"][0], t)
+    append_iceberg_snapshot(
+        t, sid + 100, [], position_deletes=[(rel, 0)]
+    )
+    create_iceberg_branch(t, "side2")
+    write_iceberg(spark.range(50, 53).withColumn("v", F.lit(9.0)), t,
+                  branch="side2")
+    sid2 = compact_iceberg_deletes(spark, t)
+    meta = _load_table_metadata(t)
+    ids = [int(s["snapshot-id"]) for s in meta["snapshots"]]
+    assert len(ids) == len(set(ids))
+    assert sid2 > int(meta["refs"]["side2"]["snapshot-id"])
+    # duplicate ids are refused outright
+    with pytest.raises(ValueError, match="already exists"):
+        append_iceberg_snapshot(t, sid2, [])
+
+
+def test_changelog_gates_from_snapshot_deletes(spark, tmp_path):
+    """A FROM snapshot carrying live row-level delete files would
+    leak already-deleted rows into the first commit's delete
+    candidates — the changelog gates on it like it does for the
+    in-range snapshots."""
+    from vtk_reserves_spark.sources.iceberg import (
+        append_iceberg_snapshot, iceberg_changelog,
+        write_iceberg_table,
+    )
+
+    t = str(tmp_path / "clgate")
+    write_iceberg_table(t, FIELDS)
+    a = _part(t, "data/a.parquet", [1, 2, 3])
+    append_iceberg_snapshot(t, 1, [a])
+    append_iceberg_snapshot(
+        t, 2, [], position_deletes=[("data/a.parquet", 0)]
+    )
+    b = _part(t, "data/b.parquet", [4])
+    append_iceberg_snapshot(t, 3, [b])
+    with pytest.raises(ValueError, match="delete files"):
+        iceberg_changelog(spark, t, from_snapshot_id=2)

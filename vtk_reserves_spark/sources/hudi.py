@@ -550,9 +550,14 @@ def _read_hudi_mor(
                 F.col("_op") == "D", F.col("_del_key")
             ).otherwise(_key_expr(F, key_fields)),
         )
-        # newest-wins per record key: ONE shuffle over only the
-        # log-bearing slices' rows
-        winner = all_rows.groupBy("_key").agg(
+        # newest-wins per (FILE SLICE, record key): ONE shuffle over
+        # only the log-bearing slices' rows.  Scoping by _hudi_fid
+        # matches Hudi's scan geometry (each slice merges base +
+        # its own logs independently) — two legitimate rows sharing
+        # a record key in different partitions/file groups stay
+        # distinct instead of collapsing, and a delete block only
+        # ever cancels rows of the group whose logs carry it.
+        winner = all_rows.groupBy("_hudi_fid", "_key").agg(
             F.max_by(
                 F.struct(*cols, "_op", "_hudi_fid", "_hct"),
                 F.col("_ord"),
@@ -802,6 +807,17 @@ def merge_hudi(
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(f"hudi: when_not_matched {when_not_matched!r}")
     snap = hudi_snapshot(table)
+    if snap["type"] == "MERGE_ON_READ":
+        # this copy-on-write plan reads BASE FILES only; on an MOR
+        # table its replacecommit would supersede the touched groups
+        # (popping their live log blocks from the timeline fold)
+        # while having silently ignored those blocks' updates and
+        # deletes — data loss, not a merge.  MOR upserts go through
+        # the log-file write path.
+        raise ValueError(
+            "hudi: merge_hudi is COPY_ON_WRITE-only — use "
+            "upsert_hudi_mor for MERGE_ON_READ tables"
+        )
     if partition_by is None:
         # the table records its partition fields (hoodie convention)
         props = os.path.join(table, _HOODIE, "hoodie.properties")
@@ -1019,7 +1035,15 @@ def upsert_hudi_mor(
     size, not the table size (the 100 TB point of MOR).  The write
     path is ARROW-NATIVE end-to-end (Spark -> Arrow -> python ->
     avro): nullable int64 columns keep exact 64-bit values — no
-    pandas float64 transit."""
+    pandas float64 transit.
+
+    Index semantics: the key route is GLOBAL (Hudi's
+    ``GLOBAL_SIMPLE`` index) — a source row matching an existing
+    record key updates/deletes it in whichever file group holds it,
+    in ANY partition; matches in several groups (a key legitimately
+    present in two partitions) update every holder.  The READ-side
+    merge stays slice-scoped regardless (see ``_read_hudi_mor``), so
+    rows sharing a key across partitions never collapse on scan."""
     from pyspark.sql import functions as F
 
     if when_matched not in ("update", "delete"):

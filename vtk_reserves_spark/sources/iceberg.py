@@ -1409,7 +1409,7 @@ def compact_iceberg_deletes(spark: SparkSession, table: str) -> int:
                     data_files.append(entry)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
-    snapshot_id = 1 + int(snap["snapshot_id"] or 0)
+    snapshot_id = _next_snapshot_id(table)
     append_iceberg_snapshot(
         table, snapshot_id, data_files,
         deleted_files=[os.path.relpath(p, table) for p in victims],
@@ -1511,7 +1511,7 @@ def optimize_iceberg(
             spark, table, snap, batch, part_fields, has_deletes,
             evolved_meta=evolved_meta,
         )
-        snapshot_id += 1
+        snapshot_id = _next_snapshot_id(table)
         append_iceberg_snapshot(
             table, snapshot_id, data_files,
             deleted_files=[
@@ -1558,6 +1558,11 @@ def _rewrite_files_batch(
                 continue
             tr, param = _parse_spec_transform(tr_spec)
             src_col = name_by_id.get(int(e.get("source-id", 0)))
+            if src_col is None or src_col not in dtypes:
+                raise ValueError(
+                    f"iceberg: transform source column for partition "
+                    f"field {e['name']!r} not in table schema"
+                )
             rows = rows.withColumn(
                 e["name"],
                 _transform_column(F, tr, param, src_col,
@@ -1705,6 +1710,20 @@ def write_iceberg_table(
     return meta
 
 
+def _next_snapshot_id(table: str) -> int:
+    """1 + max over ALL snapshots (main AND branches).  Allocating
+    from ``current-snapshot-id`` (= the main head) is wrong the
+    moment a branch holds higher ids — the next main commit would
+    reuse a branch snapshot id, corrupting ref resolution, expire
+    pinning, changelog indexing and fast-forward ancestry.  Every
+    writer allocates through here."""
+    meta = _load_table_metadata(table)
+    return 1 + max(
+        [int(s["snapshot-id"]) for s in meta.get("snapshots") or []],
+        default=0,
+    )
+
+
 def append_iceberg_snapshot(
     table: str,
     snapshot_id: int,
@@ -1743,6 +1762,15 @@ def append_iceberg_snapshot(
     from vtk_reserves_spark.sources.avro import write_avro_bytes
 
     meta = _load_table_metadata(table)
+    if any(
+        int(s["snapshot-id"]) == int(snapshot_id)
+        for s in meta.get("snapshots") or []
+    ):
+        raise ValueError(
+            f"iceberg: snapshot id {snapshot_id} already exists "
+            "(allocate via _next_snapshot_id — ids must be unique "
+            "across main and branch snapshots)"
+        )
     if branch is not None:
         bentry = (meta.get("refs") or {}).get(branch)
         if bentry is None or bentry.get("type") != "branch":
@@ -2317,9 +2345,18 @@ def iceberg_changelog(
     hidden_drop = None
     pieces: list[DataFrame] = []
     prev = iceberg_snapshot(table, snaps[i0])
+    if prev["position_deletes"] or prev["equality_deletes"]:
+        # the FROM snapshot's deletes would make prev['files'] rows
+        # over-inclusive (already-deleted rows would leak into the
+        # first commit's delete candidates) — same gate as the range
+        raise ValueError(
+            "iceberg: changelog over snapshots carrying "
+            "row-level delete files not supported"
+        )
     base = os.path.abspath(table)
     schema = _spark_schema_from_iceberg(prev["schema"])
     cols = [f.name for f in schema.fields]
+    prev_set = set(prev["files"])
     for sid in snaps[i0 + 1 : i1 + 1]:
         cur = iceberg_snapshot(table, sid)
         if cur["position_deletes"] or cur["equality_deletes"]:
@@ -2332,10 +2369,9 @@ def iceberg_changelog(
                 e["name"] for e in cur.get("partition_spec") or []
                 if e.get("transform") not in (None, "identity")
             ]
-        added = [p for p in cur["files"]
-                 if p not in set(prev["files"])]
-        removed = [p for p in prev["files"]
-                   if p not in set(cur["files"])]
+        cur_set = set(cur["files"])
+        added = [p for p in cur["files"] if p not in prev_set]
+        removed = [p for p in prev["files"] if p not in cur_set]
 
         def _scan(paths):
             df = spark.read.option("basePath", base).parquet(*paths)
@@ -2357,7 +2393,7 @@ def iceberg_changelog(
                 "_commit_snapshot_id":
                     F.lit(int(sid)).cast("long"),
             }))
-        prev = cur
+        prev, prev_set = cur, cur_set
     if not pieces:
         from pyspark.sql import types as T
 
