@@ -6247,6 +6247,116 @@ def q_iceberg_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_evolution_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution COMPOSED with v2 row-level deletes
+    (sources/iceberg._epoch_scan(apply_deletes=True) +
+    compact_iceberg_deletes — the round-10 gate lift): the evens
+    land sorted as file a; ALTER renames text_len -> len_chars and
+    adds src (no data rewrite); the %4==1 odds append in the new
+    shape; then a POSITION delete drops positions p%10==3 of file a
+    and an EQUALITY delete (field id of doc_id) drops doc_id%12 in
+    (2,5) across BOTH epochs — the read folds the deletes in after
+    the per-epoch field-id aliasing.  compact_iceberg_deletes then
+    rewrites the victims through the same delete-applied epoch scan
+    (materializing the current schema) and retires the delete
+    files; a cross-epoch MERGE (+1000, 'fix' on %8==0 — re-inserting
+    deleted ones) proves the gate lift end-to-end.  Reference
+    parity: no lakehouse in the reference; extends SURVEY §8."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        alter_iceberg_table, append_iceberg_snapshot,
+        compact_iceberg_deletes, iceberg_snapshot, merge_iceberg,
+        read_iceberg, write_iceberg, write_iceberg_table,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_iceed_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    pdf = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("text_len"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    write_iceberg_table(td, [
+        {"id": 1, "name": "doc_id", "required": False,
+         "type": "long"},
+        {"id": 2, "name": "text_len", "required": False,
+         "type": "long"},
+    ])
+    evens = pdf[pdf["doc_id"] % 2 == 0]
+    rel = "data/a.parquet"
+    p = os.path.join(td, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(evens["doc_id"], pa.int64()),
+            "text_len": pa.array(evens["text_len"], pa.int64()),
+        }),
+        p,
+    )
+    append_iceberg_snapshot(td, 1, [{
+        "file_path": rel, "record_count": len(evens),
+        "size": os.path.getsize(p),
+    }])
+    alter_iceberg_table(
+        td, rename={"text_len": "len_chars"}, add=[("src", "string")]
+    )
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+    )
+    write_iceberg(
+        base.filter(F.col("doc_id") % 4 == 1).select(
+            "doc_id",
+            F.col("text_len").alias("len_chars"),
+            F.lit("web").alias("src"),
+        ),
+        td,
+    )
+    # position-delete positions p % 10 == 3 of the PRE-alter file
+    append_iceberg_snapshot(
+        td, 90, [],
+        position_deletes=[
+            (rel, int(i)) for i in range(len(evens)) if i % 10 == 3
+        ],
+    )
+    # equality-delete by doc_id across BOTH epochs (field id 1)
+    ids = pdf["doc_id"]
+    append_iceberg_snapshot(
+        td, 91, [],
+        equality_deletes=(
+            [{"doc_id": int(v)}
+             for v in ids[ids % 12 == 2].tolist()
+             + ids[ids % 12 == 5].tolist()],
+            [1],
+        ),
+    )
+    compact_iceberg_deletes(spark, td)
+    snap = iceberg_snapshot(td)
+    assert not snap["position_deletes"]
+    assert not snap["equality_deletes"]
+    upd = base.filter(F.col("doc_id") % 8 == 0).select(
+        "doc_id",
+        (F.col("text_len") + F.lit(1000)).alias("len_chars"),
+        F.lit("fix").alias("src"),
+    )
+    merge_iceberg(spark, upd, td, on=["doc_id"])
+    return read_iceberg(spark, td).select(
+        "doc_id", "len_chars", "src"
+    )
+
+
 def q_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg BRANCHES + TAGS + write-audit-publish (sources/
     iceberg.create_iceberg_branch / write_iceberg(branch=) /
@@ -11051,6 +11161,31 @@ def _llm_oracles() -> dict[str, str]:
             SELECT doc_id, LENGTH(text), 'web'
             FROM documents WHERE doc_id % 4 = 1
         """,
+        "iceberg_evolution_deletes": """
+            -- evolution + row-level deletes closed form: evens
+            -- (file a, doc_id-sorted so position p = rank) lose
+            -- positions p%10==3 and doc_id%12 in (2,5); %4==1 odds
+            -- lose doc_id%12 in (2,5); the %8==0 merge re-inserts
+            -- its whole cohort as ('fix', +1000)
+            WITH evens AS (
+              SELECT doc_id, LENGTH(text) AS len_chars,
+                     ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS p
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            live AS (
+              SELECT doc_id, len_chars, NULL AS src FROM evens
+              WHERE p % 10 <> 3 AND doc_id % 12 NOT IN (2, 5)
+              UNION ALL
+              SELECT doc_id, LENGTH(text), 'web' FROM documents
+              WHERE doc_id % 4 = 1 AND doc_id % 12 NOT IN (2, 5)
+            )
+            SELECT doc_id, LENGTH(text) + 1000 AS len_chars,
+                   'fix' AS src
+            FROM documents WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT doc_id, len_chars, src FROM live
+            WHERE doc_id % 8 <> 0
+        """,
         "iceberg_wap": """
             -- write-audit-publish: prepub tag = the evens; the
             -- staged branch and published main both = evens + %4==1
@@ -12038,6 +12173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_mor": q_hudi_mor,
         "iceberg_merge_transforms": q_iceberg_merge_transforms,
         "iceberg_evolution": q_iceberg_evolution,
+        "iceberg_evolution_deletes": q_iceberg_evolution_deletes,
         "iceberg_wap": q_iceberg_wap,
         "dsir_domains": q_dsir_domains,
         "hudi_incremental": q_hudi_incremental,

@@ -1405,3 +1405,157 @@ def test_changelog_gates_from_snapshot_deletes(spark, tmp_path):
     append_iceberg_snapshot(t, 3, [b])
     with pytest.raises(ValueError, match="delete files"):
         iceberg_changelog(spark, t, from_snapshot_id=2)
+
+
+def test_externally_evolved_table_gates(spark, tmp_path):
+    """A wild table evolved by a real Iceberg writer (multiple spec
+    'schemas' entries / differing per-snapshot schema-ids, no repo
+    schema-log) must REFUSE to read rather than name-resolve and
+    silently null-fill renamed columns in pre-rename files."""
+    import json as _json
+
+    from vtk_reserves_spark.sources.iceberg import (
+        append_iceberg_snapshot, iceberg_snapshot,
+        write_iceberg_table,
+    )
+
+    t = str(tmp_path / "wild")
+    write_iceberg_table(t, FIELDS)
+    a = _part(t, "data/a.parquet", [1, 2])
+    append_iceberg_snapshot(t, 1, [a])
+    mpath = os.path.join(t, "metadata", "v2.metadata.json")
+    with open(mpath) as fh:
+        meta = _json.load(fh)
+    fields2 = [dict(f) for f in meta["schema"]["fields"]]
+    fields2[0] = dict(fields2[0], name="renamed_id")
+    meta["schemas"] = [
+        dict(meta["schema"], **{"schema-id": 0}),
+        {"type": "struct", "schema-id": 1, "fields": fields2},
+    ]
+    meta["current-schema-id"] = 1
+    with open(mpath, "w") as fh:
+        _json.dump(meta, fh)
+    with pytest.raises(ValueError, match="externally-evolved"):
+        iceberg_snapshot(t)
+    # per-snapshot schema-id divergence gates the same way
+    meta["schemas"] = [meta["schemas"][1]]
+    meta["snapshots"][0]["schema-id"] = 0
+    meta["snapshots"].append(
+        dict(meta["snapshots"][0], **{"snapshot-id": 99,
+                                      "schema-id": 1})
+    )
+    with open(mpath, "w") as fh:
+        _json.dump(meta, fh)
+    with pytest.raises(ValueError, match="externally-evolved"):
+        iceberg_snapshot(t)
+
+
+def test_empty_table_resolves_current_schema_id(tmp_path):
+    """An EMPTY table carrying a schemas list resolves
+    current-schema-id exactly like the non-empty branch (it used to
+    pick schemas[0] unconditionally)."""
+    import json as _json
+
+    from vtk_reserves_spark.sources.iceberg import (
+        iceberg_snapshot, write_iceberg_table,
+    )
+
+    t = str(tmp_path / "empty")
+    write_iceberg_table(t, FIELDS)
+    mpath = os.path.join(t, "metadata", "v1.metadata.json")
+    with open(mpath) as fh:
+        meta = _json.load(fh)
+    other = {
+        "type": "struct", "schema-id": 0,
+        "fields": [{"id": 9, "name": "old", "required": False,
+                    "type": "long"}],
+    }
+    meta["schemas"] = [other, dict(meta["schema"], **{"schema-id": 3})]
+    meta["current-schema-id"] = 3
+    with open(mpath, "w") as fh:
+        _json.dump(meta, fh)
+    snap = iceberg_snapshot(t)
+    assert snap["snapshot_id"] is None
+    names = [f["name"] for f in snap["schema"]["fields"]]
+    assert names == [f["name"] for f in FIELDS]
+
+
+def test_evolved_table_with_deletes_reads_and_compacts(spark, tmp_path):
+    """Schema-evolved tables with LIVE v2 delete files: the read
+    folds deletes in after the per-epoch field-id aliasing (equality
+    columns resolve by field id against the current schema, hitting
+    pre-rename files), compact_iceberg_deletes rewrites victims
+    through the same scan (lifting its gate), and merge works after
+    compaction."""
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vtk_reserves_spark.sources.iceberg import (
+        alter_iceberg_table, append_iceberg_snapshot,
+        compact_iceberg_deletes, iceberg_snapshot, merge_iceberg,
+        optimize_iceberg, read_iceberg, write_iceberg,
+    )
+
+    def build(t):
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id long, v double"
+        ).coalesce(1)
+        write_iceberg(df, t)
+        alter_iceberg_table(t, rename={"v": "val"},
+                            add=[("w", "long")])
+        write_iceberg(
+            spark.createDataFrame([(100, 100.5, 7)],
+                                  "id long, val double, w long"), t
+        )
+        snap = iceberg_snapshot(t)
+        id_fid = next(
+            int(f["id"]) for f in snap["schema"]["fields"]
+            if f["name"] == "id"
+        )
+        pre = min(snap["files"],
+                  key=lambda p: snap["data_seqs"].get(p, 0))
+        first = _pq.read_table(pre).column("id")[0].as_py()
+        append_iceberg_snapshot(
+            t, 90, [], position_deletes=[
+                (os.path.relpath(pre, t), 0)
+            ],
+        )
+        append_iceberg_snapshot(
+            t, 91, [], equality_deletes=([{"id": 3}], [id_fid]),
+        )
+        want = {i for i in range(8)} - {first, 3} | {100}
+        return want
+
+    t1 = str(tmp_path / "evd1")
+    want = build(t1)
+    got = read_iceberg(spark, t1)
+    assert set(got.columns) == {"id", "val", "w"}
+    assert {r["id"] for r in got.collect()} == want
+    # pre-alter rows serve the renamed column and null-fill w
+    rows = {r["id"]: (r["val"], r["w"]) for r in got.collect()}
+    assert rows[5] == (5.0, None) and rows[100] == (100.5, 7)
+    # delete compaction on the evolved table
+    v = compact_iceberg_deletes(spark, t1)
+    snap = iceberg_snapshot(t1)
+    assert snap["snapshot_id"] == v
+    assert not snap["position_deletes"]
+    assert not snap["equality_deletes"]
+    assert {r["id"] for r in read_iceberg(spark, t1).collect()} == want
+    # cross-epoch merge works after compaction
+    src = spark.createDataFrame(
+        [(5, 55.0, 9), (200, 2.0, 1)], "id long, val double, w long"
+    )
+    merge_iceberg(spark, src, t1, on=["id"])
+    rows = {r["id"]: r["val"]
+            for r in read_iceberg(spark, t1).collect()}
+    assert rows[5] == 55.0 and rows[200] == 2.0
+    # optimize with live deletes on an evolved table (second copy)
+    t2 = str(tmp_path / "evd2")
+    want2 = build(t2)
+    optimize_iceberg(spark, t2)
+    assert {r["id"] for r in read_iceberg(spark, t2).collect()} == want2
+    # after the rewrite, retiring the delete files is metadata-only
+    compact_iceberg_deletes(spark, t2)
+    snap2 = iceberg_snapshot(t2)
+    assert not snap2["position_deletes"]
+    assert {r["id"] for r in read_iceberg(spark, t2).collect()} == want2

@@ -172,6 +172,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None,
     branch or tag (spec ``refs`` map; ``"main"`` is the current
     snapshot) instead of ``snapshot_id``."""
     meta = _load_table_metadata(table)
+    _gate_external_evolution(meta)
     if ref is not None:
         if snapshot_id is not None:
             raise ValueError("iceberg: pass snapshot_id OR ref")
@@ -195,7 +196,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None,
             "delete_files": [],
             "position_deletes": [],
             "equality_deletes": [],
-            "schema": meta.get("schemas", [meta.get("schema")])[0],
+            "schema": _current_spec_schema(meta),
             "partition_spec": meta.get("partition-spec") or [],
             "schema_log": meta.get("schema-log") or [],
         }
@@ -263,14 +264,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None,
                 raise ValueError(
                     f"iceberg: unknown data_file content {content}"
                 )
-    schema = meta.get("schemas")
-    if schema:
-        cur = meta.get("current-schema-id", 0)
-        schema = next(
-            (s for s in schema if s.get("schema-id") == cur), schema[0]
-        )
-    else:
-        schema = meta.get("schema")
+    schema = _current_spec_schema(meta)
     return {"files": sorted(set(files)), "snapshot_id": sid,
             "partitions": partitions,
             "record_counts": record_counts,
@@ -289,6 +283,55 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None,
             "partition_spec": meta.get("partition-spec") or []}
 
 
+
+
+def _current_spec_schema(meta: dict) -> dict | None:
+    """The current schema, resolving the spec's ``schemas`` list by
+    ``current-schema-id`` when present (falling back to the legacy
+    single ``schema`` field) — the same rule for empty and non-empty
+    tables."""
+    schemas = meta.get("schemas")
+    if schemas:
+        cur = meta.get("current-schema-id", 0)
+        return next(
+            (s for s in schemas if s.get("schema-id") == cur),
+            schemas[0],
+        )
+    return meta.get("schema")
+
+
+def _gate_external_evolution(meta: dict) -> None:
+    """Refuse EXTERNALLY-evolved tables this reader cannot resolve
+    correctly.  Schema evolution done here (:func:`alter_iceberg_table`)
+    records a ``schema-log`` of (sequence-number, fields) epochs that
+    lets every reader resolve columns by FIELD ID.  A wild table
+    evolved by a real Iceberg writer instead carries the spec's
+    ``schemas`` list (and per-snapshot ``schema-id``s) with field ids
+    in the parquet footers — without the epoch log, name-based
+    resolution would SILENTLY null-fill renamed columns in pre-rename
+    files.  That wrong-answer path gates with a clear error instead."""
+    if meta.get("schema-log"):
+        return  # repo-evolved: field-id epochs resolve every file
+    if not meta.get("snapshots"):
+        return  # no data files exist that could misresolve
+    if len(meta.get("schemas") or []) > 1:
+        raise ValueError(
+            "iceberg: externally-evolved table (multiple entries in "
+            "the spec 'schemas' list without a schema-log) — "
+            "name-based column resolution would silently null-fill "
+            "renamed columns in pre-rename data files; this reader "
+            "supports evolution via alter_iceberg_table only"
+        )
+    sids = {
+        s.get("schema-id") for s in meta.get("snapshots") or []
+        if s.get("schema-id") is not None
+    }
+    if len(sids) > 1:
+        raise ValueError(
+            "iceberg: externally-evolved table (snapshots carry "
+            "differing schema-ids without a schema-log) — see "
+            "alter_iceberg_table"
+        )
 
 
 def _is_evolved(snap: dict) -> bool:
@@ -367,15 +410,13 @@ def read_iceberg(
         )
     if _is_evolved(snap):
         # schema-evolved table: field-id resolution via per-epoch
-        # scan groups (alter gates while delete files are live, and
-        # appending deletes AFTER an alter is rejected here too)
-        if snap["position_deletes"] or snap["equality_deletes"]:
-            raise ValueError(
-                "iceberg: schema-evolved table with row-level "
-                "delete files not supported"
-            )
+        # scan groups; live row-level deletes fold in after the
+        # epoch aliasing (equality columns resolve by field id
+        # against the CURRENT schema, so they hit pre-rename files
+        # correctly)
         return _epoch_scan(
-            spark, table, snap, _load_table_metadata(table)
+            spark, table, snap, _load_table_metadata(table),
+            apply_deletes=True,
         )
     return _scan_snapshot(spark, table, snap)
 
@@ -420,6 +461,25 @@ def _scan_snapshot(spark: SparkSession, table: str, snap: dict,
         "_ice_path string, _ice_seq long",
     )
     data = data.join(F.broadcast(seq_df), "_ice_path", "left")
+    data = _apply_row_deletes(spark, base, data, snap)
+    return data.drop("_ice_path", "_ice_pos", "_ice_seq", *hidden)
+
+
+def _apply_row_deletes(spark: SparkSession, base: str,
+                       data: DataFrame, snap: dict) -> DataFrame:
+    """Anti-join the v2 row-level delete files onto ``data``, which
+    must carry ``_ice_path`` (decoded absolute file path),
+    ``_ice_pos`` (row index) and ``_ice_seq`` (data sequence
+    number).  Equality-delete columns resolve by FIELD ID against
+    the snapshot's CURRENT schema — callers projecting historical
+    epochs must alias to current names first (``_epoch_scan`` does).
+    Shared by :func:`_scan_snapshot` and the evolved-table scan."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    pos_dels = snap["position_deletes"]
+    eq_dels = snap["equality_deletes"]
     if pos_dels:
         parts = [
             spark.read.parquet(p).select(
@@ -465,7 +525,7 @@ def _scan_snapshot(spark: SparkSession, table: str, snap: dict,
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
             data = data.join(F.broadcast(eq), cond, "left_anti")
-    return data.drop("_ice_path", "_ice_pos", "_ice_seq", *hidden)
+    return data
 
 
 _ICE_TYPES = {
@@ -1342,13 +1402,14 @@ def compact_iceberg_deletes(spark: SparkSession, table: str) -> int:
 
     snap = iceberg_snapshot(table)
     pos, eq = snap["position_deletes"], snap["equality_deletes"]
-    if _is_evolved(snap) and (pos or eq):
-        raise ValueError(
-            "iceberg: delete compaction on schema-evolved tables "
-            "not supported"
-        )
     if not pos and not eq:
         return int(snap["snapshot_id"] or 0)
+    # schema-evolved tables rewrite through the per-epoch field-id
+    # projection with the deletes folded in — the compaction doubles
+    # as schema materialization for the rewritten files
+    evolved_meta = (
+        _load_table_metadata(table) if _is_evolved(snap) else None
+    )
     spec = snap.get("partition_spec") or []
     if any(e.get("transform") != "identity" for e in spec):
         raise ValueError(
@@ -1367,7 +1428,14 @@ def compact_iceberg_deletes(spark: SparkSession, table: str) -> int:
         victims = []
     sub = dict(snap)
     sub["files"] = victims
-    rows = _scan_snapshot(spark, table, sub) if victims else None
+    if not victims:
+        rows = None
+    elif evolved_meta is not None:
+        rows = _epoch_scan(
+            spark, table, sub, evolved_meta, apply_deletes=True
+        )
+    else:
+        rows = _scan_snapshot(spark, table, sub)
     stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
     data_files: list[dict] = []
     if rows is not None:
@@ -1461,14 +1529,10 @@ def optimize_iceberg(
     snap = iceberg_snapshot(table)
     evolved_meta = None
     if _is_evolved(snap):
-        if snap["position_deletes"] or snap["equality_deletes"]:
-            raise ValueError(
-                "iceberg: optimize on schema-evolved tables with "
-                "row-level delete files not supported"
-            )
         # evolved tables rewrite through the per-epoch projection —
         # compaction doubles as schema MATERIALIZATION (rewritten
-        # files land in the current schema's epoch)
+        # files land in the current schema's epoch); live row-level
+        # deletes fold into the same scan (apply_deletes)
         evolved_meta = _load_table_metadata(table)
     victims = [
         p for p in snap["files"]
@@ -1545,7 +1609,8 @@ def _rewrite_files_batch(
     if evolved_meta is not None:
         sub = dict(snap)
         sub["files"] = victims
-        rows = _epoch_scan(spark, table, sub, evolved_meta)
+        rows = _epoch_scan(spark, table, sub, evolved_meta,
+                           apply_deletes=has_deletes)
         # transform partition values recompute like merge's rewrite
         name_by_id = {
             int(f["id"]): f["name"]
@@ -2215,7 +2280,7 @@ def alter_iceberg_table(
 
 def _epoch_scan(
     spark: SparkSession, table: str, snap: dict, meta: dict,
-    with_path: bool = False,
+    with_path: bool = False, apply_deletes: bool = False,
 ) -> DataFrame:
     """Field-id-resolved scan of an evolved table: group the
     snapshot's files by the schema EPOCH in force at each file's
@@ -2224,7 +2289,11 @@ def _epoch_scan(
     epoch predates, then union.  Epoch count = number of schema
     changes — a handful, so the plan stays a few parquet scans.
     ``with_path`` threads the decoded ``_metadata.file_path`` (the
-    MERGE routing handle)."""
+    MERGE routing handle).  ``apply_deletes`` folds the snapshot's
+    v2 row-level delete files in AFTER the epoch aliasing — equality
+    deletes resolve by field id against the current schema, so they
+    apply correctly even to pre-rename files (the delete-compaction
+    path for evolved tables)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -2232,6 +2301,9 @@ def _epoch_scan(
     from vtk_reserves_spark.sources.delta import decoded_file_path
 
     base = os.path.abspath(table)
+    wants_deletes = bool(apply_deletes and (
+        snap["position_deletes"] or snap["equality_deletes"]
+    ))
     cur_fields = (meta.get("schema") or {}).get("fields", [])
     log = sorted(
         meta.get("schema-log") or [], key=lambda e: int(e["seq"])
@@ -2277,6 +2349,11 @@ def _epoch_scan(
                 sel.append(F.lit(None).cast(spark_t).alias(name))
         if with_path:
             sel.append(decoded_file_path(F).alias("_ice_file"))
+        if wants_deletes:
+            sel.append(decoded_file_path(F).alias("_ice_path"))
+            sel.append(
+                F.col("_metadata.row_index").alias("_ice_pos")
+            )
         pieces.append(df.select(*sel))
     if not pieces:
         from pyspark.sql import types as T
@@ -2292,6 +2369,14 @@ def _epoch_scan(
         ]))
         return out
     out = reduce(DataFrame.unionByName, pieces)
+    if wants_deletes:
+        seq_df = spark.createDataFrame(
+            [(p, int(s)) for p, s in snap["data_seqs"].items()],
+            "_ice_path string, _ice_seq long",
+        )
+        out = out.join(F.broadcast(seq_df), "_ice_path", "left")
+        out = _apply_row_deletes(spark, base, out, snap)
+        out = out.drop("_ice_path", "_ice_pos", "_ice_seq")
     return out.drop(*hidden) if hidden else out
 
 
