@@ -6481,6 +6481,63 @@ def q_iceberg_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, td).select("doc_id", "text")
 
 
+def q_delta_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SCHEMA EVOLUTION via column mapping (sources/delta.
+    alter_delta_table — the twin of q_iceberg_evolution, per the
+    protocol's columnMapping feature): the evens land as (doc_id,
+    text_len, lang); ALTER renames text_len -> len_chars, drops lang
+    and adds src as a PURE METADATA commit (the table upgrades to
+    mapping mode "name"; not one data file rewrites); the %4==1 odds
+    then append under physical names, and a MERGE updates the %8==0
+    rows (+1000, 'fix') ACROSS the evolution boundary.  Old files
+    serve the renamed column through their physical name and
+    null-fill the added one via the explicit read schema; a second
+    rename (src -> origin) stacks on the existing mapping; OPTIMIZE
+    compacts the mapped table at the end (content preserved)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        alter_delta_table, merge_delta, optimize_delta, read_delta,
+        write_delta,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_deltae_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len"), "lang"
+    )
+    write_delta(base.filter(F.col("doc_id") % 2 == 0), td)
+    alter_delta_table(
+        td, rename={"text_len": "len_chars"},
+        add=[("src", "string")], drop=["lang"],
+    )
+    write_delta(
+        base.filter(F.col("doc_id") % 4 == 1).select(
+            "doc_id",
+            F.col("text_len").alias("len_chars"),
+            F.lit("web").alias("src"),
+        ),
+        td,
+    )
+    upd = base.filter(F.col("doc_id") % 8 == 0).select(
+        "doc_id",
+        (F.col("text_len") + F.lit(1000)).alias("len_chars"),
+        F.lit("fix").alias("src"),
+    )
+    merge_delta(spark, upd, td, on=["doc_id"])
+    alter_delta_table(td, rename={"src": "origin"})
+    optimize_delta(spark, td, min_file_size=1 << 30)
+    return read_delta(spark, td).select(
+        "doc_id", "len_chars", "origin"
+    )
+
+
 def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta COLUMN MAPPING (sources/delta.py — the Databricks
     default on new tables): the documents table lands as a
@@ -11235,6 +11292,24 @@ def _llm_oracles() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, text FROM documents WHERE doc_id % 14 = 3
         """,
+        "delta_evolution": """
+            -- same field-resolution closed form as
+            -- iceberg_evolution (the fixtures are twins): evens
+            -- serve the renamed column + NULL origin unless the
+            -- %8==0 merge rewrote them ('fix', +1000); %4==1 odds
+            -- appended post-alter as 'web'; the trailing OPTIMIZE
+            -- preserves content
+            SELECT doc_id,
+                   LENGTH(text) + 1000 AS len_chars,
+                   'fix' AS origin
+            FROM documents WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT doc_id, LENGTH(text), NULL
+            FROM documents WHERE doc_id % 2 = 0 AND doc_id % 8 <> 0
+            UNION ALL
+            SELECT doc_id, LENGTH(text), 'web'
+            FROM documents WHERE doc_id % 4 = 1
+        """,
         "delta_column_mapping": """
             -- closed form of the column-mapped Delta fixture
             -- (q_delta_column_mapping): evens minus the DV rows
@@ -12235,6 +12310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "exif_metadata": q_exif_metadata,
         "delta_column_mapping": q_delta_column_mapping,
+        "delta_evolution": q_delta_evolution,
         "zarr_write_roundtrip": q_zarr_write_roundtrip,
         "hdf5_write_roundtrip": q_hdf5_write_roundtrip,
         "zarr_v3_embeddings": q_zarr_v3_embeddings,

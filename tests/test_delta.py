@@ -1221,3 +1221,96 @@ def test_merge_delta_txn_exactly_once(spark, tmp_path):
     assert v2 == v1 + 1
     got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
     assert got[0] == 666.0
+
+
+def test_delta_schema_evolution(spark, tmp_path):
+    """alter_delta_table: rename/add/drop as pure metadata commits
+    (column mapping upgrade, physical names stay in the files);
+    old files serve renamed columns and null-fill added ones; merge
+    and optimize work on the evolved (mapped) table; a second
+    rename stacks."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        alter_delta_table, delta_snapshot, merge_delta,
+        optimize_delta, read_delta, write_delta,
+    )
+
+    t = str(tmp_path / "dev")
+    df = spark.createDataFrame(
+        [(i, float(i), "x") for i in range(8)],
+        "id long, v double, tag string",
+    )
+    write_delta(df, t)
+    files_before = set(
+        p for p, _, _, _ in delta_snapshot(t)["files"]
+    )
+    alter_delta_table(
+        t, rename={"v": "val"}, add=[("w", "long")], drop=["tag"],
+    )
+    # pure metadata: not a single data file changed
+    assert set(
+        p for p, _, _, _ in delta_snapshot(t)["files"]
+    ) == files_before
+    got = read_delta(spark, t)
+    assert set(got.columns) == {"id", "val", "w"}
+    rows = {r["id"]: (r["val"], r["w"]) for r in got.collect()}
+    assert rows[3] == (3.0, None)
+    # post-alter append lands under physical names
+    write_delta(
+        spark.createDataFrame([(100, 1.5, 7)],
+                              "id long, val double, w long"), t
+    )
+    rows = {r["id"]: (r["val"], r["w"])
+            for r in read_delta(spark, t).collect()}
+    assert rows[100] == (1.5, 7) and rows[2] == (2.0, None)
+    # cross-epoch merge (update an OLD row and insert a new one)
+    src = spark.createDataFrame(
+        [(3, 33.0, 9), (200, 2.0, 1)], "id long, val double, w long"
+    )
+    merge_delta(spark, src, t, on=["id"])
+    rows = {r["id"]: (r["val"], r["w"])
+            for r in read_delta(spark, t).collect()}
+    assert rows[3] == (33.0, 9) and rows[200] == (2.0, 1)
+    assert rows[5] == (5.0, None)
+    # optimize compacts the mapped table and preserves content
+    before = sorted(rows.items())
+    optimize_delta(spark, t)
+    after = {r["id"]: (r["val"], r["w"])
+             for r in read_delta(spark, t).collect()}
+    assert sorted(after.items()) == before
+    # second rename stacks on the existing mapping
+    alter_delta_table(t, rename={"w": "weight"})
+    got = read_delta(spark, t)
+    assert set(got.columns) == {"id", "val", "weight"}
+    assert {r["id"]: r["weight"] for r in got.collect()}[3] == 9
+
+
+def test_delta_evolution_gates(spark, tmp_path):
+    """Evolution gates: partitioned tables, duplicate/unknown
+    columns, overwrite on mapped tables."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        alter_delta_table, write_delta,
+    )
+
+    t = str(tmp_path / "gate")
+    df = spark.range(4).select(
+        "id", (F.col("id") % 2).cast("string").alias("p"),
+    )
+    write_delta(df, t, partition_by=["p"])
+    with pytest.raises(ValueError, match="partitioned"):
+        alter_delta_table(t, rename={"id": "id2"})
+    t2 = str(tmp_path / "gate2")
+    write_delta(spark.range(4), t2)
+    with pytest.raises(ValueError, match="no column"):
+        alter_delta_table(t2, rename={"nope": "x"})
+    with pytest.raises(ValueError, match="exists"):
+        alter_delta_table(t2, add=[("id", "long")])
+    alter_delta_table(t2, add=[("z", "long")])
+    with pytest.raises(ValueError, match="overwrite"):
+        write_delta(
+            spark.range(2).withColumn("z", F.lit(1)), t2,
+            mode="overwrite",
+        )

@@ -45,6 +45,7 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
+    "alter_delta_table",
     "decoded_file_path", "delta_snapshot", "drain_delta_cdf",
     "merge_delta",
     "delta_history", "optimize_delta", "read_delta",
@@ -436,6 +437,13 @@ def read_delta(
         if dv
     ]
     mapping = _column_mapping(snap["metadata"])
+    if mapping and not (snap["metadata"].get("partitionColumns")
+                        or []):
+        # explicit schema-on-read (physical names): files predating
+        # an ADD null-fill the new column, dropped columns prune —
+        # the evolution contract; plain inference would miss columns
+        # absent from the sampled footer
+        reader = reader.schema(_physical_struct(snap["metadata"]))
 
     def rename(df):
         if not mapping:
@@ -911,8 +919,16 @@ def write_delta(
                     "delta: append schema mismatch "
                     f"({norm(want)} vs table {norm(prev)})"
                 )
+            # column-mapped table: the files carry PHYSICAL names
+            df = _to_physical(df, snap["metadata"])
             emit_schema = None
         else:
+            if _column_mapping(snap["metadata"]):
+                raise ValueError(
+                    "delta: overwrite on column-mapped tables not "
+                    "supported (schema is managed by "
+                    "alter_delta_table)"
+                )
             removes = [p for p, _, _, _ in snap["files"]]
             emit_schema = schema_json  # metaData re-emit (overwriteSchema)
             if configuration is None:
@@ -934,6 +950,149 @@ def write_delta(
         and version % checkpoint_interval == 0
     ):
         write_delta_checkpoint(table, version)
+    return version
+
+
+def _physical_struct(meta: dict):
+    """schemaString -> Spark StructType under PHYSICAL column names
+    (identity when the table has no mapping).  Passing this to the
+    parquet reader makes schema-on-read explicit: files predating an
+    added column null-fill it, and dropped columns' physical data is
+    pruned — the Delta evolution contract without touching a file."""
+    from pyspark.sql.types import StructType
+
+    schema = json.loads(meta["schemaString"])
+    fields = []
+    for f in schema.get("fields", []):
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        fields.append({**f, "name": phys, "metadata": {}})
+    return StructType.fromJson({"type": "struct", "fields": fields})
+
+
+def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
+    """Project a LOGICAL-schema DataFrame to the table's physical
+    column names (and declared field order) for writing.  Identity
+    when the table has no column mapping."""
+    mapping = _column_mapping(meta)
+    if not mapping:
+        return df
+    from pyspark.sql import functions as F
+
+    logical_to_phys = {lg: ph for ph, lg in mapping.items()}
+    schema = json.loads(meta["schemaString"])
+    return df.select(*[
+        F.col(f["name"]).alias(logical_to_phys.get(f["name"],
+                                                   f["name"]))
+        for f in schema.get("fields", [])
+    ])
+
+
+def alter_delta_table(
+    table: str,
+    add: list[tuple[str, str]] | None = None,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> int:
+    """Schema evolution — ALTER TABLE ADD/RENAME/DROP COLUMN as a
+    pure METADATA commit (the Delta twin of
+    `sources/iceberg.alter_iceberg_table`): no data file rewrites,
+    ever.  On first evolution the table upgrades to column mapping
+    mode "name" (``delta.columnMapping.mode``, protocol reader v2 —
+    exactly Databricks' upgrade path): every existing field records
+    its current name as ``delta.columnMapping.physicalName``, so the
+    data files' columns keep resolving; renames then change ONLY the
+    logical name, adds mint a fresh ``col-<n>`` physical name no
+    existing file contains (readers null-fill), and drops remove the
+    field from the schema (the physical column stays in the files,
+    pruned by the explicit read schema).  Returns the committed
+    version.
+
+    Gates: partitioned tables (partition directories/values are
+    keyed by name — renaming them is a layout rewrite), column type
+    changes (not in the subset), nested fields."""
+    snap = delta_snapshot(table)
+    meta = snap["metadata"]
+    if snap["metadata"].get("partitionColumns"):
+        raise ValueError(
+            "delta: schema evolution on partitioned tables not "
+            "supported (partition layout is keyed by column name)"
+        )
+    schema = json.loads(meta["schemaString"])
+    fields = [dict(f) for f in schema.get("fields", [])]
+    conf = dict(meta.get("configuration") or {})
+    mode = conf.get("delta.columnMapping.mode", "none")
+    max_id = 0
+    if mode in ("none", "", None):
+        # first evolution: upgrade to mapping mode "name"; existing
+        # fields' physical names = their current names, so every
+        # already-written file keeps resolving
+        for f in fields:
+            max_id += 1
+            fm = dict(f.get("metadata") or {})
+            fm["delta.columnMapping.id"] = max_id
+            fm["delta.columnMapping.physicalName"] = f["name"]
+            f["metadata"] = fm
+        conf["delta.columnMapping.mode"] = "name"
+    else:
+        max_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
+        if not max_id:
+            max_id = max(
+                (int((f.get("metadata") or {}).get(
+                    "delta.columnMapping.id", 0
+                )) for f in fields),
+                default=0,
+            )
+    by_name = {f["name"]: f for f in fields}
+    for old, new in (rename or {}).items():
+        if old not in by_name:
+            raise ValueError(f"delta: no column {old!r} to rename")
+        if new in by_name and by_name[new] is not by_name[old]:
+            raise ValueError(f"delta: column {new!r} exists")
+        by_name[old]["name"] = new
+    for name in (drop or []):
+        f = next((f for f in fields if f["name"] == name), None)
+        if f is None:
+            raise ValueError(f"delta: no column {name!r} to drop")
+        fields.remove(f)
+    for name, spark_type in (add or []):
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"delta: column {name!r} exists")
+        if not isinstance(spark_type, str):
+            raise ValueError("delta: add types are Spark type "
+                             "strings (nested types not supported)")
+        max_id += 1
+        fields.append({
+            "name": name, "type": spark_type, "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": max_id,
+                "delta.columnMapping.physicalName": f"col-{max_id}",
+            },
+        })
+    conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(
+        {"type": "struct", "fields": fields}
+    )
+    new_meta["configuration"] = conf
+    version = snap["version"] + 1
+    lines = []
+    proto = snap.get("protocol") or {}
+    if int(proto.get("minReaderVersion", 1)) < 2:
+        # column mapping needs reader v2 / writer v5
+        lines.append(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5,
+        }}))
+    lines.append(json.dumps({"metaData": new_meta}))
+    import time as _time
+
+    lines.append(json.dumps({"commitInfo": {
+        "timestamp": int(_time.time() * 1000),
+        "operation": "CHANGE COLUMN",
+    }}))
+    with open(_commit_path(table, version), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
     return version
 
 
@@ -970,8 +1129,10 @@ def merge_delta(
        ones, atomically.
 
     Duplicate keys in ``source`` are written as-is (delta-spark
-    raises instead; de-duplicate upstream if that matters).  Tables
-    using column mapping gate (our writer emits unmapped files).
+    raises instead; de-duplicate upstream if that matters).
+    Column-mapped (schema-evolved) tables merge fine — the rewrite
+    lands under physical names; only the mapped+CDF combination
+    gates.
 
     ``broadcast_source`` (default True) hints the source KEY SET
     into a broadcast for every merge join — right for the
@@ -1001,9 +1162,13 @@ def merge_delta(
         seen = snap.get("txns", {}).get(txn[0])
         if seen is not None and int(seen) >= int(txn[1]):
             return int(snap["version"])
-    if _column_mapping(snap["metadata"]):
+    if _column_mapping(snap["metadata"]) and _cdf_enabled(
+        snap["metadata"]
+    ):
         raise ValueError(
-            "delta: merge into column-mapped tables not supported"
+            "delta: merge into column-mapped tables with Change "
+            "Data Feed enabled not supported (_change_data files "
+            "would need physical-name mapping end-to-end)"
         )
     part_cols = list(snap["metadata"].get("partitionColumns") or [])
     table_cols = [
@@ -1118,7 +1283,10 @@ def merge_delta(
         new_df = pieces[0]
         for p in pieces[1:]:
             new_df = new_df.unionByName(p)
-        adds = _stage_and_promote(new_df, table, part_cols or None)
+        adds = _stage_and_promote(
+            _to_physical(new_df, snap["metadata"]), table,
+            part_cols or None,
+        )
     write_delta_commit(table, version, adds=adds, removes=removes,
                        operation="MERGE", cdc=cdc_actions or None,
                        txn=txn)
@@ -1146,10 +1314,6 @@ def optimize_delta(
     plan is the same copy-on-write shape as :func:`merge_delta` —
     only qualifying files are read or rewritten."""
     snap = delta_snapshot(table)
-    if _column_mapping(snap["metadata"]):
-        raise ValueError(
-            "delta: optimize on column-mapped tables not supported"
-        )
     part_cols = list(snap["metadata"].get("partitionColumns") or [])
     from urllib.parse import unquote
 
@@ -1185,6 +1349,9 @@ def optimize_delta(
         # bin-pack: one output file per partition directory per
         # coalesced task group
         rows = rows.coalesce(max(1, len(victims) // 8))
+    # column-mapped tables rewrite under PHYSICAL names (the rewrite
+    # also materializes the current schema into the new files)
+    rows = _to_physical(rows, snap["metadata"])
     adds = _stage_and_promote(rows, table, part_cols or None)
     version = snap["version"] + 1
     write_delta_commit(table, version, adds=adds, removes=victims,
