@@ -5326,19 +5326,23 @@ def q_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REVERSE cross-format replication — Iceberg -> Delta, the
-    mirror of q:cdc_replicate: an append-only Iceberg source takes
-    three snapshots (evens; the %4==1 odds; then UPDATED versions of
-    the %8==0 rows at +1000 — the append-log upsert shape), and a
-    Delta REPLICA is maintained purely from
-    ``read_iceberg_incremental`` batches applied as
-    ``merge_delta(txn=...)`` upserts keyed on the drained snapshot
-    range.  A POISONED redelivery of batch 3 (+777) under the same
-    txn id must skip via the Delta txn-action ledger or the hash
-    breaks.  Leg 'replica' is the deduplicated latest-per-key state;
-    leg 'src_log' is the raw append log (the %8==0 keys appear
-    twice) — the differing closed forms prove the merge really
-    upserts rather than blindly appending."""
+    """REVERSE cross-format replication WITH DELETES — Iceberg ->
+    Delta via the CHANGELOG view (sources/iceberg.iceberg_changelog
+    + delta.merge_delta(txn=)): the Iceberg source takes appends
+    (evens; the %4==1 odds), then a MERGE-update (+1000 on %8==0),
+    then a MERGE-delete (%16 in (4,9)), then a pure OPTIMIZE
+    compaction.  The Delta replica is maintained ONLY from
+    per-snapshot-range changelog batches: each batch's delete leg
+    applies as merge_delta(when_matched='delete') and its insert leg
+    as an upsert, both txn-keyed on the drained range — so source
+    MERGEs and deletes carry end-to-end, and the COMPACTION batch
+    nets to ZERO rows (asserted in-query: CDC cost tracks churn,
+    never rewrites).  A POISONED redelivery of the update batch
+    (+777 inserts and a delete-everything leg) under the original
+    txn ids must skip via the Delta txn ledger or the hash breaks.
+    Legs pin DIFFERENT closed forms: 'replica' and 'src_final' =
+    post-delete state (computed via different engines/paths),
+    'src_mid' = the pre-delete time-travel state."""
     import shutil
     import tempfile
 
@@ -5348,7 +5352,8 @@ def q_cdc_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_delta, read_delta, write_delta,
     )
     from vtk_reserves_spark.sources.iceberg import (
-        read_iceberg, read_iceberg_incremental, write_iceberg,
+        iceberg_changelog, merge_iceberg, optimize_iceberg,
+        read_iceberg, write_iceberg,
     )
 
     root = os.path.join(
@@ -5363,37 +5368,78 @@ def q_cdc_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = write_iceberg(base.filter(F.col("doc_id") % 2 == 0), src_t)
     s2 = write_iceberg(base.filter(F.col("doc_id") % 4 == 1), src_t)
-    s3 = write_iceberg(
+    s3 = merge_iceberg(
+        spark,
         base.filter(F.col("doc_id") % 8 == 0).withColumn(
             "text_len", F.col("text_len") + F.lit(1000)
         ),
-        src_t,
+        src_t, on=["doc_id"],
     )
-    # batch 1 seeds the replica; batches 2-3 drain incrementally and
-    # apply as txn-keyed merges (restart-safe in either direction)
+    s4 = merge_iceberg(
+        spark,
+        base.filter((F.col("doc_id") % 16).isin(4, 9)),
+        src_t, on=["doc_id"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    s5 = optimize_iceberg(spark, src_t, min_file_size=1 << 30)
+
+    # batch 1 seeds the replica; every later snapshot range drains
+    # through the changelog and applies delete-leg-then-insert-leg
+    # as txn-keyed merges (restart-safe, delete-carrying)
     write_delta(
         read_iceberg(spark, src_t, snapshot_id=s1), rep_t,
-        txn=("rev", s1),
+        txn=("rev_i", s1),
     )
+
+    def apply_batch(frm, to):
+        # materialize the drained batch ONCE (localCheckpoint):
+        # both merge legs and any redelivery read the same rows
+        # instead of re-running the changelog diff per action
+        batch = iceberg_changelog(spark, src_t, frm, to) \
+            .localCheckpoint(eager=True)
+        cols = ["doc_id", "text_len"]
+        dels = batch.filter(F.col("_change_type") == "delete")
+        ins = batch.filter(F.col("_change_type") == "insert")
+        merge_delta(
+            spark, dels.select(*cols), rep_t, on=["doc_id"],
+            when_matched="delete", when_not_matched="ignore",
+            txn=("rev_d", to),
+        )
+        merge_delta(
+            spark, ins.select(*cols), rep_t, on=["doc_id"],
+            txn=("rev_i", to),
+        )
+        return batch
+
+    apply_batch(s1, s2)
+    b3 = apply_batch(s2, s3)           # the MERGE-update batch
+    apply_batch(s3, s4)                # the MERGE-delete batch
+    compaction = apply_batch(s4, s5)   # pure rewrite: must net to 0
+    assert compaction.count() == 0, "compaction leaked into CDC"
+    # poisoned redelivery of the update batch under its txn ids:
+    # a delete-everything leg and +777 inserts must BOTH skip
     merge_delta(
-        spark, read_iceberg_incremental(spark, src_t, s1, s2),
-        rep_t, on=["doc_id"], txn=("rev", s2),
+        spark, read_delta(spark, rep_t), rep_t, on=["doc_id"],
+        when_matched="delete", when_not_matched="ignore",
+        txn=("rev_d", s3),
     )
-    b3 = read_iceberg_incremental(spark, src_t, s2, s3)
-    merge_delta(spark, b3, rep_t, on=["doc_id"], txn=("rev", s3))
-    # poisoned redelivery: the txn ledger must skip it
     merge_delta(
         spark,
-        b3.withColumn("text_len", F.col("text_len") + F.lit(777)),
-        rep_t, on=["doc_id"], txn=("rev", s3),
+        b3.filter(F.col("_change_type") == "insert")
+        .select("doc_id", "text_len")
+        .withColumn("text_len", F.col("text_len") + F.lit(777)),
+        rep_t, on=["doc_id"], txn=("rev_i", s3),
     )
     replica = read_delta(spark, rep_t).select(
         F.lit("replica").alias("leg"), "doc_id", "text_len"
     )
-    src_log = read_iceberg(spark, src_t).select(
-        F.lit("src_log").alias("leg"), "doc_id", "text_len"
+    src_mid = read_iceberg(spark, src_t, snapshot_id=s3).select(
+        F.lit("src_mid").alias("leg"), "doc_id", "text_len"
     )
-    return replica.unionByName(src_log)
+    src_final = read_iceberg(spark, src_t).select(
+        F.lit("src_final").alias("leg"), "doc_id", "text_len"
+    )
+    return replica.unionByName(src_mid).unionByName(src_final)
 
 
 def q_iceberg_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10858,23 +10904,26 @@ def _llm_oracles() -> dict[str, str]:
             FROM documents WHERE doc_id % 8 = 2
         """,
         "cdc_reverse": """
-            -- replica = latest per key (the %8==0 updates win);
-            -- src_log = the raw append log (those keys twice)
-            SELECT 'replica' AS leg, doc_id,
-                   LENGTH(text) + 1000 AS text_len
-            FROM documents WHERE doc_id % 8 = 0
+            -- changelog-driven replication: mid = post-update
+            -- pre-delete state; replica and src_final = the same
+            -- state minus the %16 in (4,9) deletes (replica built
+            -- ONLY from changelog batches; the compaction batch
+            -- nets to zero)
+            WITH state AS (
+              SELECT doc_id,
+                     LENGTH(text) + CASE WHEN doc_id % 8 = 0
+                                         THEN 1000 ELSE 0 END
+                       AS text_len
+              FROM documents
+              WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
+            )
+            SELECT 'replica' AS leg, doc_id, text_len FROM state
+            WHERE doc_id % 16 NOT IN (4, 9)
             UNION ALL
-            SELECT 'replica', doc_id, LENGTH(text)
-            FROM documents
-            WHERE (doc_id % 2 = 0 AND doc_id % 8 <> 0)
-               OR doc_id % 4 = 1
+            SELECT 'src_mid', doc_id, text_len FROM state
             UNION ALL
-            SELECT 'src_log', doc_id, LENGTH(text)
-            FROM documents
-            WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
-            UNION ALL
-            SELECT 'src_log', doc_id, LENGTH(text) + 1000
-            FROM documents WHERE doc_id % 8 = 0
+            SELECT 'src_final', doc_id, text_len FROM state
+            WHERE doc_id % 16 NOT IN (4, 9)
         """,
         "iceberg_compact_deletes": """
             -- delete-applied content survives compaction: equality
