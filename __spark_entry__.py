@@ -4927,6 +4927,48 @@ def q_stream_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hudi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming -> Hudi with END-TO-END exactly-once
+    (streaming/sinks.stream_to_hudi — completing the lakehouse sink
+    triad next to q:stream_delta_sink / q:stream_iceberg_sink): the
+    events stream drains (availableNow) through foreachBatch appends
+    whose committed-batch ledger rides in each commit's
+    extraMetadata (txn.<app_id> — the surface real Hudi streaming
+    writers stamp checkpoints into); an at-least-once REPLAY of the
+    full input under the recorded txn is a proven in-query no-op,
+    and the read-back matches the batch table exactly once."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import read_hudi, write_hudi
+    from vtk_reserves_spark.streaming.sinks import stream_to_hudi
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_hudis_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = os.path.join(root, "table")
+    sel = ["event_id", "user_id", "value"]
+    ev = _events_stream(spark, sf_dir).select(*sel)
+    q = stream_to_hudi(
+        ev, tbl, os.path.join(root, "cp"), app_id="events-etl"
+    )
+    q.awaitTermination(300)
+    # at-least-once redelivery of the whole input: the extraMetadata
+    # ledger says batch 0 is already applied -> skipped, still
+    # exactly one copy of every event
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    replay = spark.read.parquet(f"{sf_dir}/events.parquet").select(*sel)
+    write_hudi(replay, tbl, txn=("events-etl", 0))
+    return read_hudi(spark, tbl).select(
+        "event_id", "user_id",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def _pq_closed_form_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PQ fixture on the embeddings ids: 8 dims of
     ``(vec_id + dim) % 4`` — exactly 4 distinct values per 1-dim
@@ -10678,6 +10720,13 @@ def _llm_oracles() -> dict[str, str]:
             SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
             FROM events
         """,
+        "stream_hudi_sink": """
+            -- exactly-once streaming Hudi sink: one copy of every
+            -- event despite the checkpointed drain + a full txn
+            -- replay (commit extraMetadata ledger)
+            SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+            FROM events
+        """,
         "ivfpq_degenerate": """
             -- closed form of the IVFADC fixture (q_ivfpq_degenerate):
             -- one exact coarse centroid + exact residual PQ ==
@@ -12319,6 +12368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partitions": q_iceberg_partitions,
         "iceberg_transforms": q_iceberg_transforms,
         "stream_iceberg_sink": q_stream_iceberg_sink,
+        "stream_hudi_sink": q_stream_hudi_sink,
         "pq_topk_degenerate": q_pq_topk_degenerate,
         "ivfpq_degenerate": q_ivfpq_degenerate,
         "zarr_sharded": q_zarr_sharded,

@@ -644,3 +644,37 @@ def test_hudi_mor_slice_scoped_read_merge(spark, tmp_path):
     assert rows == [
         (1, "0", 1.0), (1, "1", 10.0), (2, "0", 22.0), (3, "1", 33.0)
     ]
+
+
+def test_write_hudi_txn_exactly_once(spark, tmp_path):
+    """write_hudi(txn=): the commit extraMetadata ledger downgrades
+    replayed batches (equal-or-older version per app id) to no-ops;
+    newer versions and other app ids commit normally."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        hudi_timeline, read_hudi, write_hudi,
+    )
+
+    t = str(tmp_path / "txn")
+    df = spark.range(5).select("id", (F.col("id") * 1.0).alias("v"))
+    i1 = write_hudi(df, t, txn=("app", 0))
+    # replay of batch 0: skipped, timeline unchanged
+    i2 = write_hudi(
+        df.withColumn("v", F.col("v") + 100), t, txn=("app", 0)
+    )
+    assert i2 == i1 and len(hudi_timeline(t)) == 1
+    assert {r["v"] for r in read_hudi(spark, t).collect()} == {
+        float(i) for i in range(5)
+    }
+    # a newer batch commits; an older replay after it skips
+    write_hudi(spark.range(5, 7).select(
+        "id", (F.col("id") * 1.0).alias("v")), t, txn=("app", 1))
+    assert len(hudi_timeline(t)) == 2
+    write_hudi(df, t, txn=("app", 0))
+    assert len(hudi_timeline(t)) == 2
+    # a different app id is its own ledger
+    write_hudi(spark.range(7, 8).select(
+        "id", (F.col("id") * 1.0).alias("v")), t, txn=("other", 0))
+    assert len(hudi_timeline(t)) == 3
+    assert read_hudi(spark, t).count() == 8

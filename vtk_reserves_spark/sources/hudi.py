@@ -597,6 +597,7 @@ def write_hudi(
     partition_by: list[str] | None = None,
     table_type: str = "COPY_ON_WRITE",
     record_key: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> str:
     """DataFrame -> one Hudi CoW commit; returns the instant.
 
@@ -613,7 +614,15 @@ def write_hudi(
     bulk-insert base files committed as a ``.deltacommit``, Hudi's
     MOR write action); ``record_key`` persists
     ``hoodie.table.recordkey.fields``, which :func:`read_hudi`'s
-    merged view and :func:`upsert_hudi_mor` key on."""
+    merged view and :func:`upsert_hudi_mor` key on.
+
+    ``txn=(app_id, version)`` gives EXACTLY-ONCE semantics for
+    at-least-once producers (the streaming-sink protocol, same as
+    ``write_delta``/``write_iceberg``): the committed-batch ledger
+    rides in each commit's extraMetadata (``txn.<app_id>`` — the
+    surface real Hudi's streaming writers stamp their checkpoints
+    into), and a write whose version the timeline already records
+    at equal-or-newer is SKIPPED — no data staged, no commit."""
     import shutil
     import uuid as _uuid
 
@@ -629,6 +638,11 @@ def write_hudi(
         raise ValueError(f"hudi: partition columns {bad} missing")
     hdir = os.path.join(table, _HOODIE)
     exists = os.path.exists(os.path.join(hdir, "hoodie.properties"))
+    if txn is not None and exists:
+        seen = _hudi_txn_seen(table, txn[0])
+        if seen is not None and seen >= int(txn[1]):
+            # replayed batch: exactly-once skip (return the head)
+            return hudi_timeline(table)[-1][0]
     if not exists:
         os.makedirs(hdir, exist_ok=True)
         with open(os.path.join(hdir, "hoodie.properties"), "w") as fh:
@@ -683,6 +697,7 @@ def write_hudi(
             "deltacommit" if table_type == "MERGE_ON_READ"
             and mode != "overwrite" else None
         ),
+        txn=txn,
     )
     return instant
 
@@ -692,6 +707,7 @@ def _stage_and_commit_hudi(
     replaced: dict[str, list[str]] | None, operation: str,
     action: str | None = None,
     extra_stats: dict[str, list[dict]] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """One distributed staged parquet write promoted as fresh file
     groups + the timeline JSON (a ``.replacecommit`` when
@@ -744,25 +760,51 @@ def _stage_and_commit_hudi(
         stats.setdefault(part, []).extend(entries)
     _write_hudi_commit_json(
         table, instant, stats, replaced, operation, action,
-        schema_json=df.schema.json(),
+        schema_json=df.schema.json(), txn=txn,
     )
+
+
+def _hudi_txn_seen(table: str, app_id: str) -> int | None:
+    """The committed-batch ledger: the highest ``txn.<app_id>``
+    version any completed commit's extraMetadata records (None if
+    the producer never committed).  The Hudi analogue of Delta's
+    txn action / Iceberg's table-properties ledger — real Hudi's
+    streaming writers likewise stamp their checkpoint into commit
+    extraMetadata (``deltastreamer.checkpoint.key``)."""
+    key = f"txn.{app_id}"
+    seen = None
+    try:
+        timeline = hudi_timeline(table)
+    except ValueError:
+        return None
+    for _instant, _action, meta in timeline:
+        v = (meta.get("extraMetadata") or {}).get(key)
+        if v is not None and (seen is None or int(v) > seen):
+            seen = int(v)
+    return seen
 
 
 def _write_hudi_commit_json(
     table: str, instant: str, stats: dict[str, list[dict]],
     replaced: dict[str, list[str]] | None, operation: str,
     action: str | None = None, schema_json: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     hdir = os.path.join(table, _HOODIE)
     meta = {
         "partitionToWriteStats": stats,
         "operationType": operation,
     }
+    extra: dict[str, str] = {}
     if schema_json:
         # real Hudi records the writer schema per commit in
         # extraMetadata; readers cast hive-dir-recovered partition
         # columns back to it (dir values would otherwise type-infer)
-        meta["extraMetadata"] = {"schema": schema_json}
+        extra["schema"] = schema_json
+    if txn is not None:
+        extra[f"txn.{txn[0]}"] = str(int(txn[1]))
+    if extra:
+        meta["extraMetadata"] = extra
     suffix = f".{action}" if action else ".commit"
     if replaced is not None:
         meta["partitionToReplaceFileIds"] = replaced

@@ -128,6 +128,47 @@ def stream_to_delta(
     return w.start()
 
 
+def stream_to_hudi(
+    sdf: DataFrame,
+    table: str,
+    checkpoint: str,
+    app_id: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Streaming Hudi sink with END-TO-END exactly-once — the third
+    of the lakehouse sink triad (:func:`stream_to_delta`,
+    :func:`stream_to_iceberg`): each micro-batch appends through
+    ``hudi.write_hudi`` carrying ``txn=(app_id, batch_id)``.  The
+    committed-batch ledger rides in each commit's extraMetadata
+    (``txn.<app_id>`` — the surface real Hudi's streaming writers
+    stamp their checkpoints into, e.g.
+    ``deltastreamer.checkpoint.key``), so a source replay after a
+    crash downgrades redelivered batches to no-ops and the table
+    sees each batch exactly once.
+
+    Returns the started ``StreamingQuery``.  Scale: the batch append
+    is the ordinary distributed parquet write (fresh file groups);
+    the ledger check is one timeline fold per batch — metadata
+    only."""
+    from vtk_reserves_spark.sources.hudi import write_hudi
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        write_hudi(
+            batch_df, table, mode="append",
+            partition_by=partition_by, txn=(app_id, int(batch_id)),
+        )
+
+    w = (
+        sdf.writeStream.foreachBatch(append)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_to_iceberg(
     sdf: DataFrame,
     table: str,
