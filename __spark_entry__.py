@@ -6569,6 +6569,81 @@ def q_iceberg_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, td).select("doc_id", "text")
 
 
+def q_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FORMAT-VERSION 3 deletion vectors (sources/puffin.py
+    + iceberg.append_iceberg_snapshot(dv_deletes=) — the v3 spec's
+    Delta-compatible row-delete representation): evens and odds land
+    doc_id-sorted as two files; snapshot 2 writes ONE puffin file of
+    deletion-vector-v1 blobs (roaring64 frames) dropping positions
+    p%10==3 of the evens file and p%7==2 of the odds file — the
+    manifests carry referenced_data_file/content_offset/
+    content_size_in_bytes so the reader fetches each DV with one
+    ranged read, expands it in a mapInPandas task, and anti-joins
+    like a position delete; snapshot 3 re-adds the dropped odd rows
+    ABOVE the DV's sequence number, so they survive (seq scoping).
+    Reference parity: no lakehouse in the reference (SURVEY §8)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vtk_reserves_spark.sources.iceberg import (
+        append_iceberg_snapshot, read_iceberg, write_iceberg_table,
+    )
+
+    pdf = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_icedv_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    write_iceberg_table(td, [
+        {"id": 1, "name": "doc_id", "required": False,
+         "type": "long"},
+        {"id": 2, "name": "text", "required": False,
+         "type": "string"},
+    ])
+
+    def part(rel, sub):
+        p = os.path.join(td, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(sub["doc_id"], pa.int64()),
+                "text": pa.array(sub["text"], pa.string()),
+            }),
+            p,
+        )
+        return {"file_path": rel, "record_count": len(sub),
+                "size": os.path.getsize(p)}
+
+    evens = pdf[pdf["doc_id"] % 2 == 0]
+    odds = pdf[pdf["doc_id"] % 2 == 1]
+    a = part("data/a.parquet", evens)
+    b = part("data/b.parquet", odds)
+    append_iceberg_snapshot(td, 1, [a, b])
+    append_iceberg_snapshot(
+        td, 2, [],
+        dv_deletes=[
+            ("data/a.parquet",
+             [i for i in range(len(evens)) if i % 10 == 3]),
+            ("data/b.parquet",
+             [i for i in range(len(odds)) if i % 7 == 2]),
+        ],
+    )
+    # re-add the dropped odd rows ABOVE the DV sequence number
+    readd = odds.iloc[[i for i in range(len(odds)) if i % 7 == 2]]
+    c = part("data/c.parquet", readd)
+    append_iceberg_snapshot(td, 3, [c])
+    return read_iceberg(spark, td).select("doc_id", "text")
+
+
 def q_delta_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta SCHEMA EVOLUTION via column mapping (sources/delta.
     alter_delta_table — the twin of q_iceberg_evolution, per the
@@ -11390,6 +11465,25 @@ def _llm_oracles() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, text FROM documents WHERE doc_id % 14 = 3
         """,
+        "iceberg_v3_dv": """
+            -- v3 deletion vectors closed form: per-file rank =
+            -- position (files are doc_id-sorted); the evens lose
+            -- p%10==3, the odds lose p%7==2 but snapshot 3 re-adds
+            -- exactly those above the DV's sequence number
+            WITH evens AS (
+              SELECT doc_id, text,
+                     ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS p
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            odds AS (
+              SELECT doc_id, text,
+                     ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS p
+              FROM documents WHERE doc_id % 2 = 1
+            )
+            SELECT doc_id, text FROM evens WHERE p % 10 <> 3
+            UNION ALL
+            SELECT doc_id, text FROM odds
+        """,
         "delta_evolution": """
             -- same field-resolution closed form as
             -- iceberg_evolution (the fixtures are twins): evens
@@ -12347,6 +12441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_merge_transforms": q_iceberg_merge_transforms,
         "iceberg_evolution": q_iceberg_evolution,
         "iceberg_evolution_deletes": q_iceberg_evolution_deletes,
+        "iceberg_v3_dv": q_iceberg_v3_dv,
         "iceberg_wap": q_iceberg_wap,
         "dsir_domains": q_dsir_domains,
         "hudi_incremental": q_hudi_incremental,

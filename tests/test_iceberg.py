@@ -73,16 +73,25 @@ def test_gating(tmp_path):
     write_iceberg_table(t, FIELDS)
     a = _part(t, "data/a.parquet", [1])
     append_iceberg_snapshot(t, 1, [a])
-    # format-version 3 rejected
+    # format-version 4 rejected; 3 reads (DV subset) but gates on
+    # column default values we cannot honor
     mdir = os.path.join(t, "metadata")
     with open(os.path.join(mdir, "version-hint.text")) as fh:
         v = int(fh.read())
     mp = os.path.join(mdir, f"v{v}.metadata.json")
     meta = json.load(open(mp))
-    meta["format-version"] = 3
+    meta["format-version"] = 4
     json.dump(meta, open(mp, "w"))
     with pytest.raises(ValueError, match="format-version"):
         iceberg_snapshot(t)
+    meta["format-version"] = 3
+    json.dump(meta, open(mp, "w"))
+    assert iceberg_snapshot(t)["snapshot_id"] == 1
+    meta["schema"]["fields"][0]["initial-default"] = 7
+    json.dump(meta, open(mp, "w"))
+    with pytest.raises(ValueError, match="initial-default"):
+        iceberg_snapshot(t)
+    del meta["schema"]["fields"][0]["initial-default"]
     meta["format-version"] = 2
     json.dump(meta, open(mp, "w"))
     assert iceberg_snapshot(t)["snapshot_id"] == 1
@@ -1559,3 +1568,74 @@ def test_evolved_table_with_deletes_reads_and_compacts(spark, tmp_path):
     snap2 = iceberg_snapshot(t2)
     assert not snap2["position_deletes"]
     assert {r["id"] for r in read_iceberg(spark, t2).collect()} == want2
+
+
+def test_v3_deletion_vectors(spark, tmp_path):
+    """Format-version 3 deletion vectors: puffin deletion-vector-v1
+    blobs (roaring64 frames, ranged reads via the manifests'
+    content_offset/content_size_in_bytes) apply like position
+    deletes, scoped by sequence number; carry forward; retire when
+    their data file rewrites (delete compaction); puffin files are
+    orphan-collectable once unreferenced."""
+    from vtk_reserves_spark.sources.iceberg import (
+        _load_table_metadata, append_iceberg_snapshot,
+        compact_iceberg_deletes, iceberg_snapshot, read_iceberg,
+        remove_iceberg_orphans, write_iceberg_table,
+    )
+    from vtk_reserves_spark.sources.puffin import (
+        parse_dv_frame, read_puffin_blob, read_puffin_footer,
+    )
+
+    t = str(tmp_path / "v3dv")
+    write_iceberg_table(t, FIELDS)
+    a = _part(t, "data/a.parquet", [10, 11, 12, 13, 14])
+    b = _part(t, "data/b.parquet", [20, 21, 22])
+    append_iceberg_snapshot(t, 1, [a, b])
+    # DVs: drop positions 1,3 of a (11,13) and 0 of b (20)
+    append_iceberg_snapshot(
+        t, 2, [],
+        dv_deletes=[("data/a.parquet", [1, 3]),
+                    ("data/b.parquet", [0])],
+    )
+    meta = _load_table_metadata(t)
+    assert int(meta["format-version"]) == 3
+    snap = iceberg_snapshot(t)
+    assert len(snap["dv_deletes"]) == 2
+    # the puffin file parses standalone (footer + ranged blob read)
+    pf, ref, _s, off, sz = snap["dv_deletes"][0]
+    foot = read_puffin_footer(pf)
+    assert [b_["type"] for b_ in foot["blobs"]] == [
+        "deletion-vector-v1"] * 2
+    assert list(
+        parse_dv_frame(read_puffin_blob(pf, off, sz))
+    ) == [1, 3]
+    got = sorted(r["id"] for r in read_iceberg(spark, t).collect())
+    assert got == [10, 12, 14, 21, 22]
+    # time travel BEFORE the DV sees everything
+    assert sorted(
+        r["id"] for r in read_iceberg(spark, t, snapshot_id=1)
+        .collect()
+    ) == [10, 11, 12, 13, 14, 20, 21, 22]
+    # a file added ABOVE the DV's sequence number is untouched even
+    # at overlapping positions, and the DVs carry forward
+    c = _part(t, "data/c.parquet", [30, 31])
+    append_iceberg_snapshot(t, 3, [c])
+    got = sorted(r["id"] for r in read_iceberg(spark, t).collect())
+    assert got == [10, 12, 14, 21, 22, 30, 31]
+    # delete compaction folds the DVs in and retires them
+    v = compact_iceberg_deletes(spark, t)
+    snap = iceberg_snapshot(t)
+    assert snap["snapshot_id"] == v and not snap["dv_deletes"]
+    assert sorted(
+        r["id"] for r in read_iceberg(spark, t).collect()
+    ) == got
+    # after expiry the puffin is unreferenced -> orphan-collectable
+    import os as _os
+
+    from vtk_reserves_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+    )
+
+    expire_iceberg_snapshots(t, keep_last=1)
+    rel = _os.path.relpath(pf, t)
+    assert rel in remove_iceberg_orphans(t, dry_run=True)

@@ -94,6 +94,14 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {"name": "equality_ids",
                      "type": ["null", {"type": "array", "items": "int"}],
                      "default": None},
+                    # v3 deletion vectors (content=1 entries whose
+                    # payload is a puffin deletion-vector-v1 blob)
+                    {"name": "referenced_data_file",
+                     "type": ["null", "string"], "default": None},
+                    {"name": "content_offset",
+                     "type": ["null", "long"], "default": None},
+                    {"name": "content_size_in_bytes",
+                     "type": ["null", "long"], "default": None},
                 ],
             },
         },
@@ -160,8 +168,19 @@ def _load_table_metadata(table: str) -> dict:
     with open(cand) as fh:
         meta = json.load(fh)
     fv = int(meta.get("format-version", 1))
-    if fv > 2:
+    if fv > 3:
         raise ValueError(f"iceberg: format-version {fv} not supported")
+    if fv == 3:
+        # v3 read subset: deletion vectors are handled; column
+        # DEFAULT VALUES are not — a field carrying initial-default
+        # would silently null-fill on our scan, so gate it
+        for f in (_current_spec_schema(meta) or {}).get("fields", []):
+            if f.get("initial-default") is not None:
+                raise ValueError(
+                    "iceberg: v3 column default values "
+                    f"(initial-default on {f.get('name')!r}) not "
+                    "supported"
+                )
     return meta
 
 
@@ -196,6 +215,7 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None,
             "delete_files": [],
             "position_deletes": [],
             "equality_deletes": [],
+            "dv_deletes": [],
             "schema": _current_spec_schema(meta),
             "partition_spec": meta.get("partition-spec") or [],
             "schema_log": meta.get("schema-log") or [],
@@ -216,6 +236,8 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None,
     data_seqs: dict[str, int] = {}
     position_deletes: dict[str, int] = {}
     equality_deletes: dict[str, tuple[int, tuple[int, ...]]] = {}
+    # (puffin path, referenced data file) -> (seq, offset, size)
+    dv_deletes: dict[tuple[str, str], tuple[int, int, int]] = {}
     for mf in _read_avro_rows(_resolve(table, snap["manifest-list"])):
         mf_content = int(mf.get("content") or 0)
         mf_seq = int(mf.get("sequence_number") or 0)
@@ -230,7 +252,8 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None,
             eseq = entry.get("sequence_number")
             seq = int(eseq) if eseq is not None else mf_seq
             fmt = str(df_["file_format"]).upper()
-            if fmt != "PARQUET":
+            is_dv = content == 1 and df_.get("referenced_data_file")
+            if fmt != "PARQUET" and not (is_dv and fmt == "PUFFIN"):
                 raise ValueError(
                     f"iceberg: data file format {fmt} not supported"
                 )
@@ -248,8 +271,17 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None,
                     df_.get("file_size_in_bytes") or 0
                 )
                 data_seqs[path] = seq
-            elif content == 1:  # position deletes (v2)
-                position_deletes[path] = seq
+            elif content == 1:  # position deletes (v2) or DVs (v3)
+                if df_.get("referenced_data_file"):
+                    dv_deletes[path, _resolve(
+                        table, df_["referenced_data_file"]
+                    )] = (
+                        seq,
+                        int(df_.get("content_offset") or 0),
+                        int(df_.get("content_size_in_bytes") or 0),
+                    )
+                else:
+                    position_deletes[path] = seq
             elif content == 2:  # equality deletes (v2)
                 ids = df_.get("equality_ids")
                 if not ids:
@@ -275,6 +307,11 @@ def iceberg_snapshot(table: str, snapshot_id: int | None = None,
             "equality_deletes": sorted(
                 (p, s, list(ids))
                 for p, (s, ids) in equality_deletes.items()
+            ),
+            # (puffin path, referenced data file, seq, offset, size)
+            "dv_deletes": sorted(
+                (p, ref, s, off, sz)
+                for (p, ref), (s, off, sz) in dv_deletes.items()
             ),
             "schema": schema,
             "schema_log": meta.get("schema-log") or [],
@@ -336,6 +373,15 @@ def _gate_external_evolution(meta: dict) -> None:
 
 def _is_evolved(snap: dict) -> bool:
     return len(snap.get("schema_log") or []) > 1
+
+
+def _row_deletes_live(snap: dict) -> bool:
+    """Any v2/v3 row-level deletes (position files, equality files,
+    or v3 deletion vectors) live in this snapshot?"""
+    return bool(
+        snap["position_deletes"] or snap["equality_deletes"]
+        or snap.get("dv_deletes")
+    )
 
 def _normalized_path_col(F, col, base: str):
     """Delete-side ``file_path`` values -> absolute filesystem paths:
@@ -446,9 +492,7 @@ def _scan_snapshot(spark: SparkSession, table: str, snap: dict,
         e["name"] for e in snap.get("partition_spec") or []
         if e.get("transform") not in (None, "identity")
     ]
-    pos_dels = snap["position_deletes"]
-    eq_dels = snap["equality_deletes"]
-    if not pos_dels and not eq_dels:
+    if not _row_deletes_live(snap):
         df = reader.parquet(*snap["files"])
         return df.drop(*hidden) if hidden else df
     data = reader.parquet(*snap["files"]).withColumns({
@@ -480,6 +524,50 @@ def _apply_row_deletes(spark: SparkSession, base: str,
 
     pos_dels = snap["position_deletes"]
     eq_dels = snap["equality_deletes"]
+    dv_dels = snap.get("dv_deletes") or []
+    if dv_dels:
+        # v3 deletion vectors: each manifest entry names its puffin
+        # blob range and referenced data file; the blobs expand to
+        # (file, position) rows INSIDE a mapInPandas task (ranged
+        # read + roaring decode, churn-sized) and anti-join like the
+        # v2 position-delete path — scoped by sequence number
+        desc = spark.createDataFrame(
+            [(p, ref, int(s), int(off), int(sz))
+             for p, ref, s, off, sz in dv_dels],
+            "_dvf string, _dv_ref string, _dv_seq long, "
+            "_dv_off long, _dv_sz long",
+        )
+
+        def _expand(batches):
+            import pandas as pd
+
+            from vtk_reserves_spark.sources.puffin import (
+                parse_dv_frame, read_puffin_blob,
+            )
+
+            for pdf in batches:
+                for p, ref, s, off, sz in zip(
+                    pdf["_dvf"], pdf["_dv_ref"], pdf["_dv_seq"],
+                    pdf["_dv_off"], pdf["_dv_sz"],
+                ):
+                    pos = parse_dv_frame(
+                        read_puffin_blob(p, int(off), int(sz))
+                    )
+                    yield pd.DataFrame({
+                        "_dv_ref": ref,
+                        "_dv_pos": pos.astype("int64"),
+                        "_dv_seq": int(s),
+                    })
+
+        positions = desc.mapInPandas(
+            _expand, "_dv_ref string, _dv_pos long, _dv_seq long"
+        )
+        cond = (
+            (F.col("_ice_path") == F.col("_dv_ref"))
+            & (F.col("_ice_pos") == F.col("_dv_pos"))
+            & (F.col("_dv_seq") >= F.col("_ice_seq"))
+        )
+        data = data.join(F.broadcast(positions), cond, "left_anti")
     if pos_dels:
         parts = [
             spark.read.parquet(p).select(
@@ -1135,9 +1223,13 @@ def remove_iceberg_orphans(table: str, dry_run: bool = False) -> list[str]:
         dirs[:] = [d for d in dirs if not d.startswith(".stage-")]
         for name in files:
             rel = os.path.relpath(os.path.join(root, name), table)
-            is_candidate = name.endswith(".avro") or (
-                name.endswith(".parquet")
-                and not name.endswith(".metadata.json")
+            is_candidate = (
+                name.endswith(".avro")
+                or name.endswith(".puffin")
+                or (
+                    name.endswith(".parquet")
+                    and not name.endswith(".metadata.json")
+                )
             )
             if name.endswith(".metadata.json") or name == (
                 "version-hint.text"
@@ -1217,7 +1309,7 @@ def merge_iceberg(
     # branch-scoped merge: the scan base AND the commit target are
     # the branch head (WAP upserts stage like branch appends do)
     snap = iceberg_snapshot(table, ref=branch)
-    if snap["position_deletes"] or snap["equality_deletes"]:
+    if _row_deletes_live(snap):
         raise ValueError(
             "iceberg: merge into tables with row-level delete files "
             "not supported (compact them first)"
@@ -1402,7 +1494,8 @@ def compact_iceberg_deletes(spark: SparkSession, table: str) -> int:
 
     snap = iceberg_snapshot(table)
     pos, eq = snap["position_deletes"], snap["equality_deletes"]
-    if not pos and not eq:
+    dvs = snap.get("dv_deletes") or []
+    if not pos and not eq and not dvs:
         return int(snap["snapshot_id"] or 0)
     # schema-evolved tables rewrite through the per-epoch field-id
     # projection with the deletes folded in — the compaction doubles
@@ -1419,6 +1512,7 @@ def compact_iceberg_deletes(spark: SparkSession, table: str) -> int:
     part_fields = [e["name"] for e in spec]
     max_seq = max(
         [int(s) for _, s in pos] + [int(s) for _, s, _ in eq]
+        + [int(s) for _, _, s, _, _ in dvs]
     )
     victims = [
         p for p in snap["files"]
@@ -1542,9 +1636,7 @@ def optimize_iceberg(
         return snap["snapshot_id"] or 0
     spec = snap.get("partition_spec") or []
     part_fields = [e["name"] for e in spec]
-    has_deletes = bool(
-        snap["position_deletes"] or snap["equality_deletes"]
-    )
+    has_deletes = _row_deletes_live(snap)
     if max_commits is None or max_commits <= 1:
         batches = [victims]
     else:
@@ -1796,6 +1888,7 @@ def append_iceberg_snapshot(
     deleted_files: list[str] | None = None,
     position_deletes: list[tuple[str, int]] | None = None,
     equality_deletes: tuple[list[dict], list[int]] | None = None,
+    dv_deletes: list[tuple[str, list[int]]] | None = None,
     new_schema_fields: list[dict] | None = None,
     new_partition_spec: list[dict] | None = None,
     summary_extra: dict | None = None,
@@ -1810,6 +1903,12 @@ def append_iceberg_snapshot(
     a v2 position-delete parquet + a content-1 delete manifest.
     ``equality_deletes``: (rows, field_ids) — rows are dicts keyed by
     the equality columns' names; writes a content-2 delete file.
+    ``dv_deletes``: (data_file_relpath, positions) pairs — writes
+    ONE puffin file of v3 ``deletion-vector-v1`` blobs (one per data
+    file) plus content-1 manifest entries carrying
+    ``referenced_data_file``/``content_offset``/
+    ``content_size_in_bytes``, and promotes the table to
+    format-version 3.
     Each snapshot gets the next data sequence number; added entries
     inherit it (null sequence_number), carried-forward entries keep
     their original — so readers can scope deletes per spec.
@@ -1916,7 +2015,26 @@ def append_iceberg_snapshot(
         prev = dict(prev)
         prev["position_deletes"] = []
         prev["equality_deletes"] = []
+        prev["dv_deletes"] = []
     if prev:
+        dropped = set(deleted_files or [])
+        for p, ref, s, off, sz in prev.get("dv_deletes", []):
+            ref_rel = os.path.relpath(ref, table)
+            if ref_rel in dropped or ref in dropped:
+                continue  # the referenced file left; its DV retires
+            del_entries.append({
+                "status": 0, "snapshot_id": snapshot_id,
+                "sequence_number": int(s),
+                "data_file": {
+                    "content": 1,
+                    "file_path": os.path.relpath(p, table),
+                    "file_format": "puffin",
+                    "record_count": 0, "file_size_in_bytes": 0,
+                    "referenced_data_file": ref_rel,
+                    "content_offset": int(off),
+                    "content_size_in_bytes": int(sz),
+                },
+            })
         for p, s in prev.get("position_deletes", []):
             del_entries.append({
                 "status": 0, "snapshot_id": snapshot_id,
@@ -1996,6 +2114,33 @@ def append_iceberg_snapshot(
                 "equality_ids": [int(i) for i in field_ids],
             },
         })
+    if dv_deletes:
+        from vtk_reserves_spark.sources.puffin import (
+            DV_BLOB_TYPE, dv_frame, write_puffin,
+        )
+
+        dv_rel = f"metadata/snap-{snapshot_id}-dvs.puffin"
+        blobs = [
+            {"type": DV_BLOB_TYPE, "data": dv_frame(positions),
+             "snapshot-id": snapshot_id, "sequence-number": seq,
+             "properties": {"referenced-data-file": ref}}
+            for ref, positions in dv_deletes
+        ]
+        metas = write_puffin(os.path.join(table, dv_rel), blobs)
+        for (ref, positions), bm in zip(dv_deletes, metas):
+            del_entries.append({
+                "status": 1, "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 1, "file_path": dv_rel,
+                    "file_format": "puffin",
+                    "record_count": len(positions),
+                    "file_size_in_bytes": int(bm["length"]),
+                    "referenced_data_file": ref,
+                    "content_offset": int(bm["offset"]),
+                    "content_size_in_bytes": int(bm["length"]),
+                },
+            })
     if del_entries:
         dman_rel = f"metadata/snap-{snapshot_id}-delete-manifest.avro"
         dblob = write_avro_bytes(_MANIFEST_ENTRY_SCHEMA, del_entries)
@@ -2013,6 +2158,9 @@ def append_iceberg_snapshot(
     with open(os.path.join(table, ml_rel), "wb") as fh:
         fh.write(write_avro_bytes(_MANIFEST_LIST_SCHEMA, ml_rows))
     meta = dict(meta)
+    if dv_deletes:
+        # deletion vectors are a format-version 3 feature
+        meta["format-version"] = 3
     if new_schema_fields is not None:  # overwrite-with-new-schema
         meta["schema"] = {"type": "struct",
                           "fields": new_schema_fields}
@@ -2215,7 +2363,7 @@ def alter_iceberg_table(
     snaps = meta.get("snapshots") or []
     if snaps:
         snap = iceberg_snapshot(table)
-        if snap["position_deletes"] or snap["equality_deletes"]:
+        if _row_deletes_live(snap):
             raise ValueError(
                 "iceberg: schema evolution with live row-level "
                 "delete files not supported (compact them first)"
@@ -2301,9 +2449,7 @@ def _epoch_scan(
     from vtk_reserves_spark.sources.delta import decoded_file_path
 
     base = os.path.abspath(table)
-    wants_deletes = bool(apply_deletes and (
-        snap["position_deletes"] or snap["equality_deletes"]
-    ))
+    wants_deletes = bool(apply_deletes and _row_deletes_live(snap))
     cur_fields = (meta.get("schema") or {}).get("fields", [])
     log = sorted(
         meta.get("schema-log") or [], key=lambda e: int(e["seq"])
@@ -2430,7 +2576,7 @@ def iceberg_changelog(
     hidden_drop = None
     pieces: list[DataFrame] = []
     prev = iceberg_snapshot(table, snaps[i0])
-    if prev["position_deletes"] or prev["equality_deletes"]:
+    if _row_deletes_live(prev):
         # the FROM snapshot's deletes would make prev['files'] rows
         # over-inclusive (already-deleted rows would leak into the
         # first commit's delete candidates) — same gate as the range
@@ -2444,7 +2590,7 @@ def iceberg_changelog(
     prev_set = set(prev["files"])
     for sid in snaps[i0 + 1 : i1 + 1]:
         cur = iceberg_snapshot(table, sid)
-        if cur["position_deletes"] or cur["equality_deletes"]:
+        if _row_deletes_live(cur):
             raise ValueError(
                 "iceberg: changelog over snapshots carrying "
                 "row-level delete files not supported"
