@@ -250,6 +250,11 @@ def load_dataframe(
             .option("inferSchema", True)
             .option("sep", sep)
             .option("encoding", encoding)
+            # RFC 4180 escapes a quote by DOUBLING it ("" inside a
+            # quoted field) — what DuckDB/Excel/pandas writers emit;
+            # Spark's default escape is backslash, which silently
+            # mangles such fields (wild-corpus regression)
+            .option("escape", '"')
             .csv(df_path)
         )
     elif ext == ".json":
