@@ -1639,3 +1639,78 @@ def test_v3_deletion_vectors(spark, tmp_path):
     expire_iceberg_snapshots(t, keep_last=1)
     rel = _os.path.relpath(pf, t)
     assert rel in remove_iceberg_orphans(t, dry_run=True)
+
+
+def test_merge_with_live_row_deletes(spark, tmp_path):
+    """merge_iceberg on a table with LIVE position + equality
+    deletes: deleted rows neither match nor resurrect; the touched
+    rewrite folds the deletes in; deletes keep applying to untouched
+    files."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vtk_reserves_spark.sources.iceberg import (
+        append_iceberg_snapshot, merge_iceberg, read_iceberg,
+        write_iceberg_table,
+    )
+
+    t = str(tmp_path / "mrd")
+    write_iceberg_table(t, FIELDS)
+    a = _part(t, "data/a.parquet", [1, 2, 3, 4])
+    b = _part(t, "data/b.parquet", [10, 11, 12])
+    append_iceberg_snapshot(t, 1, [a, b])
+    # position-delete value 2 (pos 1 of a); equality-delete 11
+    append_iceberg_snapshot(
+        t, 2, [], position_deletes=[("data/a.parquet", 1)],
+    )
+    append_iceberg_snapshot(
+        t, 3, [], equality_deletes=([{"id": 11}], [1]),
+    )
+    # merge touches file a (key 3) and inserts 50; file b untouched
+    src = spark.createDataFrame(
+        [(3, 33.0), (50, 500.0)], "id long, v double"
+    )
+    merge_iceberg(spark, src, t, on=["id"])
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got[3] == 33.0 and got[50] == 500.0
+    assert 2 not in got          # deleted row did NOT resurrect
+    assert 11 not in got         # eq delete still applies to b
+    assert set(got) == {1, 3, 4, 10, 12, 50}
+    # merging the DELETED key back in re-inserts it (not matched)
+    src2 = spark.createDataFrame([(2, 22.0)], "id long, v double")
+    merge_iceberg(spark, src2, t, on=["id"])
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got[2] == 22.0
+
+
+def test_alter_with_live_deletes_and_renamed_eq_column(spark, tmp_path):
+    """Schema evolution with live deletes: an equality delete
+    written BEFORE a rename keeps applying — its file's write-time
+    column name resolves through the schema-log epoch at its
+    sequence number and re-aliases by field id."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vtk_reserves_spark.sources.iceberg import (
+        alter_iceberg_table, append_iceberg_snapshot, read_iceberg,
+        write_iceberg, write_iceberg_table,
+    )
+
+    t = str(tmp_path / "ald")
+    write_iceberg_table(t, FIELDS)
+    a = _part(t, "data/a.parquet", [1, 2, 3, 4, 5])
+    append_iceberg_snapshot(t, 1, [a])
+    append_iceberg_snapshot(
+        t, 2, [], equality_deletes=([{"id": 2}, {"id": 4}], [1]),
+    )
+    # rename the equality column AFTER the delete was written
+    alter_iceberg_table(t, rename={"id": "doc_id"})
+    got = read_iceberg(spark, t)
+    assert "doc_id" in got.columns
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 3, 5]
+    # post-alter data above the delete's seq is untouched by it
+    write_iceberg(
+        spark.createDataFrame([(4, 44.0)], "doc_id long, v double"),
+        t,
+    )
+    assert sorted(
+        r["doc_id"] for r in read_iceberg(spark, t).collect()
+    ) == [1, 3, 4, 5]

@@ -468,14 +468,17 @@ def read_iceberg(
 
 
 def _scan_snapshot(spark: SparkSession, table: str, snap: dict,
-                   keep_hidden: bool = False) -> DataFrame:
+                   keep_hidden: bool = False,
+                   with_path: bool = False) -> DataFrame:
     """The delete-applied distributed scan of ``snap["files"]`` —
     shared by :func:`read_iceberg` (whole snapshot),
-    :func:`compact_iceberg_deletes` and :func:`optimize_iceberg`
-    (affected-file subsets).  ``keep_hidden=True`` keeps the
-    non-identity transform partition columns the hive-dir scan
-    reconstructs (the rewrite paths need them for ``partitionBy``
-    write-back; readers never see them)."""
+    :func:`merge_iceberg`, :func:`compact_iceberg_deletes` and
+    :func:`optimize_iceberg` (affected-file subsets).
+    ``keep_hidden=True`` keeps the non-identity transform partition
+    columns the hive-dir scan reconstructs (the rewrite paths need
+    them for ``partitionBy`` write-back; readers never see them).
+    ``with_path=True`` appends ``_ice_file`` (each row's decoded
+    data-file path — the MERGE routing handle)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -494,6 +497,8 @@ def _scan_snapshot(spark: SparkSession, table: str, snap: dict,
     ]
     if not _row_deletes_live(snap):
         df = reader.parquet(*snap["files"])
+        if with_path:
+            df = df.withColumn("_ice_file", decoded_file_path(F))
         return df.drop(*hidden) if hidden else df
     data = reader.parquet(*snap["files"]).withColumns({
         "_ice_path": decoded_file_path(F),
@@ -506,6 +511,8 @@ def _scan_snapshot(spark: SparkSession, table: str, snap: dict,
     )
     data = data.join(F.broadcast(seq_df), "_ice_path", "left")
     data = _apply_row_deletes(spark, base, data, snap)
+    if with_path:
+        data = data.withColumn("_ice_file", F.col("_ice_path"))
     return data.drop("_ice_path", "_ice_pos", "_ice_seq", *hidden)
 
 
@@ -590,6 +597,21 @@ def _apply_row_deletes(spark: SparkSession, base: str,
             int(f["id"]): f["name"]
             for f in (snap["schema"] or {}).get("fields", [])
         }
+        # a delete FILE's columns carry its WRITE-TIME names; on an
+        # evolved table resolve them through the schema-log epoch in
+        # force at the delete's sequence number, then alias to the
+        # CURRENT names by field id (exactly how data files resolve)
+        log = sorted(
+            snap.get("schema_log") or [], key=lambda e: int(e["seq"])
+        )
+
+        def _names_at(seq: int) -> dict[int, str]:
+            fields = (snap["schema"] or {}).get("fields", [])
+            for e in log:
+                if int(e["seq"]) <= int(seq):
+                    fields = e["fields"]
+            return {int(f["id"]): f["name"] for f in fields}
+
         # group delete files by their equality-column set
         groups: dict[tuple[int, ...], list[tuple[str, int]]] = {}
         for p, s, ids in eq_dels:
@@ -601,13 +623,25 @@ def _apply_row_deletes(spark: SparkSession, base: str,
                     f"iceberg: equality_ids {missing} not in schema"
                 )
             cols = [name_by_id[i] for i in ids]
-            parts = [
-                spark.read.parquet(p).select(
-                    *[F.col(c).alias(f"_eq_{c}") for c in cols],
-                    F.lit(int(s)).alias("_eq_seq"),
+            parts = []
+            for p, s in plist:
+                old_names = _names_at(s) if log else name_by_id
+                bad = [i for i in ids if i not in old_names]
+                if bad:
+                    raise ValueError(
+                        f"iceberg: equality_ids {bad} not in the "
+                        f"schema epoch of delete file {p}"
+                    )
+                parts.append(
+                    spark.read.parquet(p).select(
+                        *[
+                            F.col(old_names[i])
+                            .alias(f"_eq_{name_by_id[i]}")
+                            for i in ids
+                        ],
+                        F.lit(int(s)).alias("_eq_seq"),
+                    )
                 )
-                for p, s in plist
-            ]
             eq = reduce(DataFrame.unionByName, parts)
             cond = F.col("_ice_seq") < F.col("_eq_seq")
             for c in cols:
@@ -1268,8 +1302,10 @@ def merge_iceberg(
     Returns the new snapshot id.
 
     ``when_matched``: "update" | "delete";
-    ``when_not_matched``: "insert" | "ignore".  Tables with v2
-    row-level deletes gate (compact them first); hidden-partitioning
+    ``when_not_matched``: "insert" | "ignore".  Tables with live
+    v2/v3 row-level deletes merge fine — the scan and the
+    touched-file rewrite are both delete-applied, so deleted rows
+    can neither match nor resurrect; hidden-partitioning
     transforms (``day``/``bucket[N]``/``truncate[W]``/...) are
     RECOMPUTED on the rewrite path with the same
     :func:`_transform_column` machinery the writer uses, so the
@@ -1309,11 +1345,6 @@ def merge_iceberg(
     # branch-scoped merge: the scan base AND the commit target are
     # the branch head (WAP upserts stage like branch appends do)
     snap = iceberg_snapshot(table, ref=branch)
-    if _row_deletes_live(snap):
-        raise ValueError(
-            "iceberg: merge into tables with row-level delete files "
-            "not supported (compact them first)"
-        )
     spec = snap.get("partition_spec") or []
     part_cols = [e["name"] for e in spec]
     table_cols = [
@@ -1330,15 +1361,20 @@ def merge_iceberg(
                 f"{sorted(table_cols)}"
             )
     base = os.path.abspath(table)
+    # both scans are DELETE-APPLIED: matched-key discovery must not
+    # see rows v2/v3 delete files removed, and the touched-file
+    # rewrite folds those deletes in (the rewritten files take a new
+    # data sequence number, putting them out of the old deletes'
+    # reach); deletes keep carrying for untouched files
     if _is_evolved(snap):
         data = _epoch_scan(
             spark, table, snap, _load_table_metadata(table),
-            with_path=True,
+            with_path=True, apply_deletes=True,
         )
     else:
-        data = spark.read.option("basePath", base).parquet(
-            *snap["files"]
-        ).withColumn("_ice_file", decoded_file_path(F))
+        data = _scan_snapshot(
+            spark, table, snap, with_path=True
+        )
     keys = source.select(*on).distinct()
     touched = [
         r["_ice_file"]
@@ -2352,22 +2388,20 @@ def alter_iceberg_table(
     the current schema (:func:`_epoch_scan`).
 
     Gates (clear errors, never silent misreads): renaming or
-    dropping a partition-source column; altering while v2 row-level
-    delete files are live (compact them first); column TYPE changes
-    (not in the subset)."""
+    dropping a partition-source column; column TYPE changes (not in
+    the subset).  Live row-level deletes are fine across an alter —
+    equality delete files resolve their write-time column names
+    through the schema-log epoch at their sequence number."""
     meta = dict(_load_table_metadata(table))
     fields = [dict(f) for f in (meta.get("schema") or {})
               .get("fields", [])]
     if not fields:
         raise ValueError("iceberg: table has no schema to alter")
-    snaps = meta.get("snapshots") or []
-    if snaps:
-        snap = iceberg_snapshot(table)
-        if _row_deletes_live(snap):
-            raise ValueError(
-                "iceberg: schema evolution with live row-level "
-                "delete files not supported (compact them first)"
-            )
+    # live row-level deletes are FINE across an alter: position/DV
+    # deletes are positional (schema-free), and equality delete
+    # files resolve their write-time column names through the
+    # schema-log epoch at their sequence number (_apply_row_deletes)
+    # — dropping a column an equality delete references raises there
     spec_sources = {
         int(e.get("source-id", 0))
         for e in (meta.get("partition-spec") or [])
