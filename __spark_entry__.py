@@ -6701,6 +6701,98 @@ def q_delta_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM via DELETION VECTORS (sources/delta.delete_delta
+    — delta-spark's merge-on-read delete): two predicate deletes
+    mark rows in per-file roaring bitmaps with ZERO data-file
+    rewrites (the second UNIONS into the first's DVs; rows the first
+    delete removed are invisible to the second, per DELETE
+    semantics), and Change Data Feed records exactly the deleted
+    rows.  Legs: 'rows' = the surviving table, 'deleted' = the CDF
+    delete records across both commits — the two closed forms
+    together pin that deletes neither leak nor double-count."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        delete_delta, read_delta, read_delta_cdf, write_delta,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_deltad_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    write_delta(
+        base, td,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_delta(spark, td, "doc_id % 7 = 3")
+    delete_delta(spark, td, "doc_id % 5 = 0")
+    rows = read_delta(spark, td).select(
+        F.lit("rows").alias("leg"), "doc_id", "text_len"
+    )
+    deleted = (
+        read_delta_cdf(spark, td, starting_version=1)
+        .filter(F.col("_change_type") == "delete")
+        .select(F.lit("deleted").alias("leg"), "doc_id", "text_len")
+    )
+    return rows.unionByName(deleted)
+
+
+def q_iceberg_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM as merge-on-read (sources/iceberg.
+    delete_from_iceberg): a v2 position-delete DELETE (%7==3) and a
+    v3 DELETION-VECTOR DELETE (%5==0, puffin blob, format-version 3
+    promotion) stack on the SAME table with zero data-file rewrites
+    and compose in one delete-applied scan; compaction then folds
+    both kinds into fresh data files and retires the delete
+    metadata; a MERGE (+1000 on %11==1, re-inserting its deleted
+    keys) proves the table stays fully writable.  Legs: 'mid' time
+    travels to after the first delete; 'final' is the post-merge
+    state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        compact_iceberg_deletes, delete_from_iceberg,
+        iceberg_snapshot, merge_iceberg, read_iceberg, write_iceberg,
+    )
+
+    td = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_iced_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(td, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("text_len")
+    )
+    write_iceberg(base, td)
+    s2 = delete_from_iceberg(spark, td, "doc_id % 7 = 3")
+    delete_from_iceberg(spark, td, "doc_id % 5 = 0", use_dv=True)
+    compact_iceberg_deletes(spark, td)
+    snap = iceberg_snapshot(td)
+    assert not snap["position_deletes"] and not snap["dv_deletes"]
+    upd = base.filter(F.col("doc_id") % 11 == 1).withColumn(
+        "text_len", F.col("text_len") + F.lit(1000)
+    )
+    merge_iceberg(spark, upd, td, on=["doc_id"])
+    mid = read_iceberg(spark, td, snapshot_id=s2).select(
+        F.lit("mid").alias("leg"), "doc_id", "text_len"
+    )
+    final = read_iceberg(spark, td).select(
+        F.lit("final").alias("leg"), "doc_id", "text_len"
+    )
+    return mid.unionByName(final)
+
+
 def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta COLUMN MAPPING (sources/delta.py — the Databricks
     default on new tables): the documents table lands as a
@@ -11484,6 +11576,39 @@ def _llm_oracles() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, text FROM odds
         """,
+        "delta_delete": """
+            -- DV deletes: survivors = neither predicate; the CDF
+            -- delete legs are DISJOINT (rows the first delete
+            -- removed are invisible to the second)
+            WITH d AS (
+              SELECT doc_id, LENGTH(text) AS text_len FROM documents
+            )
+            SELECT 'rows' AS leg, doc_id, text_len FROM d
+            WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 0
+            UNION ALL
+            SELECT 'deleted', doc_id, text_len FROM d
+            WHERE doc_id % 7 = 3
+            UNION ALL
+            SELECT 'deleted', doc_id, text_len FROM d
+            WHERE doc_id % 5 = 0 AND doc_id % 7 <> 3
+        """,
+        "iceberg_delete_mor": """
+            -- stacked v2+v3 merge-on-read deletes, compacted, then
+            -- a %11==1 merge (+1000) that re-inserts its deleted
+            -- keys
+            WITH d AS (
+              SELECT doc_id, LENGTH(text) AS text_len FROM documents
+            )
+            SELECT 'mid' AS leg, doc_id, text_len FROM d
+            WHERE doc_id % 7 <> 3
+            UNION ALL
+            SELECT 'final', doc_id, text_len + 1000 FROM d
+            WHERE doc_id % 11 = 1
+            UNION ALL
+            SELECT 'final', doc_id, text_len FROM d
+            WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 0
+              AND doc_id % 11 <> 1
+        """,
         "delta_evolution": """
             -- same field-resolution closed form as
             -- iceberg_evolution (the fixtures are twins): evens
@@ -12505,6 +12630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_metadata": q_exif_metadata,
         "delta_column_mapping": q_delta_column_mapping,
         "delta_evolution": q_delta_evolution,
+        "delta_delete": q_delta_delete,
+        "iceberg_delete_mor": q_iceberg_delete_mor,
         "zarr_write_roundtrip": q_zarr_write_roundtrip,
         "hdf5_write_roundtrip": q_hdf5_write_roundtrip,
         "zarr_v3_embeddings": q_zarr_v3_embeddings,

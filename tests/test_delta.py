@@ -1314,3 +1314,73 @@ def test_delta_evolution_gates(spark, tmp_path):
             spark.range(2).withColumn("z", F.lit(1)), t2,
             mode="overwrite",
         )
+
+
+def test_delete_delta_deletion_vectors(spark, tmp_path):
+    """DELETE FROM via DVs: no data file rewrites; matched rows
+    vanish; a second delete UNIONS into the existing DVs;
+    already-deleted rows never re-match; CDF records the deletes."""
+    import glob as _glob
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        delete_delta, delta_snapshot, read_delta, read_delta_cdf,
+        write_delta,
+    )
+
+    t = str(tmp_path / "dd")
+    df = spark.range(20).select(
+        "id", (F.col("id") * 1.0).alias("v")
+    ).coalesce(1)
+    write_delta(df, t, configuration={
+        "delta.enableChangeDataFeed": "true"
+    })
+    data_files = set(_glob.glob(os.path.join(t, "*.parquet")))
+    v = delete_delta(spark, t, "id % 5 = 3")
+    assert v == 1
+    # not a single data file rewritten
+    assert set(_glob.glob(os.path.join(t, "*.parquet"))) == data_files
+    got = sorted(r["id"] for r in read_delta(spark, t).collect())
+    assert got == [i for i in range(20) if i % 5 != 3]
+    # second delete unions into the existing DV
+    delete_delta(spark, t, "id >= 15")
+    got = sorted(r["id"] for r in read_delta(spark, t).collect())
+    assert got == [i for i in range(15) if i % 5 != 3]
+    snap = delta_snapshot(t)
+    dvs = [dv for _, _, _, dv in snap["files"] if dv]
+    # {3,8,13,18} union {15,16,17,19} — 18 matched only once
+    assert len(dvs) == 1 and dvs[0]["cardinality"] == 8
+    # a no-match delete is a no-op version-wise
+    assert delete_delta(spark, t, "id = 999") == snap["version"]
+    # CDF saw exactly the deleted rows
+    cdf = read_delta_cdf(spark, t, starting_version=1)
+    dels = cdf.filter(F.col("_change_type") == "delete")
+    assert sorted(r["id"] for r in dels.collect()) == sorted(
+        [3, 8, 13, 18] + [15, 16, 17, 19]
+    )
+    # protocol upgraded to carry deletionVectors
+    assert "deletionVectors" in (
+        snap["protocol"].get("readerFeatures") or []
+    )
+
+
+def test_delete_delta_on_mapped_table(spark, tmp_path):
+    """DELETE with DVs composes with column mapping: the predicate
+    sees logical names on an evolved table."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        alter_delta_table, delete_delta, read_delta, write_delta,
+    )
+
+    t = str(tmp_path / "ddm")
+    write_delta(
+        spark.range(10).select("id", (F.col("id") * 1.0).alias("v")),
+        t,
+    )
+    alter_delta_table(t, rename={"v": "val"})
+    delete_delta(spark, t, "val > 6.5")
+    got = sorted(r["id"] for r in read_delta(spark, t).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6]

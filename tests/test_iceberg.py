@@ -1714,3 +1714,70 @@ def test_alter_with_live_deletes_and_renamed_eq_column(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in read_iceberg(spark, t).collect()
     ) == [1, 3, 4, 5]
+
+
+def test_delete_from_iceberg_mor(spark, tmp_path):
+    """DELETE FROM as merge-on-read: no data file rewrites; v2
+    position-delete mode and v3 DV mode (with one-DV-per-file
+    replacement/union); already-deleted rows never re-match; merge
+    still works on the deleted table."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vtk_reserves_spark.sources.iceberg import (
+        delete_from_iceberg, iceberg_snapshot, merge_iceberg,
+        read_iceberg, write_iceberg_table,
+    )
+
+    # v2 position-delete mode
+    t = str(tmp_path / "df2")
+    write_iceberg_table(t, FIELDS)
+    a = _part(t, "data/a.parquet", list(range(10)))
+    append_iceberg_snapshot(t, 1, [a])
+    files_before = iceberg_snapshot(t)["files"]
+    delete_from_iceberg(spark, t, "id % 3 = 1")
+    snap = iceberg_snapshot(t)
+    assert snap["files"] == files_before  # no rewrite
+    assert snap["position_deletes"]
+    assert sorted(
+        r["id"] for r in read_iceberg(spark, t).collect()
+    ) == [0, 2, 3, 5, 6, 8, 9]
+    # second delete only matches LIVE rows
+    delete_from_iceberg(spark, t, "id >= 6")
+    assert sorted(
+        r["id"] for r in read_iceberg(spark, t).collect()
+    ) == [0, 2, 3, 5]
+    # merge works with the live deletes (delete-applied plan)
+    merge_iceberg(
+        spark,
+        spark.createDataFrame([(2, 22.0)], "id long, v double"),
+        t, on=["id"],
+    )
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got[2] == 22.0 and set(got) == {0, 2, 3, 5}
+
+    # v3 DV mode with replacement/union
+    t2 = str(tmp_path / "df3")
+    write_iceberg_table(t2, FIELDS)
+    b = _part(t2, "data/a.parquet", list(range(10)))
+    append_iceberg_snapshot(t2, 1, [b])
+    delete_from_iceberg(spark, t2, "id % 3 = 1", use_dv=True)
+    snap = iceberg_snapshot(t2)
+    assert len(snap["dv_deletes"]) == 1
+    assert sorted(
+        r["id"] for r in read_iceberg(spark, t2).collect()
+    ) == [0, 2, 3, 5, 6, 8, 9]
+    delete_from_iceberg(spark, t2, "id >= 6", use_dv=True)
+    snap = iceberg_snapshot(t2)
+    # ONE live DV per file (replacement), holding the union
+    assert len(snap["dv_deletes"]) == 1
+    from vtk_reserves_spark.sources.puffin import (
+        parse_dv_frame, read_puffin_blob,
+    )
+
+    p, _ref, _s, off, sz = snap["dv_deletes"][0]
+    assert list(parse_dv_frame(read_puffin_blob(p, off, sz))) == [
+        1, 4, 6, 7, 8, 9
+    ]
+    assert sorted(
+        r["id"] for r in read_iceberg(spark, t2).collect()
+    ) == [0, 2, 3, 5]

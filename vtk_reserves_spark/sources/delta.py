@@ -45,7 +45,7 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "alter_delta_table",
+    "alter_delta_table", "delete_delta",
     "decoded_file_path", "delta_snapshot", "drain_delta_cdf",
     "merge_delta",
     "delta_history", "optimize_delta", "read_delta",
@@ -1090,6 +1090,169 @@ def alter_delta_table(
     lines.append(json.dumps({"commitInfo": {
         "timestamp": int(_time.time() * 1000),
         "operation": "CHANGE COLUMN",
+    }}))
+    with open(_commit_path(table, version), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return version
+
+
+def delete_delta(
+    spark: SparkSession, table: str, condition: str,
+) -> int:
+    """DELETE FROM via DELETION VECTORS — delta-spark's
+    merge-on-read delete (the protocol's deletionVectors feature):
+    matched rows are marked in per-file roaring bitmaps and NOT A
+    SINGLE DATA FILE REWRITES.  Each touched file's ``add`` entry
+    re-commits with its new DV descriptor (unioned with any prior
+    DV); unmatched files are untouched.  Returns the new version.
+
+    Scale shape: ONE distributed delete-applied scan evaluates the
+    predicate and reduces to per-file position lists; the driver
+    holds only the matched positions (churn-sized — a DELETE that
+    matches most of the table should be an overwrite instead, like
+    delta-spark's own DV-vs-rewrite heuristic).  With Change Data
+    Feed enabled the matched rows also land as ``_change_data``
+    delete rows — one extra distributed write of the CHANGED rows.
+
+    Column-mapped tables work (the predicate sees LOGICAL names);
+    partitioned + mapped is gated like the reader."""
+    from pyspark.sql import functions as F
+
+    snap = delta_snapshot(table)
+    part_cols = list(snap["metadata"].get("partitionColumns") or [])
+    mapping = _column_mapping(snap["metadata"])
+    if mapping and part_cols:
+        raise ValueError(
+            "delta: delete on partitioned column-mapped tables not "
+            "supported"
+        )
+    if not snap["files"]:
+        return snap["version"]
+    from urllib.parse import unquote
+
+    base = os.path.abspath(table)
+    reader = spark.read.option("basePath", base)
+    if mapping and not part_cols:
+        reader = reader.schema(_physical_struct(snap["metadata"]))
+    paths = [
+        os.path.join(base, unquote(p)) for p, _, _, _ in snap["files"]
+    ]
+    df = reader.parquet(*paths).withColumns({
+        "_dd_path": decoded_file_path(F),
+        "_dd_pos": F.col("_metadata.row_index"),
+    })
+    if mapping:
+        df = df.select(
+            *[F.col(ph).alias(lg) for ph, lg in mapping.items()],
+            "_dd_path", "_dd_pos",
+        )
+    # existing DVs anti-join so already-deleted rows never re-match
+    # the predicate (they are invisible, per DELETE semantics)
+    dv_files = [
+        (os.path.join(base, unquote(p)), json.dumps(dv))
+        for p, _, _, dv in snap["files"] if dv
+    ]
+    if dv_files:
+        dv_df = spark.createDataFrame(dv_files, "path string, dv string")
+
+        def expand(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for path, dv_json in zip(pdf["path"], pdf["dv"]):
+                    pos = _load_dv_positions(base, json.loads(dv_json))
+                    yield pd.DataFrame({
+                        "_dd_path": path,
+                        "_dd_pos": pos.astype("int64"),
+                    })
+
+        prior = dv_df.mapInPandas(
+            expand, "_dd_path string, _dd_pos long"
+        )
+        df = df.join(
+            F.broadcast(prior), ["_dd_path", "_dd_pos"], "left_anti"
+        )
+    matched = df.filter(F.expr(condition))
+    per_file = {
+        r["_dd_path"]: [int(x) for x in r["pos"]]
+        for r in matched.groupBy("_dd_path")
+        .agg(F.collect_list("_dd_pos").alias("pos")).collect()
+    }
+    if not per_file:
+        return snap["version"]  # nothing matched
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(snap["metadata"]):
+        logical_cols = [
+            f["name"] for f in
+            json.loads(snap["metadata"]["schemaString"])["fields"]
+        ]
+        cdc_actions = _stage_and_promote_cdc(
+            matched.select(*logical_cols)
+            .withColumn("_change_type", F.lit("delete")),
+            table,
+        )
+    by_abs = {
+        os.path.join(base, unquote(p)): (p, pv, size, dv)
+        for p, pv, size, dv in snap["files"]
+    }
+    removes: list[str] = []
+    adds: list[dict] = []
+    for abs_path, new_pos in per_file.items():
+        rel, pv, size, old_dv = by_abs[abs_path]
+        positions = set(new_pos)
+        if old_dv:
+            positions |= {
+                int(x) for x in _load_dv_positions(base, old_dv)
+            }
+        desc = write_deletion_vector(table, sorted(positions))
+        removes.append(rel)
+        adds.append({
+            "path": rel, "partitionValues": pv, "size": size,
+            "deletionVector": desc,
+        })
+    version = snap["version"] + 1
+    lines = []
+    # DV tables need the v3 reader protocol; upgrade if absent
+    proto_feats = set(
+        (snap.get("protocol") or {}).get("readerFeatures") or []
+    )
+    if "deletionVectors" not in proto_feats:
+        feats = sorted(proto_feats | {"deletionVectors"})
+        lines.append(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": feats, "writerFeatures": feats,
+        }}))
+    # removes FIRST: log replay is line-ordered and the touched
+    # files RE-ADD themselves (same path, new DV descriptor) — the
+    # add must win the per-path reconciliation
+    for p in removes:
+        lines.append(json.dumps({
+            "remove": {"path": p, "deletionTimestamp": 0,
+                       "dataChange": True}
+        }))
+    for a in adds:
+        lines.append(json.dumps({"add": {
+            "path": a["path"],
+            "partitionValues": a.get("partitionValues", {}),
+            "size": int(a.get("size", 0)),
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": a["deletionVector"],
+        }}))
+    for c in cdc_actions:
+        lines.append(json.dumps({"cdc": {
+            "path": c["path"],
+            "partitionValues": c.get("partitionValues", {}),
+            "size": int(c.get("size", 0)),
+            "dataChange": False,
+        }}))
+    import time as _time
+
+    lines.append(json.dumps({"commitInfo": {
+        "timestamp": int(_time.time() * 1000),
+        "operation": "DELETE",
+        "operationMetrics": {
+            "numDeletionVectorsAdded": str(len(adds)),
+        },
     }}))
     with open(_commit_path(table, version), "w") as fh:
         fh.write("\n".join(lines) + "\n")

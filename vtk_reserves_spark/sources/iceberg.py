@@ -1502,6 +1502,101 @@ def merge_iceberg(
     return snapshot_id
 
 
+def delete_from_iceberg(
+    spark: SparkSession, table: str, condition: str,
+    use_dv: bool = False,
+) -> int:
+    """DELETE FROM as a MERGE-ON-READ delete — iceberg-spark's
+    ``write.delete.mode=merge-on-read``: matched rows land in
+    row-level delete metadata and NOT A SINGLE DATA FILE REWRITES.
+    ``use_dv=False`` writes a v2 position-delete parquet;
+    ``use_dv=True`` writes v3 DELETION VECTORS (puffin blobs, one
+    per touched file, REPLACING any prior DV for that file with the
+    union — the spec's one-DV-per-file rule) and promotes the table
+    to format-version 3.  Returns the new snapshot id.
+
+    Scale shape: ONE distributed delete-applied scan evaluates the
+    predicate (already-deleted rows are invisible and never
+    re-match) and reduces to (file, position) pairs; the driver
+    holds only the matched positions — churn-sized, same ceiling as
+    ``delta.delete_delta``.  A predicate matching most of the table
+    should be a rewrite instead.  :func:`compact_iceberg_deletes`
+    folds the accumulated deletes back into data files.
+
+    Schema-evolved tables gate (the predicate would need per-epoch
+    name resolution on the discovery scan)."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import decoded_file_path
+
+    snap = iceberg_snapshot(table)
+    if _is_evolved(snap):
+        raise ValueError(
+            "iceberg: DELETE FROM on schema-evolved tables not "
+            "supported (compact/optimize first)"
+        )
+    if not snap["files"]:
+        return int(snap["snapshot_id"] or 0)
+    base = os.path.abspath(table)
+    data = spark.read.option("basePath", base).parquet(
+        *snap["files"]
+    ).withColumns({
+        "_ice_path": decoded_file_path(F),
+        "_ice_pos": F.col("_metadata.row_index"),
+    })
+    seq_df = spark.createDataFrame(
+        [(p, int(s)) for p, s in snap["data_seqs"].items()],
+        "_ice_path string, _ice_seq long",
+    )
+    data = data.join(F.broadcast(seq_df), "_ice_path", "left")
+    data = _apply_row_deletes(spark, base, data, snap)
+    per_file = {
+        r["_ice_path"]: sorted(int(x) for x in r["pos"])
+        for r in data.filter(F.expr(condition))
+        .groupBy("_ice_path")
+        .agg(F.collect_list("_ice_pos").alias("pos"))
+        .collect()
+    }
+    if not per_file:
+        return int(snap["snapshot_id"] or 0)
+    snapshot_id = _next_snapshot_id(table)
+    if use_dv:
+        from vtk_reserves_spark.sources.puffin import (
+            parse_dv_frame, read_puffin_blob,
+        )
+
+        prior = {
+            os.path.relpath(ref, table): (p, off, sz)
+            for p, ref, _s, off, sz in snap.get("dv_deletes") or []
+        }
+        dv_list = []
+        for abs_path, positions in sorted(per_file.items()):
+            rel = os.path.relpath(abs_path, table)
+            merged = set(positions)
+            if rel in prior:  # replacement = union with the old DV
+                p, off, sz = prior[rel]
+                merged |= {
+                    int(x)
+                    for x in parse_dv_frame(read_puffin_blob(p, off, sz))
+                }
+            dv_list.append((rel, sorted(merged)))
+        append_iceberg_snapshot(
+            table, snapshot_id, [], dv_deletes=dv_list,
+            summary_extra={"operation-detail": "delete"},
+        )
+    else:
+        pairs = [
+            (os.path.relpath(abs_path, table), pos)
+            for abs_path, positions in sorted(per_file.items())
+            for pos in positions
+        ]
+        append_iceberg_snapshot(
+            table, snapshot_id, [], position_deletes=pairs,
+            summary_extra={"operation-detail": "delete"},
+        )
+    return snapshot_id
+
+
 def compact_iceberg_deletes(spark: SparkSession, table: str) -> int:
     """Row-level delete compaction — iceberg-spark's
     ``rewrite_position_delete_files`` / delete-to-data folding: every
@@ -2054,10 +2149,16 @@ def append_iceberg_snapshot(
         prev["dv_deletes"] = []
     if prev:
         dropped = set(deleted_files or [])
+        # v3 replacement semantics: a data file carries at most ONE
+        # deletion vector — a new DV for a file supersedes the old
+        # (writers union the positions; delete_from_iceberg does)
+        new_dv_refs = {ref for ref, _ in (dv_deletes or [])}
         for p, ref, s, off, sz in prev.get("dv_deletes", []):
             ref_rel = os.path.relpath(ref, table)
             if ref_rel in dropped or ref in dropped:
                 continue  # the referenced file left; its DV retires
+            if ref_rel in new_dv_refs:
+                continue  # replaced by this snapshot's DV
             del_entries.append({
                 "status": 0, "snapshot_id": snapshot_id,
                 "sequence_number": int(s),
