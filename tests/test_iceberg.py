@@ -1781,3 +1781,33 @@ def test_delete_from_iceberg_mor(spark, tmp_path):
     assert sorted(
         r["id"] for r in read_iceberg(spark, t2).collect()
     ) == [0, 2, 3, 5]
+
+
+def test_update_iceberg(spark, tmp_path):
+    """UPDATE ... SET on Iceberg: touched-files-only rewrite, RHS
+    sees originals, live row-level deletes fold in, and transform
+    partition values recompute on write-back."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        delete_from_iceberg, iceberg_snapshot, read_iceberg,
+        update_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "updi")
+    write_iceberg(
+        spark.range(12).select(
+            "id", (F.col("id") * 1.0).alias("v"),
+            (F.col("id") % 3).cast("string").alias("b"),
+        ),
+        t, partition_by=["bucket(2, id)"],
+    )
+    delete_from_iceberg(spark, t, "id = 6", use_dv=True)
+    update_iceberg(spark, t, "id % 3 = 0", {"v": "v + 100"})
+    rows = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert rows[0] == 100.0 and rows[3] == 103.0 and rows[9] == 109.0
+    assert rows[1] == 1.0
+    assert 6 not in rows  # deleted row neither matched nor returned
+    # manifest partition values stayed prunable after the rewrite
+    snap = iceberg_snapshot(t)
+    assert all(snap["partitions"].get(p) for p in snap["files"])

@@ -45,7 +45,7 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "alter_delta_table", "delete_delta",
+    "alter_delta_table", "delete_delta", "update_delta",
     "decoded_file_path", "delta_snapshot", "drain_delta_cdf",
     "merge_delta",
     "delta_history", "optimize_delta", "read_delta",
@@ -1093,6 +1093,83 @@ def alter_delta_table(
     }}))
     with open(_commit_path(table, version), "w") as fh:
         fh.write("\n".join(lines) + "\n")
+    return version
+
+
+def update_delta(
+    spark: SparkSession, table: str, condition: str,
+    assignments: dict[str, str],
+) -> int:
+    """UPDATE ... SET as copy-on-write — delta-spark's UPDATE: one
+    distributed pass finds the files holding a matched row (file
+    list only on the driver), ONLY those files rewrite with the
+    assignment expressions applied to matched rows (every RHS sees
+    the ORIGINAL row values, per SQL UPDATE semantics) and
+    survivors carried verbatim; one commit swaps the touched files.
+    Returns the new version.
+
+    Deletion vectors fold in (deleted rows neither match nor
+    resurrect; the rewritten files drop their DVs since the
+    rewrite is delete-applied); column-mapped tables rewrite under
+    physical names.  With Change Data Feed enabled the commit
+    records update_preimage/update_postimage rows."""
+    from pyspark.sql import functions as F
+
+    snap = delta_snapshot(table)
+    table_cols = [
+        f["name"]
+        for f in json.loads(snap["metadata"]["schemaString"])["fields"]
+    ]
+    bad = [c for c in assignments if c not in table_cols]
+    if bad:
+        raise ValueError(f"delta: SET columns {bad} not in table")
+    part_cols = list(snap["metadata"].get("partitionColumns") or [])
+    data = read_delta(spark, table, with_file_path=True)
+    cond = F.expr(condition)
+    touched_abs = [
+        r["_delta_file"]
+        for r in data.filter(cond).select("_delta_file")
+        .distinct().collect()
+    ]
+    if not touched_abs:
+        return snap["version"]
+    from urllib.parse import unquote
+
+    base = os.path.abspath(table)
+    rel_by_abs = {
+        os.path.join(base, unquote(p)): p
+        for p, _, _, _ in snap["files"]
+    }
+    removes = [rel_by_abs[a] for a in touched_abs]
+    rows = data.filter(F.col("_delta_file").isin(touched_abs))
+    sel = [
+        F.when(cond, F.expr(assignments[c]))
+        .otherwise(F.col(c)).alias(c)
+        if c in assignments else F.col(c)
+        for c in table_cols
+    ]
+    new_df = rows.select(*sel)
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(snap["metadata"]):
+        matched = rows.filter(cond)
+        pre = matched.select(*table_cols).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = matched.select(*sel).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        cdc_actions = _stage_and_promote_cdc(
+            pre.unionByName(post), table
+        )
+    adds = _stage_and_promote(
+        _to_physical(new_df, snap["metadata"]), table,
+        part_cols or None,
+    )
+    version = snap["version"] + 1
+    write_delta_commit(
+        table, version, adds=adds, removes=removes,
+        operation="UPDATE", cdc=cdc_actions or None,
+    )
     return version
 
 

@@ -1280,6 +1280,148 @@ def remove_iceberg_orphans(table: str, dry_run: bool = False) -> list[str]:
     return sorted(doomed)
 
 
+def _stage_rewrite(
+    spark: SparkSession, table: str, snap: dict, new_df: DataFrame,
+    part_cols: list[str],
+) -> list[dict]:
+    """Shared write-back tail of the copy-on-write verbs
+    (:func:`merge_iceberg`, :func:`update_iceberg`): recompute
+    hidden-partitioning transform values (deterministic, so the
+    rewrite reproduces each row's transform directory exactly),
+    stage one distributed parquet write inside the table, promote by
+    rename, and return the manifest ``data_files`` entries."""
+    import shutil
+    import uuid as _uuid
+    from urllib.parse import quote
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import _hive_partition_values
+
+    spec = snap.get("partition_spec") or []
+    name_by_id = {
+        int(f["id"]): f["name"]
+        for f in (snap["schema"] or {}).get("fields", [])
+    }
+    dtypes = dict(new_df.dtypes)
+    for e in spec:
+        tr_spec = e.get("transform") or "identity"
+        if tr_spec == "identity":
+            continue
+        tr, param = _parse_spec_transform(tr_spec)
+        src = name_by_id.get(int(e.get("source-id", 0)))
+        if src is None or src not in dtypes:
+            raise ValueError(
+                f"iceberg: transform source column for partition "
+                f"field {e['name']!r} not in table schema"
+            )
+        new_df = new_df.withColumn(
+            e["name"], _transform_column(F, tr, param, src, dtypes[src])
+        )
+    stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
+    writer = new_df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
+    data_files = []
+    try:
+        os.makedirs(os.path.join(table, "data"), exist_ok=True)
+        for root, _dirs, names in os.walk(stage):
+            rel_dir = os.path.relpath(root, stage)
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                rel = "data/" + (
+                    name if rel_dir == "."
+                    else f"{rel_dir.replace(os.sep, '/')}/{name}"
+                )
+                dst = os.path.join(table, *rel.split("/"))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(root, name), dst)
+                entry = {
+                    "file_path": quote(rel, safe="/="),
+                    "record_count":
+                        pq.ParquetFile(dst).metadata.num_rows,
+                    "size": os.path.getsize(dst),
+                }
+                if part_cols:
+                    entry["partition"] = {
+                        k: ("" if v is None else v)
+                        for k, v in _hive_partition_values(
+                            rel_dir
+                        ).items()
+                    }
+                data_files.append(entry)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return data_files
+
+
+def update_iceberg(
+    spark: SparkSession, table: str, condition: str,
+    assignments: dict[str, str],
+) -> int:
+    """UPDATE ... SET as copy-on-write — iceberg-spark's UPDATE:
+    ONE delete-applied scan finds the files holding a matched row
+    (the driver receives a file list, never rows); only those files
+    rewrite, with each matched row's assignment expressions applied
+    (all RHS expressions see the ORIGINAL row values, per SQL
+    UPDATE semantics) and survivors carried verbatim; one snapshot
+    commit swaps the touched files.  Returns the new snapshot id.
+
+    Works with live v2/v3 row-level deletes (deleted rows neither
+    match nor resurrect — same delete-applied plan as MERGE) and on
+    schema-evolved tables (per-epoch field-id scan); transform
+    partition values recompute on write-back."""
+    from pyspark.sql import functions as F
+
+    snap = iceberg_snapshot(table)
+    table_cols = [
+        f["name"] for f in (snap["schema"] or {}).get("fields", [])
+    ]
+    bad = [c for c in assignments if c not in table_cols]
+    if bad:
+        raise ValueError(f"iceberg: SET columns {bad} not in table")
+    if not snap["files"]:
+        return int(snap["snapshot_id"] or 0)
+    if _is_evolved(snap):
+        data = _epoch_scan(
+            spark, table, snap, _load_table_metadata(table),
+            with_path=True, apply_deletes=True,
+        )
+    else:
+        data = _scan_snapshot(spark, table, snap, with_path=True)
+    cond = F.expr(condition)
+    touched = [
+        r["_ice_file"]
+        for r in data.filter(cond).select("_ice_file")
+        .distinct().collect()
+    ]
+    if not touched:
+        return int(snap["snapshot_id"] or 0)
+    rows = data.filter(F.col("_ice_file").isin(touched))
+    sel = [
+        F.when(cond, F.expr(assignments[c]))
+        .otherwise(F.col(c)).alias(c)
+        if c in assignments else F.col(c)
+        for c in table_cols
+    ]
+    part_cols = [
+        e["name"] for e in snap.get("partition_spec") or []
+    ]
+    data_files = _stage_rewrite(
+        spark, table, snap, rows.select(*sel), part_cols
+    )
+    snapshot_id = _next_snapshot_id(table)
+    append_iceberg_snapshot(
+        table, snapshot_id, data_files,
+        deleted_files=[os.path.relpath(p, table) for p in touched],
+        summary_extra={"operation-detail": "update"},
+    )
+    return snapshot_id
+
+
 def merge_iceberg(
     spark: SparkSession,
     source: DataFrame,
@@ -1408,82 +1550,11 @@ def merge_iceberg(
             )
     if not pieces and not touched:
         return int(snap["snapshot_id"] or 0)  # no-op merge
-    import shutil
-    import uuid as _uuid
-    from urllib.parse import quote
-
-    import pyarrow.parquet as pq
-
-    from vtk_reserves_spark.sources.delta import _hive_partition_values
-
     new_df = pieces[0]
     for p in pieces[1:]:
         new_df = new_df.unionByName(p)
-    # recompute hidden-partitioning transform values for write-back
-    # (the rewrite drops the dir-recovered columns with the
-    # table_cols projection above; transforms are deterministic, so
-    # recomputation reproduces them exactly)
-    name_by_id = {
-        int(f["id"]): f["name"]
-        for f in (snap["schema"] or {}).get("fields", [])
-    }
-    dtypes = dict(new_df.dtypes)
-    for e in spec:
-        tr_spec = e.get("transform") or "identity"
-        if tr_spec == "identity":
-            continue
-        tr, param = _parse_spec_transform(tr_spec)
-        src = name_by_id.get(int(e.get("source-id", 0)))
-        if src is None or src not in dtypes:
-            raise ValueError(
-                f"iceberg: transform source column for partition "
-                f"field {e['name']!r} not in table schema"
-            )
-        new_df = new_df.withColumn(
-            e["name"], _transform_column(F, tr, param, src, dtypes[src])
-        )
-    stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
-    writer = new_df.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(stage)
-    data_files = []
-    try:
-        os.makedirs(os.path.join(table, "data"), exist_ok=True)
-        for root, _dirs, names in os.walk(stage):
-            rel_dir = os.path.relpath(root, stage)
-            for name in sorted(names):
-                if not name.endswith(".parquet"):
-                    continue
-                rel = "data/" + (
-                    name if rel_dir == "."
-                    else f"{rel_dir.replace(os.sep, '/')}/{name}"
-                )
-                dst = os.path.join(table, *rel.split("/"))
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.rename(os.path.join(root, name), dst)
-                entry = {
-                    "file_path": quote(rel, safe="/="),
-                    "record_count":
-                        pq.ParquetFile(dst).metadata.num_rows,
-                    "size": os.path.getsize(dst),
-                }
-                if part_cols:
-                    entry["partition"] = {
-                        k: ("" if v is None else v)
-                        for k, v in _hive_partition_values(
-                            rel_dir
-                        ).items()
-                    }
-                data_files.append(entry)
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-    meta_all = _load_table_metadata(table)
-    snapshot_id = 1 + max(
-        [int(s["snapshot-id"])
-         for s in meta_all.get("snapshots") or []],
-        default=0,
-    )
+    data_files = _stage_rewrite(spark, table, snap, new_df, part_cols)
+    snapshot_id = _next_snapshot_id(table)
     summary_extra = {"operation-detail": "merge"}
     props_update = None
     if txn is not None:
