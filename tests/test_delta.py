@@ -1316,6 +1316,67 @@ def test_delta_evolution_gates(spark, tmp_path):
         )
 
 
+def test_delta_cdf_on_mapped_table(spark, tmp_path):
+    """CDF composes with column mapping: merge/update/delete on an
+    evolved (renamed + added-column) table stage ``_change_data``
+    under PHYSICAL names — exactly like the data files and real
+    delta-spark — and ``read_delta_cdf`` serves every change row
+    under the LOGICAL head schema.  Derived changes (a plain
+    append's add files) rename the same way."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        alter_delta_table, delete_delta, merge_delta, read_delta,
+        read_delta_cdf, update_delta, write_delta,
+    )
+
+    t = str(tmp_path / "cdfmap")
+    write_delta(
+        spark.range(6).select("id", (F.col("id") * 1.0).alias("v")),
+        t, configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    alter_delta_table(t, rename={"v": "val"}, add=[("w", "long")])
+    # v2: MERGE (update id=2, insert id=10) on the mapped table
+    src = spark.createDataFrame(
+        [(2, 22.0, 5), (10, 10.0, 1)], "id long, val double, w long"
+    )
+    assert merge_delta(spark, src, t, on=["id"]) == 2
+    # cdc files carry PHYSICAL names (v, col-<n>), never logical
+    cdc_files = _glob.glob(os.path.join(t, "_change_data", "*.parquet"))
+    assert cdc_files
+    raw_cols = set(spark.read.parquet(*cdc_files).columns)
+    assert "v" in raw_cols and "val" not in raw_cols
+    assert "_change_type" in raw_cols
+    # v3: UPDATE, v4: DELETE, v5: plain append (derived inserts)
+    assert update_delta(spark, t, "id = 0", {"w": "99"}) == 3
+    assert delete_delta(spark, t, "id = 1") == 4
+    write_delta(
+        spark.createDataFrame([(20, 2.5, 3)],
+                              "id long, val double, w long"), t,
+    )
+    cdf = read_delta_cdf(spark, t, starting_version=2)
+    assert set(cdf.columns) == {
+        "id", "val", "w", "_change_type", "_commit_version",
+        "_commit_timestamp",
+    }
+    by = {
+        (r["_commit_version"], r["_change_type"], r["id"]):
+        (r["val"], r["w"]) for r in cdf.collect()
+    }
+    assert by[(2, "update_postimage", 2)] == (22.0, 5)
+    assert by[(2, "insert", 10)] == (10.0, 1)
+    assert by[(3, "update_preimage", 0)] == (0.0, None)
+    assert by[(3, "update_postimage", 0)] == (0.0, 99)
+    assert by[(4, "delete", 1)] == (1.0, None)
+    assert by[(5, "insert", 20)] == (2.5, 3)
+    # and the table itself reads consistently after it all
+    rows = {r["id"]: (r["val"], r["w"])
+            for r in read_delta(spark, t).collect()}
+    assert 1 not in rows and rows[2] == (22.0, 5) and rows[0][1] == 99
+
+
 def test_delete_delta_deletion_vectors(spark, tmp_path):
     """DELETE FROM via DVs: no data file rewrites; matched rows
     vanish; a second delete UNIONS into the existing DVs;

@@ -553,6 +553,20 @@ def read_delta_cdf(
         if isinstance(f["type"], str)
     }
     base = os.path.abspath(table)
+    mapping = _column_mapping(meta)
+
+    def _to_logical(df):
+        # column-mapped tables: data files AND _change_data files
+        # carry PHYSICAL names (ours too — _cdc_to_physical) —
+        # rename to logical before the head-schema projection.  The
+        # mapping is constant across the range: a schema change
+        # inside it raises above, so the head mapping is exact.
+        if not mapping:
+            return df
+        return df.select(*[
+            F.col(c).alias(mapping.get(c, c)) for c in df.columns
+        ])
+
     pieces: list[DataFrame] = []
     for v in versions:
         cdc_actions: list[tuple[str, dict]] = []
@@ -612,7 +626,9 @@ def read_delta_cdf(
             # root-level files when hive dirs coexist) and fill the
             # missing columns from the actions' authoritative
             # partitionValues via ONE broadcast path->values join.
-            cdf = spark.read.parquet(*[p for p, _ in cdc_actions])
+            cdf = _to_logical(
+                spark.read.parquet(*[p for p, _ in cdc_actions])
+            )
             missing = [c for c in cols if c not in cdf.columns]
             if not missing:
                 sub.append(cdf.select(*cols, "_change_type"))
@@ -644,6 +660,7 @@ def read_delta_cdf(
             # predate columns the head schema carries — null-fill
             # them, the same widening delta-spark applies
             def _filled(df):
+                df = _to_logical(df)
                 return df.select(*[
                     F.col(c) if c in df.columns
                     else F.lit(None).cast(
@@ -989,6 +1006,26 @@ def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
     ])
 
 
+def _cdc_to_physical(df: DataFrame, meta: dict) -> DataFrame:
+    """Project a LOGICAL-named CDF DataFrame (table columns +
+    ``_change_type``) to physical column names for the
+    ``_change_data/`` write — delta-spark stages cdc files under
+    physical names exactly like data files, and keeping ours
+    identical means ``read_delta_cdf``'s physical->logical rename
+    is exact for our files AND wild ones.  Identity when the table
+    has no column mapping.  Unlike :func:`_to_physical` this keeps
+    non-schema columns (``_change_type``) in place."""
+    mapping = _column_mapping(meta)
+    if not mapping:
+        return df
+    from pyspark.sql import functions as F
+
+    logical_to_phys = {lg: ph for ph, lg in mapping.items()}
+    return df.select(*[
+        F.col(c).alias(logical_to_phys.get(c, c)) for c in df.columns
+    ])
+
+
 def alter_delta_table(
     table: str,
     add: list[tuple[str, str]] | None = None,
@@ -1159,7 +1196,10 @@ def update_delta(
             "_change_type", F.lit("update_postimage")
         )
         cdc_actions = _stage_and_promote_cdc(
-            pre.unionByName(post), table
+            _cdc_to_physical(
+                pre.unionByName(post), snap["metadata"]
+            ),
+            table,
         )
     adds = _stage_and_promote(
         _to_physical(new_df, snap["metadata"]), table,
@@ -1264,8 +1304,11 @@ def delete_delta(
             json.loads(snap["metadata"]["schemaString"])["fields"]
         ]
         cdc_actions = _stage_and_promote_cdc(
-            matched.select(*logical_cols)
-            .withColumn("_change_type", F.lit("delete")),
+            _cdc_to_physical(
+                matched.select(*logical_cols)
+                .withColumn("_change_type", F.lit("delete")),
+                snap["metadata"],
+            ),
             table,
         )
     by_abs = {
@@ -1371,8 +1414,8 @@ def merge_delta(
     Duplicate keys in ``source`` are written as-is (delta-spark
     raises instead; de-duplicate upstream if that matters).
     Column-mapped (schema-evolved) tables merge fine — the rewrite
-    lands under physical names; only the mapped+CDF combination
-    gates.
+    (and, under CDF, the ``_change_data`` files) lands under
+    physical names, exactly like delta-spark.
 
     ``broadcast_source`` (default True) hints the source KEY SET
     into a broadcast for every merge join — right for the
@@ -1402,14 +1445,6 @@ def merge_delta(
         seen = snap.get("txns", {}).get(txn[0])
         if seen is not None and int(seen) >= int(txn[1]):
             return int(snap["version"])
-    if _column_mapping(snap["metadata"]) and _cdf_enabled(
-        snap["metadata"]
-    ):
-        raise ValueError(
-            "delta: merge into column-mapped tables with Change "
-            "Data Feed enabled not supported (_change_data files "
-            "would need physical-name mapping end-to-end)"
-        )
     part_cols = list(snap["metadata"].get("partitionColumns") or [])
     table_cols = [
         f["name"]
@@ -1515,7 +1550,11 @@ def merge_delta(
             )
         if cdf_parts:
             cdc_actions = _stage_and_promote_cdc(
-                reduce(DataFrame.unionByName, cdf_parts), table
+                _cdc_to_physical(
+                    reduce(DataFrame.unionByName, cdf_parts),
+                    snap["metadata"],
+                ),
+                table,
             )
     version = snap["version"] + 1
     adds: list[dict] = []
