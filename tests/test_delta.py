@@ -1300,8 +1300,10 @@ def test_delta_evolution_gates(spark, tmp_path):
         "id", (F.col("id") % 2).cast("string").alias("p"),
     )
     write_delta(df, t, partition_by=["p"])
-    with pytest.raises(ValueError, match="partitioned"):
-        alter_delta_table(t, rename={"id": "id2"})
+    # partitioned tables evolve (see the lifecycle test); dropping a
+    # partition column is the one remaining layout gate
+    with pytest.raises(ValueError, match="partition column"):
+        alter_delta_table(t, drop=["p"])
     t2 = str(tmp_path / "gate2")
     write_delta(spark.range(4), t2)
     with pytest.raises(ValueError, match="no column"):
@@ -1314,6 +1316,96 @@ def test_delta_evolution_gates(spark, tmp_path):
             spark.range(2).withColumn("z", F.lit(1)), t2,
             mode="overwrite",
         )
+
+
+def test_delta_partitioned_mapped_lifecycle(spark, tmp_path):
+    """Partitioned tables evolve: rename (incl. the PARTITION
+    column), append, merge, update, delete (DVs), optimize and CDF
+    all compose on a partitioned + column-mapped table.  The hive
+    directories stay keyed by the PHYSICAL partition name across the
+    rename — zero data-file or layout rewrites."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        alter_delta_table, delete_delta, delta_snapshot, merge_delta,
+        optimize_delta, read_delta, read_delta_cdf, update_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "pm")
+    df = spark.createDataFrame(
+        [(i, float(i), str(i % 2)) for i in range(8)],
+        "id long, v double, p string",
+    )
+    write_delta(df, t, partition_by=["p"], configuration={
+        "delta.enableChangeDataFeed": "true"
+    })
+    # v1: rename BOTH a data column and the partition column, add w
+    alter_delta_table(
+        t, rename={"v": "val", "p": "region"}, add=[("w", "long")],
+    )
+    snap = delta_snapshot(t)
+    assert snap["metadata"]["partitionColumns"] == ["region"]
+    got = read_delta(spark, t)
+    assert set(got.columns) == {"id", "val", "region", "w"}
+    rows = {r["id"]: (r["val"], r["region"], r["w"])
+            for r in got.collect()}
+    assert rows[3] == (3.0, "1", None)
+    # metadata partition pruning speaks the LOGICAL name
+    got1 = read_delta(spark, t, partition_filter={"region": "1"})
+    assert sorted(r["id"] for r in got1.collect()) == [1, 3, 5, 7]
+    # v2: append (logical partition name from the caller, physical
+    # hive dirs on disk)
+    write_delta(
+        spark.createDataFrame(
+            [(100, 1.5, "0", 7)],
+            "id long, val double, region string, w long",
+        ),
+        t, partition_by=["region"],
+    )
+    assert _glob.glob(os.path.join(t, "p=0", "*.parquet"))
+    assert not _glob.glob(os.path.join(t, "region=*"))
+    # v3: MERGE — update id=2 (region flips partition), insert id=10
+    src = spark.createDataFrame(
+        [(2, 22.0, "1", 5), (10, 10.0, "0", 1)],
+        "id long, val double, region string, w long",
+    )
+    merge_delta(spark, src, t, on=["id"])
+    rows = {r["id"]: (r["val"], r["region"], r["w"])
+            for r in read_delta(spark, t).collect()}
+    assert rows[2] == (22.0, "1", 5) and rows[10] == (10.0, "0", 1)
+    assert rows[100] == (1.5, "0", 7)
+    # v4: UPDATE with a predicate over the renamed partition column
+    update_delta(spark, t, "region = '1' AND id = 1", {"w": "42"})
+    # v5: DELETE via DVs on the partitioned + mapped table
+    delete_delta(spark, t, "id IN (5, 7)")
+    got = {r["id"]: r["w"] for r in read_delta(spark, t).collect()}
+    assert got[1] == 42 and 5 not in got and 7 not in got
+    # v6: OPTIMIZE compacts within the physical partition dirs
+    before = sorted(
+        (r["id"], r["val"], r["region"], r["w"])
+        for r in read_delta(spark, t).collect()
+    )
+    optimize_delta(spark, t)
+    after = sorted(
+        (r["id"], r["val"], r["region"], r["w"])
+        for r in read_delta(spark, t).collect()
+    )
+    assert after == before
+    assert not _glob.glob(os.path.join(t, "region=*"))
+    # CDF across merge/update/delete serves logical names, with the
+    # partition column present on every change row
+    cdf = read_delta_cdf(spark, t, starting_version=3,
+                         ending_version=5)
+    by = {
+        (r["_commit_version"], r["_change_type"], r["id"]):
+        r["region"] for r in cdf.collect()
+    }
+    assert by[(3, "insert", 10)] == "0"
+    assert by[(4, "update_postimage", 1)] == "1"
+    assert by[(5, "delete", 5)] == "1"
 
 
 def test_delta_cdf_on_mapped_table(spark, tmp_path):

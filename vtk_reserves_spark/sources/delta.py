@@ -396,8 +396,12 @@ def read_delta(
     own partition pruning still applies on whatever survives."""
     snap = delta_snapshot(table, version)
     if partition_filter:
+        # the filter speaks LOGICAL names; the log's recorded
+        # partitionValues keys are PHYSICAL on mapped tables
+        fmap = _column_mapping(snap["metadata"]) or {}
+        l2p = {lg: ph for ph, lg in fmap.items()}
         want = {
-            k: (None if v is None else str(v))
+            l2p.get(k, k): (None if v is None else str(v))
             for k, v in partition_filter.items()
         }
         snap["files"] = [
@@ -437,12 +441,13 @@ def read_delta(
         if dv
     ]
     mapping = _column_mapping(snap["metadata"])
-    if mapping and not (snap["metadata"].get("partitionColumns")
-                        or []):
+    if mapping:
         # explicit schema-on-read (physical names): files predating
         # an ADD null-fill the new column, dropped columns prune —
         # the evolution contract; plain inference would miss columns
-        # absent from the sampled footer
+        # absent from the sampled footer.  Partition columns are in
+        # the struct under their physical names, which is what the
+        # hive directories carry — Spark fills them from the dirs.
         reader = reader.schema(_physical_struct(snap["metadata"]))
 
     def rename(df):
@@ -633,9 +638,13 @@ def read_delta_cdf(
             if not missing:
                 sub.append(cdf.select(*cols, "_change_type"))
             else:
+                # mapped tables: the cdc actions' partitionValues
+                # are keyed by PHYSICAL names — look up through the
+                # logical->physical mapping
+                l2p = {lg: ph for ph, lg in (mapping or {}).items()}
                 pv_rows = [
                     (os.path.abspath(p),
-                     *[pv.get(c) for c in missing])
+                     *[pv.get(l2p.get(c, c)) for c in missing])
                     for p, pv in cdc_actions
                 ]
                 pv_df = spark.createDataFrame(
@@ -937,7 +946,11 @@ def write_delta(
                     f"({norm(want)} vs table {norm(prev)})"
                 )
             # column-mapped table: the files carry PHYSICAL names
+            # (partition DIRECTORIES too — partition_by stays
+            # logical for the caller, the staging runs physical)
             df = _to_physical(df, snap["metadata"])
+            if partition_by:
+                partition_by = _physical_part_cols(snap["metadata"])
             emit_schema = None
         else:
             if _column_mapping(snap["metadata"]):
@@ -1006,6 +1019,20 @@ def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
     ])
 
 
+def _physical_part_cols(meta: dict) -> list[str]:
+    """``partitionColumns`` (logical names, per PROTOCOL.md) ->
+    physical column names — the names the hive partition DIRECTORIES
+    and ``add.partitionValues`` keys use on a column-mapped table.
+    Identity without mapping (and for partition columns that predate
+    the mapping upgrade, whose physical name IS the original)."""
+    part = list(meta.get("partitionColumns") or [])
+    mapping = _column_mapping(meta)
+    if not mapping:
+        return part
+    logical_to_phys = {lg: ph for ph, lg in mapping.items()}
+    return [logical_to_phys.get(c, c) for c in part]
+
+
 def _cdc_to_physical(df: DataFrame, meta: dict) -> DataFrame:
     """Project a LOGICAL-named CDF DataFrame (table columns +
     ``_change_type``) to physical column names for the
@@ -1046,16 +1073,23 @@ def alter_delta_table(
     pruned by the explicit read schema).  Returns the committed
     version.
 
-    Gates: partitioned tables (partition directories/values are
-    keyed by name — renaming them is a layout rewrite), column type
-    changes (not in the subset), nested fields."""
+    Partitioned tables evolve too — renaming a PARTITION column
+    updates the logical name in ``partitionColumns`` while the hive
+    directories and ``add.partitionValues`` keys keep the physical
+    name (exactly Databricks' mapped-table layout); dropping a
+    partition column gates (that IS a layout rewrite).
+
+    Gates: dropping partition columns, column type changes (not in
+    the subset), nested fields."""
     snap = delta_snapshot(table)
     meta = snap["metadata"]
-    if snap["metadata"].get("partitionColumns"):
-        raise ValueError(
-            "delta: schema evolution on partitioned tables not "
-            "supported (partition layout is keyed by column name)"
-        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    for name in (drop or []):
+        if name in part_cols:
+            raise ValueError(
+                f"delta: cannot drop partition column {name!r} "
+                "(repartition the table instead)"
+            )
     schema = json.loads(meta["schemaString"])
     fields = [dict(f) for f in schema.get("fields", [])]
     conf = dict(meta.get("configuration") or {})
@@ -1088,6 +1122,10 @@ def alter_delta_table(
         if new in by_name and by_name[new] is not by_name[old]:
             raise ValueError(f"delta: column {new!r} exists")
         by_name[old]["name"] = new
+        if old in part_cols:
+            # partitionColumns carries LOGICAL names; the physical
+            # name (= the hive dir key) is untouched by the rename
+            part_cols[part_cols.index(old)] = new
     for name in (drop or []):
         f = next((f for f in fields if f["name"] == name), None)
         if f is None:
@@ -1113,6 +1151,7 @@ def alter_delta_table(
         {"type": "struct", "fields": fields}
     )
     new_meta["configuration"] = conf
+    new_meta["partitionColumns"] = part_cols
     version = snap["version"] + 1
     lines = []
     proto = snap.get("protocol") or {}
@@ -1160,7 +1199,6 @@ def update_delta(
     bad = [c for c in assignments if c not in table_cols]
     if bad:
         raise ValueError(f"delta: SET columns {bad} not in table")
-    part_cols = list(snap["metadata"].get("partitionColumns") or [])
     data = read_delta(spark, table, with_file_path=True)
     cond = F.expr(condition)
     touched_abs = [
@@ -1203,7 +1241,7 @@ def update_delta(
         )
     adds = _stage_and_promote(
         _to_physical(new_df, snap["metadata"]), table,
-        part_cols or None,
+        _physical_part_cols(snap["metadata"]) or None,
     )
     version = snap["version"] + 1
     write_delta_commit(
@@ -1231,25 +1269,20 @@ def delete_delta(
     Feed enabled the matched rows also land as ``_change_data``
     delete rows — one extra distributed write of the CHANGED rows.
 
-    Column-mapped tables work (the predicate sees LOGICAL names);
-    partitioned + mapped is gated like the reader."""
+    Column-mapped tables work (the predicate sees LOGICAL names),
+    partitioned + mapped included — the scan reads the physical
+    struct with partition columns filled from the hive dirs."""
     from pyspark.sql import functions as F
 
     snap = delta_snapshot(table)
-    part_cols = list(snap["metadata"].get("partitionColumns") or [])
     mapping = _column_mapping(snap["metadata"])
-    if mapping and part_cols:
-        raise ValueError(
-            "delta: delete on partitioned column-mapped tables not "
-            "supported"
-        )
     if not snap["files"]:
         return snap["version"]
     from urllib.parse import unquote
 
     base = os.path.abspath(table)
     reader = spark.read.option("basePath", base)
-    if mapping and not part_cols:
+    if mapping:
         reader = reader.schema(_physical_struct(snap["metadata"]))
     paths = [
         os.path.join(base, unquote(p)) for p, _, _, _ in snap["files"]
@@ -1445,7 +1478,6 @@ def merge_delta(
         seen = snap.get("txns", {}).get(txn[0])
         if seen is not None and int(seen) >= int(txn[1]):
             return int(snap["version"])
-    part_cols = list(snap["metadata"].get("partitionColumns") or [])
     table_cols = [
         f["name"]
         for f in json.loads(snap["metadata"]["schemaString"])["fields"]
@@ -1564,7 +1596,7 @@ def merge_delta(
             new_df = new_df.unionByName(p)
         adds = _stage_and_promote(
             _to_physical(new_df, snap["metadata"]), table,
-            part_cols or None,
+            _physical_part_cols(snap["metadata"]) or None,
         )
     write_delta_commit(table, version, adds=adds, removes=removes,
                        operation="MERGE", cdc=cdc_actions or None,
@@ -1593,7 +1625,6 @@ def optimize_delta(
     plan is the same copy-on-write shape as :func:`merge_delta` —
     only qualifying files are read or rewritten."""
     snap = delta_snapshot(table)
-    part_cols = list(snap["metadata"].get("partitionColumns") or [])
     from urllib.parse import unquote
 
     base = os.path.abspath(table)
@@ -1629,9 +1660,12 @@ def optimize_delta(
         # coalesced task group
         rows = rows.coalesce(max(1, len(victims) // 8))
     # column-mapped tables rewrite under PHYSICAL names (the rewrite
-    # also materializes the current schema into the new files)
+    # also materializes the current schema into the new files;
+    # partition directories re-key physical too)
     rows = _to_physical(rows, snap["metadata"])
-    adds = _stage_and_promote(rows, table, part_cols or None)
+    adds = _stage_and_promote(
+        rows, table, _physical_part_cols(snap["metadata"]) or None
+    )
     version = snap["version"] + 1
     write_delta_commit(table, version, adds=adds, removes=victims,
                        operation="OPTIMIZE")
