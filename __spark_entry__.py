@@ -5324,16 +5324,21 @@ def q_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes per commit — the s3 rewrite's moved-but-unchanged
     survivors cancel via multiset exceptAll, leaving one delete (old
     value) + one insert (+1000) per updated key, and s4 emits
-    deletes only.  File-set diffs are metadata; only changed files
-    scan — CDC cost tracks churn even when the source takes
-    rewrites (what read_iceberg_incremental cannot do)."""
+    deletes only.  s5 is a MERGE-ON-READ DELETE FROM (%16==6, a
+    delete-file-only commit — zero data files touched): the
+    changelog reads the position-delete file's targets and emits
+    those rows as deletes by diffing the affected surviving files
+    under the two delete states.  File-set diffs are metadata; only
+    changed files scan — CDC cost tracks churn even when the source
+    takes rewrites (what read_iceberg_incremental cannot do)."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
     from vtk_reserves_spark.sources.iceberg import (
-        iceberg_changelog, merge_iceberg, write_iceberg,
+        delete_from_iceberg, iceberg_changelog, merge_iceberg,
+        write_iceberg,
     )
 
     td = os.path.join(
@@ -5360,6 +5365,7 @@ def q_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["doc_id"], when_matched="delete",
         when_not_matched="ignore",
     )
+    delete_from_iceberg(spark, td, "doc_id % 16 = 6")
     return iceberg_changelog(spark, td, s1).select(
         F.col("_change_type").alias("change_type"),
         F.col("_commit_snapshot_id").alias("commit_snapshot_id"),
@@ -11163,7 +11169,9 @@ def _llm_oracles() -> dict[str, str]:
         "iceberg_changelog": """
             -- net changes per commit: s2 appends; s3 = one
             -- delete(old)+insert(+1000) per %8==0 key (rewrite
-            -- survivors cancel); s4 = deletes of %8==2
+            -- survivors cancel); s4 = deletes of %8==2; s5 = the
+            -- merge-on-read DELETE FROM's rows (%16==6, a
+            -- delete-file-only commit)
             SELECT 'insert' AS change_type,
                    CAST(2 AS BIGINT) AS commit_snapshot_id,
                    doc_id, LENGTH(text) AS text_len
@@ -11177,6 +11185,9 @@ def _llm_oracles() -> dict[str, str]:
             UNION ALL
             SELECT 'delete', 4, doc_id, LENGTH(text)
             FROM documents WHERE doc_id % 8 = 2
+            UNION ALL
+            SELECT 'delete', 5, doc_id, LENGTH(text)
+            FROM documents WHERE doc_id % 16 = 6
         """,
         "cdc_reverse": """
             -- changelog-driven replication: mid = post-update

@@ -1393,27 +1393,57 @@ def test_snapshot_id_allocation_past_branch_heads(spark, tmp_path):
         append_iceberg_snapshot(t, sid2, [])
 
 
-def test_changelog_gates_from_snapshot_deletes(spark, tmp_path):
-    """A FROM snapshot carrying live row-level delete files would
-    leak already-deleted rows into the first commit's delete
-    candidates — the changelog gates on it like it does for the
-    in-range snapshots."""
+def test_changelog_with_row_level_deletes(spark, tmp_path):
+    """Changelog composes with v2 row-level deletes: a delete-file-
+    only commit (merge-on-read DELETE) emits its matched rows as
+    deletes; a FROM snapshot carrying live deletes doesn't leak
+    already-deleted rows; rows born deleted in their own commit are
+    not inserts; and a delete compaction still nets to NOTHING."""
     from vtk_reserves_spark.sources.iceberg import (
-        append_iceberg_snapshot, iceberg_changelog,
-        write_iceberg_table,
+        append_iceberg_snapshot, compact_iceberg_deletes,
+        iceberg_changelog, write_iceberg_table,
     )
 
-    t = str(tmp_path / "clgate")
+    t = str(tmp_path / "cldel")
     write_iceberg_table(t, FIELDS)
     a = _part(t, "data/a.parquet", [1, 2, 3])
     append_iceberg_snapshot(t, 1, [a])
+    # s2: MOR position delete of a.parquet pos 0 (id 1) — no data
+    # file changes at all
     append_iceberg_snapshot(
         t, 2, [], position_deletes=[("data/a.parquet", 0)]
     )
+    # s3: plain append
     b = _part(t, "data/b.parquet", [4])
     append_iceberg_snapshot(t, 3, [b])
-    with pytest.raises(ValueError, match="delete files"):
-        iceberg_changelog(spark, t, from_snapshot_id=2)
+    # s4: equality delete of id=3 (field id 1)
+    append_iceberg_snapshot(
+        t, 4, [], equality_deletes=([{"id": 3}], [1])
+    )
+    cl = iceberg_changelog(spark, t, 1).toPandas()
+    by = lambda ct, sid: sorted(
+        cl[(cl["_change_type"] == ct)
+           & (cl["_commit_snapshot_id"] == sid)]["id"]
+    )
+    assert by("delete", 2) == [1] and by("insert", 2) == []
+    assert by("insert", 3) == [4] and by("delete", 3) == []
+    assert by("delete", 4) == [3] and by("insert", 4) == []
+    # FROM snapshot with live deletes: id=1 (already deleted at the
+    # FROM point) never appears
+    cl2 = iceberg_changelog(spark, t, 2).toPandas()
+    assert sorted(cl2["id"]) == [3, 4]
+    # delete compaction folds the delete files into rewritten data
+    # files — identical rows, so the changelog nets to NOTHING
+    sid = compact_iceberg_deletes(spark, t)
+    assert iceberg_changelog(spark, t, 4).count() == 0
+    # rows born deleted in their own commit are not inserts
+    c = _part(t, "data/c.parquet", [5, 6])
+    append_iceberg_snapshot(
+        t, sid + 1, [c], position_deletes=[("data/c.parquet", 0)]
+    )
+    cl3 = iceberg_changelog(spark, t, sid).toPandas()
+    assert sorted(cl3["id"]) == [6]
+    assert list(cl3["_change_type"]) == ["insert"]
 
 
 def test_externally_evolved_table_gates(spark, tmp_path):

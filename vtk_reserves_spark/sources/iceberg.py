@@ -2758,9 +2758,20 @@ def iceberg_changelog(
     Scale shape: per commit, the file-set diff is pure metadata and
     only the CHANGED files scan; net cancellation is one
     ``exceptAll`` hash shuffle over those rows — cost tracks the
-    churn, never the table.  Snapshots carrying v2 row-level delete
-    files in the range gate (their change semantics live in the
-    delete files, not the file set)."""
+    churn, never the table.
+
+    Snapshots carrying v2/v3 ROW-LEVEL DELETES compose: added and
+    removed data files scan DELETE-APPLIED under their own
+    snapshot's state (rows born deleted are not inserts; rows
+    already deleted are not re-deleted), and a commit that only
+    lands delete files (a merge-on-read DELETE) emits its rows as
+    deletes by diffing the AFFECTED surviving files under the two
+    delete states — affected meaning the targets of changed
+    position-delete files / deletion vectors (read from the
+    metadata-small delete files themselves) plus the
+    sequence-qualified files of changed equality deletes.  A delete
+    compaction (delete files fold into rewritten data files, rows
+    identical) therefore still nets to NOTHING."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -2779,45 +2790,78 @@ def iceberg_changelog(
     i0, i1 = snaps.index(int(from_snapshot_id)), snaps.index(to_id)
     if i1 < i0:
         raise ValueError("iceberg: to_snapshot precedes from_snapshot")
-    hidden_drop = None
     pieces: list[DataFrame] = []
     prev = iceberg_snapshot(table, snaps[i0])
-    if _row_deletes_live(prev):
-        # the FROM snapshot's deletes would make prev['files'] rows
-        # over-inclusive (already-deleted rows would leak into the
-        # first commit's delete candidates) — same gate as the range
-        raise ValueError(
-            "iceberg: changelog over snapshots carrying "
-            "row-level delete files not supported"
-        )
     base = os.path.abspath(table)
     schema = _spark_schema_from_iceberg(prev["schema"])
     cols = [f.name for f in schema.fields]
+
+    def _restricted(snap: dict, files: list[str]) -> dict:
+        s = dict(snap)
+        s["files"] = list(files)
+        return s
+
+    def _scan(snap: dict, files: list[str]) -> DataFrame:
+        return _scan_snapshot(
+            spark, table, _restricted(snap, files)
+        ).select(*cols)
+
+    def _delete_state(snap: dict):
+        return (
+            set(map(tuple, snap["position_deletes"])),
+            set((p, int(s), tuple(ids))
+                for p, s, ids in snap["equality_deletes"]),
+            set(map(tuple, snap.get("dv_deletes") or [])),
+        )
+
     prev_set = set(prev["files"])
+    prev_state = _delete_state(prev)
     for sid in snaps[i0 + 1 : i1 + 1]:
         cur = iceberg_snapshot(table, sid)
-        if _row_deletes_live(cur):
-            raise ValueError(
-                "iceberg: changelog over snapshots carrying "
-                "row-level delete files not supported"
-            )
-        if hidden_drop is None:
-            hidden_drop = [
-                e["name"] for e in cur.get("partition_spec") or []
-                if e.get("transform") not in (None, "identity")
-            ]
         cur_set = set(cur["files"])
+        cur_state = _delete_state(cur)
         added = [p for p in cur["files"] if p not in prev_set]
         removed = [p for p in prev["files"] if p not in cur_set]
-
-        def _scan(paths):
-            df = spark.read.option("basePath", base).parquet(*paths)
-            if hidden_drop:
-                df = df.drop(*hidden_drop)
-            return df.select(*cols)
-
-        ins = _scan(added) if added else None
-        dels = _scan(removed) if removed else None
+        ins = _scan(cur, added) if added else None
+        dels = _scan(prev, removed) if removed else None
+        if cur_state != prev_state:
+            # the delete state moved: diff the AFFECTED surviving
+            # files under the two states.  Affected = targets of
+            # changed position deletes / DVs (read from the delete
+            # files — churn-sized) + sequence-qualified files of
+            # changed equality deletes.
+            surviving = [p for p in cur["files"] if p in prev_set]
+            affected: set[str] = set()
+            pos_changed = prev_state[0] ^ cur_state[0]
+            eq_changed = prev_state[1] ^ cur_state[1]
+            dv_changed = prev_state[2] ^ cur_state[2]
+            for _p, ref, _s, _off, _sz in dv_changed:
+                affected.add(ref)
+            if pos_changed:
+                tgt = reduce(DataFrame.unionByName, [
+                    spark.read.parquet(p).select(
+                        _normalized_path_col(
+                            F, F.col("file_path"), base
+                        ).alias("_t"))
+                    for p, _ in pos_changed
+                ]).distinct()
+                affected |= {r["_t"] for r in tgt.collect()}
+            seqs = cur["data_seqs"]
+            for _p, s, _ids in eq_changed:
+                affected |= {
+                    f for f in surviving
+                    if int(seqs.get(f, 0)) < int(s)
+                }
+            changed = [f for f in surviving if f in affected]
+            if changed:
+                prev_rows = _scan(prev, changed)
+                cur_rows = _scan(cur, changed)
+                extra_dels = prev_rows.exceptAll(cur_rows)
+                extra_ins = cur_rows.exceptAll(prev_rows)
+                dels = (extra_dels if dels is None
+                        else dels.unionByName(extra_dels))
+                ins = (extra_ins if ins is None
+                       else ins.unionByName(extra_ins))
         if net and ins is not None and dels is not None:
             ins_net = ins.exceptAll(dels)
             dels_net = dels.exceptAll(ins)
@@ -2830,7 +2874,7 @@ def iceberg_changelog(
                 "_commit_snapshot_id":
                     F.lit(int(sid)).cast("long"),
             }))
-        prev, prev_set = cur, cur_set
+        prev, prev_set, prev_state = cur, cur_set, cur_state
     if not pieces:
         from pyspark.sql import types as T
 
