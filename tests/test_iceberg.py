@@ -853,6 +853,66 @@ def test_compact_iceberg_deletes(spark, tmp_path):
     ]
 
 
+def test_compact_deletes_transform_partitioned(spark, tmp_path):
+    """Delete compaction on a day(ts)+bucket(4,id) hidden-
+    partitioned table: the rewrite recovers transform directory
+    values from the hive dirs, rewritten files land back in their
+    transform dirs with manifest partition values recorded, the
+    delete files retire, and manifest-level pruning + MERGE still
+    work afterward."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.iceberg import (
+        compact_iceberg_deletes, delete_from_iceberg,
+        iceberg_bucket, iceberg_snapshot, merge_iceberg,
+        read_iceberg, write_iceberg,
+    )
+
+    t = str(tmp_path / "cdt")
+    df = spark.range(60).select(
+        F.col("id").cast("long").alias("id"),
+        (
+            F.expr("timestamp'1992-03-01 00:00:00'")
+            + F.make_interval(hours=F.col("id") * 7)
+        ).alias("ts"),
+        F.concat(F.lit("user"), (F.col("id") % 7).cast("string"))
+        .alias("name"),
+    )
+    write_iceberg(df, t, partition_by=["day(ts)", "bucket(4, id)"])
+    # MOR delete — position-delete files on the transform table
+    delete_from_iceberg(spark, t, "id % 5 = 2")
+    before = sorted(
+        r["id"] for r in read_iceberg(spark, t).collect()
+    )
+    assert before == [i for i in range(60) if i % 5 != 2]
+    v = compact_iceberg_deletes(spark, t)
+    snap = iceberg_snapshot(t)
+    assert snap["snapshot_id"] == v
+    assert not snap["position_deletes"]
+    after = sorted(r["id"] for r in read_iceberg(spark, t).collect())
+    assert after == before
+    # every rewritten file still records BOTH transform values
+    assert all(
+        set(vv) == {"ts_day", "id_bucket"}
+        for vv in snap["partitions"].values()
+    )
+    # manifest pruning intact on the compacted table
+    b41 = iceberg_bucket(41, 4)
+    pruned = read_iceberg(
+        spark, t,
+        partition_filter={"ts_day": "1992-03-12", "id_bucket": b41},
+    )
+    rows = pruned.filter(F.col("id") == 41).collect()
+    assert len(rows) == 1 and rows[0]["name"] == "user6"
+    # merge gate lifted post-compaction on the transform table
+    src = df.filter(F.col("id") == 1).withColumn(
+        "name", F.lit("upd1")
+    )
+    merge_iceberg(spark, src, t, on=["id"])
+    got = {r["id"]: r["name"] for r in read_iceberg(spark, t).collect()}
+    assert got[1] == "upd1" and 2 not in got
+
+
 def test_optimize_applies_row_level_deletes(spark, tmp_path):
     """optimize_iceberg must not resurrect rows deleted via v2 delete
     files: victims rewrite delete-applied, delete files keep carrying

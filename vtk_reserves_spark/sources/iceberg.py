@@ -1683,17 +1683,13 @@ def compact_iceberg_deletes(spark: SparkSession, table: str) -> int:
     The affected-file selection is metadata-only (sequence numbers);
     the rewrite is ONE distributed delete-applied scan of only those
     files (the same `_scan_snapshot` the reader uses) staged and
-    promoted like every other writer here.  The orphaned delete
-    parquets are reclaimed by expire + remove_iceberg_orphans.
-    Transform-partitioned tables gate (the rewrite would need
-    transform recomputation)."""
-    import shutil
-    import uuid as _uuid
-    from urllib.parse import quote
-
-    import pyarrow.parquet as pq
-    from pyspark.sql import functions as F  # noqa: F401
-
+    promoted like every other writer here (shared
+    :func:`_rewrite_files_batch`).  Transform-partitioned tables
+    compose — the transform directory values recover from the hive
+    dirs (rows never move partitions in a compaction) and
+    schema-evolved tables recompute them from the epoch projection.
+    The orphaned delete parquets are reclaimed by expire +
+    remove_iceberg_orphans."""
     snap = iceberg_snapshot(table)
     pos, eq = snap["position_deletes"], snap["equality_deletes"]
     dvs = snap.get("dv_deletes") or []
@@ -1706,11 +1702,6 @@ def compact_iceberg_deletes(spark: SparkSession, table: str) -> int:
         _load_table_metadata(table) if _is_evolved(snap) else None
     )
     spec = snap.get("partition_spec") or []
-    if any(e.get("transform") != "identity" for e in spec):
-        raise ValueError(
-            "iceberg: delete compaction on transform-partitioned "
-            "tables not supported"
-        )
     part_fields = [e["name"] for e in spec]
     max_seq = max(
         [int(s) for _, s in pos] + [int(s) for _, s, _ in eq]
@@ -1720,59 +1711,12 @@ def compact_iceberg_deletes(spark: SparkSession, table: str) -> int:
         p for p in snap["files"]
         if int(snap["data_seqs"].get(p, 0)) <= max_seq
     ]
-    if not victims:  # deletes exist but can apply to nothing
-        victims = []
-    sub = dict(snap)
-    sub["files"] = victims
-    if not victims:
-        rows = None
-    elif evolved_meta is not None:
-        rows = _epoch_scan(
-            spark, table, sub, evolved_meta, apply_deletes=True
-        )
-    else:
-        rows = _scan_snapshot(spark, table, sub)
-    stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
     data_files: list[dict] = []
-    if rows is not None:
-        writer = rows.write.mode("overwrite")
-        if part_fields:
-            writer = writer.partitionBy(*part_fields)
-        writer.parquet(stage)
-        from vtk_reserves_spark.sources.delta import (
-            _hive_partition_values,
+    if victims:
+        data_files = _rewrite_files_batch(
+            spark, table, snap, victims, part_fields,
+            has_deletes=True, evolved_meta=evolved_meta,
         )
-
-        try:
-            os.makedirs(os.path.join(table, "data"), exist_ok=True)
-            for root, _dirs, names in os.walk(stage):
-                rel_dir = os.path.relpath(root, stage)
-                for name in sorted(names):
-                    if not name.endswith(".parquet"):
-                        continue
-                    rel = "data/" + (
-                        name if rel_dir == "."
-                        else f"{rel_dir.replace(os.sep, '/')}/{name}"
-                    )
-                    dst = os.path.join(table, *rel.split("/"))
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    os.rename(os.path.join(root, name), dst)
-                    entry = {
-                        "file_path": quote(rel, safe="/="),
-                        "record_count":
-                            pq.ParquetFile(dst).metadata.num_rows,
-                        "size": os.path.getsize(dst),
-                    }
-                    if part_fields:
-                        entry["partition"] = {
-                            k: ("" if v is None else v)
-                            for k, v in _hive_partition_values(
-                                rel_dir
-                            ).items()
-                        }
-                    data_files.append(entry)
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
     snapshot_id = _next_snapshot_id(table)
     append_iceberg_snapshot(
         table, snapshot_id, data_files,
