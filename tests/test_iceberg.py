@@ -1660,6 +1660,50 @@ def test_evolved_table_with_deletes_reads_and_compacts(spark, tmp_path):
     assert {r["id"] for r in read_iceberg(spark, t2).collect()} == want2
 
 
+def test_delete_from_iceberg_on_evolved_table(spark, tmp_path):
+    """DELETE FROM on a schema-evolved table: the predicate speaks
+    CURRENT logical names and matches rows inside PRE-RENAME files
+    via the epoch scan; already-deleted rows never re-match; the
+    v3 DV mode and compaction compose on the same table."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vtk_reserves_spark.sources.iceberg import (
+        alter_iceberg_table, compact_iceberg_deletes,
+        delete_from_iceberg, iceberg_snapshot, read_iceberg,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "dfev")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, v double"
+        ).coalesce(1),
+        t,
+    )
+    alter_iceberg_table(t, rename={"v": "val"}, add=[("w", "long")])
+    write_iceberg(
+        spark.createDataFrame(
+            [(100, 0.5, 7), (101, 8.0, 9)],
+            "id long, val double, w long",
+        ),
+        t,
+    )
+    # predicate over the RENAMED column hits pre-rename files; the
+    # w IS NULL leg only matches the old epoch's rows
+    delete_from_iceberg(spark, t, "val < 3.0 AND w IS NULL")
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == {3, 4, 5, 6, 7, 8, 9, 100, 101}
+    # second delete (v3 DVs): already-deleted rows don't re-match
+    delete_from_iceberg(spark, t, "val >= 8.0", use_dv=True)
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == {3, 4, 5, 6, 7, 100}
+    # compaction folds both delete kinds on the evolved table
+    compact_iceberg_deletes(spark, t)
+    snap = iceberg_snapshot(t)
+    assert not snap["position_deletes"] and not snap.get("dv_deletes")
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == got
+
+
 def test_v3_deletion_vectors(spark, tmp_path):
     """Format-version 3 deletion vectors: puffin deletion-vector-v1
     blobs (roaring64 frames, ranged reads via the manifests'

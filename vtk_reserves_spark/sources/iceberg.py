@@ -1594,33 +1594,35 @@ def delete_from_iceberg(
     should be a rewrite instead.  :func:`compact_iceberg_deletes`
     folds the accumulated deletes back into data files.
 
-    Schema-evolved tables gate (the predicate would need per-epoch
-    name resolution on the discovery scan)."""
+    Schema-evolved tables compose: the predicate sees CURRENT
+    logical names via the per-epoch field-id scan, and the delete
+    metadata still addresses physical (file, position) pairs."""
     from pyspark.sql import functions as F
 
     from vtk_reserves_spark.sources.delta import decoded_file_path
 
     snap = iceberg_snapshot(table)
-    if _is_evolved(snap):
-        raise ValueError(
-            "iceberg: DELETE FROM on schema-evolved tables not "
-            "supported (compact/optimize first)"
-        )
     if not snap["files"]:
         return int(snap["snapshot_id"] or 0)
     base = os.path.abspath(table)
-    data = spark.read.option("basePath", base).parquet(
-        *snap["files"]
-    ).withColumns({
-        "_ice_path": decoded_file_path(F),
-        "_ice_pos": F.col("_metadata.row_index"),
-    })
-    seq_df = spark.createDataFrame(
-        [(p, int(s)) for p, s in snap["data_seqs"].items()],
-        "_ice_path string, _ice_seq long",
-    )
-    data = data.join(F.broadcast(seq_df), "_ice_path", "left")
-    data = _apply_row_deletes(spark, base, data, snap)
+    if _is_evolved(snap):
+        data = _epoch_scan(
+            spark, table, snap, _load_table_metadata(table),
+            apply_deletes=True, keep_pos=True,
+        )
+    else:
+        data = spark.read.option("basePath", base).parquet(
+            *snap["files"]
+        ).withColumns({
+            "_ice_path": decoded_file_path(F),
+            "_ice_pos": F.col("_metadata.row_index"),
+        })
+        seq_df = spark.createDataFrame(
+            [(p, int(s)) for p, s in snap["data_seqs"].items()],
+            "_ice_path string, _ice_seq long",
+        )
+        data = data.join(F.broadcast(seq_df), "_ice_path", "left")
+        data = _apply_row_deletes(spark, base, data, snap)
     per_file = {
         r["_ice_path"]: sorted(int(x) for x in r["pos"])
         for r in data.filter(F.expr(condition))
@@ -2579,6 +2581,7 @@ def alter_iceberg_table(
 def _epoch_scan(
     spark: SparkSession, table: str, snap: dict, meta: dict,
     with_path: bool = False, apply_deletes: bool = False,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """Field-id-resolved scan of an evolved table: group the
     snapshot's files by the schema EPOCH in force at each file's
@@ -2591,7 +2594,9 @@ def _epoch_scan(
     v2 row-level delete files in AFTER the epoch aliasing — equality
     deletes resolve by field id against the current schema, so they
     apply correctly even to pre-rename files (the delete-compaction
-    path for evolved tables)."""
+    path for evolved tables).  ``keep_pos`` keeps the
+    ``_ice_path``/``_ice_pos`` handles on the result (the
+    row-position discovery handle for merge-on-read DELETE)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -2645,7 +2650,7 @@ def _epoch_scan(
                 sel.append(F.lit(None).cast(spark_t).alias(name))
         if with_path:
             sel.append(decoded_file_path(F).alias("_ice_file"))
-        if wants_deletes:
+        if wants_deletes or keep_pos:
             sel.append(decoded_file_path(F).alias("_ice_path"))
             sel.append(
                 F.col("_metadata.row_index").alias("_ice_pos")
@@ -2672,7 +2677,10 @@ def _epoch_scan(
         )
         out = out.join(F.broadcast(seq_df), "_ice_path", "left")
         out = _apply_row_deletes(spark, base, out, snap)
-        out = out.drop("_ice_path", "_ice_pos", "_ice_seq")
+        out = out.drop(
+            "_ice_seq",
+            *([] if keep_pos else ["_ice_path", "_ice_pos"]),
+        )
     return out.drop(*hidden) if hidden else out
 
 
