@@ -6800,16 +6800,19 @@ def q_iceberg_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lakehouse_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UPDATE ... SET across the lakehouse tier (sources/delta.
-    update_delta + iceberg.update_iceberg — the copy-on-write
-    UPDATE both engines ship): the same swap-style update
-    (``text_len = text_len + flag*1000, flag = flag + 1`` on
-    %9==2) runs against a Delta and an Iceberg copy of documents —
-    only files holding a matched row rewrite, and every RHS sees
-    the ORIGINAL row values (the flag-dependent text_len bump uses
-    pre-update flag, pinned by the closed form).  Legs 'delta' and
-    'iceberg' must produce the identical state through two
-    different log/manifest machineries; leg 'cdf' is Delta's
+    """UPDATE ... SET across the WHOLE lakehouse tier
+    (sources/delta.update_delta + iceberg.update_iceberg +
+    hudi.update_hudi — the copy-on-write UPDATE all three engines
+    ship): the same swap-style update (``text_len = text_len +
+    flag*1000, flag = flag + 1`` on %9==2) runs against a Delta, an
+    Iceberg and a Hudi MERGE_ON_READ copy of documents — only files
+    holding a matched row rewrite (the Hudi leg rewrites NOTHING:
+    the updates land as Avro log blocks on the touched file
+    groups), and every RHS sees the ORIGINAL row values (the
+    flag-dependent text_len bump uses pre-update flag, pinned by
+    the closed form).  Legs 'delta', 'iceberg' and 'hudi' must
+    produce the identical state through three different
+    log/manifest/timeline machineries; leg 'cdf' is Delta's
     update_postimage records — exactly the matched rows, once."""
     import shutil
     import tempfile
@@ -6818,6 +6821,9 @@ def q_lakehouse_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vtk_reserves_spark.sources.delta import (
         read_delta, read_delta_cdf, update_delta, write_delta,
+    )
+    from vtk_reserves_spark.sources.hudi import (
+        read_hudi, update_hudi, write_hudi,
     )
     from vtk_reserves_spark.sources.iceberg import (
         read_iceberg, update_iceberg, write_iceberg,
@@ -6829,6 +6835,7 @@ def q_lakehouse_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     td, ti = os.path.join(root, "d"), os.path.join(root, "i")
+    th = os.path.join(root, "h")
     base = _read(spark, sf_dir, "documents").select(
         "doc_id",
         F.length("text").cast("long").alias("text_len"),
@@ -6838,11 +6845,14 @@ def q_lakehouse_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta.enableChangeDataFeed": "true"
     })
     write_iceberg(base, ti)
+    write_hudi(base, th, table_type="MERGE_ON_READ",
+               record_key=["doc_id"])
     cond = "doc_id % 9 = 2"
     assigns = {"text_len": "text_len + flag * 1000",
                "flag": "flag + 1"}
     update_delta(spark, td, cond, assigns)
     update_iceberg(spark, ti, cond, assigns)
+    update_hudi(spark, th, cond, assigns)
     cols = ["doc_id", "text_len", "flag"]
     legs = [
         read_delta(spark, td).select(
@@ -6851,11 +6861,17 @@ def q_lakehouse_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_iceberg(spark, ti).select(
             F.lit("iceberg").alias("leg"), *cols
         ),
+        read_hudi(spark, th).select(
+            F.lit("hudi").alias("leg"), *cols
+        ),
         read_delta_cdf(spark, td, starting_version=1)
         .filter(F.col("_change_type") == "update_postimage")
         .select(F.lit("cdf").alias("leg"), *cols),
     ]
-    return legs[0].unionByName(legs[1]).unionByName(legs[2])
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11648,8 +11664,9 @@ def _llm_oracles() -> dict[str, str]:
         """,
         "lakehouse_update": """
             -- swap-style UPDATE closed form: RHS sees ORIGINALS
-            -- (text_len bumps by the PRE-update flag); delta and
-            -- iceberg legs are identical; cdf = matched rows only
+            -- (text_len bumps by the PRE-update flag); delta,
+            -- iceberg and hudi (MOR log-block) legs are identical;
+            -- cdf = matched rows only
             WITH d AS (
               SELECT doc_id, LENGTH(text) AS text_len,
                      doc_id % 3 AS flag
@@ -11667,6 +11684,8 @@ def _llm_oracles() -> dict[str, str]:
             SELECT 'delta' AS leg, doc_id, text_len, flag FROM upd
             UNION ALL
             SELECT 'iceberg', doc_id, text_len, flag FROM upd
+            UNION ALL
+            SELECT 'hudi', doc_id, text_len, flag FROM upd
             UNION ALL
             SELECT 'cdf', doc_id, text_len, flag FROM upd
             WHERE doc_id % 9 = 2

@@ -678,3 +678,78 @@ def test_write_hudi_txn_exactly_once(spark, tmp_path):
         "id", (F.col("id") * 1.0).alias("v")), t, txn=("other", 0))
     assert len(hudi_timeline(t)) == 3
     assert read_hudi(spark, t).count() == 8
+
+
+def test_update_hudi_both_table_types(spark, tmp_path):
+    """UPDATE ... SET on CoW (touched groups rewrite via
+    replacecommit) and MOR (log-block route, zero base rewrites):
+    RHS expressions see original values, key assignment gates."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        read_hudi, update_hudi, write_hudi,
+    )
+
+    # COPY_ON_WRITE
+    t = str(tmp_path / "ucow")
+    df = spark.range(10).select(
+        "id", (F.col("id") * 1.0).alias("v"),
+        (F.col("id") * 10.0).alias("w"),
+    )
+    write_hudi(df, t, record_key=["id"])
+    update_hudi(spark, t, "id % 3 = 0", {"v": "w + v", "w": "0.0"})
+    rows = {r["id"]: (r["v"], r["w"])
+            for r in read_hudi(spark, t).collect()}
+    # RHS saw ORIGINAL w (v=w+v computed before w:=0)
+    assert rows[3] == (33.0, 0.0) and rows[4] == (4.0, 40.0)
+    # record-key assignment gates
+    with pytest.raises(ValueError, match="record key"):
+        update_hudi(spark, t, "id = 1", {"id": "99"})
+    # MERGE_ON_READ: base files untouched
+    t2 = str(tmp_path / "umor")
+    write_hudi(df, t2, table_type="MERGE_ON_READ", record_key=["id"])
+    bases = set(_glob.glob(os.path.join(t2, "*.parquet")))
+    update_hudi(spark, t2, "id >= 8", {"v": "v + 100"})
+    assert set(_glob.glob(os.path.join(t2, "*.parquet"))) == bases
+    assert _glob.glob(os.path.join(t2, ".*.log.*"))
+    rows = {r["id"]: r["v"] for r in read_hudi(spark, t2).collect()}
+    assert rows[8] == 108.0 and rows[9] == 109.0 and rows[0] == 0.0
+
+
+def test_delete_from_hudi_both_table_types(spark, tmp_path):
+    """DELETE FROM on CoW (replacecommit, no matched rows in the
+    rewrite) and MOR (DELETE log blocks, zero base rewrites); a
+    no-match predicate is a timeline no-op."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        delete_from_hudi, hudi_timeline, read_hudi, write_hudi,
+    )
+
+    t = str(tmp_path / "dcow")
+    df = spark.range(12).select(
+        "id", (F.col("id") * 1.0).alias("v"),
+    )
+    write_hudi(df, t, record_key=["id"])
+    delete_from_hudi(spark, t, "v >= 9.0")
+    assert sorted(r["id"] for r in read_hudi(spark, t).collect()) \
+        == list(range(9))
+    # no-match: timeline unchanged
+    n = len(hudi_timeline(t))
+    delete_from_hudi(spark, t, "v > 1e9")
+    assert len(hudi_timeline(t)) == n
+    # MOR: delete via log blocks, base files untouched
+    t2 = str(tmp_path / "dmor")
+    write_hudi(df, t2, table_type="MERGE_ON_READ", record_key=["id"])
+    bases = set(_glob.glob(os.path.join(t2, "*.parquet")))
+    delete_from_hudi(spark, t2, "id % 4 = 1")
+    assert set(_glob.glob(os.path.join(t2, "*.parquet"))) == bases
+    got = sorted(r["id"] for r in read_hudi(spark, t2).collect())
+    assert got == [i for i in range(12) if i % 4 != 1]
+    # read-optimized view still serves the full base content
+    ro = read_hudi(spark, t2, view="read_optimized")
+    assert ro.count() == 12

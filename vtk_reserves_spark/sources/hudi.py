@@ -51,9 +51,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "cluster_hudi", "compact_hudi_mor", "hudi_snapshot",
-    "hudi_timeline", "merge_hudi", "read_hudi",
-    "read_hudi_incremental", "upsert_hudi_mor", "write_hudi",
+    "cluster_hudi", "compact_hudi_mor", "delete_from_hudi",
+    "hudi_snapshot", "hudi_timeline", "merge_hudi", "read_hudi",
+    "read_hudi_incremental", "update_hudi", "upsert_hudi_mor",
+    "write_hudi",
 ]
 
 _HOODIE = ".hoodie"
@@ -338,7 +339,11 @@ def _scan_hudi_logs(spark: SparkSession, entries, schema):
     )
 
     out_schema = T.StructType(
-        list(schema.fields) + [
+        # data columns force NULLABLE: delete-block rows null-fill
+        # them, even when the declared schema says required (e.g. a
+        # spark.range id) — Arrow would refuse the nulls otherwise
+        [T.StructField(f.name, f.dataType, True)
+         for f in schema.fields] + [
             T.StructField("_op", T.StringType()),
             T.StructField("_ord", T.StringType()),
             T.StructField("_del_key", T.StringType()),
@@ -1210,6 +1215,98 @@ def upsert_hudi_mor(
             action="deltacommit",
         )
     return instant
+
+
+def update_hudi(
+    spark: SparkSession, table: str, condition: str,
+    assignments: dict[str, str],
+) -> str:
+    """UPDATE ... SET over either Hudi table type — the Hudi twin
+    of ``delta.update_delta`` / ``iceberg.update_iceberg``: one
+    live-view scan evaluates the predicate, matched rows compute
+    their assignment expressions (every RHS sees the ORIGINAL row
+    values, per SQL UPDATE semantics), and the updated rows apply
+    as a record-key write.  COPY_ON_WRITE routes through
+    :func:`merge_hudi` (only touched file groups rewrite, one
+    replacecommit); MERGE_ON_READ routes through
+    :func:`upsert_hudi_mor` (one Avro log block per touched group,
+    ZERO base-file rewrites).  Returns the commit instant.
+
+    Record-key fields cannot be assigned (that would be an insert
+    of a new key, not an update — same rule as Hudi).  Index
+    semantics are GLOBAL (see :func:`upsert_hudi_mor`): a matched
+    key updates every holder across partitions."""
+    from pyspark.sql import functions as F
+
+    key_fields = _record_key_fields(table)
+    if not key_fields:
+        raise ValueError("hudi: no record key fields recorded")
+    bad = [c for c in assignments if c in key_fields]
+    if bad:
+        raise ValueError(
+            f"hudi: cannot assign record key fields {bad}"
+        )
+    live = read_hudi(spark, table)
+    data_cols = list(live.columns)
+    unknown = [c for c in assignments if c not in data_cols]
+    if unknown:
+        raise ValueError(f"hudi: SET columns {unknown} not in table")
+    sel = [
+        F.expr(assignments[c]).alias(c) if c in assignments
+        else F.col(c)
+        for c in data_cols
+    ]
+    updated = live.filter(F.expr(condition)).select(*sel)
+    if _table_type(table) == "MERGE_ON_READ":
+        return upsert_hudi_mor(
+            spark, updated, table, on=key_fields,
+            when_matched="update", when_not_matched="ignore",
+        )
+    return merge_hudi(
+        spark, updated, table, on=key_fields,
+        when_matched="update", when_not_matched="ignore",
+    )
+
+
+def delete_from_hudi(
+    spark: SparkSession, table: str, condition: str,
+) -> str:
+    """DELETE FROM over either Hudi table type: one live-view scan
+    reduces the predicate to matched RECORD KEYS (churn-sized);
+    COPY_ON_WRITE rewrites only the touched file groups without the
+    matched rows (:func:`merge_hudi` delete mode, one
+    replacecommit); MERGE_ON_READ writes DELETE log blocks on the
+    touched groups (:func:`upsert_hudi_mor`) — zero base-file
+    rewrites, Hudi's ``delete`` operation.  Returns the commit
+    instant (unchanged when nothing matches).
+
+    Index semantics are GLOBAL: the delete targets record keys, so
+    a predicate matching a key in ONE partition deletes that key's
+    rows in EVERY partition (exactly Hudi's GLOBAL_SIMPLE index
+    behavior; scope the predicate by the key fields if that
+    matters)."""
+    from pyspark.sql import functions as F
+
+    key_fields = _record_key_fields(table)
+    if not key_fields:
+        raise ValueError("hudi: no record key fields recorded")
+    matched = (
+        read_hudi(spark, table)
+        .filter(F.expr(condition))
+        .select(*key_fields).distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not matched.count():
+        return hudi_snapshot(table)["instant"]  # no-op
+    if _table_type(table) == "MERGE_ON_READ":
+        return upsert_hudi_mor(
+            spark, matched, table, on=key_fields,
+            when_matched="delete", when_not_matched="ignore",
+        )
+    return merge_hudi(
+        spark, matched, table, on=key_fields,
+        when_matched="delete", when_not_matched="ignore",
+    )
 
 
 def compact_hudi_mor(spark: SparkSession, table: str) -> str:
