@@ -753,3 +753,48 @@ def test_delete_from_hudi_both_table_types(spark, tmp_path):
     # read-optimized view still serves the full base content
     ro = read_hudi(spark, t2, view="read_optimized")
     assert ro.count() == 12
+
+
+def test_clean_hudi(spark, tmp_path):
+    """Cleaner: file versions replaced beyond the retention window
+    delete (KEEP_LATEST_COMMITS), retained instants stay
+    time-travelable, the live view is untouched, and a .clean
+    timeline record names the deleted files."""
+    import glob as _glob
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        clean_hudi, hudi_timeline, merge_hudi, read_hudi, write_hudi,
+    )
+
+    t = str(tmp_path / "cln")
+    df = spark.range(8).select("id", (F.col("id") * 1.0).alias("v"))
+    write_hudi(df.coalesce(1), t, record_key=["id"])
+    src1 = spark.createDataFrame([(0, 100.0)], "id long, v double")
+    merge_hudi(spark, src1, t, on=["id"])
+    i2_state = {r["id"]: r["v"] for r in read_hudi(spark, t).collect()}
+    src2 = spark.createDataFrame([(1, 200.0)], "id long, v double")
+    merge_hudi(spark, src2, t, on=["id"])
+    n_files = len(_glob.glob(os.path.join(t, "*.parquet")))
+    # dry run: the replaced v1 base (outside the 2-instant window)
+    deletable = clean_hudi(t, retain_commits=2, dry_run=True)
+    assert len(deletable) >= 1
+    assert len(_glob.glob(os.path.join(t, "*.parquet"))) == n_files
+    deleted = clean_hudi(t, retain_commits=2)
+    assert deleted == deletable
+    # live view unchanged; the retained middle instant still travels
+    got = {r["id"]: r["v"] for r in read_hudi(spark, t).collect()}
+    assert got[0] == 100.0 and got[1] == 200.0 and got[7] == 7.0
+    i2 = hudi_timeline(t)[1][0]
+    got2 = {r["id"]: r["v"]
+            for r in read_hudi(spark, t, as_of=i2).collect()}
+    assert got2 == i2_state
+    # the .clean record names exactly the deleted files
+    clean_files = _glob.glob(os.path.join(t, ".hoodie", "*.clean"))
+    assert len(clean_files) == 1
+    rec = _json.load(open(clean_files[0]))
+    assert sorted(rec["filesDeleted"]) == sorted(deleted)
+    # a second clean finds nothing
+    assert clean_hudi(t, retain_commits=2) == []

@@ -51,10 +51,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "cluster_hudi", "compact_hudi_mor", "delete_from_hudi",
-    "hudi_snapshot", "hudi_timeline", "merge_hudi", "read_hudi",
-    "read_hudi_incremental", "update_hudi", "upsert_hudi_mor",
-    "write_hudi",
+    "clean_hudi", "cluster_hudi", "compact_hudi_mor",
+    "delete_from_hudi", "hudi_snapshot", "hudi_timeline",
+    "merge_hudi", "read_hudi", "read_hudi_incremental",
+    "update_hudi", "upsert_hudi_mor", "write_hudi",
 ]
 
 _HOODIE = ".hoodie"
@@ -589,12 +589,16 @@ def _read_hudi_mor(
 
 
 def _next_instant(table: str) -> str:
-    try:
-        tl = hudi_timeline(table)
-    except ValueError:
-        tl = []
-    n = 1 + max((int(i) for i, _, _ in tl if i.isdigit()), default=0)
-    return f"{n:014d}"
+    # scan ALL timeline files (commits, but also .clean records and
+    # pending markers) so no action ever reuses an instant number
+    hdir = os.path.join(table, _HOODIE)
+    nums = [0]
+    if os.path.isdir(hdir):
+        for name in os.listdir(hdir):
+            stem = name.lstrip(".").split(".", 1)[0]
+            if stem.isdigit():
+                nums.append(int(stem))
+    return f"{1 + max(nums):014d}"
 
 
 def write_hudi(
@@ -1307,6 +1311,67 @@ def delete_from_hudi(
         spark, matched, table, on=key_fields,
         when_matched="delete", when_not_matched="ignore",
     )
+
+
+def clean_hudi(
+    table: str, retain_commits: int = 10, dry_run: bool = False,
+) -> list[str]:
+    """CLEANER — Hudi's ``KEEP_LATEST_COMMITS`` clean policy, the
+    maintenance twin of ``delta.vacuum_delta`` / Iceberg expire +
+    orphan removal: every base parquet and log file referenced by
+    NONE of the last ``retain_commits`` instants' snapshots deletes
+    (the versions replaced by merges/compactions/clustering beyond
+    the retention window); every retained instant stays fully
+    time-travelable, older ones stop being (that bound is the
+    cleaner's contract in Hudi too).  Returns the deleted (or, with
+    ``dry_run``, deletable) table-relative paths and records a
+    ``<instant>.clean`` timeline action naming them.
+
+    Driver cost is metadata-only: ``retain_commits`` timeline folds
+    plus one directory walk — no data reads."""
+    timeline = hudi_timeline(table)
+    if not timeline:
+        return []
+    instants = [i for i, _, _ in timeline]
+    retained = instants[-max(1, int(retain_commits)):]
+    base = os.path.abspath(table)
+    referenced: set[str] = set()
+    for i in retained:
+        snap = hudi_snapshot(table, as_of=i)
+        referenced.update(
+            os.path.relpath(p, base) for p in snap["files"]
+        )
+        for sl in snap["slices"].values():
+            for _inst, _ver, p in sl["logs"]:
+                referenced.add(os.path.relpath(p, base))
+    doomed: list[str] = []
+    for root, dirs, files in os.walk(base):
+        dirs[:] = [
+            d for d in dirs
+            if d != _HOODIE and not d.startswith(".stage-")
+        ]
+        for name in files:
+            if not (name.endswith(".parquet") or ".log." in name):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), base)
+            if rel not in referenced:
+                doomed.append(rel)
+    doomed.sort()
+    if dry_run or not doomed:
+        return doomed
+    for rel in doomed:
+        os.remove(os.path.join(base, rel))
+    instant = _next_instant(table)
+    hdir = os.path.join(table, _HOODIE)
+    tmp = os.path.join(hdir, f".{instant}.clean.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({
+            "policy": f"KEEP_LATEST_COMMITS:{int(retain_commits)}",
+            "earliestCommitToRetain": retained[0],
+            "filesDeleted": doomed,
+        }, fh)
+    os.replace(tmp, os.path.join(hdir, f"{instant}.clean"))
+    return doomed
 
 
 def compact_hudi_mor(spark: SparkSession, table: str) -> str:
