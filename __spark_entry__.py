@@ -12933,24 +12933,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _WINDOW = [
-    # new round-9
-    "hudi_mor", "iceberg_merge_transforms", "iceberg_evolution",
-    "iceberg_wap", "dsir_domains", "hudi_incremental", "hudi_cluster",
-    "cdc_reverse", "iceberg_changelog",
-    # impl-changed round-9
-    "iceberg_optimize", "cdc_replicate", "delta_cdf_drain",
-    "delta_cdf", "hudi_merge", "hudi_snapshot", "iceberg_merge",
-    "iceberg_transforms", "iceberg_compact_deletes",
-    # oldest-evidence fill (round-4 cohort)
-    "curation_policy", "domain_quota", "domain_stats",
-    "exif_metadata", "feed_entries", "font_metadata", "geoxml",
-    "gslib_table", "hard_negatives", "html_meta", "html_tables",
-    "ics_events", "image_dhash", "image_neardup", "link_graph",
-    "mbox_mail", "mkv_metadata", "mp3_metadata", "mp4_metadata",
-    "office_text", "ogg_metadata", "orc_roundtrip", "pagerank_hosts",
-    "pdf_text", "protobuf_census", "readability",
-    "repetition_signals", "robots_filter", "script_stats",
-    "sitemap_urls", "small_codecs", "stream_media",
+    # new round-10 (oracle-backed)
+    "lakehouse_update", "iceberg_delete_mor", "delta_delete",
+    "delta_evolution", "stream_hudi_sink", "iceberg_v3_dv",
+    "iceberg_evolution_deletes",
+    # impl-changed round-10 (delta: CDF column mapping + partitioned
+    # evolution; iceberg: delete-aware changelog, transform delete
+    # compaction, epoch keep_pos, snapshot-id allocation; hudi: verb
+    # routing, nullable log schema, instant allocation)
+    "iceberg_changelog", "cdc_reverse", "cdc_replicate",
+    "iceberg_compact_deletes", "delta_cdf", "delta_cdf_drain",
+    "delta_merge", "delta_optimize", "delta_snapshot",
+    "delta_column_mapping", "delta_restore", "delta_v2_checkpoint",
+    "delta_write_roundtrip", "stream_delta_sink",
+    "stream_iceberg_sink", "iceberg_merge",
+    "iceberg_merge_transforms", "iceberg_transforms",
+    "iceberg_optimize", "iceberg_evolution", "iceberg_wap",
+    "hudi_mor", "hudi_merge", "hudi_snapshot", "hudi_incremental",
+    "hudi_cluster",
+    # oldest-evidence fill (round-4/5 cohort per ROTATION.json)
+    "stream_warc", "subtitle_cues", "subtitle_transcripts",
+    "surpac_strings", "surt_keys", "svg_stats", "warc_indexed",
+    "warc_media", "warc_zst", "webdataset", "webp_lossy",
+    "zip_archive", "arrow_ipc", "av1_headers", "avro_complex",
+    "bm25", "breakdown_major_list",
 ]
 _WINDOW_SET = set(_WINDOW)
 

@@ -35,7 +35,7 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 
 def test_recording_window_layout():
     """The driver records only the FIRST 50 queries() entries; this
-    pins the round-9 rotation (ROTATION.json) so an accidental
+    pins the round-10 rotation (ROTATION.json) so an accidental
     reorder cannot silently drop the evidence-due block out of the
     window."""
     import __spark_entry__ as entry
@@ -44,21 +44,25 @@ def test_recording_window_layout():
     window = set(names[:50])
     # the layout is the explicit _WINDOW list — exactly the window
     assert names[:50] == entry._WINDOW
-    # head: the new oracle-backed round-9 queries
-    round9_new = {"hudi_mor", "iceberg_merge_transforms",
-                  "iceberg_evolution", "iceberg_wap", "dsir_domains",
-                  "hudi_incremental", "hudi_cluster", "cdc_reverse",
-                  "iceberg_changelog"}
-    # queries whose IMPLEMENTATION changed in round 9
-    impl_changed = {"iceberg_optimize", "cdc_replicate",
-                    "delta_cdf_drain", "delta_cdf", "hudi_merge",
-                    "hudi_snapshot", "iceberg_merge",
-                    "iceberg_transforms", "iceberg_compact_deletes"}
-    assert round9_new <= window
+    # head: the new oracle-backed round-10 queries
+    round10_new = {"lakehouse_update", "iceberg_delete_mor",
+                   "delta_delete", "delta_evolution",
+                   "stream_hudi_sink", "iceberg_v3_dv",
+                   "iceberg_evolution_deletes"}
+    # queries whose IMPLEMENTATION changed in round 10 (lakehouse
+    # tier: CDF mapping, partitioned evolution, delete-aware
+    # changelog, verb routing, instant/snapshot-id allocation)
+    impl_changed = {"iceberg_changelog", "cdc_reverse",
+                    "cdc_replicate", "iceberg_compact_deletes",
+                    "delta_cdf", "delta_cdf_drain", "delta_merge",
+                    "delta_optimize", "hudi_mor", "hudi_merge",
+                    "iceberg_merge", "iceberg_evolution",
+                    "lakehouse_update"}
+    assert round10_new <= window
     assert impl_changed <= window
-    # fill = oldest-evidence (round-4 cohort per ROTATION.json)
-    assert {"curation_policy", "stream_media", "pdf_text",
-            "robots_filter"} <= window
+    # fill = oldest-evidence (round-4/5 cohort per ROTATION.json)
+    assert {"stream_warc", "webdataset", "zip_archive",
+            "arrow_ipc"} <= window
     # VERDICT r6 item 3: no rows-only queries spend window slots —
     # every window entry must be oracle-backed
     oracles = set(entry.oracle_sql())
