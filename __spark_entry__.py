@@ -5373,6 +5373,154 @@ def q_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC TRIAD COMPLETION — replication legs into and out of Hudi
+    (joining the Delta<->Iceberg pair of q:cdc_replicate /
+    q:cdc_reverse):
+
+    **Delta -> Hudi (delete-carrying)**: a Delta source under CDF
+    takes a merge (update %8==0 at +1000, insert the %4==1 odds)
+    then a DV DELETE (%16 in (4,9)); a Hudi MERGE_ON_READ replica
+    is maintained ONLY from per-version `read_delta_cdf` batches —
+    each version's delete leg applies via
+    `upsert_hudi_mor(when_matched='delete', txn=)` (DELETE log
+    blocks, zero base rewrites) and its insert+postimage leg as a
+    txn-keyed MOR upsert.  A POISONED redelivery of the merge
+    batch (+777 and a delete-everything leg) under the original txn
+    ids must skip via the Hudi commit-extraMetadata ledger
+    (sources/hudi._hudi_txn_seen) or the hash breaks.
+
+    **Hudi -> Delta**: a Hudi COPY_ON_WRITE source takes the same
+    append/append/merge sequence; a Delta replica drains
+    `read_hudi_incremental` batches (exact per-row
+    _hoodie_commit_time stamps — rewritten survivors do NOT drag
+    into the pull) applied as `merge_delta(txn=)` upserts, with the
+    same poisoned-redelivery proof on the Delta side.
+
+    Legs pin DIFFERENT closed forms: 'hudi_replica' carries the
+    d2h deletes; 'delta_replica' is the delete-free h2d state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.delta import (
+        delete_delta, merge_delta, read_delta, read_delta_cdf,
+        write_delta,
+    )
+    from vtk_reserves_spark.sources.hudi import (
+        hudi_timeline, merge_hudi, read_hudi, read_hudi_incremental,
+        upsert_hudi_mor, write_hudi,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cdchudi_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("text_len")
+    )
+    cols = ["doc_id", "text_len"]
+
+    # ---- leg 1: Delta source -> Hudi MOR replica (with deletes)
+    dsrc = os.path.join(root, "delta_src")
+    hrep = os.path.join(root, "hudi_replica")
+    write_delta(base.filter(F.col("doc_id") % 2 == 0), dsrc,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    merge_delta(
+        spark,
+        base.filter(
+            ((F.col("doc_id") % 8 == 0)
+             | (F.col("doc_id") % 4 == 1))
+        ).withColumn(
+            "text_len",
+            F.col("text_len") + F.when(
+                F.col("doc_id") % 8 == 0, F.lit(1000)
+            ).otherwise(F.lit(0)),
+        ),
+        dsrc, on=["doc_id"],
+    )
+    delete_delta(spark, dsrc, "doc_id % 16 IN (4, 9)")
+    # seed the replica from version 0's inserts, then drain each
+    # later version's CDF batch: delete leg, then upsert leg
+    seed = read_delta_cdf(spark, dsrc, 0, 0).select(*cols)
+    write_hudi(seed, hrep, table_type="MERGE_ON_READ",
+               record_key=["doc_id"], txn=("d2h", 0))
+    for v in (1, 2):
+        cdf = read_delta_cdf(spark, dsrc, v, v)
+        dels = cdf.filter(F.col("_change_type") == "delete")
+        ups = cdf.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        )
+        if dels.limit(1).count():
+            upsert_hudi_mor(
+                spark, dels.select(*cols), hrep, on=["doc_id"],
+                when_matched="delete", when_not_matched="ignore",
+                txn=("d2h", 2 * v),
+            )
+        if ups.limit(1).count():
+            upsert_hudi_mor(
+                spark, ups.select(*cols), hrep, on=["doc_id"],
+                txn=("d2h", 2 * v + 1),
+            )
+    # POISONED redelivery of version 1's batch under its original
+    # txn ids: a delete-everything leg + a +777 upsert — both must
+    # skip via the commit-extraMetadata ledger
+    upsert_hudi_mor(
+        spark, read_delta(spark, dsrc).select(*cols), hrep,
+        on=["doc_id"], when_matched="delete",
+        when_not_matched="ignore", txn=("d2h", 2),
+    )
+    upsert_hudi_mor(
+        spark,
+        seed.withColumn("text_len", F.col("text_len") + 777),
+        hrep, on=["doc_id"], txn=("d2h", 3),
+    )
+
+    # ---- leg 2: Hudi CoW source -> Delta replica
+    hsrc = os.path.join(root, "hudi_src")
+    drep = os.path.join(root, "delta_replica")
+    write_hudi(base.filter(F.col("doc_id") % 2 == 0), hsrc,
+               record_key=["doc_id"])
+    write_hudi(base.filter(F.col("doc_id") % 4 == 1), hsrc)
+    merge_hudi(
+        spark,
+        base.filter(F.col("doc_id") % 8 == 0).withColumn(
+            "text_len", F.col("text_len") + 1000
+        ),
+        hsrc, on=["doc_id"],
+    )
+    instants = [i for i, _, _ in hudi_timeline(hsrc)]
+    prev = "0"
+    for n, inst in enumerate(instants):
+        batch = read_hudi_incremental(
+            spark, hsrc, begin_instant=prev, end_instant=inst
+        ).select(*cols)
+        if n == 0:
+            write_delta(batch, drep, txn=("h2d", 0))
+        else:
+            merge_delta(spark, batch, drep, on=["doc_id"],
+                        txn=("h2d", n))
+        prev = inst
+    # poisoned redelivery of the merge batch under its txn id
+    merge_delta(
+        spark,
+        read_delta(spark, drep).withColumn(
+            "text_len", F.col("text_len") + 777
+        ),
+        drep, on=["doc_id"], txn=("h2d", len(instants) - 1),
+    )
+
+    return read_hudi(spark, hrep).select(
+        F.lit("hudi_replica").alias("leg"), *cols
+    ).unionByName(
+        read_delta(spark, drep).select(
+            F.lit("delta_replica").alias("leg"), *cols
+        )
+    )
+
+
 def q_cdc_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REVERSE cross-format replication WITH DELETES — Iceberg ->
     Delta via the CHANGELOG view (sources/iceberg.iceberg_changelog
@@ -11205,6 +11353,31 @@ def _llm_oracles() -> dict[str, str]:
             SELECT 'delete', 5, doc_id, LENGTH(text)
             FROM documents WHERE doc_id % 16 = 6
         """,
+        "cdc_hudi": """
+            -- CDC triad completion: hudi_replica = the Delta
+            -- source's final state (merge +1000 on %8==0, insert
+            -- %4==1, DV-delete %16 in (4,9)) maintained purely
+            -- from CDF batches; delta_replica = the Hudi source's
+            -- delete-free state drained via incremental reads.
+            -- Poisoned redeliveries must skip on both sides.
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(LENGTH(text) AS BIGINT) AS text_len
+              FROM documents
+            ),
+            state AS (
+              SELECT doc_id,
+                     text_len + CASE WHEN doc_id % 8 = 0
+                                     THEN 1000 ELSE 0 END
+                       AS text_len
+              FROM d
+              WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
+            )
+            SELECT 'hudi_replica' AS leg, doc_id, text_len
+            FROM state WHERE doc_id % 16 NOT IN (4, 9)
+            UNION ALL
+            SELECT 'delta_replica', doc_id, text_len FROM state
+        """,
         "cdc_reverse": """
             -- changelog-driven replication: mid = post-update
             -- pre-delete state; replica and src_final = the same
@@ -12687,6 +12860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hudi_cluster": q_hudi_cluster,
         "cdc_replicate": q_cdc_replicate,
         "cdc_reverse": q_cdc_reverse,
+        "cdc_hudi": q_cdc_hudi,
         "iceberg_changelog": q_iceberg_changelog,
         "iceberg_compact_deletes": q_iceberg_compact_deletes,
         "hudi_merge": q_hudi_merge,
@@ -12934,9 +13108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WINDOW = [
     # new round-10 (oracle-backed)
-    "lakehouse_update", "iceberg_delete_mor", "delta_delete",
-    "delta_evolution", "stream_hudi_sink", "iceberg_v3_dv",
-    "iceberg_evolution_deletes",
+    "cdc_hudi", "lakehouse_update", "iceberg_delete_mor",
+    "delta_delete", "delta_evolution", "stream_hudi_sink",
+    "iceberg_v3_dv", "iceberg_evolution_deletes",
     # impl-changed round-10 (delta: CDF column mapping + partitioned
     # evolution; iceberg: delete-aware changelog, transform delete
     # compaction, epoch keep_pos, snapshot-id allocation; hudi: verb
@@ -12956,7 +13130,7 @@ _WINDOW = [
     "surpac_strings", "surt_keys", "svg_stats", "warc_indexed",
     "warc_media", "warc_zst", "webdataset", "webp_lossy",
     "zip_archive", "arrow_ipc", "av1_headers", "avro_complex",
-    "bm25", "breakdown_major_list",
+    "bm25",
 ]
 _WINDOW_SET = set(_WINDOW)
 

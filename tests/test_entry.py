@@ -45,10 +45,10 @@ def test_recording_window_layout():
     # the layout is the explicit _WINDOW list — exactly the window
     assert names[:50] == entry._WINDOW
     # head: the new oracle-backed round-10 queries
-    round10_new = {"lakehouse_update", "iceberg_delete_mor",
-                   "delta_delete", "delta_evolution",
-                   "stream_hudi_sink", "iceberg_v3_dv",
-                   "iceberg_evolution_deletes"}
+    round10_new = {"cdc_hudi", "lakehouse_update",
+                   "iceberg_delete_mor", "delta_delete",
+                   "delta_evolution", "stream_hudi_sink",
+                   "iceberg_v3_dv", "iceberg_evolution_deletes"}
     # queries whose IMPLEMENTATION changed in round 10 (lakehouse
     # tier: CDF mapping, partitioned evolution, delete-aware
     # changelog, verb routing, instant/snapshot-id allocation)

@@ -798,3 +798,39 @@ def test_clean_hudi(spark, tmp_path):
     assert sorted(rec["filesDeleted"]) == sorted(deleted)
     # a second clean finds nothing
     assert clean_hudi(t, retain_commits=2) == []
+
+
+def test_hudi_merge_upsert_txn_ledger(spark, tmp_path):
+    """merge_hudi(txn=) and upsert_hudi_mor(txn=) reduce replayed
+    batches to no-ops via the commit-extraMetadata ledger."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        hudi_timeline, merge_hudi, read_hudi, upsert_hudi_mor,
+        write_hudi,
+    )
+
+    df = spark.range(6).select("id", (F.col("id") * 1.0).alias("v"))
+    # CoW merge ledger
+    t = str(tmp_path / "mt")
+    write_hudi(df, t, record_key=["id"], txn=("app", 0))
+    src = spark.createDataFrame([(0, 50.0)], "id long, v double")
+    merge_hudi(spark, src, t, on=["id"], txn=("app", 1))
+    n = len(hudi_timeline(t))
+    # replay at an equal version: no-op, timeline unchanged
+    poisoned = spark.createDataFrame([(0, 999.0)], "id long, v double")
+    merge_hudi(spark, poisoned, t, on=["id"], txn=("app", 1))
+    assert len(hudi_timeline(t)) == n
+    assert {r["v"] for r in read_hudi(spark, t).collect()} == {
+        50.0, 1.0, 2.0, 3.0, 4.0, 5.0
+    }
+    # MOR upsert ledger
+    t2 = str(tmp_path / "ut")
+    write_hudi(df, t2, table_type="MERGE_ON_READ",
+               record_key=["id"], txn=("app", 0))
+    upsert_hudi_mor(spark, src, t2, on=["id"], txn=("app", 1))
+    n2 = len(hudi_timeline(t2))
+    upsert_hudi_mor(spark, poisoned, t2, on=["id"], txn=("app", 1))
+    assert len(hudi_timeline(t2)) == n2
+    got = {r["id"]: r["v"] for r in read_hudi(spark, t2).collect()}
+    assert got[0] == 50.0

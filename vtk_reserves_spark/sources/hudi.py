@@ -833,6 +833,7 @@ def merge_hudi(
     when_not_matched: str = "insert",
     partition_by: list[str] | None = None,
     broadcast_source: bool = True,
+    txn: tuple[str, int] | None = None,
 ) -> str:
     """Record-key UPSERT/DELETE — Hudi's defining verb, expressed as
     the same copy-on-write plan as ``merge_delta``/``merge_iceberg``:
@@ -843,8 +844,16 @@ def merge_hudi(
     touched groups (``partitionToReplaceFileIds``) while adding the
     fresh ones — untouched groups carry forward unread, and the
     pre-merge snapshot stays time-travelable.  Returns the commit
-    instant."""
+    instant.
+
+    ``txn=(app_id, version)``: exactly-once replayed-batch skip via
+    the commit extraMetadata ledger, like :func:`write_hudi`."""
     from pyspark.sql import functions as F
+
+    if txn is not None:
+        seen = _hudi_txn_seen(table, txn[0])
+        if seen is not None and seen >= int(txn[1]):
+            return hudi_snapshot(table)["instant"]  # replayed batch
 
     # broadcast_source=False switches the source-key joins to
     # plain (AQE-planned) joins - the fallback for merge sources
@@ -946,23 +955,13 @@ def merge_hudi(
     for p in pieces[1:]:
         new_df = new_df.unionByName(p)
     if new_df is None:
-        import json as _json
-
-        hdir = os.path.join(table, _HOODIE)
-        tmp = os.path.join(hdir, f".{instant}.replacecommit.tmp")
-        with open(tmp, "w") as fh:
-            _json.dump({
-                "partitionToWriteStats": {},
-                "partitionToReplaceFileIds": replaced,
-                "operationType": "DELETE",
-            }, fh)
-        os.replace(
-            tmp, os.path.join(hdir, f"{instant}.replacecommit")
+        _write_hudi_commit_json(
+            table, instant, {}, replaced, "DELETE", txn=txn,
         )
         return instant
     _stage_and_commit_hudi(
         new_df, table, instant, part_cols, replaced=replaced,
-        operation="UPSERT",
+        operation="UPSERT", txn=txn,
     )
     return instant
 
@@ -1069,6 +1068,7 @@ def upsert_hudi_mor(
     on: list[str] | None = None,
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    txn: tuple[str, int] | None = None,
 ) -> str:
     """MERGE_ON_READ upsert — Hudi's write path for CDC-heavy
     tables: matched records do NOT rewrite their base files; each
@@ -1094,7 +1094,11 @@ def upsert_hudi_mor(
     in ANY partition; matches in several groups (a key legitimately
     present in two partitions) update every holder.  The READ-side
     merge stays slice-scoped regardless (see ``_read_hudi_mor``), so
-    rows sharing a key across partitions never collapse on scan."""
+    rows sharing a key across partitions never collapse on scan.
+
+    ``txn=(app_id, version)`` gives EXACTLY-ONCE semantics like
+    :func:`write_hudi`: a replayed batch at an equal-or-older
+    version skips entirely (no route, no log writes, no commit)."""
     from pyspark.sql import functions as F
 
     if when_matched not in ("update", "delete"):
@@ -1106,6 +1110,10 @@ def upsert_hudi_mor(
     if _table_type(table) != "MERGE_ON_READ":
         raise ValueError("hudi: upsert_hudi_mor needs an MOR table "
                          "(use merge_hudi for COPY_ON_WRITE)")
+    if txn is not None:
+        seen = _hudi_txn_seen(table, txn[0])
+        if seen is not None and seen >= int(txn[1]):
+            return hudi_snapshot(table)["instant"]  # replayed batch
     snap = hudi_snapshot(table)
     key_fields = list(on or _record_key_fields(table))
     if not key_fields:
@@ -1211,12 +1219,12 @@ def upsert_hudi_mor(
         _stage_and_commit_hudi(
             inserts, table, instant, part_cols, replaced=None,
             operation="UPSERT", action="deltacommit",
-            extra_stats=log_stats,
+            extra_stats=log_stats, txn=txn,
         )
     else:
         _write_hudi_commit_json(
             table, instant, log_stats, None, "UPSERT",
-            action="deltacommit",
+            action="deltacommit", txn=txn,
         )
     return instant
 
