@@ -1311,11 +1311,43 @@ def test_delta_evolution_gates(spark, tmp_path):
     with pytest.raises(ValueError, match="exists"):
         alter_delta_table(t2, add=[("id", "long")])
     alter_delta_table(t2, add=[("z", "long")])
+    # schema-CHANGING overwrite gates (z int vs the table's long)
     with pytest.raises(ValueError, match="overwrite"):
         write_delta(
             spark.range(2).withColumn("z", F.lit(1)), t2,
             mode="overwrite",
         )
+    # same-schema overwrite on the mapped table replaces the data
+    # under the existing mapping (metadata untouched)
+    from vtk_reserves_spark.sources.delta import (
+        delta_snapshot, read_delta,
+    )
+
+    alter_delta_table(t2, rename={"z": "zz"})
+    write_delta(
+        spark.range(7, 9).withColumn(
+            "zz", (F.col("id") * 10).cast("long")
+        ),
+        t2, mode="overwrite",
+    )
+    got = {r["id"]: r["zz"] for r in read_delta(spark, t2).collect()}
+    assert got == {7: 70, 8: 80}
+    # the mapping survived: zz still resolves to the col-<n>
+    # physical name minted at ADD time, and the overwrite's files
+    # carry it
+    meta = delta_snapshot(t2)["metadata"]
+    import json as _json
+
+    f = next(x for x in _json.loads(meta["schemaString"])["fields"]
+             if x["name"] == "zz")
+    phys = f["metadata"]["delta.columnMapping.physicalName"]
+    assert phys.startswith("col-")
+    from urllib.parse import unquote as _unq
+
+    live = [os.path.join(t2, _unq(p))
+            for p, _, _, _ in delta_snapshot(t2)["files"]]
+    raw = spark.read.parquet(*live)
+    assert phys in raw.columns and "zz" not in raw.columns
 
 
 def test_delta_partitioned_mapped_lifecycle(spark, tmp_path):

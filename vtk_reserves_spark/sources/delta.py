@@ -923,6 +923,9 @@ def write_delta(
             return snap["version"]  # replayed batch: exactly-once skip
     schema_json = df.schema.json()
     removes: list[str] = []
+    norm = lambda s: [  # noqa: E731
+        (f["name"], f["type"]) for f in s.get("fields", [])
+    ]
     if snap is None:
         version = 0
         emit_schema = schema_json
@@ -937,9 +940,6 @@ def write_delta(
                 )
             prev = json.loads(snap["metadata"]["schemaString"])
             want = json.loads(schema_json)
-            norm = lambda s: [  # noqa: E731
-                (f["name"], f["type"]) for f in s.get("fields", [])
-            ]
             if norm(prev) != norm(want):
                 raise ValueError(
                     "delta: append schema mismatch "
@@ -952,13 +952,26 @@ def write_delta(
             if partition_by:
                 partition_by = _physical_part_cols(snap["metadata"])
             emit_schema = None
-        else:
-            if _column_mapping(snap["metadata"]):
+        elif _column_mapping(snap["metadata"]):
+            # overwrite on a mapped table REPLACES THE DATA under
+            # the existing schema (delta-spark's plain overwrite);
+            # schema changes stay alter_delta_table's job, so a
+            # mismatched frame gates instead of silently re-mapping
+            prev = json.loads(snap["metadata"]["schemaString"])
+            if norm(prev) != norm(json.loads(schema_json)) or (
+                list(partition_by or []) != list(prev_cols)
+            ):
                 raise ValueError(
-                    "delta: overwrite on column-mapped tables not "
-                    "supported (schema is managed by "
-                    "alter_delta_table)"
+                    "delta: overwrite on column-mapped tables "
+                    "cannot change the schema or partitioning "
+                    "(evolve via alter_delta_table)"
                 )
+            removes = [p for p, _, _, _ in snap["files"]]
+            df = _to_physical(df, snap["metadata"])
+            if partition_by:
+                partition_by = _physical_part_cols(snap["metadata"])
+            emit_schema = None  # metadata (mapping incl.) untouched
+        else:
             removes = [p for p, _, _, _ in snap["files"]]
             emit_schema = schema_json  # metaData re-emit (overwriteSchema)
             if configuration is None:
