@@ -834,3 +834,62 @@ def test_hudi_merge_upsert_txn_ledger(spark, tmp_path):
     assert len(hudi_timeline(t2)) == n2
     got = {r["id"]: r["v"] for r in read_hudi(spark, t2).collect()}
     assert got[0] == 50.0
+
+
+def test_alter_hudi_table_additive(spark, tmp_path):
+    """Additive schema evolution: ADD COLUMN as a pure metadata
+    commit; old base files AND old MOR log blocks null-fill the new
+    column; post-alter verbs carry it; rename/drop gate."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.sources.hudi import (
+        alter_hudi_table, merge_hudi, read_hudi, update_hudi,
+        upsert_hudi_mor, write_hudi,
+    )
+
+    # COPY_ON_WRITE
+    t = str(tmp_path / "acow")
+    df = spark.range(6).select("id", (F.col("id") * 1.0).alias("v"))
+    write_hudi(df, t, record_key=["id"])
+    alter_hudi_table(t, add=[("w", "long")])
+    got = read_hudi(spark, t)
+    assert set(got.columns) == {"id", "v", "w"}
+    assert all(r["w"] is None for r in got.collect())
+    # post-alter merge carries the new column; survivors null-fill
+    src = spark.createDataFrame(
+        [(0, 50.0, 7), (100, 1.0, 9)], "id long, v double, w long"
+    )
+    merge_hudi(spark, src, t, on=["id"])
+    rows = {r["id"]: r["w"] for r in read_hudi(spark, t).collect()}
+    assert rows[0] == 7 and rows[100] == 9 and rows[3] is None
+    # UPDATE over the added column
+    update_hudi(spark, t, "id = 100", {"w": "w + 1"})
+    assert {r["w"] for r in read_hudi(spark, t)
+            .filter(F.col("id") == 100).collect()} == {10}
+    # rename/drop gate
+    with pytest.raises(ValueError, match="additive"):
+        alter_hudi_table(t, rename={"v": "val"})
+    with pytest.raises(ValueError, match="additive"):
+        alter_hudi_table(t, drop=["v"])
+    with pytest.raises(ValueError, match="exists"):
+        alter_hudi_table(t, add=[("v", "double")])
+    # MERGE_ON_READ: pre-alter logs + post-alter logs merge
+    t2 = str(tmp_path / "amor")
+    write_hudi(df, t2, table_type="MERGE_ON_READ", record_key=["id"])
+    upsert_hudi_mor(
+        spark,
+        spark.createDataFrame([(1, 11.0)], "id long, v double"),
+        t2, on=["id"],
+    )
+    alter_hudi_table(t2, add=[("w", "long")])
+    upsert_hudi_mor(
+        spark,
+        spark.createDataFrame([(2, 22.0, 5)],
+                              "id long, v double, w long"),
+        t2, on=["id"],
+    )
+    rows = {r["id"]: (r["v"], r["w"])
+            for r in read_hudi(spark, t2).collect()}
+    assert rows[1] == (11.0, None)   # pre-alter log row null-fills
+    assert rows[2] == (22.0, 5)      # post-alter log row carries w
+    assert rows[0] == (0.0, None)    # pre-alter base row null-fills

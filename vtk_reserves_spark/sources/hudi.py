@@ -51,7 +51,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
-    "clean_hudi", "cluster_hudi", "compact_hudi_mor",
+    "alter_hudi_table", "clean_hudi", "cluster_hudi",
+    "compact_hudi_mor",
     "delete_from_hudi", "hudi_snapshot", "hudi_timeline",
     "merge_hudi", "read_hudi", "read_hudi_incremental",
     "update_hudi", "upsert_hudi_mor", "write_hudi",
@@ -251,20 +252,25 @@ def read_hudi(
     snap = hudi_snapshot(table, as_of)
     if snap["type"] == "MERGE_ON_READ" and view == "snapshot":
         return _read_hudi_mor(spark, table, snap)
+    declared = _declared_schema(snap)
     if not snap["files"]:
-        declared = _declared_schema(snap)
         if declared is None:
             raise ValueError("hudi: empty table without a recorded "
                              "schema")
         return spark.createDataFrame([], declared)
-    df = spark.read.option(
-        "basePath", os.path.abspath(table)
-    ).parquet(*snap["files"])
+    reader = spark.read.option("basePath", os.path.abspath(table))
+    if declared is not None:
+        # explicit schema-on-read: files predating an
+        # alter_hudi_table ADD null-fill the new column PER FILE
+        # (footer-sampled inference would instead take one file's
+        # shape for the whole scan); wild tables without a recorded
+        # schema keep inference
+        reader = reader.schema(declared)
+    df = reader.parquet(*snap["files"])
     if drop_meta:
         meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
         if meta_cols:
             df = df.drop(*meta_cols)
-    declared = _declared_schema(snap)
     if declared is not None:
         df = _cast_declared(df, declared)
     return df
@@ -286,15 +292,21 @@ def _cast_declared(df: DataFrame, declared, extra: list[str] = ()):
     """Recovered hive-dir partition columns type-infer from the
     directory STRINGS (``p=1`` comes back int even when the column
     is string) — cast every declared column back to its recorded
-    type; columns outside the declared set (``_hoodie_*`` from
-    foreign writers) ride along unchanged."""
+    type; declared columns MISSING from the scan null-fill (files
+    predating an ``alter_hudi_table`` ADD — avro's backward-
+    compatible resolution); columns outside the declared set
+    (``_hoodie_*`` from foreign writers) ride along unchanged."""
     from pyspark.sql import functions as F
 
     have = set(df.columns)
-    exprs = [
-        F.col(f.name).cast(f.dataType).alias(f.name)
-        for f in declared.fields if f.name in have
-    ]
+    exprs = []
+    for f in declared.fields:
+        if f.name in have:
+            exprs.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif not f.name.startswith("_hoodie_"):
+            # null-fill added DATA columns only — meta columns are
+            # ride-along (a drop_meta caller already removed them)
+            exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
     exprs += [F.col(c) for c in df.columns
               if c not in {f.name for f in declared.fields}
               and (c in extra or c.startswith("_hoodie_"))]
@@ -469,11 +481,25 @@ def _read_hudi_mor(
             for b in blocks if H_SCHEMA in b["headers"]
         )
         schema = to_spark_type(avro_schema)
+    if declared is not None:
+        # explicit schema-on-read for the base-file scans: files
+        # predating an alter_hudi_table ADD null-fill per file
+        # (inference would take one sampled footer's shape)
+        reader = reader.schema(declared)
     cols = [f.name for f in schema.fields]
-    cast_cols = [
-        F.col(f.name).cast(f.dataType).alias(f.name)
-        for f in schema.fields
-    ]
+
+    def _cast_fill(df):
+        # cast to the declared types; declared columns MISSING from
+        # a piece null-fill (base files predating an
+        # alter_hudi_table ADD)
+        have = set(df.columns)
+        return [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+
     missing = [k for k in key_fields if k not in cols]
     if missing:
         raise ValueError(f"hudi: record key {missing} not in table")
@@ -487,7 +513,8 @@ def _read_hudi_mor(
         return fallback
 
     if clean_files and not with_fid and not keep_commit_time:
-        pieces.append(reader.parquet(*clean_files).select(*cast_cols))
+        cdf0 = reader.parquet(*clean_files)
+        pieces.append(cdf0.select(*_cast_fill(cdf0)))
     elif clean_files:
         fid_map = spark.createDataFrame(
             [(p, snap["groups"][p][1],
@@ -508,7 +535,7 @@ def _read_hudi_mor(
                 _base_ct(cdf, F.col("_sl_instant"))
                 .alias("_hoodie_commit_time")
             )
-        pieces.append(cdf.select(*cast_cols, *extra))
+        pieces.append(cdf.select(*_cast_fill(cdf), *extra))
     merged = None
     if log_entries:
         sub: list[DataFrame] = []
@@ -524,7 +551,7 @@ def _read_hudi_mor(
             )
             sub.append(
                 bdf.select(
-                    *cast_cols,
+                    *_cast_fill(bdf),
                     F.lit("U").alias("_op"),
                     # base rows sort below every log row of the same
                     # slice (logs commit at strictly later instants)
@@ -889,9 +916,17 @@ def merge_hudi(
         partition_by = [f for f in fields.split(",") if f]
     part_cols = list(partition_by)
     base = os.path.abspath(table)
-    data = spark.read.option("basePath", base).parquet(
-        *snap["files"]
-    ).withColumn("_hudi_file", decoded_file_path(F))
+    declared = _declared_schema(snap)
+    reader = spark.read.option("basePath", base)
+    if declared is not None:
+        # explicit schema-on-read (see read_hudi): files predating
+        # an alter_hudi_table ADD null-fill the new column per file
+        reader = reader.schema(declared)
+    data = reader.parquet(*snap["files"]).withColumn(
+        "_hudi_file", decoded_file_path(F)
+    )
+    if declared is not None:
+        data = _cast_declared(data, declared, extra=["_hudi_file"])
     table_cols = [
         c for c in data.columns
         if c != "_hudi_file" and not c.startswith("_hoodie_")
@@ -899,6 +934,13 @@ def merge_hudi(
     missing = [k for k in on if k not in table_cols]
     if missing:
         raise ValueError(f"hudi: merge keys {missing} not in table")
+    if when_matched == "update" or when_not_matched == "insert":
+        if sorted(source.columns) != sorted(table_cols):
+            raise ValueError(
+                f"hudi: merge source columns "
+                f"{sorted(source.columns)} != table columns "
+                f"{sorted(table_cols)}"
+            )
     keys = source.select(*on).distinct()
     touched = [
         r["_hudi_file"]
@@ -1319,6 +1361,66 @@ def delete_from_hudi(
         spark, matched, table, on=key_fields,
         when_matched="delete", when_not_matched="ignore",
     )
+
+
+def alter_hudi_table(
+    table: str, add: list[tuple[str, str]] | None = None,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> str:
+    """ADDITIVE schema evolution — Hudi's backward-compatible
+    avro-resolution subset: ADD COLUMN commits the widened writer
+    schema as a pure metadata commit (empty write stats,
+    ``extraMetadata.schema``); every reader null-fills the new
+    column for files and log blocks that predate it (exactly how
+    avro resolves a reader schema with a defaulted new field), and
+    later writes carry it.  Returns the commit instant.
+
+    RENAME/DROP gate: unlike Delta (physical-name indirection) and
+    Iceberg (field-id epochs), plain Hudi files carry their
+    write-time column names with no id registry, so a rename would
+    need full schema-on-read epochs — out of this subset, use a
+    rewrite (the same boundary real Hudi draws without
+    ``hoodie.schema.on.read.enable``).
+
+    Note the declared schema follows the LATEST writer (Hudi's
+    schema-on-write): route post-alter changes through the verbs
+    (merge/upsert/update — they validate against the declared
+    columns); a plain ``write_hudi`` append omitting the added
+    column would regress it."""
+    from pyspark.sql import types as T
+
+    if rename or drop:
+        raise ValueError(
+            "hudi: rename/drop need full schema-on-read epochs "
+            "(only additive ADD COLUMN evolution is supported)"
+        )
+    snap = hudi_snapshot(table)
+    declared = _declared_schema(snap)
+    if declared is None:
+        raise ValueError(
+            "hudi: table has no commit-recorded schema to evolve"
+        )
+    fields = list(declared.fields)
+    names = {f.name for f in fields}
+    for name, spark_type in (add or []):
+        if name in names:
+            raise ValueError(f"hudi: column {name!r} exists")
+        if not isinstance(spark_type, str):
+            raise ValueError("hudi: add types are Spark type "
+                             "strings (nested types not supported)")
+        fields.append(T.StructField(
+            name, T._parse_datatype_string(spark_type), True,
+        ))
+        names.add(name)
+    instant = _next_instant(table)
+    _write_hudi_commit_json(
+        table, instant, {}, None, "ALTER_SCHEMA",
+        action=("deltacommit" if _table_type(table)
+                == "MERGE_ON_READ" else None),
+        schema_json=T.StructType(fields).json(),
+    )
+    return instant
 
 
 def clean_hudi(
