@@ -5422,95 +5422,123 @@ def q_cdc_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").cast("long").alias("text_len")
     )
     cols = ["doc_id", "text_len"]
-
-    # ---- leg 1: Delta source -> Hudi MOR replica (with deletes)
     dsrc = os.path.join(root, "delta_src")
     hrep = os.path.join(root, "hudi_replica")
-    write_delta(base.filter(F.col("doc_id") % 2 == 0), dsrc,
-                configuration={"delta.enableChangeDataFeed": "true"})
-    merge_delta(
-        spark,
-        base.filter(
-            ((F.col("doc_id") % 8 == 0)
-             | (F.col("doc_id") % 4 == 1))
-        ).withColumn(
-            "text_len",
-            F.col("text_len") + F.when(
-                F.col("doc_id") % 8 == 0, F.lit(1000)
-            ).otherwise(F.lit(0)),
-        ),
-        dsrc, on=["doc_id"],
-    )
-    delete_delta(spark, dsrc, "doc_id % 16 IN (4, 9)")
-    # seed the replica from version 0's inserts, then drain each
-    # later version's CDF batch: delete leg, then upsert leg
-    seed = read_delta_cdf(spark, dsrc, 0, 0).select(*cols)
-    write_hudi(seed, hrep, table_type="MERGE_ON_READ",
-               record_key=["doc_id"], txn=("d2h", 0))
-    for v in (1, 2):
-        cdf = read_delta_cdf(spark, dsrc, v, v)
-        dels = cdf.filter(F.col("_change_type") == "delete")
-        ups = cdf.filter(
-            F.col("_change_type").isin("insert", "update_postimage")
-        )
-        if dels.limit(1).count():
-            upsert_hudi_mor(
-                spark, dels.select(*cols), hrep, on=["doc_id"],
-                when_matched="delete", when_not_matched="ignore",
-                txn=("d2h", 2 * v),
-            )
-        if ups.limit(1).count():
-            upsert_hudi_mor(
-                spark, ups.select(*cols), hrep, on=["doc_id"],
-                txn=("d2h", 2 * v + 1),
-            )
-    # POISONED redelivery of version 1's batch under its original
-    # txn ids: a delete-everything leg + a +777 upsert — both must
-    # skip via the commit-extraMetadata ledger
-    upsert_hudi_mor(
-        spark, read_delta(spark, dsrc).select(*cols), hrep,
-        on=["doc_id"], when_matched="delete",
-        when_not_matched="ignore", txn=("d2h", 2),
-    )
-    upsert_hudi_mor(
-        spark,
-        seed.withColumn("text_len", F.col("text_len") + 777),
-        hrep, on=["doc_id"], txn=("d2h", 3),
-    )
-
-    # ---- leg 2: Hudi CoW source -> Delta replica
     hsrc = os.path.join(root, "hudi_src")
     drep = os.path.join(root, "delta_replica")
-    write_hudi(base.filter(F.col("doc_id") % 2 == 0), hsrc,
-               record_key=["doc_id"])
-    write_hudi(base.filter(F.col("doc_id") % 4 == 1), hsrc)
-    merge_hudi(
-        spark,
-        base.filter(F.col("doc_id") % 8 == 0).withColumn(
-            "text_len", F.col("text_len") + 1000
-        ),
-        hsrc, on=["doc_id"],
-    )
-    instants = [i for i, _, _ in hudi_timeline(hsrc)]
-    prev = "0"
-    for n, inst in enumerate(instants):
-        batch = read_hudi_incremental(
-            spark, hsrc, begin_instant=prev, end_instant=inst
-        ).select(*cols)
-        if n == 0:
-            write_delta(batch, drep, txn=("h2d", 0))
-        else:
-            merge_delta(spark, batch, drep, on=["doc_id"],
-                        txn=("h2d", n))
-        prev = inst
-    # poisoned redelivery of the merge batch under its txn id
-    merge_delta(
-        spark,
-        read_delta(spark, drep).withColumn(
-            "text_len", F.col("text_len") + 777
-        ),
-        drep, on=["doc_id"], txn=("h2d", len(instants) - 1),
-    )
+
+    def _leg_d2h() -> None:
+        # ---- leg 1: Delta source -> Hudi MOR replica (with deletes)
+        write_delta(base.filter(F.col("doc_id") % 2 == 0), dsrc,
+                    configuration={"delta.enableChangeDataFeed": "true"})
+        merge_delta(
+            spark,
+            base.filter(
+                ((F.col("doc_id") % 8 == 0)
+                 | (F.col("doc_id") % 4 == 1))
+            ).withColumn(
+                "text_len",
+                F.col("text_len") + F.when(
+                    F.col("doc_id") % 8 == 0, F.lit(1000)
+                ).otherwise(F.lit(0)),
+            ),
+            dsrc, on=["doc_id"],
+        )
+        delete_delta(spark, dsrc, "doc_id % 16 IN (4, 9)")
+        # seed the replica from version 0's inserts, then drain each
+        # later version's CDF batch: delete leg, then upsert leg
+        seed = read_delta_cdf(spark, dsrc, 0, 0).select(*cols)
+        write_hudi(seed, hrep, table_type="MERGE_ON_READ",
+                   record_key=["doc_id"], txn=("d2h", 0))
+        for v in (1, 2):
+            # each version's batch materializes ONCE: the emptiness
+            # probes and both upsert legs read the same blocks instead
+            # of re-running the CDF scan per action (the probe pair +
+            # per-leg re-scans were 3 extra jobs per version)
+            cdf = read_delta_cdf(spark, dsrc, v, v).select(
+                "_change_type", *cols
+            ).localCheckpoint(eager=True)
+            n_by_type = {
+                r["_change_type"]: r["n"]
+                for r in cdf.groupBy("_change_type")
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            if n_by_type.get("delete"):
+                upsert_hudi_mor(
+                    spark,
+                    cdf.filter(F.col("_change_type") == "delete")
+                    .select(*cols),
+                    hrep, on=["doc_id"],
+                    when_matched="delete", when_not_matched="ignore",
+                    txn=("d2h", 2 * v),
+                )
+            if (n_by_type.get("insert", 0)
+                    or n_by_type.get("update_postimage", 0)):
+                upsert_hudi_mor(
+                    spark,
+                    cdf.filter(F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    )).select(*cols),
+                    hrep, on=["doc_id"],
+                    txn=("d2h", 2 * v + 1),
+                )
+        # POISONED redelivery of version 1's batch under its original
+        # txn ids: a delete-everything leg + a +777 upsert — both must
+        # skip via the commit-extraMetadata ledger
+        upsert_hudi_mor(
+            spark, read_delta(spark, dsrc).select(*cols), hrep,
+            on=["doc_id"], when_matched="delete",
+            when_not_matched="ignore", txn=("d2h", 2),
+        )
+        upsert_hudi_mor(
+            spark,
+            seed.withColumn("text_len", F.col("text_len") + 777),
+            hrep, on=["doc_id"], txn=("d2h", 3),
+        )
+
+    def _leg_h2d() -> None:
+        # ---- leg 2: Hudi CoW source -> Delta replica
+        write_hudi(base.filter(F.col("doc_id") % 2 == 0), hsrc,
+                   record_key=["doc_id"])
+        write_hudi(base.filter(F.col("doc_id") % 4 == 1), hsrc)
+        merge_hudi(
+            spark,
+            base.filter(F.col("doc_id") % 8 == 0).withColumn(
+                "text_len", F.col("text_len") + 1000
+            ),
+            hsrc, on=["doc_id"],
+        )
+        instants = [i for i, _, _ in hudi_timeline(hsrc)]
+        prev = "0"
+        for n, inst in enumerate(instants):
+            batch = read_hudi_incremental(
+                spark, hsrc, begin_instant=prev, end_instant=inst
+            ).select(*cols)
+            if n == 0:
+                write_delta(batch, drep, txn=("h2d", 0))
+            else:
+                merge_delta(spark, batch, drep, on=["doc_id"],
+                            txn=("h2d", n))
+            prev = inst
+        # poisoned redelivery of the merge batch under its txn id
+        merge_delta(
+            spark,
+            read_delta(spark, drep).withColumn(
+                "text_len", F.col("text_len") + 777
+            ),
+            drep, on=["doc_id"], txn=("h2d", len(instants) - 1),
+        )
+
+    # the two replication legs share NOTHING (distinct source and
+    # replica tables): run them as concurrent driver jobs so one
+    # leg's tasks back-fill the executor slots the other leg's
+    # commit/metadata tail leaves idle (guide §2.6 — actions are only
+    # sequential because driver code calls them sequentially)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_leg_d2h), pool.submit(_leg_h2d)]:
+            f.result()
 
     return read_hudi(spark, hrep).select(
         F.lit("hudi_replica").alias("leg"), *cols
@@ -6989,18 +7017,34 @@ def q_lakehouse_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("text_len"),
         (F.col("doc_id") % 3).cast("long").alias("flag"),
     )
-    write_delta(base, td, configuration={
-        "delta.enableChangeDataFeed": "true"
-    })
-    write_iceberg(base, ti)
-    write_hudi(base, th, table_type="MERGE_ON_READ",
-               record_key=["doc_id"])
     cond = "doc_id % 9 = 2"
     assigns = {"text_len": "text_len + flag * 1000",
                "flag": "flag + 1"}
-    update_delta(spark, td, cond, assigns)
-    update_iceberg(spark, ti, cond, assigns)
-    update_hudi(spark, th, cond, assigns)
+
+    # three independent engines on three independent tables: run the
+    # write+update leg of each format concurrently so one engine's
+    # driver-side commit work overlaps another's tasks (guide §2.6)
+    def _leg_delta() -> None:
+        write_delta(base, td, configuration={
+            "delta.enableChangeDataFeed": "true"
+        })
+        update_delta(spark, td, cond, assigns)
+
+    def _leg_iceberg() -> None:
+        write_iceberg(base, ti)
+        update_iceberg(spark, ti, cond, assigns)
+
+    def _leg_hudi() -> None:
+        write_hudi(base, th, table_type="MERGE_ON_READ",
+                   record_key=["doc_id"])
+        update_hudi(spark, th, cond, assigns)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(_leg_delta), pool.submit(_leg_iceberg),
+                  pool.submit(_leg_hudi)]:
+            f.result()
     cols = ["doc_id", "text_len", "flag"]
     legs = [
         read_delta(spark, td).select(

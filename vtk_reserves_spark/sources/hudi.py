@@ -1182,10 +1182,13 @@ def upsert_hudi_mor(
                 f"table columns {sorted(cols)}"
             )
     # one materialization feeds both the matched join and the
-    # insert anti-join (the route would otherwise re-scan twice)
-    route = _route_hudi_keys(
-        spark, table, snap, key_fields
-    ).localCheckpoint(eager=True)
+    # insert anti-join (the route would otherwise re-scan twice);
+    # under when_not_matched="ignore" the route is consumed exactly
+    # once (the matched join), so the checkpoint job would be a pure
+    # extra pass — stream it into the log-write job instead
+    route = _route_hudi_keys(spark, table, snap, key_fields)
+    if when_not_matched == "insert":
+        route = route.localCheckpoint(eager=True)
     src = source.withColumn("_key", _key_expr(F, key_fields))
     matched = src.join(route, "_key", "inner")
     meta = _slice_meta(snap)
@@ -1198,9 +1201,14 @@ def upsert_hudi_mor(
     )
 
     if when_matched == "update":
+        # project the source schema to the table columns in-process
+        # (an empty createDataFrame().select() costs two py4j
+        # analysis round-trips per upsert for the same StructType)
+        from pyspark.sql import types as T
+
+        by_name = {f.name: f for f in source.schema.fields}
         avro_schema = avro_schema_for_spark(
-            spark.createDataFrame([], source.schema)
-            .select(*cols).schema
+            T.StructType([by_name[c] for c in cols])
         )
     else:
         avro_schema = DELETE_SCHEMA
