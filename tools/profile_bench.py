@@ -25,8 +25,11 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     evdir = "/tmp/spark-events-profile"
     os.makedirs(evdir, exist_ok=True)
+    import shutil
+
     for f in os.listdir(evdir):
-        os.unlink(os.path.join(evdir, f))
+        p = os.path.join(evdir, f)
+        shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
 
     from pyspark.sql import SparkSession
 
@@ -68,9 +71,17 @@ def main() -> None:
         spark.sparkContext.setJobDescription(None)
     spark.stop()
 
-    # post-process event log
-    ev = [os.path.join(evdir, f) for f in os.listdir(evdir)
-          if not f.startswith(".")]
+    # post-process event log (Spark 4 may write a rolling eventlog_v2_* dir)
+    ev = []
+    for f in os.listdir(evdir):
+        if f.startswith("."):
+            continue
+        p = os.path.join(evdir, f)
+        if os.path.isdir(p):
+            ev.extend(os.path.join(p, g) for g in os.listdir(p)
+                      if g.startswith("events"))
+        else:
+            ev.append(p)
     jobs: dict[str, list[tuple[float, float]]] = {}
     starts: dict[int, tuple[str, float]] = {}
     for path in ev:

@@ -371,6 +371,7 @@ def read_delta(
     spark: SparkSession, table: str, version: int | None = None,
     with_file_path: bool = False,
     partition_filter: dict | None = None,
+    _snap: dict | None = None,
 ) -> DataFrame:
     """Delta table -> DataFrame at the requested (or latest) version.
 
@@ -393,8 +394,14 @@ def read_delta(
     (exact string match, null matches None) before any data I/O —
     the same elimination layer as
     `sources/iceberg.read_iceberg(partition_filter=...)`; Catalyst's
-    own partition pruning still applies on whatever survives."""
-    snap = delta_snapshot(table, version)
+    own partition pruning still applies on whatever survives.
+
+    ``_snap`` (internal): a snapshot dict already parsed by the
+    caller (merge/update/optimize re-use theirs) — skips a second
+    log replay for the same version."""
+    snap = dict(_snap) if _snap is not None else delta_snapshot(
+        table, version
+    )
     if partition_filter:
         # the filter speaks LOGICAL names; the log's recorded
         # partitionValues keys are PHYSICAL on mapped tables
@@ -449,6 +456,20 @@ def read_delta(
         # the struct under their physical names, which is what the
         # hive directories carry — Spark fills them from the dirs.
         reader = reader.schema(_physical_struct(snap["metadata"]))
+    else:
+        # unmapped tables scan under the LOG's schema too (delta-spark
+        # semantics: metaData.schemaString is authoritative).  Besides
+        # correctness this skips the driver-side footer-sampling job
+        # every schema-inferring parquet read otherwise launches —
+        # the dominant fixed cost of metadata-heavy verbs (merge/CDF
+        # replication chains run dozens of scans per query).
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(
+            StructType.fromJson(
+                json.loads(snap["metadata"]["schemaString"])
+            )
+        )
 
     def rename(df):
         if not mapping:
@@ -559,6 +580,26 @@ def read_delta_cdf(
     }
     base = os.path.abspath(table)
     mapping = _column_mapping(meta)
+    # explicit read schemas (same rationale as read_delta): the range
+    # is guarded to a single table schema, so the head schema is exact
+    # for every file in it — and the reader skips its footer-sampling
+    # JOB per scan.  cdc files may or may not carry partition columns
+    # in content (delta-spark omits them; partitionValues fill them),
+    # so the per-batch cdc schema comes from ONE driver-side footer
+    # read (local metadata, no Spark job) intersected with the head
+    # physical struct.
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    _phys_struct = _physical_struct(meta)
+
+    def _cdc_schema(first_path: str) -> StructType:
+        import pyarrow.parquet as _pq
+
+        file_cols = set(_pq.read_schema(first_path).names)
+        return StructType(
+            [f for f in _phys_struct.fields if f.name in file_cols]
+            + [StructField("_change_type", StringType())]
+        )
 
     def _to_logical(df):
         # column-mapped tables: data files AND _change_data files
@@ -632,7 +673,8 @@ def read_delta_cdf(
             # missing columns from the actions' authoritative
             # partitionValues via ONE broadcast path->values join.
             cdf = _to_logical(
-                spark.read.parquet(*[p for p, _ in cdc_actions])
+                spark.read.schema(_cdc_schema(cdc_actions[0][0]))
+                .parquet(*[p for p, _ in cdc_actions])
             )
             missing = [c for c in cols if c not in cdf.columns]
             if not missing:
@@ -682,14 +724,14 @@ def read_delta_cdf(
                 sub.append(
                     _filled(
                         spark.read.option("basePath", base)
-                        .parquet(*add_paths)
+                        .schema(_phys_struct).parquet(*add_paths)
                     ).withColumn("_change_type", F.lit("insert"))
                 )
             if rem_paths:
                 sub.append(
                     _filled(
                         spark.read.option("basePath", base)
-                        .parquet(*rem_paths)
+                        .schema(_phys_struct).parquet(*rem_paths)
                     ).withColumn("_change_type", F.lit("delete"))
                 )
         if not sub:
@@ -1014,6 +1056,35 @@ def _physical_struct(meta: dict):
     return StructType.fromJson({"type": "struct", "fields": fields})
 
 
+def _cast_declared_types(df: DataFrame, meta: dict) -> DataFrame:
+    """Cast the table's schema columns to their DECLARED types
+    (``schemaString``) — the implicit cast delta-spark applies to
+    MERGE/UPDATE sources, so a wider-typed source (e.g. a ``long``
+    expression merged into an ``int`` column) can never stage files
+    whose parquet types contradict the table metadata (the explicit
+    schema-on-read in :func:`read_delta` trusts the metadata).
+    Non-schema columns (``_change_type``) pass through untouched."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    declared = {
+        f.name: f.dataType
+        for f in StructType.fromJson(
+            json.loads(meta["schemaString"])
+        ).fields
+    }
+    if all(
+        declared.get(c) is None or str(t) == declared[c].simpleString()
+        for c, t in df.dtypes
+    ):
+        return df
+    return df.select(*[
+        F.col(c).cast(declared[c]).alias(c) if c in declared
+        else F.col(c)
+        for c in df.columns
+    ])
+
+
 def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
     """Project a LOGICAL-schema DataFrame to the table's physical
     column names (and declared field order) for writing.  Identity
@@ -1212,7 +1283,7 @@ def update_delta(
     bad = [c for c in assignments if c not in table_cols]
     if bad:
         raise ValueError(f"delta: SET columns {bad} not in table")
-    data = read_delta(spark, table, with_file_path=True)
+    data = read_delta(spark, table, with_file_path=True, _snap=snap)
     cond = F.expr(condition)
     touched_abs = [
         r["_delta_file"]
@@ -1248,12 +1319,19 @@ def update_delta(
         )
         cdc_actions = _stage_and_promote_cdc(
             _cdc_to_physical(
-                pre.unionByName(post), snap["metadata"]
+                _cast_declared_types(
+                    pre.unionByName(post), snap["metadata"]
+                ),
+                snap["metadata"],
             ),
             table,
         )
     adds = _stage_and_promote(
-        _to_physical(new_df, snap["metadata"]), table,
+        _to_physical(
+            _cast_declared_types(new_df, snap["metadata"]),
+            snap["metadata"],
+        ),
+        table,
         _physical_part_cols(snap["metadata"]) or None,
     )
     version = snap["version"] + 1
@@ -1294,9 +1372,11 @@ def delete_delta(
     from urllib.parse import unquote
 
     base = os.path.abspath(table)
-    reader = spark.read.option("basePath", base)
-    if mapping:
-        reader = reader.schema(_physical_struct(snap["metadata"]))
+    # explicit schema always (see read_delta): physical struct is the
+    # identity struct on unmapped tables, and skips schema inference
+    reader = spark.read.option("basePath", base).schema(
+        _physical_struct(snap["metadata"])
+    )
     paths = [
         os.path.join(base, unquote(p)) for p, _, _, _ in snap["files"]
     ]
@@ -1504,7 +1584,7 @@ def merge_delta(
                 f"delta: merge source columns {sorted(source.columns)} "
                 f"!= table columns {sorted(table_cols)}"
             )
-    data = read_delta(spark, table, with_file_path=True)
+    data = read_delta(spark, table, with_file_path=True, _snap=snap)
     keys = source.select(*on).distinct()
     # pass 1: which files hold a matched key (file list only)
     touched_abs = [
@@ -1596,7 +1676,10 @@ def merge_delta(
         if cdf_parts:
             cdc_actions = _stage_and_promote_cdc(
                 _cdc_to_physical(
-                    reduce(DataFrame.unionByName, cdf_parts),
+                    _cast_declared_types(
+                        reduce(DataFrame.unionByName, cdf_parts),
+                        snap["metadata"],
+                    ),
                     snap["metadata"],
                 ),
                 table,
@@ -1608,7 +1691,11 @@ def merge_delta(
         for p in pieces[1:]:
             new_df = new_df.unionByName(p)
         adds = _stage_and_promote(
-            _to_physical(new_df, snap["metadata"]), table,
+            _to_physical(
+                _cast_declared_types(new_df, snap["metadata"]),
+                snap["metadata"],
+            ),
+            table,
             _physical_part_cols(snap["metadata"]) or None,
         )
     write_delta_commit(table, version, adds=adds, removes=removes,
@@ -1650,7 +1737,7 @@ def optimize_delta(
     if len(victims) < (1 if zorder_by else 2):
         return snap["version"]  # nothing to compact
     victim_abs = {os.path.join(base, unquote(p)) for p in victims}
-    data = read_delta(spark, table, with_file_path=True)
+    data = read_delta(spark, table, with_file_path=True, _snap=snap)
     from pyspark.sql import functions as F
 
     rows = data.filter(

@@ -487,6 +487,19 @@ def _scan_snapshot(spark: SparkSession, table: str, snap: dict,
 
     base = os.path.abspath(table)
     reader = spark.read.option("basePath", base)
+    if not snap.get("partition_spec"):
+        # unpartitioned tables scan under the METADATA schema —
+        # exact (the writer recorded it from the written DataFrame)
+        # and skips the driver-side footer-sampling job every
+        # schema-inferring read launches; partitioned tables keep
+        # inference (hive-dir transform columns are outside the
+        # logical schema).
+        try:
+            reader = reader.schema(
+                _spark_schema_from_iceberg(snap["schema"])
+            )
+        except ValueError:
+            pass  # types outside the subset: infer as before
     # hidden partitioning: non-identity transform fields exist only
     # as directory keys (the source columns live inside the data
     # files), so drop what the hive-dir scan reconstructs — the
@@ -577,7 +590,9 @@ def _apply_row_deletes(spark: SparkSession, base: str,
         data = data.join(F.broadcast(positions), cond, "left_anti")
     if pos_dels:
         parts = [
-            spark.read.parquet(p).select(
+            # spec-fixed delete-file schema: skips schema inference
+            spark.read.schema("file_path string, pos long")
+            .parquet(p).select(
                 _normalized_path_col(F, F.col("file_path"), base)
                 .alias("_pd_path"),
                 F.col("pos").alias("_pd_pos"),
@@ -689,6 +704,35 @@ def _spark_schema_from_iceberg(schema: dict | None):
             )
         parts.append(f"`{f['name']}` {st}")
     return _parse_datatype_string(", ".join(parts))
+
+
+def _cast_declared_types(df: DataFrame, snap: dict) -> DataFrame:
+    """Cast the table's schema columns to their DECLARED metadata
+    types — the implicit cast iceberg-spark applies to MERGE/UPDATE
+    sources, so a wider-typed source expression can never stage
+    files whose parquet types contradict the table schema (the
+    explicit schema-on-read in :func:`_scan_snapshot` trusts the
+    metadata).  Columns outside the schema pass through; tables
+    with types outside the readable subset are left unchanged."""
+    from pyspark.sql import functions as F
+
+    try:
+        declared = {
+            f.name: f.dataType
+            for f in _spark_schema_from_iceberg(snap["schema"]).fields
+        }
+    except ValueError:
+        return df
+    if all(
+        declared.get(c) is None or str(t) == declared[c].simpleString()
+        for c, t in df.dtypes
+    ):
+        return df
+    return df.select(*[
+        F.col(c).cast(declared[c]).alias(c) if c in declared
+        else F.col(c)
+        for c in df.columns
+    ])
 
 
 # ------------------------------------------------- partition transforms
@@ -1411,7 +1455,8 @@ def update_iceberg(
         e["name"] for e in snap.get("partition_spec") or []
     ]
     data_files = _stage_rewrite(
-        spark, table, snap, rows.select(*sel), part_cols
+        spark, table, snap,
+        _cast_declared_types(rows.select(*sel), snap), part_cols
     )
     snapshot_id = _next_snapshot_id(table)
     append_iceberg_snapshot(
@@ -1553,7 +1598,10 @@ def merge_iceberg(
     new_df = pieces[0]
     for p in pieces[1:]:
         new_df = new_df.unionByName(p)
-    data_files = _stage_rewrite(spark, table, snap, new_df, part_cols)
+    data_files = _stage_rewrite(
+        spark, table, snap, _cast_declared_types(new_df, snap),
+        part_cols,
+    )
     snapshot_id = _next_snapshot_id(table)
     summary_extra = {"operation-detail": "merge"}
     props_update = None
@@ -1611,7 +1659,15 @@ def delete_from_iceberg(
             apply_deletes=True, keep_pos=True,
         )
     else:
-        data = spark.read.option("basePath", base).parquet(
+        reader = spark.read.option("basePath", base)
+        if not snap.get("partition_spec"):
+            try:  # explicit schema: skip inference (see _scan_snapshot)
+                reader = reader.schema(
+                    _spark_schema_from_iceberg(snap["schema"])
+                )
+            except ValueError:
+                pass
+        data = reader.parquet(
             *snap["files"]
         ).withColumns({
             "_ice_path": decoded_file_path(F),
@@ -1878,7 +1934,15 @@ def _rewrite_files_batch(
         sub["files"] = victims
         rows = _scan_snapshot(spark, table, sub, keep_hidden=True)
     else:
-        rows = spark.read.option("basePath", base).parquet(*victims)
+        reader = spark.read.option("basePath", base)
+        if not part_fields and not snap.get("partition_spec"):
+            try:  # explicit schema: skip inference (see _scan_snapshot)
+                reader = reader.schema(
+                    _spark_schema_from_iceberg(snap["schema"])
+                )
+            except ValueError:
+                pass
+        rows = reader.parquet(*victims)
     rows = rows.coalesce(max(1, len(victims) // 8))
     stage = os.path.join(table, f".stage-{_uuid.uuid4().hex}")
     writer = rows.write.mode("overwrite")
@@ -1950,9 +2014,15 @@ def read_iceberg_incremental(
         return spark.createDataFrame(
             [], _spark_schema_from_iceberg(cur["schema"])
         )
-    df = spark.read.option(
-        "basePath", os.path.abspath(table)
-    ).parquet(*new)
+    reader = spark.read.option("basePath", os.path.abspath(table))
+    if not cur.get("partition_spec"):
+        try:  # explicit schema: skip inference (see _scan_snapshot)
+            reader = reader.schema(
+                _spark_schema_from_iceberg(cur["schema"])
+            )
+        except ValueError:
+            pass
+    df = reader.parquet(*new)
     return df.drop(*hidden) if hidden else df
 
 
@@ -2638,7 +2708,16 @@ def _epoch_scan(
     for ei, files in sorted(groups.items()):
         efields = log[ei]["fields"] if log else cur_fields
         name_by_id = {int(f["id"]): f["name"] for f in efields}
-        df = spark.read.option("basePath", base).parquet(*files)
+        reader = spark.read.option("basePath", base)
+        if not snap.get("partition_spec"):
+            try:  # epoch schema is exact for this file group: skip
+                # inference (see _scan_snapshot)
+                reader = reader.schema(
+                    _spark_schema_from_iceberg({"fields": efields})
+                )
+            except ValueError:
+                pass
+        df = reader.parquet(*files)
         sel = []
         for f in cur_fields:
             fid, name = int(f["id"]), f["name"]
@@ -2791,7 +2870,8 @@ def iceberg_changelog(
                 affected.add(ref)
             if pos_changed:
                 tgt = reduce(DataFrame.unionByName, [
-                    spark.read.parquet(p).select(
+                    spark.read.schema("file_path string, pos long")
+                    .parquet(p).select(
                         _normalized_path_col(
                             F, F.col("file_path"), base
                         ).alias("_t"))
