@@ -50,7 +50,7 @@ def hyperplane_dot(vec: Column, weights: list[float]) -> Column:
     """Dot of a vector column with a literal hyperplane (for LSH): the
     constants are baked into the plan, so both Spark and an ANSI-SQL
     oracle evaluate the identical expression."""
-    arr = F.array(*[F.lit(float(w)) for w in weights])
+    arr = F.lit([float(w) for w in weights])
     return dot(vec, arr)
 
 

@@ -547,7 +547,10 @@ def bloom_decontaminate(
     from vtk_reserves_spark.functions.text import shingles_of_tokens
 
     m_bits = 64 * len(bloom_bits)
-    bits_lit = F.array(*[F.lit(int(b)).cast("long") for b in bloom_bits])
+    # one array<long> literal (python int infers long), not a CreateArray
+    # of m_bits/64 child casts — the bitset is plan metadata, build it in
+    # one py4j call so driver cost stays flat as the filter grows
+    bits_lit = F.lit([int(b) for b in bloom_bits])
 
     def hit(g: Column) -> Column:
         c = F.lit(True)

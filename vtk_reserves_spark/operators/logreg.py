@@ -97,33 +97,44 @@ def logreg_fit(
         F.col(features_col).alias("f"),
         F.col(label_col).cast("double").alias("y"),
     )
+    # every iteration re-scans `data`; persist the narrow (f, y)
+    # projection so iterations 2..n read the cached columns instead of
+    # re-running the feature-extraction lineage (regex/text exprs cost
+    # far more than the per-row BLAS).  Single-iteration fits skip the
+    # cache write — there is no reuse to pay for.
+    if n_iter > 1:
+        data = data.persist()
     n_total = 0
-    for _ in range(n_iter):
-        parts = data.mapInPandas(
-            make_pass(w.copy()),
-            "n long, g array<double>, h array<double>",
-        ).collect()  # driver-sized: one small row per partition
-        if not parts:
-            raise ValueError("logreg_fit: empty input")
-        n_total = sum(r["n"] for r in parts)
-        g = np.zeros(k)
-        h = np.zeros((k, k))
-        for r in parts:
-            g += np.asarray(r["g"])
-            h += np.asarray(r["h"]).reshape(k, k)
-        if reg:
-            ridge = np.full(k, reg)
-            if intercept:
-                ridge[-1] = 0.0
-            g -= ridge * w
-            h += np.diag(ridge)
-        # damped fallback keeps a singular Hessian (separable data /
-        # constant features) from aborting the fit
-        try:
-            step = np.linalg.solve(h, g)
-        except np.linalg.LinAlgError:
-            step = np.linalg.lstsq(h, g, rcond=None)[0]
-        w = w + step
+    try:
+        for _ in range(n_iter):
+            parts = data.mapInPandas(
+                make_pass(w.copy()),
+                "n long, g array<double>, h array<double>",
+            ).collect()  # driver-sized: one small row per partition
+            if not parts:
+                raise ValueError("logreg_fit: empty input")
+            n_total = sum(r["n"] for r in parts)
+            g = np.zeros(k)
+            h = np.zeros((k, k))
+            for r in parts:
+                g += np.asarray(r["g"])
+                h += np.asarray(r["h"]).reshape(k, k)
+            if reg:
+                ridge = np.full(k, reg)
+                if intercept:
+                    ridge[-1] = 0.0
+                g -= ridge * w
+                h += np.diag(ridge)
+            # damped fallback keeps a singular Hessian (separable data /
+            # constant features) from aborting the fit
+            try:
+                step = np.linalg.solve(h, g)
+            except np.linalg.LinAlgError:
+                step = np.linalg.lstsq(h, g, rcond=None)[0]
+            w = w + step
+    finally:
+        if n_iter > 1:
+            data.unpersist()
     return {
         "weights": w[:d],
         "intercept": float(w[d]) if intercept else 0.0,

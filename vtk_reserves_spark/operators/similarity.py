@@ -484,6 +484,16 @@ def kmeans_fit(
                 lambda s: s["_v"],
             ).alias("centroid")
         )
+        # materialize the k-row centroid relation each round (the bpe.py
+        # device) once the fit is deep enough to matter: without it
+        # iteration i's plan re-derives every earlier assignment pass
+        # wherever `cent` is referenced, so final-evaluation work grows
+        # combinatorially with n_iter.  At n_iter <= 2 the lazy plan is
+        # measurably CHEAPER than paying an eager job per round
+        # (isolated best-of-3: 1.85 s lazy vs 2.6 s checkpointed on
+        # q:kmeans), so shallow fits keep it.  k rows: metadata sized.
+        if n_iter > 2:
+            cent = cent.localCheckpoint(eager=True)
     return cent.join(counts, "centroid_id").select(
         "centroid_id", "n_assigned", "centroid"
     )
@@ -877,9 +887,10 @@ def sq_encode(
     HALF_UP rounding via bround+0.5-floor... spark's ``round`` is
     HALF_UP on doubles, matching the closed-form SQL oracle), fully
     deterministic — so encode/decode hash-match SQL end-to-end."""
-    mins = F.array(*[F.lit(mn) for mn, _ in stats])
-    scales = F.array(*[
-        F.lit(255.0 / (mx - mn) if mx > mn else 0.0)
+    # single array literals (one py4j call each, d-independent driver cost)
+    mins = F.lit([float(mn) for mn, _ in stats])
+    scales = F.lit([
+        255.0 / (mx - mn) if mx > mn else 0.0
         for mn, mx in stats
     ])
     code = F.zip_with(
@@ -905,10 +916,8 @@ def sq_decode(
     """Inverse map: ``code / 255 * (max - min) + min`` — the
     reconstruction used at search time; quantization error is
     bounded by half a step per dimension."""
-    mins = F.array(*[F.lit(mn) for mn, _ in stats])
-    steps = F.array(*[
-        F.lit((mx - mn) / 255.0) for mn, mx in stats
-    ])
+    mins = F.lit([float(mn) for mn, _ in stats])
+    steps = F.lit([(mx - mn) / 255.0 for mn, mx in stats])
     rec = F.zip_with(
         F.zip_with(
             F.col(codes_col), steps,

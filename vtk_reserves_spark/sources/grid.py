@@ -34,6 +34,10 @@ from pyspark.sql import functions as F
 
 #: target cells per task when auto-partitioning a generated grid
 _CELLS_PER_PARTITION = 4_000_000
+#: fan-out floor: small grids still split across cores (heavy per-cell
+#: kernels would otherwise run on ONE task), but never below this many
+#: cells per task so trivial grids don't schedule empty tasks
+_MIN_CELLS_PER_PARTITION = 1024
 
 
 @dataclass(frozen=True)
@@ -152,7 +156,17 @@ def grid_df(
     dx, dy, dz = gs.spacing
     n = gs.n_cells
     if num_partitions is None:
-        num_partitions = max(1, min(100_000, n // _CELLS_PER_PARTITION))
+        # two-sided scaling: big grids split at _CELLS_PER_PARTITION so
+        # partition count tracks cell count, but small grids must still
+        # FAN OUT — n // 4M pins anything under 4M cells to ONE task, and
+        # a heavy per-cell kernel downstream (supersampled clipping,
+        # parity ray-casts) then runs serially however many cores the
+        # cluster has.  Floor at defaultParallelism (capped so tiny grids
+        # don't schedule empty tasks).
+        par = spark.sparkContext.defaultParallelism
+        by_size = n // _CELLS_PER_PARTITION
+        by_cores = min(par, -(-n // _MIN_CELLS_PER_PARTITION))
+        num_partitions = max(1, min(100_000, max(by_size, by_cores)))
     df = spark.range(0, n, 1, num_partitions)
     i = (F.col("id") % nx).cast("int")
     j = ((F.col("id") / nx).cast("long") % ny).cast("int")
