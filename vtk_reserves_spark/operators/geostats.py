@@ -809,15 +809,40 @@ def nscore(
         # calls, twice.)  Spark double semantics — NaN compares greater
         # than everything — send NaNs right at every node, i.e. into
         # the LAST bucket, matching their sort position.
-        def bisect(i: int, j: int):
+        #
+        # The tree is built as ONE SQL string parsed by F.expr, not
+        # nested F.when calls: 127 bounds = ~700 py4j round-trips,
+        # measured ~1.0 s of driver time PER CALL, vs ~5 ms to build
+        # and parse the identical CASE tree ('D' suffix = double
+        # literals, so the comparisons are the same double >= double).
+        # Non-finite bounds (NaN/inf have no SQL literal) fall back to
+        # the original Column construction — same tree either way.
+        import math
+
+        vs = f"CAST(`{value_col.replace('`', '``')}` AS DOUBLE)"
+
+        def sql_bisect(i: int, j: int) -> str:
+            if i == j:
+                return str(i)
+            m = (i + j) // 2
+            return (
+                f"CASE WHEN {vs} >= {bounds[m]!r}D "
+                f"THEN {sql_bisect(m + 1, j)} "
+                f"ELSE {sql_bisect(i, m)} END"
+            )
+
+        def col_bisect(i: int, j: int):
             if i == j:
                 return F.lit(i)
             m = (i + j) // 2
-            return F.when(v >= F.lit(bounds[m]), bisect(m + 1, j)).otherwise(
-                bisect(i, m)
-            )
+            return F.when(
+                v >= F.lit(bounds[m]), col_bisect(m + 1, j)
+            ).otherwise(col_bisect(i, m))
 
-        bucket = bisect(0, len(bounds))
+        if all(math.isfinite(b) for b in bounds):
+            bucket = F.expr(sql_bisect(0, len(bounds)))
+        else:
+            bucket = col_bisect(0, len(bounds))
     else:
         bucket = F.lit(0)
     withb = nn.withColumn("_nsb", bucket.cast("int"))
