@@ -82,10 +82,23 @@ def main() -> None:
                       if g.startswith("events"))
         else:
             ev.append(p)
+    def _open_eventlog(path: str):
+        # Spark 4 compresses rolling event logs (…/events_N_appid.zstd);
+        # pyarrow stream-decompresses the frame format
+        if path.endswith(".zstd"):
+            import io
+
+            import pyarrow as pa
+
+            return io.TextIOWrapper(
+                pa.input_stream(path, compression="zstd"), errors="replace"
+            )
+        return open(path, errors="replace")
+
     jobs: dict[str, list[tuple[float, float]]] = {}
     starts: dict[int, tuple[str, float]] = {}
     for path in ev:
-        with open(path) as fh:
+        with _open_eventlog(path) as fh:
             for line in fh:
                 try:
                     e = json.loads(line)

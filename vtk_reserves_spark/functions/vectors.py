@@ -50,8 +50,9 @@ def hyperplane_dot(vec: Column, weights: list[float]) -> Column:
     """Dot of a vector column with a literal hyperplane (for LSH): the
     constants are baked into the plan, so both Spark and an ANSI-SQL
     oracle evaluate the identical expression."""
-    arr = F.lit([float(w) for w in weights])
-    return dot(vec, arr)
+    from vtk_reserves_spark.functions.plan_literals import lit_double_array
+
+    return dot(vec, lit_double_array(weights))
 
 
 def lsh_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:

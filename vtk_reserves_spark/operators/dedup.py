@@ -547,10 +547,12 @@ def bloom_decontaminate(
     from vtk_reserves_spark.functions.text import shingles_of_tokens
 
     m_bits = 64 * len(bloom_bits)
-    # one array<long> literal (python int infers long), not a CreateArray
-    # of m_bits/64 child casts — the bitset is plan metadata, build it in
-    # one py4j call so driver cost stays flat as the filter grows
-    bits_lit = F.lit([int(b) for b in bloom_bits])
+    # one array<long> literal parsed in a single driver call — the bitset
+    # is plan metadata and F.lit(list) lowers to 2 py4j round-trips per
+    # word, so driver cost would grow with the filter size
+    from vtk_reserves_spark.functions.plan_literals import lit_long_array
+
+    bits_lit = lit_long_array(bloom_bits)
 
     def hit(g: Column) -> Column:
         c = F.lit(True)

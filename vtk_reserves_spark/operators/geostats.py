@@ -702,7 +702,9 @@ def topcut_report(
     (optionally ``weight_col``-weighted) sum of values.  One explode of
     each row into the cap list (bounded fan-out = len(caps)) + ONE
     aggregation — no per-cap passes over the data."""
-    caps_arr = F.lit([float(c) for c in caps])
+    from vtk_reserves_spark.functions.plan_literals import lit_double_array
+
+    caps_arr = lit_double_array(caps)
     v = F.col(value_col).cast("double")
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = (
@@ -780,10 +782,14 @@ def nscore(
         qs = df.where(v.isNotNull()).agg(
             F.percentile_approx(value_col, probs, 10000).alias("q")
         ).collect()[0]["q"]
-        # single array literal: one py4j call + one Catalyst node, vs a
-        # CreateArray of `bins` child literals (a ~1000-knot table costs
-        # thousands of driver round-trips and a huge analysis tree)
-        arr = F.lit([float(x) for x in qs])
+        # single array literal parsed in one driver call (a ~1000-knot
+        # table via F.lit(list) costs thousands of py4j round-trips and
+        # an equally large analysis tree — functions/plan_literals)
+        from vtk_reserves_spark.functions.plan_literals import (
+            lit_double_array,
+        )
+
+        arr = lit_double_array(qs)
         frac = F.size(F.filter(arr, lambda q: q <= v)).cast("double") / float(
             len(qs)
         )
@@ -944,17 +950,18 @@ def nscore_backtransform(
     ys = [float(y) for _, y in pairs]
     if len(vs) < 2:
         raise ValueError("backtransform table needs at least 2 knots")
-    # array LITERALS (not CreateArray of per-knot literals): the table is
-    # data-sized (one knot per distinct value), so per-element F.lit would
-    # cost 2 py4j round-trips per knot — measured 11k+ round-trips / ~3 s
-    # of driver time on an 800-knot table — and an equally large analysis
-    # tree.  F.lit(list) builds the identical array<double> in ONE call.
-    arr_y = F.lit(ys)
+    # array LITERALS built in ONE parsed expression: the table is
+    # data-sized (one knot per distinct value) and F.lit(list) lowers to
+    # per-element lit() calls — 2 py4j round-trips per knot, measured
+    # ~2 s of driver time on an 800-knot table (functions/plan_literals).
+    from vtk_reserves_spark.functions.plan_literals import lit_double_array
+
+    arr_y = lit_double_array(ys)
     y = F.col(score_col).cast("double")
     # index of the first knot >= y == count of knots < y (0..n)
     idx = F.size(F.filter(arr_y, lambda q: q < y))
     n = len(ys)
-    lo_v = F.lit(vs)
+    lo_v = lit_double_array(vs)
     # gather knot pairs around idx with element_at (1-based), clamped
     i_hi = F.least(F.lit(n), F.greatest(F.lit(1), idx + 1))
     i_lo = F.least(F.lit(n), F.greatest(F.lit(1), idx))

@@ -153,10 +153,12 @@ def logreg_predict(
     product + sigmoid), no Python in the scoring path."""
     wts = [float(v) for v in model["weights"]]
     b = float(model.get("intercept", 0.0))
+    from vtk_reserves_spark.functions.plan_literals import lit_double_array
+
     dot = F.aggregate(
         F.zip_with(
             F.col(features_col),
-            F.array(*[F.lit(v) for v in wts]),
+            lit_double_array(wts),
             lambda a, c: a * c,
         ),
         F.lit(0.0),

@@ -887,12 +887,14 @@ def sq_encode(
     HALF_UP rounding via bround+0.5-floor... spark's ``round`` is
     HALF_UP on doubles, matching the closed-form SQL oracle), fully
     deterministic — so encode/decode hash-match SQL end-to-end."""
-    # single array literals (one py4j call each, d-independent driver cost)
-    mins = F.lit([float(mn) for mn, _ in stats])
-    scales = F.lit([
-        255.0 / (mx - mn) if mx > mn else 0.0
-        for mn, mx in stats
-    ])
+    # array literals parsed in ONE driver call each (F.lit(list) lowers
+    # to per-element lit round-trips — functions/plan_literals)
+    from vtk_reserves_spark.functions.plan_literals import lit_double_array
+
+    mins = lit_double_array(mn for mn, _ in stats)
+    scales = lit_double_array(
+        255.0 / (mx - mn) if mx > mn else 0.0 for mn, mx in stats
+    )
     code = F.zip_with(
         F.zip_with(
             F.transform(F.col(vec_col), lambda x: x.cast("double")),
@@ -916,8 +918,10 @@ def sq_decode(
     """Inverse map: ``code / 255 * (max - min) + min`` — the
     reconstruction used at search time; quantization error is
     bounded by half a step per dimension."""
-    mins = F.lit([float(mn) for mn, _ in stats])
-    steps = F.lit([(mx - mn) / 255.0 for mn, mx in stats])
+    from vtk_reserves_spark.functions.plan_literals import lit_double_array
+
+    mins = lit_double_array(mn for mn, _ in stats)
+    steps = lit_double_array((mx - mn) / 255.0 for mn, mx in stats)
     rec = F.zip_with(
         F.zip_with(
             F.col(codes_col), steps,
