@@ -5639,12 +5639,23 @@ def q_cdc_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn=("rev_i", s1),
     )
 
-    def apply_batch(frm, to):
-        # materialize the drained batch ONCE (localCheckpoint):
-        # both merge legs and any redelivery read the same rows
-        # instead of re-running the changelog diff per action
-        batch = iceberg_changelog(spark, src_t, frm, to) \
+    # drain all four snapshot ranges CONCURRENTLY (guide §2.6 — the
+    # changelog is a pure function of the already-complete source
+    # table, independent of the replica): each diff materializes once
+    # via localCheckpoint and one leg's tasks back-fill executor slots
+    # another leg's metadata tail leaves idle.  The replica merges
+    # below stay strictly sequential (same Delta table).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def drain(frm, to):
+        return iceberg_changelog(spark, src_t, frm, to) \
             .localCheckpoint(eager=True)
+
+    ranges = [(s1, s2), (s2, s3), (s3, s4), (s4, s5)]
+    with ThreadPoolExecutor(len(ranges)) as pool:
+        batches = list(pool.map(lambda r: drain(*r), ranges))
+
+    def apply_batch(batch, to):
         cols = ["doc_id", "text_len"]
         dels = batch.filter(F.col("_change_type") == "delete")
         ins = batch.filter(F.col("_change_type") == "insert")
@@ -5659,10 +5670,10 @@ def q_cdc_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return batch
 
-    apply_batch(s1, s2)
-    b3 = apply_batch(s2, s3)           # the MERGE-update batch
-    apply_batch(s3, s4)                # the MERGE-delete batch
-    compaction = apply_batch(s4, s5)   # pure rewrite: must net to 0
+    apply_batch(batches[0], s2)
+    b3 = apply_batch(batches[1], s3)   # the MERGE-update batch
+    apply_batch(batches[2], s4)        # the MERGE-delete batch
+    compaction = apply_batch(batches[3], s5)  # pure rewrite: nets to 0
     assert compaction.count() == 0, "compaction leaked into CDC"
     # poisoned redelivery of the update batch under its txn ids:
     # a delete-everything leg and +777 inserts must BOTH skip
