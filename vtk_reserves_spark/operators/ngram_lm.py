@@ -55,15 +55,27 @@ def _token_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def train_kneser_ney(
-    df: DataFrame, id_col: str, text_col: str, discount: float = 0.75
+    df: DataFrame, id_col: str, text_col: str, discount: float = 0.75,
+    materialize: bool = True,
 ) -> dict:
     """Train on a corpus; returns the model as a dict of DataFrames:
     ``pairs (v, w, p)`` — the interpolated KN probability of every
     seen bigram, ``backoff (v, bow)`` — the history backoff weight
     ``d * N1+(v,*) / c(v)``, ``cont (w, pcont)`` — the continuation
-    distribution, and ``consts (n1pp, floor)``."""
+    distribution, and ``consts (n1pp, floor)``.
+
+    ``materialize`` (default) eagerly checkpoints the bigram counts
+    ``c_vw`` — the model's sufficient statistic, bounded by distinct
+    bigram TYPES (vocabulary-squared worst case), never corpus size.
+    Every model table and the scoring ladder's three joins derive
+    from it: left lazy, Catalyst re-runs the corpus tokenize +
+    explode + count for each reference (measured: 9 Generate nodes /
+    10 scans / 0 ReusedExchange in q:kn_perplexity's plan) — at
+    100 TB that is nine corpus passes instead of one."""
     bi = _token_bigrams(df, id_col, text_col)
     c_vw = bi.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    if materialize:
+        c_vw = c_vw.localCheckpoint(eager=True)
     c_v = c_vw.groupBy("v").agg(
         F.sum("c_vw").alias("c_v"),
         F.count(F.lit(1)).alias("n1p_v"),  # N1+(v,*)

@@ -74,6 +74,13 @@ def bm25_score(
     Returns ``(qid, id, n_terms_hit, score)``; queries ride a
     broadcast join onto the postings."""
     postings, stats = bm25_postings(df, id_col, text_col)
+    # NOTE (optimization round r10): postings feed both the query join
+    # and this aggregation, so the tokenize+explode runs twice in the
+    # plan.  Materializing them (localCheckpoint — the index-build
+    # shape) was measured 1.6x SLOWER end-to-end at sf0.1: the eager
+    # job + RDD-scan de-fusion exceeds one cheap re-pass.  At real
+    # scale an index is built ONCE across many queries — cross-query
+    # persistence, out of scope for a single-query operator.
     dfreq = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_t")
     )

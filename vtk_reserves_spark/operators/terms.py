@@ -146,6 +146,13 @@ def charlm_perplexity(
     # groups), so map-side combine collapses it almost entirely, while
     # routing it through doc_bg was measured 2x SLOWER at sf0.1 (the
     # high-cardinality (doc, bigram) aggregation ran for both branches)
+    # NOTE (optimization round r10): the model subtree is referenced by
+    # tot/vsize/logp, so the corpus explode runs 4x in the plan (0
+    # ReusedExchange).  Materializing it (localCheckpoint) was measured
+    # 1.51x SLOWER end-to-end at sf0.1 — the eager job + RDD-scan
+    # de-fusion costs more than the three cheap re-passes — so the lazy
+    # form stays (guide §5: cache only when recompute beats the
+    # pressure).
     model = bi.groupBy("_bg").agg(F.count(F.lit(1)).alias("_n12"))
     tot = (
         model.withColumn("_c1", F.substring("_bg", 1, 1))
