@@ -2895,6 +2895,11 @@ def iceberg_changelog(
                 ins = (extra_ins if ins is None
                        else ins.unionByName(extra_ins))
         if net and ins is not None and dels is not None:
+            # NOTE (optimization round r10): both exceptAll legs
+            # consume both sides, so the churn-sized scan subtrees
+            # evaluate twice here.  Persisting ins/dels was measured
+            # 1.20x SLOWER end-to-end (cache materialization beats
+            # the second scan at churn scale) — kept lazy.
             ins_net = ins.exceptAll(dels)
             dels_net = dels.exceptAll(ins)
             ins, dels = ins_net, dels_net
