@@ -2853,8 +2853,7 @@ def iceberg_changelog(
         cur_state = _delete_state(cur)
         added = [p for p in cur["files"] if p not in prev_set]
         removed = [p for p in prev["files"] if p not in cur_set]
-        ins = _scan(cur, added) if added else None
-        dels = _scan(prev, removed) if removed else None
+        changed: list[str] = []
         if cur_state != prev_state:
             # the delete state moved: diff the AFFECTED surviving
             # files under the two states.  Affected = targets of
@@ -2885,52 +2884,79 @@ def iceberg_changelog(
                     if int(seqs.get(f, 0)) < int(s)
                 }
             changed = [f for f in surviving if f in affected]
-            if changed:
-                prev_rows = _scan(prev, changed)
-                cur_rows = _scan(cur, changed)
-                extra_dels = prev_rows.exceptAll(cur_rows)
-                extra_ins = cur_rows.exceptAll(prev_rows)
-                dels = (extra_dels if dels is None
-                        else dels.unionByName(extra_dels))
-                ins = (extra_ins if ins is None
-                       else ins.unionByName(extra_ins))
-        if net and ins is not None and dels is not None:
+        if net:
             # single-pass count-diff net (optimization round r10):
-            # the exceptAll pair (ins.exceptAll(dels) +
-            # dels.exceptAll(ins)) consumes BOTH churn-sized scan
-            # subtrees twice — 2x the scans and two set-op shuffles.
-            # Identical multiset semantics in one pass: tag +1/-1,
-            # ONE hash aggregation per full row, re-emit |sum| copies
-            # with the sign deciding insert/delete (max(i-d,0) /
-            # max(d-i,0) — exactly exceptAll's multiplicity rule;
-            # groupBy and exceptAll share NULL=NULL / NaN=NaN row
-            # equality).  Persisting the exceptAll form instead was
-            # measured 1.20x slower (cache materialization beats the
-            # second scan) — this restructure removes the second
+            # the old form built ins/dels with one exceptAll pair for
+            # the changed-file diff and a second for net cancellation
+            # — every churn-sized scan subtree evaluated TWICE plus
+            # four set-op shuffles per commit.  Both levels fuse into
+            # one signed aggregation: added rows +1, removed rows -1,
+            # changed files scanned under cur (+1) and prev (-1);
+            # per-row the sum equals
+            #   [added + max(cc-cp, 0)] - [removed + max(cp-cc, 0)]
+            # i.e. exactly the exceptAll-netted multiplicity, with
+            # the sign deciding insert/delete (groupBy and exceptAll
+            # share NULL=NULL / NaN=NaN row equality).  Re-emit |sum|
+            # copies.  Persisting the exceptAll form instead was
+            # measured 1.20x slower — this removes the second
             # evaluation without a cache.
-            netted = (
-                ins.withColumn("_sgn", F.lit(1))
-                .unionByName(dels.withColumn("_sgn", F.lit(-1)))
-                .groupBy(*cols)
-                .agg(F.sum("_sgn").alias("_c"))
-                .where(F.col("_c") != 0)
-            )
-            pieces.append(
-                netted.select(
-                    *cols,
-                    F.when(F.col("_c") > 0, F.lit("insert"))
-                    .otherwise(F.lit("delete")).alias("_change_type"),
-                    F.lit(int(sid)).cast("long")
-                    .alias("_commit_snapshot_id"),
-                    F.explode(
-                        F.sequence(
-                            F.lit(1).cast("long"),
-                            F.abs(F.col("_c")).cast("long"),
-                        )
-                    ).alias("_dup"),
-                ).drop("_dup")
-            )
-            ins = dels = None
+            signed = []
+            if added:
+                signed.append((_scan(cur, added), 1))
+            if removed:
+                signed.append((_scan(prev, removed), -1))
+            if changed:
+                signed.append((_scan(cur, changed), 1))
+                signed.append((_scan(prev, changed), -1))
+            if len(signed) == 1:
+                # one-sided commit (pure append / pure drop): emit
+                # rows as-is, no aggregation shuffle needed
+                df, sgn = signed[0]
+                pieces.append(df.withColumns({
+                    "_change_type": F.lit(
+                        "insert" if sgn > 0 else "delete"),
+                    "_commit_snapshot_id":
+                        F.lit(int(sid)).cast("long"),
+                }))
+            elif signed:
+                netted = (
+                    reduce(DataFrame.unionByName, [
+                        df.withColumn("_sgn", F.lit(s))
+                        for df, s in signed
+                    ])
+                    .groupBy(*cols)
+                    .agg(F.sum("_sgn").alias("_c"))
+                    .where(F.col("_c") != 0)
+                )
+                pieces.append(
+                    netted.select(
+                        *cols,
+                        F.when(F.col("_c") > 0, F.lit("insert"))
+                        .otherwise(F.lit("delete"))
+                        .alias("_change_type"),
+                        F.lit(int(sid)).cast("long")
+                        .alias("_commit_snapshot_id"),
+                        F.explode(
+                            F.sequence(
+                                F.lit(1).cast("long"),
+                                F.abs(F.col("_c")).cast("long"),
+                            )
+                        ).alias("_dup"),
+                    ).drop("_dup")
+                )
+            prev, prev_set, prev_state = cur, cur_set, cur_state
+            continue
+        ins = _scan(cur, added) if added else None
+        dels = _scan(prev, removed) if removed else None
+        if changed:
+            prev_rows = _scan(prev, changed)
+            cur_rows = _scan(cur, changed)
+            extra_dels = prev_rows.exceptAll(cur_rows)
+            extra_ins = cur_rows.exceptAll(prev_rows)
+            dels = (extra_dels if dels is None
+                    else dels.unionByName(extra_dels))
+            ins = (extra_ins if ins is None
+                   else ins.unionByName(extra_ins))
         for df, ct in ((ins, "insert"), (dels, "delete")):
             if df is None:
                 continue
