@@ -6134,7 +6134,12 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang"
     )
     target = docs.filter(F.col("lang") == "en")
-    out = dsir_resample(docs, target, k=100, n_buckets=256)
+    # the target is a row-subset of the raw corpus, so the target
+    # model reuses the materialized raw features (one corpus pass
+    # instead of two; integer bucket sums make it bit-identical)
+    out = dsir_resample(
+        docs, target, k=100, n_buckets=256, target_within_raw=True
+    )
     return out.select(
         "rank", "doc_id",
         F.round("log_w", 6).alias("log_w"),
@@ -6160,9 +6165,11 @@ def q_dsir_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang"
     )
     target = docs.filter(F.col("doc_id") % 5 == 0)
+    # target rows are a subset of raw rows: reuse raw features for
+    # the per-domain target models (one corpus pass instead of two)
     out = dsir_resample_domains(
         docs, target, quotas={"en": 40, "de": 15, "zh": 20},
-        domain_col="lang", n_buckets=256,
+        domain_col="lang", n_buckets=256, target_within_raw=True,
     )
     return out.select(
         "lang", "rank", "doc_id",

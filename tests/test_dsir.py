@@ -42,3 +42,42 @@ def test_dsir_resample_domains(spark):
             docs.drop("domain"), target, quotas={"a": 1},
             domain_col="domain",
         )
+
+
+def test_dsir_target_within_raw_bit_identical(spark):
+    """target_within_raw=True (target model from a semi-join of the
+    materialized raw features) must reproduce the recomputed-target
+    result EXACTLY: bucket counts are integer sums, so the smoothed
+    model vectors — and every downstream weight/rank — are
+    bit-identical."""
+    from pyspark.sql import functions as F
+
+    from vtk_reserves_spark.operators.dsir import (
+        dsir_resample, dsir_resample_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 11} alpha tok{i % 5} beta w{i % 3}",
+          "a" if i % 2 else "b")
+         for i in range(60)],
+        "doc_id long, text string, domain string",
+    )
+    target = docs.filter(F.col("doc_id") % 4 == 0)
+
+    base = dsir_resample(
+        docs, target, k=12, n_buckets=32
+    ).orderBy("rank").collect()
+    fast = dsir_resample(
+        docs, target, k=12, n_buckets=32, target_within_raw=True
+    ).orderBy("rank").collect()
+    assert base == fast
+
+    base_d = dsir_resample_domains(
+        docs, target, quotas={"a": 5, "b": 7}, domain_col="domain",
+        n_buckets=32,
+    ).orderBy("domain", "rank").collect()
+    fast_d = dsir_resample_domains(
+        docs, target, quotas={"a": 5, "b": 7}, domain_col="domain",
+        n_buckets=32, target_within_raw=True,
+    ).orderBy("domain", "rank").collect()
+    assert base_d == fast_d

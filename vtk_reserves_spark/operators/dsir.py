@@ -118,20 +118,34 @@ def dsir_weights(
     n_buckets: int = 256,
     alpha: float = 1.0,
     seed: str = "dsir",
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """``raw`` with an extra ``log_w`` column: the log importance
     weight of each document under the target/raw bag-of-n-grams
-    ratio.  Token-less documents get ``log_w = 0``."""
+    ratio.  Token-less documents get ``log_w = 0``.
+
+    ``target_within_raw=True`` declares that every ``target`` row is
+    also a ``raw`` row (same id => same text).  The target's feature
+    rows are then a semi-join of the already-materialized raw
+    features against the target ids instead of a second tokenize +
+    explode + aggregation pass over the target text — one corpus
+    pass instead of two.  Bucket counts are integer sums, so the
+    derived model is bit-identical to the recomputed one."""
     raw_feats = hashed_ngram_counts(
         raw, id_col, text_col, n_buckets, seed
     )
     # the raw feature relation is consumed twice (q model + per-doc
     # weights): truncate its lineage once
     raw_feats = raw_feats.localCheckpoint()
-    logp = _bucket_logprobs(
-        hashed_ngram_counts(target, id_col, text_col, n_buckets, seed),
-        n_buckets, alpha,
-    )
+    if target_within_raw:
+        tgt_feats = raw_feats.join(
+            target.select(id_col), id_col, "left_semi"
+        )
+    else:
+        tgt_feats = hashed_ngram_counts(
+            target, id_col, text_col, n_buckets, seed
+        )
+    logp = _bucket_logprobs(tgt_feats, n_buckets, alpha)
     logq = _bucket_logprobs(raw_feats, n_buckets, alpha)
     llr = raw.sparkSession.createDataFrame(
         [(b, logp[b] - logq[b]) for b in range(n_buckets)],
@@ -157,6 +171,7 @@ def dsir_resample(
     alpha: float = 1.0,
     seed: str = "dsir",
     gumbel: bool = True,
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """Select ``k`` raw documents by importance resampling: Gumbel
     top-k over ``log_w`` (= sampling without replacement with
@@ -164,13 +179,15 @@ def dsir_resample(
     resampling step), with the Gumbel noise seeded from md5 of the
     doc id so the draw is deterministic and oracle-replayable.
     Returns the selected rows with ``log_w``, ``key`` (the perturbed
-    score) and ``rank``.
+    score) and ``rank``.  ``target_within_raw`` as in
+    :func:`dsir_weights` (reuse raw features for the target model).
 
     The cut is ``orderBy(key desc, id).limit(k)`` —
     TakeOrderedAndProject (per-partition heap + driver merge of
     ``partitions * k`` rows), never a single-partition sort."""
     wdf = dsir_weights(
-        raw, target, id_col, text_col, n_buckets, alpha, seed
+        raw, target, id_col, text_col, n_buckets, alpha, seed,
+        target_within_raw=target_within_raw,
     )
     if gumbel:
         # u in (0, 1): (h + 0.5) / MOD over the md5 bucket
@@ -232,6 +249,7 @@ def dsir_resample_domains(
     alpha: float = 1.0,
     seed: str = "dsir",
     gumbel: bool = True,
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """CHUNKED-target DSIR (the paper's target-mixture practice +
     quota sampling): each domain gets its OWN bag-of-n-grams target
@@ -247,7 +265,12 @@ def dsir_resample_domains(
     (domain, bucket)->llr join + hash agg; the quota cut is one
     window ranked within the domain (a single shuffle keyed by
     domain; per-domain quotas are how a 100 TB mixture pipeline
-    balances sources without a global sort)."""
+    balances sources without a global sort).
+
+    ``target_within_raw=True`` declares every ``target`` row is also
+    a ``raw`` row (same id => same text/domain); the target feature
+    rows then semi-join off the materialized raw features instead of
+    re-tokenizing the target slice (see :func:`dsir_weights`)."""
     missing = [c for c in (domain_col, id_col, text_col)
                if c not in raw.columns]
     if missing:
@@ -265,14 +288,19 @@ def dsir_resample_domains(
         ),
         id_col,
     ).localCheckpoint()
-    tgt_feats = hashed_ngram_counts(
-        tgt_d, id_col, text_col, n_buckets, seed
-    ).join(
-        tgt_d.select(
-            F.col(id_col), F.col(domain_col).alias("_domain")
-        ),
-        id_col,
-    )
+    if target_within_raw:
+        tgt_feats = raw_feats.join(
+            tgt_d.select(id_col), id_col, "left_semi"
+        )
+    else:
+        tgt_feats = hashed_ngram_counts(
+            tgt_d, id_col, text_col, n_buckets, seed
+        ).join(
+            tgt_d.select(
+                F.col(id_col), F.col(domain_col).alias("_domain")
+            ),
+            id_col,
+        )
     logp = _domain_logprobs(tgt_feats, n_buckets, alpha)
     logq = _domain_logprobs(raw_feats, n_buckets, alpha)
     llr_rows = [
