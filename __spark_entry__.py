@@ -57,6 +57,26 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(sch).parquet(path)
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Fan a single-split testdata scan across the cluster before
+    compute-heavy per-row work (guide §2.1 scale-adaptive partitioning
+    — the scan-side twin of grid_df's fan-out floor).  The sf testdata
+    tables are ONE parquet file with ONE row group, so the scan stage —
+    where tokenize/shingle/codec expressions execute — is a single task
+    on one core while the rest idle.  Hash-repartition on the row key
+    (deterministic, and skips round-robin's sort-before-repartition
+    pass); at production scale inputs arrive in many splits and this
+    spread is unnecessary — which is why it lives at the fixture layer,
+    never inside the operators (same placement as q:winnow_fingerprint /
+    the jpeg/webp codec fixtures established).  Applied ONLY where the
+    isolated A/B measured a win (OPTIMIZATION_r11.md): multi-pass and
+    iterative consumers (bm25, unigram EM, pagerank, BPE) re-execute the
+    exchange per pass and measured SLOWER — those keep the plain scan.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, *keys) if keys else df.repartition(par)
+
+
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events with ``ts`` normalized to a timestamp regardless of whether
     the driver snapshot wrote TIMESTAMP(NANOS) or a native timestamp."""
@@ -1903,7 +1923,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    both = docs.unionByName(_mutated(docs))
+    both = _spread(docs.unionByName(_mutated(docs)), "doc_id")
     blocking = minhash_lsh_pairs(both, "doc_id", "text", k=8, bands=4, ngrams=3)
     return ngram_jaccard_pairs(both, "doc_id", "text", n=2, threshold=0.5, blocking=blocking)
 
@@ -2067,7 +2087,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams taken by its most frequent bigram."""
     from vtk_reserves_spark.operators.terms import repetition_signals
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     return repetition_signals(docs, "doc_id", "text", n=2)
 
 
@@ -2094,14 +2114,14 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_bloom_bits,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     bits = build_bloom_bits(bench, "text", ngrams=5, m_bits=8192, k_hashes=2)
     return bloom_decontaminate(docs, bits, "doc_id", "text", ngrams=5, k_hashes=2)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"), "doc_id")
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -2113,12 +2133,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"), "doc_id")
     return docs.select("doc_id", TX.quality_score(F.col("text")).alias("q"))
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(_read(spark, sf_dir, "embeddings"), "vec_id")
     queries = emb.where(F.col("vec_id") < 5)
     return cosine_topk(emb, queries, k=3).select("query_id", "neighbor_id", "rank")
 
@@ -2296,7 +2316,7 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-level upgrade of q:segment_dedup."""
     from vtk_reserves_spark.operators.dedup import duplicate_spans
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"), "doc_id")
     return duplicate_spans(docs, "doc_id", "text", window=8, min_docs=2)
 
 
@@ -2892,7 +2912,7 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_column_png_payload, image_hashes,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     return image_hashes(attach_column_png_payload(docs)).select(
         "doc_id", "width", "height", "dhash"
     )
@@ -2993,7 +3013,7 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_tone_wav_payload, audio_fingerprint,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     return audio_fingerprint(attach_tone_wav_payload(docs)).drop("error")
 
 
@@ -3099,7 +3119,7 @@ def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical_url, hreflang_map, jsonld_blocks, jsonld_types, og_tags,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     d = F.col("doc_id")
     og_fwd = F.concat(
         F.lit('<meta property="og:title" content="Title '),
@@ -3232,7 +3252,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking with DuckDB's list_cosine_similarity."""
     from vtk_reserves_spark.operators.similarity import hard_negatives
 
-    emb = _read(spark, sf_dir, "embeddings").withColumn(
+    emb = _spread(_read(spark, sf_dir, "embeddings"), "vec_id").withColumn(
         "label", (F.col("vec_id") % 7).cast("int")
     )
     queries = emb.where(F.col("vec_id") < 5)
@@ -3821,7 +3841,7 @@ def q_segy_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id"), "doc_id")
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -4153,10 +4173,11 @@ def q_ivf_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-in-5 sample: the boolean decoder runs ~2 real VP8 frames per
     # doc; the sample keeps every closed-form branch while bounding
     # the per-run decode count (operator itself is payload-grain)
-    docs = (
+    docs = _spread(
         _read(spark, sf_dir, "documents")
         .select("doc_id")
-        .where(F.col("doc_id") % 5 == 0)
+        .where(F.col("doc_id") % 5 == 0),
+        "doc_id",
     )
     return ivf_video_frames(attach_ivf_payload(docs)).drop("error")
 
@@ -7764,7 +7785,7 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthesis closed form under the oracle."""
     from vtk_reserves_spark.functions.extract import main_content
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     did = F.col("doc_id").cast("string")
     n = (F.col("doc_id") % 3 + 1).cast("int")
     paras = F.transform(
@@ -8078,7 +8099,7 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode; plan-shape test pins no-Python)."""
     from vtk_reserves_spark.operators.graph import extract_links, host_edges
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_read(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     did = F.col("doc_id").cast("string")
     pages = docs.select(
         "doc_id",

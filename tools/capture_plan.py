@@ -35,13 +35,23 @@ def main() -> None:
 
     qs = entrymod.queries()
     os.makedirs(outdir, exist_ok=True)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(
+            f"unknown queries {unknown}; valid names: {sorted(qs)}"
+        )
+    import contextlib
+    import io
+
     for n in names:
         df = qs[n](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # public API only: df.explain prints to stdout (the private
+        # PythonSQLUtils/_jdf route broke across Spark versions)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
         with open(os.path.join(outdir, f"{n}_{suffix}.txt"), "w") as fh:
-            fh.write(plan)
+            fh.write(buf.getvalue())
         print(n, "ok")
     spark.stop()
 

@@ -130,7 +130,15 @@ def dsir_weights(
     features against the target ids instead of a second tokenize +
     explode + aggregation pass over the target text — one corpus
     pass instead of two.  Bucket counts are integer sums, so the
-    derived model is bit-identical to the recomputed one."""
+    derived model is bit-identical to the recomputed one.
+
+    PRECONDITION (not validated — the flag trusts the caller):
+    target ids must be UNIQUE and every one PRESENT in ``raw`` with
+    identical text.  An id absent from raw is silently dropped by
+    the semi-join, and a duplicated id counts once where recompute
+    mode would count its buckets per occurrence — either misuse
+    yields a silently wrong target model, not an error.  When unsure,
+    leave the flag off; the default recomputes from ``target``."""
     raw_feats = hashed_ngram_counts(
         raw, id_col, text_col, n_buckets, seed
     )
