@@ -35,6 +35,25 @@ def lit_double_array(values) -> Column:
     return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
 
 
+def lit_double_matrix(rows) -> Column:
+    """``array<array<double>>`` literal parsed in one driver round-trip
+    (hyperplane tables and other small constant matrices).  Same
+    round-trip-exactness argument as :func:`lit_double_array`; any
+    non-finite entry falls back to per-row ``F.lit`` arrays."""
+    mat = [[float(v) for v in r] for r in rows]
+    if not mat:
+        return F.lit([]).cast("array<array<double>>")
+    if not all(math.isfinite(v) for r in mat for v in r):
+        return F.array(*[F.lit(r) for r in mat])
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v!r}D" for v in r) + ")" for r in mat
+        )
+        + ")"
+    )
+
+
 def lit_long_array(values) -> Column:
     """``array<bigint>`` literal parsed in one driver round-trip."""
     vals = [int(v) for v in values]

@@ -59,6 +59,11 @@ def url_query(url: Column) -> Column:
     return F.nullif(F.regexp_extract(url, _URL_RE, 4), F.lit(""))
 
 
+#: built-expression memo for _ps_len_unguarded, keyed on
+#: (SparkContext id, host expression string) — see the function body.
+_PS_LEN_MEMO: dict = {}
+
+
 def _ps_len_unguarded(host: Column) -> Column:
     """PSL suffix label count WITHOUT host-length guards: tails are
     probed with ``substring_index`` (one cheap string op per probe, no
@@ -69,10 +74,24 @@ def _ps_len_unguarded(host: Column) -> Column:
     wildcard parent (e.g. bare 'ck') reports the wildcard's suffix
     length — harmless for registered_domain, whose take-one-more-label
     ``substring_index`` saturates to the whole host anyway."""
+    # Per-process memo of the BUILT expression: the EXACT_2 InSet probe
+    # converts its ~630 PSL constants to JVM literals one py4j call at
+    # a time (~0.5 s of driver time per build), and the tree depends
+    # only on the host column — reuse it for an identical host
+    # expression.  Metadata only (an immutable unresolved expression
+    # tree that re-resolves by name against each consumer's plan); the
+    # memo is keyed on the active SparkContext so a restarted gateway
+    # never serves stale JVM references.
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (id(sc), str(host)) if sc is not None else None
+    if key is not None and key in _PS_LEN_MEMO:
+        return _PS_LEN_MEMO[key]
     l1 = F.substring_index(host, ".", -1)
     l2 = F.substring_index(host, ".", -2)
     l3 = F.substring_index(host, ".", -3)
-    return (
+    out = (
         F.when(l3.isin(*EXCEPTIONS_3), F.lit(2))
         .when(l2.isin(*EXCEPTIONS_2), F.lit(1))
         .when(l3.isin(*WILDCARD_PARENTS_3), F.lit(4))
@@ -80,6 +99,9 @@ def _ps_len_unguarded(host: Column) -> Column:
         .when(l2.isin(*EXACT_2) | l1.isin(*WILDCARD_PARENTS_1), F.lit(2))
         .otherwise(F.lit(1))
     )
+    if key is not None:
+        _PS_LEN_MEMO[key] = out
+    return out
 
 
 def public_suffix_len(host: Column) -> Column:
